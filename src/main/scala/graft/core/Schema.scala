@@ -1,0 +1,95 @@
+package graft.core
+
+/** Predicate schema registry.
+  *
+  * Mirrors the reference's explicit per-predicate schema
+  * (/root/reference/schema/parse.go:84 parseScalarPair and the directive
+  * set at :42-82: @index, @reverse, @count, @lang, list-ness) and node
+  * types (getPredicatesFromTypes, /root/reference/query/query.go:2780-2814)
+  * which drive expand(_all_) and type().
+  *
+  * In the Spark engine the registry is plain metadata: "indexes" carry no
+  * physical meaning (Parquet stats + Catalyst pushdown replace tokenized
+  * B-tree walks, see SURVEY.md section 4) but are kept so DQL schema
+  * introspection and index-requirement validation behave like the
+  * reference.
+  */
+final case class PredicateSchema(
+    name: String,
+    dgraphType: String,          // string|int|float|bool|datetime|uid|...
+    isList: Boolean = false,
+    indexes: Seq[String] = Nil,  // term|exact|hash|int|float|...|hnsw
+    reverse: Boolean = false,
+    count: Boolean = false,
+    lang: Boolean = false)
+
+final case class NodeType(name: String, predicates: Seq[String])
+
+final class SchemaRegistry(
+    val predicates: Map[String, PredicateSchema],
+    val types: Map[String, NodeType]) {
+
+  def pred(name: String): PredicateSchema =
+    predicates.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown predicate: $name"))
+
+  def isUidPredicate(name: String): Boolean =
+    predicates.get(name).exists(_.dgraphType == "uid")
+
+  /** expand(_all_) support: predicates of a node type. */
+  def predicatesOfType(t: String): Seq[String] =
+    types.get(t).map(_.predicates).getOrElse(Nil)
+}
+
+object SchemaRegistry {
+
+  /** Schema for the derived TPC-H triple store (see TripleStore). */
+  val tpch: SchemaRegistry = {
+    val preds = Seq(
+      PredicateSchema("name", "string", indexes = Seq("term", "exact", "trigram"), lang = false),
+      PredicateSchema("mktsegment", "string", indexes = Seq("exact")),
+      PredicateSchema("orderstatus", "string", indexes = Seq("exact")),
+      PredicateSchema("orderpriority", "string", indexes = Seq("exact", "term")),
+      PredicateSchema("brand", "string", indexes = Seq("exact")),
+      PredicateSchema("ptype", "string", indexes = Seq("term", "fulltext")),
+      PredicateSchema("returnflag", "string", indexes = Seq("exact")),
+      PredicateSchema("linestatus", "string", indexes = Seq("exact")),
+      PredicateSchema("text", "string", indexes = Seq("fulltext", "term"), lang = true),
+      PredicateSchema("source", "string", indexes = Seq("exact")),
+      PredicateSchema("size", "int", indexes = Seq("int")),
+      PredicateSchema("n_chars", "int", indexes = Seq("int")),
+      PredicateSchema("acctbal", "float", indexes = Seq("float")),
+      PredicateSchema("totalprice", "float", indexes = Seq("float")),
+      PredicateSchema("retailprice", "float", indexes = Seq("float")),
+      PredicateSchema("quantity", "float"),
+      PredicateSchema("extendedprice", "float"),
+      PredicateSchema("discount", "float"),
+      PredicateSchema("orderdate", "datetime", indexes = Seq("year", "month", "day")),
+      PredicateSchema("shipdate", "datetime", indexes = Seq("year")),
+      PredicateSchema("embedding", "float32vector", indexes = Seq("hnsw")),
+      PredicateSchema("dgraph.type", "string", indexes = Seq("exact"), isList = true),
+      // uid predicates (edges)
+      PredicateSchema("located_in", "uid", reverse = true, count = true),
+      PredicateSchema("in_region", "uid", reverse = true),
+      PredicateSchema("placed", "uid", isList = true, reverse = true, count = true),
+      PredicateSchema("has_line", "uid", isList = true, reverse = true, count = true),
+      PredicateSchema("of_part", "uid", reverse = true),
+      PredicateSchema("by_supplier", "uid", reverse = true)
+    ).map(p => p.name -> p).toMap
+
+    val types = Seq(
+      NodeType("Region", Seq("name")),
+      NodeType("Nation", Seq("name", "in_region")),
+      NodeType("Customer", Seq("name", "mktsegment", "acctbal", "located_in", "placed")),
+      NodeType("Supplier", Seq("name", "acctbal", "located_in")),
+      NodeType("Part", Seq("name", "brand", "ptype", "size", "retailprice")),
+      NodeType("Order", Seq("orderstatus", "orderpriority", "totalprice", "orderdate", "has_line")),
+      NodeType("Lineitem", Seq("quantity", "extendedprice", "discount", "returnflag",
+        "linestatus", "shipdate", "of_part", "by_supplier")),
+      NodeType("Document", Seq("text", "source", "n_chars")),
+      NodeType("Embedding", Seq("embedding"))
+    ).map(t => t.name -> t).toMap
+
+    new SchemaRegistry(preds, types)
+  }
+}

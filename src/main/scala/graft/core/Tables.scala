@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (see /root/repo/TESTDATA.md). All reads are plain parquet scans so
+  * Catalyst predicate pushdown / column pruning applies; at cluster
+  * scale these would be partitioned tables behind a catalog, but the
+  * API surface (a `DataFrame` per logical table) is identical.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register all tables as temp views (idempotent) and return the session.
+    * Used by SQL-shaped entry points; view name == parquet file stem, which
+    * is also what the driver's DuckDB oracle uses.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = s"graft.views.${sfDir.hashCode}"
+    if (spark.conf.getOption(marker).isEmpty) {
+      names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+      spark.conf.set(marker, "1")
+    }
+  }
+}

@@ -1,0 +1,208 @@
+package graft.core
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The canonical graph view: typed attribute tables + an edge table,
+  * derived lazily from the relational parquet tables.
+  *
+  * The reference stores one posting list per (predicate, subject) key and
+  * shards predicates to server groups ("tablets",
+  * /root/reference/worker/groups.go:218 BelongsTo). The Spark analogue of a
+  * tablet is a *per-predicate view*: `edges`/`attrs` are unions of
+  * branches each carrying a literal `predicate` column, so a filter
+  * `predicate === "placed"` constant-folds every other branch to an empty
+  * relation and Catalyst prunes those parquet scans entirely. At 100 TB
+  * each branch would be its own partitioned table; the query-side shape is
+  * identical, and no shuffle is introduced by the union.
+  *
+  * UID scheme: see [[Uids]]. Facets (edge metadata, reference
+  * types/facets/facet_types.go:21) ride along as a MAP column on the edge
+  * table with deterministically formatted string values.
+  */
+final class TripleStore(val spark: SparkSession, val sfDir: String) {
+  import Uids._
+
+  private def t(name: String): DataFrame = Tables.load(spark, sfDir, name)
+
+  // ---- edge table: subject, predicate, object, facets ----
+
+  /** All uid→uid edges. Facet values are strings formatted identically to
+    * the DuckDB oracle (decimal casts, ISO dates).
+    */
+  lazy val edges: DataFrame = {
+    val custNation = t("customer").select(
+      (lit(Customer) + col("c_custkey")).as("subject"),
+      lit("located_in").as("predicate"),
+      (lit(Nation) + col("c_nationkey").cast("long")).as("object"),
+      map().cast("map<string,string>").as("facets"))
+    val suppNation = t("supplier").select(
+      (lit(Supplier) + col("s_suppkey")).as("subject"),
+      lit("located_in").as("predicate"),
+      (lit(Nation) + col("s_nationkey").cast("long")).as("object"),
+      map().cast("map<string,string>").as("facets"))
+    val nationRegion = t("nation").select(
+      (lit(Nation) + col("n_nationkey").cast("long")).as("subject"),
+      lit("in_region").as("predicate"),
+      (lit(Region) + col("n_regionkey").cast("long")).as("object"),
+      map().cast("map<string,string>").as("facets"))
+    val placed = t("orders").select(
+      (lit(Customer) + col("o_custkey")).as("subject"),
+      lit("placed").as("predicate"),
+      (lit(Order) + col("o_orderkey")).as("object"),
+      map(
+        lit("orderdate"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        lit("totalprice"), col("o_totalprice").cast("decimal(18,2)").cast("string")
+      ).as("facets"))
+    val hasLine = t("lineitem").select(
+      (lit(Order) + col("l_orderkey")).as("subject"),
+      lit("has_line").as("predicate"),
+      (lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")).as("object"),
+      map(
+        lit("quantity"), col("l_quantity").cast("long").cast("string"),
+        lit("discount"), col("l_discount").cast("decimal(6,2)").cast("string")
+      ).as("facets"))
+    val ofPart = t("lineitem").select(
+      (lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")).as("subject"),
+      lit("of_part").as("predicate"),
+      (lit(Part) + col("l_partkey")).as("object"),
+      map().cast("map<string,string>").as("facets"))
+    val bySupplier = t("lineitem").select(
+      (lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")).as("subject"),
+      lit("by_supplier").as("predicate"),
+      (lit(Supplier) + col("l_suppkey")).as("object"),
+      map().cast("map<string,string>").as("facets"))
+
+    custNation.unionByName(suppNation).unionByName(nationRegion)
+      .unionByName(placed).unionByName(hasLine)
+      .unionByName(ofPart).unionByName(bySupplier)
+  }
+
+  /** Edge view for one predicate — "tablet" access path. */
+  def edge(predicate: String): DataFrame =
+    edges.filter(col("predicate") === predicate)
+
+  /** Reverse edge (reference @reverse, posting/index.go:276): swap sides.
+    * No materialization needed — the join planner swaps the equi-join key.
+    */
+  def reverseEdge(predicate: String): DataFrame =
+    edge(predicate).select(
+      col("object").as("subject"), col("predicate"),
+      col("subject").as("object"), col("facets"))
+
+  // ---- typed attribute tables: subject, predicate, value [, lang] ----
+
+  private def sAttr(df: DataFrame, subj: Column, pred: String, value: Column,
+      lang: Column = lit(null).cast("string")): DataFrame =
+    df.select(subj.as("subject"), lit(pred).as("predicate"),
+      value.cast("string").as("value"), lang.as("lang"))
+
+  lazy val attrString: DataFrame = {
+    val c = t("customer"); val n = t("nation"); val r = t("region")
+    val s = t("supplier"); val p = t("part"); val o = t("orders")
+    val l = t("lineitem"); val d = t("documents")
+    val lineSubj = lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")
+    Seq(
+      sAttr(c, lit(Customer) + col("c_custkey"), "name", col("c_name")),
+      sAttr(c, lit(Customer) + col("c_custkey"), "mktsegment", col("c_mktsegment")),
+      sAttr(n, lit(Nation) + col("n_nationkey").cast("long"), "name", col("n_name")),
+      sAttr(r, lit(Region) + col("r_regionkey").cast("long"), "name", col("r_name")),
+      sAttr(s, lit(Supplier) + col("s_suppkey"), "name", col("s_name")),
+      sAttr(p, lit(Part) + col("p_partkey"), "name", col("p_name")),
+      sAttr(p, lit(Part) + col("p_partkey"), "brand", col("p_brand")),
+      sAttr(p, lit(Part) + col("p_partkey"), "ptype", col("p_type")),
+      sAttr(o, lit(Order) + col("o_orderkey"), "orderstatus", col("o_orderstatus")),
+      sAttr(o, lit(Order) + col("o_orderkey"), "orderpriority", col("o_orderpriority")),
+      sAttr(l, lineSubj, "returnflag", col("l_returnflag")),
+      sAttr(l, lineSubj, "linestatus", col("l_linestatus")),
+      // documents.text carries a lang tag (reference @lang predicates,
+      // posting/list.go:2067 ValueFor preference chains)
+      sAttr(d, lit(Document) + col("doc_id"), "text", col("text"), col("lang")),
+      sAttr(d, lit(Document) + col("doc_id"), "source", col("source"))
+    ).reduce(_ unionByName _)
+  }
+
+  lazy val attrLong: DataFrame = {
+    val p = t("part"); val d = t("documents")
+    sAttr(p, lit(Part) + col("p_partkey"), "size", col("p_size").cast("long"))
+      .unionByName(
+        sAttr(d, lit(Document) + col("doc_id"), "n_chars", col("n_chars")))
+      .select(col("subject"), col("predicate"), col("value").cast("long").as("value"))
+  }
+
+  lazy val attrDouble: DataFrame = {
+    val c = t("customer"); val s = t("supplier"); val p = t("part")
+    val o = t("orders"); val l = t("lineitem")
+    val lineSubj = lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")
+    Seq(
+      sAttr(c, lit(Customer) + col("c_custkey"), "acctbal", col("c_acctbal")),
+      sAttr(s, lit(Supplier) + col("s_suppkey"), "acctbal", col("s_acctbal")),
+      sAttr(p, lit(Part) + col("p_partkey"), "retailprice", col("p_retailprice")),
+      sAttr(o, lit(Order) + col("o_orderkey"), "totalprice", col("o_totalprice")),
+      sAttr(l, lineSubj, "quantity", col("l_quantity")),
+      sAttr(l, lineSubj, "extendedprice", col("l_extendedprice")),
+      sAttr(l, lineSubj, "discount", col("l_discount"))
+    ).reduce(_ unionByName _)
+      .select(col("subject"), col("predicate"), col("value").cast("double").as("value"))
+  }
+
+  lazy val attrTs: DataFrame = {
+    val o = t("orders"); val l = t("lineitem")
+    val lineSubj = lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")
+    sAttr(o, lit(Order) + col("o_orderkey"), "orderdate", col("o_orderdate"))
+      .unionByName(sAttr(l, lineSubj, "shipdate", col("l_shipdate")))
+      .select(col("subject"), col("predicate"),
+        col("value").cast("timestamp").as("value"))
+  }
+
+  /** dgraph.type attribute (reference type() root fn, dql/parser.go:1704). */
+  lazy val nodeTypes: DataFrame = {
+    def tt(df: DataFrame, subj: Column, ty: String) =
+      df.select(subj.as("subject"), lit(ty).as("typeName"))
+    Seq(
+      tt(t("region"), lit(Region) + col("r_regionkey").cast("long"), "Region"),
+      tt(t("nation"), lit(Nation) + col("n_nationkey").cast("long"), "Nation"),
+      tt(t("customer"), lit(Customer) + col("c_custkey"), "Customer"),
+      tt(t("supplier"), lit(Supplier) + col("s_suppkey"), "Supplier"),
+      tt(t("part"), lit(Part) + col("p_partkey"), "Part"),
+      tt(t("orders"), lit(Order) + col("o_orderkey"), "Order"),
+      tt(t("lineitem"),
+        lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long"), "Lineitem"),
+      tt(t("documents"), lit(Document) + col("doc_id"), "Document"),
+      tt(t("embeddings"), lit(Embedding) + col("vec_id"), "Embedding")
+    ).reduce(_ unionByName _)
+  }
+
+  /** Vector attribute for similar_to (reference float32vector,
+    * types/scalar_types.go:60).
+    */
+  lazy val attrVector: DataFrame =
+    t("embeddings").select(
+      (lit(Embedding) + col("vec_id")).as("subject"),
+      lit("embedding").as("predicate"),
+      col("embedding").as("value"))
+
+  val schema: SchemaRegistry = SchemaRegistry.tpch
+
+  /** Typed attribute view for one predicate (the "tablet"). */
+  def attr(predicate: String): DataFrame = {
+    val table = schema.pred(predicate).dgraphType match {
+      case "string" | "default" => attrString
+      case "int" => attrLong
+      case "float" => attrDouble
+      case "datetime" => attrTs
+      case "float32vector" => attrVector
+      case other => throw new IllegalArgumentException(
+        s"no attribute table for type $other (predicate $predicate)")
+    }
+    table.filter(col("predicate") === predicate)
+  }
+}
+
+object TripleStore {
+  private val cache = TrieMap.empty[(SparkSession, String), TripleStore]
+  def apply(spark: SparkSession, sfDir: String): TripleStore =
+    cache.getOrElseUpdate((spark, sfDir), new TripleStore(spark, sfDir))
+}

@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Shared helpers for the driver-verified query inventory.
+  *
+  * Floating-point determinism: the driver hash-compares our parquet output
+  * against DuckDB running the oracle SQL. Double summation is
+  * order-dependent, so every money/measure aggregation goes through an
+  * EXACT decimal sum (associative, order-independent) and is cast to
+  * double only at the very end — both engines then produce bit-identical
+  * doubles. Same idea for vector math: quantize floats to int64 first
+  * (see SimilarityQueries).
+  */
+object Q {
+  type QFn = (SparkSession, String) => DataFrame
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  /** Order-independent exact sum of a double column → double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic average: exact decimal sum divided as double/double. */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(c).cast("double")
+
+  /** Oracle-side equivalents (DuckDB SQL fragments). */
+  def sqlDsum(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+  def sqlDavg(expr: String, scale: Int = 2): String =
+    s"(${sqlDsum(expr, scale)} / CAST(COUNT($expr) AS DOUBLE))"
+}
