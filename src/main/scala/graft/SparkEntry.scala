@@ -17,7 +17,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   private val groups: Seq[(Map[String, Q.QFn], Map[String, String])] = Seq(
-    (RelationalQueries.queries, RelationalQueries.oracles)
+    (RelationalQueries.queries, RelationalQueries.oracles),
+    (GraphQueries.queries, GraphQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

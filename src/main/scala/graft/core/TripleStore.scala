@@ -27,6 +27,22 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
 
   private def t(name: String): DataFrame = Tables.load(spark, sfDir, name)
 
+  /** lineitem has no unique natural key in this dataset ((orderkey,
+    * linenumber) repeats), so line uids are assigned by a deterministic
+    * row_number *within each order* over the full column tuple — a
+    * partitioned (distributed) window, not a global sort. Mirrored
+    * verbatim in the DuckDB oracles (Q.lineUidSql).
+    */
+  private lazy val line: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+      col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    t("lineitem").withColumn("line_uid",
+      lit(Line) + col("l_orderkey") * 100 + row_number().over(w).cast("long"))
+  }
+
   // ---- edge table: subject, predicate, object, facets ----
 
   /** All uid→uid edges. Facet values are strings formatted identically to
@@ -56,21 +72,21 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
         lit("orderdate"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
         lit("totalprice"), col("o_totalprice").cast("decimal(18,2)").cast("string")
       ).as("facets"))
-    val hasLine = t("lineitem").select(
+    val hasLine = line.select(
       (lit(Order) + col("l_orderkey")).as("subject"),
       lit("has_line").as("predicate"),
-      (lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")).as("object"),
+      col("line_uid").as("object"),
       map(
         lit("quantity"), col("l_quantity").cast("long").cast("string"),
         lit("discount"), col("l_discount").cast("decimal(6,2)").cast("string")
       ).as("facets"))
-    val ofPart = t("lineitem").select(
-      (lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")).as("subject"),
+    val ofPart = line.select(
+      col("line_uid").as("subject"),
       lit("of_part").as("predicate"),
       (lit(Part) + col("l_partkey")).as("object"),
       map().cast("map<string,string>").as("facets"))
-    val bySupplier = t("lineitem").select(
-      (lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")).as("subject"),
+    val bySupplier = line.select(
+      col("line_uid").as("subject"),
       lit("by_supplier").as("predicate"),
       (lit(Supplier) + col("l_suppkey")).as("object"),
       map().cast("map<string,string>").as("facets"))
@@ -102,8 +118,8 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
   lazy val attrString: DataFrame = {
     val c = t("customer"); val n = t("nation"); val r = t("region")
     val s = t("supplier"); val p = t("part"); val o = t("orders")
-    val l = t("lineitem"); val d = t("documents")
-    val lineSubj = lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")
+    val l = line; val d = t("documents")
+    val lineSubj = col("line_uid")
     Seq(
       sAttr(c, lit(Customer) + col("c_custkey"), "name", col("c_name")),
       sAttr(c, lit(Customer) + col("c_custkey"), "mktsegment", col("c_mktsegment")),
@@ -134,8 +150,8 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
 
   lazy val attrDouble: DataFrame = {
     val c = t("customer"); val s = t("supplier"); val p = t("part")
-    val o = t("orders"); val l = t("lineitem")
-    val lineSubj = lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")
+    val o = t("orders"); val l = line
+    val lineSubj = col("line_uid")
     Seq(
       sAttr(c, lit(Customer) + col("c_custkey"), "acctbal", col("c_acctbal")),
       sAttr(s, lit(Supplier) + col("s_suppkey"), "acctbal", col("s_acctbal")),
@@ -149,8 +165,8 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
   }
 
   lazy val attrTs: DataFrame = {
-    val o = t("orders"); val l = t("lineitem")
-    val lineSubj = lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long")
+    val o = t("orders"); val l = line
+    val lineSubj = col("line_uid")
     sAttr(o, lit(Order) + col("o_orderkey"), "orderdate", col("o_orderdate"))
       .unionByName(sAttr(l, lineSubj, "shipdate", col("l_shipdate")))
       .select(col("subject"), col("predicate"),
@@ -168,8 +184,7 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
       tt(t("supplier"), lit(Supplier) + col("s_suppkey"), "Supplier"),
       tt(t("part"), lit(Part) + col("p_partkey"), "Part"),
       tt(t("orders"), lit(Order) + col("o_orderkey"), "Order"),
-      tt(t("lineitem"),
-        lit(Line) + col("l_orderkey") * 10 + col("l_linenumber").cast("long"), "Lineitem"),
+      tt(line, col("line_uid"), "Lineitem"),
       tt(t("documents"), lit(Document) + col("doc_id"), "Document"),
       tt(t("embeddings"), lit(Embedding) + col("vec_id"), "Embedding")
     ).reduce(_ unionByName _)

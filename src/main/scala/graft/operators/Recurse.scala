@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** `@recurse(depth: N, loop: bool)` — iterative frontier expansion
+  * re-applying the same edge template per level, deduping seen uids
+  * unless loop=true (reference query/recurse.go:19 expandRecurse).
+  *
+  * Driver-side loop over DataFrames: each round is one distributed
+  * equi-join frontier⋈edges. Scale notes:
+  *  - the frontier is usually tiny relative to the edge table, so each
+  *    round is a broadcast-hash join of frontier against the (bucketed,
+  *    predicate-pruned) edge scan — no full-table shuffle per level;
+  *  - `localCheckpoint` every round truncates the lineage so plans don't
+  *    grow exponentially with depth (on a cluster: checkpoint to HDFS or
+  *    persist+count);
+  *  - dedup against `visited` is a left_anti join on (start, node), the
+  *    reference's seen-uid map.
+  */
+object Recurse {
+
+  /** Expand `seeds` (column `start`) over `edges` (columns subject,object)
+    * up to maxDepth. Returns (start, node, depth) with depth = first level
+    * at which `node` was reached from `start` (1-based); loop=false prunes
+    * revisits.
+    */
+  def expand(seeds: DataFrame, edges: DataFrame, maxDepth: Int,
+      loop: Boolean = false): DataFrame = {
+    val e = edges.select(col("subject"), col("object"))
+    var frontier = seeds.select(col("start"), col("start").as("node"))
+      .distinct().localCheckpoint(true)
+    var visited = frontier
+    var out: DataFrame = null
+    var depth = 1
+    var done = false
+    while (depth <= maxDepth && !done) {
+      var next = frontier.join(e, frontier("node") === e("subject"))
+        .select(frontier("start"), e("object").as("node")).distinct()
+      if (!loop)
+        next = next.join(visited, Seq("start", "node"), "left_anti")
+      next = next.localCheckpoint(true)
+      if (next.isEmpty) { done = true }
+      else {
+        val lvl = next.withColumn("depth", lit(depth))
+        out = if (out == null) lvl else out.unionByName(lvl)
+        if (!loop) visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+        depth += 1
+      }
+    }
+    if (out == null)
+      seeds.sparkSession.createDataFrame(
+        seeds.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("start", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("depth", org.apache.spark.sql.types.IntegerType))))
+    else out
+  }
+
+  /** Path-tracking expansion with `@ignorereflex` semantics: never revisit
+    * an ancestor on the current path (reference query/query.go:155
+    * ParentIds check). Returns (start, node, depth, path ARRAY<LONG>).
+    * Exponential in theory — callers bound depth; the reference does too.
+    */
+  def expandPaths(seeds: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("subject"), col("object"))
+    var frontier = seeds.select(col("start"), col("start").as("node"),
+      array(col("start")).as("path")).localCheckpoint(true)
+    var out: DataFrame = null
+    var depth = 1
+    while (depth <= maxDepth && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("node") === e("subject"))
+        .filter(!array_contains(frontier("path"), e("object")))
+        .select(frontier("start"), e("object").as("node"),
+          array_append(frontier("path"), e("object")).as("path"))
+        .localCheckpoint(true)
+      val lvl = next.withColumn("depth", lit(depth))
+      out = if (out == null) lvl else out.unionByName(lvl)
+      frontier = next
+      depth += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{TripleStore, Uids}
+import graft.operators.{Recurse, ShortestPath}
+import Q._
+
+/** Graph face of the operator inventory (SURVEY.md §2.3/2.4/2.9): edge
+  * traversal joins, reverse edges, filter trees, facets, variables,
+  * @recurse / shortest-path drivers, @cascade/@normalize, expand().
+  *
+  * The synthetic weighted graphs for SSSP are derived deterministically
+  * from the `nation` table (both engines compute them from the same rows),
+  * keeping the DuckDB recursive-CTE oracle exact.
+  */
+object GraphQueries {
+
+  private val CB = Uids.Customer
+  private val NB = Uids.Nation
+  private val RB = Uids.Region
+  private val OB = Uids.Order
+  private val LB = Uids.Line
+  private val SB = Uids.Supplier
+
+  /** Deterministic DAG over nations: i→j if 0 < j-i <= 3, w = ((i+j)%5)+1. */
+  private def nationDag(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "nation").select(col("n_nationkey").cast("long").as("src"))
+    val b = t(s, d, "nation").select(col("n_nationkey").cast("long").as("dst"))
+    a.join(b, b("dst") > a("src") && (b("dst") - a("src")) <= 3)
+      .select(col("src"), col("dst"), (((col("src") + col("dst")) % 5) + 1).as("w"))
+  }
+
+  /** Undirected neighbor graph over nations: i↔j if 0 < |i-j| <= 2. */
+  private def nationGraph(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "nation").select(col("n_nationkey").cast("long").as("subject"))
+    val b = t(s, d, "nation").select(col("n_nationkey").cast("long").as("object"))
+    a.join(b, a("subject") =!= b("object") &&
+        abs(a("subject") - b("object")) <= 2)
+      .select(col("subject"), col("object"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+
+    // ---- traversal = equi-join per level (§2.3, worker/task.go:783) ----
+    "traverse_2hop" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val custName = ts.attr("name").filter(col("subject") >= CB && col("subject") < SB)
+        .select(col("subject"), col("value").as("c_name"))
+      val locIn = ts.edge("located_in").select(col("subject"), col("object").as("nation"))
+      val inReg = ts.edge("in_region").select(col("subject").as("nation"), col("object").as("region"))
+      val nName = ts.attr("name").select(col("subject").as("nation"), col("value").as("nation_name"))
+      val rName = ts.attr("name").select(col("subject").as("region"), col("value").as("region_name"))
+      custName.join(locIn, "subject").join(inReg, "nation")
+        .join(nName, "nation").join(rName, "region")
+        .select(col("subject"), col("c_name"), col("nation_name"), col("region_name"))
+        .orderBy(col("subject"))
+    }),
+
+    "traverse_reverse" -> ((s, d) => {
+      // ~located_in: traverse backwards (posting/index.go:276), count per nation
+      val ts = TripleStore(s, d)
+      ts.reverseEdge("located_in")
+        .groupBy(col("subject")).agg(count(lit(1)).as("n_located"))
+        .orderBy(col("subject"))
+    }),
+
+    "traverse_agg" -> ((s, d) => {
+      // 2-level traversal + leaf aggregation: total quantity per customer
+      val ts = TripleStore(s, d)
+      val placed = ts.edge("placed").select(col("subject").as("cust"), col("object").as("ord"))
+      val hasLine = ts.edge("has_line").select(col("subject").as("ord"), col("object").as("line"))
+      val qty = ts.attr("quantity").select(col("subject").as("line"), col("value"))
+      placed.join(hasLine, "ord").join(qty, "line")
+        .groupBy(col("cust")).agg(dsum(col("value")).as("total_qty"))
+        .orderBy(col("cust"))
+    }),
+
+    // ---- filter tree and/or/not via column exprs + semi joins (§2.4) ----
+    "filter_tree" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").select(col("o_custkey")).distinct()
+      c.filter((col("c_mktsegment") === "BUILDING" || col("c_acctbal") < 0)
+          && !(col("c_nationkey") === 3))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- facets (§1.2, §2.4): fetch / filter / order / aggregate ----
+    "facet_fetch" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      ts.edge("placed").select(
+        col("subject"), col("object"),
+        col("facets").getItem("orderdate").as("orderdate"),
+        col("facets").getItem("totalprice").as("totalprice"))
+        .orderBy(col("object"))
+    }),
+
+    "facet_filter" -> ((s, d) => {
+      // @facets(gt(quantity, 40)) on has_line edges
+      val ts = TripleStore(s, d)
+      ts.edge("has_line")
+        .filter(col("facets").getItem("quantity").cast("long") > 40)
+        .select(col("subject"), col("object"),
+          col("facets").getItem("quantity").cast("long").as("qty"))
+        .orderBy(col("object"))
+    }),
+
+    "facet_order" -> ((s, d) => {
+      // @facets(orderdesc: totalprice), first: 2 per customer
+      val ts = TripleStore(s, d)
+      val w = Window.partitionBy(col("subject"))
+        .orderBy(col("tp").desc, col("object").asc)
+      ts.edge("placed")
+        .withColumn("tp", col("facets").getItem("totalprice").cast(DecimalType(18, 2)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("subject"), col("object"), col("tp").cast("double").as("totalprice"), col("rn"))
+        .orderBy(col("subject"), col("rn"))
+    }),
+
+    "facet_var" -> ((s, d) => {
+      // @facets(q as quantity) summed per target (query/query.go:1672)
+      val ts = TripleStore(s, d)
+      ts.edge("has_line")
+        .groupBy(col("subject"))
+        .agg(sum(col("facets").getItem("quantity").cast("long")).as("qty_sum"))
+        .orderBy(col("subject"))
+    }),
+
+    // ---- value variables propagated across blocks (§2.5) ----
+    "var_val_propagate" -> ((s, d) => {
+      // block 1: spend as sum(totalprice) per customer; block 2: uid(spend)
+      // filtered ge(val(spend), 500000), joined with nation name
+      val ts = TripleStore(s, d)
+      val spend = ts.edge("placed")
+        .groupBy(col("subject"))
+        .agg(sum(col("facets").getItem("totalprice").cast(DecimalType(18, 2))).as("spend"))
+        .filter(col("spend") >= 500000)
+      val locIn = ts.edge("located_in").select(col("subject"), col("object").as("nation"))
+      val nName = ts.attr("name").select(col("subject").as("nation"), col("value").as("nation_name"))
+      spend.join(locIn, "subject").join(nName, "nation")
+        .select(col("subject"), col("spend").cast("double").as("spend"), col("nation_name"))
+        .orderBy(col("subject"))
+    }),
+
+    // ---- expand(_all_) from type schema (query/query.go:2038) ----
+    "expand_all" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val nations = ts.nodeTypes.filter(col("typeName") === "Nation").select(col("subject"))
+      val name = ts.attr("name").select(col("subject"), col("predicate"), col("value"))
+      val inReg = ts.edge("in_region").select(col("subject"), col("predicate"),
+        col("object").cast("string").as("value"))
+      name.unionByName(inReg)
+        .join(nations, Seq("subject"), "left_semi")
+        .orderBy(col("subject"), col("predicate"))
+    }),
+
+    // ---- @cascade + @normalize: inner-join flatten (§2.9) ----
+    "cascade_normalize" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val cName = ts.attr("name").filter(col("subject") >= CB && col("subject") < SB)
+        .select(col("subject"), col("value").as("c_name"))
+      val bigOrders = ts.edge("placed")
+        .filter(col("facets").getItem("totalprice").cast(DecimalType(18, 2)) > 300000)
+        .select(col("subject"), col("object").as("ord"))
+      val locIn = ts.edge("located_in").select(col("subject"), col("object").as("nation"))
+      val nName = ts.attr("name").select(col("subject").as("nation"), col("value").as("nation_name"))
+      // @cascade: inner joins drop customers missing any branch;
+      // @normalize: flat aliased leaves, cartesian across levels
+      cName.join(bigOrders, "subject").join(locIn, "subject").join(nName, "nation")
+        .select(col("c_name"), col("ord").as("big_order"), col("nation_name"))
+        .orderBy(col("c_name"), col("big_order"))
+    }),
+
+    // ---- @recurse driver (query/recurse.go:19) ----
+    "recurse_chain" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val seeds = t(s, d, "customer").filter(col("c_custkey") < 50)
+        .select((lit(CB) + col("c_custkey")).as("start"))
+      val edges = ts.edge("located_in").unionByName(ts.edge("in_region"))
+        .select(col("subject"), col("object"))
+      Recurse.expand(seeds, edges, maxDepth = 3)
+        .orderBy(col("start"), col("depth"), col("node"))
+    }),
+
+    "recurse_paths" -> ((s, d) => {
+      // @recurse(loop:true-ish) with @ignorereflex on the undirected nation
+      // graph: path counting, ancestors excluded per path
+      val seeds = nationGraph(s, d).sparkSession.range(1)
+        .select(lit(0L).as("start"))
+      Recurse.expandPaths(seeds, nationGraph(s, d), maxDepth = 3)
+        .groupBy(col("node"), col("depth")).agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("node"), col("depth"))
+    }),
+
+    // ---- shortest path drivers (query/shortest.go) ----
+    "shortest_sssp" -> ((s, d) =>
+      ShortestPath.sssp(s, 0L, nationDag(s, d)).orderBy(col("node"))),
+
+    "shortest_k2" -> ((s, d) =>
+      ShortestPath.kBest(s, 0L, nationDag(s, d), k = 2)
+        .orderBy(col("node"), col("rank"))),
+
+    // ---- @groupby on edge target (query/groupby.go:195) ----
+    "groupby_edge_target" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val custLoc = ts.edge("located_in")
+        .filter(col("subject") >= CB && col("subject") < SB)
+        .select(col("subject"), col("object"))
+      val bal = ts.attr("acctbal").select(col("subject"), col("value"))
+      custLoc.join(bal, "subject")
+        .groupBy(col("object"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_bal"),
+          davg(col("value")).as("avg_bal"))
+        .orderBy(col("object"))
+    }),
+
+    // ---- @lang tagged access (posting/list.go:2067 ValueFor) ----
+    "lang_filter" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      ts.attrString.filter(col("predicate") === "text" && col("lang") === "en")
+        .select(col("subject"), col("value")).orderBy(col("subject"))
+    })
+  )
+
+  private val dagSql =
+    """SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst,
+      |       CAST(((a.n_nationkey + b.n_nationkey) % 5) + 1 AS BIGINT) AS w
+      |FROM nation a, nation b
+      |WHERE b.n_nationkey > a.n_nationkey AND b.n_nationkey - a.n_nationkey <= 3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "traverse_2hop" ->
+      s"""SELECT $CB + c_custkey AS subject, c_name, n_name AS nation_name, r_name AS region_name
+         |FROM customer JOIN nation ON n_nationkey = c_nationkey
+         |JOIN region ON r_regionkey = n_regionkey ORDER BY subject""".stripMargin,
+
+    "traverse_reverse" ->
+      s"""SELECT $NB + k AS subject, COUNT(*) AS n_located FROM (
+         | SELECT c_nationkey AS k FROM customer
+         | UNION ALL SELECT s_nationkey FROM supplier
+         |) GROUP BY k ORDER BY subject""".stripMargin,
+
+    "traverse_agg" ->
+      s"""SELECT $CB + o_custkey AS cust, ${sqlDsum("l_quantity")} AS total_qty
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY o_custkey ORDER BY cust""".stripMargin,
+
+    "filter_tree" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE (c_mktsegment = 'BUILDING' OR c_acctbal < 0) AND NOT (c_nationkey = 3)
+        |AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "facet_fetch" ->
+      s"""SELECT $CB + o_custkey AS subject, $OB + o_orderkey AS object,
+         | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS totalprice
+         |FROM orders ORDER BY object""".stripMargin,
+
+    "facet_filter" ->
+      s"""WITH lineu AS (${Q.lineUidSql})
+         |SELECT $OB + l_orderkey AS subject, line_uid AS object,
+         | CAST(l_quantity AS BIGINT) AS qty
+         |FROM lineu WHERE CAST(l_quantity AS BIGINT) > 40 ORDER BY object""".stripMargin,
+
+    "facet_order" ->
+      s"""SELECT subject, object, totalprice, rn FROM (
+         | SELECT $CB + o_custkey AS subject, $OB + o_orderkey AS object,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, $OB + o_orderkey ASC) AS rn
+         | FROM orders)
+         |WHERE rn <= 2 ORDER BY subject, rn""".stripMargin,
+
+    "facet_var" ->
+      s"""SELECT $OB + l_orderkey AS subject, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+         |FROM lineitem GROUP BY l_orderkey ORDER BY subject""".stripMargin,
+
+    "var_val_propagate" ->
+      s"""SELECT $CB + o_custkey AS subject,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+         | any_value(n_name) AS nation_name
+         |FROM orders JOIN customer ON c_custkey = o_custkey
+         |JOIN nation ON n_nationkey = c_nationkey
+         |GROUP BY o_custkey
+         |HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) >= 500000
+         |ORDER BY subject""".stripMargin,
+
+    "expand_all" ->
+      s"""SELECT * FROM (
+         | SELECT $NB + n_nationkey AS subject, 'name' AS predicate, n_name AS value FROM nation
+         | UNION ALL
+         | SELECT $NB + n_nationkey, 'in_region', CAST($RB + n_regionkey AS VARCHAR) FROM nation
+         |) ORDER BY subject, predicate""".stripMargin,
+
+    "cascade_normalize" ->
+      s"""SELECT c_name, $OB + o_orderkey AS big_order, n_name AS nation_name
+         |FROM customer JOIN orders ON o_custkey = c_custkey
+         |JOIN nation ON n_nationkey = c_nationkey
+         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 300000
+         |ORDER BY c_name, big_order""".stripMargin,
+
+    "recurse_chain" ->
+      s"""SELECT * FROM (
+         | SELECT $CB + c_custkey AS start, $NB + c_nationkey AS node, 1 AS depth
+         | FROM customer WHERE c_custkey < 50
+         | UNION ALL
+         | SELECT $CB + c_custkey, $RB + n_regionkey, 2
+         | FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE c_custkey < 50
+         |) ORDER BY start, depth, node""".stripMargin,
+
+    "recurse_paths" ->
+      """WITH RECURSIVE g AS (
+        | SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+        | FROM nation a, nation b
+        | WHERE a.n_nationkey <> b.n_nationkey AND abs(a.n_nationkey - b.n_nationkey) <= 2
+        |), p(node, depth, path) AS (
+        | SELECT CAST(0 AS BIGINT), 0, [CAST(0 AS BIGINT)]
+        | UNION ALL
+        | SELECT g.dst, p.depth + 1, p.path || [g.dst]
+        | FROM p JOIN g ON g.src = p.node
+        | WHERE p.depth < 3 AND NOT list_contains(p.path, g.dst)
+        |)
+        |SELECT node, depth, COUNT(*) AS n_paths FROM p WHERE depth >= 1
+        |GROUP BY node, depth ORDER BY node, depth""".stripMargin,
+
+    "shortest_sssp" ->
+      s"""WITH RECURSIVE g AS ($dagSql), d(node, dist) AS (
+         | SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         | UNION
+         | SELECT g.dst, d.dist + g.w FROM d JOIN g ON g.src = d.node
+         |)
+         |SELECT node, MIN(dist) AS dist FROM d GROUP BY node ORDER BY node""".stripMargin,
+
+    "shortest_k2" ->
+      s"""WITH RECURSIVE g AS ($dagSql), d(node, dist) AS (
+         | SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         | UNION
+         | SELECT g.dst, d.dist + g.w FROM d JOIN g ON g.src = d.node
+         |)
+         |SELECT node, dist, rank FROM (
+         | SELECT node, dist, CAST(ROW_NUMBER() OVER (PARTITION BY node ORDER BY dist) AS INT) AS rank
+         | FROM (SELECT DISTINCT node, dist FROM d)
+         |) WHERE rank <= 2 ORDER BY node, rank""".stripMargin,
+
+    "groupby_edge_target" ->
+      s"""SELECT $NB + c_nationkey AS object, COUNT(*) AS n,
+         | ${sqlDsum("c_acctbal")} AS sum_bal, ${sqlDavg("c_acctbal")} AS avg_bal
+         |FROM customer GROUP BY c_nationkey ORDER BY object""".stripMargin,
+
+    "lang_filter" ->
+      s"""SELECT ${Uids.Document} + doc_id AS subject, text AS value FROM documents
+         |WHERE lang = 'en' ORDER BY subject""".stripMargin
+  )
+}

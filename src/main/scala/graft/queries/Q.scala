@@ -30,6 +30,15 @@ object Q {
   def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(c).cast("double")
 
+  /** Oracle-side lineitem-with-uid CTE body — must mirror
+    * TripleStore.line exactly (same window, same order columns).
+    */
+  val lineUidSql: String =
+    """SELECT *, 7000000000000 + l_orderkey * 100 + ROW_NUMBER() OVER (
+      |  PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey,
+      |  l_extendedprice, l_quantity, l_discount, l_tax, l_returnflag,
+      |  l_linestatus, l_shipdate) AS line_uid FROM lineitem""".stripMargin
+
   /** Oracle-side equivalents (DuckDB SQL fragments). */
   def sqlDsum(expr: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"

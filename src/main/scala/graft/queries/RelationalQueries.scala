@@ -133,8 +133,11 @@ object RelationalQueries {
       // per-parent `first: 3` pagination: top-3 lines per order by price
       // (reference paginates each uidMatrix row, query/query.go:2493)
       import org.apache.spark.sql.expressions.Window
+      // (l_orderkey, l_linenumber) is not unique in this dataset, so the
+      // tie-break chain goes through enough columns to totally order rows
       val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc,
+          col("l_partkey").asc, col("l_suppkey").asc, col("l_quantity").asc)
       t(s, d, "lineitem")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -291,7 +294,8 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
         | SELECT l_orderkey, l_linenumber, l_extendedprice,
         |   ROW_NUMBER() OVER (PARTITION BY l_orderkey
-        |     ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        |     ORDER BY l_extendedprice DESC, l_linenumber ASC,
+        |       l_partkey ASC, l_suppkey ASC, l_quantity ASC) AS rn
         | FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
 
