@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale corpus processing: tokenizers,
+  * shingles, MinHash signatures, SimHash, language-ID heuristic, quality
+  * metrics, canonical fingerprints.
+  *
+  * Everything here is a composition of codegen'd Catalyst higher-order
+  * functions (transform/filter/aggregate) — no UDFs, no shuffles; all
+  * per-row, so these scale embarrassingly parallel over any corpus.
+  *
+  * Hash determinism: md5 is the cross-engine anchor (identical in Spark
+  * and DuckDB); MinHash signatures are lexicographic minima of salted md5
+  * hex strings, and SimHash bits come from the first 16 bits of each
+  * word's md5. Tokenizer parity with the reference: whitespace "term"
+  * tokens (tok/tok.go:369) and a BPE-ish regex splitter standing in for
+  * fulltext tokenization (tok/tok.go:558).
+  */
+object TextFunctions {
+
+  /** Whitespace term tokens (reference term tokenizer, tok/tok.go:369). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-ish tokens: letter runs, digit runs, single symbols. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  /** Word n-gram shingles joined by spaces; empty array when too short. */
+  def shingles(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature i: lexicographic min of salted md5 over shingles.
+    * A full signature is `(0 until k).map(minhashSig(sh, _))`.
+    */
+  def minhashSig(sh: Column, i: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+
+  /** LSH band key: hash of the band's signature slice (bands of `rows`
+    * signatures each); equal band key => candidate pair.
+    */
+  def bandKey(sigs: Seq[Column]): Column = md5(concat_ws("|", sigs: _*))
+
+  /** First 16 bits of md5(word) as a long in [0, 65535]. */
+  def h16(w: Column): Column = conv(substring(md5(w), 1, 4), 16, 10).cast("long")
+
+  /** 16-bit SimHash over the distinct words of a document. */
+  def simhash16(ws: Column): Column = {
+    val hs = transform(array_distinct(ws), w => h16(w))
+    (0 until 16).map { b =>
+      val score = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
+      when(score > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two small-int hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- language ID: stopword-hit heuristic (deterministic spec shared
+  // with the oracle SQL; argmax with fixed tie order en>de>fr>es>und) ----
+  val enStops: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val deStops: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht")
+  val frStops: Seq[String] = Seq("le", "la", "les", "et", "est", "dans")
+  val esStops: Seq[String] = Seq("el", "los", "las", "y", "es", "en")
+
+  private def hits(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stops.map(lit(_)): _*)))
+
+  /** Predicted language code, or "und" when no stopword hits at all. */
+  def langId(ws: Column): Column = {
+    val en = hits(ws, enStops); val de = hits(ws, deStops)
+    val fr = hits(ws, frStops); val es = hits(ws, esStops)
+    val mx = greatest(en, de, fr, es)
+    when(mx === 0, lit("und"))
+      .when(en === mx, lit("en"))
+      .when(de === mx, lit("de"))
+      .when(fr === mx, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Stopword hits across all four lists (quality signal). */
+  def stopwordHits(ws: Column): Column =
+    hits(ws, (enStops ++ deStops ++ frStops ++ esStops).distinct)
+
+  /** Canonical document fingerprint: md5 of the sorted distinct tokens. */
+  def fingerprint(ws: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(ws))))
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * All operators are shuffle-minimal by construction:
+  *  - exact dedup: single hash-aggregate on the text fingerprint;
+  *  - MinHash LSH: signatures are per-row (no shuffle), the only shuffle
+  *    is the band-bucket self-join — the standard shingle→minhash→band→
+  *    bucket-join pipeline, which at 100 TB is a shuffle on band keys
+  *    whose cardinality ~ corpus size × bands (skew-free because keys are
+  *    md5s);
+  *  - SimHash: per-row signature, pairs blocked by a signature byte so
+  *    the self-join is bucketed 256-ways instead of O(n²);
+  *  - n-gram Jaccard: exact verification *after* LSH candidate pruning —
+  *    explode-join-count, never materializing full shingle-set cross
+  *    products.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by md5 fingerprint of the raw text.
+    * Returns (fp, n, rep_id): group hash, size, smallest member id.
+    */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), md5(text).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("rep_id"))
+      .filter(col("n") > 1)
+
+  /** Per-document MinHash signature columns s0..s{k-1} over word
+    * n-gram shingles.
+    */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, shingleN: Int = 3): DataFrame = {
+    // docs too short to have any shingle carry no signature (the oracle
+    // CTE naturally drops them; array_min of an empty array would be null)
+    val base = df.select(id.as("id"), shingles(words(text), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigCols = (0 until k).map(i => minhashSig(col("sh"), i).as(s"s$i"))
+    base.select((col("id") +: sigCols): _*)
+  }
+
+  /** LSH candidate pairs: documents sharing at least one band key.
+    * bands × rows must equal the signature count k. Returns
+    * (a, b, n_shared_bands) with a < b.
+    */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+      bands: Int = 4, rows: Int = 2, shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, bands * rows, shingleN)
+    val bandKeys = (0 until bands).map { b =>
+      bandKey((0 until rows).map(r => col(s"s${b * rows + r}")))
+    }
+    val buckets = sigs.select(col("id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val l = buckets.as("l"); val r = buckets.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
+        && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Per-document 16-bit SimHash. Returns (id, simhash). */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), simhash16(words(text)).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming <= maxDist, blocked on the high
+    * byte of the signature (256-way bucketing; standard SimHash table
+    * trick — pairs differing in the block byte are traded for an O(n²/256)
+    * join).
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      maxDist: Int): DataFrame = {
+    val sh = simhash(df, id, text)
+      .withColumn("blk", floor(col("simhash") / 256))
+    val l = sh.as("l"); val r = sh.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        hamming(col("l.simhash"), col("r.simhash")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (a, b): explode the
+    * distinct shingle sets, count shared shingles per pair, derive
+    * |union| = |A| + |B| - |inter|. Returns (a, b, inter, un, jaccard).
+    */
+  def ngramJaccard(df: DataFrame, id: Column, text: Column,
+      candidates: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sets = df.select(id.as("id"),
+      array_distinct(shingles(words(text), shingleN)).as("sh"))
+    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
+    val ex = sets.select(col("id"), explode(col("sh")).as("s"))
+    val inter = candidates.join(ex.as("ea"), col("a") === col("ea.id"))
+      .join(ex.as("eb"), col("b") === col("eb.id") && col("ea.s") === col("eb.s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un").cast("double"))
+  }
+}

@@ -1,0 +1,362 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity}
+import Q._
+
+/** Training-data pipeline operators (builder-prompt first-class set):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * near-dup), similarity search (brute-force + IVF-style), text analysis
+  * (lang-ID, quality, token counts, fingerprints), binary/multimodal
+  * plumbing.
+  *
+  * The documents/embeddings tables contain no natural duplicates, so
+  * dedup queries run over *derived corpora* (doc ∪ truncated variant;
+  * embedding ∪ perturbed variant) built identically on both engines —
+  * keeping the DuckDB oracles exact while exercising real near-dup
+  * pipelines end to end.
+  */
+object LlmQueries {
+
+  // ---- derived corpora (Spark side) ----
+
+  /** documents ∪ exact copies (id+2e6): exact-dup corpus. */
+  private def corpusExact(s: SparkSession, d: String): DataFrame = {
+    val doc = t(s, d, "documents")
+    doc.select(col("doc_id").as("id"), col("text"))
+      .unionByName(doc.select((col("doc_id") + 2000000L).as("id"), col("text")))
+  }
+
+  /** documents ∪ last-3-words-dropped variants (id+1e6): near-dup corpus. */
+  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+    val doc = t(s, d, "documents")
+    val ws = split(col("text"), " ")
+    doc.select(col("doc_id").as("id"), col("text"))
+      .unionByName(doc
+        .filter(size(ws) > 5)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat_ws(" ", slice(ws, lit(1), size(ws) - 3)).as("text")))
+  }
+
+  /** Quantized embeddings (id, label/cell, qe). */
+  private def embQ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id").as("id"), col("label").as("cell"),
+      quantize(col("embedding")).as("qe"))
+
+  /** embeddings ∪ perturbed variants (id+1e6, x*1.05+0.01): near-dup corpus. */
+  private def embCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val perturbed = transform(col("embedding"),
+      x => round((x.cast("double") * 1.05 + 0.01) * 1000).cast("long"))
+    embQ(s, d).unionByName(
+      e.select((col("vec_id") + 1000000L).as("id"), col("label").as("cell"),
+        perturbed.as("qe")))
+  }
+
+  val queries: Map[String, QFn] = Map(
+
+    // ---- text analysis ----
+    "text_tokens" -> ((s, d) => {
+      val ws = words(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(ws).as("n_ws"),
+        size(bpeTokens(col("text"))).as("n_bpe"),
+        size(array_distinct(ws)).as("n_unique"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, d) => {
+      val ws = words(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(ws).as("n_words"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_word_len"),
+        stopwordHits(ws).as("stop_hits"),
+        (size(array_distinct(ws)).cast("double") / size(ws).cast("double")).as("ttr"))
+        .withColumn("avg_word_len",
+          col("sum_word_len").cast("double") / col("n_words").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), langId(words(col("text"))).as("pred"))
+        .orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, d) => {
+      val ws = words(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        fingerprint(ws).as("fp"),
+        size(shingles(ws, 3)).as("n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup family ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(corpusExact(s, d), col("id"), col("text"))
+        .orderBy(col("fp"))),
+
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(corpusNear(s, d), col("id"), col("text"))
+        .orderBy(col("a"), col("b"))),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(corpusNear(s, d), col("id"), col("text"))
+        .orderBy(col("id"))),
+
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(corpusNear(s, d), col("id"), col("text"), maxDist = 4)
+        .orderBy(col("a"), col("b"))),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val corpus = corpusNear(s, d)
+      val cand = Dedup.minhashCandidates(corpus, col("id"), col("text"))
+        .select(col("a"), col("b"))
+      Dedup.ngramJaccard(corpus, col("id"), col("text"), cand)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.nearDupPairs(embCorpus(s, d), threshold = 0.95)
+        .orderBy(col("a"), col("b"))),
+
+    // ---- similarity search ----
+    "embed_cosine_topk" -> ((s, d) => {
+      val q = embQ(s, d)
+      Similarity.bruteForceTopK(q.filter(col("id") % 100 === 0), q, k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "embed_ann_ivf" -> ((s, d) => {
+      val q = embQ(s, d)
+      Similarity.ivfTopK(q.filter(col("id") % 20 === 0), q, k = 1)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "similar_to_uid" -> ((s, d) => {
+      // reference similar_to(vp, 5, <uid 0>) (worker/task.go:2171)
+      val q = embQ(s, d)
+      Similarity.bruteForceTopK(q.filter(col("id") === 0), q, k = 5)
+        .select(col("nid"), col("sim"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    // ---- multimodal/binary plumbing ----
+    "multimodal_binary" -> ((s, d) => {
+      // binary media stand-in: the blob flows as BinaryType; typed
+      // metadata derived deterministically (real decode is stubbed —
+      // see operators.Multimodal)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        base64(unhex(md5(col("text")))).as("blob_b64"),
+        length(unhex(md5(col("text")))).as("nbytes"),
+        (col("n_chars") % 640).as("width"),
+        ((col("n_chars") * 7) % 480).as("height"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---- oracle SQL ----
+
+  private val corpusExactSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL SELECT doc_id + 2000000, text FROM documents""".stripMargin
+
+  private val corpusNearSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, array_to_string(ws[1:len(ws)-3], ' ')
+      |FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+      |WHERE len(ws) > 5""".stripMargin
+
+  /** Shingle rows (id, s) over the near-dup corpus. */
+  private val shingleSql =
+    s"""SELECT id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |FROM (SELECT id, string_split(text,' ') AS ws FROM corpus),
+       |     UNNEST(range(1, len(ws)-1)) AS t(i)""".stripMargin
+
+  private val sigColsSql =
+    (0 until 8).map(i => s"min(md5('$i:' || s)) AS s$i").mkString(", ")
+
+  private val bucketsSql = (0 until 4).map { b =>
+    s"SELECT id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS key FROM sigs"
+  }.mkString("\nUNION ALL ")
+
+  private val candSql =
+    """SELECT l.id AS a, r.id AS b, COUNT(*) AS n_shared_bands
+      |FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+      |GROUP BY l.id, r.id""".stripMargin
+
+  private val minhashCtes =
+    s"""corpus AS ($corpusNearSql),
+       |sh AS ($shingleSql),
+       |sigs AS (SELECT id, $sigColsSql FROM sh GROUP BY id),
+       |bk AS ($bucketsSql),
+       |cand AS ($candSql)""".stripMargin
+
+  /** 16-bit word hash from md5 hex digits (== Spark conv(md5[0:4],16,10)). */
+  private val h16Sql = (0 until 4).map { i =>
+    val mult = math.pow(16, 3 - i).toInt
+    s"(strpos('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1) * $mult"
+  }.mkString(" + ")
+
+  private val bitSumsSql = (0 until 16).map { b =>
+    s"SUM(((h // ${1L << b}) % 2) * 2 - 1) AS b$b"
+  }.mkString(", ")
+
+  private val bitAsmSql = (0 until 16).map { b =>
+    s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val simhashCtes =
+    s"""corpus AS ($corpusNearSql),
+       |wd AS (SELECT id, unnest(list_distinct(string_split(text,' '))) AS w FROM corpus),
+       |hb AS (SELECT id, $h16Sql AS h FROM wd),
+       |sc AS (SELECT id, $bitSumsSql FROM hb GROUP BY id),
+       |simq AS (SELECT id, CAST($bitAsmSql AS BIGINT) AS simhash FROM sc)""".stripMargin
+
+  /** Quantized cosine — must mirror VectorFunctions.cosineQ op-for-op. */
+  private def cosSql(a: String, b: String): String =
+    s"""(CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS DOUBLE) /
+       | (sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE)) *
+       |  sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE))))""".stripMargin
+
+  private val embQSql =
+    """SELECT vec_id AS id, label AS cell,
+      | list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+      |FROM embeddings""".stripMargin
+
+  private val embCorpusSql =
+    s"""$embQSql
+       |UNION ALL
+       |SELECT vec_id + 1000000, label,
+       | list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE)*1.05 + 0.01)*1000) AS BIGINT))
+       |FROM embeddings""".stripMargin
+
+  private val stopsAll =
+    (enStops ++ deStops ++ frStops ++ esStops).distinct
+      .map(w => s"'$w'").mkString(", ")
+
+  private def stopsList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_ws,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+        | len(list_distinct(string_split(text,' '))) AS n_unique
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id, len(ws) AS n_words,
+         | CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_len,
+         | len(list_filter(ws, x -> list_contains([$stopsAll], x))) AS stop_hits,
+         | CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS ttr,
+         | CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_word_len
+         |FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT doc_id,
+         | CASE WHEN mx = 0 THEN 'und' WHEN en = mx THEN 'en' WHEN de = mx THEN 'de'
+         |      WHEN fr = mx THEN 'fr' ELSE 'es' END AS pred
+         |FROM (SELECT doc_id, en, de, fr, es, greatest(en, de, fr, es) AS mx FROM (
+         | SELECT doc_id,
+         |  len(list_filter(ws, x -> list_contains([${stopsList(enStops)}], x))) AS en,
+         |  len(list_filter(ws, x -> list_contains([${stopsList(deStops)}], x))) AS de,
+         |  len(list_filter(ws, x -> list_contains([${stopsList(frStops)}], x))) AS fr,
+         |  len(list_filter(ws, x -> list_contains([${stopsList(esStops)}], x))) AS es
+         | FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fp,
+        | CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END AS n_shingles
+        |FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""SELECT md5(text) AS fp, COUNT(*) AS n, MIN(id) AS rep_id
+         |FROM ($corpusExactSql) GROUP BY md5(text) HAVING COUNT(*) > 1
+         |ORDER BY fp""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT a, b, n_shared_bands FROM cand ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT id, simhash FROM simq ORDER BY id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         |sp AS (SELECT id, simhash, simhash // 256 AS blk FROM simq)
+         |SELECT l.id AS a, r.id AS b,
+         | CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS dist
+         |FROM sp l JOIN sp r ON l.blk = r.blk AND l.id < r.id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $minhashCtes,
+         |dsh AS (SELECT DISTINCT id, s FROM sh),
+         |szs AS (SELECT id, COUNT(*) AS sz FROM dsh GROUP BY id),
+         |i AS (SELECT c.a, c.b, COUNT(*) AS inter FROM cand c
+         |      JOIN dsh ea ON ea.id = c.a
+         |      JOIN dsh eb ON eb.id = c.b AND eb.s = ea.s
+         |      GROUP BY c.a, c.b)
+         |SELECT i.a, i.b, i.inter, sa.sz + sb.sz - i.inter AS un,
+         | CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+         |FROM i JOIN szs sa ON sa.id = i.a JOIN szs sb ON sb.id = i.b
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH c AS ($embCorpusSql)
+         |SELECT a.id AS a, b.id AS b, ${cosSql("a.qe", "b.qe")} AS sim
+         |FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+         |WHERE ${cosSql("a.qe", "b.qe")} > 0.95
+         |ORDER BY a, b""".stripMargin,
+
+    "embed_cosine_topk" ->
+      s"""WITH q AS ($embQSql)
+         |SELECT qid, nid, sim, rank FROM (
+         | SELECT qs.id AS qid, c.id AS nid, ${cosSql("qs.qe", "c.qe")} AS sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qs.id
+         |    ORDER BY ${cosSql("qs.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
+         | FROM q qs JOIN q c ON c.id <> qs.id
+         | WHERE qs.id % 100 = 0)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "embed_ann_ivf" ->
+      s"""WITH q AS ($embQSql)
+         |SELECT qid, nid, sim, rank FROM (
+         | SELECT qs.id AS qid, c.id AS nid, ${cosSql("qs.qe", "c.qe")} AS sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qs.id
+         |    ORDER BY ${cosSql("qs.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
+         | FROM q qs JOIN q c ON c.cell = qs.cell AND c.id <> qs.id
+         | WHERE qs.id % 20 = 0)
+         |WHERE rank <= 1 ORDER BY qid, rank""".stripMargin,
+
+    "similar_to_uid" ->
+      s"""WITH q AS ($embQSql)
+         |SELECT nid, sim, rank FROM (
+         | SELECT c.id AS nid, ${cosSql("q0.qe", "c.qe")} AS sim,
+         |  CAST(ROW_NUMBER() OVER (
+         |    ORDER BY ${cosSql("q0.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
+         | FROM q c, (SELECT qe FROM q WHERE id = 0) q0
+         | WHERE c.id <> 0)
+         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "multimodal_binary" ->
+      """SELECT doc_id, base64(from_hex(md5(text))) AS blob_b64,
+        | CAST(octet_length(from_hex(md5(text))) AS INT) AS nbytes,
+        | n_chars % 640 AS width, (n_chars * 7) % 480 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
