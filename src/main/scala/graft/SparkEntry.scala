@@ -19,7 +19,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, Q.QFn], Map[String, String])] = Seq(
     (RelationalQueries.queries, RelationalQueries.oracles),
     (GraphQueries.queries, GraphQueries.oracles),
-    (LlmQueries.queries, LlmQueries.oracles)
+    (LlmQueries.queries, LlmQueries.oracles),
+    (DqlQueries.queries, DqlQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

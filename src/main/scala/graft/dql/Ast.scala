@@ -1,0 +1,53 @@
+package graft.dql
+
+/** DQL AST — the Spark engine's analogue of the reference's
+  * dql.GraphQuery IR (/root/reference/dql/parser.go:40). One case class
+  * per syntactic form we execute; the planner walks this tree and emits
+  * DataFrame operations (SURVEY.md §3.1 step 4).
+  */
+sealed trait FilterNode
+final case class FilterAnd(children: Seq[FilterNode]) extends FilterNode
+final case class FilterOr(children: Seq[FilterNode]) extends FilterNode
+final case class FilterNot(child: FilterNode) extends FilterNode
+final case class FilterLeaf(fn: FuncCall) extends FilterNode
+
+/** A root/filter function: eq, le, lt, ge, gt, between, has, uid,
+  * uid_in, type, anyofterms, allofterms, regexp, match
+  * (reference worker/task.go:210 FuncType dispatch).
+  */
+final case class FuncCall(name: String, pred: String, args: Seq[String])
+
+final case class Ordering(pred: String, desc: Boolean)
+
+final case class Pagination(first: Option[Int] = None, offset: Option[Int] = None,
+    after: Option[Long] = None)
+
+/** One selection inside a block: scalar leaf, uid traversal (with nested
+  * selections), count(pred), or reverse traversal (~pred).
+  */
+final case class Selection(
+    alias: Option[String],
+    pred: String,
+    reverse: Boolean = false,
+    isCount: Boolean = false,
+    filter: Option[FilterNode] = None,
+    order: Seq[Ordering] = Nil,
+    page: Pagination = Pagination(),
+    children: Seq[Selection] = Nil) {
+  def outName: String = alias.getOrElse(if (isCount) s"count_$pred" else pred)
+}
+
+final case class RecurseArgs(depth: Int, loop: Boolean)
+
+final case class QueryBlock(
+    name: String,
+    func: FuncCall,
+    filter: Option[FilterNode] = None,
+    order: Seq[Ordering] = Nil,
+    page: Pagination = Pagination(),
+    cascade: Boolean = false,
+    normalize: Boolean = false,
+    recurse: Option[RecurseArgs] = None,
+    selections: Seq[Selection] = Nil)
+
+final case class DqlQuery(blocks: Seq[QueryBlock])

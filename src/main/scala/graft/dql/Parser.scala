@@ -1,0 +1,241 @@
+package graft.dql
+
+/** Recursive-descent parser for the DQL subset, following the grammar of
+  * the reference parser (/root/reference/dql/parser.go: blocks :759
+  * ToSubGraph shapes, filter precedence :183-187, args :2783) without
+  * porting its code.
+  *
+  * Supported:
+  *   { name(func: f(...) [, orderasc/orderdesc: p] [, first/offset/after: n])
+  *       [@filter(tree)] [@cascade] [@normalize] [@recurse(depth: n [, loop: b])]
+  *     { selections } }
+  *   selection := [alias ':'] [~]pred [(args)] [@filter(tree)] [{ selections }]
+  *              | [alias ':'] count(pred) | uid | expand(_all_)
+  *   filter tree: AND / OR / NOT with parentheses.
+  */
+object Parser {
+
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  def parse(input: String): DqlQuery = new Parser(Lexer.tokenize(input)).parseQuery()
+
+  private final class Parser(ts: Vector[Token]) {
+    private var pos = 0
+
+    private def peek: Token =
+      if (pos < ts.length) ts(pos) else Punct("<eof>")
+    private def next(): Token = { val t = peek; pos += 1; t }
+    private def expect(p: String): Unit = next() match {
+      case Punct(`p`) => ()
+      case other => fail(s"expected '$p', got $other")
+    }
+    private def fail(msg: String): Nothing =
+      throw ParseException(s"$msg (at token $pos)")
+
+    private def ident(): String = next() match {
+      case Ident(s) => s
+      case other => fail(s"expected identifier, got $other")
+    }
+
+    def parseQuery(): DqlQuery = {
+      expect("{")
+      val blocks = Vector.newBuilder[QueryBlock]
+      while (peek != Punct("}")) blocks += parseBlock()
+      expect("}")
+      DqlQuery(blocks.result())
+    }
+
+    private def parseBlock(): QueryBlock = {
+      val name = ident()
+      expect("(")
+      var func: Option[FuncCall] = None
+      var order = Vector.empty[Ordering]
+      var page = Pagination()
+      var firstArg = true
+      while (peek != Punct(")")) {
+        if (!firstArg) expect(",")
+        firstArg = false
+        val key = ident()
+        expect(":")
+        key match {
+          case "func" => func = Some(parseFunc())
+          case "orderasc" => order :+= Ordering(ident(), desc = false)
+          case "orderdesc" => order :+= Ordering(ident(), desc = true)
+          case "first" => page = page.copy(first = Some(intLit()))
+          case "offset" => page = page.copy(offset = Some(intLit()))
+          case "after" => page = page.copy(after = Some(uidLit()))
+          case other => fail(s"unknown block arg: $other")
+        }
+      }
+      expect(")")
+      var filter: Option[FilterNode] = None
+      var cascade = false; var normalize = false
+      var recurse: Option[RecurseArgs] = None
+      while (peek == Punct("@")) {
+        next()
+        ident() match {
+          case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
+          case "cascade" => cascade = true
+          case "normalize" => normalize = true
+          case "recurse" =>
+            expect("(")
+            var depth = 1; var loop = false
+            var first = true
+            while (peek != Punct(")")) {
+              if (!first) expect(",")
+              first = false
+              val k = ident(); expect(":")
+              k match {
+                case "depth" => depth = intLit()
+                case "loop" => loop = ident() == "true"
+                case o => fail(s"unknown recurse arg $o")
+              }
+            }
+            expect(")")
+            recurse = Some(RecurseArgs(depth, loop))
+          case other => fail(s"unknown directive @$other")
+        }
+      }
+      val sels = parseSelectionSet()
+      QueryBlock(name, func.getOrElse(fail("block missing func")), filter,
+        order, page, cascade, normalize, recurse, sels)
+    }
+
+    private def parseSelectionSet(): Seq[Selection] = {
+      expect("{")
+      val out = Vector.newBuilder[Selection]
+      while (peek != Punct("}")) out += parseSelection()
+      expect("}")
+      out.result()
+    }
+
+    private def parseSelection(): Selection = {
+      var reverse = false
+      var alias: Option[String] = None
+      if (peek == Punct("~")) { next(); reverse = true }
+      var name = ident()
+      // alias: pred  (but 'count(...)' and 'expand(...)' keep their form)
+      if (!reverse && peek == Punct(":")) {
+        next()
+        alias = Some(name)
+        if (peek == Punct("~")) { next(); reverse = true }
+        name = ident()
+      }
+      if (name == "count" && peek == Punct("(")) {
+        next()
+        var rev = false
+        if (peek == Punct("~")) { next(); rev = true }
+        val p = ident()
+        expect(")")
+        return Selection(alias, p, reverse = rev, isCount = true)
+      }
+      if (name == "expand" && peek == Punct("(")) {
+        next()
+        val arg = ident() // _all_ or a type name
+        expect(")")
+        return Selection(alias, s"expand($arg)")
+      }
+      var order = Vector.empty[Ordering]
+      var page = Pagination()
+      if (peek == Punct("(")) {
+        next()
+        var first = true
+        while (peek != Punct(")")) {
+          if (!first) expect(",")
+          first = false
+          val k = ident(); expect(":")
+          k match {
+            case "orderasc" => order :+= Ordering(ident(), desc = false)
+            case "orderdesc" => order :+= Ordering(ident(), desc = true)
+            case "first" => page = page.copy(first = Some(intLit()))
+            case "offset" => page = page.copy(offset = Some(intLit()))
+            case "after" => page = page.copy(after = Some(uidLit()))
+            case o => fail(s"unknown selection arg $o")
+          }
+        }
+        expect(")")
+      }
+      var filter: Option[FilterNode] = None
+      while (peek == Punct("@")) {
+        next()
+        ident() match {
+          case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
+          case o => fail(s"unsupported selection directive @$o")
+        }
+      }
+      val children =
+        if (peek == Punct("{")) parseSelectionSet() else Nil
+      Selection(alias, name, reverse, isCount = false, filter, order, page, children)
+    }
+
+    // filter precedence: OR < AND < NOT (dql/parser.go:183-187)
+    private def parseFilterOr(): FilterNode = {
+      var terms = Vector(parseFilterAnd())
+      while (peek == Ident("OR") || peek == Ident("or")) {
+        next(); terms :+= parseFilterAnd()
+      }
+      if (terms.size == 1) terms.head else FilterOr(terms)
+    }
+
+    private def parseFilterAnd(): FilterNode = {
+      var terms = Vector(parseFilterUnary())
+      while (peek == Ident("AND") || peek == Ident("and")) {
+        next(); terms :+= parseFilterUnary()
+      }
+      if (terms.size == 1) terms.head else FilterAnd(terms)
+    }
+
+    private def parseFilterUnary(): FilterNode = peek match {
+      case Ident("NOT") | Ident("not") => next(); FilterNot(parseFilterUnary())
+      case Punct("(") => next(); val f = parseFilterOr(); expect(")"); f
+      case _ => FilterLeaf(parseFunc())
+    }
+
+    /** f(pred, args...) — also uid(...), type(T), count-arg forms. */
+    private def parseFunc(): FuncCall = {
+      val fname = ident()
+      expect("(")
+      if (fname == "uid") {
+        var uids = Vector.empty[String]
+        var first = true
+        while (peek != Punct(")")) {
+          if (!first) expect(",")
+          first = false
+          uids :+= litString()
+        }
+        expect(")")
+        return FuncCall("uid", "", uids)
+      }
+      // eq(count(p), n) form
+      var pred = ""
+      var countArg = false
+      peek match {
+        case Ident("count") if fname != "count" =>
+          next(); expect("("); pred = ident(); expect(")"); countArg = true
+        case _ => pred = ident()
+      }
+      var args = Vector.empty[String]
+      while (peek == Punct(",")) { next(); args :+= litString() }
+      expect(")")
+      FuncCall(if (countArg) s"${fname}_count" else fname, pred, args)
+    }
+
+    private def litString(): String = next() match {
+      case StrLit(s) => s
+      case NumLit(s) => s
+      case Ident(s) => s
+      case other => fail(s"expected literal, got $other")
+    }
+
+    private def intLit(): Int = next() match {
+      case NumLit(s) => s.toInt
+      case other => fail(s"expected int, got $other")
+    }
+
+    private def uidLit(): Long = next() match {
+      case NumLit(s) =>
+        if (s.startsWith("0x")) java.lang.Long.parseLong(s.drop(2), 16) else s.toLong
+      case other => fail(s"expected uid, got $other")
+    }
+  }
+}

@@ -1,0 +1,299 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.TripleStore
+import graft.dql._
+import graft.operators.Recurse
+
+/** DQL block executor: AST → DataFrame plan over the TripleStore.
+  *
+  * Execution mirrors the reference's level-by-level model
+  * (/root/reference/query/query.go:2156 ProcessGraph): the root function
+  * seeds a uid frontier (an index scan), filters compose as semi/anti
+  * joins over uid sets (the reference's IntersectSorted/Difference,
+  * algo/uidlist.go), each traversal level is one equi-join against the
+  * predicate's edge view, and leaves join the typed attribute tables.
+  * All of it stays declarative — Catalyst sees one tree per block and
+  * is free to reorder filters, choose broadcast sides, and prune scans.
+  *
+  * `flat` renders @normalize-style output (aliased leaf columns,
+  * cartesian across levels — reference query/outputnode.go:921);
+  * `jsonRows` renders the nested JSON shape (uid-sorted arrays) like
+  * outputnode.go ToJson.
+  */
+final class DqlExecutor(ts: TripleStore) {
+  import ts.spark.implicits._
+
+  private val schema = ts.schema
+
+  def flat(query: String): DataFrame = flatBlock(Parser.parse(query).blocks.head)
+
+  /** Execute every block; returns (blockName → flattened DataFrame). */
+  def flatAll(query: String): Map[String, DataFrame] =
+    Parser.parse(query).blocks.map(b => b.name -> flatBlock(b)).toMap
+
+  // ---- root pipeline ----
+
+  private def flatBlock(b: QueryBlock): DataFrame = {
+    var frontier = seed(b.func).select(col("uid")).distinct()
+    b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
+
+    b.recurse match {
+      case Some(r) =>
+        // @recurse: same uid-predicate template re-applied per level
+        val preds = b.selections.filter(s => schema.isUidPredicate(s.pred))
+        val edges = preds.map { s =>
+          val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+          e.select(col("subject"), col("object"))
+        }.reduce(_ unionByName _)
+        Recurse.expand(frontier.select(col("uid").as("start")), edges,
+          r.depth, r.loop)
+      case None =>
+        val paged =
+          if (b.cascade) frontier // paginate after cascade pruning (below)
+          else orderAndPage(frontier, "uid", b.order, b.page)
+        val projected = project(paged, "uid", b.selections, b.cascade, "")
+        if (b.cascade) {
+          // @cascade drops roots missing any branch (inner joins), then
+          // pagination re-applies on the survivors
+          // (reference query/query.go:663, 1425-1443)
+          val survivors = orderAndPage(
+            projected.select(col("uid")).distinct(), "uid", b.order, b.page)
+          projected.join(survivors, Seq("uid"), "left_semi")
+        } else projected
+    }
+  }
+
+  /** Root/filter function → DataFrame of matching subjects (col "uid").
+    * The reference's index-scan dispatch (worker/task.go:210); here every
+    * "index" is a filtered attribute/edge view that Catalyst pushes into
+    * the parquet scan.
+    */
+  private def seed(fn: FuncCall): DataFrame = fn.name match {
+    case "uid" =>
+      fn.args.map(parseUid).toDF("uid")
+    case "type" =>
+      ts.nodeTypes.filter(col("typeName") === fn.pred).select(col("subject").as("uid"))
+    case "has" =>
+      val src = if (schema.isUidPredicate(fn.pred)) ts.edge(fn.pred) else ts.attr(fn.pred)
+      src.select(col("subject").as("uid")).distinct()
+    case "uid_in" =>
+      ts.edge(fn.pred).filter(col("object") === parseUid(fn.args.head))
+        .select(col("subject").as("uid")).distinct()
+    case "eq" if !schema.isUidPredicate(fn.pred) =>
+      attrWhere(fn.pred, v => v.isin(fn.args.map(typedLit(fn.pred, _)): _*))
+    case "le" => attrCmp(fn, _ <= _)
+    case "lt" => attrCmp(fn, _ < _)
+    case "ge" => attrCmp(fn, _ >= _)
+    case "gt" => attrCmp(fn, _ > _)
+    case "between" =>
+      attrWhere(fn.pred, v => v.between(
+        typedLitC(fn.pred, fn.args(0)), typedLitC(fn.pred, fn.args(1))))
+    case "anyofterms" =>
+      attrWhere(fn.pred, v => arrays_overlap(split(lower(v), " "),
+        array(tokens(fn.args.head).map(lit(_)): _*)))
+    case "allofterms" =>
+      attrWhere(fn.pred, v => forall(array(tokens(fn.args.head).map(lit(_)): _*),
+        t => array_contains(split(lower(v), " "), t)))
+    case "regexp" =>
+      attrWhere(fn.pred, v => v.rlike(fn.args.head))
+    case "match" =>
+      attrWhere(fn.pred, v => levenshtein(v, lit(fn.args.head)) <= fn.args(1).toInt)
+    case n if n.endsWith("_count") =>
+      // eq(count(p), n) family over the edge count index
+      val cmp: (Column, Column) => Column = n.stripSuffix("_count") match {
+        case "eq" => _ === _; case "le" => _ <= _; case "lt" => _ < _
+        case "ge" => _ >= _; case "gt" => _ > _
+        case o => throw new IllegalArgumentException(s"bad count fn $o")
+      }
+      ts.edge(fn.pred).groupBy(col("subject")).agg(count(lit(1)).as("__c"))
+        .filter(cmp(col("__c"), lit(fn.args.head.toLong)))
+        .select(col("subject").as("uid"))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported function: $other")
+  }
+
+  private def attrWhere(pred: String, cond: Column => Column): DataFrame =
+    ts.attr(pred).filter(cond(col("value"))).select(col("subject").as("uid")).distinct()
+
+  private def attrCmp(fn: FuncCall, op: (Column, Column) => Column): DataFrame =
+    attrWhere(fn.pred, v => op(v, typedLitC(fn.pred, fn.args.head)))
+
+  private def tokens(s: String): Seq[String] =
+    s.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private def parseUid(s: String): Long =
+    if (s.startsWith("0x")) java.lang.Long.parseLong(s.drop(2), 16) else s.toLong
+
+  private def typedLit(pred: String, v: String): Any =
+    schema.pred(pred).dgraphType match {
+      case "int" => v.toLong
+      case "float" => v.toDouble
+      case _ => v
+    }
+
+  private def typedLitC(pred: String, v: String): Column =
+    schema.pred(pred).dgraphType match {
+      case "int" => lit(v.toLong)
+      case "float" => lit(v.toDouble)
+      case "datetime" => lit(v).cast("timestamp")
+      case _ => lit(v)
+    }
+
+  /** Boolean filter tree over the frontier: leaf = semi-join, AND = chained
+    * semi-joins, OR = union, NOT = anti-join
+    * (reference query/query.go:2311-2373 + algo/uidlist.go set algebra).
+    */
+  private def applyFilter(df: DataFrame, uidCol: String, node: FilterNode): DataFrame =
+    node match {
+      case FilterLeaf(fn) =>
+        df.join(seed(fn).withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi")
+      case FilterAnd(cs) => cs.foldLeft(df)((d, c) => applyFilter(d, uidCol, c))
+      case FilterOr(cs) =>
+        cs.map(applyFilter(df, uidCol, _)).reduce(_ unionByName _).distinct()
+      case FilterNot(c) =>
+        df.join(applyFilter(df, uidCol, c).select(col(uidCol)).distinct(),
+          Seq(uidCol), "left_anti")
+    }
+
+  /** Sort + offset/first/after over a uid set; value orderings join the
+    * order predicate's attribute table (worker/sort.go semantics), uid
+    * ascending is the final tiebreak (reference results are uid-sorted,
+    * algo/uidlist.go invariants).
+    */
+  private def orderAndPage(df: DataFrame, uidCol: String,
+      order: Seq[Ordering], page: Pagination): DataFrame = {
+    var cur = df
+    page.after.foreach(a => cur = cur.filter(col(uidCol) > a))
+    val needSort = order.nonEmpty || page.first.isDefined || page.offset.isDefined
+    if (!needSort) return cur
+    val ordCols = order.zipWithIndex.map { case (o, i) =>
+      val a = ts.attr(o.pred).select(col("subject").as(s"__os$i"), col("value").as(s"__ov$i"))
+      cur = cur.join(a, col(uidCol) === col(s"__os$i"), "left").drop(s"__os$i")
+      if (o.desc) col(s"__ov$i").desc_nulls_last else col(s"__ov$i").asc_nulls_last
+    } :+ col(uidCol).asc
+    cur = cur.orderBy(ordCols: _*)
+    page.offset.foreach(o => cur = cur.offset(o))
+    page.first.foreach(f => cur = cur.limit(f))
+    cur.drop(order.indices.map(i => s"__ov$i"): _*)
+  }
+
+  // ---- selection projection (one join per selection) ----
+
+  private def project(df: DataFrame, uidCol: String, sels: Seq[Selection],
+      cascade: Boolean, prefix: String): DataFrame = {
+    val joinType = if (cascade) "inner" else "left"
+    var cur = df
+    sels.foreach { sel =>
+      val name = prefix + sel.outName
+      if (sel.pred == "uid") {
+        // uid is implicit (the frontier column itself)
+      } else if (sel.pred.startsWith("expand(")) {
+        cur = expandAll(cur, uidCol, joinType, prefix)
+      } else if (sel.isCount) {
+        val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
+        val cnt = src.groupBy(col("subject")).agg(count(lit(1)).as(name))
+          .withColumnRenamed("subject", "__cs")
+        cur = cur.join(cnt, col(uidCol) === col("__cs"), joinType).drop("__cs")
+        if (!cascade) cur = cur.withColumn(name, coalesce(col(name), lit(0L)))
+      } else if (schema.isUidPredicate(sel.pred) || sel.reverse) {
+        cur = traverse(cur, uidCol, sel, name, cascade)
+      } else {
+        val a = ts.attr(sel.pred)
+          .select(col("subject").as("__as"), col("value").as(name))
+        cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
+      }
+    }
+    cur
+  }
+
+  /** One traversal level: frontier ⋈ edge view; per-parent order/first
+    * via a window (reference applyOrderAndPagination on the uidMatrix,
+    * query/query.go:2511).
+    */
+  private def traverse(df: DataFrame, uidCol: String, sel: Selection,
+      name: String, cascade: Boolean): DataFrame = {
+    val joinType = if (cascade) "inner" else "left"
+    val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
+    var child = src.select(col("subject").as("__es"), col("object").as(name))
+    sel.filter.foreach { f => child = applyFilter(child, name, f) }
+    sel.page.after.foreach(a => child = child.filter(col(name) > a))
+
+    var cur = df.join(child, col(uidCol) === col("__es"), joinType).drop("__es")
+
+    val needWindow = sel.order.nonEmpty || sel.page.first.isDefined ||
+      sel.page.offset.isDefined
+    if (needWindow) {
+      val ordCols = sel.order.zipWithIndex.map { case (o, i) =>
+        val a = ts.attr(o.pred).select(col("subject").as(s"__ws$i"), col("value").as(s"__wv$i"))
+        cur = cur.join(a, col(name) === col(s"__ws$i"), "left").drop(s"__ws$i")
+        if (o.desc) col(s"__wv$i").desc_nulls_last else col(s"__wv$i").asc_nulls_last
+      } :+ col(name).asc
+      val w = Window.partitionBy(col(uidCol)).orderBy(ordCols: _*)
+      cur = cur.withColumn("__rn", row_number().over(w))
+      val lo = sel.page.offset.getOrElse(0)
+      val hi = sel.page.first.map(f => lo + f).getOrElse(Int.MaxValue)
+      cur = cur.filter(col(name).isNull || (col("__rn") > lo && col("__rn") <= hi))
+        .drop("__rn").drop(sel.order.indices.map(i => s"__wv$i"): _*)
+    }
+    if (sel.children.nonEmpty)
+      cur = project(cur, name, sel.children, cascade, s"${name}_")
+    cur
+  }
+
+  /** expand(_all_): look up the frontier's node types in the schema
+    * registry and emit one scalar leaf per predicate (reference
+    * query/query.go:2038 expandSubgraph). Only type *names* touch the
+    * driver — a metadata lookup, not data.
+    */
+  private def expandAll(df: DataFrame, uidCol: String, joinType: String,
+      prefix: String): DataFrame = {
+    val typeNames = ts.nodeTypes
+      .join(df.select(col(uidCol).as("subject")).distinct(), Seq("subject"), "left_semi")
+      .select("typeName").distinct().as[String].collect().sorted
+    val preds = typeNames.flatMap(schema.predicatesOfType).distinct
+      .filter(p => !schema.isUidPredicate(p))
+    var cur = df
+    preds.foreach { p =>
+      val a = ts.attr(p).select(col("subject").as("__xs"), col("value").as(prefix + p))
+      cur = cur.join(a, col(uidCol) === col("__xs"), joinType).drop("__xs")
+    }
+    cur
+  }
+
+  // ---- nested JSON output (reference outputnode.go ToJson shape) ----
+
+  /** Render a block as one JSON string per root uid, children nested as
+    * uid-sorted arrays. Assembly is leaves-up collect_list(struct(...)),
+    * never row-by-row.
+    */
+  def jsonRows(query: String): DataFrame = {
+    val b = Parser.parse(query).blocks.head
+    val flatDf = flatBlock(b)
+    val leafCols = flatDf.columns.filter(_ != "uid")
+    val rootScalars = b.selections.filter(s =>
+      !schema.isUidPredicate(s.pred) && !s.reverse && s.pred != "uid")
+      .map(_.outName)
+    val childSels = b.selections.filter(s => schema.isUidPredicate(s.pred) || s.reverse)
+
+    val childStructs = childSels.map { cs =>
+      val childLeaf = leafCols.filter(c => c.startsWith(cs.outName + "_") || c == cs.outName)
+      sort_array(collect_list(struct(
+        (col(cs.outName).as("uid") +:
+          childLeaf.filter(_ != cs.outName).map(c =>
+            col(c).as(c.stripPrefix(cs.outName + "_")))): _*
+      ))).as(cs.outName)
+    }
+    val aggCols = rootScalars.map(c => first(col(c), ignoreNulls = true).as(c)) ++ childStructs
+    val grouped =
+      if (aggCols.nonEmpty)
+        flatDf.groupBy(col("uid")).agg(aggCols.head, aggCols.tail: _*)
+      else flatDf.select(col("uid")).distinct()
+    grouped
+      .select(col("uid"), to_json(struct(grouped.columns.map(col): _*)).as("json"))
+      .orderBy(col("uid"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{TripleStore, Uids}
+import graft.exec.DqlExecutor
+import Q._
+
+/** End-to-end DQL: each query here goes through the full
+  * lexer → parser → planner → executor pipeline (graft.dql + exec) over
+  * the TripleStore, then is hash-checked against a relational DuckDB
+  * oracle — proving the graph engine computes the same answers as plain
+  * SQL on the underlying tables.
+  */
+object DqlQueries {
+
+  private val CB = Uids.Customer
+  private val SB = Uids.Supplier
+  private val NB = Uids.Nation
+  private val RB = Uids.Region
+  private val OB = Uids.Order
+
+  private def dql(q: String): QFn = (s, d) =>
+    new DqlExecutor(TripleStore(s, d)).flat(q)
+
+  val queries: Map[String, QFn] = Map(
+    "dql_eq_traverse" -> ((s, d) =>
+      dql("""{ q(func: eq(mktsegment, "BUILDING")) @filter(has(placed)) {
+            |    name acctbal located_in { name in_region { name } } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    "dql_root_filters" -> ((s, d) =>
+      dql("""{ q(func: between(size, 5, 10))
+            |    @filter(anyofterms(name, "green small") OR regexp(name, /.*bolt$/)) {
+            |    name size } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    "dql_count_filter" -> ((s, d) =>
+      dql("""{ q(func: ge(count(placed), 12)) { name c: count(placed) } }""")(s, d)
+        .orderBy(col("uid"))),
+
+    "dql_order_page" -> ((s, d) =>
+      dql("""{ q(func: has(acctbal), orderdesc: acctbal, offset: 5, first: 10) {
+            |    name acctbal } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    "dql_child_page" -> ((s, d) =>
+      dql("""{ q(func: eq(mktsegment, "BUILDING")) @cascade {
+            |    name placed (orderdesc: totalprice, first: 2) { totalprice } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"), col("placed"))),
+
+    "dql_recurse" -> ((s, d) =>
+      dql("""{ q(func: le(acctbal, -800)) @recurse(depth: 3) { located_in in_region } }""")(s, d)
+        .orderBy(col("start"), col("depth"), col("node"))),
+
+    "dql_expand" -> ((s, d) =>
+      dql("""{ q(func: eq(brand, "Brand#12")) { expand(_all_) } }""")(s, d)
+        .orderBy(col("uid")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dql_eq_traverse" ->
+      s"""SELECT $CB + c_custkey AS uid, c_name AS name, c_acctbal AS acctbal,
+         | $NB + c_nationkey AS located_in, n_name AS located_in_name,
+         | $RB + n_regionkey AS located_in_in_region, r_name AS located_in_in_region_name
+         |FROM customer JOIN nation ON n_nationkey = c_nationkey
+         |JOIN region ON r_regionkey = n_regionkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |ORDER BY uid""".stripMargin,
+
+    "dql_root_filters" ->
+      s"""SELECT ${Uids.Part} + p_partkey AS uid, p_name AS name, CAST(p_size AS BIGINT) AS size
+         |FROM part WHERE p_size BETWEEN 5 AND 10
+         |AND (list_has_any(string_split(lower(p_name), ' '), ['green','small'])
+         |     OR regexp_matches(p_name, '.*bolt$$'))
+         |ORDER BY uid""".stripMargin,
+
+    "dql_count_filter" ->
+      s"""SELECT $CB + o_custkey AS uid, any_value(c_name) AS name, COUNT(*) AS c
+         |FROM orders JOIN customer ON c_custkey = o_custkey
+         |GROUP BY o_custkey HAVING COUNT(*) >= 12 ORDER BY uid""".stripMargin,
+
+    "dql_order_page" ->
+      s"""SELECT uid, name, acctbal FROM (
+         | SELECT uid, name, acctbal,
+         |  ROW_NUMBER() OVER (ORDER BY acctbal DESC, uid ASC) AS rn
+         | FROM (
+         |  SELECT $CB + c_custkey AS uid, c_name AS name, c_acctbal AS acctbal FROM customer
+         |  UNION ALL
+         |  SELECT $SB + s_suppkey, s_name, s_acctbal FROM supplier))
+         |WHERE rn > 5 AND rn <= 15 ORDER BY uid""".stripMargin,
+
+    "dql_child_page" ->
+      s"""SELECT uid, name, placed, placed_totalprice FROM (
+         | SELECT $CB + o_custkey AS uid, c_name AS name, $OB + o_orderkey AS placed,
+         |  o_totalprice AS placed_totalprice,
+         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_totalprice DESC, $OB + o_orderkey ASC) AS rn
+         | FROM orders JOIN customer ON c_custkey = o_custkey
+         | WHERE c_mktsegment = 'BUILDING')
+         |WHERE rn <= 2 ORDER BY uid, placed""".stripMargin,
+
+    "dql_recurse" ->
+      s"""WITH seeds AS (
+         | SELECT $CB + c_custkey AS start, c_nationkey AS nk FROM customer WHERE c_acctbal <= -800
+         | UNION ALL
+         | SELECT $SB + s_suppkey, s_nationkey FROM supplier WHERE s_acctbal <= -800)
+         |SELECT * FROM (
+         | SELECT start, $NB + nk AS node, 1 AS depth FROM seeds
+         | UNION ALL
+         | SELECT start, $RB + n_regionkey, 2 FROM seeds JOIN nation ON n_nationkey = nk
+         |) ORDER BY start, depth, node""".stripMargin,
+
+    "dql_expand" ->
+      s"""SELECT ${Uids.Part} + p_partkey AS uid, p_name AS name, p_brand AS brand,
+         | p_type AS ptype, CAST(p_size AS BIGINT) AS size, p_retailprice AS retailprice
+         |FROM part WHERE p_brand = 'Brand#12' ORDER BY uid""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{TripleStore, Uids}
+import graft.dql._
+import graft.exec.DqlExecutor
+
+/** Parser + executor specs, in the spirit of the reference's parser unit
+  * corpus (dql/parser_test.go) and golden JSON tests (query/query0_test.go).
+  */
+class DqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  lazy val sf = "/root/testdata/sf0.001"
+  lazy val exec = new DqlExecutor(TripleStore(spark, sf))
+
+  test("lexer handles strings, regex literals, hex uids, comments") {
+    val ts = Lexer.tokenize(
+      """{ q(func: regexp(name, /^a.*b$/)) # comment
+        |  { uid name } }""".stripMargin)
+    assert(ts.contains(StrLit("^a.*b$")))
+    assert(ts.count(_ == Punct("{")) == 2)
+  }
+
+  test("parser: block args, filter precedence, directives") {
+    val q = Parser.parse(
+      """{ people(func: eq(name, "x"), orderdesc: age, first: 5, offset: 2)
+        |    @filter(NOT has(dead) AND (le(age, 10) OR gt(age, 60))) @cascade {
+        |  name
+        |  friends: friend (first: 3) @filter(has(name)) { name }
+        |  c: count(friend)
+        |} }""".stripMargin)
+    val b = q.blocks.head
+    assert(b.name == "people")
+    assert(b.func == FuncCall("eq", "name", Seq("x")))
+    assert(b.order == Seq(Ordering("age", desc = true)))
+    assert(b.page.first.contains(5) && b.page.offset.contains(2))
+    assert(b.cascade)
+    // NOT binds tighter than AND; OR grouped by parens
+    b.filter.get match {
+      case FilterAnd(Seq(FilterNot(FilterLeaf(f1)), FilterOr(_))) =>
+        assert(f1 == FuncCall("has", "dead", Nil))
+      case other => fail(s"unexpected filter tree: $other")
+    }
+    assert(b.selections(1).alias.contains("friends"))
+    assert(b.selections(1).page.first.contains(3))
+    assert(b.selections(2).isCount && b.selections(2).alias.contains("c"))
+  }
+
+  test("parser: eq(count(p), n) and uid roots") {
+    val q = Parser.parse("""{ a(func: eq(count(friend), 3)) { uid } b(func: uid(0x1, 7)) { uid } }""")
+    assert(q.blocks(0).func == FuncCall("eq_count", "friend", Seq("3")))
+    assert(q.blocks(1).func == FuncCall("uid", "", Seq("0x1", "7")))
+  }
+
+  test("parser rejects malformed input with a useful error") {
+    val e = intercept[Parser.ParseException] {
+      Parser.parse("{ q(func: eq(name Michonne)) { name } }")
+    }
+    assert(e.msg.nonEmpty)
+  }
+
+  test("jsonRows renders nested children as uid-sorted arrays") {
+    val df = exec.jsonRows(
+      """{ q(func: eq(name, "NATION_3")) { name in_region { name } } }""")
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val json = rows.head.getString(1)
+    assert(json.contains(""""name":"NATION_3""""))
+    assert(json.contains(""""in_region":[{"uid":"""))
+    assert(json.matches(""".*"in_region":\[\{"uid":\d+,"name":"[A-Z ]+"\}\].*"""))
+  }
+
+  test("reverse traversal ~located_in finds nation inhabitants") {
+    val df = exec.flat(
+      """{ q(func: eq(name, "NATION_5")) { name inhab: ~located_in { name } } }""")
+    val inhab = df.select("inhab").collect().map(_.getLong(0))
+    assert(inhab.nonEmpty)
+    assert(inhab.forall(u =>
+      (u >= Uids.Customer && u < Uids.Customer + Uids.Base) ||
+      (u >= Uids.Supplier && u < Uids.Supplier + Uids.Base)))
+  }
+
+  test("block-level OR/NOT filter equals set algebra on uids") {
+    val both = exec.flat(
+      """{ q(func: has(acctbal)) @filter(ge(acctbal, 9000) OR NOT le(acctbal, 9999999)) { acctbal } }""")
+    val ge = exec.flat("""{ q(func: ge(acctbal, 9000)) { acctbal } }""")
+    assert(both.select("uid").collect().map(_.getLong(0)).toSet ==
+      ge.select("uid").collect().map(_.getLong(0)).toSet)
+  }
+}

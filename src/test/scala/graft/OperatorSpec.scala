@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Recurse, ShortestPath}
+
+/** Unit specs for the iterative graph drivers and row-level function
+  * library on tiny in-memory fixtures (reference analogues:
+  * algo/uidlist_test.go, query/recurse tests, tok/tok_test.go).
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Recurse.expand dedups revisits and respects depth") {
+    // 1→2→3→1 cycle plus 2→4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)).toDF("subject", "object")
+    val seeds = Seq(1L).toDF("start")
+    val out = Recurse.expand(seeds, edges, maxDepth = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    // loop=false: 1 is never revisited, each node reached at min depth
+    assert(out == Set((1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 2)))
+  }
+
+  test("Recurse.expandPaths honors @ignorereflex (no ancestor revisits)") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("subject", "object")
+    val seeds = Seq(1L).toDF("start")
+    val paths = Recurse.expandPaths(seeds, edges, maxDepth = 3)
+      .select("node", "depth").as[(Long, Int)].collect().toSet
+    // 1→2 (d1), 2→1 forbidden (ancestor), 2→3 (d2), 3 has no out-edges
+    assert(paths == Set((2L, 1), (3L, 2)))
+  }
+
+  test("ShortestPath.sssp relaxes through cheaper long routes") {
+    // 1→3 direct cost 10; 1→2→3 cost 3
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val dist = ShortestPath.sssp(spark, 1L, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == Map(1L -> 0L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("ShortestPath.kBest keeps two smallest distinct costs") {
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val k = ShortestPath.kBest(spark, 1L, edges, k = 2)
+      .select("node", "dist", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(k.contains((3L, 3L, 1)) && k.contains((3L, 10L, 2)))
+  }
+
+  test("shingles/minhash: identical docs share signatures; short docs none") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b"))
+      .toDF("id", "text")
+    val sh = df.select($"id", shingles(words($"text"), 3).as("sh"))
+      .select($"id", size($"sh").as("n")).as[(Long, Int)].collect().toMap
+    assert(sh(1L) == 3 && sh(3L) == 0)
+    val sigs = graft.operators.Dedup.minhashSignatures(df, $"id", $"text")
+    val rows = sigs.collect()
+    assert(rows.length == 2) // short doc dropped
+    assert(rows(0).toSeq.drop(1) == rows(1).toSeq.drop(1)) // equal sigs
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val base = "spark graph engine scans parquet tables with catalyst and tungsten runtime"
+    val df = Seq((1L, base), (2L, base + " extra"), (3L, "totally different words entirely"))
+      .toDF("id", "text")
+    val sh = graft.operators.Dedup.simhash(df, $"id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 4)
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("langId picks the list with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog is in a house"),
+      (2L, "le chat est dans la maison et les jardins"),
+      (3L, "xyzzy qwerty")).toDF("id", "text")
+    val got = df.select($"id", langId(words($"text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "und"))
+  }
+
+  test("vector functions: cosine of identical/orthogonal quantized vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("id", "a", "b")
+    val out = df.select($"id",
+        cosineQ(quantize($"a"), quantize($"b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12 && math.abs(out(2L)) < 1e-12)
+    val e = df.select($"id", euclideanF($"a", $"b").as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(e(2L) - math.sqrt(2)) < 1e-12)
+  }
+}
