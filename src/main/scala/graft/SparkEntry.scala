@@ -20,7 +20,8 @@ object SparkEntry {
     (RelationalQueries.queries, RelationalQueries.oracles),
     (GraphQueries.queries, GraphQueries.oracles),
     (LlmQueries.queries, LlmQueries.oracles),
-    (DqlQueries.queries, DqlQueries.oracles)
+    (DqlQueries.queries, DqlQueries.oracles),
+    (MutationQueries.queries, MutationQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -13,8 +13,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
+    // default — read nanos as long, then convert to a (µs-truncated)
+    // timestamp, matching DuckDB's own ns→µs truncation on read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else df
+  }
 
   /** Register all tables as temp views (idempotent) and return the session.
     * Used by SQL-shaped entry points; view name == parquet file stem, which

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{TripleStore, Uids}
+import graft.operators.Mutations
+import graft.sources.RdfSource
+import graft.streaming.EventStream
+import Q._
+
+/** Mutations/upserts (SURVEY.md §2.11), RDF source round-trip (§2.1) and
+  * streaming window operators (§2.12) — each verified as a batch merge /
+  * transform against a DuckDB oracle.
+  */
+object MutationQueries {
+
+  private val CB = Uids.Customer
+  private val SB = Uids.Supplier
+  private val NB = Uids.Nation
+  private val RB = Uids.Region
+  private val OB = Uids.Order
+  private val DB = Uids.Document
+
+  val queries: Map[String, QFn] = Map(
+
+    // ---- set: overwrite scalar values (reference set N-Quads) ----
+    "mutation_set" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val base = ts.attrString.filter(col("predicate") === "mktsegment")
+      val sets = t(s, d, "customer").filter(col("c_acctbal") < 0)
+        .select((lit(CB) + col("c_custkey")).as("subject"),
+          lit("mktsegment").as("predicate"),
+          lit("DELINQUENT").as("value"),
+          lit(null).cast("string").as("lang"))
+      Mutations.applySet(base, sets)
+        .select(col("subject"), col("value")).orderBy(col("subject"))
+    }),
+
+    // ---- delete incl. S * * wildcard ----
+    "mutation_delete" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val wildcards = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select((lit(SB) + col("s_suppkey")).as("subject"), lit("*").as("predicate"))
+      val exact = t(s, d, "documents").filter(col("lang") === "zh")
+        .select((lit(DB) + col("doc_id")).as("subject"), lit("text").as("predicate"))
+      Mutations.applyDelete(ts.attrString, wildcards.unionByName(exact))
+        .groupBy(col("predicate")).agg(count(lit(1)).as("n"))
+        .orderBy(col("predicate"))
+    }),
+
+    // ---- upsert with @if(gt(len(v), 0)) ----
+    "mutation_upsert" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val base = ts.attrString.filter(col("predicate") === "mktsegment")
+      // query block: v = BUILDING customers with no orders
+      val v = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select((lit(CB) + col("c_custkey")).as("subject"))
+        .join(t(s, d, "orders").select((lit(CB) + col("o_custkey")).as("subject")),
+          Seq("subject"), "left_anti")
+      Mutations.upsert(base, v, _ > 0, b =>
+        Mutations.applySet(b, v.select(col("subject"),
+          lit("mktsegment").as("predicate"), lit("PROSPECT").as("value"),
+          lit(null).cast("string").as("lang"))))
+        .select(col("subject"), col("value")).orderBy(col("subject"))
+    }),
+
+    // ---- blank-node uid allocation after current max ----
+    "mutation_alloc_uids" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val blanks = t(s, d, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey").as("label"))
+      Mutations.allocateUids(blanks, "label", ts.nodeTypes)
+        .select(col("uid"), col("label").as("o_orderkey"))
+        .orderBy(col("uid"))
+    }),
+
+    // ---- @unique pre-commit check ----
+    "mutation_unique" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val base = ts.attrString.filter(col("predicate") === "name")
+      val c = t(s, d, "customer").filter(col("c_custkey") < 20)
+      val proposed = c.select(
+          (lit(CB) + lit(500000000L) + col("c_custkey")).as("subject"),
+          lit("name").as("predicate"), col("c_name").as("value"))
+        .unionByName(c.select(
+          (lit(CB) + lit(600000000L) + col("c_custkey")).as("subject"),
+          lit("name").as("predicate"),
+          concat(col("c_name"), lit("_new")).as("value")))
+      val (accepted, rejected) = Mutations.uniqueCheck(base, proposed)
+      accepted.withColumn("status", lit("accepted"))
+        .unionByName(rejected.withColumn("status", lit("rejected")))
+        .select(col("subject"), col("value"), col("status"))
+        .orderBy(col("subject"))
+    }),
+
+    // ---- RDF N-Quad format → parse round-trip ----
+    "rdf_roundtrip" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val nationNames = ts.attrString
+        .filter(col("predicate") === "name" &&
+          col("subject") >= NB && col("subject") < NB + Uids.Base)
+      val docTexts = ts.attrString.filter(col("predicate") === "text")
+      val inRegion = ts.edge("in_region")
+      val placed = ts.edge("placed").filter(col("subject") < CB + 10)
+      val lines = RdfSource.formatAttrs(nationNames.unionByName(docTexts))
+        .unionByName(RdfSource.formatEdges(inRegion.unionByName(placed)))
+      RdfSource.parse(lines)
+        .orderBy(col("subject"), col("predicate"), col("objectUid"), col("value"))
+    }),
+
+    // ---- JSON property ingestion (chunker/json_parser.go analogue) ----
+    "json_triples" -> ((s, d) =>
+      t(s, d, "events").select(
+        (lit(Uids.Event) + col("event_id")).as("subject"),
+        lit("k").as("predicate"),
+        get_json_object(col("props"), "$.k").cast("long").as("value"))
+        .orderBy(col("subject"))),
+
+    // ---- streaming window operators (batch-verified) ----
+    "stream_tumbling" -> ((s, d) =>
+      EventStream.tumbling(t(s, d, "events"))
+        .orderBy(col("window_start_ms"), col("event_type"))),
+
+    "stream_sliding" -> ((s, d) =>
+      EventStream.sliding(t(s, d, "events"))
+        .orderBy(col("window_start_ms"), col("event_type"))),
+
+    "stream_session" -> ((s, d) =>
+      EventStream.sessions(t(s, d, "events"))
+        .orderBy(col("user_id"), col("start_ms"))),
+
+    "stream_first_per_key" -> ((s, d) =>
+      EventStream.firstPerKey(t(s, d, "events"))
+        .orderBy(col("user_id"), col("event_type")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mutation_set" ->
+      s"""SELECT $CB + c_custkey AS subject,
+         | CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS value
+         |FROM customer ORDER BY subject""".stripMargin,
+
+    "mutation_delete" -> {
+      // remaining attrString rows per predicate after the deletes
+      s"""SELECT predicate, COUNT(*) AS n FROM (
+         | SELECT 'name' AS predicate FROM customer
+         | UNION ALL SELECT 'mktsegment' FROM customer
+         | UNION ALL SELECT 'name' FROM nation
+         | UNION ALL SELECT 'name' FROM region
+         | UNION ALL SELECT 'name' FROM supplier WHERE s_acctbal >= 0
+         | UNION ALL SELECT 'name' FROM part
+         | UNION ALL SELECT 'brand' FROM part
+         | UNION ALL SELECT 'ptype' FROM part
+         | UNION ALL SELECT 'orderstatus' FROM orders
+         | UNION ALL SELECT 'orderpriority' FROM orders
+         | UNION ALL SELECT 'returnflag' FROM lineitem
+         | UNION ALL SELECT 'linestatus' FROM lineitem
+         | UNION ALL SELECT 'text' FROM documents WHERE lang <> 'zh'
+         | UNION ALL SELECT 'source' FROM documents
+         |) GROUP BY predicate ORDER BY predicate""".stripMargin
+    },
+
+    "mutation_upsert" ->
+      s"""SELECT $CB + c_custkey AS subject,
+         | CASE WHEN c_mktsegment = 'BUILDING'
+         |       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |      THEN 'PROSPECT' ELSE c_mktsegment END AS value
+         |FROM customer ORDER BY subject""".stripMargin,
+
+    "mutation_alloc_uids" ->
+      s"""SELECT 9000000000000 + (SELECT MAX(vec_id) FROM embeddings)
+         |  + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS uid,
+         | o_orderkey
+         |FROM orders WHERE o_totalprice > 450000 ORDER BY uid""".stripMargin,
+
+    "mutation_unique" ->
+      s"""SELECT * FROM (
+         | SELECT $CB + 600000000 + c_custkey AS subject, c_name || '_new' AS value,
+         |  'accepted' AS status FROM customer WHERE c_custkey < 20
+         | UNION ALL
+         | SELECT $CB + 500000000 + c_custkey, c_name, 'rejected'
+         | FROM customer WHERE c_custkey < 20
+         |) ORDER BY subject""".stripMargin,
+
+    "rdf_roundtrip" ->
+      s"""SELECT * FROM (
+         | SELECT $NB + n_nationkey AS subject, 'name' AS predicate,
+         |  CAST(NULL AS BIGINT) AS objectUid, n_name AS value,
+         |  CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS facets FROM nation
+         | UNION ALL
+         | SELECT $DB + doc_id, 'text', NULL, text, lang, NULL FROM documents
+         | UNION ALL
+         | SELECT $NB + n_nationkey, 'in_region', $RB + n_regionkey, NULL, NULL, NULL FROM nation
+         | UNION ALL
+         | SELECT $CB + o_custkey, 'placed', $OB + o_orderkey, NULL, NULL,
+         |  'orderdate=' || strftime(o_orderdate, '%Y-%m-%d') || ', totalprice=' ||
+         |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+         | FROM orders WHERE o_custkey < 10
+         |) ORDER BY subject, predicate, objectUid, value""".stripMargin,
+
+    "json_triples" ->
+      s"""SELECT ${Uids.Event} + event_id AS subject, 'k' AS predicate,
+         | CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS value
+         |FROM events ORDER BY subject""".stripMargin,
+
+    "stream_tumbling" ->
+      s"""SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, event_type,
+         | COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY window_start_ms, event_type
+         |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT ws AS window_start_ms, event_type, COUNT(*) AS n FROM (
+        | SELECT (epoch_ms(ts) // 300000) * 300000 - k * 300000 AS ws, event_type
+        | FROM events, UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(k))
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |m AS (SELECT user_id, ms,
+        |  CASE WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |        OR ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, ms,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, COUNT(*) AS n, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
+
+    "stream_first_per_key" ->
+      """SELECT user_id, event_type, MIN(epoch_ms(ts)) AS first_ms, COUNT(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+  )
+}

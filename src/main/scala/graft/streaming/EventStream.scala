@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured-Streaming event processing. The reference has no stream
+  * semantics beyond CDC-out (worker/cdc.go:44) — these are the windowed
+  * operators a Spark-native engine adds on top (builder-prompt scope).
+  *
+  * Every transform below is *unified*: the same code runs on a batch
+  * DataFrame (how the driver's oracle checks it) and on a streaming
+  * DataFrame behind `readStream` (how production would run it, with the
+  * watermark bounding state). Aggregates use exact decimal sums so
+  * results are independent of micro-batch boundaries — a correctness
+  * property, not just a determinism nicety: re-running the stream from a
+  * checkpoint must produce identical windows.
+  */
+object EventStream {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Tumbling windows per event_type: count + exact sum(value). */
+  def tumbling(events: DataFrame, dur: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), dur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (dur, slide) per event_type. */
+  def sliding(events: DataFrame, dur: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), dur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+
+  /** Gap-based session windows per user (session end = last event + gap). */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"),
+        unix_millis(col("w.start")).as("start_ms"),
+        unix_millis(col("w.end")).as("end_ms"))
+
+  /** Stateful dedup analogue: first occurrence per (user_id, event_type). */
+  def firstPerKey(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_millis(col("ts"))).as("first_ms"), count(lit(1)).as("n_dups"))
+
+  /** Wire a transform over a streaming source and drain it synchronously
+    * into a memory sink (local smoke path; production swaps the source
+    * for kafka/delta and the sink for a real writer + checkpoint).
+    */
+  def runMicroBatch(spark: SparkSession, sourceDir: String,
+      transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = transform(stream.withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -29,9 +29,20 @@ def run_verify():
 
 
 def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    """Normalize for cross-engine compare: nulls (None or NaN-promoted)
+    collapse, all numerics go through float (uids < 2^53 stay exact)."""
+    import numpy as np
+    if v is None:
+        return None
+    if isinstance(v, (float, np.floating)):
+        return None if math.isnan(v) else float(v)
+    if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+        return float(v)
     return v
+
+
+def sort_key(row):
+    return tuple("" if v is None else str(v) for v in row)
 
 
 def compare(name, sql, con):
@@ -47,13 +58,13 @@ def compare(name, sql, con):
     got, want = got[gcols], want[wcols]
     if len(got) != len(want):
         return f"ROWS got={len(got)} want={len(want)}"
-    gr = sorted([tuple(norm(v) for v in row) for row in got.itertuples(index=False)])
-    wr = sorted([tuple(norm(v) for v in row) for row in want.itertuples(index=False)])
+    gr = sorted([tuple(norm(v) for v in row) for row in got.itertuples(index=False)], key=sort_key)
+    wr = sorted([tuple(norm(v) for v in row) for row in want.itertuples(index=False)], key=sort_key)
     for i, (g, w) in enumerate(zip(gr, wr)):
         for a, b in zip(g, w):
+            if a is None and b is None:
+                continue
             if isinstance(a, float) and isinstance(b, float):
-                if math.isnan(a) and math.isnan(b):
-                    continue
                 if abs(a - b) > 1e-12 * max(1.0, abs(a), abs(b)):
                     return f"VALUE row{i} {g} != {w}"
             elif str(a) != str(b):
