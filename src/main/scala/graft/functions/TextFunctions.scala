@@ -48,15 +48,24 @@ object TextFunctions {
   /** First 16 bits of md5(word) as a long in [0, 65535]. */
   def h16(w: Column): Column = conv(substring(md5(w), 1, 4), 16, 10).cast("long")
 
-  /** 16-bit SimHash over the distinct words of a document. */
-  def simhash16(ws: Column): Column = {
-    val hs = transform(array_distinct(ws), w => h16(w))
+  /** Per-word 16-bit hashes for a document (materialize this column once,
+    * then fold bits over it — Catalyst does no CSE across the 16 bit
+    * expressions, so inlining would recompute every md5 16×).
+    */
+  def wordHashes16(ws: Column): Column = transform(array_distinct(ws), w => h16(w))
+
+  /** 16-bit SimHash from a precomputed wordHashes16 column. */
+  def simhashFromHashes(hs: Column): Column =
     (0 until 16).map { b =>
       val score = aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
       when(score > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** 16-bit SimHash over the distinct words of a document (convenience;
+    * prefer materializing wordHashes16 when computing at scale).
+    */
+  def simhash16(ws: Column): Column = simhashFromHashes(wordHashes16(ws))
 
   /** Hamming distance between two small-int hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

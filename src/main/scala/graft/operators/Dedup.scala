@@ -36,12 +36,15 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       k: Int = 8, shingleN: Int = 3): DataFrame = {
-    // docs too short to have any shingle carry no signature (the oracle
-    // CTE naturally drops them; array_min of an empty array would be null)
-    val base = df.select(id.as("id"), shingles(words(text), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sigCols = (0 until k).map(i => minhashSig(col("sh"), i).as(s"s$i"))
-    base.select((col("id") +: sigCols): _*)
+    // explode + hash-aggregate instead of per-row array folds: the k
+    // salted-md5 min-aggregates run inside whole-stage codegen with
+    // map-side partial aggregation, and no giant shingle arrays are
+    // materialized per row. Docs too short for any shingle naturally
+    // drop out (no group), matching the oracle CTE.
+    val sh = df.select(id.as("id"), explode(shingles(words(text), shingleN)).as("s"))
+    val sigCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"s$i"))
+    sh.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** LSH candidate pairs: documents sharing at least one band key.
@@ -63,9 +66,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** Per-document 16-bit SimHash. Returns (id, simhash). */
-  def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("id"), simhash16(words(text)).as("simhash"))
+  /** Per-document 16-bit SimHash. Returns (id, simhash). Explode+aggregate
+    * shape (one codegen'd groupBy with 16 bit-score sums) rather than
+    * per-row array folds — same structure as the oracle SQL.
+    */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val hb = df.select(id.as("id"), explode(array_distinct(words(text))).as("w"))
+      .select(col("id"), h16(col("w")).as("h"))
+    val bitSums = (0 until 16).map(b =>
+      sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"b$b"))
+    val assembled = (0 until 16).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    hb.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), assembled.as("simhash"))
+  }
 
   /** SimHash near-dup pairs with hamming <= maxDist, blocked on the high
     * byte of the signature (256-way bucketing; standard SimHash table
@@ -89,8 +103,10 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, id: Column, text: Column,
       candidates: DataFrame, shingleN: Int = 3): DataFrame = {
+    // shingle sets feed both the explode-join and the size lookup — cache
+    // one pass over the corpus instead of re-tokenizing three times
     val sets = df.select(id.as("id"),
-      array_distinct(shingles(words(text), shingleN)).as("sh"))
+      array_distinct(shingles(words(text), shingleN)).as("sh")).cache()
     val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
     val ex = sets.select(col("id"), explode(col("sh")).as("s"))
     val inter = candidates.join(ex.as("ea"), col("a") === col("ea.id"))

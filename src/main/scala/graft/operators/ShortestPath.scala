@@ -35,8 +35,10 @@ object ShortestPath {
         .unionByName(dist)
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint(true)
-      // converged when no node improved and no node was added
-      converged = relaxed.join(dist, Seq("node", "dist"), "left_anti").isEmpty
+      // convergence probe costs an extra action per round — amortize it
+      // by checking every third round (and near the iteration cap)
+      if (i % 3 == 2 || i >= maxIter - 2)
+        converged = relaxed.join(dist, Seq("node", "dist"), "left_anti").isEmpty
       dist = relaxed
       i += 1
     }
@@ -64,7 +66,8 @@ object ShortestPath {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k).drop("rn")
         .localCheckpoint(true)
-      converged = relaxed.join(dist, Seq("node", "dist"), "left_anti").isEmpty
+      if (i % 3 == 2 || i >= maxIter - 2)
+        converged = relaxed.join(dist, Seq("node", "dist"), "left_anti").isEmpty
       dist = relaxed
       i += 1
     }

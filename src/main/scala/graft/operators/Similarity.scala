@@ -12,19 +12,28 @@ import graft.functions.VectorFunctions._
   * Spark-first design: HNSW's pointer-chasing graph walk doesn't
   * distribute, so the scale path is partition-pruned brute force:
   *  - `bruteForceTopK`: query-set × corpus join, ranked per query.
-  *    The corpus side streams through whole-stage codegen; the (small)
-  *    query side is broadcast, so there is NO shuffle of the corpus —
-  *    only the per-query top-k aggregation shuffles k rows per query.
+  *    The corpus side streams through codegen; the (small) query side is
+  *    broadcast, so there is NO shuffle of the corpus — only the
+  *    per-query top-k aggregation shuffles k rows per query.
   *  - `ivfTopK`: IVF-style — restrict candidates to the query's coarse
-  *    cell (here: the `label` column as the quantizer cell id),
-  *    cutting compared pairs by the cell count. Real deployments would
-  *    k-means the corpus to build cells; the join/ranking shape is
-  *    identical.
+  *    cell (here: the `label` column as the quantizer cell id).
   *
-  * Quantized (`cosineQ`) scoring keeps rankings bit-reproducible across
-  * runs and engines (see VectorFunctions).
+  * Squared norms are computed once per row *before* the pair join (an
+  * O(n) pass instead of O(n²) recomputation); only the dot product runs
+  * per pair. Quantized (`cosineQ`-equivalent) scoring keeps rankings
+  * bit-reproducible across runs and engines.
   */
 object Similarity {
+
+  /** cosine from a per-pair dot and prejoined squared norms — identical
+    * arithmetic to VectorFunctions.cosineQ (exact ints, one double op
+    * chain), just with the norms hoisted out of the join.
+    */
+  private def cosFromParts(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("__nrm", normQ(col("qe")))
 
   /** Top-k neighbors per query by quantized cosine.
     * queries/corpus: (id, qe) with pre-quantized vectors.
@@ -32,32 +41,37 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    broadcast(queries.select(col("id").as("qid"), col("qe").as("qv")))
-      .join(corpus.select(col("id").as("nid"), col("qe").as("nv")),
-        col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosineQ(col("qv"), col("nv")).as("sim"))
+    val q = withNorm(queries).select(col("id").as("qid"), col("qe").as("qv"), col("__nrm").as("qn"))
+    val c = withNorm(corpus).select(col("id").as("nid"), col("qe").as("nv"), col("__nrm").as("nn"))
+    broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .drop("qv", "nv")
   }
 
   /** IVF-style top-k: candidates restricted to the query's cell. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    broadcast(queries.select(col("id").as("qid"), col("cell").as("qcell"), col("qe").as("qv")))
-      .join(corpus.select(col("id").as("nid"), col("cell"), col("qe").as("nv")),
-        col("qcell") === col("cell") && col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosineQ(col("qv"), col("nv")).as("sim"))
+    val q = withNorm(queries).select(col("id").as("qid"), col("cell").as("qcell"),
+      col("qe").as("qv"), col("__nrm").as("qn"))
+    val c = withNorm(corpus).select(col("id").as("nid"), col("cell"),
+      col("qe").as("nv"), col("__nrm").as("nn"))
+    broadcast(q).join(c, col("qcell") === col("cell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
   /** Near-duplicate pairs: same cell, quantized cosine above threshold. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val l = corpus.select(col("id").as("a"), col("cell"), col("qe").as("av"))
-    val r = corpus.select(col("id").as("b"), col("cell"), col("qe").as("bv"))
+    val n = withNorm(corpus)
+    val l = n.select(col("id").as("a"), col("cell"), col("qe").as("av"), col("__nrm").as("an"))
+    val r = n.select(col("id").as("b"), col("cell"), col("qe").as("bv"), col("__nrm").as("bn"))
     l.join(r, Seq("cell")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), cosineQ(col("av"), col("bv")).as("sim"))
+      .select(col("a"), col("b"),
+        cosFromParts(dotQ(col("av"), col("bv")), col("an"), col("bn")).as("sim"))
       .filter(col("sim") > threshold)
   }
 }
