@@ -21,7 +21,8 @@ object SparkEntry {
     (GraphQueries.queries, GraphQueries.oracles),
     (LlmQueries.queries, LlmQueries.oracles),
     (DqlQueries.queries, DqlQueries.oracles),
-    (MutationQueries.queries, MutationQueries.oracles)
+    (MutationQueries.queries, MutationQueries.oracles),
+    (SpecialQueries.queries, SpecialQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

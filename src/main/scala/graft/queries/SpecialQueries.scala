@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Uids
+import graft.functions.GeoFunctions._
+import graft.functions.PasswordFunctions._
+import Q._
+
+/** Remaining specials from SURVEY.md §2.2/§2.13 + export (§2.1): geo
+  * predicates, checkpwd, fulltext any/alloftext with stemming+stopwords,
+  * ngram match, @lang preference-chain resolution, JSON export.
+  *
+  * Geo coordinates are derived deterministically from customer keys
+  * (integer grid) since the dataset has no geo columns — both engines
+  * compute the identical grid, keeping predicates exact.
+  */
+object SpecialQueries {
+
+  // integer grid coords: cx in [0,7200), cy in [0,3400)
+  private def cx(k: Column): Column = (k * 7919) % 7200
+  private def cy(k: Column): Column = (k * 104729) % 3400
+  private val cxSql = "(c_custkey * 7919) % 7200"
+  private val cySql = "(c_custkey * 104729) % 3400"
+
+  /** Porter-lite stemmer shared by both engines: one suffix strip. */
+  private val stemRe = "(ing|ed|es|e|s)$"
+  private def stem(w: Column): Column = regexp_replace(w, stemRe, "")
+  private def stemS(w: String): String =
+    w.replaceAll(stemRe, "")
+
+  private val ftStops = graft.functions.TextFunctions.enStops
+
+  /** Character trigrams of a literal query (computed once, driver-side —
+    * this mirrors the reference tokenizing the query constant).
+    */
+  private def charNgrams(s: String, n: Int = 3): Seq[String] =
+    s.sliding(n).toSeq.distinct
+
+  val queries: Map[String, QFn] = Map(
+
+    // ---- geo (types/geofilter.go semantics on the integer grid) ----
+    "geo_near" -> ((s, d) => {
+      val k = col("c_custkey")
+      t(s, d, "customer")
+        .select(k, cx(k).as("x"), cy(k).as("y"))
+        .filter(planarNear(col("x"), col("y"), 3600, 1700, 640000))
+        .orderBy(k)
+    }),
+
+    "geo_within" -> ((s, d) => {
+      val k = col("c_custkey")
+      t(s, d, "customer")
+        .select(k, cx(k).as("x"), cy(k).as("y"))
+        .filter(pointInConvexPoly(col("x"), col("y"),
+          Seq((0L, 0L), (7200L, 0L), (3600L, 3400L))))
+        .orderBy(k)
+    }),
+
+    "geo_intersects" -> ((s, d) => {
+      val k = col("c_custkey")
+      t(s, d, "customer")
+        .select(k, cx(k).as("x"), cy(k).as("y"))
+        .filter(bboxIntersects(col("x") - 100, col("y") - 100,
+          col("x") + 100, col("y") + 100, 3000, 1500, 4200, 1900))
+        .orderBy(k)
+    }),
+
+    // ---- checkpwd (worker/task.go:255) ----
+    "checkpwd_fn" -> ((s, d) => {
+      val salt = concat(lit("s"), (col("c_custkey") % 10).cast("string"))
+      val truePw = concat(lit("pw_"), col("c_custkey").cast("string"))
+      val stored = passwordHash(salt, truePw)
+      val candidate = when(col("c_custkey") % 2 === 0, truePw).otherwise(lit("wrong"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), checkpwd(stored, salt, candidate).as("ok"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- fulltext: stem + stopword-drop + token match (tok/tok.go:558) ----
+    "fulltext_anyoftext" -> ((s, d) => {
+      val qStems = "filters merges sorting".split(" ").map(stemS).distinct
+      val docStems = array_distinct(transform(
+        filter(split(col("text"), " "), w => !w.isin(ftStops.map(lit(_)): _*)),
+        w => stem(w)))
+      t(s, d, "documents")
+        .filter(arrays_overlap(docStems, array(qStems.map(lit(_)): _*)))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "fulltext_alloftext" -> ((s, d) => {
+      val qStems = "filters merges sorting".split(" ").map(stemS).distinct
+      val docStems = array_distinct(transform(
+        filter(split(col("text"), " "), w => !w.isin(ftStops.map(lit(_)): _*)),
+        w => stem(w)))
+      t(s, d, "documents")
+        .filter(forall(array(qStems.map(lit(_)): _*),
+          q => array_contains(docStems, q)))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ---- ngram(p, s): all query char-trigrams occur (tok/tok.go:522) ----
+    "ngram_match" -> ((s, d) => {
+      val grams = charNgrams("old wid")
+      t(s, d, "part")
+        .filter(grams.map(g => col("p_name").contains(g)).reduce(_ && _))
+        .select(col("p_partkey"), col("p_name")).orderBy(col("p_partkey"))
+    }),
+
+    // ---- @lang preference chain (posting/list.go:2067 ValueFor):
+    // chain = ["en", untagged, any] over a derived multi-variant corpus
+    "lang_resolve" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val tagged = doc.select(col("doc_id"), col("text").as("value"), col("lang"))
+      val untagged = doc.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          concat(lit("untagged:"), substring(col("text"), 1, 20)).as("value"),
+          lit(null).cast("string").as("lang"))
+      tagged.unionByName(untagged)
+        .groupBy(col("doc_id"))
+        .agg(
+          max(when(col("lang") === "en", col("value"))).as("__en"),
+          max(when(col("lang").isNull, col("value"))).as("__untagged"),
+          min(col("value")).as("__any"))
+        .select(col("doc_id"),
+          coalesce(col("__en"), col("__untagged"), col("__any")).as("resolved"),
+          when(col("__en").isNotNull, lit("en"))
+            .when(col("__untagged").isNotNull, lit("."))
+            .otherwise(lit("*")).as("matched"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- JSON export (worker/export.go:216 JSON branch) ----
+    "export_json" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      n.select(
+        (lit(Uids.Nation) + col("n_nationkey").cast("long")).as("uid"),
+        col("n_name").as("name"),
+        (lit(Uids.Region) + col("n_regionkey").cast("long")).as("in_region"))
+        .select(col("uid"), to_json(struct(col("uid"), col("name"), col("in_region"))).as("j"))
+        .orderBy(col("uid"))
+    })
+  )
+
+  private val qStemsSql = "['filter', 'merg', 'sort']"
+  private val stopsSql = ftStops.map(w => s"'$w'").mkString(", ")
+  private val docStemsSql =
+    s"""list_distinct(list_transform(
+       | list_filter(string_split(text, ' '), w -> NOT list_contains([$stopsSql], w)),
+       | w -> regexp_replace(w, '(ing|ed|es|e|s)$$', '')))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "geo_near" ->
+      s"""SELECT c_custkey, $cxSql AS x, $cySql AS y FROM customer
+         |WHERE ($cxSql - 3600) * ($cxSql - 3600) + ($cySql - 1700) * ($cySql - 1700) < 640000
+         |ORDER BY c_custkey""".stripMargin,
+
+    "geo_within" ->
+      s"""SELECT c_custkey, x, y FROM (
+         | SELECT c_custkey, $cxSql AS x, $cySql AS y FROM customer)
+         |WHERE (7200 - 0) * (y - 0) - (0 - 0) * (x - 0) >= 0
+         |  AND (3600 - 7200) * (y - 0) - (3400 - 0) * (x - 7200) >= 0
+         |  AND (0 - 3600) * (y - 3400) - (0 - 3400) * (x - 3600) >= 0
+         |ORDER BY c_custkey""".stripMargin,
+
+    "geo_intersects" ->
+      s"""SELECT c_custkey, x, y FROM (
+         | SELECT c_custkey, $cxSql AS x, $cySql AS y FROM customer)
+         |WHERE x - 100 <= 4200 AND x + 100 >= 3000 AND y - 100 <= 1900 AND y + 100 >= 1500
+         |ORDER BY c_custkey""".stripMargin,
+
+    "checkpwd_fn" ->
+      """SELECT c_custkey,
+        | (sha256('s' || CAST(c_custkey % 10 AS VARCHAR) || ':' ||
+        |   sha256('s' || CAST(c_custkey % 10 AS VARCHAR) || ':' ||
+        |     ('pw_' || CAST(c_custkey AS VARCHAR))))
+        |  =
+        |  sha256('s' || CAST(c_custkey % 10 AS VARCHAR) || ':' ||
+        |   sha256('s' || CAST(c_custkey % 10 AS VARCHAR) || ':' ||
+        |     (CASE WHEN c_custkey % 2 = 0 THEN 'pw_' || CAST(c_custkey AS VARCHAR)
+        |           ELSE 'wrong' END)))) AS ok
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fulltext_anyoftext" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE list_has_any($docStemsSql, $qStemsSql)
+         |ORDER BY doc_id""".stripMargin,
+
+    "fulltext_alloftext" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE list_has_all($docStemsSql, $qStemsSql)
+         |ORDER BY doc_id""".stripMargin,
+
+    "ngram_match" -> {
+      val grams = charNgrams("old wid")
+      val conds = grams.map(g => s"strpos(p_name, '$g') > 0").mkString(" AND ")
+      s"SELECT p_partkey, p_name FROM part WHERE $conds ORDER BY p_partkey"
+    },
+
+    "lang_resolve" ->
+      """SELECT doc_id,
+        | COALESCE(en_v, untag_v, any_v) AS resolved,
+        | CASE WHEN en_v IS NOT NULL THEN 'en'
+        |      WHEN untag_v IS NOT NULL THEN '.' ELSE '*' END AS matched
+        |FROM (
+        | SELECT doc_id,
+        |  MAX(CASE WHEN lang = 'en' THEN value END) AS en_v,
+        |  MAX(CASE WHEN lang IS NULL THEN value END) AS untag_v,
+        |  MIN(value) AS any_v
+        | FROM (
+        |  SELECT doc_id, text AS value, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'untagged:' || substr(text, 1, 20), NULL
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        | GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "export_json" ->
+      s"""SELECT ${Uids.Nation} + n_nationkey AS uid,
+         | '{"uid":' || CAST(${Uids.Nation} + n_nationkey AS VARCHAR) ||
+         | ',"name":"' || n_name || '","in_region":' ||
+         | CAST(${Uids.Region} + n_regionkey AS VARCHAR) || '}' AS j
+         |FROM nation ORDER BY uid""".stripMargin
+  )
+}
