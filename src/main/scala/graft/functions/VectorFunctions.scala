@@ -25,13 +25,16 @@ object VectorFunctions {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd expression (see plans.DotProductLong); identical math to
+    * the higher-order `aggregate(zip_with(...))` fold it replaces.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.DotProductLong(a, b)
 
   /** Exact integer squared norm. */
   def normQ(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+    graft.plans.DotProductLong(a, a)
 
   /** Deterministic cosine over quantized vectors: exact int dot/norms,
     * one double division at the end (same op order as the oracle SQL).
