@@ -33,8 +33,14 @@ final case class Selection(
     filter: Option[FilterNode] = None,
     order: Seq[Ordering] = Nil,
     page: Pagination = Pagination(),
-    children: Seq[Selection] = Nil) {
-  def outName: String = alias.getOrElse(if (isCount) s"count_$pred" else pred)
+    children: Seq[Selection] = Nil,
+    varName: Option[String] = None,   // `x as pred` binding
+    valRef: Option[String] = None,    // `val(x)` reference
+    aggOp: Option[String] = None) {   // min/max/sum/avg over val(x)
+  def outName: String = alias.getOrElse(
+    if (isCount) s"count_$pred"
+    else valRef.map(v => aggOp.map(op => s"${op}_$v").getOrElse(s"val_$v"))
+      .getOrElse(pred))
 }
 
 final case class RecurseArgs(depth: Int, loop: Boolean)

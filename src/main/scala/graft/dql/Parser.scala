@@ -59,8 +59,8 @@ object Parser {
         expect(":")
         key match {
           case "func" => func = Some(parseFunc())
-          case "orderasc" => order :+= Ordering(ident(), desc = false)
-          case "orderdesc" => order :+= Ordering(ident(), desc = true)
+          case "orderasc" => order :+= Ordering(orderTarget(), desc = false)
+          case "orderdesc" => order :+= Ordering(orderTarget(), desc = true)
           case "first" => page = page.copy(first = Some(intLit()))
           case "offset" => page = page.copy(offset = Some(intLit()))
           case "after" => page = page.copy(after = Some(uidLit()))
@@ -121,6 +121,24 @@ object Parser {
         if (peek == Punct("~")) { next(); reverse = true }
         name = ident()
       }
+      // `x as pred` value/uid variable binding (reference v as p)
+      var varName: Option[String] = None
+      if (peek == Ident("as")) {
+        next(); varName = Some(name); name = ident()
+      }
+      // min/max/sum/avg(val(x)) block-level aggregation over a variable
+      if (Set("min", "max", "sum", "avg").contains(name) && peek == Punct("(")) {
+        next()
+        if (peek == Ident("val")) {
+          next(); expect("("); val v = ident(); expect(")"); expect(")")
+          return Selection(alias, name, valRef = Some(v), aggOp = Some(name))
+        } else fail(s"expected val(var) inside $name(...)")
+      }
+      // val(x) leaf reference
+      if (name == "val" && peek == Punct("(")) {
+        next(); val v = ident(); expect(")")
+        return Selection(alias, "val", varName = varName, valRef = Some(v))
+      }
       if (name == "count" && peek == Punct("(")) {
         next()
         var rev = false
@@ -145,8 +163,8 @@ object Parser {
           first = false
           val k = ident(); expect(":")
           k match {
-            case "orderasc" => order :+= Ordering(ident(), desc = false)
-            case "orderdesc" => order :+= Ordering(ident(), desc = true)
+            case "orderasc" => order :+= Ordering(orderTarget(), desc = false)
+            case "orderdesc" => order :+= Ordering(orderTarget(), desc = true)
             case "first" => page = page.copy(first = Some(intLit()))
             case "offset" => page = page.copy(offset = Some(intLit()))
             case "after" => page = page.copy(after = Some(uidLit()))
@@ -165,7 +183,8 @@ object Parser {
       }
       val children =
         if (peek == Punct("{")) parseSelectionSet() else Nil
-      Selection(alias, name, reverse, isCount = false, filter, order, page, children)
+      Selection(alias, name, reverse, isCount = false, filter, order, page,
+        children, varName = varName)
     }
 
     // filter precedence: OR < AND < NOT (dql/parser.go:183-187)
@@ -206,18 +225,28 @@ object Parser {
         expect(")")
         return FuncCall("uid", "", uids)
       }
-      // eq(count(p), n) form
+      // eq(count(p), n) and eq(val(x), v) forms
       var pred = ""
       var countArg = false
       peek match {
         case Ident("count") if fname != "count" =>
           next(); expect("("); pred = ident(); expect(")"); countArg = true
+        case Ident("val") if fname != "val" =>
+          next(); expect("("); pred = "val:" + ident(); expect(")")
         case _ => pred = ident()
       }
       var args = Vector.empty[String]
       while (peek == Punct(",")) { next(); args :+= litString() }
       expect(")")
       FuncCall(if (countArg) s"${fname}_count" else fname, pred, args)
+    }
+
+    /** order target: plain predicate or val(x) -> "val:x". */
+    private def orderTarget(): String = {
+      val p = ident()
+      if (p == "val" && peek == Punct("(")) {
+        next(); val v = ident(); expect(")"); "val:" + v
+      } else p
     }
 
     private def litString(): String = next() match {

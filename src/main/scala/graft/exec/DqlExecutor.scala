@@ -29,7 +29,23 @@ final class DqlExecutor(ts: TripleStore) {
 
   private val schema = ts.schema
 
-  def flat(query: String): DataFrame = flatBlock(Parser.parse(query).blocks.head)
+  /** Variable registry (reference per-request var map,
+    * query/query.go:1806 fillVars): uid vars are DF("uid"), value vars
+    * DF("uid", "value"). Blocks execute in written order; a var bound in
+    * an earlier block is visible to later ones.
+    */
+  private val vars = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+  /** Execute all blocks in order; return the last non-`var` block. */
+  def flat(query: String): DataFrame = {
+    var result: DataFrame = null
+    Parser.parse(query).blocks.foreach { b =>
+      val df = flatBlock(b)
+      if (b.name != "var") result = df
+    }
+    require(result != null, "query has no result block")
+    result
+  }
 
   /** Execute every block; returns (blockName → flattened DataFrame). */
   def flatAll(query: String): Map[String, DataFrame] =
@@ -51,6 +67,9 @@ final class DqlExecutor(ts: TripleStore) {
         }.reduce(_ unionByName _)
         Recurse.expand(frontier.select(col("uid").as("start")), edges,
           r.depth, r.loop)
+      case None if b.selections.exists(sel =>
+          sel.aggOp.isDefined || (sel.isCount && sel.pred == "uid")) =>
+        aggregateBlock(frontier, b)
       case None =>
         val paged =
           if (b.cascade) frontier // paginate after cascade pruning (below)
@@ -74,7 +93,31 @@ final class DqlExecutor(ts: TripleStore) {
     */
   private def seed(fn: FuncCall): DataFrame = fn.name match {
     case "uid" =>
-      fn.args.map(parseUid).toDF("uid")
+      // uid(x, 0x2, ...): mix of bound variables and literal uids
+      // (reference uid(v1, v2) union semantics, query/query.go:2178)
+      val (varRefs, lits) = fn.args.partition(vars.contains)
+      lits.find(a => !a.matches("(0x[0-9a-fA-F]+|\\d+)")).foreach { bad =>
+        throw new IllegalArgumentException(
+          s"uid($bad): not a literal uid and no variable '$bad' is bound " +
+            s"(bound: ${vars.keys.mkString(", ")})")
+      }
+      val dfs = varRefs.map(v => vars(v).select(col("uid"))) ++
+        (if (lits.nonEmpty) Seq(lits.map(parseUid).toDF("uid")) else Nil)
+      require(dfs.nonEmpty, s"uid() with no resolvable args: ${fn.args}")
+      dfs.reduce(_ unionByName _).distinct()
+    case n if fn.pred.startsWith("val:") =>
+      // compare against a value variable (applyIneqFunc, query/query.go:1931)
+      val v = vars(fn.pred.drop(4))
+      val litC = lit(fn.args.head).cast(v.schema("value").dataType)
+      val cmp: Column = n match {
+        case "eq" => col("value") === litC
+        case "le" => col("value") <= litC
+        case "lt" => col("value") < litC
+        case "ge" => col("value") >= litC
+        case "gt" => col("value") > litC
+        case o => throw new IllegalArgumentException(s"unsupported val fn $o")
+      }
+      v.filter(cmp).select(col("uid"))
     case "type" =>
       ts.nodeTypes.filter(col("typeName") === fn.pred).select(col("subject").as("uid"))
     case "has" =>
@@ -164,6 +207,12 @@ final class DqlExecutor(ts: TripleStore) {
     * ascending is the final tiebreak (reference results are uid-sorted,
     * algo/uidlist.go invariants).
     */
+  /** Ordering source: an attribute tablet or a bound value variable. */
+  private def orderAttr(pred: String): DataFrame =
+    if (pred.startsWith("val:"))
+      vars(pred.drop(4)).select(col("uid").as("subject"), col("value"))
+    else ts.attr(pred)
+
   private def orderAndPage(df: DataFrame, uidCol: String,
       order: Seq[Ordering], page: Pagination): DataFrame = {
     var cur = df
@@ -171,7 +220,7 @@ final class DqlExecutor(ts: TripleStore) {
     val needSort = order.nonEmpty || page.first.isDefined || page.offset.isDefined
     if (!needSort) return cur
     val ordCols = order.zipWithIndex.map { case (o, i) =>
-      val a = ts.attr(o.pred).select(col("subject").as(s"__os$i"), col("value").as(s"__ov$i"))
+      val a = orderAttr(o.pred).select(col("subject").as(s"__os$i"), col("value").as(s"__ov$i"))
       cur = cur.join(a, col(uidCol) === col(s"__os$i"), "left").drop(s"__os$i")
       if (o.desc) col(s"__ov$i").desc_nulls_last else col(s"__ov$i").asc_nulls_last
     } :+ col(uidCol).asc
@@ -189,7 +238,11 @@ final class DqlExecutor(ts: TripleStore) {
     var cur = df
     sels.foreach { sel =>
       val name = prefix + sel.outName
-      if (sel.pred == "uid") {
+      if (sel.pred == "val" && sel.valRef.isDefined) {
+        val v = vars(sel.valRef.get)
+          .select(col("uid").as("__vs"), col("value").as(name))
+        cur = cur.join(v, col(uidCol) === col("__vs"), joinType).drop("__vs")
+      } else if (sel.pred == "uid") {
         // uid is implicit (the frontier column itself)
       } else if (sel.pred.startsWith("expand(")) {
         cur = expandAll(cur, uidCol, joinType, prefix)
@@ -201,10 +254,19 @@ final class DqlExecutor(ts: TripleStore) {
         if (!cascade) cur = cur.withColumn(name, coalesce(col(name), lit(0L)))
       } else if (schema.isUidPredicate(sel.pred) || sel.reverse) {
         cur = traverse(cur, uidCol, sel, name, cascade)
+        // uid variable: the traversal's target frontier (f as friend)
+        sel.varName.foreach { v =>
+          vars(v) = cur.select(col(name).as("uid")).filter(col("uid").isNotNull).distinct()
+        }
       } else {
         val a = ts.attr(sel.pred)
           .select(col("subject").as("__as"), col("value").as(name))
         cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
+        // value variable: per-uid value map (x as age)
+        sel.varName.foreach { v =>
+          vars(v) = cur.select(col(uidCol).as("uid"), col(name).as("value"))
+            .filter(col("value").isNotNull).distinct()
+        }
       }
     }
     cur
@@ -228,7 +290,7 @@ final class DqlExecutor(ts: TripleStore) {
       sel.page.offset.isDefined
     if (needWindow) {
       val ordCols = sel.order.zipWithIndex.map { case (o, i) =>
-        val a = ts.attr(o.pred).select(col("subject").as(s"__ws$i"), col("value").as(s"__wv$i"))
+        val a = orderAttr(o.pred).select(col("subject").as(s"__ws$i"), col("value").as(s"__wv$i"))
         cur = cur.join(a, col(name) === col(s"__ws$i"), "left").drop(s"__ws$i")
         if (o.desc) col(s"__wv$i").desc_nulls_last else col(s"__wv$i").asc_nulls_last
       } :+ col(name).asc
@@ -262,6 +324,35 @@ final class DqlExecutor(ts: TripleStore) {
       cur = cur.join(a, col(uidCol) === col("__xs"), joinType).drop("__xs")
     }
     cur
+  }
+
+  /** Block-level aggregation over variables (reference evalLevelAgg,
+    * query/query.go:1042): sum/avg go through exact decimal sums so the
+    * result is partitioning-independent.
+    */
+  private def aggregateBlock(frontier: DataFrame, b: QueryBlock): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    var joined = frontier // col "uid"
+    val refs = b.selections.flatMap(_.valRef).distinct
+    refs.foreach { v =>
+      joined = joined.join(
+        vars(v).select(col("uid"), col("value").as(s"__v_$v")), Seq("uid"), "left")
+    }
+    val aggCols = b.selections.map { sel =>
+      if (sel.isCount && sel.pred == "uid") count(col("uid")).as(sel.outName)
+      else {
+        val c = col(s"__v_${sel.valRef.get}")
+        sel.aggOp.get match {
+          case "min" => min(c).as(sel.outName)
+          case "max" => max(c).as(sel.outName)
+          case "sum" => sum(c.cast(dec)).cast("double").as(sel.outName)
+          case "avg" => (sum(c.cast(dec)).cast("double") /
+            count(c).cast("double")).as(sel.outName)
+        }
+      }
+    }
+    joined.agg(aggCols.head, aggCols.tail: _*)
   }
 
   // ---- nested JSON output (reference outputnode.go ToJson shape) ----

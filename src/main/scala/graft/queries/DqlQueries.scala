@@ -55,7 +55,28 @@ object DqlQueries {
 
     "dql_expand" -> ((s, d) =>
       dql("""{ q(func: eq(brand, "Brand#12")) { expand(_all_) } }""")(s, d)
-        .orderBy(col("uid")))
+        .orderBy(col("uid"))),
+
+    // uid variable bound in a var block, consumed via uid(x)
+    "dql_var_uid" -> ((s, d) =>
+      dql("""{ var(func: eq(mktsegment, "BUILDING")) {
+            |    big as placed @filter(ge(totalprice, 300000)) }
+            |  q(func: uid(big)) { orderstatus totalprice } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    // value variable: val() root compare, val ordering, val leaf
+    "dql_var_val" -> ((s, d) =>
+      dql("""{ var(func: type(Order)) { tp as totalprice }
+            |  q(func: ge(val(tp), 400000), orderdesc: val(tp), first: 10) {
+            |    orderstatus v: val(tp) } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    // block-level aggregation over a value variable
+    "dql_var_agg" -> ((s, d) =>
+      dql("""{ var(func: eq(mktsegment, "BUILDING")) { bal as acctbal }
+            |  stats(func: uid(bal)) {
+            |    n: count(uid) tot: sum(val(bal)) mn: min(val(bal))
+            |    mx: max(val(bal)) av: avg(val(bal)) } }""".stripMargin)(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,6 +136,27 @@ object DqlQueries {
     "dql_expand" ->
       s"""SELECT ${Uids.Part} + p_partkey AS uid, p_name AS name, p_brand AS brand,
          | p_type AS ptype, CAST(p_size AS BIGINT) AS size, p_retailprice AS retailprice
-         |FROM part WHERE p_brand = 'Brand#12' ORDER BY uid""".stripMargin
+         |FROM part WHERE p_brand = 'Brand#12' ORDER BY uid""".stripMargin,
+
+    "dql_var_uid" ->
+      s"""SELECT DISTINCT $OB + o_orderkey AS uid, o_orderstatus AS orderstatus,
+         | o_totalprice AS totalprice
+         |FROM orders JOIN customer ON c_custkey = o_custkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice >= 300000
+         |ORDER BY uid""".stripMargin,
+
+    "dql_var_val" ->
+      s"""SELECT uid, orderstatus, v FROM (
+         | SELECT $OB + o_orderkey AS uid, o_orderstatus AS orderstatus,
+         |  o_totalprice AS v,
+         |  ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, $OB + o_orderkey ASC) AS rn
+         | FROM orders WHERE o_totalprice >= 400000)
+         |WHERE rn <= 10 ORDER BY uid""".stripMargin,
+
+    "dql_var_agg" ->
+      s"""SELECT COUNT(*) AS n, ${Q.sqlDsum("c_acctbal")} AS tot,
+         | MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
+         | ${Q.sqlDavg("c_acctbal")} AS av
+         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
   )
 }
