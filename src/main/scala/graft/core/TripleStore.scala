@@ -199,6 +199,14 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
       lit("embedding").as("predicate"),
       col("embedding").as("value"))
 
+  /** Facet keys and their value types per edge predicate (reference
+    * facet metadata, types/facets/facet_types.go:21). Facet values live
+    * as strings in the edge map; these types drive comparisons/ordering.
+    */
+  val facetKeys: Map[String, Seq[(String, String)]] = Map(
+    "placed" -> Seq("orderdate" -> "string", "totalprice" -> "double"),
+    "has_line" -> Seq("quantity" -> "long", "discount" -> "double"))
+
   val schema: SchemaRegistry = SchemaRegistry.tpch
 
   /** Typed attribute view for one predicate (the "tablet"). */

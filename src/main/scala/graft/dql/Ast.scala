@@ -36,7 +36,10 @@ final case class Selection(
     children: Seq[Selection] = Nil,
     varName: Option[String] = None,   // `x as pred` binding
     valRef: Option[String] = None,    // `val(x)` reference
-    aggOp: Option[String] = None) {   // min/max/sum/avg over val(x)
+    aggOp: Option[String] = None,     // min/max/sum/avg over val(x)
+    facetFetch: Boolean = false,          // @facets
+    facetFilter: Option[FuncCall] = None, // @facets(eq(k, v))
+    facetOrder: Option[Ordering] = None) { // @facets(orderasc: k)
   def outName: String = alias.getOrElse(
     if (isCount) s"count_$pred"
     else valRef.map(v => aggOp.map(op => s"${op}_$v").getOrElse(s"val_$v"))

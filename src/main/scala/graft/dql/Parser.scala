@@ -174,17 +174,40 @@ object Parser {
         expect(")")
       }
       var filter: Option[FilterNode] = None
+      var facetFetch = false
+      var facetFilter: Option[FuncCall] = None
+      var facetOrder: Option[Ordering] = None
       while (peek == Punct("@")) {
         next()
         ident() match {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
+          case "facets" =>
+            // @facets | @facets(eq(k, v)) | @facets(orderasc/desc: k)
+            if (peek == Punct("(")) {
+              next()
+              val head = ident()
+              head match {
+                case "orderasc" | "orderdesc" =>
+                  expect(":")
+                  facetOrder = Some(Ordering(ident(), desc = head == "orderdesc"))
+                case fn =>
+                  expect("(")
+                  val k = ident()
+                  var args = Vector.empty[String]
+                  while (peek == Punct(",")) { next(); args :+= litString() }
+                  expect(")")
+                  facetFilter = Some(FuncCall(fn, k, args))
+              }
+              expect(")")
+            } else facetFetch = true
           case o => fail(s"unsupported selection directive @$o")
         }
       }
       val children =
         if (peek == Punct("{")) parseSelectionSet() else Nil
       Selection(alias, name, reverse, isCount = false, filter, order, page,
-        children, varName = varName)
+        children, varName = varName, facetFetch = facetFetch,
+        facetFilter = facetFilter, facetOrder = facetOrder)
     }
 
     // filter precedence: OR < AND < NOT (dql/parser.go:183-187)

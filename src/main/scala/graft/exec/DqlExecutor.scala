@@ -280,20 +280,44 @@ final class DqlExecutor(ts: TripleStore) {
       name: String, cascade: Boolean): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
-    var child = src.select(col("subject").as("__es"), col("object").as(name))
+    val needFacets = sel.facetFetch || sel.facetFilter.isDefined ||
+      sel.facetOrder.isDefined
+    val baseCols = Seq(col("subject").as("__es"), col("object").as(name)) ++
+      (if (needFacets) Seq(col("facets").as("__fc")) else Nil)
+    var child = src.select(baseCols: _*)
     sel.filter.foreach { f => child = applyFilter(child, name, f) }
+    // @facets(eq(k, v)): predicate over the edge's facet map
+    // (reference applyFacetsTree, worker/task.go:675)
+    sel.facetFilter.foreach { ff =>
+      val v = facetValue(sel.pred, ff.pred)
+      val litC = lit(ff.args.head).cast(facetType(sel.pred, ff.pred))
+      child = child.filter(ff.name match {
+        case "eq" => v === litC
+        case "le" => v <= litC
+        case "lt" => v < litC
+        case "ge" => v >= litC
+        case "gt" => v > litC
+        case o => throw new IllegalArgumentException(s"unsupported facet fn $o")
+      })
+    }
     sel.page.after.foreach(a => child = child.filter(col(name) > a))
 
     var cur = df.join(child, col(uidCol) === col("__es"), joinType).drop("__es")
 
-    val needWindow = sel.order.nonEmpty || sel.page.first.isDefined ||
-      sel.page.offset.isDefined
+    val needWindow = sel.order.nonEmpty || sel.facetOrder.isDefined ||
+      sel.page.first.isDefined || sel.page.offset.isDefined
     if (needWindow) {
+      // @facets(orderasc: k) sorts the adjacency by edge facet
+      // (reference sortAndPaginateUsingFacet, query/query.go:2611)
+      val facetOrd = sel.facetOrder.map { o =>
+        val v = facetValue(sel.pred, o.pred)
+        if (o.desc) v.desc_nulls_last else v.asc_nulls_last
+      }
       val ordCols = sel.order.zipWithIndex.map { case (o, i) =>
         val a = orderAttr(o.pred).select(col("subject").as(s"__ws$i"), col("value").as(s"__wv$i"))
         cur = cur.join(a, col(name) === col(s"__ws$i"), "left").drop(s"__ws$i")
         if (o.desc) col(s"__wv$i").desc_nulls_last else col(s"__wv$i").asc_nulls_last
-      } :+ col(name).asc
+      } ++ facetOrd :+ col(name).asc
       val w = Window.partitionBy(col(uidCol)).orderBy(ordCols: _*)
       cur = cur.withColumn("__rn", row_number().over(w))
       val lo = sel.page.offset.getOrElse(0)
@@ -301,10 +325,26 @@ final class DqlExecutor(ts: TripleStore) {
       cur = cur.filter(col(name).isNull || (col("__rn") > lo && col("__rn") <= hi))
         .drop("__rn").drop(sel.order.indices.map(i => s"__wv$i"): _*)
     }
+    // @facets fetch: one `<pred>_f_<key>` column per declared facet key
+    // (reference output keys `pred|facet`, outputnode.go)
+    if (sel.facetFetch)
+      ts.facetKeys.getOrElse(sel.pred, Nil).foreach { case (k, _) =>
+        cur = cur.withColumn(s"${name}_f_$k", element_at(col("__fc"), k))
+      }
+    if (needFacets) cur = cur.drop("__fc")
     if (sel.children.nonEmpty)
       cur = project(cur, name, sel.children, cascade, s"${name}_")
     cur
   }
+
+  private def facetType(pred: String, key: String): String =
+    ts.facetKeys.getOrElse(pred, Nil).collectFirst {
+      case (k, t) if k == key => t
+    }.getOrElse("string")
+
+  /** Typed facet value from the edge map column `__fc`. */
+  private def facetValue(pred: String, key: String): Column =
+    element_at(col("__fc"), key).cast(facetType(pred, key))
 
   /** expand(_all_): look up the frontier's node types in the schema
     * registry and emit one scalar leaf per predicate (reference

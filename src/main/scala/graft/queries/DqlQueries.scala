@@ -76,7 +76,25 @@ object DqlQueries {
       dql("""{ var(func: eq(mktsegment, "BUILDING")) { bal as acctbal }
             |  stats(func: uid(bal)) {
             |    n: count(uid) tot: sum(val(bal)) mn: min(val(bal))
-            |    mx: max(val(bal)) av: avg(val(bal)) } }""".stripMargin)(s, d))
+            |    mx: max(val(bal)) av: avg(val(bal)) } }""".stripMargin)(s, d)),
+
+    // @facets fetch: edge metadata as pred_f_key columns
+    "dql_facets_fetch" -> ((s, d) =>
+      dql("""{ q(func: eq(mktsegment, "BUILDING")) @cascade {
+            |    placed @facets { orderstatus } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"), col("placed"))),
+
+    // @facets(gt(quantity, 45)): filter edges by facet value
+    "dql_facets_filter" -> ((s, d) =>
+      dql("""{ q(func: type(Order)) @cascade {
+            |    has_line @facets(gt(quantity, 45)) { returnflag } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"), col("has_line"))),
+
+    // @facets(orderdesc: totalprice) + first: 2 per parent
+    "dql_facets_order" -> ((s, d) =>
+      dql("""{ q(func: eq(mktsegment, "BUILDING")) @cascade {
+            |    placed (first: 2) @facets(orderdesc: totalprice) } }""".stripMargin)(s, d)
+        .orderBy(col("uid"), col("placed")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,6 +175,31 @@ object DqlQueries {
       s"""SELECT COUNT(*) AS n, ${Q.sqlDsum("c_acctbal")} AS tot,
          | MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
          | ${Q.sqlDavg("c_acctbal")} AS av
-         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
+         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "dql_facets_fetch" ->
+      s"""SELECT $CB + o_custkey AS uid, $OB + o_orderkey AS placed,
+         | o_orderstatus AS placed_orderstatus,
+         | strftime(o_orderdate, '%Y-%m-%d') AS placed_f_orderdate,
+         | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS placed_f_totalprice
+         |FROM orders JOIN customer ON c_custkey = o_custkey
+         |WHERE c_mktsegment = 'BUILDING' ORDER BY uid, placed""".stripMargin,
+
+    "dql_facets_filter" ->
+      s"""WITH lineu AS (${Q.lineUidSql})
+         |SELECT $OB + l_orderkey AS uid, line_uid AS has_line,
+         | l_returnflag AS has_line_returnflag
+         |FROM lineu WHERE CAST(l_quantity AS BIGINT) > 45
+         |ORDER BY uid, has_line""".stripMargin,
+
+    "dql_facets_order" ->
+      s"""SELECT uid, placed FROM (
+         | SELECT $CB + o_custkey AS uid, $OB + o_orderkey AS placed,
+         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+         |             $OB + o_orderkey ASC) AS rn
+         | FROM orders JOIN customer ON c_custkey = o_custkey
+         | WHERE c_mktsegment = 'BUILDING')
+         |WHERE rn <= 2 ORDER BY uid, placed""".stripMargin
   )
 }
