@@ -39,12 +39,20 @@ final case class Selection(
     aggOp: Option[String] = None,     // min/max/sum/avg over val(x)
     facetFetch: Boolean = false,          // @facets
     facetFilter: Option[FuncCall] = None, // @facets(eq(k, v))
-    facetOrder: Option[Ordering] = None) { // @facets(orderasc: k)
+    facetOrder: Option[Ordering] = None,  // @facets(orderasc: k)
+    groupby: Option[String] = None,       // @groupby(p)
+    mathExpr: Option[MathNode] = None) {  // x as math(...)
   def outName: String = alias.getOrElse(
     if (isCount) s"count_$pred"
     else valRef.map(v => aggOp.map(op => s"${op}_$v").getOrElse(s"val_$v"))
       .getOrElse(pred))
 }
+
+/** math(...) expression tree (reference dql/math.go). */
+sealed trait MathNode
+final case class MathNum(v: Double) extends MathNode
+final case class MathRef(name: String) extends MathNode
+final case class MathBin(op: String, l: MathNode, r: MathNode) extends MathNode
 
 final case class RecurseArgs(depth: Int, loop: Boolean)
 

@@ -126,6 +126,13 @@ object Parser {
       if (peek == Ident("as")) {
         next(); varName = Some(name); name = ident()
       }
+      // x as math(expr): arithmetic over value variables (dql/math.go)
+      if (name == "math" && peek == Punct("(")) {
+        next()
+        val m = parseMathAdd()
+        expect(")")
+        return Selection(alias, "math", varName = varName, mathExpr = Some(m))
+      }
       // min/max/sum/avg(val(x)) block-level aggregation over a variable
       if (Set("min", "max", "sum", "avg").contains(name) && peek == Punct("(")) {
         next()
@@ -177,10 +184,12 @@ object Parser {
       var facetFetch = false
       var facetFilter: Option[FuncCall] = None
       var facetOrder: Option[Ordering] = None
+      var groupby: Option[String] = None
       while (peek == Punct("@")) {
         next()
         ident() match {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
+          case "groupby" => expect("("); groupby = Some(ident()); expect(")")
           case "facets" =>
             // @facets | @facets(eq(k, v)) | @facets(orderasc/desc: k)
             if (peek == Punct("(")) {
@@ -207,7 +216,7 @@ object Parser {
         if (peek == Punct("{")) parseSelectionSet() else Nil
       Selection(alias, name, reverse, isCount = false, filter, order, page,
         children, varName = varName, facetFetch = facetFetch,
-        facetFilter = facetFilter, facetOrder = facetOrder)
+        facetFilter = facetFilter, facetOrder = facetOrder, groupby = groupby)
     }
 
     // filter precedence: OR < AND < NOT (dql/parser.go:183-187)
@@ -262,6 +271,32 @@ object Parser {
       while (peek == Punct(",")) { next(); args :+= litString() }
       expect(")")
       FuncCall(if (countArg) s"${fname}_count" else fname, pred, args)
+    }
+
+    // math precedence: (+,-) < (*,/)
+    private def parseMathAdd(): MathNode = {
+      var l = parseMathMul()
+      while (peek == Punct("+") || peek == Punct("-")) {
+        val op = next().asInstanceOf[Punct].c
+        l = MathBin(op, l, parseMathMul())
+      }
+      l
+    }
+
+    private def parseMathMul(): MathNode = {
+      var l = parseMathAtom()
+      while (peek == Punct("*") || peek == Punct("/")) {
+        val op = next().asInstanceOf[Punct].c
+        l = MathBin(op, l, parseMathAtom())
+      }
+      l
+    }
+
+    private def parseMathAtom(): MathNode = next() match {
+      case Punct("(") => val m = parseMathAdd(); expect(")"); m
+      case NumLit(v) => MathNum(v.toDouble)
+      case Ident(v) => MathRef(v)
+      case other => fail(s"unexpected math token $other")
     }
 
     /** order target: plain predicate or val(x) -> "val:x". */

@@ -67,6 +67,8 @@ final class DqlExecutor(ts: TripleStore) {
         }.reduce(_ unionByName _)
         Recurse.expand(frontier.select(col("uid").as("start")), edges,
           r.depth, r.loop)
+      case None if b.selections.size == 1 && b.selections.head.groupby.isDefined =>
+        groupbyBlock(frontier, b.selections.head)
       case None if b.selections.exists(sel =>
           sel.aggOp.isDefined || (sel.isCount && sel.pred == "uid")) =>
         aggregateBlock(frontier, b)
@@ -238,7 +240,23 @@ final class DqlExecutor(ts: TripleStore) {
     var cur = df
     sels.foreach { sel =>
       val name = prefix + sel.outName
-      if (sel.pred == "val" && sel.valRef.isDefined) {
+      if (sel.pred == "math" && sel.mathExpr.isDefined) {
+        // x as math(...): arithmetic over previously bound value vars
+        // (reference query/math.go evaluation over per-uid value maps)
+        val refs = mathRefs(sel.mathExpr.get).distinct
+        var base = cur
+        refs.foreach { r =>
+          base = base.join(
+            vars(r).select(col("uid").as("__ms"), col("value").as(s"__m_$r")),
+            col(uidCol) === col("__ms"), joinType).drop("__ms")
+        }
+        base = base.withColumn(name, mathCol(sel.mathExpr.get))
+        cur = base.drop(refs.map(r => s"__m_$r"): _*)
+        sel.varName.foreach { v =>
+          vars(v) = cur.select(col(uidCol).as("uid"), col(name).as("value"))
+            .filter(col("value").isNotNull).distinct()
+        }
+      } else if (sel.pred == "val" && sel.valRef.isDefined) {
         val v = vars(sel.valRef.get)
           .select(col("uid").as("__vs"), col("value").as(name))
         cur = cur.join(v, col(uidCol) === col("__vs"), joinType).drop("__vs")
@@ -337,6 +355,23 @@ final class DqlExecutor(ts: TripleStore) {
     cur
   }
 
+  private def mathRefs(m: MathNode): Seq[String] = m match {
+    case MathRef(n) => Seq(n)
+    case MathBin(_, l, r) => mathRefs(l) ++ mathRefs(r)
+    case _ => Nil
+  }
+
+  private def mathCol(m: MathNode): Column = m match {
+    case MathNum(v) => lit(v)
+    case MathRef(n) => col(s"__m_$n").cast("double")
+    case MathBin("+", l, r) => mathCol(l) + mathCol(r)
+    case MathBin("-", l, r) => mathCol(l) - mathCol(r)
+    case MathBin("*", l, r) => mathCol(l) * mathCol(r)
+    case MathBin("/", l, r) => mathCol(l) / mathCol(r)
+    case MathBin(op, _, _) =>
+      throw new IllegalArgumentException(s"unsupported math op $op")
+  }
+
   private def facetType(pred: String, key: String): String =
     ts.facetKeys.getOrElse(pred, Nil).collectFirst {
       case (k, t) if k == key => t
@@ -364,6 +399,25 @@ final class DqlExecutor(ts: TripleStore) {
       cur = cur.join(a, col(uidCol) === col("__xs"), joinType).drop("__xs")
     }
     cur
+  }
+
+  /** `pred @groupby(p) { count(uid) ... }` — traverse the edge, group the
+    * targets by the value of predicate p, aggregate siblings (reference
+    * query/groupby.go:363 processGroupBy).
+    */
+  private def groupbyBlock(frontier: DataFrame, sel: Selection): DataFrame = {
+    val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
+    val gp = sel.groupby.get
+    val targets = frontier
+      .join(src.select(col("subject").as("uid"), col("object").as("__t")), Seq("uid"))
+    val withKey = targets.join(
+      ts.attr(gp).select(col("subject").as("__t"), col("value").as(gp)), Seq("__t"))
+    val aggCols = sel.children.map { c =>
+      if (c.isCount && c.pred == "uid") count(col("__t")).as(c.outName)
+      else throw new IllegalArgumentException(
+        s"unsupported @groupby aggregation: ${c.pred}")
+    }
+    withKey.groupBy(col(gp)).agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** Block-level aggregation over variables (reference evalLevelAgg,

@@ -94,7 +94,21 @@ object DqlQueries {
     "dql_facets_order" -> ((s, d) =>
       dql("""{ q(func: eq(mktsegment, "BUILDING")) @cascade {
             |    placed (first: 2) @facets(orderdesc: totalprice) } }""".stripMargin)(s, d)
-        .orderBy(col("uid"), col("placed")))
+        .orderBy(col("uid"), col("placed"))),
+
+    // @groupby: group traversal targets by a predicate value
+    "dql_groupby" -> ((s, d) =>
+      dql("""{ q(func: type(Order)) {
+            |    has_line @groupby(returnflag) { n: count(uid) } } }""".stripMargin)(s, d)
+        .orderBy(col("returnflag"))),
+
+    // math() over value variables
+    "dql_math" -> ((s, d) =>
+      dql("""{ var(func: type(Lineitem)) { ep as extendedprice  dc as discount
+            |    rev as math(ep * (1.0 - dc)) }
+            |  top(func: ge(val(rev), 90000), orderdesc: val(rev), first: 15) {
+            |    v: val(rev) } }""".stripMargin)(s, d)
+        .orderBy(col("uid")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,6 +214,19 @@ object DqlQueries {
          |             $OB + o_orderkey ASC) AS rn
          | FROM orders JOIN customer ON c_custkey = o_custkey
          | WHERE c_mktsegment = 'BUILDING')
-         |WHERE rn <= 2 ORDER BY uid, placed""".stripMargin
+         |WHERE rn <= 2 ORDER BY uid, placed""".stripMargin,
+
+    "dql_groupby" ->
+      """SELECT l_returnflag AS returnflag, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY returnflag""".stripMargin,
+
+    "dql_math" ->
+      s"""WITH lineu AS (${Q.lineUidSql})
+         |SELECT uid, v FROM (
+         | SELECT line_uid AS uid, l_extendedprice * (1.0 - l_discount) AS v,
+         |  ROW_NUMBER() OVER (ORDER BY l_extendedprice * (1.0 - l_discount) DESC,
+         |                     line_uid ASC) AS rn
+         | FROM lineu WHERE l_extendedprice * (1.0 - l_discount) >= 90000)
+         |WHERE rn <= 15 ORDER BY uid""".stripMargin
   )
 }
