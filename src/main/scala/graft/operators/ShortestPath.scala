@@ -73,4 +73,36 @@ object ShortestPath {
     }
     dist.withColumn("rank", row_number().over(w))
   }
+
+  /** Shortest path WITH the route itself (reference returns `_path_`
+    * objects, query/shortest.go:457). Each relaxation round carries the
+    * path as a "a->b->c" string; per node we keep the (cost, path)
+    * struct-minimum, which is min cost with the lexicographically
+    * smallest path as the deterministic tie-break.
+    * edges: (src, dst, w). Returns (node, dist, path).
+    */
+  def ssspWithPaths(spark: SparkSession, source: Long, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    var dist = Seq((source, 0L, source.toString)).toDF("node", "dist", "path")
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"),
+          concat(dist("path"), lit("->"), e("dst").cast("string")).as("path"))
+        .unionByName(dist)
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("path"))).as("best"))
+        .select(col("node"), col("best.dist").as("dist"), col("best.path").as("path"))
+        .localCheckpoint(true)
+      if (i % 3 == 2 || i >= maxIter - 2)
+        converged = relaxed.join(dist, Seq("node", "dist", "path"), "left_anti").isEmpty
+      dist = relaxed
+      i += 1
+    }
+    dist
+  }
 }

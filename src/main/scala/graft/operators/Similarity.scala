@@ -64,6 +64,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Random-hyperplane LSH signature: bit j of `sig` is the sign of the
+    * dot product with plane j. Planes are deterministic ±1 vectors derived
+    * from md5(plane:dim) — metadata-sized, computed driver-side, shipped
+    * as literals (no data movement). At 100 TB the signature is a per-row
+    * projection; the ANN join shuffles only on the small sig space.
+    */
+  def withLshSignature(corpus: DataFrame, dim: Int, planes: Int): DataFrame = {
+    def planeVec(j: Int): Seq[Long] = (0 until dim).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1L else -1L
+    }
+    val sig = (0 until planes).map { j =>
+      when(dotQ(col("qe"), typedLit(planeVec(j))) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    corpus.withColumn("sig", sig)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates limited to buckets within
+    * hamming distance `probe` of the query signature (multi-probe LSH).
+    * Trades recall for a candidate set ~2^planes times smaller than
+    * brute force; see SimilaritySpec for the measured recall on the
+    * near-duplicate workload.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      planes: Int = 8, probe: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    val q = withLshSignature(withNorm(queries), dim, planes)
+      .select(col("id").as("qid"), col("qe").as("qv"), col("__nrm").as("qn"),
+        col("sig").as("qsig"))
+    val c = withLshSignature(withNorm(corpus), dim, planes)
+      .select(col("id").as("nid"), col("qe").as("nv"), col("__nrm").as("nn"),
+        col("sig").as("nsig"))
+    broadcast(q).join(c,
+        col("qid") =!= col("nid") &&
+        bit_count(col("qsig").bitwiseXOR(col("nsig"))) <= probe)
+      .select(col("qid"), col("nid"),
+        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Near-duplicate pairs: same cell, quantized cosine above threshold. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val n = withNorm(corpus)

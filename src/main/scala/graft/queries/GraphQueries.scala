@@ -206,6 +206,10 @@ object GraphQueries {
       ShortestPath.kBest(s, 0L, nationDag(s, d), k = 2)
         .orderBy(col("node"), col("rank"))),
 
+    "shortest_paths" -> ((s, d) =>
+      // route output (reference _path_ objects, query/shortest.go)
+      ShortestPath.ssspWithPaths(s, 0L, nationDag(s, d)).orderBy(col("node"))),
+
     // ---- @groupby on edge target (query/groupby.go:195) ----
     "groupby_edge_target" -> ((s, d) => {
       val ts = TripleStore(s, d)
@@ -348,6 +352,18 @@ object GraphQueries {
          | SELECT node, dist, CAST(ROW_NUMBER() OVER (PARTITION BY node ORDER BY dist) AS INT) AS rank
          | FROM (SELECT DISTINCT node, dist FROM d)
          |) WHERE rank <= 2 ORDER BY node, rank""".stripMargin,
+
+    "shortest_paths" ->
+      s"""WITH RECURSIVE g AS ($dagSql), p(node, dist, path) AS (
+         | SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), '0'
+         | UNION ALL
+         | SELECT g.dst, p.dist + g.w, p.path || '->' || CAST(g.dst AS VARCHAR)
+         | FROM p JOIN g ON g.src = p.node
+         |)
+         |SELECT p.node, p.dist, MIN(p.path) AS path FROM p
+         |JOIN (SELECT node AS n2, MIN(dist) AS md FROM p GROUP BY node) m
+         |  ON m.n2 = p.node AND m.md = p.dist
+         |GROUP BY p.node, p.dist ORDER BY p.node""".stripMargin,
 
     "groupby_edge_target" ->
       s"""SELECT $NB + c_nationkey AS object, COUNT(*) AS n,

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** ANN recall check in the spirit of the reference's HNSW recall tests
+  * (tok/hnsw/ef_recall_test.go): approximate search must recover the
+  * true nearest neighbor of near-duplicate queries at high rate.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("LSH top-1 recovers designed near-duplicates with recall >= 0.8") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+    // queries: perturbed copies (id + 1e6) whose true NN is the original
+    val perturbed = emb.select(($"vec_id" + 1000000L).as("id"),
+      transform($"embedding",
+        x => round((x.cast("double") * 1.05 + 0.01) * 1000).cast("long")).as("qe"))
+    val hits = Similarity.lshTopK(perturbed, base, k = 1, dim = 64)
+      .filter($"rank" === 1 && $"nid" === $"qid" - 1000000L)
+      .count()
+    val total = base.count()
+    val recall = hits.toDouble / total
+    info(s"LSH top-1 recall on near-dups: $recall ($hits/$total)")
+    assert(recall >= 0.8, s"recall $recall below 0.8")
+  }
+
+  test("LSH candidates are a strict subset of brute force work") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+    val sigs = Similarity.withLshSignature(base, dim = 64, planes = 8)
+    val buckets = sigs.groupBy($"sig").count()
+    val nBuckets = buckets.count()
+    val maxBucket = buckets.agg(max($"count")).head.getLong(0)
+    info(s"buckets=$nBuckets maxBucket=$maxBucket of ${base.count()}")
+    assert(nBuckets > 10)             // signatures actually spread
+    assert(maxBucket < base.count())  // no degenerate single bucket
+  }
+}
