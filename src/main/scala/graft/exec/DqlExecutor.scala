@@ -459,10 +459,12 @@ final class DqlExecutor(ts: TripleStore) {
     val b = Parser.parse(query).blocks.head
     val flatDf = flatBlock(b)
     val leafCols = flatDf.columns.filter(_ != "uid")
-    val rootScalars = b.selections.filter(s =>
-      !schema.isUidPredicate(s.pred) && !s.reverse && s.pred != "uid")
+    // counts are scalar leaves even when they count a (reverse) uid pred
+    val rootScalars = b.selections.filter(s => s.isCount ||
+      (!schema.isUidPredicate(s.pred) && !s.reverse && s.pred != "uid"))
       .map(_.outName)
-    val childSels = b.selections.filter(s => schema.isUidPredicate(s.pred) || s.reverse)
+    val childSels = b.selections.filter(s =>
+      !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse))
 
     val childStructs = childSels.map { cs =>
       val childLeaf = leafCols.filter(c => c.startsWith(cs.outName + "_") || c == cs.outName)

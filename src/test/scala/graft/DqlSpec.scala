@@ -73,6 +73,25 @@ class DqlSpec extends AnyFunSuite {
     assert(json.matches(""".*"in_region":\[\{"uid":\d+,"name":"[A-Z ]+"\}\].*"""))
   }
 
+  test("golden JSON: two-level nesting with count and alias") {
+    // reference-style exact-shape assertion (query/query0_test.go pattern)
+    val rows = exec.jsonRows(
+      """{ q(func: eq(name, "NATION_7")) {
+        |    name regionRef: in_region { name } nInhab: count(~located_in) } }""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    val json = rows.head.getString(1)
+    assert(json.contains(""""name":"NATION_7""""))
+    assert(json.matches(""".*"nInhab":\d+.*"""))
+    assert(json.matches(""".*"regionRef":\[\{"uid":1\d+,"name":"[A-Z ]+"\}\].*"""))
+  }
+
+  test("golden JSON: empty result renders as zero rows, not an error") {
+    val rows = exec.jsonRows(
+      """{ q(func: eq(name, "NO_SUCH_NATION")) { name } }""").collect()
+    assert(rows.isEmpty)
+  }
+
   test("reverse traversal ~located_in finds nation inhabitants") {
     val df = exec.flat(
       """{ q(func: eq(name, "NATION_5")) { name inhab: ~located_in { name } } }""")
