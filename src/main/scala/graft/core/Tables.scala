@@ -18,6 +18,7 @@ object Tables {
     // default — read nanos as long, then convert to a (µs-truncated)
     // timestamp, matching DuckDB's own ns→µs truncation on read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.GraftOptimizations.install(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

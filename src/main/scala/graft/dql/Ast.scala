@@ -41,7 +41,8 @@ final case class Selection(
     facetFilter: Option[FuncCall] = None, // @facets(eq(k, v))
     facetOrder: Option[Ordering] = None,  // @facets(orderasc: k)
     groupby: Option[String] = None,       // @groupby(p)
-    mathExpr: Option[MathNode] = None) {  // x as math(...)
+    mathExpr: Option[MathNode] = None,    // x as math(...)
+    langChain: Seq[String] = Nil) {       // pred@en:fr:. preference chain
   def outName: String = alias.getOrElse(
     if (isCount) s"count_$pred"
     else valRef.map(v => aggOp.map(op => s"${op}_$v").getOrElse(s"val_$v"))

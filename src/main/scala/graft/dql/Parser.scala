@@ -160,6 +160,28 @@ object Parser {
         expect(")")
         return Selection(alias, s"expand($arg)")
       }
+      // pred@en:fr:. language chain (reference @lang access). The '@' is
+      // consumed only when followed by a lang token ('.', '*', or an
+      // ident that is not a directive keyword).
+      var langChain = Vector.empty[String]
+      def isDirective(t: Token): Boolean = t match {
+        case Ident(i) => Set("filter", "facets", "groupby", "cascade",
+          "normalize", "recurse").contains(i)
+        case _ => false
+      }
+      if (peek == Punct("@") && pos + 1 < ts.length && !isDirective(ts(pos + 1))
+          && (ts(pos + 1).isInstanceOf[Ident] || ts(pos + 1) == Punct(".")
+              || ts(pos + 1) == Punct("*"))) {
+        next()
+        def langTok(): String = next() match {
+          case Ident(l) => l
+          case Punct("*") => "*"
+          case Punct(".") => "."
+          case other => fail(s"expected language tag, got $other")
+        }
+        langChain :+= langTok()
+        while (peek == Punct(":")) { next(); langChain :+= langTok() }
+      }
       var order = Vector.empty[Ordering]
       var page = Pagination()
       if (peek == Punct("(")) {
@@ -216,7 +238,8 @@ object Parser {
         if (peek == Punct("{")) parseSelectionSet() else Nil
       Selection(alias, name, reverse, isCount = false, filter, order, page,
         children, varName = varName, facetFetch = facetFetch,
-        facetFilter = facetFilter, facetOrder = facetOrder, groupby = groupby)
+        facetFilter = facetFilter, facetOrder = facetOrder, groupby = groupby,
+        langChain = langChain)
     }
 
     // filter precedence: OR < AND < NOT (dql/parser.go:183-187)

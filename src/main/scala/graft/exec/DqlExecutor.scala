@@ -277,8 +277,21 @@ final class DqlExecutor(ts: TripleStore) {
           vars(v) = cur.select(col(name).as("uid")).filter(col("uid").isNotNull).distinct()
         }
       } else {
-        val a = ts.attr(sel.pred)
-          .select(col("subject").as("__as"), col("value").as(name))
+        val base = ts.attr(sel.pred)
+        // pred@en:fr:. — resolve the preference chain per subject
+        // (reference ValueForTag, posting/list.go:2094: listed langs in
+        // order, '.' = untagged, '*' = any value)
+        val a =
+          if (sel.langChain.nonEmpty && base.columns.contains("lang")) {
+            val prefs = sel.langChain.map {
+              case "*" => min(col("value"))
+              case "." => max(when(col("lang").isNull, col("value")))
+              case l => max(when(col("lang") === l, col("value")))
+            }
+            base.groupBy(col("subject"))
+              .agg(coalesce(prefs: _*).as(name))
+              .select(col("subject").as("__as"), col(name))
+          } else base.select(col("subject").as("__as"), col("value").as(name))
         cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
         // value variable: per-uid value map (x as age)
         sel.varName.foreach { v =>

@@ -108,6 +108,12 @@ object DqlQueries {
             |    rev as math(ep * (1.0 - dc)) }
             |  top(func: ge(val(rev), 90000), orderdesc: val(rev), first: 15) {
             |    v: val(rev) } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    // pred@lang preference chains (ValueForTag semantics)
+    "dql_lang" -> ((s, d) =>
+      dql("""{ q(func: type(Document)) {
+            |    src: source  t_en: text@en:.  t_any: text@fr:* } }""".stripMargin)(s, d)
         .orderBy(col("uid")))
   )
 
@@ -227,6 +233,12 @@ object DqlQueries {
          |  ROW_NUMBER() OVER (ORDER BY l_extendedprice * (1.0 - l_discount) DESC,
          |                     line_uid ASC) AS rn
          | FROM lineu WHERE l_extendedprice * (1.0 - l_discount) >= 90000)
-         |WHERE rn <= 15 ORDER BY uid""".stripMargin
+         |WHERE rn <= 15 ORDER BY uid""".stripMargin,
+
+    "dql_lang" ->
+      s"""SELECT ${Uids.Document} + doc_id AS uid, source AS src,
+         | CASE WHEN lang = 'en' THEN text END AS t_en,
+         | text AS t_any
+         |FROM documents ORDER BY uid""".stripMargin
   )
 }
