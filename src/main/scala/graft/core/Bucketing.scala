@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical layout for cluster scale: materialize the triple-store
+  * tables bucketed on `subject`, so every frontier⋈edges / edges⋈attrs
+  * join co-partitions and the per-level traversal join needs NO exchange
+  * of the big side (the reference reaches the same property by routing a
+  * predicate's task to the tablet's group, worker/groups.go:218).
+  *
+  * Local mode writes into a warehouse dir; on a cluster this is the same
+  * `bucketBy` call against the real catalog. Bucket count is the knob
+  * that must scale with data volume (≈ one bucket per ~128 MB of edges
+  * at 100 TB).
+  */
+object Bucketing {
+
+  /** Write a DataFrame as a bucketed, sorted table. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String = "subject"): Unit =
+    df.write
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Materialize the edge table of one predicate, bucketed by subject. */
+  def materializeEdges(ts: TripleStore, predicate: String, table: String,
+      buckets: Int): Unit =
+    writeBucketed(ts.edge(predicate), table, buckets)
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}
