@@ -253,8 +253,10 @@ final class DqlExecutor(ts: TripleStore) {
         base = base.withColumn(name, mathCol(sel.mathExpr.get))
         cur = base.drop(refs.map(r => s"__m_$r"): _*)
         sel.varName.foreach { v =>
+          // scalar attr values are unique per (subject, predicate) in the
+          // store — no distinct needed, which would shuffle the whole var
           vars(v) = cur.select(col(uidCol).as("uid"), col(name).as("value"))
-            .filter(col("value").isNotNull).distinct()
+            .filter(col("value").isNotNull)
         }
       } else if (sel.pred == "val" && sel.valRef.isDefined) {
         val v = vars(sel.valRef.get)
@@ -295,8 +297,10 @@ final class DqlExecutor(ts: TripleStore) {
         cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
         // value variable: per-uid value map (x as age)
         sel.varName.foreach { v =>
+          // scalar attr values are unique per (subject, predicate) in the
+          // store — no distinct needed, which would shuffle the whole var
           vars(v) = cur.select(col(uidCol).as("uid"), col(name).as("value"))
-            .filter(col("value").isNotNull).distinct()
+            .filter(col("value").isNotNull)
         }
       }
     }
