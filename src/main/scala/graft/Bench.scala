@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE compact JSON line. The driver captures only the TAIL of the
+  * process output, so the line must stay short: `value` is the total over
+  * ALL queries, while the `queries` dict lists only the headline subset
+  * (rounded to ms). Full per-query timings go to stderr for local tuning.
+  */
 object Bench {
+  // Representative spread: relational agg, traversal, DQL end-to-end,
+  // graph drivers, dedup family, ANN, streaming, text.
+  private val headline = Seq(
+    "q1_agg", "traverse_2hop", "traverse_agg", "sort_first_per_parent",
+    "dql_expand", "dql_math", "dql_recurse", "dql_facets_filter",
+    "recurse_chain", "shortest_sssp", "shortest_paths",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "embed_cosine_topk", "embed_ann_ivf", "stream_sliding",
+    "fulltext_alloftext", "text_quality")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,10 +36,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      System.err.println(f"[bench] $k%-28s ${r3(v)}%8s s")
+    }
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

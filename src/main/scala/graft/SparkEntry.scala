@@ -22,7 +22,8 @@ object SparkEntry {
     (LlmQueries.queries, LlmQueries.oracles),
     (DqlQueries.queries, DqlQueries.oracles),
     (MutationQueries.queries, MutationQueries.oracles),
-    (SpecialQueries.queries, SpecialQueries.oracles)
+    (SpecialQueries.queries, SpecialQueries.oracles),
+    (GraphqlQueries.queries, GraphqlQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

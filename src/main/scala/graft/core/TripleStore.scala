@@ -39,8 +39,14 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
       col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
       col("l_extendedprice"), col("l_quantity"), col("l_discount"),
       col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    // The uid-assignment window (one shuffle of lineitem) is referenced by
+    // every lineitem-backed tablet view; persist it so a multi-tablet plan
+    // pays the shuffle once, not once per view. The cluster-scale analogue
+    // is materializing line uids into the bucketed layout (core/Bucketing)
+    // at load time — uid assignment is a load-time job, not a query-time one.
     t("lineitem").withColumn("line_uid",
       lit(Line) + col("l_orderkey") * 100 + row_number().over(w).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   // ---- edge table: subject, predicate, object, facets ----

@@ -37,9 +37,14 @@ final class DqlExecutor(ts: TripleStore) {
   private val vars = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
 
   /** Execute all blocks in order; return the last non-`var` block. */
-  def flat(query: String): DataFrame = {
+  def flat(query: String): DataFrame = flatAst(Parser.parse(query))
+
+  /** Execute a pre-built AST (used by the GraphQL front-end, whose
+    * rewriter emits this IR directly — SURVEY.md §3.2).
+    */
+  def flatAst(query: DqlQuery): DataFrame = {
     var result: DataFrame = null
-    Parser.parse(query).blocks.foreach { b =>
+    query.blocks.foreach { b =>
       val df = flatBlock(b)
       if (b.name != "var") result = df
     }
@@ -145,6 +150,15 @@ final class DqlExecutor(ts: TripleStore) {
         t => array_contains(split(lower(v), " "), t)))
     case "regexp" =>
       attrWhere(fn.pred, v => v.rlike(fn.args.head))
+    case "anyoftext" =>
+      // fulltext: stem + stopword-drop both sides (tok/tok.go:558)
+      val q = graft.functions.TextFunctions.ftStemsLit(fn.args.head)
+      attrWhere(fn.pred, v => arrays_overlap(
+        graft.functions.TextFunctions.ftStems(v), array(q.map(lit(_)): _*)))
+    case "alloftext" =>
+      val q = graft.functions.TextFunctions.ftStemsLit(fn.args.head)
+      attrWhere(fn.pred, v => forall(array(q.map(lit(_)): _*),
+        t => array_contains(graft.functions.TextFunctions.ftStems(v), t)))
     case "match" =>
       attrWhere(fn.pred, v => levenshtein(v, lit(fn.args.head)) <= fn.args(1).toInt)
     case n if n.endsWith("_count") =>

@@ -99,4 +99,22 @@ object TextFunctions {
   /** Canonical document fingerprint: md5 of the sorted distinct tokens. */
   def fingerprint(ws: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(ws))))
+
+  // ---- fulltext tokenization: stem + stopword drop (tok/tok.go:558) ----
+
+  /** Porter-lite stemmer shared by both engines: one suffix strip. */
+  val ftStemRe = "(ing|ed|es|e|s)$"
+
+  /** Stemmed, stopword-dropped distinct tokens of a text column. */
+  def ftStems(text: Column): Column =
+    array_distinct(transform(
+      filter(split(text, " "), w => !w.isin(enStops.map(lit(_)): _*)),
+      w => regexp_replace(w, ftStemRe, "")))
+
+  /** Driver-side stems of a literal query string (the reference also
+    * tokenizes the query constant once, worker/tokens.go).
+    */
+  def ftStemsLit(q: String): Seq[String] =
+    q.split("\\s+").filter(w => w.nonEmpty && !enStops.contains(w))
+      .map(_.replaceAll(ftStemRe, "")).distinct.toSeq
 }

@@ -1,0 +1,170 @@
+package graft.graphql
+
+/** GraphQL query-document model + parser (executable subset).
+  *
+  * The reference layers an auto-generated GraphQL API over DQL: an SDL
+  * schema yields `query<T>` / `get<T>` / `aggregate<T>` root fields
+  * (/root/reference/graphql/schema/gqlschema.go:1054,1371,1900) and every
+  * operation is *rewritten* to the DQL IR — no separate execution engine
+  * (/root/reference/graphql/resolve/query_rewriter.go:105 Rewrite). We
+  * mirror that: this file parses the GraphQL document; Rewriter.scala maps
+  * it onto graft.dql's AST, which the existing DqlExecutor runs as
+  * DataFrame plans.
+  */
+sealed trait GVal
+final case class GStr(s: String) extends GVal
+final case class GNum(s: String) extends GVal       // lexeme kept verbatim
+final case class GBool(b: Boolean) extends GVal
+case object GNull extends GVal
+final case class GEnum(name: String) extends GVal   // BUILDING, ACTIVE, ...
+final case class GList(items: Seq[GVal]) extends GVal
+final case class GObj(fields: Seq[(String, GVal)]) extends GVal {
+  def get(k: String): Option[GVal] = fields.collectFirst { case (`k`, v) => v }
+}
+
+final case class GqlSelection(
+    alias: Option[String],
+    name: String,
+    args: Seq[(String, GVal)],
+    directives: Seq[String],      // @cascade etc.
+    children: Seq[GqlSelection]) {
+  def arg(k: String): Option[GVal] = args.collectFirst { case (`k`, v) => v }
+  def outName: String = alias.getOrElse(name)
+}
+
+final case class GqlOperation(roots: Seq[GqlSelection])
+
+object GqlParser {
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  // ---- tokenizer ----
+  private sealed trait Tok
+  private final case class TName(s: String) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TNum(s: String) extends Tok
+  private final case class TPunct(c: String) extends Tok
+
+  private def tokenize(in: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = in.length
+    def peek(k: Int): Char = if (i + k < n) in(i + k) else ' '
+    while (i < n) {
+      val c = in(i)
+      if (c.isWhitespace || c == ',') i += 1 // commas are insignificant in GraphQL
+      else if (c == '#') { while (i < n && in(i) != '\n') i += 1 }
+      else if (c == '"') {
+        val sb = new StringBuilder; i += 1
+        while (i < n && in(i) != '"') {
+          if (in(i) == '\\' && i + 1 < n) {
+            i += 1
+            sb.append(in(i) match { case 'n' => '\n'; case 't' => '\t'; case o => o })
+          } else sb.append(in(i))
+          i += 1
+        }
+        if (i >= n) throw ParseException("unterminated string")
+        i += 1; out += TStr(sb.result())
+      } else if (c.isDigit || (c == '-' && peek(1).isDigit)) {
+        val start = i; i += 1
+        while (i < n && (in(i).isDigit || in(i) == '.' || in(i) == 'e' ||
+          in(i) == 'E' || in(i) == '-' || in(i) == '+' || in(i) == 'x' ||
+          in(i).isLetter)) i += 1 // covers floats, exponents, 0x uids
+        out += TNum(in.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (in(i).isLetterOrDigit || in(i) == '_')) i += 1
+        out += TName(in.substring(start, i))
+      } else if ("(){}[]:@!=$".indexOf(c) >= 0) { out += TPunct(c.toString); i += 1 }
+      else throw ParseException(s"unexpected char '$c' at $i")
+    }
+    out.result()
+  }
+
+  // ---- recursive descent ----
+  private final class P(ts: Vector[Tok]) {
+    private var i = 0
+    def peek: Option[Tok] = if (i < ts.length) Some(ts(i)) else None
+    def next(): Tok = { val t = ts(i); i += 1; t }
+    def expect(p: String): Unit = next() match {
+      case TPunct(`p`) => ()
+      case other => throw ParseException(s"expected '$p', got $other")
+    }
+    def name(): String = next() match {
+      case TName(s) => s
+      case other => throw ParseException(s"expected name, got $other")
+    }
+
+    def operation(): GqlOperation = {
+      // optional `query [Name]` header
+      peek match {
+        case Some(TName("query")) =>
+          next()
+          peek match { case Some(TName(_)) => next(); case _ => () }
+        case _ => ()
+      }
+      expect("{")
+      val roots = selections()
+      GqlOperation(roots)
+    }
+
+    /** Parse until the matching '}' (already inside it). */
+    def selections(): Seq[GqlSelection] = {
+      val out = Seq.newBuilder[GqlSelection]
+      var done = false
+      while (!done) peek match {
+        case Some(TPunct("}")) => next(); done = true
+        case Some(TName(_)) => out += selection()
+        case other => throw ParseException(s"expected selection, got $other")
+      }
+      out.result()
+    }
+
+    private def selection(): GqlSelection = {
+      val first = name()
+      val (alias, fieldName) = peek match {
+        case Some(TPunct(":")) => next(); (Some(first), name())
+        case _ => (None, first)
+      }
+      val args = peek match {
+        case Some(TPunct("(")) =>
+          next()
+          val as = Seq.newBuilder[(String, GVal)]
+          while (!peek.contains(TPunct(")"))) {
+            val k = name(); expect(":"); as += (k -> value())
+          }
+          next() // ')'
+          as.result()
+        case _ => Nil
+      }
+      val dirs = Seq.newBuilder[String]
+      while (peek.contains(TPunct("@"))) { next(); dirs += name() }
+      val children = peek match {
+        case Some(TPunct("{")) => next(); selections()
+        case _ => Nil
+      }
+      GqlSelection(alias, fieldName, args, dirs.result(), children)
+    }
+
+    def value(): GVal = next() match {
+      case TStr(s) => GStr(s)
+      case TNum(s) => GNum(s)
+      case TName("true") => GBool(true)
+      case TName("false") => GBool(false)
+      case TName("null") => GNull
+      case TName(e) => GEnum(e)
+      case TPunct("[") =>
+        val items = Seq.newBuilder[GVal]
+        while (!peek.contains(TPunct("]"))) items += value()
+        next(); GList(items.result())
+      case TPunct("{") =>
+        val fs = Seq.newBuilder[(String, GVal)]
+        while (!peek.contains(TPunct("}"))) {
+          val k = name(); expect(":"); fs += (k -> value())
+        }
+        next(); GObj(fs.result())
+      case other => throw ParseException(s"expected value, got $other")
+    }
+  }
+
+  def parse(query: String): GqlOperation = new P(tokenize(query)).operation()
+}

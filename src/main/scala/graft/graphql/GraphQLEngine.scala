@@ -1,0 +1,25 @@
+package graft.graphql
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.TripleStore
+import graft.exec.DqlExecutor
+
+/** The GraphQL entry point: parse → rewrite to DQL IR → execute on the
+  * DataFrame engine. Matches the reference's architecture, where GraphQL
+  * is a pure front-end over the DQL execution path
+  * (/root/reference/edgraph/server.go:1330 QueryGraphQL feeds the same
+  * pipeline as Query; SURVEY.md §3.2).
+  */
+final class GraphQLEngine(ts: TripleStore, schema: GqlSchema = SdlParser.tpch) {
+
+  /** Run a GraphQL operation, returning the flat (normalized) DataFrame
+    * of the last root field.
+    */
+  def flat(query: String): DataFrame =
+    new DqlExecutor(ts).flatAst(rewrite(query))
+
+  /** The DQL IR a query rewrites to (exposed for tests/EXPLAIN). */
+  def rewrite(query: String): graft.dql.DqlQuery =
+    Rewriter.rewrite(GqlParser.parse(query), schema)
+}

@@ -1,0 +1,252 @@
+package graft.graphql
+
+import graft.dql._
+
+/** GraphQL operation → DQL IR, mirroring the reference's query rewriter
+  * (/root/reference/graphql/resolve/query_rewriter.go:105 Rewrite →
+  * rewriteAsQuery :988 / rewriteAsGet :517 / aggregateQuery :240).
+  *
+  * Shapes produced (cf. graphql/resolve/query_test.yaml):
+  *  - `queryT(filter, order, first, offset)` → `q(func: type(T)) @filter(...)`;
+  *    a single top-level eq/in field filter is promoted to the root function
+  *    with `type(T)` demoted to a filter (the reference's root-swap at
+  *    query_rewriter.go:1013) — at scale this seeds from the selective
+  *    index scan instead of the full type table.
+  *  - `getT(id: "0x1")` → `q(func: uid(0x1)) @filter(type(T))`.
+  *  - `aggregateT(filter) { count fMin fMax fSum fAvg }` → a var block
+  *    binding one value var per referenced field + an aggregation block
+  *    (the reference emits exactly this two-block form).
+  *  - field args `filter/order/first/offset` on edge fields → child
+  *    Selection filter/order/page; `@cascade` → block cascade.
+  */
+object Rewriter {
+  final case class RewriteException(msg: String) extends RuntimeException(msg)
+
+  def rewrite(op: GqlOperation, schema: GqlSchema): DqlQuery =
+    new Rewriter(schema).rewrite(op)
+}
+
+final class Rewriter(schema: GqlSchema) {
+  import Rewriter.RewriteException
+
+  def rewrite(op: GqlOperation): DqlQuery =
+    DqlQuery(op.roots.flatMap(rewriteRoot))
+
+  private val QueryRe = "query([A-Z]\\w*)".r
+  private val GetRe = "get([A-Z]\\w*)".r
+  private val AggRe = "aggregate([A-Z]\\w*)".r
+
+  private def rewriteRoot(root: GqlSelection): Seq[QueryBlock] =
+    root.name match {
+      case QueryRe(t) => Seq(queryBlock(root, schema.typ(t)))
+      case GetRe(t) => Seq(getBlock(root, schema.typ(t)))
+      case AggRe(t) => aggBlocks(root, schema.typ(t))
+      case other => throw RewriteException(
+        s"unknown root field '$other' (expected query<T>/get<T>/aggregate<T>)")
+    }
+
+  // ---- query<T> ----
+
+  private def queryBlock(root: GqlSelection, t: SdlType): QueryBlock = {
+    val (func, filt) = rootAndFilter(root, t)
+    QueryBlock(
+      name = root.outName,
+      func = func,
+      filter = filt,
+      order = root.arg("order").map(orderList).getOrElse(Nil),
+      page = pagination(root),
+      cascade = root.directives.contains("cascade"),
+      selections = root.children.flatMap(selection(_, t)))
+  }
+
+  /** Root-function selection with the reference's eq/in promotion. */
+  private def rootAndFilter(root: GqlSelection, t: SdlType): (FuncCall, Option[FilterNode]) =
+    root.arg("filter") match {
+      case Some(o: GObj) =>
+        o.fields match {
+          case Seq((f, fo: GObj)) if t.field(f).isDefined =>
+            fo.fields match {
+              case Seq(("eq", v)) if v != GNull =>
+                (FuncCall("eq", f, Seq(scalar(v))), typeFilter(t))
+              case Seq(("in", GList(vs))) =>
+                (FuncCall("eq", f, vs.map(scalar)), typeFilter(t))
+              case _ =>
+                (FuncCall("type", t.name, Nil), Some(filterNode(o, t)))
+            }
+          case _ => (FuncCall("type", t.name, Nil), Some(filterNode(o, t)))
+        }
+      case _ => (FuncCall("type", t.name, Nil), None)
+    }
+
+  private def typeFilter(t: SdlType): Option[FilterNode] =
+    Some(FilterLeaf(FuncCall("type", t.name, Nil)))
+
+  // ---- get<T> ----
+
+  private def getBlock(root: GqlSelection, t: SdlType): QueryBlock = {
+    val id = root.arg("id").map(scalar).getOrElse(
+      throw new RewriteException(s"get${t.name} requires an id argument"))
+    QueryBlock(
+      name = root.outName,
+      func = FuncCall("uid", "", Seq(id)),
+      filter = typeFilter(t),
+      selections = root.children.flatMap(selection(_, t)))
+  }
+
+  // ---- aggregate<T> ----
+
+  private val AggField = "(\\w+?)(Min|Max|Sum|Avg)".r
+
+  private def aggBlocks(root: GqlSelection, t: SdlType): Seq[QueryBlock] = {
+    val (func, filt) = rootAndFilter(root, t)
+    val refs = root.children.collect {
+      case c if c.name != "count" => c.name match {
+        case AggField(f, _) => f
+        case other => throw RewriteException(s"bad aggregate field: $other")
+      }
+    }.distinct
+    val varBlock = QueryBlock(
+      name = "var", func = func, filter = filt,
+      selections = refs.map(f => Selection(alias = None, pred = f,
+        varName = Some(s"ag_$f"))))
+    val aggSel = root.children.map { c =>
+      c.name match {
+        case "count" =>
+          Selection(alias = Some(c.outName), pred = "uid", isCount = true)
+        case AggField(f, op) =>
+          Selection(alias = Some(c.outName), pred = "val",
+            valRef = Some(s"ag_$f"), aggOp = Some(op.toLowerCase))
+      }
+    }
+    val aggBlock = QueryBlock(
+      name = root.outName, func = func, filter = filt, selections = aggSel)
+    if (refs.nonEmpty) Seq(varBlock, aggBlock) else Seq(aggBlock)
+  }
+
+  // ---- selections ----
+
+  private def selection(sel: GqlSelection, t: SdlType): Option[Selection] = {
+    if (sel.name == "id") return None // uid is implicit in flat output
+    val f = t.field(sel.name).getOrElse(
+      throw new RewriteException(s"${t.name} has no field '${sel.name}'"))
+    val child = schema.types.get(f.typeName)
+    child match {
+      case Some(ct) =>
+        Some(Selection(
+          alias = Some(sel.outName),
+          pred = sel.name,
+          filter = sel.arg("filter").collect { case o: GObj => filterNode(o, ct) },
+          order = sel.arg("order").map(orderList).getOrElse(Nil),
+          page = pagination(sel),
+          children = sel.children.flatMap(selection(_, ct))))
+      case None =>
+        Some(Selection(alias = Some(sel.outName), pred = sel.name))
+    }
+  }
+
+  // ---- filter objects → FilterTree ----
+
+  /** GraphQL filter object semantics (reference buildFilter,
+    * query_rewriter.go): sibling entries AND together, `or` branches OR
+    * against that conjunction, `not` negates its object, `has` accepts a
+    * field or list of fields.
+    */
+  private def filterNode(o: GObj, t: SdlType): FilterNode = {
+    val ands = Seq.newBuilder[FilterNode]
+    val ors = Seq.newBuilder[FilterNode]
+    o.fields.foreach {
+      case ("and", GList(items)) =>
+        items.foreach { case io: GObj => ands += filterNode(io, t); case _ => () }
+      case ("and", io: GObj) => ands += filterNode(io, t)
+      case ("or", GList(items)) =>
+        items.foreach { case io: GObj => ors += filterNode(io, t); case _ => () }
+      case ("or", io: GObj) => ors += filterNode(io, t)
+      case ("not", io: GObj) => ands += FilterNot(filterNode(io, t))
+      case ("has", GEnum(f)) => ands += FilterLeaf(FuncCall("has", f, Nil))
+      case ("has", GStr(f)) => ands += FilterLeaf(FuncCall("has", f, Nil))
+      case ("has", GList(fs)) => fs.foreach {
+        case GEnum(f) => ands += FilterLeaf(FuncCall("has", f, Nil))
+        case GStr(f) => ands += FilterLeaf(FuncCall("has", f, Nil))
+        case _ => ()
+      }
+      case (field, fo: GObj) if t.field(field).isDefined =>
+        fieldFilter(field, fo).foreach(ands += _)
+      case (field, bad) => throw RewriteException(
+        s"unsupported filter entry $field: $bad on type ${t.name}")
+    }
+    val andPart = ands.result() match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => Some(FilterAnd(many))
+    }
+    (andPart, ors.result()) match {
+      case (Some(a), Seq()) => a
+      case (Some(a), os) => FilterOr(a +: os)
+      case (None, Seq(one)) => one
+      case (None, os) if os.nonEmpty => FilterOr(os)
+      case _ => throw RewriteException(s"empty filter object on ${t.name}")
+    }
+  }
+
+  private def fieldFilter(field: String, fo: GObj): Option[FilterNode] = {
+    val leaves = fo.fields.flatMap {
+      case (_, GNull) => None // {eq: null} handled as NOT has by reference; skip
+      case ("eq", v) => Some(FuncCall("eq", field, Seq(scalar(v))))
+      case ("in", GList(vs)) => Some(FuncCall("eq", field, vs.map(scalar)))
+      case ("le", v) => Some(FuncCall("le", field, Seq(scalar(v))))
+      case ("lt", v) => Some(FuncCall("lt", field, Seq(scalar(v))))
+      case ("ge", v) => Some(FuncCall("ge", field, Seq(scalar(v))))
+      case ("gt", v) => Some(FuncCall("gt", field, Seq(scalar(v))))
+      case ("between", bo: GObj) =>
+        Some(FuncCall("between", field,
+          Seq(scalar(bo.get("min").get), scalar(bo.get("max").get))))
+      case ("anyofterms", v) => Some(FuncCall("anyofterms", field, Seq(scalar(v))))
+      case ("allofterms", v) => Some(FuncCall("allofterms", field, Seq(scalar(v))))
+      case ("anyoftext", v) => Some(FuncCall("anyoftext", field, Seq(scalar(v))))
+      case ("alloftext", v) => Some(FuncCall("alloftext", field, Seq(scalar(v))))
+      case ("regexp", v) =>
+        Some(FuncCall("regexp", field, Seq(stripSlashes(scalar(v)))))
+      case (op, v) => throw RewriteException(s"unsupported filter op $op: $v")
+    }
+    leaves.map(FilterLeaf(_): FilterNode) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => Some(FilterAnd(many))
+    }
+  }
+
+  // ---- args ----
+
+  private def orderList(v: GVal): Seq[Ordering] = v match {
+    case o: GObj =>
+      val here = o.fields.collectFirst {
+        case ("asc", f) => Ordering(enumName(f), desc = false)
+        case ("desc", f) => Ordering(enumName(f), desc = true)
+      }.toSeq
+      here ++ o.get("then").map(orderList).getOrElse(Nil)
+    case other => throw RewriteException(s"bad order argument: $other")
+  }
+
+  private def pagination(sel: GqlSelection): Pagination = Pagination(
+    first = sel.arg("first").map(v => scalar(v).toInt),
+    offset = sel.arg("offset").map(v => scalar(v).toInt))
+
+  private def scalar(v: GVal): String = v match {
+    case GStr(s) => s
+    case GNum(s) => s
+    case GEnum(e) => e
+    case GBool(b) => b.toString
+    case other => throw RewriteException(s"expected scalar, got $other")
+  }
+
+  private def enumName(v: GVal): String = v match {
+    case GEnum(e) => e
+    case GStr(s) => s
+    case other => throw RewriteException(s"expected field name, got $other")
+  }
+
+  private def stripSlashes(s: String): String =
+    if (s.length >= 2 && s.startsWith("/") && s.endsWith("/"))
+      s.substring(1, s.length - 1)
+    else s
+}

@@ -1,0 +1,126 @@
+package graft.graphql
+
+/** SDL (schema definition language) subset: `type T { field: Type! }`
+  * with @search/@id/@hasInverse directives parsed and recorded.
+  *
+  * The reference derives its whole GraphQL API surface from such a schema
+  * (/root/reference/graphql/schema/gqlschema.go:1054 generates query/get/
+  * aggregate fields per type). Divergence from the reference: it flattens
+  * GraphQL fields to `Type.field` Dgraph predicates; our store keeps
+  * dgraph-style global predicate names, so a field maps to the predicate
+  * of the same name (declared via the `predicates` registry in
+  * graft.core.SchemaRegistry).
+  */
+final case class SdlField(
+    name: String,
+    typeName: String,
+    isList: Boolean,
+    isId: Boolean,
+    searchable: Seq[String])     // @search(by: [...]) tokenizer names
+
+final case class SdlType(name: String, fields: Seq[SdlField]) {
+  def field(n: String): Option[SdlField] = fields.find(_.name == n)
+}
+
+final class GqlSchema(val types: Map[String, SdlType]) {
+  def typ(n: String): SdlType = types.getOrElse(n,
+    throw new IllegalArgumentException(s"unknown GraphQL type: $n"))
+  def isObjectType(n: String): Boolean = types.contains(n)
+}
+
+object SdlParser {
+  /** Parse an SDL document. Tolerant of `!` non-null markers and skips
+    * directive arguments it doesn't model.
+    */
+  def parse(sdl: String): GqlSchema = {
+    // strip comments
+    val src = sdl.linesIterator.map(l => l.indexOf('#') match {
+      case -1 => l; case i => l.substring(0, i)
+    }).mkString("\n")
+    val typePat = """(?s)type\s+(\w+)\s*\{(.*?)\}""".r
+    val fieldPat = """(\w+)\s*:\s*(\[)?\s*(\w+)\s*!?\s*(\])?\s*!?\s*((?:@\w+(?:\([^)]*\))?\s*)*)""".r
+    val searchByPat = """@search\s*\(\s*by\s*:\s*\[([^\]]*)\]\s*\)""".r
+    val types = typePat.findAllMatchIn(src).map { m =>
+      val tname = m.group(1)
+      val body = m.group(2)
+      val fields = fieldPat.findAllMatchIn(body).map { f =>
+        val dirText = Option(f.group(5)).getOrElse("")
+        val search =
+          searchByPat.findFirstMatchIn(dirText)
+            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .orElse(if (dirText.contains("@search")) Some(Seq("default")) else None)
+            .getOrElse(Nil)
+        SdlField(
+          name = f.group(1),
+          typeName = f.group(3),
+          isList = f.group(2) != null,
+          isId = f.group(3) == "ID" || dirText.contains("@id"),
+          searchable = search)
+      }.toSeq
+      tname -> SdlType(tname, fields)
+    }.toMap
+    new GqlSchema(types)
+  }
+
+  /** The GraphQL schema over the derived TPC-H graph (same shape as
+    * core.SchemaRegistry.tpch — field name == predicate name).
+    */
+  val tpch: GqlSchema = parse("""
+    type Region {
+      id: ID!
+      name: String! @search(by: [exact, term])
+    }
+    type Nation {
+      id: ID!
+      name: String! @search(by: [exact, term])
+      in_region: Region
+    }
+    type Customer {
+      id: ID!
+      name: String! @search(by: [exact, term, trigram])
+      mktsegment: String @search(by: [exact])
+      acctbal: Float @search
+      located_in: Nation
+      placed: [Order]
+    }
+    type Supplier {
+      id: ID!
+      name: String! @search(by: [exact, term])
+      acctbal: Float @search
+      located_in: Nation
+    }
+    type Part {
+      id: ID!
+      name: String! @search(by: [term, trigram])
+      brand: String @search(by: [exact])
+      ptype: String @search(by: [term, fulltext])
+      size: Int @search
+      retailprice: Float @search
+    }
+    type Order {
+      id: ID!
+      orderstatus: String @search(by: [exact])
+      orderpriority: String @search(by: [exact, term])
+      totalprice: Float @search
+      orderdate: DateTime @search
+      has_line: [Lineitem]
+    }
+    type Lineitem {
+      id: ID!
+      quantity: Float
+      extendedprice: Float
+      discount: Float
+      returnflag: String @search(by: [exact])
+      linestatus: String @search(by: [exact])
+      shipdate: DateTime @search
+      of_part: Part
+      by_supplier: Supplier
+    }
+    type Document {
+      id: ID!
+      text: String @search(by: [fulltext, term])
+      source: String @search(by: [exact])
+      n_chars: Int @search
+    }
+  """)
+}

@@ -1,23 +1,37 @@
 package graft.operators
 
+import org.apache.spark.graphx.{Edge, EdgeDirection, EdgeTriplet, Graph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** `shortest(from, to, numpaths, ...)` — single-source shortest path and
   * the k-shortest variant (reference query/shortest.go:457 shortestPath,
   * :286 runKShortestPaths; uniform-cost expansion with a priority queue).
   *
-  * A driver-side priority queue doesn't distribute, so we use the
-  * classic Spark SSSP shape: iterative relax-join (Bellman-Ford rounds).
-  * Each round: dist ⋈ edges → candidate costs → per-node min (or top-k).
-  * Rounds are bounded by the graph diameter; convergence is detected when
-  * a round changes nothing. `localCheckpoint` truncates lineage per round.
-  * At cluster scale the dist table is partitioned by node and the edge
-  * table is bucketed on src, so the relax join co-partitions and only the
-  * (small) delta frontier shuffles.
+  * A driver-side priority queue doesn't distribute, so we run Pregel
+  * (GraphX): vertex state = best known cost(s), messages = relaxations
+  * along out-edges, iterate to fixpoint. Compared with a DataFrame
+  * relax-join loop this has no per-round Catalyst planning/codegen cost
+  * and convergence falls out of message counting (an empty message set
+  * ends the computation — no separate probe actions). At cluster scale
+  * the vertex RDD is hash-partitioned and messages shuffle only the
+  * changed frontier per round — the same delta property the reference's
+  * priority queue exploits sequentially.
+  *
+  * All merges are associative+commutative minima, so results are
+  * partitioning-independent (deterministic under any executor count).
   */
 object ShortestPath {
+
+  private val Inf = Long.MaxValue
+
+  private def edgeGraph[S: scala.reflect.ClassTag](
+      edges: DataFrame, init: S): Graph[S, Long] = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    Graph.fromEdges(e, init)
+  }
 
   /** Min cost from `source` to every reachable node.
     * edges: (src LONG, dst LONG, w LONG). Returns (node, dist).
@@ -25,24 +39,15 @@ object ShortestPath {
   def sssp(spark: SparkSession, source: Long, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"), col("w"))
-    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (i < maxIter && !converged) {
-      val relaxed = dist.join(e, dist("node") === e("src"))
-        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
-      // convergence probe costs an extra action per round — amortize it
-      // by checking every third round (and near the iteration cap)
-      if (i % 3 == 2 || i >= maxIter - 2)
-        converged = relaxed.join(dist, Seq("node", "dist"), "left_anti").isEmpty
-      dist = relaxed
-      i += 1
-    }
-    dist
+    val g = edgeGraph(edges, Inf)
+      .mapVertices((id, _) => if (id == source) 0L else Inf)
+    val res = g.pregel(Inf, maxIter, EdgeDirection.Out)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Inf && t.srcAttr + t.attr < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
+      math.min)
+    res.vertices.filter(_._2 != Inf).map { case (id, d) => (id, d) }
+      .toDF("node", "dist")
   }
 
   /** k smallest *distinct* path costs per node (k-shortest analogue;
@@ -53,56 +58,59 @@ object ShortestPath {
   def kBest(spark: SparkSession, source: Long, edges: DataFrame, k: Int,
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"), col("w"))
-    val w = Window.partitionBy(col("node")).orderBy(col("dist"))
-    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (i < maxIter && !converged) {
-      val relaxed = dist.join(e, dist("node") === e("src"))
-        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
-        .unionByName(dist)
-        .distinct()
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
-        .localCheckpoint(true)
-      if (i % 3 == 2 || i >= maxIter - 2)
-        converged = relaxed.join(dist, Seq("node", "dist"), "left_anti").isEmpty
-      dist = relaxed
-      i += 1
-    }
-    dist.withColumn("rank", row_number().over(w))
+    def mergeK(a: List[Long], b: List[Long]): List[Long] =
+      (a ++ b).distinct.sorted.take(k)
+    val g = edgeGraph(edges, List.empty[Long])
+      .mapVertices((id, _) => if (id == source) List(0L) else Nil)
+    val res = g.pregel(List.empty[Long], maxIter, EdgeDirection.Out)(
+      (_, s, msg) => mergeK(s, msg),
+      t => {
+        val cand = t.srcAttr.map(_ + t.attr)
+        val useful = cand.filter(c => !t.dstAttr.contains(c) &&
+          (t.dstAttr.size < k || c < t.dstAttr.max))
+        if (useful.nonEmpty) Iterator((t.dstId, useful)) else Iterator.empty
+      },
+      mergeK)
+    res.vertices.filter(_._2.nonEmpty)
+      .flatMap { case (id, ds) =>
+        ds.zipWithIndex.map { case (d, i) => (id, d, i + 1) }
+      }
+      .toDF("node", "dist", "rank")
   }
 
   /** Shortest path WITH the route itself (reference returns `_path_`
-    * objects, query/shortest.go:457). Each relaxation round carries the
-    * path as a "a->b->c" string; per node we keep the (cost, path)
-    * struct-minimum, which is min cost with the lexicographically
-    * smallest path as the deterministic tie-break.
+    * objects, query/shortest.go:457). Vertex state carries the best
+    * (cost, "a->b->c" route); ties break to the lexicographically
+    * smallest route, making the answer deterministic.
     * edges: (src, dst, w). Returns (node, dist, path).
     */
   def ssspWithPaths(spark: SparkSession, source: Long, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"), col("w"))
-    var dist = Seq((source, 0L, source.toString)).toDF("node", "dist", "path")
-      .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (i < maxIter && !converged) {
-      val relaxed = dist.join(e, dist("node") === e("src"))
-        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"),
-          concat(dist("path"), lit("->"), e("dst").cast("string")).as("path"))
-        .unionByName(dist)
-        .groupBy("node")
-        .agg(min(struct(col("dist"), col("path"))).as("best"))
-        .select(col("node"), col("best.dist").as("dist"), col("best.path").as("path"))
-        .localCheckpoint(true)
-      if (i % 3 == 2 || i >= maxIter - 2)
-        converged = relaxed.join(dist, Seq("node", "dist", "path"), "left_anti").isEmpty
-      dist = relaxed
-      i += 1
-    }
-    dist
+    type S = (Long, String)
+    val none: S = (Inf, null)
+    def better(a: S, b: S): S =
+      if (a._1 < b._1) a
+      else if (b._1 < a._1) b
+      else if (a._2 == null) b
+      else if (b._2 == null) a
+      else if (a._2 <= b._2) a else b
+    val g = edgeGraph(edges, none)
+      .mapVertices((id, _) => if (id == source) (0L, source.toString) else none)
+    val res = g.pregel(none, maxIter, EdgeDirection.Out)(
+      (_, s, msg) => better(s, msg),
+      (t: EdgeTriplet[S, Long]) => {
+        if (t.srcAttr._1 == Inf) Iterator.empty
+        else {
+          val cand = (t.srcAttr._1 + t.attr, t.srcAttr._2 + "->" + t.dstId)
+          if (better(cand, t.dstAttr) == cand && cand != t.dstAttr)
+            Iterator((t.dstId, cand))
+          else Iterator.empty
+        }
+      },
+      better)
+    res.vertices.filter(_._2._1 != Inf)
+      .map { case (id, (d, p)) => (id, d, p) }
+      .toDF("node", "dist", "path")
   }
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{TripleStore, Uids}
+import graft.graphql.GraphQLEngine
+import Q._
+
+/** End-to-end GraphQL: each query runs the full GraphQL pipeline —
+  * document parse → rewrite to the DQL IR (reference
+  * graphql/resolve/query_rewriter.go) → DataFrame execution — and is
+  * hash-checked against a relational DuckDB oracle.
+  */
+object GraphqlQueries {
+
+  private val CB = Uids.Customer
+  private val NB = Uids.Nation
+  private val PB = Uids.Part
+  private val OB = Uids.Order
+  private val DB = Uids.Document
+
+  private def gql(q: String): QFn = (s, d) =>
+    new GraphQLEngine(TripleStore(s, d)).flat(q)
+
+  val queries: Map[String, QFn] = Map(
+    // query<T> with eq root-promotion + traversal
+    "graphql_query" -> ((s, d) =>
+      gql("""query {
+            |  queryCustomer(filter: { mktsegment: { eq: "BUILDING" } }) {
+            |    name acctbal located_in { name } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    // get<T> by id
+    "graphql_get" -> ((s, d) =>
+      gql(s"""{ getCustomer(id: "${CB + 42}") { name mktsegment acctbal } }""")(s, d)
+        .orderBy(col("uid"))),
+
+    // nested and/or/not/between/anyofterms filter tree
+    "graphql_filter_tree" -> ((s, d) =>
+      gql("""query {
+            |  queryPart(filter: {
+            |      and: [ { or: [ { name: { anyofterms: "green small" } },
+            |                     { size: { between: { min: 5, max: 7 } } } ] } ],
+            |      not: { brand: { eq: "Brand#45" } } }) {
+            |    name brand size } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    // order: {desc, then: {asc}} + first/offset pagination
+    "graphql_order_page" -> ((s, d) =>
+      gql("""query {
+            |  queryOrder(order: { desc: totalprice, then: { asc: orderdate } },
+            |             first: 10, offset: 5) {
+            |    orderstatus totalprice } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    // aggregate<T> with filter: count + min/max/sum/avg
+    "graphql_agg" -> ((s, d) =>
+      gql("""query {
+            |  aggregateOrder(filter: { orderpriority: { eq: "1-URGENT" } }) {
+            |    cnt: count mn: totalpriceMin mx: totalpriceMax
+            |    sm: totalpriceSum av: totalpriceAvg } }""".stripMargin)(s, d)),
+
+    // @cascade + child filter/order/first on an edge field
+    "graphql_cascade_child" -> ((s, d) =>
+      gql("""query {
+            |  queryCustomer(filter: { mktsegment: { eq: "MACHINERY" } }) @cascade {
+            |    name
+            |    placed(filter: { totalprice: { ge: 500000 } },
+            |           order: { desc: totalprice }, first: 2) {
+            |      totalprice } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"), col("placed"))),
+
+    // fulltext search op through the GraphQL filter surface
+    "graphql_fulltext" -> ((s, d) =>
+      gql("""query {
+            |  queryDocument(filter: { text: { alloftext: "filters merges sorting" } }) {
+            |    source } }""".stripMargin)(s, d)
+        .orderBy(col("uid")))
+  )
+
+  private val stopsSql =
+    graft.functions.TextFunctions.enStops.map(w => s"'$w'").mkString(", ")
+  private val docStemsSql =
+    s"""list_distinct(list_transform(
+       | list_filter(string_split(text, ' '), w -> NOT list_contains([$stopsSql], w)),
+       | w -> regexp_replace(w, '(ing|ed|es|e|s)$$', '')))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graphql_query" ->
+      s"""SELECT $CB + c_custkey AS uid, c_name AS name, c_acctbal AS acctbal,
+         | $NB + c_nationkey AS located_in, n_name AS located_in_name
+         |FROM customer JOIN nation ON n_nationkey = c_nationkey
+         |WHERE c_mktsegment = 'BUILDING' ORDER BY uid""".stripMargin,
+
+    "graphql_get" ->
+      s"""SELECT $CB + c_custkey AS uid, c_name AS name,
+         | c_mktsegment AS mktsegment, c_acctbal AS acctbal
+         |FROM customer WHERE c_custkey = 42""".stripMargin,
+
+    "graphql_filter_tree" ->
+      s"""SELECT $PB + p_partkey AS uid, p_name AS name, p_brand AS brand,
+         | CAST(p_size AS BIGINT) AS size
+         |FROM part
+         |WHERE (list_has_any(string_split(lower(p_name), ' '), ['green','small'])
+         |       OR p_size BETWEEN 5 AND 7)
+         |  AND NOT p_brand = 'Brand#45'
+         |ORDER BY uid""".stripMargin,
+
+    "graphql_order_page" ->
+      s"""SELECT uid, orderstatus, totalprice FROM (
+         | SELECT $OB + o_orderkey AS uid, o_orderstatus AS orderstatus,
+         |  o_totalprice AS totalprice,
+         |  ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderdate ASC,
+         |    $OB + o_orderkey ASC) AS rn
+         | FROM orders)
+         |WHERE rn > 5 AND rn <= 15 ORDER BY uid""".stripMargin,
+
+    "graphql_agg" ->
+      s"""SELECT COUNT(*) AS cnt, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+         | ${Q.sqlDsum("o_totalprice")} AS sm, ${Q.sqlDavg("o_totalprice")} AS av
+         |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "graphql_cascade_child" ->
+      s"""SELECT uid, name, placed, placed_totalprice FROM (
+         | SELECT $CB + o_custkey AS uid, c_name AS name,
+         |  $OB + o_orderkey AS placed, o_totalprice AS placed_totalprice,
+         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_totalprice DESC, $OB + o_orderkey ASC) AS rn
+         | FROM orders JOIN customer ON c_custkey = o_custkey
+         | WHERE c_mktsegment = 'MACHINERY' AND o_totalprice >= 500000)
+         |WHERE rn <= 2 ORDER BY uid, placed""".stripMargin,
+
+    "graphql_fulltext" ->
+      s"""SELECT $DB + doc_id AS uid, source FROM documents
+         |WHERE list_has_all($docStemsSql,
+         | ['filter', 'merg', 'sort'])
+         |ORDER BY uid""".stripMargin
+  )
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{TripleStore, Uids}
+import graft.dql._
+import graft.graphql._
+
+/** GraphQL front-end specs: document parsing, SDL parsing, and the
+  * rewrite shapes the reference pins in
+  * graphql/resolve/query_test.yaml (root promotion, get-by-id,
+  * aggregate two-block form, filter and/or/not combination).
+  */
+class GraphqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  lazy val sf = "/root/testdata/sf0.001"
+  lazy val engine = new GraphQLEngine(TripleStore(spark, sf))
+
+  private def rewrite(q: String): DqlQuery =
+    Rewriter.rewrite(GqlParser.parse(q), SdlParser.tpch)
+
+  test("document parser: aliases, args, list/object values, directives") {
+    val op = GqlParser.parse(
+      """query {
+        |  people: queryCustomer(filter: { or: [ { name: { eq: "x" } },
+        |      { acctbal: { between: { min: 1, max: 2.5 } } } ] },
+        |      first: 5) @cascade {
+        |    nm: name
+        |    located_in { name }
+        |  }
+        |}""".stripMargin)
+    val r = op.roots.head
+    assert(r.alias.contains("people") && r.name == "queryCustomer")
+    assert(r.directives == Seq("cascade"))
+    assert(r.children.map(_.outName) == Seq("nm", "located_in"))
+    val GList(ors) = r.arg("filter").get.asInstanceOf[GObj].get("or").get
+    assert(ors.size == 2)
+  }
+
+  test("SDL parser: lists, ID fields, @search tokenizers") {
+    val s = SdlParser.parse(
+      """type Author {
+        |  id: ID!
+        |  name: String! @search(by: [term, exact])
+        |  posts: [Post] @hasInverse(field: author)
+        |}
+        |type Post { title: String @search }""".stripMargin)
+    val a = s.typ("Author")
+    assert(a.field("id").get.isId)
+    assert(a.field("name").get.searchable == Seq("term", "exact"))
+    assert(a.field("posts").get.isList && a.field("posts").get.typeName == "Post")
+    assert(s.typ("Post").field("title").get.searchable == Seq("default"))
+  }
+
+  test("rewrite: eq filter promoted to root, type demoted to filter") {
+    val q = rewrite(
+      """{ queryCustomer(filter: { mktsegment: { eq: "BUILDING" } }) { name } }""")
+    val b = q.blocks.head
+    assert(b.func == FuncCall("eq", "mktsegment", Seq("BUILDING")))
+    assert(b.filter.contains(FilterLeaf(FuncCall("type", "Customer", Nil))))
+  }
+
+  test("rewrite: in-list becomes multi-value eq root") {
+    val q = rewrite(
+      """{ queryPart(filter: { brand: { in: ["Brand#12", "Brand#13"] } }) { name } }""")
+    assert(q.blocks.head.func == FuncCall("eq", "brand", Seq("Brand#12", "Brand#13")))
+  }
+
+  test("rewrite: get<T> is uid root with type filter") {
+    val q = rewrite("""{ getCustomer(id: "0x2ba7def3042") { name } }""")
+    val b = q.blocks.head
+    assert(b.func == FuncCall("uid", "", Seq("0x2ba7def3042")))
+    assert(b.filter.contains(FilterLeaf(FuncCall("type", "Customer", Nil))))
+  }
+
+  test("rewrite: sibling entries AND, or-branch ORs against them") {
+    val q = rewrite(
+      """{ queryOrder(filter: { orderstatus: { eq: "O" },
+        |    totalprice: { gt: 1000 },
+        |    or: { orderpriority: { eq: "1-URGENT" } } }) { orderstatus } }""".stripMargin)
+    q.blocks.head.filter.get match {
+      case FilterOr(Seq(FilterAnd(ands), FilterLeaf(orLeaf))) =>
+        assert(ands.size == 2)
+        assert(orLeaf == FuncCall("eq", "orderpriority", Seq("1-URGENT")))
+      case other => fail(s"unexpected shape: $other")
+    }
+  }
+
+  test("rewrite: aggregate<T> yields var block + aggregation block") {
+    val q = rewrite(
+      """{ aggregateOrder(filter: { orderstatus: { eq: "F" } }) {
+        |    count totalpriceSum totalpriceAvg } }""".stripMargin)
+    assert(q.blocks.size == 2)
+    val v = q.blocks.head
+    assert(v.name == "var" && v.selections.head.varName.contains("ag_totalprice"))
+    val a = q.blocks(1)
+    assert(a.selections.map(_.aggOp) == Seq(None, Some("sum"), Some("avg")))
+  }
+
+  test("execution: get by id returns exactly the row") {
+    val df = engine.flat(s"""{ getCustomer(id: "${Uids.Customer + 1}") { name } }""")
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("uid") == Uids.Customer + 1)
+  }
+
+  test("execution: child pagination keeps at most first-N per parent") {
+    val df = engine.flat(
+      """{ queryCustomer(filter: { mktsegment: { eq: "MACHINERY" } }) @cascade {
+        |    placed(order: { desc: totalprice }, first: 2) { totalprice } } }""".stripMargin)
+    val per = df.groupBy("uid").count().collect()
+    assert(per.nonEmpty && per.forall(_.getAs[Long]("count") <= 2))
+  }
+
+  test("execution: unknown field errors clearly") {
+    val e = intercept[Rewriter.RewriteException] {
+      engine.flat("""{ queryCustomer { nope } }""")
+    }
+    assert(e.getMessage.contains("no field"))
+  }
+}
