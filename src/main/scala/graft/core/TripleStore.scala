@@ -39,14 +39,21 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
       col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
       col("l_extendedprice"), col("l_quantity"), col("l_discount"),
       col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-    // The uid-assignment window (one shuffle of lineitem) is referenced by
-    // every lineitem-backed tablet view; persist it so a multi-tablet plan
-    // pays the shuffle once, not once per view. The cluster-scale analogue
-    // is materializing line uids into the bucketed layout (core/Bucketing)
-    // at load time — uid assignment is a load-time job, not a query-time one.
-    t("lineitem").withColumn("line_uid",
+    val withUid = t("lineitem").withColumn("line_uid",
       lit(Line) + col("l_orderkey") * 100 + row_number().over(w).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // uid assignment is a LOAD-time job, not a query-time one: the window
+    // shuffle is paid once by materializing lineitem+line_uid to a derived
+    // parquet table, and every lineitem tablet view then reads it back
+    // COLUMN-PRUNED (a full-width in-memory cache here forced each of the
+    // seven line-backed views to scan all 17 columns). At cluster scale
+    // this is the bulk-load layout step (core/Bucketing) against the real
+    // catalog; the derived file is per-(session, sfDir) and rewritten on
+    // first access in each JVM so it can never go stale.
+    val dir = new java.io.File(
+      s"target/graft-derived/line_uid_${new java.io.File(sfDir).getName}" +
+        s"_${System.identityHashCode(spark)}").getAbsolutePath
+    withUid.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
   }
 
   // ---- edge table: subject, predicate, object, facets ----

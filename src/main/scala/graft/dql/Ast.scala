@@ -49,11 +49,15 @@ final case class Selection(
       .getOrElse(pred))
 }
 
-/** math(...) expression tree (reference dql/math.go). */
+/** math(...) expression tree (reference dql/math.go: binary `+ - * / %
+  * pow logbase`, comparisons `< > <= >= == !=`, unary/function `ln exp
+  * sqrt floor ceil since u-`, n-ary `min max`, ternary `cond`).
+  */
 sealed trait MathNode
 final case class MathNum(v: Double) extends MathNode
 final case class MathRef(name: String) extends MathNode
 final case class MathBin(op: String, l: MathNode, r: MathNode) extends MathNode
+final case class MathFunc(name: String, args: Seq[MathNode]) extends MathNode
 
 final case class RecurseArgs(depth: Int, loop: Boolean)
 

@@ -129,7 +129,7 @@ object Parser {
       // x as math(expr): arithmetic over value variables (dql/math.go)
       if (name == "math" && peek == Punct("(")) {
         next()
-        val m = parseMathAdd()
+        val m = parseMathCmp()
         expect(")")
         return Selection(alias, "math", varName = varName, mathExpr = Some(m))
       }
@@ -296,19 +296,37 @@ object Parser {
       FuncCall(if (countArg) s"${fname}_count" else fname, pred, args)
     }
 
-    // math precedence: (+,-) < (*,/)
+    // math precedence (dql/math.go mathOpPrecedence):
+    // comparisons < (+,-) < (*,/,%) < unary
+    private def parseMathCmp(): MathNode = {
+      var l = parseMathAdd()
+      val cmps = Set("<", ">", "<=", ">=", "==", "!=")
+      while (peek match { case Punct(p) => cmps(p); case _ => false }) {
+        val op = next().asInstanceOf[Punct].c
+        l = MathBin(op, l, parseMathAdd())
+      }
+      l
+    }
+
     private def parseMathAdd(): MathNode = {
       var l = parseMathMul()
-      while (peek == Punct("+") || peek == Punct("-")) {
-        val op = next().asInstanceOf[Punct].c
-        l = MathBin(op, l, parseMathMul())
+      var going = true
+      while (going) peek match {
+        case Punct("+") | Punct("-") =>
+          val op = next().asInstanceOf[Punct].c
+          l = MathBin(op, l, parseMathMul())
+        case NumLit(s) if s.startsWith("-") =>
+          // the lexer folds "- 3" after an ident into NumLit(-3); in math
+          // position that is a subtraction
+          next(); l = MathBin("-", l, MathNum(s.drop(1).toDouble))
+        case _ => going = false
       }
       l
     }
 
     private def parseMathMul(): MathNode = {
       var l = parseMathAtom()
-      while (peek == Punct("*") || peek == Punct("/")) {
+      while (peek == Punct("*") || peek == Punct("/") || peek == Punct("%")) {
         val op = next().asInstanceOf[Punct].c
         l = MathBin(op, l, parseMathAtom())
       }
@@ -316,8 +334,17 @@ object Parser {
     }
 
     private def parseMathAtom(): MathNode = next() match {
-      case Punct("(") => val m = parseMathAdd(); expect(")"); m
+      case Punct("(") => val m = parseMathCmp(); expect(")"); m
+      case Punct("-") => MathBin("-", MathNum(0.0), parseMathAtom()) // unary minus
       case NumLit(v) => MathNum(v.toDouble)
+      case Ident("val") if peek == Punct("(") =>
+        next(); val v = ident(); expect(")"); MathRef(v)
+      case Ident(fn) if peek == Punct("(") =>
+        next()
+        var args = Vector(parseMathCmp())
+        while (peek == Punct(",")) { next(); args :+= parseMathCmp() }
+        expect(")")
+        MathFunc(fn, args)
       case Ident(v) => MathRef(v)
       case other => fail(s"unexpected math token $other")
     }

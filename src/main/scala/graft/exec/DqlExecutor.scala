@@ -36,6 +36,19 @@ final class DqlExecutor(ts: TripleStore) {
     */
   private val vars = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
 
+  /** Register a variable MATERIALIZED (localCheckpoint = compute once,
+    * truncate lineage). Without this, every later reference — val()
+    * leaves, seed comparisons, orderings, math — re-embeds the entire
+    * var-block plan: measured 48 InMemoryTableScans / 89 Exchanges in a
+    * single dql_math physical plan. At cluster scale each reference would
+    * re-join the full tablets; one checkpoint makes each reference a scan
+    * of a small materialized (uid, value) set. Mirrors the reference
+    * computing a var's uid/value map once per request
+    * (query/query.go:1806 fillVars).
+    */
+  private def bindVar(name: String, df: DataFrame): Unit =
+    vars(name) = df.localCheckpoint()
+
   /** Execute all blocks in order; return the last non-`var` block. */
   def flat(query: String): DataFrame = flatAst(Parser.parse(query))
 
@@ -151,13 +164,17 @@ final class DqlExecutor(ts: TripleStore) {
     case "regexp" =>
       attrWhere(fn.pred, v => v.rlike(fn.args.head))
     case "anyoftext" =>
-      // fulltext: stem + stopword-drop both sides (tok/tok.go:558)
+      // fulltext: stem + stopword-drop both sides (tok/tok.go:558).
+      // A query with no index tokens left matches nothing (the reference
+      // intersects with an empty token posting → empty).
       val q = graft.functions.TextFunctions.ftStemsLit(fn.args.head)
-      attrWhere(fn.pred, v => arrays_overlap(
+      if (q.isEmpty) attrWhere(fn.pred, _ => lit(false))
+      else attrWhere(fn.pred, v => arrays_overlap(
         graft.functions.TextFunctions.ftStems(v), array(q.map(lit(_)): _*)))
     case "alloftext" =>
       val q = graft.functions.TextFunctions.ftStemsLit(fn.args.head)
-      attrWhere(fn.pred, v => forall(array(q.map(lit(_)): _*),
+      if (q.isEmpty) attrWhere(fn.pred, _ => lit(false))
+      else attrWhere(fn.pred, v => forall(array(q.map(lit(_)): _*),
         t => array_contains(graft.functions.TextFunctions.ftStems(v), t)))
     case "match" =>
       attrWhere(fn.pred, v => levenshtein(v, lit(fn.args.head)) <= fn.args(1).toInt)
@@ -269,8 +286,8 @@ final class DqlExecutor(ts: TripleStore) {
         sel.varName.foreach { v =>
           // scalar attr values are unique per (subject, predicate) in the
           // store — no distinct needed, which would shuffle the whole var
-          vars(v) = cur.select(col(uidCol).as("uid"), col(name).as("value"))
-            .filter(col("value").isNotNull)
+          bindVar(v, cur.select(col(uidCol).as("uid"), col(name).as("value"))
+            .filter(col("value").isNotNull))
         }
       } else if (sel.pred == "val" && sel.valRef.isDefined) {
         val v = vars(sel.valRef.get)
@@ -290,7 +307,8 @@ final class DqlExecutor(ts: TripleStore) {
         cur = traverse(cur, uidCol, sel, name, cascade)
         // uid variable: the traversal's target frontier (f as friend)
         sel.varName.foreach { v =>
-          vars(v) = cur.select(col(name).as("uid")).filter(col("uid").isNotNull).distinct()
+          bindVar(v,
+            cur.select(col(name).as("uid")).filter(col("uid").isNotNull).distinct())
         }
       } else {
         val base = ts.attr(sel.pred)
@@ -313,8 +331,8 @@ final class DqlExecutor(ts: TripleStore) {
         sel.varName.foreach { v =>
           // scalar attr values are unique per (subject, predicate) in the
           // store — no distinct needed, which would shuffle the whole var
-          vars(v) = cur.select(col(uidCol).as("uid"), col(name).as("value"))
-            .filter(col("value").isNotNull)
+          bindVar(v, cur.select(col(uidCol).as("uid"), col(name).as("value"))
+            .filter(col("value").isNotNull))
         }
       }
     }
@@ -389,9 +407,16 @@ final class DqlExecutor(ts: TripleStore) {
   private def mathRefs(m: MathNode): Seq[String] = m match {
     case MathRef(n) => Seq(n)
     case MathBin(_, l, r) => mathRefs(l) ++ mathRefs(r)
+    case MathFunc(_, args) => args.flatMap(mathRefs)
     case _ => Nil
   }
 
+  /** math() expression → Column (reference query/math.go:40-250
+    * processBinary/processUnary: % pow logbase min max floor ceil ln exp
+    * sqrt cond since, comparisons, unary minus). floor/ceil cast back to
+    * double (Spark returns BIGINT) so the whole tree stays double-typed
+    * like the reference's float math.
+    */
   private def mathCol(m: MathNode): Column = m match {
     case MathNum(v) => lit(v)
     case MathRef(n) => col(s"__m_$n").cast("double")
@@ -399,6 +424,32 @@ final class DqlExecutor(ts: TripleStore) {
     case MathBin("-", l, r) => mathCol(l) - mathCol(r)
     case MathBin("*", l, r) => mathCol(l) * mathCol(r)
     case MathBin("/", l, r) => mathCol(l) / mathCol(r)
+    case MathBin("%", l, r) => mathCol(l) % mathCol(r)
+    case MathBin("<", l, r) => mathCol(l) < mathCol(r)
+    case MathBin(">", l, r) => mathCol(l) > mathCol(r)
+    case MathBin("<=", l, r) => mathCol(l) <= mathCol(r)
+    case MathBin(">=", l, r) => mathCol(l) >= mathCol(r)
+    case MathBin("==", l, r) => mathCol(l) === mathCol(r)
+    case MathBin("!=", l, r) => mathCol(l) =!= mathCol(r)
+    case MathFunc("ln", Seq(a)) => log(mathCol(a))
+    case MathFunc("exp", Seq(a)) => exp(mathCol(a))
+    case MathFunc("sqrt", Seq(a)) => sqrt(mathCol(a))
+    case MathFunc("floor", Seq(a)) => floor(mathCol(a)).cast("double")
+    case MathFunc("ceil", Seq(a)) => ceil(mathCol(a)).cast("double")
+    case MathFunc("pow", Seq(a, b)) => pow(mathCol(a), mathCol(b))
+    // logbase(a, b) = log of a in base b (reference query/math.go)
+    case MathFunc("logbase", Seq(a, b)) => log(mathCol(a)) / log(mathCol(b))
+    case MathFunc("min", args) if args.size >= 2 => least(args.map(mathCol): _*)
+    case MathFunc("max", args) if args.size >= 2 => greatest(args.map(mathCol): _*)
+    case MathFunc("cond", Seq(c, t, f)) =>
+      when(mathCol(c), mathCol(t)).otherwise(mathCol(f))
+    // since(t): seconds from the datetime value to query time (the
+    // reference evaluates against the request timestamp). Timestamp vars
+    // cast to double = epoch seconds.
+    case MathFunc("since", Seq(a)) =>
+      current_timestamp().cast("double") - mathCol(a)
+    case MathFunc(f, args) =>
+      throw new IllegalArgumentException(s"unsupported math fn $f/${args.size}")
     case MathBin(op, _, _) =>
       throw new IllegalArgumentException(s"unsupported math op $op")
   }

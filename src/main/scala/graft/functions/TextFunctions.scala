@@ -105,16 +105,20 @@ object TextFunctions {
   /** Porter-lite stemmer shared by both engines: one suffix strip. */
   val ftStemRe = "(ing|ed|es|e|s)$"
 
-  /** Stemmed, stopword-dropped distinct tokens of a text column. */
+  /** Stemmed, stopword-dropped distinct tokens of a text column.
+    * Lowercases first, matching the reference fulltext tokenizer
+    * (tok/tok.go fulltext chain lowercases before stemming).
+    */
   def ftStems(text: Column): Column =
     array_distinct(transform(
-      filter(split(text, " "), w => !w.isin(enStops.map(lit(_)): _*)),
+      filter(split(lower(text), " "), w => !w.isin(enStops.map(lit(_)): _*)),
       w => regexp_replace(w, ftStemRe, "")))
 
   /** Driver-side stems of a literal query string (the reference also
-    * tokenizes the query constant once, worker/tokens.go).
+    * tokenizes the query constant once, worker/tokens.go). Lowercased
+    * to mirror ftStems.
     */
   def ftStemsLit(q: String): Seq[String] =
-    q.split("\\s+").filter(w => w.nonEmpty && !enStops.contains(w))
+    q.toLowerCase.split("\\s+").filter(w => w.nonEmpty && !enStops.contains(w))
       .map(_.replaceAll(ftStemRe, "")).distinct.toSeq
 }

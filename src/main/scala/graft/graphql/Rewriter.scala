@@ -198,8 +198,12 @@ final class Rewriter(schema: GqlSchema) {
       case ("ge", v) => Some(FuncCall("ge", field, Seq(scalar(v))))
       case ("gt", v) => Some(FuncCall("gt", field, Seq(scalar(v))))
       case ("between", bo: GObj) =>
-        Some(FuncCall("between", field,
-          Seq(scalar(bo.get("min").get), scalar(bo.get("max").get))))
+        (bo.get("min"), bo.get("max")) match {
+          case (Some(mn), Some(mx)) =>
+            Some(FuncCall("between", field, Seq(scalar(mn), scalar(mx))))
+          case _ => throw RewriteException(
+            s"between filter on $field requires both min and max")
+        }
       case ("anyofterms", v) => Some(FuncCall("anyofterms", field, Seq(scalar(v))))
       case ("allofterms", v) => Some(FuncCall("allofterms", field, Seq(scalar(v))))
       case ("anyoftext", v) => Some(FuncCall("anyoftext", field, Seq(scalar(v))))

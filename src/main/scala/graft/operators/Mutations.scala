@@ -53,14 +53,37 @@ object Mutations {
     * max uid, ordered deterministically by the blank label. The max is
     * computed distributed and broadcast (a 1-row cross join), never
     * collected row-by-row.
+    *
+    * Allocation is the partition-offset pattern (SURVEY §2.1): a range
+    * repartition by label makes partitions contiguous label slices, each
+    * partition ranks its own slice, and a metadata-sized per-partition
+    * count prefix-sum turns local ranks into the global rank. A single
+    * global `Window.orderBy(label)` would funnel every blank node through
+    * one reducer — a driver-adjacent bottleneck when a bulk load allocates
+    * 10⁹ uids; this plan's only data-sized exchange is the range
+    * partitioning itself. Result is identical: uid = max + rank(label).
     */
   def allocateUids(blanks: DataFrame, labelCol: String,
       existingUids: DataFrame): DataFrame = {
     val maxUid = existingUids.agg(max(col("subject")).as("__max"))
-    val w = Window.orderBy(col(labelCol))
-    blanks.crossJoin(broadcast(maxUid))
-      .withColumn("uid", col("__max") + row_number().over(w).cast("long"))
-      .drop("__max")
+    // checkpoint so the two consumers (offsets, join) see ONE consistent
+    // partition assignment and the range shuffle runs once
+    val parted = blanks.repartitionByRange(col(labelCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(col(labelCol)))
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    parted.withColumn("__local", local.cast("long"))
+      .join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(maxUid))
+      .withColumn("uid", col("__max") + col("__off") + col("__local"))
+      .drop("__pid", "__local", "__off", "__max")
   }
 
   /** @unique pre-commit check (reference verifyUnique): proposed triples

@@ -25,12 +25,18 @@ object ShortestPath {
 
   private val Inf = Long.MaxValue
 
+  /** Builds the graph with the source as an EXPLICIT vertex: Graph.fromEdges
+    * derives vertices from edge endpoints only, so an isolated source (no
+    * incident edges) would vanish and sssp would return {} instead of
+    * {source -> 0}. The explicit-vertex constructor keeps it.
+    */
   private def edgeGraph[S: scala.reflect.ClassTag](
-      edges: DataFrame, init: S): Graph[S, Long] = {
+      edges: DataFrame, source: Long, init: S): Graph[S, Long] = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
-    Graph.fromEdges(e, init)
+    val v = e.sparkContext.parallelize(Seq((source, init)))
+    Graph(v, e, init)
   }
 
   /** Min cost from `source` to every reachable node.
@@ -39,7 +45,7 @@ object ShortestPath {
   def sssp(spark: SparkSession, source: Long, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    val g = edgeGraph(edges, Inf)
+    val g = edgeGraph(edges, source, Inf)
       .mapVertices((id, _) => if (id == source) 0L else Inf)
     val res = g.pregel(Inf, maxIter, EdgeDirection.Out)(
       (_, d, msg) => math.min(d, msg),
@@ -60,7 +66,7 @@ object ShortestPath {
     import spark.implicits._
     def mergeK(a: List[Long], b: List[Long]): List[Long] =
       (a ++ b).distinct.sorted.take(k)
-    val g = edgeGraph(edges, List.empty[Long])
+    val g = edgeGraph(edges, source, List.empty[Long])
       .mapVertices((id, _) => if (id == source) List(0L) else Nil)
     val res = g.pregel(List.empty[Long], maxIter, EdgeDirection.Out)(
       (_, s, msg) => mergeK(s, msg),
@@ -95,7 +101,7 @@ object ShortestPath {
       else if (a._2 == null) b
       else if (b._2 == null) a
       else if (a._2 <= b._2) a else b
-    val g = edgeGraph(edges, none)
+    val g = edgeGraph(edges, source, none)
       .mapVertices((id, _) => if (id == source) (0L, source.toString) else none)
     val res = g.pregel(none, maxIter, EdgeDirection.Out)(
       (_, s, msg) => better(s, msg),

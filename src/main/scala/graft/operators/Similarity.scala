@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -13,8 +12,10 @@ import graft.functions.VectorFunctions._
   * distribute, so the scale path is partition-pruned brute force:
   *  - `bruteForceTopK`: query-set × corpus join, ranked per query.
   *    The corpus side streams through codegen; the (small) query side is
-  *    broadcast, so there is NO shuffle of the corpus — only the
-  *    per-query top-k aggregation shuffles k rows per query.
+  *    broadcast, so there is NO shuffle of the corpus — and the per-query
+  *    ranking is a bounded-heap aggregate (plans/TopKPairs) whose
+  *    map-side partial combine bounds the shuffle at k rows per
+  *    (query, input partition), never the full scored cross product.
   *  - `ivfTopK`: IVF-style — restrict candidates to the query's coarse
   *    cell (here: the `label` column as the quantizer cell id).
   *
@@ -24,6 +25,17 @@ import graft.functions.VectorFunctions._
   * bit-reproducible across runs and engines.
   */
 object Similarity {
+
+  /** (qid, nid, sim) scored pairs → (qid, nid, sim, rank) keeping the k
+    * best per query, score desc / nid asc — via the bounded-heap
+    * aggregate, not a window over all pairs.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKPairs.topk(col("sim"), col("nid"), k).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")))
+      .select(col("qid"), col("col.nid").as("nid"), col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** cosine from a per-pair dot and prejoined squared norms — identical
     * arithmetic to VectorFunctions.cosineQ (exact ints, one double op
@@ -40,28 +52,22 @@ object Similarity {
     * Returns (qid, nid, sim, rank), self-pairs excluded.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     val q = withNorm(queries).select(col("id").as("qid"), col("qe").as("qv"), col("__nrm").as("qn"))
     val c = withNorm(corpus).select(col("id").as("nid"), col("qe").as("nv"), col("__nrm").as("nn"))
-    broadcast(q).join(c, col("qid") =!= col("nid"))
+    rankTopK(broadcast(q).join(c, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
   }
 
   /** IVF-style top-k: candidates restricted to the query's cell. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     val q = withNorm(queries).select(col("id").as("qid"), col("cell").as("qcell"),
       col("qe").as("qv"), col("__nrm").as("qn"))
     val c = withNorm(corpus).select(col("id").as("nid"), col("cell"),
       col("qe").as("nv"), col("__nrm").as("nn"))
-    broadcast(q).join(c, col("qcell") === col("cell") && col("qid") =!= col("nid"))
+    rankTopK(broadcast(q).join(c, col("qcell") === col("cell") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
   }
 
   /** Random-hyperplane LSH signature: bit j of `sig` is the sign of the
@@ -90,20 +96,17 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       planes: Int = 8, probe: Int = 1): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     val q = withLshSignature(withNorm(queries), dim, planes)
       .select(col("id").as("qid"), col("qe").as("qv"), col("__nrm").as("qn"),
         col("sig").as("qsig"))
     val c = withLshSignature(withNorm(corpus), dim, planes)
       .select(col("id").as("nid"), col("qe").as("nv"), col("__nrm").as("nn"),
         col("sig").as("nsig"))
-    broadcast(q).join(c,
+    rankTopK(broadcast(q).join(c,
         col("qid") =!= col("nid") &&
         bit_count(col("qsig").bitwiseXOR(col("nsig"))) <= probe)
       .select(col("qid"), col("nid"),
-        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
   }
 
   /** Near-duplicate pairs: same cell, quantized cosine above threshold. */

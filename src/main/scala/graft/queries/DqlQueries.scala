@@ -114,6 +114,18 @@ object DqlQueries {
     "dql_lang" -> ((s, d) =>
       dql("""{ q(func: type(Document)) {
             |    src: source  t_en: text@en:.  t_any: text@fr:* } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    // full math() function set (reference query/math.go:40-250): cond,
+    // %, ==, sqrt, unary minus, min, max, floor, ceil — all bit-exact
+    // across engines (sqrt is IEEE-rounded; transcendentals ln/exp/pow
+    // are implemented but spec-tested, not hash-gated)
+    "dql_math_funcs" -> ((s, d) =>
+      dql("""{ var(func: type(Part)) { sz as size  rp as retailprice
+            |    m as math(cond(sz % 2.0 == 0.0, sqrt(rp), -rp))
+            |    c as math(min(ceil(rp / 100.0), floor(sz), 10.0) + max(sz % 7.0, 1.0)) }
+            |  q(func: ge(val(m), 0.0), orderasc: val(m), first: 50) {
+            |    a: val(m)  b: val(c) } }""".stripMargin)(s, d)
         .orderBy(col("uid")))
   )
 
@@ -239,6 +251,22 @@ object DqlQueries {
       s"""SELECT ${Uids.Document} + doc_id AS uid, source AS src,
          | CASE WHEN lang = 'en' THEN text END AS t_en,
          | text AS t_any
-         |FROM documents ORDER BY uid""".stripMargin
+         |FROM documents ORDER BY uid""".stripMargin,
+
+    "dql_math_funcs" ->
+      s"""SELECT uid, a, b FROM (
+         | SELECT ${Uids.Part} + p_partkey AS uid,
+         |  CASE WHEN fmod(CAST(p_size AS DOUBLE), 2.0) = 0.0
+         |       THEN sqrt(p_retailprice) ELSE -p_retailprice END AS a,
+         |  least(ceil(p_retailprice / 100.0), floor(CAST(p_size AS DOUBLE)), 10.0)
+         |    + greatest(fmod(CAST(p_size AS DOUBLE), 7.0), 1.0) AS b,
+         |  ROW_NUMBER() OVER (ORDER BY
+         |   CASE WHEN fmod(CAST(p_size AS DOUBLE), 2.0) = 0.0
+         |        THEN sqrt(p_retailprice) ELSE -p_retailprice END ASC,
+         |   ${Uids.Part} + p_partkey ASC) AS rn
+         | FROM part
+         | WHERE CASE WHEN fmod(CAST(p_size AS DOUBLE), 2.0) = 0.0
+         |            THEN sqrt(p_retailprice) ELSE -p_retailprice END >= 0.0)
+         |WHERE rn <= 50 ORDER BY uid""".stripMargin
   )
 }

@@ -82,7 +82,7 @@ object GraphqlQueries {
     graft.functions.TextFunctions.enStops.map(w => s"'$w'").mkString(", ")
   private val docStemsSql =
     s"""list_distinct(list_transform(
-       | list_filter(string_split(text, ' '), w -> NOT list_contains([$stopsSql], w)),
+       | list_filter(string_split(lower(text), ' '), w -> NOT list_contains([$stopsSql], w)),
        | w -> regexp_replace(w, '(ing|ed|es|e|s)$$', '')))""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -82,7 +82,7 @@ object SpecialQueries {
     "fulltext_anyoftext" -> ((s, d) => {
       val qStems = "filters merges sorting".split(" ").map(stemS).distinct
       val docStems = array_distinct(transform(
-        filter(split(col("text"), " "), w => !w.isin(ftStops.map(lit(_)): _*)),
+        filter(split(lower(col("text")), " "), w => !w.isin(ftStops.map(lit(_)): _*)),
         w => stem(w)))
       t(s, d, "documents")
         .filter(arrays_overlap(docStems, array(qStems.map(lit(_)): _*)))
@@ -92,7 +92,7 @@ object SpecialQueries {
     "fulltext_alloftext" -> ((s, d) => {
       val qStems = "filters merges sorting".split(" ").map(stemS).distinct
       val docStems = array_distinct(transform(
-        filter(split(col("text"), " "), w => !w.isin(ftStops.map(lit(_)): _*)),
+        filter(split(lower(col("text")), " "), w => !w.isin(ftStops.map(lit(_)): _*)),
         w => stem(w)))
       t(s, d, "documents")
         .filter(forall(array(qStems.map(lit(_)): _*),
@@ -147,7 +147,7 @@ object SpecialQueries {
   private val stopsSql = ftStops.map(w => s"'$w'").mkString(", ")
   private val docStemsSql =
     s"""list_distinct(list_transform(
-       | list_filter(string_split(text, ' '), w -> NOT list_contains([$stopsSql], w)),
+       | list_filter(string_split(lower(text), ' '), w -> NOT list_contains([$stopsSql], w)),
        | w -> regexp_replace(w, '(ing|ed|es|e|s)$$', '')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
