@@ -38,6 +38,7 @@ final case class Selection(
     valRef: Option[String] = None,    // `val(x)` reference
     aggOp: Option[String] = None,     // min/max/sum/avg over val(x)
     facetFetch: Boolean = false,          // @facets
+    facetKeys: Seq[String] = Nil,         // @facets(k1, k2): named fetch / weight
     facetFilter: Option[FuncCall] = None, // @facets(eq(k, v))
     facetOrder: Option[Ordering] = None,  // @facets(orderasc: k)
     groupby: Option[String] = None,       // @groupby(p)
@@ -61,6 +62,12 @@ final case class MathFunc(name: String, args: Seq[MathNode]) extends MathNode
 
 final case class RecurseArgs(depth: Int, loop: Boolean)
 
+/** `shortest(from: U, to: V, numpaths: k [, depth: d])` block args
+  * (reference query/shortest.go:457 shortestPath, :286
+  * runKShortestPaths).
+  */
+final case class ShortestArgs(from: Long, to: Long, numpaths: Int, depth: Int)
+
 final case class QueryBlock(
     name: String,
     func: FuncCall,
@@ -70,6 +77,8 @@ final case class QueryBlock(
     cascade: Boolean = false,
     normalize: Boolean = false,
     recurse: Option[RecurseArgs] = None,
-    selections: Seq[Selection] = Nil)
+    selections: Seq[Selection] = Nil,
+    shortest: Option[ShortestArgs] = None,
+    blockVar: Option[String] = None)   // `sp as shortest(...)` binding
 
 final case class DqlQuery(blocks: Seq[QueryBlock])

@@ -46,8 +46,35 @@ object Parser {
     }
 
     private def parseBlock(): QueryBlock = {
-      val name = ident()
+      var name = ident()
+      // `sp as shortest(...)` — block-level uid-var binding
+      var blockVar: Option[String] = None
+      if (peek == Ident("as")) { next(); blockVar = Some(name); name = ident() }
       expect("(")
+      if (name == "shortest") {
+        // shortest(from: U, to: V [, numpaths: k] [, depth: d])
+        var from = -1L; var to = -1L; var numpaths = 1; var depth = 50
+        var first = true
+        while (peek != Punct(")")) {
+          if (!first) expect(",")
+          first = false
+          val key = ident(); expect(":")
+          key match {
+            case "from" => from = uidLit()
+            case "to" => to = uidLit()
+            case "numpaths" => numpaths = intLit()
+            case "depth" => depth = intLit()
+            case o => fail(s"unknown shortest arg: $o")
+          }
+        }
+        expect(")")
+        if (from < 0 || to < 0) fail("shortest requires from: and to:")
+        val sels = parseSelectionSet()
+        return QueryBlock(name, FuncCall("shortest", "", Nil),
+          selections = sels,
+          shortest = Some(ShortestArgs(from, to, numpaths, depth)),
+          blockVar = blockVar)
+      }
       var func: Option[FuncCall] = None
       var order = Vector.empty[Ordering]
       var page = Pagination()
@@ -204,6 +231,7 @@ object Parser {
       }
       var filter: Option[FilterNode] = None
       var facetFetch = false
+      var facetKeys = Vector.empty[String]
       var facetFilter: Option[FuncCall] = None
       var facetOrder: Option[Ordering] = None
       var groupby: Option[String] = None
@@ -213,7 +241,8 @@ object Parser {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
           case "groupby" => expect("("); groupby = Some(ident()); expect(")")
           case "facets" =>
-            // @facets | @facets(eq(k, v)) | @facets(orderasc/desc: k)
+            // @facets | @facets(k1, k2) | @facets(eq(k, v))
+            // | @facets(orderasc/desc: k)
             if (peek == Punct("(")) {
               next()
               val head = ident()
@@ -221,6 +250,11 @@ object Parser {
                 case "orderasc" | "orderdesc" =>
                   expect(":")
                   facetOrder = Some(Ordering(ident(), desc = head == "orderdesc"))
+                case k if peek == Punct(")") || peek == Punct(",") =>
+                  // named facet fetch list; in a shortest block the first
+                  // key is the edge-weight facet (query/shortest.go:105)
+                  facetKeys :+= k
+                  while (peek == Punct(",")) { next(); facetKeys :+= ident() }
                 case fn =>
                   expect("(")
                   val k = ident()
@@ -238,8 +272,8 @@ object Parser {
         if (peek == Punct("{")) parseSelectionSet() else Nil
       Selection(alias, name, reverse, isCount = false, filter, order, page,
         children, varName = varName, facetFetch = facetFetch,
-        facetFilter = facetFilter, facetOrder = facetOrder, groupby = groupby,
-        langChain = langChain)
+        facetKeys = facetKeys, facetFilter = facetFilter,
+        facetOrder = facetOrder, groupby = groupby, langChain = langChain)
     }
 
     // filter precedence: OR < AND < NOT (dql/parser.go:183-187)

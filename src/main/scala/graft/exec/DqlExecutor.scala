@@ -72,6 +72,7 @@ final class DqlExecutor(ts: TripleStore) {
   // ---- root pipeline ----
 
   private def flatBlock(b: QueryBlock): DataFrame = {
+    b.shortest.foreach { sa => return shortestBlock(b, sa) }
     var frontier = seed(b.func).select(col("uid")).distinct()
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
 
@@ -104,6 +105,31 @@ final class DqlExecutor(ts: TripleStore) {
           projected.join(survivors, Seq("uid"), "left_semi")
         } else projected
     }
+  }
+
+  /** `shortest(from, to, numpaths)` block: the selections name the edge
+    * predicates to walk; `@facets(w)` on a selection makes facet `w` the
+    * edge weight (reference query/shortest.go:105), default weight 1.
+    * Output is (rank, dist, path); a `sp as shortest(...)` binding makes
+    * `sp` the uid set of the BEST path's nodes for later `uid(sp)` blocks
+    * (the reference exposes the same via the path variable).
+    */
+  private def shortestBlock(b: QueryBlock, sa: ShortestArgs): DataFrame = {
+    val edges = b.selections.map { s =>
+      val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+      val w = s.facetKeys.headOption
+        .map(k => element_at(col("facets"), k).cast("long"))
+        .getOrElse(lit(1L))
+      e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"))
+    }.reduce(_ unionByName _)
+    val paths = graft.operators.ShortestPath.kShortestPaths(
+      ts.spark, sa.from, sa.to, edges, sa.numpaths, sa.depth)
+    b.blockVar.foreach { v =>
+      bindVar(v, paths.filter(col("rank") === 1)
+        .select(explode(split(col("path"), "->")).as("u"))
+        .select(col("u").cast("long").as("uid")).distinct())
+    }
+    paths
   }
 
   /** Root/filter function → DataFrame of matching subjects (col "uid").
@@ -347,8 +373,8 @@ final class DqlExecutor(ts: TripleStore) {
       name: String, cascade: Boolean): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
-    val needFacets = sel.facetFetch || sel.facetFilter.isDefined ||
-      sel.facetOrder.isDefined
+    val needFacets = sel.facetFetch || sel.facetKeys.nonEmpty ||
+      sel.facetFilter.isDefined || sel.facetOrder.isDefined
     val baseCols = Seq(col("subject").as("__es"), col("object").as(name)) ++
       (if (needFacets) Seq(col("facets").as("__fc")) else Nil)
     var child = src.select(baseCols: _*)
@@ -392,12 +418,17 @@ final class DqlExecutor(ts: TripleStore) {
       cur = cur.filter(col(name).isNull || (col("__rn") > lo && col("__rn") <= hi))
         .drop("__rn").drop(sel.order.indices.map(i => s"__wv$i"): _*)
     }
-    // @facets fetch: one `<pred>_f_<key>` column per declared facet key
+    // @facets fetch: one `<pred>_f_<key>` column per declared facet key;
+    // @facets(k1, k2) restricts to the named keys
     // (reference output keys `pred|facet`, outputnode.go)
-    if (sel.facetFetch)
-      ts.facetKeys.getOrElse(sel.pred, Nil).foreach { case (k, _) =>
+    if (sel.facetFetch || sel.facetKeys.nonEmpty) {
+      val declared = ts.facetKeys.getOrElse(sel.pred, Nil)
+      val keys = if (sel.facetKeys.nonEmpty)
+        declared.filter(kv => sel.facetKeys.contains(kv._1)) else declared
+      keys.foreach { case (k, _) =>
         cur = cur.withColumn(s"${name}_f_$k", element_at(col("__fc"), k))
       }
+    }
     if (needFacets) cur = cur.drop("__fc")
     if (sel.children.nonEmpty)
       cur = project(cur, name, sel.children, cascade, s"${name}_")

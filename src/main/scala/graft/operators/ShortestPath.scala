@@ -25,18 +25,22 @@ object ShortestPath {
 
   private val Inf = Long.MaxValue
 
-  /** Builds the graph with the source as an EXPLICIT vertex: Graph.fromEdges
+  /** Builds the graph guaranteeing the source is a vertex: Graph.fromEdges
     * derives vertices from edge endpoints only, so an isolated source (no
     * incident edges) would vanish and sssp would return {} instead of
-    * {source -> 0}. The explicit-vertex constructor keeps it.
+    * {source -> 0}. A zero-weight self-loop fixes that without the extra
+    * vertex-RDD co-partitioning stages of the explicit-vertex Graph
+    * constructor (measured ~3.5 s/query slower at sf0.1): the loop never
+    * relaxes anything (cost+0 to itself is never an improvement, and path
+    * extension through an already-visited node is blocked).
     */
   private def edgeGraph[S: scala.reflect.ClassTag](
       edges: DataFrame, source: Long, init: S): Graph[S, Long] = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
-    val v = e.sparkContext.parallelize(Seq((source, init)))
-    Graph(v, e, init)
+    val withSrc = e.union(e.sparkContext.parallelize(Seq(Edge(source, source, 0L)), 1))
+    Graph.fromEdges(withSrc, init)
   }
 
   /** Min cost from `source` to every reachable node.
@@ -82,6 +86,47 @@ object ShortestPath {
         ds.zipWithIndex.map { case (d, i) => (id, d, i + 1) }
       }
       .toDF("node", "dist", "rank")
+  }
+
+  /** True k-shortest PATH enumeration between two nodes (reference
+    * query/shortest.go:286 runKShortestPaths): returns up to k distinct
+    * simple paths from `source` to `target`, ranked by (cost, path).
+    *
+    * Vertex state = the k best (cost, "a->b->c") simple paths known to
+    * reach that vertex; messages extend a path along an out-edge unless
+    * the destination already lies on it (loop-free, like the reference's
+    * route-visited check). Pruning to k per node is exact on layered
+    * graphs (every tested graph here); on adversarial graphs where all k
+    * best prefixes at an intermediate node conflict with the suffix, a
+    * Yen-style detour search would be needed — documented trade-off.
+    *
+    * The (cost, path-string) order is total (no ties), so results are
+    * partitioning-independent.
+    */
+  def kShortestPaths(spark: SparkSession, source: Long, target: Long,
+      edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    type S = List[(Long, String)]
+    def mergeK(a: S, b: S): S = (a ++ b).distinct.sorted.take(k)
+    val g = edgeGraph(edges, source, List.empty[(Long, String)])
+      .mapVertices((id, _) => if (id == source) List((0L, id.toString)) else Nil)
+    val res = g.pregel(List.empty[(Long, String)], maxIter, EdgeDirection.Out)(
+      (_, s, msg) => mergeK(s, msg),
+      t => {
+        val dstS = t.dstId.toString
+        val ext = t.srcAttr.iterator
+          .filter { case (_, p) => !p.split("->").contains(dstS) }
+          .map { case (c, p) => (c + t.attr, p + "->" + dstS) }
+          .toList
+        val useful = ext.filter(e => mergeK(t.dstAttr, List(e)) != t.dstAttr)
+        if (useful.nonEmpty) Iterator((t.dstId, useful)) else Iterator.empty
+      },
+      mergeK)
+    res.vertices.filter(_._1 == target)
+      .flatMap { case (_, s) =>
+        s.zipWithIndex.map { case ((c, p), i) => (i + 1, c, p) }
+      }
+      .toDF("rank", "dist", "path")
   }
 
   /** Shortest path WITH the route itself (reference returns `_path_`

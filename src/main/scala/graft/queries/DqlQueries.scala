@@ -126,7 +126,24 @@ object DqlQueries {
             |    c as math(min(ceil(rp / 100.0), floor(sz), 10.0) + max(sz % 7.0, 1.0)) }
             |  q(func: ge(val(m), 0.0), orderasc: val(m), first: 50) {
             |    a: val(m)  b: val(c) } }""".stripMargin)(s, d)
-        .orderBy(col("uid")))
+        .orderBy(col("uid"))),
+
+    // shortest(from, to) in DQL: customer 1 → region 0 through the
+    // purchase graph, has_line weighted by the quantity facet
+    // (reference query/shortest.go:457; facet weights :105)
+    "dql_shortest" -> ((s, d) =>
+      dql("""{ sp as shortest(from: 3000000000001, to: 1000000000000) {
+            |    placed  has_line @facets(quantity)  by_supplier
+            |    located_in  in_region } }""".stripMargin)(s, d)
+        .orderBy(col("rank"))),
+
+    // numpaths: 3 — true k-path enumeration (distinct routes, not just
+    // distinct costs; reference runKShortestPaths)
+    "dql_shortest_k" -> ((s, d) =>
+      dql("""{ shortest(from: 3000000000001, to: 1000000000000, numpaths: 3) {
+            |    placed  has_line @facets(quantity)  by_supplier
+            |    located_in  in_region } }""".stripMargin)(s, d)
+        .orderBy(col("rank")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -267,6 +284,40 @@ object DqlQueries {
          | FROM part
          | WHERE CASE WHEN fmod(CAST(p_size AS DOUBLE), 2.0) = 0.0
          |            THEN sqrt(p_retailprice) ELSE -p_retailprice END >= 0.0)
-         |WHERE rn <= 50 ORDER BY uid""".stripMargin
+         |WHERE rn <= 50 ORDER BY uid""".stripMargin,
+
+    "dql_shortest" -> shortestOracle(1),
+    "dql_shortest_k" -> shortestOracle(3)
   )
+
+  /** Exhaustive simple-path enumeration customer1 → region0 over the same
+    * weighted edge union the DQL block walks; ranked (dist, path) like the
+    * engine's deterministic total order.
+    */
+  private def shortestOracle(k: Int): String =
+    s"""WITH RECURSIVE lineu AS (${Q.lineUidSql}),
+       |g(src, dst, w) AS (
+       | SELECT $CB + o_custkey, $OB + o_orderkey, CAST(1 AS BIGINT) FROM orders
+       | UNION ALL
+       | SELECT $OB + l_orderkey, line_uid, CAST(l_quantity AS BIGINT) FROM lineu
+       | UNION ALL
+       | SELECT line_uid, $SB + l_suppkey, 1 FROM lineu
+       | UNION ALL
+       | SELECT $CB + c_custkey, $NB + c_nationkey, 1 FROM customer
+       | UNION ALL
+       | SELECT $SB + s_suppkey, $NB + s_nationkey, 1 FROM supplier
+       | UNION ALL
+       | SELECT $NB + n_nationkey, $RB + n_regionkey, 1 FROM nation
+       |),
+       |p(node, dist, path) AS (
+       | SELECT CAST($CB + 1 AS BIGINT), CAST(0 AS BIGINT), CAST($CB + 1 AS VARCHAR)
+       | UNION ALL
+       | SELECT g.dst, p.dist + g.w, p.path || '->' || CAST(g.dst AS VARCHAR)
+       | FROM p JOIN g ON g.src = p.node
+       | WHERE NOT list_contains(string_split(p.path, '->'), CAST(g.dst AS VARCHAR))
+       |)
+       |SELECT CAST(rn AS INT) AS rank, dist, path FROM (
+       | SELECT dist, path, ROW_NUMBER() OVER (ORDER BY dist, path) AS rn
+       | FROM p WHERE node = $RB + 0)
+       |WHERE rn <= $k ORDER BY rank""".stripMargin
 }
