@@ -41,13 +41,13 @@ final case class Selection(
     facetKeys: Seq[String] = Nil,         // @facets(k1, k2): named fetch / weight
     facetFilter: Option[FuncCall] = None, // @facets(eq(k, v))
     facetOrder: Option[Ordering] = None,  // @facets(orderasc: k)
-    groupby: Option[String] = None,       // @groupby(p)
+    groupby: Seq[String] = Nil,           // @groupby(p1, p2)
     mathExpr: Option[MathNode] = None,    // x as math(...)
     langChain: Seq[String] = Nil) {       // pred@en:fr:. preference chain
   def outName: String = alias.getOrElse(
     if (isCount) s"count_$pred"
-    else valRef.map(v => aggOp.map(op => s"${op}_$v").getOrElse(s"val_$v"))
-      .getOrElse(pred))
+    else aggOp.map(op => valRef.map(v => s"${op}_$v").getOrElse(s"${op}_$pred"))
+      .getOrElse(valRef.map(v => s"val_$v").getOrElse(pred)))
 }
 
 /** math(...) expression tree (reference dql/math.go: binary `+ - * / %

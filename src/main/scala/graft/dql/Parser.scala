@@ -160,13 +160,17 @@ object Parser {
         expect(")")
         return Selection(alias, "math", varName = varName, mathExpr = Some(m))
       }
-      // min/max/sum/avg(val(x)) block-level aggregation over a variable
+      // min/max/sum/avg(val(x)) over a variable, or min/max/sum/avg(pred)
+      // over a predicate (the @groupby agg form, query/groupby.go:195)
       if (Set("min", "max", "sum", "avg").contains(name) && peek == Punct("(")) {
         next()
         if (peek == Ident("val")) {
           next(); expect("("); val v = ident(); expect(")"); expect(")")
           return Selection(alias, name, valRef = Some(v), aggOp = Some(name))
-        } else fail(s"expected val(var) inside $name(...)")
+        } else {
+          val p = ident(); expect(")")
+          return Selection(alias, p, aggOp = Some(name))
+        }
       }
       // val(x) leaf reference
       if (name == "val" && peek == Punct("(")) {
@@ -234,12 +238,16 @@ object Parser {
       var facetKeys = Vector.empty[String]
       var facetFilter: Option[FuncCall] = None
       var facetOrder: Option[Ordering] = None
-      var groupby: Option[String] = None
+      var groupby = Vector.empty[String]
       while (peek == Punct("@")) {
         next()
         ident() match {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
-          case "groupby" => expect("("); groupby = Some(ident()); expect(")")
+          case "groupby" =>
+            expect("(")
+            groupby :+= ident()
+            while (peek == Punct(",")) { next(); groupby :+= ident() }
+            expect(")")
           case "facets" =>
             // @facets | @facets(k1, k2) | @facets(eq(k, v))
             // | @facets(orderasc/desc: k)

@@ -86,7 +86,7 @@ final class DqlExecutor(ts: TripleStore) {
         }.reduce(_ unionByName _)
         Recurse.expand(frontier.select(col("uid").as("start")), edges,
           r.depth, r.loop)
-      case None if b.selections.size == 1 && b.selections.head.groupby.isDefined =>
+      case None if b.selections.size == 1 && b.selections.head.groupby.nonEmpty =>
         groupbyBlock(frontier, b.selections.head)
       case None if b.selections.exists(sel =>
           sel.aggOp.isDefined || (sel.isCount && sel.pred == "uid")) =>
@@ -398,7 +398,7 @@ final class DqlExecutor(ts: TripleStore) {
     var cur = df.join(child, col(uidCol) === col("__es"), joinType).drop("__es")
 
     val needWindow = sel.order.nonEmpty || sel.facetOrder.isDefined ||
-      sel.page.first.isDefined || sel.page.offset.isDefined
+      sel.page.first.isDefined || sel.page.offset.isDefined || keepChildRank
     if (needWindow) {
       // @facets(orderasc: k) sorts the adjacency by edge facet
       // (reference sortAndPaginateUsingFacet, query/query.go:2611)
@@ -416,7 +416,11 @@ final class DqlExecutor(ts: TripleStore) {
       val lo = sel.page.offset.getOrElse(0)
       val hi = sel.page.first.map(f => lo + f).getOrElse(Int.MaxValue)
       cur = cur.filter(col(name).isNull || (col("__rn") > lo && col("__rn") <= hi))
-        .drop("__rn").drop(sel.order.indices.map(i => s"__wv$i"): _*)
+        .drop(sel.order.indices.map(i => s"__wv$i"): _*)
+      // JSON rendering keeps the traversal order so child arrays come out
+      // in requested order (reference outputnode preserves uidMatrix order)
+      cur = if (keepChildRank) cur.withColumnRenamed("__rn", s"${name}__rn")
+        else cur.drop("__rn")
     }
     // @facets fetch: one `<pred>_f_<key>` column per declared facet key;
     // @facets(k1, k2) restricts to the named keys
@@ -514,23 +518,44 @@ final class DqlExecutor(ts: TripleStore) {
     cur
   }
 
-  /** `pred @groupby(p) { count(uid) ... }` — traverse the edge, group the
-    * targets by the value of predicate p, aggregate siblings (reference
-    * query/groupby.go:363 processGroupBy).
+  /** `pred @groupby(p1, p2) { count(uid) min/max/sum/avg(q | val(x)) }` —
+    * traverse the edge, group the targets by the grouping predicates'
+    * values, aggregate (reference query/groupby.go:130 multi-attr keys,
+    * :195 aggregation children). Sum/avg go through exact decimal sums
+    * (partitioning-independent), same as aggregateBlock.
     */
   private def groupbyBlock(frontier: DataFrame, sel: Selection): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
     val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
-    val gp = sel.groupby.get
-    val targets = frontier
+    var cur = frontier
       .join(src.select(col("subject").as("uid"), col("object").as("__t")), Seq("uid"))
-    val withKey = targets.join(
-      ts.attr(gp).select(col("subject").as("__t"), col("value").as(gp)), Seq("__t"))
+    sel.groupby.foreach { gp =>
+      cur = cur.join(
+        ts.attr(gp).select(col("subject").as("__t"), col("value").as(gp)), Seq("__t"))
+    }
     val aggCols = sel.children.map { c =>
       if (c.isCount && c.pred == "uid") count(col("__t")).as(c.outName)
-      else throw new IllegalArgumentException(
+      else if (c.aggOp.isDefined) {
+        val colName = s"__g_${c.valRef.getOrElse(c.pred)}"
+        if (!cur.columns.contains(colName)) {
+          val vsrc = c.valRef
+            .map(v => vars(v).select(col("uid").as("__t"), col("value")))
+            .getOrElse(ts.attr(c.pred).select(col("subject").as("__t"), col("value")))
+          cur = cur.join(vsrc.withColumnRenamed("value", colName), Seq("__t"), "left")
+        }
+        val cc = col(colName)
+        c.aggOp.get match {
+          case "min" => min(cc).as(c.outName)
+          case "max" => max(cc).as(c.outName)
+          case "sum" => sum(cc.cast(dec)).cast("double").as(c.outName)
+          case "avg" => (sum(cc.cast(dec)).cast("double") /
+            count(cc).cast("double")).as(c.outName)
+        }
+      } else throw new IllegalArgumentException(
         s"unsupported @groupby aggregation: ${c.pred}")
     }
-    withKey.groupBy(col(gp)).agg(aggCols.head, aggCols.tail: _*)
+    cur.groupBy(sel.groupby.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** Block-level aggregation over variables (reference evalLevelAgg,
@@ -546,10 +571,18 @@ final class DqlExecutor(ts: TripleStore) {
       joined = joined.join(
         vars(v).select(col("uid"), col("value").as(s"__v_$v")), Seq("uid"), "left")
     }
+    // min/max/sum/avg(pred) directly over an attribute tablet
+    val predAggs = b.selections
+      .filter(s => s.aggOp.isDefined && s.valRef.isEmpty).map(_.pred).distinct
+    predAggs.foreach { p =>
+      joined = joined.join(
+        ts.attr(p).select(col("subject").as("uid"), col("value").as(s"__v_$p")),
+        Seq("uid"), "left")
+    }
     val aggCols = b.selections.map { sel =>
       if (sel.isCount && sel.pred == "uid") count(col("uid")).as(sel.outName)
       else {
-        val c = col(s"__v_${sel.valRef.get}")
+        val c = col(s"__v_${sel.valRef.getOrElse(sel.pred)}")
         sel.aggOp.get match {
           case "min" => min(c).as(sel.outName)
           case "max" => max(c).as(sel.outName)
@@ -564,36 +597,99 @@ final class DqlExecutor(ts: TripleStore) {
 
   // ---- nested JSON output (reference outputnode.go ToJson shape) ----
 
-  /** Render a block as one JSON string per root uid, children nested as
-    * uid-sorted arrays. Assembly is leaves-up collect_list(struct(...)),
-    * never row-by-row.
+  /** When true, traverse() keeps per-parent child order as `<name>__rn`
+    * so JSON child arrays preserve the requested traversal order.
     */
-  def jsonRows(query: String): DataFrame = {
-    val b = Parser.parse(query).blocks.head
-    val flatDf = flatBlock(b)
-    val leafCols = flatDf.columns.filter(_ != "uid")
-    // counts are scalar leaves even when they count a (reverse) uid pred
-    val rootScalars = b.selections.filter(s => s.isCount ||
-      (!schema.isUidPredicate(s.pred) && !s.reverse && s.pred != "uid"))
-      .map(_.outName)
-    val childSels = b.selections.filter(s =>
-      !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse))
+  private var keepChildRank = false
 
-    val childStructs = childSels.map { cs =>
-      val childLeaf = leafCols.filter(c => c.startsWith(cs.outName + "_") || c == cs.outName)
-      sort_array(collect_list(struct(
-        (col(cs.outName).as("uid") +:
-          childLeaf.filter(_ != cs.outName).map(c =>
-            col(c).as(c.stripPrefix(cs.outName + "_")))): _*
-      ))).as(cs.outName)
+  /** uid rendered the reference way: "0x" + lowercase hex
+    * (outputnode.go writes uids as hex strings).
+    */
+  private def hexUid(c: Column): Column =
+    concat(lit("0x"), lower(conv(c.cast("string"), 10, 16)))
+
+  /** JSON key for a selection, following the reference's output naming
+    * (outputnode.go): alias wins; count → `count(pred)`; lang chains keep
+    * the chain (`name@en:.`); otherwise the predicate.
+    */
+  private def jsonKey(s: Selection): String =
+    s.alias.getOrElse(
+      if (s.isCount) s"count(${s.pred})"
+      else if (s.langChain.nonEmpty) s"${s.pred}@${s.langChain.mkString(":")}"
+      else s.outName)
+
+  /** Render one block as (uid, json): one JSON object string per root,
+    * fields in query order, child objects as arrays ordered by the
+    * requested child order (default uid asc), uids as "0x…" hex, lang
+    * chains as `pred@en:.` keys, facets as `pred|facet` keys, null
+    * fields and empty child arrays omitted — the reference's ToJson
+    * shape (outputnode.go:1346 preTraverse; goldens
+    * query/query0_test.go:27-46). Assembly is leaves-up
+    * collect_list(struct(...)), never row-by-row.
+    */
+  def jsonRows(query: String): DataFrame =
+    jsonBlock(Parser.parse(query).blocks.head)
+
+  /** Render every non-var block: (block, uid, json). Var blocks execute
+    * for their bindings but emit no output (reference multi-block JSON,
+    * one key per block).
+    */
+  def jsonAll(query: String): DataFrame = {
+    val blocks = Parser.parse(query).blocks
+    val outs = blocks.flatMap { b =>
+      if (b.name == "var") { flatBlock(b); None }
+      else Some(jsonBlock(b).select(lit(b.name).as("block"), col("uid"), col("json")))
     }
-    val aggCols = rootScalars.map(c => first(col(c), ignoreNulls = true).as(c)) ++ childStructs
+    outs.reduce(_ unionByName _)
+  }
+
+  private def jsonBlock(b: QueryBlock): DataFrame = {
+    keepChildRank = true
+    val flatDf = try flatBlock(b) finally { keepChildRank = false }
+    // counts are scalar leaves even when they count a (reverse) uid pred
+    def isChild(s: Selection) =
+      !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse)
+
+    // per-selection aggregated column, keyed by a safe internal name;
+    // final key order follows the query
+    val aggSpecs: Seq[(String, Column, Column => Column)] =
+      b.selections.filter(_.pred != "uid").zipWithIndex.map { case (s, i) =>
+        val internal = s"__j$i"
+        if (!isChild(s)) {
+          (internal, first(col(s.outName), ignoreNulls = true).as(internal),
+            (c: Column) => c.as(jsonKey(s)))
+        } else {
+          val pfx = s.outName + "_"
+          val rankCol = s"${s.outName}__rn"
+          val sortKey =
+            if (flatDf.columns.contains(rankCol)) col(rankCol).cast("long")
+            else col(s.outName)
+          // payload: uid, then scalar child selections in query order,
+          // then facet columns as pred|facet
+          val scalarKids = s.children.filter(c => !isChild(c))
+            .filter(c => flatDf.columns.contains(pfx + c.outName))
+            .map(c => col(pfx + c.outName).as(jsonKey(c)))
+          val facetCols = flatDf.columns.filter(_.startsWith(s"${pfx}f_"))
+            .map(c => col(c).as(s"${s.outName}|${c.stripPrefix(s"${pfx}f_")}"))
+          val payload = struct(
+            (hexUid(col(s.outName)).as("uid") +: (scalarKids ++ facetCols)): _*)
+          val entry = when(col(s.outName).isNotNull,
+            struct(sortKey.as("o"), payload.as("p")))
+          val arr = transform(sort_array(collect_list(entry)), x => x.getField("p"))
+          (internal, when(size(arr) > 0, arr).as(internal),
+            (c: Column) => c.as(jsonKey(s)))
+        }
+      }
+
     val grouped =
-      if (aggCols.nonEmpty)
-        flatDf.groupBy(col("uid")).agg(aggCols.head, aggCols.tail: _*)
+      if (aggSpecs.nonEmpty)
+        flatDf.groupBy(col("uid"))
+          .agg(aggSpecs.head._2, aggSpecs.tail.map(_._2): _*)
       else flatDf.select(col("uid")).distinct()
+    val fields = hexUid(col("uid")).as("uid") +:
+      aggSpecs.map { case (internal, _, rename) => rename(col(internal)) }
     grouped
-      .select(col("uid"), to_json(struct(grouped.columns.map(col): _*)).as("json"))
+      .select(col("uid"), to_json(struct(fields: _*)).as("json"))
       .orderBy(col("uid"))
   }
 }

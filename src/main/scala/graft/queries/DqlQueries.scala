@@ -23,6 +23,9 @@ object DqlQueries {
   private def dql(q: String): QFn = (s, d) =>
     new DqlExecutor(TripleStore(s, d)).flat(q)
 
+  private def dqlJson(q: String): QFn = (s, d) =>
+    new DqlExecutor(TripleStore(s, d)).jsonAll(q)
+
   val queries: Map[String, QFn] = Map(
     "dql_eq_traverse" -> ((s, d) =>
       dql("""{ q(func: eq(mktsegment, "BUILDING")) @filter(has(placed)) {
@@ -143,7 +146,33 @@ object DqlQueries {
       dql("""{ shortest(from: 3000000000001, to: 1000000000000, numpaths: 3) {
             |    placed  has_line @facets(quantity)  by_supplier
             |    located_in  in_region } }""".stripMargin)(s, d)
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // @groupby with multiple keys + value aggregations (reference
+    // query/groupby.go:130 multi-attr, :195 agg children) — the DQL
+    // road to TPC-H Q1
+    "dql_groupby_agg" -> ((s, d) =>
+      dql("""{ q(func: type(Order)) {
+            |    has_line @groupby(returnflag, linestatus) {
+            |      n: count(uid)  sq: sum(quantity)
+            |      mn: min(extendedprice)  mx: max(extendedprice)
+            |      av: avg(discount) } } }""".stripMargin)(s, d)
+        .orderBy(col("returnflag"), col("linestatus"))),
+
+    // nested JSON output fidelity (reference outputnode.go:1346
+    // preTraverse; golden shapes query/query0_test.go): hex uids, field
+    // order = query order, child arrays in requested order, pred|facet
+    // keys, pred@lang:. keys, multi-block — string-compared vs
+    // DuckDB-assembled JSON
+    "dql_json_nested" -> ((s, d) =>
+      dqlJson("""{ cust(func: eq(mktsegment, "BUILDING"), orderasc: name, first: 20) {
+            |      name
+            |      nc: count(placed)
+            |      placed (orderdesc: totalprice, first: 2) @facets(totalprice) {
+            |        orderstatus }
+            |    }
+            |    docs(func: type(Document), first: 15) { text@en:.  source } }""".stripMargin)(s, d)
+        .orderBy(col("block"), col("uid")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -287,7 +316,47 @@ object DqlQueries {
          |WHERE rn <= 50 ORDER BY uid""".stripMargin,
 
     "dql_shortest" -> shortestOracle(1),
-    "dql_shortest_k" -> shortestOracle(3)
+    "dql_shortest_k" -> shortestOracle(3),
+
+    "dql_groupby_agg" ->
+      s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+         | COUNT(*) AS n, ${Q.sqlDsum("l_quantity")} AS sq,
+         | MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+         | ${Q.sqlDavg("l_discount")} AS av
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dql_json_nested" ->
+      s"""WITH base AS (
+         | SELECT uid, name FROM (
+         |  SELECT $CB + c_custkey AS uid, c_name AS name,
+         |   ROW_NUMBER() OVER (ORDER BY c_name ASC, $CB + c_custkey ASC) AS rn
+         |  FROM customer WHERE c_mktsegment = 'BUILDING')
+         | WHERE rn <= 20),
+         |nc AS (SELECT $CB + o_custkey AS uid, COUNT(*) AS n FROM orders GROUP BY 1),
+         |kid AS (
+         | SELECT $CB + o_custkey AS uid,
+         |  '{"uid":"0x' || printf('%x', $OB + o_orderkey) || '","orderstatus":' ||
+         |   to_json(o_orderstatus) || ',"placed|totalprice":' ||
+         |   to_json(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) || '}' AS obj,
+         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |   ORDER BY o_totalprice DESC, $OB + o_orderkey ASC) AS rn
+         | FROM orders),
+         |karr AS (SELECT uid, string_agg(obj, ',' ORDER BY rn) AS arr
+         |  FROM kid WHERE rn <= 2 GROUP BY uid)
+         |SELECT block, uid, json FROM (
+         | SELECT 'cust' AS block, b.uid,
+         |  '{"uid":"0x' || printf('%x', b.uid) || '","name":' || to_json(b.name) ||
+         |  ',"nc":' || COALESCE(nc.n, 0) ||
+         |  COALESCE(',"placed":[' || karr.arr || ']', '') || '}' AS json
+         | FROM base b LEFT JOIN nc ON nc.uid = b.uid LEFT JOIN karr ON karr.uid = b.uid
+         | UNION ALL
+         | SELECT 'docs', uid,
+         |  '{"uid":"0x' || printf('%x', uid) || '"' ||
+         |  CASE WHEN lang = 'en' THEN ',"text@en:.":' || to_json(text) ELSE '' END ||
+         |  ',"source":' || to_json(source) || '}'
+         | FROM (SELECT ${Uids.Document} + doc_id AS uid, text, lang, source
+         |       FROM documents ORDER BY uid LIMIT 15))
+         |ORDER BY block, uid""".stripMargin
   )
 
   /** Exhaustive simple-path enumeration customer1 → region0 over the same

@@ -69,8 +69,8 @@ class DqlSpec extends AnyFunSuite {
     assert(rows.length == 1)
     val json = rows.head.getString(1)
     assert(json.contains(""""name":"NATION_3""""))
-    assert(json.contains(""""in_region":[{"uid":"""))
-    assert(json.matches(""".*"in_region":\[\{"uid":\d+,"name":"[A-Z ]+"\}\].*"""))
+    assert(json.contains(""""in_region":[{"uid":"0x"""))
+    assert(json.matches(""".*"in_region":\[\{"uid":"0x[0-9a-f]+","name":"[A-Z ]+"\}\].*"""))
   }
 
   test("golden JSON: two-level nesting with count and alias") {
@@ -83,13 +83,57 @@ class DqlSpec extends AnyFunSuite {
     val json = rows.head.getString(1)
     assert(json.contains(""""name":"NATION_7""""))
     assert(json.matches(""".*"nInhab":\d+.*"""))
-    assert(json.matches(""".*"regionRef":\[\{"uid":1\d+,"name":"[A-Z ]+"\}\].*"""))
+    assert(json.matches(""".*"regionRef":\[\{"uid":"0x[0-9a-f]+","name":"[A-Z ]+"\}\].*"""))
   }
 
   test("golden JSON: empty result renders as zero rows, not an error") {
     val rows = exec.jsonRows(
       """{ q(func: eq(name, "NO_SUCH_NATION")) { name } }""").collect()
     assert(rows.isEmpty)
+  }
+
+  test("golden JSON: lang-chain key kept verbatim, null fields omitted") {
+    // reference shape: {"text@en:.":"..."} and absent key for other langs
+    // (outputnode.go lang-tag keys; query0_test.go golden pattern)
+    val rows = exec.jsonRows(
+      """{ q(func: type(Document), first: 30) { text@en:.  source } }""")
+      .collect().map(_.getString(1))
+    assert(rows.length == 30)
+    assert(rows.exists(_.contains(""""text@en:.":""")))
+    assert(rows.exists(j => !j.contains(""""text@en:."""") && j.contains(""""source":""")))
+    assert(rows.forall(_.startsWith("""{"uid":"0x""")))
+  }
+
+  test("golden JSON: facet keys pred|facet inside child objects, requested order") {
+    // reference shape: {"placed":[{"uid":"0x..","placed|totalprice":".."}]}
+    val rows = exec.jsonRows(
+      """{ q(func: eq(mktsegment, "MACHINERY"), first: 5) {
+        |    placed (orderdesc: totalprice, first: 3) @facets(totalprice) {
+        |      orderstatus } } }""".stripMargin)
+      .collect().map(_.getString(1))
+    assert(rows.nonEmpty)
+    val withKids = rows.filter(_.contains(""""placed":["""))
+    assert(withKids.nonEmpty)
+    withKids.foreach { j =>
+      assert(j.contains(""""placed|totalprice":""""))
+      // child arrays preserve the requested (totalprice desc) order
+      val prices = """"placed\|totalprice":"([0-9.]+)"""".r
+        .findAllMatchIn(j).map(_.group(1).toDouble).toSeq
+      assert(prices == prices.sorted.reverse, s"not desc-ordered: $prices")
+    }
+  }
+
+  test("golden JSON: jsonAll renders every non-var block with bindings") {
+    val df = exec.jsonAll(
+      """{ var(func: eq(mktsegment, "BUILDING")) { o as placed }
+        |  a(func: uid(o), first: 4) { orderstatus }
+        |  b(func: eq(name, "NATION_3")) { name } }""".stripMargin)
+    val rows = df.collect()
+    val blocks = rows.map(_.getString(0)).distinct.sorted
+    assert(blocks.toSeq == Seq("a", "b"))
+    assert(rows.count(_.getString(0) == "a") == 4)
+    assert(rows.filter(_.getString(0) == "b").head.getString(2)
+      .contains(""""name":"NATION_3""""))
   }
 
   test("reverse traversal ~located_in finds nation inhabitants") {
