@@ -95,9 +95,9 @@ object GqlParser {
     }
 
     def operation(): GqlOperation = {
-      // optional `query [Name]` header
+      // optional `query [Name]` / `mutation [Name]` header
       peek match {
-        case Some(TName("query")) =>
+        case Some(TName("query")) | Some(TName("mutation")) =>
           next()
           peek match { case Some(TName(_)) => next(); case _ => () }
         case _ => ()

@@ -22,4 +22,10 @@ final class GraphQLEngine(ts: TripleStore, schema: GqlSchema = SdlParser.tpch) {
   /** The DQL IR a query rewrites to (exposed for tests/EXPLAIN). */
   def rewrite(query: String): graft.dql.DqlQuery =
     Rewriter.rewrite(GqlParser.parse(query), schema)
+
+  /** Apply a mutation document (add/update/delete roots, in order) to a
+    * base triple frame; returns the post-mutation frame.
+    */
+  def mutate(doc: String, base: DataFrame): DataFrame =
+    new MutationRewriter(ts, schema).apply(doc, base)
 }

@@ -1,0 +1,128 @@
+package graft.graphql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.TripleStore
+import graft.dql._
+import graft.exec.DqlExecutor
+import graft.operators.Mutations
+
+/** GraphQL mutations: `add<T>` / `update<T>` / `delete<T>` rewritten onto
+  * the batch mutation operators (reference
+  * graphql/resolve/mutation_rewriter.go: AddRewriter builds set N-Quads
+  * with blank nodes, UpdateRewriter/DeleteRewriter resolve the filter to
+  * uids via the query rewriter then emit set/delete N-Quads).
+  *
+  * The store being append-only parquet, a mutation document transforms a
+  * caller-supplied `base` triple frame (subject, predicate, value, lang)
+  * and returns the post-mutation frame — the same contract as
+  * [[graft.operators.Mutations]]. Mutation inputs are query-document
+  * literals (metadata-sized), so building their triple rows driver-side
+  * mirrors the reference parsing the mutation on the server; everything
+  * that touches data (uid allocation, filter resolution, merges) stays
+  * distributed.
+  */
+final class MutationRewriter(ts: TripleStore, schema: GqlSchema) {
+  import Rewriter.RewriteException
+  import ts.spark.implicits._
+
+  private val AddRe = "add([A-Z]\\w*)".r
+  private val UpdateRe = "update([A-Z]\\w*)".r
+  private val DeleteRe = "delete([A-Z]\\w*)".r
+
+  /** Apply every mutation root in document order to `base`. */
+  def apply(doc: String, base: DataFrame): DataFrame =
+    GqlParser.parse(doc).roots.foldLeft(base)(applyRoot)
+
+  private def applyRoot(base: DataFrame, root: GqlSelection): DataFrame =
+    root.name match {
+      case AddRe(t) => addMutation(base, root, schema.typ(t))
+      case UpdateRe(t) => updateMutation(base, root, schema.typ(t))
+      case DeleteRe(t) => deleteMutation(base, root, schema.typ(t))
+      case other => throw RewriteException(
+        s"unknown mutation root '$other' (expected add<T>/update<T>/delete<T>)")
+    }
+
+  /** Filter → uid set via the query path (func: type(T) @filter(...)). */
+  private def uidsFor(t: SdlType, filter: Option[GVal]): DataFrame = {
+    val tree = filter.collect { case o: GObj =>
+      new Rewriter(schema).filterFor(o, t)
+    }
+    new DqlExecutor(ts).flatAst(DqlQuery(Seq(QueryBlock(
+      "q", FuncCall("type", t.name, Nil), filter = tree))))
+  }
+
+  private def scalar(v: GVal): String = v match {
+    case GStr(s) => s
+    case GNum(s) => s
+    case GBool(b) => b.toString
+    case GEnum(e) => e
+    case other => throw RewriteException(s"expected scalar, got $other")
+  }
+
+  /** add<T>(input: [{...}]): blank labels are zero-padded input indexes,
+    * so allocateUids' label order IS the input order (reference AddRewriter
+    * numbers blanks in document order).
+    */
+  private def addMutation(base: DataFrame, root: GqlSelection, t: SdlType): DataFrame = {
+    val inputs = root.arg("input") match {
+      case Some(GList(items)) => items
+      case Some(o: GObj) => Seq(o)
+      case _ => throw RewriteException(s"add${t.name} requires input:")
+    }
+    val rows = inputs.zipWithIndex.flatMap {
+      case (o: GObj, i) =>
+        o.fields.map { case (f, v) =>
+          if (t.field(f).isEmpty)
+            throw RewriteException(s"${t.name} has no field '$f'")
+          (f"b$i%05d", f, scalar(v))
+        }
+      case (other, _) => throw RewriteException(s"bad add input: $other")
+    }
+    val triples = rows.toDF("label", "predicate", "value")
+    val alloc = Mutations.allocateUids(
+      triples.select(col("label")).distinct(), "label", ts.nodeTypes)
+    val sets = triples.join(alloc, Seq("label"))
+      .select(col("uid").as("subject"), col("predicate"), col("value"),
+        lit(null).cast("string").as("lang"))
+    Mutations.applySet(base, sets)
+  }
+
+  /** update<T>(input: {filter, set, remove}). */
+  private def updateMutation(base: DataFrame, root: GqlSelection, t: SdlType): DataFrame = {
+    val input = root.arg("input") match {
+      case Some(o: GObj) => o
+      case _ => throw RewriteException(s"update${t.name} requires input:")
+    }
+    val uids = uidsFor(t, input.get("filter"))
+    var cur = base
+    input.get("set").foreach {
+      case so: GObj =>
+        val sets = so.fields.map { case (f, v) =>
+          if (t.field(f).isEmpty)
+            throw RewriteException(s"${t.name} has no field '$f'")
+          uids.select(col("uid").as("subject"), lit(f).as("predicate"),
+            lit(scalar(v)).as("value"), lit(null).cast("string").as("lang"))
+        }.reduce(_ unionByName _)
+        cur = Mutations.applySet(cur, sets)
+      case other => throw RewriteException(s"bad update set: $other")
+    }
+    input.get("remove").foreach {
+      case ro: GObj =>
+        val dels = ro.fields.map { case (f, _) =>
+          uids.select(col("uid").as("subject"), lit(f).as("predicate"))
+        }.reduce(_ unionByName _)
+        cur = Mutations.applyDelete(cur, dels)
+      case other => throw RewriteException(s"bad update remove: $other")
+    }
+    cur
+  }
+
+  /** delete<T>(filter): `S * *` wildcard delete of the matched uids. */
+  private def deleteMutation(base: DataFrame, root: GqlSelection, t: SdlType): DataFrame = {
+    val uids = uidsFor(t, root.arg("filter"))
+    Mutations.applyDelete(base,
+      uids.select(col("uid").as("subject"), lit("*").as("predicate")))
+  }
+}

@@ -32,6 +32,12 @@ final class Rewriter(schema: GqlSchema) {
   def rewrite(op: GqlOperation): DqlQuery =
     DqlQuery(op.roots.flatMap(rewriteRoot))
 
+  /** Filter object → DQL filter tree, for the mutation rewriter's
+    * update/delete uid resolution (reference mutation_rewriter.go reuses
+    * the query rewriter's filter path the same way).
+    */
+  def filterFor(o: GObj, t: SdlType): FilterNode = filterNode(o, t)
+
   private val QueryRe = "query([A-Z]\\w*)".r
   private val GetRe = "get([A-Z]\\w*)".r
   private val AggRe = "aggregate([A-Z]\\w*)".r

@@ -75,7 +75,40 @@ object GraphqlQueries {
       gql("""query {
             |  queryDocument(filter: { text: { alloftext: "filters merges sorting" } }) {
             |    source } }""".stripMargin)(s, d)
-        .orderBy(col("uid")))
+        .orderBy(col("uid"))),
+
+    // add<T>: blank-node inputs → allocated uids + set triples
+    // (reference graphql/resolve/mutation_rewriter.go AddRewriter)
+    "graphql_add" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val base = ts.attrString.filter(col("predicate").isin("name", "mktsegment"))
+      new GraphQLEngine(ts).mutate(
+        """mutation { addCustomer(input: [
+          |  {name: "Customer#NEW000A", mktsegment: "WEB"},
+          |  {name: "Customer#NEW000B", mktsegment: "MOBILE"},
+          |  {name: "Customer#NEW000C", mktsegment: "WEB"}]) { name } }""".stripMargin,
+        base)
+        .filter(col("value").startsWith("Customer#NEW") ||
+          col("value").isin("WEB", "MOBILE"))
+        .select(col("subject"), col("predicate"), col("value"))
+        .orderBy(col("subject"), col("predicate"))
+    }),
+
+    // update<T> filter→set rewrite + delete<T> S * * wildcard, applied
+    // in document order (UpdateRewriter/DeleteRewriter)
+    "graphql_update_delete" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val base = ts.attrString.filter(col("predicate").isin("mktsegment", "source"))
+      new GraphQLEngine(ts).mutate(
+        """mutation {
+          |  updateCustomer(input: {filter: {mktsegment: {eq: "BUILDING"}},
+          |                         set: {mktsegment: "CONSTRUCTION"}})
+          |  deleteDocument(filter: {source: {eq: "src3"}})
+          |}""".stripMargin,
+        base)
+        .select(col("subject"), col("predicate"), col("value"))
+        .orderBy(col("subject"), col("predicate"))
+    })
   )
 
   private val stopsSql =
@@ -134,6 +167,29 @@ object GraphqlQueries {
       s"""SELECT $DB + doc_id AS uid, source FROM documents
          |WHERE list_has_all($docStemsSql,
          | ['filter', 'merg', 'sort'])
-         |ORDER BY uid""".stripMargin
+         |ORDER BY uid""".stripMargin,
+
+    "graphql_add" ->
+      s"""WITH m AS (SELECT 9000000000000 + MAX(vec_id) AS mx FROM embeddings)
+         |SELECT subject, predicate, value FROM (
+         | SELECT mx + 1 AS subject, 'name' AS predicate,
+         |  'Customer#NEW000A' AS value FROM m
+         | UNION ALL SELECT mx + 1, 'mktsegment', 'WEB' FROM m
+         | UNION ALL SELECT mx + 2, 'name', 'Customer#NEW000B' FROM m
+         | UNION ALL SELECT mx + 2, 'mktsegment', 'MOBILE' FROM m
+         | UNION ALL SELECT mx + 3, 'name', 'Customer#NEW000C' FROM m
+         | UNION ALL SELECT mx + 3, 'mktsegment', 'WEB' FROM m
+         |) ORDER BY subject, predicate""".stripMargin,
+
+    "graphql_update_delete" ->
+      s"""SELECT subject, predicate, value FROM (
+         | SELECT $CB + c_custkey AS subject, 'mktsegment' AS predicate,
+         |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'CONSTRUCTION'
+         |       ELSE c_mktsegment END AS value
+         | FROM customer
+         | UNION ALL
+         | SELECT $DB + doc_id, 'source', source FROM documents
+         | WHERE source <> 'src3'
+         |) ORDER BY subject, predicate""".stripMargin
   )
 }

@@ -117,6 +117,36 @@ object MutationQueries {
         get_json_object(col("props"), "$.k").cast("long").as("value"))
         .orderBy(col("subject"))),
 
+    // ---- nested JSON docs → N-Quads with uids, blank-node children and
+    // edge facets (chunker/json_parser.go:792 ParseJSON) ----
+    "json_nested_triples" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      val kids = t(s, d, "lineitem").filter(col("l_orderkey") < 800)
+        .withColumn("rn", row_number().over(w))
+        .select(col("l_orderkey"),
+          struct(col("rn").as("o"),
+            struct(col("l_quantity").cast("long").as("quantity"),
+              col("l_discount").cast("decimal(6,2)").cast("string")
+                .as("has_line|discount")).as("p")).as("e"))
+        .groupBy(col("l_orderkey"))
+        .agg(transform(sort_array(collect_list(col("e"))), x => x.getField("p"))
+          .as("has_line"))
+      val docs = t(s, d, "orders").filter(col("o_orderkey") < 800)
+        .join(kids, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey").as("id"),
+          to_json(struct(
+            concat(lit("0x"), lower(conv((lit(OB) + col("o_orderkey")).cast("string"),
+              10, 16))).as("uid"),
+            col("o_orderstatus").as("orderstatus"),
+            col("has_line"))).as("js"))
+      graft.operators.JsonNquads.parse(docs, "id", "js")
+        .orderBy(col("subject"), col("predicate"), col("object"))
+    }),
+
     // ---- streaming window operators (batch-verified) ----
     "stream_tumbling" -> ((s, d) =>
       EventStream.tumbling(t(s, d, "events"))
@@ -203,6 +233,31 @@ object MutationQueries {
       s"""SELECT ${Uids.Event} + event_id AS subject, 'k' AS predicate,
          | CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS value
          |FROM events ORDER BY subject""".stripMargin,
+
+    "json_nested_triples" ->
+      s"""WITH lineu AS (
+         | SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q,
+         |  CAST(CAST(l_discount AS DECIMAL(6,2)) AS VARCHAR) AS disc,
+         |  ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
+         |   l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+         |   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS rn
+         | FROM lineitem WHERE l_orderkey < 800),
+         |subj AS (
+         | SELECT o_orderkey, o_orderstatus,
+         |  '0x' || printf('%x', $OB + o_orderkey) AS s
+         | FROM orders WHERE o_orderkey < 800)
+         |SELECT subject, predicate, object, facets FROM (
+         | SELECT s AS subject, 'orderstatus' AS predicate,
+         |  o_orderstatus AS object, '' AS facets FROM subj
+         | UNION ALL
+         | SELECT s, 'has_line', s || '.has_line.' || CAST(rn - 1 AS VARCHAR),
+         |  'discount=' || disc
+         | FROM lineu JOIN subj ON subj.o_orderkey = lineu.l_orderkey
+         | UNION ALL
+         | SELECT s || '.has_line.' || CAST(rn - 1 AS VARCHAR), 'quantity',
+         |  CAST(q AS VARCHAR), ''
+         | FROM lineu JOIN subj ON subj.o_orderkey = lineu.l_orderkey
+         |) ORDER BY subject, predicate, object""".stripMargin,
 
     "stream_tumbling" ->
       s"""SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, event_type,
