@@ -39,9 +39,53 @@ final class SchemaRegistry(
   /** expand(_all_) support: predicates of a node type. */
   def predicatesOfType(t: String): Seq[String] =
     types.get(t).map(_.predicates).getOrElse(Nil)
+
+  /** `/alter` (reference edgraph/server.go:375): apply a schema payload,
+    * returning a NEW registry — predicates are added or replaced, types
+    * merged. The registry is immutable metadata; physical index rebuilds
+    * are orchestrated separately ([[graft.operators.Alter]]) like the
+    * reference queueing posting/index.go:875 rebuilds after the schema
+    * mutation commits.
+    */
+  def alter(payload: String): SchemaRegistry = {
+    val (preds, ts) = SchemaRegistry.parseAlter(payload)
+    new SchemaRegistry(predicates ++ preds.map(p => p.name -> p),
+      types ++ ts.map(t => t.name -> t))
+  }
 }
 
 object SchemaRegistry {
+
+  /** Parse a dgraph-style alter payload (reference schema/parse.go:84):
+    * `pred: type @index(t1, t2) @reverse @count @lang .` lines plus
+    * `type T { p1 p2 }` blocks. Tolerant of list markers `[type]`.
+    */
+  def parseAlter(payload: String): (Seq[PredicateSchema], Seq[NodeType]) = {
+    val src = payload.linesIterator.map(l => l.indexOf('#') match {
+      case -1 => l; case i => l.substring(0, i)
+    }).mkString("\n")
+    val typeRe = """(?s)type\s+(\w+)\s*\{([^}]*)\}""".r
+    val types = typeRe.findAllMatchIn(src).map { m =>
+      NodeType(m.group(1), m.group(2).split("\\s+").filter(_.nonEmpty).toSeq)
+    }.toSeq
+    val noTypes = typeRe.replaceAllIn(src, "")
+    val predRe = """(\w+)\s*:\s*(\[)?\s*(\w+)\s*\]?\s*((?:@\w+(?:\([^)]*\))?\s*)*)\.""".r
+    val idxRe = """@index\s*\(([^)]*)\)""".r
+    val preds = predRe.findAllMatchIn(noTypes).map { m =>
+      val dirs = Option(m.group(4)).getOrElse("")
+      PredicateSchema(
+        name = m.group(1),
+        dgraphType = m.group(3),
+        isList = m.group(2) != null,
+        indexes = idxRe.findFirstMatchIn(dirs)
+          .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil),
+        reverse = dirs.contains("@reverse"),
+        count = dirs.contains("@count"),
+        lang = dirs.contains("@lang"))
+    }.toSeq
+    (preds, types)
+  }
 
   /** Schema for the derived TPC-H triple store (see TripleStore). */
   val tpch: SchemaRegistry = {

@@ -204,6 +204,17 @@ final class DqlExecutor(ts: TripleStore) {
         t => array_contains(graft.functions.TextFunctions.ftStems(v), t)))
     case "match" =>
       attrWhere(fn.pred, v => levenshtein(v, lit(fn.args.head)) <= fn.args(1).toInt)
+    case "anyof" | "allof" =>
+      // custom-tokenizer search: anyof/allof(pred, tokenizer, q)
+      // (reference worker/tokens.go:47 pickTokenizer → tok registry)
+      val tok = graft.functions.TokenizerRegistry(fn.args.head)
+      val q = tok.tokensLit(fn.args(1))
+      if (q.isEmpty) attrWhere(fn.pred, _ => lit(false))
+      else if (fn.name == "anyof")
+        attrWhere(fn.pred, v => arrays_overlap(tok.tokens(v), array(q.map(lit(_)): _*)))
+      else
+        attrWhere(fn.pred, v => forall(array(q.map(lit(_)): _*),
+          t => array_contains(tok.tokens(v), t)))
     case n if n.endsWith("_count") =>
       // eq(count(p), n) family over the edge count index
       val cmp: (Column, Column) => Column = n.stripSuffix("_count") match {
@@ -278,14 +289,29 @@ final class DqlExecutor(ts: TripleStore) {
     page.after.foreach(a => cur = cur.filter(col(uidCol) > a))
     val needSort = order.nonEmpty || page.first.isDefined || page.offset.isDefined
     if (!needSort) return cur
-    val ordCols = order.zipWithIndex.map { case (o, i) =>
+    order.zipWithIndex.foreach { case (o, i) =>
       val a = orderAttr(o.pred).select(col("subject").as(s"__os$i"), col("value").as(s"__ov$i"))
       cur = cur.join(a, col(uidCol) === col(s"__os$i"), "left").drop(s"__os$i")
+    }
+    val ordCols = order.zipWithIndex.map { case (o, i) =>
       if (o.desc) col(s"__ov$i").desc_nulls_last else col(s"__ov$i").asc_nulls_last
     } :+ col(uidCol).asc
     cur = cur.orderBy(ordCols: _*)
     page.offset.foreach(o => cur = cur.offset(o))
-    page.first.foreach(f => cur = cur.limit(f))
+    page.first.foreach { f =>
+      if (f >= 0) cur = cur.limit(f)
+      else {
+        // negative first = LAST |f| of the ordered result (reference
+        // query/query.go:989 calculatePaginationParams): top-|f| in the
+        // REVERSED order — a distributed TakeOrdered, no global window —
+        // then re-sorted into the requested presentation order
+        val revCols = order.zipWithIndex.map { case (o, i) =>
+          if (o.desc) col(s"__ov$i").asc_nulls_first
+          else col(s"__ov$i").desc_nulls_first
+        } :+ col(uidCol).desc
+        cur = cur.orderBy(revCols: _*).limit(-f).orderBy(ordCols: _*)
+      }
+    }
     cur.drop(order.indices.map(i => s"__ov$i"): _*)
   }
 
@@ -322,7 +348,8 @@ final class DqlExecutor(ts: TripleStore) {
       } else if (sel.pred == "uid") {
         // uid is implicit (the frontier column itself)
       } else if (sel.pred.startsWith("expand(")) {
-        cur = expandAll(cur, uidCol, joinType, prefix)
+        val arg = sel.pred.stripPrefix("expand(").stripSuffix(")")
+        cur = expandAll(cur, uidCol, joinType, prefix, arg)
       } else if (sel.isCount) {
         val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
         val cnt = src.groupBy(col("subject")).agg(count(lit(1)).as(name))
@@ -413,10 +440,20 @@ final class DqlExecutor(ts: TripleStore) {
       } ++ facetOrd :+ col(name).asc
       val w = Window.partitionBy(col(uidCol)).orderBy(ordCols: _*)
       cur = cur.withColumn("__rn", row_number().over(w))
-      val lo = sel.page.offset.getOrElse(0)
-      val hi = sel.page.first.map(f => lo + f).getOrElse(Int.MaxValue)
-      cur = cur.filter(col(name).isNull || (col("__rn") > lo && col("__rn") <= hi))
-        .drop(sel.order.indices.map(i => s"__wv$i"): _*)
+      if (sel.page.first.exists(_ < 0)) {
+        // negative first: keep the LAST |f| children per parent — a count
+        // over the same window partition (no extra shuffle)
+        val cnt = count(lit(1)).over(Window.partitionBy(col(uidCol)))
+        cur = cur.withColumn("__cn", cnt)
+          .filter(col(name).isNull ||
+            col("__rn") > col("__cn") + sel.page.first.get)
+          .drop("__cn")
+      } else {
+        val lo = sel.page.offset.getOrElse(0)
+        val hi = sel.page.first.map(f => lo + f).getOrElse(Int.MaxValue)
+        cur = cur.filter(col(name).isNull || (col("__rn") > lo && col("__rn") <= hi))
+      }
+      cur = cur.drop(sel.order.indices.map(i => s"__wv$i"): _*)
       // JSON rendering keeps the traversal order so child arrays come out
       // in requested order (reference outputnode preserves uidMatrix order)
       cur = if (keepChildRank) cur.withColumnRenamed("__rn", s"${name}__rn")
@@ -498,16 +535,20 @@ final class DqlExecutor(ts: TripleStore) {
   private def facetValue(pred: String, key: String): Column =
     element_at(col("__fc"), key).cast(facetType(pred, key))
 
-  /** expand(_all_): look up the frontier's node types in the schema
-    * registry and emit one scalar leaf per predicate (reference
-    * query/query.go:2038 expandSubgraph). Only type *names* touch the
-    * driver — a metadata lookup, not data.
+  /** expand(_all_) / expand(Type): emit one scalar leaf per predicate of
+    * the frontier's types (reference query/query.go:2038 expandSubgraph).
+    * `_all_` looks the types up from the frontier (only type *names*
+    * touch the driver — a metadata lookup, not data); a named type takes
+    * its predicates straight from the schema registry.
     */
   private def expandAll(df: DataFrame, uidCol: String, joinType: String,
-      prefix: String): DataFrame = {
-    val typeNames = ts.nodeTypes
-      .join(df.select(col(uidCol).as("subject")).distinct(), Seq("subject"), "left_semi")
-      .select("typeName").distinct().as[String].collect().sorted
+      prefix: String, arg: String): DataFrame = {
+    val typeNames =
+      if (arg == "_all_")
+        ts.nodeTypes
+          .join(df.select(col(uidCol).as("subject")).distinct(), Seq("subject"), "left_semi")
+          .select("typeName").distinct().as[String].collect().sorted.toSeq
+      else Seq(arg)
     val preds = typeNames.flatMap(schema.predicatesOfType).distinct
       .filter(p => !schema.isUidPredicate(p))
     var cur = df

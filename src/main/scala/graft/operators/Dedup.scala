@@ -103,10 +103,12 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, id: Column, text: Column,
       candidates: DataFrame, shingleN: Int = 3): DataFrame = {
-    // shingle sets feed both the explode-join and the size lookup — cache
-    // one pass over the corpus instead of re-tokenizing three times
+    // shingle sets feed both the explode-join and the size lookup —
+    // materialize one pass over the corpus instead of re-tokenizing three
+    // times. localCheckpoint (not cache) so the storage is released when
+    // the RDD is GC'd rather than pinned for the session's lifetime
     val sets = df.select(id.as("id"),
-      array_distinct(shingles(words(text), shingleN)).as("sh")).cache()
+      array_distinct(shingles(words(text), shingleN)).as("sh")).localCheckpoint()
     val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
     val ex = sets.select(col("id"), explode(col("sh")).as("s"))
     val inter = candidates.join(ex.as("ea"), col("a") === col("ea.id"))

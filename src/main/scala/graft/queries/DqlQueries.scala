@@ -159,6 +159,14 @@ object DqlQueries {
             |      av: avg(discount) } } }""".stripMargin)(s, d)
         .orderBy(col("returnflag"), col("linestatus"))),
 
+    // negative first = last-N, at root and per-parent (reference
+    // query/query.go:989 calculatePaginationParams)
+    "dql_first_neg" -> ((s, d) =>
+      dql("""{ q(func: eq(mktsegment, "AUTOMOBILE"), orderasc: acctbal, first: -7) {
+            |    name  acctbal
+            |    placed (orderasc: totalprice, first: -2) { orderstatus } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"), col("placed"))),
+
     // nested JSON output fidelity (reference outputnode.go:1346
     // preTraverse; golden shapes query/query0_test.go): hex uids, field
     // order = query order, child arrays in requested order, pred|facet
@@ -314,6 +322,25 @@ object DqlQueries {
          | WHERE CASE WHEN fmod(CAST(p_size AS DOUBLE), 2.0) = 0.0
          |            THEN sqrt(p_retailprice) ELSE -p_retailprice END >= 0.0)
          |WHERE rn <= 50 ORDER BY uid""".stripMargin,
+
+    "dql_first_neg" ->
+      s"""WITH r AS (
+         | SELECT uid, name, acctbal FROM (
+         |  SELECT $CB + c_custkey AS uid, c_name AS name, c_acctbal AS acctbal,
+         |   ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, $CB + c_custkey DESC) AS rd
+         |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+         | WHERE rd <= 7),
+         |k AS (
+         | SELECT $CB + o_custkey AS uid, $OB + o_orderkey AS placed,
+         |  o_orderstatus,
+         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |   ORDER BY o_totalprice ASC, $OB + o_orderkey ASC) AS rn,
+         |  COUNT(*) OVER (PARTITION BY o_custkey) AS cn
+         | FROM orders)
+         |SELECT r.uid, r.name, r.acctbal, k.placed,
+         | k.o_orderstatus AS placed_orderstatus
+         |FROM r LEFT JOIN k ON k.uid = r.uid AND k.rn > k.cn - 2
+         |ORDER BY r.uid, k.placed""".stripMargin,
 
     "dql_shortest" -> shortestOracle(1),
     "dql_shortest_k" -> shortestOracle(3),

@@ -38,7 +38,49 @@ object SpecialQueries {
   private def charNgrams(s: String, n: Int = 3): Seq[String] =
     s.sliding(n).toSeq.distinct
 
+  // A PLUGIN tokenizer registered through the public registry — the
+  // reference's custom-tokenizer path (tok/tok.go:56 registerTokenizer;
+  // systest plugin example uses the same shape): 4-char lowercase word
+  // prefixes.
+  graft.functions.TokenizerRegistry.register(new graft.functions.Tokenizer {
+    val name = "prefix4"
+    def tokens(v: Column): Column =
+      array_distinct(transform(
+        filter(split(lower(v), "\\s+"), w => w =!= ""),
+        w => substring(w, 1, 4)))
+    def tokensLit(q: String): Seq[String] =
+      q.toLowerCase.split("\\s+").filter(_.nonEmpty).map(_.take(4)).distinct.toSeq
+  })
+
+  private def dqlQ(q: String): QFn = (s, d) =>
+    new graft.exec.DqlExecutor(graft.core.TripleStore(s, d)).flat(q)
+
   val queries: Map[String, QFn] = Map(
+
+    // ---- custom-tokenizer anyof/allof (tok registry, §2.13) ----
+    "custom_tok_anyof" -> ((s, d) =>
+      dqlQ("""{ q(func: anyof(name, prefix4, "gree smal")) @filter(type(Part)) {
+             |    name } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
+    "custom_tok_allof" -> ((s, d) =>
+      dqlQ("""{ q(func: allof(ptype, prefix4, "promo polis")) { ptype } }""")(s, d)
+        .orderBy(col("uid"))),
+
+    // ---- /alter + index rebuild (edgraph/server.go:375,
+    // posting/index.go:875): parse the schema payload, then rebuild the
+    // token posting frame with the newly-indexed tokenizer ----
+    "schema_alter_index" -> ((s, d) => {
+      val reg2 = graft.core.SchemaRegistry.tpch
+        .alter("ptype: string @index(term, prefix4) .")
+      require(reg2.pred("ptype").indexes == Seq("term", "prefix4"),
+        s"alter did not take: ${reg2.pred("ptype").indexes}")
+      graft.operators.Alter.rebuildIndex(
+          graft.core.TripleStore(s, d), "ptype",
+          graft.functions.TokenizerRegistry("prefix4"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(25)
+    }),
 
     // ---- geo (types/geofilter.go semantics on the integer grid) ----
     "geo_near" -> ((s, d) => {
@@ -181,6 +223,31 @@ object SpecialQueries {
         |     (CASE WHEN c_custkey % 2 = 0 THEN 'pw_' || CAST(c_custkey AS VARCHAR)
         |           ELSE 'wrong' END)))) AS ok
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "custom_tok_anyof" ->
+      s"""SELECT ${Uids.Part} + p_partkey AS uid, p_name AS name FROM part
+         |WHERE list_has_any(
+         | list_distinct(list_transform(string_split(lower(p_name), ' '),
+         |  w -> substr(w, 1, 4))), ['gree', 'smal'])
+         |ORDER BY uid""".stripMargin,
+
+    "custom_tok_allof" ->
+      s"""SELECT ${Uids.Part} + p_partkey AS uid, p_type AS ptype FROM part
+         |WHERE list_has_all(
+         | list_distinct(list_transform(string_split(lower(p_type), ' '),
+         |  w -> substr(w, 1, 4))), ['prom', 'poli'])
+         |ORDER BY uid""".stripMargin,
+
+    "schema_alter_index" ->
+      """SELECT token, df FROM (
+        | SELECT token, COUNT(*) AS df,
+        |  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+        | FROM (
+        |  SELECT DISTINCT substr(w, 1, 4) AS token, p_partkey FROM (
+        |   SELECT p_partkey, unnest(string_split(lower(p_type), ' ')) AS w
+        |   FROM part))
+        | GROUP BY token)
+        |WHERE rn <= 25 ORDER BY df DESC, token""".stripMargin,
 
     "fulltext_anyoftext" ->
       s"""SELECT doc_id FROM documents
