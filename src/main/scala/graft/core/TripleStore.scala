@@ -60,49 +60,77 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
 
   /** All uid→uid edges. Facet values are strings formatted identically to
     * the DuckDB oracle (decimal casts, ISO dates).
+    *
+    * Besides the string map (for @facets fetch/output), every branch also
+    * carries TYPED facet columns `_ft_<key>` (null outside the owning
+    * predicate). Facet filters and orderings read these instead of
+    * `element_at(map)` so the comparison lands on a plain source column
+    * and Catalyst pushes it into the parquet scan — with the map a
+    * `quantity > 45` filter had to build the facet map for every
+    * lineitem row first (the r2 dql_facets_filter regression).
     */
   lazy val edges: DataFrame = {
-    val custNation = t("customer").select(
+    // _ft_quantity stays the RAW double source column (no cast-to-long):
+    // a cast above the scan would block comparison pushdown, and the
+    // integral TPC-H quantities make double vs long comparisons identical
+    // (the comparison literal widens to double)
+    val nullFt = Seq(
+      lit(null).cast("string").as("_ft_orderdate"),
+      lit(null).cast("double").as("_ft_totalprice"),
+      lit(null).cast("double").as("_ft_quantity"),
+      lit(null).cast("double").as("_ft_discount"))
+    def ft(orderdate: Column = lit(null).cast("string"),
+        totalprice: Column = lit(null).cast("double"),
+        quantity: Column = lit(null).cast("double"),
+        discount: Column = lit(null).cast("double")): Seq[Column] = Seq(
+      orderdate.as("_ft_orderdate"), totalprice.as("_ft_totalprice"),
+      quantity.as("_ft_quantity"), discount.as("_ft_discount"))
+
+    val custNation = t("customer").select(Seq(
       (lit(Customer) + col("c_custkey")).as("subject"),
       lit("located_in").as("predicate"),
       (lit(Nation) + col("c_nationkey").cast("long")).as("object"),
-      map().cast("map<string,string>").as("facets"))
-    val suppNation = t("supplier").select(
+      map().cast("map<string,string>").as("facets")) ++ nullFt: _*)
+    val suppNation = t("supplier").select(Seq(
       (lit(Supplier) + col("s_suppkey")).as("subject"),
       lit("located_in").as("predicate"),
       (lit(Nation) + col("s_nationkey").cast("long")).as("object"),
-      map().cast("map<string,string>").as("facets"))
-    val nationRegion = t("nation").select(
+      map().cast("map<string,string>").as("facets")) ++ nullFt: _*)
+    val nationRegion = t("nation").select(Seq(
       (lit(Nation) + col("n_nationkey").cast("long")).as("subject"),
       lit("in_region").as("predicate"),
       (lit(Region) + col("n_regionkey").cast("long")).as("object"),
-      map().cast("map<string,string>").as("facets"))
-    val placed = t("orders").select(
+      map().cast("map<string,string>").as("facets")) ++ nullFt: _*)
+    val placed = t("orders").select(Seq(
       (lit(Customer) + col("o_custkey")).as("subject"),
       lit("placed").as("predicate"),
       (lit(Order) + col("o_orderkey")).as("object"),
       map(
         lit("orderdate"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
         lit("totalprice"), col("o_totalprice").cast("decimal(18,2)").cast("string")
-      ).as("facets"))
-    val hasLine = line.select(
+      ).as("facets")) ++ ft(
+        orderdate = date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        totalprice = col("o_totalprice").cast("double")): _*)
+    val hasLine = line.select(Seq(
       (lit(Order) + col("l_orderkey")).as("subject"),
       lit("has_line").as("predicate"),
       col("line_uid").as("object"),
       map(
         lit("quantity"), col("l_quantity").cast("long").cast("string"),
         lit("discount"), col("l_discount").cast("decimal(6,2)").cast("string")
-      ).as("facets"))
-    val ofPart = line.select(
+      ).as("facets")) ++ ft(
+        quantity = col("l_quantity"),
+        discount = col("l_discount")): _*)
+    val ofPart = line.select(Seq(
       col("line_uid").as("subject"),
       lit("of_part").as("predicate"),
       (lit(Part) + col("l_partkey")).as("object"),
-      map().cast("map<string,string>").as("facets"))
-    val bySupplier = line.select(
+      map().cast("map<string,string>").as("facets")) ++ nullFt: _*)
+    val bySupplier = line.select(Seq(
       col("line_uid").as("subject"),
       lit("by_supplier").as("predicate"),
       (lit(Supplier) + col("l_suppkey")).as("object"),
-      map().cast("map<string,string>").as("facets"))
+      map().cast("map<string,string>").as("facets")) ++ nullFt: _*)
 
     custNation.unionByName(suppNation).unionByName(nationRegion)
       .unionByName(placed).unionByName(hasLine)
@@ -115,11 +143,14 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
 
   /** Reverse edge (reference @reverse, posting/index.go:276): swap sides.
     * No materialization needed — the join planner swaps the equi-join key.
+    * Facet map and typed facet columns ride along unchanged.
     */
-  def reverseEdge(predicate: String): DataFrame =
-    edge(predicate).select(
-      col("object").as("subject"), col("predicate"),
-      col("subject").as("object"), col("facets"))
+  def reverseEdge(predicate: String): DataFrame = {
+    val e = edge(predicate)
+    val keep = e.columns.filter(c => c != "subject" && c != "object").map(col)
+    e.select(Seq(col("object").as("subject")) ++ keep :+
+      col("subject").as("object"): _*)
+  }
 
   // ---- typed attribute tables: subject, predicate, value [, lang] ----
 

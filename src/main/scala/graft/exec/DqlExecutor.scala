@@ -400,16 +400,20 @@ final class DqlExecutor(ts: TripleStore) {
       name: String, cascade: Boolean): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
-    val needFacets = sel.facetFetch || sel.facetKeys.nonEmpty ||
-      sel.facetFilter.isDefined || sel.facetOrder.isDefined
+    val needMap = sel.facetFetch || sel.facetKeys.nonEmpty
     val baseCols = Seq(col("subject").as("__es"), col("object").as(name)) ++
-      (if (needFacets) Seq(col("facets").as("__fc")) else Nil)
-    var child = src.select(baseCols: _*)
-    sel.filter.foreach { f => child = applyFilter(child, name, f) }
-    // @facets(eq(k, v)): predicate over the edge's facet map
+      (if (needMap) Seq(col("facets").as("__fc")) else Nil)
+    // @facets(eq(k, v)) / @facets(orderasc: k): comparisons read the
+    // TYPED `_ft_<key>` edge columns, not element_at(map) — the predicate
+    // then pushes below the map projection into the parquet scan
     // (reference applyFacetsTree, worker/task.go:675)
+    val needFt = (sel.facetFilter.map(_.pred).toSeq ++
+      sel.facetOrder.map(_.pred).toSeq).distinct
+    var child = src.select(baseCols ++
+      needFt.map(k => col(s"_ft_$k").as(s"__ft_$k")): _*)
+    sel.filter.foreach { f => child = applyFilter(child, name, f) }
     sel.facetFilter.foreach { ff =>
-      val v = facetValue(sel.pred, ff.pred)
+      val v = col(s"__ft_${ff.pred}")
       val litC = lit(ff.args.head).cast(facetType(sel.pred, ff.pred))
       child = child.filter(ff.name match {
         case "eq" => v === litC
@@ -430,7 +434,7 @@ final class DqlExecutor(ts: TripleStore) {
       // @facets(orderasc: k) sorts the adjacency by edge facet
       // (reference sortAndPaginateUsingFacet, query/query.go:2611)
       val facetOrd = sel.facetOrder.map { o =>
-        val v = facetValue(sel.pred, o.pred)
+        val v = col(s"__ft_${o.pred}")
         if (o.desc) v.desc_nulls_last else v.asc_nulls_last
       }
       val ordCols = sel.order.zipWithIndex.map { case (o, i) =>
@@ -470,7 +474,8 @@ final class DqlExecutor(ts: TripleStore) {
         cur = cur.withColumn(s"${name}_f_$k", element_at(col("__fc"), k))
       }
     }
-    if (needFacets) cur = cur.drop("__fc")
+    if (needMap) cur = cur.drop("__fc")
+    cur = cur.drop(needFt.map(k => s"__ft_$k"): _*)
     if (sel.children.nonEmpty)
       cur = project(cur, name, sel.children, cascade, s"${name}_")
     cur
@@ -530,10 +535,6 @@ final class DqlExecutor(ts: TripleStore) {
     ts.facetKeys.getOrElse(pred, Nil).collectFirst {
       case (k, t) if k == key => t
     }.getOrElse("string")
-
-  /** Typed facet value from the edge map column `__fc`. */
-  private def facetValue(pred: String, key: String): Column =
-    element_at(col("__fc"), key).cast(facetType(pred, key))
 
   /** expand(_all_) / expand(Type): emit one scalar leaf per predicate of
     * the frontier's types (reference query/query.go:2038 expandSubgraph).
