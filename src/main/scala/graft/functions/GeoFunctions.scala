@@ -38,6 +38,15 @@ object GeoFunctions {
       (lit(x2 - x1) * (y - y1) - lit(y2 - y1) * (x - x1)) >= 0
     }.reduce(_ && _)
 
+  /** contains(stored-geo, literal point): the stored square cell
+    * [x, x+side]×[y, y+side] contains the query point — the dual of
+    * `within` (reference types/geofilter.go:338 filterContain, polygon
+    * contains point), exact ints, boundary counts as inside.
+    */
+  def boxContains(x: Column, y: Column, side: Long, qx: Long, qy: Long): Column =
+    x <= lit(qx) && (x + lit(side)) >= lit(qx) &&
+      y <= lit(qy) && (y + lit(side)) >= lit(qy)
+
   /** Axis-aligned bbox intersection (intersects analogue) — exact. */
   def bboxIntersects(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
       qxmin: Long, qymin: Long, qxmax: Long, qymax: Long): Column =

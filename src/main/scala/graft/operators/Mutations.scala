@@ -86,6 +86,27 @@ object Mutations {
       .drop("__pid", "__local", "__off", "__max")
   }
 
+  /** Live loader (reference dgraph/cmd/live: chunk → parse → assign uids
+    * for blanks → mutate): parse N-Quad lines (uid or `_:blank`
+    * subjects), allocate fresh uids for the distinct blank labels after
+    * the current max, resolve, and merge into `base` with set semantics.
+    * One batch = one call; the chunked file reader is Spark's own text
+    * source, so a 100 TB load is just more partitions of `lines`.
+    */
+  def liveLoad(lines: DataFrame, base: DataFrame,
+      existingUids: DataFrame): DataFrame = {
+    val parsed = graft.sources.RdfSource.parseWithBlanks(lines)
+    val blanks = parsed.filter(col("subjectBlank").isNotNull)
+      .select(col("subjectBlank").as("label")).distinct()
+    val alloc = allocateUids(blanks, "label", existingUids)
+      .select(col("label").as("__bl"), col("uid").as("__bu"))
+    val resolved = parsed
+      .join(alloc, col("subjectBlank") === col("__bl"), "left")
+      .select(coalesce(col("subjectUid"), col("__bu")).as("subject"),
+        col("predicate"), col("value"), col("lang"))
+    applySet(base, resolved)
+  }
+
   /** @unique pre-commit check (reference verifyUnique): proposed triples
     * whose value already exists for the predicate are rejected.
     * Returns (accepted, rejected).

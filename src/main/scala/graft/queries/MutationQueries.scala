@@ -75,6 +75,35 @@ object MutationQueries {
         .orderBy(col("uid"))
     }),
 
+    // ---- live loader: N-Quad batch with blank + uid subjects ----
+    "live_load" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val base = ts.attrString.filter(col("predicate") === "name")
+        .select(col("subject"), col("predicate"), col("value"), col("lang"))
+      val blankLines = t(s, d, "part").filter(col("p_partkey") < 20)
+        .select(concat(lit("_:n"), col("p_partkey"),
+          lit(" <name> \"NewPart"), col("p_partkey"), lit("\" .")).as("line"))
+      val uidLine = s.range(1).select(
+        lit(s"<0x${java.lang.Long.toHexString(CB + 1)}> <name> \"RenamedCustomer\" .")
+          .as("line"))
+      Mutations.liveLoad(blankLines.unionByName(uidLine), base, ts.nodeTypes)
+        .filter(col("value").startsWith("NewPart") || col("subject") === CB + 1)
+        .select(col("subject"), col("value")).orderBy(col("subject"))
+    }),
+
+    // ---- CDC: snapshot diff → set/delete change events ----
+    "cdc_diff" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val old = ts.attrString.filter(col("predicate") === "mktsegment")
+        .select(col("subject"), col("predicate"), col("value"))
+      val sets = t(s, d, "customer").filter(col("c_acctbal") < 0)
+        .select((lit(CB) + col("c_custkey")).as("subject"),
+          lit("mktsegment").as("predicate"), lit("DELINQUENT").as("value"))
+      val neu = Mutations.applySet(old, sets)
+      graft.streaming.CdcSink.diff(old, neu)
+        .orderBy(col("subject"), col("op"))
+    }),
+
     // ---- @unique pre-commit check ----
     "mutation_unique" -> ((s, d) => {
       val ts = TripleStore(s, d)
@@ -203,6 +232,27 @@ object MutationQueries {
          |  + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS uid,
          | o_orderkey
          |FROM orders WHERE o_totalprice > 450000 ORDER BY uid""".stripMargin,
+
+    "live_load" ->
+      s"""WITH m AS (SELECT 9000000000000 + MAX(vec_id) AS mx FROM embeddings)
+         |SELECT subject, value FROM (
+         | SELECT (SELECT mx FROM m) + ROW_NUMBER() OVER (
+         |   ORDER BY 'n' || CAST(p_partkey AS VARCHAR)) AS subject,
+         |  'NewPart' || CAST(p_partkey AS VARCHAR) AS value
+         | FROM part WHERE p_partkey < 20
+         | UNION ALL
+         | SELECT $CB + 1, 'RenamedCustomer'
+         |) ORDER BY subject""".stripMargin,
+
+    "cdc_diff" ->
+      s"""SELECT * FROM (
+         | SELECT $CB + c_custkey AS subject, 'mktsegment' AS predicate,
+         |  'DELINQUENT' AS value, 'set' AS op
+         | FROM customer WHERE c_acctbal < 0
+         | UNION ALL
+         | SELECT $CB + c_custkey, 'mktsegment', c_mktsegment, 'delete'
+         | FROM customer WHERE c_acctbal < 0
+         |) ORDER BY subject, op""".stripMargin,
 
     "mutation_unique" ->
       s"""SELECT * FROM (

@@ -57,6 +57,16 @@ object SpecialQueries {
 
   val queries: Map[String, QFn] = Map(
 
+    // geo contains: stored square cell contains the query point
+    // (types/geofilter.go:338 filterContain)
+    "geo_contains" -> ((s, d) => {
+      val k = col("c_custkey")
+      t(s, d, "customer")
+        .filter(boxContains(cx(k), cy(k), 400, 3000, 1200))
+        .select(col("c_custkey"), cx(k).as("x"), cy(k).as("y"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- custom-tokenizer anyof/allof (tok registry, §2.13) ----
     "custom_tok_anyof" -> ((s, d) =>
       dqlQ("""{ q(func: anyof(name, prefix4, "gree smal")) @filter(type(Part)) {
@@ -223,6 +233,12 @@ object SpecialQueries {
         |     (CASE WHEN c_custkey % 2 = 0 THEN 'pw_' || CAST(c_custkey AS VARCHAR)
         |           ELSE 'wrong' END)))) AS ok
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "geo_contains" ->
+      s"""SELECT c_custkey, $cxSql AS x, $cySql AS y FROM customer
+         |WHERE $cxSql <= 3000 AND $cxSql + 400 >= 3000
+         |  AND $cySql <= 1200 AND $cySql + 400 >= 1200
+         |ORDER BY c_custkey""".stripMargin,
 
     "custom_tok_anyof" ->
       s"""SELECT ${Uids.Part} + p_partkey AS uid, p_name AS name FROM part

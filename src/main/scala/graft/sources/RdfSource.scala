@@ -51,6 +51,28 @@ object RdfSource {
       hexUid(col("object")), facetStr, lit(" .")).as("line"))
   }
 
+  /** Parse N-Quad lines that may carry blank-node subjects
+    * (`_:label <pred> "v" .` — the live-load input shape, reference
+    * chunker/rdf_parser.go blank handling). Returns subjectUid LONG
+    * (null for blanks), subjectBlank STRING (null for uids), predicate,
+    * value, lang.
+    */
+  def parseWithBlanks(lines: DataFrame): DataFrame = {
+    val litRe = "^(?:<0x([0-9a-f]+)>|_:([A-Za-z0-9_.-]+)) <([^>]+)> \"((?:[^\"\\\\]|\\\\.)*)\"(?:@([a-zA-Z.*]+))? \\.$"
+    lines.select(
+      when(regexp_extract(col("line"), litRe, 1) =!= "",
+        conv(regexp_extract(col("line"), litRe, 1), 16, 10).cast("long"))
+        .as("subjectUid"),
+      when(regexp_extract(col("line"), litRe, 2) =!= "",
+        regexp_extract(col("line"), litRe, 2)).as("subjectBlank"),
+      regexp_extract(col("line"), litRe, 3).as("predicate"),
+      regexp_replace(regexp_replace(
+        regexp_extract(col("line"), litRe, 4), lit("\\\\\""), lit("\"")),
+        lit("\\\\\\\\"), lit("\\\\")).as("value"),
+      when(regexp_extract(col("line"), litRe, 5) =!= "",
+        regexp_extract(col("line"), litRe, 5)).as("lang"))
+  }
+
   /** Parse N-Quad lines (col "line") back to triples. Returns columns:
     * subject LONG, predicate STRING, objectUid LONG (null for literals),
     * value STRING (null for uid objects), lang STRING, facets STRING.
