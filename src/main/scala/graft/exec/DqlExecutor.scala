@@ -676,16 +676,22 @@ final class DqlExecutor(ts: TripleStore) {
     * for their bindings but emit no output (reference multi-block JSON,
     * one key per block).
     */
-  def jsonAll(query: String): DataFrame = {
-    val blocks = Parser.parse(query).blocks
-    val outs = blocks.flatMap { b =>
+  def jsonAll(query: String): DataFrame = jsonAllAst(Parser.parse(query))
+
+  /** AST entry for jsonAll. `includeUid = false` renders GraphQL-shaped
+    * objects (no implicit uid key — the GraphQL layer only emits
+    * requested fields, reference graphql/resolve/resolver.go completion).
+    */
+  def jsonAllAst(query: DqlQuery, includeUid: Boolean = true): DataFrame = {
+    val outs = query.blocks.flatMap { b =>
       if (b.name == "var") { flatBlock(b); None }
-      else Some(jsonBlock(b).select(lit(b.name).as("block"), col("uid"), col("json")))
+      else Some(jsonBlock(b, includeUid)
+        .select(lit(b.name).as("block"), col("uid"), col("json")))
     }
     outs.reduce(_ unionByName _)
   }
 
-  private def jsonBlock(b: QueryBlock): DataFrame = {
+  private def jsonBlock(b: QueryBlock, includeUid: Boolean = true): DataFrame = {
     keepChildRank = true
     val flatDf = try flatBlock(b) finally { keepChildRank = false }
     // counts are scalar leaves even when they count a (reverse) uid pred
@@ -713,13 +719,19 @@ final class DqlExecutor(ts: TripleStore) {
             .map(c => col(pfx + c.outName).as(jsonKey(c)))
           val facetCols = flatDf.columns.filter(_.startsWith(s"${pfx}f_"))
             .map(c => col(c).as(s"${s.outName}|${c.stripPrefix(s"${pfx}f_")}"))
-          val payload = struct(
-            (hexUid(col(s.outName)).as("uid") +: (scalarKids ++ facetCols)): _*)
+          val uidField =
+            if (includeUid) Seq(hexUid(col(s.outName)).as("uid")) else Nil
+          val payload = struct((uidField ++ scalarKids ++ facetCols): _*)
           val entry = when(col(s.outName).isNotNull,
             struct(sortKey.as("o"), payload.as("p")))
           val arr = transform(sort_array(collect_list(entry)), x => x.getField("p"))
-          (internal, when(size(arr) > 0, arr).as(internal),
-            (c: Column) => c.as(jsonKey(s)))
+          // list-vs-scalar collapse (reference outputnode.go: non-list uid
+          // predicates render a single object, list predicates an array)
+          val isListPred = schema.predicates.get(s.pred).forall(_.isList) || s.reverse
+          val rendered =
+            if (isListPred) when(size(arr) > 0, arr)
+            else element_at(arr, 1)
+          (internal, rendered.as(internal), (c: Column) => c.as(jsonKey(s)))
         }
       }
 
@@ -728,7 +740,7 @@ final class DqlExecutor(ts: TripleStore) {
         flatDf.groupBy(col("uid"))
           .agg(aggSpecs.head._2, aggSpecs.tail.map(_._2): _*)
       else flatDf.select(col("uid")).distinct()
-    val fields = hexUid(col("uid")).as("uid") +:
+    val fields = (if (includeUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++
       aggSpecs.map { case (internal, _, rename) => rename(col(internal)) }
     grouped
       .select(col("uid"), to_json(struct(fields: _*)).as("json"))

@@ -28,4 +28,12 @@ final class GraphQLEngine(ts: TripleStore, schema: GqlSchema = SdlParser.tpch) {
     */
   def mutate(doc: String, base: DataFrame): DataFrame =
     new MutationRewriter(ts, schema).apply(doc, base)
+
+  /** GraphQL-shaped nested JSON: one row per root object (block, uid,
+    * json) with only the requested fields — no implicit uid key, single
+    * objects for non-list edges, arrays for list edges (reference
+    * graphql/resolve completion of the DQL result).
+    */
+  def json(query: String): DataFrame =
+    new DqlExecutor(ts).jsonAllAst(rewrite(query), includeUid = false)
 }

@@ -77,6 +77,19 @@ object GraphqlQueries {
             |    source } }""".stripMargin)(s, d)
         .orderBy(col("uid"))),
 
+    // GraphQL-shaped nested JSON: requested fields only (no uid key),
+    // single object for non-list edges, arrays for list edges
+    "graphql_json" -> ((s, d) =>
+      new GraphQLEngine(TripleStore(s, d)).json(
+        """query {
+          |  queryCustomer(filter: { mktsegment: { eq: "BUILDING" } },
+          |                order: { asc: name }, first: 10) {
+          |    name
+          |    located_in { name }
+          |    placed(order: { desc: orderdate }, first: 2) { orderstatus }
+          |  } }""".stripMargin)
+        .orderBy(col("uid"))),
+
     // add<T>: blank-node inputs → allocated uids + set triples
     // (reference graphql/resolve/mutation_rewriter.go AddRewriter)
     "graphql_add" -> ((s, d) => {
@@ -168,6 +181,31 @@ object GraphqlQueries {
          |WHERE list_has_all($docStemsSql,
          | ['filter', 'merg', 'sort'])
          |ORDER BY uid""".stripMargin,
+
+    "graphql_json" ->
+      s"""WITH base AS (
+         | SELECT uid, name FROM (
+         |  SELECT $CB + c_custkey AS uid, c_name AS name,
+         |   ROW_NUMBER() OVER (ORDER BY c_name ASC, $CB + c_custkey ASC) AS rn
+         |  FROM customer WHERE c_mktsegment = 'BUILDING')
+         | WHERE rn <= 10),
+         |ln AS (
+         | SELECT $CB + c_custkey AS uid, n_name
+         | FROM customer JOIN nation ON n_nationkey = c_nationkey),
+         |kid AS (
+         | SELECT $CB + o_custkey AS uid,
+         |  '{"orderstatus":' || to_json(o_orderstatus) || '}' AS obj,
+         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |   ORDER BY o_orderdate DESC, $OB + o_orderkey ASC) AS rn
+         | FROM orders),
+         |karr AS (SELECT uid, string_agg(obj, ',' ORDER BY rn) AS arr
+         | FROM kid WHERE rn <= 2 GROUP BY uid)
+         |SELECT 'queryCustomer' AS block, b.uid,
+         | '{"name":' || to_json(b.name) ||
+         | ',"located_in":{"name":' || to_json(ln.n_name) || '}' ||
+         | COALESCE(',"placed":[' || karr.arr || ']', '') || '}' AS json
+         |FROM base b JOIN ln ON ln.uid = b.uid LEFT JOIN karr ON karr.uid = b.uid
+         |ORDER BY b.uid""".stripMargin,
 
     "graphql_add" ->
       s"""WITH m AS (SELECT 9000000000000 + MAX(vec_id) AS mx FROM embeddings)

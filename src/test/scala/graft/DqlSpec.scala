@@ -68,9 +68,11 @@ class DqlSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.length == 1)
     val json = rows.head.getString(1)
+    // in_region is a non-list predicate → single object, not array
+    // (outputnode list-vs-scalar collapse)
     assert(json.contains(""""name":"NATION_3""""))
-    assert(json.contains(""""in_region":[{"uid":"0x"""))
-    assert(json.matches(""".*"in_region":\[\{"uid":"0x[0-9a-f]+","name":"[A-Z ]+"\}\].*"""))
+    assert(json.contains(""""in_region":{"uid":"0x"""))
+    assert(json.matches(""".*"in_region":\{"uid":"0x[0-9a-f]+","name":"[A-Z ]+"\}.*"""))
   }
 
   test("golden JSON: two-level nesting with count and alias") {
@@ -83,7 +85,7 @@ class DqlSpec extends AnyFunSuite {
     val json = rows.head.getString(1)
     assert(json.contains(""""name":"NATION_7""""))
     assert(json.matches(""".*"nInhab":\d+.*"""))
-    assert(json.matches(""".*"regionRef":\[\{"uid":"0x[0-9a-f]+","name":"[A-Z ]+"\}\].*"""))
+    assert(json.matches(""".*"regionRef":\{"uid":"0x[0-9a-f]+","name":"[A-Z ]+"\}.*"""))
   }
 
   test("golden JSON: empty result renders as zero rows, not an error") {
