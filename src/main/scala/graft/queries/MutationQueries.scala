@@ -91,6 +91,25 @@ object MutationQueries {
         .select(col("subject"), col("value")).orderBy(col("subject"))
     }),
 
+    // ---- bulk loader layout: bucketed tablets, co-bucketed join ----
+    "bulk_load_bucketed" -> ((s, d) => {
+      import graft.core.Bucketing
+      val ts = TripleStore(s, d)
+      // layout step: edge tablet bucketed on the JOIN key (object = line
+      // uid), attribute tablet on subject — the bulk loader's output
+      // shape; the join below then needs no exchange on either side
+      Bucketing.writeBucketed(ts.edge("has_line")
+        .select(col("subject"), col("object")), "g_hasline_b", 8, key = "object")
+      Bucketing.writeBucketed(ts.attr("quantity")
+        .select(col("subject"), col("value")), "g_qty_b", 8)
+      val e = Bucketing.table(s, "g_hasline_b")
+      val q = Bucketing.table(s, "g_qty_b")
+        .select(col("subject").as("object"), col("value"))
+      e.join(q, Seq("object"))
+        .groupBy(col("subject")).agg(dsum(col("value")).as("sum_qty"))
+        .orderBy(col("subject"))
+    }),
+
     // ---- CDC: snapshot diff → set/delete change events ----
     "cdc_diff" -> ((s, d) => {
       val ts = TripleStore(s, d)
@@ -243,6 +262,10 @@ object MutationQueries {
          | UNION ALL
          | SELECT $CB + 1, 'RenamedCustomer'
          |) ORDER BY subject""".stripMargin,
+
+    "bulk_load_bucketed" ->
+      s"""SELECT $OB + l_orderkey AS subject, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY subject""".stripMargin,
 
     "cdc_diff" ->
       s"""SELECT * FROM (
