@@ -15,15 +15,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write a DataFrame as a bucketed, sorted table. */
+  /** Write a DataFrame as a bucketed, sorted table. Drops any previous
+    * catalog entry AND its warehouse location first — with the
+    * in-memory catalog a fresh session forgets the table but the files
+    * linger, and saveAsTable refuses an existing location.
+    */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      key: String = "subject"): Unit =
+      key: String = "subject"): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Materialize the edge table of one predicate, bucketed by subject. */
   def materializeEdges(ts: TripleStore, predicate: String, table: String,

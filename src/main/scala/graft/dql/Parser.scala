@@ -148,10 +148,13 @@ object Parser {
         if (peek == Punct("~")) { next(); reverse = true }
         name = ident()
       }
-      // `x as pred` value/uid variable binding (reference v as p)
+      // `x as pred` / `x as ~pred` value/uid variable binding
+      // (reference v as p)
       var varName: Option[String] = None
       if (peek == Ident("as")) {
-        next(); varName = Some(name); name = ident()
+        next(); varName = Some(name)
+        if (peek == Punct("~")) { next(); reverse = true }
+        name = ident()
       }
       // x as math(expr): arithmetic over value variables (dql/math.go)
       if (name == "math" && peek == Punct("(")) {

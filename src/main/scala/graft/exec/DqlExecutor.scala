@@ -658,6 +658,7 @@ final class DqlExecutor(ts: TripleStore) {
     s.alias.getOrElse(
       if (s.isCount) s"count(${s.pred})"
       else if (s.langChain.nonEmpty) s"${s.pred}@${s.langChain.mkString(":")}"
+      else if (s.reverse) s"~${s.pred}"
       else s.outName)
 
   /** Render one block as (uid, json): one JSON object string per root,

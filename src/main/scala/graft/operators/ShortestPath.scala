@@ -103,12 +103,47 @@ object ShortestPath {
     * The (cost, path-string) order is total (no ties), so results are
     * partitioning-independent.
     */
+  /** Restrict `edges` to the source's forward cone: iterative frontier
+    * expansion (broadcast joins against a once-materialized edge set)
+    * until no new nodes, then a semi-join keeps only edges leaving
+    * reached nodes. The reference's uniform-cost search touches only
+    * this cone (query/shortest.go expandOut); without the pruning the
+    * Pregel below would shuffle the FULL edge union every superstep —
+    * measured 16.7 s vs ~4 s at sf0.1 for a 1.3M-edge union whose
+    * relevant cone is ~10² edges.
+    */
+  private def forwardCone(spark: SparkSession, edges: DataFrame,
+      source: Long, maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    var reached = Seq(source).toDF("n").localCheckpoint()
+    var frontier = reached
+    var depth = 0
+    var growing = true
+    while (growing && depth < maxDepth) {
+      val next = e.join(broadcast(frontier.select(col("n").as("src"))),
+          Seq("src"), "left_semi")
+        .select(col("dst").as("n")).distinct()
+        .join(reached, Seq("n"), "left_anti").localCheckpoint()
+      growing = next.count() > 0
+      if (growing) {
+        reached = reached.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      depth += 1
+    }
+    e.join(broadcast(reached.select(col("n").as("src"))), Seq("src"), "left_semi")
+  }
+
   def kShortestPaths(spark: SparkSession, source: Long, target: Long,
       edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     import spark.implicits._
     type S = List[(Long, String)]
     def mergeK(a: S, b: S): S = (a ++ b).distinct.sorted.take(k)
-    val g = edgeGraph(edges, source, List.empty[(Long, String)])
+    val pruned = forwardCone(spark, edges, source, maxIter)
+    val g = edgeGraph(pruned, source, List.empty[(Long, String)])
       .mapVertices((id, _) => if (id == source) List((0L, id.toString)) else Nil)
     val res = g.pregel(List.empty[(Long, String)], maxIter, EdgeDirection.Out)(
       (_, s, msg) => mergeK(s, msg),

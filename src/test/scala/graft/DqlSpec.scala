@@ -125,6 +125,55 @@ class DqlSpec extends AnyFunSuite {
     }
   }
 
+  test("golden JSON: LDBC IS02 shape — reverse traversal, ordered children, nesting") {
+    // reference systest/ldbc test_cases.yaml q2: ~hasCreator(orderdesc,
+    // first: N) { ... replyOf { ... } } — here: a nation's inhabitants
+    // by acctbal desc with their own nested edge
+    val rows = exec.jsonRows(
+      """{ q(func: eq(name, "NATION_2")) {
+        |    ~located_in (orderdesc: acctbal, first: 5) {
+        |      acctbal located_in { name } } } }""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    val json = rows.head.getString(1)
+    assert(json.contains(""""~located_in":[{"uid":"0x"""))
+    // children ordered by acctbal desc
+    val bals = """"acctbal":(-?[0-9.]+)""".r
+      .findAllMatchIn(json).map(_.group(1).toDouble).toSeq
+    assert(bals.length == 5)
+    assert(bals == bals.sorted.reverse, s"not desc: $bals")
+  }
+
+  test("golden JSON: LDBC IS03 shape — facet-ordered children with facet keys") {
+    // reference q3: knows @facets(orderdesc: creationDate) { ... } with
+    // knows|creationDate keys in the child objects
+    val rows = exec.jsonRows(
+      """{ q(func: eq(name, "Customer#000000007")) {
+        |    placed @facets(orderdesc: totalprice) @facets { orderstatus } } }""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    val json = rows.head.getString(1)
+    assert(json.contains(""""placed|totalprice":"""))
+    assert(json.contains(""""placed|orderdate":"""))
+    val prices = """"placed\|totalprice":"([0-9.]+)"""".r
+      .findAllMatchIn(json).map(_.group(1).toDouble).toSeq
+    assert(prices.nonEmpty && prices == prices.sorted.reverse)
+  }
+
+  test("golden JSON: LDBC IS07 shape — var binding + uid(c) filter in nested child") {
+    // reference q7: mid as var(...) { c as hasCreator } then
+    // @filter(uid(c)) on a nested traversal
+    val rows = exec.jsonAll(
+      """{ var(func: eq(name, "NATION_3")) { c as ~located_in }
+        |  q(func: eq(name, "NATION_3")) {
+        |    name inhab: ~located_in (first: 3) @filter(uid(c)) { acctbal } } }""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    val json = rows.head.getString(2)
+    assert(json.contains(""""name":"NATION_3""""))
+    assert(json.matches(""".*"inhab":\[(\{"uid":"0x[0-9a-f]+","acctbal":-?[0-9.]+\},?){3}\].*"""))
+  }
+
   test("golden JSON: jsonAll renders every non-var block with bindings") {
     val df = exec.jsonAll(
       """{ var(func: eq(mktsegment, "BUILDING")) { o as placed }
