@@ -141,6 +141,15 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
   def edge(predicate: String): DataFrame =
     edges.filter(col("predicate") === predicate)
 
+  /** Session-lifetime cache of MATERIALIZED derived frames, keyed by a
+    * caller-chosen signature. Used for inputs that several queries share
+    * (e.g. the weighted edge union of shortest blocks) — built and
+    * checkpointed once, reused as a plain scan afterwards.
+    */
+  private val derivedCache = TrieMap.empty[String, DataFrame]
+  def derived(key: String)(build: => DataFrame): DataFrame =
+    derivedCache.getOrElseUpdate(key, build.localCheckpoint())
+
   /** Reverse edge (reference @reverse, posting/index.go:276): swap sides.
     * No materialization needed — the join planner swaps the equi-join key.
     * Facet map and typed facet columns ride along unchanged.

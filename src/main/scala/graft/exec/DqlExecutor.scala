@@ -115,13 +115,20 @@ final class DqlExecutor(ts: TripleStore) {
     * (the reference exposes the same via the path variable).
     */
   private def shortestBlock(b: QueryBlock, sa: ShortestArgs): DataFrame = {
-    val edges = b.selections.map { s =>
-      val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
-      val w = s.facetKeys.headOption
-        .map(k => element_at(col("facets"), k).cast("long"))
-        .getOrElse(lit(1L))
-      e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"))
-    }.reduce(_ unionByName _)
+    // the weighted union is query-independent given the predicate set —
+    // materialize once per session (both dql_shortest* variants share it)
+    val sig = b.selections.map(s =>
+      s"${if (s.reverse) "~" else ""}${s.pred}:${s.facetKeys.headOption.getOrElse("1")}")
+      .mkString("shortest|", ",", "")
+    val edges = ts.derived(sig) {
+      b.selections.map { s =>
+        val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+        val w = s.facetKeys.headOption
+          .map(k => element_at(col("facets"), k).cast("long"))
+          .getOrElse(lit(1L))
+        e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"))
+      }.reduce(_ unionByName _)
+    }
     val paths = graft.operators.ShortestPath.kShortestPaths(
       ts.spark, sa.from, sa.to, edges, sa.numpaths, sa.depth)
     b.blockVar.foreach { v =>
@@ -265,8 +272,19 @@ final class DqlExecutor(ts: TripleStore) {
       case FilterLeaf(fn) =>
         df.join(seed(fn).withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi")
       case FilterAnd(cs) => cs.foldLeft(df)((d, c) => applyFilter(d, uidCol, c))
+      case FilterOr(cs) if cs.forall(_.isInstanceOf[FilterLeaf]) =>
+        // OR of index leaves: union the uid seeds, ONE semi-join — the
+        // general branch below re-embeds `df` once per branch, which
+        // compounds in nested trees (reference merges sorted uid lists
+        // the same way, algo/uidlist.go MergeSorted)
+        val uids = cs.map { case FilterLeaf(fn) =>
+          seed(fn).withColumnRenamed("uid", uidCol)
+        }.reduce(_ unionByName _)
+        df.join(uids, Seq(uidCol), "left_semi")
       case FilterOr(cs) =>
         cs.map(applyFilter(df, uidCol, _)).reduce(_ unionByName _).distinct()
+      case FilterNot(FilterLeaf(fn)) =>
+        df.join(seed(fn).withColumnRenamed("uid", uidCol), Seq(uidCol), "left_anti")
       case FilterNot(c) =>
         df.join(applyFilter(df, uidCol, c).select(col(uidCol)).distinct(),
           Seq(uidCol), "left_anti")

@@ -129,7 +129,8 @@ object ShortestPath {
         .join(reached, Seq("n"), "left_anti").localCheckpoint()
       growing = next.count() > 0
       if (growing) {
-        reached = reached.unionByName(next).localCheckpoint()
+        // union of already-materialized rounds — no re-checkpoint needed
+        reached = reached.unionByName(next)
         frontier = next
       }
       depth += 1
@@ -142,7 +143,15 @@ object ShortestPath {
     import spark.implicits._
     type S = List[(Long, String)]
     def mergeK(a: S, b: S): S = (a ++ b).distinct.sorted.take(k)
-    val pruned = forwardCone(spark, edges, source, maxIter)
+    val cone = forwardCone(spark, edges, source, maxIter)
+    // size partitions to the cone: GraphX runs several jobs per
+    // superstep over EVERY partition, so a 10²-edge cone spread across
+    // 32+ shuffle partitions pays ~100 empty tasks per round (measured
+    // 15.6 s vs ~1 s at sf0.1). One partition per ~250k edges.
+    val coneEdges = cone.count()
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (coneEdges / 250000L).toInt + 1))
+    val pruned = cone.coalesce(parts)
     val g = edgeGraph(pruned, source, List.empty[(Long, String)])
       .mapVertices((id, _) => if (id == source) List((0L, id.toString)) else Nil)
     val res = g.pregel(List.empty[(Long, String)], maxIter, EdgeDirection.Out)(

@@ -53,11 +53,14 @@ object MutationQueries {
     "mutation_upsert" -> ((s, d) => {
       val ts = TripleStore(s, d)
       val base = ts.attrString.filter(col("predicate") === "mktsegment")
-      // query block: v = BUILDING customers with no orders
+      // query block: v = BUILDING customers with no orders. Materialized
+      // once — both the @if len() count and the mutation merge read it,
+      // and each would otherwise recompute the anti-join
       val v = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select((lit(CB) + col("c_custkey")).as("subject"))
         .join(t(s, d, "orders").select((lit(CB) + col("o_custkey")).as("subject")),
           Seq("subject"), "left_anti")
+        .localCheckpoint()
       Mutations.upsert(base, v, _ > 0, b =>
         Mutations.applySet(b, v.select(col("subject"),
           lit("mktsegment").as("predicate"), lit("PROSPECT").as("value"),
