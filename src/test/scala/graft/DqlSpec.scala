@@ -142,6 +142,10 @@ class DqlSpec extends AnyFunSuite {
       .findAllMatchIn(json).map(_.group(1).toDouble).toSeq
     assert(bals.length == 5)
     assert(bals == bals.sorted.reverse, s"not desc: $bals")
+    // two-level nesting: each inhabitant carries its located_in object
+    // (single object — non-list predicate)
+    assert(""""located_in":\{"uid":"0x[0-9a-f]+","name":"[A-Z_0-9 ]+"\}""".r
+      .findAllMatchIn(json).size == 5)
   }
 
   test("golden JSON: LDBC IS03 shape — facet-ordered children with facet keys") {
