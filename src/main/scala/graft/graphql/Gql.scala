@@ -84,7 +84,9 @@ object GqlParser {
   private final class P(ts: Vector[Tok]) {
     private var i = 0
     def peek: Option[Tok] = if (i < ts.length) Some(ts(i)) else None
-    def next(): Tok = { val t = ts(i); i += 1; t }
+    def next(): Tok =
+      if (i < ts.length) { val t = ts(i); i += 1; t }
+      else throw ParseException("unexpected end of document")
     def expect(p: String): Unit = next() match {
       case TPunct(`p`) => ()
       case other => throw ParseException(s"expected '$p', got $other")

@@ -36,4 +36,27 @@ final class GraphQLEngine(ts: TripleStore, schema: GqlSchema = SdlParser.tpch) {
     */
   def json(query: String): DataFrame =
     new DqlExecutor(ts).jsonAllAst(rewrite(query), includeUid = false)
+
+  /** GraphQL error propagation (reference graphql/resolve/resolver.go
+    * ErrorResponse): parse/rewrite/validation failures come back as the
+    * standard `{"errors":[{"message": …}]}` envelope in the same
+    * (block, uid, json) frame shape instead of a thrown exception.
+    */
+  def response(query: String): DataFrame =
+    try json(query)
+    catch {
+      case e @ (_: GqlParser.ParseException | _: Rewriter.RewriteException |
+          _: IllegalArgumentException) =>
+        import ts.spark.implicits._
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
+        Seq(("errors", 0L, s"""{"errors":[{"message":"$msg"}]}"""))
+          .toDF("block", "uid", "json")
+    }
 }

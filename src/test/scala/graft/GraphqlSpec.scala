@@ -99,6 +99,19 @@ class GraphqlSpec extends AnyFunSuite {
     assert(a.selections.map(_.aggOp) == Seq(None, Some("sum"), Some("avg")))
   }
 
+  test("response: errors envelope on bad field / malformed document") {
+    val bad = engine.response("query { queryCustomer { nosuchfield } }").collect()
+    assert(bad.length == 1 && bad.head.getString(0) == "errors")
+    assert(bad.head.getString(2).startsWith("""{"errors":[{"message":"""))
+    val malformed = engine.response("query { queryCustomer(filter: ").collect()
+    assert(malformed.head.getString(0) == "errors")
+    // a good query still returns data rows
+    val ok = engine.response(
+      """query { queryNation(filter: { name: { eq: "NATION_3" } }) { name } }""")
+      .collect()
+    assert(ok.length == 1 && ok.head.getString(0) == "queryNation")
+  }
+
   test("execution: get by id returns exactly the row") {
     val df = engine.flat(s"""{ getCustomer(id: "${Uids.Customer + 1}") { name } }""")
     val rows = df.collect()

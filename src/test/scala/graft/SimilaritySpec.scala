@@ -33,6 +33,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
 
+  test("LSH recall sweeps up with probe radius (ef_recall parity curve)") {
+    // the reference trades search breadth (ef) for recall,
+    // tok/hnsw/ef_recall_test.go; here the knob is the multi-probe
+    // hamming radius — recall must be monotone in it and high at 2
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+    val perturbed = emb.select(($"vec_id" + 1000000L).as("id"),
+      transform($"embedding",
+        x => round((x.cast("double") * 1.05 + 0.01) * 1000).cast("long")).as("qe"))
+    val total = base.count().toDouble
+    val recalls = Seq(0, 1, 2).map { probe =>
+      val hits = Similarity.lshTopK(perturbed, base, k = 1, dim = 64,
+          probe = probe)
+        .filter($"rank" === 1 && $"nid" === $"qid" - 1000000L)
+        .count()
+      val r = hits / total
+      info(f"probe=$probe recall=$r%.3f")
+      r
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in probe: $recalls")
+    assert(recalls.last >= 0.9, s"probe=2 recall ${recalls.last} below 0.9")
+  }
+
   test("LSH candidates are a strict subset of brute force work") {
     val emb = Tables.load(spark, sf, "embeddings")
     val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
