@@ -717,6 +717,26 @@ final class DqlExecutor(ts: TripleStore) {
     def isChild(s: Selection) =
       !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse)
 
+    // @normalize: ONE flat object per result path carrying only ALIASED
+    // leaves (reference normalize semantics, outputnode.go:921
+    // normalizeResult) — no nesting, no implicit keys
+    if (b.normalize) {
+      def aliased(sels: Seq[Selection], pfx: String): Seq[(String, String)] =
+        sels.flatMap { s =>
+          val own =
+            if (s.alias.isDefined && !isChild(s) &&
+                flatDf.columns.contains(pfx + s.outName))
+              Seq((pfx + s.outName, s.outName))
+            else Nil
+          own ++ aliased(s.children, pfx + s.outName + "_")
+        }
+      val fields = aliased(b.selections, "")
+        .map { case (c, k) => col(c).as(k) }
+      return flatDf
+        .select(col("uid"), to_json(struct(fields: _*)).as("json"))
+        .orderBy(col("uid"), col("json"))
+    }
+
     /** One row per `keys` (uid chain from the root) with column `outCol`
       * holding selection `s`'s rendered child value: an ordered array of
       * structs for list predicates, a single struct otherwise.

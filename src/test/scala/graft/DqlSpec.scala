@@ -178,6 +178,17 @@ class DqlSpec extends AnyFunSuite {
     assert(json.matches(""".*"inhab":\[(\{"uid":"0x[0-9a-f]+","acctbal":-?[0-9.]+\},?){3}\].*"""))
   }
 
+  test("golden JSON: @normalize flattens to aliased-only objects") {
+    // reference normalize shape (outputnode.go:921): one flat object per
+    // path, only aliased leaves, no nesting
+    val rows = exec.jsonRows(
+      """{ q(func: eq(name, "NATION_4")) @normalize {
+        |    n: name in_region { r: name } } }""".stripMargin)
+      .collect().map(_.getString(1))
+    assert(rows.length == 1)
+    assert(rows.head.matches("""\{"n":"NATION_4","r":"[A-Z ]+"\}"""))
+  }
+
   test("golden JSON: jsonAll renders every non-var block with bindings") {
     val df = exec.jsonAll(
       """{ var(func: eq(mktsegment, "BUILDING")) { o as placed }
