@@ -81,20 +81,34 @@ object Dedup {
       .select(col("id"), assembled.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming <= maxDist, blocked on the high
-    * byte of the signature (256-way bucketing; standard SimHash table
-    * trick — pairs differing in the block byte are traded for an O(n²/256)
-    * join).
+  /** SimHash near-dup pairs with hamming <= maxDist via multi-table
+    * pigeonhole banding (the production SimHash layout — Manku et al.'s
+    * permuted tables): the 16 signature bits split into maxDist+1
+    * blocks, so any pair within maxDist has at least one block with ZERO
+    * differing bits and is found in that block's bucket join. Candidate
+    * generation is therefore EXACT (no recall gap) while still bucketed,
+    * never all-pairs; duplicates across tables collapse on (a, b).
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int): DataFrame = {
+    val nBlocks = maxDist + 1
+    val width = 16 / nBlocks
+    // blocks of `width` bits; the last block takes the remainder
+    val blocks = (0 until nBlocks).map { i =>
+      val lo = i * width
+      val w = if (i == nBlocks - 1) 16 - lo else width
+      shiftright(col("simhash"), lo) % (1 << w)
+    }
     val sh = simhash(df, id, text)
-      .withColumn("blk", floor(col("simhash") / 256))
-    val l = sh.as("l"); val r = sh.as("r")
-    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+    val buckets = sh.select(col("id"), col("simhash"),
+      posexplode(array(blocks: _*)).as(Seq("blk", "key")))
+    val l = buckets.as("l"); val r = buckets.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.key") === col("r.key")
+        && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         hamming(col("l.simhash"), col("r.simhash")).as("dist"))
       .filter(col("dist") <= maxDist)
+      .dropDuplicates("a", "b")
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (a, b): explode the

@@ -302,12 +302,13 @@ object LlmQueries {
       s"""WITH $simhashCtes
          |SELECT id, simhash FROM simq ORDER BY id""".stripMargin,
 
+    // pigeonhole banding finds EVERY pair within maxDist, so the oracle
+    // is the brute-force ground truth — asserting the no-miss property
     "dedup_simhash_pairs" ->
-      s"""WITH $simhashCtes,
-         |sp AS (SELECT id, simhash, simhash // 256 AS blk FROM simq)
+      s"""WITH $simhashCtes
          |SELECT l.id AS a, r.id AS b,
          | CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS dist
-         |FROM sp l JOIN sp r ON l.blk = r.blk AND l.id < r.id
+         |FROM simq l JOIN simq r ON l.id < r.id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
          |ORDER BY a, b""".stripMargin,
 
