@@ -14,6 +14,7 @@ object Bench {
     "q1_agg", "traverse_2hop", "traverse_agg", "sort_first_per_parent",
     "dql_expand", "dql_math", "dql_recurse", "dql_facets_filter",
     "recurse_chain", "shortest_sssp", "shortest_paths",
+    "dql_shortest", "dql_groupby_agg", "dql_json_nested", "graphql_json",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "embed_cosine_topk", "embed_ann_ivf", "stream_sliding",
     "fulltext_alloftext", "text_quality")

@@ -707,6 +707,7 @@ final class DqlExecutor(ts: TripleStore) {
       else Some(jsonBlock(b, includeUid)
         .select(lit(b.name).as("block"), col("uid"), col("json")))
     }
+    require(outs.nonEmpty, "query has no result block")
     outs.reduce(_ unionByName _)
   }
 

@@ -208,26 +208,33 @@ object LlmQueries {
        |bk AS ($bucketsSql),
        |cand AS ($candSql)""".stripMargin
 
-  /** 16-bit word hash from md5 hex digits (== Spark conv(md5[0:4],16,10)). */
-  private val h16Sql = (0 until 4).map { i =>
-    val mult = math.pow(16, 3 - i).toInt
-    s"(strpos('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1) * $mult"
-  }.mkString(" + ")
+  /** `bits`-wide word hash from md5 hex digits
+    * (== Spark conv(md5[0:bits/4],16,10)).
+    */
+  private def hSql(bits: Int): String = {
+    val hexChars = bits / 4
+    (0 until hexChars).map { i =>
+      val mult = math.pow(16, hexChars - 1 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1) * ${mult}"
+    }.mkString(" + ")
+  }
 
-  private val bitSumsSql = (0 until 16).map { b =>
+  private def bitSumsSql(bits: Int) = (0 until bits).map { b =>
     s"SUM(((h // ${1L << b}) % 2) * 2 - 1) AS b$b"
   }.mkString(", ")
 
-  private val bitAsmSql = (0 until 16).map { b =>
+  private def bitAsmSql(bits: Int) = (0 until bits).map { b =>
     s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)"
   }.mkString(" + ")
 
-  private val simhashCtes =
+  private def simhashCtesW(bits: Int) =
     s"""corpus AS ($corpusNearSql),
        |wd AS (SELECT id, unnest(list_distinct(string_split(text,' '))) AS w FROM corpus),
-       |hb AS (SELECT id, $h16Sql AS h FROM wd),
-       |sc AS (SELECT id, $bitSumsSql FROM hb GROUP BY id),
-       |simq AS (SELECT id, CAST($bitAsmSql AS BIGINT) AS simhash FROM sc)""".stripMargin
+       |hb AS (SELECT id, CAST(${hSql(bits)} AS BIGINT) AS h FROM wd),
+       |sc AS (SELECT id, ${bitSumsSql(bits)} FROM hb GROUP BY id),
+       |simq AS (SELECT id, CAST(${bitAsmSql(bits)} AS BIGINT) AS simhash FROM sc)""".stripMargin
+
+  private val simhashCtes = simhashCtesW(16)
 
   /** Quantized cosine — must mirror VectorFunctions.cosineQ op-for-op. */
   private def cosSql(a: String, b: String): String =
@@ -302,10 +309,11 @@ object LlmQueries {
       s"""WITH $simhashCtes
          |SELECT id, simhash FROM simq ORDER BY id""".stripMargin,
 
-    // pigeonhole banding finds EVERY pair within maxDist, so the oracle
-    // is the brute-force ground truth — asserting the no-miss property
+    // pigeonhole banding on the 60-bit signature finds EVERY pair within
+    // maxDist, so the oracle is the brute-force ground truth — asserting
+    // the no-miss property
     "dedup_simhash_pairs" ->
-      s"""WITH $simhashCtes
+      s"""WITH ${simhashCtesW(60)}
          |SELECT l.id AS a, r.id AS b,
          | CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS dist
          |FROM simq l JOIN simq r ON l.id < r.id
