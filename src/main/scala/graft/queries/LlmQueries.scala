@@ -167,6 +167,28 @@ object LlmQueries {
         (col("n_chars") % 640).as("width"),
         ((col("n_chars") * 7) % 480).as("height"))
         .orderBy(col("doc_id"))
+    }),
+
+    // decodeStub end-to-end: BINARY blobs through the batch-shaped
+    // partition decoder; metadata ints are oracle-exact (the float
+    // features stay spec-tested — float arithmetic isn't hash-stable)
+    "multimodal_decode" -> ((s, d) => {
+      val blobs = t(s, d, "documents").select(
+        col("doc_id").as("media_id"), unhex(md5(col("text"))).as("blob"))
+      graft.operators.Multimodal.decodeStub(blobs)
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
+    // frame sampling plumbing: every 2nd frame index per media
+    "multimodal_frames" -> ((s, d) => {
+      val blobs = t(s, d, "documents").select(
+        col("doc_id").as("media_id"), unhex(md5(col("text"))).as("blob"))
+      graft.operators.Multimodal
+        .sampleFrames(graft.operators.Multimodal.decodeStub(blobs), everyK = 2)
+        .select(col("media_id"), col("n_frames"),
+          array_join(col("sampled_frames"), ",").as("frames"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -374,6 +396,31 @@ object LlmQueries {
       """SELECT doc_id, base64(from_hex(md5(text))) AS blob_b64,
         | CAST(octet_length(from_hex(md5(text))) AS INT) AS nbytes,
         | n_chars % 640 AS width, (n_chars * 7) % 480 AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fakeDecode metadata from md5 bytes: byte k = hex digits 2k,2k+1;
+    // & 0x3f == % 64 and & 0x07 == % 8 on unsigned bytes
+    "multimodal_decode" ->
+      s"""WITH b AS (
+         | SELECT doc_id AS media_id,
+         |  ${mdByteSql(0)} AS b0, ${mdByteSql(1)} AS b1, ${mdByteSql(2)} AS b2
+         | FROM documents)
+         |SELECT media_id, CAST(64 + b0 % 64 AS INT) AS width,
+         | CAST(64 + b1 % 64 AS INT) AS height,
+         | CAST(1 + b2 % 8 AS INT) AS n_frames
+         |FROM b ORDER BY media_id""".stripMargin,
+
+    "multimodal_frames" ->
+      s"""WITH b AS (
+         | SELECT doc_id AS media_id, 1 + ${mdByteSql(2)} % 8 AS nf
+         | FROM documents)
+         |SELECT media_id, CAST(nf AS INT) AS n_frames,
+         | array_to_string(list_filter(range(0, nf), x -> x % 2 = 0), ',') AS frames
+         |FROM b ORDER BY media_id""".stripMargin
   )
+
+  /** Unsigned byte k of md5(text) via hex-digit arithmetic. */
+  private def mdByteSql(k: Int): String =
+    s"((strpos('0123456789abcdef', substr(md5(text), ${2 * k + 1}, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(md5(text), ${2 * k + 2}, 1)) - 1))"
 }
