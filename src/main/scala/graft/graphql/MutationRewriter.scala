@@ -44,13 +44,17 @@ final class MutationRewriter(ts: TripleStore, schema: GqlSchema) {
         s"unknown mutation root '$other' (expected add<T>/update<T>/delete<T>)")
     }
 
-  /** Filter → uid set via the query path (func: type(T) @filter(...)). */
+  /** Filter → uid set via the query path (func: type(T) @filter(...)).
+    * Materialized: the uid set feeds set triples, anti-join subtracts,
+    * and deletes — each would otherwise re-embed the whole filter plan.
+    */
   private def uidsFor(t: SdlType, filter: Option[GVal]): DataFrame = {
     val tree = filter.collect { case o: GObj =>
       new Rewriter(schema).filterFor(o, t)
     }
     new DqlExecutor(ts).flatAst(DqlQuery(Seq(QueryBlock(
       "q", FuncCall("type", t.name, Nil), filter = tree))))
+      .localCheckpoint()
   }
 
   private def scalar(v: GVal): String = v match {
