@@ -3,9 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Times every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints ONE compact JSON line. The driver captures only the TAIL of the
-  * process output, so the line must stay short: `value` is the total over
-  * ALL queries, while the `queries` dict lists only the headline subset
-  * (rounded to ms). Full per-query timings go to stderr for local tuning.
+  * process output, so the JSON line must be the LAST thing written on BOTH
+  * stdout and stderr (sbt re-logs app stderr after stdout, so anything
+  * printed only to stdout before a large stderr dump falls outside the tail
+  * window — this is why BENCH_r01..r03 recorded `parsed: null`). The full
+  * per-query table goes to target/bench_full.txt; only the slowest 15 go to
+  * stderr.
   */
 object Bench {
   // Representative spread: relational agg, traversal, DQL end-to-end,
@@ -38,13 +41,28 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     def r3(v: Double): String = f"$v%.3f"
-    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+    val sorted = results.toSeq.sortBy(-_._2)
+    val fullTable = sorted
+      .map { case (k, v) => f"[bench] $k%-28s ${r3(v)}%8s s" }
+      .mkString("\n")
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.txt")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullTable.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    sorted.take(15).foreach { case (k, v) =>
       System.err.println(f"[bench] $k%-28s ${r3(v)}%8s s")
     }
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","n_queries":${results.size},"value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","n_queries":${results.size},"value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // JSON line last on BOTH streams so any tail-window capture includes it.
+    System.err.println(line)
+    System.err.flush()
+    println(line)
+    System.out.flush()
   }
 }

@@ -60,6 +60,13 @@ object DqlQueries {
       dql("""{ q(func: eq(brand, "Brand#12")) { expand(_all_) } }""")(s, d)
         .orderBy(col("uid"))),
 
+    // expand(Type) takes the predicate list from the NAMED type's schema,
+    // not the frontier's types: suppliers in the frontier still get only
+    // Customer predicates (mktsegment comes back null for them).
+    "dql_expand_type" -> ((s, d) =>
+      dql("""{ q(func: le(acctbal, -900)) { expand(Customer) } }""")(s, d)
+        .orderBy(col("uid"))),
+
     // uid variable bound in a var block, consumed via uid(x)
     "dql_var_uid" -> ((s, d) =>
       dql("""{ var(func: eq(mktsegment, "BUILDING")) {
@@ -241,6 +248,15 @@ object DqlQueries {
       s"""SELECT ${Uids.Part} + p_partkey AS uid, p_name AS name, p_brand AS brand,
          | p_type AS ptype, CAST(p_size AS BIGINT) AS size, p_retailprice AS retailprice
          |FROM part WHERE p_brand = 'Brand#12' ORDER BY uid""".stripMargin,
+
+    "dql_expand_type" ->
+      s"""SELECT $CB + c_custkey AS uid, c_name AS name, c_mktsegment AS mktsegment,
+         | c_acctbal AS acctbal
+         |FROM customer WHERE c_acctbal <= -900
+         |UNION ALL
+         |SELECT $SB + s_suppkey, s_name, NULL, s_acctbal
+         |FROM supplier WHERE s_acctbal <= -900
+         |ORDER BY uid""".stripMargin,
 
     "dql_var_uid" ->
       s"""SELECT DISTINCT $OB + o_orderkey AS uid, o_orderstatus AS orderstatus,
