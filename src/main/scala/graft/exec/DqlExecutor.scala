@@ -45,9 +45,16 @@ final class DqlExecutor(ts: TripleStore) {
     * of a small materialized (uid, value) set. Mirrors the reference
     * computing a var's uid/value map once per request
     * (query/query.go:1806 fillVars).
+    *
+    * The checkpoint is LAZY (eager=false): an eager one runs a separate
+    * blocking job per var (a query binding three vars paid three full
+    * scans before its own job started); a lazy one materializes each var
+    * inside whichever downstream job touches it first, so a var chain
+    * (ep, dc -> rev) computes in ONE pass while later references still
+    * read the cached partitions.
     */
   private def bindVar(name: String, df: DataFrame): Unit =
-    vars(name) = df.localCheckpoint()
+    vars(name) = df.localCheckpoint(eager = false)
 
   /** Execute all blocks in order; return the last non-`var` block. */
   def flat(query: String): DataFrame = flatAst(Parser.parse(query))

@@ -104,21 +104,32 @@ object Dedup {
     val bits = 60
     val nBlocks = maxDist + 1
     val width = bits / nBlocks
-    val blocks = (0 until nBlocks).map { i =>
+    def blockOf(sig: Column, i: Int): Column = {
       val lo = i * width
       val w = if (i == nBlocks - 1) bits - lo else width
-      shiftright(col("simhash"), lo) % (1L << w)
+      shiftright(sig, lo) % (1L << w)
     }
     val sh = simhashBits(df, id, text, bits)
     val buckets = sh.select(col("id"), col("simhash"),
-      posexplode(array(blocks: _*)).as(Seq("blk", "key")))
+      posexplode(array((0 until nBlocks).map(blockOf(col("simhash"), _)): _*))
+        .as(Seq("blk", "key")))
     val l = buckets.as("l"); val r = buckets.as("r")
+    // Emit each pair only from its FIRST matching block: for the match at
+    // block `blk`, require every earlier block to differ (recomputed from
+    // the two signatures already present on the joined row). Near-identical
+    // clusters match in all nBlocks blocks, so without this each pair
+    // surfaces nBlocks times and the dropDuplicates shuffle carries
+    // nBlocks x |pairs| wide rows — the dominant cost of the operator.
+    // With it every pair is emitted exactly once and no dedup shuffle
+    // exists at all.
+    val firstMatch = (0 until nBlocks - 1).map { j =>
+      col("l.blk") <= j || blockOf(col("l.simhash"), j) =!= blockOf(col("r.simhash"), j)
+    }.foldLeft(lit(true))(_ && _)
     l.join(r, col("l.blk") === col("r.blk") && col("l.key") === col("r.key")
-        && col("l.id") < col("r.id"))
+        && col("l.id") < col("r.id") && firstMatch)
       .select(col("l.id").as("a"), col("r.id").as("b"),
         hamming(col("l.simhash"), col("r.simhash")).as("dist"))
       .filter(col("dist") <= maxDist)
-      .dropDuplicates("a", "b")
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (a, b): explode the
