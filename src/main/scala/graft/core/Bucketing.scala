@@ -37,7 +37,7 @@ object Bucketing {
   }
 
   /** Materialize the edge table of one predicate, bucketed by subject. */
-  def materializeEdges(ts: TripleStore, predicate: String, table: String,
+  def materializeEdges(ts: GraphStore, predicate: String, table: String,
       buckets: Int): Unit =
     writeBucketed(ts.edge(predicate), table, buckets)
 

@@ -1,0 +1,59 @@
+package graft.core
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store abstraction the query engine executes against: per-predicate
+  * edge and attribute views ("tablets", reference worker/groups.go:218
+  * BelongsTo), node types, facet metadata, and the predicate schema.
+  *
+  * Implementations:
+  *  - [[TripleStore]] derives the views from the TPC-H-ish relational
+  *    parquet tables (the driver's test corpus);
+  *  - [[TripleFrameStore]] wraps ANY triples DataFrame (e.g. parsed
+  *    N-Quads from [[graft.sources.RdfSource]]) — the "bring your own
+  *    graph" loader path.
+  *
+  * Contract for the frames:
+  *  - `edges`: subject LONG, predicate STRING, object LONG,
+  *    facets MAP<STRING,STRING>, plus one typed `_ft_<key>` column per
+  *    declared facet key (null outside the owning predicate) so facet
+  *    comparisons land on plain columns Catalyst can push down;
+  *  - `attr(p)`: subject LONG, predicate STRING, value typed by the
+  *    schema (`lang` STRING column present for @lang predicates);
+  *  - `nodeTypes`: subject LONG, typeName STRING.
+  */
+trait GraphStore {
+  def spark: SparkSession
+  def schema: SchemaRegistry
+  def edges: DataFrame
+  def nodeTypes: DataFrame
+  def facetKeys: Map[String, Seq[(String, String)]]
+  def attr(predicate: String): DataFrame
+
+  /** Edge view for one predicate — "tablet" access path. */
+  def edge(predicate: String): DataFrame =
+    edges.filter(col("predicate") === predicate)
+
+  /** Reverse edge (reference @reverse, posting/index.go:276): swap sides.
+    * No materialization needed — the join planner swaps the equi-join key.
+    * Facet map and typed facet columns ride along unchanged.
+    */
+  def reverseEdge(predicate: String): DataFrame = {
+    val e = edge(predicate)
+    val keep = e.columns.filter(c => c != "subject" && c != "object").map(col)
+    e.select(Seq(col("object").as("subject")) ++ keep :+
+      col("subject").as("object"): _*)
+  }
+
+  /** Session-lifetime cache of MATERIALIZED derived frames, keyed by a
+    * caller-chosen signature. Used for inputs that several queries share
+    * (e.g. the weighted edge union of shortest blocks) — built and
+    * checkpointed once, reused as a plain scan afterwards.
+    */
+  private val derivedCache = TrieMap.empty[String, DataFrame]
+  def derived(key: String)(build: => DataFrame): DataFrame =
+    derivedCache.getOrElseUpdate(key, build.localCheckpoint())
+}

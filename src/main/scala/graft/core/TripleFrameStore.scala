@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [[GraphStore]] over an arbitrary triples DataFrame — the "bring your
+  * own graph" loader path: N-Quads parsed by
+  * [[graft.sources.RdfSource.parse]] (or any frame with the same shape)
+  * plus a [[SchemaRegistry]] become a fully queryable store for the DQL /
+  * GraphQL engines. This is the Spark analogue of the reference's bulk
+  * loader output (dgraph/cmd/bulk): the canonical physical layout is one
+  * subject-keyed table of typed tablets.
+  *
+  * Input `triples` columns:
+  *   subject LONG, predicate STRING, objectUid LONG (null for literals),
+  *   value STRING (null for uid edges), lang STRING, facets STRING
+  *   ("k=v, k2=v2" — the N-Quad facet syntax).
+  *
+  * Node types come from `dgraph.type` triples, exactly like the
+  * reference (query/query.go:2780 getPredicatesFromTypes reads the type
+  * attribute). Typed attribute views cast the string values by the
+  * predicate's declared schema type at view time; at 100 TB the same
+  * frame would be written per-type partitioned parquet by the bulk-load
+  * job and these views would read it back pruned.
+  */
+final class TripleFrameStore(
+    val spark: SparkSession,
+    val schema: SchemaRegistry,
+    triples: DataFrame,
+    val facetKeys: Map[String, Seq[(String, String)]] = Map.empty)
+    extends GraphStore {
+
+  // one pass over the input, shared by every tablet view
+  private val base = triples.localCheckpoint()
+
+  lazy val edges: DataFrame = {
+    val m = when(col("facets").isNotNull,
+      str_to_map(col("facets"), lit(", "), lit("=")))
+      .otherwise(map().cast("map<string,string>"))
+    val ftCols = facetKeys.toSeq.sortBy(_._1).flatMap { case (pred, keys) =>
+      keys.map { case (k, t) =>
+        when(col("predicate") === pred, element_at(m, k).cast(t))
+          .as(s"_ft_$k")
+      }
+    }
+    base.filter(col("objectUid").isNotNull)
+      .select(Seq(col("subject"), col("predicate"),
+        col("objectUid").as("object"), m.as("facets")) ++ ftCols: _*)
+  }
+
+  lazy val nodeTypes: DataFrame =
+    base.filter(col("predicate") === "dgraph.type" && col("value").isNotNull)
+      .select(col("subject"), col("value").as("typeName"))
+
+  def attr(predicate: String): DataFrame = {
+    val p = schema.pred(predicate)
+    val rows = base.filter(col("predicate") === predicate &&
+      col("objectUid").isNull)
+    val typed = p.dgraphType match {
+      case "int" => col("value").cast("long")
+      case "float" => col("value").cast("double")
+      case "bool" => col("value").cast("boolean")
+      case "datetime" => col("value").cast("timestamp")
+      case _ => col("value")
+    }
+    if (p.dgraphType == "string" || p.dgraphType == "default")
+      rows.select(col("subject"), col("predicate"),
+        typed.as("value"), col("lang"))
+    else rows.select(col("subject"), col("predicate"), typed.as("value"))
+  }
+}

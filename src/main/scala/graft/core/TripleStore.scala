@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * types/facets/facet_types.go:21) ride along as a MAP column on the edge
   * table with deterministically formatted string values.
   */
-final class TripleStore(val spark: SparkSession, val sfDir: String) {
+final class TripleStore(val spark: SparkSession, val sfDir: String)
+    extends GraphStore {
   import Uids._
 
   private def t(name: String): DataFrame = Tables.load(spark, sfDir, name)
@@ -135,30 +136,6 @@ final class TripleStore(val spark: SparkSession, val sfDir: String) {
     custNation.unionByName(suppNation).unionByName(nationRegion)
       .unionByName(placed).unionByName(hasLine)
       .unionByName(ofPart).unionByName(bySupplier)
-  }
-
-  /** Edge view for one predicate — "tablet" access path. */
-  def edge(predicate: String): DataFrame =
-    edges.filter(col("predicate") === predicate)
-
-  /** Session-lifetime cache of MATERIALIZED derived frames, keyed by a
-    * caller-chosen signature. Used for inputs that several queries share
-    * (e.g. the weighted edge union of shortest blocks) — built and
-    * checkpointed once, reused as a plain scan afterwards.
-    */
-  private val derivedCache = TrieMap.empty[String, DataFrame]
-  def derived(key: String)(build: => DataFrame): DataFrame =
-    derivedCache.getOrElseUpdate(key, build.localCheckpoint())
-
-  /** Reverse edge (reference @reverse, posting/index.go:276): swap sides.
-    * No materialization needed — the join planner swaps the equi-join key.
-    * Facet map and typed facet columns ride along unchanged.
-    */
-  def reverseEdge(predicate: String): DataFrame = {
-    val e = edge(predicate)
-    val keep = e.columns.filter(c => c != "subject" && c != "object").map(col)
-    e.select(Seq(col("object").as("subject")) ++ keep :+
-      col("subject").as("object"): _*)
   }
 
   // ---- typed attribute tables: subject, predicate, value [, lang] ----

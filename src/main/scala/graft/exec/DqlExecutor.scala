@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.TripleStore
+import graft.core.GraphStore
 import graft.dql._
 import graft.operators.Recurse
 
@@ -24,8 +24,9 @@ import graft.operators.Recurse
   * `jsonRows` renders the nested JSON shape (uid-sorted arrays) like
   * outputnode.go ToJson.
   */
-final class DqlExecutor(ts: TripleStore) {
-  import ts.spark.implicits._
+final class DqlExecutor(ts: GraphStore) {
+  private val session = ts.spark
+  import session.implicits._
 
   private val schema = ts.schema
 
@@ -741,7 +742,7 @@ final class DqlExecutor(ts: TripleStore) {
       val fields = aliased(b.selections, "")
         .map { case (c, k) => col(c).as(k) }
       return flatDf
-        .select(col("uid"), to_json(struct(fields: _*)).as("json"))
+        .select(col("uid"), to_json(struct(fields: _*), jsonOpts).as("json"))
         .orderBy(col("uid"), col("json"))
     }
 
@@ -782,8 +783,12 @@ final class DqlExecutor(ts: TripleStore) {
       }
       val facetFields = facetCols.map(c =>
         col(c).as(s"${s.outName}|${c.stripPrefix(s"${pfx}f_")}"))
+      // uid renders when implicit uids are on, when the query asks for it
+      // explicitly (`friend { uid name }` — reference emits uid only on
+      // request), or when nothing else would remain in the object
       val uidField =
-        if (includeUid || (kidFields.isEmpty && facetFields.isEmpty))
+        if (includeUid || s.children.exists(c => c.pred == "uid" && !c.isCount) ||
+            (kidFields.isEmpty && facetFields.isEmpty))
           Seq(hexUid(col(colName)).as("uid"))
         else Nil
       val payload = struct((uidField ++ kidFields ++ facetFields): _*)
@@ -815,15 +820,26 @@ final class DqlExecutor(ts: TripleStore) {
     }
     val scalarCol = rootScalars.zipWithIndex
       .map { case (s, i) => (s, s"__r$i") }.toMap[Selection, String]
-    val fields = (if (includeUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++
+    val rootUid = includeUid ||
+      b.selections.exists(s => s.pred == "uid" && !s.isCount)
+    val fields = (if (rootUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++
       rootSels.flatMap { s =>
         if (isChild(s))
           childCols.collectFirst { case (cs, ccol) if cs eq s =>
             col(ccol).as(jsonKey(s)) }
         else Some(col(scalarCol(s)).as(jsonKey(s)))
       }
-    root
-      .select(col("uid"), to_json(struct(fields: _*)).as("json"))
-      .orderBy(col("uid"))
+    val assembled = root
+      .select(col("uid"), to_json(struct(fields: _*), jsonOpts).as("json"))
+    // the result array keeps the block's requested root order (reference
+    // applies sort before encoding); uid order is only the default
+    if (b.order.isEmpty) assembled.orderBy(col("uid"))
+    else orderAndPage(assembled, "uid", b.order, Pagination())
   }
+
+  /** RFC3339 timestamps ("1910-01-01T00:00:00Z"), matching the
+    * reference's datetime JSON encoding (types/conversion.go marshals
+    * time.Time with RFC3339).
+    */
+  private val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssXXX")
 }

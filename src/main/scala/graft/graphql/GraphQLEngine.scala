@@ -2,7 +2,7 @@ package graft.graphql
 
 import org.apache.spark.sql.DataFrame
 
-import graft.core.TripleStore
+import graft.core.GraphStore
 import graft.exec.DqlExecutor
 
 /** The GraphQL entry point: parse → rewrite to DQL IR → execute on the
@@ -11,7 +11,7 @@ import graft.exec.DqlExecutor
   * (/root/reference/edgraph/server.go:1330 QueryGraphQL feeds the same
   * pipeline as Query; SURVEY.md §3.2).
   */
-final class GraphQLEngine(ts: TripleStore, schema: GqlSchema = SdlParser.tpch) {
+final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch) {
 
   /** Run a GraphQL operation, returning the flat (normalized) DataFrame
     * of the last root field.
@@ -47,7 +47,7 @@ final class GraphQLEngine(ts: TripleStore, schema: GqlSchema = SdlParser.tpch) {
     catch {
       case e @ (_: GqlParser.ParseException | _: Rewriter.RewriteException |
           _: IllegalArgumentException) =>
-        import ts.spark.implicits._
+        val session = ts.spark; import session.implicits._
         val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
           .flatMap {
             case '"' => "\\\""

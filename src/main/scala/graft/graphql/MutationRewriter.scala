@@ -3,7 +3,7 @@ package graft.graphql
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.TripleStore
+import graft.core.GraphStore
 import graft.dql._
 import graft.exec.DqlExecutor
 import graft.operators.Mutations
@@ -23,9 +23,10 @@ import graft.operators.Mutations
   * that touches data (uid allocation, filter resolution, merges) stays
   * distributed.
   */
-final class MutationRewriter(ts: TripleStore, schema: GqlSchema) {
+final class MutationRewriter(ts: GraphStore, schema: GqlSchema) {
   import Rewriter.RewriteException
-  import ts.spark.implicits._
+  private val session = ts.spark
+  import session.implicits._
 
   private val AddRe = "add([A-Z]\\w*)".r
   private val UpdateRe = "update([A-Z]\\w*)".r

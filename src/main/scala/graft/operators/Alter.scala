@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.TripleStore
+import graft.core.GraphStore
 import graft.functions.Tokenizer
 
 /** Index rebuild orchestration after `/alter` (reference
@@ -21,7 +21,7 @@ import graft.functions.Tokenizer
 object Alter {
 
   /** Rebuild the token index for `pred` using `tok`. */
-  def rebuildIndex(ts: TripleStore, pred: String, tok: Tokenizer): DataFrame =
+  def rebuildIndex(ts: GraphStore, pred: String, tok: Tokenizer): DataFrame =
     ts.attr(pred)
       .select(explode(tok.tokens(col("value"))).as("token"), col("subject"))
       .distinct()
