@@ -109,6 +109,87 @@ object Similarity {
         cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
   }
 
+  /** Trained IVF coarse quantizer: k-means centroids over the quantized
+    * vectors (the Spark-native stand-in for the reference's HNSW index
+    * build, tok/hnsw/persistent_hnsw.go — a graph walk doesn't
+    * distribute, a centroid table does). Centroids are METADATA
+    * (nCells × dim longs on the driver, like the reference's entry-point
+    * layer); training is iters × (one codegen'd assignment pass + one
+    * explode/sum aggregation), all integer arithmetic, deterministic
+    * init by md5(id) — re-running the build on re-partitioned data
+    * yields bit-identical centroids.
+    */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int,
+      iters: Int = 3): Seq[Seq[Long]] = {
+    var cents: Seq[Seq[Long]] = corpus
+      .withColumn("__h", md5(col("id").cast("string")))
+      .orderBy(col("__h")).limit(nCells)
+      .select(col("qe")).collect().map(_.getSeq[Long](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = corpus.withColumn("cell", assignCell(col("qe"), cents))
+      // centroid update: explode to (cell, pos, v), exact long sums,
+      // reassemble driver-side — nCells × dim rows, metadata-sized
+      val sums = assigned
+        .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / r.getLong(3)).toSeq
+          case None => cents(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell id: argmin over cells of squared distance,
+    * computed as -2·dot(q,c) + |c|² (the |q|² term is constant per row).
+    * All-integer struct-min with the cell id as tie-break — codegen'd,
+    * deterministic.
+    */
+  private def assignCell(qe: Column, cents: Seq[Seq[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      val cl = typedLit(c)
+      struct((lit(-2L) * dotQ(qe, cl) + lit(c.map(x => x * x).sum)).as("d"),
+        lit(i).as("cell"))
+    }: _*)).getField("cell")
+
+  /** The `probes` nearest cells of a query vector (multi-probe IVF):
+    * sort the (distance, cell) structs, slice. */
+  private def probeCells(qe: Column, cents: Seq[Seq[Long]], probes: Int): Column =
+    transform(
+      slice(sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+        val cl = typedLit(c)
+        struct((lit(-2L) * dotQ(qe, cl) + lit(c.map(x => x * x).sum)).as("d"),
+          lit(i).as("cell"))
+      }: _*)), 1, probes),
+      x => x.getField("cell"))
+
+  /** IVF-Flat search with a trained quantizer: each query scans only its
+    * `probes` nearest cells. At scale the corpus is written partitioned
+    * by cell (one directory per cell), so a probe is a partition-pruned
+    * scan — no shuffle, no graph walk; recall is tuned by `probes`
+    * exactly like the reference tunes ef (tok/hnsw/ef_recall_test.go).
+    */
+  def ivfSearchTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Seq[Seq[Long]], probes: Int): DataFrame = {
+    val c = withNorm(corpus)
+      .withColumn("cell", assignCell(col("qe"), cents))
+      .select(col("id").as("nid"), col("cell"), col("qe").as("nv"),
+        col("__nrm").as("nn"))
+    val q = withNorm(queries)
+      .select(col("id").as("qid"), col("qe").as("qv"), col("__nrm").as("qn"),
+        explode(probeCells(col("qe"), cents, probes)).as("cell"))
+    rankTopK(broadcast(q).join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
+  }
+
   /** Near-duplicate pairs: same cell, quantized cosine above threshold. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val n = withNorm(corpus)

@@ -67,4 +67,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nBuckets > 10)             // signatures actually spread
     assert(maxBucket < base.count())  // no degenerate single bucket
   }
+
+  test("trained IVF: recall@10 vs brute force is monotone in probes, exact at full probe") {
+    // recall-parity story vs the reference's HNSW (tok/hnsw/
+    // ef_recall_test.go): the tunable-breadth knob here is `probes`
+    // (cells scanned), as ef is there. The synthetic embeddings are
+    // uniform random — the ADVERSARIAL case for any ANN index (no
+    // cluster structure) — so the thresholds below are worst-case
+    // floors; clustered real-world embeddings do far better.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val queries = base.filter($"id" % 20 === 0).localCheckpoint()
+    val k = 10
+    val truth = Similarity.bruteForceTopK(queries, base, k)
+      .select($"qid", $"nid").withColumnRenamed("nid", "tn").localCheckpoint()
+    val denom = truth.count().toDouble
+    val cents = Similarity.trainIvfCentroids(base, nCells = 16)
+    val recalls = Seq(2, 4, 8, 16).map { probes =>
+      val approx = Similarity.ivfSearchTopK(queries, base, k, cents, probes)
+        .select($"qid", $"nid")
+      val r = truth.join(approx, Seq("qid")).filter($"tn" === $"nid").count() / denom
+      info(f"ivf probes=$probes recall@$k = $r%.3f")
+      r
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in probes: $recalls")
+    assert(recalls(2) >= 0.75, s"probes=8 recall ${recalls(2)} below 0.75")
+    // scanning every cell IS brute force: the index must lose nothing
+    assert(recalls.last == 1.0, s"full-probe recall ${recalls.last} != 1.0")
+  }
+
+  test("trained IVF centroids are deterministic across repartitionings") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+    val c1 = Similarity.trainIvfCentroids(base, nCells = 8, iters = 2)
+    val c2 = Similarity.trainIvfCentroids(base.repartition(13), nCells = 8, iters = 2)
+    assert(c1 == c2)
+  }
 }
