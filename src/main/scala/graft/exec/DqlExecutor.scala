@@ -426,7 +426,8 @@ final class DqlExecutor(ts: GraphStore) {
       name: String, cascade: Boolean): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
-    val needMap = sel.facetFetch || sel.facetKeys.nonEmpty
+    val needMap = sel.facetFetch || sel.facetKeys.nonEmpty ||
+      sel.facetOrder.isDefined
     val baseCols = Seq(col("subject").as("__es"), col("object").as(name)) ++
       (if (needMap) Seq(col("facets").as("__fc")) else Nil)
     // @facets(eq(k, v)) / @facets(orderasc: k): comparisons read the
@@ -492,10 +493,16 @@ final class DqlExecutor(ts: GraphStore) {
     // @facets fetch: one `<pred>_f_<key>` column per declared facet key;
     // @facets(k1, k2) restricts to the named keys
     // (reference output keys `pred|facet`, outputnode.go)
-    if (sel.facetFetch || sel.facetKeys.nonEmpty) {
+    if (needMap) {
+      // @facets / @facets(k1, k2); a facet ORDERING also fetches its key
+      // (reference emits `pred|facet` for the sort facet, TestOrderFacets
+      // golden, query_facets_test.go:188)
       val declared = ts.facetKeys.getOrElse(sel.pred, Nil)
-      val keys = if (sel.facetKeys.nonEmpty)
-        declared.filter(kv => sel.facetKeys.contains(kv._1)) else declared
+      val keys =
+        if (sel.facetKeys.nonEmpty)
+          declared.filter(kv => sel.facetKeys.contains(kv._1))
+        else if (sel.facetFetch) declared
+        else declared.filter(kv => sel.facetOrder.exists(_.pred == kv._1))
       keys.foreach { case (k, _) =>
         cur = cur.withColumn(s"${name}_f_$k", element_at(col("__fc"), k))
       }
@@ -791,6 +798,12 @@ final class DqlExecutor(ts: GraphStore) {
             (kidFields.isEmpty && facetFields.isEmpty))
           Seq(hexUid(col(colName)).as("uid"))
         else Nil
+      // without a uid key, a child whose requested values are ALL null
+      // renders nothing — the reference omits value-less nodes entirely
+      // (TestOrderFacets golden drops the facet-only friend)
+      val valueCols = scalarCols ++ grandSpecs.map(_._2)
+      if (uidField.isEmpty && valueCols.nonEmpty)
+        rows = rows.filter(valueCols.map(col(_).isNotNull).reduce(_ || _))
       val payload = struct((uidField ++ kidFields ++ facetFields): _*)
       val sortKey = rankCols.headOption.map(c => col(c).cast("long"))
         .getOrElse(col(colName))

@@ -179,6 +179,16 @@ object DqlQueries {
     // order = query order, child arrays in requested order, pred|facet
     // keys, pred@lang:. keys, multi-block — string-compared vs
     // DuckDB-assembled JSON
+    // three-level nesting (root -> placed -> has_line): the JSON
+    // renderer's childFrame recursion depth is the query's depth
+    "dql_json_deep" -> ((s, d) =>
+      dqlJson(s"""{ q(func: uid(${CB + 1}, ${CB + 2}, ${CB + 4})) {
+            |      name
+            |      placed (orderdesc: totalprice, first: 2) {
+            |        orderstatus
+            |        has_line (first: 2) { returnflag } } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
     "dql_json_nested" -> ((s, d) =>
       dqlJson("""{ cust(func: eq(mktsegment, "BUILDING"), orderasc: name, first: 20) {
             |      name
@@ -295,8 +305,10 @@ object DqlQueries {
          |ORDER BY uid, has_line""".stripMargin,
 
     "dql_facets_order" ->
-      s"""SELECT uid, placed FROM (
+      s"""SELECT uid, placed, placed_f_totalprice FROM (
          | SELECT $CB + o_custkey AS uid, $OB + o_orderkey AS placed,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+         |    AS placed_f_totalprice,
          |  ROW_NUMBER() OVER (PARTITION BY o_custkey
          |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
          |             $OB + o_orderkey ASC) AS rn
@@ -367,6 +379,33 @@ object DqlQueries {
          | MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
          | ${Q.sqlDavg("l_discount")} AS av
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dql_json_deep" ->
+      s"""WITH lineu AS (${Q.lineUidSql}),
+         |lkid AS (
+         | SELECT l_orderkey,
+         |  '{"uid":"0x' || printf('%x', line_uid) || '","returnflag":' ||
+         |   to_json(l_returnflag) || '}' AS obj,
+         |  ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY line_uid ASC) AS rn
+         | FROM lineu),
+         |larr AS (SELECT l_orderkey, string_agg(obj, ',' ORDER BY rn) AS arr
+         | FROM lkid WHERE rn <= 2 GROUP BY l_orderkey),
+         |okid AS (
+         | SELECT o_custkey,
+         |  '{"uid":"0x' || printf('%x', $OB + o_orderkey) || '","orderstatus":' ||
+         |   to_json(o_orderstatus) ||
+         |   COALESCE(',"has_line":[' || larr.arr || ']', '') || '}' AS obj,
+         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |   ORDER BY o_totalprice DESC, $OB + o_orderkey ASC) AS rn
+         | FROM orders LEFT JOIN larr ON larr.l_orderkey = o_orderkey),
+         |oarr AS (SELECT o_custkey, string_agg(obj, ',' ORDER BY rn) AS arr
+         | FROM okid WHERE rn <= 2 GROUP BY o_custkey)
+         |SELECT 'q' AS block, $CB + c_custkey AS uid,
+         | '{"uid":"0x' || printf('%x', $CB + c_custkey) || '","name":' ||
+         |  to_json(c_name) ||
+         |  COALESCE(',"placed":[' || oarr.arr || ']', '') || '}' AS json
+         |FROM customer LEFT JOIN oarr ON oarr.o_custkey = c_custkey
+         |WHERE c_custkey IN (1, 2, 4) ORDER BY uid""".stripMargin,
 
     "dql_json_nested" ->
       s"""WITH base AS (

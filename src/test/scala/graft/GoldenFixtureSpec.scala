@@ -178,4 +178,56 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |     orderasc: age, orderdesc: name) { name age } }""".stripMargin,
       """{"data": {"me":[{"name":"Elizabeth","age":25},{"name":"Colin","age":25},{"name":"Bob","age":25},{"name":"Alice","age":25},{"name":"Elizabeth","age":75},{"name":"Bob","age":75},{"name":"Alice","age":75},{"name":"Alice","age":75}]}}""")
   }
+
+  /** Facet fixture: reference query/query_facets_test.go:18
+    * populateClusterWithFacets (subset — the faceted friend edges).
+    * `since` facet values are RFC3339-normalized at load (the reference
+    * parses the unzoned input as UTC and renders the trailing Z; our
+    * loader normalizes once at ingest instead).
+    */
+  private lazy val facetStore: TripleFrameStore = {
+    import spark.implicits._
+    val lines = Seq(
+      a(1, "name", "Michonne"), a(23, "name", "Rick Grimes"),
+      a(24, "name", "Glenn Rhee"), a(25, "name", "Daryl Dixon"),
+      a(31, "name", "Andrea"),
+      e(1, "friend", 23, "since=2006-01-02T15:04:05Z"),
+      e(1, "friend", 24, "since=2004-05-02T15:04:05Z, close=true, family=true"),
+      e(1, "friend", 25, "since=2007-05-02T15:04:05Z, close=false, family=true"),
+      e(1, "friend", 31, "since=2006-01-02T15:04:05Z"),
+      e(1, "friend", 101, "since=2005-05-02T15:04:05Z, close=true, family=false"),
+      e(23, "friend", 1, "since=2006-01-02T15:04:05Z"))
+    new TripleFrameStore(spark, schema, RdfSource.parse(lines.toDF("line")),
+      facetKeys = Map("friend" -> Seq("since" -> "string")))
+  }
+
+  private def checkFacetGolden(query: String, golden: String): Unit = {
+    val ast = Parser.parse(query)
+    val rows = new DqlExecutor(facetStore)
+      .jsonAllAst(ast, includeUid = false).collect()
+    val arr = rows.map(_.getString(2)).mkString("[", ",", "]")
+    val ours = s"""{"data": {"${ast.blocks.head.name}": $arr}}"""
+    assert(mapper.readTree(ours) == mapper.readTree(golden),
+      s"\nours:   $ours\ngolden: $golden")
+  }
+
+  test("golden: TestOrderFacets (query_facets_test.go:188)") {
+    checkFacetGolden(
+      """{ me(func: uid(1)) { friend @facets(orderasc:since) { name } } }""",
+      """{"data":{"me":[{"friend":[
+        |  {"name":"Glenn Rhee","friend|since":"2004-05-02T15:04:05Z"},
+        |  {"name":"Rick Grimes","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Andrea","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Daryl Dixon","friend|since":"2007-05-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestOrderdescFacets (query_facets_test.go:232)") {
+    checkFacetGolden(
+      """{ me(func: uid(1)) { friend @facets(orderdesc:since) { name } } }""",
+      """{"data":{"me":[{"friend":[
+        |  {"name":"Daryl Dixon","friend|since":"2007-05-02T15:04:05Z"},
+        |  {"name":"Rick Grimes","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Andrea","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Glenn Rhee","friend|since":"2004-05-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
 }
