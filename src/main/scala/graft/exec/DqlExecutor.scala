@@ -73,6 +73,12 @@ final class DqlExecutor(ts: GraphStore) {
     result
   }
 
+  /** A bound query variable (uid var: DF("uid"); value var:
+    * DF("uid","value")) — consumed by the upsert executor's @if/len and
+    * template expansion (graft.operators.Upsert).
+    */
+  def variable(name: String): Option[DataFrame] = vars.get(name)
+
   /** Execute every block; returns (blockName → flattened DataFrame). */
   def flatAll(query: String): Map[String, DataFrame] =
     Parser.parse(query).blocks.map(b => b.name -> flatBlock(b)).toMap
@@ -372,7 +378,13 @@ final class DqlExecutor(ts: GraphStore) {
           .select(col("uid").as("__vs"), col("value").as(name))
         cur = cur.join(v, col(uidCol) === col("__vs"), joinType).drop("__vs")
       } else if (sel.pred == "uid") {
-        // uid is implicit (the frontier column itself)
+        // uid is implicit (the frontier column itself); `m as uid` binds
+        // the current frontier as a uid variable (the upsert-block query
+        // shape, reference dql/upsert_test.go)
+        sel.varName.foreach { v =>
+          bindVar(v, cur.select(col(uidCol).as("uid"))
+            .filter(col("uid").isNotNull).distinct())
+        }
       } else if (sel.pred.startsWith("expand(")) {
         val arg = sel.pred.stripPrefix("expand(").stripSuffix(")")
         cur = expandAll(cur, uidCol, joinType, prefix, arg)

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraphStore, PredicateSchema, SchemaRegistry, TripleFrameStore}
+
+/** Backup / restore (reference worker/backup*.go, ee online backup +
+  * `dgraph restore`): serialize a store to a self-contained directory and
+  * load it back as a queryable [[TripleFrameStore]].
+  *
+  * Layout:
+  *   <dir>/triples/        canonical triples parquet (the
+  *                         TripleFrameStore input shape — subject,
+  *                         predicate, objectUid, value, lang, facets)
+  *   <dir>/schema.graft    predicate schema in /alter syntax — readable
+  *                         by SchemaRegistry.parseAlter, so the manifest
+  *                         IS the restore schema (reference backups
+  *                         carry the schema payload the same way)
+  *   <dir>/inc-N/          incremental deltas (CDC diff events) applied
+  *                         in order on restore — reference backup series
+  *                         (full + incrementals, worker/backup.go)
+  *
+  * Everything is a distributed scan/write; the only driver-side data is
+  * the schema text. At 100 TB the triples write is the same job as the
+  * bulk-load layout step, partitioned by predicate so a selective
+  * restore can prune.
+  */
+object Backup {
+
+  /** The store's canonical triple frame: every attribute tablet plus the
+    * edge table, facets re-formatted to the N-Quad `k=v, ...` string.
+    */
+  def tripleFrame(store: GraphStore): DataFrame = {
+    // vectors and password hashes are excluded: at scale each backs up
+    // as its own typed parquet (an ARRAY<FLOAT> column has no faithful
+    // string round-trip through the generic triples frame)
+    val attrPreds = store.schema.predicates.values.toSeq.sortBy(_.name)
+      .filter(p => !Set("uid", "float32vector", "password").contains(p.dgraphType))
+    val attrs = attrPreds.flatMap { p =>
+      // unmaterialized predicates may not exist in a given store; skip
+      scala.util.Try {
+        val a = store.attr(p.name)
+        val lang = if (a.columns.contains("lang")) col("lang")
+          else lit(null).cast("string")
+        a.select(col("subject"), col("predicate"),
+          lit(null).cast("long").as("objectUid"),
+          col("value").cast("string").as("value"),
+          lang.as("lang"), lit(null).cast("string").as("facets"))
+      }.toOption
+    }
+    val facetStr = when(size(map_keys(col("facets"))) > 0,
+      concat_ws(", ", transform(map_keys(col("facets")),
+        k => concat(k, lit("="), element_at(col("facets"), k)))))
+      .otherwise(lit(null).cast("string"))
+    val edges = store.edges.select(col("subject"), col("predicate"),
+      col("object").as("objectUid"), lit(null).cast("string").as("value"),
+      lit(null).cast("string").as("lang"), facetStr.as("facets"))
+    val types = store.nodeTypes.select(col("subject"),
+      lit("dgraph.type").as("predicate"), lit(null).cast("long").as("objectUid"),
+      col("typeName").as("value"), lit(null).cast("string").as("lang"),
+      lit(null).cast("string").as("facets"))
+    (attrs :+ edges :+ types).reduce(_ unionByName _)
+  }
+
+  /** Predicate schema in /alter syntax (round-trips through
+    * SchemaRegistry.parseAlter).
+    */
+  def formatSchema(schema: SchemaRegistry): String = {
+    def fmt(p: PredicateSchema): String = {
+      val t = if (p.isList) s"[${p.dgraphType}]" else p.dgraphType
+      val dirs = Seq(
+        if (p.indexes.nonEmpty) s"@index(${p.indexes.mkString(", ")})" else "",
+        if (p.reverse) "@reverse" else "",
+        if (p.count) "@count" else "",
+        if (p.lang) "@lang" else "").filter(_.nonEmpty)
+      (s"${p.name}: $t" +: dirs).mkString(" ") + " ."
+    }
+    val preds = schema.predicates.values.toSeq.sortBy(_.name).map(fmt)
+    val types = schema.types.values.toSeq.sortBy(_.name).map(t =>
+      s"type ${t.name} { ${t.predicates.mkString(" ")} }")
+    (preds ++ types).mkString("\n")
+  }
+
+  /** Full backup: triples parquet (partitioned by predicate for
+    * selective restore) + schema manifest.
+    */
+  def full(store: GraphStore, dir: String): Unit = {
+    tripleFrame(store).write.mode("overwrite")
+      .partitionBy("predicate").parquet(s"$dir/triples")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "schema.graft"),
+      formatSchema(store.schema).getBytes("UTF-8"))
+  }
+
+  /** Incremental backup `inc-N`: the CDC diff between the last backed-up
+    * frame and the current one (op=set/delete change events).
+    */
+  def incremental(dir: String, n: Int, prev: DataFrame, cur: DataFrame): Unit = {
+    val key = Seq("subject", "predicate", "objectUid", "value")
+    val sets = cur.select(key.map(col): _*)
+      .except(prev.select(key.map(col): _*)).withColumn("op", lit("set"))
+    val dels = prev.select(key.map(col): _*)
+      .except(cur.select(key.map(col): _*)).withColumn("op", lit("delete"))
+    sets.unionByName(dels).write.mode("overwrite").parquet(s"$dir/inc-$n")
+  }
+
+  /** Restore: read the full triples, replay incrementals in order,
+    * rebuild the store from the manifest schema.
+    */
+  def restore(spark: SparkSession, dir: String,
+      facetKeys: Map[String, Seq[(String, String)]] = Map.empty): TripleFrameStore = {
+    val payload = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "schema.graft")), "UTF-8")
+    val (preds, types) = SchemaRegistry.parseAlter(payload)
+    val schema = new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+    var triples = spark.read.parquet(s"$dir/triples")
+      .select(col("subject"), col("predicate"), col("objectUid"),
+        col("value"), col("lang"), col("facets"))
+    val incs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("inc-"))
+      .sortBy(_.getName.stripPrefix("inc-").toInt)
+    incs.foreach { inc =>
+      val delta = spark.read.parquet(inc.getAbsolutePath)
+      val key = Seq("subject", "predicate", "objectUid", "value")
+      val dels = delta.filter(col("op") === "delete")
+        .select(key.map(c => col(c).as(s"__d_$c")): _*)
+      val sets = delta.filter(col("op") === "set")
+        .select(col("subject"), col("predicate"), col("objectUid"),
+          col("value"), lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("facets"))
+      // null-safe keys: objectUid/value are null on the attr/edge side
+      // respectively, and null == null must match for the delete to land
+      val cond = key.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+      triples = triples.join(dels, cond, "left_anti").unionByName(sets)
+    }
+    new TripleFrameStore(spark, schema, triples, facetKeys)
+  }
+}

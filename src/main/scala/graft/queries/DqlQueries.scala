@@ -179,6 +179,41 @@ object DqlQueries {
     // order = query order, child arrays in requested order, pred|facet
     // keys, pred@lang:. keys, multi-block — string-compared vs
     // DuckDB-assembled JSON
+    // full DQL upsert blocks: query + conditional mutations
+    // (reference dql/upsert_test.go; edgraph/server.go:575 doMutate)
+    "dql_upsert" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val base = ts.attr("mktsegment").select(col("subject"), col("predicate"),
+        lit(null).cast("long").as("objectUid"), col("value"),
+        lit(null).cast("string").as("lang"), lit(null).cast("string").as("facets"))
+      graft.operators.Upsert.execute(ts,
+        """upsert {
+          |  query { q(func: le(acctbal, -900)) @filter(has(mktsegment)) { m as uid } }
+          |  mutation @if(gt(len(m), 0)) {
+          |    set { uid(m) <mktsegment> "DELINQUENT" . }
+          |  }
+          |  mutation @if(eq(len(m), 0)) {
+          |    set { uid(m) <mktsegment> "UNREACHED" . }
+          |  }
+          |}""".stripMargin, base)
+        .select(col("subject"), col("value")).orderBy(col("subject"))
+    }),
+
+    "dql_upsert_del" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val base = ts.attr("mktsegment").select(col("subject"), col("predicate"),
+        lit(null).cast("long").as("objectUid"), col("value"),
+        lit(null).cast("string").as("lang"), lit(null).cast("string").as("facets"))
+      graft.operators.Upsert.execute(ts,
+        """upsert {
+          |  query { q(func: eq(mktsegment, "MACHINERY")) { m as uid } }
+          |  mutation @if(gt(len(m), 0)) {
+          |    delete { uid(m) <mktsegment> * . }
+          |  }
+          |}""".stripMargin, base)
+        .select(col("subject"), col("value")).orderBy(col("subject"))
+    }),
+
     // three-level nesting (root -> placed -> has_line): the JSON
     // renderer's childFrame recursion depth is the query's depth
     "dql_json_deep" -> ((s, d) =>
@@ -379,6 +414,16 @@ object DqlQueries {
          | MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
          | ${Q.sqlDavg("l_discount")} AS av
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dql_upsert" ->
+      s"""SELECT $CB + c_custkey AS subject,
+         | CASE WHEN c_acctbal <= -900 THEN 'DELINQUENT' ELSE c_mktsegment END AS value
+         |FROM customer ORDER BY subject""".stripMargin,
+
+    "dql_upsert_del" ->
+      s"""SELECT $CB + c_custkey AS subject, c_mktsegment AS value
+         |FROM customer WHERE c_mktsegment <> 'MACHINERY'
+         |ORDER BY subject""".stripMargin,
 
     "dql_json_deep" ->
       s"""WITH lineu AS (${Q.lineUidSql}),

@@ -183,6 +183,20 @@ object SpecialQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- backup/restore roundtrip (worker/backup*.go): full backup to
+    // a predicate-partitioned triples dir + /alter-syntax schema
+    // manifest, restored as a TripleFrameStore and re-queried ----
+    "backup_restore" -> ((s, d) => {
+      val ts = graft.core.TripleStore(s, d)
+      val dir = new java.io.File(
+        s"target/graft-backup_${new java.io.File(d).getName}" +
+          s"_${System.identityHashCode(s)}").getAbsolutePath
+      graft.operators.Backup.full(ts, dir)
+      graft.operators.Backup.restore(s, dir, ts.facetKeys)
+        .attr("name")
+        .select(col("subject"), col("value")).orderBy(col("subject"))
+    }),
+
     // ---- JSON export (worker/export.go:216 JSON branch) ----
     "export_json" -> ((s, d) => {
       val n = t(s, d, "nation")
@@ -298,6 +312,15 @@ object SpecialQueries {
         |  FROM documents WHERE doc_id % 3 <> 0)
         | GROUP BY doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "backup_restore" ->
+      s"""SELECT subject, value FROM (
+         | SELECT ${Uids.Customer} + c_custkey AS subject, c_name AS value FROM customer
+         | UNION ALL SELECT ${Uids.Nation} + n_nationkey, n_name FROM nation
+         | UNION ALL SELECT ${Uids.Region} + r_regionkey, r_name FROM region
+         | UNION ALL SELECT ${Uids.Supplier} + s_suppkey, s_name FROM supplier
+         | UNION ALL SELECT ${Uids.Part} + p_partkey, p_name FROM part
+         |) ORDER BY subject""".stripMargin,
 
     "export_json" ->
       s"""SELECT ${Uids.Nation} + n_nationkey AS uid,

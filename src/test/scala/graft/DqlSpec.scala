@@ -219,4 +219,31 @@ class DqlSpec extends AnyFunSuite {
     assert(both.select("uid").collect().map(_.getLong(0)).toSet ==
       ge.select("uid").collect().map(_.getLong(0)).toSet)
   }
+
+  test("upsert parser: structure and reference error cases (dql/upsert_test.go)") {
+    import graft.operators.Upsert
+    val ok = Upsert.parse(
+      """upsert {
+        |  query { me(func: eq(age, 34)) { m as uid friend { f as uid } } }
+        |  mutation @if(eq(len(m), 1) AND gt(len(f), 0)) {
+        |    set { uid(m) <age> "45" .
+        |          uid(m) <friend> uid(f) . }
+        |    delete { uid(m) <alias> * . }
+        |  }
+        |}""".stripMargin)
+    assert(ok.mutations.size == 1)
+    assert(ok.mutations.head.sets.size == 2 && ok.mutations.head.deletes.size == 1)
+    assert(ok.mutations.head.cond.isDefined)
+    // TestNoMutationErr: query without mutation
+    assertThrows[Upsert.UpsertException](Upsert.parse(
+      "upsert { query { me(func: eq(age, 34)) { uid } } }"))
+    // TestMultipleQueryErr
+    assertThrows[Upsert.UpsertException](Upsert.parse(
+      """upsert { query { a(func: eq(age, 34)) { uid } }
+        |  query { b(func: eq(age, 34)) { uid } }
+        |  mutation { set { uid(m) <age> "1" . } } }""".stripMargin))
+    // TestEmptyMutationErr
+    assertThrows[Upsert.UpsertException](Upsert.parse(
+      """upsert { query { a(func: eq(age, 34)) { uid } } mutation { } }"""))
+  }
 }

@@ -230,4 +230,33 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |  {"name":"Andrea","friend|since":"2006-01-02T15:04:05Z"},
         |  {"name":"Glenn Rhee","friend|since":"2004-05-02T15:04:05Z"}]}]}}""".stripMargin)
   }
+
+  test("backup/restore: goldens replay identically on a restored store; incrementals apply") {
+    import graft.operators.Backup
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    Backup.full(store, dir)
+    val restored = Backup.restore(spark, dir,
+      Map("best_friend" -> Seq("since" -> "string")))
+    // the schema manifest round-trips through parseAlter
+    assert(restored.schema.pred("friend").reverse &&
+      restored.schema.pred("friend").isList)
+    // a reference golden replays bit-identically on the restored store
+    val q = """{ me(func: uid(0x01)) { name uid gender alive friend { uid name } } }"""
+    def run(st: graft.core.GraphStore) =
+      new DqlExecutor(st).jsonAllAst(Parser.parse(q), includeUid = false)
+        .collect().map(_.getString(2)).toSeq
+    assert(run(restored) == run(store))
+    // incremental: a rename lands after restore-with-deltas
+    val base = Backup.tripleFrame(store)
+    val renamed = base.withColumn("value",
+      org.apache.spark.sql.functions.when(
+        col("subject") === 1L && col("predicate") === "name",
+        lit("Michonne II")).otherwise(col("value")))
+    Backup.incremental(dir, 1, base, renamed)
+    val restored2 = Backup.restore(spark, dir)
+    val name1 = restored2.attr("name").filter(col("subject") === 1L)
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(name1 == Seq("Michonne II"))
+  }
 }
