@@ -259,4 +259,17 @@ class GoldenFixtureSpec extends AnyFunSuite {
       .select("value").collect().map(_.getString(0)).toSeq
     assert(name1 == Seq("Michonne II"))
   }
+
+  test("golden: TestCascadeWithSort (query0_test.go:577)") {
+    checkGolden(
+      """{ me(func: type(Person), first: 2, offset: 1, orderasc: name) @cascade {
+        |    name alive } }""".stripMargin,
+      """{"data":{"me":[{"name": "Daryl Dixon","alive": false},{"name": "Rick Grimes","alive": true}]}}""")
+  }
+
+  test("golden: TestNestedFuncRoot count-index seed (query0_test.go:2256)") {
+    checkGolden(
+      """{ me(func: gt(count(friend), 2)) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"}]}}""")
+  }
 }
