@@ -86,7 +86,12 @@ object Backup {
     * selective restore) + schema manifest.
     */
   def full(store: GraphStore, dir: String): Unit = {
-    tripleFrame(store).write.mode("overwrite")
+    // one shuffle on predicate so each partition directory is a few
+    // whole files, not (input partitions x predicates) slivers; at
+    // 100 TB swap the single-column repartition for
+    // repartitionByRange(predicate, subject) to keep file sizes bounded
+    tripleFrame(store).repartition(col("predicate"))
+      .write.mode("overwrite")
       .partitionBy("predicate").parquet(s"$dir/triples")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "schema.graft"),

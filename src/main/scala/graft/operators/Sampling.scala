@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything keys on a salted md5 of the row id — NOT `rand()` — so a
+  * re-run over re-partitioned (or incrementally grown) data assigns
+  * every row the same split. That determinism is the property that
+  * matters at 100 TB: the train/valid/test membership of a document must
+  * survive pipeline re-runs, backfills, and engine migrations (md5 is
+  * bit-identical across Spark, DuckDB, and any other engine). All
+  * operators are single-pass, shuffle-free row-local projections.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the salted md5 of the id. */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8),
+      16, 10).cast("long") % buckets
+
+  /** Train/valid/test split labels with the given percentages
+    * (must sum to 100). A row's label is a pure function of
+    * (salt, id).
+    */
+  def split(df: DataFrame, id: Column, salt: String,
+      trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    require(trainPct + validPct <= 100, "split percentages exceed 100")
+    val b = hashBucket(id, salt, 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** Deterministic p% sample: keep rows whose hash bucket falls under
+    * `pct`. Growing `pct` only ADDS rows (nested samples — a 10% sample
+    * is a subset of the 20% sample), which is what iterative scaling
+    * experiments need.
+    */
+  def sample(df: DataFrame, id: Column, salt: String, pct: Int): DataFrame =
+    df.filter(hashBucket(id, salt, 100) < pct)
+
+  /** Per-stratum deterministic sampling: one rate per stratum value
+    * (e.g. downsample common languages, keep all of rare ones).
+    * Unlisted strata fall back to `defaultPct`.
+    */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+      salt: String, rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(stratum === k, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(id, salt, 100) < pct)
+  }
+}

@@ -189,6 +189,23 @@ object LlmQueries {
         .select(col("media_id"), col("n_frames"),
           array_join(col("sampled_frames"), ",").as("frames"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- deterministic sampling / splitting (operators/Sampling):
+    // md5-hash membership, never rand(), so re-runs and engine
+    // migrations assign identical splits ----
+    "sample_split" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.split(t(s, d, "documents"), col("doc_id"), salt = "graft")
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))
+    }),
+
+    "sample_stratified" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedSample(t(s, d, "documents"), col("doc_id"),
+          col("lang"), salt = "graft", rates = Map("en" -> 20), defaultPct = 60)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     })
   )
 
@@ -416,7 +433,26 @@ object LlmQueries {
          | FROM documents)
          |SELECT media_id, CAST(nf AS INT) AS n_frames,
          | array_to_string(list_filter(range(0, nf), x -> x % 2 = 0), ',') AS frames
-         |FROM b ORDER BY media_id""".stripMargin
+         |FROM b ORDER BY media_id""".stripMargin,
+
+    "sample_split" ->
+      """WITH b AS (
+        | SELECT CAST(CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |   AS UBIGINT) % 100 AS BIGINT) AS bkt
+        | FROM documents)
+        |SELECT CASE WHEN bkt < 90 THEN 'train'
+        |            WHEN bkt < 95 THEN 'valid' ELSE 'test' END AS split,
+        |       COUNT(*) AS n
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  CAST(CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS UBIGINT) % 100 AS BIGINT) AS bkt
+        | FROM documents)
+        |WHERE bkt < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Unsigned byte k of md5(text) via hex-digit arithmetic. */
