@@ -125,7 +125,7 @@ object Parser {
       }
       val sels = parseSelectionSet()
       QueryBlock(name, func.getOrElse(fail("block missing func")), filter,
-        order, page, cascade, normalize, recurse, sels)
+        order, page, cascade, normalize, recurse, sels, blockVar = blockVar)
     }
 
     private def parseSelectionSet(): Seq[Selection] = {
@@ -169,10 +169,11 @@ object Parser {
         next()
         if (peek == Ident("val")) {
           next(); expect("("); val v = ident(); expect(")"); expect(")")
-          return Selection(alias, name, valRef = Some(v), aggOp = Some(name))
+          return Selection(alias, name, valRef = Some(v), aggOp = Some(name),
+            varName = varName)
         } else {
           val p = ident(); expect(")")
-          return Selection(alias, p, aggOp = Some(name))
+          return Selection(alias, p, aggOp = Some(name), varName = varName)
         }
       }
       // val(x) leaf reference

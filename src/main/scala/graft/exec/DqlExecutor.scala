@@ -37,6 +37,14 @@ final class DqlExecutor(ts: GraphStore) {
     */
   private val vars = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
 
+  /** For vars bound while projecting the CURRENT block: the flat column
+    * holding the value and the uid column of the level that bound it.
+    * Level-based aggregation (reference query/query.go:1042
+    * evalLevelAgg) reads these to aggregate a child var per parent.
+    */
+  private val varCols =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
   /** Register a variable MATERIALIZED (localCheckpoint = compute once,
     * truncate lineage). Without this, every later reference — val()
     * leaves, seed comparisons, orderings, math — re-embeds the entire
@@ -85,10 +93,19 @@ final class DqlExecutor(ts: GraphStore) {
 
   // ---- root pipeline ----
 
+  /** Does any selection subtree of this block bind value variable `v`?
+    * (Decides per-parent vs whole-block aggregation below.)
+    */
+  private def bindsVar(sels: Seq[Selection], v: String): Boolean =
+    sels.exists(s => s.varName.contains(v) || bindsVar(s.children, v))
+
   private def flatBlock(b: QueryBlock): DataFrame = {
     b.shortest.foreach { sa => return shortestBlock(b, sa) }
     var frontier = seed(b.func).select(col("uid")).distinct()
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
+    // `f as var(func: ...)`: the block's root uid set becomes uid var f
+    // (reference block-level var assignment, query/query.go fillVars)
+    b.blockVar.foreach { v => bindVar(v, frontier) }
 
     b.recurse match {
       case Some(r) =>
@@ -103,7 +120,12 @@ final class DqlExecutor(ts: GraphStore) {
       case None if b.selections.size == 1 && b.selections.head.groupby.nonEmpty =>
         groupbyBlock(frontier, b.selections.head)
       case None if b.selections.exists(sel =>
-          sel.aggOp.isDefined || (sel.isCount && sel.pred == "uid")) =>
+          (sel.aggOp.isDefined &&
+            !sel.valRef.exists(bindsVar(b.selections, _))) ||
+          (sel.isCount && sel.pred == "uid")) =>
+        // whole-block aggregation — but an agg over a var bound by THIS
+        // block's own traversal (`friend { x as age } n as min(val(x))`)
+        // is PER-PARENT (reference evalLevelAgg) and stays in project()
         aggregateBlock(frontier, b)
       case None =>
         val paged =
@@ -323,7 +345,11 @@ final class DqlExecutor(ts: GraphStore) {
     if (!needSort) return cur
     order.zipWithIndex.foreach { case (o, i) =>
       val a = orderAttr(o.pred).select(col("subject").as(s"__os$i"), col("value").as(s"__ov$i"))
-      cur = cur.join(a, col(uidCol) === col(s"__os$i"), "left").drop(s"__os$i")
+      // sorting by a VALUE VARIABLE keeps only uids in the var's map
+      // (reference sortWithVar, query/query.go — nodes without the var
+      // are excluded); sorting by a predicate keeps missing values last
+      val joinKind = if (o.pred.startsWith("val:")) "inner" else "left"
+      cur = cur.join(a, col(uidCol) === col(s"__os$i"), joinKind).drop(s"__os$i")
     }
     val ordCols = order.zipWithIndex.map { case (o, i) =>
       if (o.desc) col(s"__ov$i").desc_nulls_last else col(s"__ov$i").asc_nulls_last
@@ -353,6 +379,9 @@ final class DqlExecutor(ts: GraphStore) {
       cascade: Boolean, prefix: String): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     var cur = df
+    // true once a traversal has multiplied rows: later var binds must
+    // dedup per uid (a plain scalar block stays shuffle-free)
+    var fanned = false
     sels.foreach { sel =>
       val name = prefix + sel.outName
       if (sel.pred == "math" && sel.mathExpr.isDefined) {
@@ -368,10 +397,40 @@ final class DqlExecutor(ts: GraphStore) {
         base = base.withColumn(name, mathCol(sel.mathExpr.get))
         cur = base.drop(refs.map(r => s"__m_$r"): _*)
         sel.varName.foreach { v =>
-          // scalar attr values are unique per (subject, predicate) in the
-          // store — no distinct needed, which would shuffle the whole var
+          // scalar values are unique per subject UNLESS a traversal
+          // fanned the rows out — then dedup per uid
+          val bound = cur.select(col(uidCol).as("uid"), col(name).as("value"))
+            .filter(col("value").isNotNull)
+          bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
+          varCols(v) = (name, uidCol)
+        }
+      } else if (sel.aggOp.isDefined && sel.valRef.exists(varCols.contains)) {
+        // level-based aggregation: `n as min(val(x))` where x was bound
+        // by a traversal of THIS block — aggregate x per PARENT uid
+        // (reference query/query.go:1042 evalLevelAgg). Dedup on the
+        // (parent, child) pair first so sibling-cartesian row
+        // duplication cannot inflate sums.
+        import org.apache.spark.sql.types.DecimalType
+        val (srcCol, childKey) = varCols(sel.valRef.get)
+        val pairs = cur
+          .select(col(uidCol).as("__pu"), col(childKey).as("__pc"),
+            col(srcCol).as("__pv"))
+          .filter(col("__pv").isNotNull)
+          .dropDuplicates("__pu", "__pc")
+        val aggC = sel.aggOp.get match {
+          case "min" => min(col("__pv"))
+          case "max" => max(col("__pv"))
+          case "sum" => sum(col("__pv").cast(DecimalType(18, 2))).cast("double")
+          case "avg" => (sum(col("__pv").cast(DecimalType(18, 2))).cast("double") /
+            count(col("__pv")).cast("double"))
+          case o => throw new IllegalArgumentException(s"bad level agg $o")
+        }
+        val agg = pairs.groupBy(col("__pu")).agg(aggC.as(name))
+        cur = cur.join(agg, col(uidCol) === col("__pu"), joinType).drop("__pu")
+        sel.varName.foreach { v =>
           bindVar(v, cur.select(col(uidCol).as("uid"), col(name).as("value"))
-            .filter(col("value").isNotNull))
+            .filter(col("value").isNotNull).dropDuplicates("uid"))
+          varCols(v) = (name, uidCol)
         }
       } else if (sel.pred == "val" && sel.valRef.isDefined) {
         val v = vars(sel.valRef.get)
@@ -396,6 +455,7 @@ final class DqlExecutor(ts: GraphStore) {
         if (!cascade) cur = cur.withColumn(name, coalesce(col(name), lit(0L)))
       } else if (schema.isUidPredicate(sel.pred) || sel.reverse) {
         cur = traverse(cur, uidCol, sel, name, cascade)
+        fanned = true
         // uid variable: the traversal's target frontier (f as friend)
         sel.varName.foreach { v =>
           bindVar(v,
@@ -421,9 +481,11 @@ final class DqlExecutor(ts: GraphStore) {
         // value variable: per-uid value map (x as age)
         sel.varName.foreach { v =>
           // scalar attr values are unique per (subject, predicate) in the
-          // store — no distinct needed, which would shuffle the whole var
-          bindVar(v, cur.select(col(uidCol).as("uid"), col(name).as("value"))
-            .filter(col("value").isNotNull))
+          // store — dedup only if a traversal already fanned the rows out
+          val bound = cur.select(col(uidCol).as("uid"), col(name).as("value"))
+            .filter(col("value").isNotNull)
+          bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
+          varCols(v) = (name, uidCol)
         }
       }
     }
@@ -702,6 +764,7 @@ final class DqlExecutor(ts: GraphStore) {
   private def jsonKey(s: Selection): String =
     s.alias.getOrElse(
       if (s.isCount) s"count(${s.pred})"
+      else if (s.pred == "val" && s.valRef.isDefined) s"val(${s.valRef.get})"
       else if (s.langChain.nonEmpty) s"${s.pred}@${s.langChain.mkString(":")}"
       else if (s.reverse) s"~${s.pred}"
       else s.outName)

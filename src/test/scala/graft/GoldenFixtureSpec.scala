@@ -88,6 +88,27 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
   private val mapper = new ObjectMapper()
 
+  /** Normalize numerics to double before comparing, exactly like the
+    * reference's require.JSONEq (testify unmarshals every JSON number to
+    * float64, so 25 and 25.0 compare equal there too).
+    */
+  private def norm(n: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node._
+    n match {
+      case o: ObjectNode =>
+        val out = mapper.createObjectNode()
+        o.properties().forEach(e => out.set[ObjectNode](e.getKey, norm(e.getValue)))
+        out
+      case a: ArrayNode =>
+        val out = mapper.createArrayNode()
+        a.forEach(x => out.add(norm(x)))
+        out
+      case v if v.isNumber => DoubleNode.valueOf(v.asDouble())
+      case other => other
+    }
+  }
+
   /** Run `query` through the full pipeline and compare to the reference
     * golden with JSONEq semantics (the goldens are wrapped in
     * {"data": ...} exactly as the reference asserts them).
@@ -104,7 +125,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
       s""""${b.name}": $arr"""
     }
     val ours = s"""{"data": {${blocks.mkString(",")}}}"""
-    assert(mapper.readTree(ours) == mapper.readTree(golden),
+    assert(norm(mapper.readTree(ours)) == norm(mapper.readTree(golden)),
       s"\nours:   $ours\ngolden: $golden")
   }
 
@@ -207,7 +228,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
       .jsonAllAst(ast, includeUid = false).collect()
     val arr = rows.map(_.getString(2)).mkString("[", ",", "]")
     val ours = s"""{"data": {"${ast.blocks.head.name}": $arr}}"""
-    assert(mapper.readTree(ours) == mapper.readTree(golden),
+    assert(norm(mapper.readTree(ours)) == norm(mapper.readTree(golden)),
       s"\nours:   $ours\ngolden: $golden")
   }
 
@@ -271,5 +292,32 @@ class GoldenFixtureSpec extends AnyFunSuite {
     checkGolden(
       """{ me(func: gt(count(friend), 2)) { name } }""",
       """{"data": {"me":[{"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggSince (query0_test.go:939)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    a as dob
+        |    b as math(since(a)/(60*60*24*365)) }
+        |  AgeOrder(func: uid(f), orderasc: val(b)) {
+        |    name
+        |    val(a) } }""".stripMargin,
+      """{"data": {"AgeOrder":[{"name":"Rick Grimes","val(a)":"1910-01-02T00:00:00Z"},{"name":"Michonne","val(a)":"1910-01-01T00:00:00Z"},{"name":"Andrea","val(a)":"1901-01-15T00:00:00Z"}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggNestedFuncConst level aggs (query0_test.go:959)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    a as age
+        |    friend { x as age }
+        |    n as min(val(x))
+        |    s as max(val(x))
+        |    p as math(a + s % n + 10)
+        |    q as math(a * s * n * -1) }
+        |  MaxMe(func: uid(f), orderasc: val(p)) {
+        |    name val(p) val(a) val(n) val(s) }
+        |  MinMe(func: uid(f), orderasc: val(q)) {
+        |    name val(q) val(a) val(n) val(s) } }""".stripMargin,
+      """{"data": {"MaxMe":[{"name":"Rick Grimes","val(a)":15,"val(n)":38,"val(p)":25,"val(s)":38},{"name":"Andrea","val(a)":19,"val(n)":15,"val(p)":29,"val(s)":15},{"name":"Michonne","val(a)":38,"val(n)":15,"val(p)":52,"val(s)":19}],"MinMe":[{"name":"Rick Grimes","val(a)":15,"val(n)":38,"val(q)":-21660,"val(s)":38},{"name":"Michonne","val(a)":38,"val(n)":15,"val(q)":-10830,"val(s)":19},{"name":"Andrea","val(a)":19,"val(n)":15,"val(q)":-4275,"val(s)":15}]}}""")
   }
 }
