@@ -334,7 +334,11 @@ object Parser {
           next(); expect("("); pred = ident(); expect(")"); countArg = true
         case Ident("val") if fname != "val" =>
           next(); expect("("); pred = "val:" + ident(); expect(")")
-        case _ => pred = ident()
+        case _ =>
+          pred = ident()
+          // lang-qualified predicate: eq(name@hi, ...) targets the @hi
+          // tablet rows (reference langs on function args, dql/parser.go)
+          if (peek == Punct("@")) { next(); pred = s"$pred@${ident()}" }
       }
       var args = Vector.empty[String]
       while (peek == Punct(",")) { next(); args :+= litString() }

@@ -215,15 +215,19 @@ final class DqlExecutor(ts: GraphStore) {
     case "uid_in" =>
       ts.edge(fn.pred).filter(col("object") === parseUid(fn.args.head))
         .select(col("subject").as("uid")).distinct()
-    case "eq" if !schema.isUidPredicate(fn.pred) =>
-      attrWhere(fn.pred, v => v.isin(fn.args.map(typedLit(fn.pred, _)): _*))
+    case "eq" if !schema.isUidPredicate(langSplit(fn.pred)._1) =>
+      val base = langSplit(fn.pred)._1
+      attrWhere(fn.pred, v => v.isin(fn.args.map(typedLit(base, _)): _*),
+        untaggedDefault = true)
     case "le" => attrCmp(fn, _ <= _)
     case "lt" => attrCmp(fn, _ < _)
     case "ge" => attrCmp(fn, _ >= _)
     case "gt" => attrCmp(fn, _ > _)
     case "between" =>
+      val base = langSplit(fn.pred)._1
       attrWhere(fn.pred, v => v.between(
-        typedLitC(fn.pred, fn.args(0)), typedLitC(fn.pred, fn.args(1))))
+        typedLitC(base, fn.args(0)), typedLitC(base, fn.args(1))),
+        untaggedDefault = true)
     case "anyofterms" =>
       attrWhere(fn.pred, v => arrays_overlap(split(lower(v), " "),
         array(tokens(fn.args.head).map(lit(_)): _*)))
@@ -272,11 +276,42 @@ final class DqlExecutor(ts: GraphStore) {
       throw new IllegalArgumentException(s"unsupported function: $other")
   }
 
-  private def attrWhere(pred: String, cond: Column => Column): DataFrame =
-    ts.attr(pred).filter(cond(col("value"))).select(col("subject").as("uid")).distinct()
+  /** `pred@tag` → (pred, Some(tag)). */
+  private def langSplit(pred: String): (String, Option[String]) =
+    pred.indexOf('@') match {
+      case -1 => (pred, None)
+      case i => (pred.substring(0, i), Some(pred.substring(i + 1)))
+    }
 
-  private def attrCmp(fn: FuncCall, op: (Column, Column) => Column): DataFrame =
-    attrWhere(fn.pred, v => op(v, typedLitC(fn.pred, fn.args.head)))
+  /** Attribute rows for a (possibly lang-qualified) predicate.
+    * `eq(name@hi, x)` targets the @hi rows; an UNQUALIFIED equality on a
+    * @lang predicate targets the UNTAGGED rows only (the reference's eq
+    * reads the untagged index — a node whose only name is tagged does
+    * not match eq(name, ...)). `untaggedDefault = false` keeps the
+    * any-language behavior for term/fulltext search.
+    */
+  private def attrRows(pred: String, untaggedDefault: Boolean): DataFrame = {
+    val (p, tag) = langSplit(pred)
+    val base = ts.attr(p)
+    if (!base.columns.contains("lang")) base
+    else tag match {
+      case Some(t) => base.filter(col("lang") === t)
+      case None if untaggedDefault && schema.pred(p).lang =>
+        base.filter(col("lang").isNull)
+      case None => base
+    }
+  }
+
+  private def attrWhere(pred: String, cond: Column => Column,
+      untaggedDefault: Boolean = false): DataFrame =
+    attrRows(pred, untaggedDefault).filter(cond(col("value")))
+      .select(col("subject").as("uid")).distinct()
+
+  private def attrCmp(fn: FuncCall, op: (Column, Column) => Column): DataFrame = {
+    val base = langSplit(fn.pred)._1
+    attrWhere(fn.pred, v => op(v, typedLitC(base, fn.args.head)),
+      untaggedDefault = true)
+  }
 
   private def tokens(s: String): Seq[String] =
     s.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)

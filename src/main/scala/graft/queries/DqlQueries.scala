@@ -179,6 +179,19 @@ object DqlQueries {
     // order = query order, child arrays in requested order, pred|facet
     // keys, pred@lang:. keys, multi-block — string-compared vs
     // DuckDB-assembled JSON
+    // level-based var aggregation (reference query/query.go:1042
+    // evalLevelAgg): max over a var bound by THIS block's traversal
+    // aggregates per parent, then feeds math and later blocks
+    "dql_level_agg" -> ((s, d) =>
+      dql("""{ f as var(func: eq(mktsegment, "BUILDING")) {
+            |    b as acctbal
+            |    placed { tp as totalprice }
+            |    mx as max(val(tp))
+            |    sc as math(mx - b) }
+            |  q(func: uid(f), orderdesc: val(sc), first: 12) {
+            |    name m: val(mx) v: val(sc) } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
     // full DQL upsert blocks: query + conditional mutations
     // (reference dql/upsert_test.go; edgraph/server.go:575 doMutate)
     "dql_upsert" -> ((s, d) => {
@@ -414,6 +427,18 @@ object DqlQueries {
          | MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
          | ${Q.sqlDavg("l_discount")} AS av
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dql_level_agg" ->
+      s"""WITH f AS (
+         | SELECT $CB + c_custkey AS uid, c_name AS name, c_acctbal AS b,
+         |  (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS mx
+         | FROM customer WHERE c_mktsegment = 'BUILDING'),
+         |r AS (
+         | SELECT uid, name, mx, mx - b AS sc,
+         |  ROW_NUMBER() OVER (ORDER BY (mx - b) DESC, uid ASC) AS rn
+         | FROM f WHERE mx IS NOT NULL)
+         |SELECT uid, name, mx AS m, sc AS v FROM r WHERE rn <= 12
+         |ORDER BY uid""".stripMargin,
 
     "dql_upsert" ->
       s"""SELECT $CB + c_custkey AS subject,

@@ -49,6 +49,10 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(1, "gender", "female"), a(23, "gender", "male"),
     a(1, "dob", "1910-01-01"), a(23, "dob", "1910-01-02"), a(24, "dob", "1909-05-05"),
     a(25, "dob", "1909-01-10"), a(31, "dob", "1901-01-15"),
+    a(3500, "name", ""), a(3500, "name", "\uc0c1\ud604", "ko"),
+    a(3502, "name", ""), a(3502, "name", "Amit", "en"),
+    a(3502, "name", "\u0905\u092e\u093f\u0924", "hi"),
+    a(3503, "name", "Andrew", "en"), a(3503, "name", "", "hi"),
     a(1, "dgraph.type", "User"), a(2, "dgraph.type", "Person"),
     a(3, "dgraph.type", "Person"), a(4, "dgraph.type", "Person"),
     a(23, "dgraph.type", "Person"), a(24, "dgraph.type", "Person"),
@@ -319,5 +323,23 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |  MinMe(func: uid(f), orderasc: val(q)) {
         |    name val(q) val(a) val(n) val(s) } }""".stripMargin,
       """{"data": {"MaxMe":[{"name":"Rick Grimes","val(a)":15,"val(n)":38,"val(p)":25,"val(s)":38},{"name":"Andrea","val(a)":19,"val(n)":15,"val(p)":29,"val(s)":15},{"name":"Michonne","val(a)":38,"val(n)":15,"val(p)":52,"val(s)":19}],"MinMe":[{"name":"Rick Grimes","val(a)":15,"val(n)":38,"val(q)":-21660,"val(s)":38},{"name":"Michonne","val(a)":38,"val(n)":15,"val(q)":-10830,"val(s)":19},{"name":"Andrea","val(a)":19,"val(n)":15,"val(q)":-4275,"val(s)":15}]}}""")
+  }
+
+  test("golden: TestQueryEmptyDefaultNameWithLanguage (query0_test.go:108)") {
+    checkGolden(
+      """{ people(func: eq(name, "")) { name@ko:en:hi } }""",
+      """{"data":{"people": [{"name@ko:en:hi":"\uc0c1\ud604"},{"name@ko:en:hi":"Amit"}]}}""")
+  }
+
+  test("golden: TestQueryNamesThatAreEmptyInLanguage (query0_test.go:120)") {
+    checkGolden(
+      """{ people(func: eq(name@hi, "")) { name@en } }""",
+      """{"data":{"people": [{"name@en":"Andrew"}]}}""")
+  }
+
+  test("golden: TestQueryNamesInLanguage (query0_test.go:132)") {
+    checkGolden(
+      """{ people(func: eq(name@hi, "\u0905\u092e\u093f\u0924")) { name@en } }""",
+      """{"data":{"people": [{"name@en":"Amit"}]}}""")
   }
 }
