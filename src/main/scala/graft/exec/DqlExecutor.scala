@@ -564,6 +564,13 @@ final class DqlExecutor(ts: GraphStore) {
 
     var cur = df.join(child, col(uidCol) === col("__es"), joinType).drop("__es")
 
+    // under @cascade, pagination counts only children SURVIVING the
+    // cascade pruning of their own subtree (reference paginates after
+    // cascade, query/query.go:1425; TestCascadeWithPaginationDeep) — so
+    // with children present the page filter is deferred until after the
+    // child projection and applied by re-ranking the survivors
+    val repageAfterChildren = cascade && sel.children.nonEmpty &&
+      (sel.page.offset.isDefined || sel.page.first.exists(_ >= 0))
     val needWindow = sel.order.nonEmpty || sel.facetOrder.isDefined ||
       sel.page.first.isDefined || sel.page.offset.isDefined || keepChildRank
     if (needWindow) {
@@ -580,7 +587,9 @@ final class DqlExecutor(ts: GraphStore) {
       } ++ facetOrd :+ col(name).asc
       val w = Window.partitionBy(col(uidCol)).orderBy(ordCols: _*)
       cur = cur.withColumn("__rn", row_number().over(w))
-      if (sel.page.first.exists(_ < 0)) {
+      if (repageAfterChildren) {
+        // page filter applied after the child subtree prunes (below)
+      } else if (sel.page.first.exists(_ < 0)) {
         // negative first: keep the LAST |f| children per parent — a count
         // over the same window partition (no extra shuffle)
         val cnt = count(lit(1)).over(Window.partitionBy(col(uidCol)))
@@ -596,8 +605,9 @@ final class DqlExecutor(ts: GraphStore) {
       cur = cur.drop(sel.order.indices.map(i => s"__wv$i"): _*)
       // JSON rendering keeps the traversal order so child arrays come out
       // in requested order (reference outputnode preserves uidMatrix order)
-      cur = if (keepChildRank) cur.withColumnRenamed("__rn", s"${name}__rn")
-        else cur.drop("__rn")
+      cur = if (keepChildRank || repageAfterChildren)
+        cur.withColumnRenamed("__rn", s"${name}__rn")
+      else cur.drop("__rn")
     }
     // @facets fetch: one `<pred>_f_<key>` column per declared facet key;
     // @facets(k1, k2) restricts to the named keys
@@ -620,6 +630,19 @@ final class DqlExecutor(ts: GraphStore) {
     cur = cur.drop(needFt.map(k => s"__ft_$k"): _*)
     if (sel.children.nonEmpty)
       cur = project(cur, name, sel.children, cascade, s"${name}_")
+    if (repageAfterChildren) {
+      // re-rank what survived the cascade: dense_rank over the
+      // pre-pruning adjacency order gives each remaining child its
+      // post-pruning position even on grandchild-fanned duplicate rows
+      val w2 = Window.partitionBy(col(uidCol))
+        .orderBy(col(s"${name}__rn").cast("long").asc)
+      val lo = sel.page.offset.getOrElse(0)
+      val hi = sel.page.first.filter(_ >= 0).map(f => lo + f)
+        .getOrElse(Int.MaxValue)
+      cur = cur.withColumn("__rr", dense_rank().over(w2))
+        .filter(col("__rr") > lo && col("__rr") <= hi).drop("__rr")
+      if (!keepChildRank) cur = cur.drop(s"${name}__rn")
+    }
     cur
   }
 

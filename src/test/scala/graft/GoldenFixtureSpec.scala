@@ -342,4 +342,24 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """{ people(func: eq(name@hi, "\u0905\u092e\u093f\u0924")) { name@en } }""",
       """{"data":{"people": [{"name@en":"Amit"}]}}""")
   }
+
+  test("golden: TestCascadeWithPaginationDeep (query0_test.go:531)") {
+    checkGolden(
+      """{ me(func: type(Person)) @cascade {
+        |    name
+        |    friend { name friend (first: 2, offset: 1) { name alive } } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Rick Grimes","friend":[{"name": "Michonne","friend":[{"name":"Daryl Dixon","alive":false},{"name": "Andrea","alive": false}]}]}]}}""")
+  }
+
+  test("golden: TestCascadeWithPaginationAtRoot (query0_test.go:551)") {
+    checkGolden(
+      """{ me(func: type(Person), first: 2, offset: 2) @cascade { name alive } }""",
+      """{"data":{"me":[{"name":"Andrea","alive":false}]}}""")
+  }
+
+  test("golden: TestCascadeWithPaginationAndOffsetZero (query0_test.go:564)") {
+    checkGolden(
+      """{ me(func: type(Person), first: 1, offset: 0) @cascade { name alive } }""",
+      """{"data":{"me":[{"name":"Rick Grimes","alive":true}]}}""")
+  }
 }
