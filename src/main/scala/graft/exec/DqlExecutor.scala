@@ -165,8 +165,16 @@ final class DqlExecutor(ts: GraphStore) {
         e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"))
       }.reduce(_ unionByName _)
     }
+    // the forward cone depends only on (edge set, source, depth) — cache
+    // it per session too, so shortest and shortest-k blocks from the same
+    // source skip the iterative cone discovery (the dominant cost: one
+    // frontier join per level over the full union)
+    val cone = ts.derived(s"$sig|cone:${sa.from}:${sa.depth}") {
+      graft.operators.ShortestPath.forwardCone(
+        ts.spark, edges, sa.from, sa.depth, materialized = true)
+    }
     val paths = graft.operators.ShortestPath.kShortestPaths(
-      ts.spark, sa.from, sa.to, edges, sa.numpaths, sa.depth)
+      ts.spark, sa.from, sa.to, cone, sa.numpaths, sa.depth, preConed = true)
     b.blockVar.foreach { v =>
       bindVar(v, paths.filter(col("rank") === 1)
         .select(explode(split(col("path"), "->")).as("u"))

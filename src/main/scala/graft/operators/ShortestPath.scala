@@ -25,6 +25,20 @@ object ShortestPath {
 
   private val Inf = Long.MaxValue
 
+  /** GraphX runs several RDD jobs per superstep over EVERY partition, so
+    * a small graph spread across 32+ shuffle partitions pays hundreds of
+    * empty tasks per Pregel round (measured 15.6 s vs ~1 s at sf0.1 for a
+    * 10²-edge cone). Right-size to one partition per ~250k edges — the
+    * count is one narrow scan of a 3-column frame, amortized over the
+    * many jobs of the iteration it feeds.
+    */
+  private def sized(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val n = edges.count()
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (n / 250000L).toInt + 1))
+    edges.coalesce(parts)
+  }
+
   /** Builds the graph guaranteeing the source is a vertex: Graph.fromEdges
     * derives vertices from edge endpoints only, so an isolated source (no
     * incident edges) would vanish and sssp would return {} instead of
@@ -49,7 +63,7 @@ object ShortestPath {
   def sssp(spark: SparkSession, source: Long, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    val g = edgeGraph(edges, source, Inf)
+    val g = edgeGraph(sized(spark, edges), source, Inf)
       .mapVertices((id, _) => if (id == source) 0L else Inf)
     val res = g.pregel(Inf, maxIter, EdgeDirection.Out)(
       (_, d, msg) => math.min(d, msg),
@@ -70,7 +84,7 @@ object ShortestPath {
     import spark.implicits._
     def mergeK(a: List[Long], b: List[Long]): List[Long] =
       (a ++ b).distinct.sorted.take(k)
-    val g = edgeGraph(edges, source, List.empty[Long])
+    val g = edgeGraph(sized(spark, edges), source, List.empty[Long])
       .mapVertices((id, _) => if (id == source) List(0L) else Nil)
     val res = g.pregel(List.empty[Long], maxIter, EdgeDirection.Out)(
       (_, s, msg) => mergeK(s, msg),
@@ -112,12 +126,14 @@ object ShortestPath {
     * measured 16.7 s vs ~4 s at sf0.1 for a 1.3M-edge union whose
     * relevant cone is ~10² edges.
     */
-  private def forwardCone(spark: SparkSession, edges: DataFrame,
-      source: Long, maxDepth: Int): DataFrame = {
+  def forwardCone(spark: SparkSession, edges: DataFrame,
+      source: Long, maxDepth: Int, materialized: Boolean = false): DataFrame = {
     import spark.implicits._
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint()
+    val proj = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    // callers that pass an already-checkpointed union (GraphStore.derived)
+    // skip the redundant second materialization of the full edge set
+    val e = if (materialized) proj else proj.localCheckpoint()
     var reached = Seq(source).toDF("n").localCheckpoint()
     var frontier = reached
     var depth = 0
@@ -138,20 +154,18 @@ object ShortestPath {
     e.join(broadcast(reached.select(col("n").as("src"))), Seq("src"), "left_semi")
   }
 
+  /** `preConed = true` marks `edges` as ALREADY the source's pruned,
+    * partition-sized forward cone (e.g. a session-cached one from
+    * [[forwardCone]]) — skips recomputing it.
+    */
   def kShortestPaths(spark: SparkSession, source: Long, target: Long,
-      edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+      edges: DataFrame, k: Int, maxIter: Int = 50,
+      preConed: Boolean = false): DataFrame = {
     import spark.implicits._
     type S = List[(Long, String)]
     def mergeK(a: S, b: S): S = (a ++ b).distinct.sorted.take(k)
-    val cone = forwardCone(spark, edges, source, maxIter)
-    // size partitions to the cone: GraphX runs several jobs per
-    // superstep over EVERY partition, so a 10²-edge cone spread across
-    // 32+ shuffle partitions pays ~100 empty tasks per round (measured
-    // 15.6 s vs ~1 s at sf0.1). One partition per ~250k edges.
-    val coneEdges = cone.count()
-    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (coneEdges / 250000L).toInt + 1))
-    val pruned = cone.coalesce(parts)
+    val pruned = sized(spark,
+      if (preConed) edges else forwardCone(spark, edges, source, maxIter))
     val g = edgeGraph(pruned, source, List.empty[(Long, String)])
       .mapVertices((id, _) => if (id == source) List((0L, id.toString)) else Nil)
     val res = g.pregel(List.empty[(Long, String)], maxIter, EdgeDirection.Out)(
@@ -190,7 +204,7 @@ object ShortestPath {
       else if (a._2 == null) b
       else if (b._2 == null) a
       else if (a._2 <= b._2) a else b
-    val g = edgeGraph(edges, source, none)
+    val g = edgeGraph(sized(spark, edges), source, none)
       .mapVertices((id, _) => if (id == source) (0L, source.toString) else none)
     val res = g.pregel(none, maxIter, EdgeDirection.Out)(
       (_, s, msg) => better(s, msg),
