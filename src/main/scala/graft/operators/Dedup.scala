@@ -53,7 +53,11 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
       bands: Int = 4, rows: Int = 2, shingleN: Int = 3): DataFrame = {
+    // materialize signatures before the self-join: the two join sides are
+    // separate plan branches (one becomes a broadcast), so without this
+    // the whole shingle-explode + k min-agg pipeline runs TWICE
     val sigs = minhashSignatures(df, id, text, bands * rows, shingleN)
+      .localCheckpoint()
     val bandKeys = (0 until bands).map { b =>
       bandKey((0 until rows).map(r => col(s"s${b * rows + r}")))
     }
@@ -109,7 +113,10 @@ object Dedup {
       val w = if (i == nBlocks - 1) bits - lo else width
       shiftright(sig, lo) % (1L << w)
     }
-    val sh = simhashBits(df, id, text, bits)
+    // materialized once: both self-join sides re-derive their buckets from
+    // this tiny (id, simhash) frame instead of re-running the word-explode
+    // + 60 bit-sum aggregation per side
+    val sh = simhashBits(df, id, text, bits).localCheckpoint()
     val buckets = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until nBlocks).map(blockOf(col("simhash"), _)): _*))
         .as(Seq("blk", "key")))
