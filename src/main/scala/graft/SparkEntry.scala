@@ -20,6 +20,7 @@ object SparkEntry {
     (RelationalQueries.queries, RelationalQueries.oracles),
     (GraphQueries.queries, GraphQueries.oracles),
     (LlmQueries.queries, LlmQueries.oracles),
+    (QualityQueries.queries, QualityQueries.oracles),
     (DqlQueries.queries, DqlQueries.oracles),
     (MutationQueries.queries, MutationQueries.oracles),
     (SpecialQueries.queries, SpecialQueries.oracles),

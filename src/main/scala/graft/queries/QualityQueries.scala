@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import Q._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw crawl and tokenizer: repetition statistics, composite
+  * quality gating, vocabulary building, and benchmark-contamination
+  * scanning. These extend the reference's surface (it has no corpus
+  * tooling) the same way the dedup/similarity family does — each is a
+  * first-class oracle-gated operator.
+  *
+  * Scale shapes (the 100 TB story):
+  *  - repetition / quality gate: per-row codegen'd column expressions or
+  *    explode → hash-aggregate with map-side partial aggregation — no
+  *    joins, embarrassingly parallel;
+  *  - vocabulary: one explode + two-level hash-agg (the classic word-count
+  *    shape); the final top-k is a single-partition window over the
+  *    ALREADY-AGGREGATED vocabulary (|vocab| ≪ |corpus|), the standard
+  *    aggregate-then-rank reduction;
+  *  - contamination: the probe set (a benchmark suite) is tiny by nature,
+  *    so the scan is a broadcast semi-equi-join against the corpus
+  *    shingles — the corpus side streams, nothing shuffles.
+  */
+object QualityQueries {
+
+  /** Documents as (doc_id, text). */
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+
+  val queries: Map[String, QFn] = Map(
+
+    // Gopher-style repetition stats: duplicate-word fraction, most-common-
+    // word fraction, duplicate-2-gram fraction (Rae et al. 2021 §A1.1
+    // repetition filters). Explode + two-level hash-agg; no joins between
+    // corpus-sized frames (the word and 2-gram pipelines each reduce to
+    // one row per doc before the final doc-keyed join).
+    "text_repetition" -> ((s, d) => {
+      val base = docs(s, d)
+      val wc = base.select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val wstats = wc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_words"), count(lit(1)).as("n_unique"),
+        max(col("c")).as("top_c"))
+      val gc = base.select(col("doc_id"),
+          explode(shingles(words(col("text")), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val gstats = gc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_2grams"), count(lit(1)).as("nu2"))
+      wstats.join(gstats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_words").cast("long").as("n_words"),
+          ((col("n_words") - col("n_unique")).cast("double") /
+            col("n_words").cast("double")).as("dup_word_frac"),
+          (col("top_c").cast("double") /
+            col("n_words").cast("double")).as("top_word_frac"),
+          ((col("n_2grams") - col("nu2")).cast("double") /
+            col("n_2grams").cast("double")).as("dup_2gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composite quality gate (C4/Gopher-style rule chain): every doc gets
+    // keep/fail_reason, reasons ordered so the FIRST failing rule names
+    // the doc — the shape a pipeline uses to audit what each rule drops.
+    // Pure per-row expressions, zero shuffle.
+    "quality_gate" -> ((s, d) => {
+      val ws = words(col("text"))
+      val base = docs(s, d).select(col("doc_id"),
+        size(ws).as("n_words"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        stopwordHits(ws).as("stop_hits"),
+        size(array_distinct(ws)).as("n_unique"))
+        .withColumn("avg_word_len",
+          col("sum_len").cast("double") / col("n_words").cast("double"))
+        .withColumn("ttr",
+          col("n_unique").cast("double") / col("n_words").cast("double"))
+      val rWords = col("n_words") >= 30 && col("n_words") <= 10000
+      val rLen = col("avg_word_len") >= 3.0 && col("avg_word_len") <= 10.0
+      val rStop = col("stop_hits") >= 2
+      val rTtr = col("ttr") >= 0.45
+      base.select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("avg_word_len"), col("ttr"),
+          (rWords && rLen && rStop && rTtr).as("keep"),
+          when(!rWords, "word_count").when(!rLen, "word_len")
+            .when(!rStop, "stopword").when(!rTtr, "ttr").as("fail_reason"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary build: term + document frequency over the corpus, top 50
+    // by (df, tf, word). The window runs on the aggregated vocabulary,
+    // not the corpus.
+    "vocab_topk" -> ((s, d) => {
+      val v = docs(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val rn = row_number().over(Window.orderBy(
+        col("df").desc, col("tf").desc, col("word").asc))
+      v.withColumn("rank", rn).filter(col("rank") <= 50)
+        .select(col("rank"), col("word"), col("df"), col("tf"))
+        .orderBy(col("rank"))
+    }),
+
+    // Benchmark-contamination scan: which corpus docs share a 3-gram with
+    // the probe set (docs 0-4 standing in for an eval suite)? Probe
+    // shingles broadcast; the corpus side never shuffles.
+    "contamination_ngram" -> ((s, d) => {
+      val sh3 = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(shingles(words(col("text")), 3))).as("s"))
+      val probe = sh3.filter(col("doc_id") < 5).select(col("s")).distinct()
+      sh3.filter(col("doc_id") >= 5)
+        .join(broadcast(probe), Seq("s"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val stopsAll =
+    (enStops ++ deStops ++ frStops ++ esStops).distinct
+      .map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |        COUNT(*) AS n_unique, MAX(c) AS top_c FROM wc GROUP BY 1),
+        |g AS (SELECT doc_id, ws_arr[i] || ' ' || ws_arr[i+1] AS g
+        |      FROM (SELECT doc_id, string_split(text,' ') AS ws_arr FROM documents),
+        |           UNNEST(range(1, len(ws_arr))) AS t(i)),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |gs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+        |        COUNT(*) AS nu2 FROM gc GROUP BY 1)
+        |SELECT ws.doc_id, n_words,
+        | CAST(n_words - n_unique AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+        | CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+        | CAST(n_2grams - nu2 AS DOUBLE) / CAST(n_2grams AS DOUBLE) AS dup_2gram_frac
+        |FROM ws LEFT JOIN gs ON gs.doc_id = ws.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
+
+    "quality_gate" ->
+      s"""WITH m AS (
+         | SELECT doc_id, len(ws) AS n_words,
+         |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |    / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+         |  CAST(len(list_distinct(ws)) AS DOUBLE)
+         |    / CAST(len(ws) AS DOUBLE) AS ttr,
+         |  len(list_filter(ws, x -> list_contains([$stopsAll], x))) AS stop_hits
+         | FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents))
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, avg_word_len, ttr,
+         | (n_words >= 30 AND n_words <= 10000
+         |  AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
+         |  AND stop_hits >= 2 AND ttr >= 0.45) AS keep,
+         | CASE WHEN NOT (n_words >= 30 AND n_words <= 10000) THEN 'word_count'
+         |      WHEN NOT (avg_word_len >= 3.0 AND avg_word_len <= 10.0) THEN 'word_len'
+         |      WHEN NOT (stop_hits >= 2) THEN 'stopword'
+         |      WHEN NOT (ttr >= 0.45) THEN 'ttr' END AS fail_reason
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |v AS (SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |      FROM w GROUP BY 1)
+        |SELECT CAST(rn AS INT) AS rank, word, df, tf FROM (
+        | SELECT word, df, tf,
+        |  ROW_NUMBER() OVER (ORDER BY df DESC, tf DESC, word ASC) AS rn FROM v)
+        |WHERE rn <= 50 ORDER BY rank""".stripMargin,
+
+    "contamination_ngram" ->
+      """WITH sh AS (
+        | SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        | FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |      UNNEST(range(1, len(ws)-1)) AS t(i)),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        |probe AS (SELECT DISTINCT s FROM dsh WHERE doc_id < 5)
+        |SELECT doc_id, COUNT(*) AS n_hits
+        |FROM dsh JOIN probe USING (s)
+        |WHERE doc_id >= 5 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
