@@ -6,9 +6,16 @@ import org.apache.spark.sql.SparkSession
   * process output, so the JSON line must be the LAST thing written on BOTH
   * stdout and stderr (sbt re-logs app stderr after stdout, so anything
   * printed only to stdout before a large stderr dump falls outside the tail
-  * window — this is why BENCH_r01..r03 recorded `parsed: null`). The full
-  * per-query table goes to target/bench_full.txt; only the slowest 15 go to
-  * stderr.
+  * window — this is why BENCH_r01..r03 recorded `parsed: null`).
+  *
+  * Methodology (round 7): queries run in SORTED NAME ORDER — a Scala Map's
+  * iteration order reshuffles whenever entries are added, which re-deals
+  * session-cache first-touch costs across rounds and made r5/r6 regressions
+  * unattributable. Each query is timed twice: COLD (first run, what the
+  * driver scores) and STEADY (immediate second run). Both columns go to
+  * target/bench_full.txt; only the cold number is scored. A cold/steady gap
+  * on a query flags first-touch work (shared-cache builds, derived-table
+  * writes) that should be made cheap rather than moved around.
   */
 object Bench {
   // Representative spread: relational agg, traversal, DQL end-to-end,
@@ -40,27 +47,37 @@ object Bench {
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
       graft.core.TripleStore(spark, sfDir).attr("quantity").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // (name, cold, steady) in sorted-name order so first-touch costs of
+    // shared session caches land on the same query every round
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = time(fn(spark, sfDir).count())
+      val steady = time(fn(spark, sfDir).count())
+      (name, cold, steady)
     }
     def r3(v: Double): String = f"$v%.3f"
-    val sorted = results.toSeq.sortBy(-_._2)
-    val fullTable = sorted
-      .map { case (k, v) => f"[bench] $k%-28s ${r3(v)}%8s s" }
-      .mkString("\n")
+    val sorted = results.sortBy(-_._2)
+    val fullTable =
+      (f"[bench] ${"query"}%-28s ${"cold"}%8s ${"steady"}%8s" +:
+        sorted.map { case (k, c, s) =>
+          f"[bench] $k%-28s ${r3(c)}%8s ${r3(s)}%8s"
+        }).mkString("\n")
     try {
       val p = java.nio.file.Paths.get("target/bench_full.txt")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullTable.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    sorted.take(15).foreach { case (k, v) =>
-      System.err.println(f"[bench] $k%-28s ${r3(v)}%8s s")
+    sorted.take(15).foreach { case (k, c, s) =>
+      System.err.println(f"[bench] $k%-28s ${r3(c)}%8s ${r3(s)}%8s")
     }
-    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
+    val cold = results.map { case (k, c, _) => k -> c }.toMap
+    val qs = headline.flatMap(k => cold.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = cold.values.sum
     val line =
       s"""{"metric":"total","n_queries":${results.size},"value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()

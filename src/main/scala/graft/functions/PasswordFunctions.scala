@@ -3,23 +3,41 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** checkpwd (reference passwordFn worker/task.go:255, bcrypt hashes in
-  * types/password.go).
+/** checkpwd (reference passwordFn worker/task.go:255; bcrypt hashes in
+  * types/password.go Encrypt/VerifyPassword).
   *
-  * bcrypt is unavailable in this environment (no external deps), so the
-  * stored-hash scheme is salted iterated SHA-256 — the *operator
-  * semantics* (store an irreversible salted hash; `checkpwd` verifies a
-  * candidate, never returns the hash) match the reference; swapping the
-  * digest for bcrypt is a one-line change where a JVM bcrypt impl is on
-  * the classpath.
+  * Hashing/verification run as deterministic Scala UDFs around the
+  * pure-JVM [[Bcrypt]]: bcrypt's cost parameter makes the CRYPTO the hot
+  * path by design (2^cost Blowfish key schedules per call), so the UDF
+  * boundary is noise — there is nothing for codegen to win here, and the
+  * reference pays the identical per-row bcrypt cost in Go.
+  *
+  * The pre-round-7 salted iterated SHA-256 scheme is kept as `legacy*`
+  * for hashes written by earlier versions of this engine.
   */
 object PasswordFunctions {
 
+  /** Stored-format hash: full `$2a$NN$...` bcrypt string, compatible with
+    * hashes written by the reference.
+    */
+  val bcryptHash = udf((password: String, salt: String) =>
+    Bcrypt.hashpw(password, salt))
+
+  /** checkpwd(candidate, storedHash) — recompute-and-compare. */
+  val bcryptCheck = udf((candidate: String, stored: String) =>
+    Bcrypt.checkpw(candidate, stored))
+
+  /** Deterministic `$2a$NN$...` salt derived from a seed column (fixtures
+    * only; production salts come from SecureRandom).
+    */
+  val bcryptSalt = udf((seed: String, cost: Int) =>
+    Bcrypt.saltFromSeed(seed, cost))
+
   /** hash = sha256(salt ":" sha256(salt ":" password)) — two rounds. */
-  def passwordHash(salt: Column, password: Column): Column =
+  def legacyPasswordHash(salt: Column, password: Column): Column =
     sha2(concat(salt, lit(":"), sha2(concat(salt, lit(":"), password), 256)), 256)
 
-  /** checkpwd(storedHash, salt, candidate) — constant-shape compare. */
-  def checkpwd(storedHash: Column, salt: Column, candidate: Column): Column =
-    storedHash === passwordHash(salt, candidate)
+  /** legacy checkpwd(storedHash, salt, candidate). */
+  def legacyCheckpwd(storedHash: Column, salt: Column, candidate: Column): Column =
+    storedHash === legacyPasswordHash(salt, candidate)
 }

@@ -119,14 +119,18 @@ object SpecialQueries {
         .orderBy(k)
     }),
 
-    // ---- checkpwd (worker/task.go:255) ----
+    // ---- checkpwd (worker/task.go:255; bcrypt types/password.go) ----
+    // Stored hashes are REAL `$2a$` bcrypt (cost 4 for the fixture; the
+    // reference defaults to 10 — same algorithm, more rounds). The oracle
+    // is the ground truth by construction (even custkeys present the true
+    // password), so a hash-match asserts the bcrypt verify itself.
     "checkpwd_fn" -> ((s, d) => {
-      val salt = concat(lit("s"), (col("c_custkey") % 10).cast("string"))
       val truePw = concat(lit("pw_"), col("c_custkey").cast("string"))
-      val stored = passwordHash(salt, truePw)
+      val salt = bcryptSalt(col("c_custkey").cast("string"), lit(4))
+      val stored = bcryptHash(truePw, salt)
       val candidate = when(col("c_custkey") % 2 === 0, truePw).otherwise(lit("wrong"))
       t(s, d, "customer")
-        .select(col("c_custkey"), checkpwd(stored, salt, candidate).as("ok"))
+        .select(col("c_custkey"), bcryptCheck(candidate, stored).as("ok"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -236,16 +240,11 @@ object SpecialQueries {
          |WHERE x - 100 <= 4200 AND x + 100 >= 3000 AND y - 100 <= 1900 AND y + 100 >= 1500
          |ORDER BY c_custkey""".stripMargin,
 
+    // DuckDB has no bcrypt; the oracle is the GROUND TRUTH by construction
+    // (even custkeys presented the true password), so the hash-match
+    // asserts the Spark-side bcrypt verification itself.
     "checkpwd_fn" ->
-      """SELECT c_custkey,
-        | (sha256('s' || CAST(c_custkey % 10 AS VARCHAR) || ':' ||
-        |   sha256('s' || CAST(c_custkey % 10 AS VARCHAR) || ':' ||
-        |     ('pw_' || CAST(c_custkey AS VARCHAR))))
-        |  =
-        |  sha256('s' || CAST(c_custkey % 10 AS VARCHAR) || ':' ||
-        |   sha256('s' || CAST(c_custkey % 10 AS VARCHAR) || ':' ||
-        |     (CASE WHEN c_custkey % 2 = 0 THEN 'pw_' || CAST(c_custkey AS VARCHAR)
-        |           ELSE 'wrong' END)))) AS ok
+      """SELECT c_custkey, (c_custkey % 2 = 0) AS ok
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "geo_contains" ->
