@@ -86,11 +86,16 @@ object Backup {
     * selective restore) + schema manifest.
     */
   def full(store: GraphStore, dir: String): Unit = {
-    // one shuffle on predicate so each partition directory is a few
-    // whole files, not (input partitions x predicates) slivers; at
-    // 100 TB swap the single-column repartition for
-    // repartitionByRange(predicate, subject) to keep file sizes bounded
-    tripleFrame(store).repartition(col("predicate"))
+    // NO pre-write shuffle: every tripleFrame union branch carries a
+    // LITERAL predicate, so each input partition already holds exactly
+    // one predicate and partitionBy produces one file per (task,
+    // predicate) — no sliver explosion, no skew. A repartition(
+    // predicate) here serialized the biggest tablet (has_line,
+    // |lineitem| rows) through one writer and shuffled the full-width
+    // frame for nothing (measured ~2x the write time at sf0.1). At
+    // 100 TB the same holds as long as sources stay per-predicate;
+    // only a mixed-predicate source would need a local sort.
+    tripleFrame(store)
       .write.mode("overwrite")
       .partitionBy("predicate").parquet(s"$dir/triples")
     java.nio.file.Files.write(
