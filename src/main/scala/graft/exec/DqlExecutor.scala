@@ -151,27 +151,29 @@ final class DqlExecutor(ts: GraphStore) {
     * (the reference exposes the same via the path variable).
     */
   private def shortestBlock(b: QueryBlock, sa: ShortestArgs): DataFrame = {
-    // the weighted union is query-independent given the predicate set —
-    // materialize once per session (both dql_shortest* variants share it)
+    // the weighted union stays LAZY — cone discovery streams broadcast
+    // semi-joins over the per-predicate branch scans, so the full union
+    // is never materialized (checkpointing ~1.3M wide rows to find a
+    // 10²-edge cone was the dominant cold cost of every shortest query)
     val sig = b.selections.map(s =>
       s"${if (s.reverse) "~" else ""}${s.pred}:${s.facetKeys.headOption.getOrElse("1")}")
       .mkString("shortest|", ",", "")
-    val edges = ts.derived(sig) {
-      b.selections.map { s =>
-        val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
-        val w = s.facetKeys.headOption
-          .map(k => element_at(col("facets"), k).cast("long"))
-          .getOrElse(lit(1L))
-        e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"))
-      }.reduce(_ unionByName _)
-    }
-    // the forward cone depends only on (edge set, source, depth) — cache
-    // it per session too, so shortest and shortest-k blocks from the same
-    // source skip the iterative cone discovery (the dominant cost: one
-    // frontier join per level over the full union)
+    val edges = b.selections.map { s =>
+      val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+      // weight from the TYPED facet column when present: the string map
+      // would be rebuilt on every cone-discovery pass over the lazy
+      // branches, while _ft_<key> is a plain source column
+      val w = s.facetKeys.headOption.map { k =>
+        if (e.columns.contains(s"_ft_$k")) col(s"_ft_$k").cast("long")
+        else element_at(col("facets"), k).cast("long")
+      }.getOrElse(lit(1L))
+      e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"))
+    }.reduce(_ unionByName _)
+    // only the (tiny) cone is materialized, cached per session by
+    // (edge set, source, depth) so shortest and shortest-k blocks from
+    // the same source skip the iterative discovery
     val cone = ts.derived(s"$sig|cone:${sa.from}:${sa.depth}") {
-      graft.operators.ShortestPath.forwardCone(
-        ts.spark, edges, sa.from, sa.depth, materialized = true)
+      graft.operators.ShortestPath.forwardCone(ts.spark, edges, sa.from, sa.depth)
     }
     val paths = graft.operators.ShortestPath.kShortestPaths(
       ts.spark, sa.from, sa.to, cone, sa.numpaths, sa.depth, preConed = true)

@@ -118,40 +118,77 @@ object ShortestPath {
     * partitioning-independent.
     */
   /** Restrict `edges` to the source's forward cone: iterative frontier
-    * expansion (broadcast joins against a once-materialized edge set)
-    * until no new nodes, then a semi-join keeps only edges leaving
-    * reached nodes. The reference's uniform-cost search touches only
-    * this cone (query/shortest.go expandOut); without the pruning the
-    * Pregel below would shuffle the FULL edge union every superstep —
+    * expansion until no new nodes, then a semi-join keeps only edges
+    * leaving reached nodes. The reference's uniform-cost search touches
+    * only this cone (query/shortest.go expandOut); without the pruning
+    * the Pregel below would shuffle the FULL edge union every superstep —
     * measured 16.7 s vs ~4 s at sf0.1 for a 1.3M-edge union whose
     * relevant cone is ~10² edges.
+    *
+    * `edges` stays LAZY throughout — the full union is never
+    * materialized (checkpointing 1.3M wide rows to find a 10²-edge cone
+    * was the dominant cold cost of every shortest query). While the
+    * frontier is metadata-sized (≤ [[DriverFrontierCap]] nodes, the
+    * common case the reference's uniform-cost search exploits
+    * sequentially), each round is a literal `src IN (...)` filter — it
+    * reaches the parquet scans as a pushed predicate, so row-group
+    * min/max pruning skips every branch whose uid namespace doesn't
+    * overlap the frontier, and one round costs a pruned scan instead of
+    * a full-union pass. If the frontier outgrows the cap (dense graphs
+    * at scale), the remaining rounds switch to broadcast semi-joins over
+    * the same lazy branches — fully distributed, no driver state.
     */
+  private val DriverFrontierCap = 50000
+
   def forwardCone(spark: SparkSession, edges: DataFrame,
-      source: Long, maxDepth: Int, materialized: Boolean = false): DataFrame = {
+      source: Long, maxDepth: Int): DataFrame = {
     import spark.implicits._
-    val proj = edges.select(col("src").cast("long").as("src"),
+    val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-    // callers that pass an already-checkpointed union (GraphStore.derived)
-    // skip the redundant second materialization of the full edge set
-    val e = if (materialized) proj else proj.localCheckpoint()
-    var reached = Seq(source).toDF("n").localCheckpoint()
-    var frontier = reached
+    // driver-guided rounds: frontier as a pushed-down IN literal
+    val reached = scala.collection.mutable.LinkedHashSet[Long](source)
+    var frontier: Seq[Long] = Seq(source)
     var depth = 0
-    var growing = true
-    while (growing && depth < maxDepth) {
-      val next = e.join(broadcast(frontier.select(col("n").as("src"))),
-          Seq("src"), "left_semi")
-        .select(col("dst").as("n")).distinct()
-        .join(reached, Seq("n"), "left_anti").localCheckpoint()
-      growing = next.count() > 0
-      if (growing) {
-        // union of already-materialized rounds — no re-checkpoint needed
-        reached = reached.unionByName(next)
+    var spilled = false
+    while (!spilled && frontier.nonEmpty && depth < maxDepth) {
+      // dedup on the driver, not via distinct(): a per-round 32-partition
+      // shuffle of a 10²-row set is pure job overhead. The limit bounds
+      // the transfer; it can truncate only when the raw edge fan-out
+      // already exceeds the cap, which spills to the distributed path.
+      val raw = e.filter(col("src").isin(frontier: _*))
+        .select(col("dst"))
+        .limit(DriverFrontierCap + 1).collect()
+      val next = raw.iterator.map(_.getLong(0))
+        .filterNot(reached.contains).toSeq.distinct
+      if (raw.length > DriverFrontierCap || reached.size + next.length > DriverFrontierCap) {
+        spilled = true // too big for the driver — finish distributed
+      } else {
+        reached ++= next
         frontier = next
+        depth += 1
       }
-      depth += 1
     }
-    e.join(broadcast(reached.select(col("n").as("src"))), Seq("src"), "left_semi")
+    if (!spilled) {
+      e.filter(col("src").isin(reached.toSeq: _*))
+    } else {
+      // distributed continuation: same rounds as broadcast semi-joins
+      var reachedDf = reached.toSeq.toDF("n").localCheckpoint()
+      var frontierDf = frontier.toDF("n").localCheckpoint()
+      var growing = true
+      while (growing && depth < maxDepth) {
+        val next = e.join(broadcast(frontierDf.select(col("n").as("src"))),
+            Seq("src"), "left_semi")
+          .select(col("dst").as("n")).distinct()
+          .join(reachedDf, Seq("n"), "left_anti").localCheckpoint()
+        growing = next.count() > 0
+        if (growing) {
+          reachedDf = reachedDf.unionByName(next)
+          frontierDf = next
+        }
+        depth += 1
+      }
+      e.join(broadcast(reachedDf.select(col("n").as("src"))), Seq("src"), "left_semi")
+    }
   }
 
   /** `preConed = true` marks `edges` as ALREADY the source's pruned,
@@ -164,8 +201,11 @@ object ShortestPath {
     import spark.implicits._
     type S = List[(Long, String)]
     def mergeK(a: S, b: S): S = (a ++ b).distinct.sorted.take(k)
+    // non-preConed cones are checkpointed before sized()'s count so the
+    // iterative discovery runs once, not once per downstream job
     val pruned = sized(spark,
-      if (preConed) edges else forwardCone(spark, edges, source, maxIter))
+      if (preConed) edges
+      else forwardCone(spark, edges, source, maxIter).localCheckpoint())
     val g = edgeGraph(pruned, source, List.empty[(Long, String)])
       .mapVertices((id, _) => if (id == source) List((0L, id.toString)) else Nil)
     val res = g.pregel(List.empty[(Long, String)], maxIter, EdgeDirection.Out)(
