@@ -110,7 +110,11 @@ object QualityQueries {
     "contamination_ngram" -> ((s, d) => {
       val sh3 = docs(s, d).select(col("doc_id"),
         explode(array_distinct(shingles(words(col("text")), 3))).as("s"))
+      // probe set is eval-suite-sized — materialize it so the broadcast
+      // build never re-derives the corpus shingle branch, and the scan
+      // side stays the only full-corpus pass
       val probe = sh3.filter(col("doc_id") < 5).select(col("s")).distinct()
+        .localCheckpoint()
       sh3.filter(col("doc_id") >= 5)
         .join(broadcast(probe), Seq("s"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
