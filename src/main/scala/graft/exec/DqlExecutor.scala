@@ -109,14 +109,33 @@ final class DqlExecutor(ts: GraphStore) {
 
     b.recurse match {
       case Some(r) =>
-        // @recurse: same uid-predicate template re-applied per level
-        val preds = b.selections.filter(s => schema.isUidPredicate(s.pred))
+        // @recurse: same template re-applied per level. Uid predicates
+        // drive the expansion; scalar predicates are leaves fetched for
+        // EVERY reached node including the root (the reference re-applies
+        // the full child template each level, query/recurse.go:19
+        // expandRecurse — `{ name friend }` under @recurse returns names
+        // at every depth, not bare uids).
+        val (preds, scalars) =
+          b.selections.partition(s => schema.isUidPredicate(s.pred))
         val edges = preds.map { s =>
           val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
           e.select(col("subject"), col("object"))
         }.reduce(_ unionByName _)
-        Recurse.expand(frontier.select(col("uid").as("start")), edges,
-          r.depth, r.loop)
+        val reached = Recurse.expand(frontier.select(col("uid").as("start")),
+          edges, r.depth, r.loop)
+        if (scalars.isEmpty) reached
+        else {
+          // depth 0 = the template applied to the root itself
+          val withRoot = frontier.select(col("uid").as("start"),
+              col("uid").as("node"), lit(0).as("depth"))
+            .unionByName(reached)
+          scalars.foldLeft(withRoot) { (acc, s) =>
+            val leaf = ts.attr(s.pred).select(col("subject").as("node"),
+              col("value").as(s.alias.getOrElse(s.pred)))
+            acc.join(leaf, Seq("node"), "left")
+          }.select(Seq(col("start"), col("node"), col("depth")) ++
+            scalars.map(s => col(s.alias.getOrElse(s.pred))): _*)
+        }
       case None if b.selections.size == 1 && b.selections.head.groupby.nonEmpty =>
         groupbyBlock(frontier, b.selections.head)
       case None if b.selections.exists(sel =>

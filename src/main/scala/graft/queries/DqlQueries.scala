@@ -56,6 +56,15 @@ object DqlQueries {
       dql("""{ q(func: le(acctbal, -800)) @recurse(depth: 3) { located_in in_region } }""")(s, d)
         .orderBy(col("start"), col("depth"), col("node"))),
 
+    // @recurse with scalar leaves: the reference re-applies the FULL
+    // child template per level (query/recurse.go:19 expandRecurse), so
+    // `{ name located_in in_region }` returns each reached node's name
+    // at every depth — root included (depth 0)
+    "dql_recurse_values" -> ((s, d) =>
+      dql("""{ q(func: le(acctbal, -800)) @recurse(depth: 3) {
+            |    name located_in in_region } }""".stripMargin)(s, d)
+        .orderBy(col("start"), col("depth"), col("node"))),
+
     "dql_expand" -> ((s, d) =>
       dql("""{ q(func: eq(brand, "Brand#12")) { expand(_all_) } }""")(s, d)
         .orderBy(col("uid"))),
@@ -300,6 +309,23 @@ object DqlQueries {
          | SELECT start, $NB + nk AS node, 1 AS depth FROM seeds
          | UNION ALL
          | SELECT start, $RB + n_regionkey, 2 FROM seeds JOIN nation ON n_nationkey = nk
+         |) ORDER BY start, depth, node""".stripMargin,
+
+    "dql_recurse_values" ->
+      s"""WITH seeds AS (
+         | SELECT $CB + c_custkey AS start, c_nationkey AS nk, c_name AS name
+         | FROM customer WHERE c_acctbal <= -800
+         | UNION ALL
+         | SELECT $SB + s_suppkey, s_nationkey, s_name
+         | FROM supplier WHERE s_acctbal <= -800)
+         |SELECT * FROM (
+         | SELECT start, start AS node, 0 AS depth, name FROM seeds
+         | UNION ALL
+         | SELECT start, $NB + nk, 1, n_name FROM seeds JOIN nation ON n_nationkey = nk
+         | UNION ALL
+         | SELECT start, $RB + n_regionkey, 2, r_name
+         | FROM seeds JOIN nation ON n_nationkey = nk
+         |   JOIN region ON r_regionkey = n_regionkey
          |) ORDER BY start, depth, node""".stripMargin,
 
     "dql_expand" ->
