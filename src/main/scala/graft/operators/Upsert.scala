@@ -79,7 +79,7 @@ object Upsert {
   }
 
   private val nqRe =
-    """^\s*(uid\(\w+\)|<0x[0-9a-fA-F]+>|_:[\w.-]+)\s+(<[^>]+>|\*)\s+(uid\(\w+\)|<0x[0-9a-fA-F]+>|"(?:[^"\\]|\\.)*"|\*)\s*\.?\s*$""".r
+    """^\s*(uid\(\w+\)|<0x[0-9a-fA-F]+>|_:[\w.-]+)\s+(<[^>]+>|\*)\s+(uid\(\w+\)|val\(\w+\)|<0x[0-9a-fA-F]+>|"(?:[^"\\]|\\.)*"|\*)\s*\.?\s*$""".r
 
   private def parseTemplates(body: String): Seq[NqTemplate] =
     body.linesIterator.map(_.trim).filter(_.nonEmpty).map {
@@ -199,6 +199,7 @@ object Upsert {
   }
 
   private val uidVarRe = """uid\((\w+)\)""".r
+  private val valVarRe = """val\((\w+)\)""".r
   private val uidLitRe = """<0x([0-9a-fA-F]+)>""".r
 
   /** Expand a template part into a 1-column frame of uids (vars) or a
@@ -240,6 +241,18 @@ object Upsert {
               s.crossJoin(varUids(v).select(col("uid").as("__o")))
                 .select(col("subject"), lit(pred).as("predicate"),
                   col("__o").as("objectUid"), lit(null).cast("string").as("value"),
+                  lit(null).cast("string").as("lang"),
+                  lit(null).cast("string").as("facets"))
+            case valVarRe(v) =>
+              // per-subject value substitution (reference
+              // edgraph/server.go:1081 updateValInMutations): the quad
+              // lands only on subjects with an entry in the value var's
+              // uid→value map — the inner join IS that semantics
+              s.join(varUids(v).select(col("uid").as("subject"),
+                  col("value").cast("string").as("__v")), Seq("subject"))
+                .select(col("subject"), lit(pred).as("predicate"),
+                  lit(null).cast("long").as("objectUid"),
+                  col("__v").as("value"),
                   lit(null).cast("string").as("lang"),
                   lit(null).cast("string").as("facets"))
             case uidLitRe(h) =>

@@ -236,6 +236,26 @@ object DqlQueries {
         .select(col("subject"), col("value")).orderBy(col("subject"))
     }),
 
+    // val(v) in upsert mutation templates (reference edgraph/server.go
+    // updateValInMutations): the written value is the per-subject entry
+    // of the value var's uid→value map — double all delinquent balances
+    "dql_upsert_val" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val base = ts.attr("acctbal").select(col("subject"), col("predicate"),
+        lit(null).cast("long").as("objectUid"), col("value").cast("string").as("value"),
+        lit(null).cast("string").as("lang"), lit(null).cast("string").as("facets"))
+      graft.operators.Upsert.execute(ts,
+        """upsert {
+          |  query { var(func: type(Customer)) { b as acctbal  m as math(b * 2.0) }
+          |          q(func: le(val(b), -900)) { u as uid } }
+          |  mutation @if(gt(len(u), 0)) {
+          |    set { uid(u) <acctbal> val(m) . }
+          |  }
+          |}""".stripMargin, base)
+        .select(col("subject"), col("value").cast("double").as("value"))
+        .orderBy(col("subject"))
+    }),
+
     // three-level nesting (root -> placed -> has_line): the JSON
     // renderer's childFrame recursion depth is the query's depth
     "dql_json_deep" -> ((s, d) =>
@@ -475,6 +495,15 @@ object DqlQueries {
       s"""SELECT $CB + c_custkey AS subject, c_mktsegment AS value
          |FROM customer WHERE c_mktsegment <> 'MACHINERY'
          |ORDER BY subject""".stripMargin,
+
+    "dql_upsert_val" ->
+      s"""SELECT subject, value FROM (
+         | SELECT $CB + c_custkey AS subject,
+         |  CASE WHEN c_acctbal <= -900 THEN c_acctbal * 2.0 ELSE c_acctbal END AS value
+         | FROM customer
+         | UNION ALL
+         | SELECT $SB + s_suppkey, s_acctbal FROM supplier
+         |) ORDER BY subject""".stripMargin,
 
     "dql_json_deep" ->
       s"""WITH lineu AS (${Q.lineUidSql}),
