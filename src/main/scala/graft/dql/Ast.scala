@@ -62,11 +62,14 @@ final case class MathFunc(name: String, args: Seq[MathNode]) extends MathNode
 
 final case class RecurseArgs(depth: Int, loop: Boolean)
 
-/** `shortest(from: U, to: V, numpaths: k [, depth: d])` block args
-  * (reference query/shortest.go:457 shortestPath, :286
-  * runKShortestPaths).
+/** `shortest(from: U, to: V, numpaths: k [, depth: d] [, minweight: w]
+  * [, maxweight: w])` block args (reference query/shortest.go:457
+  * shortestPath, :286 runKShortestPaths; weight bounds :457 args).
+  * `@ignorereflex` on the block drops self-loop edges from the walk.
   */
-final case class ShortestArgs(from: Long, to: Long, numpaths: Int, depth: Int)
+final case class ShortestArgs(from: Long, to: Long, numpaths: Int, depth: Int,
+    minweight: Long = Long.MinValue, maxweight: Long = Long.MaxValue,
+    ignoreReflex: Boolean = false)
 
 final case class QueryBlock(
     name: String,

@@ -52,8 +52,10 @@ object Parser {
       if (peek == Ident("as")) { next(); blockVar = Some(name); name = ident() }
       expect("(")
       if (name == "shortest") {
-        // shortest(from: U, to: V [, numpaths: k] [, depth: d])
+        // shortest(from: U, to: V [, numpaths: k] [, depth: d]
+        //          [, minweight: w] [, maxweight: w]) [@ignorereflex]
         var from = -1L; var to = -1L; var numpaths = 1; var depth = 50
+        var minW = Long.MinValue; var maxW = Long.MaxValue
         var first = true
         while (peek != Punct(")")) {
           if (!first) expect(",")
@@ -64,15 +66,26 @@ object Parser {
             case "to" => to = uidLit()
             case "numpaths" => numpaths = intLit()
             case "depth" => depth = intLit()
+            case "minweight" => minW = intLit()
+            case "maxweight" => maxW = intLit()
             case o => fail(s"unknown shortest arg: $o")
           }
         }
         expect(")")
         if (from < 0 || to < 0) fail("shortest requires from: and to:")
+        var ignoreReflex = false
+        while (peek == Punct("@")) {
+          next()
+          ident() match {
+            case "ignorereflex" => ignoreReflex = true
+            case o => fail(s"unsupported shortest directive @$o")
+          }
+        }
         val sels = parseSelectionSet()
         return QueryBlock(name, FuncCall("shortest", "", Nil),
           selections = sels,
-          shortest = Some(ShortestArgs(from, to, numpaths, depth)),
+          shortest = Some(ShortestArgs(from, to, numpaths, depth,
+            minW, maxW, ignoreReflex)),
           blockVar = blockVar)
       }
       var func: Option[FuncCall] = None

@@ -177,7 +177,7 @@ final class DqlExecutor(ts: GraphStore) {
     val sig = b.selections.map(s =>
       s"${if (s.reverse) "~" else ""}${s.pred}:${s.facetKeys.headOption.getOrElse("1")}")
       .mkString("shortest|", ",", "")
-    val edges = b.selections.map { s =>
+    val edges0 = b.selections.map { s =>
       val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
       // weight from the TYPED facet column when present: the string map
       // would be rebuilt on every cone-discovery pass over the lazy
@@ -188,14 +188,19 @@ final class DqlExecutor(ts: GraphStore) {
       }.getOrElse(lit(1L))
       e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"))
     }.reduce(_ unionByName _)
+    // @ignorereflex drops self-loop edges from the walk (the path-visited
+    // check already blocks longer cycles)
+    val edges =
+      if (sa.ignoreReflex) edges0.filter(col("src") =!= col("dst")) else edges0
     // only the (tiny) cone is materialized, cached per session by
     // (edge set, source, depth) so shortest and shortest-k blocks from
     // the same source skip the iterative discovery
-    val cone = ts.derived(s"$sig|cone:${sa.from}:${sa.depth}") {
+    val cone = ts.derived(s"$sig|cone:${sa.from}:${sa.depth}:${sa.ignoreReflex}") {
       graft.operators.ShortestPath.forwardCone(ts.spark, edges, sa.from, sa.depth)
     }
     val paths = graft.operators.ShortestPath.kShortestPaths(
-      ts.spark, sa.from, sa.to, cone, sa.numpaths, sa.depth, preConed = true)
+      ts.spark, sa.from, sa.to, cone, sa.numpaths, sa.depth, preConed = true,
+      minW = sa.minweight, maxW = sa.maxweight)
     b.blockVar.foreach { v =>
       bindVar(v, paths.filter(col("rank") === 1)
         .select(explode(split(col("path"), "->")).as("u"))
@@ -529,9 +534,24 @@ final class DqlExecutor(ts: GraphStore) {
         val base = ts.attr(sel.pred)
         // pred@en:fr:. — resolve the preference chain per subject
         // (reference ValueForTag, posting/list.go:2094: listed langs in
-        // order, '.' = untagged, '*' = any value)
+        // order, '.' = untagged, '*' = any value). A chain of exactly
+        // `@*` is ExpandAll (query/query.go:945): EVERY variant comes
+        // back, keyed `pred@tag` per tag and plain `pred` for untagged
+        // (outputnode.go:1560 fieldNameWithTag) — one column per tag.
         val a =
-          if (sel.langChain.nonEmpty && base.columns.contains("lang")) {
+          if (sel.langChain == Seq("*") && base.columns.contains("lang")) {
+            // tag inventory is schema-scale metadata (a handful of langs
+            // per predicate), not data-scale — safe to collect
+            val tags = base.select(col("lang")).distinct().collect()
+              .map(r => Option(r.getString(0))).sortBy(_.getOrElse("")).toSeq
+            val aggs = tags.map {
+              case None => max(when(col("lang").isNull, col("value"))).as(name)
+              case Some(t) =>
+                max(when(col("lang") === t, col("value"))).as(s"$name@$t")
+            }
+            base.groupBy(col("subject")).agg(aggs.head, aggs.tail: _*)
+              .withColumnRenamed("subject", "__as")
+          } else if (sel.langChain.nonEmpty && base.columns.contains("lang")) {
             val prefs = sel.langChain.map {
               case "*" => min(col("value"))
               case "." => max(when(col("lang").isNull, col("value")))

@@ -81,8 +81,12 @@ object GqlParser {
   }
 
   // ---- recursive descent ----
-  private final class P(ts: Vector[Tok]) {
+  private final class P(ts: Vector[Tok], vars: Map[String, GVal]) {
     private var i = 0
+    // operation variables: caller-provided values win; `= default` in the
+    // definition list fills the gaps (reference graphql/resolve applies
+    // operation variables before rewrite)
+    private var varVals: Map[String, GVal] = vars
     def peek: Option[Tok] = if (i < ts.length) Some(ts(i)) else None
     def next(): Tok =
       if (i < ts.length) { val t = ts(i); i += 1; t }
@@ -97,11 +101,24 @@ object GqlParser {
     }
 
     def operation(): GqlOperation = {
-      // optional `query [Name]` / `mutation [Name]` header
+      // optional `query [Name]` / `mutation [Name]` header, then optional
+      // `($x: Int! = 3, $s: String)` variable definitions
       peek match {
         case Some(TName("query")) | Some(TName("mutation")) =>
           next()
           peek match { case Some(TName(_)) => next(); case _ => () }
+          if (peek.contains(TPunct("("))) {
+            next()
+            while (!peek.contains(TPunct(")"))) {
+              expect("$"); val vn = name(); expect(":"); skipType()
+              if (peek.contains(TPunct("="))) {
+                next()
+                val dv = value()
+                if (!varVals.contains(vn)) varVals += (vn -> dv)
+              }
+            }
+            next() // ')'
+          }
         case _ => ()
       }
       expect("{")
@@ -147,7 +164,24 @@ object GqlParser {
       GqlSelection(alias, fieldName, args, dirs.result(), children)
     }
 
+    /** Type reference in a variable definition: `Int`, `[String!]!` — the
+      * executable subset ignores types (values are already typed GVals),
+      * so just consume the tokens.
+      */
+    private def skipType(): Unit = {
+      next() match {
+        case TName(_) => ()
+        case TPunct("[") => skipType(); expect("]")
+        case other => throw ParseException(s"expected type, got $other")
+      }
+      if (peek.contains(TPunct("!"))) next()
+    }
+
     def value(): GVal = next() match {
+      case TPunct("$") =>
+        val vn = name()
+        varVals.getOrElse(vn,
+          throw ParseException(s"variable $$$vn has no value"))
       case TStr(s) => GStr(s)
       case TNum(s) => GNum(s)
       case TName("true") => GBool(true)
@@ -168,5 +202,7 @@ object GqlParser {
     }
   }
 
-  def parse(query: String): GqlOperation = new P(tokenize(query)).operation()
+  def parse(query: String,
+      variables: Map[String, GVal] = Map.empty): GqlOperation =
+    new P(tokenize(query), variables).operation()
 }

@@ -16,12 +16,17 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch) {
   /** Run a GraphQL operation, returning the flat (normalized) DataFrame
     * of the last root field.
     */
-  def flat(query: String): DataFrame =
-    new DqlExecutor(ts).flatAst(rewrite(query))
+  def flat(query: String,
+      variables: Map[String, GVal] = Map.empty): DataFrame =
+    new DqlExecutor(ts).flatAst(rewrite(query, variables))
 
-  /** The DQL IR a query rewrites to (exposed for tests/EXPLAIN). */
-  def rewrite(query: String): graft.dql.DqlQuery =
-    Rewriter.rewrite(GqlParser.parse(query), schema)
+  /** The DQL IR a query rewrites to (exposed for tests/EXPLAIN).
+    * `variables` carries the operation's `$var` values (reference
+    * graphql/resolve substitutes them before rewriting).
+    */
+  def rewrite(query: String,
+      variables: Map[String, GVal] = Map.empty): graft.dql.DqlQuery =
+    Rewriter.rewrite(GqlParser.parse(query, variables), schema)
 
   /** Apply a mutation document (add/update/delete roots, in order) to a
     * base triple frame; returns the post-mutation frame.
@@ -34,8 +39,10 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch) {
     * objects for non-list edges, arrays for list edges (reference
     * graphql/resolve completion of the DQL result).
     */
-  def json(query: String): DataFrame =
-    new DqlExecutor(ts).jsonAllAst(rewrite(query), includeUid = false)
+  def json(query: String,
+      variables: Map[String, GVal] = Map.empty): DataFrame =
+    new DqlExecutor(ts).jsonAllAst(rewrite(query, variables),
+      includeUid = false)
 
   /** GraphQL error propagation (reference graphql/resolve/resolver.go
     * ErrorResponse): parse/rewrite/validation failures come back as the

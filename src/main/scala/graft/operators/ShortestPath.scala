@@ -197,10 +197,18 @@ object ShortestPath {
     */
   def kShortestPaths(spark: SparkSession, source: Long, target: Long,
       edges: DataFrame, k: Int, maxIter: Int = 50,
-      preConed: Boolean = false): DataFrame = {
+      preConed: Boolean = false,
+      minW: Long = Long.MinValue, maxW: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     type S = List[(Long, String)]
-    def mergeK(a: S, b: S): S = (a ++ b).distinct.sorted.take(k)
+    // minweight shifts which completions count, but prefixes below the
+    // bound can't be pruned mid-path (a cheap prefix may still complete
+    // above minweight while its k-best siblings complete below it) — so
+    // bounded searches carry extra intermediate capacity. Like the plain-k
+    // pruning, exact on layered graphs; adversarial funnels would need a
+    // Yen-style detour search (documented trade-off).
+    val kv = if (minW == Long.MinValue) k else math.max(3 * k, k + 8)
+    def mergeK(a: S, b: S): S = (a ++ b).distinct.sorted.take(kv)
     // non-preConed cones are checkpointed before sized()'s count so the
     // iterative discovery runs once, not once per downstream job
     val pruned = sized(spark,
@@ -209,11 +217,17 @@ object ShortestPath {
     val g = edgeGraph(pruned, source, List.empty[(Long, String)])
       .mapVertices((id, _) => if (id == source) List((0L, id.toString)) else Nil)
     val res = g.pregel(List.empty[(Long, String)], maxIter, EdgeDirection.Out)(
-      (_, s, msg) => mergeK(s, msg),
+      // weight bounds (reference query/shortest.go:457 minweight/maxweight):
+      // maxweight prunes EXPANSION below (weights are non-negative, a
+      // too-heavy prefix can't recover); minweight only constrains COMPLETE
+      // paths, so it filters at the target vertex — sub-minweight arrivals
+      // never occupy one of the target's k slots
+      (id, s, msg) => mergeK(s,
+        if (id == target) msg.filter(_._1 >= minW) else msg),
       t => {
         val dstS = t.dstId.toString
         val ext = t.srcAttr.iterator
-          .filter { case (_, p) => !p.split("->").contains(dstS) }
+          .filter { case (c, p) => c + t.attr <= maxW && !p.split("->").contains(dstS) }
           .map { case (c, p) => (c + t.attr, p + "->" + dstS) }
           .toList
         val useful = ext.filter(e => mergeK(t.dstAttr, List(e)) != t.dstAttr)
@@ -222,7 +236,8 @@ object ShortestPath {
       mergeK)
     res.vertices.filter(_._1 == target)
       .flatMap { case (_, s) =>
-        s.zipWithIndex.map { case ((c, p), i) => (i + 1, c, p) }
+        // state capacity is kv ≥ k; the answer is the k best
+        s.take(k).zipWithIndex.map { case ((c, p), i) => (i + 1, c, p) }
       }
       .toDF("rank", "dist", "path")
   }

@@ -135,6 +135,12 @@ object DqlQueries {
             |    src: source  t_en: text@en:.  t_any: text@fr:* } }""".stripMargin)(s, d)
         .orderBy(col("uid"))),
 
+    // @* ExpandAll (reference query/query.go:945): EVERY language variant
+    // comes back as its own `pred@tag` key, not one preferred value
+    "dql_lang_star" -> ((s, d) =>
+      dql("""{ q(func: type(Document)) { src: source  t: text@* } }""")(s, d)
+        .orderBy(col("uid"))),
+
     // full math() function set (reference query/math.go:40-250): cond,
     // %, ==, sqrt, unary minus, min, max, floor, ceil — all bit-exact
     // across engines (sqrt is IEEE-rounded; transcendentals ln/exp/pow
@@ -160,6 +166,17 @@ object DqlQueries {
     // distinct costs; reference runKShortestPaths)
     "dql_shortest_k" -> ((s, d) =>
       dql("""{ shortest(from: 3000000000001, to: 1000000000000, numpaths: 3) {
+            |    placed  has_line @facets(quantity)  by_supplier
+            |    located_in  in_region } }""".stripMargin)(s, d)
+        .orderBy(col("rank"))),
+
+    // minweight/maxweight bounds (reference query/shortest.go:457 args):
+    // the 2-hop located_in→in_region route (cost 2) falls below
+    // minweight, forcing the order→lineitem→supplier detour whose cost
+    // is 4 + quantity — only mid-range quantities land in [15, 50]
+    "dql_shortest_bounded" -> ((s, d) =>
+      dql("""{ shortest(from: 3000000000001, to: 1000000000000, numpaths: 3,
+            |           minweight: 15, maxweight: 50) @ignorereflex {
             |    placed  has_line @facets(quantity)  by_supplier
             |    located_in  in_region } }""".stripMargin)(s, d)
         .orderBy(col("rank"))),
@@ -429,6 +446,15 @@ object DqlQueries {
          | text AS t_any
          |FROM documents ORDER BY uid""".stripMargin,
 
+    "dql_lang_star" ->
+      s"""SELECT ${Uids.Document} + doc_id AS uid, source AS src,
+         | CASE WHEN lang = 'de' THEN text END AS "t@de",
+         | CASE WHEN lang = 'en' THEN text END AS "t@en",
+         | CASE WHEN lang = 'es' THEN text END AS "t@es",
+         | CASE WHEN lang = 'fr' THEN text END AS "t@fr",
+         | CASE WHEN lang = 'zh' THEN text END AS "t@zh"
+         |FROM documents ORDER BY uid""".stripMargin,
+
     "dql_math_funcs" ->
       s"""SELECT uid, a, b FROM (
          | SELECT ${Uids.Part} + p_partkey AS uid,
@@ -466,6 +492,7 @@ object DqlQueries {
 
     "dql_shortest" -> shortestOracle(1),
     "dql_shortest_k" -> shortestOracle(3),
+    "dql_shortest_bounded" -> shortestOracle(3, minW = 15, maxW = 50),
 
     "dql_groupby_agg" ->
       s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
@@ -570,7 +597,16 @@ object DqlQueries {
     * weighted edge union the DQL block walks; ranked (dist, path) like the
     * engine's deterministic total order.
     */
-  private def shortestOracle(k: Int): String =
+  private def shortestOracle(k: Int, minW: Long = Long.MinValue,
+      maxW: Long = Long.MaxValue): String = {
+    // maxweight prunes recursion (non-negative weights: a too-heavy prefix
+    // can't recover); minweight filters complete paths at the target —
+    // mirrors ShortestPath.kShortestPaths' bound handling
+    val guard =
+      if (maxW == Long.MaxValue) "" else s" AND p.dist + g.w <= $maxW"
+    val bounds =
+      if (minW == Long.MinValue && maxW == Long.MaxValue) ""
+      else s" AND dist BETWEEN $minW AND $maxW"
     s"""WITH RECURSIVE lineu AS (${Q.lineUidSql}),
        |g(src, dst, w) AS (
        | SELECT $CB + o_custkey, $OB + o_orderkey, CAST(1 AS BIGINT) FROM orders
@@ -590,10 +626,11 @@ object DqlQueries {
        | UNION ALL
        | SELECT g.dst, p.dist + g.w, p.path || '->' || CAST(g.dst AS VARCHAR)
        | FROM p JOIN g ON g.src = p.node
-       | WHERE NOT list_contains(string_split(p.path, '->'), CAST(g.dst AS VARCHAR))
+       | WHERE NOT list_contains(string_split(p.path, '->'), CAST(g.dst AS VARCHAR))$guard
        |)
        |SELECT CAST(rn AS INT) AS rank, dist, path FROM (
        | SELECT dist, path, ROW_NUMBER() OVER (ORDER BY dist, path) AS rn
-       | FROM p WHERE node = $RB + 0)
+       | FROM p WHERE node = $RB + 0$bounds)
        |WHERE rn <= $k ORDER BY rank""".stripMargin
+  }
 }

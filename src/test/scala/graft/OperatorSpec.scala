@@ -52,6 +52,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(k.contains((3L, 3L, 1)) && k.contains((3L, 10L, 2)))
   }
 
+  test("kShortestPaths minweight/maxweight bound the returned paths") {
+    // 1→4 routes: via 2 (cost 3), via 3 (cost 8), direct (cost 20)
+    val edges = Seq((1L, 2L, 1L), (2L, 4L, 2L), (1L, 3L, 4L), (3L, 4L, 4L),
+      (1L, 4L, 20L)).toDF("src", "dst", "w")
+    val all = ShortestPath.kShortestPaths(spark, 1L, 4L, edges, k = 3)
+      .select("dist").as[Long].collect().toSet
+    assert(all == Set(3L, 8L, 20L))
+    // minweight drops the cheap route without it eating a rank slot;
+    // maxweight prunes the expensive one during expansion
+    val bounded = ShortestPath.kShortestPaths(spark, 1L, 4L, edges, k = 3,
+      minW = 5L, maxW = 10L)
+      .select("rank", "dist").as[(Int, Long)].collect().toSet
+    assert(bounded == Set((1, 8L)))
+  }
+
   test("shingles/minhash: identical docs share signatures; short docs none") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b"))
       .toDF("id", "text")

@@ -21,7 +21,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def run_verify():
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    names = " ".join(ONLY)
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT} {names}'.strip()]
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     sys.stdout.write("\n".join(l for l in r.stdout.splitlines() if "[verify]" in l or "error" in l.lower()) + "\n")
     if r.returncode != 0:
