@@ -77,6 +77,20 @@ object GraphqlQueries {
             |    source } }""".stripMargin)(s, d)
         .orderBy(col("uid"))),
 
+    // operation variables (reference graphql/resolve: $vars substituted
+    // before rewrite): caller values flow into filter + pagination; the
+    // unset $lo falls back to its declared default
+    "graphql_variables" -> ((s, d) =>
+      new GraphQLEngine(TripleStore(s, d)).flat(
+        """query Q($seg: String!, $n: Int!, $lo: Float = 1000.0) {
+          |  queryCustomer(filter: { mktsegment: { eq: $seg },
+          |                          acctbal: { ge: $lo } },
+          |                order: { asc: acctbal }, first: $n) {
+          |    name acctbal } }""".stripMargin,
+        Map("seg" -> graft.graphql.GStr("MACHINERY"),
+            "n" -> graft.graphql.GNum("12")))
+        .orderBy(col("uid"))),
+
     // GraphQL-shaped nested JSON: requested fields only (no uid key),
     // single object for non-list edges, arrays for list edges
     "graphql_json" -> ((s, d) =>
@@ -181,6 +195,15 @@ object GraphqlQueries {
          |WHERE list_has_all($docStemsSql,
          | ['filter', 'merg', 'sort'])
          |ORDER BY uid""".stripMargin,
+
+    "graphql_variables" ->
+      s"""SELECT uid, name, acctbal FROM (
+         | SELECT $CB + c_custkey AS uid, c_name AS name,
+         |  c_acctbal AS acctbal,
+         |  ROW_NUMBER() OVER (ORDER BY c_acctbal ASC, $CB + c_custkey ASC) AS rn
+         | FROM customer
+         | WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 1000.0)
+         |WHERE rn <= 12 ORDER BY uid""".stripMargin,
 
     "graphql_json" ->
       s"""WITH base AS (

@@ -39,6 +39,26 @@ class GraphqlSpec extends AnyFunSuite {
     assert(ors.size == 2)
   }
 
+  test("operation variables: substitution, defaults, missing-value error") {
+    val doc =
+      """query Q($seg: String!, $n: Int! = 3, $tags: [String!]) {
+        |  queryCustomer(filter: { mktsegment: { eq: $seg } }, first: $n) {
+        |    name } }""".stripMargin
+    val op = GqlParser.parse(doc, Map("seg" -> GStr("BUILDING")))
+    val r = op.roots.head
+    // caller value substituted; default fills the unset $n
+    assert(r.arg("filter").get.asInstanceOf[GObj].get("mktsegment").get
+      .asInstanceOf[GObj].get("eq").contains(GStr("BUILDING")))
+    assert(r.arg("first").contains(GNum("3")))
+    // caller value overrides a default
+    val op2 = GqlParser.parse(doc,
+      Map("seg" -> GStr("AUTOMOBILE"), "n" -> GNum("7")))
+    assert(op2.roots.head.arg("first").contains(GNum("7")))
+    // using an unbound variable with no default is a parse error
+    val err = intercept[GqlParser.ParseException] { GqlParser.parse(doc) }
+    assert(err.getMessage.contains("seg"))
+  }
+
   test("SDL parser: lists, ID fields, @search tokenizers") {
     val s = SdlParser.parse(
       """type Author {
