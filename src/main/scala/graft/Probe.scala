@@ -33,6 +33,33 @@ object Probe {
         .select(col("subject"), col("value")).orderBy(col("subject")).count()
     }
     time("full() write again")(graft.operators.Backup.full(ts, dir))
+    // codec / layout experiments on the same frame
+    val f = graft.operators.Backup.tripleFrame(ts)
+    time("write snappy+partitionBy") {
+      f.write.mode("overwrite").partitionBy("predicate")
+        .parquet("target/probe-b1")
+    }
+    time("write none+partitionBy") {
+      f.write.mode("overwrite").option("compression", "none")
+        .partitionBy("predicate").parquet("target/probe-b2")
+    }
+    time("write lz4+partitionBy") {
+      f.write.mode("overwrite").option("compression", "lz4")
+        .partitionBy("predicate").parquet("target/probe-b3")
+    }
+    time("write snappy flat") {
+      f.write.mode("overwrite").parquet("target/probe-b4")
+    }
+    time("full() to FRESH dir") {
+      graft.operators.Backup.full(ts, "target/probe-fresh1")
+    }
+    time("frame write to EXISTING") {
+      f.write.mode("overwrite").partitionBy("predicate")
+        .parquet("target/probe-b1")
+    }
+    time("full() to fresh again") {
+      graft.operators.Backup.full(ts, "target/probe-fresh2")
+    }
     spark.stop()
   }
 }

@@ -38,6 +38,74 @@ object GeoFunctions {
       (lit(x2 - x1) * (y - y1) - lit(y2 - y1) * (x - x1)) >= 0
     }.reduce(_ && _)
 
+  /** Point-in-polygon by even-odd ray casting — handles NON-convex rings
+    * (reference types/geofilter.go:212 Contains via S2 loops accepts any
+    * simple polygon, not just convex ones). Integer-exact: the crossing
+    * comparison is cross-multiplied by the edge's (plan-time constant)
+    * y-direction, so no division ever happens. Horizontal edges never
+    * count; vertices follow the half-open `[ymin, ymax)` rule — the same
+    * deterministic convention the oracle SQL encodes.
+    */
+  def pointInRing(x: Column, y: Column, verts: Seq[(Long, Long)]): Column = {
+    val crossings = verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.length)
+      val d = y2 - y1
+      if (d == 0L) lit(0)
+      else {
+        val span =
+          if (d > 0) y >= lit(y1) && y < lit(y2)
+          else y >= lit(y2) && y < lit(y1)
+        val lhs = (x - lit(x1)) * lit(d)
+        val rhs = lit(x2 - x1) * (y - lit(y1))
+        val cross = if (d > 0) lhs < rhs else lhs > rhs
+        when(span && cross, 1).otherwise(0)
+      }
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /** Multi-ring polygon (GeoJSON layout): inside the outer ring and in
+    * none of the holes.
+    */
+  def pointInRings(x: Column, y: Column,
+      rings: Seq[Seq[(Long, Long)]]): Column =
+    rings.tail.foldLeft(pointInRing(x, y, rings.head)) { (acc, hole) =>
+      acc && !pointInRing(x, y, hole)
+    }
+
+  /** Parse a GeoJSON `Polygon` / `MultiPolygon` literal into polygons of
+    * integer-vertex rings (ring 0 = outer, rest = holes; the closing
+    * duplicate vertex is dropped). The reference stores geo predicates as
+    * GeoJSON values (types/geofilter.go go-geom decode); this is the
+    * exact-arithmetic planar tier of that surface.
+    */
+  def geoJsonPolygons(js: String): Seq[Seq[Seq[(Long, Long)]]] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+    def ring(n: com.fasterxml.jackson.databind.JsonNode): Seq[(Long, Long)] = {
+      val vs = (0 until n.size()).map { i =>
+        (n.get(i).get(0).asLong(), n.get(i).get(1).asLong())
+      }
+      if (vs.length > 1 && vs.head == vs.last) vs.dropRight(1) else vs
+    }
+    def poly(n: com.fasterxml.jackson.databind.JsonNode) =
+      (0 until n.size()).map(i => ring(n.get(i)))
+    root.get("type").asText() match {
+      case "Polygon" => Seq(poly(root.get("coordinates")))
+      case "MultiPolygon" =>
+        val cs = root.get("coordinates")
+        (0 until cs.size()).map(i => poly(cs.get(i)))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported GeoJSON type $other")
+    }
+  }
+
+  /** within(point, GeoJSON literal): inside ANY member polygon
+    * (MultiPolygon = union), holes excluded.
+    */
+  def withinGeoJson(x: Column, y: Column, js: String): Column =
+    geoJsonPolygons(js).map(pointInRings(x, y, _)).reduce(_ || _)
+
   /** contains(stored-geo, literal point): the stored square cell
     * [x, x+side]×[y, y+side] contains the query point — the dual of
     * `within` (reference types/geofilter.go:338 filterContain, polygon

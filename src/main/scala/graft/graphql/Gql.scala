@@ -74,7 +74,7 @@ object GqlParser {
         val start = i
         while (i < n && (in(i).isLetterOrDigit || in(i) == '_')) i += 1
         out += TName(in.substring(start, i))
-      } else if ("(){}[]:@!=$".indexOf(c) >= 0) { out += TPunct(c.toString); i += 1 }
+      } else if ("(){}[]:@!=$.".indexOf(c) >= 0) { out += TPunct(c.toString); i += 1 }
       else throw ParseException(s"unexpected char '$c' at $i")
     }
     out.result()
@@ -99,6 +99,50 @@ object GqlParser {
       case TName(s) => s
       case other => throw ParseException(s"expected name, got $other")
     }
+
+    // `fragment Name on Type { ... }` definitions, collected while
+    // scanning the document; `...Name` spreads are left as `...`-prefixed
+    // marker selections and spliced after every definition is parsed
+    // (fragments may be declared after their first use).
+    private var fragments = Map.empty[String, Seq[GqlSelection]]
+
+    def document(): GqlOperation = {
+      var roots: Seq[GqlSelection] = Nil
+      var sawOp = false
+      while (peek.isDefined) peek match {
+        case Some(TName("fragment")) =>
+          next()
+          val fn = name()
+          next() match {
+            case TName("on") => ()
+            case other => throw ParseException(s"expected 'on', got $other")
+          }
+          name() // type condition — the executable subset keys on fields
+          expect("{")
+          fragments += (fn -> selections())
+        case _ =>
+          if (sawOp) throw ParseException("multiple operations in document")
+          sawOp = true
+          roots = operation().roots
+      }
+      if (!sawOp) throw ParseException("document has no operation")
+      GqlOperation(splice(roots, Set.empty))
+    }
+
+    /** Replace `...Frag` markers with the fragment's (recursively
+      * spliced) selections; `seen` guards against spread cycles.
+      */
+    private def splice(sels: Seq[GqlSelection],
+        seen: Set[String]): Seq[GqlSelection] =
+      sels.flatMap { s =>
+        if (s.name.startsWith("...")) {
+          val fn = s.name.drop(3)
+          if (seen(fn)) throw ParseException(s"fragment cycle at $fn")
+          val body = fragments.getOrElse(fn,
+            throw ParseException(s"undefined fragment $fn"))
+          splice(body, seen + fn)
+        } else Seq(s.copy(children = splice(s.children, seen)))
+      }
 
     def operation(): GqlOperation = {
       // optional `query [Name]` / `mutation [Name]` header, then optional
@@ -133,6 +177,10 @@ object GqlParser {
       while (!done) peek match {
         case Some(TPunct("}")) => next(); done = true
         case Some(TName(_)) => out += selection()
+        case Some(TPunct(".")) =>
+          // `...Frag` spread → marker selection, spliced in document()
+          expect("."); expect("."); expect(".")
+          out += GqlSelection(None, "..." + name(), Nil, Nil, Nil)
         case other => throw ParseException(s"expected selection, got $other")
       }
       out.result()
@@ -204,5 +252,5 @@ object GqlParser {
 
   def parse(query: String,
       variables: Map[String, GVal] = Map.empty): GqlOperation =
-    new P(tokenize(query), variables).operation()
+    new P(tokenize(query), variables).document()
 }

@@ -77,6 +77,16 @@ object GraphqlQueries {
             |    source } }""".stripMargin)(s, d)
         .orderBy(col("uid"))),
 
+    // named fragments (reference graphql/schema: fragment spreads
+    // expanded before rewrite): same rewrite as writing the fields inline
+    "graphql_fragments" -> ((s, d) =>
+      gql("""query {
+            |  queryCustomer(filter: { mktsegment: { eq: "FURNITURE" } }) {
+            |    ...cust located_in { ...nat } } }
+            |fragment cust on Customer { name acctbal }
+            |fragment nat on Nation { name }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
     // operation variables (reference graphql/resolve: $vars substituted
     // before rewrite): caller values flow into filter + pagination; the
     // unset $lo falls back to its declared default
@@ -195,6 +205,12 @@ object GraphqlQueries {
          |WHERE list_has_all($docStemsSql,
          | ['filter', 'merg', 'sort'])
          |ORDER BY uid""".stripMargin,
+
+    "graphql_fragments" ->
+      s"""SELECT $CB + c_custkey AS uid, c_name AS name, c_acctbal AS acctbal,
+         | $NB + c_nationkey AS located_in, n_name AS located_in_name
+         |FROM customer JOIN nation ON n_nationkey = c_nationkey
+         |WHERE c_mktsegment = 'FURNITURE' ORDER BY uid""".stripMargin,
 
     "graphql_variables" ->
       s"""SELECT uid, name, acctbal FROM (

@@ -24,6 +24,40 @@ object SpecialQueries {
   private val cxSql = "(c_custkey * 7919) % 7200"
   private val cySql = "(c_custkey * 104729) % 3400"
 
+  /** L-shaped (non-convex, reflex corner at (3000,1600)) outer ring with
+    * a rectangular hole — `geo_within_ring` filters on its GeoJSON form.
+    */
+  private val geoOuter = Seq((0L, 0L), (6000L, 0L), (6000L, 1600L),
+    (3000L, 1600L), (3000L, 3200L), (0L, 3200L))
+  private val geoHole = Seq((800L, 800L), (2200L, 800L), (2200L, 2400L),
+    (800L, 2400L))
+  private val geoLPoly = {
+    def ring(vs: Seq[(Long, Long)]) =
+      (vs :+ vs.head).map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+    s"""{"type":"Polygon","coordinates":[${ring(geoOuter)},${ring(geoHole)}]}"""
+  }
+
+  /** The same even-odd ray-cast the engine runs, as DuckDB SQL: per
+    * non-horizontal edge one half-open span + cross-multiplied crossing
+    * test, summed and reduced mod 2.
+    */
+  private def raySql(xS: String, yS: String, verts: Seq[(Long, Long)]): String = {
+    val terms = verts.indices.flatMap { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.length)
+      val d = y2 - y1
+      if (d == 0L) None
+      else {
+        val span =
+          if (d > 0) s"$yS >= $y1 AND $yS < $y2"
+          else s"$yS >= $y2 AND $yS < $y1"
+        val cmp = if (d > 0) "<" else ">"
+        Some(s"CASE WHEN $span AND ($xS - $x1) * $d $cmp ${x2 - x1} * ($yS - $y1) THEN 1 ELSE 0 END")
+      }
+    }
+    s"(${terms.mkString(" + ")}) % 2 = 1"
+  }
+
   /** Porter-lite stemmer shared by both engines: one suffix strip. */
   private val stemRe = "(ing|ed|es|e|s)$"
   private def stem(w: Column): Column = regexp_replace(w, stemRe, "")
@@ -116,6 +150,18 @@ object SpecialQueries {
         .select(k, cx(k).as("x"), cy(k).as("y"))
         .filter(bboxIntersects(col("x") - 100, col("y") - 100,
           col("x") + 100, col("y") + 100, 3000, 1500, 4200, 1900))
+        .orderBy(k)
+    }),
+
+    // within(GeoJSON Polygon): NON-convex outer ring (reflex corner at
+    // (3000,1600)) with a hole — even-odd ray casting, the general
+    // polygon semantics of types/geofilter.go:212 (S2 loops), parsed
+    // from a GeoJSON literal like the reference's stored geo values
+    "geo_within_ring" -> ((s, d) => {
+      val k = col("c_custkey")
+      t(s, d, "customer")
+        .select(k, cx(k).as("x"), cy(k).as("y"))
+        .filter(withinGeoJson(col("x"), col("y"), geoLPoly))
         .orderBy(k)
     }),
 
@@ -238,6 +284,13 @@ object SpecialQueries {
       s"""SELECT c_custkey, x, y FROM (
          | SELECT c_custkey, $cxSql AS x, $cySql AS y FROM customer)
          |WHERE x - 100 <= 4200 AND x + 100 >= 3000 AND y - 100 <= 1900 AND y + 100 >= 1500
+         |ORDER BY c_custkey""".stripMargin,
+
+    "geo_within_ring" ->
+      s"""SELECT c_custkey, x, y FROM (
+         | SELECT c_custkey, $cxSql AS x, $cySql AS y FROM customer)
+         |WHERE (${raySql("x", "y", geoOuter)})
+         |  AND NOT (${raySql("x", "y", geoHole)})
          |ORDER BY c_custkey""".stripMargin,
 
     // DuckDB has no bcrypt; the oracle is the GROUND TRUTH by construction

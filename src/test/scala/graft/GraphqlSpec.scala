@@ -59,6 +59,29 @@ class GraphqlSpec extends AnyFunSuite {
     assert(err.getMessage.contains("seg"))
   }
 
+  test("named fragments: spreads spliced at any depth, cycles rejected") {
+    val op = GqlParser.parse(
+      """query {
+        |  queryCustomer(first: 2) { ...core located_in { ...place } }
+        |}
+        |fragment core on Customer { name acctbal }
+        |fragment place on Nation { name }""".stripMargin)
+    val r = op.roots.head
+    assert(r.children.map(_.name) == Seq("name", "acctbal", "located_in"))
+    assert(r.children.last.children.map(_.name) == Seq("name"))
+    val cyc = intercept[GqlParser.ParseException] {
+      GqlParser.parse(
+        """query { queryCustomer { ...a } }
+          |fragment a on Customer { ...b }
+          |fragment b on Customer { ...a }""".stripMargin)
+    }
+    assert(cyc.getMessage.contains("cycle"))
+    val undef = intercept[GqlParser.ParseException] {
+      GqlParser.parse("query { queryCustomer { ...nope } }")
+    }
+    assert(undef.getMessage.contains("undefined fragment"))
+  }
+
   test("SDL parser: lists, ID fields, @search tokenizers") {
     val s = SdlParser.parse(
       """type Author {
