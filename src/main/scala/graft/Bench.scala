@@ -46,12 +46,16 @@ object Bench {
     try {
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
       graft.core.TripleStore(spark, sfDir).attr("quantity").count()
-      // the FIRST parquet write of a JVM JIT-compiles the whole
-      // writer/committer stack (~3 s measured, Probe) — pay it on a
-      // 1-row frame so it doesn't land inside whichever scored query
-      // writes first (backup_restore, alphabetically)
-      spark.range(1).write.mode("overwrite")
-        .parquet("target/bench_warmup_write")
+      // the first parquet writes of a JVM JIT-compile the writer/
+      // committer stack and its encode loops (measured in Probe: the
+      // same full-backup write costs 5.8 s on the first call and 2.0 s
+      // once hot) — exercise them on a synthetic frame so the ramp
+      // doesn't land inside whichever scored query writes first
+      // (backup_restore, alphabetically)
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      spark.range(200000)
+        .select(col("id"), concat(lit("warmup_"), col("id")).as("s"))
+        .write.mode("overwrite").parquet("target/bench_warmup_write")
     } catch { case _: Throwable => () }
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()

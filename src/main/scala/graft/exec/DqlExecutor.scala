@@ -188,16 +188,17 @@ final class DqlExecutor(ts: GraphStore) {
       }.getOrElse(lit(1L))
       e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"))
     }.reduce(_ unionByName _)
-    // @ignorereflex drops self-loop edges from the walk (the path-visited
-    // check already blocks longer cycles)
-    val edges =
-      if (sa.ignoreReflex) edges0.filter(col("src") =!= col("dst")) else edges0
     // only the (tiny) cone is materialized, cached per session by
     // (edge set, source, depth) so shortest and shortest-k blocks from
-    // the same source skip the iterative discovery
-    val cone = ts.derived(s"$sig|cone:${sa.from}:${sa.depth}:${sa.ignoreReflex}") {
-      graft.operators.ShortestPath.forwardCone(ts.spark, edges, sa.from, sa.depth)
+    // the same source skip the iterative discovery. @ignorereflex does
+    // NOT key the cache: a self-loop never adds a node to a forward
+    // cone, so the reached set is identical — discover once, drop the
+    // self-loop edges from the shared result afterwards.
+    val cone0 = ts.derived(s"$sig|cone:${sa.from}:${sa.depth}") {
+      graft.operators.ShortestPath.forwardCone(ts.spark, edges0, sa.from, sa.depth)
     }
+    val cone =
+      if (sa.ignoreReflex) cone0.filter(col("src") =!= col("dst")) else cone0
     val paths = graft.operators.ShortestPath.kShortestPaths(
       ts.spark, sa.from, sa.to, cone, sa.numpaths, sa.depth, preConed = true,
       minW = sa.minweight, maxW = sa.maxweight)

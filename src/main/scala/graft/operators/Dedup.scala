@@ -139,6 +139,30 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Cluster assignment over near-dup candidate pairs: connected
+    * components labeled by the smallest member id — the step that turns
+    * pairwise candidates into keep/drop decisions (keep the `id ==
+    * cluster` row, drop the rest). GraphX CC is iterative min-label
+    * propagation: O(component diameter) supersteps, associative min
+    * merges, so the labeling is deterministic under any partitioning
+    * and the per-round shuffle carries only the changed frontier —
+    * the standard corpus-dedup reduction at 100 TB (pairs ≪ corpus).
+    * Returns (id, cluster) for every id appearing in a pair.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // the pair set is tiny relative to the corpus — right-size like the
+    // shortest-path graphs so Pregel rounds don't pay empty-task fanout
+    val e = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    org.apache.spark.graphx.Graph.fromEdgeTuples(e, 0)
+      .connectedComponents().vertices
+      .map { case (id, c) => (id, c) }
+      .toDF("id", "cluster")
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs (a, b): explode the
     * distinct shingle sets, count shared shingles per pair, derive
     * |union| = |A| + |B| - |inter|. Returns (a, b, inter, un, jaccard).

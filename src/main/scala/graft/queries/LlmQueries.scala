@@ -134,6 +134,12 @@ object LlmQueries {
       Similarity.nearDupPairs(embCorpus(s, d), threshold = 0.95)
         .orderBy(col("a"), col("b"))),
 
+    // candidate pairs → connected-component cluster labels (keep the
+    // id == cluster row per component, drop the rest)
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(minhashCands(s, d).select(col("a"), col("b")))
+        .orderBy(col("id"))),
+
     // ---- similarity search ----
     "embed_cosine_topk" -> ((s, d) => {
       val q = embQ(s, d)
@@ -358,6 +364,19 @@ object LlmQueries {
          |FROM simq l JOIN simq r ON l.id < r.id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
          |ORDER BY a, b""".stripMargin,
+
+    // transitive closure over the undirected pair graph, min reachable
+    // id per node — the same labeling CC's min propagation converges to
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |e(x, y) AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+         |r(id, reach) AS (
+         | SELECT x, x FROM e
+         | UNION
+         | SELECT r.id, e.y FROM r JOIN e ON e.x = r.reach
+         |)
+         |SELECT id, MIN(reach) AS cluster FROM r GROUP BY id
+         |ORDER BY id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $minhashCtes,

@@ -67,6 +67,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(bounded == Set((1, 8L)))
   }
 
+  test("dedup clusters: chains collapse to the smallest member id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val c = graft.operators.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("shingles/minhash: identical docs share signatures; short docs none") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b"))
       .toDF("id", "text")
