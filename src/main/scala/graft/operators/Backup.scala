@@ -95,8 +95,11 @@ object Backup {
     // frame for nothing (measured ~2x the write time at sf0.1). At
     // 100 TB the same holds as long as sources stay per-predicate;
     // only a mixed-predicate source would need a local sort.
+    // lz4: measurably faster to encode than the snappy default (~15%
+    // on the write-bound path, Probe) at comparable ratio — backup is
+    // write-once, read-rarely, so encode speed wins
     tripleFrame(store)
-      .write.mode("overwrite")
+      .write.mode("overwrite").option("compression", "lz4")
       .partitionBy("predicate").parquet(s"$dir/triples")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "schema.graft"),
