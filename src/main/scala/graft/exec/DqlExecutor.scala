@@ -243,7 +243,12 @@ final class DqlExecutor(ts: GraphStore) {
       }
       v.filter(cmp).select(col("uid"))
     case "type" =>
-      ts.nodeTypes.filter(col("typeName") === fn.pred).select(col("subject").as("uid"))
+      // extra args = additional matching type names (the GraphQL
+      // rewriter's interface expansion; plain DQL type(T) has none)
+      val names = fn.pred +: fn.args
+      val seeds = ts.nodeTypes.filter(col("typeName").isin(names: _*))
+        .select(col("subject").as("uid"))
+      if (fn.args.isEmpty) seeds else seeds.distinct()
     case "has" =>
       val src = if (schema.isUidPredicate(fn.pred)) ts.edge(fn.pred) else ts.attr(fn.pred)
       src.select(col("subject").as("uid")).distinct()

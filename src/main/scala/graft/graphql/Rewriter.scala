@@ -77,15 +77,24 @@ final class Rewriter(schema: GqlSchema) {
               case Seq(("in", GList(vs))) =>
                 (FuncCall("eq", f, vs.map(scalar)), typeFilter(t))
               case _ =>
-                (FuncCall("type", t.name, Nil), Some(filterNode(o, t)))
+                (typeFunc(t), Some(filterNode(o, t)))
             }
-          case _ => (FuncCall("type", t.name, Nil), Some(filterNode(o, t)))
+          case _ => (typeFunc(t), Some(filterNode(o, t)))
         }
-      case _ => (FuncCall("type", t.name, Nil), None)
+      case _ => (typeFunc(t), None)
     }
 
+  /** type(T) seed/filter; for an interface the extra args carry the
+    * implementing type names (an interface query matches every
+    * implementer — reference graphql/schema/gqlschema.go interface
+    * query fields).
+    */
+  private def typeFunc(t: SdlType): FuncCall =
+    FuncCall("type", t.name,
+      if (t.isInterface) schema.implementers(t.name) else Nil)
+
   private def typeFilter(t: SdlType): Option[FilterNode] =
-    Some(FilterLeaf(FuncCall("type", t.name, Nil)))
+    Some(FilterLeaf(typeFunc(t)))
 
   // ---- get<T> ----
 

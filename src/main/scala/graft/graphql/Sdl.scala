@@ -18,7 +18,8 @@ final case class SdlField(
     isId: Boolean,
     searchable: Seq[String])     // @search(by: [...]) tokenizer names
 
-final case class SdlType(name: String, fields: Seq[SdlField]) {
+final case class SdlType(name: String, fields: Seq[SdlField],
+    isInterface: Boolean = false, implements: Seq[String] = Nil) {
   def field(n: String): Option[SdlField] = fields.find(_.name == n)
 }
 
@@ -26,6 +27,13 @@ final class GqlSchema(val types: Map[String, SdlType]) {
   def typ(n: String): SdlType = types.getOrElse(n,
     throw new IllegalArgumentException(s"unknown GraphQL type: $n"))
   def isObjectType(n: String): Boolean = types.contains(n)
+
+  /** Concrete types implementing interface `i` (reference
+    * graphql/schema/gqlschema.go: an interface's query field matches
+    * every implementing type). Empty for concrete types.
+    */
+  def implementers(i: String): Seq[String] =
+    types.values.filter(_.implements.contains(i)).map(_.name).toSeq.sorted
 }
 
 object SdlParser {
@@ -37,12 +45,15 @@ object SdlParser {
     val src = sdl.linesIterator.map(l => l.indexOf('#') match {
       case -1 => l; case i => l.substring(0, i)
     }).mkString("\n")
-    val typePat = """(?s)type\s+(\w+)\s*\{(.*?)\}""".r
+    val typePat =
+      """(?s)(type|interface)\s+(\w+)(?:\s+implements\s+([\w\s&]+?))?\s*\{(.*?)\}""".r
     val fieldPat = """(\w+)\s*:\s*(\[)?\s*(\w+)\s*!?\s*(\])?\s*!?\s*((?:@\w+(?:\([^)]*\))?\s*)*)""".r
     val searchByPat = """@search\s*\(\s*by\s*:\s*\[([^\]]*)\]\s*\)""".r
-    val types = typePat.findAllMatchIn(src).map { m =>
-      val tname = m.group(1)
-      val body = m.group(2)
+    val raw = typePat.findAllMatchIn(src).map { m =>
+      val tname = m.group(2)
+      val impls = Option(m.group(3)).map(
+        _.split("&").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val body = m.group(4)
       val fields = fieldPat.findAllMatchIn(body).map { f =>
         val dirText = Option(f.group(5)).getOrElse("")
         val search =
@@ -57,8 +68,18 @@ object SdlParser {
           isId = f.group(3) == "ID" || dirText.contains("@id"),
           searchable = search)
       }.toSeq
-      tname -> SdlType(tname, fields)
+      tname -> SdlType(tname, fields,
+        isInterface = m.group(1) == "interface", implements = impls)
     }.toMap
+    // implementing types inherit the interface's fields (reference
+    // gqlschema: implementers don't redeclare them); own fields win on
+    // a name clash
+    val types = raw.map { case (n, t) =>
+      val inherited = t.implements.flatMap(i => raw.get(i).toSeq)
+        .flatMap(_.fields)
+        .filterNot(f => t.fields.exists(_.name == f.name))
+      n -> t.copy(fields = inherited ++ t.fields)
+    }
     new GqlSchema(types)
   }
 
@@ -75,19 +96,18 @@ object SdlParser {
       name: String! @search(by: [exact, term])
       in_region: Region
     }
-    type Customer {
-      id: ID!
-      name: String! @search(by: [exact, term, trigram])
-      mktsegment: String @search(by: [exact])
-      acctbal: Float @search
-      located_in: Nation
-      placed: [Order]
-    }
-    type Supplier {
+    interface Party {
       id: ID!
       name: String! @search(by: [exact, term])
       acctbal: Float @search
       located_in: Nation
+    }
+    type Customer implements Party {
+      name: String! @search(by: [exact, term, trigram])
+      mktsegment: String @search(by: [exact])
+      placed: [Order]
+    }
+    type Supplier implements Party {
     }
     type Part {
       id: ID!

@@ -77,6 +77,16 @@ object GraphqlQueries {
             |    source } }""".stripMargin)(s, d)
         .orderBy(col("uid"))),
 
+    // interface query (reference graphql/schema/gqlschema.go: an
+    // interface's query field matches every implementing type) —
+    // queryParty returns customers AND suppliers through the inherited
+    // name/acctbal/located_in fields
+    "graphql_interface" -> ((s, d) =>
+      gql("""query {
+            |  queryParty(filter: { acctbal: { le: -800.0 } }) {
+            |    name acctbal located_in { name } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
     // named fragments (reference graphql/schema: fragment spreads
     // expanded before rewrite): same rewrite as writing the fields inline
     "graphql_fragments" -> ((s, d) =>
@@ -204,6 +214,20 @@ object GraphqlQueries {
       s"""SELECT $DB + doc_id AS uid, source FROM documents
          |WHERE list_has_all($docStemsSql,
          | ['filter', 'merg', 'sort'])
+         |ORDER BY uid""".stripMargin,
+
+    "graphql_interface" ->
+      s"""SELECT uid, name, acctbal, located_in, located_in_name FROM (
+         | SELECT $CB + c_custkey AS uid, c_name AS name,
+         |  c_acctbal AS acctbal, ${Uids.Nation} + c_nationkey AS located_in,
+         |  n_name AS located_in_name
+         | FROM customer JOIN nation ON n_nationkey = c_nationkey
+         | WHERE c_acctbal <= -800.0
+         | UNION ALL
+         | SELECT ${Uids.Supplier} + s_suppkey, s_name, s_acctbal,
+         |  ${Uids.Nation} + s_nationkey, n_name
+         | FROM supplier JOIN nation ON n_nationkey = s_nationkey
+         | WHERE s_acctbal <= -800.0)
          |ORDER BY uid""".stripMargin,
 
     "graphql_fragments" ->

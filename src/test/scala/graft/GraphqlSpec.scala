@@ -82,6 +82,24 @@ class GraphqlSpec extends AnyFunSuite {
     assert(undef.getMessage.contains("undefined fragment"))
   }
 
+  test("interfaces: field inheritance and implementer expansion") {
+    val sch = SdlParser.parse(
+      """interface Named { id: ID!  name: String @search(by: [term]) }
+        |type A implements Named { extra: Int }
+        |type B implements Named { name: String @search(by: [exact]) }
+        |type C { name: String }""".stripMargin)
+    assert(sch.typ("Named").isInterface)
+    assert(sch.implementers("Named") == Seq("A", "B"))
+    // A inherits id+name; B's redeclared name wins over the inherited one
+    assert(sch.typ("A").field("name").exists(_.searchable == Seq("term")))
+    assert(sch.typ("A").field("id").exists(_.isId))
+    assert(sch.typ("B").field("name").exists(_.searchable == Seq("exact")))
+    // queryParty (tpch) seeds type(Party, Customer, Supplier)
+    val q = rewrite("query { queryParty { name } }")
+    assert(q.blocks.head.func.name == "type")
+    assert(q.blocks.head.func.args == Seq("Customer", "Supplier"))
+  }
+
   test("SDL parser: lists, ID fields, @search tokenizers") {
     val s = SdlParser.parse(
       """type Author {
