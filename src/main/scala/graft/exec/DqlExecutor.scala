@@ -914,7 +914,105 @@ final class DqlExecutor(ts: GraphStore) {
     outs.reduce(_ unionByName _)
   }
 
+  /** Nested JSON for @recurse blocks: the reference re-applies the child
+    * template per level and renders the reached TREE (query/recurse.go:19
+    * expandRecurse + outputnode.go preTraverse) — each node object
+    * carries its scalar leaves and, under each edge predicate's key, its
+    * children at the next depth. Assembly is leaves-up: one
+    * string-aggregation per depth, every join keyed on uids — no
+    * row-by-row work, depth many shuffles.
+    */
+  private def recurseJson(b: QueryBlock): DataFrame = {
+    val r = b.recurse.get
+    var frontier = seed(b.func).select(col("uid")).distinct()
+    b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
+    val (preds, scalars) =
+      b.selections.partition(s => schema.isUidPredicate(s.pred))
+    val edges = preds.map { s =>
+      val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+      e.select(col("subject"), col("object"), lit(jsonKey(s)).as("pred"))
+    }.reduce(_ unionByName _)
+    val tree = graft.operators.Recurse.expandTree(
+      frontier.select(col("uid").as("start")), edges, r.depth, r.loop)
+    // scalar leaves for every reached node, roots included
+    val nodes = frontier.select(col("uid").as("node"))
+      .unionByName(tree.select(col("node"))).distinct()
+    val leaves = scalars.foldLeft(nodes) { (acc, s) =>
+      acc.join(ts.attr(s.pred)
+          .select(col("subject").as("__ls"), col("value").as(jsonKey(s))),
+        col("node") === col("__ls"), "left").drop("__ls")
+    }
+    val isList = preds.map(s =>
+      jsonKey(s) -> (schema.predicates.get(s.pred).forall(_.isList) || s.reverse))
+      .toMap
+    // node object = the pre-rendered `__obj_base` (uid + leaves via
+    // to_json), child segments spliced in before the closing brace in
+    // query order; a null child segment contributes nothing
+    def objCol(kidCol: String => Option[Column]): Column = {
+      val segs = preds.flatMap { s =>
+        val k = jsonKey(s)
+        kidCol(k).map { c =>
+          val rendered =
+            if (isList(k)) concat(lit("["), c, lit("]")) else c
+          when(c.isNotNull, concat(lit(s""","$k":"""), rendered))
+            .otherwise(lit(""))
+        }
+      }
+      if (segs.isEmpty) col("__obj_base")
+      else concat(
+        (expr("substring(__obj_base, 1, length(__obj_base) - 1)")
+          +: segs :+ lit("}")): _*)
+    }
+    // deepest level first: fold (start, parent) → one rendered child
+    // segment column per predicate key
+    val maxD = r.depth
+    var kids: DataFrame = null // (__ks, __kp, __k_<key> ...)
+    val predKeys = preds.map(jsonKey)
+    for (d <- maxD to 1 by -1) {
+      var lvl = tree.filter(col("depth") === d).join(leaves, Seq("node"), "left")
+      if (kids != null)
+        lvl = lvl.join(kids,
+          lvl("start") === kids("__ks") && lvl("node") === kids("__kp"),
+          "left").drop("__ks", "__kp")
+      val kidCol = (k: String) =>
+        if (kids != null && lvl.columns.contains(s"__k_$k"))
+          Some(col(s"__k_$k")) else None
+      val withObj = lvl
+        .withColumn("__obj_base", to_json(struct(
+          (hexUid(col("node")).as("uid") +:
+            scalars.map(s => col(jsonKey(s)).as(jsonKey(s)))): _*), jsonOpts))
+        .withColumn("__obj", objCol(kidCol))
+      val perPred = withObj
+        .groupBy(col("start"), col("parent"), col("pred"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("node").as("o"), col("__obj").as("p")))),
+          x => x.getField("p")), ",").as("__arr"))
+      kids = perPred.groupBy(col("start").as("__ks"), col("parent").as("__kp"))
+        .agg(predKeys.map(k =>
+            max(when(col("pred") === k, col("__arr"))).as(s"__k_$k")).head,
+          predKeys.map(k =>
+            max(when(col("pred") === k, col("__arr"))).as(s"__k_$k")).tail: _*)
+    }
+    var root = frontier.select(col("uid"))
+      .join(leaves, col("uid") === leaves("node"), "left")
+      .drop("node").withColumn("node", col("uid"))
+    if (kids != null)
+      root = root.join(kids,
+        root("uid") === kids("__ks") && root("uid") === kids("__kp"), "left")
+        .drop("__ks", "__kp")
+    val rootKid = (k: String) =>
+      if (kids != null && root.columns.contains(s"__k_$k"))
+        Some(col(s"__k_$k")) else None
+    root
+      .withColumn("__obj_base", to_json(struct(
+        (hexUid(col("node")).as("uid") +:
+          scalars.map(s => col(jsonKey(s)).as(jsonKey(s)))): _*), jsonOpts))
+      .select(col("uid"), objCol(rootKid).as("json"))
+      .orderBy(col("uid"))
+  }
+
   private def jsonBlock(b: QueryBlock, includeUid: Boolean = true): DataFrame = {
+    if (b.recurse.isDefined) return recurseJson(b)
     keepChildRank = true
     val flatDf = try flatBlock(b) finally { keepChildRank = false }
     // counts are scalar leaves even when they count a (reverse) uid pred

@@ -60,6 +60,57 @@ object Recurse {
     else out
   }
 
+  /** Tree-shaped expansion for NESTED recurse output: tracks which parent
+    * and edge predicate reached each node. edges: (subject, object,
+    * pred). Returns (start, parent, pred, node, depth); without loop,
+    * each (start, node) appears once at its minimum depth, under the
+    * deterministic min-(pred, parent) tiebreak when several edges reach
+    * it in the same round (the reference renders the node under the
+    * first uidMatrix entry; ours is the total-order analogue).
+    */
+  def expandTree(seeds: DataFrame, edges: DataFrame, maxDepth: Int,
+      loop: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("subject"), col("object"), col("pred"))
+    var frontier = seeds.select(col("start"), col("start").as("node"))
+      .distinct().localCheckpoint(true)
+    var visited = frontier
+    var out: DataFrame = null
+    var depth = 1
+    var done = false
+    while (depth <= maxDepth && !done) {
+      var next = frontier.join(e, frontier("node") === e("subject"))
+        .select(frontier("start"), frontier("node").as("parent"),
+          e("pred"), e("object").as("node"))
+      if (!loop) {
+        next = next.join(visited, Seq("start", "node"), "left_anti")
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("start"), col("node"))
+              .orderBy(col("pred"), col("parent"))))
+          .filter(col("__rk") === 1).drop("__rk")
+      }
+      next = next.localCheckpoint(true)
+      if (next.isEmpty) { done = true }
+      else {
+        val lvl = next.withColumn("depth", lit(depth))
+        out = if (out == null) lvl else out.unionByName(lvl)
+        if (!loop) visited = visited
+          .unionByName(next.select(col("start"), col("node")))
+          .localCheckpoint(true)
+        frontier = next.select(col("start"), col("node"))
+        depth += 1
+      }
+    }
+    if (out == null) {
+      val s = seeds.sparkSession
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("start", LongType),
+          StructField("parent", LongType), StructField("pred", StringType),
+          StructField("node", LongType), StructField("depth", IntegerType))))
+    } else out
+  }
+
   /** Path-tracking expansion with `@ignorereflex` semantics: never revisit
     * an ancestor on the current path (reference query/query.go:155
     * ParentIds check). Returns (start, node, depth, path ARRAY<LONG>).

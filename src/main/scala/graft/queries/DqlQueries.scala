@@ -291,7 +291,17 @@ object DqlQueries {
             |        orderstatus }
             |    }
             |    docs(func: type(Document), first: 15) { text@en:.  source } }""".stripMargin)(s, d)
-        .orderBy(col("block"), col("uid")))
+        .orderBy(col("block"), col("uid"))),
+
+    // @recurse rendered as NESTED JSON: the reference re-applies the
+    // child template per level and nests each node's children under the
+    // edge predicate that reached them (query/recurse.go:19 +
+    // outputnode.go preTraverse) — customer → located_in nation →
+    // in_region region, names at every level
+    "dql_recurse_json" -> ((s, d) =>
+      dqlJson("""{ q(func: le(acctbal, -800)) @recurse(depth: 2) {
+            |    name located_in in_region } }""".stripMargin)(s, d)
+        .orderBy(col("uid")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,6 +374,26 @@ object DqlQueries {
          | FROM seeds JOIN nation ON n_nationkey = nk
          |   JOIN region ON r_regionkey = n_regionkey
          |) ORDER BY start, depth, node""".stripMargin,
+
+    "dql_recurse_json" ->
+      s"""WITH seeds AS (
+         | SELECT $CB + c_custkey AS uid, c_nationkey AS nk, c_name AS name
+         | FROM customer WHERE c_acctbal <= -800
+         | UNION ALL
+         | SELECT $SB + s_suppkey, s_nationkey, s_name
+         | FROM supplier WHERE s_acctbal <= -800),
+         |reg AS (SELECT r_regionkey,
+         | '{"uid":"0x' || printf('%x', $RB + r_regionkey) || '","name":' ||
+         |  to_json(r_name) || '}' AS obj FROM region),
+         |natobj AS (SELECT n_nationkey,
+         | '{"uid":"0x' || printf('%x', $NB + n_nationkey) || '","name":' ||
+         |  to_json(n_name) || ',"in_region":' || reg.obj || '}' AS obj
+         | FROM nation JOIN reg ON reg.r_regionkey = n_regionkey)
+         |SELECT 'q' AS block, uid,
+         | '{"uid":"0x' || printf('%x', uid) || '","name":' || to_json(name) ||
+         |  ',"located_in":' || natobj.obj || '}' AS json
+         |FROM seeds JOIN natobj ON natobj.n_nationkey = seeds.nk
+         |ORDER BY uid""".stripMargin,
 
     "dql_expand" ->
       s"""SELECT ${Uids.Part} + p_partkey AS uid, p_name AS name, p_brand AS brand,

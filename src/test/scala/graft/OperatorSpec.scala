@@ -35,6 +35,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(paths == Set((2L, 1), (3L, 2)))
   }
 
+  test("expandTree: parent/pred tracked, min-(pred,parent) tiebreak") {
+    // 1 reaches 4 via both 2 (pred b) and 3 (pred a) at depth 2 —
+    // the tree keeps the (a, 3) edge (min pred wins)
+    val edges = Seq((1L, 2L, "b"), (1L, 3L, "a"), (2L, 4L, "b"), (3L, 4L, "a"))
+      .toDF("subject", "object", "pred")
+    val seeds = Seq(1L).toDF("start")
+    val t = graft.operators.Recurse.expandTree(seeds, edges, maxDepth = 3)
+      .select("parent", "pred", "node", "depth")
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(t == Set((1L, "b", 2L, 1), (1L, "a", 3L, 1), (3L, "a", 4L, 2)))
+  }
+
   test("ShortestPath.sssp relaxes through cheaper long routes") {
     // 1→3 direct cost 10; 1→2→3 cost 3
     val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L))
