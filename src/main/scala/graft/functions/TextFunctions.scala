@@ -97,6 +97,21 @@ object TextFunctions {
     hits(ws, (enStops ++ deStops ++ frStops ++ esStops).distinct)
 
   /** Canonical document fingerprint: md5 of the sorted distinct tokens. */
+  /** PII redaction for training corpora: emails → `<EMAIL>`, dotted
+    * IPv4 → `<IP>`, 9+ digit runs (cards, SSNs, phone blocks) → `<NUM>`.
+    * A pure codegen'd regexp_replace chain — zero shuffle, streams at
+    * scan speed; email first so its digits can't half-match the number
+    * rule. Patterns stay in the RE2 ∩ java.util.regex common subset so
+    * the DuckDB oracle runs the identical expressions.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      "\\d{9,}", "<NUM>")
+
   def fingerprint(ws: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(ws))))
 

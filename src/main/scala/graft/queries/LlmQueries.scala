@@ -77,6 +77,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrub: documents carry no natural PII, so both engines inject
+    // the same deterministic email/IP/card suffix, then redact — the
+    // hash-match asserts the redaction rules themselves
+    "text_redact" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 card 4111111111111111"))).as("clean"))
+        .orderBy(col("doc_id"))),
+
     "text_quality" -> ((s, d) => {
       val ws = words(col("text"))
       t(s, d, "documents").select(
@@ -310,6 +322,17 @@ object LlmQueries {
       """SELECT doc_id, len(string_split(text,' ')) AS n_ws,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
         | len(list_distinct(string_split(text,' '))) AS n_unique
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |   '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |   '.7 card 4111111111111111',
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\d{9,}', '<NUM>', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
