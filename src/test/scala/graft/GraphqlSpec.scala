@@ -173,6 +173,20 @@ class GraphqlSpec extends AnyFunSuite {
     assert(ok.length == 1 && ok.head.getString(0) == "queryNation")
   }
 
+  test("aliased root fields with conflicting args resolve independently") {
+    val df = engine.json(
+      """query {
+        |  rich: queryCustomer(filter: { acctbal: { ge: 8000.0 } }) { name }
+        |  poor: queryCustomer(filter: { acctbal: { le: 0.0 } }) { name }
+        |}""".stripMargin)
+    val byBlock = df.collect().groupBy(_.getAs[String]("block"))
+    assert(byBlock.keySet == Set("rich", "poor"))
+    // the two aliased roots carry different filters — no row overlap
+    val rich = byBlock("rich").map(_.getAs[Long]("uid")).toSet
+    val poor = byBlock("poor").map(_.getAs[Long]("uid")).toSet
+    assert(rich.nonEmpty && poor.nonEmpty && rich.intersect(poor).isEmpty)
+  }
+
   test("execution: get by id returns exactly the row") {
     val df = engine.flat(s"""{ getCustomer(id: "${Uids.Customer + 1}") { name } }""")
     val rows = df.collect()
