@@ -31,12 +31,19 @@ object Backup {
   /** The store's canonical triple frame: every attribute tablet plus the
     * edge table, facets re-formatted to the N-Quad `k=v, ...` string.
     */
-  def tripleFrame(store: GraphStore): DataFrame = {
+  def tripleFrame(store: GraphStore,
+      only: Set[String] = Set.empty): DataFrame = {
+    // `only` selects predicates for a SELECTIVE backup (reference
+    // restore supports per-predicate selection; the partitionBy layout
+    // makes the restore side prune the same way). Branch-level pruning:
+    // unselected tablets never even reach the plan.
+    def keep(name: String) = only.isEmpty || only(name)
     // vectors and password hashes are excluded: at scale each backs up
     // as its own typed parquet (an ARRAY<FLOAT> column has no faithful
     // string round-trip through the generic triples frame)
     val attrPreds = store.schema.predicates.values.toSeq.sortBy(_.name)
       .filter(p => !Set("uid", "float32vector", "password").contains(p.dgraphType))
+      .filter(p => keep(p.name))
     val attrs = attrPreds.flatMap { p =>
       // unmaterialized predicates may not exist in a given store; skip
       scala.util.Try {
@@ -53,14 +60,24 @@ object Backup {
       concat_ws(", ", transform(map_keys(col("facets")),
         k => concat(k, lit("="), element_at(col("facets"), k)))))
       .otherwise(lit(null).cast("string"))
-    val edges = store.edges.select(col("subject"), col("predicate"),
-      col("object").as("objectUid"), lit(null).cast("string").as("value"),
-      lit(null).cast("string").as("lang"), facetStr.as("facets"))
-    val types = store.nodeTypes.select(col("subject"),
-      lit("dgraph.type").as("predicate"), lit(null).cast("long").as("objectUid"),
-      col("typeName").as("value"), lit(null).cast("string").as("lang"),
-      lit(null).cast("string").as("facets"))
-    (attrs :+ edges :+ types).reduce(_ unionByName _)
+    val uidPreds = store.schema.predicates.values.toSeq
+      .filter(p => p.dgraphType == "uid" && keep(p.name)).map(_.name)
+    val edges =
+      if (uidPreds.isEmpty) Nil
+      else Seq(store.edges
+        .filter(if (only.isEmpty) lit(true) else col("predicate").isin(uidPreds: _*))
+        .select(col("subject"), col("predicate"),
+          col("object").as("objectUid"), lit(null).cast("string").as("value"),
+          lit(null).cast("string").as("lang"), facetStr.as("facets")))
+    val types =
+      if (!keep("dgraph.type")) Nil
+      else Seq(store.nodeTypes.select(col("subject"),
+        lit("dgraph.type").as("predicate"), lit(null).cast("long").as("objectUid"),
+        col("typeName").as("value"), lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("facets")))
+    val branches = attrs ++ edges ++ types
+    require(branches.nonEmpty, s"selective backup matched no predicates: $only")
+    branches.reduce(_ unionByName _)
   }
 
   /** Predicate schema in /alter syntax (round-trips through
@@ -85,7 +102,8 @@ object Backup {
   /** Full backup: triples parquet (partitioned by predicate for
     * selective restore) + schema manifest.
     */
-  def full(store: GraphStore, dir: String): Unit = {
+  def full(store: GraphStore, dir: String,
+      only: Set[String] = Set.empty): Unit = {
     // NO pre-write shuffle: every tripleFrame union branch carries a
     // LITERAL predicate, so each input partition already holds exactly
     // one predicate and partitionBy produces one file per (task,
@@ -98,7 +116,7 @@ object Backup {
     // lz4: measurably faster to encode than the snappy default (~15%
     // on the write-bound path, Probe) at comparable ratio — backup is
     // write-once, read-rarely, so encode speed wins
-    tripleFrame(store)
+    tripleFrame(store, only)
       .write.mode("overwrite").option("compression", "lz4")
       .partitionBy("predicate").parquet(s"$dir/triples")
     java.nio.file.Files.write(
@@ -108,14 +126,23 @@ object Backup {
 
   /** Incremental backup `inc-N`: the CDC diff between the last backed-up
     * frame and the current one (op=set/delete change events).
+    *
+    * One full-outer join instead of two `except`s (same rationale as
+    * CdcSink.diff): each `except` re-shuffles BOTH snapshots; the join
+    * shuffles each side once for its distinct and reuses that
+    * partitioning. Null-safe `<=>` keys preserve set semantics
+    * (objectUid/value are null on the attr/edge side respectively).
     */
   def incremental(dir: String, n: Int, prev: DataFrame, cur: DataFrame): Unit = {
     val key = Seq("subject", "predicate", "objectUid", "value")
-    val sets = cur.select(key.map(col): _*)
-      .except(prev.select(key.map(col): _*)).withColumn("op", lit("set"))
-    val dels = prev.select(key.map(col): _*)
-      .except(cur.select(key.map(col): _*)).withColumn("op", lit("delete"))
-    sets.unionByName(dels).write.mode("overwrite").parquet(s"$dir/inc-$n")
+    val o = prev.select(key.map(col): _*).distinct().as("o")
+    val c = cur.select(key.map(col): _*).distinct().as("c")
+    val cond = key.map(k => col(s"o.$k") <=> col(s"c.$k")).reduce(_ && _)
+    o.join(c, cond, "full_outer")
+      .filter(col("o.subject").isNull.or(col("c.subject").isNull))
+      .select(key.map(k => coalesce(col(s"c.$k"), col(s"o.$k")).as(k)) :+
+        when(col("o.subject").isNull, lit("set")).otherwise(lit("delete")).as("op"): _*)
+      .write.mode("overwrite").parquet(s"$dir/inc-$n")
   }
 
   /** Restore: read the full triples, replay incrementals in order,

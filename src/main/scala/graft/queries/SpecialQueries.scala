@@ -247,6 +247,27 @@ object SpecialQueries {
         .select(col("subject"), col("value")).orderBy(col("subject"))
     }),
 
+    // Selective full backup + incremental replay (reference backup
+    // series, worker/backup.go: full + inc-N applied in order on
+    // restore): back up two tablets, diff a mutated snapshot against
+    // the original, restore = base minus deletes plus sets
+    "backup_incremental" -> ((s, d) => {
+      val ts = graft.core.TripleStore(s, d)
+      val dir = new java.io.File(
+        s"target/graft-backupinc_${new java.io.File(d).getName}" +
+          s"_${System.identityHashCode(s)}").getAbsolutePath
+      val only = Set("mktsegment", "name")
+      graft.operators.Backup.full(ts, dir, only)
+      val prev = graft.operators.Backup.tripleFrame(ts, only)
+      val cur = prev.withColumn("value",
+        when(col("predicate") === "mktsegment" && col("value") === "BUILDING",
+          "CONSTRUCTION").otherwise(col("value")))
+      graft.operators.Backup.incremental(dir, 1, prev, cur)
+      graft.operators.Backup.restore(s, dir, ts.facetKeys)
+        .attr("mktsegment")
+        .select(col("subject"), col("value")).orderBy(col("subject"))
+    }),
+
     // ---- JSON export (worker/export.go:216 JSON branch) ----
     "export_json" -> ((s, d) => {
       val n = t(s, d, "nation")
@@ -373,6 +394,12 @@ object SpecialQueries {
          | UNION ALL SELECT ${Uids.Supplier} + s_suppkey, s_name FROM supplier
          | UNION ALL SELECT ${Uids.Part} + p_partkey, p_name FROM part
          |) ORDER BY subject""".stripMargin,
+
+    "backup_incremental" ->
+      s"""SELECT ${Uids.Customer} + c_custkey AS subject,
+         | CASE WHEN c_mktsegment = 'BUILDING' THEN 'CONSTRUCTION'
+         |      ELSE c_mktsegment END AS value
+         |FROM customer ORDER BY subject""".stripMargin,
 
     "export_json" ->
       s"""SELECT ${Uids.Nation} + n_nationkey AS uid,
