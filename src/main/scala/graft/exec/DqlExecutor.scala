@@ -118,7 +118,12 @@ final class DqlExecutor(ts: GraphStore) {
         val (preds, scalars) =
           b.selections.partition(s => schema.isUidPredicate(s.pred))
         val edges = preds.map { s =>
-          val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+          val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+          // `friend @filter(...)` under @recurse: the re-applied child
+          // template keeps its filter — targets failing it are neither
+          // returned nor expanded (reference expandRecurse re-runs the
+          // full child sg each level, filters included)
+          val e = s.filter.map(f => applyFilter(e0, "object", f)).getOrElse(e0)
           e.select(col("subject"), col("object"))
         }.reduce(_ unionByName _)
         val reached = Recurse.expand(frontier.select(col("uid").as("start")),
@@ -929,7 +934,8 @@ final class DqlExecutor(ts: GraphStore) {
     val (preds, scalars) =
       b.selections.partition(s => schema.isUidPredicate(s.pred))
     val edges = preds.map { s =>
-      val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+      val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+      val e = s.filter.map(f => applyFilter(e0, "object", f)).getOrElse(e0)
       e.select(col("subject"), col("object"), lit(jsonKey(s)).as("pred"))
     }.reduce(_ unionByName _)
     val tree = graft.operators.Recurse.expandTree(

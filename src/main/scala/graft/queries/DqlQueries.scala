@@ -56,6 +56,14 @@ object DqlQueries {
       dql("""{ q(func: le(acctbal, -800)) @recurse(depth: 3) { located_in in_region } }""")(s, d)
         .orderBy(col("start"), col("depth"), col("node"))),
 
+    // @filter inside the recurse template: targets failing it are
+    // neither returned nor expanded — the filtered nation's region
+    // stays reachable, every other branch is cut
+    "dql_recurse_filter" -> ((s, d) =>
+      dql("""{ q(func: le(acctbal, -800)) @recurse(depth: 2) {
+            |    located_in @filter(eq(name, "NATION_19"))  in_region } }""".stripMargin)(s, d)
+        .orderBy(col("start"), col("depth"), col("node"))),
+
     // @recurse with scalar leaves: the reference re-applies the FULL
     // child template per level (query/recurse.go:19 expandRecurse), so
     // `{ name located_in in_region }` returns each reached node's name
@@ -356,6 +364,19 @@ object DqlQueries {
          | SELECT start, $NB + nk AS node, 1 AS depth FROM seeds
          | UNION ALL
          | SELECT start, $RB + n_regionkey, 2 FROM seeds JOIN nation ON n_nationkey = nk
+         |) ORDER BY start, depth, node""".stripMargin,
+
+    "dql_recurse_filter" ->
+      s"""WITH seeds AS (
+         | SELECT $CB + c_custkey AS start, c_nationkey AS nk FROM customer WHERE c_acctbal <= -800
+         | UNION ALL
+         | SELECT $SB + s_suppkey, s_nationkey FROM supplier WHERE s_acctbal <= -800),
+         |hit AS (SELECT start, n_nationkey, n_regionkey FROM seeds
+         | JOIN nation ON n_nationkey = nk WHERE n_name = 'NATION_19')
+         |SELECT * FROM (
+         | SELECT start, $NB + n_nationkey AS node, 1 AS depth FROM hit
+         | UNION ALL
+         | SELECT start, $RB + n_regionkey, 2 FROM hit
          |) ORDER BY start, depth, node""".stripMargin,
 
     "dql_recurse_values" ->
