@@ -82,6 +82,7 @@ final case class QueryBlock(
     recurse: Option[RecurseArgs] = None,
     selections: Seq[Selection] = Nil,
     shortest: Option[ShortestArgs] = None,
-    blockVar: Option[String] = None)   // `sp as shortest(...)` binding
+    blockVar: Option[String] = None,   // `sp as shortest(...)` binding
+    cascadeFields: Seq[String] = Nil)  // @cascade(f1, f2): only these required
 
 final case class DqlQuery(blocks: Seq[QueryBlock])

@@ -110,12 +110,26 @@ object Parser {
       expect(")")
       var filter: Option[FilterNode] = None
       var cascade = false; var normalize = false
+      var cascadeFields = Vector.empty[String]
       var recurse: Option[RecurseArgs] = None
       while (peek == Punct("@")) {
         next()
         ident() match {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
-          case "cascade" => cascade = true
+          case "cascade" =>
+            cascade = true
+            // @cascade(f1, f2): parameterized — only the listed fields
+            // are mandatory (reference graphql/dql parameterized cascade)
+            if (peek == Punct("(")) {
+              next()
+              var first = true
+              while (peek != Punct(")")) {
+                if (!first) expect(",")
+                first = false
+                cascadeFields :+= ident()
+              }
+              next()
+            }
           case "normalize" => normalize = true
           case "recurse" =>
             expect("(")
@@ -138,7 +152,8 @@ object Parser {
       }
       val sels = parseSelectionSet()
       QueryBlock(name, func.getOrElse(fail("block missing func")), filter,
-        order, page, cascade, normalize, recurse, sels, blockVar = blockVar)
+        order, page, cascade, normalize, recurse, sels, blockVar = blockVar,
+        cascadeFields = cascadeFields)
     }
 
     private def parseSelectionSet(): Seq[Selection] = {

@@ -152,10 +152,25 @@ final class DqlExecutor(ts: GraphStore) {
         // is PER-PARENT (reference evalLevelAgg) and stays in project()
         aggregateBlock(frontier, b)
       case None =>
+        // @cascade(f1, f2) — parameterized: ONLY the listed fields are
+        // mandatory; everything else keeps left-join semantics. Runs as
+        // a plain (non-cascade) projection plus a null filter on the
+        // named columns — row-level nulls are exactly the missed joins.
+        val paramCascade = b.cascade && b.cascadeFields.nonEmpty
+        val fullCascade = b.cascade && b.cascadeFields.isEmpty
         val paged =
           if (b.cascade) frontier // paginate after cascade pruning (below)
           else orderAndPage(frontier, "uid", b.order, b.page)
-        val projected = project(paged, "uid", b.selections, b.cascade, "")
+        val projected0 = project(paged, "uid", b.selections, fullCascade, "")
+        val projected =
+          if (!paramCascade) projected0
+          else {
+            val need = b.cascadeFields.map { f =>
+              b.selections.find(s => s.outName == f || s.pred == f)
+                .map(_.outName).getOrElse(f)
+            }
+            projected0.filter(need.map(c => col(c).isNotNull).reduce(_ && _))
+          }
         if (b.cascade) {
           // @cascade drops roots missing any branch (inner joins), then
           // pagination re-applies on the survivors

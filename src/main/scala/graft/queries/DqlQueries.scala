@@ -73,6 +73,15 @@ object DqlQueries {
             |    name located_in in_region } }""".stripMargin)(s, d)
         .orderBy(col("start"), col("depth"), col("node"))),
 
+    // parameterized cascade: ONLY `placed` is mandatory; the filtered
+    // located_in branch stays optional (full @cascade would drop every
+    // customer outside NATION_3)
+    "dql_cascade_param" -> ((s, d) =>
+      dql("""{ q(func: eq(mktsegment, "BUILDING")) @cascade(placed) {
+            |    name  placed { orderstatus }
+            |    located_in @filter(eq(name, "NATION_3")) { name } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"), col("placed"))),
+
     "dql_expand" -> ((s, d) =>
       dql("""{ q(func: eq(brand, "Brand#12")) { expand(_all_) } }""")(s, d)
         .orderBy(col("uid"))),
@@ -365,6 +374,17 @@ object DqlQueries {
          | UNION ALL
          | SELECT start, $RB + n_regionkey, 2 FROM seeds JOIN nation ON n_nationkey = nk
          |) ORDER BY start, depth, node""".stripMargin,
+
+    "dql_cascade_param" ->
+      s"""SELECT $CB + c_custkey AS uid, c_name AS name,
+         | $OB + o_orderkey AS placed, o_orderstatus AS placed_orderstatus,
+         | CASE WHEN n_name = 'NATION_3' THEN $NB + c_nationkey END AS located_in,
+         | CASE WHEN n_name = 'NATION_3' THEN n_name END AS located_in_name
+         |FROM customer
+         | JOIN orders ON o_custkey = c_custkey
+         | JOIN nation ON n_nationkey = c_nationkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |ORDER BY uid, placed""".stripMargin,
 
     "dql_recurse_filter" ->
       s"""WITH seeds AS (
