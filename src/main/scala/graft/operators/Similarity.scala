@@ -190,6 +190,52 @@ object Similarity {
         cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
   }
 
+  /** Persist a trained IVF index: centroids as metadata parquet (cell,
+    * centroid) plus the corpus written PARTITIONED BY assigned cell —
+    * the build-once/search-many layout. At scale a probe becomes a
+    * directory-pruned scan of `probes` cell partitions; nothing else is
+    * read (the reference persists its HNSW the same build-once way,
+    * tok/hnsw/persistent_hnsw.go). Returns the trained centroids.
+    */
+  def ivfWrite(corpus: DataFrame, dir: String, nCells: Int,
+      iters: Int = 3): Seq[Seq[Long]] = {
+    val cents = trainIvfCentroids(corpus, nCells, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col("id"), col("qe"))
+      .withColumn("cell", assignCell(col("qe"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    cents
+  }
+
+  /** Load a persisted IVF index: (cell-partitioned corpus, centroids). */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Seq[Seq[Long]]) = {
+    val cents = spark.read.parquet(s"$dir/centroids").orderBy(col("cell"))
+      .select(col("centroid")).collect().map(_.getSeq[Long](0).toSeq).toSeq
+    (spark.read.parquet(s"$dir/cells"), cents)
+  }
+
+  /** IVF search over a PERSISTED index: the stored corpus already
+    * carries its cell (a partition column), so the probe-cell equi-join
+    * prunes to `probes` directories — no assignment pass, no corpus
+    * shuffle. probes = nCells degrades gracefully to exact search.
+    */
+  def ivfSearchStored(queries: DataFrame, stored: DataFrame, k: Int,
+      cents: Seq[Seq[Long]], probes: Int): DataFrame = {
+    val c = withNorm(stored).select(col("id").as("nid"), col("cell"),
+      col("qe").as("nv"), col("__nrm").as("nn"))
+    val q = withNorm(queries)
+      .select(col("id").as("qid"), col("qe").as("qv"), col("__nrm").as("qn"),
+        explode(probeCells(col("qe"), cents, probes)).as("cell"))
+    rankTopK(broadcast(q).join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
+  }
+
   /** Near-duplicate pairs: same cell, quantized cosine above threshold. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val n = withNorm(corpus)

@@ -165,6 +165,23 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // build-once/search-many: train, persist (centroid metadata + cell-
+    // partitioned corpus), reload, search. Full probe (= exact) so the
+    // oracle is plain brute force — the hash-match gates the index
+    // write→read→search plumbing; quantizer QUALITY is the recall suite
+    // in SimilaritySpec
+    "embed_ann_ivf_store" -> ((s, d) => {
+      val q = embQ(s, d).select(col("id"), col("qe"))
+      val dir = new java.io.File(
+        s"target/graft-ivf_${new java.io.File(d).getName}" +
+          s"_${System.identityHashCode(s)}").getAbsolutePath
+      Similarity.ivfWrite(q, dir, nCells = 8)
+      val (stored, cents) = Similarity.ivfRead(s, dir)
+      Similarity.ivfSearchStored(q.filter(col("id") % 50 === 0), stored,
+        k = 2, cents, probes = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "similar_to_uid" -> ((s, d) => {
       // reference similar_to(vp, 5, <uid 0>) (worker/task.go:2171)
       val q = embQ(s, d)
@@ -430,6 +447,16 @@ object LlmQueries {
          | FROM q qs JOIN q c ON c.id <> qs.id
          | WHERE qs.id % 100 = 0)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "embed_ann_ivf_store" ->
+      s"""WITH q AS ($embQSql)
+         |SELECT qid, nid, sim, rank FROM (
+         | SELECT qs.id AS qid, c.id AS nid, ${cosSql("qs.qe", "c.qe")} AS sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qs.id
+         |    ORDER BY ${cosSql("qs.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
+         | FROM q qs JOIN q c ON c.id <> qs.id
+         | WHERE qs.id % 50 = 0)
+         |WHERE rank <= 2 ORDER BY qid, rank""".stripMargin,
 
     "embed_ann_ivf" ->
       s"""WITH q AS ($embQSql)

@@ -104,4 +104,21 @@ class SimilaritySpec extends AnyFunSuite {
     val c2 = Similarity.trainIvfCentroids(base.repartition(13), nCells = 8, iters = 2)
     assert(c1 == c2)
   }
+
+  test("persisted IVF index searches identically to the direct path") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val queries = base.filter($"id" % 25 === 0)
+    val dir = "target/spec-ivf-index"
+    val cents = Similarity.ivfWrite(base, dir, nCells = 8, iters = 2)
+    val (stored, loaded) = Similarity.ivfRead(spark, dir)
+    assert(loaded == cents) // centroid metadata round-trips exactly
+    // partial probes: stored-index search == direct search, row for row
+    val direct = Similarity.ivfSearchTopK(queries, base, 3, cents, probes = 2)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    val viaIndex = Similarity.ivfSearchStored(queries, stored, 3, loaded, probes = 2)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    assert(viaIndex == direct)
+  }
 }
