@@ -132,20 +132,29 @@ object Parser {
             }
           case "normalize" => normalize = true
           case "recurse" =>
-            expect("(")
-            var depth = 1; var loop = false
-            var first = true
-            while (peek != Punct(")")) {
-              if (!first) expect(",")
-              first = false
-              val k = ident(); expect(":")
-              k match {
-                case "depth" => depth = intLit()
-                case "loop" => loop = ident() == "true"
-                case o => fail(s"unknown recurse arg $o")
+            // bare @recurse = unlimited depth (the seen-set terminates
+            // it); depth counts template applications INCLUDING the root
+            // (reference TestRecurseQueryLimitDepth1: depth 2 = root +
+            // one hop). loop: true without a depth never terminates —
+            // the reference rejects it too (TestRecurseError).
+            var depth = Int.MaxValue; var loop = false
+            if (peek == Punct("(")) {
+              next()
+              var first = true
+              while (peek != Punct(")")) {
+                if (!first) expect(",")
+                first = false
+                val k = ident(); expect(":")
+                k match {
+                  case "depth" => depth = intLit()
+                  case "loop" => loop = ident() == "true"
+                  case o => fail(s"unknown recurse arg $o")
+                }
               }
+              next() // ')'
             }
-            expect(")")
+            if (loop && depth == Int.MaxValue)
+              fail("@recurse with loop: true requires an explicit depth")
             recurse = Some(RecurseArgs(depth, loop))
           case other => fail(s"unknown directive @$other")
         }

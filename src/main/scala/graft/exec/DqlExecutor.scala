@@ -99,6 +99,13 @@ final class DqlExecutor(ts: GraphStore) {
   private def bindsVar(sels: Seq[Selection], v: String): Boolean =
     sels.exists(s => s.varName.contains(v) || bindsVar(s.children, v))
 
+  /** Reference recurse depth counts template applications INCLUDING the
+    * root (TestRecurseQueryLimitDepth1: depth 2 = root + one hop); the
+    * expansion operators count edge hops.
+    */
+  private def recurseHops(r: RecurseArgs): Int =
+    if (r.depth == Int.MaxValue) r.depth else math.max(0, r.depth - 1)
+
   private def flatBlock(b: QueryBlock): DataFrame = {
     b.shortest.foreach { sa => return shortestBlock(b, sa) }
     var frontier = seed(b.func).select(col("uid")).distinct()
@@ -127,7 +134,7 @@ final class DqlExecutor(ts: GraphStore) {
           e.select(col("subject"), col("object"))
         }.reduce(_ unionByName _)
         val reached = Recurse.expand(frontier.select(col("uid").as("start")),
-          edges, r.depth, r.loop)
+          edges, recurseHops(r), r.loop)
         if (scalars.isEmpty) reached
         else {
           // depth 0 = the template applied to the root itself
@@ -942,19 +949,22 @@ final class DqlExecutor(ts: GraphStore) {
     * string-aggregation per depth, every join keyed on uids — no
     * row-by-row work, depth many shuffles.
     */
-  private def recurseJson(b: QueryBlock): DataFrame = {
+  private def recurseJson(b: QueryBlock, includeUid: Boolean): DataFrame = {
     val r = b.recurse.get
     var frontier = seed(b.func).select(col("uid")).distinct()
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
+    // unknown predicates in the template are legal and ignored
+    // (reference TestRecurseQuery selects nonexistent_pred)
     val (preds, scalars) =
-      b.selections.partition(s => schema.isUidPredicate(s.pred))
+      b.selections.filter(s => schema.predicates.contains(s.pred))
+        .partition(s => schema.isUidPredicate(s.pred))
     val edges = preds.map { s =>
       val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
       val e = s.filter.map(f => applyFilter(e0, "object", f)).getOrElse(e0)
       e.select(col("subject"), col("object"), lit(jsonKey(s)).as("pred"))
     }.reduce(_ unionByName _)
     val tree = graft.operators.Recurse.expandTree(
-      frontier.select(col("uid").as("start")), edges, r.depth, r.loop)
+      frontier.select(col("uid").as("start")), edges, recurseHops(r), r.loop)
     // scalar leaves for every reached node, roots included
     val nodes = frontier.select(col("uid").as("node"))
       .unionByName(tree.select(col("node"))).distinct()
@@ -980,13 +990,37 @@ final class DqlExecutor(ts: GraphStore) {
         }
       }
       if (segs.isEmpty) col("__obj_base")
-      else concat(
-        (expr("substring(__obj_base, 1, length(__obj_base) - 1)")
-          +: segs :+ lit("}")): _*)
+      else {
+        // child segments each start with "," — when the scalar part is
+        // empty ("{}") the first comma must go
+        val body0 = concat(segs: _*)
+        val body = when(col("__obj_base") === "{}",
+          substring(body0, 2, Int.MaxValue)).otherwise(body0)
+        concat(expr("substring(__obj_base, 1, length(__obj_base) - 1)"),
+          body, lit("}"))
+      }
+    }
+    // the node object's scalar part: uid (when requested) + leaves
+    val baseFields =
+      (if (includeUid) Seq(hexUid(col("node")).as("uid")) else Nil) ++
+        scalars.map(s => col(jsonKey(s)).as(jsonKey(s)))
+    val baseJson =
+      if (baseFields.isEmpty) lit("{}")
+      else to_json(struct(baseFields: _*), jsonOpts)
+    // value-less elision (reference omits nodes whose requested values
+    // are ALL absent — TestRecurseQuery drops the nameless friend):
+    // without a uid key an occurrence renders only if a leaf or a child
+    // segment survives
+    def keep(kidCols: Seq[Column]): Column = {
+      if (includeUid) lit(true)
+      else (scalars.map(s => col(jsonKey(s)).isNotNull) ++
+        kidCols.map(_.isNotNull))
+        .foldLeft(lit(false))(_ || _)
     }
     // deepest level first: fold (start, parent) → one rendered child
     // segment column per predicate key
-    val maxD = r.depth
+    val maxD = tree.agg(max(col("depth"))).collect().headOption
+      .flatMap(r0 => Option(r0.get(0))).map(_.asInstanceOf[Int]).getOrElse(0)
     var kids: DataFrame = null // (__ks, __kp, __k_<key> ...)
     val predKeys = preds.map(jsonKey)
     for (d <- maxD to 1 by -1) {
@@ -999,9 +1033,8 @@ final class DqlExecutor(ts: GraphStore) {
         if (kids != null && lvl.columns.contains(s"__k_$k"))
           Some(col(s"__k_$k")) else None
       val withObj = lvl
-        .withColumn("__obj_base", to_json(struct(
-          (hexUid(col("node")).as("uid") +:
-            scalars.map(s => col(jsonKey(s)).as(jsonKey(s)))): _*), jsonOpts))
+        .filter(keep(predKeys.flatMap(kidCol)))
+        .withColumn("__obj_base", baseJson)
         .withColumn("__obj", objCol(kidCol))
       val perPred = withObj
         .groupBy(col("start"), col("parent"), col("pred"))
@@ -1025,15 +1058,14 @@ final class DqlExecutor(ts: GraphStore) {
       if (kids != null && root.columns.contains(s"__k_$k"))
         Some(col(s"__k_$k")) else None
     root
-      .withColumn("__obj_base", to_json(struct(
-        (hexUid(col("node")).as("uid") +:
-          scalars.map(s => col(jsonKey(s)).as(jsonKey(s)))): _*), jsonOpts))
+      .filter(keep(predKeys.flatMap(rootKid)))
+      .withColumn("__obj_base", baseJson)
       .select(col("uid"), objCol(rootKid).as("json"))
       .orderBy(col("uid"))
   }
 
   private def jsonBlock(b: QueryBlock, includeUid: Boolean = true): DataFrame = {
-    if (b.recurse.isDefined) return recurseJson(b)
+    if (b.recurse.isDefined) return recurseJson(b, includeUid)
     keepChildRank = true
     val flatDf = try flatBlock(b) finally { keepChildRank = false }
     // counts are scalar leaves even when they count a (reverse) uid pred

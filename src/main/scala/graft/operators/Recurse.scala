@@ -62,15 +62,19 @@ object Recurse {
 
   /** Tree-shaped expansion for NESTED recurse output: tracks which parent
     * and edge predicate reached each node. edges: (subject, object,
-    * pred). Returns (start, parent, pred, node, depth); without loop,
-    * each (start, node) appears once at its minimum depth, under the
-    * deterministic min-(pred, parent) tiebreak when several edges reach
-    * it in the same round (the reference renders the node under the
-    * first uidMatrix entry; ours is the total-order analogue).
+    * pred). Returns (start, parent, pred, node, depth) — one row per
+    * EDGE encountered walking out from expanded nodes.
+    *
+    * Reference semantics (query/recurse.go expandRecurse + the
+    * TestRecurseQuery golden): every edge from an expanded node RENDERS
+    * its target — an already-seen target still appears under the new
+    * parent, it just isn't expanded again (its occurrence carries leaves
+    * only, since its children were generated at its first-reach level).
+    * With loop=true nothing is deduped and every occurrence re-expands
+    * until the depth cap.
     */
   def expandTree(seeds: DataFrame, edges: DataFrame, maxDepth: Int,
       loop: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("subject"), col("object"), col("pred"))
     var frontier = seeds.select(col("start"), col("start").as("node"))
       .distinct().localCheckpoint(true)
@@ -79,26 +83,23 @@ object Recurse {
     var depth = 1
     var done = false
     while (depth <= maxDepth && !done) {
-      var next = frontier.join(e, frontier("node") === e("subject"))
+      val raw = frontier.join(e, frontier("node") === e("subject"))
         .select(frontier("start"), frontier("node").as("parent"),
           e("pred"), e("object").as("node"))
-      if (!loop) {
-        next = next.join(visited, Seq("start", "node"), "left_anti")
-          .withColumn("__rk", row_number().over(
-            Window.partitionBy(col("start"), col("node"))
-              .orderBy(col("pred"), col("parent"))))
-          .filter(col("__rk") === 1).drop("__rk")
-      }
-      next = next.localCheckpoint(true)
-      if (next.isEmpty) { done = true }
+        .localCheckpoint(true)
+      if (raw.isEmpty) { done = true }
       else {
-        val lvl = next.withColumn("depth", lit(depth))
-        out = if (out == null) lvl else out.unionByName(lvl)
-        if (!loop) visited = visited
-          .unionByName(next.select(col("start"), col("node")))
-          .localCheckpoint(true)
-        frontier = next.select(col("start"), col("node"))
+        out = if (out == null) raw.withColumn("depth", lit(depth))
+          else out.unionByName(raw.withColumn("depth", lit(depth)))
+        var next = raw.select(col("start"), col("node")).distinct()
+        if (!loop) {
+          next = next.join(visited, Seq("start", "node"), "left_anti")
+            .localCheckpoint(true)
+          visited = visited.unionByName(next).localCheckpoint(true)
+        }
+        frontier = next
         depth += 1
+        if (!loop && next.isEmpty) done = true
       }
     }
     if (out == null) {

@@ -60,7 +60,7 @@ object DqlQueries {
     // neither returned nor expanded — the filtered nation's region
     // stays reachable, every other branch is cut
     "dql_recurse_filter" -> ((s, d) =>
-      dql("""{ q(func: le(acctbal, -800)) @recurse(depth: 2) {
+      dql("""{ q(func: le(acctbal, -800)) @recurse(depth: 3) {
             |    located_in @filter(eq(name, "NATION_19"))  in_region } }""".stripMargin)(s, d)
         .orderBy(col("start"), col("depth"), col("node"))),
 
@@ -316,7 +316,7 @@ object DqlQueries {
     // outputnode.go preTraverse) — customer → located_in nation →
     // in_region region, names at every level
     "dql_recurse_json" -> ((s, d) =>
-      dqlJson("""{ q(func: le(acctbal, -800)) @recurse(depth: 2) {
+      dqlJson("""{ q(func: le(acctbal, -800)) @recurse(depth: 3) {
             |    name located_in in_region } }""".stripMargin)(s, d)
         .orderBy(col("uid")))
   )

@@ -135,6 +135,30 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
   // ---- goldens ported verbatim from the reference test suite ----
 
+  test("golden: TestRecurseQuery (query3_test.go:75)") {
+    // unknown predicate ignored; seen nodes still render under later
+    // parents as leaves (Michonne under Rick, Glenn under Andrea); the
+    // nameless friend 0x65 is elided
+    checkGolden(
+      """{ me(func: uid(0x01)) @recurse { nonexistent_pred friend name } }""",
+      """{"data": {"me":[{"name":"Michonne", "friend":[{"name":"Rick Grimes", "friend":[{"name":"Michonne"}]},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea", "friend":[{"name":"Glenn Rhee"}]}]}]}}""")
+  }
+
+  test("golden: TestRecurseQueryLimitDepth1 (query3_test.go:161)") {
+    // depth counts template applications INCLUDING the root: depth 2 =
+    // root + one hop, no second-level friend lists
+    checkGolden(
+      """{ me(func: uid(0x01)) @recurse(depth: 2) { friend name } }""",
+      """{"data": {"me":[{"name":"Michonne", "friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}]}}""")
+  }
+
+  test("golden: TestRecurseQueryAllowLoop2 (query3_test.go:147)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) @recurse(depth: 4, loop: true) {
+        |    friend dob name } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"friend":[{"friend":[{"dob":"1910-01-02T00:00:00Z","name":"Rick Grimes"},{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},{"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},{"dob":"1901-01-15T00:00:00Z","name":"Andrea"}],"dob":"1910-01-01T00:00:00Z","name":"Michonne"}],"dob":"1910-01-02T00:00:00Z","name":"Rick Grimes"},{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},{"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},{"friend":[{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"}],"dob":"1901-01-15T00:00:00Z","name":"Andrea"}],"dob":"1910-01-01T00:00:00Z","name":"Michonne"}]}}""")
+  }
+
   test("golden: TestGetUID (query0_test.go:27)") {
     checkGolden(
       """{ me(func: uid(0x01)) { name uid gender alive friend { uid name } } }""",

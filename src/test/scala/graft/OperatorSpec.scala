@@ -35,16 +35,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(paths == Set((2L, 1), (3L, 2)))
   }
 
-  test("expandTree: parent/pred tracked, min-(pred,parent) tiebreak") {
-    // 1 reaches 4 via both 2 (pred b) and 3 (pred a) at depth 2 —
-    // the tree keeps the (a, 3) edge (min pred wins)
-    val edges = Seq((1L, 2L, "b"), (1L, 3L, "a"), (2L, 4L, "b"), (3L, 4L, "a"))
-      .toDF("subject", "object", "pred")
+  test("expandTree: every edge renders; targets expand only once") {
+    // 1 reaches 4 via both 2 and 3 at depth 2: BOTH occurrences render
+    // (reference lists a node under every parent that links it); 4's own
+    // out-edge expands once, not twice
+    val edges = Seq((1L, 2L, "b"), (1L, 3L, "a"), (2L, 4L, "b"), (3L, 4L, "a"),
+      (4L, 5L, "a")).toDF("subject", "object", "pred")
     val seeds = Seq(1L).toDF("start")
-    val t = graft.operators.Recurse.expandTree(seeds, edges, maxDepth = 3)
+    val t = graft.operators.Recurse.expandTree(seeds, edges, maxDepth = 4)
+      .select("parent", "pred", "node", "depth")
+      .as[(Long, String, Long, Int)].collect().toList
+    assert(t.toSet == Set((1L, "b", 2L, 1), (1L, "a", 3L, 1),
+      (2L, "b", 4L, 2), (3L, "a", 4L, 2), (4L, "a", 5L, 3)))
+    assert(t.count(_ == ((4L, "a", 5L, 3))) == 1) // expanded once
+    // a seen node still renders under a later parent, as a leaf
+    val back = Seq((1L, 2L, "f"), (2L, 1L, "f"))
+      .toDF("subject", "object", "pred")
+    val t2 = graft.operators.Recurse.expandTree(
+      Seq(1L).toDF("start"), back, maxDepth = 5)
       .select("parent", "pred", "node", "depth")
       .as[(Long, String, Long, Int)].collect().toSet
-    assert(t == Set((1L, "b", 2L, 1), (1L, "a", 3L, 1), (3L, "a", 4L, 2)))
+    assert(t2 == Set((1L, "f", 2L, 1), (2L, "f", 1L, 2)))
   }
 
   test("ShortestPath.sssp relaxes through cheaper long routes") {
