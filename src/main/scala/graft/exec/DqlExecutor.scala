@@ -196,15 +196,11 @@ final class DqlExecutor(ts: GraphStore) {
     * `sp` the uid set of the BEST path's nodes for later `uid(sp)` blocks
     * (the reference exposes the same via the path variable).
     */
-  private def shortestBlock(b: QueryBlock, sa: ShortestArgs): DataFrame = {
-    // the weighted union stays LAZY — cone discovery streams broadcast
-    // semi-joins over the per-predicate branch scans, so the full union
-    // is never materialized (checkpointing ~1.3M wide rows to find a
-    // 10²-edge cone was the dominant cold cost of every shortest query)
-    val sig = b.selections.map(s =>
-      s"${if (s.reverse) "~" else ""}${s.pred}:${s.facetKeys.headOption.getOrElse("1")}")
-      .mkString("shortest|", ",", "")
-    val edges0 = b.selections.map { s =>
+  /** The shortest block's lazy weighted edge union, tagged with each
+    * edge's predicate key (for `_path_` rendering).
+    */
+  private def shortestEdges(b: QueryBlock): DataFrame =
+    b.selections.map { s =>
       val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
       // weight from the TYPED facet column when present: the string map
       // would be rebuilt on every cone-discovery pass over the lazy
@@ -213,8 +209,19 @@ final class DqlExecutor(ts: GraphStore) {
         if (e.columns.contains(s"_ft_$k")) col(s"_ft_$k").cast("long")
         else element_at(col("facets"), k).cast("long")
       }.getOrElse(lit(1L))
-      e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"))
+      e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"),
+        lit(jsonKey(s)).as("pred"))
     }.reduce(_ unionByName _)
+
+  private def shortestBlock(b: QueryBlock, sa: ShortestArgs): DataFrame = {
+    // the weighted union stays LAZY — cone discovery streams broadcast
+    // semi-joins over the per-predicate branch scans, so the full union
+    // is never materialized (checkpointing ~1.3M wide rows to find a
+    // 10²-edge cone was the dominant cold cost of every shortest query)
+    val sig = b.selections.map(s =>
+      s"${if (s.reverse) "~" else ""}${s.pred}:${s.facetKeys.headOption.getOrElse("1")}")
+      .mkString("shortest|", ",", "")
+    val edges0 = shortestEdges(b).select(col("src"), col("dst"), col("w"))
     // only the (tiny) cone is materialized, cached per session by
     // (edge set, source, depth) so shortest and shortest-k blocks from
     // the same source skip the iterative discovery. @ignorereflex does
@@ -230,9 +237,13 @@ final class DqlExecutor(ts: GraphStore) {
       ts.spark, sa.from, sa.to, cone, sa.numpaths, sa.depth, preConed = true,
       minW = sa.minweight, maxW = sa.maxweight)
     b.blockVar.foreach { v =>
+      // the path variable keeps ROUTE ORDER (reference: blocks seeded
+      // from it render nodes in path order, TestShortestPathRev golden);
+      // consumers that only select `uid` are unaffected
       bindVar(v, paths.filter(col("rank") === 1)
-        .select(explode(split(col("path"), "->")).as("u"))
-        .select(col("u").cast("long").as("uid")).distinct())
+        .select(posexplode(split(col("path"), "->")).as(Seq("__ord", "u")))
+        .select(col("u").cast("long").as("uid"), col("__ord"))
+        .groupBy(col("uid")).agg(min(col("__ord")).as("__ord")))
     }
     paths
   }
@@ -934,8 +945,12 @@ final class DqlExecutor(ts: GraphStore) {
   def jsonAllAst(query: DqlQuery, includeUid: Boolean = true): DataFrame = {
     val outs = query.blocks.flatMap { b =>
       if (b.name == "var") { flatBlock(b); None }
-      else Some(jsonBlock(b, includeUid)
-        .select(lit(b.name).as("block"), col("uid"), col("json")))
+      else {
+        // the reference names every shortest block's output `_path_`
+        val bn = if (b.shortest.isDefined) "_path_" else b.name
+        Some(jsonBlock(b, includeUid)
+          .select(lit(bn).as("block"), col("uid"), col("json")))
+      }
     }
     require(outs.nonEmpty, "query has no result block")
     outs.reduce(_ unionByName _)
@@ -1064,7 +1079,58 @@ final class DqlExecutor(ts: GraphStore) {
       .orderBy(col("uid"))
   }
 
+  /** `_path_` JSON for shortest blocks (reference query/shortest.go
+    * route objects; golden shape query3_test.go TestShortestPath): one
+    * object per returned route, hops nested under the edge predicate
+    * that was walked, total cost as `_weight_` on the outermost node.
+    * Routes are driver-scale (numpaths ≤ k, like the reference's route
+    * list); the only distributed work is one pruned lookup resolving
+    * each hop's predicate.
+    */
+  private def shortestJson(b: QueryBlock): DataFrame = {
+    val session = ts.spark
+    import session.implicits._
+    val paths = flatBlock(b) // (rank, dist, path) — also binds the path var
+    val rows = paths.orderBy(col("rank"))
+      .select(col("rank"), col("dist"), col("path")).collect()
+    val hops = rows.toSeq.flatMap { r =>
+      val ns = r.getString(2).split("->").map(_.toLong)
+      ns.zip(ns.drop(1))
+    }.distinct
+    if (rows.isEmpty)
+      return Seq.empty[(Long, String)].toDF("uid", "json")
+    // resolve each hop's predicate key: pruned edge lookup, min pred on
+    // parallel edges (deterministic)
+    val hopDf = hops.toDF("src", "dst")
+    val predOf = shortestEdges(b)
+      .join(broadcast(hopDf), Seq("src", "dst"), "left_semi")
+      .groupBy(col("src"), col("dst")).agg(min(col("pred")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    def hexS(u: Long) = "0x" + java.lang.Long.toHexString(u)
+    def nest(nodes: List[Long]): String = nodes match {
+      case a :: b :: rest =>
+        s"""{"uid":"${hexS(a)}","${predOf((a, b))}":${nest(b :: rest)}}"""
+      case a :: Nil => s"""{"uid":"${hexS(a)}"}"""
+      case Nil => "{}"
+    }
+    val objs = rows.toSeq.map { r =>
+      val ns = r.getString(2).split("->").map(_.toLong).toList
+      // total cost rides on the outermost node (reference `_weight_`)
+      val whole = ns match {
+        case a :: b :: rest =>
+          s"""{"uid":"${hexS(a)}","_weight_":${r.getLong(1)},""" +
+            s""""${predOf((a, b))}":${nest(b :: rest)}}"""
+        case a :: Nil =>
+          s"""{"uid":"${hexS(a)}","_weight_":${r.getLong(1)}}"""
+        case Nil => "{}"
+      }
+      (ns.head, whole)
+    }
+    objs.toDF("uid", "json")
+  }
+
   private def jsonBlock(b: QueryBlock, includeUid: Boolean = true): DataFrame = {
+    if (b.shortest.isDefined) return shortestJson(b)
     if (b.recurse.isDefined) return recurseJson(b, includeUid)
     keepChildRank = true
     val flatDf = try flatBlock(b) finally { keepChildRank = false }
@@ -1184,9 +1250,20 @@ final class DqlExecutor(ts: GraphStore) {
     val assembled = root
       .select(col("uid"), to_json(struct(fields: _*), jsonOpts).as("json"))
     // the result array keeps the block's requested root order (reference
-    // applies sort before encoding); uid order is only the default
-    if (b.order.isEmpty) assembled.orderBy(col("uid"))
-    else orderAndPage(assembled, "uid", b.order, Pagination())
+    // applies sort before encoding); uid order is only the default —
+    // EXCEPT a block seeded from a shortest-path variable, whose array
+    // keeps the route order the variable carries (TestShortestPathRev)
+    if (b.order.isEmpty) {
+      val routeOrdered =
+        if (b.func.name == "uid" && b.func.args.size == 1)
+          vars.get(b.func.args.head)
+            .filter(_.columns.contains("__ord"))
+            .map(v => assembled
+              .join(v.select(col("uid"), col("__ord")), Seq("uid"), "left")
+              .orderBy(col("__ord"), col("uid")).drop("__ord"))
+        else None
+      routeOrdered.getOrElse(assembled.orderBy(col("uid")))
+    } else orderAndPage(assembled, "uid", b.order, Pagination())
   }
 
   /** RFC3339 timestamps ("1910-01-01T00:00:00Z"), matching the

@@ -124,9 +124,10 @@ class GoldenFixtureSpec extends AnyFunSuite {
       .collect()
     val byBlock = rows.groupBy(_.getString(0))
     val blocks = ast.blocks.filter(_.name != "var").map { b =>
-      val arr = byBlock.getOrElse(b.name, Array.empty)
+      val bn = if (b.shortest.isDefined) "_path_" else b.name
+      val arr = byBlock.getOrElse(bn, Array.empty)
         .map(_.getString(2)).mkString("[", ",", "]")
-      s""""${b.name}": $arr"""
+      s""""$bn": $arr"""
     }
     val ours = s"""{"data": {${blocks.mkString(",")}}}"""
     assert(norm(mapper.readTree(ours)) == norm(mapper.readTree(golden)),
@@ -157,6 +158,20 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """{ me(func: uid(0x01)) @recurse(depth: 4, loop: true) {
         |    friend dob name } }""".stripMargin,
       """{"data":{"me":[{"friend":[{"friend":[{"friend":[{"dob":"1910-01-02T00:00:00Z","name":"Rick Grimes"},{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},{"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},{"dob":"1901-01-15T00:00:00Z","name":"Andrea"}],"dob":"1910-01-01T00:00:00Z","name":"Michonne"}],"dob":"1910-01-02T00:00:00Z","name":"Rick Grimes"},{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},{"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},{"friend":[{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"}],"dob":"1901-01-15T00:00:00Z","name":"Andrea"}],"dob":"1910-01-01T00:00:00Z","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestShortestPath (query3_test.go:914)") {
+    checkGolden(
+      """{ A as shortest(from: 0x01, to: 31) { friend }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"_path_":[{"uid":"0x1", "_weight_": 1, "friend":{"uid":"0x1f"}}],"me":[{"name":"Michonne"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestShortestPathRev (query3_test.go:931)") {
+    checkGolden(
+      """{ A as shortest(from: 23, to: 1) { friend }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"_path_":[{"uid":"0x17","_weight_":1, "friend":{"uid":"0x1"}}],"me":[{"name":"Rick Grimes"},{"name":"Michonne"}]}}""")
   }
 
   test("golden: TestGetUID (query0_test.go:27)") {
