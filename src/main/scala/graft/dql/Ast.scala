@@ -69,7 +69,9 @@ final case class RecurseArgs(depth: Int, loop: Boolean)
   */
 final case class ShortestArgs(from: Long, to: Long, numpaths: Int, depth: Int,
     minweight: Long = Long.MinValue, maxweight: Long = Long.MaxValue,
-    ignoreReflex: Boolean = false)
+    ignoreReflex: Boolean = false,
+    fromVar: Option[String] = None,   // from: uid(a) — var must hold 1 uid
+    toVar: Option[String] = None)
 
 final case class QueryBlock(
     name: String,

@@ -56,14 +56,27 @@ object Parser {
         //          [, minweight: w] [, maxweight: w]) [@ignorereflex]
         var from = -1L; var to = -1L; var numpaths = 1; var depth = 50
         var minW = Long.MinValue; var maxW = Long.MaxValue
+        var fromVar: Option[String] = None; var toVar: Option[String] = None
+        // `from: uid(a)` — endpoint from a uid variable (must resolve to
+        // exactly one uid at execution; reference query3 uid-var tests)
+        def uidOrVar(): Either[Long, String] =
+          if (peek == Ident("uid")) {
+            next(); expect("("); val n = ident(); expect(")"); Right(n)
+          } else Left(uidLit())
         var first = true
         while (peek != Punct(")")) {
           if (!first) expect(",")
           first = false
           val key = ident(); expect(":")
           key match {
-            case "from" => from = uidLit()
-            case "to" => to = uidLit()
+            case "from" => uidOrVar() match {
+              case Left(u) => from = u
+              case Right(n) => fromVar = Some(n)
+            }
+            case "to" => uidOrVar() match {
+              case Left(u) => to = u
+              case Right(n) => toVar = Some(n)
+            }
             case "numpaths" => numpaths = intLit()
             case "depth" => depth = intLit()
             case "minweight" => minW = intLit()
@@ -72,7 +85,8 @@ object Parser {
           }
         }
         expect(")")
-        if (from < 0 || to < 0) fail("shortest requires from: and to:")
+        if ((from < 0 && fromVar.isEmpty) || (to < 0 && toVar.isEmpty))
+          fail("shortest requires from: and to:")
         var ignoreReflex = false
         while (peek == Punct("@")) {
           next()
@@ -85,7 +99,7 @@ object Parser {
         return QueryBlock(name, FuncCall("shortest", "", Nil),
           selections = sels,
           shortest = Some(ShortestArgs(from, to, numpaths, depth,
-            minW, maxW, ignoreReflex)),
+            minW, maxW, ignoreReflex, fromVar, toVar)),
           blockVar = blockVar)
       }
       var func: Option[FuncCall] = None
@@ -159,7 +173,11 @@ object Parser {
           case other => fail(s"unknown directive @$other")
         }
       }
-      val sels = parseSelectionSet()
+      // a bodiless var block is legal: `a as var(func: uid(0x01))` binds
+      // the uid set and selects nothing (reference query3 uid-var tests)
+      val sels =
+        if (name == "var" && peek != Punct("{")) Nil
+        else parseSelectionSet()
       QueryBlock(name, func.getOrElse(fail("block missing func")), filter,
         order, page, cascade, normalize, recurse, sels, blockVar = blockVar,
         cascadeFields = cascadeFields)

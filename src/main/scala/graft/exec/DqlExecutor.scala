@@ -199,8 +199,15 @@ final class DqlExecutor(ts: GraphStore) {
   /** The shortest block's lazy weighted edge union, tagged with each
     * edge's predicate key (for `_path_` rendering).
     */
+  /** The shortest template's edge selections: non-uid predicates are
+    * legal and contribute no edges (reference walks only uid preds —
+    * TestShortestPathWithUidVariable selects `password` too).
+    */
+  private def shortestSels(b: QueryBlock): Seq[Selection] =
+    b.selections.filter(s => s.reverse || schema.isUidPredicate(s.pred))
+
   private def shortestEdges(b: QueryBlock): DataFrame =
-    b.selections.map { s =>
+    shortestSels(b).map { s =>
       val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
       // weight from the TYPED facet column when present: the string map
       // would be rebuilt on every cone-discovery pass over the lazy
@@ -214,11 +221,25 @@ final class DqlExecutor(ts: GraphStore) {
     }.reduce(_ unionByName _)
 
   private def shortestBlock(b: QueryBlock, sa: ShortestArgs): DataFrame = {
+    // `from: uid(a)` endpoints resolve to exactly one uid — a
+    // driver-side metadata read, same as the reference's var expansion
+    // (query3 TestShortestPathWithUidVariable / ...Error)
+    def endpoint(lit0: Long, varName: Option[String], side: String): Long =
+      varName.map { n =>
+        val v = vars.getOrElse(n, throw new IllegalArgumentException(
+          s"shortest $side: uid variable '$n' is not bound"))
+        val us = v.select(col("uid")).distinct().limit(2).collect()
+        require(us.length == 1,
+          s"shortest $side: uid($n) must hold exactly one uid, found ${us.length}")
+        us.head.getLong(0)
+      }.getOrElse(lit0)
+    val saFrom = endpoint(sa.from, sa.fromVar, "from")
+    val saTo = endpoint(sa.to, sa.toVar, "to")
     // the weighted union stays LAZY — cone discovery streams broadcast
     // semi-joins over the per-predicate branch scans, so the full union
     // is never materialized (checkpointing ~1.3M wide rows to find a
     // 10²-edge cone was the dominant cold cost of every shortest query)
-    val sig = b.selections.map(s =>
+    val sig = shortestSels(b).map(s =>
       s"${if (s.reverse) "~" else ""}${s.pred}:${s.facetKeys.headOption.getOrElse("1")}")
       .mkString("shortest|", ",", "")
     val edges0 = shortestEdges(b).select(col("src"), col("dst"), col("w"))
@@ -228,13 +249,13 @@ final class DqlExecutor(ts: GraphStore) {
     // NOT key the cache: a self-loop never adds a node to a forward
     // cone, so the reached set is identical — discover once, drop the
     // self-loop edges from the shared result afterwards.
-    val cone0 = ts.derived(s"$sig|cone:${sa.from}:${sa.depth}") {
-      graft.operators.ShortestPath.forwardCone(ts.spark, edges0, sa.from, sa.depth)
+    val cone0 = ts.derived(s"$sig|cone:$saFrom:${sa.depth}") {
+      graft.operators.ShortestPath.forwardCone(ts.spark, edges0, saFrom, sa.depth)
     }
     val cone =
       if (sa.ignoreReflex) cone0.filter(col("src") =!= col("dst")) else cone0
     val paths = graft.operators.ShortestPath.kShortestPaths(
-      ts.spark, sa.from, sa.to, cone, sa.numpaths, sa.depth, preConed = true,
+      ts.spark, saFrom, saTo, cone, sa.numpaths, sa.depth, preConed = true,
       minW = sa.minweight, maxW = sa.maxweight)
     b.blockVar.foreach { v =>
       // the path variable keeps ROUTE ORDER (reference: blocks seeded

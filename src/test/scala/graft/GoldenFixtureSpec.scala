@@ -174,6 +174,24 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """{"data": {"_path_":[{"uid":"0x17","_weight_":1, "friend":{"uid":"0x1"}}],"me":[{"name":"Rick Grimes"},{"name":"Michonne"}]}}""")
   }
 
+  test("golden: TestShortestPathWithUidVariable (query3_test.go:968)") {
+    // endpoints from uid variables; the non-uid `password` predicate in
+    // the template contributes no edges
+    checkGolden(
+      """{ a as var(func: uid(0x01))
+        |  b as var(func: uid(31))
+        |  shortest(from: uid(a), to: uid(b)) { password friend } }""".stripMargin,
+      """{"data": {"_path_":[{"uid":"0x1", "_weight_": 1, "friend":{"uid":"0x1f"}}]}}""")
+  }
+
+  test("golden: TestShortestPathWithUidVariableAndFunc (query3_test.go:984)") {
+    checkGolden(
+      """{ a as var(func: eq(name, "Michonne"))
+        |  b as var(func: eq(name, "Andrea"))
+        |  shortest(from: uid(a), to: uid(b)) { password friend } }""".stripMargin,
+      """{"data": {"_path_":[{"uid":"0x1", "_weight_": 1, "friend":{"uid":"0x1f"}}]}}""")
+  }
+
   test("golden: TestGetUID (query0_test.go:27)") {
     checkGolden(
       """{ me(func: uid(0x01)) { name uid gender alive friend { uid name } } }""",
