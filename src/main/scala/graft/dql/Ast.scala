@@ -68,7 +68,8 @@ final case class RecurseArgs(depth: Int, loop: Boolean)
   * `@ignorereflex` on the block drops self-loop edges from the walk.
   */
 final case class ShortestArgs(from: Long, to: Long, numpaths: Int, depth: Int,
-    minweight: Long = Long.MinValue, maxweight: Long = Long.MaxValue,
+    minweight: Double = Double.NegativeInfinity,
+    maxweight: Double = Double.PositiveInfinity,
     ignoreReflex: Boolean = false,
     fromVar: Option[String] = None,   // from: uid(a) — var must hold 1 uid
     toVar: Option[String] = None)

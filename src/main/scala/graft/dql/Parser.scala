@@ -55,7 +55,7 @@ object Parser {
         // shortest(from: U, to: V [, numpaths: k] [, depth: d]
         //          [, minweight: w] [, maxweight: w]) [@ignorereflex]
         var from = -1L; var to = -1L; var numpaths = 1; var depth = 50
-        var minW = Long.MinValue; var maxW = Long.MaxValue
+        var minW = Double.NegativeInfinity; var maxW = Double.PositiveInfinity
         var fromVar: Option[String] = None; var toVar: Option[String] = None
         // `from: uid(a)` — endpoint from a uid variable (must resolve to
         // exactly one uid at execution; reference query3 uid-var tests)
@@ -79,8 +79,8 @@ object Parser {
             }
             case "numpaths" => numpaths = intLit()
             case "depth" => depth = intLit()
-            case "minweight" => minW = intLit()
-            case "maxweight" => maxW = intLit()
+            case "minweight" => minW = numLit()
+            case "maxweight" => maxW = numLit()
             case o => fail(s"unknown shortest arg: $o")
           }
         }
@@ -472,6 +472,15 @@ object Parser {
     private def intLit(): Int = next() match {
       case NumLit(s) => s.toInt
       case other => fail(s"expected int, got $other")
+    }
+
+    /** Numeric literal as double, negative allowed (minweight: -1000). */
+    private def numLit(): Double = peek match {
+      case Punct("-") => next(); -numLit()
+      case _ => next() match {
+        case NumLit(s) => s.toDouble
+        case other => fail(s"expected number, got $other")
+      }
     }
 
     private def uidLit(): Long = next() match {

@@ -212,12 +212,17 @@ final class DqlExecutor(ts: GraphStore) {
       // weight from the TYPED facet column when present: the string map
       // would be rebuilt on every cone-discovery pass over the lazy
       // branches, while _ft_<key> is a plain source column
+      // facet weights are DOUBLES (reference shortest.go float weights;
+      // TestKShortestPathWeighted sums 0.1s to 0.30000000000000004) and
+      // an edge MISSING the weight facet is not traversable (the golden
+      // keeps only the fully-faceted route)
       val w = s.facetKeys.headOption.map { k =>
-        if (e.columns.contains(s"_ft_$k")) col(s"_ft_$k").cast("long")
-        else element_at(col("facets"), k).cast("long")
-      }.getOrElse(lit(1L))
-      e.select(col("subject").as("src"), col("object").as("dst"), w.as("w"),
-        lit(jsonKey(s)).as("pred"))
+        if (e.columns.contains(s"_ft_$k")) col(s"_ft_$k").cast("double")
+        else element_at(col("facets"), k).cast("double")
+      }.getOrElse(lit(1.0))
+      val base = e.select(col("subject").as("src"), col("object").as("dst"),
+        w.as("w"), lit(jsonKey(s)).as("pred"))
+      if (s.facetKeys.nonEmpty) base.filter(col("w").isNotNull) else base
     }.reduce(_ unionByName _)
 
   private def shortestBlock(b: QueryBlock, sa: ShortestArgs): DataFrame = {
@@ -1120,32 +1125,45 @@ final class DqlExecutor(ts: GraphStore) {
     }.distinct
     if (rows.isEmpty)
       return Seq.empty[(Long, String)].toDF("uid", "json")
-    // resolve each hop's predicate key: pruned edge lookup, min pred on
-    // parallel edges (deterministic)
+    // resolve each hop's (predicate key, weight): pruned edge lookup,
+    // min pred on parallel edges (deterministic)
     val hopDf = hops.toDF("src", "dst")
-    val predOf = shortestEdges(b)
+    val predW = shortestEdges(b)
       .join(broadcast(hopDf), Seq("src", "dst"), "left_semi")
-      .groupBy(col("src"), col("dst")).agg(min(col("pred")).as("p"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      .groupBy(col("src"), col("dst"))
+      .agg(min(struct(col("pred"), col("w"))).as("pw"))
+      .select(col("src"), col("dst"), col("pw.pred"), col("pw.w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    // facet-weighted selections render the facet on the CHILD node as
+    // `pred|key` (reference TestKShortestPathWeighted golden)
+    val facetOf: Map[String, Option[String]] =
+      shortestSels(b).map(s => jsonKey(s) -> s.facetKeys.headOption).toMap
     def hexS(u: Long) = "0x" + java.lang.Long.toHexString(u)
-    def nest(nodes: List[Long]): String = nodes match {
-      case a :: b :: rest =>
-        s"""{"uid":"${hexS(a)}","${predOf((a, b))}":${nest(b :: rest)}}"""
-      case a :: Nil => s"""{"uid":"${hexS(a)}"}"""
-      case Nil => "{}"
+    // integral weights print bare (1, not 1.0) like the reference's
+    // integer-weight goldens; fractional sums keep full double repr
+    def jsonNum(d: Double): String =
+      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    def obj(node: Long, incoming: Option[(Long, Long)], rest: List[Long],
+        total: Option[Double]): String = {
+      val uidF = s""""uid":"${hexS(node)}""""
+      val wF = total.map(w => s""","_weight_":${jsonNum(w)}""").getOrElse("")
+      val facF = incoming.flatMap { e =>
+        val (p, w) = predW(e)
+        facetOf.getOrElse(p, None).map(k => s""","$p|$k":${jsonNum(w)}""")
+      }.getOrElse("")
+      val kidF = rest match {
+        case next :: more =>
+          val (p, _) = predW((node, next))
+          s""","$p":${obj(next, Some((node, next)), more, None)}"""
+        case Nil => ""
+      }
+      s"{$uidF$wF$facF$kidF}"
     }
     val objs = rows.toSeq.map { r =>
       val ns = r.getString(2).split("->").map(_.toLong).toList
-      // total cost rides on the outermost node (reference `_weight_`)
-      val whole = ns match {
-        case a :: b :: rest =>
-          s"""{"uid":"${hexS(a)}","_weight_":${r.getLong(1)},""" +
-            s""""${predOf((a, b))}":${nest(b :: rest)}}"""
-        case a :: Nil =>
-          s"""{"uid":"${hexS(a)}","_weight_":${r.getLong(1)}}"""
-        case Nil => "{}"
-      }
-      (ns.head, whole)
+      (ns.head, obj(ns.head, None, ns.tail, Some(r.getDouble(1))))
     }
     objs.toDF("uid", "json")
   }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object ShortestPath {
 
-  private val Inf = Long.MaxValue
+  private val Inf = Double.MaxValue
 
   /** GraphX runs several RDD jobs per superstep over EVERY partition, so
     * a small graph spread across 32+ shuffle partitions pays hundreds of
@@ -49,22 +49,22 @@ object ShortestPath {
     * extension through an already-visited node is blocked).
     */
   private def edgeGraph[S: scala.reflect.ClassTag](
-      edges: DataFrame, source: Long, init: S): Graph[S, Long] = {
+      edges: DataFrame, source: Long, init: S): Graph[S, Double] = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-        col("w").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
-    val withSrc = e.union(e.sparkContext.parallelize(Seq(Edge(source, source, 0L)), 1))
+        col("w").cast("double"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val withSrc = e.union(e.sparkContext.parallelize(Seq(Edge(source, source, 0.0)), 1))
     Graph.fromEdges(withSrc, init)
   }
 
   /** Min cost from `source` to every reachable node.
-    * edges: (src LONG, dst LONG, w LONG). Returns (node, dist).
+    * edges: (src LONG, dst LONG, w DOUBLE). Returns (node, dist).
     */
   def sssp(spark: SparkSession, source: Long, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
     val g = edgeGraph(sized(spark, edges), source, Inf)
-      .mapVertices((id, _) => if (id == source) 0L else Inf)
+      .mapVertices((id, _) => if (id == source) 0.0 else Inf)
     val res = g.pregel(Inf, maxIter, EdgeDirection.Out)(
       (_, d, msg) => math.min(d, msg),
       t => if (t.srcAttr != Inf && t.srcAttr + t.attr < t.dstAttr)
@@ -82,11 +82,11 @@ object ShortestPath {
   def kBest(spark: SparkSession, source: Long, edges: DataFrame, k: Int,
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    def mergeK(a: List[Long], b: List[Long]): List[Long] =
+    def mergeK(a: List[Double], b: List[Double]): List[Double] =
       (a ++ b).distinct.sorted.take(k)
-    val g = edgeGraph(sized(spark, edges), source, List.empty[Long])
-      .mapVertices((id, _) => if (id == source) List(0L) else Nil)
-    val res = g.pregel(List.empty[Long], maxIter, EdgeDirection.Out)(
+    val g = edgeGraph(sized(spark, edges), source, List.empty[Double])
+      .mapVertices((id, _) => if (id == source) List(0.0) else Nil)
+    val res = g.pregel(List.empty[Double], maxIter, EdgeDirection.Out)(
       (_, s, msg) => mergeK(s, msg),
       t => {
         val cand = t.srcAttr.map(_ + t.attr)
@@ -144,7 +144,7 @@ object ShortestPath {
       source: Long, maxDepth: Int): DataFrame = {
     import spark.implicits._
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
     // driver-guided rounds: frontier as a pushed-down IN literal
     val reached = scala.collection.mutable.LinkedHashSet[Long](source)
     var frontier: Seq[Long] = Seq(source)
@@ -198,25 +198,27 @@ object ShortestPath {
   def kShortestPaths(spark: SparkSession, source: Long, target: Long,
       edges: DataFrame, k: Int, maxIter: Int = 50,
       preConed: Boolean = false,
-      minW: Long = Long.MinValue, maxW: Long = Long.MaxValue): DataFrame = {
+      minW: Double = Double.NegativeInfinity,
+      maxW: Double = Double.PositiveInfinity): DataFrame = {
     import spark.implicits._
-    type S = List[(Long, String)]
+    type S = List[(Double, String)]
     // minweight shifts which completions count, but prefixes below the
     // bound can't be pruned mid-path (a cheap prefix may still complete
     // above minweight while its k-best siblings complete below it) — so
     // bounded searches carry extra intermediate capacity. Like the plain-k
     // pruning, exact on layered graphs; adversarial funnels would need a
     // Yen-style detour search (documented trade-off).
-    val kv = if (minW == Long.MinValue) k else math.max(3 * k, k + 8)
+    val kv =
+      if (minW == Double.NegativeInfinity) k else math.max(3 * k, k + 8)
     def mergeK(a: S, b: S): S = (a ++ b).distinct.sorted.take(kv)
     // non-preConed cones are checkpointed before sized()'s count so the
     // iterative discovery runs once, not once per downstream job
     val pruned = sized(spark,
       if (preConed) edges
       else forwardCone(spark, edges, source, maxIter).localCheckpoint())
-    val g = edgeGraph(pruned, source, List.empty[(Long, String)])
-      .mapVertices((id, _) => if (id == source) List((0L, id.toString)) else Nil)
-    val res = g.pregel(List.empty[(Long, String)], maxIter, EdgeDirection.Out)(
+    val g = edgeGraph(pruned, source, List.empty[(Double, String)])
+      .mapVertices((id, _) => if (id == source) List((0.0, id.toString)) else Nil)
+    val res = g.pregel(List.empty[(Double, String)], maxIter, EdgeDirection.Out)(
       // weight bounds (reference query/shortest.go:457 minweight/maxweight):
       // maxweight prunes EXPANSION below (weights are non-negative, a
       // too-heavy prefix can't recover); minweight only constrains COMPLETE
@@ -251,7 +253,7 @@ object ShortestPath {
   def ssspWithPaths(spark: SparkSession, source: Long, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    type S = (Long, String)
+    type S = (Double, String)
     val none: S = (Inf, null)
     def better(a: S, b: S): S =
       if (a._1 < b._1) a
@@ -260,10 +262,10 @@ object ShortestPath {
       else if (b._2 == null) a
       else if (a._2 <= b._2) a else b
     val g = edgeGraph(sized(spark, edges), source, none)
-      .mapVertices((id, _) => if (id == source) (0L, source.toString) else none)
+      .mapVertices((id, _) => if (id == source) (0.0, source.toString) else none)
     val res = g.pregel(none, maxIter, EdgeDirection.Out)(
       (_, s, msg) => better(s, msg),
-      (t: EdgeTriplet[S, Long]) => {
+      (t: EdgeTriplet[S, Double]) => {
         if (t.srcAttr._1 == Inf) Iterator.empty
         else {
           val cand = (t.srcAttr._1 + t.attr, t.srcAttr._2 + "->" + t.dstId)

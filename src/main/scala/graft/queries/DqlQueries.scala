@@ -680,9 +680,9 @@ object DqlQueries {
       else s" AND dist BETWEEN $minW AND $maxW"
     s"""WITH RECURSIVE lineu AS (${Q.lineUidSql}),
        |g(src, dst, w) AS (
-       | SELECT $CB + o_custkey, $OB + o_orderkey, CAST(1 AS BIGINT) FROM orders
+       | SELECT $CB + o_custkey, $OB + o_orderkey, CAST(1 AS DOUBLE) FROM orders
        | UNION ALL
-       | SELECT $OB + l_orderkey, line_uid, CAST(l_quantity AS BIGINT) FROM lineu
+       | SELECT $OB + l_orderkey, line_uid, CAST(l_quantity AS DOUBLE) FROM lineu
        | UNION ALL
        | SELECT line_uid, $SB + l_suppkey, 1 FROM lineu
        | UNION ALL
@@ -693,7 +693,7 @@ object DqlQueries {
        | SELECT $NB + n_nationkey, $RB + n_regionkey, 1 FROM nation
        |),
        |p(node, dist, path) AS (
-       | SELECT CAST($CB + 1 AS BIGINT), CAST(0 AS BIGINT), CAST($CB + 1 AS VARCHAR)
+       | SELECT CAST($CB + 1 AS BIGINT), CAST(0 AS DOUBLE), CAST($CB + 1 AS VARCHAR)
        | UNION ALL
        | SELECT g.dst, p.dist + g.w, p.path || '->' || CAST(g.dst AS VARCHAR)
        | FROM p JOIN g ON g.src = p.node

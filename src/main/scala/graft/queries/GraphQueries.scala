@@ -336,7 +336,7 @@ object GraphQueries {
 
     "shortest_sssp" ->
       s"""WITH RECURSIVE g AS ($dagSql), d(node, dist) AS (
-         | SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         | SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
          | UNION
          | SELECT g.dst, d.dist + g.w FROM d JOIN g ON g.src = d.node
          |)
@@ -344,7 +344,7 @@ object GraphQueries {
 
     "shortest_k2" ->
       s"""WITH RECURSIVE g AS ($dagSql), d(node, dist) AS (
-         | SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         | SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
          | UNION
          | SELECT g.dst, d.dist + g.w FROM d JOIN g ON g.src = d.node
          |)
@@ -355,7 +355,7 @@ object GraphQueries {
 
     "shortest_paths" ->
       s"""WITH RECURSIVE g AS ($dagSql), p(node, dist, path) AS (
-         | SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), '0'
+         | SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE), '0'
          | UNION ALL
          | SELECT g.dst, p.dist + g.w, p.path || '->' || CAST(g.dst AS VARCHAR)
          | FROM p JOIN g ON g.src = p.node

@@ -64,7 +64,13 @@ class GoldenFixtureSpec extends AnyFunSuite {
     e(4, "best_friend", 64, "since=2019-03-27"),
     e(2, "pet", 5), e(3, "pet", 6), e(4, "pet", 7),
     e(1, "school", 5000), e(23, "school", 5001), e(24, "school", 5000),
-    e(25, "school", 5000), e(31, "school", 5001), e(101, "school", 5001))
+    e(25, "school", 5000), e(31, "school", 5001), e(101, "school", 5001),
+    // weighted path graph (common_test.go:568-576)
+    e(1, "path", 31, "weight=0.1"), e(1, "path", 24, "weight=0.2"),
+    e(31, "path", 1000, "weight=0.1"), e(1000, "path", 1001, "weight=0.1"),
+    e(1000, "path", 1002, "weight=0.7"), e(1001, "path", 1002, "weight=0.1"),
+    e(1002, "path", 1003, "weight=0.6"), e(1001, "path", 1003, "weight=1.5"),
+    e(1003, "path", 1001))
 
   /** Predicate schema: reference query/common_test.go testSchema (subset). */
   private lazy val schema: SchemaRegistry = {
@@ -78,6 +84,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |best_friend: uid @reverse .
         |pet: [uid] .
         |school: [uid] @count .
+        |path: [uid] @reverse .
         |""".stripMargin)
     new SchemaRegistry(preds.map(p => p.name -> p).toMap,
       types.map(t => t.name -> t).toMap)
@@ -87,7 +94,8 @@ class GoldenFixtureSpec extends AnyFunSuite {
     import spark.implicits._
     val triples = RdfSource.parse(fixtureLines.toDF("line"))
     new TripleFrameStore(spark, schema, triples,
-      facetKeys = Map("best_friend" -> Seq("since" -> "string")))
+      facetKeys = Map("best_friend" -> Seq("since" -> "string"),
+        "path" -> Seq("weight" -> "double")))
   }
 
   private val mapper = new ObjectMapper()
@@ -190,6 +198,24 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |  b as var(func: eq(name, "Andrea"))
         |  shortest(from: uid(a), to: uid(b)) { password friend } }""".stripMargin,
       """{"data": {"_path_":[{"uid":"0x1", "_weight_": 1, "friend":{"uid":"0x1f"}}]}}""")
+  }
+
+  test("golden: TestKShortestPathWeighted (query3_test.go:323)") {
+    // float facet weights; edges missing the weight facet are not
+    // traversable, so only the fully-faceted route comes back; the total
+    // is the float64 left-to-right sum (0.30000000000000004)
+    checkGolden(
+      """{ shortest(from: 1, to: 1001, numpaths: 4) {
+        |    path @facets(weight) } }""".stripMargin,
+      """{"data":{"_path_":[{"path":{"path":{"path":{"uid":"0x3e9","path|weight":0.1},"uid":"0x3e8","path|weight":0.1},"uid":"0x1f","path|weight":0.1},"uid":"0x1","_weight_":0.30000000000000004}]}}""")
+  }
+
+  test("golden: TestKShortestPathWeightedMinMaxNoEffect (query3_test.go:359)") {
+    checkGolden(
+      """{ shortest(from: 1, to: 1001, numpaths: 4, minweight: -1000,
+        |           maxweight: 1000) {
+        |    path @facets(weight) } }""".stripMargin,
+      """{"data":{"_path_":[{"path":{"path":{"path":{"uid":"0x3e9","path|weight":0.1},"uid":"0x3e8","path|weight":0.1},"uid":"0x1f","path|weight":0.1},"uid":"0x1","_weight_":0.30000000000000004}]}}""")
   }
 
   test("golden: TestGetUID (query0_test.go:27)") {

@@ -63,16 +63,16 @@ class OperatorSpec extends AnyFunSuite {
     val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L))
       .toDF("src", "dst", "w")
     val dist = ShortestPath.sssp(spark, 1L, edges)
-      .as[(Long, Long)].collect().toMap
-    assert(dist == Map(1L -> 0L, 2L -> 1L, 3L -> 3L))
+      .as[(Long, Double)].collect().toMap
+    assert(dist == Map(1L -> 0.0, 2L -> 1.0, 3L -> 3.0))
   }
 
   test("ShortestPath.kBest keeps two smallest distinct costs") {
     val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L))
       .toDF("src", "dst", "w")
     val k = ShortestPath.kBest(spark, 1L, edges, k = 2)
-      .select("node", "dist", "rank").as[(Long, Long, Int)].collect().toSet
-    assert(k.contains((3L, 3L, 1)) && k.contains((3L, 10L, 2)))
+      .select("node", "dist", "rank").as[(Long, Double, Int)].collect().toSet
+    assert(k.contains((3L, 3.0, 1)) && k.contains((3L, 10.0, 2)))
   }
 
   test("kShortestPaths minweight/maxweight bound the returned paths") {
@@ -80,14 +80,14 @@ class OperatorSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L, 1L), (2L, 4L, 2L), (1L, 3L, 4L), (3L, 4L, 4L),
       (1L, 4L, 20L)).toDF("src", "dst", "w")
     val all = ShortestPath.kShortestPaths(spark, 1L, 4L, edges, k = 3)
-      .select("dist").as[Long].collect().toSet
-    assert(all == Set(3L, 8L, 20L))
+      .select("dist").as[Double].collect().toSet
+    assert(all == Set(3.0, 8.0, 20.0))
     // minweight drops the cheap route without it eating a rank slot;
     // maxweight prunes the expensive one during expansion
     val bounded = ShortestPath.kShortestPaths(spark, 1L, 4L, edges, k = 3,
-      minW = 5L, maxW = 10L)
-      .select("rank", "dist").as[(Int, Long)].collect().toSet
-    assert(bounded == Set((1, 8L)))
+      minW = 5.0, maxW = 10.0)
+      .select("rank", "dist").as[(Int, Double)].collect().toSet
+    assert(bounded == Set((1, 8.0)))
   }
 
   test("dedup clusters: chains collapse to the smallest member id") {

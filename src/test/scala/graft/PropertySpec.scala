@@ -63,8 +63,8 @@ class PropertySpec extends AnyFunSuite {
         }
       }
       val got = ShortestPath.sssp(spark, 0L, edges.toDF("src", "dst", "w"))
-        .as[(Long, Long)].collect().toMap
-      assert(got == dist, s"edges=$edges")
+        .as[(Long, Double)].collect().toMap
+      assert(got == dist.map { case (k, v) => k -> v.toDouble }, s"edges=$edges")
     }
   }
 }
