@@ -37,12 +37,18 @@ final class TripleFrameStore(
     val m = when(col("facets").isNotNull,
       str_to_map(col("facets"), lit(", "), lit("=")))
       .otherwise(map().cast("map<string,string>"))
-    val ftCols = facetKeys.toSeq.sortBy(_._1).flatMap { case (pred, keys) =>
-      keys.map { case (k, t) =>
-        when(col("predicate") === pred, element_at(m, k).cast(t))
-          .as(s"_ft_$k")
+    // one `_ft_<key>` column per KEY NAME: predicates sharing a facet key
+    // (path/connects both carry `weight`) merge into a single typed
+    // column switched on the predicate — duplicate column names would be
+    // ambiguous downstream
+    val ftCols = facetKeys.toSeq
+      .flatMap { case (pred, keys) => keys.map { case (k, t) => (k, pred, t) } }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, entries) =>
+        coalesce(entries.sortBy(_._2).map { case (_, pred, t) =>
+          when(col("predicate") === pred, element_at(m, k).cast(t))
+        }: _*).as(s"_ft_$k")
       }
-    }
     base.filter(col("objectUid").isNotNull)
       .select(Seq(col("subject"), col("predicate"),
         col("objectUid").as("object"), m.as("facets")) ++ ftCols: _*)

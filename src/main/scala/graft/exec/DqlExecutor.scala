@@ -254,13 +254,20 @@ final class DqlExecutor(ts: GraphStore) {
     // NOT key the cache: a self-loop never adds a node to a forward
     // cone, so the reached set is identical — discover once, drop the
     // self-loop edges from the shared result afterwards.
+    // reference depth semantics (shortest.go:305 maxHops expansion
+    // rounds; TestKShortestPathTwoPaths vs TestKShortestPathDepth):
+    // round r loads the out-edges of every node SEEN so far, so usable
+    // edges leave nodes discovered within depth-1 BFS hops, and a
+    // returned route may run depth+1 hops ("the length of the path can
+    // be greater than numHops", shortest.go:594)
     val cone0 = ts.derived(s"$sig|cone:$saFrom:${sa.depth}") {
-      graft.operators.ShortestPath.forwardCone(ts.spark, edges0, saFrom, sa.depth)
+      graft.operators.ShortestPath.forwardCone(
+        ts.spark, edges0, saFrom, math.max(0, sa.depth - 1))
     }
     val cone =
       if (sa.ignoreReflex) cone0.filter(col("src") =!= col("dst")) else cone0
     val paths = graft.operators.ShortestPath.kShortestPaths(
-      ts.spark, saFrom, saTo, cone, sa.numpaths, sa.depth, preConed = true,
+      ts.spark, saFrom, saTo, cone, sa.numpaths, sa.depth + 1, preConed = true,
       minW = sa.minweight, maxW = sa.maxweight)
     b.blockVar.foreach { v =>
       // the path variable keeps ROUTE ORDER (reference: blocks seeded

@@ -65,6 +65,16 @@ class GoldenFixtureSpec extends AnyFunSuite {
     e(2, "pet", 5), e(3, "pet", 6), e(4, "pet", 7),
     e(1, "school", 5000), e(23, "school", 5001), e(24, "school", 5000),
     e(25, "school", 5000), e(31, "school", 5001), e(101, "school", 5001),
+    // connects graph A..E (common_test.go:475-479, 782-796)
+    a(51, "name", "A"), a(52, "name", "B"), a(53, "name", "C"),
+    a(54, "name", "D"), a(55, "name", "E"),
+    e(51, "connects", 52, "weight=11"), e(51, "connects", 53, "weight=1"),
+    e(51, "connects", 54, "weight=10"), e(53, "connects", 51, "weight=10"),
+    e(53, "connects", 52, "weight=10"), e(53, "connects", 54, "weight=1"),
+    e(52, "connects", 51, "weight=10"), e(52, "connects", 53, "weight=10"),
+    e(52, "connects", 54, "weight=10"), e(54, "connects", 51, "weight=10"),
+    e(54, "connects", 52, "weight=2"), e(54, "connects", 53, "weight=10"),
+    e(54, "connects", 55, "weight=1"),
     // weighted path graph (common_test.go:568-576)
     e(1, "path", 31, "weight=0.1"), e(1, "path", 24, "weight=0.2"),
     e(31, "path", 1000, "weight=0.1"), e(1000, "path", 1001, "weight=0.1"),
@@ -85,6 +95,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |pet: [uid] .
         |school: [uid] @count .
         |path: [uid] @reverse .
+        |connects: [uid] @reverse .
         |""".stripMargin)
     new SchemaRegistry(preds.map(p => p.name -> p).toMap,
       types.map(t => t.name -> t).toMap)
@@ -95,7 +106,8 @@ class GoldenFixtureSpec extends AnyFunSuite {
     val triples = RdfSource.parse(fixtureLines.toDF("line"))
     new TripleFrameStore(spark, schema, triples,
       facetKeys = Map("best_friend" -> Seq("since" -> "string"),
-        "path" -> Seq("weight" -> "double")))
+        "path" -> Seq("weight" -> "double"),
+        "connects" -> Seq("weight" -> "double")))
   }
 
   private val mapper = new ObjectMapper()
@@ -216,6 +228,23 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |           maxweight: 1000) {
         |    path @facets(weight) } }""".stripMargin,
       """{"data":{"_path_":[{"path":{"path":{"path":{"uid":"0x3e9","path|weight":0.1},"uid":"0x3e8","path|weight":0.1},"uid":"0x1f","path|weight":0.1},"uid":"0x1","_weight_":0.30000000000000004}]}}""")
+  }
+
+  test("golden: TestKShortestPathTwoPaths (query3_test.go:686)") {
+    // depth 2 still admits the 3-hop route: expansion rounds load edges
+    // of every node seen so far, so routes may run depth+1 hops
+    checkGolden(
+      """{ A as shortest(from: 51, to: 55, numpaths: 2, depth: 2) {
+        |    connects @facets(weight) }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"A"},{"name":"C"},{"name":"D"},{"name":"E"}],
+        |"_path_":[
+        | {"connects":{"connects":{"connects":{"uid":"0x37","connects|weight":1},
+        |   "uid":"0x36","connects|weight":1},"uid":"0x35","connects|weight":1},
+        |  "uid":"0x33","_weight_":3},
+        | {"connects":{"connects":{"uid":"0x37","connects|weight":1},
+        |   "uid":"0x36","connects|weight":10},"uid":"0x33","_weight_":11}
+        |]}}""".stripMargin)
   }
 
   test("golden: TestGetUID (query0_test.go:27)") {
