@@ -133,11 +133,39 @@ class GoldenFixtureSpec extends AnyFunSuite {
     }
   }
 
+  /** Array-order-insensitive normalization for goldens the reference
+    * asserts with testutil.CompareJSON (which sorts arrays), as opposed
+    * to require.JSONEq (order-sensitive).
+    */
+  private def sortArrays(n: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node._
+    n match {
+      case o: ObjectNode =>
+        // alphabetical key order so the array sort key (toString) is
+        // canonical — object equality itself is already order-free
+        val out = mapper.createObjectNode()
+        val keys = new scala.collection.mutable.ArrayBuffer[String]()
+        o.fieldNames().forEachRemaining(k => keys += k)
+        keys.sorted.foreach(k => out.set[ObjectNode](k, sortArrays(o.get(k))))
+        out
+      case a: ArrayNode =>
+        val out = mapper.createArrayNode()
+        val kids = new scala.collection.mutable.ArrayBuffer[
+          com.fasterxml.jackson.databind.JsonNode]()
+        a.forEach(x => kids += sortArrays(x))
+        kids.sortBy(_.toString).foreach(out.add)
+        out
+      case other => other
+    }
+  }
+
   /** Run `query` through the full pipeline and compare to the reference
     * golden with JSONEq semantics (the goldens are wrapped in
     * {"data": ...} exactly as the reference asserts them).
     */
-  private def checkGolden(query: String, golden: String): Unit = {
+  private def checkGolden(query: String, golden: String,
+      arrayOrderFree: Boolean = false): Unit = {
     val ast = Parser.parse(query)
     val rows = new DqlExecutor(store)
       .jsonAllAst(ast, includeUid = false)
@@ -150,7 +178,11 @@ class GoldenFixtureSpec extends AnyFunSuite {
       s""""$bn": $arr"""
     }
     val ours = s"""{"data": {${blocks.mkString(",")}}}"""
-    assert(norm(mapper.readTree(ours)) == norm(mapper.readTree(golden)),
+    def canon(s: String) = {
+      val t = norm(mapper.readTree(s))
+      if (arrayOrderFree) sortArrays(t) else t
+    }
+    assert(canon(ours) == canon(golden),
       s"\nours:   $ours\ngolden: $golden")
   }
 
@@ -245,6 +277,28 @@ class GoldenFixtureSpec extends AnyFunSuite {
         | {"connects":{"connects":{"uid":"0x37","connects|weight":1},
         |   "uid":"0x36","connects|weight":10},"uid":"0x33","_weight_":11}
         |]}}""".stripMargin)
+  }
+
+  test("golden: TestKShortestPathAllPaths (query3_test.go:742)") {
+    // 5 simple paths exist; asking for 6 or 10 must return exactly the
+    // same 5 — no cyclic paths invented (reference CompareJSON semantics:
+    // array order free)
+    val golden =
+      """{"data":{"me":[{"name":"A"},{"name":"C"},{"name":"D"},{"name":"E"}],
+        |"_path_":[
+        | {"connects":{"connects":{"connects":{"uid":"0x37","connects|weight":1},"uid":"0x36","connects|weight":1},"uid":"0x35","connects|weight":1},"uid":"0x33","_weight_":3},
+        | {"connects":{"connects":{"uid":"0x37","connects|weight":1},"uid":"0x36","connects|weight":10},"uid":"0x33","_weight_":11},
+        | {"connects":{"connects":{"connects":{"connects":{"uid":"0x37","connects|weight":1},"uid":"0x36","connects|weight":10},"uid":"0x34","connects|weight":10},"uid":"0x35","connects|weight":1},"uid":"0x33","_weight_":22},
+        | {"connects":{"connects":{"connects":{"uid":"0x37","connects|weight":1},"uid":"0x36","connects|weight":10},"uid":"0x34","connects|weight":11},"uid":"0x33","_weight_":22},
+        | {"connects":{"connects":{"connects":{"connects":{"uid":"0x37","connects|weight":1},"uid":"0x36","connects|weight":1},"uid":"0x35","connects|weight":10},"uid":"0x34","connects|weight":11},"uid":"0x33","_weight_":23}
+        |]}}""".stripMargin
+    for (np <- Seq(5, 6, 10)) {
+      checkGolden(
+        s"""{ A as shortest(from: 51, to: 55, numpaths: $np) {
+           |    connects @facets(weight) }
+           |  me(func: uid(A)) { name } }""".stripMargin,
+        golden, arrayOrderFree = true)
+    }
   }
 
   test("golden: TestGetUID (query0_test.go:27)") {
