@@ -528,6 +528,10 @@ final class DqlExecutor(ts: GraphStore) {
     // true once a traversal has multiplied rows: later var binds must
     // dedup per uid (a plain scalar block stays shuffle-free)
     var fanned = false
+    // vars bound at THIS level of THIS block — the only ones whose flat
+    // column is guaranteed live in `cur` (varCols itself outlives the
+    // block for the level-agg path)
+    val boundHere = scala.collection.mutable.Set.empty[String]
     sels.foreach { sel =>
       val name = prefix + sel.outName
       if (sel.pred == "math" && sel.mathExpr.isDefined) {
@@ -536,9 +540,20 @@ final class DqlExecutor(ts: GraphStore) {
         val refs = mathRefs(sel.mathExpr.get).distinct
         var base = cur
         refs.foreach { r =>
-          base = base.join(
-            vars(r).select(col("uid").as("__ms"), col("value").as(s"__m_$r")),
-            col(uidCol) === col("__ms"), joinType).drop("__ms")
+          // a var bound EARLIER IN THIS BLOCK is still a live column of
+          // the current frame — read it in place instead of joining its
+          // (uid, value) map back on: a 3-var chain over lineitem then
+          // runs as ONE projection pass, no self-joins (each skipped
+          // join was a full shuffle of the block's rows)
+          varCols.get(r) match {
+            case Some((cname, ucol)) if boundHere(r) && ucol == uidCol &&
+                base.columns.contains(cname) =>
+              base = base.withColumn(s"__m_$r", col(cname))
+            case _ =>
+              base = base.join(
+                vars(r).select(col("uid").as("__ms"), col("value").as(s"__m_$r")),
+                col(uidCol) === col("__ms"), joinType).drop("__ms")
+          }
         }
         base = base.withColumn(name, mathCol(sel.mathExpr.get))
         cur = base.drop(refs.map(r => s"__m_$r"): _*)
@@ -548,7 +563,7 @@ final class DqlExecutor(ts: GraphStore) {
           val bound = cur.select(col(uidCol).as("uid"), col(name).as("value"))
             .filter(col("value").isNotNull)
           bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
-          varCols(v) = (name, uidCol)
+          varCols(v) = (name, uidCol); boundHere += v
         }
       } else if (sel.aggOp.isDefined && sel.valRef.exists(varCols.contains)) {
         // level-based aggregation: `n as min(val(x))` where x was bound
@@ -576,7 +591,7 @@ final class DqlExecutor(ts: GraphStore) {
         sel.varName.foreach { v =>
           bindVar(v, cur.select(col(uidCol).as("uid"), col(name).as("value"))
             .filter(col("value").isNotNull).dropDuplicates("uid"))
-          varCols(v) = (name, uidCol)
+          varCols(v) = (name, uidCol); boundHere += v
         }
       } else if (sel.pred == "val" && sel.valRef.isDefined) {
         val v = vars(sel.valRef.get)
@@ -646,7 +661,7 @@ final class DqlExecutor(ts: GraphStore) {
           val bound = cur.select(col(uidCol).as("uid"), col(name).as("value"))
             .filter(col("value").isNotNull)
           bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
-          varCols(v) = (name, uidCol)
+          varCols(v) = (name, uidCol); boundHere += v
         }
       }
     }
