@@ -17,7 +17,63 @@ object Parser {
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
-  def parse(input: String): DqlQuery = new Parser(Lexer.tokenize(input)).parseQuery()
+  def parse(input: String): DqlQuery = parseWithVars(input, Map.empty)
+
+  /** DQL query variables (reference dql/vars.go, api queryWithVars): an
+    * optional `query name($a: int = 3, $b: string)` header declares
+    * them; caller values override declared defaults; `$a` references
+    * substitute as literals typed by the declaration before parsing.
+    */
+  def parseWithVars(input: String, vars: Map[String, String]): DqlQuery = {
+    val ts = Lexer.tokenize(input)
+    var i = 0
+    var defaults = Map.empty[String, String]
+    var types = Map.empty[String, String]
+    if (ts.headOption.contains(Ident("query"))) {
+      i = 1
+      ts.lift(i) match { // optional operation name
+        case Some(Ident(n)) if !n.startsWith("$") => i += 1
+        case _ => ()
+      }
+      if (ts.lift(i).contains(Punct("("))) {
+        i += 1
+        while (i < ts.length && ts(i) != Punct(")")) ts(i) match {
+          case Ident(n) if n.startsWith("$") =>
+            i += 1
+            if (ts.lift(i).contains(Punct(":"))) i += 1
+            ts.lift(i) match {
+              case Some(Ident(t)) => types += n -> t; i += 1
+              case _ => types += n -> "string"
+            }
+            if (ts.lift(i).contains(Punct("="))) {
+              i += 1
+              ts.lift(i) match {
+                case Some(NumLit(v)) => defaults += n -> v; i += 1
+                case Some(StrLit(v)) => defaults += n -> v; i += 1
+                case Some(Ident(v)) => defaults += n -> v; i += 1
+                case _ => ()
+              }
+            }
+          case Punct(",") => i += 1
+          case other =>
+            throw ParseException(s"bad variable declaration: $other")
+        }
+        if (i < ts.length) i += 1 // ')'
+      }
+    }
+    val body = ts.drop(i).map {
+      case Ident(n) if n.startsWith("$") =>
+        val v = vars.get(n).orElse(defaults.get(n)).getOrElse(
+          throw ParseException(s"variable $n has no value"))
+        types.getOrElse(n, "string") match {
+          case "int" | "float" => NumLit(v)
+          case "bool" => Ident(v)
+          case _ => StrLit(v)
+        }
+      case t => t
+    }
+    new Parser(body).parseQuery()
+  }
 
   private final class Parser(ts: Vector[Token]) {
     private var pos = 0

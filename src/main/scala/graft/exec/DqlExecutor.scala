@@ -68,6 +68,13 @@ final class DqlExecutor(ts: GraphStore) {
   /** Execute all blocks in order; return the last non-`var` block. */
   def flat(query: String): DataFrame = flatAst(Parser.parse(query))
 
+  /** queryWithVars (reference api.Request.Vars): `$var` references in
+    * the document substitute from `vars` (falling back to declared
+    * defaults) before execution.
+    */
+  def flatVars(query: String, vars: Map[String, String]): DataFrame =
+    flatAst(Parser.parseWithVars(query, vars))
+
   /** Execute a pre-built AST (used by the GraphQL front-end, whose
     * rewriter emits this IR directly — SURVEY.md §3.2).
     */

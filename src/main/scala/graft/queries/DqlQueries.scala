@@ -47,6 +47,18 @@ object DqlQueries {
             |    name acctbal } }""".stripMargin)(s, d)
         .orderBy(col("uid"))),
 
+    // queryWithVars (reference api.Request.Vars + dql/vars.go): caller
+    // values flow into the root function, filter, and pagination; the
+    // unset $n falls back to its declared default
+    "dql_query_vars" -> ((s, d) =>
+      new DqlExecutor(TripleStore(s, d)).flatVars(
+        """query q($seg: string, $n: int = 5, $min: float) {
+          |  q(func: eq(mktsegment, $seg), orderdesc: acctbal, first: $n)
+          |      @filter(ge(acctbal, $min)) {
+          |    name acctbal } }""".stripMargin,
+        Map("$seg" -> "HOUSEHOLD", "$min" -> "500.0"))
+        .orderBy(col("uid"))),
+
     "dql_child_page" -> ((s, d) =>
       dql("""{ q(func: eq(mktsegment, "BUILDING")) @cascade {
             |    name placed (orderdesc: totalprice, first: 2) { totalprice } } }""".stripMargin)(s, d)
@@ -374,6 +386,15 @@ object DqlQueries {
          | UNION ALL
          | SELECT start, $RB + n_regionkey, 2 FROM seeds JOIN nation ON n_nationkey = nk
          |) ORDER BY start, depth, node""".stripMargin,
+
+    "dql_query_vars" ->
+      s"""SELECT uid, name, acctbal FROM (
+         | SELECT $CB + c_custkey AS uid, c_name AS name,
+         |  c_acctbal AS acctbal,
+         |  ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, $CB + c_custkey ASC) AS rn
+         | FROM customer
+         | WHERE c_mktsegment = 'HOUSEHOLD' AND c_acctbal >= 500.0)
+         |WHERE rn <= 5 ORDER BY uid""".stripMargin,
 
     "dql_cascade_param" ->
       s"""SELECT $CB + c_custkey AS uid, c_name AS name,

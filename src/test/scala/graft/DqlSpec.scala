@@ -62,6 +62,23 @@ class DqlSpec extends AnyFunSuite {
     assert(e.msg.nonEmpty)
   }
 
+  test("query variables: typed substitution, defaults, missing error") {
+    val doc =
+      """query t($s: string, $n: int = 7) {
+        |  q(func: eq(name, $s), first: $n) { name } }""".stripMargin
+    val q = Parser.parseWithVars(doc, Map("$s" -> "Michonne"))
+    val b = q.blocks.head
+    assert(b.func == FuncCall("eq", "name", Seq("Michonne")))
+    assert(b.page.first.contains(7)) // declared default
+    val q2 = Parser.parseWithVars(doc,
+      Map("$s" -> "Andrea", "$n" -> "2"))
+    assert(q2.blocks.head.page.first.contains(2)) // caller wins
+    val e = intercept[Parser.ParseException] {
+      Parser.parseWithVars(doc, Map.empty)
+    }
+    assert(e.msg.contains("$s"))
+  }
+
   test("jsonRows renders nested children as uid-sorted arrays") {
     val df = exec.jsonRows(
       """{ q(func: eq(name, "NATION_3")) { name in_region { name } } }""")
