@@ -75,6 +75,8 @@ class GoldenFixtureSpec extends AnyFunSuite {
     e(52, "connects", 54, "weight=10"), e(54, "connects", 51, "weight=10"),
     e(54, "connects", 52, "weight=2"), e(54, "connects", 53, "weight=10"),
     e(54, "connects", 55, "weight=1"),
+    a(1000, "name", "Alice"), a(1001, "name", "Bob"),
+    a(1002, "name", "Matt"), a(1003, "name", "John"),
     // weighted path graph (common_test.go:568-576)
     e(1, "path", 31, "weight=0.1"), e(1, "path", 24, "weight=0.2"),
     e(31, "path", 1000, "weight=0.1"), e(1000, "path", 1001, "weight=0.1"),
@@ -171,11 +173,14 @@ class GoldenFixtureSpec extends AnyFunSuite {
       .jsonAllAst(ast, includeUid = false)
       .collect()
     val byBlock = rows.groupBy(_.getString(0))
-    val blocks = ast.blocks.filter(_.name != "var").map { b =>
+    val blocks = ast.blocks.filter(_.name != "var").flatMap { b =>
       val bn = if (b.shortest.isDefined) "_path_" else b.name
-      val arr = byBlock.getOrElse(bn, Array.empty)
-        .map(_.getString(2)).mkString("[", ",", "]")
-      s""""$bn": $arr"""
+      val got = byBlock.getOrElse(bn, Array.empty).map(_.getString(2))
+      // the reference omits `_path_` entirely when no route exists
+      // (createPathSubgraph runs only on success) but renders empty
+      // normal blocks as [] — TestTwoShortestPathMaxWeight golden
+      if (b.shortest.isDefined && got.isEmpty) None
+      else Some(s""""$bn": ${got.mkString("[", ",", "]")}""")
     }
     val ours = s"""{"data": {${blocks.mkString(",")}}}"""
     def canon(s: String) = {
@@ -299,6 +304,29 @@ class GoldenFixtureSpec extends AnyFunSuite {
            |  me(func: uid(A)) { name } }""".stripMargin,
         golden, arrayOrderFree = true)
     }
+  }
+
+  test("golden: TestTwoShortestPath (query3_test.go:861)") {
+    // unfaceted `path` edges cost 1 per hop; two routes, path order in me
+    checkGolden(
+      """{ A as shortest(from: 1, to: 1002, numpaths: 2) { path }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"_path_":[
+        | {"uid":"0x1","_weight_":3,"path":{"uid":"0x1f","path":{"uid":"0x3e8","path":{"uid":"0x3ea"}}}},
+        | {"uid":"0x1","_weight_":4,"path":{"uid":"0x1f","path":{"uid":"0x3e8","path":{"uid":"0x3e9","path":{"uid":"0x3ea"}}}}}],
+        |"me":[{"name":"Michonne"},{"name":"Andrea"},{"name":"Alice"},{"name":"Matt"}]}}""".stripMargin)
+  }
+
+  test("golden: TestTwoShortestPathMaxWeight/MinWeight (query3_test.go:882,898)") {
+    // out-of-bounds weight windows: no route, `_path_` omitted entirely
+    checkGolden(
+      """{ A as shortest(from: 1, to: 1002, numpaths: 2, maxweight: 1) { path }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"me":[]}}""")
+    checkGolden(
+      """{ A as shortest(from: 1, to: 1002, numpaths: 2, minweight: 10) { path }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"me":[]}}""")
   }
 
   test("golden: TestGetUID (query0_test.go:27)") {
