@@ -82,7 +82,11 @@ class GoldenFixtureSpec extends AnyFunSuite {
     e(31, "path", 1000, "weight=0.1"), e(1000, "path", 1001, "weight=0.1"),
     e(1000, "path", 1002, "weight=0.7"), e(1001, "path", 1002, "weight=0.1"),
     e(1002, "path", 1003, "weight=0.6"), e(1001, "path", 1003, "weight=1.5"),
-    e(1003, "path", 1001))
+    e(1003, "path", 1001),
+    // follow graph (common_test.go:577-583)
+    e(1, "follow", 31), e(1, "follow", 24), e(31, "follow", 1001),
+    e(1001, "follow", 1000), e(1002, "follow", 1000),
+    e(1001, "follow", 1003), e(1003, "follow", 1002))
 
   /** Predicate schema: reference query/common_test.go testSchema (subset). */
   private lazy val schema: SchemaRegistry = {
@@ -98,6 +102,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |school: [uid] @count .
         |path: [uid] @reverse .
         |connects: [uid] @reverse .
+        |follow: [uid] @reverse .
         |""".stripMargin)
     new SchemaRegistry(preds.map(p => p.name -> p).toMap,
       types.map(t => t.name -> t).toMap)
@@ -167,8 +172,9 @@ class GoldenFixtureSpec extends AnyFunSuite {
     * {"data": ...} exactly as the reference asserts them).
     */
   private def checkGolden(query: String, golden: String,
-      arrayOrderFree: Boolean = false): Unit = {
-    val ast = Parser.parse(query)
+      arrayOrderFree: Boolean = false,
+      vars: Map[String, String] = Map.empty): Unit = {
+    val ast = Parser.parseWithVars(query, vars)
     val rows = new DqlExecutor(store)
       .jsonAllAst(ast, includeUid = false)
       .collect()
@@ -327,6 +333,32 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """{ A as shortest(from: 1, to: 1002, numpaths: 2, minweight: 10) { path }
         |  me(func: uid(A)) { name } }""".stripMargin,
       """{"data": {"me":[]}}""")
+  }
+
+  test("golden: TestKShortestPathDepth (query3_test.go:559)") {
+    // depth gates which adjacency layers load: the 3-hop route appears
+    // at depth 3, the 5-hop alternative at depth 5 (driven through DQL
+    // query variables exactly like the reference's table test)
+    val query =
+      """query test($depth: int, $numpaths: int) {
+        |  path as shortest(from: 1, to: 1000, depth: $depth, numpaths: $numpaths) {
+        |    follow }
+        |  me(func: uid(path)) { name } }""".stripMargin
+    val empty = """{"data": {"me":[]}}"""
+    val one =
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Andrea"},{"name":"Bob"},{"name":"Alice"}],
+        |"_path_":[{"follow":{"follow":{"follow":{"uid":"0x3e8"},"uid":"0x3e9"},"uid":"0x1f"},"uid":"0x1","_weight_":3}]}}""".stripMargin
+    val two =
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Andrea"},{"name":"Bob"},{"name":"Alice"}],
+        |"_path_":[
+        | {"follow":{"follow":{"follow":{"uid":"0x3e8"},"uid":"0x3e9"},"uid":"0x1f"},"uid":"0x1","_weight_":3},
+        | {"follow":{"follow":{"follow":{"follow":{"follow":{"uid":"0x3e8"},"uid":"0x3ea"},"uid":"0x3eb"},"uid":"0x3e9"},"uid":"0x1f"},"uid":"0x1","_weight_":5}
+        |]}}""".stripMargin
+    for ((depth, expect) <- Seq("2" -> empty, "3" -> one, "4" -> one,
+        "5" -> two, "6" -> two)) {
+      checkGolden(query, expect,
+        vars = Map("$depth" -> depth, "$numpaths" -> "4"))
+    }
   }
 
   test("golden: TestGetUID (query0_test.go:27)") {
