@@ -128,9 +128,12 @@ final class DqlExecutor(ts: GraphStore) {
         // EVERY reached node including the root (the reference re-applies
         // the full child template each level, query/recurse.go:19
         // expandRecurse — `{ name friend }` under @recurse returns names
-        // at every depth, not bare uids).
-        val (preds, scalars) =
-          b.selections.partition(s => schema.isUidPredicate(s.pred))
+        // at every depth, not bare uids). Unknown predicates are ignored.
+        val known = b.selections.filter(s =>
+          schema.predicates.contains(s.pred) || s.pred == "uid")
+        val (preds, rest) =
+          known.partition(s => schema.isUidPredicate(s.pred))
+        val scalars = rest.filter(_.pred != "uid")
         val edges = preds.map { s =>
           val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
           // `friend @filter(...)` under @recurse: the re-applied child
@@ -138,10 +141,39 @@ final class DqlExecutor(ts: GraphStore) {
           // returned nor expanded (reference expandRecurse re-runs the
           // full child sg each level, filters included)
           val e = s.filter.map(f => applyFilter(e0, "object", f)).getOrElse(e0)
-          e.select(col("subject"), col("object"))
+          e.select(col("subject"), col("object"), lit(jsonKey(s)).as("pred"))
         }.reduce(_ unionByName _)
-        val reached = Recurse.expand(frontier.select(col("uid").as("start")),
-          edges, recurseHops(r), r.loop)
+        val seeds = frontier.select(col("uid").as("start"))
+        val tree = Recurse.expandTree(seeds, edges, recurseHops(r), r.loop)
+        // variables in the template (reference TestRecurseVariable*):
+        // `a as friend` = that predicate's targets across every level;
+        // `a as uid` = root plus everything reached; `a as name` = the
+        // per-uid value map over the same node set
+        if (known.exists(_.varName.isDefined)) {
+          val allNodes = frontier.select(col("uid"))
+            .unionByName(tree.select(col("node").as("uid"))).distinct()
+          known.filter(_.varName.isDefined).foreach { s =>
+            val v = s.varName.get
+            if (s.pred == "uid") bindVar(v, allNodes)
+            else if (schema.isUidPredicate(s.pred))
+              bindVar(v, tree.filter(col("pred") === jsonKey(s))
+                .select(col("node").as("uid")).distinct())
+            else bindVar(v, ts.attr(s.pred)
+              .join(allNodes.select(col("uid").as("subject")),
+                Seq("subject"), "left_semi")
+              .select(col("subject").as("uid"), col("value")))
+          }
+        }
+        // the flat contract: one row per (start, node) at its first-reach
+        // depth, seeds excluded (re-rendered occurrences of seen nodes
+        // collapse; with loop every level's occurrence stays)
+        val reached =
+          if (r.loop)
+            tree.select(col("start"), col("node"), col("depth")).distinct()
+          else tree.groupBy(col("start"), col("node"))
+            .agg(min(col("depth")).as("depth"))
+            .join(seeds.select(col("start"), col("start").as("node")),
+              Seq("start", "node"), "left_anti")
         if (scalars.isEmpty) reached
         else {
           // depth 0 = the template applied to the root itself
@@ -1019,8 +1051,13 @@ final class DqlExecutor(ts: GraphStore) {
     * string-aggregation per depth, every join keyed on uids — no
     * row-by-row work, depth many shuffles.
     */
-  private def recurseJson(b: QueryBlock, includeUid: Boolean): DataFrame = {
+  private def recurseJson(b: QueryBlock, includeUid0: Boolean): DataFrame = {
     val r = b.recurse.get
+    // an explicit `uid` selection turns uid keys on even in
+    // GraphQL-shaped output (reference TestRecurseQueryLimitDepth2 —
+    // the nameless friend then renders as a bare {"uid": ...})
+    val includeUid = includeUid0 ||
+      b.selections.exists(s => s.pred == "uid" && !s.isCount)
     var frontier = seed(b.func).select(col("uid")).distinct()
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
     // unknown predicates in the template are legal and ignored
@@ -1308,14 +1345,22 @@ final class DqlExecutor(ts: GraphStore) {
       .map { case (s, i) => (s, s"__r$i") }.toMap[Selection, String]
     val rootUid = includeUid ||
       b.selections.exists(s => s.pred == "uid" && !s.isCount)
-    val fields = (if (rootUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++
-      rootSels.flatMap { s =>
-        if (isChild(s))
-          childCols.collectFirst { case (cs, ccol) if cs eq s =>
-            col(ccol).as(jsonKey(s)) }
-        else Some(col(scalarCol(s)).as(jsonKey(s)))
-      }
-    val assembled = root
+    val valueFields = rootSels.flatMap { s =>
+      if (isChild(s))
+        childCols.collectFirst { case (cs, ccol) if cs eq s =>
+          col(ccol).as(jsonKey(s)) }
+      else Some(col(scalarCol(s)).as(jsonKey(s)))
+    }
+    val fields =
+      (if (rootUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++ valueFields
+    // without a uid key, a root whose requested values are ALL absent
+    // renders nothing — the reference omits value-less objects at the
+    // root too (TestRecurseVariable: the nameless friend disappears
+    // from the uid-var block)
+    val kept =
+      if (rootUid || valueFields.isEmpty) root
+      else root.filter(valueFields.map(_.isNotNull).reduce(_ || _))
+    val assembled = kept
       .select(col("uid"), to_json(struct(fields: _*), jsonOpts).as("json"))
     // the result array keeps the block's requested root order (reference
     // applies sort before encoding); uid order is only the default —

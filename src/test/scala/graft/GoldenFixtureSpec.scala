@@ -77,6 +77,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
     e(54, "connects", 55, "weight=1"),
     a(1000, "name", "Alice"), a(1001, "name", "Bob"),
     a(1002, "name", "Matt"), a(1003, "name", "John"),
+    a(5000, "name", "School A"), a(5001, "name", "School B"),
     // weighted path graph (common_test.go:568-576)
     e(1, "path", 31, "weight=0.1"), e(1, "path", 24, "weight=0.2"),
     e(31, "path", 1000, "weight=0.1"), e(1000, "path", 1001, "weight=0.1"),
@@ -359,6 +360,36 @@ class GoldenFixtureSpec extends AnyFunSuite {
       checkGolden(query, expect,
         vars = Map("$depth" -> depth, "$numpaths" -> "4"))
     }
+  }
+
+  test("golden: TestRecurseQueryLimitDepth2 (query3_test.go:175)") {
+    // explicit `uid` turns uid keys on; the nameless friend renders as
+    // a bare uid object instead of being elided
+    checkGolden(
+      """{ me(func: uid(0x01)) @recurse(depth: 2) {
+        |    uid non_existent friend name } }""".stripMargin,
+      """{"data": {"me":[{"uid":"0x1","friend":[{"uid":"0x17","name":"Rick Grimes"},{"uid":"0x18","name":"Glenn Rhee"},{"uid":"0x19","name":"Daryl Dixon"},{"uid":"0x1f","name":"Andrea"},{"uid":"0x65"}],"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestRecurseVariable (query3_test.go:192)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) @recurse { a as friend }
+        |  me(func: uid(a)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestRecurseVariableUid (query3_test.go:209)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) @recurse { friend  a as uid }
+        |  me(func: uid(a)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestRecurseVariableVar (query3_test.go:228)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) @recurse { friend school a as name }
+        |  me(func: uid(a)) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"},{"name":"School A"},{"name":"School B"}]}}""")
   }
 
   test("golden: TestGetUID (query0_test.go:27)") {
