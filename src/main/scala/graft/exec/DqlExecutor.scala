@@ -113,6 +113,32 @@ final class DqlExecutor(ts: GraphStore) {
   private def recurseHops(r: RecurseArgs): Int =
     if (r.depth == Int.MaxValue) r.depth else math.max(0, r.depth - 1)
 
+  /** expand(_all_)/expand(Type) inside a @recurse template: substitute
+    * the type's predicates — uid preds drive the expansion, scalars
+    * become per-level leaves (reference TestRecurseExpand walks the
+    * SchoolInfo chain this way). `_all_` reads the ROOT frontier's type
+    * names (metadata-sized collect); exact on homogeneous graphs, the
+    * reference recomputes per level.
+    */
+  private def expandRecurseSels(frontier: DataFrame,
+      sels: Seq[Selection]): Seq[Selection] =
+    sels.flatMap { s =>
+      if (!s.pred.startsWith("expand(")) Seq(s)
+      else {
+        val arg = s.pred.stripPrefix("expand(").stripSuffix(")")
+        val typeNames =
+          if (arg == "_all_")
+            ts.nodeTypes.join(
+                frontier.select(col("uid").as("subject")).distinct(),
+                Seq("subject"), "left_semi")
+              .select("typeName").distinct()
+              .collect().map(_.getString(0)).sorted.toSeq
+          else Seq(arg)
+        typeNames.flatMap(schema.predicatesOfType).distinct.sorted
+          .map(p => Selection(None, p))
+      }
+    }
+
   private def flatBlock(b: QueryBlock): DataFrame = {
     b.shortest.foreach { sa => return shortestBlock(b, sa) }
     var frontier = seed(b.func).select(col("uid")).distinct()
@@ -129,7 +155,7 @@ final class DqlExecutor(ts: GraphStore) {
         // the full child template each level, query/recurse.go:19
         // expandRecurse — `{ name friend }` under @recurse returns names
         // at every depth, not bare uids). Unknown predicates are ignored.
-        val known = b.selections.filter(s =>
+        val known = expandRecurseSels(frontier, b.selections).filter(s =>
           schema.predicates.contains(s.pred) || s.pred == "uid")
         val (preds, rest) =
           known.partition(s => schema.isUidPredicate(s.pred))
@@ -1063,7 +1089,8 @@ final class DqlExecutor(ts: GraphStore) {
     // unknown predicates in the template are legal and ignored
     // (reference TestRecurseQuery selects nonexistent_pred)
     val (preds, scalars) =
-      b.selections.filter(s => schema.predicates.contains(s.pred))
+      expandRecurseSels(frontier, b.selections)
+        .filter(s => schema.predicates.contains(s.pred))
         .partition(s => schema.isUidPredicate(s.pred))
     val edges = preds.map { s =>
       val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)

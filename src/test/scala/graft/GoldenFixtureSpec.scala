@@ -78,6 +78,16 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(1000, "name", "Alice"), a(1001, "name", "Bob"),
     a(1002, "name", "Matt"), a(1003, "name", "John"),
     a(5000, "name", "School A"), a(5001, "name", "School B"),
+    // SchoolInfo chain (common_test.go:408-411, 659-665, 686-690)
+    a(33, "name", "San Mateo High School"),
+    a(34, "name", "San Mateo School District"),
+    a(35, "name", "San Mateo County"), a(36, "name", "California"),
+    a(36, "abbr", "CA"),
+    e(32, "school", 33), e(33, "district", 34), e(34, "county", 35),
+    e(35, "state", 36),
+    a(32, "dgraph.type", "SchoolInfo"), a(33, "dgraph.type", "SchoolInfo"),
+    a(34, "dgraph.type", "SchoolInfo"), a(35, "dgraph.type", "SchoolInfo"),
+    a(36, "dgraph.type", "SchoolInfo"),
     // weighted path graph (common_test.go:568-576)
     e(1, "path", 31, "weight=0.1"), e(1, "path", 24, "weight=0.2"),
     e(31, "path", 1000, "weight=0.1"), e(1000, "path", 1001, "weight=0.1"),
@@ -104,6 +114,11 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |path: [uid] @reverse .
         |connects: [uid] @reverse .
         |follow: [uid] @reverse .
+        |abbr: string .
+        |district: [uid] .
+        |county: [uid] .
+        |state: [uid] .
+        |type SchoolInfo { name abbr school district county state }
         |""".stripMargin)
     new SchemaRegistry(preds.map(p => p.name -> p).toMap,
       types.map(t => t.name -> t).toMap)
@@ -390,6 +405,14 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """{ var(func: uid(0x01)) @recurse { friend school a as name }
         |  me(func: uid(a)) { name } }""".stripMargin,
       """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"},{"name":"School A"},{"name":"School B"}]}}""")
+  }
+
+  test("golden: TestRecurseExpand (query3_test.go:90)") {
+    // expand(_all_) under @recurse: the SchoolInfo type's uid preds
+    // drive the walk, its scalars render per level
+    checkGolden(
+      """{ me(func: uid(32)) @recurse { expand(_all_) } }""",
+      """{"data":{"me":[{"school":[{"name":"San Mateo High School","district":[{"name":"San Mateo School District","county":[{"state":[{"name":"California","abbr":"CA"}],"name":"San Mateo County"}]}]}]}]}}""")
   }
 
   test("golden: TestGetUID (query0_test.go:27)") {
