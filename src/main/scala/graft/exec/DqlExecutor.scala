@@ -1166,14 +1166,33 @@ final class DqlExecutor(ts: GraphStore) {
       val kidCol = (k: String) =>
         if (kids != null && lvl.columns.contains(s"__k_$k"))
           Some(col(s"__k_$k")) else None
-      val withObj = lvl
+      var withObj = lvl
         .filter(keep(predKeys.flatMap(kidCol)))
         .withColumn("__obj_base", baseJson)
         .withColumn("__obj", objCol(kidCol))
+      // per-level child ordering: `friend(orderdesc: dob)` sorts each
+      // parent's array by the order predicate's value (reference
+      // TestRecurseQueryOrder re-applies the ordering every level);
+      // desc negates the numeric/epoch cast, uid breaks ties
+      val orderedSels = preds.filter(s =>
+        s.order.nonEmpty && !s.order.head.pred.startsWith("val:"))
+      orderedSels.foreach { s =>
+        withObj = withObj.join(
+          ts.attr(s.order.head.pred)
+            .select(col("subject").as("__oks"),
+              col("value").cast("double").as(s"__ok_${jsonKey(s)}")),
+          col("node") === col("__oks"), "left").drop("__oks")
+      }
+      val sortKey = orderedSels.foldLeft(lit(null).cast("double")) { (acc, s) =>
+        val v = col(s"__ok_${jsonKey(s)}")
+        when(col("pred") === jsonKey(s),
+          if (s.order.head.desc) -v else v).otherwise(acc)
+      }
       val perPred = withObj
         .groupBy(col("start"), col("parent"), col("pred"))
         .agg(array_join(transform(
-          sort_array(collect_list(struct(col("node").as("o"), col("__obj").as("p")))),
+          sort_array(collect_list(struct(sortKey.as("k"),
+            col("node").as("o"), col("__obj").as("p")))),
           x => x.getField("p")), ",").as("__arr"))
       kids = perPred.groupBy(col("start").as("__ks"), col("parent").as("__kp"))
         .agg(predKeys.map(k =>

@@ -415,6 +415,13 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """{"data":{"me":[{"school":[{"name":"San Mateo High School","district":[{"name":"San Mateo School District","county":[{"state":[{"name":"California","abbr":"CA"}],"name":"San Mateo County"}]}]}]}]}}""")
   }
 
+  test("golden: TestRecurseQueryOrder (query3_test.go:117)") {
+    // per-level child ordering by the dob value, re-applied every level
+    checkGolden(
+      """{ me(func: uid(0x01)) @recurse { friend(orderdesc: dob) dob name } }""",
+      """{"data": {"me":[{"dob":"1910-01-01T00:00:00Z","friend":[{"dob":"1910-01-02T00:00:00Z","friend":[{"dob":"1910-01-01T00:00:00Z","name":"Michonne"}],"name":"Rick Grimes"},{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},{"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},{"dob":"1901-01-15T00:00:00Z","friend":[{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"}],"name":"Andrea"}],"name":"Michonne"}]}}""")
+  }
+
   test("golden: TestGetUID (query0_test.go:27)") {
     checkGolden(
       """{ me(func: uid(0x01)) { name uid gender alive friend { uid name } } }""",
