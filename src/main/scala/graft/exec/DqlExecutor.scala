@@ -1304,7 +1304,22 @@ final class DqlExecutor(ts: GraphStore) {
         }
       val fields = aliased(b.selections, "")
         .map { case (c, k) => col(c).as(k) }
-      return flatDf
+      // value-less child objects are elided BEFORE flattening
+      // (TestNormalizeDirective: the nameless friend generates no result
+      // paths): a row whose traversed child is present but whose subtree
+      // produced no aliased values vanishes
+      var out = flatDf
+      def prune(sels: Seq[Selection], pfx: String): Unit =
+        sels.filter(isChild).foreach { c =>
+          val edgeCol = pfx + c.outName
+          val subCols = aliased(c.children, pfx + c.outName + "_").map(_._1)
+          if (out.columns.contains(edgeCol) && subCols.nonEmpty)
+            out = out.filter(col(edgeCol).isNull ||
+              subCols.map(col(_).isNotNull).reduce(_ || _))
+          prune(c.children, pfx + c.outName + "_")
+        }
+      prune(b.selections, "")
+      return out
         .select(col("uid"), to_json(struct(fields: _*), jsonOpts).as("json"))
         .orderBy(col("uid"), col("json"))
     }

@@ -78,6 +78,8 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(1000, "name", "Alice"), a(1001, "name", "Bob"),
     a(1002, "name", "Matt"), a(1003, "name", "John"),
     a(5000, "name", "School A"), a(5001, "name", "School B"),
+    a(2300, "name", "Andre"), a(2333, "name", "Helmut"),
+    e(1, "son", 2300), e(1, "son", 2333),
     // SchoolInfo chain (common_test.go:408-411, 659-665, 686-690)
     a(33, "name", "San Mateo High School"),
     a(34, "name", "San Mateo School District"),
@@ -114,6 +116,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |path: [uid] @reverse .
         |connects: [uid] @reverse .
         |follow: [uid] @reverse .
+        |son: [uid] .
         |abbr: string .
         |district: [uid] .
         |county: [uid] .
@@ -420,6 +423,26 @@ class GoldenFixtureSpec extends AnyFunSuite {
     checkGolden(
       """{ me(func: uid(0x01)) @recurse { friend(orderdesc: dob) dob name } }""",
       """{"data": {"me":[{"dob":"1910-01-01T00:00:00Z","friend":[{"dob":"1910-01-02T00:00:00Z","friend":[{"dob":"1910-01-01T00:00:00Z","name":"Michonne"}],"name":"Rick Grimes"},{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},{"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},{"dob":"1901-01-15T00:00:00Z","friend":[{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"}],"name":"Andrea"}],"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestNormalizeDirective (query2_test.go:1755)") {
+    // flat objects per result path, ALIASED leaves only (gender drops),
+    // friend × son cross product, value-less friend omitted
+    checkGolden(
+      """{ me(func: uid(0x01)) @normalize {
+        |    mn: name gender
+        |    friend { n: name d: dob friend { fn: name } }
+        |    son { sn: name } } }""".stripMargin,
+      """{"data": {"me": [
+        | {"d":"1910-01-02T00:00:00Z","fn":"Michonne","mn":"Michonne","n":"Rick Grimes","sn":"Andre"},
+        | {"d":"1910-01-02T00:00:00Z","fn":"Michonne","mn":"Michonne","n":"Rick Grimes","sn":"Helmut"},
+        | {"d":"1909-05-05T00:00:00Z","mn":"Michonne","n":"Glenn Rhee","sn":"Andre"},
+        | {"d":"1909-05-05T00:00:00Z","mn":"Michonne","n":"Glenn Rhee","sn":"Helmut"},
+        | {"d":"1909-01-10T00:00:00Z","mn":"Michonne","n":"Daryl Dixon","sn":"Andre"},
+        | {"d":"1909-01-10T00:00:00Z","mn":"Michonne","n":"Daryl Dixon","sn":"Helmut"},
+        | {"d":"1901-01-15T00:00:00Z","fn":"Glenn Rhee","mn":"Michonne","n":"Andrea","sn":"Andre"},
+        | {"d":"1901-01-15T00:00:00Z","fn":"Glenn Rhee","mn":"Michonne","n":"Andrea","sn":"Helmut"}
+        |]}}""".stripMargin, arrayOrderFree = true)
   }
 
   test("golden: TestGetUID (query0_test.go:27)") {
