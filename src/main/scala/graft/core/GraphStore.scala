@@ -48,6 +48,17 @@ trait GraphStore {
       col("subject").as("object"): _*)
   }
 
+  /** Optional store-optimized canonical backup frame (subject, predicate,
+    * objectUid, value, lang, facets — the [[graft.operators.Backup]]
+    * layout). `None` makes Backup compose it generically from
+    * attr()/edges/nodeTypes, one union branch per tablet; a store that
+    * knows its source layout can return a frame with far fewer leaf
+    * scans (TripleStore melts one scan per source table). Values must be
+    * formatted identically to the generic path — BackupSpec asserts
+    * parity row-for-row.
+    */
+  def backupTriples(only: Set[String]): Option[DataFrame] = None
+
   /** Session-lifetime cache of MATERIALIZED derived frames, keyed by a
     * caller-chosen signature. Used for inputs that several queries share
     * (e.g. the weighted edge union of shortest blocks) — built and

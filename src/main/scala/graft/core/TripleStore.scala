@@ -220,6 +220,111 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
     ).reduce(_ unionByName _)
   }
 
+  /** Store-optimized backup frame (see [[GraphStore.backupTriples]]):
+    * ONE scan per source table emits every backup row the table owns —
+    * attrs, edges, and its dgraph.type rows — through a single generator
+    * (`explode(array(struct...))`). The generic Backup.tripleFrame union
+    * reaches ~37 leaf scans for this store (21 attr tablets + 7 edge
+    * branches + 9 type branches), and the backup write's wall-clock is
+    * dominated by those plan units (codegen compilation cold, stage
+    * scheduling hot), not by bytes — melting gets it to 9 leaves.
+    * Value/facet strings replicate the exact cast chains of the tablet
+    * views (sAttr casts to string, the typed table casts back, Backup
+    * casts to string again); BackupSpec asserts row parity with the
+    * generic path at sf0.001.
+    */
+  override def backupTriples(only: Set[String]): Option[DataFrame] = {
+    def keep(name: String) = only.isEmpty || only(name)
+    val nullC = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    // one output row spec: (predicate, subject, objectUid, value, lang, facets)
+    case class R(pred: String, subject: Column, objectUid: Column = nullC,
+        value: Column = nullS, lang: Column = nullS, facets: Column = nullS)
+    def melt(df: DataFrame, rows: Seq[R]): Option[DataFrame] = {
+      val kept = rows.filter(r => keep(r.pred))
+      if (kept.isEmpty) None
+      else Some(df.select(explode(array(kept.map { r =>
+        struct(r.subject.cast("long").as("subject"),
+          lit(r.pred).as("predicate"),
+          r.objectUid.cast("long").as("objectUid"),
+          r.value.cast("string").as("value"),
+          r.lang.cast("string").as("lang"),
+          r.facets.cast("string").as("facets"))
+      }: _*)).as("t")).select(col("t.*")))
+    }
+    def str(c: Column) = c.cast("string")
+    // attrDouble chain: src.cast(string).cast(double) then Backup .cast(string)
+    def dbl(c: Column) = c.cast("string").cast("double").cast("string")
+    // attrLong chain: src.cast(long).cast(string).cast(long) → string
+    def lng(c: Column) = c.cast("long").cast("string")
+    // attrTs chain: src.cast(string).cast(timestamp) → string
+    def ts(c: Column) = c.cast("string").cast("timestamp").cast("string")
+    val placedFacets = concat(
+      lit("orderdate="), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      lit(", totalprice="), col("o_totalprice").cast("decimal(18,2)").cast("string"))
+    val hasLineFacets = concat(
+      lit("quantity="), col("l_quantity").cast("long").cast("string"),
+      lit(", discount="), col("l_discount").cast("decimal(6,2)").cast("string"))
+    val branches = Seq(
+      melt(t("region"), Seq(
+        R("name", lit(Region) + col("r_regionkey").cast("long"), value = str(col("r_name"))),
+        R("dgraph.type", lit(Region) + col("r_regionkey").cast("long"), value = lit("Region")))),
+      melt(t("nation"), Seq(
+        R("name", lit(Nation) + col("n_nationkey").cast("long"), value = str(col("n_name"))),
+        R("in_region", lit(Nation) + col("n_nationkey").cast("long"),
+          objectUid = lit(Region) + col("n_regionkey").cast("long")),
+        R("dgraph.type", lit(Nation) + col("n_nationkey").cast("long"), value = lit("Nation")))),
+      melt(t("customer"), Seq(
+        R("name", lit(Customer) + col("c_custkey"), value = str(col("c_name"))),
+        R("mktsegment", lit(Customer) + col("c_custkey"), value = str(col("c_mktsegment"))),
+        R("acctbal", lit(Customer) + col("c_custkey"), value = dbl(col("c_acctbal"))),
+        R("located_in", lit(Customer) + col("c_custkey"),
+          objectUid = lit(Nation) + col("c_nationkey").cast("long")),
+        R("dgraph.type", lit(Customer) + col("c_custkey"), value = lit("Customer")))),
+      melt(t("supplier"), Seq(
+        R("name", lit(Supplier) + col("s_suppkey"), value = str(col("s_name"))),
+        R("acctbal", lit(Supplier) + col("s_suppkey"), value = dbl(col("s_acctbal"))),
+        R("located_in", lit(Supplier) + col("s_suppkey"),
+          objectUid = lit(Nation) + col("s_nationkey").cast("long")),
+        R("dgraph.type", lit(Supplier) + col("s_suppkey"), value = lit("Supplier")))),
+      melt(t("part"), Seq(
+        R("name", lit(Part) + col("p_partkey"), value = str(col("p_name"))),
+        R("brand", lit(Part) + col("p_partkey"), value = str(col("p_brand"))),
+        R("ptype", lit(Part) + col("p_partkey"), value = str(col("p_type"))),
+        R("size", lit(Part) + col("p_partkey"), value = lng(col("p_size"))),
+        R("retailprice", lit(Part) + col("p_partkey"), value = dbl(col("p_retailprice"))),
+        R("dgraph.type", lit(Part) + col("p_partkey"), value = lit("Part")))),
+      melt(t("orders"), Seq(
+        R("orderstatus", lit(Order) + col("o_orderkey"), value = str(col("o_orderstatus"))),
+        R("orderpriority", lit(Order) + col("o_orderkey"), value = str(col("o_orderpriority"))),
+        R("totalprice", lit(Order) + col("o_orderkey"), value = dbl(col("o_totalprice"))),
+        R("orderdate", lit(Order) + col("o_orderkey"), value = ts(col("o_orderdate"))),
+        R("placed", lit(Customer) + col("o_custkey"),
+          objectUid = lit(Order) + col("o_orderkey"), facets = placedFacets),
+        R("dgraph.type", lit(Order) + col("o_orderkey"), value = lit("Order")))),
+      melt(line, Seq(
+        R("returnflag", col("line_uid"), value = str(col("l_returnflag"))),
+        R("linestatus", col("line_uid"), value = str(col("l_linestatus"))),
+        R("quantity", col("line_uid"), value = dbl(col("l_quantity"))),
+        R("extendedprice", col("line_uid"), value = dbl(col("l_extendedprice"))),
+        R("discount", col("line_uid"), value = dbl(col("l_discount"))),
+        R("shipdate", col("line_uid"), value = ts(col("l_shipdate"))),
+        R("has_line", lit(Order) + col("l_orderkey"),
+          objectUid = col("line_uid"), facets = hasLineFacets),
+        R("of_part", col("line_uid"), objectUid = lit(Part) + col("l_partkey")),
+        R("by_supplier", col("line_uid"), objectUid = lit(Supplier) + col("l_suppkey")),
+        R("dgraph.type", col("line_uid"), value = lit("Lineitem")))),
+      melt(t("documents"), Seq(
+        R("text", lit(Document) + col("doc_id"), value = str(col("text")), lang = col("lang")),
+        R("source", lit(Document) + col("doc_id"), value = str(col("source"))),
+        R("n_chars", lit(Document) + col("doc_id"), value = lng(col("n_chars"))),
+        R("dgraph.type", lit(Document) + col("doc_id"), value = lit("Document")))),
+      melt(t("embeddings"), Seq(
+        R("dgraph.type", lit(Embedding) + col("vec_id"), value = lit("Embedding"))))
+    ).flatten
+    if (branches.isEmpty) None else Some(branches.reduce(_ unionByName _))
+  }
+
   /** Vector attribute for similar_to (reference float32vector,
     * types/scalar_types.go:60).
     */

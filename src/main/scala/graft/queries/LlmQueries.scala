@@ -174,7 +174,7 @@ object LlmQueries {
       val q = embQ(s, d).select(col("id"), col("qe"))
       val dir = new java.io.File(
         s"target/graft-ivf_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}").getAbsolutePath
+          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
       Similarity.ivfWrite(q, dir, nCells = 8)
       val (stored, cents) = Similarity.ivfRead(s, dir)
       Similarity.ivfSearchStored(q.filter(col("id") % 50 === 0), stored,

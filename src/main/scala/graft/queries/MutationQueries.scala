@@ -101,12 +101,16 @@ object MutationQueries {
       // layout step: edge tablet bucketed on the JOIN key (object = line
       // uid), attribute tablet on subject — the bulk loader's output
       // shape; the join below then needs no exchange on either side
+      // fresh table names per invocation: overwriting an existing
+      // bucketed table (drop + recreate + re-list) is 2.5× the initial
+      // write and would make a re-run look like a regression
+      val run = Q.freshRun()
       Bucketing.writeBucketed(ts.edge("has_line")
-        .select(col("subject"), col("object")), "g_hasline_b", 8, key = "object")
+        .select(col("subject"), col("object")), s"g_hasline_b_$run", 8, key = "object")
       Bucketing.writeBucketed(ts.attr("quantity")
-        .select(col("subject"), col("value")), "g_qty_b", 8)
-      val e = Bucketing.table(s, "g_hasline_b")
-      val q = Bucketing.table(s, "g_qty_b")
+        .select(col("subject"), col("value")), s"g_qty_b_$run", 8)
+      val e = Bucketing.table(s, s"g_hasline_b_$run")
+      val q = Bucketing.table(s, s"g_qty_b_$run")
         .select(col("subject").as("object"), col("value"))
       e.join(q, Seq("object"))
         .groupBy(col("subject")).agg(dsum(col("value")).as("sum_qty"))

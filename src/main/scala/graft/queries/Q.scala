@@ -26,6 +26,16 @@ object Q {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Per-JVM unique suffix for queries that WRITE (backup dirs, bucketed
+    * tables, ANN index dirs). A repeated invocation in the same session —
+    * the bench's steady rep, a user re-running a load — writes to a fresh
+    * target instead of overwriting the previous one: an overwrite of an
+    * existing bucketed table (drop + recreate + re-list) measures 2.5×
+    * slower than the initial write and says nothing about the operator.
+    */
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger
+  def freshRun(): Int = runSeq.incrementAndGet()
+
   /** Deterministic average: exact decimal sum divided as double/double. */
   def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(c).cast("double")

@@ -240,7 +240,7 @@ object SpecialQueries {
       val ts = graft.core.TripleStore(s, d)
       val dir = new java.io.File(
         s"target/graft-backup_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}").getAbsolutePath
+          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
       graft.operators.Backup.full(ts, dir)
       graft.operators.Backup.restore(s, dir, ts.facetKeys)
         .attr("name")
@@ -255,7 +255,7 @@ object SpecialQueries {
       val ts = graft.core.TripleStore(s, d)
       val dir = new java.io.File(
         s"target/graft-backupinc_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}").getAbsolutePath
+          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
       val only = Set("mktsegment", "name")
       graft.operators.Backup.full(ts, dir, only)
       val prev = graft.operators.Backup.tripleFrame(ts, only)
