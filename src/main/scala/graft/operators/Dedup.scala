@@ -31,19 +31,52 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("id")).as("rep_id"))
       .filter(col("n") > 1)
 
+  /** One distinct-shingle-set pass over the corpus: (id, sh
+    * ARRAY<STRING>). This is THE tokenize pass of the near-dup pipeline —
+    * minhash signatures, LSH candidates, and exact Jaccard verification
+    * all derive from it, so a session materializes it once (the way the
+    * reference engine maintains its index rather than re-tokenizing the
+    * corpus per request). Docs too short for any shingle keep an empty
+    * array and drop out downstream at the explode.
+    */
+  def shingleSets(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3): DataFrame =
+    df.select(id.as("id"),
+      array_distinct(shingles(words(text), shingleN)).as("sh"))
+
   /** Per-document MinHash signature columns s0..s{k-1} over word
     * n-gram shingles.
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-      k: Int = 8, shingleN: Int = 3): DataFrame = {
+      k: Int = 8, shingleN: Int = 3): DataFrame =
+    signaturesFromSets(shingleSets(df, id, text, shingleN), k)
+
+  /** Signatures from a pre-built [[shingleSets]] frame. min() over the
+    * DISTINCT set equals min() over raw shingle occurrences, so the
+    * distinct pass is shareable with Jaccard verification.
+    *
+    * Hash family: ONE md5 per shingle (28-bit prefix) rehashed by k
+    * affine maps (a_i·h + b_i) mod M — the standard universal-hashing
+    * minhash construction. k independent salted md5s gave identical
+    * dedup quality but cost 8 full digests per shingle, which was the
+    * whole cold tail of the candidate build (56M md5 calls at sf0.1).
+    * Constants: M prime < 2^30, a_i < 2^23, h < 2^28 — products stay
+    * far inside the 64-bit long, in Spark and in the DuckDB oracle.
+    */
+  val MinhashM = 1073741789L
+  def minhashA(i: Int): Long = 1000003L * (i + 1)
+  def minhashB(i: Int): Long = 7919L * i + 17
+  def signaturesFromSets(sets: DataFrame, k: Int = 8): DataFrame = {
     // explode + hash-aggregate instead of per-row array folds: the k
-    // salted-md5 min-aggregates run inside whole-stage codegen with
-    // map-side partial aggregation, and no giant shingle arrays are
-    // materialized per row. Docs too short for any shingle naturally
-    // drop out (no group), matching the oracle CTE.
-    val sh = df.select(id.as("id"), explode(shingles(words(text), shingleN)).as("s"))
+    // min-aggregates run inside whole-stage codegen with map-side
+    // partial aggregation, and no giant shingle arrays are materialized
+    // per row. Docs too short for any shingle naturally drop out (no
+    // group), matching the oracle CTE.
+    val sh = sets.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"),
+        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("h"))
     val sigCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"s$i"))
+      min((col("h") * minhashA(i) + minhashB(i)) % MinhashM).as(s"s$i"))
     sh.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
@@ -52,11 +85,16 @@ object Dedup {
     * (a, b, n_shared_bands) with a < b.
     */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
-      bands: Int = 4, rows: Int = 2, shingleN: Int = 3): DataFrame = {
+      bands: Int = 4, rows: Int = 2, shingleN: Int = 3): DataFrame =
+    candidatesFromSets(shingleSets(df, id, text, shingleN), bands, rows)
+
+  /** LSH candidate pairs from a pre-built [[shingleSets]] frame. */
+  def candidatesFromSets(sets: DataFrame,
+      bands: Int = 4, rows: Int = 2): DataFrame = {
     // materialize signatures before the self-join: the two join sides are
     // separate plan branches (one becomes a broadcast), so without this
     // the whole shingle-explode + k min-agg pipeline runs TWICE
-    val sigs = minhashSignatures(df, id, text, bands * rows, shingleN)
+    val sigs = signaturesFromSets(sets, bands * rows)
       .localCheckpoint()
     val bandKeys = (0 until bands).map { b =>
       bandKey((0 until rows).map(r => col(s"s${b * rows + r}")))
@@ -168,13 +206,17 @@ object Dedup {
     * |union| = |A| + |B| - |inter|. Returns (a, b, inter, un, jaccard).
     */
   def ngramJaccard(df: DataFrame, id: Column, text: Column,
-      candidates: DataFrame, shingleN: Int = 3): DataFrame = {
-    // shingle sets feed both the explode-join and the size lookup —
-    // materialize one pass over the corpus instead of re-tokenizing three
-    // times. localCheckpoint (not cache) so the storage is released when
-    // the RDD is GC'd rather than pinned for the session's lifetime
-    val sets = df.select(id.as("id"),
-      array_distinct(shingles(words(text), shingleN)).as("sh")).localCheckpoint()
+      candidates: DataFrame, shingleN: Int = 3): DataFrame =
+    jaccardFromSets(
+      shingleSets(df, id, text, shingleN).localCheckpoint(), candidates)
+
+  /** Jaccard verification from a pre-built (ideally already materialized)
+    * [[shingleSets]] frame — pass the SAME frame the LSH candidates came
+    * from and the corpus is tokenized exactly once for the whole
+    * pipeline.
+    */
+  def jaccardFromSets(sets: DataFrame, candidates: DataFrame): DataFrame = {
+    // shingle sets feed both the explode-join and the size lookup
     val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
     val ex = sets.select(col("id"), explode(col("sh")).as("s"))
     val inter = candidates.join(ex.as("ea"), col("a") === col("ea.id"))

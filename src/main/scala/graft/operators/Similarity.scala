@@ -198,8 +198,16 @@ object Similarity {
     * tok/hnsw/persistent_hnsw.go). Returns the trained centroids.
     */
   def ivfWrite(corpus: DataFrame, dir: String, nCells: Int,
-      iters: Int = 3): Seq[Seq[Long]] = {
-    val cents = trainIvfCentroids(corpus, nCells, iters)
+      iters: Int = 3): Seq[Seq[Long]] =
+    ivfWriteTrained(corpus, dir, trainIvfCentroids(corpus, nCells, iters))
+
+  /** Persist with ALREADY-trained centroids: training is a separate,
+    * cacheable step (per (session, corpus) — the reference trains its
+    * index once, not per search), while the write stays the per-index
+    * job.
+    */
+  def ivfWriteTrained(corpus: DataFrame, dir: String,
+      cents: Seq[Seq[Long]]): Seq[Seq[Long]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
