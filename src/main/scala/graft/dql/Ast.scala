@@ -19,6 +19,14 @@ final case class FuncCall(name: String, pred: String, args: Seq[String])
 
 final case class Ordering(pred: String, desc: Boolean)
 
+/** One `@groupby` key: `@groupby(age)` or aliased `@groupby(Age: age)`
+  * (reference query/groupby.go formResult key attrs; alias from
+  * Params.Alias).
+  */
+final case class GroupKey(alias: Option[String], pred: String) {
+  def outName: String = alias.getOrElse(pred)
+}
+
 final case class Pagination(first: Option[Int] = None, offset: Option[Int] = None,
     after: Option[Long] = None)
 
@@ -41,7 +49,7 @@ final case class Selection(
     facetKeys: Seq[String] = Nil,         // @facets(k1, k2): named fetch / weight
     facetFilter: Option[FuncCall] = None, // @facets(eq(k, v))
     facetOrder: Option[Ordering] = None,  // @facets(orderasc: k)
-    groupby: Seq[String] = Nil,           // @groupby(p1, p2)
+    groupby: Seq[GroupKey] = Nil,         // @groupby(p1, A: p2)
     mathExpr: Option[MathNode] = None,    // x as math(...)
     langChain: Seq[String] = Nil) {       // pred@en:fr:. preference chain
   def outName: String = alias.getOrElse(
@@ -86,6 +94,7 @@ final case class QueryBlock(
     selections: Seq[Selection] = Nil,
     shortest: Option[ShortestArgs] = None,
     blockVar: Option[String] = None,   // `sp as shortest(...)` binding
-    cascadeFields: Seq[String] = Nil)  // @cascade(f1, f2): only these required
+    cascadeFields: Seq[String] = Nil,  // @cascade(f1, f2): only these required
+    groupby: Seq[GroupKey] = Nil)      // root-level @groupby(p1, A: p2)
 
 final case class DqlQuery(blocks: Seq[QueryBlock])

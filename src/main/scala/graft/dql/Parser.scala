@@ -182,10 +182,12 @@ object Parser {
       var cascade = false; var normalize = false
       var cascadeFields = Vector.empty[String]
       var recurse: Option[RecurseArgs] = None
+      var groupby = Vector.empty[GroupKey]
       while (peek == Punct("@")) {
         next()
         ident() match {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
+          case "groupby" => groupby = parseGroupbyKeys()
           case "cascade" =>
             cascade = true
             // @cascade(f1, f2): parameterized — only the listed fields
@@ -236,7 +238,23 @@ object Parser {
         else parseSelectionSet()
       QueryBlock(name, func.getOrElse(fail("block missing func")), filter,
         order, page, cascade, normalize, recurse, sels, blockVar = blockVar,
-        cascadeFields = cascadeFields)
+        cascadeFields = cascadeFields, groupby = groupby)
+    }
+
+    /** `@groupby(p1, Alias: p2, ...)` key list (shared by block-level and
+      * selection-level forms; key aliases per reference TestGroupByRootAlias2).
+      */
+    private def parseGroupbyKeys(): Vector[GroupKey] = {
+      expect("(")
+      def one(): GroupKey = {
+        val a = ident()
+        if (peek == Punct(":")) { next(); GroupKey(Some(a), ident()) }
+        else GroupKey(None, a)
+      }
+      var keys = Vector(one())
+      while (peek == Punct(",")) { next(); keys :+= one() }
+      expect(")")
+      keys
     }
 
     private def parseSelectionSet(): Seq[Selection] = {
@@ -298,7 +316,10 @@ object Parser {
         if (peek == Punct("~")) { next(); rev = true }
         val p = ident()
         expect(")")
-        return Selection(alias, p, reverse = rev, isCount = true)
+        // `a as count(uid)` inside @groupby binds the per-group count
+        // (reference fillGroupedVars)
+        return Selection(alias, p, reverse = rev, isCount = true,
+          varName = varName)
       }
       if (name == "expand" && peek == Punct("(")) {
         next()
@@ -353,16 +374,12 @@ object Parser {
       var facetKeys = Vector.empty[String]
       var facetFilter: Option[FuncCall] = None
       var facetOrder: Option[Ordering] = None
-      var groupby = Vector.empty[String]
+      var groupby = Vector.empty[GroupKey]
       while (peek == Punct("@")) {
         next()
         ident() match {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
-          case "groupby" =>
-            expect("(")
-            groupby :+= ident()
-            while (peek == Punct(",")) { next(); groupby :+= ident() }
-            expect(")")
+          case "groupby" => groupby = parseGroupbyKeys()
           case "facets" =>
             // @facets | @facets(k1, k2) | @facets(eq(k, v))
             // | @facets(orderasc/desc: k)

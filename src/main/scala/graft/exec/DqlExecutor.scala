@@ -213,8 +213,22 @@ final class DqlExecutor(ts: GraphStore) {
           }.select(Seq(col("start"), col("node"), col("depth")) ++
             scalars.map(s => col(s.alias.getOrElse(s.pred))): _*)
         }
-      case None if b.selections.size == 1 && b.selections.head.groupby.nonEmpty =>
-        groupbyBlock(frontier, b.selections.head)
+      case None if b.groupby.nonEmpty =>
+        // root-level @groupby, flat surface: group the frontier itself
+        groupbyGroups(frontier.select(col("uid").as("__t")), b.groupby,
+            b.selections)
+          .map(g => g.select(
+            b.groupby.map(k => col(s"__k_${k.outName}").as(k.outName)) ++
+              b.selections.map(c => col(s"__a_${c.outName}").as(c.outName)): _*))
+          .getOrElse(throw new IllegalArgumentException(
+            s"@groupby over unknown predicate(s): ${b.groupby.map(_.pred)}"))
+      case None if b.selections.exists(_.groupby.nonEmpty) =>
+        // each @groupby selection binds its group vars; the last one is
+        // the block's flat output (non-groupby siblings contribute
+        // nothing to a grouped block's flat surface — reference
+        // processGroupBy clears sg.Children)
+        b.selections.filter(_.groupby.nonEmpty)
+          .map(s => groupbyBlock(frontier, s)).last
       case None if b.selections.exists(sel =>
           (sel.aggOp.isDefined &&
             !sel.valRef.exists(bindsVar(b.selections, _))) ||
@@ -938,37 +952,128 @@ final class DqlExecutor(ts: GraphStore) {
     * (partitioning-independent), same as aggregateBlock.
     */
   private def groupbyBlock(frontier: DataFrame, sel: Selection): DataFrame = {
+    val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
+    // entities are the DISTINCT traversal targets (reference
+    // fillGroupedVars groups over the merged unique SrcUIDs, so a node
+    // reached from two parents counts once)
+    val targets = frontier
+      .join(src.select(col("subject").as("uid"), col("object").as("__t")), Seq("uid"))
+      .select(col("__t")).distinct()
+    groupbyGroups(targets, sel.groupby, sel.children) match {
+      case None => throw new IllegalArgumentException(
+        s"@groupby over unknown predicate(s): ${sel.groupby.map(_.pred)}")
+      case Some(g) =>
+        // `a as count(uid)` / `a as max(p)` inside @groupby binds a value
+        // var KEYED BY THE GROUP's uid (reference fillGroupedVars,
+        // query/groupby.go:265 — legal only when grouped by one uid
+        // predicate)
+        val varKids = sel.children.filter(_.varName.isDefined)
+        if (varKids.nonEmpty) {
+          require(sel.groupby.size == 1 &&
+            schema.isUidPredicate(sel.groupby.head.pred),
+            "vars can be assigned only when grouping by a single uid predicate")
+          val kc = s"__k_${sel.groupby.head.outName}"
+          varKids.foreach { c =>
+            bindVar(c.varName.get,
+              g.select(col(kc).as("uid"), col(s"__a_${c.outName}").as("value")))
+          }
+        }
+        // flat relational surface: keys (named alias-or-pred) + aggregates
+        g.select(sel.groupby.map(k => col(s"__k_${k.outName}").as(k.outName)) ++
+          sel.children.map(c => col(s"__a_${c.outName}").as(c.outName)): _*)
+    }
+  }
+
+  /** Grouped rows for @groupby over an entity frame (reference
+    * query/groupby.go formResult): `targets` has column `__t` (the
+    * entities; duplicates allowed — deduped per key join) plus any
+    * pass-through parent columns.
+    *
+    * Output: one row per (parent cols, key combination) with
+    *  - `__k_<name>` the typed key value (LONG for uid predicates),
+    *  - `__a_<name>` each aggregate (`count(uid)` → group size,
+    *    min/max/sum/avg(pred)),
+    *  - `__n` the group's entity count (the reference's primary sort key
+    *    for group order, groupby.go:387 groupLess).
+    * An entity missing a key value drops out (inner join — formGroups
+    * only intersects entities present in every key's dedup map). Returns
+    * None when any key predicate is unknown (reference renders no
+    * groups, TestGroupByRootEmpty).
+    */
+  private def groupbyGroups(targets: DataFrame, keys: Seq[GroupKey],
+      aggs: Seq[Selection]): Option[DataFrame] = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(18, 2)
-    val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
-    var cur = frontier
-      .join(src.select(col("subject").as("uid"), col("object").as("__t")), Seq("uid"))
-    sel.groupby.foreach { gp =>
-      cur = cur.join(
-        ts.attr(gp).select(col("subject").as("__t"), col("value").as(gp)), Seq("__t"))
+    val parentCols = targets.columns.filter(_ != "__t").toSeq
+    var cur = targets
+    for (k <- keys) {
+      val kc = s"__k_${k.outName}"
+      if (schema.isUidPredicate(k.pred))
+        cur = cur.join(ts.edge(k.pred)
+          .select(col("subject").as("__t"), col("object").as(kc)), Seq("__t"))
+      else if (schema.predicates.contains(k.pred))
+        cur = cur.join(ts.attr(k.pred)
+          .select(col("subject").as("__t"), col("value").as(kc)), Seq("__t"))
+      else return None
     }
-    val aggCols = sel.children.map { c =>
-      if (c.isCount && c.pred == "uid") count(col("__t")).as(c.outName)
+    // aggregate inputs join on the entity BEFORE grouping
+    val aggIns = aggs.filter(c => c.aggOp.isDefined)
+    for (c <- aggIns) {
+      val ac = s"__in_${c.outName}"
+      val vsrc = c.valRef
+        .map(v => vars(v).select(col("uid").as("__t"), col("value")))
+        .getOrElse(ts.attr(c.pred).select(col("subject").as("__t"), col("value")))
+      cur = cur.join(vsrc.withColumnRenamed("value", ac), Seq("__t"), "left")
+    }
+    val keyCols = keys.map(k => col(s"__k_${k.outName}"))
+    val aggCols = aggs.map { c =>
+      val out = s"__a_${c.outName}"
+      if (c.isCount && c.pred == "uid") count(col("__t")).as(out)
       else if (c.aggOp.isDefined) {
-        val colName = s"__g_${c.valRef.getOrElse(c.pred)}"
-        if (!cur.columns.contains(colName)) {
-          val vsrc = c.valRef
-            .map(v => vars(v).select(col("uid").as("__t"), col("value")))
-            .getOrElse(ts.attr(c.pred).select(col("subject").as("__t"), col("value")))
-          cur = cur.join(vsrc.withColumnRenamed("value", colName), Seq("__t"), "left")
-        }
-        val cc = col(colName)
+        val cc = col(s"__in_${c.outName}")
         c.aggOp.get match {
-          case "min" => min(cc).as(c.outName)
-          case "max" => max(cc).as(c.outName)
-          case "sum" => sum(cc.cast(dec)).cast("double").as(c.outName)
+          case "min" => min(cc).as(out)
+          case "max" => max(cc).as(out)
+          case "sum" => sum(cc.cast(dec)).cast("double").as(out)
           case "avg" => (sum(cc.cast(dec)).cast("double") /
-            count(cc).cast("double")).as(c.outName)
+            count(cc).cast("double")).as(out)
+          case o => throw new IllegalArgumentException(
+            s"unsupported @groupby aggregation: $o")
         }
       } else throw new IllegalArgumentException(
-        s"unsupported @groupby aggregation: ${c.pred}")
+        s"unsupported @groupby child: ${c.pred}")
+    } :+ count(col("__t")).as("__n")
+    Some(cur.groupBy(parentCols.map(col) ++ keyCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*))
+  }
+
+  /** Rendered `{"@groupby":[...]}` ARRAY column per parent-column group
+    * (reference outputnode.go "@groupby" fanout): groups become structs
+    * (uid keys hex-rendered, default child names `count` / `op(pred)`),
+    * ordered by the reference's groupLess — group size ascending, then
+    * key values, then aggregate values.
+    */
+  private def groupbyArray(groups: DataFrame, keys: Seq[GroupKey],
+      aggs: Seq[Selection], parentCols: Seq[String]): DataFrame = {
+    def gbName(c: Selection): String = c.alias.getOrElse(
+      if (c.isCount && c.pred == "uid") "count"
+      else s"${c.aggOp.get}(${c.valRef.map("val(" + _ + ")").getOrElse(c.pred)})")
+    val keyFields = keys.map { k =>
+      val kc = col(s"__k_${k.outName}")
+      if (schema.isUidPredicate(k.pred)) hexUid(kc).as(k.outName)
+      else kc.as(k.outName)
     }
-    cur.groupBy(sel.groupby.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val aggFields = aggs.map(c => col(s"__a_${c.outName}").as(gbName(c)))
+    val payload = struct(keyFields ++ aggFields: _*)
+    val sortKey = struct(col("__n") +:
+      (keys.map(k => col(s"__k_${k.outName}")) ++
+        aggs.map(c => col(s"__a_${c.outName}"))): _*)
+    val arr = transform(
+      sort_array(collect_list(struct(sortKey.as("o"), payload.as("p")))),
+      x => x.getField("p"))
+    val wrapped = array(struct(arr.as("@groupby")))
+    if (parentCols.isEmpty) groups.agg(wrapped.as("__gb"))
+    else groups.groupBy(parentCols.map(col): _*).agg(wrapped.as("__gb"))
   }
 
   /** Block-level aggregation over variables (reference evalLevelAgg,
@@ -1280,11 +1385,38 @@ final class DqlExecutor(ts: GraphStore) {
     objs.toDF("uid", "json")
   }
 
+  /** Root-level `me(func: ...) @groupby(keys) { aggs }`: the whole
+    * frontier is grouped; the block renders as ONE object
+    * `{"@groupby":[...]}` (reference TestGroupByRoot). An unknown key
+    * predicate yields no rows at all — the reference omits the block
+    * entirely (TestGroupByRootEmpty renders `{"data":{}}`).
+    */
+  private def rootGroupbyJson(b: QueryBlock): DataFrame = {
+    var frontier = seed(b.func).select(col("uid")).distinct()
+    b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
+    groupbyGroups(frontier.select(col("uid").as("__t")), b.groupby,
+        b.selections) match {
+      case None =>
+        frontier.select(col("uid"), lit("").as("json")).limit(0)
+      case Some(g) =>
+        groupbyArray(g, b.groupby, b.selections, Nil)
+          .select(lit(0L).as("uid"),
+            to_json(element_at(col("__gb"), 1), jsonOpts).as("json"))
+    }
+  }
+
   private def jsonBlock(b: QueryBlock, includeUid: Boolean = true): DataFrame = {
     if (b.shortest.isDefined) return shortestJson(b)
     if (b.recurse.isDefined) return recurseJson(b, includeUid)
+    if (b.groupby.nonEmpty) return rootGroupbyJson(b)
+    // @groupby child selections render through the group machinery, not
+    // the generic traversal — carve them out of the flat projection
+    val gbSels = b.selections.filter(s => s.groupby.nonEmpty && !s.isCount)
+    val b2 =
+      if (gbSels.isEmpty) b
+      else b.copy(selections = b.selections.filterNot(s => gbSels.exists(_ eq s)))
     keepChildRank = true
-    val flatDf = try flatBlock(b) finally { keepChildRank = false }
+    val flatDf = try flatBlock(b2) finally { keepChildRank = false }
     // counts are scalar leaves even when they count a (reverse) uid pred
     def isChild(s: Selection) =
       !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse)
@@ -1389,7 +1521,7 @@ final class DqlExecutor(ts: GraphStore) {
       rows.groupBy(keys.map(col): _*).agg(rendered.as(outCol))
     }
 
-    val rootSels = b.selections.filter(_.pred != "uid")
+    val rootSels = b2.selections.filter(_.pred != "uid")
     val rootScalars = rootSels.filter(s => !isChild(s))
     var root =
       if (rootScalars.nonEmpty) {
@@ -1402,6 +1534,23 @@ final class DqlExecutor(ts: GraphStore) {
       root = root.join(childFrame(Seq("uid"), s, s.outName, ccol), Seq("uid"), "left")
       (s, ccol)
     }
+    // per-parent @groupby arrays: traverse the edge, group the targets,
+    // join the rendered array back on the parent (a parent with no
+    // groups keeps a null → the key is omitted, reference
+    // TestGroupByFriendsMultipleParents' Andrea)
+    val gbCols = gbSels.zipWithIndex.flatMap { case (s, i) =>
+      val src = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+      val targets = root.select(col("uid"))
+        .join(src.select(col("subject").as("uid"), col("object").as("__t")),
+          Seq("uid"))
+      groupbyGroups(targets, s.groupby, s.children).map { g =>
+        val ccol = s"__gb$i"
+        root = root.join(
+          groupbyArray(g, s.groupby, s.children, Seq("uid"))
+            .withColumnRenamed("__gb", ccol), Seq("uid"), "left")
+        (s, ccol)
+      }
+    }
     val scalarCol = rootScalars.zipWithIndex
       .map { case (s, i) => (s, s"__r$i") }.toMap[Selection, String]
     val rootUid = includeUid ||
@@ -1411,7 +1560,7 @@ final class DqlExecutor(ts: GraphStore) {
         childCols.collectFirst { case (cs, ccol) if cs eq s =>
           col(ccol).as(jsonKey(s)) }
       else Some(col(scalarCol(s)).as(jsonKey(s)))
-    }
+    } ++ gbCols.map { case (s, ccol) => col(ccol).as(jsonKey(s)) }
     val fields =
       (if (rootUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++ valueFields
     // without a uid key, a root whose requested values are ALL absent

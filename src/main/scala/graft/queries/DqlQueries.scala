@@ -150,6 +150,13 @@ object DqlQueries {
             |    has_line @groupby(returnflag) { n: count(uid) } } }""".stripMargin)(s, d)
         .orderBy(col("returnflag"))),
 
+    // root-level @groupby: the frontier itself is grouped (reference
+    // TestGroupByRoot shape)
+    "dql_groupby_root" -> ((s, d) =>
+      dql("""{ q(func: type(Customer)) @groupby(mktsegment) {
+            |    n: count(uid) } }""".stripMargin)(s, d)
+        .orderBy(col("mktsegment"))),
+
     // math() over value variables
     "dql_math" -> ((s, d) =>
       dql("""{ var(func: type(Lineitem)) { ep as extendedprice  dc as discount
@@ -522,6 +529,10 @@ object DqlQueries {
     "dql_groupby" ->
       """SELECT l_returnflag AS returnflag, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY returnflag""".stripMargin,
+
+    "dql_groupby_root" ->
+      """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY mktsegment""".stripMargin,
 
     "dql_math" ->
       s"""WITH lineu AS (${Q.lineUidSql})

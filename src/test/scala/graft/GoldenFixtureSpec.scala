@@ -203,8 +203,10 @@ class GoldenFixtureSpec extends AnyFunSuite {
       val got = byBlock.getOrElse(bn, Array.empty).map(_.getString(2))
       // the reference omits `_path_` entirely when no route exists
       // (createPathSubgraph runs only on success) but renders empty
-      // normal blocks as [] — TestTwoShortestPathMaxWeight golden
-      if (b.shortest.isDefined && got.isEmpty) None
+      // normal blocks as [] — TestTwoShortestPathMaxWeight golden.
+      // A root-@groupby block with no groups is omitted the same way
+      // (TestGroupByRootEmpty renders {"data":{}})
+      if ((b.shortest.isDefined || b.groupby.nonEmpty) && got.isEmpty) None
       else Some(s""""$bn": ${got.mkString("[", ",", "]")}""")
     }
     val ours = s"""{"data": {${blocks.mkString(",")}}}"""
@@ -671,5 +673,109 @@ class GoldenFixtureSpec extends AnyFunSuite {
     checkGolden(
       """{ me(func: type(Person), first: 1, offset: 0) @cascade { name alive } }""",
       """{"data":{"me":[{"name":"Rick Grimes","alive":true}]}}""")
+  }
+
+  // ---- @groupby family (query0_test.go:1542-1838): group order is the
+  // reference's groupLess — group size ascending, then key values, then
+  // aggregate values; uid-valued keys render as hex ----
+
+  test("golden: TestGroupByRoot (query0_test.go:1542)") {
+    checkGolden(
+      """{ me(func: uid(1, 23, 24, 25, 31)) @groupby(age) { count(uid) } }""",
+      """{"data": {"me":[{"@groupby":[{"age":17,"count":1},{"age":19,"count":1},{"age":38,"count":1},{"age":15,"count":2}]}]}}""")
+  }
+
+  test("golden: TestGroupByRootEmpty (query0_test.go:1556)") {
+    // grouping by a predicate that doesn't exist: the block is omitted
+    checkGolden(
+      """{ me(func: uid(1, 23, 24, 25, 31)) @groupby(agent) { count(uid) } }""",
+      """{"data": {}}""")
+  }
+
+  test("golden: TestGroupByRootAlias (query0_test.go:1569)") {
+    checkGolden(
+      """{ me(func: uid(1, 23, 24, 25, 31)) @groupby(age) { Count: count(uid) } }""",
+      """{"data":{"me":[{"@groupby":[{"age":17,"Count":1},{"age":19,"Count":1},{"age":38,"Count":1},{"age":15,"Count":2}]}]}}""")
+  }
+
+  test("golden: TestGroupByRootAlias2 (query0_test.go:1581)") {
+    checkGolden(
+      """{ me(func: uid(1, 23, 24, 25, 31)) @groupby(Age: age) { Count: count(uid) } }""",
+      """{"data":{"me":[{"@groupby":[{"Age":17,"Count":1},{"Age":19,"Count":1},{"Age":38,"Count":1},{"Age":15,"Count":2}]}]}}""")
+  }
+
+  test("golden: TestGroupBy (query0_test.go:1614)") {
+    checkGolden(
+      """{ age(func: uid(1)) { friend { age name } }
+        |  me(func: uid(1)) { friend @groupby(age) { count(uid) } name } }""".stripMargin,
+      """{"data": {"age":[{"friend":[{"age":15,"name":"Rick Grimes"},{"age":15,"name":"Glenn Rhee"},{"age":17,"name":"Daryl Dixon"},{"age":19,"name":"Andrea"}]}],"me":[{"friend":[{"@groupby":[{"age":17,"count":1},{"age":19,"count":1},{"age":15,"count":2}]}],"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestGroupByCountval (query0_test.go:1638)") {
+    checkGolden(
+      """{ var(func: uid( 1)) { friend @groupby(school) { a as count(uid) } }
+        |  order(func :uid(a), orderdesc: val(a)) { name val(a) } }""".stripMargin,
+      """{"data": {"order":[{"name":"School B","val(a)":3},{"name":"School A","val(a)":2}]}}""")
+  }
+
+  test("golden: TestGroupByAggval (query0_test.go:1659)") {
+    checkGolden(
+      """{ var(func: uid(1)) { friend @groupby(school) { a as max(name) b as min(name) } }
+        |  orderMax(func :uid(a), orderdesc: val(a)) { name val(a) }
+        |  orderMin(func :uid(b), orderdesc: val(b)) { name val(b) } }""".stripMargin,
+      """{"data": {"orderMax":[{"name":"School B","val(a)":"Rick Grimes"},{"name":"School A","val(a)":"Glenn Rhee"}],"orderMin":[{"name":"School A","val(b)":"Daryl Dixon"},{"name":"School B","val(b)":"Andrea"}]}}""")
+  }
+
+  test("golden: TestGroupByAlias (query0_test.go:1686)") {
+    checkGolden(
+      """{ me(func: uid(1)) { friend @groupby(school) {
+        |    MaxName: max(name) MinName: min(name) UidCount: count(uid) } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"@groupby":[{"school":"0x1388","MaxName":"Glenn Rhee","MinName":"Daryl Dixon","UidCount":2},{"school":"0x1389","MaxName":"Rick Grimes","MinName":"Andrea","UidCount":3}]}]}]}}""")
+  }
+
+  test("golden: TestGroupByAgg (query0_test.go:1702)") {
+    checkGolden(
+      """{ me(func: uid( 1)) { friend @groupby(age) { max(name) } } }""",
+      """{"data": {"me":[{"friend":[{"@groupby":[{"age":17,"max(name)":"Daryl Dixon"},{"age":19,"max(name)":"Andrea"},{"age":15,"max(name)":"Rick Grimes"}]}]}]}}""")
+  }
+
+  test("golden: TestGroupByMulti (query0_test.go:1718)") {
+    checkGolden(
+      """{ me(func: uid(1)) { friend @groupby(FRIEND: friend,name) { count(uid) } } }""",
+      """{"data": {"me":[{"friend":[{"@groupby":[{"count":1,"FRIEND":"0x1","name":"Rick Grimes"},{"count":1,"FRIEND":"0x18","name":"Andrea"}]}]}]}}""")
+  }
+
+  test("golden: TestGroupByMulti2 (query0_test.go:1734)") {
+    checkGolden(
+      """{ me(func: uid(1)) { Friend: friend @groupby(Friend: friend,Name: name) { Count: count(uid) } } }""",
+      """{"data":{"me":[{"Friend":[{"@groupby":[{"Friend":"0x1","Name":"Rick Grimes","Count":1},{"Friend":"0x18","Name":"Andrea","Count":1}]}]}]}}""")
+  }
+
+  test("golden: TestGroupByMultiParents (query0_test.go:1750)") {
+    checkGolden(
+      """{ me(func: uid(1,23,31)) { name friend @groupby(name, age) { count(uid) } } }""",
+      """{"data":{"me":[{"name":"Michonne","friend":[{"@groupby":[{"name":"Andrea","age":19,"count":1},{"name":"Daryl Dixon","age":17,"count":1},{"name":"Glenn Rhee","age":15,"count":1},{"name":"Rick Grimes","age":15,"count":1}]}]},{"name":"Rick Grimes","friend":[{"@groupby":[{"name":"Michonne","age":38,"count":1}]}]},{"name":"Andrea","friend":[{"@groupby":[{"name":"Glenn Rhee","age":15,"count":1}]}]}]}}""")
+  }
+
+  test("golden: TestGroupByAgeMultiParents (query0_test.go:1782)") {
+    // uids 99999/99998 have no data and drop out
+    checkGolden(
+      """{ me(func: uid(23,99999,31, 99998,1)) { name friend @groupby(age) { count(uid) } } }""",
+      """{"data":{"me":[{"name":"Michonne","friend":[{"@groupby":[{"age":17,"count":1},{"age":19,"count":1},{"age":15,"count":2}]}]},{"name":"Rick Grimes","friend":[{"@groupby":[{"age":38,"count":1}]}]},{"name":"Andrea","friend":[{"@groupby":[{"age":15,"count":1}]}]}]}}""")
+  }
+
+  test("golden: TestGroupByFriendsMultipleParents (query0_test.go:1798)") {
+    // Andrea's friend (Glenn) has no friend edges of his own: no groups,
+    // the friend key is omitted but her name still renders
+    checkGolden(
+      """{ me(func: uid(23,99999,31, 99998,1)) { name friend @groupby(friend) { count(uid) } } }""",
+      """{"data":{"me":[{"name":"Michonne","friend":[{"@groupby":[{"friend":"0x1","count":1},{"friend":"0x18","count":1}]}]},{"name":"Rick Grimes","friend":[{"@groupby":[{"friend":"0x17","count":1},{"friend":"0x18","count":1},{"friend":"0x19","count":1},{"friend":"0x1f","count":1},{"friend":"0x65","count":1}]}]},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestGroupByFriendsMultipleParentsVar (query0_test.go:1815)") {
+    checkGolden(
+      """{ var(func: uid(23,99999,31, 99998,1)) { name friend @groupby(friend) { f as count(uid) } }
+        |  me(func: uid(f), orderdesc: val(f)) { uid name val(f) } }""".stripMargin,
+      """{"data":{"me":[{"uid":"0x18","name":"Glenn Rhee","val(f)":2},{"uid":"0x1","name":"Michonne","val(f)":1},{"uid":"0x17","name":"Rick Grimes","val(f)":1},{"uid":"0x19","name":"Daryl Dixon","val(f)":1},{"uid":"0x1f","name":"Andrea","val(f)":1},{"uid":"0x65","val(f)":1}]}}""")
   }
 }
