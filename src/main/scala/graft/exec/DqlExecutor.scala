@@ -440,7 +440,20 @@ final class DqlExecutor(ts: GraphStore) {
       else attrWhere(fn.pred, v => forall(array(q.map(lit(_)): _*),
         t => array_contains(graft.functions.TextFunctions.ftStems(v), t)))
     case "match" =>
-      attrWhere(fn.pred, v => levenshtein(v, lit(fn.args.head)) <= fn.args(1).toInt)
+      // candidate retrieval mirrors the reference's trigram index
+      // (worker/match.go:73 uidsForMatch — UNION of the query term's
+      // trigram posting lists, raw case-sensitive bytes), then the
+      // levenshtein threshold decides (matchFuzzy). A term under 3 chars
+      // has no trigrams and matches nothing, like the reference.
+      val mq = fn.args.head
+      val maxD = fn.args(1).toInt
+      val grams =
+        if (mq.length < 3) Nil
+        else (0 to mq.length - 3).map(i => mq.substring(i, i + 3)).distinct
+      if (grams.isEmpty) attrWhere(fn.pred, _ => lit(false))
+      else attrWhere(fn.pred, v =>
+        grams.map(t => v.contains(lit(t))).reduce(_ || _) &&
+          levenshtein(v, lit(mq)) <= maxD)
     case "anyof" | "allof" =>
       // custom-tokenizer search: anyof/allof(pred, tokenizer, q)
       // (reference worker/tokens.go:47 pickTokenizer → tok registry)
@@ -530,10 +543,27 @@ final class DqlExecutor(ts: GraphStore) {
     */
   private def applyFilter(df: DataFrame, uidCol: String, node: FilterNode): DataFrame =
     node match {
+      case FilterLeaf(fn) if fn.name.endsWith("_count") =>
+        // count comparisons in FILTER position evaluate per frontier uid
+        // with missing edges = 0 (reference TestCountAtRootWithAlias4:
+        // le(count(friend), 2) keeps friendless Daryl) — the index seed
+        // would drop zero-count nodes
+        val cmp: (Column, Column) => Column = fn.name.stripSuffix("_count") match {
+          case "eq" => _ === _; case "le" => _ <= _; case "lt" => _ < _
+          case "ge" => _ >= _; case "gt" => _ > _
+          case o => throw new IllegalArgumentException(s"bad count fn $o")
+        }
+        val cnts = ts.edge(fn.pred).groupBy(col("subject"))
+          .agg(count(lit(1)).as("__fc"))
+          .select(col("subject").as(uidCol), col("__fc"))
+        df.join(cnts, Seq(uidCol), "left")
+          .filter(cmp(coalesce(col("__fc"), lit(0L)), lit(fn.args.head.toLong)))
+          .drop("__fc")
       case FilterLeaf(fn) =>
         df.join(seed(fn).withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi")
       case FilterAnd(cs) => cs.foldLeft(df)((d, c) => applyFilter(d, uidCol, c))
-      case FilterOr(cs) if cs.forall(_.isInstanceOf[FilterLeaf]) =>
+      case FilterOr(cs) if cs.forall {
+          case FilterLeaf(fn) => !fn.name.endsWith("_count"); case _ => false } =>
         // OR of index leaves: union the uid seeds, ONE semi-join — the
         // general branch below re-embeds `df` once per branch, which
         // compounds in nested trees (reference merges sorted uid lists
@@ -576,8 +606,20 @@ final class DqlExecutor(ts: GraphStore) {
       val joinKind = if (o.pred.startsWith("val:")) "inner" else "left"
       cur = cur.join(a, col(uidCol) === col(s"__os$i"), joinKind).drop(s"__os$i")
     }
-    val ordCols = order.zipWithIndex.map { case (o, i) =>
-      if (o.desc) col(s"__ov$i").desc_nulls_last else col(s"__ov$i").asc_nulls_last
+    // Null ordering mirrors types/sort.go byValue.Less exactly: missing
+    // values sort last under BOTH directions, and a pair that ties on
+    // nulls at key i is ordered by uid REVERSED when that key is desc
+    // (Less returns s.desc[vidx] for the null-null case, which flips the
+    // uid-ascending input order of the null group — TestMultiSort5's
+    // null-salary Bobs render age 25 before 75). Encoded as an extra
+    // null-group-only uid column per key; non-null rows keep it null so
+    // later keys still compare.
+    val ordCols = order.zipWithIndex.flatMap { case (o, i) =>
+      val v = if (o.desc) col(s"__ov$i").desc_nulls_last
+        else col(s"__ov$i").asc_nulls_last
+      val u = when(col(s"__ov$i").isNull,
+        if (o.desc) -col(uidCol) else col(uidCol)).asc
+      Seq(v, u)
     } :+ col(uidCol).asc
     cur = cur.orderBy(ordCols: _*)
     page.offset.foreach(o => cur = cur.offset(o))
@@ -588,9 +630,12 @@ final class DqlExecutor(ts: GraphStore) {
         // query/query.go:989 calculatePaginationParams): top-|f| in the
         // REVERSED order — a distributed TakeOrdered, no global window —
         // then re-sorted into the requested presentation order
-        val revCols = order.zipWithIndex.map { case (o, i) =>
-          if (o.desc) col(s"__ov$i").asc_nulls_first
-          else col(s"__ov$i").desc_nulls_first
+        val revCols = order.zipWithIndex.flatMap { case (o, i) =>
+          val v = if (o.desc) col(s"__ov$i").asc_nulls_first
+            else col(s"__ov$i").desc_nulls_first
+          val u = when(col(s"__ov$i").isNull,
+            if (o.desc) -col(uidCol) else col(uidCol)).desc
+          Seq(v, u)
         } :+ col(uidCol).desc
         cur = cur.orderBy(revCols: _*).limit(-f).orderBy(ordCols: _*)
       }
@@ -1410,11 +1455,14 @@ final class DqlExecutor(ts: GraphStore) {
     if (b.recurse.isDefined) return recurseJson(b, includeUid)
     if (b.groupby.nonEmpty) return rootGroupbyJson(b)
     // @groupby child selections render through the group machinery, not
-    // the generic traversal — carve them out of the flat projection
+    // the generic traversal, and root count(uid) renders as an extra
+    // {"count": n} object — carve both out of the flat projection
     val gbSels = b.selections.filter(s => s.groupby.nonEmpty && !s.isCount)
+    val countSels = b.selections.filter(s => s.isCount && s.pred == "uid")
     val b2 =
-      if (gbSels.isEmpty) b
-      else b.copy(selections = b.selections.filterNot(s => gbSels.exists(_ eq s)))
+      if (gbSels.isEmpty && countSels.isEmpty) b
+      else b.copy(selections = b.selections.filterNot(s =>
+        gbSels.exists(_ eq s) || countSels.exists(_ eq s)))
     keepChildRank = true
     val flatDf = try flatBlock(b2) finally { keepChildRank = false }
     // counts are scalar leaves even when they count a (reverse) uid pred
@@ -1477,6 +1525,18 @@ final class DqlExecutor(ts: GraphStore) {
         .select((myKeys ++ scalarCols ++ facetCols ++ rankCols).map(col): _*)
         .filter(col(colName).isNotNull)
         .dropDuplicates(myKeys)
+      // count(uid) inside a child template: an extra {"count": n} object
+      // appended LAST to the child array (reference TestCountAtRoot3 —
+      // Michonne's 5 friends render 4 named objects plus {"count":5});
+      // counted BEFORE value-less children drop, so nameless nodes count
+      val countKids = s.children.filter(c => c.isCount && c.pred == "uid")
+      val countCols = countKids.map(c => s"__cnt_${c.outName}")
+      if (countKids.nonEmpty) {
+        var cnt = rows.groupBy(keys.map(col): _*)
+          .agg(countDistinct(col(colName)).as("__cnt"))
+        countCols.foreach { cc => cnt = cnt.withColumn(cc, col("__cnt")) }
+        rows = rows.unionByName(cnt.drop("__cnt"), allowMissingColumns = true)
+      }
       val grandSpecs = s.children.filter(isChild).zipWithIndex.map { case (gc, i) =>
         val gcol = s"__g${myKeys.size}_$i"
         rows = rows.join(childFrame(myKeys, gc, pfx + gc.outName, gcol),
@@ -1484,7 +1544,9 @@ final class DqlExecutor(ts: GraphStore) {
         (gc, gcol)
       }
       val kidFields = s.children.flatMap { c =>
-        if (isChild(c))
+        if (c.isCount && c.pred == "uid")
+          Some(col(s"__cnt_${c.outName}").as(c.alias.getOrElse("count")))
+        else if (isChild(c))
           grandSpecs.collectFirst { case (gc, gcol) if gc eq c =>
             col(gcol).as(jsonKey(c)) }
         else if (flatDf.columns.contains(pfx + c.outName))
@@ -1503,13 +1565,17 @@ final class DqlExecutor(ts: GraphStore) {
         else Nil
       // without a uid key, a child whose requested values are ALL null
       // renders nothing — the reference omits value-less nodes entirely
-      // (TestOrderFacets golden drops the facet-only friend)
-      val valueCols = scalarCols ++ grandSpecs.map(_._2)
+      // (TestOrderFacets golden drops the facet-only friend); synthetic
+      // count rows survive via their count column
+      val valueCols = scalarCols ++ grandSpecs.map(_._2) ++ countCols
       if (uidField.isEmpty && valueCols.nonEmpty)
         rows = rows.filter(valueCols.map(col(_).isNotNull).reduce(_ || _))
       val payload = struct((uidField ++ kidFields ++ facetFields): _*)
-      val sortKey = rankCols.headOption.map(c => col(c).cast("long"))
-        .getOrElse(col(colName))
+      // synthetic count rows carry no child uid/rank: Long.MaxValue
+      // sorts them LAST in the array (reference appends the count object)
+      val sortKey = coalesce(
+        rankCols.headOption.map(c => col(c).cast("long"))
+          .getOrElse(col(colName)), lit(Long.MaxValue))
       val arr = transform(
         sort_array(collect_list(struct(sortKey.as("o"), payload.as("p")))),
         x => x.getField("p"))
@@ -1576,7 +1642,7 @@ final class DqlExecutor(ts: GraphStore) {
     // applies sort before encoding); uid order is only the default —
     // EXCEPT a block seeded from a shortest-path variable, whose array
     // keeps the route order the variable carries (TestShortestPathRev)
-    if (b.order.isEmpty) {
+    val ordered = if (b.order.isEmpty) {
       val routeOrdered =
         if (b.func.name == "uid" && b.func.args.size == 1)
           vars.get(b.func.args.head)
@@ -1587,6 +1653,20 @@ final class DqlExecutor(ts: GraphStore) {
         else None
       routeOrdered.getOrElse(assembled.orderBy(col("uid")))
     } else orderAndPage(assembled, "uid", b.order, Pagination())
+    if (countSels.isEmpty) ordered
+    else {
+      // count(uid) at root: ONE {"count": n} object (alias honored),
+      // FIRST in the block array (reference TestCountAtRoot3 — the count
+      // object precedes the per-uid objects); n is the filtered frontier
+      // size. A block whose every selection is count(uid) renders the
+      // count object alone (TestCountAtRoot).
+      val cntRow = flatDf.agg(countDistinct(col("uid")).as("__c"))
+        .select(lit(Long.MinValue).as("uid"),
+          to_json(struct(countSels.map(c =>
+            col("__c").as(c.alias.getOrElse("count"))): _*)).as("json"))
+      val pureCount = b2.selections.isEmpty && gbSels.isEmpty
+      if (pureCount) cntRow else cntRow.unionByName(ordered)
+    }
   }
 
   /** RFC3339 timestamps ("1910-01-01T00:00:00Z"), matching the

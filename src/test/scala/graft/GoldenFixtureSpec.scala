@@ -46,6 +46,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(10006, "age", "25"), a(10007, "age", "25"),
     a(1, "alive", "true"), a(23, "alive", "true"), a(25, "alive", "false"),
     a(31, "alive", "false"),
+    a(10000, "salary", "10000"), a(10002, "salary", "10002"),
     a(1, "gender", "female"), a(23, "gender", "male"),
     a(1, "dob", "1910-01-01"), a(23, "dob", "1910-01-02"), a(24, "dob", "1909-05-05"),
     a(25, "dob", "1909-01-10"), a(31, "dob", "1901-01-15"),
@@ -105,6 +106,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
   private lazy val schema: SchemaRegistry = {
     val (preds, types) = SchemaRegistry.parseAlter(
       """name: string @index(term, exact, trigram) @count @lang .
+        |salary: float @index(float) .
         |gender: string .
         |alive: bool @index(bool) .
         |age: int @index(int) .
@@ -770,6 +772,120 @@ class GoldenFixtureSpec extends AnyFunSuite {
     checkGolden(
       """{ me(func: uid(23,99999,31, 99998,1)) { name friend @groupby(friend) { count(uid) } } }""",
       """{"data":{"me":[{"name":"Michonne","friend":[{"@groupby":[{"friend":"0x1","count":1},{"friend":"0x18","count":1}]}]},{"name":"Rick Grimes","friend":[{"@groupby":[{"friend":"0x17","count":1},{"friend":"0x18","count":1},{"friend":"0x19","count":1},{"friend":"0x1f","count":1},{"friend":"0x65","count":1}]}]},{"name":"Andrea"}]}}""")
+  }
+
+  // ---- multi-key sort (query1_test.go:1905-2000): ties break by the
+  // next key, then uid; missing order values sort last either way ----
+
+  private val msUids = "10005, 10006, 10001, 10002, 10003, 10004, 10007, 10000"
+
+  test("golden: TestMultiSort2 (query1_test.go:1920)") {
+    checkGolden(
+      s"""{ me(func: uid($msUids), orderasc: name, orderdesc: age) { name age } }""",
+      """{"data": {"me":[{"name":"Alice","age":75},{"name":"Alice","age":75},{"name":"Alice","age":25},{"name":"Bob","age":75},{"name":"Bob","age":25},{"name":"Colin","age":25},{"name":"Elizabeth","age":75},{"name":"Elizabeth","age":25}]}}""")
+  }
+
+  test("golden: TestMultiSort4 (query1_test.go:1946)") {
+    // null salary for the third Alice sorts last under asc
+    checkGolden(
+      s"""{ me(func: uid($msUids), orderasc: name, orderasc: salary) { name age salary } }""",
+      """{"data": {"me":[{"name":"Alice","age":25,"salary":10000},{"name":"Alice","age":75,"salary":10002},{"name":"Alice","age":75},{"name":"Bob","age":75},{"name":"Bob","age":25},{"name":"Colin","age":25},{"name":"Elizabeth","age":75},{"name":"Elizabeth","age":25}]}}""")
+  }
+
+  test("golden: TestMultiSort5 (query1_test.go:1960)") {
+    checkGolden(
+      s"""{ me(func: uid($msUids), orderasc: name, orderdesc: salary) { name age salary } }""",
+      """{"data": {"me":[{"name":"Alice","age":75,"salary":10002},{"name":"Alice","age":25,"salary":10000},{"name":"Alice","age":75},{"name":"Bob","age":25},{"name":"Bob","age":75},{"name":"Colin","age":25},{"name":"Elizabeth","age":25},{"name":"Elizabeth","age":75}]}}""")
+  }
+
+  test("golden: TestMultiSort6Paginate (query1_test.go:1974)") {
+    checkGolden(
+      s"""{ me(func: uid($msUids), orderasc: name, orderdesc: age, first: 7) { name age } }""",
+      """{"data": {"me":[{"name":"Alice","age":75},{"name":"Alice","age":75},{"name":"Alice","age":25},{"name":"Bob","age":75},{"name":"Bob","age":25},{"name":"Colin","age":25},{"name":"Elizabeth","age":75}]}}""")
+  }
+
+  test("golden: TestMultiSort7Paginate (query1_test.go:1987)") {
+    checkGolden(
+      s"""{ me(func: uid($msUids), orderasc: name, orderasc: age, first: 7) { name age } }""",
+      """{"data": {"me":[{"name":"Alice","age":25},{"name":"Alice","age":75},{"name":"Alice","age":75},{"name":"Bob","age":25},{"name":"Bob","age":75},{"name":"Colin","age":25},{"name":"Elizabeth","age":25}]}}""")
+  }
+
+  // ---- after: cursors at root, on uid-var frontiers, and on child
+  // edges (query1_test.go:659-711, 2583-2650) ----
+
+  test("golden: TestHasFuncAtRootWithAfter (query1_test.go:659)") {
+    checkGolden(
+      """{ me(func: has(friend), after: 0x01) { uid name friend { count(uid) } } }""",
+      """{"data": {"me":[{"friend":[{"count":1}],"name":"Rick Grimes","uid":"0x17"},{"friend":[{"count":1}],"name":"Andrea","uid":"0x1f"}]}}""")
+  }
+
+  test("golden: TestHasFuncAtRootWithAfterOnUIDs (query1_test.go:677)") {
+    checkGolden(
+      """{ var(func: has(name)) { uids as uid }
+        |  me(func: uid(uids), first: 2, after: 0x5) { uid } }""".stripMargin,
+      """{"data": {"me":[{"uid":"0x6"},{"uid":"0x7"}]}}""")
+  }
+
+  test("golden: TestHasFuncAtRootWithAfterOnUIDsOtherThanRoot (query1_test.go:694)") {
+    checkGolden(
+      """{ var(func: has(name)) { uids as uid }
+        |  me(func: uid(0x1, 0x1f)) { uid friend(first:2, after:0x5) @filter(uid(uids)) { uid } } }""".stripMargin,
+      """{"data": {"me":[{"uid":"0x1","friend":[{"uid": "0x17"},{"uid": "0x18"}]},{"uid": "0x1f","friend": [{"uid": "0x18"}]}]}}""")
+  }
+
+  test("golden: TestMatchFuncWithAfterWithValidUid (query1_test.go:2583)") {
+    checkGolden(
+      """{ q(func: match(name, Ali, 5), after: 0x2710) { uid name } }""",
+      """{"data": {"q": [{"name": "Alice", "uid": "0x2712"}, {"name": "Alice", "uid": "0x2714"}]}}""")
+  }
+
+  test("golden: TestMatchFuncWithAfterWithLastUid (query1_test.go:2611)") {
+    checkGolden(
+      """{ q(func: match(name, Ali, 5), after: 0x2714) { uid name } }""",
+      """{"data": {"q":[] } }""")
+  }
+
+  test("golden: TestCompareFuncWithAfter (query1_test.go:2625)") {
+    checkGolden(
+      """{ q(func: eq(name, Alice), after: 0x2710) { uid name } }""",
+      """{"data": {"q": [{"name": "Alice", "uid": "0x2712"}, {"name": "Alice", "uid": "0x2714"}]}}""")
+  }
+
+  // ---- count(uid) at root and in child templates
+  // (query1_test.go:552-628): an extra {"count": n} object, FIRST in the
+  // root array, LAST in child arrays ----
+
+  test("golden: TestCountAtRoot (query1_test.go:552)") {
+    checkGolden(
+      """{ me(func: gt(count(friend), 0)) { count(uid) } }""",
+      """{"data": {"me":[{"count": 3}]}}""")
+  }
+
+  test("golden: TestCountAtRoot2 (query1_test.go:565)") {
+    checkGolden(
+      """{ me(func: anyofterms(name, "Michonne Rick Andrea")) { count(uid) } }""",
+      """{"data": {"me":[{"count": 4}]}}""")
+  }
+
+  test("golden: TestCountAtRoot3 (query1_test.go:578)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Daryl")) {
+        |    name count(uid) count(friend) friend { name count(uid) } } }""".stripMargin,
+      """{"data": {"me":[{"count":3},{"count(friend)":5,"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"},{"count":5}],"name":"Michonne"},{"count(friend)":1,"friend":[{"name":"Michonne"},{"count":1}],"name":"Rick Grimes"},{"count(friend)":0,"name":"Daryl Dixon"}]}}""")
+  }
+
+  test("golden: TestCountAtRootWithAlias4 (query1_test.go:597)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Daryl")) @filter(le(count(friend), 2)) {
+        |    personCount: count(uid) } }""".stripMargin,
+      """{"data": {"me": [{"personCount": 2}]}}""")
+  }
+
+  test("golden: TestCountAtRoot5 (query1_test.go:610)") {
+    checkGolden(
+      """{ me(func: uid(1)) { f as friend { name } }
+        |  MichonneFriends(func: uid(f)) { count(uid) } }""".stripMargin,
+      """{"data": {"MichonneFriends":[{"count":5}],"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}]}}""")
   }
 
   test("golden: TestGroupByFriendsMultipleParentsVar (query0_test.go:1815)") {
