@@ -50,6 +50,7 @@ final case class Selection(
     facetFilter: Option[FuncCall] = None, // @facets(eq(k, v))
     facetOrder: Option[Ordering] = None,  // @facets(orderasc: k)
     groupby: Seq[GroupKey] = Nil,         // @groupby(p1, A: p2)
+    normalize: Boolean = false,           // subquery-level @normalize
     mathExpr: Option[MathNode] = None,    // x as math(...)
     langChain: Seq[String] = Nil) {       // pred@en:fr:. preference chain
   def outName: String = alias.getOrElse(

@@ -375,11 +375,13 @@ object Parser {
       var facetFilter: Option[FuncCall] = None
       var facetOrder: Option[Ordering] = None
       var groupby = Vector.empty[GroupKey]
+      var normalizeSel = false
       while (peek == Punct("@")) {
         next()
         ident() match {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
           case "groupby" => groupby = parseGroupbyKeys()
+          case "normalize" => normalizeSel = true
           case "facets" =>
             // @facets | @facets(k1, k2) | @facets(eq(k, v))
             // | @facets(orderasc/desc: k)
@@ -413,7 +415,8 @@ object Parser {
       Selection(alias, name, reverse, isCount = false, filter, order, page,
         children, varName = varName, facetFetch = facetFetch,
         facetKeys = facetKeys, facetFilter = facetFilter,
-        facetOrder = facetOrder, groupby = groupby, langChain = langChain)
+        facetOrder = facetOrder, groupby = groupby, langChain = langChain,
+        normalize = normalizeSel)
     }
 
     // filter precedence: OR < AND < NOT (dql/parser.go:183-187)
@@ -469,7 +472,17 @@ object Parser {
           if (peek == Punct("@")) { next(); pred = s"$pred@${ident()}" }
       }
       var args = Vector.empty[String]
-      while (peek == Punct(",")) { next(); args :+= litString() }
+      while (peek == Punct(",")) {
+        next()
+        // value-variable argument: eq(name, val(a)) compares against the
+        // variable's value set (reference TestVarInIneq3). Marked with a
+        // NUL ("\\u0000") prefix so it can't collide with a string literal.
+        peek match {
+          case Ident("val") =>
+            next(); expect("("); args :+= "\u0000val:" + ident(); expect(")")
+          case _ => args :+= litString()
+        }
+      }
       expect(")")
       FuncCall(if (countArg) s"${fname}_count" else fname, pred, args)
     }

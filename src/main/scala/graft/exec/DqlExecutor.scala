@@ -235,8 +235,11 @@ final class DqlExecutor(ts: GraphStore) {
           (sel.isCount && sel.pred == "uid")) =>
         // whole-block aggregation — but an agg over a var bound by THIS
         // block's own traversal (`friend { x as age } n as min(val(x))`)
-        // is PER-PARENT (reference evalLevelAgg) and stays in project()
-        aggregateBlock(frontier, b)
+        // is PER-PARENT (reference evalLevelAgg) and stays in project().
+        // Pagination applies to the frontier FIRST: `func: has(p),
+        // first: 3 { f as count(uid) }` counts the page, not the match
+        // set (reference TestCountUidToVar)
+        aggregateBlock(orderAndPage(frontier, "uid", b.order, b.page), b)
       case None =>
         // @cascade(f1, f2) — parameterized: ONLY the listed fields are
         // mandatory; everything else keeps left-join semantics. Runs as
@@ -405,6 +408,24 @@ final class DqlExecutor(ts: GraphStore) {
     case "uid_in" =>
       ts.edge(fn.pred).filter(col("object") === parseUid(fn.args.head))
         .select(col("subject").as("uid")).distinct()
+    case "eq" if fn.args.exists(_.startsWith("\u0000val:")) &&
+        !schema.isUidPredicate(langSplit(fn.pred)._1) =>
+      // eq(name, val(a)): match the variable's VALUE SET — a distributed
+      // semi-join of the attribute tablet against the var frame's values
+      // (reference TestVarInIneq3; fillVars value maps)
+      val (valArgs, litArgs) = fn.args.partition(_.startsWith("\u0000val:"))
+      val base = langSplit(fn.pred)._1
+      val rows = attrRows(fn.pred, untaggedDefault = true)
+      val valSet = valArgs.map(a =>
+          vars(a.stripPrefix("\u0000val:")).select(col("value")))
+        .reduce(_ unionByName _).distinct()
+      val byVar = rows.join(valSet.select(col("value").as("__vv")),
+          col("value") === col("__vv"), "left_semi")
+        .select(col("subject").as("uid"))
+      if (litArgs.isEmpty) byVar.distinct()
+      else byVar.unionByName(
+        attrWhere(fn.pred, v => v.isin(litArgs.map(typedLit(base, _)): _*),
+          untaggedDefault = true)).distinct()
     case "eq" if !schema.isUidPredicate(langSplit(fn.pred)._1) =>
       val base = langSplit(fn.pred)._1
       attrWhere(fn.pred, v => v.isin(fn.args.map(typedLit(base, _)): _*),
@@ -673,6 +694,11 @@ final class DqlExecutor(ts: GraphStore) {
             case Some((cname, ucol)) if boundHere(r) && ucol == uidCol &&
                 base.columns.contains(cname) =>
               base = base.withColumn(s"__m_$r", col(cname))
+            case _ if !vars(r).columns.contains("uid") =>
+              // SCALAR var (f as count(uid)): one row, no uid map —
+              // broadcast it to every row (reference TestCountUidToVar)
+              base = base.crossJoin(
+                broadcast(vars(r).select(col("value").as(s"__m_$r"))))
             case _ =>
               base = base.join(
                 vars(r).select(col("uid").as("__ms"), col("value").as(s"__m_$r")),
@@ -721,7 +747,7 @@ final class DqlExecutor(ts: GraphStore) {
         val v = vars(sel.valRef.get)
           .select(col("uid").as("__vs"), col("value").as(name))
         cur = cur.join(v, col(uidCol) === col("__vs"), joinType).drop("__vs")
-      } else if (sel.pred == "uid") {
+      } else if (sel.pred == "uid" && !sel.isCount) {
         // uid is implicit (the frontier column itself); `m as uid` binds
         // the current frontier as a uid variable (the upsert-block query
         // shape, reference dql/upsert_test.go)
@@ -732,12 +758,28 @@ final class DqlExecutor(ts: GraphStore) {
       } else if (sel.pred.startsWith("expand(")) {
         val arg = sel.pred.stripPrefix("expand(").stripSuffix(")")
         cur = expandAll(cur, uidCol, joinType, prefix, arg)
+      } else if (sel.isCount && sel.pred == "uid") {
+        // `f as count(uid)` at block level: a SCALAR value var — the
+        // frontier's size, readable from math() in any later block
+        // (reference TestCountUidToVar). Stored as a single-row
+        // (value)-only frame; the math var-join path broadcasts it.
+        sel.varName.foreach { v =>
+          bindVar(v, cur.select(col(uidCol)).distinct()
+            .agg(count(lit(1)).cast("long").as("value")))
+        }
       } else if (sel.isCount) {
         val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
         val cnt = src.groupBy(col("subject")).agg(count(lit(1)).as(name))
           .withColumnRenamed("subject", "__cs")
         cur = cur.join(cnt, col(uidCol) === col("__cs"), joinType).drop("__cs")
         if (!cascade) cur = cur.withColumn(name, coalesce(col(name), lit(0L)))
+        // `s as count(friend)`: per-uid edge-count value var (reference
+        // TestVarInIneqScore — absent edges bind 0)
+        sel.varName.foreach { v =>
+          bindVar(v, cur.select(col(uidCol).as("uid"), col(name).as("value"))
+            .dropDuplicates("uid"))
+          varCols(v) = (name, uidCol); boundHere += v
+        }
       } else if (schema.isUidPredicate(sel.pred) || sel.reverse) {
         cur = traverse(cur, uidCol, sel, name, cascade)
         fanned = true
@@ -1155,7 +1197,16 @@ final class DqlExecutor(ts: GraphStore) {
         }
       }
     }
-    joined.agg(aggCols.head, aggCols.tail: _*)
+    val out = joined.agg(aggCols.head, aggCols.tail: _*)
+    // `f as count(uid)` binds a SCALAR value var — the frontier's size,
+    // readable from math() in any later block (reference
+    // TestCountUidToVar). Stored as a single-row (value)-only frame.
+    b.selections.filter(s => s.isCount && s.pred == "uid" &&
+        s.varName.isDefined).foreach { s =>
+      bindVar(s.varName.get,
+        out.select(col(s.outName).cast("long").as("value")))
+    }
+    out
   }
 
   // ---- nested JSON output (reference outputnode.go ToJson shape) ----
