@@ -69,7 +69,9 @@ object SchemaRegistry {
       NodeType(m.group(1), m.group(2).split("\\s+").filter(_.nonEmpty).toSeq)
     }.toSeq
     val noTypes = typeRe.replaceAllIn(src, "")
-    val predRe = """(\w+)\s*:\s*(\[)?\s*(\w+)\s*\]?\s*((?:@\w+(?:\([^)]*\))?\s*)*)\.""".r
+    // predicate names may be dotted (office.room) — \w alone would match
+    // only the last segment and silently shadow the `room` predicate
+    val predRe = """(?m)^\s*([\w.]+)\s*:\s*(\[)?\s*(\w+)\s*\]?\s*((?:@\w+(?:\([^)]*\))?\s*)*)\.""".r
     val idxRe = """@index\s*\(([^)]*)\)""".r
     val preds = predRe.findAllMatchIn(noTypes).map { m =>
       val dirs = Option(m.group(4)).getOrElse("")

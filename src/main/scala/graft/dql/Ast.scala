@@ -52,11 +52,16 @@ final case class Selection(
     groupby: Seq[GroupKey] = Nil,         // @groupby(p1, A: p2)
     normalize: Boolean = false,           // subquery-level @normalize
     mathExpr: Option[MathNode] = None,    // x as math(...)
+    facetVars: Seq[(String, String)] = Nil, // @facets(L as weight)
     langChain: Seq[String] = Nil) {       // pred@en:fr:. preference chain
   def outName: String = alias.getOrElse(
     if (isCount) s"count_$pred"
+    // a var-bound math selection renders under `val(<var>)` (reference
+    // outputnode key for in-block math, TestQueryVarValAggOrderDesc)
+    else if (pred == "math" && varName.isDefined) s"val_${varName.get}"
     else aggOp.map(op => valRef.map(v => s"${op}_$v").getOrElse(s"${op}_$pred"))
-      .getOrElse(valRef.map(v => s"val_$v").getOrElse(pred)))
+      .getOrElse(valRef.map(v => s"val_$v").getOrElse(
+        if (langChain.nonEmpty) s"$pred@${langChain.mkString(":")}" else pred)))
 }
 
 /** math(...) expression tree (reference dql/math.go: binary `+ - * / %

@@ -88,6 +88,13 @@ object Parser {
     private def fail(msg: String): Nothing =
       throw ParseException(s"$msg (at token $pos)")
 
+    // the `as` var binder is case-insensitive in the reference lexer
+    // (TestQueryVarValOrderDescMissing uses `f As friend`)
+    private def isAs(t: Token): Boolean = t match {
+      case Ident(a) => a.equalsIgnoreCase("as")
+      case _ => false
+    }
+
     private def ident(): String = next() match {
       case Ident(s) => s
       case other => fail(s"expected identifier, got $other")
@@ -105,7 +112,7 @@ object Parser {
       var name = ident()
       // `sp as shortest(...)` — block-level uid-var binding
       var blockVar: Option[String] = None
-      if (peek == Ident("as")) { next(); blockVar = Some(name); name = ident() }
+      if (isAs(peek)) { next(); blockVar = Some(name); name = ident() }
       expect("(")
       if (name == "shortest") {
         // shortest(from: U, to: V [, numpaths: k] [, depth: d]
@@ -280,7 +287,7 @@ object Parser {
       // `x as pred` / `x as ~pred` value/uid variable binding
       // (reference v as p)
       var varName: Option[String] = None
-      if (peek == Ident("as")) {
+      if (isAs(peek)) {
         next(); varName = Some(name)
         if (peek == Punct("~")) { next(); reverse = true }
         name = ident()
@@ -315,11 +322,21 @@ object Parser {
         var rev = false
         if (peek == Punct("~")) { next(); rev = true }
         val p = ident()
+        // count(p @filter(...)): count only matching targets (reference
+        // TestQueryEmptyRoomsWithTermIndex)
+        var cfilter: Option[FilterNode] = None
+        if (peek == Punct("@")) {
+          next()
+          ident() match {
+            case "filter" => expect("("); cfilter = Some(parseFilterOr()); expect(")")
+            case o => fail(s"unsupported directive @$o inside count()")
+          }
+        }
         expect(")")
         // `a as count(uid)` inside @groupby binds the per-group count
         // (reference fillGroupedVars)
         return Selection(alias, p, reverse = rev, isCount = true,
-          varName = varName)
+          filter = cfilter, varName = varName)
       }
       if (name == "expand" && peek == Punct("(")) {
         next()
@@ -372,6 +389,7 @@ object Parser {
       var filter: Option[FilterNode] = None
       var facetFetch = false
       var facetKeys = Vector.empty[String]
+      var facetVars = Vector.empty[(String, String)]
       var facetFilter: Option[FuncCall] = None
       var facetOrder: Option[Ordering] = None
       var groupby = Vector.empty[GroupKey]
@@ -392,6 +410,12 @@ object Parser {
                 case "orderasc" | "orderdesc" =>
                   expect(":")
                   facetOrder = Some(Ordering(ident(), desc = head == "orderdesc"))
+                case v if isAs(peek) =>
+                  // @facets(L as weight): bind facet value var L keyed by
+                  // the edge TARGET uid (reference TestFilterFacetval);
+                  // the key also renders like a named fetch
+                  next(); val k = ident()
+                  facetVars :+= (v -> k); facetKeys :+= k
                 case k if peek == Punct(")") || peek == Punct(",") =>
                   // named facet fetch list; in a shortest block the first
                   // key is the edge-weight facet (query/shortest.go:105)
@@ -416,7 +440,7 @@ object Parser {
         children, varName = varName, facetFetch = facetFetch,
         facetKeys = facetKeys, facetFilter = facetFilter,
         facetOrder = facetOrder, groupby = groupby, langChain = langChain,
-        normalize = normalizeSel)
+        normalize = normalizeSel, facetVars = facetVars)
     }
 
     // filter precedence: OR < AND < NOT (dql/parser.go:183-187)
@@ -468,8 +492,18 @@ object Parser {
         case _ =>
           pred = ident()
           // lang-qualified predicate: eq(name@hi, ...) targets the @hi
-          // tablet rows (reference langs on function args, dql/parser.go)
-          if (peek == Punct("@")) { next(); pred = s"$pred@${ident()}" }
+          // tablet rows; has(p@.) matches any variant (reference langs
+          // on function args, dql/parser.go)
+          if (peek == Punct("@")) {
+            next()
+            val tag = next() match {
+              case Ident(l) => l
+              case Punct(".") => "."
+              case Punct("*") => "*"
+              case other => fail(s"expected language tag, got $other")
+            }
+            pred = s"$pred@$tag"
+          }
       }
       var args = Vector.empty[String]
       while (peek == Punct(",")) {

@@ -139,7 +139,41 @@ final class DqlExecutor(ts: GraphStore) {
       }
     }
 
-  private def flatBlock(b: QueryBlock): DataFrame = {
+  /** `pred@*` ExpandAll rewrite (reference query/query.go:945): replace
+    * the selection with one concrete selection per lang variant present
+    * in the data — `pred@tag` per tag plus plain `pred` for untagged.
+    * The tag inventory is schema-scale metadata (a handful of langs per
+    * predicate), safe to collect. Idempotent: expanded selections carry
+    * concrete chains.
+    */
+  private def expandStarSels(sels: Seq[Selection]): Seq[Selection] =
+    sels.flatMap { s0 =>
+      val s = if (s0.children.nonEmpty)
+        s0.copy(children = expandStarSels(s0.children)) else s0
+      if (s.langChain == Seq("*") && schema.predicates.contains(s.pred) &&
+          !schema.isUidPredicate(s.pred)) {
+        val base = ts.attr(s.pred)
+        if (!base.columns.contains("lang")) Seq(s.copy(langChain = Nil))
+        else {
+          val tags = base.select(col("lang")).distinct().collect()
+            .map(r => Option(r.getString(0))).toSeq.sortBy(_.getOrElse(""))
+          tags.map {
+            case None => s.copy(langChain = Nil)
+            case Some(t) => s.copy(langChain = Seq(t),
+              // an alias spreads per tag: `t: text@*` → t@en, t@fr …
+              // (reference fieldNameWithTag, outputnode.go:1560)
+              alias = s.alias.map(a => s"$a@$t"))
+          }
+        }
+      } else Seq(s)
+    }
+
+  private def flatBlock(b0: QueryBlock): DataFrame = {
+    val b =
+      if (b0.selections.exists(sx => sx.langChain == Seq("*") ||
+          sx.children.nonEmpty))
+        b0.copy(selections = expandStarSels(b0.selections))
+      else b0
     b.shortest.foreach { sa => return shortestBlock(b, sa) }
     var frontier = seed(b.func).select(col("uid")).distinct()
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
@@ -403,7 +437,22 @@ final class DqlExecutor(ts: GraphStore) {
         .select(col("subject").as("uid"))
       if (fn.args.isEmpty) seeds else seeds.distinct()
     case "has" =>
-      val src = if (schema.isUidPredicate(fn.pred)) ts.edge(fn.pred) else ts.attr(fn.pred)
+      // lang-aware (reference TestFilterHas): has(p) on a @lang pred
+      // matches UNTAGGED values only, has(p@.) any variant, has(p@xx)
+      // that tag
+      val (p, tag) = langSplit(fn.pred)
+      val src =
+        if (schema.isUidPredicate(p)) ts.edge(p)
+        else {
+          val base = ts.attr(p)
+          if (!base.columns.contains("lang")) base
+          else tag match {
+            case Some(".") => base
+            case Some(t) => base.filter(col("lang") === t)
+            case None if schema.pred(p).lang => base.filter(col("lang").isNull)
+            case None => base
+          }
+        }
       src.select(col("subject").as("uid")).distinct()
     case "uid_in" =>
       ts.edge(fn.pred).filter(col("object") === parseUid(fn.args.head))
@@ -499,6 +548,12 @@ final class DqlExecutor(ts: GraphStore) {
     case other =>
       throw new IllegalArgumentException(s"unsupported function: $other")
   }
+
+  /** col() that survives dotted predicate names (office.room): backtick
+    * quoting stops Spark treating the dot as struct-field access.
+    */
+  private def qcol(n: String): Column =
+    if (n.contains(".")) col(s"`$n`") else col(n)
 
   /** `pred@tag` → (pred, Some(tag)). */
   private def langSplit(pred: String): (String, Option[String]) =
@@ -684,6 +739,14 @@ final class DqlExecutor(ts: GraphStore) {
         // (reference query/math.go evaluation over per-uid value maps)
         val refs = mathRefs(sel.mathExpr.get).distinct
         var base = cur
+        // uid-keyed refs define the result's MEMBERSHIP (reference math
+        // eval unions the source value maps: a uid in NONE of them gets
+        // no result — TestQueryVarValAggNestedFuncConditional drops the
+        // friendless Andrea; a uid in SOME of them reads the missing
+        // vars as 0 — TestQueryVarValAggMul's nameless friend gets
+        // mul = 0). Scalar (no-uid) vars broadcast but do not confer
+        // membership (TestCountUIDToVar2).
+        val uidKeyed = scala.collection.mutable.ArrayBuffer.empty[String]
         refs.foreach { r =>
           // a var bound EARLIER IN THIS BLOCK is still a live column of
           // the current frame — read it in place instead of joining its
@@ -694,6 +757,7 @@ final class DqlExecutor(ts: GraphStore) {
             case Some((cname, ucol)) if boundHere(r) && ucol == uidCol &&
                 base.columns.contains(cname) =>
               base = base.withColumn(s"__m_$r", col(cname))
+              uidKeyed += s"__m_$r"
             case _ if !vars(r).columns.contains("uid") =>
               // SCALAR var (f as count(uid)): one row, no uid map —
               // broadcast it to every row (reference TestCountUidToVar)
@@ -703,10 +767,25 @@ final class DqlExecutor(ts: GraphStore) {
               base = base.join(
                 vars(r).select(col("uid").as("__ms"), col("value").as(s"__m_$r")),
                 col(uidCol) === col("__ms"), joinType).drop("__ms")
+              uidKeyed += s"__m_$r"
           }
         }
-        base = base.withColumn(name, mathCol(sel.mathExpr.get))
-        cur = base.drop(refs.map(r => s"__m_$r"): _*)
+        // membership must be CAPTURED before the zero-fill below rewrites
+        // the __m_ columns (Column exprs resolve lazily against the final
+        // frame — an un-materialized isNotNull would see the coalesce)
+        base = base.withColumn("__m_member",
+          if (uidKeyed.isEmpty) lit(true)
+          else uidKeyed.map(col(_).isNotNull).reduce(_ || _))
+        // missing numeric values read as 0 inside the expression; non-
+        // numeric (datetime) refs keep their nulls (since() handles them)
+        uidKeyed.foreach { c =>
+          if (base.schema(c).dataType.isInstanceOf[
+              org.apache.spark.sql.types.NumericType])
+            base = base.withColumn(c, coalesce(col(c), lit(0)))
+        }
+        base = base.withColumn(name,
+          when(col("__m_member"), mathCol(sel.mathExpr.get)))
+        cur = base.drop("__m_member").drop(refs.map(r => s"__m_$r"): _*)
         sel.varName.foreach { v =>
           // scalar values are unique per subject UNLESS a traversal
           // fanned the rows out — then dedup per uid
@@ -744,9 +823,16 @@ final class DqlExecutor(ts: GraphStore) {
           varCols(v) = (name, uidCol); boundHere += v
         }
       } else if (sel.pred == "val" && sel.valRef.isDefined) {
-        val v = vars(sel.valRef.get)
-          .select(col("uid").as("__vs"), col("value").as(name))
-        cur = cur.join(v, col(uidCol) === col("__vs"), joinType).drop("__vs")
+        val vf = vars(sel.valRef.get)
+        if (!vf.columns.contains("uid"))
+          // val(s) of a SCALAR var (s as count(uid)) has no per-uid map —
+          // the reference renders nothing (TestCountUIDToVar2's me block
+          // omits val(s) on every row)
+          cur = cur.withColumn(name, lit(null).cast("double"))
+        else {
+          val v = vf.select(col("uid").as("__vs"), col("value").as(name))
+          cur = cur.join(v, col(uidCol) === col("__vs"), joinType).drop("__vs")
+        }
       } else if (sel.pred == "uid" && !sel.isCount) {
         // uid is implicit (the frontier column itself); `m as uid` binds
         // the current frontier as a uid variable (the upsert-block query
@@ -768,15 +854,18 @@ final class DqlExecutor(ts: GraphStore) {
             .agg(count(lit(1)).cast("long").as("value")))
         }
       } else if (sel.isCount) {
-        val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
+        val src0 = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
+        // count(p @filter(...)): only targets passing the filter count
+        // (reference TestQueryEmptyRoomsWithTermIndex)
+        val src = sel.filter.map(f => applyFilter(src0, "object", f)).getOrElse(src0)
         val cnt = src.groupBy(col("subject")).agg(count(lit(1)).as(name))
           .withColumnRenamed("subject", "__cs")
         cur = cur.join(cnt, col(uidCol) === col("__cs"), joinType).drop("__cs")
-        if (!cascade) cur = cur.withColumn(name, coalesce(col(name), lit(0L)))
+        if (!cascade) cur = cur.withColumn(name, coalesce(qcol(name), lit(0L)))
         // `s as count(friend)`: per-uid edge-count value var (reference
         // TestVarInIneqScore — absent edges bind 0)
         sel.varName.foreach { v =>
-          bindVar(v, cur.select(col(uidCol).as("uid"), col(name).as("value"))
+          bindVar(v, cur.select(col(uidCol).as("uid"), qcol(name).as("value"))
             .dropDuplicates("uid"))
           varCols(v) = (name, uidCol); boundHere += v
         }
@@ -812,19 +901,34 @@ final class DqlExecutor(ts: GraphStore) {
           } else if (sel.langChain.nonEmpty && base.columns.contains("lang")) {
             val prefs = sel.langChain.map {
               case "*" => min(col("value"))
-              case "." => max(when(col("lang").isNull, col("value")))
+              // '.' prefers the untagged value, falling back to ANY
+              // variant — the reference takes the smallest lang uid
+              // (postingForLangs, posting/list.go:2143); smallest lang
+              // TAG is the deterministic analogue
+              case "." => coalesce(
+                max(when(col("lang").isNull, col("value"))),
+                min_by(col("value"), col("lang")))
               case l => max(when(col("lang") === l, col("value")))
             }
             base.groupBy(col("subject"))
               .agg(coalesce(prefs: _*).as(name))
-              .select(col("subject").as("__as"), col(name))
-          } else base.select(col("subject").as("__as"), col("value").as(name))
+              .select(col("subject").as("__as"), qcol(name))
+          } else {
+            // no chain on a @lang predicate: the UNTAGGED value only —
+            // a node whose name exists only tagged renders nothing
+            // (reference TestQueryEmptyDefaultNames)
+            val rows =
+              if (base.columns.contains("lang") && schema.pred(sel.pred).lang)
+                base.filter(col("lang").isNull)
+              else base
+            rows.select(col("subject").as("__as"), col("value").as(name))
+          }
         cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
         // value variable: per-uid value map (x as age)
         sel.varName.foreach { v =>
           // scalar attr values are unique per (subject, predicate) in the
           // store — dedup only if a traversal already fanned the rows out
-          val bound = cur.select(col(uidCol).as("uid"), col(name).as("value"))
+          val bound = cur.select(col(uidCol).as("uid"), qcol(name).as("value"))
             .filter(col("value").isNotNull)
           bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
           varCols(v) = (name, uidCol); boundHere += v
@@ -851,7 +955,7 @@ final class DqlExecutor(ts: GraphStore) {
     // then pushes below the map projection into the parquet scan
     // (reference applyFacetsTree, worker/task.go:675)
     val needFt = (sel.facetFilter.map(_.pred).toSeq ++
-      sel.facetOrder.map(_.pred).toSeq).distinct
+      sel.facetOrder.map(_.pred).toSeq ++ sel.facetVars.map(_._2)).distinct
     var child = src.select(baseCols ++
       needFt.map(k => col(s"_ft_$k").as(s"__ft_$k")): _*)
     sel.filter.foreach { f => child = applyFilter(child, name, f) }
@@ -867,7 +971,7 @@ final class DqlExecutor(ts: GraphStore) {
         case o => throw new IllegalArgumentException(s"unsupported facet fn $o")
       })
     }
-    sel.page.after.foreach(a => child = child.filter(col(name) > a))
+    sel.page.after.foreach(a => child = child.filter(qcol(name) > a))
 
     var cur = df.join(child, col(uidCol) === col("__es"), joinType).drop("__es")
 
@@ -889,9 +993,9 @@ final class DqlExecutor(ts: GraphStore) {
       }
       val ordCols = sel.order.zipWithIndex.map { case (o, i) =>
         val a = orderAttr(o.pred).select(col("subject").as(s"__ws$i"), col("value").as(s"__wv$i"))
-        cur = cur.join(a, col(name) === col(s"__ws$i"), "left").drop(s"__ws$i")
+        cur = cur.join(a, qcol(name) === col(s"__ws$i"), "left").drop(s"__ws$i")
         if (o.desc) col(s"__wv$i").desc_nulls_last else col(s"__wv$i").asc_nulls_last
-      } ++ facetOrd :+ col(name).asc
+      } ++ facetOrd :+ qcol(name).asc
       val w = Window.partitionBy(col(uidCol)).orderBy(ordCols: _*)
       cur = cur.withColumn("__rn", row_number().over(w))
       if (repageAfterChildren) {
@@ -930,10 +1034,22 @@ final class DqlExecutor(ts: GraphStore) {
         else if (sel.facetFetch) declared
         else declared.filter(kv => sel.facetOrder.exists(_.pred == kv._1))
       keys.foreach { case (k, _) =>
-        cur = cur.withColumn(s"${name}_f_$k", element_at(col("__fc"), k))
+        // typed render: the facets map is string-valued; the declared
+        // facet type drives the JSON shape (`path|weight`: 0.2, not
+        // "0.2" — reference TestFilterFacetval golden)
+        cur = cur.withColumn(s"${name}_f_$k",
+          element_at(col("__fc"), k).cast(facetType(sel.pred, k)))
       }
     }
     if (needMap) cur = cur.drop("__fc")
+    // @facets(L as weight): bind facet value var L keyed by the edge
+    // TARGET uid (reference TestFilterFacetval — `friend @filter(uid(L))
+    // { val(L) }` then reads it back per child)
+    sel.facetVars.foreach { case (v, k) =>
+      bindVar(v, cur.select(qcol(name).as("uid"), col(s"__ft_$k").as("value"))
+        .filter(col("uid").isNotNull && col("value").isNotNull)
+        .dropDuplicates("uid"))
+    }
     cur = cur.drop(needFt.map(k => s"__ft_$k"): _*)
     if (sel.children.nonEmpty)
       cur = project(cur, name, sel.children, cascade, s"${name}_")
@@ -1230,6 +1346,7 @@ final class DqlExecutor(ts: GraphStore) {
     s.alias.getOrElse(
       if (s.isCount) s"count(${s.pred})"
       else if (s.pred == "val" && s.valRef.isDefined) s"val(${s.valRef.get})"
+      else if (s.pred == "math" && s.varName.isDefined) s"val(${s.varName.get})"
       else if (s.langChain.nonEmpty) s"${s.pred}@${s.langChain.mkString(":")}"
       else if (s.reverse) s"~${s.pred}"
       else s.outName)
@@ -1501,10 +1618,18 @@ final class DqlExecutor(ts: GraphStore) {
     }
   }
 
-  private def jsonBlock(b: QueryBlock, includeUid: Boolean = true): DataFrame = {
-    if (b.shortest.isDefined) return shortestJson(b)
-    if (b.recurse.isDefined) return recurseJson(b, includeUid)
-    if (b.groupby.nonEmpty) return rootGroupbyJson(b)
+  private def jsonBlock(b0: QueryBlock, includeUid: Boolean = true): DataFrame = {
+    if (b0.shortest.isDefined) return shortestJson(b0)
+    if (b0.recurse.isDefined) return recurseJson(b0, includeUid)
+    if (b0.groupby.nonEmpty) return rootGroupbyJson(b0)
+    // pred@* rewrites to per-tag selections so the render keys line up
+    // with the expanded columns (same rewrite as flatBlock — idempotent)
+    val b = b0.copy(selections = expandStarSels(b0.selections))
+    // an EMPTY selection set renders as an empty array even when uids
+    // match (reference TestMultiEmptyBlocks: `you(func: uid(1)) {}` →
+    // "you": [])
+    if (b.selections.isEmpty)
+      return flatBlock(b).select(col("uid"), lit("").as("json")).limit(0)
     // @groupby child selections render through the group machinery, not
     // the generic traversal, and root count(uid) renders as an extra
     // {"count": n} object — carve both out of the flat projection
@@ -1519,6 +1644,12 @@ final class DqlExecutor(ts: GraphStore) {
     // counts are scalar leaves even when they count a (reverse) uid pred
     def isChild(s: Selection) =
       !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse)
+    // a uid-pred selection with NO children (pure var binding, `B as
+    // friend`) renders nothing — the reference requires a leaf selection
+    // (or facets) for an edge to appear (TestUseVarsMultiCascade1's him
+    // block has no inner friend key)
+    def renders(s: Selection) = s.children.nonEmpty || s.facetFetch ||
+      s.facetKeys.nonEmpty || s.facetOrder.isDefined
 
     // @normalize: ONE flat object per result path carrying only ALIASED
     // leaves (reference normalize semantics, outputnode.go:921
@@ -1573,7 +1704,7 @@ final class DqlExecutor(ts: GraphStore) {
       val facetCols = flatDf.columns.filter(_.startsWith(s"${pfx}f_")).toSeq
       val rankCols = if (flatDf.columns.contains(rankCol)) Seq(rankCol) else Nil
       var rows = flatDf
-        .select((myKeys ++ scalarCols ++ facetCols ++ rankCols).map(col): _*)
+        .select((myKeys ++ scalarCols ++ facetCols ++ rankCols).map(qcol): _*)
         .filter(col(colName).isNotNull)
         .dropDuplicates(myKeys)
       // count(uid) inside a child template: an extra {"count": n} object
@@ -1588,12 +1719,13 @@ final class DqlExecutor(ts: GraphStore) {
         countCols.foreach { cc => cnt = cnt.withColumn(cc, col("__cnt")) }
         rows = rows.unionByName(cnt.drop("__cnt"), allowMissingColumns = true)
       }
-      val grandSpecs = s.children.filter(isChild).zipWithIndex.map { case (gc, i) =>
-        val gcol = s"__g${myKeys.size}_$i"
-        rows = rows.join(childFrame(myKeys, gc, pfx + gc.outName, gcol),
-          myKeys, "left")
-        (gc, gcol)
-      }
+      val grandSpecs = s.children.filter(c => isChild(c) && renders(c))
+        .zipWithIndex.map { case (gc, i) =>
+          val gcol = s"__g${myKeys.size}_$i"
+          rows = rows.join(childFrame(myKeys, gc, pfx + gc.outName, gcol),
+            myKeys, "left")
+          (gc, gcol)
+        }
       val kidFields = s.children.flatMap { c =>
         if (c.isCount && c.pred == "uid")
           Some(col(s"__cnt_${c.outName}").as(c.alias.getOrElse("count")))
@@ -1601,7 +1733,7 @@ final class DqlExecutor(ts: GraphStore) {
           grandSpecs.collectFirst { case (gc, gcol) if gc eq c =>
             col(gcol).as(jsonKey(c)) }
         else if (flatDf.columns.contains(pfx + c.outName))
-          Some(col(pfx + c.outName).as(jsonKey(c)))
+          Some(qcol(pfx + c.outName).as(jsonKey(c)))
         else None
       }
       val facetFields = facetCols.map(c =>
@@ -1620,7 +1752,7 @@ final class DqlExecutor(ts: GraphStore) {
       // count rows survive via their count column
       val valueCols = scalarCols ++ grandSpecs.map(_._2) ++ countCols
       if (uidField.isEmpty && valueCols.nonEmpty)
-        rows = rows.filter(valueCols.map(col(_).isNotNull).reduce(_ || _))
+        rows = rows.filter(valueCols.map(qcol(_).isNotNull).reduce(_ || _))
       val payload = struct((uidField ++ kidFields ++ facetFields): _*)
       // synthetic count rows carry no child uid/rank: Long.MaxValue
       // sorts them LAST in the array (reference appends the count object)
@@ -1643,14 +1775,15 @@ final class DqlExecutor(ts: GraphStore) {
     var root =
       if (rootScalars.nonEmpty) {
         val aggs = rootScalars.zipWithIndex.map { case (s, i) =>
-          first(col(s.outName), ignoreNulls = true).as(s"__r$i") }
+          first(qcol(s.outName), ignoreNulls = true).as(s"__r$i") }
         flatDf.groupBy(col("uid")).agg(aggs.head, aggs.tail: _*)
       } else flatDf.select(col("uid")).distinct()
-    val childCols = rootSels.filter(isChild).zipWithIndex.map { case (s, i) =>
-      val ccol = s"__c$i"
-      root = root.join(childFrame(Seq("uid"), s, s.outName, ccol), Seq("uid"), "left")
-      (s, ccol)
-    }
+    val childCols = rootSels.filter(s => isChild(s) && renders(s))
+      .zipWithIndex.map { case (s, i) =>
+        val ccol = s"__c$i"
+        root = root.join(childFrame(Seq("uid"), s, s.outName, ccol), Seq("uid"), "left")
+        (s, ccol)
+      }
     // per-parent @groupby arrays: traverse the edge, group the targets,
     // join the rendered array back on the parent (a parent with no
     // groups keeps a null → the key is omitted, reference

@@ -503,7 +503,7 @@ object DqlQueries {
       s"""SELECT $CB + o_custkey AS uid, $OB + o_orderkey AS placed,
          | o_orderstatus AS placed_orderstatus,
          | strftime(o_orderdate, '%Y-%m-%d') AS placed_f_orderdate,
-         | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS placed_f_totalprice
+         | CAST(o_totalprice AS DOUBLE) AS placed_f_totalprice
          |FROM orders JOIN customer ON c_custkey = o_custkey
          |WHERE c_mktsegment = 'BUILDING' ORDER BY uid, placed""".stripMargin,
 
@@ -517,8 +517,7 @@ object DqlQueries {
     "dql_facets_order" ->
       s"""SELECT uid, placed, placed_f_totalprice FROM (
          | SELECT $CB + o_custkey AS uid, $OB + o_orderkey AS placed,
-         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
-         |    AS placed_f_totalprice,
+         |  CAST(o_totalprice AS DOUBLE) AS placed_f_totalprice,
          |  ROW_NUMBER() OVER (PARTITION BY o_custkey
          |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
          |             $OB + o_orderkey ASC) AS rn
@@ -543,9 +542,12 @@ object DqlQueries {
          | FROM lineu WHERE l_extendedprice * (1.0 - l_discount) >= 90000)
          |WHERE rn <= 15 ORDER BY uid""".stripMargin,
 
+    // '.' falls back untagged → ANY variant (reference postingForLangs,
+    // posting/list.go:2143); every doc has exactly one tagged text row,
+    // so both chains resolve to it
     "dql_lang" ->
       s"""SELECT ${Uids.Document} + doc_id AS uid, source AS src,
-         | CASE WHEN lang = 'en' THEN text END AS t_en,
+         | text AS t_en,
          | text AS t_any
          |FROM documents ORDER BY uid""".stripMargin,
 
@@ -674,7 +676,7 @@ object DqlQueries {
          | SELECT $CB + o_custkey AS uid,
          |  '{"uid":"0x' || printf('%x', $OB + o_orderkey) || '","orderstatus":' ||
          |   to_json(o_orderstatus) || ',"placed|totalprice":' ||
-         |   to_json(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) || '}' AS obj,
+         |   to_json(CAST(o_totalprice AS DOUBLE)) || '}' AS obj,
          |  ROW_NUMBER() OVER (PARTITION BY o_custkey
          |   ORDER BY o_totalprice DESC, $OB + o_orderkey ASC) AS rn
          | FROM orders),
@@ -689,7 +691,7 @@ object DqlQueries {
          | UNION ALL
          | SELECT 'docs', uid,
          |  '{"uid":"0x' || printf('%x', uid) || '"' ||
-         |  CASE WHEN lang = 'en' THEN ',"text@en:.":' || to_json(text) ELSE '' END ||
+         |  ',"text@en:.":' || to_json(text) ||
          |  ',"source":' || to_json(source) || '}'
          | FROM (SELECT ${Uids.Document} + doc_id AS uid, text, lang, source
          |       FROM documents ORDER BY uid LIMIT 15))

@@ -112,14 +112,15 @@ class DqlSpec extends AnyFunSuite {
   }
 
   test("golden JSON: lang-chain key kept verbatim, null fields omitted") {
-    // reference shape: {"text@en:.":"..."} and absent key for other langs
-    // (outputnode.go lang-tag keys; query0_test.go golden pattern)
+    // reference shape: {"text@en:.":"..."} — '.' falls back to the
+    // untagged value, then ANY variant (postingForLangs,
+    // posting/list.go:2143), so every doc with text renders the key
     val rows = exec.jsonRows(
       """{ q(func: type(Document), first: 30) { text@en:.  source } }""")
       .collect().map(_.getString(1))
     assert(rows.length == 30)
-    assert(rows.exists(_.contains(""""text@en:.":""")))
-    assert(rows.exists(j => !j.contains(""""text@en:."""") && j.contains(""""source":""")))
+    assert(rows.forall(_.contains(""""text@en:.":""")))
+    assert(rows.exists(_.contains(""""source":""")))
     assert(rows.forall(_.startsWith("""{"uid":"0x""")))
   }
 
@@ -134,9 +135,11 @@ class DqlSpec extends AnyFunSuite {
     val withKids = rows.filter(_.contains(""""placed":["""))
     assert(withKids.nonEmpty)
     withKids.foreach { j =>
-      assert(j.contains(""""placed|totalprice":""""))
+      // facets render TYPED (reference TestFilterFacetval golden:
+      // "path|weight": 0.2, not a string)
+      assert(j.contains(""""placed|totalprice":"""))
       // child arrays preserve the requested (totalprice desc) order
-      val prices = """"placed\|totalprice":"([0-9.]+)"""".r
+      val prices = """"placed\|totalprice":(-?[0-9.]+)""".r
         .findAllMatchIn(j).map(_.group(1).toDouble).toSeq
       assert(prices == prices.sorted.reverse, s"not desc-ordered: $prices")
     }
@@ -176,7 +179,7 @@ class DqlSpec extends AnyFunSuite {
     val json = rows.head.getString(1)
     assert(json.contains(""""placed|totalprice":"""))
     assert(json.contains(""""placed|orderdate":"""))
-    val prices = """"placed\|totalprice":"([0-9.]+)"""".r
+    val prices = """"placed\|totalprice":(-?[0-9.]+)""".r
       .findAllMatchIn(json).map(_.group(1).toDouble).toSeq
     assert(prices.nonEmpty && prices == prices.sorted.reverse)
   }

@@ -100,7 +100,38 @@ class GoldenFixtureSpec extends AnyFunSuite {
     // follow graph (common_test.go:577-583)
     e(1, "follow", 31), e(1, "follow", 24), e(31, "follow", 1001),
     e(1001, "follow", 1000), e(1002, "follow", 1000),
-    e(1001, "follow", 1003), e(1003, "follow", 1002))
+    e(1001, "follow", 1003), e(1003, "follow", 1002),
+    // survival_rate (common_test.go:586-590)
+    a(1, "survival_rate", "98.99"), a(23, "survival_rate", "1.6"),
+    a(24, "survival_rate", "1.6"), a(25, "survival_rate", "1.6"),
+    a(31, "survival_rate", "1.6"),
+    // alias / alias_lang (common_test.go:603-613)
+    a(23, "alias", "Zambo Alice"), a(24, "alias", "John Alice"),
+    a(25, "alias", "Bob Joe"), a(31, "alias", "Allan Matt"),
+    a(101, "alias", "John Oliver"),
+    a(23, "alias_lang", "Zambo Alice", "en"),
+    a(24, "alias_lang", "John Alice", "en"),
+    a(25, "alias_lang", "Bob Joe", "en"),
+    a(31, "alias_lang", "Allan Matt", "en"),
+    a(101, "alias_lang", "John Oliver", "en"),
+    // lossy lang variants (common_test.go:642-649)
+    a(4097, "lossy", "Badger"),
+    a(4097, "lossy", "European badger", "en"),
+    a(4097, "lossy", "European badger barger European", "xx"),
+    a(4097, "lossy", "Borsuk europejski", "pl"),
+    a(4097, "lossy", "Europäischer Dachs", "de"),
+    a(4097, "lossy", "Барсук", "ru"),
+    a(4097, "lossy", "Blaireau européen", "fr"),
+    a(4098, "lossy", "Honey badger", "en"),
+    // portfolio (common_test.go:555-560)
+    a(3001, "symbol", "AAPL"), a(3002, "symbol", "AMZN"),
+    a(3003, "symbol", "AMD"), a(3004, "symbol", "FB"),
+    a(3005, "symbol", "GOOG"), a(3006, "symbol", "MSFT"),
+    // office/rooms (common_test.go:547-553)
+    a(4001, "office", "office 1"), a(4002, "room", "room 1"),
+    a(4003, "room", "room 2"), a(4004, "room", ""),
+    e(4001, "office.room", 4002), e(4001, "office.room", 4003),
+    e(4001, "office.room", 4004))
 
   /** Predicate schema: reference query/common_test.go testSchema (subset). */
   private lazy val schema: SchemaRegistry = {
@@ -119,6 +150,14 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |connects: [uid] @reverse .
         |follow: [uid] @reverse .
         |son: [uid] .
+        |survival_rate: float .
+        |alias: string @index(exact, term, fulltext) .
+        |alias_lang: string @index(exact) @lang .
+        |lossy: string @index(term) @lang .
+        |symbol: string @index(exact) .
+        |office: string .
+        |room: string @index(term) .
+        |office.room: [uid] .
         |abbr: string .
         |district: [uid] .
         |county: [uid] .
@@ -894,4 +933,237 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |  me(func: uid(f), orderdesc: val(f)) { uid name val(f) } }""".stripMargin,
       """{"data":{"me":[{"uid":"0x18","name":"Glenn Rhee","val(f)":2},{"uid":"0x1","name":"Michonne","val(f)":1},{"uid":"0x17","name":"Rick Grimes","val(f)":1},{"uid":"0x19","name":"Daryl Dixon","val(f)":1},{"uid":"0x1f","name":"Andrea","val(f)":1},{"uid":"0x65","val(f)":1}]}}""")
   }
+
+  // ---- has() with lang tags; empty-string values (query0_test.go) ----
+
+  test("golden: TestFilterHas (query0_test.go:48)") {
+    // untagged has() never sees tagged-only values
+    checkGolden(
+      """{ me(func: has(alias)) @filter(has(alias_lang)) { uid } }""",
+      """{"data":{"me":[]}}""")
+    // has(p@.) matches any tagged variant
+    checkGolden(
+      """{ me(func: has(alias)) @filter(has(alias_lang@.)) { alias_lang@. } }""",
+      """{"data":{"me":[{"alias_lang@.":"Zambo Alice"},{"alias_lang@.":"John Alice"},{"alias_lang@.":"Bob Joe"},{"alias_lang@.":"Allan Matt"},{"alias_lang@.":"John Oliver"}]}}""")
+    checkGolden(
+      """{ me(func: has(lossy@.)){ lossy@. } }""",
+      """{"data":{"me":[{"lossy@.":"Badger"},{"lossy@.":"Honey badger"}]}}""")
+    checkGolden(
+      """{ me(func: has(lossy@.)) @filter(has(lossy@fr)) { lossy@fr } }""",
+      """{"data":{"me":[{"lossy@fr":"Blaireau européen"}]}}""")
+  }
+
+  test("golden: TestQueryEmptyDefaultNames (query0_test.go:94)") {
+    checkGolden(
+      """{ people(func: eq(name, "")) { uid name } }""",
+      """{"data":{"people": [{"uid":"0xdac","name":""}, {"uid":"0xdae","name":""}]}}""")
+  }
+
+  test("golden: TestQueryAllLanguages (query0_test.go:144)") {
+    checkGolden(
+      """{ people(func: eq(name@hi, "अमित")) { name@* } }""",
+      """{"data":{"people": [{"name@en":"Amit", "name@hi":"अमित", "name":""}]}}""")
+  }
+
+  test("golden: TestQueryNamesBeforeA (query0_test.go:156)") {
+    checkGolden(
+      """{ people(func: lt(name, "A")) { uid name } }""",
+      """{"data":{"people": [{"uid":"0xdac", "name":""}, {"uid":"0xdae", "name":""}]}}""")
+  }
+
+  test("golden: TestQueryCountEmptyNamesWithLang (query0_test.go:237)") {
+    checkGolden(
+      """{ people_empty_name(func: has(name@hi)) @filter(eq(name@hi, "")) { count(uid) } }""",
+      """{"data":{"people_empty_name": [{"count":1}]}}""")
+  }
+
+  test("golden: TestQueryEmptyRoomsWithTermIndex (query0_test.go:225)") {
+    checkGolden(
+      """{ offices(func: has(office)) { count(office.room @filter(eq(room, ""))) } }""",
+      """{"data":{"offices": [{"count(office.room)":1}]}}""")
+  }
+
+  test("golden: TestStocksStartsWithAInPortfolio (query0_test.go:249)") {
+    checkGolden(
+      """{ portfolio(func: lt(symbol, "B")) { symbol } }""",
+      """{"data":{"portfolio": [{"symbol":"AAPL"},{"symbol":"AMZN"},{"symbol":"AMD"}]}}""")
+  }
+
+  // ---- value-var aggregation + math propagation (query0_test.go
+  // 900-1360): level aggs over child vars, math over min/max vars,
+  // val(x) output keys ----
+
+  test("golden: TestQueryConstMathVal (query0_test.go:900)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Rick Michonne Andrea")) { a as math(24/8 * 3) }
+        |  AgeOrder(func: uid(f)) { name val(a) } }""".stripMargin,
+      """{"data": {"AgeOrder":[{"name":"Michonne","val(a)":9},{"name":"Rick Grimes","val(a)":9},{"name":"Andrea","val(a)":9},{"name":"Andrea With no friends","val(a)":9}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggNestedFuncMinMaxVars (query0_test.go:996)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    a as age friend { x as age } n as min(val(x)) s as max(val(x))
+        |    p as math(max(max(a, s), n)) q as math(min(min(a, s), n)) }
+        |  MaxMe(func: uid(f), orderasc: val(p)) { name val(p) val(a) val(n) val(s) }
+        |  MinMe(func: uid(f), orderasc: val(q)) { name val(q) val(a) val(n) val(s) } }""".stripMargin,
+      """{"data": {"MinMe":[{"name":"Michonne","val(a)":38,"val(n)":15,"val(q)":15,"val(s)":19},{"name":"Rick Grimes","val(a)":15,"val(n)":38,"val(q)":15,"val(s)":38},{"name":"Andrea","val(a)":19,"val(n)":15,"val(q)":15,"val(s)":15}],"MaxMe":[{"name":"Andrea","val(a)":19,"val(n)":15,"val(p)":19,"val(s)":15},{"name":"Michonne","val(a)":38,"val(n)":15,"val(p)":38,"val(s)":19},{"name":"Rick Grimes","val(a)":15,"val(n)":38,"val(p)":38,"val(s)":38}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggNestedFuncConditional (query0_test.go:1033)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    a as age friend { x as age } n as min(val(x))
+        |    condLog as math(cond(a > 10, logbase(n, 5), 1))
+        |    condExp as math(cond(a < 40, 1, pow(2, n))) }
+        |  LogMe(func: uid(f), orderasc: val(condLog)) { name val(condLog) val(n) val(a) }
+        |  ExpMe(func: uid(f), orderasc: val(condExp)) { name val(condExp) val(n) val(a) } }""".stripMargin,
+      """{"data": {"ExpMe":[{"name":"Michonne","val(a)":38,"val(condExp)":1,"val(n)":15},{"name":"Rick Grimes","val(a)":15,"val(condExp)":1,"val(n)":38},{"name":"Andrea","val(a)":19,"val(condExp)":1,"val(n)":15}],"LogMe":[{"name":"Michonne","val(a)":38,"val(condLog)":1.6826061944859854,"val(n)":15},{"name":"Andrea","val(a)":19,"val(condLog)":1.6826061944859854,"val(n)":15},{"name":"Rick Grimes","val(a)":15,"val(condLog)":2.2601593585085435,"val(n)":38}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggNestedFuncConditional2 (query0_test.go:1067)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    a as age friend { x as age } n as min(val(x))
+        |    condLog as math(cond(a==38, n/2.0, 1))
+        |    condExp as math(cond(a!=38, 1, sqrt(2*n))) }
+        |  LogMe(func: uid(f), orderasc: val(condLog)) { name val(condLog) val(n) val(a) }
+        |  ExpMe(func: uid(f), orderasc: val(condExp)) { name val(condExp) val(n) val(a) } }""".stripMargin,
+      """{"data": {"ExpMe":[{"name":"Rick Grimes","val(a)":15,"val(condExp)":1,"val(n)":38},{"name":"Andrea","val(a)":19,"val(condExp)":1,"val(n)":15},{"name":"Michonne","val(a)":38,"val(condExp)":5.477225575051661,"val(n)":15}],"LogMe":[{"name":"Rick Grimes","val(a)":15,"val(condLog)":1,"val(n)":38},{"name":"Andrea","val(a)":19,"val(condLog)":1,"val(n)":15},{"name":"Michonne","val(a)":38,"val(condLog)":7.5,"val(n)":15}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggNestedFunc (query0_test.go:1138)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    a as age friend { x as age } n as min(val(x)) s as max(val(x))
+        |    combi as math(a + n * s) }
+        |  me(func: uid(f), orderasc: val(combi)) { name val(combi) val(a) val(n) val(s) } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea","val(a)":19,"val(combi)":244,"val(n)":15,"val(s)":15},{"name":"Michonne","val(a)":38,"val(combi)":323,"val(n)":15,"val(s)":19},{"name":"Rick Grimes","val(a)":15,"val(combi)":1459,"val(n)":38,"val(s)":38}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggMinMaxSelf (query0_test.go:1166)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    a as age friend { x as age } n as min(val(x)) s as max(val(x))
+        |    sum as math(n +  a + s) }
+        |  me(func: uid(f), orderasc: val(sum)) { name val(sum) val(s) } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea","val(s)":15,"val(sum)":49},{"name":"Michonne","val(s)":19,"val(sum)":72},{"name":"Rick Grimes","val(s)":38,"val(sum)":91}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggMinMax (query0_test.go:1192)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    friend { x as age } n as min(val(x)) s as max(val(x))
+        |    sum as math(n + s) }
+        |  me(func: uid(f), orderdesc: val(sum)) { name val(n) val(s) } }""".stripMargin,
+      """{"data": {"me":[{"name":"Rick Grimes","val(n)":38,"val(s)":38},{"name":"Michonne","val(n)":15,"val(s)":19},{"name":"Andrea","val(n)":15,"val(s)":15}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggMinMaxAlias (query0_test.go:1217)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    friend { x as age } n as min(val(x)) s as max(val(x))
+        |    sum as math(n + s) }
+        |  me(func: uid(f), orderdesc: val(sum)) { name MinAge: val(n) MaxAge: val(s) } }""".stripMargin,
+      """{"data": {"me":[{"name":"Rick Grimes","MinAge":38,"MaxAge":38},{"name":"Michonne","MinAge":15,"MaxAge":19},{"name":"Andrea","MinAge":15,"MaxAge":15}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggMul (query0_test.go:1242)") {
+    checkGolden(
+      """{ var(func: uid( 1)) {
+        |    f as friend { n as age s as count(friend) mul as math(n * s) } }
+        |  me(func: uid(f), orderdesc: val(mul)) { name val(s) val(n) val(mul) } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea","val(mul)":19,"val(n)":19,"val(s)":1},{"name":"Rick Grimes","val(mul)":15,"val(n)":15,"val(s)":1},{"name":"Glenn Rhee","val(mul)":0,"val(n)":15,"val(s)":0},{"name":"Daryl Dixon","val(mul)":0,"val(n)":17,"val(s)":0},{"val(mul)":0,"val(s)":0}]}}""")
+  }
+
+  test("golden: TestCountUIDToVar2 (query0_test.go:1267)") {
+    checkGolden(
+      """{ q(func: uid( 1)) {
+        |    f as friend { n as age s as count(uid) friend { n1 as name } mul as math(n * s) } }
+        |  me(func: uid(f), orderdesc: val(mul)) { name val(n1) val(s) val(n) val(mul) } }""".stripMargin,
+      """{"data": {"q": [{"friend": [{"age": 15,"friend": [{"name": "Michonne"}],"val(mul)": 75},{"age": 15,"val(mul)": 75},{"age": 17,"val(mul)": 85},{"age": 19,"friend": [{"name": "Glenn Rhee"}],"val(mul)": 95},{"count": 5}]}],"me": [{"name": "Andrea","val(n)": 19,"val(mul)": 95},{"name": "Daryl Dixon","val(n)": 17,"val(mul)": 85},{"name": "Rick Grimes","val(n)": 15,"val(mul)": 75},{"name": "Glenn Rhee","val(n1)": "Glenn Rhee","val(n)": 15,"val(mul)": 75}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggOrderDesc (query0_test.go:1357)") {
+    checkGolden(
+      """{ info(func: uid( 1)) {
+        |    f as friend { n as age s as count(friend) sum as math(n + s) } }
+        |  me(func: uid(f), orderdesc: val(sum)) { name age count(friend) } }""".stripMargin,
+      """{"data": {"info":[{"friend":[{"age":15,"count(friend)":1,"val(sum)":16},{"age":15,"count(friend)":0,"val(sum)":15},{"age":17,"count(friend)":0,"val(sum)":17},{"age":19,"count(friend)":1,"val(sum)":20},{"count(friend)":0,"val(sum)":0}]}],"me":[{"age":19,"count(friend)":1,"name":"Andrea"},{"age":17,"count(friend)":0,"name":"Daryl Dixon"},{"age":15,"count(friend)":1,"name":"Rick Grimes"},{"age":15,"count(friend)":0,"name":"Glenn Rhee"},{"count(friend)":0}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggOrderAsc (query0_test.go:1381)") {
+    checkGolden(
+      """{ var(func: uid( 1)) {
+        |    f as friend { n as age s as survival_rate sum as math(n + s) } }
+        |  me(func: uid(f), orderasc: val(sum)) { name age survival_rate } }""".stripMargin,
+      """{"data": {"me":[{"age":15,"name":"Rick Grimes","survival_rate":1.6},{"age":15,"name":"Glenn Rhee","survival_rate":1.6},{"age":17,"name":"Daryl Dixon","survival_rate":1.6},{"age":19,"name":"Andrea","survival_rate":1.6}]}}""")
+  }
+
+  test("golden: TestQueryVarValOrderAsc (query0_test.go:1405)") {
+    checkGolden(
+      """{ var(func: uid( 1)) { f as friend { n as name } }
+        |  me(func: uid(f), orderasc: val(n)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea"},{"name":"Daryl Dixon"},{"name":"Glenn Rhee"},{"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestQueryVarValOrderDob (query0_test.go:1425)") {
+    checkGolden(
+      """{ var(func: uid( 1)) { f as friend { n as dob } }
+        |  me(func: uid(f), orderasc: val(n)) { name dob } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea", "dob":"1901-01-15T00:00:00Z"},{"name":"Daryl Dixon", "dob":"1909-01-10T00:00:00Z"},{"name":"Glenn Rhee", "dob":"1909-05-05T00:00:00Z"},{"name":"Rick Grimes", "dob":"1910-01-02T00:00:00Z"}]}}""")
+  }
+
+  test("golden: TestQueryVarValOrderDesc (query0_test.go:1504)") {
+    checkGolden(
+      """{ var(func: uid( 1)) { f as friend { n as name } }
+        |  me(func: uid(f), orderdesc: val(n)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestQueryVarValOrderDescMissing (query0_test.go:1524)") {
+    checkGolden(
+      """{ var(func: uid( 1034)) { f As friend { n As name } }
+        |  me(func: uid(f), orderdesc: val(n)) { name } }""".stripMargin,
+      """{"data": {"me": []}}""")
+  }
+
+  // ---- multi-block vars, cascade propagation (query0_test.go) ----
+
+  test("golden: TestMultiEmptyBlocks (query0_test.go:1862)") {
+    checkGolden(
+      """{ you(func: uid(0x01)) { } me(func: uid(0x02)) { } }""",
+      """{"data": {"you": [], "me": []}}""")
+  }
+
+  test("golden: TestUseVarsMultiCascade1 (query0_test.go:1877)") {
+    checkGolden(
+      """{ him(func: uid(0x01)) @cascade { L as friend { B as friend name } }
+        |  me(func: uid(L, B)) { name } }""".stripMargin,
+      """{"data": {"him": [{"friend":[{"name":"Rick Grimes"}, {"name":"Andrea"}]}], "me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}, {"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestUseVarsMultiCascade (query0_test.go:1899)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) @cascade { L as friend { B as friend } }
+        |  me(func: uid(L, B)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}, {"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestUseVarsMultiOrder (query0_test.go:1921)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) { L as friend(first:2, orderasc: dob) }
+        |  var(func: uid(0x01)) { G as friend(first:2, offset:2, orderasc: dob) }
+        |  friend1(func: uid(L)) { name }
+        |  friend2(func: uid(G)) { name } }""".stripMargin,
+      """{"data": {"friend1":[{"name":"Daryl Dixon"}, {"name":"Andrea"}],"friend2":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestFilterFacetval (query0_test.go:1947)") {
+    checkGolden(
+      """{ friend(func: uid(0x01)) {
+        |    path @facets(L as weight) { name friend @filter(uid(L)) { name val(L) } } } }""".stripMargin,
+      """{"data": {"friend": [{"path": [{"name": "Glenn Rhee","path|weight": 0.2},{"name": "Andrea","friend": [{"name": "Glenn Rhee","val(L)": 0.2}],"path|weight": 0.1}]}]}}""")
+  }
+
 }
