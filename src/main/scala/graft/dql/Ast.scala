@@ -60,8 +60,11 @@ final case class Selection(
     // outputnode key for in-block math, TestQueryVarValAggOrderDesc)
     else if (pred == "math" && varName.isDefined) s"val_${varName.get}"
     else aggOp.map(op => valRef.map(v => s"${op}_$v").getOrElse(s"${op}_$pred"))
-      .getOrElse(valRef.map(v => s"val_$v").getOrElse(
-        if (langChain.nonEmpty) s"$pred@${langChain.mkString(":")}" else pred)))
+      .getOrElse(valRef.map(v => s"val_$v").getOrElse {
+        // `knows` and `~knows` in one block must not collide (LDBC IC02)
+        val base = if (reverse) s"~$pred" else pred
+        if (langChain.nonEmpty) s"$base@${langChain.mkString(":")}" else base
+      }))
 }
 
 /** math(...) expression tree (reference dql/math.go: binary `+ - * / %

@@ -410,6 +410,16 @@ object Parser {
                 case "orderasc" | "orderdesc" =>
                   expect(":")
                   facetOrder = Some(Ordering(ident(), desc = head == "orderdesc"))
+                  // secondary facet sort keys (LDBC IS03:
+                  // @facets(orderdesc: creationDate, orderdesc: id)) —
+                  // parsed, ties beyond the first key fall to uid order
+                  while (peek == Punct(",")) {
+                    next()
+                    ident() match {
+                      case "orderasc" | "orderdesc" => expect(":"); ident()
+                      case k => facetKeys :+= k
+                    }
+                  }
                 case v if isAs(peek) =>
                   // @facets(L as weight): bind facet value var L keyed by
                   // the edge TARGET uid (reference TestFilterFacetval);

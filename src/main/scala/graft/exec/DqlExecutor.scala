@@ -345,17 +345,29 @@ final class DqlExecutor(ts: GraphStore) {
     // `from: uid(a)` endpoints resolve to exactly one uid — a
     // driver-side metadata read, same as the reference's var expansion
     // (query3 TestShortestPathWithUidVariable / ...Error)
-    def endpoint(lit0: Long, varName: Option[String], side: String): Long =
-      varName.map { n =>
-        val v = vars.getOrElse(n, throw new IllegalArgumentException(
-          s"shortest $side: uid variable '$n' is not bound"))
-        val us = v.select(col("uid")).distinct().limit(2).collect()
-        require(us.length == 1,
-          s"shortest $side: uid($n) must hold exactly one uid, found ${us.length}")
-        us.head.getLong(0)
-      }.getOrElse(lit0)
-    val saFrom = endpoint(sa.from, sa.fromVar, "from")
-    val saTo = endpoint(sa.to, sa.toVar, "to")
+    def endpoint(lit0: Long, varName: Option[String], side: String): Option[Long] =
+      varName match {
+        case None => Some(lit0)
+        case Some(n) =>
+          val v = vars.getOrElse(n, throw new IllegalArgumentException(
+            s"shortest $side: uid variable '$n' is not bound"))
+          val us = v.select(col("uid")).distinct().limit(2).collect()
+          require(us.length <= 1,
+            s"shortest $side: uid($n) must hold at most one uid, found ${us.length}")
+          // an EMPTY endpoint variable means no route exists — the
+          // reference renders no _path_ at all (LDBC IC13 golden)
+          us.headOption.map(_.getLong(0))
+      }
+    val (saFrom, saTo) = (endpoint(sa.from, sa.fromVar, "from"),
+        endpoint(sa.to, sa.toVar, "to")) match {
+      case (Some(f), Some(t)) => (f, t)
+      case _ =>
+        val session = ts.spark
+        import session.implicits._
+        b.blockVar.foreach(v => bindVar(v,
+          Seq.empty[Long].toDF("uid")))
+        return Seq.empty[(Int, Double, String)].toDF("rank", "dist", "path")
+    }
     // the weighted union stays LAZY — cone discovery streams broadcast
     // semi-joins over the per-predicate branch scans, so the full union
     // is never materialized (checkpointing ~1.3M wide rows to find a
@@ -877,6 +889,13 @@ final class DqlExecutor(ts: GraphStore) {
           bindVar(v,
             cur.select(col(name).as("uid")).filter(col("uid").isNotNull).distinct())
         }
+      } else if (sel.pred == "dgraph.type") {
+        // dgraph.type as a selection renders the node's type LIST
+        // (reference LDBC IS02 golden: "dgraph.type": ["comment"])
+        val a = ts.nodeTypes.groupBy(col("subject"))
+          .agg(sort_array(collect_list(col("typeName"))).as(name))
+          .select(col("subject").as("__as"), qcol(name))
+        cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
       } else {
         val base = ts.attr(sel.pred)
         // pred@en:fr:. — resolve the preference chain per subject
@@ -921,7 +940,13 @@ final class DqlExecutor(ts: GraphStore) {
               if (base.columns.contains("lang") && schema.pred(sel.pred).lang)
                 base.filter(col("lang").isNull)
               else base
-            rows.select(col("subject").as("__as"), col("value").as(name))
+            // list predicates ([string] email) aggregate to an ARRAY —
+            // the reference renders every value (LDBC IC01 email/language)
+            if (schema.pred(sel.pred).isList)
+              rows.groupBy(col("subject"))
+                .agg(sort_array(collect_list(col("value"))).as(name))
+                .select(col("subject").as("__as"), qcol(name))
+            else rows.select(col("subject").as("__as"), col("value").as(name))
           }
         cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
         // value variable: per-uid value map (x as age)
