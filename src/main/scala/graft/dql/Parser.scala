@@ -333,6 +333,16 @@ object Parser {
           }
         }
         expect(")")
+        // the filter may equally FOLLOW the parens:
+        // `pc as count(~hasTag) @filter(uid(pbw))` (LDBC IC04)
+        while (peek == Punct("@")) {
+          next()
+          ident() match {
+            case "filter" =>
+              expect("("); cfilter = Some(parseFilterOr()); expect(")")
+            case o => fail(s"unsupported directive @$o on count()")
+          }
+        }
         // `a as count(uid)` inside @groupby binds the per-group count
         // (reference fillGroupedVars)
         return Selection(alias, p, reverse = rev, isCount = true,
@@ -368,7 +378,7 @@ object Parser {
       }
       var order = Vector.empty[Ordering]
       var page = Pagination()
-      if (peek == Punct("(")) {
+      def parseSelArgs(): Unit = if (peek == Punct("(")) {
         next()
         var first = true
         while (peek != Punct(")")) {
@@ -386,6 +396,7 @@ object Parser {
         }
         expect(")")
       }
+      parseSelArgs()
       var filter: Option[FilterNode] = None
       var facetFetch = false
       var facetKeys = Vector.empty[String]
@@ -444,6 +455,9 @@ object Parser {
           case o => fail(s"unsupported selection directive @$o")
         }
       }
+      // args may also FOLLOW the directives (reference grammar order is
+      // free: LDBC IC07 `likes @facets(...) @filter(...) (first:1)`)
+      parseSelArgs()
       val children =
         if (peek == Punct("{")) parseSelectionSet() else Nil
       Selection(alias, name, reverse, isCount = false, filter, order, page,
@@ -500,7 +514,9 @@ object Parser {
         case Ident("val") if fname != "val" =>
           next(); expect("("); pred = "val:" + ident(); expect(")")
         case _ =>
-          pred = ident()
+          // uid_in(~containerOf, ...): reverse-edge membership (LDBC IC05)
+          if (peek == Punct("~")) { next(); pred = "~" }
+          pred += ident()
           // lang-qualified predicate: eq(name@hi, ...) targets the @hi
           // tablet rows; has(p@.) matches any variant (reference langs
           // on function args, dql/parser.go)
@@ -524,6 +540,10 @@ object Parser {
         peek match {
           case Ident("val") =>
             next(); expect("("); args :+= "\u0000val:" + ident(); expect(")")
+          case Ident("uid") =>
+            // uid_in(p, uid(v)): membership against a uid variable's set
+            // (LDBC IC11 uid_in(workAt, uid(organisation)))
+            next(); expect("("); args :+= "\u0000uid:" + ident(); expect(")")
           case _ => args :+= litString()
         }
       }

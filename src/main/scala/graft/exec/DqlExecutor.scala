@@ -45,6 +45,14 @@ final class DqlExecutor(ts: GraphStore) {
   private val varCols =
     scala.collection.mutable.Map.empty[String, (String, String)]
 
+  /** Vars whose flat column is LIVE in the current block's frame —
+    * includes parent-level binds visible inside child projections (the
+    * column rides the flat join). Cleared per block; distinguishes a
+    * genuinely live column from a stale same-named one left in varCols
+    * by an earlier block.
+    */
+  private val liveVars = scala.collection.mutable.Set.empty[String]
+
   /** Register a variable MATERIALIZED (localCheckpoint = compute once,
     * truncate lineage). Without this, every later reference — val()
     * leaves, seed comparisons, orderings, math — re-embeds the entire
@@ -174,6 +182,7 @@ final class DqlExecutor(ts: GraphStore) {
           sx.children.nonEmpty))
         b0.copy(selections = expandStarSels(b0.selections))
       else b0
+    liveVars.clear()
     b.shortest.foreach { sa => return shortestBlock(b, sa) }
     var frontier = seed(b.func).select(col("uid")).distinct()
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
@@ -284,7 +293,8 @@ final class DqlExecutor(ts: GraphStore) {
         val paged =
           if (b.cascade) frontier // paginate after cascade pruning (below)
           else orderAndPage(frontier, "uid", b.order, b.page)
-        val projected0 = project(paged, "uid", b.selections, fullCascade, "")
+        val projected0 = project(paged, "uid", b.selections, fullCascade, "",
+          detached = b.name == "var" && !b.cascade)
         val projected =
           if (!paramCascade) projected0
           else {
@@ -467,7 +477,24 @@ final class DqlExecutor(ts: GraphStore) {
         }
       src.select(col("subject").as("uid")).distinct()
     case "uid_in" =>
-      ts.edge(fn.pred).filter(col("object") === parseUid(fn.args.head))
+      // uid_in(p, <uid literals and uid(var) sets>): subjects whose p
+      // target intersects the given set; ~p flips the edge (reference
+      // worker/task.go uid_in handler; LDBC IC05/IC11/IC12 var forms)
+      val (p, rev) =
+        if (fn.pred.startsWith("~")) (fn.pred.drop(1), true) else (fn.pred, false)
+      val src = if (rev) ts.reverseEdge(p) else ts.edge(p)
+      val (varArgs, litArgs) = fn.args.partition(_.startsWith("\u0000uid:"))
+      litArgs.foreach { a =>
+        require(a.matches("(0x[0-9a-fA-F]+|\\d+)"),
+          s"""Value "$a" in uid_in is not a number""")
+      }
+      val session = ts.spark
+      import session.implicits._
+      val sets = varArgs.map(a =>
+          vars(a.stripPrefix("\u0000uid:")).select(col("uid"))) ++
+        (if (litArgs.nonEmpty) Seq(litArgs.map(parseUid).toDF("uid")) else Nil)
+      val targets = sets.reduce(_ unionByName _).withColumnRenamed("uid", "__t")
+      src.join(targets, col("object") === col("__t"), "left_semi")
         .select(col("subject").as("uid")).distinct()
     case "eq" if fn.args.exists(_.startsWith("\u0000val:")) &&
         !schema.isUidPredicate(langSplit(fn.pred)._1) =>
@@ -733,8 +760,13 @@ final class DqlExecutor(ts: GraphStore) {
 
   // ---- selection projection (one join per selection) ----
 
+  /** Vars bound anywhere inside a selection subtree. */
+  private def boundIn(sels: Seq[Selection]): Set[String] =
+    sels.flatMap(s => s.varName.toSeq ++ s.facetVars.map(_._1) ++
+      boundIn(s.children)).toSet
+
   private def project(df: DataFrame, uidCol: String, sels: Seq[Selection],
-      cascade: Boolean, prefix: String): DataFrame = {
+      cascade: Boolean, prefix: String, detached: Boolean = false): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     var cur = df
     // true once a traversal has multiplied rows: later var binds must
@@ -759,17 +791,24 @@ final class DqlExecutor(ts: GraphStore) {
         // mul = 0). Scalar (no-uid) vars broadcast but do not confer
         // membership (TestCountUIDToVar2).
         val uidKeyed = scala.collection.mutable.ArrayBuffer.empty[String]
+        // cross-level refs: a var bound at a PARENT level read in a child
+        // block propagates along the traversal, SUMMING over paths
+        // (reference var propagation, query/query.go populateVarMap —
+        // LDBC IC05 `fposts as math(c)` counts posts per forum)
+        val crossKeys = scala.collection.mutable.ArrayBuffer.empty[String]
         refs.foreach { r =>
-          // a var bound EARLIER IN THIS BLOCK is still a live column of
-          // the current frame — read it in place instead of joining its
+          // a var bound EARLIER IN THIS BLOCK — or at a parent level of
+          // this block's traversal — is still a live column of the
+          // current frame; read it in place instead of joining its
           // (uid, value) map back on: a 3-var chain over lineitem then
           // runs as ONE projection pass, no self-joins (each skipped
           // join was a full shuffle of the block's rows)
           varCols.get(r) match {
-            case Some((cname, ucol)) if boundHere(r) && ucol == uidCol &&
+            case Some((cname, ucol)) if (boundHere(r) || liveVars(r)) &&
                 base.columns.contains(cname) =>
-              base = base.withColumn(s"__m_$r", col(cname))
+              base = base.withColumn(s"__m_$r", qcol(cname))
               uidKeyed += s"__m_$r"
+              if (ucol != uidCol) crossKeys += ucol
             case _ if !vars(r).columns.contains("uid") =>
               // SCALAR var (f as count(uid)): one row, no uid map —
               // broadcast it to every row (reference TestCountUidToVar)
@@ -799,12 +838,26 @@ final class DqlExecutor(ts: GraphStore) {
           when(col("__m_member"), mathCol(sel.mathExpr.get)))
         cur = base.drop("__m_member").drop(refs.map(r => s"__m_$r"): _*)
         sel.varName.foreach { v =>
-          // scalar values are unique per subject UNLESS a traversal
-          // fanned the rows out — then dedup per uid
-          val bound = cur.select(col(uidCol).as("uid"), col(name).as("value"))
-            .filter(col("value").isNotNull)
-          bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
-          varCols(v) = (name, uidCol); boundHere += v
+          val bound =
+            if (crossKeys.nonEmpty) {
+              // propagation: per current uid, SUM over distinct source
+              // rows (one per parent-level key chain)
+              val keys = crossKeys.toSeq.distinct
+              cur.select(qcol(uidCol).as("uid") +:
+                  keys.zipWithIndex.map { case (k, i) => qcol(k).as(s"__pk$i") } :+
+                  qcol(name).as("value"): _*)
+                .filter(col("value").isNotNull)
+                .dropDuplicates("uid" +: keys.indices.map(i => s"__pk$i"))
+                .groupBy(col("uid")).agg(sum(col("value")).as("value"))
+            } else {
+              // scalar values are unique per subject UNLESS a traversal
+              // fanned the rows out — then dedup per uid
+              val b0 = cur.select(col(uidCol).as("uid"), qcol(name).as("value"))
+                .filter(col("value").isNotNull)
+              if (fanned) b0.dropDuplicates("uid") else b0
+            }
+          bindVar(v, bound)
+          varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (sel.aggOp.isDefined && sel.valRef.exists(varCols.contains)) {
         // level-based aggregation: `n as min(val(x))` where x was bound
@@ -832,7 +885,7 @@ final class DqlExecutor(ts: GraphStore) {
         sel.varName.foreach { v =>
           bindVar(v, cur.select(col(uidCol).as("uid"), col(name).as("value"))
             .filter(col("value").isNotNull).dropDuplicates("uid"))
-          varCols(v) = (name, uidCol); boundHere += v
+          varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (sel.pred == "val" && sel.valRef.isDefined) {
         val vf = vars(sel.valRef.get)
@@ -879,15 +932,35 @@ final class DqlExecutor(ts: GraphStore) {
         sel.varName.foreach { v =>
           bindVar(v, cur.select(col(uidCol).as("uid"), qcol(name).as("value"))
             .dropDuplicates("uid"))
-          varCols(v) = (name, uidCol); boundHere += v
+          varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (schema.isUidPredicate(sel.pred) || sel.reverse) {
-        cur = traverse(cur, uidCol, sel, name, cascade)
-        fanned = true
-        // uid variable: the traversal's target frontier (f as friend)
-        sel.varName.foreach { v =>
-          bindVar(v,
-            cur.select(col(name).as("uid")).filter(col("uid").isNotNull).distinct())
+        // a VAR block renders nothing, so sibling traversal subtrees
+        // whose vars no later selection at this level reads can run
+        // DETACHED on the bare frontier — binds are identical, and the
+        // cumulative frame never takes the sibling-cartesian fan (the
+        // LDBC IC01 14-set knows fan-out multiplies sibling subtrees
+        // into billions of flat rows otherwise; the reference walks
+        // each subgraph child independently, query/query.go ProcessGraph)
+        val subVars = boundIn(sel.children)
+        val neededHere = sels.exists(o => (o ne sel) && (
+          (o.aggOp.isDefined && o.valRef.exists(subVars.contains)) ||
+            o.mathExpr.exists(m => mathRefs(m).exists(subVars.contains))))
+        if (detached && !cascade && sel.groupby.isEmpty && !neededHere) {
+          val sub = traverse(cur.select(qcol(uidCol)).distinct(), uidCol,
+            sel, name, cascade, detached)
+          sel.varName.foreach { v =>
+            bindVar(v, sub.select(qcol(name).as("uid"))
+              .filter(col("uid").isNotNull).distinct())
+          }
+        } else {
+          cur = traverse(cur, uidCol, sel, name, cascade, detached)
+          fanned = true
+          // uid variable: the traversal's target frontier (f as friend)
+          sel.varName.foreach { v =>
+            bindVar(v,
+              cur.select(qcol(name).as("uid")).filter(col("uid").isNotNull).distinct())
+          }
         }
       } else if (sel.pred == "dgraph.type") {
         // dgraph.type as a selection renders the node's type LIST
@@ -956,7 +1029,7 @@ final class DqlExecutor(ts: GraphStore) {
           val bound = cur.select(col(uidCol).as("uid"), qcol(name).as("value"))
             .filter(col("value").isNotNull)
           bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
-          varCols(v) = (name, uidCol); boundHere += v
+          varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       }
     }
@@ -968,7 +1041,7 @@ final class DqlExecutor(ts: GraphStore) {
     * query/query.go:2511).
     */
   private def traverse(df: DataFrame, uidCol: String, sel: Selection,
-      name: String, cascade: Boolean): DataFrame = {
+      name: String, cascade: Boolean, detached: Boolean = false): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
     val needMap = sel.facetFetch || sel.facetKeys.nonEmpty ||
@@ -1077,7 +1150,7 @@ final class DqlExecutor(ts: GraphStore) {
     }
     cur = cur.drop(needFt.map(k => s"__ft_$k"): _*)
     if (sel.children.nonEmpty)
-      cur = project(cur, name, sel.children, cascade, s"${name}_")
+      cur = project(cur, name, sel.children, cascade, s"${name}_", detached)
     if (repageAfterChildren) {
       // re-rank what survived the cascade: dense_rank over the
       // pre-pruning adjacency order gives each remaining child its
