@@ -65,6 +65,11 @@ final class TripleFrameStore(
     val typed = p.dgraphType match {
       case "int" => col("value").cast("long")
       case "float" => col("value").cast("double")
+      // reference bigfloat (types/scalar_types.go:63, arbitrary-precision
+      // big.Float) narrows to DECIMAL(38,18) — SURVEY §1.2 documents the
+      // precision bound
+      case "bigfloat" => col("value").cast(
+        org.apache.spark.sql.types.DecimalType(38, 18))
       case "bool" => col("value").cast("boolean")
       case "datetime" => col("value").cast("timestamp")
       case _ => col("value")

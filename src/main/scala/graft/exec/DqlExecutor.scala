@@ -124,24 +124,52 @@ final class DqlExecutor(ts: GraphStore) {
   /** expand(_all_)/expand(Type) inside a @recurse template: substitute
     * the type's predicates — uid preds drive the expansion, scalars
     * become per-level leaves (reference TestRecurseExpand walks the
-    * SchoolInfo chain this way). `_all_` reads the ROOT frontier's type
-    * names (metadata-sized collect); exact on homogeneous graphs, the
-    * reference recomputes per level.
+    * SchoolInfo chain this way). `_all_` unions node types over the
+    * REACHABLE cone (type-set fixpoint: expand the current types' uid
+    * preds, walk, collect newly reached types, repeat — ≤ |types|
+    * rounds, each a metadata-sized collect), matching the reference's
+    * per-level recomputation on heterogeneous graphs.
     */
+  /** Depth bound for the expand(_all_) cone walk — set by the recurse
+    * executors before template expansion (default covers bare @recurse,
+    * whose seen-set terminates the walk).
+    */
+  private var recurseDepthHint: Int = 50
+
   private def expandRecurseSels(frontier: DataFrame,
       sels: Seq[Selection]): Seq[Selection] =
     sels.flatMap { s =>
       if (!s.pred.startsWith("expand(")) Seq(s)
       else {
         val arg = s.pred.stripPrefix("expand(").stripSuffix(")")
+        def typesOf(df: DataFrame): Seq[String] =
+          ts.nodeTypes.join(
+              df.select(col("uid").as("subject")).distinct(),
+              Seq("subject"), "left_semi")
+            .select("typeName").distinct()
+            .collect().map(_.getString(0)).sorted.toSeq
         val typeNames =
-          if (arg == "_all_")
-            ts.nodeTypes.join(
-                frontier.select(col("uid").as("subject")).distinct(),
-                Seq("subject"), "left_semi")
-              .select("typeName").distinct()
-              .collect().map(_.getString(0)).sorted.toSeq
-          else Seq(arg)
+          if (arg == "_all_") {
+            var types = typesOf(frontier)
+            var done = false
+            while (!done) {
+              val uidPreds = types.flatMap(schema.predicatesOfType)
+                .distinct.filter(schema.isUidPredicate)
+              if (uidPreds.isEmpty) done = true
+              else {
+                val edges = uidPreds.map(pn => ts.edge(pn)
+                    .select(col("subject"), col("object"), lit(pn).as("pred")))
+                  .reduce(_ unionByName _)
+                val tree = graft.operators.Recurse.expandTree(
+                  frontier.select(col("uid").as("start")), edges,
+                  recurseDepthHint, loop = false)
+                val nt = typesOf(tree.select(col("node").as("uid")).distinct())
+                if ((nt.toSet -- types.toSet).isEmpty) done = true
+                else types = (types ++ nt).distinct.sorted
+              }
+            }
+            types
+          } else Seq(arg)
         typeNames.flatMap(schema.predicatesOfType).distinct.sorted
           .map(p => Selection(None, p))
       }
@@ -198,6 +226,7 @@ final class DqlExecutor(ts: GraphStore) {
         // the full child template each level, query/recurse.go:19
         // expandRecurse — `{ name friend }` under @recurse returns names
         // at every depth, not bare uids). Unknown predicates are ignored.
+        recurseDepthHint = math.min(recurseHops(r), 50)
         val known = expandRecurseSels(frontier, b.selections).filter(s =>
           schema.predicates.contains(s.pred) || s.pred == "uid")
         val (preds, rest) =
@@ -298,11 +327,17 @@ final class DqlExecutor(ts: GraphStore) {
         val projected =
           if (!paramCascade) projected0
           else {
+            // validate at rewrite time: a name matching no top-level
+            // selection would otherwise surface as an opaque
+            // unresolved-column AnalysisException mid-plan
             val need = b.cascadeFields.map { f =>
-              b.selections.find(s => s.outName == f || s.pred == f)
-                .map(_.outName).getOrElse(f)
+              b.selections.find(s => s.outName == f || s.pred == f ||
+                  s.alias.contains(f))
+                .map(_.outName).getOrElse(throw new IllegalArgumentException(
+                  s"@cascade($f): no top-level selection named '$f' " +
+                    s"(have: ${b.selections.map(_.outName).mkString(", ")})"))
             }
-            projected0.filter(need.map(c => col(c).isNotNull).reduce(_ && _))
+            projected0.filter(need.map(c => qcol(c).isNotNull).reduce(_ && _))
           }
         if (b.cascade) {
           // @cascade drops roots missing any branch (inner joins), then
@@ -648,6 +683,8 @@ final class DqlExecutor(ts: GraphStore) {
     schema.pred(pred).dgraphType match {
       case "int" => lit(v.toLong)
       case "float" => lit(v.toDouble)
+      case "bigfloat" => lit(v).cast(
+        org.apache.spark.sql.types.DecimalType(38, 18))
       case "datetime" => lit(v).cast("timestamp")
       case _ => lit(v)
     }
@@ -1504,6 +1541,7 @@ final class DqlExecutor(ts: GraphStore) {
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
     // unknown predicates in the template are legal and ignored
     // (reference TestRecurseQuery selects nonexistent_pred)
+    recurseDepthHint = math.min(recurseHops(r), 50)
     val (preds, scalars) =
       expandRecurseSels(frontier, b.selections)
         .filter(s => schema.predicates.contains(s.pred))

@@ -137,8 +137,11 @@ object ShortestPath {
     * a full-union pass. If the frontier outgrows the cap (dense graphs
     * at scale), the remaining rounds switch to broadcast semi-joins over
     * the same lazy branches — fully distributed, no driver state.
+    * 2000 keeps the literal `In` expression well inside the range where
+    * Catalyst plan serialization and codegen stay cheap (a 50k-literal
+    * In bloats the plan far before the driver memory matters).
     */
-  private val DriverFrontierCap = 50000
+  private val DriverFrontierCap = 2000
 
   def forwardCone(spark: SparkSession, edges: DataFrame,
       source: Long, maxDepth: Int): DataFrame = {
@@ -236,6 +239,19 @@ object ShortestPath {
         if (useful.nonEmpty) Iterator((t.dstId, useful)) else Iterator.empty
       },
       mergeK)
+    // capacity saturation check: when a minweight bound is active and an
+    // INTERMEDIATE vertex holds kv states, cheaper sub-minweight prefixes
+    // may have crowded out a qualifying one — the divergence from the
+    // reference's exact Dijkstra enumeration would otherwise be silent
+    if (minW != Double.NegativeInfinity) {
+      val saturated = res.vertices
+        .filter { case (id, s) => id != target && s.size >= kv }.count()
+      if (saturated > 0)
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"kShortestPaths: $saturated vertices saturated state capacity " +
+            s"kv=$kv under minweight=$minW — results may under-enumerate; " +
+            "raise kv or use an unbounded search to confirm")
+    }
     res.vertices.filter(_._1 == target)
       .flatMap { case (_, s) =>
         // state capacity is kv ≥ k; the answer is the k best

@@ -59,6 +59,41 @@ object Similarity {
         cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
   }
 
+  /** Top-k by a named metric (reference similar_to options,
+    * worker/task.go:2772 parseSimilarToOptions; distance fns
+    * tok/hnsw/helper.go): euclidean ranks by SMALLEST distance —
+    * dist² = |a|² + |b|² − 2·a·b stays exact integer arithmetic over the
+    * quantized vectors, so the oracle hash-matches bit-for-bit;
+    * dotproduct ranks by LARGEST dot (the reference's negative-dot
+    * distance). Returns (qid, nid, <dist|dot>, rank).
+    */
+  def bruteForceTopKMetric(queries: DataFrame, corpus: DataFrame, k: Int,
+      metric: String): DataFrame = {
+    if (metric == "cosine") return bruteForceTopK(queries, corpus, k)
+    val q = withNorm(queries).select(col("id").as("qid"), col("qe").as("qv"),
+      col("__nrm").as("qn"))
+    val c = withNorm(corpus).select(col("id").as("nid"), col("qe").as("nv"),
+      col("__nrm").as("nn"))
+    val pairs = broadcast(q).join(c, col("qid") =!= col("nid"))
+    metric match {
+      case "euclidean" =>
+        // score = −dist² (long-exact) so the shared max-heap ranks
+        // nearest-first; the rendered dist is the IEEE sqrt both engines
+        // compute from the same integer
+        val d2 = col("qn") + col("nn") - lit(2L) * dotQ(col("qv"), col("nv"))
+        rankTopK(pairs.select(col("qid"), col("nid"),
+            (-d2).cast("double").as("sim")), k)
+          .select(col("qid"), col("nid"), sqrt(-col("sim")).as("dist"),
+            col("rank"))
+      case "dotproduct" =>
+        rankTopK(pairs.select(col("qid"), col("nid"),
+            dotQ(col("qv"), col("nv")).cast("double").as("sim")), k)
+          .select(col("qid"), col("nid"), col("sim").cast("long").as("dot"),
+            col("rank"))
+      case o => throw new IllegalArgumentException(s"unknown metric $o")
+    }
+  }
+
   /** IVF-style top-k: candidates restricted to the query's cell. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = withNorm(queries).select(col("id").as("qid"), col("cell").as("qcell"),

@@ -226,6 +226,24 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // metric options (worker/task.go:2772 parseSimilarToOptions;
+    // tok/hnsw/helper.go euclidean/dotproduct distances)
+    "similar_to_euclidean" -> ((s, d) => {
+      val q = embQ(s, d)
+      Similarity.bruteForceTopKMetric(q.filter(col("id") === 0), q, k = 5,
+        metric = "euclidean")
+        .select(col("nid"), col("dist"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    "similar_to_dot" -> ((s, d) => {
+      val q = embQ(s, d)
+      Similarity.bruteForceTopKMetric(q.filter(col("id") === 0), q, k = 5,
+        metric = "dotproduct")
+        .select(col("nid"), col("dot"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- multimodal/binary plumbing ----
     "multimodal_binary" -> ((s, d) => {
       // binary media stand-in: the blob flows as BinaryType; typed
@@ -521,6 +539,32 @@ object LlmQueries {
          | SELECT c.id AS nid, ${cosSql("q0.qe", "c.qe")} AS sim,
          |  CAST(ROW_NUMBER() OVER (
          |    ORDER BY ${cosSql("q0.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
+         | FROM q c, (SELECT qe FROM q WHERE id = 0) q0
+         | WHERE c.id <> 0)
+         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "similar_to_euclidean" ->
+      s"""WITH q AS ($embQSql)
+         |SELECT nid, sqrt(CAST(d2 AS DOUBLE)) AS dist, rank FROM (
+         | SELECT c.id AS nid,
+         |  list_sum(list_transform(list_zip(q0.qe, c.qe),
+         |    p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2,
+         |  CAST(ROW_NUMBER() OVER (
+         |    ORDER BY list_sum(list_transform(list_zip(q0.qe, c.qe),
+         |      p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.id ASC) AS INT) AS rank
+         | FROM q c, (SELECT qe FROM q WHERE id = 0) q0
+         | WHERE c.id <> 0)
+         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "similar_to_dot" ->
+      s"""WITH q AS ($embQSql)
+         |SELECT nid, dot, rank FROM (
+         | SELECT c.id AS nid,
+         |  CAST(list_sum(list_transform(list_zip(q0.qe, c.qe),
+         |    p -> p[1]*p[2])) AS BIGINT) AS dot,
+         |  CAST(ROW_NUMBER() OVER (
+         |    ORDER BY list_sum(list_transform(list_zip(q0.qe, c.qe),
+         |      p -> p[1]*p[2])) DESC, c.id ASC) AS INT) AS rank
          | FROM q c, (SELECT qe FROM q WHERE id = 0) q0
          | WHERE c.id <> 0)
          |WHERE rank <= 5 ORDER BY rank""".stripMargin,

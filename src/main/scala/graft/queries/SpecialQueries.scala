@@ -91,6 +91,28 @@ object SpecialQueries {
 
   val queries: Map[String, QFn] = Map(
 
+    // bigfloat predicate type (reference types/scalar_types.go:63 —
+    // arbitrary-precision big.Float, narrowed to DECIMAL(38,18) per
+    // SURVEY §1.2): ingest through a TripleFrameStore and range-scan
+    "root_bigfloat" -> ((s, d) => {
+      val o = Q.t(s, d, "orders")
+      val triples = o.select(
+        (lit(Uids.Order) + col("o_orderkey").cast("long")).as("subject"),
+        lit("bigbal").as("predicate"),
+        lit(null).cast("long").as("objectUid"),
+        col("o_totalprice").cast("decimal(38,18)").cast("string").as("value"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("facets"))
+      val (preds, types) = graft.core.SchemaRegistry.parseAlter(
+        "bigbal: bigfloat @index(bigfloat) .")
+      val st = new graft.core.TripleFrameStore(s,
+        new graft.core.SchemaRegistry(preds.map(p => p.name -> p).toMap,
+          types.map(t => t.name -> t).toMap), triples, Map.empty)
+      new graft.exec.DqlExecutor(st)
+        .flat("""{ q(func: ge(bigbal, "400000")) { b: bigbal } }""")
+        .orderBy(col("uid"))
+    }),
+
     // geo contains: stored square cell contains the query point
     // (types/geofilter.go:338 filterContain)
     "geo_contains" -> ((s, d) => {
@@ -288,6 +310,13 @@ object SpecialQueries {
        | w -> regexp_replace(w, '(ing|ed|es|e|s)$$', '')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "root_bigfloat" ->
+      s"""SELECT ${Uids.Order} + o_orderkey AS uid,
+         | CAST(o_totalprice AS DECIMAL(38,18)) AS b
+         |FROM orders WHERE CAST(o_totalprice AS DECIMAL(38,18)) >=
+         | CAST(400000 AS DECIMAL(38,18))
+         |ORDER BY uid""".stripMargin,
+
     "geo_near" ->
       s"""SELECT c_custkey, $cxSql AS x, $cySql AS y FROM customer
          |WHERE ($cxSql - 3600) * ($cxSql - 3600) + ($cySql - 1700) * ($cySql - 1700) < 640000
