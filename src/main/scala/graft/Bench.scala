@@ -70,6 +70,20 @@ object Bench {
         graft.operators.Backup.restore(spark, "target/bench_warmup_backup",
           ts.facetKeys).attr("name").count()
       }
+      // GraphX first-touch is pure JVM ramp: Pregel/EdgeRDD class
+      // loading plus RDD-shuffle codepaths that nothing DataFrame-side
+      // touches (measured: a 3-edge CC costs ~5 s on the first call,
+      // <0.1 s hot — the bulk of dedup_clusters' cold column was this,
+      // not the candidate build)
+      graft.operators.Dedup.clusters(
+        spark.range(3).select(col("id").as("a"), (col("id") + 1).as("b"))
+      ).count()
+      // same for the BUCKETED write path: hash-partitioned sorted
+      // saveAsTable + catalog ops JIT a writer stack the plain parquet
+      // warmup above does not reach
+      graft.core.Bucketing.writeBucketed(
+        spark.range(256).select(col("id").as("subject"), col("id").as("value")),
+        "g_warmup_bucketed", 2)
     } catch { case _: Throwable => () }
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -54,9 +54,13 @@ final class TripleFrameStore(
         col("objectUid").as("object"), m.as("facets")) ++ ftCols: _*)
   }
 
+  // distinct: re-asserted dgraph.type triples must read as one membership
+  // — root executors rely on nodeTypes being unique per (subject, type)
+  // and skip their own dedup exchange
   lazy val nodeTypes: DataFrame =
     base.filter(col("predicate") === "dgraph.type" && col("value").isNotNull)
       .select(col("subject"), col("value").as("typeName"))
+      .distinct()
 
   def attr(predicate: String): DataFrame = {
     val p = schema.pred(predicate)

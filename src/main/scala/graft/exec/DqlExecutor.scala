@@ -212,7 +212,25 @@ final class DqlExecutor(ts: GraphStore) {
       else b0
     liveVars.clear()
     b.shortest.foreach { sa => return shortestBlock(b, sa) }
-    var frontier = seed(b.func).select(col("uid")).distinct()
+    // val-seeded val-ordered root (`func: ge(val(v), x), orderdesc:
+    // val(v)`): the seed scan of the var map already carries the sort
+    // key — keep it as __ov0 so orderAndPage skips re-joining the map
+    // (one scan + TakeOrdered instead of dedup + self-join). Guarded to
+    // the plain projection shape: any consumer that re-reads the
+    // frontier as a uid set (block vars, cascade re-pagination,
+    // groupby) gets the generic path.
+    val preOrderedVal = b.recurse.isEmpty && !b.cascade &&
+      b.blockVar.isEmpty && b.func.pred.startsWith("val:") &&
+      b.order.size == 1 && b.order.head.pred == b.func.pred &&
+      !b.selections.exists(_.groupby.nonEmpty)
+    var frontier =
+      if (preOrderedVal)
+        // __ov0 is consumed (and dropped) by orderAndPage; the
+        // __seedval_ rider survives pagination so a `val(v)` selection
+        // of the SAME var reads it in place (project drops it after)
+        valSeedRows(b.func).select(col("uid"), col("value").as("__ov0"),
+          col("value").as(s"__seedval_${b.func.pred.drop(4)}"))
+      else seedUids(b.func)
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
     // `f as var(func: ...)`: the block's root uid set becomes uid var f
     // (reference block-level var assignment, query/query.go fillVars)
@@ -454,6 +472,38 @@ final class DqlExecutor(ts: GraphStore) {
     paths
   }
 
+  /** (uid, value) rows of a value-var comparison seed — the value column
+    * rides along so a val-ordered root can reuse it as its sort key.
+    */
+  private def valSeedRows(fn: FuncCall): DataFrame = {
+    val v = vars(fn.pred.drop(4))
+    val litC = lit(fn.args.head).cast(v.schema("value").dataType)
+    val cmp: Column = fn.name match {
+      case "eq" => col("value") === litC
+      case "le" => col("value") <= litC
+      case "lt" => col("value") < litC
+      case "ge" => col("value") >= litC
+      case "gt" => col("value") > litC
+      case o => throw new IllegalArgumentException(s"unsupported val fn $o")
+    }
+    v.filter(cmp)
+  }
+
+  /** Seeds whose uid column is unique by construction (uid() unions
+    * distinct; nodeTypes is one row per (subject, type); value vars are
+    * per-uid maps; count seeds are groupBy outputs) — root executors
+    * skip their dedup exchange for these. Every other seed can emit one
+    * row per matching VALUE or EDGE and still needs it.
+    */
+  private def uniqueSeed(fn: FuncCall): Boolean =
+    fn.name == "uid" || fn.name == "type" || fn.name.endsWith("_count") ||
+      fn.pred.startsWith("val:")
+
+  private def seedUids(fn: FuncCall): DataFrame = {
+    val s = seed(fn).select(col("uid"))
+    if (uniqueSeed(fn)) s else s.distinct()
+  }
+
   /** Root/filter function → DataFrame of matching subjects (col "uid").
     * The reference's index-scan dispatch (worker/task.go:210); here every
     * "index" is a filtered attribute/edge view that Catalyst pushes into
@@ -475,17 +525,7 @@ final class DqlExecutor(ts: GraphStore) {
       dfs.reduce(_ unionByName _).distinct()
     case n if fn.pred.startsWith("val:") =>
       // compare against a value variable (applyIneqFunc, query/query.go:1931)
-      val v = vars(fn.pred.drop(4))
-      val litC = lit(fn.args.head).cast(v.schema("value").dataType)
-      val cmp: Column = n match {
-        case "eq" => col("value") === litC
-        case "le" => col("value") <= litC
-        case "lt" => col("value") < litC
-        case "ge" => col("value") >= litC
-        case "gt" => col("value") > litC
-        case o => throw new IllegalArgumentException(s"unsupported val fn $o")
-      }
-      v.filter(cmp).select(col("uid"))
+      valSeedRows(fn).select(col("uid"))
     case "type" =>
       // extra args = additional matching type names (the GraphQL
       // rewriter's interface expansion; plain DQL type(T) has none)
@@ -751,12 +791,17 @@ final class DqlExecutor(ts: GraphStore) {
     val needSort = order.nonEmpty || page.first.isDefined || page.offset.isDefined
     if (!needSort) return cur
     order.zipWithIndex.foreach { case (o, i) =>
-      val a = orderAttr(o.pred).select(col("subject").as(s"__os$i"), col("value").as(s"__ov$i"))
-      // sorting by a VALUE VARIABLE keeps only uids in the var's map
-      // (reference sortWithVar, query/query.go — nodes without the var
-      // are excluded); sorting by a predicate keeps missing values last
-      val joinKind = if (o.pred.startsWith("val:")) "inner" else "left"
-      cur = cur.join(a, col(uidCol) === col(s"__os$i"), joinKind).drop(s"__os$i")
+      // a pre-attached __ov column (val-seeded ordered root) is already
+      // the right sort key — and inner-join semantics hold, the seed
+      // only kept uids in the var's map
+      if (!cur.columns.contains(s"__ov$i")) {
+        val a = orderAttr(o.pred).select(col("subject").as(s"__os$i"), col("value").as(s"__ov$i"))
+        // sorting by a VALUE VARIABLE keeps only uids in the var's map
+        // (reference sortWithVar, query/query.go — nodes without the var
+        // are excluded); sorting by a predicate keeps missing values last
+        val joinKind = if (o.pred.startsWith("val:")) "inner" else "left"
+        cur = cur.join(a, col(uidCol) === col(s"__os$i"), joinKind).drop(s"__os$i")
+      }
     }
     // Null ordering mirrors types/sort.go byValue.Less exactly: missing
     // values sort last under BOTH directions, and a pair that ties on
@@ -841,8 +886,15 @@ final class DqlExecutor(ts: GraphStore) {
           // runs as ONE projection pass, no self-joins (each skipped
           // join was a full shuffle of the block's rows)
           varCols.get(r) match {
+            // a same-level read on a FANNED frame must go through the
+            // var's dedup'd (uid, value) snapshot instead: per-row column
+            // values could differ across rows of one uid, and the two
+            // paths would silently compute different math results.
+            // Cross-level reads (ucol != uidCol) stay in place — summing
+            // over the fanned path rows is exactly their semantics.
             case Some((cname, ucol)) if (boundHere(r) || liveVars(r)) &&
-                base.columns.contains(cname) =>
+                base.columns.contains(cname) &&
+                (!fanned || ucol != uidCol) =>
               base = base.withColumn(s"__m_$r", qcol(cname))
               uidKeyed += s"__m_$r"
               if (ucol != uidCol) crossKeys += ucol
@@ -924,6 +976,11 @@ final class DqlExecutor(ts: GraphStore) {
             .filter(col("value").isNotNull).dropDuplicates("uid"))
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
+      } else if (sel.pred == "val" && sel.valRef.isDefined &&
+          cur.columns.contains(s"__seedval_${sel.valRef.get}")) {
+        // the root seed already carried this var's value per uid
+        // (val-seeded ordered root) — read it in place, no join
+        cur = cur.withColumn(name, col(s"__seedval_${sel.valRef.get}"))
       } else if (sel.pred == "val" && sel.valRef.isDefined) {
         val vf = vars(sel.valRef.get)
         if (!vf.columns.contains("uid"))
@@ -1070,7 +1127,9 @@ final class DqlExecutor(ts: GraphStore) {
         }
       }
     }
-    cur
+    // __seedval_ riders are internal plumbing from a val-seeded root —
+    // never part of the rendered schema
+    cur.drop(cur.columns.filter(_.startsWith("__seedval_")).toSeq: _*)
   }
 
   /** One traversal level: frontier ⋈ edge view; per-parent order/first
@@ -1537,7 +1596,7 @@ final class DqlExecutor(ts: GraphStore) {
     // the nameless friend then renders as a bare {"uid": ...})
     val includeUid = includeUid0 ||
       b.selections.exists(s => s.pred == "uid" && !s.isCount)
-    var frontier = seed(b.func).select(col("uid")).distinct()
+    var frontier = seedUids(b.func)
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
     // unknown predicates in the template are legal and ignored
     // (reference TestRecurseQuery selects nonexistent_pred)
@@ -1741,7 +1800,7 @@ final class DqlExecutor(ts: GraphStore) {
     * entirely (TestGroupByRootEmpty renders `{"data":{}}`).
     */
   private def rootGroupbyJson(b: QueryBlock): DataFrame = {
-    var frontier = seed(b.func).select(col("uid")).distinct()
+    var frontier = seedUids(b.func)
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
     groupbyGroups(frontier.select(col("uid").as("__t")), b.groupby,
         b.selections) match {
