@@ -46,7 +46,12 @@ final class TripleFrameStore(
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (k, entries) =>
         coalesce(entries.sortBy(_._2).map { case (_, pred, t) =>
-          when(col("predicate") === pred, element_at(m, k).cast(t))
+          // "auto" = per-value dynamic typing (reference ParseFacetValue)
+          // — keep the raw string here; filters compare raw, the JSON
+          // renderer infers per value
+          val typed = if (t == "auto") element_at(m, k)
+            else element_at(m, k).cast(t)
+          when(col("predicate") === pred, typed)
         }: _*).as(s"_ft_$k")
       }
     base.filter(col("objectUid").isNotNull)
@@ -78,9 +83,19 @@ final class TripleFrameStore(
       case "datetime" => col("value").cast("timestamp")
       case _ => col("value")
     }
+    // value facets (reference stores facets on VALUE postings too —
+    // `name @facets` renders "name|origin"): expose the parsed map for
+    // predicates with declared facet keys
+    val fmCol =
+      if (facetKeys.contains(predicate))
+        Seq(when(col("facets").isNotNull,
+          str_to_map(col("facets"), lit(", "), lit("=")))
+          .otherwise(map().cast("map<string,string>")).as("facets"))
+      else Nil
     if (p.dgraphType == "string" || p.dgraphType == "default")
-      rows.select(col("subject"), col("predicate"),
-        typed.as("value"), col("lang"))
-    else rows.select(col("subject"), col("predicate"), typed.as("value"))
+      rows.select(Seq(col("subject"), col("predicate"),
+        typed.as("value"), col("lang")) ++ fmCol: _*)
+    else rows.select(Seq(col("subject"), col("predicate"),
+      typed.as("value")) ++ fmCol: _*)
   }
 }

@@ -47,8 +47,8 @@ final case class Selection(
     aggOp: Option[String] = None,     // min/max/sum/avg over val(x)
     facetFetch: Boolean = false,          // @facets
     facetKeys: Seq[String] = Nil,         // @facets(k1, k2): named fetch / weight
-    facetFilter: Option[FuncCall] = None, // @facets(eq(k, v))
-    facetOrder: Option[Ordering] = None,  // @facets(orderasc: k)
+    facetFilter: Option[FilterNode] = None, // @facets(eq(k, v) AND/OR/NOT ...)
+    facetOrder: Seq[Ordering] = Nil,      // @facets(orderasc: k1, orderdesc: k2)
     groupby: Seq[GroupKey] = Nil,         // @groupby(p1, A: p2)
     normalize: Boolean = false,           // subquery-level @normalize
     mathExpr: Option[MathNode] = None,    // x as math(...)

@@ -401,8 +401,8 @@ object Parser {
       var facetFetch = false
       var facetKeys = Vector.empty[String]
       var facetVars = Vector.empty[(String, String)]
-      var facetFilter: Option[FuncCall] = None
-      var facetOrder: Option[Ordering] = None
+      var facetFilter: Option[FilterNode] = None
+      var facetOrder = Vector.empty[Ordering]
       var groupby = Vector.empty[GroupKey]
       var normalizeSel = false
       while (peek == Punct("@")) {
@@ -412,43 +412,59 @@ object Parser {
           case "groupby" => groupby = parseGroupbyKeys()
           case "normalize" => normalizeSel = true
           case "facets" =>
-            // @facets | @facets(k1, k2) | @facets(eq(k, v))
-            // | @facets(orderasc/desc: k)
+            // @facets | @facets() | @facets(k1, k2) | @facets(orderasc/
+            // desc: k, ...) | @facets(L as k) | @facets(<filter tree>) —
+            // one comma-separated item list mixing order keys, named
+            // fetches and var binds (reference TestFacetsMultipleOrderby-
+            // AllFacets: `@facets(fastfriend, from, orderdesc:score,
+            // orderasc:since)`); a function or NOT/paren head switches
+            // the whole clause to a boolean facet-filter tree with the
+            // standard OR < AND < NOT precedence (TestFacetsFilterAndOrle)
             if (peek == Punct("(")) {
               next()
-              val head = ident()
-              head match {
-                case "orderasc" | "orderdesc" =>
-                  expect(":")
-                  facetOrder = Some(Ordering(ident(), desc = head == "orderdesc"))
-                  // secondary facet sort keys (LDBC IS03:
-                  // @facets(orderdesc: creationDate, orderdesc: id)) —
-                  // parsed, ties beyond the first key fall to uid order
-                  while (peek == Punct(",")) {
-                    next()
-                    ident() match {
-                      case "orderasc" | "orderdesc" => expect(":"); ident()
-                      case k => facetKeys :+= k
-                    }
+              // @facets() fetches NOTHING (reference TestFetchingNoFacets)
+              if (peek == Punct(")")) { next() }
+              else {
+                var stop = false
+                while (!stop) {
+                  val save = pos
+                  peek match {
+                    case Ident(h @ ("orderasc" | "orderdesc")) =>
+                      next(); expect(":")
+                      facetOrder :+= Ordering(ident(), desc = h == "orderdesc")
+                    case Ident(n) if n.equalsIgnoreCase("not") =>
+                      facetFilter = Some(parseFilterOr())
+                    case Punct("(") =>
+                      facetFilter = Some(parseFilterOr())
+                    case Ident(_) =>
+                      next()
+                      if (isAs(peek)) {
+                        // @facets(L as weight): bind facet value var L
+                        // keyed by the edge TARGET uid
+                        // (reference TestFilterFacetval); the key also
+                        // renders like a named fetch
+                        next(); val k = ident()
+                        facetVars :+= ((ts(save) match {
+                          case Ident(v) => v
+                          case o => fail(s"bad facet var $o")
+                        }) -> k)
+                        facetKeys :+= k
+                      } else if (peek == Punct("(")) {
+                        // function leaf → boolean facet-filter tree
+                        pos = save
+                        facetFilter = Some(parseFilterOr())
+                      } else {
+                        // named facet fetch; in a shortest block the first
+                        // key is the edge-weight facet (query/shortest.go:105)
+                        ts(save) match {
+                          case Ident(k) => facetKeys :+= k
+                          case o => fail(s"bad facet key $o")
+                        }
+                      }
+                    case other => fail(s"bad @facets item $other")
                   }
-                case v if isAs(peek) =>
-                  // @facets(L as weight): bind facet value var L keyed by
-                  // the edge TARGET uid (reference TestFilterFacetval);
-                  // the key also renders like a named fetch
-                  next(); val k = ident()
-                  facetVars :+= (v -> k); facetKeys :+= k
-                case k if peek == Punct(")") || peek == Punct(",") =>
-                  // named facet fetch list; in a shortest block the first
-                  // key is the edge-weight facet (query/shortest.go:105)
-                  facetKeys :+= k
-                  while (peek == Punct(",")) { next(); facetKeys :+= ident() }
-                case fn =>
-                  expect("(")
-                  val k = ident()
-                  var args = Vector.empty[String]
-                  while (peek == Punct(",")) { next(); args :+= litString() }
-                  expect(")")
-                  facetFilter = Some(FuncCall(fn, k, args))
+                  if (peek == Punct(",")) next() else stop = true
+                }
               }
               expect(")")
             } else facetFetch = true

@@ -1113,7 +1113,24 @@ final class DqlExecutor(ts: GraphStore) {
               rows.groupBy(col("subject"))
                 .agg(sort_array(collect_list(col("value"))).as(name))
                 .select(col("subject").as("__as"), qcol(name))
-            else rows.select(col("subject").as("__as"), col("value").as(name))
+            else {
+              // VALUE facets (`name @facets` → "name|origin" keys on the
+              // same object, reference TestRetrieveFacetsSimple): one
+              // `<col>__fv_<key>` rider per declared key, renderer maps
+              // them to `pred|key` fields
+              val fvKeys =
+                if ((sel.facetFetch || sel.facetKeys.nonEmpty) &&
+                    rows.columns.contains("facets"))
+                  ts.facetKeys.getOrElse(sel.pred, Nil).filter(kv =>
+                    sel.facetFetch || sel.facetKeys.contains(kv._1))
+                else Nil
+              rows.select(Seq(col("subject").as("__as"),
+                col("value").as(name)) ++
+                fvKeys.map { case (k, _) =>
+                  facetRender(sel.pred, k, element_at(col("facets"), k))
+                    .as(s"${name}__fv_$k")
+                }: _*)
+            }
           }
         cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
         // value variable: per-uid value map (x as age)
@@ -1141,29 +1158,26 @@ final class DqlExecutor(ts: GraphStore) {
     val joinType = if (cascade) "inner" else "left"
     val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
     val needMap = sel.facetFetch || sel.facetKeys.nonEmpty ||
-      sel.facetOrder.isDefined
+      sel.facetOrder.nonEmpty
     val baseCols = Seq(col("subject").as("__es"), col("object").as(name)) ++
       (if (needMap) Seq(col("facets").as("__fc")) else Nil)
     // @facets(eq(k, v)) / @facets(orderasc: k): comparisons read the
     // TYPED `_ft_<key>` edge columns, not element_at(map) — the predicate
     // then pushes below the map projection into the parquet scan
     // (reference applyFacetsTree, worker/task.go:675)
-    val needFt = (sel.facetFilter.map(_.pred).toSeq ++
-      sel.facetOrder.map(_.pred).toSeq ++ sel.facetVars.map(_._2)).distinct
+    val needFt = (sel.facetFilter.map(facetLeafPreds).getOrElse(Nil) ++
+      sel.facetOrder.map(_.pred) ++ sel.facetVars.map(_._2)).distinct
+    // a facet key never declared on this predicate has no `_ft_` column;
+    // the reference treats it as absent on every edge → null (sorts last,
+    // filters false) — LDBC IS03 orders by `orderdesc: id` on knows edges
     var child = src.select(baseCols ++
-      needFt.map(k => col(s"_ft_$k").as(s"__ft_$k")): _*)
+      needFt.map { k =>
+        (if (src.columns.contains(s"_ft_$k")) col(s"_ft_$k")
+         else lit(null).cast("string")).as(s"__ft_$k")
+      }: _*)
     sel.filter.foreach { f => child = applyFilter(child, name, f) }
     sel.facetFilter.foreach { ff =>
-      val v = col(s"__ft_${ff.pred}")
-      val litC = lit(ff.args.head).cast(facetType(sel.pred, ff.pred))
-      child = child.filter(ff.name match {
-        case "eq" => v === litC
-        case "le" => v <= litC
-        case "lt" => v < litC
-        case "ge" => v >= litC
-        case "gt" => v > litC
-        case o => throw new IllegalArgumentException(s"unsupported facet fn $o")
-      })
+      child = child.filter(facetFilterCond(sel.pred, ff))
     }
     sel.page.after.foreach(a => child = child.filter(qcol(name) > a))
 
@@ -1176,15 +1190,20 @@ final class DqlExecutor(ts: GraphStore) {
     // child projection and applied by re-ranking the survivors
     val repageAfterChildren = cascade && sel.children.nonEmpty &&
       (sel.page.offset.isDefined || sel.page.first.exists(_ >= 0))
-    val needWindow = sel.order.nonEmpty || sel.facetOrder.isDefined ||
+    val needWindow = sel.order.nonEmpty || sel.facetOrder.nonEmpty ||
       sel.page.first.isDefined || sel.page.offset.isDefined || keepChildRank
     if (needWindow) {
-      // @facets(orderasc: k) sorts the adjacency by edge facet
-      // (reference sortAndPaginateUsingFacet, query/query.go:2611)
-      val facetOrd = sel.facetOrder.map { o =>
-        val v = col(s"__ft_${o.pred}")
-        if (o.desc) v.desc_nulls_last else v.asc_nulls_last
-      }
+      // @facets(orderasc: k1, orderdesc: k2) sorts the adjacency by the
+      // edge facets in key order (reference sortAndPaginateUsingFacet,
+      // query/query.go:2611). BOOL facets are not sortable — the
+      // reference silently skips them as sort keys while still fetching
+      // them (TestFacetsMultipleOrderbyNonsortableFacet)
+      val facetOrd = sel.facetOrder
+        .filter(o => facetType(sel.pred, o.pred) != "boolean")
+        .map { o =>
+          val v = col(s"__ft_${o.pred}")
+          if (o.desc) v.desc_nulls_last else v.asc_nulls_last
+        }
       val ordCols = sel.order.zipWithIndex.map { case (o, i) =>
         val a = orderAttr(o.pred).select(col("subject").as(s"__ws$i"), col("value").as(s"__wv$i"))
         cur = cur.join(a, qcol(name) === col(s"__ws$i"), "left").drop(s"__ws$i")
@@ -1222,17 +1241,16 @@ final class DqlExecutor(ts: GraphStore) {
       // (reference emits `pred|facet` for the sort facet, TestOrderFacets
       // golden, query_facets_test.go:188)
       val declared = ts.facetKeys.getOrElse(sel.pred, Nil)
+      // named fetches and order keys UNION (TestFacetsMultipleOrderby-
+      // AllFacets: `@facets(fastfriend, from, orderdesc:score)` renders
+      // all three)
       val keys =
-        if (sel.facetKeys.nonEmpty)
-          declared.filter(kv => sel.facetKeys.contains(kv._1))
-        else if (sel.facetFetch) declared
-        else declared.filter(kv => sel.facetOrder.exists(_.pred == kv._1))
+        if (sel.facetFetch) declared
+        else declared.filter(kv => sel.facetKeys.contains(kv._1) ||
+          sel.facetOrder.exists(_.pred == kv._1))
       keys.foreach { case (k, _) =>
-        // typed render: the facets map is string-valued; the declared
-        // facet type drives the JSON shape (`path|weight`: 0.2, not
-        // "0.2" — reference TestFilterFacetval golden)
         cur = cur.withColumn(s"${name}_f_$k",
-          element_at(col("__fc"), k).cast(facetType(sel.pred, k)))
+          facetRender(sel.pred, k, element_at(col("__fc"), k)))
       }
     }
     if (needMap) cur = cur.drop("__fc")
@@ -1317,6 +1335,75 @@ final class DqlExecutor(ts: GraphStore) {
     ts.facetKeys.getOrElse(pred, Nil).collectFirst {
       case (k, t) if k == key => t
     }.getOrElse("string")
+
+  /** Render column for one facet value: the declared facet type drives
+    * the JSON shape (`path|weight`: 0.2, not "0.2" — reference
+    * TestFilterFacetval golden). Type "auto" mirrors the reference's
+    * per-VALUE type inference (facets.ParseFacetValue tries int/float/
+    * bool before string — `friend|tag` renders "Domain3" on one edge and
+    * 34 on another): a VARIANT column, so to_json emits each value as
+    * its parsed type, falling back to a JSON string when the raw text
+    * isn't a standalone JSON scalar.
+    */
+  private def facetRender(pred: String, key: String, v: Column): Column =
+    facetType(pred, key) match {
+      case "auto" =>
+        val esc = regexp_replace(
+          regexp_replace(v, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+        coalesce(try_parse_json(v),
+          try_parse_json(concat(lit("\""), esc, lit("\""))))
+      case t => v.cast(t)
+    }
+
+  private def facetLeafPreds(f: FilterNode): Seq[String] = f match {
+    case FilterLeaf(fn) => Seq(fn.pred)
+    case FilterAnd(cs) => cs.flatMap(facetLeafPreds)
+    case FilterOr(cs) => cs.flatMap(facetLeafPreds)
+    case FilterNot(c) => facetLeafPreds(c)
+  }
+
+  /** Boolean facet-filter tree over the typed `__ft_` columns
+    * (reference applyFacetsTree, worker/task.go:675). An edge MISSING a
+    * facet fails that leaf (coalesce to false), so NOT(leaf) keeps it —
+    * reference facet-filter null semantics
+    * (TestFacetsFilterNotAndOrgeMutuallyExclusive). Term leaves
+    * (allofterms/anyofterms) tokenize the facet string like the term
+    * index. An "auto"-typed facet compares as its raw string.
+    */
+  private def facetFilterCond(pred: String, f: FilterNode): Column = f match {
+    case FilterLeaf(fn) =>
+      val v = col(s"__ft_${fn.pred}")
+      val t = facetType(pred, fn.pred)
+      val cond = fn.name match {
+        case "eq" | "le" | "lt" | "ge" | "gt" =>
+          val litC =
+            if (t == "auto") lit(fn.args.head)
+            else lit(fn.args.head).cast(t)
+          fn.name match {
+            case "eq" => v === litC
+            case "le" => v <= litC
+            case "lt" => v < litC
+            case "ge" => v >= litC
+            case "gt" => v > litC
+          }
+        case "allofterms" | "anyofterms" =>
+          val tok = graft.functions.TokenizerRegistry("term")
+          val toks = tok.tokensLit(fn.args.head)
+          if (toks.isEmpty) lit(false)
+          else {
+            val vToks = tok.tokens(v.cast("string"))
+            val qArr = array(toks.map(lit(_)): _*)
+            if (fn.name == "anyofterms") arrays_overlap(vToks, qArr)
+            else forall(qArr, tk => array_contains(vToks, tk))
+          }
+        case o =>
+          throw new IllegalArgumentException(s"unsupported facet fn $o")
+      }
+      coalesce(cond, lit(false))
+    case FilterAnd(cs) => cs.map(facetFilterCond(pred, _)).reduce(_ && _)
+    case FilterOr(cs) => cs.map(facetFilterCond(pred, _)).reduce(_ || _)
+    case FilterNot(c) => !facetFilterCond(pred, c)
+  }
 
   /** expand(_all_) / expand(Type): emit one scalar leaf per predicate of
     * the frontier's types (reference query/query.go:2038 expandSubgraph).
@@ -1844,7 +1931,7 @@ final class DqlExecutor(ts: GraphStore) {
     // (or facets) for an edge to appear (TestUseVarsMultiCascade1's him
     // block has no inner friend key)
     def renders(s: Selection) = s.children.nonEmpty || s.facetFetch ||
-      s.facetKeys.nonEmpty || s.facetOrder.isDefined
+      s.facetKeys.nonEmpty || s.facetOrder.nonEmpty
 
     // @normalize: ONE flat object per result path carrying only ALIASED
     // leaves (reference normalize semantics, outputnode.go:921
@@ -1896,10 +1983,18 @@ final class DqlExecutor(ts: GraphStore) {
       val myKeys = keys :+ colName
       val scalarCols = s.children.filter(c => !isChild(c))
         .map(c => pfx + c.outName).filter(flatDf.columns.contains)
+      // VALUE-facet riders of scalar children (`name @facets` under a
+      // child: flat `friend_name__fv_origin` → field "name|origin")
+      val scalarFvCols = s.children.filter(c => !isChild(c)).flatMap { c =>
+        flatDf.columns.filter(_.startsWith(s"$pfx${c.outName}__fv_"))
+          .map(cn => cn -> s"${jsonKey(c)}|${
+            cn.stripPrefix(s"$pfx${c.outName}__fv_")}")
+      }
       val facetCols = flatDf.columns.filter(_.startsWith(s"${pfx}f_")).toSeq
       val rankCols = if (flatDf.columns.contains(rankCol)) Seq(rankCol) else Nil
       var rows = flatDf
-        .select((myKeys ++ scalarCols ++ facetCols ++ rankCols).map(qcol): _*)
+        .select((myKeys ++ scalarCols ++ scalarFvCols.map(_._1) ++
+          facetCols ++ rankCols).map(qcol): _*)
         .filter(col(colName).isNotNull)
         .dropDuplicates(myKeys)
       // count(uid) inside a child template: an extra {"count": n} object
@@ -1932,7 +2027,8 @@ final class DqlExecutor(ts: GraphStore) {
         else None
       }
       val facetFields = facetCols.map(c =>
-        col(c).as(s"${s.outName}|${c.stripPrefix(s"${pfx}f_")}"))
+        col(c).as(s"${s.outName}|${c.stripPrefix(s"${pfx}f_")}")) ++
+        scalarFvCols.map { case (cn, field) => qcol(cn).as(field) }
       // uid renders when implicit uids are on, when the query asks for it
       // explicitly (`friend { uid name }` — reference emits uid only on
       // request), or when nothing else would remain in the object
@@ -1954,8 +2050,13 @@ final class DqlExecutor(ts: GraphStore) {
       val sortKey = coalesce(
         rankCols.headOption.map(c => col(c).cast("long"))
           .getOrElse(col(colName)), lit(Long.MaxValue))
+      // array_sort with a comparator on the (unique-per-array) key only:
+      // sort_array compares the WHOLE struct, which VARIANT facet fields
+      // ("auto"-typed) don't support ordering on
       val arr = transform(
-        sort_array(collect_list(struct(sortKey.as("o"), payload.as("p")))),
+        array_sort(collect_list(struct(sortKey.as("o"), payload.as("p"))),
+          (l, r) => when(l.getField("o") < r.getField("o"), -1)
+            .when(l.getField("o") > r.getField("o"), 1).otherwise(0)),
         x => x.getField("p"))
       // list-vs-scalar collapse (reference outputnode.go: non-list uid
       // predicates render a single object, list predicates an array)
@@ -1967,10 +2068,20 @@ final class DqlExecutor(ts: GraphStore) {
 
     val rootSels = b2.selections.filter(_.pred != "uid")
     val rootScalars = rootSels.filter(s => !isChild(s))
+    // VALUE-facet riders of root scalars (`name @facets` at root:
+    // flat `name__fv_origin` → field "name|origin",
+    // reference TestRetrieveFacetsSimple)
+    val rootFvCols = rootScalars.flatMap { s =>
+      flatDf.columns.filter(_.startsWith(s"${s.outName}__fv_"))
+        .map(cn => cn ->
+          s"${jsonKey(s)}|${cn.stripPrefix(s"${s.outName}__fv_")}")
+    }
     var root =
       if (rootScalars.nonEmpty) {
         val aggs = rootScalars.zipWithIndex.map { case (s, i) =>
-          first(qcol(s.outName), ignoreNulls = true).as(s"__r$i") }
+          first(qcol(s.outName), ignoreNulls = true).as(s"__r$i") } ++
+          rootFvCols.map { case (cn, _) =>
+            first(qcol(cn), ignoreNulls = true).as(cn) }
         flatDf.groupBy(col("uid")).agg(aggs.head, aggs.tail: _*)
       } else flatDf.select(col("uid")).distinct()
     val childCols = rootSels.filter(s => isChild(s) && renders(s))
@@ -2007,7 +2118,9 @@ final class DqlExecutor(ts: GraphStore) {
       else Some(col(scalarCol(s)).as(jsonKey(s)))
     } ++ gbCols.map { case (s, ccol) => col(ccol).as(jsonKey(s)) }
     val fields =
-      (if (rootUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++ valueFields
+      (if (rootUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++
+        valueFields ++
+        rootFvCols.map { case (cn, field) => qcol(cn).as(field) }
     // without a uid key, a root whose requested values are ALL absent
     // renders nothing — the reference omits value-less objects at the
     // root too (TestRecurseVariable: the nameless friend disappears

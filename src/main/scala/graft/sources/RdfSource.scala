@@ -79,7 +79,7 @@ object RdfSource {
     */
   def parse(lines: DataFrame): DataFrame = {
     val uidRe = "^<0x([0-9a-f]+)> <([^>]+)> <0x([0-9a-f]+)>(?: \\(([^)]*)\\))? \\.$"
-    val litRe = "^<0x([0-9a-f]+)> <([^>]+)> \"((?:[^\"\\\\]|\\\\.)*)\"(?:@([a-zA-Z.*]+))? \\.$"
+    val litRe = "^<0x([0-9a-f]+)> <([^>]+)> \"((?:[^\"\\\\]|\\\\.)*)\"(?:@([a-zA-Z.*]+))?(?: \\(([^)]*)\\))? \\.$"
     lines.select(
       when(regexp_extract(col("line"), uidRe, 1) =!= "",
         conv(regexp_extract(col("line"), uidRe, 1), 16, 10))
@@ -99,6 +99,8 @@ object RdfSource {
       when(regexp_extract(col("line"), litRe, 4) =!= "",
         regexp_extract(col("line"), litRe, 4)).as("lang"),
       when(regexp_extract(col("line"), uidRe, 4) =!= "",
-        regexp_extract(col("line"), uidRe, 4)).as("facets"))
+        regexp_extract(col("line"), uidRe, 4))
+        .when(regexp_extract(col("line"), litRe, 5) =!= "",
+          regexp_extract(col("line"), litRe, 5)).as("facets"))
   }
 }
