@@ -423,8 +423,7 @@ object Parser {
             if (peek == Punct("(")) {
               next()
               // @facets() fetches NOTHING (reference TestFetchingNoFacets)
-              if (peek == Punct(")")) { next() }
-              else {
+              if (peek != Punct(")")) {
                 var stop = false
                 while (!stop) {
                   val save = pos

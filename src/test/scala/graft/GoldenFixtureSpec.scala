@@ -22,8 +22,10 @@ class GoldenFixtureSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
   private def hex(u: Long) = java.lang.Long.toHexString(u)
-  private def a(s: Long, p: String, v: String, lang: String = "") =
-    s"""<0x${hex(s)}> <$p> "$v"${if (lang.isEmpty) "" else "@" + lang} ."""
+  private def a(s: Long, p: String, v: String, lang: String = "",
+      facets: String = "") =
+    s"""<0x${hex(s)}> <$p> "$v"${if (lang.isEmpty) "" else "@" + lang}${
+      if (facets.isEmpty) "" else s" ($facets)"} ."""
   private def e(s: Long, p: String, o: Long, facets: String = "") =
     s"""<0x${hex(s)}> <$p> <0x${hex(o)}>${if (facets.isEmpty) "" else s" ($facets)"} ."""
 
@@ -233,9 +235,10 @@ class GoldenFixtureSpec extends AnyFunSuite {
     */
   private def checkGolden(query: String, golden: String,
       arrayOrderFree: Boolean = false,
-      vars: Map[String, String] = Map.empty): Unit = {
+      vars: Map[String, String] = Map.empty,
+      st: => TripleFrameStore = store): Unit = {
     val ast = Parser.parseWithVars(query, vars)
-    val rows = new DqlExecutor(store)
+    val rows = new DqlExecutor(st)
       .jsonAllAst(ast, includeUid = false)
       .collect()
     val byBlock = rows.groupBy(_.getString(0))
@@ -558,36 +561,99 @@ class GoldenFixtureSpec extends AnyFunSuite {
   }
 
   /** Facet fixture: reference query/query_facets_test.go:18
-    * populateClusterWithFacets (subset — the faceted friend edges).
-    * `since` facet values are RFC3339-normalized at load (the reference
-    * parses the unzoned input as UTC and renders the trailing Z; our
-    * loader normalizes once at ingest instead).
+    * populateClusterWithFacets (full). `since` facet values are
+    * RFC3339-normalized at load (the reference parses the unzoned input
+    * as UTC and renders the trailing Z; our loader normalizes once at
+    * ingest instead); facet value quotes drop at ingest the same way.
+    * `tag` is declared "auto" — per-value dynamic typing, the reference
+    * infers int 34 on one edge and string "Domain3" on another.
     */
+  private lazy val facetSchema: SchemaRegistry = {
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """name: string @index(term, exact) @lang .
+        |alt_name: [string] .
+        |gender: string .
+        |model: string .
+        |language: [string] .
+        |friend: [uid] @reverse @count .
+        |boss: uid .
+        |school: [uid] .
+        |schools: [uid] .
+        |type Speaker { name language }
+        |""".stripMargin)
+    new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+  }
+
   private lazy val facetStore: TripleFrameStore = {
     import spark.implicits._
     val lines = Seq(
-      a(1, "name", "Michonne"), a(23, "name", "Rick Grimes"),
-      a(24, "name", "Glenn Rhee"), a(25, "name", "Daryl Dixon"),
-      a(31, "name", "Andrea"),
+      a(1, "name", "Michelle", "en", "origin=french"),
+      a(25, "name", "Daryl Dixon"), a(25, "alt_name", "Daryl Dick"),
+      a(31, "name", "Andrea"), a(31, "alt_name", "Andy"),
+      a(33, "name", "Michale"), a(34, "name", "Roger"),
+      a(320, "name", "Test facet", "en", "type=Test facet with lang"),
+      a(14000, "name", "Andrew", "", "kind=official"),
+      e(31, "friend", 24),
+      e(33, "schools", 2433),
+      a(1, "gender", "female"), a(23, "gender", "male"),
+      a(202, "model", "Prius", "", "type=Electric"),
+      a(14000, "language", "english", "", "proficiency=advanced"),
+      a(14000, "language", "hindi", "", "proficiency=intermediate"),
+      a(14000, "language", "french", "", "proficiency=novice"),
+      a(14000, "dgraph.type", "Speaker"),
+      // friendFacets1-6 (query_facets_test.go:46-60)
       e(1, "friend", 23, "since=2006-01-02T15:04:05Z"),
-      e(1, "friend", 24, "since=2004-05-02T15:04:05Z, close=true, family=true"),
-      e(1, "friend", 25, "since=2007-05-02T15:04:05Z, close=false, family=true"),
+      e(1, "friend", 24,
+        "since=2004-05-02T15:04:05Z, close=true, family=true, tag=Domain3"),
+      e(1, "friend", 25,
+        "since=2007-05-02T15:04:05Z, close=false, family=true, tag=34"),
       e(1, "friend", 31, "since=2006-01-02T15:04:05Z"),
-      e(1, "friend", 101, "since=2005-05-02T15:04:05Z, close=true, family=false"),
-      e(23, "friend", 1, "since=2006-01-02T15:04:05Z"))
-    new TripleFrameStore(spark, schema, RdfSource.parse(lines.toDF("line")),
-      facetKeys = Map("friend" -> Seq("since" -> "string")))
+      e(1, "friend", 101,
+        "since=2005-05-02T15:04:05Z, close=true, family=false, age=33"),
+      e(23, "friend", 1, "since=2006-01-02T15:04:05Z"),
+      e(31, "friend", 1,
+        "games=football basketball chess tennis, close=false, age=35"),
+      e(31, "friend", 25, "games=football basketball hockey, close=false"),
+      // nameFacets / nameFacets1 (query_facets_test.go:62-70)
+      a(1, "name", "Michonne", "", "origin=french, dummy=true"),
+      a(23, "name", "Rick Grimes", "", "origin=french, dummy=true"),
+      a(24, "name", "Glenn Rhee", "", "origin=french, dummy=true"),
+      a(1, "alt_name", "Michelle", "", "origin=french, dummy=true"),
+      a(1, "alt_name", "Michelin", "",
+        "origin=spanish, dummy=false, isNick=true"),
+      a(12000, "name", "Harry", "en", "origin=french, dummy=true"),
+      a(12000, "alt_name", "Potter", "",
+        "origin=spanish, dummy=false, isNick=true"),
+      e(1, "boss", 34, "company=company1"),
+      // friendFacets7-9 (query_facets_test.go:77-86)
+      e(33, "friend", 25,
+        "since=2006-01-02T15:04:05Z, fastfriend=true, score=100, from=delhi"),
+      e(33, "friend", 31, "since=2007-01-02T15:04:05Z, fastfriend=false, score=100"),
+      e(33, "friend", 34,
+        "since=2008-01-02T15:04:05Z, fastfriend=true, score=200, from=bengaluru"),
+      e(34, "friend", 31, "since=2007-01-02T15:04:05Z, fastfriend=false, score=100"),
+      e(34, "friend", 25,
+        "since=2008-01-02T15:04:05Z, fastfriend=true, score=200, from=bengaluru"))
+    new TripleFrameStore(spark, facetSchema,
+      RdfSource.parse(lines.toDF("line")),
+      facetKeys = Map(
+        "friend" -> Seq("since" -> "string", "close" -> "boolean",
+          "family" -> "boolean", "age" -> "int", "tag" -> "auto",
+          "games" -> "string", "fastfriend" -> "boolean",
+          "score" -> "int", "from" -> "string"),
+        "name" -> Seq("origin" -> "string", "dummy" -> "boolean",
+          "kind" -> "string", "type" -> "string"),
+        "alt_name" -> Seq("origin" -> "string", "dummy" -> "boolean",
+          "isNick" -> "boolean"),
+        "model" -> Seq("type" -> "string"),
+        "language" -> Seq("proficiency" -> "string"),
+        "boss" -> Seq("company" -> "string")))
   }
 
-  private def checkFacetGolden(query: String, golden: String): Unit = {
-    val ast = Parser.parse(query)
-    val rows = new DqlExecutor(facetStore)
-      .jsonAllAst(ast, includeUid = false).collect()
-    val arr = rows.map(_.getString(2)).mkString("[", ",", "]")
-    val ours = s"""{"data": {"${ast.blocks.head.name}": $arr}}"""
-    assert(norm(mapper.readTree(ours)) == norm(mapper.readTree(golden)),
-      s"\nours:   $ours\ngolden: $golden")
-  }
+  private def checkFacetGolden(query: String, golden: String,
+      vars: Map[String, String] = Map.empty): Unit =
+    checkGolden(query, golden, vars = vars, st = facetStore)
 
   test("golden: TestOrderFacets (query_facets_test.go:188)") {
     checkFacetGolden(
@@ -607,6 +673,368 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |  {"name":"Rick Grimes","friend|since":"2006-01-02T15:04:05Z"},
         |  {"name":"Andrea","friend|since":"2006-01-02T15:04:05Z"},
         |  {"name":"Glenn Rhee","friend|since":"2004-05-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestRetrieveFacetsSimple (query_facets_test.go:171)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name @facets gender @facets } }""",
+      """{"data":{"me":[{"name|origin":"french","name|dummy":true,
+        |  "name":"Michonne","gender":"female"}]}}""".stripMargin)
+  }
+
+  test("golden: TestOrderdescFacetsWithFilters (query_facets_test.go:276)") {
+    checkFacetGolden(
+      """{ var(func: uid(1)) { f as friend }
+        |  me(func: uid(1)) {
+        |    friend @filter(uid(f)) @facets(orderdesc:since) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[
+        |  {"name":"Daryl Dixon","friend|since":"2007-05-02T15:04:05Z"},
+        |  {"name":"Rick Grimes","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Andrea","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Glenn Rhee","friend|since":"2004-05-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsMultipleOrderby (query_facets_test.go:324)") {
+    checkFacetGolden(
+      """{ me(func: uid(33)) { name
+        |    friend @facets(orderasc:score, orderdesc:since) { name } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michale","friend":[
+        |  {"name":"Andrea","friend|score":100,"friend|since":"2007-01-02T15:04:05Z"},
+        |  {"name":"Daryl Dixon","friend|score":100,"friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Roger","friend|score":200,"friend|since":"2008-01-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsMultipleOrderbyMultipleUIDs (query_facets_test.go:367)") {
+    checkFacetGolden(
+      """{ me(func: uid(33, 34)) { name
+        |    friend @facets(orderdesc:since, orderasc:score) { name } } }""".stripMargin,
+      """{"data":{"me":[
+        |  {"name":"Michale","friend":[
+        |    {"name":"Roger","friend|score":200,"friend|since":"2008-01-02T15:04:05Z"},
+        |    {"name":"Andrea","friend|score":100,"friend|since":"2007-01-02T15:04:05Z"},
+        |    {"name":"Daryl Dixon","friend|score":100,"friend|since":"2006-01-02T15:04:05Z"}]},
+        |  {"name":"Roger","friend":[
+        |    {"name":"Daryl Dixon","friend|score":200,"friend|since":"2008-01-02T15:04:05Z"},
+        |    {"name":"Andrea","friend|score":100,"friend|since":"2007-01-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsMultipleOrderbyNonsortableFacet (query_facets_test.go:426)") {
+    // fastfriend is bool → not sortable; sorted by score alone
+    checkFacetGolden(
+      """{ me(func: uid(33)) { name
+        |    friend @facets(orderasc:score, orderasc:fastfriend) { name } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michale","friend":[
+        |  {"name":"Daryl Dixon","friend|fastfriend":true,"friend|score":100},
+        |  {"name":"Andrea","friend|fastfriend":false,"friend|score":100},
+        |  {"name":"Roger","friend|fastfriend":true,"friend|score":200}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsMultipleOrderbyAllFacets (query_facets_test.go:472)") {
+    checkFacetGolden(
+      """{ me(func: uid(33)) { name
+        |    friend @facets(fastfriend, from, orderdesc:score, orderasc:since) { name } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michale","friend":[
+        |  {"name":"Roger","friend|fastfriend":true,"friend|from":"bengaluru",
+        |   "friend|score":200,"friend|since":"2008-01-02T15:04:05Z"},
+        |  {"name":"Daryl Dixon","friend|fastfriend":true,"friend|from":"delhi",
+        |   "friend|score":100,"friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Andrea","friend|fastfriend":false,
+        |   "friend|score":100,"friend|since":"2007-01-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsMultipleOrderbyMissingFacets (query_facets_test.go:521)") {
+    // Andrea's edge has no `from` facet → sorts last on asc, field omitted
+    checkFacetGolden(
+      """{ me(func: uid(33)) { name
+        |    friend @facets(orderasc:from, orderdesc:since) { name } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michale","friend":[
+        |  {"name":"Roger","friend|from":"bengaluru","friend|since":"2008-01-02T15:04:05Z"},
+        |  {"name":"Daryl Dixon","friend|from":"delhi","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Andrea","friend|since":"2007-01-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestRetrieveFacetsAsVars (query_facets_test.go:563)") {
+    checkFacetGolden(
+      """{ var(func: uid(0x1)) { friend @facets(a as since) }
+        |  me(func: uid(23)) { name val(a) } }""".stripMargin,
+      """{"data":{"me":[{"name":"Rick Grimes","val(a)":"2006-01-02T15:04:05Z"}]}}""")
+  }
+
+  test("golden: TestRetrieveFacetsUidValues (query_facets_test.go:585)") {
+    // edge facets AND value facets on the child name; the nameless 0x65
+    // is elided even though its edge carries facets
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { friend @facets { name @facets } } }""",
+      """{"data":{"me":[{"friend":[
+        |  {"name|dummy":true,"name|origin":"french","name":"Rick Grimes",
+        |   "friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name|dummy":true,"name|origin":"french","name":"Glenn Rhee",
+        |   "friend|close":true,"friend|family":true,
+        |   "friend|since":"2004-05-02T15:04:05Z","friend|tag":"Domain3"},
+        |  {"name":"Daryl Dixon","friend|close":false,"friend|family":true,
+        |   "friend|since":"2007-05-02T15:04:05Z","friend|tag":34},
+        |  {"name":"Andrea","friend|since":"2006-01-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestRetrieveFacetsAll (query_facets_test.go:639)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name @facets
+        |    friend @facets { name @facets gender @facets } gender @facets } }""".stripMargin,
+      """{"data":{"me":[{
+        |  "name|dummy":true,"name|origin":"french","name":"Michonne",
+        |  "friend":[
+        |    {"name|dummy":true,"name|origin":"french","name":"Rick Grimes",
+        |     "gender":"male","friend|since":"2006-01-02T15:04:05Z"},
+        |    {"name|dummy":true,"name|origin":"french","name":"Glenn Rhee",
+        |     "friend|close":true,"friend|family":true,
+        |     "friend|since":"2004-05-02T15:04:05Z","friend|tag":"Domain3"},
+        |    {"name":"Daryl Dixon","friend|close":false,"friend|family":true,
+        |     "friend|since":"2007-05-02T15:04:05Z","friend|tag":34},
+        |    {"name":"Andrea","friend|since":"2006-01-02T15:04:05Z"}],
+        |  "gender":"female"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsNotInQuery (query_facets_test.go:700)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name gender friend { name gender } } }""",
+      """{"data":{"me":[{"friend":[
+        |  {"gender":"male","name":"Rick Grimes"},{"name":"Glenn Rhee"},
+        |  {"name":"Daryl Dixon"},{"name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestSubjectWithNoFacets (query_facets_test.go:721)") {
+    // 33 has no facets on name and no school edges at all
+    checkFacetGolden(
+      """{ me(func: uid(0x21)) { name @facets school @facets { name } } }""",
+      """{"data":{"me":[{"name":"Michale"}]}}""")
+  }
+
+  test("golden: TestFetchingFewFacets (query_facets_test.go:740)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name friend @facets(close) { name } } }""",
+      """{"data":{"me":[{"name":"Michonne","friend":[
+        |  {"name":"Rick Grimes"},
+        |  {"name":"Glenn Rhee","friend|close":true},
+        |  {"name":"Daryl Dixon","friend|close":false},
+        |  {"name":"Andrea"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFetchingNoFacets (query_facets_test.go:784)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name friend @facets() { name } } }""",
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},
+        |  {"name":"Daryl Dixon"},{"name":"Andrea"}],"name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsSortOrder (query_facets_test.go:804)") {
+    // order of facet keys in the query does not matter
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name friend @facets(family, close) { name } } }""",
+      """{"data":{"me":[{"name":"Michonne","friend":[
+        |  {"name":"Rick Grimes"},
+        |  {"name":"Glenn Rhee","friend|close":true,"friend|family":true},
+        |  {"name":"Daryl Dixon","friend|close":false,"friend|family":true},
+        |  {"name":"Andrea"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestUnknownFacets (query_facets_test.go:850)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(unknownfacets1, unknownfacets2) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},
+        |  {"name":"Daryl Dixon"},{"name":"Andrea"}],"name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsVarAllofterms (query_facets_test.go:88)") {
+    checkFacetGolden(
+      """{ me(func: uid(31)) { name
+        |    friend @facets(allofterms(games, "football basketball hockey")) {
+        |      name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Daryl Dixon","uid":"0x19"}],
+        |  "name":"Andrea"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsWithVarEq (query_facets_test.go:108)") {
+    checkFacetGolden(
+      """query works($family : bool = true){
+        |  me(func: uid(1)) { name
+        |    friend @facets(eq(family, $family)) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x18","name":"Glenn Rhee"},
+        |  {"uid":"0x19","name":"Daryl Dixon"}],"name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetWithVarLe (query_facets_test.go:129)") {
+    checkFacetGolden(
+      """query works($age : int = 35) {
+        |  me(func: uid(0x1)) { name
+        |    friend @facets(le(age, $age)) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x65"}],"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestFacetWithVarGt (query_facets_test.go:150)") {
+    checkFacetGolden(
+      """query works($age : int = "32") {
+        |  me(func: uid(0x1)) { name
+        |    friend @facets(gt(age, $age)) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x65"}],"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestFacetsFilterSimple (query_facets_test.go:870)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(eq(close, true)) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x18","name":"Glenn Rhee"},
+        |  {"uid":"0x65"}],"name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterSimple2 (query_facets_test.go:892)") {
+    // auto-typed tag: string-valued edge matches a string literal
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(eq(tag, "Domain3")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x18","name":"Glenn Rhee"}],
+        |  "name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterSimple3 (query_facets_test.go:913)") {
+    // auto-typed tag: int-valued edge matches via raw-string compare
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(eq(tag, "34")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x19","name":"Daryl Dixon"}],
+        |  "name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterOr (query_facets_test.go:934)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(eq(close, true) OR eq(family, true)) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x18","name":"Glenn Rhee"},
+        |  {"uid":"0x19","name":"Daryl Dixon"},{"uid":"0x65"}],
+        |  "name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAnd (query_facets_test.go:956)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(eq(close, true) AND eq(family, false)) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x65"}],"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestFacetsFilterle (query_facets_test.go:977)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(le(age, 35)) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x65"}],"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestFacetsFilterge (query_facets_test.go:998)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(ge(age, 33)) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x65"}],"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestFacetsFilterAndOrle (query_facets_test.go:1019)") {
+    // OR binds looser than AND
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(eq(close, true) OR eq(family, true)
+        |      AND le(since, "2007-01-10")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x18","name":"Glenn Rhee"},
+        |  {"uid":"0x65"}],"name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAndOrge2 (query_facets_test.go:1041)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(eq(close, false) OR eq(family, true)
+        |      AND ge(since, "2007-01-10")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x19","name":"Daryl Dixon"}],
+        |  "name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterNotAndOrgeMutuallyExclusive (query_facets_test.go:1062)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(not (eq(close, false) OR eq(family, true)
+        |      AND ge(since, "2007-01-10"))) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x17","name":"Rick Grimes"},
+        |  {"uid":"0x18","name":"Glenn Rhee"},{"uid":"0x1f","name":"Andrea"},
+        |  {"uid":"0x65"}],"name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterUnknownFacets (query_facets_test.go:1084)") {
+    // unknown facet key in a filter → no edge passes
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(ge(dob, "2007-01-10")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestFacetsFilterUnknownOrKnown (query_facets_test.go:1105)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) { name
+        |    friend @facets(ge(dob, "2007-01-10") OR eq(family, true)) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x18","name":"Glenn Rhee"},
+        |  {"uid":"0x19","name":"Daryl Dixon"}],"name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterallofterms (query_facets_test.go:1126)") {
+    checkFacetGolden(
+      """{ me(func: uid(31)) { name
+        |    friend @facets(allofterms(games, "football chess tennis")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Michonne","uid":"0x1"}],
+        |  "name":"Andrea"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAllofMultiple (query_facets_test.go:1146)") {
+    checkFacetGolden(
+      """{ me(func: uid(31)) { name
+        |    friend @facets(allofterms(games, "football basketball")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Michonne","uid":"0x1"},
+        |  {"name":"Daryl Dixon","uid":"0x19"}],"name":"Andrea"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAllofNone (query_facets_test.go:1166)") {
+    checkFacetGolden(
+      """{ me(func: uid(31)) { name
+        |    friend @facets(allofterms(games, "football chess tennis cricket")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestFacetsFilteranyofterms (query_facets_test.go:1187)") {
+    checkFacetGolden(
+      """{ me(func: uid(31)) { name
+        |    friend @facets(anyofterms(games, "tennis cricket")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x1","name":"Michonne"}],
+        |  "name":"Andrea"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAnyofNone (query_facets_test.go:1207)") {
+    checkFacetGolden(
+      """{ me(func: uid(31)) { name
+        |    friend @facets(anyofterms(games, "cricket")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestFacetsFilterAllofanyofterms (query_facets_test.go:1227)") {
+    checkFacetGolden(
+      """{ me(func: uid(31)) { name
+        |    friend @facets(allofterms(games, "basketball hockey")
+        |      OR anyofterms(games, "chess")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x1","name":"Michonne"},
+        |  {"uid":"0x19","name":"Daryl Dixon"}],"name":"Andrea"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAllofAndanyofterms (query_facets_test.go:1247)") {
+    checkFacetGolden(
+      """{ me(func: uid(31)) { name
+        |    friend @facets(allofterms(games, "hockey")
+        |      AND anyofterms(games, "football basketball")) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"uid":"0x19","name":"Daryl Dixon"}],
+        |  "name":"Andrea"}]}}""".stripMargin)
   }
 
   test("backup/restore: goldens replay identically on a restored store; incrementals apply") {
