@@ -48,9 +48,11 @@ final class TripleFrameStore(
         coalesce(entries.sortBy(_._2).map { case (_, pred, t) =>
           // "auto" = per-value dynamic typing (reference ParseFacetValue)
           // — keep the raw string here; filters compare raw, the JSON
-          // renderer infers per value
+          // renderer infers per value. "datetime" stores/renders the
+          // RFC3339 string but compares and sorts as a timestamp.
           val typed = if (t == "auto") element_at(m, k)
-            else element_at(m, k).cast(t)
+            else element_at(m, k)
+              .cast(if (t == "datetime") "timestamp" else t)
           when(col("predicate") === pred, typed)
         }: _*).as(s"_ft_$k")
       }

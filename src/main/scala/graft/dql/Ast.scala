@@ -53,6 +53,8 @@ final case class Selection(
     normalize: Boolean = false,           // subquery-level @normalize
     mathExpr: Option[MathNode] = None,    // x as math(...)
     facetVars: Seq[(String, String)] = Nil, // @facets(L as weight)
+    facetAliases: Map[String, String] = Map.empty, // @facets(o: origin)
+    selCascade: Boolean = false,          // child-level @cascade subtree
     langChain: Seq[String] = Nil) {       // pred@en:fr:. preference chain
   def outName: String = alias.getOrElse(
     if (isCount) s"count_$pred"

@@ -335,18 +335,23 @@ object Parser {
         expect(")")
         // the filter may equally FOLLOW the parens:
         // `pc as count(~hasTag) @filter(uid(pbw))` (LDBC IC04)
+        var cFacetFilter: Option[FilterNode] = None
         while (peek == Punct("@")) {
           next()
           ident() match {
             case "filter" =>
               expect("("); cfilter = Some(parseFilterOr()); expect(")")
+            case "facets" =>
+              // count(p) @facets(eq(k, v)): facet-filtered count
+              // (reference TestCountFacetsFilteringUidListPredicate)
+              expect("("); cFacetFilter = Some(parseFilterOr()); expect(")")
             case o => fail(s"unsupported directive @$o on count()")
           }
         }
         // `a as count(uid)` inside @groupby binds the per-group count
         // (reference fillGroupedVars)
         return Selection(alias, p, reverse = rev, isCount = true,
-          filter = cfilter, varName = varName)
+          filter = cfilter, facetFilter = cFacetFilter, varName = varName)
       }
       if (name == "expand" && peek == Punct("(")) {
         next()
@@ -402,15 +407,21 @@ object Parser {
       var facetKeys = Vector.empty[String]
       var facetVars = Vector.empty[(String, String)]
       var facetFilter: Option[FilterNode] = None
+      var facetAliases = Map.empty[String, String]
       var facetOrder = Vector.empty[Ordering]
       var groupby = Vector.empty[GroupKey]
       var normalizeSel = false
+      var selCascade = false
       while (peek == Punct("@")) {
         next()
         ident() match {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
           case "groupby" => groupby = parseGroupbyKeys()
           case "normalize" => normalizeSel = true
+          case "cascade" =>
+            // child-level @cascade: the subtree below this edge prunes
+            // like a cascade block (reference TestFacetsNestedCascade)
+            selCascade = true
           case "facets" =>
             // @facets | @facets() | @facets(k1, k2) | @facets(orderasc/
             // desc: k, ...) | @facets(L as k) | @facets(<filter tree>) —
@@ -448,6 +459,16 @@ object Parser {
                           case o => fail(s"bad facet var $o")
                         }) -> k)
                         facetKeys :+= k
+                      } else if (peek == Punct(":")) {
+                        // @facets(o: origin): aliased fetch — renders
+                        // under the bare alias, no `pred|` prefix
+                        // (reference TestFacetsAlias)
+                        next(); val k = ident()
+                        facetKeys :+= k
+                        facetAliases += (k -> (ts(save) match {
+                          case Ident(al) => al
+                          case o => fail(s"bad facet alias $o")
+                        }))
                       } else if (peek == Punct("(")) {
                         // function leaf → boolean facet-filter tree
                         pos = save
@@ -479,7 +500,8 @@ object Parser {
         children, varName = varName, facetFetch = facetFetch,
         facetKeys = facetKeys, facetFilter = facetFilter,
         facetOrder = facetOrder, groupby = groupby, langChain = langChain,
-        normalize = normalizeSel, facetVars = facetVars)
+        normalize = normalizeSel, facetVars = facetVars,
+        facetAliases = facetAliases, selCascade = selCascade)
     }
 
     // filter precedence: OR < AND < NOT (dql/parser.go:183-187)

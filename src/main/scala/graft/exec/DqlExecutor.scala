@@ -175,6 +175,54 @@ final class DqlExecutor(ts: GraphStore) {
       }
     }
 
+  /** Attr rows for recurse/flat scalar leaves with the scalar read's
+    * lang rule: an unchained read of a @lang predicate takes the
+    * UNTAGGED value only (reference TestQueryEmptyDefaultNames — a
+    * node with just `name@en` has no bare `name`); a single concrete
+    * chain takes that variant.
+    */
+  private def attrLeaf(s: Selection): DataFrame = {
+    val rows = ts.attr(s.pred)
+    if (!rows.columns.contains("lang") ||
+        !schema.predicates.get(s.pred).exists(_.lang)) rows
+    else s.langChain match {
+      case Seq(l) if l != "." && l != "*" => rows.filter(col("lang") === l)
+      case Nil => rows.filter(col("lang").isNull)
+      case _ => rows
+    }
+  }
+
+  /** expand(_all_)/expand(Type) in a PLAIN block: substitute one
+    * concrete selection per predicate of the frontier's types BEFORE
+    * projection, so expanded predicates ride the full scalar machinery —
+    * lang-variant keys, list arrays, and facet riders (the reference
+    * fetches facets on expanded predicates, TestFacetsWithExpand). Uid
+    * predicates expand only when the clause carries a child template.
+    */
+  private def expandPredSels(frontier: => DataFrame,
+      sels: Seq[Selection]): Seq[Selection] =
+    sels.flatMap { s =>
+      if (!s.pred.startsWith("expand(")) Seq(s)
+      else {
+        val arg = s.pred.stripPrefix("expand(").stripSuffix(")")
+        val typeNames =
+          if (arg == "_all_")
+            ts.nodeTypes.join(
+                frontier.select(col("uid").as("subject")).distinct(),
+                Seq("subject"), "left_semi")
+              .select("typeName").distinct().as[String].collect().sorted.toSeq
+          else Seq(arg)
+        typeNames.flatMap(schema.predicatesOfType).distinct.sorted.flatMap { p =>
+          if (schema.isUidPredicate(p))
+            (if (s.children.nonEmpty)
+               Some(Selection(None, p, children = s.children))
+             else None): Option[Selection]
+          else Some(Selection(None, p, facetFetch = true,
+            langChain = if (schema.pred(p).lang) Seq("*") else Nil))
+        }
+      }
+    }
+
   /** `pred@*` ExpandAll rewrite (reference query/query.go:945): replace
     * the selection with one concrete selection per lang variant present
     * in the data — `pred@tag` per tag plus plain `pred` for untagged.
@@ -204,7 +252,16 @@ final class DqlExecutor(ts: GraphStore) {
       } else Seq(s)
     }
 
-  private def flatBlock(b0: QueryBlock): DataFrame = {
+  private def flatBlock(b0x: QueryBlock): DataFrame = {
+    val b0 =
+      if (b0x.recurse.isEmpty &&
+          b0x.selections.exists(_.pred.startsWith("expand(")))
+        b0x.copy(selections = expandPredSels({
+          var f = seedUids(b0x.func)
+          b0x.filter.foreach { fl => f = applyFilter(f, "uid", fl) }
+          f
+        }, b0x.selections))
+      else b0x
     val b =
       if (b0.selections.exists(sx => sx.langChain == Seq("*") ||
           sx.children.nonEmpty))
@@ -297,7 +354,7 @@ final class DqlExecutor(ts: GraphStore) {
               col("uid").as("node"), lit(0).as("depth"))
             .unionByName(reached)
           scalars.foldLeft(withRoot) { (acc, s) =>
-            val leaf = ts.attr(s.pred).select(col("subject").as("node"),
+            val leaf = attrLeaf(s).select(col("subject").as("node"),
               col("value").as(s.alias.getOrElse(s.pred)))
             acc.join(leaf, Seq("node"), "left")
           }.select(Seq(col("start"), col("node"), col("depth")) ++
@@ -1013,10 +1070,36 @@ final class DqlExecutor(ts: GraphStore) {
             .agg(count(lit(1)).cast("long").as("value")))
         }
       } else if (sel.isCount) {
-        val src0 = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
+        // count over uid edges, or over VALUES for scalar predicates
+        // (reference TestCountFacetsFilteringScalarPredicate); scalar
+        // counts follow the value-read lang rule — untagged only
+        val isUid = schema.isUidPredicate(sel.pred) || sel.reverse
+        val src0 =
+          if (sel.reverse) ts.reverseEdge(sel.pred)
+          else if (isUid) ts.edge(sel.pred)
+          else {
+            val rows = ts.attr(sel.pred)
+            if (rows.columns.contains("lang") && schema.pred(sel.pred).lang)
+              rows.filter(col("lang").isNull)
+            else rows
+          }
         // count(p @filter(...)): only targets passing the filter count
         // (reference TestQueryEmptyRoomsWithTermIndex)
-        val src = sel.filter.map(f => applyFilter(src0, "object", f)).getOrElse(src0)
+        val src1 = sel.filter.map(f =>
+          applyFilter(src0, if (isUid) "object" else "value", f))
+          .getOrElse(src0)
+        // count(p) @facets(eq(k, v)): only edges/values whose facets
+        // pass are counted (reference TestCountFacetsFiltering*)
+        val src = sel.facetFilter.map { ff =>
+          if (isUid)
+            src1.filter(facetFilterCond(sel.pred, ff, k =>
+              if (src1.columns.contains(s"_ft_$k")) col(s"_ft_$k")
+              else lit(null).cast("string")))
+          else if (src1.columns.contains("facets"))
+            src1.filter(facetFilterCond(sel.pred, ff,
+              k => element_at(col("facets"), k)))
+          else src1.filter(lit(false))
+        }.getOrElse(src1)
         val cnt = src.groupBy(col("subject")).agg(count(lit(1)).as(name))
           .withColumnRenamed("subject", "__cs")
         cur = cur.join(cnt, col(uidCol) === col("__cs"), joinType).drop("__cs")
@@ -1064,7 +1147,19 @@ final class DqlExecutor(ts: GraphStore) {
           .select(col("subject").as("__as"), qcol(name))
         cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
       } else {
-        val base = ts.attr(sel.pred)
+        // `name @facets(eq(origin, "french"))`: a VALUE-facet filter
+        // drops non-matching value rows before lang/list resolution —
+        // the value then renders as absent (reference
+        // TestFacetsFilterAtValueBasic/-ListType/-WithLangs). A predicate
+        // with no declared facet keys has no facets column: every row
+        // fails, like the reference's unknown-facet filter.
+        val base = sel.facetFilter.map { ff =>
+          val b0 = ts.attr(sel.pred)
+          if (b0.columns.contains("facets"))
+            b0.filter(facetFilterCond(sel.pred, ff,
+              k => element_at(col("facets"), k)))
+          else b0.filter(lit(false))
+        }.getOrElse(ts.attr(sel.pred))
         // pred@en:fr:. — resolve the preference chain per subject
         // (reference ValueForTag, posting/list.go:2094: listed langs in
         // order, '.' = untagged, '*' = any value). A chain of exactly
@@ -1096,9 +1191,26 @@ final class DqlExecutor(ts: GraphStore) {
                 min_by(col("value"), col("lang")))
               case l => max(when(col("lang") === l, col("value")))
             }
+            // `name@en @facets(origin)` → "name@en|origin" rider of the
+            // SELECTED variant's facets (reference TestFacetWithLang);
+            // only a single concrete-lang chain carries value facets
+            val fvKeys =
+              if ((sel.facetFetch || sel.facetKeys.nonEmpty) &&
+                  base.columns.contains("facets") &&
+                  sel.langChain.size == 1 &&
+                  !Seq(".", "*").contains(sel.langChain.head))
+                ts.facetKeys.getOrElse(sel.pred, Nil).filter(kv =>
+                  sel.facetFetch || sel.facetKeys.contains(kv._1))
+              else Nil
+            val fvAggs = fvKeys.map { case (k, _) =>
+              facetRender(sel.pred, k,
+                max(when(col("lang") === sel.langChain.head,
+                  element_at(col("facets"), k)))).as(s"${name}__fv_$k")
+            }
             base.groupBy(col("subject"))
-              .agg(coalesce(prefs: _*).as(name))
-              .select(col("subject").as("__as"), qcol(name))
+              .agg(coalesce(prefs: _*).as(name), fvAggs: _*)
+              .select(Seq(col("subject").as("__as"), qcol(name)) ++
+                fvKeys.map(kv => qcol(s"${name}__fv_${kv._1}")): _*)
           } else {
             // no chain on a @lang predicate: the UNTAGGED value only —
             // a node whose name exists only tagged renders nothing
@@ -1109,11 +1221,42 @@ final class DqlExecutor(ts: GraphStore) {
               else base
             // list predicates ([string] email) aggregate to an ARRAY —
             // the reference renders every value (LDBC IC01 email/language)
-            if (schema.pred(sel.pred).isList)
-              rows.groupBy(col("subject"))
-                .agg(sort_array(collect_list(col("value"))).as(name))
-                .select(col("subject").as("__as"), qcol(name))
-            else {
+            if (schema.pred(sel.pred).isList) {
+              // list-value facets render as index-keyed objects aligned
+              // with the value array: `"alt_name|origin": {"0": ...}`
+              // (reference TestFacetValueListPredicate). DEVIATION: our
+              // array order is value-sorted; the reference orders by
+              // value fingerprint, which no independent engine can match.
+              val fvKeys =
+                if ((sel.facetFetch || sel.facetKeys.nonEmpty) &&
+                    rows.columns.contains("facets"))
+                  ts.facetKeys.getOrElse(sel.pred, Nil).filter(kv =>
+                    sel.facetFetch || sel.facetKeys.contains(kv._1))
+                else Nil
+              if (fvKeys.isEmpty)
+                rows.groupBy(col("subject"))
+                  .agg(sort_array(collect_list(col("value"))).as(name))
+                  .select(col("subject").as("__as"), qcol(name))
+              else {
+                val entry = struct(col("value").as("v") +:
+                  fvKeys.map { case (k, _) =>
+                    element_at(col("facets"), k).as(s"f_$k") }: _*)
+                rows.groupBy(col("subject"))
+                  .agg(array_sort(collect_list(entry)).as("__arr"))
+                  .select(Seq(col("subject").as("__as"),
+                    transform(col("__arr"), x => x.getField("v")).as(name)) ++
+                    fvKeys.map { case (k, _) =>
+                      val es = filter(
+                        transform(col("__arr"), (x, i) => struct(
+                          i.cast("string").as("key"),
+                          facetRender(sel.pred, k, x.getField(s"f_$k"))
+                            .as("value"))),
+                        e => e.getField("value").isNotNull)
+                      when(size(es) > 0, map_from_entries(es))
+                        .as(s"${name}__fv_$k")
+                    }: _*)
+              }
+            } else {
               // VALUE facets (`name @facets` → "name|origin" keys on the
               // same object, reference TestRetrieveFacetsSimple): one
               // `<col>__fv_<key>` rider per declared key, renderer maps
@@ -1264,7 +1407,10 @@ final class DqlExecutor(ts: GraphStore) {
     }
     cur = cur.drop(needFt.map(k => s"__ft_$k"): _*)
     if (sel.children.nonEmpty)
-      cur = project(cur, name, sel.children, cascade, s"${name}_", detached)
+      // child-level @cascade: this subtree prunes like a cascade block
+      // (reference TestFacetsNestedCascade)
+      cur = project(cur, name, sel.children, cascade || sel.selCascade,
+        s"${name}_", detached)
     if (repageAfterChildren) {
       // re-rank what survived the cascade: dense_rank over the
       // pre-pruning adjacency order gives each remaining child its
@@ -1352,6 +1498,8 @@ final class DqlExecutor(ts: GraphStore) {
           regexp_replace(v, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
         coalesce(try_parse_json(v),
           try_parse_json(concat(lit("\""), esc, lit("\""))))
+      // datetime facets render their ingest-normalized RFC3339 string
+      case "datetime" => v
       case t => v.cast(t)
     }
 
@@ -1370,10 +1518,17 @@ final class DqlExecutor(ts: GraphStore) {
     * (allofterms/anyofterms) tokenize the facet string like the term
     * index. An "auto"-typed facet compares as its raw string.
     */
-  private def facetFilterCond(pred: String, f: FilterNode): Column = f match {
+  private def facetFilterCond(pred: String, f: FilterNode,
+      keyCol: String => Column = k => col(s"__ft_$k")): Column = f match {
     case FilterLeaf(fn) =>
-      val v = col(s"__ft_${fn.pred}")
-      val t = facetType(pred, fn.pred)
+      val t0 = facetType(pred, fn.pred)
+      // "datetime" facets compare as timestamps (the reference parses
+      // the filter arg as a datetime — an unzoned literal still matches
+      // a stored UTC value, TestCountFacetsFilteringUidListPredicate)
+      val t = if (t0 == "datetime") "timestamp" else t0
+      // edge paths pass pre-typed __ft_ columns (cast is a no-op); value
+      // paths pass raw map lookups that type here
+      val v = if (t == "auto") keyCol(fn.pred) else keyCol(fn.pred).cast(t)
       val cond = fn.name match {
         case "eq" | "le" | "lt" | "ge" | "gt" =>
           val litC =
@@ -1400,9 +1555,9 @@ final class DqlExecutor(ts: GraphStore) {
           throw new IllegalArgumentException(s"unsupported facet fn $o")
       }
       coalesce(cond, lit(false))
-    case FilterAnd(cs) => cs.map(facetFilterCond(pred, _)).reduce(_ && _)
-    case FilterOr(cs) => cs.map(facetFilterCond(pred, _)).reduce(_ || _)
-    case FilterNot(c) => !facetFilterCond(pred, c)
+    case FilterAnd(cs) => cs.map(facetFilterCond(pred, _, keyCol)).reduce(_ && _)
+    case FilterOr(cs) => cs.map(facetFilterCond(pred, _, keyCol)).reduce(_ || _)
+    case FilterNot(c) => !facetFilterCond(pred, c, keyCol)
   }
 
   /** expand(_all_) / expand(Type): emit one scalar leaf per predicate of
@@ -1703,7 +1858,7 @@ final class DqlExecutor(ts: GraphStore) {
     val nodes = frontier.select(col("uid").as("node"))
       .unionByName(tree.select(col("node"))).distinct()
     val leaves = scalars.foldLeft(nodes) { (acc, s) =>
-      acc.join(ts.attr(s.pred)
+      acc.join(attrLeaf(s)
           .select(col("subject").as("__ls"), col("value").as(jsonKey(s))),
         col("node") === col("__ls"), "left").drop("__ls")
     }
@@ -1751,6 +1906,22 @@ final class DqlExecutor(ts: GraphStore) {
         kidCols.map(_.isNotNull))
         .foldLeft(lit(false))(_ || _)
     }
+    // @facets on a recurse edge (reference TestRecurseFacetOrder):
+    // fetched keys render inside each child OCCURRENCE's object as
+    // `pred|key`, and `@facets(orderasc/desc: k)` orders every level's
+    // array by the edge facet — both are per-edge, joined back onto the
+    // tree occurrence by (parent, node, pred)
+    val facetPreds = preds.filter(s =>
+      s.facetFetch || s.facetKeys.nonEmpty || s.facetOrder.nonEmpty)
+    def facetKeysOf(s: Selection) =
+      ts.facetKeys.getOrElse(s.pred, Nil).filter(kv =>
+        s.facetFetch || s.facetKeys.contains(kv._1) ||
+          s.facetOrder.exists(_.pred == kv._1))
+    val facetJsonFields = facetPreds.flatMap { s =>
+      facetKeysOf(s).map { case (k, _) =>
+        col(s"__ff_${jsonKey(s)}_$k")
+          .as(s.facetAliases.getOrElse(k, s"${s.outName}|$k")) }
+    }
     // deepest level first: fold (start, parent) → one rendered child
     // segment column per predicate key
     val maxD = tree.agg(max(col("depth"))).collect().headOption
@@ -1763,12 +1934,31 @@ final class DqlExecutor(ts: GraphStore) {
         lvl = lvl.join(kids,
           lvl("start") === kids("__ks") && lvl("node") === kids("__kp"),
           "left").drop("__ks", "__kp")
+      facetPreds.foreach { s =>
+        val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+        val ordCol = s.facetOrder.headOption
+          .filter(o => facetType(s.pred, o.pred) != "boolean")
+          .map(o => col(s"_ft_${o.pred}").cast("double")
+            .as(s"__fo_${jsonKey(s)}")).toSeq
+        val eF = e0.select(
+          Seq(col("subject").as("__ffs"), col("object").as("__ffo")) ++
+            facetKeysOf(s).map { case (k, _) =>
+              facetRender(s.pred, k, element_at(col("facets"), k))
+                .as(s"__ff_${jsonKey(s)}_$k") } ++ ordCol: _*)
+        lvl = lvl.join(eF,
+          col("parent") === col("__ffs") && col("node") === col("__ffo") &&
+            col("pred") === lit(jsonKey(s)), "left")
+          .drop("__ffs", "__ffo")
+      }
       val kidCol = (k: String) =>
         if (kids != null && lvl.columns.contains(s"__k_$k"))
           Some(col(s"__k_$k")) else None
+      val lvlBase =
+        if (facetJsonFields.isEmpty) baseJson
+        else to_json(struct(baseFields ++ facetJsonFields: _*), jsonOpts)
       var withObj = lvl
         .filter(keep(predKeys.flatMap(kidCol)))
-        .withColumn("__obj_base", baseJson)
+        .withColumn("__obj_base", lvlBase)
         .withColumn("__obj", objCol(kidCol))
       // per-level child ordering: `friend(orderdesc: dob)` sorts each
       // parent's array by the order predicate's value (reference
@@ -1783,11 +1973,20 @@ final class DqlExecutor(ts: GraphStore) {
               col("value").cast("double").as(s"__ok_${jsonKey(s)}")),
           col("node") === col("__oks"), "left").drop("__oks")
       }
-      val sortKey = orderedSels.foldLeft(lit(null).cast("double")) { (acc, s) =>
+      val sortKey0 = orderedSels.foldLeft(lit(null).cast("double")) { (acc, s) =>
         val v = col(s"__ok_${jsonKey(s)}")
         when(col("pred") === jsonKey(s),
           if (s.order.head.desc) -v else v).otherwise(acc)
       }
+      // `@facets(orderdesc: since)` orders by the edge facet, re-applied
+      // at every level (reference TestRecurseFacetOrder)
+      val sortKey = facetPreds.filter(s => s.facetOrder.nonEmpty &&
+          facetType(s.pred, s.facetOrder.head.pred) != "boolean")
+        .foldLeft(sortKey0) { (acc, s) =>
+          val v = col(s"__fo_${jsonKey(s)}")
+          when(col("pred") === jsonKey(s),
+            if (s.facetOrder.head.desc) -v else v).otherwise(acc)
+        }
       val perPred = withObj
         .groupBy(col("start"), col("parent"), col("pred"))
         .agg(array_join(transform(
@@ -1904,9 +2103,18 @@ final class DqlExecutor(ts: GraphStore) {
     if (b0.shortest.isDefined) return shortestJson(b0)
     if (b0.recurse.isDefined) return recurseJson(b0, includeUid)
     if (b0.groupby.nonEmpty) return rootGroupbyJson(b0)
-    // pred@* rewrites to per-tag selections so the render keys line up
-    // with the expanded columns (same rewrite as flatBlock — idempotent)
-    val b = b0.copy(selections = expandStarSels(b0.selections))
+    // expand()/pred@* rewrite to concrete per-pred/per-tag selections so
+    // the render keys line up with the expanded columns (same rewrites
+    // as flatBlock — idempotent)
+    val bE =
+      if (b0.selections.exists(_.pred.startsWith("expand(")))
+        b0.copy(selections = expandPredSels({
+          var f = seedUids(b0.func)
+          b0.filter.foreach { fl => f = applyFilter(f, "uid", fl) }
+          f
+        }, b0.selections))
+      else b0
+    val b = bE.copy(selections = expandStarSels(bE.selections))
     // an EMPTY selection set renders as an empty array even when uids
     // match (reference TestMultiEmptyBlocks: `you(func: uid(1)) {}` →
     // "you": [])
@@ -1927,11 +2135,11 @@ final class DqlExecutor(ts: GraphStore) {
     def isChild(s: Selection) =
       !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse)
     // a uid-pred selection with NO children (pure var binding, `B as
-    // friend`) renders nothing — the reference requires a leaf selection
-    // (or facets) for an edge to appear (TestUseVarsMultiCascade1's him
-    // block has no inner friend key)
-    def renders(s: Selection) = s.children.nonEmpty || s.facetFetch ||
-      s.facetKeys.nonEmpty || s.facetOrder.nonEmpty
+    // friend`) renders nothing — the reference requires a CHILD BLOCK
+    // for an edge to appear: a braceless uid leaf binds vars/orders but
+    // never renders, even with facet clauses (TestFacetsAlias2's me2
+    // renders []; TestUseVarsMultiCascade1's inner `B as friend`)
+    def renders(s: Selection) = s.children.nonEmpty
 
     // @normalize: ONE flat object per result path carrying only ALIASED
     // leaves (reference normalize semantics, outputnode.go:921
@@ -1946,8 +2154,29 @@ final class DqlExecutor(ts: GraphStore) {
             else Nil
           own ++ aliased(s.children, pfx + s.outName + "_")
         }
-      val fields = aliased(b.selections, "")
-        .map { case (c, k) => col(c).as(k) }
+      // facet columns flatten alongside the aliased leaves: edge facets
+      // under `<outName>|key` (alias-prefixed — "from|company",
+      // TestFacetUIDPredicateWithNormalize), value-facet riders under
+      // `<jsonKey>|key` ("friend_name|dummy"), aliased keys bare
+      def facetFlat(sels: Seq[Selection], pfx: String): Seq[(String, String)] =
+        sels.flatMap { s =>
+          val own =
+            if (isChild(s))
+              flatDf.columns.filter(_.startsWith(s"$pfx${s.outName}_f_")).toSeq
+                .map { cn =>
+                  val k = cn.stripPrefix(s"$pfx${s.outName}_f_")
+                  (cn, s.facetAliases.getOrElse(k, s"${s.outName}|$k"))
+                }
+            else
+              flatDf.columns.filter(_.startsWith(s"$pfx${s.outName}__fv_")).toSeq
+                .map { cn =>
+                  val k = cn.stripPrefix(s"$pfx${s.outName}__fv_")
+                  (cn, s.facetAliases.getOrElse(k, s"${jsonKey(s)}|$k"))
+                }
+          own ++ facetFlat(s.children, pfx + s.outName + "_")
+        }
+      val fields = (aliased(b.selections, "") ++ facetFlat(b.selections, ""))
+        .map { case (c, k) => qcol(c).as(k) }
       // value-less child objects are elided BEFORE flattening
       // (TestNormalizeDirective: the nameless friend generates no result
       // paths): a row whose traversed child is present but whose subtree
@@ -1963,9 +2192,22 @@ final class DqlExecutor(ts: GraphStore) {
           prune(c.children, pfx + c.outName + "_")
         }
       prune(b.selections, "")
+      // result paths keep the traversal's uid-chain order, level by
+      // level (reference normalize flattening iterates the subgraph in
+      // uid order — TestFacetUIDListPredicateWithNormalize)
+      def uidChain(sels: Seq[Selection], pfx: String): Seq[String] =
+        sels.filter(isChild).flatMap { c =>
+          val edgeCol = pfx + c.outName
+          (if (out.columns.contains(edgeCol)) Seq(edgeCol) else Nil) ++
+            uidChain(c.children, pfx + c.outName + "_")
+        }
+      val chainCols = uidChain(b.selections, "")
       return out
-        .select(col("uid"), to_json(struct(fields: _*), jsonOpts).as("json"))
-        .orderBy(col("uid"), col("json"))
+        .select(Seq(col("uid"), to_json(struct(fields: _*), jsonOpts)
+          .as("json")) ++ chainCols.map(qcol): _*)
+        .orderBy(col("uid") +:
+          chainCols.map(c => qcol(c).asc_nulls_first): _*)
+        .select(col("uid"), col("json"))
     }
 
     /** One row per `keys` (uid chain from the root) with column `outCol`
@@ -1987,8 +2229,11 @@ final class DqlExecutor(ts: GraphStore) {
       // child: flat `friend_name__fv_origin` → field "name|origin")
       val scalarFvCols = s.children.filter(c => !isChild(c)).flatMap { c =>
         flatDf.columns.filter(_.startsWith(s"$pfx${c.outName}__fv_"))
-          .map(cn => cn -> s"${jsonKey(c)}|${
-            cn.stripPrefix(s"$pfx${c.outName}__fv_")}")
+          .map { cn =>
+            val k = cn.stripPrefix(s"$pfx${c.outName}__fv_")
+            // @facets(o: origin) renders the bare alias (TestFacetsAlias)
+            cn -> c.facetAliases.getOrElse(k, s"${jsonKey(c)}|$k")
+          }
       }
       val facetCols = flatDf.columns.filter(_.startsWith(s"${pfx}f_")).toSeq
       val rankCols = if (flatDf.columns.contains(rankCol)) Seq(rankCol) else Nil
@@ -2026,9 +2271,10 @@ final class DqlExecutor(ts: GraphStore) {
           Some(qcol(pfx + c.outName).as(jsonKey(c)))
         else None
       }
-      val facetFields = facetCols.map(c =>
-        col(c).as(s"${s.outName}|${c.stripPrefix(s"${pfx}f_")}")) ++
-        scalarFvCols.map { case (cn, field) => qcol(cn).as(field) }
+      val facetFields = facetCols.map { c =>
+        val k = c.stripPrefix(s"${pfx}f_")
+        col(c).as(s.facetAliases.getOrElse(k, s"${s.outName}|$k"))
+      } ++ scalarFvCols.map { case (cn, field) => qcol(cn).as(field) }
       // uid renders when implicit uids are on, when the query asks for it
       // explicitly (`friend { uid name }` — reference emits uid only on
       // request), or when nothing else would remain in the object
@@ -2073,8 +2319,10 @@ final class DqlExecutor(ts: GraphStore) {
     // reference TestRetrieveFacetsSimple)
     val rootFvCols = rootScalars.flatMap { s =>
       flatDf.columns.filter(_.startsWith(s"${s.outName}__fv_"))
-        .map(cn => cn ->
-          s"${jsonKey(s)}|${cn.stripPrefix(s"${s.outName}__fv_")}")
+        .map { cn =>
+          val k = cn.stripPrefix(s"${s.outName}__fv_")
+          cn -> s.facetAliases.getOrElse(k, s"${jsonKey(s)}|$k")
+        }
     }
     var root =
       if (rootScalars.nonEmpty) {
@@ -2126,7 +2374,12 @@ final class DqlExecutor(ts: GraphStore) {
     // root too (TestRecurseVariable: the nameless friend disappears
     // from the uid-var block)
     val kept =
-      if (rootUid || valueFields.isEmpty) root
+      if (rootUid) root
+      // a block whose selections render NOTHING (braceless uid leaves
+      // that only bind vars) is an empty array, not bare objects
+      // (reference TestFacetsAlias2's me2)
+      else if (valueFields.isEmpty && rootFvCols.isEmpty)
+        root.filter(lit(false))
       else root.filter(valueFields.map(_.isNotNull).reduce(_ || _))
     val assembled = kept
       .select(col("uid"), to_json(struct(fields: _*), jsonOpts).as("json"))

@@ -638,7 +638,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
     new TripleFrameStore(spark, facetSchema,
       RdfSource.parse(lines.toDF("line")),
       facetKeys = Map(
-        "friend" -> Seq("since" -> "string", "close" -> "boolean",
+        "friend" -> Seq("since" -> "datetime", "close" -> "boolean",
           "family" -> "boolean", "age" -> "int", "tag" -> "auto",
           "games" -> "string", "fastfriend" -> "boolean",
           "score" -> "int", "from" -> "string"),
@@ -1035,6 +1035,358 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |      AND anyofterms(games, "football basketball")) { name uid } } }""".stripMargin,
       """{"data":{"me":[{"friend":[{"uid":"0x19","name":"Daryl Dixon"}],
         |  "name":"Andrea"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAtValueBasic (query_facets_test.go:1267)") {
+    checkFacetGolden(
+      """{ me(func: has(name)) { name @facets(eq(origin, "french")) } }""",
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},
+        |  {"name":"Glenn Rhee"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAtValueListType (query_facets_test.go:1282)") {
+    checkFacetGolden(
+      """{ me(func: has(name)) { alt_name @facets(eq(origin, "french")) } }""",
+      """{"data":{"me":[{"alt_name":["Michelle"]}]}}""")
+  }
+
+  test("golden: TestFacetsFilterAtValueComplex1 (query_facets_test.go:1296)") {
+    checkFacetGolden(
+      """{ me(func: has(name)) {
+        |    name @facets(eq(origin, "french") AND eq(dummy, true)) } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},
+        |  {"name":"Glenn Rhee"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAtValueComplex2 (query_facets_test.go:1311)") {
+    checkFacetGolden(
+      """{ me(func: has(name)) {
+        |    name @facets(eq(origin, "french") AND eq(dummy, false)) } }""".stripMargin,
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestFacetsFilterAtValueWithLangs (query_facets_test.go:1324)") {
+    checkFacetGolden(
+      """{ me(func: has(name)) { name@en @facets(eq(origin, "french")) } }""",
+      """{"data":{"me":[{"name@en":"Michelle"}]}}""")
+  }
+
+  test("golden: TestFacetsFilterAtValueWithFacetAndLangs (query_facets_test.go:1367)") {
+    checkFacetGolden(
+      """{ me(func: has(name)) {
+        |    name@en @facets(eq(origin, "french")) @facets(origin) } }""".stripMargin,
+      """{"data":{"me":[{"name@en":"Michelle","name@en|origin":"french"}]}}""")
+  }
+
+  test("golden: TestFacetsFilterAtValueWithBadLang (query_facets_test.go:1338)") {
+    checkFacetGolden(
+      """{ me(func: has(name)) { name@hi @facets(eq(origin, "french")) } }""",
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestFacetsFilterAtValueWithFacet (query_facets_test.go:1351)") {
+    // one clause filters, the second fetches
+    checkFacetGolden(
+      """{ me(func: has(name)) {
+        |    name @facets(eq(origin, "french")) @facets(origin) } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne","name|origin":"french"},
+        |  {"name":"Rick Grimes","name|origin":"french"},
+        |  {"name":"Glenn Rhee","name|origin":"french"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAtValueWithDifferentFacet (query_facets_test.go:1381)") {
+    checkFacetGolden(
+      """{ me(func: has(name)) {
+        |    name @facets(eq(dummy, "true")) @facets(origin) } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne","name|origin":"french"},
+        |  {"name":"Rick Grimes","name|origin":"french"},
+        |  {"name":"Glenn Rhee","name|origin":"french"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsFilterAndRetrieval (query_facets_test.go:1397)") {
+    // close filters only; family is the fetched facet
+    checkFacetGolden(
+      """{ me(func: uid(1)) { name
+        |    friend @facets(eq(close, true)) @facets(family) { name uid } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne","friend":[
+        |  {"name":"Glenn Rhee","uid":"0x18","friend|family":true},
+        |  {"uid":"0x65","friend|family":false}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetWithLang (query_facets_test.go:1437)") {
+    checkFacetGolden(
+      """{ me(func: uid(320)) { name@en @facets } }""",
+      """{"data":{"me":[{"name@en|type":"Test facet with lang",
+        |  "name@en":"Test facet"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFilterUidFacetMismatch (query_facets_test.go:1451)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) {
+        |    friend @filter(uid(24, 101)) @facets { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[
+        |  {"name":"Glenn Rhee","friend|close":true,"friend|family":true,
+        |   "friend|since":"2004-05-02T15:04:05Z","friend|tag":"Domain3"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsCascadeScalarPredicate (query_facets_test.go:1684)") {
+    checkFacetGolden(
+      """{ q(func: uid(1, 23)) @cascade { name @facets } }""",
+      """{"data":{"q":[
+        |  {"name|dummy":true,"name|origin":"french","name":"Michonne"},
+        |  {"name|dummy":true,"name|origin":"french","name":"Rick Grimes"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsCascadeUIDPredicate (query_facets_test.go:1713)") {
+    checkFacetGolden(
+      """{ q(func: uid(1, 23, 24)) @cascade {
+        |    name @facets friend { name @facets } } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name|dummy":true,"name|origin":"french","name":"Michonne","friend":[
+        |    {"name|dummy":true,"name|origin":"french","name":"Rick Grimes"},
+        |    {"name|dummy":true,"name|origin":"french","name":"Glenn Rhee"},
+        |    {"name":"Daryl Dixon"},{"name":"Andrea"}]},
+        |  {"name|dummy":true,"name|origin":"french","name":"Rick Grimes","friend":[
+        |    {"name|dummy":true,"name|origin":"french","name":"Michonne"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsNestedCascade (query_facets_test.go:1770)") {
+    checkFacetGolden(
+      """{ q(func: uid(1, 23)) {
+        |    name @facets friend @cascade { name @facets } } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name|dummy":true,"name|origin":"french","name":"Michonne","friend":[
+        |    {"name|dummy":true,"name|origin":"french","name":"Rick Grimes"},
+        |    {"name|dummy":true,"name|origin":"french","name":"Glenn Rhee"},
+        |    {"name":"Daryl Dixon"},{"name":"Andrea"}]},
+        |  {"name|dummy":true,"name|origin":"french","name":"Rick Grimes","friend":[
+        |    {"name|dummy":true,"name|origin":"french","name":"Michonne"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsCascadeWithFilter (query_facets_test.go:1827)") {
+    checkFacetGolden(
+      """{ q(func: uid(1, 23)) @filter(eq(name, "Michonne")) @cascade {
+        |    name @facets } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name|dummy":true,"name|origin":"french","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetUIDPredicate (query_facets_test.go:1850)") {
+    // single-uid predicate: facet rides inside the collapsed child object
+    checkFacetGolden(
+      """{ q(func: uid(0x1)) { name boss @facets { name } } }""",
+      """{"data":{"q":[{"name":"Michonne",
+        |  "boss":{"name":"Roger","boss|company":"company1"}}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetUIDListPredicate (query_facets_test.go:1878)") {
+    checkFacetGolden(
+      """{ q(func: uid(0x1)) { name friend @facets(since) { name } } }""",
+      """{"data":{"q":[{"name":"Michonne","friend":[
+        |  {"name":"Rick Grimes","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"name":"Glenn Rhee","friend|since":"2004-05-02T15:04:05Z"},
+        |  {"name":"Daryl Dixon","friend|since":"2007-05-02T15:04:05Z"},
+        |  {"name":"Andrea","friend|since":"2006-01-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsAlias (query_facets_test.go:1585)") {
+    checkFacetGolden(
+      """{ me(func: uid(0x1)) {
+        |    name @facets(o: origin)
+        |    friend @facets(family, tagalias: tag, since) {
+        |      name @facets(o: origin) } } }""".stripMargin,
+      """{"data":{"me":[{"o":"french","name":"Michonne","friend":[
+        |  {"o":"french","name":"Rick Grimes","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"o":"french","name":"Glenn Rhee","friend|family":true,
+        |   "friend|since":"2004-05-02T15:04:05Z","tagalias":"Domain3"},
+        |  {"name":"Daryl Dixon","friend|family":true,
+        |   "friend|since":"2007-05-02T15:04:05Z","tagalias":34},
+        |  {"name":"Andrea","friend|since":"2006-01-02T15:04:05Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsAlias2 (query_facets_test.go:1637)") {
+    // a braceless uid leaf renders nothing — it only binds the var
+    checkFacetGolden(
+      """{ me2(func: uid(0x1)) {
+        |    friend @facets(f: family, a as since, orderdesc: tag, close) }
+        |  me(func: uid(23)) { name val(a) } }""".stripMargin,
+      """{"data":{"me2":[],
+        |  "me":[{"name":"Rick Grimes","val(a)":"2006-01-02T15:04:05Z"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetUIDPredicateWithNormalize (query_facets_test.go:1975)") {
+    // the edge-facet key uses the selection ALIAS: "from|company"
+    checkFacetGolden(
+      """{ q(func: uid(0x1)) @normalize {
+        |    name: name
+        |    from: boss @facets { boss: name } } }""".stripMargin,
+      """{"data":{"q":[{"boss":"Roger","from|company":"company1",
+        |  "name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetUIDListPredicateWithNormalize (query_facets_test.go:2001)") {
+    checkFacetGolden(
+      """{ q(func: uid(0x1)) @normalize {
+        |    name: name
+        |    friend @facets(since) { friend_name: name } } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"friend_name":"Rick Grimes","friend|since":"2006-01-02T15:04:05Z","name":"Michonne"},
+        |  {"friend_name":"Glenn Rhee","friend|since":"2004-05-02T15:04:05Z","name":"Michonne"},
+        |  {"friend_name":"Daryl Dixon","friend|since":"2007-05-02T15:04:05Z","name":"Michonne"},
+        |  {"friend_name":"Andrea","friend|since":"2006-01-02T15:04:05Z","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestNestedFacetUIDListPredicateWithNormalize (query_facets_test.go:2042)") {
+    checkFacetGolden(
+      """{ q(func: uid(0x1)) @normalize {
+        |    name: name
+        |    friend @facets(since) @normalize {
+        |      friend_name: name @facets
+        |      friend @facets(close) { friend_name_level2: name } } } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"friend_name":"Rick Grimes","friend_name_level2":"Michonne",
+        |   "friend_name|dummy":true,"friend_name|origin":"french",
+        |   "friend|since":"2006-01-02T15:04:05Z","name":"Michonne"},
+        |  {"friend_name":"Glenn Rhee","friend_name|dummy":true,
+        |   "friend_name|origin":"french","friend|since":"2004-05-02T15:04:05Z",
+        |   "name":"Michonne"},
+        |  {"friend_name":"Daryl Dixon","friend|since":"2007-05-02T15:04:05Z",
+        |   "name":"Michonne"},
+        |  {"friend_name":"Andrea","friend_name_level2":"Michonne",
+        |   "friend|close":false,"friend|since":"2006-01-02T15:04:05Z",
+        |   "name":"Michonne"},
+        |  {"friend_name":"Andrea","friend_name_level2":"Glenn Rhee",
+        |   "friend|since":"2006-01-02T15:04:05Z","name":"Michonne"},
+        |  {"friend_name":"Andrea","friend_name_level2":"Daryl Dixon",
+        |   "friend|close":false,"friend|since":"2006-01-02T15:04:05Z",
+        |   "name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestCountFacetsFilteringUidListPredicate (query_facets_test.go:2226)") {
+    // the unzoned filter literal matches the stored UTC datetime facet
+    checkFacetGolden(
+      """{ q(func: uid(1, 33)) { name
+        |    filtered_count: count(friend) @facets(eq(since, "2006-01-02T15:04:05"))
+        |    full_count: count(friend) } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name":"Michonne","filtered_count":2,"full_count":5},
+        |  {"name":"Michale","filtered_count":1,"full_count":3}]}}""".stripMargin)
+  }
+
+  test("golden: TestCountFacetsFilteringUidPredicate (query_facets_test.go:2257)") {
+    checkFacetGolden(
+      """{ q(func: uid(1, 33)) { name
+        |    filtered_count: count(boss) @facets(eq(company, "company1"))
+        |    full_count: count(boss) } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name":"Michonne","filtered_count":1,"full_count":1},
+        |  {"name":"Michale","filtered_count":0,"full_count":0}]}}""".stripMargin)
+  }
+
+  test("golden: TestCountFacetsFilteringScalarPredicate (query_facets_test.go:2288)") {
+    checkFacetGolden(
+      """{ q(func: uid(1, 23)) { name
+        |    french_origin_count: count(name) @facets(eq(origin, "french"))
+        |    french_spanish_count: count(name) @facets(eq(origin, "spanish"))
+        |    full_count: count(name) } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name":"Michonne","french_origin_count":1,"french_spanish_count":0,"full_count":1},
+        |  {"name":"Rick Grimes","french_origin_count":1,"french_spanish_count":0,"full_count":1}]}}""".stripMargin)
+  }
+
+  test("golden: TestCountFacetsFilteringScalarListPredicate (query_facets_test.go:2322)") {
+    // list order deviation: ours is value-sorted; the reference orders
+    // by value fingerprint (["Michelle","Michelin"] there)
+    checkFacetGolden(
+      """{ q(func: uid(1, 12000)) { name alt_name
+        |    filtered_count: count(alt_name) @facets(eq(origin, "french"))
+        |    full_count: count(alt_name) } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name":"Michonne","alt_name":["Michelin","Michelle"],
+        |   "filtered_count":1,"full_count":2},
+        |  {"alt_name":["Potter"],"filtered_count":0,"full_count":1}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetsWithExpand (query_facets_test.go:2189)") {
+    // expand(_all_) fetches facets on every expanded predicate.
+    // list order deviation: ours value-sorted (reference fingerprint
+    // order is ["french","hindi","english"] / novice,intermediate,
+    // advanced — same pairs, different indices)
+    checkFacetGolden(
+      """{ q(func: uid(14000)) { dgraph.type expand(_all_) } }""",
+      """{"data":{"q":[{
+        |  "dgraph.type":["Speaker"],
+        |  "name|kind":"official","name":"Andrew",
+        |  "language|proficiency":{"0":"advanced","1":"novice","2":"intermediate"},
+        |  "language":["english","french","hindi"]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetValueListPredicateSingleFacet (query_facets_test.go:2161)") {
+    // list order deviation: value-sorted (reference: Michelle, Michelin)
+    checkFacetGolden(
+      """{ q(func: uid(0x1)) { alt_name @facets(origin) } }""",
+      """{"data":{"q":[{
+        |  "alt_name|origin":{"0":"spanish","1":"french"},
+        |  "alt_name":["Michelin","Michelle"]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetValueListPredicate (query_facets_test.go:1920)") {
+    // list order deviation as above; name@en facets are per-variant
+    checkFacetGolden(
+      """{ q(func: uid(1, 12000)) { name@en @facets alt_name @facets } }""",
+      """{"data":{"q":[
+        |  {"name@en|origin":"french","name@en":"Michelle",
+        |   "alt_name|dummy":{"0":false,"1":true},
+        |   "alt_name|origin":{"0":"spanish","1":"french"},
+        |   "alt_name|isNick":{"0":true},
+        |   "alt_name":["Michelin","Michelle"]},
+        |  {"name@en|dummy":true,"name@en|origin":"french","name@en":"Harry",
+        |   "alt_name|dummy":{"0":false},
+        |   "alt_name|isNick":{"0":true},
+        |   "alt_name|origin":{"0":"spanish"},
+        |   "alt_name":["Potter"]}]}}""".stripMargin)
+  }
+
+  test("golden: TestFacetValuePredicateWithNormalize (query_facets_test.go:2106)") {
+    // aliased value-facet keys under @normalize; list order deviation
+    checkFacetGolden(
+      """{ q(func: uid(1, 12000)) @normalize {
+        |    eng_name: name@en @facets
+        |    alt_name: alt_name @facets } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"eng_name|origin":"french","eng_name":"Michelle",
+        |   "alt_name|dummy":{"0":false,"1":true},
+        |   "alt_name|origin":{"0":"spanish","1":"french"},
+        |   "alt_name|isNick":{"0":true},
+        |   "alt_name":["Michelin","Michelle"]},
+        |  {"eng_name|dummy":true,"eng_name|origin":"french","eng_name":"Harry",
+        |   "alt_name|dummy":{"0":false},
+        |   "alt_name|isNick":{"0":true},
+        |   "alt_name|origin":{"0":"spanish"},
+        |   "alt_name":["Potter"]}]}}""".stripMargin)
+  }
+
+  test("golden: TestRecurseFacetOrder (query_facets_test.go:1484)") {
+    checkFacetGolden(
+      """{ me(func: uid(1)) @recurse(depth: 2) {
+        |    friend @facets(orderdesc: since) uid name } }""".stripMargin,
+      """{"data":{"me":[{"friend":[
+        |  {"uid":"0x19","name":"Daryl Dixon","friend|since":"2007-05-02T15:04:05Z"},
+        |  {"uid":"0x17","name":"Rick Grimes","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"uid":"0x1f","name":"Andrea","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"uid":"0x65","friend|since":"2005-05-02T15:04:05Z"},
+        |  {"uid":"0x18","name":"Glenn Rhee","friend|since":"2004-05-02T15:04:05Z"}],
+        |  "uid":"0x1","name":"Michonne"}]}}""".stripMargin)
+    checkFacetGolden(
+      """{ me(func: uid(1)) @recurse(depth: 2) {
+        |    friend @facets(orderasc: since) uid name } }""".stripMargin,
+      """{"data":{"me":[{"friend":[
+        |  {"uid":"0x18","name":"Glenn Rhee","friend|since":"2004-05-02T15:04:05Z"},
+        |  {"uid":"0x65","friend|since":"2005-05-02T15:04:05Z"},
+        |  {"uid":"0x17","name":"Rick Grimes","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"uid":"0x1f","name":"Andrea","friend|since":"2006-01-02T15:04:05Z"},
+        |  {"uid":"0x19","name":"Daryl Dixon","friend|since":"2007-05-02T15:04:05Z"}],
+        |  "uid":"0x1","name":"Michonne"}]}}""".stripMargin)
   }
 
   test("backup/restore: goldens replay identically on a restored store; incrementals apply") {
