@@ -66,7 +66,9 @@ object SchemaRegistry {
     }).mkString("\n")
     val typeRe = """(?s)type\s+(\w+)\s*\{([^}]*)\}""".r
     val types = typeRe.findAllMatchIn(src).map { m =>
-      NodeType(m.group(1), m.group(2).split("\\s+").filter(_.nonEmpty).toSeq)
+      // members may be angle-quoted, incl. reverse edges: <~previous_model>
+      NodeType(m.group(1), m.group(2).split("\\s+").filter(_.nonEmpty)
+        .map(_.stripPrefix("<").stripSuffix(">")).toSeq)
     }.toSeq
     val noTypes = typeRe.replaceAllIn(src, "")
     // predicate names may be dotted (office.room) — \w alone would match

@@ -357,7 +357,11 @@ object Parser {
         next()
         val arg = ident() // _all_ or a type name
         expect(")")
-        return Selection(alias, s"expand($arg)")
+        // `expand(_all_) { uid }`: the child template applies to every
+        // expanded uid predicate (reference TestTypeExpandFacets)
+        val kids =
+          if (peek == Punct("{")) parseSelectionSet() else Nil
+        return Selection(alias, s"expand($arg)", children = kids)
       }
       // pred@en:fr:. language chain (reference @lang access). The '@' is
       // consumed only when followed by a lang token ('.', '*', or an

@@ -212,10 +212,13 @@ final class DqlExecutor(ts: GraphStore) {
                 Seq("subject"), "left_semi")
               .select("typeName").distinct().as[String].collect().sorted.toSeq
           else Seq(arg)
-        typeNames.flatMap(schema.predicatesOfType).distinct.sorted.flatMap { p =>
-          if (schema.isUidPredicate(p))
+        typeNames.flatMap(schema.predicatesOfType).distinct.sorted.flatMap { p0 =>
+          val rev = p0.startsWith("~")
+          val p = p0.stripPrefix("~")
+          if (!schema.predicates.contains(p)) None
+          else if (schema.isUidPredicate(p) || rev)
             (if (s.children.nonEmpty)
-               Some(Selection(None, p, children = s.children))
+               Some(Selection(None, p, reverse = rev, children = s.children))
              else None): Option[Selection]
           else Some(Selection(None, p, facetFetch = true,
             langChain = if (schema.pred(p).lang) Seq("*") else Nil))

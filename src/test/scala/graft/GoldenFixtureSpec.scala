@@ -573,13 +573,20 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """name: string @index(term, exact) @lang .
         |alt_name: [string] .
         |gender: string .
-        |model: string .
+        |model: string @lang .
         |language: [string] .
         |friend: [uid] @reverse @count .
         |boss: uid .
         |school: [uid] .
         |schools: [uid] .
+        |make: string @index(exact) .
+        |year: int .
+        |owner: [uid] .
+        |owner_name: string .
+        |previous_model: uid @reverse .
         |type Speaker { name language }
+        |type CarModel { make model year previous_model <~previous_model> }
+        |type Object { name owner }
         |""".stripMargin)
     new SchemaRegistry(preds.map(p => p.name -> p).toMap,
       types.map(t => t.name -> t).toMap)
@@ -598,6 +605,17 @@ class GoldenFixtureSpec extends AnyFunSuite {
       e(33, "schools", 2433),
       a(1, "gender", "female"), a(23, "gender", "male"),
       a(202, "model", "Prius", "", "type=Electric"),
+      // CarModel chain (reference common_test.go:707-725 — the shared
+      // cluster the facets suite also queries)
+      a(200, "make", "Ford"), a(200, "model", "Focus"), a(200, "year", "2008"),
+      a(200, "dgraph.type", "CarModel"),
+      a(201, "make", "Ford"), a(201, "model", "Focus"), a(201, "year", "2009"),
+      a(201, "dgraph.type", "CarModel"), e(201, "previous_model", 200),
+      a(202, "name", "Car"), a(202, "make", "Toyota"), a(202, "year", "2009"),
+      a(202, "model", "プリウス", "jp"),
+      e(202, "owner", 203),
+      a(202, "dgraph.type", "CarModel"), a(202, "dgraph.type", "Object"),
+      a(203, "owner_name", "Owner of Prius"),
       a(14000, "language", "english", "", "proficiency=advanced"),
       a(14000, "language", "hindi", "", "proficiency=intermediate"),
       a(14000, "language", "french", "", "proficiency=novice"),
@@ -1387,6 +1405,18 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |  {"uid":"0x1f","name":"Andrea","friend|since":"2006-01-02T15:04:05Z"},
         |  {"uid":"0x19","name":"Daryl Dixon","friend|since":"2007-05-02T15:04:05Z"}],
         |  "uid":"0x1","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestTypeExpandFacets (query_facets_test.go:1670)") {
+    // expand over BOTH of 202's types; lang variant keys, the model
+    // facet, and the uid-pred child template all come along
+    checkFacetGolden(
+      """{ q(func: eq(make, "Toyota")) { expand(_all_) { uid } } }""",
+      """{"data":{"q":[
+        |  {"name":"Car","make":"Toyota","model":"Prius",
+        |   "model@jp":"プリウス",
+        |   "model|type":"Electric","year":2009,
+        |   "owner":[{"uid":"0xcb"}]}]}}""".stripMargin)
   }
 
   test("backup/restore: goldens replay identically on a restored store; incrementals apply") {
