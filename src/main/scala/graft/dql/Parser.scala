@@ -323,14 +323,40 @@ object Parser {
         if (peek == Punct("~")) { next(); rev = true }
         val p = ident()
         // count(p @filter(...)): count only matching targets (reference
-        // TestQueryEmptyRoomsWithTermIndex)
+        // TestQueryEmptyRoomsWithTermIndex). Pagination/order args may
+        // appear before or after the filter — `count(friend(offset:1,
+        // first:1) @filter(...))` counts the PAGE
+        // (TestToFastJSONFilterOrFirstOffsetCount)
         var cfilter: Option[FilterNode] = None
-        if (peek == Punct("@")) {
-          next()
-          ident() match {
-            case "filter" => expect("("); cfilter = Some(parseFilterOr()); expect(")")
-            case o => fail(s"unsupported directive @$o inside count()")
-          }
+        var cOrder = Vector.empty[Ordering]
+        var cPage = Pagination()
+        var more = true
+        while (more) peek match {
+          case Punct("@") =>
+            next()
+            ident() match {
+              case "filter" =>
+                expect("("); cfilter = Some(parseFilterOr()); expect(")")
+              case o => fail(s"unsupported directive @$o inside count()")
+            }
+          case Punct("(") =>
+            next()
+            var stop = false
+            while (!stop) {
+              ident() match {
+                case "orderasc" =>
+                  expect(":"); cOrder :+= Ordering(orderTarget(), desc = false)
+                case "orderdesc" =>
+                  expect(":"); cOrder :+= Ordering(orderTarget(), desc = true)
+                case "first" => expect(":"); cPage = cPage.copy(first = Some(intLit()))
+                case "offset" => expect(":"); cPage = cPage.copy(offset = Some(intLit()))
+                case "after" => expect(":"); cPage = cPage.copy(after = Some(uidLit()))
+                case o => fail(s"bad count() arg $o")
+              }
+              if (peek == Punct(",")) next() else stop = true
+            }
+            expect(")")
+          case _ => more = false
         }
         expect(")")
         // the filter may equally FOLLOW the parens:
@@ -351,7 +377,8 @@ object Parser {
         // `a as count(uid)` inside @groupby binds the per-group count
         // (reference fillGroupedVars)
         return Selection(alias, p, reverse = rev, isCount = true,
-          filter = cfilter, facetFilter = cFacetFilter, varName = varName)
+          filter = cfilter, facetFilter = cFacetFilter, varName = varName,
+          order = cOrder, page = cPage)
       }
       if (name == "expand" && peek == Punct("(")) {
         next()
@@ -551,7 +578,10 @@ object Parser {
       var countArg = false
       peek match {
         case Ident("count") if fname != "count" =>
-          next(); expect("("); pred = ident(); expect(")"); countArg = true
+          next(); expect("(")
+          // ge(count(~friend), 2): reverse-edge count at root/filter
+          if (peek == Punct("~")) { next(); pred = "~" }
+          pred += ident(); expect(")"); countArg = true
         case Ident("val") if fname != "val" =>
           next(); expect("("); pred = "val:" + ident(); expect(")")
         case _ =>
@@ -650,6 +680,10 @@ object Parser {
       val p = ident()
       if (p == "val" && peek == Punct("(")) {
         next(); val v = ident(); expect(")"); "val:" + v
+      } else if (peek == Punct("@")) {
+        // orderasc: name_lang@de — order by one lang variant
+        // (reference TestLanguageOrderIndexed*)
+        next(); p + "@" + ident()
       } else p
     }
 

@@ -716,12 +716,19 @@ final class DqlExecutor(ts: GraphStore) {
         case "ge" => _ >= _; case "gt" => _ > _
         case o => throw new IllegalArgumentException(s"bad count fn $o")
       }
-      ts.edge(fn.pred).groupBy(col("subject")).agg(count(lit(1)).as("__c"))
+      countEdge(fn.pred).groupBy(col("subject")).agg(count(lit(1)).as("__c"))
         .filter(cmp(col("__c"), lit(fn.args.head.toLong)))
         .select(col("subject").as("uid"))
     case other =>
       throw new IllegalArgumentException(s"unsupported function: $other")
   }
+
+  /** Edge frame for a count() argument — `count(~friend)` counts the
+    * reverse adjacency (reference TestCountReverseFunc).
+    */
+  private def countEdge(pred: String): DataFrame =
+    if (pred.startsWith("~")) ts.reverseEdge(pred.stripPrefix("~"))
+    else ts.edge(pred)
 
   /** col() that survives dotted predicate names (office.room): backtick
     * quoting stops Spark treating the dot as struct-field access.
@@ -805,7 +812,7 @@ final class DqlExecutor(ts: GraphStore) {
           case "ge" => _ >= _; case "gt" => _ > _
           case o => throw new IllegalArgumentException(s"bad count fn $o")
         }
-        val cnts = ts.edge(fn.pred).groupBy(col("subject"))
+        val cnts = countEdge(fn.pred).groupBy(col("subject"))
           .agg(count(lit(1)).as("__fc"))
           .select(col("subject").as(uidCol), col("__fc"))
         df.join(cnts, Seq(uidCol), "left")
@@ -842,7 +849,34 @@ final class DqlExecutor(ts: GraphStore) {
   private def orderAttr(pred: String): DataFrame =
     if (pred.startsWith("val:"))
       vars(pred.drop(4)).select(col("uid").as("subject"), col("value"))
-    else ts.attr(pred)
+    else {
+      // `orderasc: name_lang@de` sorts by that variant; a bare order on
+      // a @lang predicate sorts by the UNTAGGED value (nodes without it
+      // fall to uid order — reference TestLanguageOrderIndexed3/4)
+      val (p, tag) = pred.indexOf('@') match {
+        case -1 => (pred, None)
+        case i => (pred.substring(0, i), Some(pred.substring(i + 1)))
+      }
+      val rows = ts.attr(p)
+      if (!rows.columns.contains("lang")) rows
+      else tag match {
+        case Some(t) =>
+          val r = rows.filter(col("lang") === t)
+          // a lang-tagged sort key collates in that locale (reference
+          // types/sort.go collates tagged strings: German ö<z, Swedish
+          // ö>z — TestLanguageOrderIndexed5/6); unknown locales fall
+          // back to binary order
+          scala.util.Try {
+            org.apache.spark.sql.catalyst.util.CollationFactory
+              .collationNameToId(t)
+            r.withColumn("value", collate(col("value"), t))
+          }.getOrElse(r)
+        case None =>
+          if (schema.predicates.get(p).exists(_.lang))
+            rows.filter(col("lang").isNull)
+          else rows
+      }
+    }
 
   private def orderAndPage(df: DataFrame, uidCol: String,
       order: Seq[Ordering], page: Pagination): DataFrame = {
@@ -1103,7 +1137,19 @@ final class DqlExecutor(ts: GraphStore) {
               k => element_at(col("facets"), k)))
           else src1.filter(lit(false))
         }.getOrElse(src1)
-        val cnt = src.groupBy(col("subject")).agg(count(lit(1)).as(name))
+        // count(p(offset, first)): the count of the PAGE is a pure
+        // arithmetic clamp of the full count — no window needed
+        // (reference TestToFastJSONFilterOrFirstOffsetCount)
+        val pageAdj: Column => Column = c0 => {
+          var c = c0
+          sel.page.offset.filter(_ > 0)
+            .foreach(o => c = greatest(c - o, lit(0L)))
+          sel.page.first.filter(_ >= 0)
+            .foreach(f => c = least(c, lit(f.toLong)))
+          c
+        }
+        val cnt = src.groupBy(col("subject"))
+          .agg(pageAdj(count(lit(1))).as(name))
           .withColumnRenamed("subject", "__cs")
         cur = cur.join(cnt, col(uidCol) === col("__cs"), joinType).drop("__cs")
         if (!cascade) cur = cur.withColumn(name, coalesce(qcol(name), lit(0L)))
@@ -1371,6 +1417,15 @@ final class DqlExecutor(ts: GraphStore) {
         val lo = sel.page.offset.getOrElse(0)
         val hi = sel.page.first.map(f => lo + f).getOrElse(Int.MaxValue)
         cur = cur.filter(col(name).isNull || (col("__rn") > lo && col("__rn") <= hi))
+      }
+      if (!cascade && !repageAfterChildren &&
+          (sel.page.offset.isDefined || sel.page.first.isDefined)) {
+        // a parent whose children ALL fall outside the page still
+        // renders, children omitted (reference
+        // TestToFastJSONFirstOffsetOutOfBound)
+        val lost = df.join(cur.select(qcol(uidCol)).distinct(),
+          Seq(uidCol), "left_anti")
+        cur = cur.unionByName(lost, allowMissingColumns = true)
       }
       cur = cur.drop(sel.order.indices.map(i => s"__wv$i"): _*)
       // JSON rendering keeps the traversal order so child arrays come out
@@ -1783,7 +1838,7 @@ final class DqlExecutor(ts: GraphStore) {
     */
   private def jsonKey(s: Selection): String =
     s.alias.getOrElse(
-      if (s.isCount) s"count(${s.pred})"
+      if (s.isCount) s"count(${if (s.reverse) "~" else ""}${s.pred})"
       else if (s.pred == "val" && s.valRef.isDefined) s"val(${s.valRef.get})"
       else if (s.pred == "math" && s.varName.isDefined) s"val(${s.varName.get})"
       else if (s.langChain.nonEmpty) s"${s.pred}@${s.langChain.mkString(":")}"

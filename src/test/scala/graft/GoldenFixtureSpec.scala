@@ -133,7 +133,26 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(4001, "office", "office 1"), a(4002, "room", "room 1"),
     a(4003, "room", "room 2"), a(4004, "room", ""),
     e(4001, "office.room", 4002), e(4001, "office.room", 4003),
-    e(4001, "office.room", 4004))
+    e(4001, "office.room", 4004),
+    // language-order block (common_test.go:459-468)
+    a(10101, "name_lang", "zon", "sv"), a(10101, "name_lang", "öffnen", "de"),
+    a(10101, "name_lang_index", "zon", "sv"),
+    a(10101, "name_lang_index", "öffnen", "de"),
+    a(10101, "lang_type", "Test"),
+    a(10102, "name_lang", "öppna", "sv"), a(10102, "name_lang", "zumachen", "de"),
+    a(10102, "name_lang_index", "öppna", "sv"),
+    a(10102, "name_lang_index", "zumachen", "de"),
+    a(10102, "lang_type", "Test"),
+    a(1, "address", "31, 32 street, Jupiter"),
+    a(23, "address", "21, mark street, Mars"),
+    // dob_day / film release dates (common_test.go:627-654)
+    a(1, "dob_day", "1910-01-01"), a(23, "dob_day", "1910-01-02"),
+    a(24, "dob_day", "1909-05-05"), a(25, "dob_day", "1909-01-10"),
+    a(31, "dob_day", "1901-01-15"),
+    a(23, "film.film.initial_release_date", "1900-01-02"),
+    a(24, "film.film.initial_release_date", "1909-05-05"),
+    a(25, "film.film.initial_release_date", "1929-01-10"),
+    a(31, "film.film.initial_release_date", "1801-01-15"))
 
   /** Predicate schema: reference query/common_test.go testSchema (subset). */
   private lazy val schema: SchemaRegistry = {
@@ -164,6 +183,12 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |district: [uid] .
         |county: [uid] .
         |state: [uid] .
+        |address: string @index(term) .
+        |name_lang: string @lang .
+        |lang_type: string @index(exact) .
+        |name_lang_index: string @index(exact) @lang .
+        |dob_day: datetime @index(day) .
+        |film.film.initial_release_date: datetime @index(year) .
         |type SchoolInfo { name abbr school district county state }
         |""".stripMargin)
     new SchemaRegistry(preds.map(p => p.name -> p).toMap,
@@ -1417,6 +1442,446 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |   "model@jp":"プリウス",
         |   "model|type":"Electric","year":2009,
         |   "owner":[{"uid":"0xcb"}]}]}}""".stripMargin)
+  }
+
+  // ---- query2_test.go filter / order / pagination battery ----
+
+  test("golden: TestToFastJSONFilterUID (query2_test.go:19)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(anyofterms(name, "Andrea")) { uid } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne","gender":"female",
+        |  "friend":[{"uid":"0x1f"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterOrUID (query2_test.go:38)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(anyofterms(name, "Andrea")
+        |      or anyofterms(name, "Andrea Rhee")) { uid name } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne","gender":"female","friend":[
+        |  {"uid":"0x18","name":"Glenn Rhee"},{"uid":"0x1f","name":"Andrea"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterOrCount (query2_test.go:59)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    count(friend @filter(anyofterms(name, "Andrea")
+        |      or anyofterms(name, "Andrea Rhee")))
+        |    friend @filter(anyofterms(name, "Andrea")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"count(friend)":2,"friend":[{"name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterOrFirst (query2_test.go:80)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(first:2) @filter(anyofterms(name, "Andrea")
+        |      or anyofterms(name, "Glenn SomethingElse")
+        |      or anyofterms(name, "Daryl")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Glenn Rhee"},{"name":"Daryl Dixon"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterOrOffset (query2_test.go:100)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(offset:1) @filter(anyofterms(name, "Andrea")
+        |      or anyofterms(name, "Glenn Rhee")
+        |      or anyofterms(name, "Daryl Dixon")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Daryl Dixon"},{"name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFiltergeName (query2_test.go:120)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { friend @filter(ge(name, "Rick")) { name } } }""",
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes"}]}]}}""")
+  }
+
+  test("golden: TestToFastJSONFilterLtAlias (query2_test.go:137)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    friend(orderasc: alias) @filter(lt(alias, "Pat")) { alias } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"alias":"Allan Matt"},{"alias":"Bob Joe"},
+        |  {"alias":"John Alice"},{"alias":"John Oliver"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterge1 (query2_test.go:158)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(ge(dob, "1909-05-05")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterGt (query2_test.go:198)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(gt(dob, "1909-05-05")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterle (query2_test.go:218)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(le(dob, "1909-01-10")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Daryl Dixon"},{"name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterLt (query2_test.go:238)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(lt(dob, "1909-01-10")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterEqualNoHit (query2_test.go:258)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(eq(dob, "1909-03-20")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestToFastJSONFilterEqualName (query2_test.go:276)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(eq(name, "Daryl Dixon")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Daryl Dixon"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterEqualNameNoHit (query2_test.go:295)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(eq(name, "Daryl")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestToFastJSONFilterEqual (query2_test.go:313)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(eq(dob, "1909-01-10")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Daryl Dixon"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONOrderName (query2_test.go:332)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name friend(orderasc: alias) { alias } } }""",
+      """{"data":{"me":[{"friend":[{"alias":"Allan Matt"},{"alias":"Bob Joe"},
+        |  {"alias":"John Alice"},{"alias":"John Oliver"},{"alias":"Zambo Alice"}],
+        |  "name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONOrderNameDesc (query2_test.go:350)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name friend(orderdesc: alias) { alias } } }""",
+      """{"data":{"me":[{"friend":[{"alias":"Zambo Alice"},{"alias":"John Oliver"},
+        |  {"alias":"John Alice"},{"alias":"Bob Joe"},{"alias":"Allan Matt"}],
+        |  "name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONOrderName1 (query2_test.go:368)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name friend(orderasc: name ) { name } } }""",
+      """{"data":{"me":[{"friend":[{"name":"Andrea"},{"name":"Daryl Dixon"},
+        |  {"name":"Glenn Rhee"},{"name":"Rick Grimes"}],"name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterleOrder (query2_test.go:402)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(orderasc: dob) @filter(le(dob, "1909-03-20")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Andrea"},{"name":"Daryl Dixon"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFiltergeNoResult (query2_test.go:430)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(ge(dob, "1999-03-20")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestToFastJSONFirstOffsetOutOfBound (query2_test.go:449)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(offset:100, first:1) { name } } }""".stripMargin,
+      """{"data":{"me":[{"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestToFastJSONFirstOffset (query2_test.go:469)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(offset:1, first:1) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Glenn Rhee"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterOrFirstOffset (query2_test.go:489)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(offset:1, first:1) @filter(anyofterms(name, "Andrea")
+        |      or anyofterms(name, "SomethingElse Rhee")
+        |      or anyofterms(name, "Daryl Dixon")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Daryl Dixon"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterleFirstOffset (query2_test.go:509)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(offset:1, first:1) @filter(le(dob, "1909-03-20")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterOrFirstOffsetCount (query2_test.go:529)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    count(friend(offset:1, first:1) @filter(anyofterms(name, "Andrea")
+        |      or anyofterms(name, "SomethingElse Rhee")
+        |      or anyofterms(name, "Daryl Dixon"))) } }""".stripMargin,
+      """{"data":{"me":[{"count(friend)":1,"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestToFastJSONFilterOrFirstNegative (query2_test.go:546)") {
+    // negative first ignores offset and takes the LAST |first| items
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(first:-1, offset:0) @filter(anyofterms(name, "Andrea")
+        |      or anyofterms(name, "Glenn Rhee")
+        |      or anyofterms(name, "Daryl Dixon")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterNot1 (query2_test.go:566)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(not anyofterms(name, "Andrea rick")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"gender":"female","name":"Michonne",
+        |  "friend":[{"name":"Glenn Rhee"},{"name":"Daryl Dixon"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterNot2 (query2_test.go:584)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(not anyofterms(name, "Andrea")
+        |      and anyofterms(name, "Glenn Andrea")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"gender":"female","name":"Michonne",
+        |  "friend":[{"name":"Glenn Rhee"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterNot3 (query2_test.go:602)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(not (anyofterms(name, "Andrea")
+        |      or anyofterms(name, "Glenn Rick Andrea"))) { name } } }""".stripMargin,
+      """{"data":{"me":[{"gender":"female","name":"Michonne",
+        |  "friend":[{"name":"Daryl Dixon"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterNot4 (query2_test.go:620)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend (first:2) @filter(not anyofterms(name, "Andrea")
+        |      and not anyofterms(name, "glenn")
+        |      and not anyofterms(name, "rick")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"gender":"female","name":"Michonne",
+        |  "friend":[{"name":"Daryl Dixon"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterAnd (query2_test.go:673)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(anyofterms(name, "Andrea")
+        |      and anyofterms(name, "SomethingElse Rhee")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne","gender":"female"}]}}""")
+  }
+
+  test("golden: TestCountReverseFunc (query2_test.go:692)") {
+    checkGolden(
+      """{ me(func: ge(count(~friend), 2)) { name count(~friend) } }""",
+      """{"data":{"me":[{"name":"Glenn Rhee","count(~friend)":2}]}}""")
+  }
+
+  test("golden: TestCountReverseFilter (query2_test.go:708)") {
+    checkGolden(
+      """{ me(func: anyofterms(name, "Glenn Michonne Rick"))
+        |    @filter(ge(count(~friend), 2)) { name count(~friend) } }""".stripMargin,
+      """{"data":{"me":[{"name":"Glenn Rhee","count(~friend)":2}]}}""")
+  }
+
+  test("golden: TestCountReverse (query2_test.go:724)") {
+    checkGolden(
+      """{ me(func: uid(0x18)) { name count(~friend) } }""",
+      """{"data":{"me":[{"name":"Glenn Rhee","count(~friend)":2}]}}""")
+  }
+
+  test("golden: TestToFastJSONReverse (query2_test.go:740)") {
+    checkGolden(
+      """{ me(func: uid(0x18)) { name ~friend { name gender alive } } }""",
+      """{"data":{"me":[{"name":"Glenn Rhee","~friend":[
+        |  {"alive":true,"gender":"female","name":"Michonne"},
+        |  {"alive":false,"name":"Andrea"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONReverseFilter (query2_test.go:759)") {
+    checkGolden(
+      """{ me(func: uid(0x18)) {
+        |    name ~friend @filter(allofterms(name, "Andrea")) { name gender } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Glenn Rhee","~friend":[{"name":"Andrea"}]}]}}""")
+  }
+
+  test("golden: TestToFastJSONOrder (query2_test.go:786)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender friend(orderasc: dob) { name dob } } }""",
+      """{"data":{"me":[{"name":"Michonne","gender":"female","friend":[
+        |  {"name":"Andrea","dob":"1901-01-15T00:00:00Z"},
+        |  {"name":"Daryl Dixon","dob":"1909-01-10T00:00:00Z"},
+        |  {"name":"Glenn Rhee","dob":"1909-05-05T00:00:00Z"},
+        |  {"name":"Rick Grimes","dob":"1910-01-02T00:00:00Z"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONOrderDesc1 (query2_test.go:807)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender friend(orderdesc: dob) { name dob } } }""",
+      """{"data":{"me":[{"friend":[
+        |  {"dob":"1910-01-02T00:00:00Z","name":"Rick Grimes"},
+        |  {"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},
+        |  {"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},
+        |  {"dob":"1901-01-15T00:00:00Z","name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONOrderDesc2 (query2_test.go:828)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender friend(orderdesc: dob_day) { name dob } } }""",
+      """{"data":{"me":[{"friend":[
+        |  {"dob":"1910-01-02T00:00:00Z","name":"Rick Grimes"},
+        |  {"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},
+        |  {"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},
+        |  {"dob":"1901-01-15T00:00:00Z","name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONFilterge2 (query2_test.go:178)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(ge(dob_day, "1909-05-05")) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestLanguageOrderNonIndexed1/2 (query2_test.go:849,872)") {
+    checkGolden(
+      """{ q(func:eq(lang_type, "Test"), orderasc: name_lang@de) {
+        |    name_lang@de name_lang@sv } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name_lang@de":"öffnen","name_lang@sv":"zon"},
+        |  {"name_lang@de":"zumachen","name_lang@sv":"öppna"}]}}""".stripMargin)
+    checkGolden(
+      """{ q(func:eq(lang_type, "Test"), orderasc: name_lang@sv) {
+        |    name_lang@de name_lang@sv } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name_lang@de":"öffnen","name_lang@sv":"zon"},
+        |  {"name_lang@de":"zumachen","name_lang@sv":"öppna"}]}}""".stripMargin)
+  }
+
+  test("golden: TestLanguageOrderIndexed1-6 (query2_test.go:895)") {
+    def q(ord: String) =
+      s"""{ q(func:eq(lang_type, "Test"), $ord) {
+         |    name_lang_index@de name_lang_index@sv } }""".stripMargin
+    val asc =
+      """{"data":{"q":[
+        |  {"name_lang_index@de":"öffnen","name_lang_index@sv":"zon"},
+        |  {"name_lang_index@de":"zumachen","name_lang_index@sv":"öppna"}]}}""".stripMargin
+    val desc =
+      """{"data":{"q":[
+        |  {"name_lang_index@de":"zumachen","name_lang_index@sv":"öppna"},
+        |  {"name_lang_index@de":"öffnen","name_lang_index@sv":"zon"}]}}""".stripMargin
+    checkGolden(q("orderasc: name_lang_index@de"), asc)
+    checkGolden(q("orderasc: name_lang_index@sv"), asc)
+    // bare / unknown-tag order keys are null for every node → uid order
+    checkGolden(q("orderasc: name_lang_index"), asc)
+    checkGolden(q("orderasc: name_lang_index@hi"), asc)
+    checkGolden(q("orderdesc: name_lang_index@de"), desc)
+    checkGolden(q("orderdesc: name_lang_index@sv"), desc)
+  }
+
+  test("golden: TestLanguageOrderIndexedPaginationOffset (query2_test.go:1040)") {
+    checkGolden(
+      """{ q(func:eq(lang_type, "Test"), orderasc: name_lang_index@sv,
+        |    first: 1, offset: 1) {
+        |    name_lang_index@de name_lang_index@sv } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"name_lang_index@de":"zumachen","name_lang_index@sv":"öppna"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONOrderDesc_pawan (query2_test.go:1062)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(orderdesc: film.film.initial_release_date) {
+        |      name film.film.initial_release_date } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[
+        |  {"film.film.initial_release_date":"1929-01-10T00:00:00Z","name":"Daryl Dixon"},
+        |  {"film.film.initial_release_date":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},
+        |  {"film.film.initial_release_date":"1900-01-02T00:00:00Z","name":"Rick Grimes"},
+        |  {"film.film.initial_release_date":"1801-01-15T00:00:00Z","name":"Andrea"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONOrderDedup (query2_test.go:1104)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    friend(orderasc: name) { dob name } gender name } }""".stripMargin,
+      """{"data":{"me":[{"friend":[
+        |  {"dob":"1901-01-15T00:00:00Z","name":"Andrea"},
+        |  {"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},
+        |  {"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},
+        |  {"dob":"1910-01-02T00:00:00Z","name":"Rick Grimes"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONOrderDescCount (query2_test.go:1127)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    count(friend @filter(anyofterms(name, "Rick")) (orderasc: dob)) } }""".stripMargin,
+      """{"data":{"me":[{"count(friend)":1,"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestToFastJSONOrderOffset (query2_test.go:1146)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(orderasc: dob, offset: 2) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Glenn Rhee"},{"name":"Rick Grimes"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestToFastJSONOrderOffsetCount (query2_test.go:1167)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(orderasc: dob, offset: 2, first: 1) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Glenn Rhee"}],
+        |  "gender":"female","name":"Michonne"}]}}""".stripMargin)
+  }
+
+  test("golden: TestSchema1 (query2_test.go:1188)") {
+    checkGolden(
+      """{ person(func: uid(0x01)) {
+        |    name age address alive survival_rate
+        |    friend { name address age } } }""".stripMargin,
+      """{"data":{"person":[{"address":"31, 32 street, Jupiter","age":38,
+        |  "alive":true,"friend":[
+        |    {"address":"21, mark street, Mars","age":15,"name":"Rick Grimes"},
+        |    {"name":"Glenn Rhee","age":15},{"age":17,"name":"Daryl Dixon"},
+        |    {"age":19,"name":"Andrea"}],
+        |  "name":"Michonne","survival_rate":98.990000}]}}""".stripMargin)
   }
 
   test("backup/restore: goldens replay identically on a restored store; incrementals apply") {
