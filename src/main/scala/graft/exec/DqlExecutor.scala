@@ -293,8 +293,16 @@ final class DqlExecutor(ts: GraphStore) {
       else seedUids(b.func)
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
     // `f as var(func: ...)`: the block's root uid set becomes uid var f
-    // (reference block-level var assignment, query/query.go fillVars)
-    b.blockVar.foreach { v => bindVar(v, frontier) }
+    // (reference block-level var assignment, query/query.go fillVars);
+    // the block's own order/pagination restricts the bound set
+    // (TestGeneratorMultiRootVarOrderOffset)
+    b.blockVar.foreach { v =>
+      bindVar(v,
+        if (b.order.nonEmpty || b.page.first.isDefined ||
+            b.page.offset.isDefined || b.page.after.isDefined)
+          orderAndPage(frontier, "uid", b.order, b.page)
+        else frontier)
+    }
 
     b.recurse match {
       case Some(r) =>
@@ -662,12 +670,18 @@ final class DqlExecutor(ts: GraphStore) {
       attrWhere(fn.pred, v => v.between(
         typedLitC(base, fn.args(0)), typedLitC(base, fn.args(1))),
         untaggedDefault = true)
+    // unqualified term search on a @lang predicate reads the UNTAGGED
+    // tablet only — the per-lang index is reached via pred@tag or
+    // pred@. (reference TestLangBug1295: eq/allofterms(royal_title, x)
+    // misses the @fr value, royal_title@. finds it)
     case "anyofterms" =>
       attrWhere(fn.pred, v => arrays_overlap(split(lower(v), " "),
-        array(tokens(fn.args.head).map(lit(_)): _*)))
+        array(tokens(fn.args.head).map(lit(_)): _*)),
+        untaggedDefault = true)
     case "allofterms" =>
       attrWhere(fn.pred, v => forall(array(tokens(fn.args.head).map(lit(_)): _*),
-        t => array_contains(split(lower(v), " "), t)))
+        t => array_contains(split(lower(v), " "), t)),
+        untaggedDefault = true)
     case "regexp" =>
       attrWhere(fn.pred, v => v.rlike(fn.args.head))
     case "anyoftext" =>
@@ -755,6 +769,9 @@ final class DqlExecutor(ts: GraphStore) {
     val base = ts.attr(p)
     if (!base.columns.contains("lang")) base
     else tag match {
+      // eq(royal_title@., x): '.' (and '*') searches EVERY variant —
+      // the reference iterates values in all languages (TestLangBug1295)
+      case Some(".") | Some("*") => base
       case Some(t) => base.filter(col("lang") === t)
       case None if untaggedDefault && schema.pred(p).lang =>
         base.filter(col("lang").isNull)

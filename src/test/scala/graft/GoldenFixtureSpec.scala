@@ -116,6 +116,21 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(25, "alias_lang", "Bob Joe", "en"),
     a(31, "alias_lang", "Allan Matt", "en"),
     a(101, "alias_lang", "John Oliver", "en"),
+    a(5010, "nick_name", "Two Terms"),
+    a(65536, "royal_title", "Her Majesty Elizabeth the Second, by the Grace of God of the United Kingdom of Great Britain and Northern Ireland and of Her other Realms and Territories Queen, Head of the Commonwealth, Defender of the Faith", "en"),
+    a(65536, "royal_title", "Sa Majesté Elizabeth Deux, par la grâce de Dieu Reine du Royaume-Uni, du Canada et de ses autres royaumes et territoires, Chef du Commonwealth, Défenseur de la Foi", "fr"),
+    // badger name lang variants (common_test.go:430-441)
+    a(4097, "name", "Badger"),
+    a(4097, "name", "European badger", "en"),
+    a(4097, "name", "European badger barger European", "xx"),
+    a(4097, "name", "Borsuk europejski", "pl"),
+    a(4097, "name", "Europäischer Dachs", "de"),
+    a(4097, "name", "Барсук", "ru"),
+    a(4097, "name", "Blaireau européen", "fr"),
+    a(4098, "name", "Honey badger", "en"),
+    a(4099, "name", "Honey bee", "en"),
+    a(4100, "name", "Artem Tkachenko", "en"),
+    a(4100, "name", "Артём Ткаченко", "ru"),
     // lossy lang variants (common_test.go:642-649)
     a(4097, "lossy", "Badger"),
     a(4097, "lossy", "European badger", "en"),
@@ -143,6 +158,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(10102, "name_lang_index", "öppna", "sv"),
     a(10102, "name_lang_index", "zumachen", "de"),
     a(10102, "lang_type", "Test"),
+    a(110, "name", "Alice"),
     a(1, "address", "31, 32 street, Jupiter"),
     a(23, "address", "21, mark street, Mars"),
     // dob_day / film release dates (common_test.go:627-654)
@@ -184,6 +200,8 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |county: [uid] .
         |state: [uid] .
         |address: string @index(term) .
+        |nick_name: string @index(term) .
+        |royal_title: string @index(hash, term, fulltext) @lang .
         |name_lang: string @lang .
         |lang_type: string @index(exact) .
         |name_lang_index: string @index(exact) @lang .
@@ -1882,6 +1900,321 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |    {"name":"Glenn Rhee","age":15},{"age":17,"name":"Daryl Dixon"},
         |    {"age":19,"name":"Andrea"}],
         |  "name":"Michonne","survival_rate":98.990000}]}}""".stripMargin)
+  }
+
+  // ---- query2_test.go multi-query / generator / root-list battery ----
+
+  test("golden: TestMultiQuery (query2_test.go:1210)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne")) { name gender }
+        |  you(func:anyofterms(name, "Andrea")) { name } }""".stripMargin,
+      """{"data":{"me":[{"gender":"female","name":"Michonne"}],
+        |  "you":[{"name":"Andrea"},{"name":"Andrea With no friends"}]}}""".stripMargin)
+  }
+
+  test("golden: TestGenerator (query2_test.go:1263)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne")) { name gender } }""",
+      """{"data":{"me":[{"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRootMultiQueryRootval (query2_test.go:1277)") {
+    checkGolden(
+      """{ friend as var(func:anyofterms(name, "Michonne Rick Glenn")) { name }
+        |  you(func: uid(friend)) { name } }""".stripMargin,
+      """{"data":{"you":[{"name":"Michonne"},{"name":"Rick Grimes"},
+        |  {"name":"Glenn Rhee"}]}}""".stripMargin)
+  }
+
+  test("golden: TestGeneratorMultiRootMultiQueryVarFilter (query2_test.go:1293)") {
+    checkGolden(
+      """{ f as var(func:anyofterms(name, "Michonne Rick Glenn")) { name }
+        |  you(func:anyofterms(name, "Michonne")) {
+        |    friend @filter(uid(f)) { name } } }""".stripMargin,
+      """{"data":{"you":[{"friend":[{"name":"Rick Grimes"},
+        |  {"name":"Glenn Rhee"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestGeneratorMultiRootMultiQueryRootVarFilter (query2_test.go:1312)") {
+    checkGolden(
+      """{ friend as var(func:anyofterms(name, "Michonne Rick Glenn")) { }
+        |  you(func:anyofterms(name, "Michonne Andrea Glenn"))
+        |      @filter(uid(friend)) { name } }""".stripMargin,
+      """{"data":{"you":[{"name":"Michonne"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRootMultiQuery (query2_test.go:1328)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Glenn")) { name }
+        |  you(func: uid(1, 23, 24)) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}],
+        |  "you":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""".stripMargin)
+  }
+
+  test("golden: TestGeneratorMultiRootVarOrderOffset (query2_test.go:1345)") {
+    checkGolden(
+      """{ L as var(func:anyofterms(name, "Michonne Rick Glenn"),
+        |      orderasc: dob, offset:2) { name }
+        |  me(func: uid(L)) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRootVarOrderOffset1 (query2_test.go:1361)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Glenn"),
+        |    orderasc: dob, offset:2) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRootOrderOffset (query2_test.go:1374)") {
+    checkGolden(
+      """{ L as var(func:anyofterms(name, "Michonne Rick Glenn")) { name }
+        |  me(func: uid(L), orderasc: dob, offset:2) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRootOrderdesc (query2_test.go:1389)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Glenn"), orderdesc: dob) { name } }""",
+      """{"data":{"me":[{"name":"Rick Grimes"},{"name":"Michonne"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRootOrder (query2_test.go:1401)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Glenn"), orderasc: dob) { name } }""",
+      """{"data":{"me":[{"name":"Glenn Rhee"},{"name":"Michonne"},{"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRootOffset (query2_test.go:1413)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Glenn"), offset: 1) { name } }""",
+      """{"data":{"me":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRoot (query2_test.go:1425)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Glenn")) { name } }""",
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestRootList (query2_test.go:1440)") {
+    checkGolden(
+      """{ me(func: uid(1, 23, 24)) { name } }""",
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestRootList1 (query2_test.go:1451)") {
+    checkGolden(
+      """{ me(func: uid(0x01, 23, 24, 110)) { name } }""",
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},
+        |  {"name":"Glenn Rhee"},{"name":"Alice"}]}}""".stripMargin)
+  }
+
+  test("golden: TestRootList2 (query2_test.go:1463)") {
+    checkGolden(
+      """{ me(func: uid(0x01, 23, 110, 24)) { name } }""",
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},
+        |  {"name":"Glenn Rhee"},{"name":"Alice"}]}}""".stripMargin)
+  }
+
+  test("golden: TestGeneratorMultiRootFilter1 (query2_test.go:1475)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Daryl Rick Glenn"))
+        |    @filter(le(dob, "1909-01-10")) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Daryl Dixon"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRootFilter2 (query2_test.go:1488)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Glenn"))
+        |    @filter(ge(dob, "1909-01-10")) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestGeneratorMultiRootFilter3 (query2_test.go:1501)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Glenn"))
+        |    @filter(anyofterms(name, "Glenn") and ge(dob, "1909-01-10")) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestGeneratorRootFilterOnCountGt (query2_test.go:1514)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick"))
+        |    @filter(gt(count(friend), 2)) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestGeneratorRootFilterOnCountle (query2_test.go:1536)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick"))
+        |    @filter(le(count(friend), 2)) { name } }""".stripMargin,
+      """{"data":{"me":[{"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestGeneratorRootFilterOnCountChildLevel (query2_test.go:1550)") {
+    checkGolden(
+      """{ me(func: uid(23)) { name
+        |    friend @filter(gt(count(friend), 2)) { name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Michonne"}],"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestGeneratorRootFilterOnCountWithAnd (query2_test.go:1566)") {
+    checkGolden(
+      """{ me(func: uid(23)) { name
+        |    friend @filter(gt(count(friend), 4) and lt(count(friend), 100)) {
+        |      name } } }""".stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Michonne"}],"name":"Rick Grimes"}]}}""")
+  }
+
+  // ---- query2_test.go language battery (badger fixture) ----
+
+  test("golden: TestLangDefault (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name } }""",
+      """{"data":{"me":[{"name":"Badger"}]}}""")
+  }
+
+  test("golden: TestLangMultiple_Alias (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001)) { a: name@pl b: name@cn c: name } }""",
+      """{"data":{"me":[{"c":"Badger","a":"Borsuk europejski"}]}}""")
+  }
+
+  test("golden: TestLangMultiple (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name@pl name } }""",
+      """{"data":{"me":[{"name":"Badger","name@pl":"Borsuk europejski"}]}}""")
+  }
+
+  test("golden: TestLangSingle (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name@pl } }""",
+      """{"data":{"me":[{"name@pl":"Borsuk europejski"}]}}""")
+  }
+
+  test("golden: TestLangSingleFallback (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name@cn } }""",
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestLangMany1-3 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name@ru:en:fr } }""",
+      """{"data":{"me":[{"name@ru:en:fr":"Барсук"}]}}""")
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name@hu:fi:fr } }""",
+      """{"data":{"me":[{"name@hu:fi:fr":"Blaireau européen"}]}}""")
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name@hu:fr:fi } }""",
+      """{"data":{"me":[{"name@hu:fr:fi":"Blaireau européen"}]}}""")
+  }
+
+  test("golden: TestLangManyFallback (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name@hu:fi:cn } }""",
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestLangNoFallbackNoDefault (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name } }""",
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@cn } }""",
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@cn:hi } }""",
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestLangForcedFallbackNoDefault (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@. } }""",
+      """{"data":{"me":[{"name@.":"Artem Tkachenko"}]}}""")
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@cn:. } }""",
+      """{"data":{"me":[{"name@cn:.":"Artem Tkachenko"}]}}""")
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@hi:cn:. } }""",
+      """{"data":{"me":[{"name@hi:cn:.":"Artem Tkachenko"}]}}""")
+  }
+
+  test("golden: TestLangFilterMatch1 (query2_test.go)") {
+    checkGolden(
+      """{ me(func:allofterms(name@pl, "Europejski borsuk")) { name@pl } }""",
+      """{"data":{"me":[{"name@pl":"Borsuk europejski"}]}}""")
+  }
+
+  test("golden: TestLangFilterMismatch1-3,6 (query2_test.go)") {
+    checkGolden(
+      """{ me(func:allofterms(name@pl, "European Badger")) { name@pl } }""",
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ me(func: uid(0x1, 0x2, 0x3, 0x1001))
+        |    @filter(anyofterms(name@pl, "Badger is cool")) { name@pl } }""".stripMargin,
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ me(func: uid(0x1, 0x2, 0x3, 0x1001))
+        |    @filter(allofterms(name@pl, "European borsuk")) { name@pl } }""".stripMargin,
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ me(func: uid(0x1001, 0x1002, 0x1003))
+        |    @filter(lt(name@en, "D")) { name@en } }""".stripMargin,
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestLangFilterMismatch5 (query2_test.go)") {
+    checkGolden(
+      """{ me(func:anyofterms(name@en, "european honey")) { name@en } }""",
+      """{"data":{"me":[{"name@en":"European badger"},{"name@en":"Honey badger"},
+        |  {"name@en":"Honey bee"}]}}""".stripMargin)
+  }
+
+  test("golden: TestEqWithTerm (query2_test.go)") {
+    checkGolden(
+      """{ me(func:eq(nick_name, "Two Terms")) { uid } }""",
+      """{"data":{"me":[{"uid":"0x1392"}]}}""")
+  }
+
+  test("golden: TestLangLossyIndex1-3 (query2_test.go)") {
+    checkGolden(
+      """{ me(func:eq(lossy, "Badger")) { lossy lossy@en } }""",
+      """{"data":{"me":[{"lossy":"Badger","lossy@en":"European badger"}]}}""")
+    checkGolden(
+      """{ me(func:eq(lossy@ru, "Барсук")) { lossy lossy@en } }""",
+      """{"data":{"me":[{"lossy":"Badger","lossy@en":"European badger"}]}}""")
+    checkGolden(
+      """{ me(func:eq(lossy@fr, "Blaireau")) { lossy lossy@en } }""",
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestLangBug1295 (query2_test.go)") {
+    // unqualified eq/allofterms read the untagged rows → no match; @.
+    // searches every variant
+    val title = "Sa Majesté Elizabeth Deux, par la grâce de Dieu Reine du " +
+      "Royaume-Uni, du Canada et de ses autres royaumes et territoires, " +
+      "Chef du Commonwealth, Défenseur de la Foi"
+    val en = "Her Majesty Elizabeth the Second, by the Grace of God of the " +
+      "United Kingdom of Great Britain and Northern Ireland and of Her " +
+      "other Realms and Territories Queen, Head of the Commonwealth, " +
+      "Defender of the Faith"
+    for (f <- Seq("eq", "allofterms")) {
+      checkGolden(
+        s"""{ q(func:$f(royal_title, "$title")) { royal_title@en } }""",
+        """{"data":{"q":[]}}""")
+      checkGolden(
+        s"""{ q(func:$f(royal_title@., "$title")) { royal_title@en } }""",
+        s"""{"data":{"q":[{"royal_title@en":"$en"}]}}""")
+    }
+  }
+
+  test("golden: TestLangDotInFunction (query2_test.go)") {
+    checkGolden(
+      """{ me(func:anyofterms(name@., "europejski honey")) { name@pl name@en } }""",
+      """{"data":{"me":[{"name@pl":"Borsuk europejski","name@en":"European badger"},
+        |  {"name@en":"Honey badger"},{"name@en":"Honey bee"}]}}""".stripMargin)
   }
 
   test("backup/restore: goldens replay identically on a restored store; incrementals apply") {
