@@ -2285,6 +2285,66 @@ final class DqlExecutor(ts: GraphStore) {
         .select(col("uid"), col("json"))
     }
 
+    /** Selection-level `@normalize`: the subtree below this edge
+      * flattens — one FLAT object per result path carrying only the
+      * subtree's ALIASED leaves from every depth, value-less paths
+      * elided, array in uid-chain order (reference
+      * TestNormalizeDirectiveSubQueryLevel1/2, ListAndNonListChild*;
+      * inner @normalize markers inside an already-normalized subtree
+      * add nothing — the whole subtree is one flat namespace).
+      */
+    def normalizedChildFrame(keys: Seq[String], s: Selection,
+        colName: String, outCol: String): DataFrame = {
+      def aliasedIn(sels: Seq[Selection], pfx: String): Seq[(String, String)] =
+        sels.flatMap { c =>
+          val own =
+            if (c.alias.isDefined && !isChild(c) &&
+                flatDf.columns.contains(pfx + c.outName))
+              Seq((pfx + c.outName, c.outName))
+            else Nil
+          own ++ aliasedIn(c.children, pfx + c.outName + "_")
+        }
+      def chainIn(sels: Seq[Selection], pfx: String): Seq[String] =
+        sels.filter(isChild).flatMap { c =>
+          val ec = pfx + c.outName
+          (if (flatDf.columns.contains(ec)) Seq(ec) else Nil) ++
+            chainIn(c.children, pfx + c.outName + "_")
+        }
+      val pfx = colName + "_"
+      val myKeys = keys :+ colName
+      val aliased = aliasedIn(s.children, pfx)
+      val chain = chainIn(s.children, pfx)
+      if (aliased.isEmpty)
+        return flatDf.select(keys.map(qcol): _*).limit(0)
+          .withColumn(outCol, lit(null).cast("string"))
+      var rows = flatDf
+        .select((myKeys ++ chain ++ aliased.map(_._1)).distinct.map(qcol): _*)
+        .filter(qcol(colName).isNotNull)
+        .dropDuplicates(myKeys ++ chain)
+        // a path whose subtree produced no aliased values vanishes
+        .filter(aliased.map(a => qcol(a._1).isNotNull).reduce(_ || _))
+      // per-edge prune, same as block normalize: a traversed nested edge
+      // whose OWN subtree has no aliased values kills the path (the
+      // nameless 0x65 grandchild contributes no flat row)
+      def pruneIn(sels: Seq[Selection], pfx2: String): Unit =
+        sels.filter(isChild).foreach { c =>
+          val ec = pfx2 + c.outName
+          val sub = aliasedIn(c.children, pfx2 + c.outName + "_").map(_._1)
+          if (rows.columns.contains(ec) && sub.nonEmpty)
+            rows = rows.filter(qcol(ec).isNull ||
+              sub.map(qcol(_).isNotNull).reduce(_ || _))
+          pruneIn(c.children, pfx2 + c.outName + "_")
+        }
+      pruneIn(s.children, pfx)
+      val payload = struct(aliased.map { case (c, a) => qcol(c).as(a) }: _*)
+      val ordKey = struct((colName +: chain).map(c =>
+        coalesce(qcol(c).cast("long"), lit(Long.MaxValue))): _*)
+      rows.groupBy(keys.map(qcol): _*)
+        .agg(transform(
+          sort_array(collect_list(struct(ordKey.as("o"), payload.as("p")))),
+          x => x.getField("p")).as(outCol))
+    }
+
     /** One row per `keys` (uid chain from the root) with column `outCol`
       * holding selection `s`'s rendered child value: an ordered array of
       * structs for list predicates, a single struct otherwise.
@@ -2295,6 +2355,8 @@ final class DqlExecutor(ts: GraphStore) {
       */
     def childFrame(keys: Seq[String], s: Selection, colName: String,
         outCol: String): DataFrame = {
+      if (s.normalize)
+        return normalizedChildFrame(keys, s, colName, outCol)
       val pfx = colName + "_"
       val rankCol = s"${colName}__rn"
       val myKeys = keys :+ colName

@@ -117,6 +117,17 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(31, "alias_lang", "Allan Matt", "en"),
     a(101, "alias_lang", "John Oliver", "en"),
     a(5010, "nick_name", "Two Terms"),
+    // newname / newfriend / boss normalize block (common_test.go:743-779)
+    a(501, "newname", "P1"), a(502, "newname", "P2"), a(503, "newname", "P3"),
+    a(504, "newname", "P4"), a(505, "newname", "P5"), a(506, "newname", "P6"),
+    a(507, "newname", "P7"), a(508, "newname", "P8"), a(509, "newname", "P9"),
+    a(510, "newname", "P10"), a(511, "newname", "P11"), a(512, "newname", "P12"),
+    e(501, "newfriend", 502), e(501, "newfriend", 503), e(501, "boss", 504),
+    e(502, "newfriend", 505), e(502, "newfriend", 506),
+    e(503, "newfriend", 507), e(503, "newfriend", 508),
+    e(504, "newfriend", 509), e(504, "newfriend", 510),
+    e(502, "boss", 510),
+    e(510, "newfriend", 511), e(510, "newfriend", 512),
     a(65536, "royal_title", "Her Majesty Elizabeth the Second, by the Grace of God of the United Kingdom of Great Britain and Northern Ireland and of Her other Realms and Territories Queen, Head of the Commonwealth, Defender of the Faith", "en"),
     a(65536, "royal_title", "Sa Majesté Elizabeth Deux, par la grâce de Dieu Reine du Royaume-Uni, du Canada et de ses autres royaumes et territoires, Chef du Commonwealth, Défenseur de la Foi", "fr"),
     // badger name lang variants (common_test.go:430-441)
@@ -201,6 +212,9 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |state: [uid] .
         |address: string @index(term) .
         |nick_name: string @index(term) .
+        |newname: string @index(exact, term) .
+        |newfriend: [uid] .
+        |boss: uid .
         |royal_title: string @index(hash, term, fulltext) @lang .
         |name_lang: string @lang .
         |lang_type: string @index(exact) .
@@ -2215,6 +2229,161 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """{ me(func:anyofterms(name@., "europejski honey")) { name@pl name@en } }""",
       """{"data":{"me":[{"name@pl":"Borsuk europejski","name@en":"European badger"},
         |  {"name@en":"Honey badger"},{"name@en":"Honey bee"}]}}""".stripMargin)
+  }
+
+  // ---- query2_test.go selection-level @normalize battery ----
+
+  test("golden: TestNormalizeDirectiveSubQueryLevel1 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    mn: name gender
+        |    friend @normalize { n: name dob friend { fn : name } }
+        |    son { sn: name } } }""".stripMargin,
+      """{"data":{"me":[{"mn":"Michonne","gender":"female","friend":[
+        |  {"fn":"Michonne","n":"Rick Grimes"},
+        |  {"n":"Glenn Rhee"},{"n":"Daryl Dixon"},
+        |  {"fn":"Glenn Rhee","n":"Andrea"}],
+        |  "son":[{"sn":"Andre"},{"sn":"Helmut"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestNormalizeDirectiveSubQueryLevel2 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    mn: name gender
+        |    friend {
+        |      n: name dob
+        |      friend @normalize { fn : name dob friend { ffn: name } } }
+        |    son { sn: name } } }""".stripMargin,
+      """{"data":{"me":[{
+        |  "friend":[
+        |    {"dob":"1910-01-02T00:00:00Z","friend":[
+        |      {"ffn":"Rick Grimes","fn":"Michonne"},
+        |      {"ffn":"Glenn Rhee","fn":"Michonne"},
+        |      {"ffn":"Daryl Dixon","fn":"Michonne"},
+        |      {"ffn":"Andrea","fn":"Michonne"}],
+        |     "n":"Rick Grimes"},
+        |    {"dob":"1909-05-05T00:00:00Z","n":"Glenn Rhee"},
+        |    {"dob":"1909-01-10T00:00:00Z","n":"Daryl Dixon"},
+        |    {"dob":"1901-01-15T00:00:00Z","friend":[
+        |      {"fn":"Glenn Rhee"}],"n":"Andrea"}],
+        |  "gender":"female","mn":"Michonne",
+        |  "son":[{"sn":"Andre"},{"sn":"Helmut"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestNormalizeDirectiveRootSubQueryLevel2 (query2_test.go)") {
+    // block-level @normalize; the inner marker is ignored
+    checkGolden(
+      """{ me(func: uid(0x01)) @normalize {
+        |    mn: name gender
+        |    friend { n: name dob friend @normalize { fn : name } }
+        |    son { sn: name } } }""".stripMargin,
+      """{"data":{"me":[
+        |  {"fn":"Michonne","mn":"Michonne","n":"Rick Grimes","sn":"Andre"},
+        |  {"fn":"Michonne","mn":"Michonne","n":"Rick Grimes","sn":"Helmut"},
+        |  {"mn":"Michonne","n":"Glenn Rhee","sn":"Andre"},
+        |  {"mn":"Michonne","n":"Glenn Rhee","sn":"Helmut"},
+        |  {"mn":"Michonne","n":"Daryl Dixon","sn":"Andre"},
+        |  {"mn":"Michonne","n":"Daryl Dixon","sn":"Helmut"},
+        |  {"fn":"Glenn Rhee","mn":"Michonne","n":"Andrea","sn":"Andre"},
+        |  {"fn":"Glenn Rhee","mn":"Michonne","n":"Andrea","sn":"Helmut"}]}}""".stripMargin)
+  }
+
+  test("golden: TestNormalizeDirectiveSubQueryLevel1MultipleUIDs (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(1, 23)) {
+        |    mn: name gender
+        |    friend @normalize { n: name dob friend { fn : name } }
+        |    son { sn: name } } }""".stripMargin,
+      """{"data":{"me":[
+        |  {"friend":[
+        |    {"fn":"Michonne","n":"Rick Grimes"},
+        |    {"n":"Glenn Rhee"},{"n":"Daryl Dixon"},
+        |    {"fn":"Glenn Rhee","n":"Andrea"}],
+        |   "gender":"female","mn":"Michonne",
+        |   "son":[{"sn":"Andre"},{"sn":"Helmut"}]},
+        |  {"friend":[
+        |    {"fn":"Rick Grimes","n":"Michonne"},
+        |    {"fn":"Glenn Rhee","n":"Michonne"},
+        |    {"fn":"Daryl Dixon","n":"Michonne"},
+        |    {"fn":"Andrea","n":"Michonne"}],
+        |   "gender":"male","mn":"Rick Grimes"}]}}""".stripMargin)
+  }
+
+  test("golden: TestNormalizeDirectiveMultipleQuery (query2_test.go:2283)") {
+    checkGolden(
+      """{ me(func: uid(1)) @normalize {
+        |    mn: name gender
+        |    friend { n: name dob friend { fn : name } }
+        |    son { sn: name } }
+        |  me2(func: uid(1)) {
+        |    mn: name gender
+        |    friend @normalize { n: name dob friend { fn : name } }
+        |    son { sn: name } } }""".stripMargin,
+      """{"data":{"me":[
+        |  {"fn":"Michonne","mn":"Michonne","n":"Rick Grimes","sn":"Andre"},
+        |  {"fn":"Michonne","mn":"Michonne","n":"Rick Grimes","sn":"Helmut"},
+        |  {"mn":"Michonne","n":"Glenn Rhee","sn":"Andre"},
+        |  {"mn":"Michonne","n":"Glenn Rhee","sn":"Helmut"},
+        |  {"mn":"Michonne","n":"Daryl Dixon","sn":"Andre"},
+        |  {"mn":"Michonne","n":"Daryl Dixon","sn":"Helmut"},
+        |  {"fn":"Glenn Rhee","mn":"Michonne","n":"Andrea","sn":"Andre"},
+        |  {"fn":"Glenn Rhee","mn":"Michonne","n":"Andrea","sn":"Helmut"}],
+        |  "me2":[{
+        |    "friend":[
+        |      {"fn":"Michonne","n":"Rick Grimes"},
+        |      {"n":"Glenn Rhee"},{"n":"Daryl Dixon"},
+        |      {"fn":"Glenn Rhee","n":"Andrea"}],
+        |    "gender":"female","mn":"Michonne",
+        |    "son":[{"sn":"Andre"},{"sn":"Helmut"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestNormalizeDirectiveListAndNonListChild1 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(501, 502)) {
+        |    mn: newname
+        |    newfriend @normalize {
+        |      fn: newname
+        |      newfriend @normalize { ffn: newname } }
+        |    boss @normalize { bn: newname newfriend { bfn: newname } } } }""".stripMargin,
+      """{"data":{"me":[
+        |  {"mn":"P1","newfriend":[
+        |    {"ffn":"P5","fn":"P2"},{"ffn":"P6","fn":"P2"},
+        |    {"ffn":"P7","fn":"P3"},{"ffn":"P8","fn":"P3"}],
+        |   "boss":[{"bfn":"P9","bn":"P4"},{"bfn":"P10","bn":"P4"}]},
+        |  {"mn":"P2","newfriend":[{"fn":"P5"},{"fn":"P6"}],
+        |   "boss":[{"bfn":"P11","bn":"P10"},{"bfn":"P12","bn":"P10"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestNormalizeDirectiveListAndNonListChild2 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(501, 502)) {
+        |    mn: newname
+        |    newfriend @normalize {
+        |      fn: newname
+        |      boss @normalize { bn: newname newfriend { bfn: newname } } } } }""".stripMargin,
+      """{"data":{"me":[
+        |  {"mn":"P1","newfriend":[
+        |    {"bfn":"P11","bn":"P10","fn":"P2"},
+        |    {"bfn":"P12","bn":"P10","fn":"P2"},
+        |    {"fn":"P3"}]},
+        |  {"mn":"P2","newfriend":[{"fn":"P5"},{"fn":"P6"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestNormalizeDirectiveListAndNonListChild3 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(501, 502)) {
+        |    mn: newname
+        |    boss @normalize {
+        |      bn: newname
+        |      newfriend @normalize {
+        |        bfn: newname newfriend { bffn: newname } } } } }""".stripMargin,
+      """{"data":{"me":[
+        |  {"mn":"P1","boss":[
+        |    {"bfn":"P9","bn":"P4"},
+        |    {"bffn":"P11","bfn":"P10","bn":"P4"},
+        |    {"bffn":"P12","bfn":"P10","bn":"P4"}]},
+        |  {"mn":"P2","boss":[
+        |    {"bfn":"P11","bn":"P10"},{"bfn":"P12","bn":"P10"}]}]}}""".stripMargin)
   }
 
   test("backup/restore: goldens replay identically on a restored store; incrementals apply") {
