@@ -587,7 +587,16 @@ final class DqlExecutor(ts: GraphStore) {
           s"uid($bad): not a literal uid and no variable '$bad' is bound " +
             s"(bound: ${vars.keys.mkString(", ")})")
       }
-      val dfs = varRefs.map(v => vars(v).select(col("uid"))) ++
+      val dfs = varRefs.map { v =>
+        val vf = vars(v)
+        if (vf.columns.contains("uid")) vf.select(col("uid"))
+        else
+          // a SCALAR var (`f as count(uid)`) lives under the sentinel
+          // key MaxUint64 in the reference's aggregate var map — so
+          // uid(f) resolves to exactly ONE synthetic uid
+          // (TestCountUIDWithVar golden: count(uid) over uid(total) = 1)
+          vf.limit(1).select(lit(Long.MaxValue).as("uid"))
+      } ++
         (if (lits.nonEmpty) Seq(lits.map(parseUid).toDF("uid")) else Nil)
       require(dfs.nonEmpty, s"uid() with no resolvable args: ${fn.args}")
       dfs.reduce(_ unionByName _).distinct()
@@ -1481,11 +1490,22 @@ final class DqlExecutor(ts: GraphStore) {
         .dropDuplicates("uid"))
     }
     cur = cur.drop(needFt.map(k => s"__ft_$k"): _*)
-    if (sel.children.nonEmpty)
+    if (sel.children.nonEmpty) {
       // child-level @cascade: this subtree prunes like a cascade block
       // (reference TestFacetsNestedCascade)
-      cur = project(cur, name, sel.children, cascade || sel.selCascade,
+      val sub = project(cur, name, sel.children, cascade || sel.selCascade,
         s"${name}_", detached)
+      cur =
+        if (sel.selCascade && !cascade) {
+          // selection-level @cascade prunes only THIS subtree: a parent
+          // whose every edge target failed the cascade still renders,
+          // edge key omitted — the directive never propagates above its
+          // selection (reference TestCascadeSubQuery1/2)
+          val lost = df.join(sub.select(qcol(uidCol)).distinct(),
+            Seq(uidCol), "left_anti")
+          sub.unionByName(lost, allowMissingColumns = true)
+        } else sub
+    }
     if (repageAfterChildren) {
       // re-rank what survived the cascade: dense_rank over the
       // pre-pruning adjacency order gives each remaining child its
@@ -2537,15 +2557,18 @@ final class DqlExecutor(ts: GraphStore) {
     } else orderAndPage(assembled, "uid", b.order, Pagination())
     if (countSels.isEmpty) ordered
     else {
-      // count(uid) at root: ONE {"count": n} object (alias honored),
-      // FIRST in the block array (reference TestCountAtRoot3 — the count
-      // object precedes the per-uid objects); n is the filtered frontier
-      // size. A block whose every selection is count(uid) renders the
-      // count object alone (TestCountAtRoot).
+      // count(uid) at root: one {"count": n} object PER count entry
+      // (alias honored), FIRST in the block array (reference
+      // TestCountAtRoot3 — count objects precede the per-uid objects;
+      // TestCountUIDWithMultipleCountAndAlias — each aliased count is
+      // its own object); n is the filtered frontier size. A block whose
+      // every selection is count(uid) renders the counts alone
+      // (TestCountAtRoot).
       val cntRow = flatDf.agg(countDistinct(col("uid")).as("__c"))
         .select(lit(Long.MinValue).as("uid"),
-          to_json(struct(countSels.map(c =>
-            col("__c").as(c.alias.getOrElse("count"))): _*)).as("json"))
+          explode(array(countSels.map(c =>
+            to_json(struct(col("__c").as(c.alias.getOrElse("count"))))): _*))
+            .as("json"))
       val pureCount = b2.selections.isEmpty && gbSels.isEmpty
       if (pureCount) cntRow else cntRow.unionByName(ordered)
     }

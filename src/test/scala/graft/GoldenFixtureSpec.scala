@@ -179,7 +179,40 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(23, "film.film.initial_release_date", "1900-01-02"),
     a(24, "film.film.initial_release_date", "1909-05-05"),
     a(25, "film.film.initial_release_date", "1929-01-10"),
-    a(31, "film.film.initial_release_date", "1801-01-15"))
+    a(31, "film.film.initial_release_date", "1801-01-15"),
+    // remaining populateCluster name inventory (common_test.go:403-484)
+    // so the worker-pagination has(name) battery sees the full corpus
+    a(11, "name", "name"),
+    a(2301, "name", "Alice\\\""),
+    a(3501, "name", "Alex"), a(3501, "name", "Alex", "en"),
+    a(5101, "name", "Googleplex"), a(5102, "name", "Shoreline Amphitheater"),
+    a(5103, "name", "San Carlos Airport"), a(5104, "name", "SF Bay area"),
+    a(5105, "name", "Mountain View"), a(5106, "name", "San Carlos"),
+    a(5107, "name", "New York"),
+    a(8192, "name", "Regex Master"),
+    a(56, "name", "F"), a(57, "name", "G"), a(58, "name", "H"),
+    a(59, "name", "I"), a(60, "name", "J"),
+    // film graph (common_test.go:469-473, 702-704)
+    a(11000, "name", "Baz Luhrmann", "en"),
+    a(11001, "name", "Strictly Ballroom", "en"),
+    a(11002, "name", "Puccini: La boheme (Sydney Opera)", "en"),
+    a(11003, "name", "No. 5 the film", "en"),
+    e(11000, "director.film", 11001), e(11000, "director.film", 11002),
+    e(11000, "director.film", 11003),
+    // expand self-loop node (common_test.go:473, 706, type Node)
+    a(11100, "name", "expand"), e(11100, "node", 11100),
+    a(11100, "dgraph.type", "Node"),
+    // car fixture (common_test.go:708-729)
+    a(200, "make", "Ford"), a(200, "model", "Focus"), a(200, "year", "2008"),
+    a(200, "dgraph.type", "CarModel"),
+    a(201, "make", "Ford"), a(201, "model", "Focus"), a(201, "year", "2009"),
+    a(201, "dgraph.type", "CarModel"), e(201, "previous_model", 200),
+    a(202, "name", "Car"), a(202, "make", "Toyota"), a(202, "year", "2009"),
+    a(202, "model", "Prius"), a(202, "model", "プリウス", "jp"),
+    e(202, "owner", 203), a(202, "dgraph.type", "CarModel"),
+    a(202, "dgraph.type", "Object"),
+    a(203, "owner_name", "Owner of Prius"), a(203, "dgraph.type", "Person"),
+    a(1, "full_name", "Michonne's large name for hashing"))
 
   /** Predicate schema: reference query/common_test.go testSchema (subset). */
   private lazy val schema: SchemaRegistry = {
@@ -221,7 +254,21 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |name_lang_index: string @index(exact) @lang .
         |dob_day: datetime @index(day) .
         |film.film.initial_release_date: datetime @index(year) .
+        |full_name: string @index(hash) .
+        |node: [uid] .
+        |model: string @index(term) @lang .
+        |make: string @index(term) .
+        |year: int .
+        |previous_model: uid @reverse .
+        |owner: [uid] .
+        |owner_name: string .
+        |director.film: [uid] @reverse .
         |type SchoolInfo { name abbr school district county state }
+        |type Person { name pet friend gender alive }
+        |type Animal { name }
+        |type Node { node name }
+        |type CarModel { make model year previous_model <~previous_model> }
+        |type Object { name owner }
         |""".stripMargin)
     new SchemaRegistry(preds.map(p => p.name -> p).toMap,
       types.map(t => t.name -> t).toMap)
@@ -2941,6 +2988,205 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """{ friend(func: uid(0x01)) {
         |    path @facets(L as weight) { name friend @filter(uid(L)) { name val(L) } } } }""".stripMargin,
       """{"data": {"friend": [{"path": [{"name": "Glenn Rhee","path|weight": 0.2},{"name": "Andrea","friend": [{"name": "Glenn Rhee","val(L)": 0.2}],"path|weight": 0.1}]}]}}""")
+  }
+
+  // ---- query4_test.go selection-level @cascade battery ----
+
+  test("golden: TestCascadeSubQuery1 (query4_test.go:949)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    name full_name gender
+        |    friend @cascade {
+        |      name full_name
+        |      friend { name full_name dob age } } } }""".stripMargin,
+      """{"data":{"me":[{
+        |  "name":"Michonne",
+        |  "full_name":"Michonne's large name for hashing",
+        |  "gender":"female"}]}}""".stripMargin)
+  }
+
+  test("golden: TestCascadeSubQuery2 (query4_test.go:984)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    name full_name gender
+        |    friend {
+        |      name full_name
+        |      friend @cascade { name full_name dob age } } } }""".stripMargin,
+      """{"data":{"me":[{
+        |  "name":"Michonne",
+        |  "full_name":"Michonne's large name for hashing",
+        |  "gender":"female",
+        |  "friend":[
+        |    {"name":"Rick Grimes","friend":[
+        |      {"name":"Michonne",
+        |       "full_name":"Michonne's large name for hashing",
+        |       "dob":"1910-01-01T00:00:00Z","age":38}]},
+        |    {"name":"Glenn Rhee"},
+        |    {"name":"Daryl Dixon"},
+        |    {"name":"Andrea"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestCascadeRepeatedMultipleLevels (query4_test.go:1041)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    name full_name gender
+        |    friend @cascade {
+        |      name full_name
+        |      friend @cascade { name full_name dob age } } } }""".stripMargin,
+      """{"data":{"me":[{
+        |  "name":"Michonne",
+        |  "full_name":"Michonne's large name for hashing",
+        |  "gender":"female"}]}}""".stripMargin)
+  }
+
+  test("golden: TestCascadeSubQueryWithFilter (query4_test.go:1077)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    name full_name gender
+        |    friend {
+        |      name full_name
+        |      friend @cascade @filter(gt(age, 40)) {
+        |        name full_name dob age } } } }""".stripMargin,
+      """{"data":{"me":[{
+        |  "name":"Michonne",
+        |  "full_name":"Michonne's large name for hashing",
+        |  "gender":"female",
+        |  "friend":[
+        |    {"name":"Rick Grimes"},
+        |    {"name":"Glenn Rhee"},
+        |    {"name":"Daryl Dixon"},
+        |    {"name":"Andrea"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestCascadeSubQueryWithVars1 (query4_test.go:1126)") {
+    checkGolden(
+      """{ him(func: uid(0x01)) {
+        |    L as friend {
+        |      B as friend @cascade { name } } }
+        |  me(func: uid(L, B)) { name } }""".stripMargin,
+      """{"data":{
+        |  "him":[{"friend":[
+        |    {"friend":[{"name":"Michonne"}]},
+        |    {"friend":[{"name":"Glenn Rhee"}]}]}],
+        |  "me":[
+        |    {"name":"Michonne"},{"name":"Rick Grimes"},
+        |    {"name":"Glenn Rhee"},{"name":"Daryl Dixon"},
+        |    {"name":"Andrea"}]}}""".stripMargin)
+  }
+
+  test("golden: TestCascadeSubQueryWithVars2 (query4_test.go:1187)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) {
+        |    L as friend @cascade { B as friend } }
+        |  me(func: uid(L, B)) { name } }""".stripMargin,
+      """{"data":{"me":[
+        |  {"name":"Michonne"},{"name":"Rick Grimes"},
+        |  {"name":"Glenn Rhee"},{"name":"Andrea"}]}}""".stripMargin)
+  }
+
+  test("golden: TestCascadeSubQueryMultiUid (query4_test.go:1223)") {
+    checkGolden(
+      """{ me(func: uid(0x01, 0x02, 0x03)) {
+        |    name full_name gender
+        |    friend @cascade {
+        |      name full_name
+        |      friend { name full_name dob age } } } }""".stripMargin,
+      """{"data":{"me":[
+        |  {"name":"Michonne",
+        |   "full_name":"Michonne's large name for hashing",
+        |   "gender":"female"},
+        |  {"name":"King Lear"},
+        |  {"name":"Margaret"}]}}""".stripMargin)
+  }
+
+  // ---- query4_test.go count(uid) battery ----
+
+  test("golden: TestCountUIDWithOneUID (query4_test.go:1266)") {
+    checkGolden("{ q(func: uid(1)) { count(uid) } }",
+      """{"data": {"q": [{"count": 1}]}}""")
+  }
+
+  test("golden: TestCountUIDWithMultipleUIDs (query4_test.go:1276)") {
+    checkGolden("{ q(func: uid(1, 2, 3)) { count(uid) } }",
+      """{"data": {"q": [{"count": 3}]}}""")
+  }
+
+  test("golden: TestCountUIDWithPredicate (query4_test.go:1286)") {
+    checkGolden("{ q(func: uid(1, 2, 3)) { name count(uid) } }",
+      """{"data":{"q":[
+        |  {"count":3},
+        |  {"name":"Michonne"},{"name":"King Lear"},{"name":"Margaret"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestCountUIDWithAlias (query4_test.go:1314)") {
+    checkGolden("{ q(func: uid(1, 2, 3)) { total: count(uid) } }",
+      """{"data": {"q": [{"total": 3}]}}""")
+  }
+
+  test("golden: TestCountUIDWithVar (query4_test.go:1324)") {
+    checkGolden(
+      """{ var(func: uid(1, 2, 3)) { total as count(uid) }
+        |  q(func: uid(total)) { count(uid) } }""".stripMargin,
+      """{"data": {"q": [{"count": 1}]}}""")
+  }
+
+  test("golden: TestCountUIDWithParentAlias (query4_test.go:1338)") {
+    checkGolden(
+      """{ total1 as var(func: uid(1, 2, 3)) { total2 as count(uid) }
+        |  q1(func: uid(total1)) { count(uid) }
+        |  q2(func: uid(total2)) { count(uid) } }""".stripMargin,
+      """{"data": {"q1": [{"count": 3}], "q2": [{"count": 1}]}}""")
+  }
+
+  test("golden: TestCountUIDWithMultipleCountAndAlias (query4_test.go:1367)") {
+    checkGolden(
+      "{ q(func: uid(1, 2, 3)) { total1: count(uid) total2: count(uid) } }",
+      """{"data": {"q": [{"total1": 3},{"total2": 3}]}}""")
+  }
+
+  test("golden: TestCountUIDWithMultipleCountAndAliasAndPredicate (query4_test.go:1378)") {
+    checkGolden(
+      "{ q(func: uid(1, 2, 3)) { name total1: count(uid) total2: count(uid) } }",
+      """{"data":{"q":[
+        |  {"total1":3},{"total2":3},
+        |  {"name":"Michonne"},{"name":"King Lear"},{"name":"Margaret"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestCountUIDNested (query4_test.go:1410)") {
+    checkGolden(
+      """{ q(func: uid(1, 2, 3)) {
+        |    total1: count(uid) total2: count(uid)
+        |    friend { name count(uid) } } }""".stripMargin,
+      """{"data":{"q":[
+        |  {"total1":3},{"total2":3},
+        |  {"friend":[
+        |    {"name":"Rick Grimes"},{"name":"Glenn Rhee"},
+        |    {"name":"Daryl Dixon"},{"name":"Andrea"},
+        |    {"count":5}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestCountUIDNestedMultiple (query4_test.go:1455)") {
+    checkGolden(
+      """{ q(func: has(friend)) {
+        |    count(uid)
+        |    friend { name count(uid) friend { name count(uid) } } } }"""
+        .stripMargin,
+      """{"data":{"q":[
+        |  {"count":3},
+        |  {"friend":[
+        |    {"name":"Rick Grimes","friend":[{"name":"Michonne"},{"count":1}]},
+        |    {"name":"Glenn Rhee"},
+        |    {"name":"Daryl Dixon"},
+        |    {"name":"Andrea","friend":[{"name":"Glenn Rhee"},{"count":1}]},
+        |    {"count":5}]},
+        |  {"friend":[
+        |    {"name":"Michonne","friend":[
+        |      {"name":"Rick Grimes"},{"name":"Glenn Rhee"},
+        |      {"name":"Daryl Dixon"},{"name":"Andrea"},{"count":5}]},
+        |    {"count":1}]},
+        |  {"friend":[{"name":"Glenn Rhee"},{"count":1}]}]}}""".stripMargin)
   }
 
 }
