@@ -74,7 +74,10 @@ final case class Selection(
   * sqrt floor ceil since u-`, n-ary `min max`, ternary `cond`).
   */
 sealed trait MathNode
-final case class MathNum(v: Double) extends MathNode
+// isInt: the literal was written without '.'/'e' — integer-typed math
+// follows the reference's typed evaluation (query/math.go: int ops on
+// int operands, incl. truncating division)
+final case class MathNum(v: Double, isInt: Boolean = false) extends MathNode
 final case class MathRef(name: String) extends MathNode
 final case class MathBin(op: String, l: MathNode, r: MathNode) extends MathNode
 final case class MathFunc(name: String, args: Seq[MathNode]) extends MathNode

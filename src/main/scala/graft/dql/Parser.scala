@@ -382,13 +382,28 @@ object Parser {
       }
       if (name == "expand" && peek == Punct("(")) {
         next()
-        val arg = ident() // _all_ or a type name
+        // _all_ or comma-separated type names (reference
+        // TestTypeExpandMultipleExplicitTypes: expand(CarModel, Object))
+        var arg = ident()
+        while (peek == Punct(",")) { next(); arg += ", " + ident() }
         expect(")")
+        // `expand(_all_) @filter(...)`: the filter applies to every
+        // expanded edge's targets (reference TestTypeFilterAtExpand)
+        var xfilter: Option[FilterNode] = None
+        while (peek == Punct("@")) {
+          next()
+          ident() match {
+            case "filter" =>
+              expect("("); xfilter = Some(parseFilterOr()); expect(")")
+            case o => fail(s"unsupported directive @$o on expand()")
+          }
+        }
         // `expand(_all_) { uid }`: the child template applies to every
         // expanded uid predicate (reference TestTypeExpandFacets)
         val kids =
           if (peek == Punct("{")) parseSelectionSet() else Nil
-        return Selection(alias, s"expand($arg)", children = kids)
+        return Selection(alias, s"expand($arg)", children = kids,
+          filter = xfilter)
       }
       // pred@en:fr:. language chain (reference @lang access). The '@' is
       // consumed only when followed by a lang token ('.', '*', or an
@@ -644,11 +659,18 @@ object Parser {
         case NumLit(s) if s.startsWith("-") =>
           // the lexer folds "- 3" after an ident into NumLit(-3); in math
           // position that is a subtraction
-          next(); l = MathBin("-", l, MathNum(s.drop(1).toDouble))
+          next(); l = MathBin("-", l, MathNum(s.drop(1).toDouble, intLexeme(s)))
         case _ => going = false
       }
       l
     }
+
+    /** A numeric lexeme without '.'/'e' is an INT literal — the typed
+      * math evaluator then applies integer semantics when both operands
+      * are integral (reference query/math.go).
+      */
+    private def intLexeme(s: String): Boolean =
+      !s.contains('.') && !s.toLowerCase.contains('e')
 
     private def parseMathMul(): MathNode = {
       var l = parseMathAtom()
@@ -661,8 +683,9 @@ object Parser {
 
     private def parseMathAtom(): MathNode = next() match {
       case Punct("(") => val m = parseMathCmp(); expect(")"); m
-      case Punct("-") => MathBin("-", MathNum(0.0), parseMathAtom()) // unary minus
-      case NumLit(v) => MathNum(v.toDouble)
+      case Punct("-") => // unary minus (int-typed zero: -x keeps x's type)
+        MathBin("-", MathNum(0.0, isInt = true), parseMathAtom())
+      case NumLit(v) => MathNum(v.toDouble, intLexeme(v))
       case Ident("val") if peek == Punct("(") =>
         next(); val v = ident(); expect(")"); MathRef(v)
       case Ident(fn) if peek == Punct("(") =>

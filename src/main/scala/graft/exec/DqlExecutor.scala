@@ -211,20 +211,61 @@ final class DqlExecutor(ts: GraphStore) {
                 frontier.select(col("uid").as("subject")).distinct(),
                 Seq("subject"), "left_semi")
               .select("typeName").distinct().as[String].collect().sorted.toSeq
-          else Seq(arg)
+          // expand(T1, T2): union of the named types' predicates
+          // (reference TestTypeExpandMultipleExplicitTypes)
+          else arg.split(",").map(_.trim).toSeq
         typeNames.flatMap(schema.predicatesOfType).distinct.sorted.flatMap { p0 =>
           val rev = p0.startsWith("~")
           val p = p0.stripPrefix("~")
           if (!schema.predicates.contains(p)) None
           else if (schema.isUidPredicate(p) || rev)
+            // `expand(_all_) @filter(...)` filters the expanded edge
+            // TARGETS (reference TestTypeFilterAtExpand)
             (if (s.children.nonEmpty)
-               Some(Selection(None, p, reverse = rev, children = s.children))
+               Some(Selection(None, p, reverse = rev, children = s.children,
+                 filter = s.filter))
              else None): Option[Selection]
+          else if (s.filter.isDefined)
+            // a filtered expand keeps only edge expansions — scalar
+            // predicates have no target to filter and drop entirely
+            // (TestTypeFilterAtExpand renders no make/model/year)
+            None
           else Some(Selection(None, p, facetFetch = true,
             langChain = if (schema.pred(p).lang) Seq("*") else Nil))
         }
       }
     }
+
+  private def hasExpand(sels: Seq[Selection]): Boolean =
+    sels.exists(s => s.pred.startsWith("expand(") || hasExpand(s.children))
+
+  /** Rewrite every `expand(...)` in the selection TREE against the
+    * frontier of its own level (reference expandSubgraph re-derives the
+    * type set per level — TestNestedExpandAll's level-2 expand sees the
+    * level-2 frontier). Each nested level's frontier is a uids-only
+    * edge hop — metadata-scale type lookups, not a data pass; computed
+    * lazily so expand-free subtrees never touch it.
+    */
+  private def rewriteExpands(frontier: => DataFrame,
+      sels: Seq[Selection]): Seq[Selection] = {
+    if (!hasExpand(sels)) return sels
+    lazy val f = frontier
+    val top =
+      if (sels.exists(_.pred.startsWith("expand(")))
+        expandPredSels(f, sels)
+      else sels
+    top.map { s =>
+      if (hasExpand(s.children) &&
+          (s.reverse || (schema.predicates.contains(s.pred) &&
+            schema.isUidPredicate(s.pred)))) {
+        val tgt = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+        val nf = f.select(col("uid").as("subject"))
+          .join(tgt.select(col("subject"), col("object")), Seq("subject"))
+          .select(col("object").as("uid")).distinct()
+        s.copy(children = rewriteExpands(nf, s.children))
+      } else s
+    }
+  }
 
   /** `pred@*` ExpandAll rewrite (reference query/query.go:945): replace
     * the selection with one concrete selection per lang variant present
@@ -257,9 +298,8 @@ final class DqlExecutor(ts: GraphStore) {
 
   private def flatBlock(b0x: QueryBlock): DataFrame = {
     val b0 =
-      if (b0x.recurse.isEmpty &&
-          b0x.selections.exists(_.pred.startsWith("expand(")))
-        b0x.copy(selections = expandPredSels({
+      if (b0x.recurse.isEmpty && hasExpand(b0x.selections))
+        b0x.copy(selections = rewriteExpands({
           var f = seedUids(b0x.func)
           b0x.filter.foreach { fl => f = applyFilter(f, "uid", fl) }
           f
@@ -613,8 +653,11 @@ final class DqlExecutor(ts: GraphStore) {
     case "has" =>
       // lang-aware (reference TestFilterHas): has(p) on a @lang pred
       // matches UNTAGGED values only, has(p@.) any variant, has(p@xx)
-      // that tag
+      // that tag. An UNKNOWN predicate has no postings — empty, not an
+      // error (reference TestNoResultsFilter/-Pagination/-Order)
       val (p, tag) = langSplit(fn.pred)
+      if (!schema.predicates.contains(p))
+        return ts.nodeTypes.select(col("subject").as("uid")).limit(0)
       val src =
         if (schema.isUidPredicate(p)) ts.edge(p)
         else {
@@ -692,7 +735,17 @@ final class DqlExecutor(ts: GraphStore) {
         t => array_contains(split(lower(v), " "), t)),
         untaggedDefault = true)
     case "regexp" =>
-      attrWhere(fn.pred, v => v.rlike(fn.args.head))
+      // a $variable-substituted pattern arrives as the raw `/re/flags`
+      // string — unwrap it like the parser's regex-literal path
+      // (reference TestRegExpVariableReplacement)
+      val raw = fn.args.head
+      val pat = if (raw.length > 1 && raw.startsWith("/") &&
+          raw.lastIndexOf('/') > 0) {
+        val end = raw.lastIndexOf('/')
+        val flags = raw.substring(end + 1)
+        (if (flags.contains("i")) "(?i)" else "") + raw.substring(1, end)
+      } else raw
+      attrWhere(fn.pred, v => v.rlike(pat))
     case "anyoftext" =>
       // fulltext: stem + stopword-drop both sides (tok/tok.go:558).
       // A query with no index tokens left matches nothing (the reference
@@ -1043,8 +1096,13 @@ final class DqlExecutor(ts: GraphStore) {
               org.apache.spark.sql.types.NumericType])
             base = base.withColumn(c, coalesce(col(c), lit(0)))
         }
+        // integer-typed refs drive the typed evaluation (reference
+        // query/math.go: int-op-int stays int — ceil(x2/c) truncates)
+        val intRefs = refs.filter(r =>
+          base.columns.contains(s"__m_$r") &&
+            isIntegerCol(base.schema(s"__m_$r").dataType)).toSet
         base = base.withColumn(name,
-          when(col("__m_member"), mathCol(sel.mathExpr.get)))
+          when(col("__m_member"), mathCol(sel.mathExpr.get, intRefs)))
         cur = base.drop("__m_member").drop(refs.map(r => s"__m_$r"): _*)
         sel.varName.foreach { v =>
           val bound =
@@ -1081,10 +1139,15 @@ final class DqlExecutor(ts: GraphStore) {
             col(srcCol).as("__pv"))
           .filter(col("__pv").isNotNull)
           .dropDuplicates("__pu", "__pc")
+        // integral sources keep INTEGER sums (reference sum over int
+        // vals is int-typed — feeds typed math: TestFloatConverstion)
+        val srcIsInt = isIntegerCol(pairs.schema("__pv").dataType)
         val aggC = sel.aggOp.get match {
           case "min" => min(col("__pv"))
           case "max" => max(col("__pv"))
-          case "sum" => sum(col("__pv").cast(DecimalType(18, 2))).cast("double")
+          case "sum" =>
+            if (srcIsInt) sum(col("__pv"))
+            else sum(col("__pv").cast(DecimalType(18, 2))).cast("double")
           case "avg" => (sum(col("__pv").cast(DecimalType(18, 2))).cast("double") /
             count(col("__pv")).cast("double"))
           case o => throw new IllegalArgumentException(s"bad level agg $o")
@@ -1120,9 +1183,6 @@ final class DqlExecutor(ts: GraphStore) {
           bindVar(v, cur.select(col(uidCol).as("uid"))
             .filter(col("uid").isNotNull).distinct())
         }
-      } else if (sel.pred.startsWith("expand(")) {
-        val arg = sel.pred.stripPrefix("expand(").stripSuffix(")")
-        cur = expandAll(cur, uidCol, joinType, prefix, arg)
       } else if (sel.isCount && sel.pred == "uid") {
         // `f as count(uid)` at block level: a SCALAR value var — the
         // frontier's size, readable from math() in any later block
@@ -1522,6 +1582,15 @@ final class DqlExecutor(ts: GraphStore) {
     cur
   }
 
+  private def isIntegerCol(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
   private def mathRefs(m: MathNode): Seq[String] = m match {
     case MathRef(n) => Seq(n)
     case MathBin(_, l, r) => mathRefs(l) ++ mathRefs(r)
@@ -1529,47 +1598,85 @@ final class DqlExecutor(ts: GraphStore) {
     case _ => Nil
   }
 
+  /** True when a math subtree is INTEGER-typed under the reference's
+    * typed evaluation (query/math.go: int ops on int operands stay int —
+    * incl. truncating division; any float operand promotes the tree;
+    * transcendentals are float; comparisons are bool). A ref is integral
+    * when its bound `__m_` column is integer-typed in the frame.
+    */
+  private def mathIntegral(m: MathNode, intRefs: Set[String]): Boolean =
+    m match {
+      case MathNum(_, i) => i
+      case MathRef(n) => intRefs(n)
+      case MathBin(op, l, r) if "+-*/%".contains(op) =>
+        mathIntegral(l, intRefs) && mathIntegral(r, intRefs)
+      case MathFunc(f, args)
+          if f == "floor" || f == "ceil" || f == "min" || f == "max" =>
+        args.forall(mathIntegral(_, intRefs))
+      case MathFunc("cond", Seq(_, t, f)) =>
+        mathIntegral(t, intRefs) && mathIntegral(f, intRefs)
+      case _ => false
+    }
+
   /** math() expression → Column (reference query/math.go:40-250
     * processBinary/processUnary: % pow logbase min max floor ceil ln exp
-    * sqrt cond since, comparisons, unary minus). floor/ceil cast back to
-    * double (Spark returns BIGINT) so the whole tree stays double-typed
-    * like the reference's float math.
+    * sqrt cond since, comparisons, unary minus). Integer subtrees run in
+    * LONG arithmetic (TestFloatConverstion: ceil(x2/c) truncates to 13
+    * where ceil((1.0*x2)/c) rounds to 14; TestBigMathValue: 2^55-scale
+    * ints are exact); float subtrees stay double like the reference's
+    * float math (floor/ceil cast back to double — Spark returns BIGINT).
     */
-  private def mathCol(m: MathNode): Column = m match {
-    case MathNum(v) => lit(v)
-    case MathRef(n) => col(s"__m_$n").cast("double")
-    case MathBin("+", l, r) => mathCol(l) + mathCol(r)
-    case MathBin("-", l, r) => mathCol(l) - mathCol(r)
-    case MathBin("*", l, r) => mathCol(l) * mathCol(r)
-    case MathBin("/", l, r) => mathCol(l) / mathCol(r)
-    case MathBin("%", l, r) => mathCol(l) % mathCol(r)
-    case MathBin("<", l, r) => mathCol(l) < mathCol(r)
-    case MathBin(">", l, r) => mathCol(l) > mathCol(r)
-    case MathBin("<=", l, r) => mathCol(l) <= mathCol(r)
-    case MathBin(">=", l, r) => mathCol(l) >= mathCol(r)
-    case MathBin("==", l, r) => mathCol(l) === mathCol(r)
-    case MathBin("!=", l, r) => mathCol(l) =!= mathCol(r)
-    case MathFunc("ln", Seq(a)) => log(mathCol(a))
-    case MathFunc("exp", Seq(a)) => exp(mathCol(a))
-    case MathFunc("sqrt", Seq(a)) => sqrt(mathCol(a))
-    case MathFunc("floor", Seq(a)) => floor(mathCol(a)).cast("double")
-    case MathFunc("ceil", Seq(a)) => ceil(mathCol(a)).cast("double")
-    case MathFunc("pow", Seq(a, b)) => pow(mathCol(a), mathCol(b))
-    // logbase(a, b) = log of a in base b (reference query/math.go)
-    case MathFunc("logbase", Seq(a, b)) => log(mathCol(a)) / log(mathCol(b))
-    case MathFunc("min", args) if args.size >= 2 => least(args.map(mathCol): _*)
-    case MathFunc("max", args) if args.size >= 2 => greatest(args.map(mathCol): _*)
-    case MathFunc("cond", Seq(c, t, f)) =>
-      when(mathCol(c), mathCol(t)).otherwise(mathCol(f))
-    // since(t): seconds from the datetime value to query time (the
-    // reference evaluates against the request timestamp). Timestamp vars
-    // cast to double = epoch seconds.
-    case MathFunc("since", Seq(a)) =>
-      current_timestamp().cast("double") - mathCol(a)
-    case MathFunc(f, args) =>
-      throw new IllegalArgumentException(s"unsupported math fn $f/${args.size}")
-    case MathBin(op, _, _) =>
-      throw new IllegalArgumentException(s"unsupported math op $op")
+  private def mathCol(m: MathNode, intRefs: Set[String] = Set.empty)
+      : Column = {
+    def num(x: MathNode): Column = mathCol(x, intRefs)
+    def isInt(x: MathNode): Boolean = mathIntegral(x, intRefs)
+    m match {
+      case MathNum(v, i) => if (i) lit(v.toLong) else lit(v)
+      case MathRef(n) =>
+        if (intRefs(n)) col(s"__m_$n") else col(s"__m_$n").cast("double")
+      case MathBin("+", l, r) => num(l) + num(r)
+      case MathBin("-", l, r) => num(l) - num(r)
+      case MathBin("*", l, r) => num(l) * num(r)
+      case MathBin("/", l, r) =>
+        if (isInt(l) && isInt(r))
+          // int/int truncates toward zero at full 64-bit precision
+          // (exact decimal divide — a double intermediate would lose
+          // bits past the 53-bit mantissa)
+          (num(l).cast("decimal(38,0)") / num(r).cast("decimal(38,0)"))
+            .cast("long")
+        else num(l) / num(r)
+      case MathBin("%", l, r) => num(l) % num(r)
+      case MathBin("<", l, r) => num(l) < num(r)
+      case MathBin(">", l, r) => num(l) > num(r)
+      case MathBin("<=", l, r) => num(l) <= num(r)
+      case MathBin(">=", l, r) => num(l) >= num(r)
+      case MathBin("==", l, r) => num(l) === num(r)
+      case MathBin("!=", l, r) => num(l) =!= num(r)
+      case MathFunc("ln", Seq(a)) => log(num(a))
+      case MathFunc("exp", Seq(a)) => exp(num(a))
+      case MathFunc("sqrt", Seq(a)) => sqrt(num(a))
+      case MathFunc("floor", Seq(a)) =>
+        if (isInt(a)) num(a) else floor(num(a)).cast("double")
+      case MathFunc("ceil", Seq(a)) =>
+        if (isInt(a)) num(a) else ceil(num(a)).cast("double")
+      case MathFunc("pow", Seq(a, b)) => pow(num(a), num(b))
+      // logbase(a, b) = log of a in base b (reference query/math.go)
+      case MathFunc("logbase", Seq(a, b)) => log(num(a)) / log(num(b))
+      case MathFunc("min", args) if args.size >= 2 => least(args.map(num): _*)
+      case MathFunc("max", args) if args.size >= 2 =>
+        greatest(args.map(num): _*)
+      case MathFunc("cond", Seq(c, t, f)) =>
+        when(num(c), num(t)).otherwise(num(f))
+      // since(t): seconds from the datetime value to query time (the
+      // reference evaluates against the request timestamp). Timestamp
+      // vars cast to double = epoch seconds.
+      case MathFunc("since", Seq(a)) =>
+        current_timestamp().cast("double") - num(a)
+      case MathFunc(f, args) =>
+        throw new IllegalArgumentException(s"unsupported math fn $f/${args.size}")
+      case MathBin(op, _, _) =>
+        throw new IllegalArgumentException(s"unsupported math op $op")
+    }
   }
 
   private def facetType(pred: String, key: String): String =
@@ -1653,30 +1760,6 @@ final class DqlExecutor(ts: GraphStore) {
     case FilterAnd(cs) => cs.map(facetFilterCond(pred, _, keyCol)).reduce(_ && _)
     case FilterOr(cs) => cs.map(facetFilterCond(pred, _, keyCol)).reduce(_ || _)
     case FilterNot(c) => !facetFilterCond(pred, c, keyCol)
-  }
-
-  /** expand(_all_) / expand(Type): emit one scalar leaf per predicate of
-    * the frontier's types (reference query/query.go:2038 expandSubgraph).
-    * `_all_` looks the types up from the frontier (only type *names*
-    * touch the driver — a metadata lookup, not data); a named type takes
-    * its predicates straight from the schema registry.
-    */
-  private def expandAll(df: DataFrame, uidCol: String, joinType: String,
-      prefix: String, arg: String): DataFrame = {
-    val typeNames =
-      if (arg == "_all_")
-        ts.nodeTypes
-          .join(df.select(col(uidCol).as("subject")).distinct(), Seq("subject"), "left_semi")
-          .select("typeName").distinct().as[String].collect().sorted.toSeq
-      else Seq(arg)
-    val preds = typeNames.flatMap(schema.predicatesOfType).distinct
-      .filter(p => !schema.isUidPredicate(p))
-    var cur = df
-    preds.foreach { p =>
-      val a = ts.attr(p).select(col("subject").as("__xs"), col("value").as(prefix + p))
-      cur = cur.join(a, col(uidCol) === col("__xs"), joinType).drop("__xs")
-    }
-    cur
   }
 
   /** `pred @groupby(p1, p2) { count(uid) min/max/sum/avg(q | val(x)) }` —
@@ -2188,7 +2271,11 @@ final class DqlExecutor(ts: GraphStore) {
       case None =>
         frontier.select(col("uid"), lit("").as("json")).limit(0)
       case Some(g) =>
+        // an empty frontier groups to ZERO groups — the block is
+        // omitted, not rendered as {"@groupby":[]} (TestNoResultsGroupBy
+        // renders {"data":{}})
         groupbyArray(g, b.groupby, b.selections, Nil)
+          .filter(size(element_at(col("__gb"), 1).getField("@groupby")) > 0)
           .select(lit(0L).as("uid"),
             to_json(element_at(col("__gb"), 1), jsonOpts).as("json"))
     }
@@ -2202,8 +2289,8 @@ final class DqlExecutor(ts: GraphStore) {
     // the render keys line up with the expanded columns (same rewrites
     // as flatBlock — idempotent)
     val bE =
-      if (b0.selections.exists(_.pred.startsWith("expand(")))
-        b0.copy(selections = expandPredSels({
+      if (hasExpand(b0.selections))
+        b0.copy(selections = rewriteExpands({
           var f = seedUids(b0.func)
           b0.filter.foreach { fl => f = applyFilter(f, "uid", fl) }
           f

@@ -265,6 +265,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |director.film: [uid] @reverse .
         |type SchoolInfo { name abbr school district county state }
         |type Person { name pet friend gender alive }
+        |type User { name password gender friend alive }
         |type Animal { name }
         |type Node { node name }
         |type CarModel { make model year previous_model <~previous_model> }
@@ -3165,6 +3166,222 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |    {"name":"Rick Grimes"},{"name":"Glenn Rhee"},
         |    {"name":"Daryl Dixon"},{"name":"Andrea"},
         |    {"count":5}]}]}}""".stripMargin)
+  }
+
+  // ---- query4_test.go no-results / regexp-variable battery ----
+
+  test("golden: TestNoResultsFilter (query4_test.go:490)") {
+    checkGolden(
+      """{ q(func: has(nonexistent_pred)) @filter(le(name, "abc")) { uid } }""",
+      """{"data": {"q": []}}""")
+  }
+
+  test("golden: TestNoResultsPagination (query4_test.go:500)") {
+    checkGolden("{ q(func: has(nonexistent_pred), first: 50) { uid } }",
+      """{"data": {"q": []}}""")
+  }
+
+  test("golden: TestNoResultsGroupBy (query4_test.go:510)") {
+    checkGolden(
+      "{ q(func: has(nonexistent_pred)) @groupby(name) { count(uid) } }",
+      """{"data": {}}""")
+  }
+
+  test("golden: TestNoResultsOrder (query4_test.go:520)") {
+    checkGolden("{ q(func: has(nonexistent_pred), orderasc: name) { uid } }",
+      """{"data": {"q": []}}""")
+  }
+
+  test("golden: TestNoResultsCount (query4_test.go:530)") {
+    checkGolden("{ q(func: has(nonexistent_pred)) { uid count(friend) } }",
+      """{"data": {"q": []}}""")
+  }
+
+  test("golden: TestRegExpVariable (query4_test.go:845)") {
+    checkGolden(
+      """query { q (func: has(name)) @filter( regexp(name, /King*/) ) { name } }""",
+      """{"data": {"q": [{"name": "King Lear"}]}}""")
+  }
+
+  test("golden: TestRegExpVariableReplacement (query4_test.go:863)") {
+    checkGolden(
+      """query all($regexp_query: string = "/King*/" ) {
+        |  q (func: has(name)) @filter( regexp(name, $regexp_query) ) {
+        |    name } }""".stripMargin,
+      """{"data": {"q": [{"name": "King Lear"}]}}""")
+  }
+
+  // ---- query4_test.go worker-pagination has(name) battery ----
+
+  test("golden: TestHasOrderDesc (query4_test.go:645)") {
+    checkGolden(
+      "{ q(func:has(name), orderdesc: name, first:5) { name } }",
+      """{"data":{"q":[
+        |  {"name":"name"},{"name":"expand"},
+        |  {"name":"Shoreline Amphitheater"},
+        |  {"name":"School B"},{"name":"School A"}]}}""".stripMargin)
+  }
+
+  test("golden: TestHasOrderDescOffset (query4_test.go:674)") {
+    checkGolden(
+      "{ q(func:has(name), orderdesc: name, first:5, offset: 5) { name } }",
+      """{"data":{"q":[
+        |  {"name":"San Mateo School District"},
+        |  {"name":"San Mateo High School"},
+        |  {"name":"San Mateo County"},
+        |  {"name":"San Carlos Airport"},
+        |  {"name":"San Carlos"}]}}""".stripMargin)
+  }
+
+  test("golden: TestHasOrderAsc (query4_test.go:704)") {
+    checkGolden(
+      "{ q(func:has(name), orderasc: name, first:5) { name } }",
+      """{"data":{"q":[
+        |  {"name":""},{"name":""},{"name":"A"},
+        |  {"name":"Alex"},{"name":"Alice"}]}}""".stripMargin)
+  }
+
+  test("golden: TestHasOrderAscOffset (query4_test.go:734)") {
+    checkGolden(
+      "{ q(func:has(name), orderasc: name, first:5, offset: 5) { name } }",
+      """{"data":{"q":[
+        |  {"name":"Alice"},{"name":"Alice"},{"name":"Alice"},
+        |  {"name":"Alice"},{"name":"Alice\""}]}}""".stripMargin)
+  }
+
+  test("golden: TestHasFirst (query4_test.go:764)") {
+    checkGolden("{ q(func:has(name),first:5) { name } }",
+      """{"data":{"q":[
+        |  {"name":"Michonne"},{"name":"King Lear"},{"name":"Margaret"},
+        |  {"name":"Leonard"},{"name":"Garfield"}]}}""".stripMargin)
+  }
+
+  test("golden: TestHasFirstOffset (query4_test.go:881)") {
+    checkGolden("{ q(func:has(name),first:5, offset: 5) { name } }",
+      """{"data":{"q":[
+        |  {"name":"Bear"},{"name":"Nemo"},{"name":"name"},
+        |  {"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""".stripMargin)
+  }
+
+  test("golden: TestHasFirstFilter (query4_test.go:911)") {
+    checkGolden(
+      "{ q(func:has(name), first: 1, offset:2)@filter(lt(age, 25)) { name } }",
+      """{"data": {"q": [{"name": "Daryl Dixon"}]}}""")
+  }
+
+  test("golden: TestHasFilterOrderOffset (query4_test.go:929)") {
+    checkGolden(
+      """{ q(func:has(name), first: 2, offset:2, orderasc: name)@filter(gt(age, 20)) { name } }""",
+      """{"data": {"q": [{"name": "Alice"},{"name": "Bob"}]}}""")
+  }
+
+  test("golden: TestHasCountPredicateWithLang (query4_test.go:827)") {
+    checkGolden("{ q(func:has(name@en), first: 11) { count(uid) } }",
+      """{"data":{"q":[{"count":11}]}}""")
+  }
+
+  // ---- query4_test.go expand(...) battery ----
+
+  test("golden: TestNestedExpandAll (query4_test.go:456)") {
+    checkGolden(
+      """{ q(func: has(node)) {
+        |    uid
+        |    expand(_all_) {
+        |      uid
+        |      node { uid expand(_all_) } } } }""".stripMargin,
+      """{"data": {"q": [
+        |  {"uid": "0x2b5c", "name": "expand",
+        |   "node": [
+        |     {"uid": "0x2b5c",
+        |      "node": [{"uid": "0x2b5c", "name": "expand"}]}]}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestTypeExpandAll (query4_test.go:541)") {
+    checkGolden(
+      """{ q(func: eq(make, "Ford")) { expand(_all_) { uid } } }""",
+      """{"data": {"q":[
+        |  {"make":"Ford","model":"Focus","year":2008,
+        |   "~previous_model": [{"uid":"0xc9"}]},
+        |  {"make":"Ford","model":"Focus","year":2009,
+        |   "previous_model": {"uid":"0xc8"}}]}}""".stripMargin,
+      arrayOrderFree = true)
+  }
+
+  test("golden: TestTypeExpandLang (query4_test.go:556)") {
+    checkGolden(
+      """{ q(func: eq(make, "Toyota")) { expand(_all_) { uid } } }""",
+      """{"data": {"q":[
+        |  {"name": "Car", "make":"Toyota","model":"Prius",
+        |   "model@jp":"プリウス", "year":2009,
+        |   "owner": [{"uid": "0xcb"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestTypeExpandExplicitType (query4_test.go:570)") {
+    checkGolden(
+      """{ q(func: eq(make, "Toyota")) { expand(Object) { uid } } }""",
+      """{"data": {"q":[{"name":"Car", "owner": [{"uid": "0xcb"}]}]}}""")
+  }
+
+  test("golden: TestTypeExpandMultipleExplicitTypes (query4_test.go:582)") {
+    checkGolden(
+      """{ q(func: eq(make, "Toyota")) { expand(CarModel, Object) { uid } } }""",
+      """{"data": {"q":[
+        |  {"name": "Car", "make":"Toyota","model":"Prius",
+        |   "model@jp":"プリウス", "year":2009,
+        |   "owner": [{"uid": "0xcb"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestTypeFilterAtExpand (query4_test.go:596)") {
+    checkGolden(
+      """{ q(func: eq(make, "Toyota")) {
+        |    expand(_all_) @filter(type(Person)) { owner_name uid } } }"""
+        .stripMargin,
+      """{"data": {"q":[{"owner": [{"owner_name": "Owner of Prius", "uid": "0xcb"}]}]}}""")
+  }
+
+  test("golden: TestTypeFilterAtExpandEmptyResults (query4_test.go:610)") {
+    checkGolden(
+      """{ q(func: eq(make, "Toyota")) {
+        |    expand(_all_) @filter(type(Animal)) { owner_name uid } } }"""
+        .stripMargin,
+      """{"data": {"q":[]}}""")
+  }
+
+  test("golden: TestFilterAtSameLevelOnUIDWithExpand (query4_test.go:623)") {
+    checkGolden(
+      """{ q(func: eq(name, "Michonne")) {
+        |    expand(_all_)
+        |    friend @filter(eq(alive, true)){ expand(_all_) } } }"""
+        .stripMargin,
+      """{"data":{"q":[{"name":"Michonne","gender":"female","alive":true,
+        |"friend":[{"gender":"male","alive":true,"name":"Rick Grimes"}]}]}}"""
+        .stripMargin, arrayOrderFree = true)
+  }
+
+  // ---- query4_test.go float conversion (typed math) ----
+
+  test("golden: TestFloatConverstion up-to-float (query4_test.go:95)") {
+    checkGolden(
+      """{ me as var(func: eq(name, "Michonne"))
+        |  var(func: uid(me)) {
+        |    friend { x as age }
+        |    x2 as sum(val(x))
+        |    c as count(friend) }
+        |  me(func: uid(me)) { ceilAge: math(ceil((1.0*x2)/c)) } }"""
+        .stripMargin,
+      """{"data": {"me":[{"ceilAge":14}]}}""")
+  }
+
+  test("golden: TestFloatConverstion int-only (query4_test.go:115)") {
+    checkGolden(
+      """{ me as var(func: eq(name, "Michonne"))
+        |  var(func: uid(me)) {
+        |    friend { x as age }
+        |    x2 as sum(val(x))
+        |    c as count(friend) }
+        |  me(func: uid(me)) { ceilAge: math(ceil(x2/c)) } }""".stripMargin,
+      """{"data": {"me":[{"ceilAge":13}]}}""")
   }
 
   test("golden: TestCountUIDNestedMultiple (query4_test.go:1455)") {
