@@ -21,8 +21,20 @@ object Tables {
     graft.plans.GraftOptimizations.install(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") {
-      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // normalize `ts` to TIMESTAMP (LTZ, session tz = UTC): the older
+      // generator wrote TIMESTAMP(NANOS) (read as long above, truncate
+      // to µs); newer testdata writes timestamp[us] which Spark reads
+      // as TIMESTAMP_NTZ — either way downstream window/unix_millis
+      // logic sees one type, matching DuckDB's naive-UTC read.
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", expr("cast(ts as timestamp)"))
+        case _ => df
+      }
     } else df
   }
 

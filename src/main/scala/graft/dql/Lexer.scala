@@ -39,13 +39,18 @@ object Lexer {
         i += 1
         out += StrLit(sb.result())
       } else if (c == '/' && peek(1) != ' ' && lastWasRegexContext(out.result())) {
-        // regex literal /.../ in regexp(pred, /re/)
+        // regex literal /.../flags in regexp(pred, /re/i): kept in the
+        // raw `/re/flags` form (the executor unwraps and validates the
+        // modifier — reference dql/parser.go regex arg + query3
+        // TestFilterRegex11/14 flag semantics)
         val sb = new StringBuilder
         i += 1
         while (i < n && input(i) != '/') { sb.append(input(i)); i += 1 }
         if (i >= n) throw LexException("unterminated regex literal")
         i += 1
-        out += StrLit(sb.result())
+        val fb = new StringBuilder
+        while (i < n && input(i).isLetter) { fb.append(input(i)); i += 1 }
+        out += StrLit("/" + sb.result() + "/" + fb.result())
       } else if (c.isDigit || (c == '-' && peek(1).isDigit)) {
         val start = i
         i += 1
@@ -71,7 +76,7 @@ object Lexer {
         } else if (c == '<' || c == '>') { out += Punct(c.toString); i += 1 }
         else if (c == '=') { out += Punct("="); i += 1 } // var defaults
         else throw LexException(s"unexpected character '$c' at offset $i")
-      } else if ("(){}:,@~*+-/.%".indexOf(c) >= 0) {
+      } else if ("(){}:,@~*+-/.%[]".indexOf(c) >= 0) {
         // '.' only reaches here standalone (numbers/idents consume
         // embedded dots greedily) — used by the @. lang tag
         out += Punct(c.toString); i += 1

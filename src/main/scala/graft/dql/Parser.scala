@@ -101,11 +101,50 @@ object Parser {
     }
 
     def parseQuery(): DqlQuery = {
+      // bare `schema(pred: ...) {...}` / `schema(type: ...) {}` operation
+      // (reference dql/parser.go:562 parseSchema — schema queries are
+      // their own top-level form, no surrounding braces)
+      if (peek == Ident("schema")) return DqlQuery(Seq(parseSchemaBlock()))
       expect("{")
       val blocks = Vector.newBuilder[QueryBlock]
       while (peek != Punct("}")) blocks += parseBlock()
       expect("}")
       DqlQuery(blocks.result())
+    }
+
+    /** `schema(pred: p | [p1, p2])` / `schema(type: T | [T1, T2])` with a
+      * field selection set ({} = all fields). Encoded as a QueryBlock
+      * whose func is FuncCall("schema", "pred"|"type", names) and whose
+      * selections are the requested schema fields; the executor renders
+      * it from registry metadata (reference worker/schema.go).
+      */
+    private def parseSchemaBlock(): QueryBlock = {
+      expect2(Ident("schema"))
+      expect("(")
+      val kind = ident()
+      if (kind != "pred" && kind != "type") fail(s"bad schema arg $kind")
+      expect(":")
+      var names = Vector.empty[String]
+      if (peek == Punct("[")) {
+        next()
+        var first = true
+        while (peek != Punct("]")) {
+          if (!first) expect(",")
+          first = false
+          names :+= ident()
+        }
+        expect("]")
+      } else names :+= ident()
+      expect(")")
+      val fields =
+        if (peek == Punct("{")) parseSelectionSet() else Nil
+      QueryBlock(if (kind == "pred") "schema" else "types",
+        FuncCall("schema", kind, names), selections = fields)
+    }
+
+    private def expect2(t: Token): Unit = next() match {
+      case `t` => ()
+      case other => fail(s"expected $t, got $other")
     }
 
     private def parseBlock(): QueryBlock = {
@@ -316,6 +355,22 @@ object Parser {
       if (name == "val" && peek == Punct("(")) {
         next(); val v = ident(); expect(")")
         return Selection(alias, "val", varName = varName, valRef = Some(v))
+      }
+      // checkpwd(pred, "candidate"): per-row bcrypt verification leaf
+      // (reference dql/parser.go parseCheckPwd — the legacy one-arg form
+      // checkpwd("pw") was removed and must not parse)
+      if (name == "checkpwd" && peek == Punct("(")) {
+        next()
+        val p = ident()
+        if (peek != Punct(","))
+          fail("checkpwd requires an attribute and a value argument")
+        expect(",")
+        val pw = next() match {
+          case StrLit(s) => s
+          case other => fail(s"expected password literal, got $other")
+        }
+        expect(")")
+        return Selection(alias, p, checkPwd = Some(pw))
       }
       if (name == "count" && peek == Punct("(")) {
         next()

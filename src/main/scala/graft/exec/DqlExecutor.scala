@@ -171,6 +171,8 @@ final class DqlExecutor(ts: GraphStore) {
             types
           } else Seq(arg)
         typeNames.flatMap(schema.predicatesOfType).distinct.sorted
+          .filterNot(p => schema.predicates.get(p)
+            .exists(_.dgraphType == "password"))
           .map(p => Selection(None, p))
       }
     }
@@ -200,7 +202,16 @@ final class DqlExecutor(ts: GraphStore) {
     * predicates expand only when the clause carries a child template.
     */
   private def expandPredSels(frontier: => DataFrame,
-      sels: Seq[Selection]): Seq[Selection] =
+      sels: Seq[Selection]): Seq[Selection] = {
+    // an explicit password-typed selection next to expand(_all_) is a
+    // repeated subgraph in the reference (TestPasswordExpandError — the
+    // expansion carries the pred internally even though it never renders)
+    if (sels.exists(_.pred.startsWith("expand(")))
+      sels.find(s => !s.pred.startsWith("expand(") &&
+          schema.predicates.get(s.pred).exists(_.dgraphType == "password") &&
+          s.checkPwd.isEmpty)
+        .foreach(s => throw new IllegalArgumentException(
+          s"Repeated subgraph: [${s.pred}]"))
     sels.flatMap { s =>
       if (!s.pred.startsWith("expand(")) Seq(s)
       else {
@@ -230,11 +241,17 @@ final class DqlExecutor(ts: GraphStore) {
             // predicates have no target to filter and drop entirely
             // (TestTypeFilterAtExpand renders no make/model/year)
             None
+          else if (schema.pred(p).dgraphType == "password")
+            // expand never surfaces password values (reference
+            // TestPasswordExpandAll1: type User lists password, the
+            // expansion output omits it)
+            None
           else Some(Selection(None, p, facetFetch = true,
             langChain = if (schema.pred(p).lang) Seq("*") else Nil))
         }
       }
     }
+  }
 
   private def hasExpand(sels: Seq[Selection]): Boolean =
     sels.exists(s => s.pred.startsWith("expand(") || hasExpand(s.children))
@@ -735,16 +752,35 @@ final class DqlExecutor(ts: GraphStore) {
         t => array_contains(split(lower(v), " "), t)),
         untaggedDefault = true)
     case "regexp" =>
-      // a $variable-substituted pattern arrives as the raw `/re/flags`
-      // string — unwrap it like the parser's regex-literal path
-      // (reference TestRegExpVariableReplacement)
-      val raw = fn.args.head
-      val pat = if (raw.length > 1 && raw.startsWith("/") &&
+      // both lexed literals and $variable-substituted patterns arrive as
+      // the raw `/re/flags` string — unwrap and validate the modifier
+      // (reference TestRegExpVariableReplacement; TestFilterRegex14
+      // rejects unknown modifiers, TestFilterRegex17 the empty pattern)
+      val raw = fn.args.headOption.getOrElse("")
+      if (raw.isEmpty || raw == "//")
+        throw new IllegalArgumentException(
+          "Function 'regexp' requires 2 arguments, but got 1")
+      val pat0 = if (raw.length > 1 && raw.startsWith("/") &&
           raw.lastIndexOf('/') > 0) {
         val end = raw.lastIndexOf('/')
         val flags = raw.substring(end + 1)
-        (if (flags.contains("i")) "(?i)" else "") + raw.substring(1, end)
+        if (!Set("", "i").contains(flags))
+          throw new IllegalArgumentException(
+            s"Invalid regexp modifier: $flags")
+        (if (flags == "i") "(?i)" else "") + raw.substring(1, end)
       } else raw
+      // Go's RE2 case folding is Unicode-aware; Java's (?i) is ASCII
+      // unless paired with (?u) — rewrite so /артём/i matches Артём
+      // (reference TestFilterRegex16, multi-byte rune bug #945)
+      val pat = pat0.replace("(?i)", "(?iu)").replace("(?-i)", "(?-iu)")
+      // regexp runs on string predicates only (reference
+      // TestFilterRegexError: regexp over a datetime is rejected)
+      val (rp0, _) = langSplit(fn.pred)
+      schema.predicates.get(rp0).foreach { ps =>
+        if (ps.dgraphType != "string" && ps.dgraphType != "default")
+          throw new IllegalArgumentException(
+            s"Attribute ${fn.pred} is not valid scalar type for regexp")
+      }
       attrWhere(fn.pred, v => v.rlike(pat))
     case "anyoftext" =>
       // fulltext: stem + stopword-drop both sides (tok/tok.go:558).
@@ -1137,7 +1173,11 @@ final class DqlExecutor(ts: GraphStore) {
         val pairs = cur
           .select(col(uidCol).as("__pu"), col(childKey).as("__pc"),
             col(srcCol).as("__pv"))
-          .filter(col("__pv").isNotNull)
+          // a parent with NO traversed children aggregates NOTHING —
+          // the count var's zero-fill rides a null child row and must
+          // not fabricate sum=0 (reference TestMultiLevelAgg: "Andrea
+          // With no friends" has no sum(val(s)) key)
+          .filter(col("__pv").isNotNull && col("__pc").isNotNull)
           .dropDuplicates("__pu", "__pc")
         // integral sources keep INTEGER sums (reference sum over int
         // vals is int-typed — feeds typed math: TestFloatConverstion)
@@ -1183,6 +1223,24 @@ final class DqlExecutor(ts: GraphStore) {
           bindVar(v, cur.select(col(uidCol).as("uid"))
             .filter(col("uid").isNotNull).distinct())
         }
+      } else if (sel.checkPwd.isDefined) {
+        // checkpwd(pred, pw): bcrypt-verify the stored hash per row; a
+        // missing attribute verifies false (reference worker/task.go:255
+        // passwordFn; TestCheckPasswordInvalidAttr)
+        val stored = ts.attr(sel.pred)
+          .select(col("subject").as("__ps"), col("value").as("__ph"))
+        cur = cur.join(stored, col(uidCol) === col("__ps"), joinType)
+          .drop("__ps")
+          .withColumn(name,
+            when(col("__ph").isNull, lit(false)).otherwise(
+              graft.functions.PasswordFunctions.bcryptCheck(
+                lit(sel.checkPwd.get), col("__ph"))))
+          .drop("__ph")
+      } else if (schema.predicates.get(sel.pred)
+          .exists(_.dgraphType == "password") && !sel.isCount) {
+        // password values are never fetchable — the field renders as
+        // absent (reference TestQueryPassword, outputnode skips pwd vals)
+        cur = cur.withColumn(name, lit(null).cast("string"))
       } else if (sel.isCount && sel.pred == "uid") {
         // `f as count(uid)` at block level: a SCALAR value var — the
         // frontier's size, readable from math() in any later block
@@ -1958,9 +2016,14 @@ final class DqlExecutor(ts: GraphStore) {
     */
   private def jsonKey(s: Selection): String =
     s.alias.getOrElse(
-      if (s.isCount) s"count(${if (s.reverse) "~" else ""}${s.pred})"
+      if (s.checkPwd.isDefined) s"checkpwd(${s.pred})"
+      else if (s.isCount) s"count(${if (s.reverse) "~" else ""}${s.pred})"
       else if (s.pred == "val" && s.valRef.isDefined) s"val(${s.valRef.get})"
       else if (s.pred == "math" && s.varName.isDefined) s"val(${s.varName.get})"
+      // un-aliased level aggregation renders `min(val(x))`
+      // (reference TestMinMulti golden)
+      else if (s.aggOp.isDefined && s.valRef.isDefined)
+        s"${s.aggOp.get}(val(${s.valRef.get}))"
       else if (s.langChain.nonEmpty) s"${s.pred}@${s.langChain.mkString(":")}"
       else if (s.reverse) s"~${s.pred}"
       else s.outName)
@@ -1987,9 +2050,47 @@ final class DqlExecutor(ts: GraphStore) {
     * objects (no implicit uid key — the GraphQL layer only emits
     * requested fields, reference graphql/resolve/resolver.go completion).
     */
+  /** schema(pred:)/schema(type:) introspection (reference
+    * worker/schema.go): rendered straight from the registry — metadata
+    * scale, never a data pass. An empty field selection means ALL
+    * fields; boolean fields appear only when true, mirroring the
+    * reference goldens (query1_test.go TestSchemaBlock2-5).
+    */
+  private def schemaJson(b: QueryBlock): DataFrame = {
+    val fields = b.selections.map(_.pred)
+    def want(f: String) = fields.isEmpty || fields.contains(f)
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val rows: Seq[String] =
+      if (b.func.pred == "pred")
+        b.func.args.flatMap(schema.predicates.get).map { p =>
+          val sb = Seq.newBuilder[String]
+          sb += s""""predicate":${js(p.name)}"""
+          if (want("type")) sb += s""""type":${js(p.dgraphType)}"""
+          if (want("index") && p.indexes.nonEmpty) sb += """"index":true"""
+          if (want("tokenizer") && p.indexes.nonEmpty)
+            sb += s""""tokenizer":[${p.indexes.map(js).mkString(",")}]"""
+          if (want("reverse") && p.reverse) sb += """"reverse":true"""
+          if (want("count") && p.count) sb += """"count":true"""
+          if (want("lang") && p.lang) sb += """"lang":true"""
+          if (want("list") && p.isList) sb += """"list":true"""
+          sb.result().mkString("{", ",", "}")
+        }
+      else
+        // type listings come back name-sorted; fields in declaration
+        // order (reference TestQueryMultipleTypes golden)
+        b.func.args.flatMap(schema.types.get).sortBy(_.name).map { t =>
+          val fs = t.predicates.map(p => s"""{"name":${js(p)}}""").mkString(",")
+          s"""{"fields":[$fs],"name":${js(t.name)}}"""
+        }
+    rows.zipWithIndex.map { case (j, i) => (i.toLong, j) }.toDF("uid", "json")
+  }
+
   def jsonAllAst(query: DqlQuery, includeUid: Boolean = true): DataFrame = {
     val outs = query.blocks.flatMap { b =>
-      if (b.name == "var") { flatBlock(b); None }
+      if (b.func.name == "schema")
+        Some(schemaJson(b)
+          .select(lit(b.name).as("block"), col("uid"), col("json")))
+      else if (b.name == "var") { flatBlock(b); None }
       else {
         // the reference names every shortest block's output `_path_`
         val bn = if (b.shortest.isDefined) "_path_" else b.name

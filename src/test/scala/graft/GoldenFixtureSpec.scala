@@ -212,7 +212,27 @@ class GoldenFixtureSpec extends AnyFunSuite {
     e(202, "owner", 203), a(202, "dgraph.type", "CarModel"),
     a(202, "dgraph.type", "Object"),
     a(203, "owner_name", "Owner of Prius"), a(203, "dgraph.type", "Person"),
-    a(1, "full_name", "Michonne's large name for hashing"))
+    a(1, "full_name", "Michonne's large name for hashing"),
+    // passwords (common_test.go:666-668; stored bcrypt-hashed)
+    a(1, "password", "123456"), a(32, "password", "123456"),
+    a(23, "pass", "654321"),
+    // shadow_deep (common_test.go:670-671)
+    a(23, "shadow_deep", "4"), a(24, "shadow_deep", "14"),
+    // regex-test pattern corpus (common_test.go:955-970: 24 values under
+    // <0x1234> via <pattern>, uids 0x2000..)
+    a(0x2750, "firstName", "Luke"), a(0x2750, "lastName", "Skywalker"),
+    a(0x2751, "firstName", "Princess"), a(0x2751, "lastName", "Leia"),
+    a(0x2752, "firstName", "Han"), a(0x2752, "lastName", "Solo"),
+    a(0x2753, "firstName", "Harrison"), a(0x2753, "lastName", "Ford"),
+    a(0x2754, "firstName", "Steven"), a(0x2754, "lastName", "Spielberg")) ++
+    Seq("mississippi", "missouri", "mission", "missionary",
+      "whissle", "transmission", "zipped", "monosiphonic", "vasopressin",
+      "vapoured", "virtuously", "zurich", "synopsis", "subsensuously",
+      "admission", "commission", "submission", "subcommission",
+      "retransmission", "omission", "permission", "intermission",
+      "dimission", "discommission").zipWithIndex.flatMap { case (p, i) =>
+      Seq(a(0x2000 + i, "value", p), e(0x1234, "pattern", 0x2000 + i))
+    }
 
   /** Predicate schema: reference query/common_test.go testSchema (subset). */
   private lazy val schema: SchemaRegistry = {
@@ -263,6 +283,14 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |owner: [uid] .
         |owner_name: string .
         |director.film: [uid] @reverse .
+        |password: password .
+        |pass: password .
+        |value: string @index(trigram) .
+        |pattern: [uid] .
+        |firstName: string .
+        |lastName: string .
+        |genre: [uid] @reverse .
+        |shadow_deep: int .
         |type SchoolInfo { name abbr school district county state }
         |type Person { name pet friend gender alive }
         |type User { name password gender friend alive }
@@ -355,7 +383,10 @@ class GoldenFixtureSpec extends AnyFunSuite {
       // normal blocks as [] — TestTwoShortestPathMaxWeight golden.
       // A root-@groupby block with no groups is omitted the same way
       // (TestGroupByRootEmpty renders {"data":{}})
-      if ((b.shortest.isDefined || b.groupby.nonEmpty) && got.isEmpty) None
+      // schema()/type() introspection blocks with no rows are omitted
+      // too (TestQueryUnknownType renders {"data":{}})
+      if ((b.shortest.isDefined || b.groupby.nonEmpty ||
+          b.func.name == "schema") && got.isEmpty) None
       else Some(s""""$bn": ${got.mkString("[", ",", "]")}""")
     }
     val ours = s"""{"data": {${blocks.mkString(",")}}}"""
@@ -3382,6 +3413,496 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |    c as count(friend) }
         |  me(func: uid(me)) { ceilAge: math(ceil(x2/c)) } }""".stripMargin,
       """{"data": {"me":[{"ceilAge":13}]}}""")
+  }
+
+  // ---- query3 regex battery (query3_test.go:2761-3067) ----
+
+  private def checkErr(query: String): Unit = {
+    val thrown = intercept[Exception] {
+      new DqlExecutor(store)
+        .jsonAllAst(Parser.parse(query), includeUid = false).collect()
+    }
+    assert(thrown != null)
+  }
+
+  test("golden: TestFilterRegexError (query3_test.go:2761)") {
+    // regexp over a datetime predicate is rejected
+    checkErr("""{ me(func: uid(0x01)) { name
+      friend @filter(regexp(dob, /^[a-z A-Z]+$/)) { name } } }""")
+  }
+
+  test("golden: TestFilterRegex1 (query3_test.go:2778)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name
+        |  friend @filter(regexp(name, /^[Glen Rh]+$/)) { name } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"name":"Michonne", "friend":[{"name":"Glenn Rhee"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex2 (query3_test.go:2796)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name
+        |  friend @filter(regexp(name, /^[^ao]+$/)) { name } } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne", "friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex3 (query3_test.go:2814)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name
+        |  friend @filter(regexp(name, /^Rick/)) { name } } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne", "friend":[{"name":"Rick Grimes"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex4 (query3_test.go:2832)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name
+        |  friend @filter(regexp(name, /((en)|(xo))n/)) { name } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"name":"Michonne", "friend":[{"name":"Glenn Rhee"},{"name":"Daryl Dixon"} ]}]}}""")
+  }
+
+  test("golden: TestFilterRegex5 (query3_test.go:2850)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name
+        |  friend @filter(regexp(name, /^[a-zA-z]*[^Kk ]?[Nn]ight/)) { name } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestFilterRegex6 (query3_test.go:2868)") {
+    checkGolden(
+      """{ me(func: uid(0x1234)) {
+        |  pattern @filter(regexp(value, /miss((issippi)|(ouri))/)) {
+        |    value } } }""".stripMargin,
+      """{"data": {"me":[{"pattern":[{"value":"mississippi"}, {"value":"missouri"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex7 (query3_test.go:2884)") {
+    checkGolden(
+      """{ me(func: uid(0x1234)) {
+        |  pattern @filter(regexp(value, /[aeiou]mission/)) { value } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"pattern":[{"value":"omission"}, {"value":"dimission"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex8 (query3_test.go:2901)") {
+    checkGolden(
+      """{ me(func: uid(0x1234)) {
+        |  pattern @filter(regexp(value, /^(trans)?mission/)) { value } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"pattern":[{"value":"mission"}, {"value":"missionary"}, {"value":"transmission"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex9 (query3_test.go:2918)") {
+    checkGolden(
+      """{ me(func: uid(0x1234)) {
+        |  pattern @filter(regexp(value, /s.{2,5}mission/)) { value } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"pattern":[{"value":"submission"}, {"value":"subcommission"}, {"value":"discommission"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex10 (query3_test.go:2935)") {
+    checkGolden(
+      """{ me(func: uid(0x1234)) {
+        |  pattern @filter(regexp(value, /[^m]iss/)) { value } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"pattern":[{"value":"mississippi"}, {"value":"whissle"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex11 (query3_test.go:2952)") {
+    // /…/i modifier
+    checkGolden(
+      """{ me(func: uid(0x1234)) {
+        |  pattern @filter(regexp(value, /SUB[cm]/i)) { value } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"pattern":[{"value":"submission"}, {"value":"subcommission"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex12 (query3_test.go:2971)") {
+    // inline (?i) modifier
+    checkGolden(
+      """{ me(func: uid(0x1234)) {
+        |  pattern @filter(regexp(value, /(?i)SUB[cm]/)) { value } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"pattern":[{"value":"submission"}, {"value":"subcommission"}]}]}}""")
+  }
+
+  test("golden: TestFilterRegex13 (query3_test.go:2990)") {
+    // (?-i) turns case folding back off before ISSION — nothing matches
+    checkGolden(
+      """{ me(func: uid(0x1234)) {
+        |  pattern @filter(regexp(value, /(?i)SUB[cm](?-i)ISSION/)) { value } } }"""
+        .stripMargin,
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestFilterRegex14 (query3_test.go:3008)") {
+    // invalid regexp modifier /pattern/x
+    checkErr("""{ me(func: uid(0x1234)) {
+      pattern @filter(regexp(value, /pattern/x)) { value } } }""")
+  }
+
+  test("golden: TestFilterRegex15 (query3_test.go:3025)") {
+    // multi-lang regexp at root
+    checkGolden(
+      """{ me(func:regexp(name@ru, /Барсук/)) { name@ru } }""",
+      """{"data": {"me":[{"name@ru":"Барсук"}]}}""")
+  }
+
+  test("golden: TestFilterRegex16 (query3_test.go:3041)") {
+    // Unicode-aware case folding over multi-byte runes (bug #945)
+    checkGolden(
+      """{ me(func:regexp(name@ru, /^артём/i)) { name@ru } }""",
+      """{"data": {"me":[{"name@ru":"Артём Ткаченко"}]}}""")
+  }
+
+  test("golden: TestFilterRegex17 (query3_test.go:3056)") {
+    // empty pattern is a missing-argument error
+    checkErr("""{ me(func:regexp(name, "")) { name } }""")
+  }
+
+  test("golden: TestRegexInFilterNoDataOnRoot (query3_test.go:3167)") {
+    checkGolden(
+      """{ q(func: has(nonExistent)) @filter(regexp(make, /.*han/i)) {
+        |    uid firstName lastName } }""".stripMargin,
+      """{"data":{"q":[]}}""")
+  }
+
+  test("golden: TestRegexInFilterIndexedPredOnRoot (query3_test.go:3181)") {
+    checkGolden(
+      """{ q(func: regexp(name, /.*nonExistent/i)) {
+        |    uid firstName lastName } }""".stripMargin,
+      """{"data":{"q":[]}}""")
+  }
+
+  test("golden: TestMultiRegexInFilter (query3_test.go:3195)") {
+    checkGolden(
+      """{ q(func: has(full_name)) @filter(regexp(full_name, /.*michonne/i)
+        |      OR regexp(name, /.*michonne/i)) {
+        |    expand(_all_) } }""".stripMargin,
+      """{"data": {"q": [{"alive":true, "gender":"female","name":"Michonne"}]}}""",
+      arrayOrderFree = true)
+  }
+
+  test("golden: TestMultiRegexInFilter2 (query3_test.go:3213)") {
+    checkGolden(
+      """{ q(func: has(firstName)) @filter(regexp(firstName, /.*han/i)
+        |      OR regexp(lastName, /.*han/i)) {
+        |    firstName lastName } }""".stripMargin,
+      """{"data": {"q": [{"firstName": "Han", "lastName":"Solo"}]}}""")
+  }
+
+  test("golden: TestRegexFuncWithAfter (query3_test.go:3231)") {
+    checkGolden(
+      """{ q(func: regexp(name, /^Ali/i), after: 0x2710) { uid name } }""",
+      """{"data": {"q": [{"name": "Alice", "uid": "0x2712"}, {"name": "Alice", "uid": "0x2714"}]}}""")
+  }
+
+  // ---- type()/schema() introspection (query3_test.go:3069-3164,
+  //      query1_test.go:27-77) ----
+
+  test("golden: TestTypeFunction (query3_test.go:3069)") {
+    checkGolden(
+      """{ me(func: type(Person)) { uid } }""",
+      """{"data": {"me":[{"uid":"0x2"}, {"uid":"0x3"}, {"uid":"0x4"},{"uid":"0x17"},
+        |{"uid":"0x18"},{"uid":"0x19"}, {"uid":"0x1f"}, {"uid":"0xcb"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestTypeFunctionUnknownType (query3_test.go:3084)") {
+    checkGolden(
+      """{ me(func: type(UnknownType)) { uid } }""",
+      """{"data": {"me":[]}}""")
+  }
+
+  test("golden: TestTypeFilter (query3_test.go:3096)") {
+    checkGolden(
+      """{ me(func: uid(0x2)) @filter(type(Person)) { uid } }""",
+      """{"data": {"me":[{"uid" :"0x2"}]}}""")
+  }
+
+  test("golden: TestTypeFilterUnknownType (query3_test.go:3110)") {
+    checkGolden(
+      """{ me(func: uid(0x2)) @filter(type(UnknownType)) { uid } }""",
+      """{"data": {"me":[]}}""")
+  }
+
+  test("golden: TestQueryUnknownType (query3_test.go:3145)") {
+    checkGolden("""schema(type: UnknownType) {}""", """{"data": {}}""")
+  }
+
+  test("golden: TestQuerySingleType (query3_test.go:3151)") {
+    checkGolden("""schema(type: Person) {}""",
+      """{"data":{"types":[{"fields":[{"name":"name"},{"name":"pet"},
+        |{"name":"friend"},{"name":"gender"},{"name":"alive"}],"name":"Person"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestQueryMultipleTypes (query3_test.go:3159)") {
+    checkGolden("""schema(type: [Person, Animal]) {}""",
+      """{"data":{"types":[{"fields":[{"name":"name"}],"name":"Animal"},
+        |{"fields":[{"name":"name"},{"name":"pet"},{"name":"friend"},
+        |{"name":"gender"},{"name":"alive"}],"name":"Person"}]}}""".stripMargin)
+  }
+
+  test("golden: TestSchemaBlock2 (query1_test.go:27)") {
+    checkGolden(
+      """schema(pred: name) { index reverse type tokenizer count }""",
+      """{"data":{"schema":[{"predicate":"name","type":"string","index":true,"tokenizer":["term","exact","trigram"],"count":true}]}}""")
+  }
+
+  test("golden: TestSchemaBlock3 (query1_test.go:42)") {
+    checkGolden(
+      """schema(pred: age) { index reverse type tokenizer count }""",
+      """{"data":{"schema":[{"predicate":"age","type":"int","index":true,"tokenizer":["int"]}]}}""")
+  }
+
+  test("golden: TestSchemaBlock4 (query1_test.go:55)") {
+    checkGolden(
+      """schema(pred: [age, genre, random]) { index reverse type tokenizer }""",
+      """{"data":{"schema":[{"predicate":"age","type":"int","index":true,"tokenizer":["int"]},{"predicate":"genre","type":"uid","reverse":true}]}}""")
+  }
+
+  test("golden: TestSchemaBlock5 (query1_test.go:68)") {
+    checkGolden(
+      """schema(pred: name) { }""",
+      """{"data":{"schema":[{"predicate":"name","type":"string","index":true,"tokenizer":["term","exact","trigram"],"count":true,"lang":true}]}}""")
+  }
+
+  // ---- UseVars battery (query3_test.go:1804-1909) ----
+
+  test("golden: TestUseVars (query3_test.go:1873)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) { L as friend }
+        |  me(func: uid(L)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestUseVarsMultiFilterId (query3_test.go:1829)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) { L as friend }
+        |  var(func: uid(31)) { G as friend }
+        |  friend(func: uid(L)) @filter(uid(G)) { name } }""".stripMargin,
+      """{"data": {"friend":[{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestUseVarsFilterMultiId (query3_test.go:1804)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) { L as friend { friend } }
+        |  var(func: uid(31)) { G as friend }
+        |  friend(func:anyofterms(name, "Michonne Andrea Glenn"))
+        |      @filter(uid(G, L)) { name } }""".stripMargin,
+      """{"data": {"friend":[{"name":"Glenn Rhee"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestUseVarsCascade (query3_test.go:1852)") {
+    checkGolden(
+      """{ var(func: uid(0x01)) @cascade { L as friend { friend } }
+        |  me(func: uid(L)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Rick Grimes"}, {"name":"Andrea"} ]}}""")
+  }
+
+  test("golden: TestGetUIDCount (query3_test.go:1892)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name uid gender alive count(friend) } }""",
+      """{"data": {"me":[{"uid":"0x1","alive":true,"count(friend)":5,"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  // ---- count/aggregation battery (query3_test.go:1989-2330) ----
+
+  test("golden: TestCount (query3_test.go:1989)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender alive count(friend) } }""",
+      """{"data": {"me":[{"alive":true,"count(friend)":5,"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestCountAlias (query3_test.go:2008)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender alive friendCount: count(friend) } }""",
+      """{"data": {"me":[{"alive":true,"friendCount":5,"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestMultiCountSort (query3_test.go:2082)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "michonne rick andrea")) {
+        |    n as count(friend) }
+        |  countorder(func: uid(f), orderasc: val(n)) {
+        |    name count(friend) } }""".stripMargin,
+      """{"data": {"countorder":[{"count(friend)":0,"name":"Andrea With no friends"},{"count(friend)":1,"name":"Rick Grimes"},{"count(friend)":1,"name":"Andrea"},{"count(friend)":5,"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestMultiLevelAgg (query3_test.go:2103)") {
+    checkGolden(
+      """{ sumorder(func: anyofterms(name, "michonne rick andrea")) {
+        |    name
+        |    friend { s as count(friend) }
+        |    sum(val(s)) } }""".stripMargin,
+      """{"data": {"sumorder":[{"friend":[{"count(friend)":1},{"count(friend)":0},{"count(friend)":0},{"count(friend)":1},{"count(friend)":0}],"name":"Michonne","sum(val(s))":2},{"friend":[{"count(friend)":5}],"name":"Rick Grimes","sum(val(s))":5},{"friend":[{"count(friend)":0}],"name":"Andrea","sum(val(s))":0},{"name":"Andrea With no friends"}]}}""")
+  }
+
+  test("golden: TestMultiLevelAgg1 (query3_test.go:2123)") {
+    checkGolden(
+      """{ var(func: anyofterms(name, "michonne rick andrea"))
+        |      @filter(gt(count(friend), 0)) {
+        |    friend { s as count(friend) }
+        |    ss as sum(val(s)) }
+        |  sumorder(func: uid(ss), orderasc: val(ss)) {
+        |    name val(ss) } }""".stripMargin,
+      """{"data": {"sumorder":[{"name":"Andrea","val(ss)":0},{"name":"Michonne","val(ss)":2},{"name":"Rick Grimes","val(ss)":5}]}}""")
+  }
+
+  test("golden: TestMultiAggSort (query3_test.go:2169)") {
+    checkGolden(
+      """{ f as var(func: anyofterms(name, "michonne rick andrea")) {
+        |    name
+        |    friend { x as dob }
+        |    mindob as min(val(x))
+        |    maxdob as max(val(x)) }
+        |  maxorder(func: uid(f), orderasc: val(maxdob)) {
+        |    name val(maxdob) }
+        |  minorder(func: uid(f), orderasc: val(mindob)) {
+        |    name val(mindob) } }""".stripMargin,
+      """{"data": {"maxorder":[{"name":"Andrea","val(maxdob)":"1909-05-05T00:00:00Z"},{"name":"Rick Grimes","val(maxdob)":"1910-01-01T00:00:00Z"},{"name":"Michonne","val(maxdob)":"1910-01-02T00:00:00Z"}],"minorder":[{"name":"Michonne","val(mindob)":"1901-01-15T00:00:00Z"},{"name":"Andrea","val(mindob)":"1909-05-05T00:00:00Z"},{"name":"Rick Grimes","val(mindob)":"1910-01-01T00:00:00Z"}]}}""")
+  }
+
+  test("golden: TestMinMulti (query3_test.go:2200)") {
+    checkGolden(
+      """{ me(func: anyofterms(name, "michonne rick andrea")) {
+        |    name
+        |    friend { x as dob }
+        |    min(val(x))
+        |    max(val(x)) } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"dob":"1910-01-02T00:00:00Z"},{"dob":"1909-05-05T00:00:00Z"},{"dob":"1909-01-10T00:00:00Z"},{"dob":"1901-01-15T00:00:00Z"}],"max(val(x))":"1910-01-02T00:00:00Z","min(val(x))":"1901-01-15T00:00:00Z","name":"Michonne"},{"friend":[{"dob":"1910-01-01T00:00:00Z"}],"max(val(x))":"1910-01-01T00:00:00Z","min(val(x))":"1910-01-01T00:00:00Z","name":"Rick Grimes"},{"friend":[{"dob":"1909-05-05T00:00:00Z"}],"max(val(x))":"1909-05-05T00:00:00Z","min(val(x))":"1909-05-05T00:00:00Z","name":"Andrea"},{"name":"Andrea With no friends"}]}}""")
+  }
+
+  test("golden: TestMinMultiAlias (query3_test.go:2221)") {
+    checkGolden(
+      """{ me(func: anyofterms(name, "michonne rick andrea")) {
+        |    name
+        |    friend { x as dob }
+        |    mindob: min(val(x))
+        |    maxdob: max(val(x)) } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"dob":"1910-01-02T00:00:00Z"},{"dob":"1909-05-05T00:00:00Z"},{"dob":"1909-01-10T00:00:00Z"},{"dob":"1901-01-15T00:00:00Z"}],"maxdob":"1910-01-02T00:00:00Z","mindob":"1901-01-15T00:00:00Z","name":"Michonne"},{"friend":[{"dob":"1910-01-01T00:00:00Z"}],"maxdob":"1910-01-01T00:00:00Z","mindob":"1910-01-01T00:00:00Z","name":"Rick Grimes"},{"friend":[{"dob":"1909-05-05T00:00:00Z"}],"maxdob":"1909-05-05T00:00:00Z","mindob":"1909-05-05T00:00:00Z","name":"Andrea"},{"name":"Andrea With no friends"}]}}""")
+  }
+
+  test("golden: TestMinSchema (query3_test.go:2242)") {
+    // first golden only — the reference's second half mutates the live
+    // schema (survival_rate: int) and back, a server-alter flow
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    name gender alive
+        |    friend { x as survival_rate }
+        |    min(val(x)) } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne","gender":"female","alive":true,"friend":[{"survival_rate":1.6},{"survival_rate":1.6},{"survival_rate":1.6},{"survival_rate":1.6}],"min(val(x))":1.6}]}}""")
+  }
+
+  test("golden: TestAvg (query3_test.go:2272)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    name gender alive
+        |    friend { x as shadow_deep }
+        |    avg(val(x)) } }""".stripMargin,
+      """{"data": {"me":[{"alive":true,"avg(val(x))":9,"friend":[{"shadow_deep":4},{"shadow_deep":14}],"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestSum (query3_test.go:2293)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    name gender alive
+        |    friend { x as shadow_deep }
+        |    sum(val(x)) } }""".stripMargin,
+      """{"data": {"me":[{"alive":true,"friend":[{"shadow_deep":4},{"shadow_deep":14}],"gender":"female","name":"Michonne","sum(val(x))":18}]}}""")
+  }
+
+  // ---- password battery (query3_test.go:2314-2522) ----
+
+  test("golden: TestQueryPassword (query3_test.go:2314)") {
+    // password values are never fetchable
+    checkGolden(
+      """{ me(func: uid(0x01)) { name password } }""",
+      """{"data": {"me":[{"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestPasswordExpandAll1 (query3_test.go:2328)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { expand(_all_) } }""",
+      """{"data":{"me":[{"alive":true, "gender":"female", "name":"Michonne"}]}}""",
+      arrayOrderFree = true)
+  }
+
+  test("golden: TestPasswordExpandAll2 (query3_test.go:2347)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { expand(_all_) checkpwd(password, "12345") } }""",
+      """{"data":{"me":[{"alive":true, "checkpwd(password)":false,
+        |"gender":"female", "name":"Michonne"}]}}""".stripMargin,
+      arrayOrderFree = true)
+  }
+
+  test("golden: TestPasswordExpandError (query3_test.go:2367)") {
+    checkErr("""{ me(func: uid(0x01)) { expand(_all_) password } }""")
+  }
+
+  test("golden: TestCheckPassword (query3_test.go:2381)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name checkpwd(password, "123456") } }""",
+      """{"data": {"me":[{"name":"Michonne","checkpwd(password)":true}]}}""")
+  }
+
+  test("golden: TestCheckPasswordIncorrect (query3_test.go:2394)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name checkpwd(password, "654123") } }""",
+      """{"data": {"me":[{"name":"Michonne","checkpwd(password)":false}]}}""")
+  }
+
+  test("golden: TestCheckPasswordParseError (query3_test.go:2408)") {
+    // the legacy one-arg checkpwd("pw") form must not parse
+    intercept[Exception] {
+      Parser.parse("""{ me(func: uid(0x01)) { name checkpwd("654123") } }""")
+    }
+  }
+
+  test("golden: TestCheckPasswordDifferentAttr1 (query3_test.go:2421)") {
+    checkGolden(
+      """{ me(func: uid(23)) { name checkpwd(pass, "654321") } }""",
+      """{"data": {"me":[{"name":"Rick Grimes","checkpwd(pass)":true}]}}""")
+  }
+
+  test("golden: TestCheckPasswordDifferentAttr2 (query3_test.go:2435)") {
+    checkGolden(
+      """{ me(func: uid(23)) { name checkpwd(pass, "invalid") } }""",
+      """{"data": {"me":[{"name":"Rick Grimes","checkpwd(pass)":false}]}}""")
+  }
+
+  test("golden: TestCheckPasswordInvalidAttr (query3_test.go:2449)") {
+    // no `pass` attribute on 0x1 — verifies false
+    checkGolden(
+      """{ me(func: uid(0x1)) { name checkpwd(pass, "123456") } }""",
+      """{"data": {"me":[{"name":"Michonne","checkpwd(pass)":false}]}}""")
+  }
+
+  test("golden: TestCheckPasswordQuery1 (query3_test.go:2465)") {
+    checkGolden(
+      """{ me(func: uid(0x1)) { name password } }""",
+      """{"data": {"me":[{"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestCheckPasswordQuery2 (query3_test.go:2480)") {
+    checkGolden(
+      """{ me(func: uid(23)) { name pass } }""",
+      """{"data": {"me":[{"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestCheckPasswordQuery3 (query3_test.go:2495)") {
+    // alias on checkpwd of an attribute the node lacks
+    checkGolden(
+      """{ me(func: uid(23)) { name secret: checkpwd(pass, "123456") } }""",
+      """{"data": {"me":[{"name":"Rick Grimes","secret":false}]}}""")
+  }
+
+  test("golden: TestCheckPasswordQuery4 (query3_test.go:2510)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name secreto: checkpwd(password, "123456") } }""",
+      """{"data": {"me":[{"name":"Michonne","secreto":true}]}}""")
   }
 
   test("golden: TestCountUIDNestedMultiple (query4_test.go:1455)") {
