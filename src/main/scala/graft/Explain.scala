@@ -11,6 +11,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("q1_agg")
     val spark = SparkSession.builder()
       .master("local[4]")
+      // internal flat-column names collide under case-insensitive
+      // resolution (aliased `friend_Friend` vs nested `friend_friend`)
+      .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

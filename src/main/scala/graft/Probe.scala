@@ -11,6 +11,9 @@ object Probe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
+      // internal flat-column names collide under case-insensitive
+      // resolution (aliased `friend_Friend` vs nested `friend_friend`)
+      .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

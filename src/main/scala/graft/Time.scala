@@ -16,6 +16,9 @@ object Time {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // internal flat-column names collide under case-insensitive
+      // resolution (aliased `friend_Friend` vs nested `friend_friend`)
+      .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.maxFields",
         sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "100"))

@@ -12,6 +12,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // internal flat-column names collide under case-insensitive
+      // resolution (aliased `friend_Friend` vs nested `friend_friend`)
+      .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -111,6 +111,7 @@ final case class QueryBlock(
     shortest: Option[ShortestArgs] = None,
     blockVar: Option[String] = None,   // `sp as shortest(...)` binding
     cascadeFields: Seq[String] = Nil,  // @cascade(f1, f2): only these required
-    groupby: Seq[GroupKey] = Nil)      // root-level @groupby(p1, A: p2)
+    groupby: Seq[GroupKey] = Nil,      // root-level @groupby(p1, A: p2)
+    ignoreReflex: Boolean = false)     // @ignorereflex on a plain block
 
 final case class DqlQuery(blocks: Seq[QueryBlock])

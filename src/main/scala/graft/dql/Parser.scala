@@ -229,9 +229,12 @@ object Parser {
       var cascadeFields = Vector.empty[String]
       var recurse: Option[RecurseArgs] = None
       var groupby = Vector.empty[GroupKey]
+      var ignoreReflex = false
+      // directive names are case-insensitive in the reference lexer
+      // (query1 TestReflexive2 uses @IGNOREREFLEX)
       while (peek == Punct("@")) {
         next()
-        ident() match {
+        ident().toLowerCase match {
           case "filter" => expect("("); filter = Some(parseFilterOr()); expect(")")
           case "groupby" => groupby = parseGroupbyKeys()
           case "cascade" =>
@@ -274,17 +277,25 @@ object Parser {
             if (loop && depth == Int.MaxValue)
               fail("@recurse with loop: true requires an explicit depth")
             recurse = Some(RecurseArgs(depth, loop))
+          case "ignorereflex" =>
+            // per-path ancestor exclusion on a plain block (reference
+            // query1 TestReflexive1-3)
+            ignoreReflex = true
           case other => fail(s"unknown directive @$other")
         }
       }
-      // a bodiless var block is legal: `a as var(func: uid(0x01))` binds
-      // the uid set and selects nothing (reference query3 uid-var tests)
+      // a bodiless block is legal: `a as var(func: uid(0x01))` binds the
+      // uid set and selects nothing (reference query3 uid-var tests);
+      // a bodiless NAMED block renders [] (TestReturnEmptyBlock's me2)
       val sels =
-        if (name == "var" && peek != Punct("{")) Nil
+        if (peek != Punct("{")) Nil
         else parseSelectionSet()
-      QueryBlock(name, func.getOrElse(fail("block missing func")), filter,
+      // `me()` with no func: an EMPTY block — only root-level aggregation
+      // of value variables is legal inside (reference TestAggregateRoot*)
+      QueryBlock(name, func.getOrElse(FuncCall("empty", "", Nil)), filter,
         order, page, cascade, normalize, recurse, sels, blockVar = blockVar,
-        cascadeFields = cascadeFields, groupby = groupby)
+        cascadeFields = cascadeFields, groupby = groupby,
+        ignoreReflex = ignoreReflex)
     }
 
     /** `@groupby(p1, Alias: p2, ...)` key list (shared by block-level and
@@ -437,10 +448,15 @@ object Parser {
       }
       if (name == "expand" && peek == Punct("(")) {
         next()
-        // _all_ or comma-separated type names (reference
-        // TestTypeExpandMultipleExplicitTypes: expand(CarModel, Object))
+        // _all_, comma-separated type names (reference
+        // TestTypeExpandMultipleExplicitTypes: expand(CarModel, Object)),
+        // or expand(val(x)) — predicate names from a value variable
+        // (TestExpandVal)
         var arg = ident()
-        while (peek == Punct(",")) { next(); arg += ", " + ident() }
+        if (arg == "val" && peek == Punct("(")) {
+          next(); arg = "val:" + ident(); expect(")")
+        } else
+          while (peek == Punct(",")) { next(); arg += ", " + ident() }
         expect(")")
         // `expand(_all_) @filter(...)`: the filter applies to every
         // expanded edge's targets (reference TestTypeFilterAtExpand)
@@ -628,9 +644,12 @@ object Parser {
       case _ => FilterLeaf(parseFunc())
     }
 
-    /** f(pred, args...) — also uid(...), type(T), count-arg forms. */
+    /** f(pred, args...) — also uid(...), type(T), count-arg forms.
+      * Function names are case-insensitive like the reference lexer
+      * (query1 TestUidInFunction1 uses `func: UID(...)`).
+      */
     private def parseFunc(): FuncCall = {
-      val fname = ident()
+      val fname = ident().toLowerCase
       expect("(")
       if (fname == "uid") {
         var uids = Vector.empty[String]
@@ -641,7 +660,10 @@ object Parser {
           uids :+= litString()
         }
         expect(")")
-        return FuncCall("uid", "", uids)
+        // a $var-substituted uid list arrives as one "[1, 31]" literal
+        // (reference TestGraphQLId)
+        return FuncCall("uid", "", uids.flatMap(
+          _.split("[\\[\\],\\s]+").filter(_.nonEmpty)))
       }
       // eq(count(p), n) and eq(val(x), v) forms
       var pred = ""
@@ -685,6 +707,18 @@ object Parser {
             // uid_in(p, uid(v)): membership against a uid variable's set
             // (LDBC IC11 uid_in(workAt, uid(organisation)))
             next(); expect("("); args :+= "\u0000uid:" + ident(); expect(")")
+          case Punct("[") =>
+            // bracketed value list: eq(name, ["a", "b"]) /
+            // uid_in(school, [5000, 5001]) (reference
+            // TestMultipleEquality, TestUidInFunction3)
+            next()
+            var firstL = true
+            while (peek != Punct("]")) {
+              if (!firstL) expect(",")
+              firstL = false
+              args :+= litString()
+            }
+            expect("]")
           case _ => args :+= litString()
         }
       }
@@ -788,7 +822,12 @@ object Parser {
 
     private def uidLit(): Long = next() match {
       case NumLit(s) =>
-        if (s.startsWith("0x")) java.lang.Long.parseLong(s.drop(2), 16) else s.toLong
+        // uids are unsigned (reference strconv.ParseUint —
+        // TestMatchFuncWithAfterWithInvalidUid: after: -1 errors)
+        if (s.startsWith("-"))
+          fail(s"""strconv.ParseUint: parsing "$s": invalid syntax""")
+        else if (s.startsWith("0x")) java.lang.Long.parseLong(s.drop(2), 16)
+        else s.toLong
       case other => fail(s"expected uid, got $other")
     }
   }

@@ -53,6 +53,150 @@ final class DqlExecutor(ts: GraphStore) {
     */
   private val liveVars = scala.collection.mutable.Set.empty[String]
 
+  /** @ignorereflex ancestor chain: when Some, each traversal level
+    * filters child uids against every ancestor uid column of the row —
+    * the reference's per-path reflexive exclusion (query1 TestReflexive:
+    * Rick's friend list under Michonne omits Michonne).
+    */
+  private var reflexChain: Option[List[String]] = None
+
+  /** Duplicate output keys at one selection level are a repeated
+    * subgraph (reference TestMultipleSamePredicateInBlockFail1-3,
+    * TestDuplicateAlias, TestMathVarCrash — `a as math(...)` plus
+    * `val(a)` both render under val(a)).
+    */
+  private def validateSels(sels: Seq[Selection]): Unit = {
+    val rendered = sels.filterNot(_.pred.startsWith("expand("))
+    rendered.groupBy(jsonKey).find(_._2.size > 1).foreach { case (k, _) =>
+      throw new IllegalArgumentException(s"Repeated subgraph: [$k]")
+    }
+    sels.foreach(s => validateSels(s.children))
+  }
+
+  /** Root functions must run on an index; inequalities additionally need
+    * a SORTABLE one — hash/term/trigram/fulltext/bool are lookup-only
+    * (reference worker/tokens.go pickTokenizer: TestHashTokGeqErr,
+    * TestBoolIndexgeRoot, TestNonIndexedPredicateAtRoot). Filters over an
+    * already-bound uid set read values directly and skip this check.
+    */
+  private def validateRootFn(fn: FuncCall): Unit = {
+    if (fn.name == "uid_in")
+      throw new IllegalArgumentException(": uid_in function not allowed at root")
+    val needIndex = Set("eq", "le", "lt", "ge", "gt", "between")
+    // inequalities take a single value — a list is an error
+    // (reference TestMultipleGtError)
+    if (Set("le", "lt", "ge", "gt").contains(fn.name) &&
+        fn.args.length > 1)
+      throw new IllegalArgumentException(
+        s"Function ${fn.name} expects 1 argument, got ${fn.args.length}")
+    if (!needIndex(fn.name) || fn.pred.startsWith("val:") || fn.pred.isEmpty)
+      return
+    val (p, _) = langSplit(fn.pred)
+    schema.predicates.get(p).foreach { ps =>
+      if (ps.dgraphType != "uid") {
+        if (ps.indexes.isEmpty)
+          throw new IllegalArgumentException(s"Predicate $p is not indexed")
+        if (fn.name != "eq") {
+          val sortable =
+            Set("exact", "int", "float", "bigfloat", "year", "month",
+              "day", "hour")
+          if (!ps.indexes.exists(sortable.contains))
+            throw new IllegalArgumentException(
+              s"Predicate $p is not sortable with index " +
+                ps.indexes.mkString(","))
+        }
+      }
+    }
+  }
+
+  /** Empty-block root aggregation (`me() { sum(val(a)) }`, reference
+    * TestAggregateRoot1-6): every selection must be an aggregation of a
+    * bound value variable or math over such aggregates; each renders as
+    * its OWN object, null results included. Aggregates collect on the
+    * driver — a handful of scalars, never a data pass.
+    */
+  private def emptyBlockObjs(b: QueryBlock): Seq[String] = {
+    val scalars = scala.collection.mutable.Map.empty[String, Option[Double]]
+    def fmt(d: Double): String =
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    def evalMath(m: MathNode): Double = m match {
+      case MathNum(v, _) => v
+      case MathRef(n) => scalars.getOrElse(n,
+        throw new IllegalArgumentException(
+          "Only aggregated variables allowed within empty block."))
+        .getOrElse(Double.NaN)
+      case MathBin(op, l, r) =>
+        val (a, c) = (evalMath(l), evalMath(r))
+        op match {
+          case "+" => a + c; case "-" => a - c; case "*" => a * c
+          case "/" => a / c; case "%" => a % c
+          case o => throw new IllegalArgumentException(s"bad root math op $o")
+        }
+      case MathFunc(f, args) =>
+        val vs = args.map(evalMath)
+        f match {
+          case "min" => vs.min; case "max" => vs.max
+          case "ln" => math.log(vs.head); case "exp" => math.exp(vs.head)
+          case "sqrt" => math.sqrt(vs.head)
+          case "floor" => math.floor(vs.head); case "ceil" => math.ceil(vs.head)
+          case o => throw new IllegalArgumentException(s"bad root math fn $o")
+        }
+    }
+    val session = ts.spark
+    import session.implicits._
+    b.selections.map { sel =>
+      if (sel.aggOp.isDefined && sel.valRef.isDefined) {
+        val vf = vars.getOrElse(sel.valRef.get,
+          throw new IllegalArgumentException(
+            s"Variable: [${sel.valRef.get}] used before definition."))
+        val src =
+          if (vf.columns.contains("uid")) vf.dropDuplicates("uid") else vf
+        val aggC = sel.aggOp.get match {
+          case "min" => min(col("value")); case "max" => max(col("value"))
+          case "sum" => sum(col("value")); case "avg" => avg(col("value"))
+          case o => throw new IllegalArgumentException(s"bad root agg $o")
+        }
+        val row = src.agg(aggC.as("v")).collect().head
+        val jsonV =
+          if (row.isNullAt(0)) { sel.varName.foreach(scalars(_) = None); "null" }
+          else row.get(0) match {
+            case n: java.lang.Number =>
+              sel.varName.foreach(scalars(_) = Some(n.doubleValue))
+              fmt(n.doubleValue)
+            case t: java.sql.Timestamp =>
+              "\"" + t.toInstant.toString + "\""
+            case other =>
+              "\"" + other.toString.replace("\\", "\\\\")
+                .replace("\"", "\\\"") + "\""
+          }
+        // the agg result is also a SCALAR value var readable later
+        // (TestAggregateEmpty1 binds `highest as max(val(number))`)
+        sel.varName.foreach { v =>
+          bindVar(v,
+            if (row.isNullAt(0)) Seq.empty[Double].toDF("value")
+            else row.get(0) match {
+              case n: java.lang.Number => Seq(n.doubleValue).toDF("value")
+              case o => Seq(o.toString).toDF("value")
+            })
+        }
+        s"""{"${jsonKey(sel)}":$jsonV}"""
+      } else if (sel.pred == "math" && sel.mathExpr.isDefined) {
+        val v = evalMath(sel.mathExpr.get)
+        val jsonV = if (v.isNaN) "null" else fmt(v)
+        s"""{"${jsonKey(sel)}":$jsonV}"""
+      } else throw new IllegalArgumentException(
+        "Only aggregated variables allowed within empty block.")
+    }
+  }
+
+  private def emptyBlock(b: QueryBlock): DataFrame = {
+    emptyBlockObjs(b) // side effect: scalar var binds
+    val session = ts.spark
+    import session.implicits._
+    Seq.empty[Long].toDF("uid")
+  }
+
   /** Register a variable MATERIALIZED (localCheckpoint = compute once,
     * truncate lineage). Without this, every later reference — val()
     * leaves, seed comparisons, orderings, math — re-embeds the entire
@@ -216,8 +360,16 @@ final class DqlExecutor(ts: GraphStore) {
       if (!s.pred.startsWith("expand(")) Seq(s)
       else {
         val arg = s.pred.stripPrefix("expand(").stripSuffix(")")
+        // expand(val(x)): the variable's VALUES are the predicate names
+        // to expand (reference TestExpandVal) — metadata-sized collect
+        val predNames =
+          if (arg.startsWith("val:"))
+            Some(vars(arg.drop(4)).select(col("value")).distinct()
+              .collect().map(_.get(0).toString).sorted.toSeq)
+          else None
         val typeNames =
-          if (arg == "_all_")
+          if (predNames.isDefined) Nil
+          else if (arg == "_all_")
             ts.nodeTypes.join(
                 frontier.select(col("uid").as("subject")).distinct(),
                 Seq("subject"), "left_semi")
@@ -225,7 +377,9 @@ final class DqlExecutor(ts: GraphStore) {
           // expand(T1, T2): union of the named types' predicates
           // (reference TestTypeExpandMultipleExplicitTypes)
           else arg.split(",").map(_.trim).toSeq
-        typeNames.flatMap(schema.predicatesOfType).distinct.sorted.flatMap { p0 =>
+        predNames.getOrElse(
+          typeNames.flatMap(schema.predicatesOfType).distinct.sorted)
+          .flatMap { p0 =>
           val rev = p0.startsWith("~")
           val p = p0.stripPrefix("~")
           if (!schema.predicates.contains(p)) None
@@ -314,6 +468,9 @@ final class DqlExecutor(ts: GraphStore) {
     }
 
   private def flatBlock(b0x: QueryBlock): DataFrame = {
+    validateSels(b0x.selections)
+    reflexChain = if (b0x.ignoreReflex) Some(Nil) else None
+    if (b0x.func.name == "empty") return emptyBlock(b0x)
     val b0 =
       if (b0x.recurse.isEmpty && hasExpand(b0x.selections))
         b0x.copy(selections = rewriteExpands({
@@ -512,7 +669,11 @@ final class DqlExecutor(ts: GraphStore) {
 
   private def shortestEdges(b: QueryBlock): DataFrame =
     shortestSels(b).map { s =>
-      val e = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+      val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+      // a per-predicate @filter prunes edges by TARGET before the walk
+      // (reference TestShortestPath_filter: path edges into "alice"
+      // nodes are not traversable)
+      val e = s.filter.map(f => applyFilter(e0, "object", f)).getOrElse(e0)
       // weight from the TYPED facet column when present: the string map
       // would be rebuilt on every cone-discovery pass over the lazy
       // branches, while _ft_<key> is a plain source column
@@ -530,6 +691,18 @@ final class DqlExecutor(ts: GraphStore) {
     }.reduce(_ unionByName _)
 
   private def shortestBlock(b: QueryBlock, sa: ShortestArgs): DataFrame = {
+    // expand() has no meaning inside shortest — the walk needs a fixed
+    // edge set (reference TestShortestPath_ExpandError)
+    if (b.selections.exists(_.pred.startsWith("expand(")))
+      throw new IllegalArgumentException(
+        "expand() is not allowed inside a shortest block")
+    // at most ONE weight facet per edge template (reference
+    // TestShortestPathWeightsMultiFacet_Error)
+    b.selections.find(_.facetKeys.size > 1).foreach { s =>
+      throw new IllegalArgumentException(
+        s"shortest: only one facet key allowed on ${s.pred}, " +
+          s"got ${s.facetKeys.mkString(", ")}")
+    }
     // `from: uid(a)` endpoints resolve to exactly one uid — a
     // driver-side metadata read, same as the reference's var expansion
     // (query3 TestShortestPathWithUidVariable / ...Error)
@@ -548,7 +721,9 @@ final class DqlExecutor(ts: GraphStore) {
       }
     val (saFrom, saTo) = (endpoint(sa.from, sa.fromVar, "from"),
         endpoint(sa.to, sa.toVar, "to")) match {
-      case (Some(f), Some(t)) => (f, t)
+      // depth: 0 loads no adjacency at all — no route, even a direct
+      // edge (reference TestShortestPathWithDepth depth_0 subcases)
+      case (Some(f), Some(t)) if sa.depth > 0 => (f, t)
       case _ =>
         val session = ts.spark
         import session.implicits._
@@ -560,8 +735,11 @@ final class DqlExecutor(ts: GraphStore) {
     // semi-joins over the per-predicate branch scans, so the full union
     // is never materialized (checkpointing ~1.3M wide rows to find a
     // 10²-edge cone was the dominant cold cost of every shortest query)
+    // the cache key carries per-edge @filter structure too — a filtered
+    // walk must never reuse an unfiltered cone (TestShortestPath_filter2)
     val sig = shortestSels(b).map(s =>
-      s"${if (s.reverse) "~" else ""}${s.pred}:${s.facetKeys.headOption.getOrElse("1")}")
+      s"${if (s.reverse) "~" else ""}${s.pred}:${s.facetKeys.headOption.getOrElse("1")}" +
+        s.filter.map(f => s":$f").getOrElse(""))
       .mkString("shortest|", ",", "")
     val edges0 = shortestEdges(b).select(col("src"), col("dst"), col("w"))
     // only the (tiny) cone is materialized, cached per session by
@@ -625,6 +803,7 @@ final class DqlExecutor(ts: GraphStore) {
       fn.pred.startsWith("val:")
 
   private def seedUids(fn: FuncCall): DataFrame = {
+    validateRootFn(fn)
     val s = seed(fn).select(col("uid"))
     if (uniqueSeed(fn)) s else s.distinct()
   }
@@ -730,6 +909,29 @@ final class DqlExecutor(ts: GraphStore) {
       val base = langSplit(fn.pred)._1
       attrWhere(fn.pred, v => v.isin(fn.args.map(typedLit(base, _)): _*),
         untaggedDefault = true)
+    case n @ ("le" | "lt" | "ge" | "gt")
+        if fn.args.exists(_.startsWith("\u0000val:")) &&
+          !schema.isUidPredicate(langSplit(fn.pred)._1) =>
+      // ge(number, val(x)): per-uid comparison against the variable's
+      // value map; a scalar var broadcasts (reference TestAggregateEmpty3
+      // — an empty map matches nothing)
+      val op: (Column, Column) => Column = n match {
+        case "le" => _ <= _; case "lt" => _ < _
+        case "ge" => _ >= _; case _ => _ > _
+      }
+      val vname = fn.args.find(_.startsWith("\u0000val:")).get
+        .stripPrefix("\u0000val:")
+      val rows = attrRows(fn.pred, untaggedDefault = true)
+      val vf = vars(vname)
+      if (!vf.columns.contains("uid"))
+        rows.crossJoin(broadcast(vf.select(col("value").as("__vv"))))
+          .filter(op(col("value"), col("__vv")))
+          .select(col("subject").as("uid")).distinct()
+      else
+        rows.join(vf.select(col("uid").as("__vu"), col("value").as("__vv")),
+            col("subject") === col("__vu"))
+          .filter(op(col("value"), col("__vv")))
+          .select(col("subject").as("uid")).distinct()
     case "le" => attrCmp(fn, _ <= _)
     case "lt" => attrCmp(fn, _ < _)
     case "ge" => attrCmp(fn, _ >= _)
@@ -972,6 +1174,14 @@ final class DqlExecutor(ts: GraphStore) {
         case -1 => (pred, None)
         case i => (pred.substring(0, i), Some(pred.substring(i + 1)))
       }
+      // bool values have no sort order (reference TestBoolSort errors),
+      // and neither do LIST predicates (TestMultipleValueSortError)
+      if (schema.predicates.get(p).exists(_.dgraphType == "bool"))
+        throw new IllegalArgumentException(
+          s"Cannot sort attribute $p of type bool")
+      if (schema.predicates.get(p).exists(_.isList))
+        throw new IllegalArgumentException(
+          s"Sorting not supported on attr: $p of type: [scalar]")
       val rows = ts.attr(p)
       if (!rows.columns.contains("lang")) rows
       else tag match {
@@ -1012,21 +1222,33 @@ final class DqlExecutor(ts: GraphStore) {
         cur = cur.join(a, col(uidCol) === col(s"__os$i"), joinKind).drop(s"__os$i")
       }
     }
-    // Null ordering mirrors types/sort.go byValue.Less exactly: missing
-    // values sort last under BOTH directions, and a pair that ties on
-    // nulls at key i is ordered by uid REVERSED when that key is desc
-    // (Less returns s.desc[vidx] for the null-null case, which flips the
-    // uid-ascending input order of the null group — TestMultiSort5's
-    // null-salary Bobs render age 25 before 75). Encoded as an extra
-    // null-group-only uid column per key; non-null rows keep it null so
-    // later keys still compare.
-    val ordCols = order.zipWithIndex.flatMap { case (o, i) =>
-      val v = if (o.desc) col(s"__ov$i").desc_nulls_last
-        else col(s"__ov$i").asc_nulls_last
-      val u = when(col(s"__ov$i").isNull,
-        if (o.desc) -col(uidCol) else col(uidCol)).asc
-      Seq(v, u)
-    } :+ col(uidCol).asc
+    // Null ordering mirrors types/sort.go byValue.Less: missing values
+    // sort last under BOTH directions. A pair that ties on nulls at a
+    // SECONDARY desc key is ordered by uid REVERSED (Less returns
+    // s.desc[vidx] for the null-null case through sort.Stable —
+    // TestMultiSort5's null-salary Bobs render age 25 before 75). Nodes
+    // missing the PRIMARY key never enter the comparator at all: the
+    // reference appends them in plain uid order, every direction
+    // (TestSortWithNulls desc keeps F..J uid-ascending), so their later
+    // keys are masked out.
+    def keyCols(rev: Boolean): Seq[Column] = {
+      val primaryNull = col("__ov0").isNull
+      order.zipWithIndex.flatMap { case (o, i) =>
+        val ov = if (i == 0) col(s"__ov$i")
+          else when(primaryNull, lit(null)).otherwise(col(s"__ov$i"))
+        val v = (o.desc, rev) match {
+          case (true, false) => ov.desc_nulls_last
+          case (false, false) => ov.asc_nulls_last
+          case (true, true) => ov.asc_nulls_first
+          case (false, true) => ov.desc_nulls_first
+        }
+        val flip = o.desc && i > 0
+        val uexpr = when(ov.isNull,
+          if (flip) -col(uidCol) else col(uidCol))
+        Seq(v, if (rev) uexpr.desc else uexpr.asc)
+      } :+ (if (rev) col(uidCol).desc else col(uidCol).asc)
+    }
+    val ordCols = keyCols(rev = false)
     cur = cur.orderBy(ordCols: _*)
     page.offset.foreach(o => cur = cur.offset(o))
     page.first.foreach { f =>
@@ -1036,14 +1258,7 @@ final class DqlExecutor(ts: GraphStore) {
         // query/query.go:989 calculatePaginationParams): top-|f| in the
         // REVERSED order — a distributed TakeOrdered, no global window —
         // then re-sorted into the requested presentation order
-        val revCols = order.zipWithIndex.flatMap { case (o, i) =>
-          val v = if (o.desc) col(s"__ov$i").asc_nulls_first
-            else col(s"__ov$i").desc_nulls_first
-          val u = when(col(s"__ov$i").isNull,
-            if (o.desc) -col(uidCol) else col(uidCol)).desc
-          Seq(v, u)
-        } :+ col(uidCol).desc
-        cur = cur.orderBy(revCols: _*).limit(-f).orderBy(ordCols: _*)
+        cur = cur.orderBy(keyCols(rev = true): _*).limit(-f).orderBy(ordCols: _*)
       }
     }
     cur.drop(order.indices.map(i => s"__ov$i"): _*)
@@ -1226,7 +1441,17 @@ final class DqlExecutor(ts: GraphStore) {
       } else if (sel.checkPwd.isDefined) {
         // checkpwd(pred, pw): bcrypt-verify the stored hash per row; a
         // missing attribute verifies false (reference worker/task.go:255
-        // passwordFn; TestCheckPasswordInvalidAttr)
+        // passwordFn; TestCheckPasswordInvalidAttr). Non-password
+        // predicates are rejected (TestPasswordError), as is `uid`
+        // (TestUidAttr)
+        if (sel.pred == "uid")
+          throw new IllegalArgumentException("Argument cannot be \"uid\"")
+        schema.predicates.get(sel.pred).foreach { ps =>
+          if (ps.dgraphType != "password")
+            throw new IllegalArgumentException(
+              s"checkpwd fn can only be used on attr: [${sel.pred}] " +
+                s"with schema type password. Got type: ${ps.dgraphType}")
+        }
         val stored = ts.attr(sel.pred)
           .select(col("subject").as("__ps"), col("value").as("__ph"))
         cur = cur.join(stored, col(uidCol) === col("__ps"), joinType)
@@ -1250,6 +1475,11 @@ final class DqlExecutor(ts: GraphStore) {
           bindVar(v, cur.select(col(uidCol)).distinct()
             .agg(count(lit(1)).cast("long").as("value")))
         }
+      } else if (sel.isCount &&
+          !schema.predicates.contains(sel.pred) && !sel.reverse) {
+        // count of an UNKNOWN predicate empties the whole block
+        // (reference TestCountEmptyData3: c: count(friend2) → me: [])
+        cur = cur.filter(lit(false)).withColumn(name, lit(0L))
       } else if (sel.isCount) {
         // count over uid edges, or over VALUES for scalar predicates
         // (reference TestCountFacetsFilteringScalarPredicate); scalar
@@ -1331,6 +1561,16 @@ final class DqlExecutor(ts: GraphStore) {
             bindVar(v,
               cur.select(qcol(name).as("uid")).filter(col("uid").isNotNull).distinct())
           }
+        }
+      } else if (!schema.predicates.contains(sel.pred) &&
+          sel.pred != "dgraph.type") {
+        // unknown predicates in a selection are legal and render nothing
+        // (reference TestFacetVarRetrieveOrder selects nonexistent_pred);
+        // a var bound on one is EMPTY, not an error
+        cur = cur.withColumn(name, lit(null).cast("string"))
+        sel.varName.foreach { v =>
+          bindVar(v, cur.select(col(uidCol).as("uid"),
+            lit(null).cast("double").as("value")).limit(0))
         }
       } else if (sel.pred == "dgraph.type") {
         // dgraph.type as a selection renders the node's type LIST
@@ -1469,7 +1709,11 @@ final class DqlExecutor(ts: GraphStore) {
             }
           }
         cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
-        // value variable: per-uid value map (x as age)
+        // value variable: per-uid value map (x as age); list predicates
+        // have no single value to bind (TestMultipleValueVarError)
+        if (sel.varName.isDefined && schema.pred(sel.pred).isList)
+          throw new IllegalArgumentException(
+            "Value variables not supported for predicate with list type.")
         sel.varName.foreach { v =>
           // scalar attr values are unique per (subject, predicate) in the
           // store — dedup only if a traversal already fanned the rows out
@@ -1518,6 +1762,28 @@ final class DqlExecutor(ts: GraphStore) {
     sel.page.after.foreach(a => child = child.filter(qcol(name) > a))
 
     var cur = df.join(child, col(uidCol) === col("__es"), joinType).drop("__es")
+    // @ignorereflex: a child equal to ANY ancestor on this row's path is
+    // not traversed (reference query1 TestReflexive — per-path, not
+    // global). NULL the child rather than drop the row: a parent whose
+    // only children are ancestors still renders, nested list omitted
+    // (Rick stays under Michonne even though his one friend IS Michonne)
+    reflexChain.foreach { chain =>
+      val anc = chain :+ uidCol
+      val excluded = anc.map(a => qcol(name) <=> qcol(a)).reduce(_ || _)
+      cur = cur.withColumn(name,
+        when(excluded, lit(null)).otherwise(qcol(name)))
+      // a parent with SURVIVING children drops the nulled artifact rows
+      // (they would fabricate value-less normalize paths — TestReflexive3
+      // has no bare {Me: Rick, Friend: Michonne} row); a parent whose
+      // every child was an ancestor keeps exactly one childless row
+      val w = Window.partitionBy(anc.map(qcol): _*)
+      cur = cur.withColumn("__rfx_n", count(qcol(name)).over(w))
+        .withColumn("__rfx_rn",
+          row_number().over(w.orderBy(qcol(name).asc_nulls_last)))
+        .filter(qcol(name).isNotNull ||
+          (col("__rfx_n") === 0 && col("__rfx_rn") === 1))
+        .drop("__rfx_n", "__rfx_rn")
+    }
 
     // under @cascade, pagination counts only children SURVIVING the
     // cascade pruning of their own subtree (reference paginates after
@@ -1611,8 +1877,11 @@ final class DqlExecutor(ts: GraphStore) {
     if (sel.children.nonEmpty) {
       // child-level @cascade: this subtree prunes like a cascade block
       // (reference TestFacetsNestedCascade)
-      val sub = project(cur, name, sel.children, cascade || sel.selCascade,
-        s"${name}_", detached)
+      val savedChain = reflexChain
+      reflexChain = reflexChain.map(_ :+ uidCol)
+      val sub = try project(cur, name, sel.children,
+          cascade || sel.selCascade, s"${name}_", detached)
+        finally reflexChain = savedChain
       cur =
         if (sel.selCascade && !cascade) {
           // selection-level @cascade prunes only THIS subtree: a parent
@@ -2383,6 +2652,13 @@ final class DqlExecutor(ts: GraphStore) {
   }
 
   private def jsonBlock(b0: QueryBlock, includeUid: Boolean = true): DataFrame = {
+    if (b0.func.name == "empty") {
+      validateSels(b0.selections)
+      val session = ts.spark
+      import session.implicits._
+      return emptyBlockObjs(b0).zipWithIndex
+        .map { case (j, i) => (i.toLong, j) }.toDF("uid", "json")
+    }
     if (b0.shortest.isDefined) return shortestJson(b0)
     if (b0.recurse.isDefined) return recurseJson(b0, includeUid)
     if (b0.groupby.nonEmpty) return rootGroupbyJson(b0)
@@ -2626,7 +2902,11 @@ final class DqlExecutor(ts: GraphStore) {
       val uidField =
         if (includeUid || s.children.exists(c => c.pred == "uid" && !c.isCount) ||
             (kidFields.isEmpty && facetFields.isEmpty))
-          Seq(hexUid(col(colName)).as("uid"))
+          // an aliased `uid: uid` / `id: uid` renames the key
+          // (reference TestUidAlias)
+          Seq(hexUid(col(colName)).as(
+            s.children.find(c => c.pred == "uid" && !c.isCount)
+              .flatMap(_.alias).getOrElse("uid")))
         else Nil
       // without a uid key, a child whose requested values are ALL null
       // renders nothing — the reference omits value-less nodes entirely
@@ -2711,7 +2991,9 @@ final class DqlExecutor(ts: GraphStore) {
       else Some(col(scalarCol(s)).as(jsonKey(s)))
     } ++ gbCols.map { case (s, ccol) => col(ccol).as(jsonKey(s)) }
     val fields =
-      (if (rootUid) Seq(hexUid(col("uid")).as("uid")) else Nil) ++
+      (if (rootUid) Seq(hexUid(col("uid")).as(
+        b.selections.find(s => s.pred == "uid" && !s.isCount)
+          .flatMap(_.alias).getOrElse("uid"))) else Nil) ++
         valueFields ++
         rootFvCols.map { case (cn, field) => qcol(cn).as(field) }
     // without a uid key, a root whose requested values are ALL absent

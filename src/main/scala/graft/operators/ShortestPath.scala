@@ -213,7 +213,12 @@ object ShortestPath {
     // Yen-style detour search (documented trade-off).
     val kv =
       if (minW == Double.NegativeInfinity) k else math.max(3 * k, k + 8)
-    def mergeK(a: S, b: S): S = (a ++ b).distinct.sorted.take(kv)
+    // rank ties on cost break LONGER-hop-first — the reference's
+    // enumeration yields the multi-hop route before the direct edge at
+    // equal weight (TestShortestPathWithDepth allPaths: A→C→B(11)
+    // before A→B(11); TestKShortestPathAllPaths the same at 22)
+    def mergeK(a: S, b: S): S = (a ++ b).distinct
+      .sortBy { case (c, p) => (c, -p.count(_ == '>'), p) }.take(kv)
     // non-preConed cones are checkpointed before sized()'s count so the
     // iterative discovery runs once, not once per downstream job
     val pruned = sized(spark,

@@ -20,7 +20,8 @@ class DqlSpec extends AnyFunSuite {
     val ts = Lexer.tokenize(
       """{ q(func: regexp(name, /^a.*b$/)) # comment
         |  { uid name } }""".stripMargin)
-    assert(ts.contains(StrLit("^a.*b$")))
+    // regex literals keep the raw /re/flags form; the executor unwraps
+    assert(ts.contains(StrLit("/^a.*b$/")))
     assert(ts.count(_ == Punct("{")) == 2)
   }
 

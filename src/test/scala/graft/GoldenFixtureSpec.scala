@@ -78,6 +78,9 @@ class GoldenFixtureSpec extends AnyFunSuite {
     e(52, "connects", 54, "weight=10"), e(54, "connects", 51, "weight=10"),
     e(54, "connects", 52, "weight=2"), e(54, "connects", 53, "weight=10"),
     e(54, "connects", 55, "weight=1"),
+    // F..J chain (common_test.go:801-804, hoppy-behavior depth tests)
+    e(56, "connects", 57, "weight=1"), e(56, "connects", 58, "weight=1"),
+    e(58, "connects", 59, "weight=1"), e(59, "connects", 60, "weight=1"),
     a(1000, "name", "Alice"), a(1001, "name", "Bob"),
     a(1002, "name", "Matt"), a(1003, "name", "John"),
     a(5000, "name", "School A"), a(5001, "name", "School B"),
@@ -218,6 +221,33 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(23, "pass", "654321"),
     // shadow_deep (common_test.go:670-671)
     a(23, "shadow_deep", "4"), a(24, "shadow_deep", "14"),
+    // _xid_ / bin_data / noindex_name (common_test.go:488-491, 599-615)
+    a(1, "_xid_", "mich"), a(24, "_xid_", "g\\\"lenn"), a(110, "_xid_", "a.bc"),
+    a(1, "bin_data", "YmluLWRhdGE="),
+    a(1, "noindex_name", "Michonne's name not indexed"),
+    a(2, "noindex_name", "King Lear's name not indexed"),
+    a(3, "noindex_name", "Margaret's name not indexed"),
+    a(4, "noindex_name", "Leonard's name not indexed"),
+    // graduation list values (common_test.go: Michonne 1932, Andrea
+    // 1935 + 1933)
+    a(1, "graduation", "1932-01-01"),
+    a(31, "graduation", "1935-01-01"), a(31, "graduation", "1933-01-01"),
+    // sort-consistency block (common_test.go:820-856)
+    a(61, "pred", "A"), a(62, "pred", "B"), a(63, "pred", "C"),
+    a(64, "pred", "D"), a(65, "pred", "E"),
+    a(61, "indexpred", "A"), a(62, "indexpred", "B"), a(63, "indexpred", "C"),
+    a(64, "indexpred", "D"), a(65, "indexpred", "E"),
+    a(61, "pname", "nameA"), a(62, "pname", "nameB"), a(63, "pname", "nameC"),
+    a(64, "pname", "nameD"), a(65, "pname", "nameE"), a(66, "pname", "nameF"),
+    a(67, "pname", "nameG"), a(68, "pname", "nameH"), a(69, "pname", "nameI"),
+    a(70, "pname", "nameJ"),
+    a(61, "pred1", "A"), a(62, "pred1", "A"), a(63, "pred1", "A"),
+    a(64, "pred1", "B"), a(65, "pred1", "B"), a(66, "pred1", "B"),
+    a(67, "pred1", "C"), a(68, "pred1", "C"), a(69, "pred1", "C"),
+    a(70, "pred1", "C"),
+    a(61, "pred2", "I"), a(62, "pred2", "J"), a(64, "pred2", "I"),
+    a(65, "pred2", "J"), a(67, "pred2", "I"), a(68, "pred2", "J"),
+    a(69, "pred2", "K"),
     // regex-test pattern corpus (common_test.go:955-970: 24 values under
     // <0x1234> via <pattern>, uids 0x2000..)
     a(0x2750, "firstName", "Luke"), a(0x2750, "lastName", "Skywalker"),
@@ -291,6 +321,16 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |lastName: string .
         |genre: [uid] @reverse .
         |shadow_deep: int .
+        |_xid_: string .
+        |bin_data: default .
+        |noindex_name: string .
+        |number: int @index(int) .
+        |graduation: [datetime] @index(year) @count .
+        |pred: string .
+        |indexpred: string @index(exact) .
+        |pname: string .
+        |pred1: string .
+        |pred2: string .
         |type SchoolInfo { name abbr school district county state }
         |type Person { name pet friend gender alive }
         |type User { name password gender friend alive }
@@ -3415,6 +3455,280 @@ class GoldenFixtureSpec extends AnyFunSuite {
       """{"data": {"me":[{"ceilAge":13}]}}""")
   }
 
+  // ---- query3 shortest-path battery (query3_test.go:271-1806) ----
+
+  test("golden: TestShortestPath_ExpandError (query3_test.go:271)") {
+    checkErr("""{ A as shortest(from:0x01, to:101) { expand(_all_) }
+      me(func: uid(A)) { name } }""")
+  }
+
+  test("golden: TestShortestPath_NoPath (query3_test.go:288)") {
+    checkGolden(
+      """{ A as shortest(from:0x01, to:101) { path follow }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestKShortestPath_NoPath (query3_test.go:305)") {
+    checkGolden(
+      """{ A as shortest(from:0x01, to:101, numpaths: 2) {
+        |    path nonexistent_pred follow }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestKShortestPathWeightedMinWeight (query3_test.go:396)") {
+    checkGolden(
+      """{ shortest(from: 1, to:1001, numpaths: 4, minweight: 3) {
+        |    path @facets(weight) } }""".stripMargin,
+      """{"data":{}}""")
+  }
+
+  test("golden: TestKShortestPathWeightedMaxWeight (query3_test.go:409)") {
+    checkGolden(
+      """{ shortest(from: 1, to:1001, numpaths: 4, maxweight: 0.1) {
+        |    path @facets(weight) } }""".stripMargin,
+      """{"data":{}}""")
+  }
+
+  test("golden: TestKShortestPathWeighted_LimitDepth (query3_test.go:422)") {
+    checkGolden(
+      """{ shortest(from: 1, to:1001, depth:1, numpaths: 4) {
+        |    path @facets(weight) } }""".stripMargin,
+      """{"data": {}}""")
+  }
+
+  test("golden: TestKShortestPathWeighted1 (query3_test.go:437)") {
+    checkGolden(
+      """{ shortest(from: 1, to:1003, numpaths: 3) {
+        |    path @facets(weight) } }""".stripMargin,
+      """{"data":{"_path_":[
+        |{"path":{"path":{"path":{"path":{"path":{"uid":"0x3eb","path|weight":0.6},"uid":"0x3ea","path|weight":0.1},"uid":"0x3e9","path|weight":0.1},"uid":"0x3e8","path|weight":0.1},"uid":"0x1f","path|weight":0.1},"uid":"0x1","_weight_":1},
+        |{"path":{"path":{"path":{"path":{"uid":"0x3eb","path|weight":0.6},"uid":"0x3ea","path|weight":0.7},"uid":"0x3e8","path|weight":0.1},"uid":"0x1f","path|weight":0.1},"uid":"0x1","_weight_":1.5},
+        |{"path":{"path":{"path":{"path":{"uid":"0x3eb","path|weight":1.5},"uid":"0x3e9","path|weight":0.1},"uid":"0x3e8","path|weight":0.1},"uid":"0x1f","path|weight":0.1},"uid":"0x1","_weight_":1.8}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestKShortestPathWeighted1MinMaxWeight (query3_test.go:520)") {
+    checkGolden(
+      """{ shortest(from: 1, to:1003, numpaths: 3, minweight: 1.3, maxweight: 1.5) {
+        |    path @facets(weight) } }""".stripMargin,
+      """{"data":{"_path_":[{"path":{"path":{"path":{"path":{"uid":"0x3eb","path|weight":0.6},"uid":"0x3ea","path|weight":0.7},"uid":"0x3e8","path|weight":0.1},"uid":"0x1f","path|weight":0.1},"uid":"0x1","_weight_":1.5}]}}""")
+  }
+
+  test("golden: TestTwoShortestPathMaxWeight (query3_test.go:882)") {
+    checkGolden(
+      """{ A as shortest(from: 1, to:1002, numpaths: 2, maxweight:1) { path }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"me":[]}}""")
+  }
+
+  test("golden: TestTwoShortestPathMinWeight (query3_test.go:898)") {
+    checkGolden(
+      """{ A as shortest(from: 1, to:1002, numpaths: 2, minweight:10) { path }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"me":[]}}""")
+  }
+
+  test("golden: TestShortestPathPassword (query3_test.go:950)") {
+    checkGolden(
+      """{ A as shortest(from:0x01, to:31) { password friend }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"_path_":[{"uid":"0x1", "_weight_": 1, "friend":{"uid":"0x1f"}}],
+        |"me":[{"name":"Michonne"},{"name":"Andrea"}]}}""".stripMargin)
+  }
+
+  test("golden: TestShortestPathWithUidVariableError (query3_test.go:1000)") {
+    // "Alice" resolves to multiple uids — endpoints must be single
+    checkErr("""{ a as var(func: eq(name, "Alice"))
+      b as var(func: eq(name, "Andrea"))
+      shortest(from: uid(a), to: uid(b)) { password friend } }""")
+  }
+
+  test("golden: TestShortestPathWithUidVariableNoMatch (query3_test.go:1016)") {
+    checkGolden(
+      """{ a as var(func: eq(name, "blah blah"))
+        |  b as var(func: eq(name, "foo bar"))
+        |  shortest(from: uid(a), to: uid(b)) { password friend } }"""
+        .stripMargin,
+      """{"data":{}}""")
+  }
+
+  test("golden: TestShortestPathWithUidVariableNoMatchForFrom (query3_test.go:1031)") {
+    checkGolden(
+      """{ a as var(func: eq(name, "blah blah"))
+        |  b as var(func: eq(name, "Michonne"))
+        |  shortest(from: uid(a), to: uid(b)) { password friend } }"""
+        .stripMargin,
+      """{"data":{}}""")
+  }
+
+  test("golden: TestShortestPathWithDepth (query3_test.go:1046)") {
+    val query =
+      """query test ($depth: int, $numpaths: int) {
+        |  a as var(func: eq(name, "A"))
+        |  b as var(func: eq(name, "B"))
+        |  path as shortest(from: uid(a), to: uid(b), depth: $depth, numpaths: $numpaths) {
+        |    connects @facets(weight) }
+        |  path(func: uid(path)) { uid name } }""".stripMargin
+    val directPath =
+      """{"data":{"path":[{"uid":"0x33","name":"A"},{"uid":"0x34","name":"B"}],
+        |"_path_":[{"connects":{"uid":"0x34","connects|weight":11},"uid":"0x33","_weight_":11}]}}"""
+        .stripMargin
+    val shortestPath =
+      """{"data":{"path":[{"uid":"0x33","name":"A"},{"uid":"0x35","name":"C"},{"uid":"0x36","name":"D"},{"uid":"0x34","name":"B"}],
+        |"_path_":[{"connects":{"connects":{"connects":{"uid":"0x34","connects|weight":2},"connects|weight":1,"uid":"0x36"},"uid":"0x35","connects|weight":1},"uid":"0x33","_weight_":4}]}}"""
+        .stripMargin
+    val emptyPath = """{"data":{"path":[]}}"""
+    val allPaths =
+      """{"data":{"path":[{"uid":"0x33","name":"A"},{"uid":"0x35","name":"C"},{"uid":"0x36","name":"D"},{"uid":"0x34","name":"B"}],
+        |"_path_":[
+        |{"connects":{"connects":{"connects":{"uid":"0x34","connects|weight":2},"uid":"0x36","connects|weight":1},"uid":"0x35","connects|weight":1},"uid":"0x33","_weight_":4},
+        |{"connects":{"connects":{"uid":"0x34","connects|weight":10},"uid":"0x35","connects|weight":1},"uid":"0x33","_weight_":11},
+        |{"connects":{"uid":"0x34","connects|weight":11},"uid":"0x33","_weight_":11},
+        |{"connects":{"connects":{"uid":"0x34","connects|weight":2},"uid":"0x36","connects|weight":10},"uid":"0x33","_weight_":12},
+        |{"connects":{"connects":{"connects":{"uid":"0x34","connects|weight":10},"uid":"0x35","connects|weight":10},"uid":"0x36","connects|weight":10},"uid":"0x33","_weight_":30}]}}"""
+        .stripMargin
+    for ((depth, numpaths, out) <- Seq(
+        ("0", "1", emptyPath), ("1", "1", directPath),
+        ("2", "1", shortestPath), ("3", "1", shortestPath),
+        ("10", "1", shortestPath), ("0", "10", emptyPath),
+        ("1", "10", directPath), ("2", "10", allPaths),
+        ("10", "10", allPaths)))
+      checkGolden(query, out,
+        vars = Map("$depth" -> depth, "$numpaths" -> numpaths))
+  }
+
+  test("golden: TestShortestPathWithDepth_direct_path_is_shortest (query3_test.go:1275)") {
+    val query =
+      """query test ($depth: int) {
+        |  a as var(func: eq(name, "D"))
+        |  b as var(func: eq(name, "B"))
+        |  path as shortest(from: uid(a), to: uid(b), depth: $depth) {
+        |    connects @facets(weight) }
+        |  path(func: uid(path)) { uid name } }""".stripMargin
+    val directPath =
+      """{"data":{"path":[{"uid":"0x36","name":"D"},{"uid":"0x34","name":"B"}],
+        |"_path_":[{"connects":{"uid":"0x34","connects|weight":2},"uid":"0x36","_weight_":2}]}}"""
+        .stripMargin
+    for ((depth, out) <- Seq("0" -> """{"data":{"path":[]}}""",
+        "1" -> directPath, "2" -> directPath, "3" -> directPath,
+        "10" -> directPath))
+      checkGolden(query, out, vars = Map("$depth" -> depth))
+  }
+
+  test("golden: TestShortestPathWithDepth_no_direct_path (query3_test.go:1359)") {
+    val query =
+      """query test ($depth: int) {
+        |  a as var(func: eq(name, "A"))
+        |  b as var(func: eq(name, "E"))
+        |  path as shortest(from: uid(a), to: uid(b), depth: $depth) {
+        |    connects @facets(weight) }
+        |  path(func: uid(path)) { uid name } }""".stripMargin
+    val shortestPath =
+      """{"data":{"path":[{"uid":"0x33","name":"A"},{"uid":"0x35","name":"C"},{"uid":"0x36","name":"D"},{"uid":"0x37","name":"E"}],
+        |"_path_":[{"connects":{"connects":{"connects":{"uid":"0x37","connects|weight":1},"uid":"0x36","connects|weight":1},"uid":"0x35","connects|weight":1},"uid":"0x33","_weight_":3}]}}"""
+        .stripMargin
+    val emptyPath = """{"data":{"path":[]}}"""
+    for ((depth, out) <- Seq("0" -> emptyPath, "1" -> emptyPath,
+        "2" -> shortestPath, "3" -> shortestPath, "10" -> shortestPath))
+      checkGolden(query, out, vars = Map("$depth" -> depth))
+  }
+
+  test("golden: TestShortestPathWithDepth_test_for_hoppy_behavior (query3_test.go:1460)") {
+    val query =
+      """query test ($depth: int) {
+        |  a as var(func: eq(name, "F"))
+        |  b as var(func: eq(name, "J"))
+        |  path as shortest(from: uid(a), to: uid(b), depth: $depth) {
+        |    connects @facets(weight) }
+        |  path(func: uid(path)) { uid name } }""".stripMargin
+    val shortestPath =
+      """{"data":{"path":[{"uid":"0x38","name":"F"},{"uid":"0x3a","name":"H"},{"uid":"0x3b","name":"I"},{"uid":"0x3c","name":"J"}],
+        |"_path_":[{"connects":{"connects":{"connects":{"uid":"0x3c","connects|weight":1},"uid":"0x3b","connects|weight":1},"uid":"0x3a","connects|weight":1},"uid":"0x38","_weight_":3}]}}"""
+        .stripMargin
+    val emptyPath = """{"data":{"path":[]}}"""
+    for ((depth, out) <- Seq("0" -> emptyPath, "1" -> emptyPath,
+        "2" -> emptyPath, "3" -> shortestPath, "10" -> shortestPath))
+      checkGolden(query, out, vars = Map("$depth" -> depth))
+  }
+
+  test("golden: TestFacetVarRetrieval (query3_test.go:1561)") {
+    checkGolden(
+      """{ var(func: uid(1)) { path @facets(f as weight) }
+        |  me(func: uid(24)) { val(f) } }""".stripMargin,
+      """{"data": {"me":[{"val(f)":0.2}]}}""")
+  }
+
+  test("golden: TestFacetVarRetrieveOrder (query3_test.go:1579)") {
+    checkGolden(
+      """{ var(func: uid(1)) { path @facets(f as weight) }
+        |  me(func: uid(f), orderasc: val(f)) {
+        |    name nonexistent_pred val(f) } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea","val(f)":0.1},{"name":"Glenn Rhee","val(f)":0.2}]}}""")
+  }
+
+  test("golden: TestShortestPathWeightsMultiFacet_Error (query3_test.go:1599)") {
+    checkErr("""{ A as shortest(from:1, to:1002) { path @facets(weight, weight1) }
+      me(func: uid(A)) { name } }""")
+  }
+
+  test("golden: TestShortestPathWeights (query3_test.go:1616)") {
+    checkGolden(
+      """{ A as shortest(from:1, to:1002) { path @facets(weight) }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Andrea"},{"name":"Alice"},{"name":"Bob"},{"name":"Matt"}],
+        |"_path_":[{"path":{"path":{"path":{"path":{"uid":"0x3ea","path|weight":0.1},"uid":"0x3e9","path|weight":0.1},"uid":"0x3e8","path|weight":0.1},"uid":"0x1f","path|weight":0.1},"uid":"0x1","_weight_":0.4}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestShortestPath2 (query3_test.go:1676)") {
+    checkGolden(
+      """{ A as shortest(from:0x01, to:1000) { path }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"_path_":[{"uid":"0x1","_weight_":2,"path":{"uid":"0x1f","path":{"uid":"0x3e8"}}}],"me":[{"name":"Michonne"},{"name":"Andrea"},{"name":"Alice"}]}}""")
+  }
+
+  test("golden: TestShortestPath4 (query3_test.go:1694)") {
+    checkGolden(
+      """{ A as shortest(from:1, to:1003) { path follow }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"_path_":[{"uid":"0x1","_weight_":3,"follow":{"uid":"0x1f","follow":{"uid":"0x3e9","follow":{"uid":"0x3eb"}}}}],
+        |"me":[{"name":"Michonne"},{"name":"Andrea"},{"name":"Bob"},{"name":"John"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestShortestPath_filter (query3_test.go:1743)") {
+    checkGolden(
+      """{ A as shortest(from:1, to:1002) {
+        |    path @filter(not anyofterms(name, "alice"))
+        |    follow }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"_path_":[{"uid":"0x1","_weight_":3,"follow":{"uid":"0x1f","follow":{"uid":"0x3e9","path":{"uid":"0x3ea"}}}}],"me":[{"name":"Michonne"},{"name":"Andrea"},{"name":"Bob"},{"name":"Matt"}]}}""")
+  }
+
+  test("golden: TestShortestPath_filter2 (query3_test.go:1761)") {
+    checkGolden(
+      """{ A as shortest(from:1, to:1002) {
+        |    path @filter(not anyofterms(name, "alice"))
+        |    follow @filter(not anyofterms(name, "bob")) }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": { "me": []}}""")
+  }
+
+  test("golden: TestTwoShortestPathVariable (query3_test.go:1778)") {
+    checkGolden(
+      """{ a as var(func: uid(1))
+        |  b as var(func: uid(1002))
+        |  A as shortest(from: uid(a), to: uid(b), numpaths: 2) { path }
+        |  me(func: uid(A)) { name } }""".stripMargin,
+      """{"data": {"_path_":[
+        |{"uid":"0x1","_weight_":3,"path":{"uid":"0x1f","path":{"uid":"0x3e8","path":{"uid":"0x3ea"}}}},
+        |{"uid":"0x1","_weight_":4,"path":{"uid":"0x1f","path":{"uid":"0x3e8","path":{"uid":"0x3e9","path":{"uid":"0x3ea"}}}}}],
+        |"me":[{"name":"Michonne"},{"name":"Andrea"},{"name":"Alice"},{"name":"Matt"}]}}"""
+        .stripMargin)
+  }
+
   // ---- query3 regex battery (query3_test.go:2761-3067) ----
 
   private def checkErr(query: String): Unit = {
@@ -3903,6 +4217,793 @@ class GoldenFixtureSpec extends AnyFunSuite {
     checkGolden(
       """{ me(func: uid(0x01)) { name secreto: checkpwd(password, "123456") } }""",
       """{"data": {"me":[{"name":"Michonne","secreto":true}]}}""")
+  }
+
+  // ---- query1 battery (query1_test.go) ----
+
+  test("golden: TestNonIndexedPredicateAtRoot (query1_test.go:79)") {
+    checkErr("""{ me(func: ge(noindex_name, "Michonne")) { noindex_name } }""")
+  }
+
+  test("golden: TestMultipleSamePredicateInBlockFail (query1_test.go:93)") {
+    checkErr("""{ me(func: uid(0x01)) { name friend { age } name } }""")
+  }
+
+  test("golden: TestMultipleSamePredicateInBlockFail2 (query1_test.go:110)") {
+    checkErr("""{ me(func: uid(0x01)) { friend { age age } name } }""")
+  }
+
+  test("golden: TestMultipleSamePredicateInBlockFail3 (query1_test.go:128)") {
+    checkErr("""{ me(func: uid(0x01)) { friend { age } friend { name } name } }""")
+  }
+
+  test("golden: TestXidInvalidJSON (query1_test.go:146)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    name _xid_ gender alive
+        |    friend { _xid_ random name } } }""".stripMargin,
+      """{"data": {"me":[{"_xid_":"mich","alive":true,"friend":[{"name":"Rick Grimes"},{"_xid_":"g\"lenn","name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}],"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestToJSONReverseNegativeFirst (query1_test.go:171)") {
+    checkGolden(
+      """{ me(func: allofterms(name, "Andrea")) {
+        |    name
+        |    ~friend (first: -1) { name gender } } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea","~friend":[{"gender":"female","name":"Michonne"}]},{"name":"Andrea With no friends"}]}}""")
+  }
+
+  test("golden: TestToFastJSONOrderLang (query1_test.go:189)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    friend(first: 2, orderdesc: alias_lang@en) { alias_lang@en } } }"""
+        .stripMargin,
+      """{"data": {"me": [{"friend": [{"alias_lang@en": "Zambo Alice"},{"alias_lang@en": "John Oliver"}]}]}}""")
+  }
+
+  test("golden: TestBoolIndexEqRoot1 (query1_test.go:220)") {
+    checkGolden(
+      """{ me(func: eq(alive, true)) { name alive } }""",
+      """{"data": {"me":[{"alive":true,"name":"Michonne"},{"alive":true,"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestBoolIndexEqRoot2 (query1_test.go:236)") {
+    checkGolden(
+      """{ me(func: eq(alive, false)) { name alive } }""",
+      """{"data": {"me":[{"alive":false,"name":"Daryl Dixon"},{"alive":false,"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestBoolIndexgeRoot (query1_test.go:252)") {
+    checkErr("""{ me(func: ge(alive, true)) { name alive friend { name alive } } }""")
+  }
+
+  test("golden: TestBoolIndexEqChild (query1_test.go:269)") {
+    checkGolden(
+      """{ me(func: eq(alive, true)) {
+        |    name alive
+        |    friend @filter(eq(alive, false)) { name alive } } }""".stripMargin,
+      """{"data": {"me":[{"alive":true,"friend":[{"alive":false,"name":"Daryl Dixon"},{"alive":false,"name":"Andrea"}],"name":"Michonne"},{"alive":true,"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestBoolSort (query1_test.go:288)") {
+    checkErr("""{ me(func: anyofterms(name, "Michonne Andrea Rick"), orderasc: alive) {
+      name alive } }""")
+  }
+
+  test("golden: TestStringEscape (query1_test.go:303)") {
+    checkGolden(
+      """{ me(func: uid(2301)) { name } }""",
+      """{"data": {"me":[{"name":"Alice\""}]}}""")
+  }
+
+  test("golden: TestJSONQueryVariables (query1_test.go:318)") {
+    checkGolden(
+      """query test ($a: int = 1) {
+        |  me(func: uid(0x01)) {
+        |    name gender
+        |    friend(first: $a) { name } } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"}],"gender":"female","name":"Michonne"}]}}""",
+      vars = Map("$a" -> "2"))
+  }
+
+  test("golden: TestOrderDescFilterCount (query1_test.go:372)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    friend(first:2, orderdesc: age) @filter(eq(alias, "Zambo Alice")) {
+        |      alias } } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"alias":"Zambo Alice"}]}]}}""")
+  }
+
+  test("golden: TestHashTokEq (query1_test.go:391)") {
+    checkGolden(
+      """{ me(func: eq(full_name, "Michonne's large name for hashing")) {
+        |    full_name alive friend { name } } }""".stripMargin,
+      """{"data": {"me":[{"alive":true,"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}],"full_name":"Michonne's large name for hashing"}]}}""")
+  }
+
+  test("golden: TestHashTokGeqErr (query1_test.go:410)") {
+    checkErr("""{ me(func: ge(full_name, "Michonne's large name for hashing")) {
+      full_name alive friend { name } } }""")
+  }
+
+  test("golden: TestNameNotIndexed (query1_test.go:427)") {
+    checkErr("""{ me(func: eq(noindex_name, "Michonne's name not indexed")) {
+      full_name alive friend { name } } }""")
+  }
+
+  test("golden: TestMultipleMinMax (query1_test.go:444)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) {
+        |    friend { x as age n as name }
+        |    min(val(x)) max(val(x)) min(val(n)) max(val(n)) } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"age":15,"name":"Rick Grimes"},{"age":15,"name":"Glenn Rhee"},{"age":17,"name":"Daryl Dixon"},{"age":19,"name":"Andrea"}],"max(val(n))":"Rick Grimes","max(val(x))":19,"min(val(n))":"Andrea","min(val(x))":15}]}}""")
+  }
+
+  test("golden: TestDuplicateAlias (query1_test.go:466)") {
+    checkErr("""{ me(func: uid(0x01)) {
+      friend { x as age }
+      a: min(val(x))
+      a: max(val(x)) } }""")
+  }
+
+  test("golden: TestGraphQLId (query1_test.go:483)") {
+    checkGolden(
+      """query test ($a: string = 1) {
+        |  me(func: uid($a)) {
+        |    name gender
+        |    friend(first: 1) { name } } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"name":"Rick Grimes"}],"gender":"female","name":"Michonne"},{"friend":[{"name":"Glenn Rhee"}],"name":"Andrea"}]}}""",
+      vars = Map("$a" -> "[1, 31]"))
+  }
+
+  test("golden: TestUidAlias (query1_test.go:529)") {
+    checkGolden(
+      """{ me(func: uid(0x1)) {
+        |    id: uid
+        |    alive
+        |    friend { uid: uid name } } }""".stripMargin,
+      """{"data": {"me":[{"alive":true,"friend":[{"name":"Rick Grimes","uid":"0x17"},{"name":"Glenn Rhee","uid":"0x18"},{"name":"Daryl Dixon","uid":"0x19"},{"name":"Andrea","uid":"0x1f"},{"uid":"0x65"}],"id":"0x1"}]}}""")
+  }
+
+  test("golden: TestHasFuncAtRoot (query1_test.go:631)") {
+    checkGolden(
+      """{ me(func: has(friend)) { name friend { count(uid) } } }""",
+      """{"data": {"me":[{"friend":[{"count":5}],"name":"Michonne"},{"friend":[{"count":1}],"name":"Rick Grimes"},{"friend":[{"count":1}],"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestHasFuncAtRootWithFirstAndOffset (query1_test.go:648)") {
+    checkGolden(
+      """{ me(func: has(name), first: 5, offset: 5) { name } }""",
+      """{ "data": {"me":[{"name": "Bear"},{"name": "Nemo"},{"name": "name"},{"name": "Rick Grimes"},{"name": "Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestHasFuncAtRootFilter (query1_test.go:712)") {
+    checkGolden(
+      """{ me(func: anyofterms(name, "Michonne Rick Daryl")) @filter(has(friend)) {
+        |    name friend { count(uid) } } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"count":5}],"name":"Michonne"},{"friend":[{"count":1}],"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestHasFuncAtChild1 (query1_test.go:729)") {
+    checkGolden(
+      """{ me(func: has(school)) {
+        |    name
+        |    friend @filter(has(scooter)) { name } } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestHasFuncAtChild2 (query1_test.go:746)") {
+    checkGolden(
+      """{ me(func: has(school)) {
+        |    name
+        |    friend @filter(has(alias)) { name alias } } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"alias":"Zambo Alice","name":"Rick Grimes"},{"alias":"John Alice","name":"Glenn Rhee"},{"alias":"Bob Joe","name":"Daryl Dixon"},{"alias":"Allan Matt","name":"Andrea"},{"alias":"John Oliver"}],"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"friend":[{"alias":"John Alice","name":"Glenn Rhee"}],"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestHasFuncAtRoot2 (query1_test.go:766)") {
+    checkGolden(
+      """{ me(func: has(name@en)) { name@en } }""",
+      """{"data": {"me":[{"name@en":"Alex"},{"name@en":"Amit"},{"name@en":"Andrew"},
+        |{"name@en":"European badger"},{"name@en":"Honey badger"},{"name@en":"Honey bee"},
+        |{"name@en":"Artem Tkachenko"},{"name@en":"Baz Luhrmann"},{"name@en":"Strictly Ballroom"},
+        |{"name@en":"Puccini: La boheme (Sydney Opera)"}, {"name@en":"No. 5 the film"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestMathVarCrash (query1_test.go:781)") {
+    // `a as math(...)` plus `val(a)` both render under val(a)
+    checkErr("""{ f(func: anyofterms(name, "Rick Michonne Andrea")) {
+      age as age
+      a as math(age *2)
+      val(a) } }""")
+  }
+
+  test("golden: TestMathVarAlias (query1_test.go:796)") {
+    checkGolden(
+      """{ f(func: anyofterms(name, "Rick Michonne Andrea")) {
+        |    ageVar as age
+        |    a: math(ageVar *2) } }""".stripMargin,
+      """{"data": {"f":[{"a":76,"age":38},{"a":30,"age":15},{"a":38,"age":19}]}}""")
+  }
+
+  test("golden: TestMathVarAlias2 (query1_test.go:809)") {
+    checkGolden(
+      """{ f as me(func: anyofterms(name, "Rick Michonne Andrea")) {
+        |    ageVar as age
+        |    doubleAge: a as math(ageVar *2) }
+        |  me2(func: uid(f)) { val(a) } }""".stripMargin,
+      """{"data": {"me":[{"age":38,"doubleAge":76},{"age":15,"doubleAge":30},{"age":19,"doubleAge":38}],"me2":[{"val(a)":76},{"val(a)":30},{"val(a)":38}]}}""")
+  }
+
+  test("golden: TestMathVar3 (query1_test.go:826)") {
+    checkGolden(
+      """{ f as me(func: anyofterms(name, "Rick Michonne Andrea")) {
+        |    ageVar as age
+        |    a as math(ageVar *2) }
+        |  me2(func: uid(f)) { val(a) } }""".stripMargin,
+      """{"data": {"me":[{"age":38,"val(a)":76},{"age":15,"val(a)":30},{"age":19,"val(a)":38}],"me2":[{"val(a)":76},{"val(a)":30},{"val(a)":38}]}}""")
+  }
+
+  test("golden: TestMultipleEquality (query1_test.go:843)") {
+    checkGolden(
+      """{ me(func: eq(name, ["Rick Grimes"])) { name friend { name } } }""",
+      """{"data": {"me":[{"friend":[{"name":"Michonne"}],"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestMultipleEquality2 (query1_test.go:860)") {
+    checkGolden(
+      """{ me(func: eq(name, ["Badger", "Bobby", "Matt"])) { name friend { name } } }""",
+      """{"data": {"me":[{"name":"Matt"},{"name":"Badger"}]}}""")
+  }
+
+  test("golden: TestMultipleEquality3 (query1_test.go:876)") {
+    checkGolden(
+      """{ me(func: eq(dob, ["1910-01-01", "1909-05-05"])) { name friend { name } } }""",
+      """{"data": {"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}],"name":"Michonne"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestMultipleEquality4 (query1_test.go:893)") {
+    checkGolden(
+      """{ me(func: eq(dob, ["1910-01-01", "1909-05-05"])) {
+        |    name
+        |    friend @filter(eq(name, ["Rick Grimes", "Andrea"])) { name } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Andrea"}],"name":"Michonne"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestMultipleEquality5 (query1_test.go:911)") {
+    checkGolden(
+      """{ me(func: eq(name@en, ["Honey badger", "Honey bee"])) { name@en } }""",
+      """{"data": {"me":[{"name@en":"Honey badger"},{"name@en":"Honey bee"}]}}""")
+  }
+
+  test("golden: TestMultipleGtError (query1_test.go:925)") {
+    // gt with a value LIST is rejected
+    checkErr("""{ me(func: gt(name, ["Badger", "Bobby"])) { name friend { name } } }""")
+  }
+
+  test("golden: TestMultipleEqQuote (query1_test.go:941)") {
+    checkGolden(
+      """{ me(func: eq(name, ["Alice\"", "Michonne"])) { name friend { name } } }""",
+      """{"data": {"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}],"name":"Michonne"},{"name":"Alice\""}]}}""")
+  }
+
+  test("golden: TestMultipleEqInt (query1_test.go:956)") {
+    checkGolden(
+      """{ me(func: eq(age, [15, 17, 38])) { name friend { name } } }""",
+      """{"data": {"me":[{"name":"Michonne","friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]},{"name":"Rick Grimes","friend":[{"name":"Michonne"}]},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"}]}}""")
+  }
+
+  test("golden: TestUidFunction (query1_test.go:971)") {
+    checkGolden(
+      """{ me(func: uid(23, 1, 24, 25, 31)) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestUidFunctionInFilter (query1_test.go:983)") {
+    checkGolden(
+      """{ me(func: uid(23, 1, 24, 25, 31))  @filter(uid(1, 24)) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestUidFunctionInFilter2 (query1_test.go:995)") {
+    checkGolden(
+      """{ me(func: uid(23, 1, 24, 25, 31)) {
+        |    name
+        |    friend @filter(uid(23, 1)) { name } } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne","friend":[{"name":"Rick Grimes"}]},{"name":"Rick Grimes","friend":[{"name":"Michonne"}]},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestUidFunctionInFilter3 (query1_test.go:1011)") {
+    checkGolden(
+      """{ me(func: anyofterms(name, "Michonne Andrea")) @filter(uid(1)) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestUidFunctionInFilter4 (query1_test.go:1023)") {
+    checkGolden(
+      """{ me(func: anyofterms(name, "Michonne Andrea")) @filter(not uid(1, 31)) { name } }""",
+      """{"data": {"me":[{"name":"Andrea With no friends"}]}}""")
+  }
+
+  test("golden: TestUidInFunction (query1_test.go:1035)") {
+    checkGolden(
+      """{ me(func: uid(1, 23, 24)) @filter(uid_in(friend, 23)) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestUidInFunction1 (query1_test.go:1047)") {
+    checkGolden(
+      """{ me(func: UID(1, 23, 24)) @filter(uid_in(school, 5000)) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestUidInFunction2 (query1_test.go:1059)") {
+    checkGolden(
+      """{ me(func: uid(1, 23, 24)) {
+        |    friend @filter(uid_in(school, 5000)) { name } } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"name":"Glenn Rhee"},{"name":"Daryl Dixon"}]},{"friend":[{"name":"Michonne"}]}]}}""")
+  }
+
+  test("golden: TestUidInFunctionWithError (query1_test.go:1072)") {
+    checkErr("""{ me(func: uid(1, 23, 24)) {
+      friend @filter(uid_in(school, foo)) { name } } }""")
+  }
+
+  test("golden: TestUidInFunction3 (query1_test.go:1089)") {
+    checkGolden(
+      """{ me(func: UID(1, 23, 24)) @filter(uid_in(school, [5001, 5000])) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""")
+    checkGolden(
+      """{ uidVar as var(func: uid(5001, 5000))
+        |  me(func: UID(1, 23, 24)) @filter(uid_in(school, uid(uidVar))) { name } }"""
+        .stripMargin,
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""")
+    checkGolden(
+      """{ me(func: UID(1, 23, 24)) @filter(uid_in(school, [5000, 5001])) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"}]}}""")
+    checkGolden(
+      """{ me(func: UID(1, 23, 24)) @filter(uid_in(school, [500, 501])) { name } }""",
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ uidVar as var(func: uid(500, 501))
+        |  me(func: UID(1, 23, 24)) @filter(uid_in(school, uid(uidVar))) { name } }"""
+        .stripMargin,
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestUidInFunction4 (query1_test.go:1170)") {
+    checkGolden(
+      """{ me(func: uid(1, 23, 24 )) {
+        |    friend @filter(uid_in(school, [5000, 5001])) { name } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"friend":[{"name":"Rick Grimes"}, {"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]},{"friend":[{"name":"Michonne"}]}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 23, 24 )) {
+        |    friend @filter(uid_in(school, [5001, 500])) { name } } }"""
+        .stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Andrea"}]}]}}""")
+    checkGolden(
+      """{ var(func: uid( 31, 25)){ schoolsVar as school }
+        |  me(func: uid(1, 23, 24 )){
+        |    friend @filter(uid_in(school, uid(schoolsVar))) { name } } }"""
+        .stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]},{"friend":[{"name":"Michonne"}]}]}}""")
+    checkGolden(
+      """{ var(func: uid(31)){ schoolsVar as school }
+        |  me(func: uid(1, 23, 24 )){
+        |    friend @filter(uid_in(school, uid(schoolsVar))) { name } } }"""
+        .stripMargin,
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Andrea"}]}]}}""")
+    checkGolden(
+      """{ var(func: uid(40)){ schoolsVar as school }
+        |  me(func: uid(1, 23, 24 )){
+        |    friend @filter(uid_in(school, uid(schoolsVar))) { name } } }"""
+        .stripMargin,
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestUidInFunctionAtRoot (query1_test.go:1253)") {
+    checkErr("""{ me(func: uid_in(school, 5000)) { name } }""")
+    checkErr("""{ uidVar as var(func: uid(5000))
+      me(func: uid_in(school, uid(uidVar))) { name } }""")
+  }
+
+  test("golden: TestBinaryJSON (query1_test.go:1286)") {
+    checkGolden(
+      """{ me(func: uid(1)) { name bin_data } }""",
+      """{"data": {"me":[{"name":"Michonne","bin_data":"YmluLWRhdGE="}]}}""")
+  }
+
+  test("golden: TestReflexive (query1_test.go:1298)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Daryl")) @ignoreReflex {
+        |    name
+        |    friend { name friend { name } } } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"friend":[{"name":"Glenn Rhee"}],"name":"Andrea"}],"name":"Michonne"},{"friend":[{"friend":[{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}],"name":"Michonne"}],"name":"Rick Grimes"},{"name":"Daryl Dixon"}]}}""")
+  }
+
+  test("golden: TestReflexive2 (query1_test.go:1316)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Daryl")) @IGNOREREFLEX {
+        |    name
+        |    friend { name friend { name } } } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"friend":[{"name":"Glenn Rhee"}],"name":"Andrea"}],"name":"Michonne"},{"friend":[{"friend":[{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}],"name":"Michonne"}],"name":"Rick Grimes"},{"name":"Daryl Dixon"}]}}""")
+  }
+
+  test("golden: TestReflexive3 (query1_test.go:1334)") {
+    checkGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Daryl")) @IGNOREREFLEX @normalize {
+        |    Me: name
+        |    friend { Friend: name friend { Cofriend: name } } } }""".stripMargin,
+      """{"data": {"me":[{"Friend":"Rick Grimes","Me":"Michonne"},{"Friend":"Glenn Rhee","Me":"Michonne"},{"Friend":"Daryl Dixon","Me":"Michonne"},{"Cofriend":"Glenn Rhee","Friend":"Andrea","Me":"Michonne"},{"Cofriend":"Glenn Rhee","Friend":"Michonne","Me":"Rick Grimes"},{"Cofriend":"Daryl Dixon","Friend":"Michonne","Me":"Rick Grimes"},{"Cofriend":"Andrea","Friend":"Michonne","Me":"Rick Grimes"},{"Me":"Daryl Dixon"}]}}""")
+  }
+
+  test("golden: TestCascadeUid (query1_test.go:1352)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) @cascade {
+        |    name gender
+        |    friend { uid name friend { name dob age } } } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"uid":"0x17","friend":[{"age":38,"dob":"1910-01-01T00:00:00Z","name":"Michonne"}],"name":"Rick Grimes"},{"uid":"0x1f","friend":[{"age":15,"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"}],"name":"Andrea"}],"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestUseVariableBeforeDefinitionError (query1_test.go:1379)") {
+    checkErr("""{ me(func: anyofterms(name, "Michonne Daryl Andrea"), orderasc: val(avgAge)) {
+      name
+      friend { x as age }
+      avgAge as avg(val(x)) } }""")
+  }
+
+  test("golden: TestAggregateRoot1 (query1_test.go:1396)") {
+    checkGolden(
+      """{ var(func: anyofterms(name, "Rick Michonne Andrea")) { a as age }
+        |  me() { sum(val(a)) } }""".stripMargin,
+      """{"data": {"me":[{"sum(val(a))":72}]}}""")
+  }
+
+  test("golden: TestAggregateRoot2 (query1_test.go:1413)") {
+    checkGolden(
+      """{ var(func: anyofterms(name, "Rick Michonne Andrea")) { a as age }
+        |  me() { avg(val(a)) min(val(a)) max(val(a)) } }""".stripMargin,
+      """{"data": {"me":[{"avg(val(a))":24},{"min(val(a))":15},{"max(val(a))":38}]}}""")
+  }
+
+  test("golden: TestAggregateRoot3 (query1_test.go:1432)") {
+    checkGolden(
+      """{ me1(func: anyofterms(name, "Rick Michonne Andrea")) { a as age }
+        |  me() { sum(val(a)) } }""".stripMargin,
+      """{"data": {"me1":[{"age":38},{"age":15},{"age":19}],"me":[{"sum(val(a))":72}]}}""")
+  }
+
+  test("golden: TestAggregateRoot4 (query1_test.go:1448)") {
+    checkGolden(
+      """{ var(func: anyofterms(name, "Rick Michonne Andrea")) { a as age }
+        |  me() {
+        |    minVal as min(val(a))
+        |    maxVal as max(val(a))
+        |    Sum: math(minVal + maxVal) } }""".stripMargin,
+      """{"data": {"me":[{"min(val(a))":15},{"max(val(a))":38},{"Sum":53}]}}""")
+  }
+
+  test("golden: TestAggregateRoot5 (query1_test.go:1466)") {
+    checkGolden(
+      """{ var(func: anyofterms(name, "Rick Michonne Andrea")) {
+        |    m as money }
+        |  me() { sum(val(m)) } }""".stripMargin,
+      """{"data": {"me":[{"sum(val(m))":null}]}}""")
+  }
+
+  test("golden: TestAggregateRootError (query1_test.go:1507)") {
+    checkErr("""{ var(func: anyofterms(name, "Rick Michonne Andrea")) { a as age }
+      var(func: anyofterms(name, "Rick Michonne")) { a2 as age }
+      me() { Sum: math(a + a2) } }""")
+  }
+
+  test("golden: TestAggregateEmptyData (query1_test.go:1528)") {
+    checkGolden(
+      """{ var(func: anyofterms(name, "Non-Existent-Data")) { a as age }
+        |  me() { avg(val(a)) min(val(a)) max(val(a)) } }""".stripMargin,
+      """{"data": {"me":[{"avg(val(a))":null},{"min(val(a))":null},{"max(val(a))":null}]}}""")
+  }
+
+  test("golden: TestCountEmptyData (query1_test.go:1545)") {
+    checkGolden(
+      """{ me(func: anyofterms(name, "Non-Existent-Data")) { a: count(uid) } }""",
+      """{"data": {"me":[{"a":0}]}}""")
+  }
+
+  test("golden: TestCountEmptyData2 (query1_test.go:1558)") {
+    checkGolden(
+      """{ a as var(func: eq(name, "Michonne"))
+        |  me(func: uid(a)) {
+        |    c: count(friend) @filter(eq(name, "non-existent")) } }""".stripMargin,
+      """{"data": {"me":[{"c":0}]}}""")
+  }
+
+  test("golden: TestCountEmptyData3 (query1_test.go:1573)") {
+    checkGolden(
+      """{ a as var(func: eq(name, "Michonne"))
+        |  me(func: uid(a)) { c: count(friend2) } }""".stripMargin,
+      """{"data": {"me":[]}}""")
+  }
+
+  test("golden: TestAggregateEmpty1 (query1_test.go:1589)") {
+    checkGolden(
+      """{ var(func: has(number)) { number as number }
+        |  var() { highest as max(val(number)) }
+        |  all(func: eq(number, val(highest))) { uid number } }""".stripMargin,
+      """{"data": {"all":[]}}""")
+  }
+
+  test("golden: TestAggregateEmpty2 (query1_test.go:1609)") {
+    checkGolden(
+      """{ var(func: has(number)) { highest_number as number }
+        |  all(func: eq(number, val(highest_number))) { uid } }""".stripMargin,
+      """{"data": {"all":[]}}""")
+  }
+
+  test("golden: TestAggregateEmpty3 (query1_test.go:1623)") {
+    checkGolden(
+      """{ var(func: has(number)) { highest_number as number }
+        |  all(func: ge(number, val(highest_number))) { uid } }""".stripMargin,
+      """{"data": {"all":[]}}""")
+  }
+
+  test("golden: TestFilterLang (query1_test.go:1658)") {
+    checkGolden(
+      """{ me(func: uid(0x1001, 0x1002, 0x1003)) @filter(ge(name@en, "D"))  {
+        |    name@en } }""".stripMargin,
+      """{"data": {"me":[{"name@en":"European badger"},{"name@en":"Honey badger"},{"name@en":"Honey bee"}]}}""")
+  }
+
+  test("golden: TestMathCeil1 (query1_test.go:1675)") {
+    checkGolden(
+      """{ me as var(func: eq(name, "XxXUnknownXxX"))
+        |  var(func: uid(me)) {
+        |    friend { x as age }
+        |    x2 as sum(val(x))
+        |    c as count(friend) }
+        |  me(func: uid(me)) { ceilAge: math(ceil(x2/c)) } }""".stripMargin,
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestMultipleValueFilter (query1_test.go:1760)") {
+    checkGolden(
+      """{ me(func: ge(graduation, "1930")) { name graduation } }""",
+      """{"data": {"me":[{"name":"Michonne","graduation":["1932-01-01T00:00:00Z"]},{"name":"Andrea","graduation":["1935-01-01T00:00:00Z","1933-01-01T00:00:00Z"]}]}}""",
+      arrayOrderFree = true)
+  }
+
+  test("golden: TestMultipleValueFilter2 (query1_test.go:1774)") {
+    checkGolden(
+      """{ me(func: le(graduation, "1933")) { name graduation } }""",
+      """{"data": {"me":[{"name":"Michonne","graduation":["1932-01-01T00:00:00Z"]},{"name":"Andrea","graduation":["1935-01-01T00:00:00Z","1933-01-01T00:00:00Z"]}]}}""",
+      arrayOrderFree = true)
+  }
+
+  test("golden: TestMultipleValueArray (query1_test.go:1788)") {
+    checkGolden(
+      """{ me(func: uid(1)) { name graduation } }""",
+      """{"data": {"me":[{"name":"Michonne","graduation":["1932-01-01T00:00:00Z"]}]}}""")
+  }
+
+  test("golden: TestMultipleValueArray2 (query1_test.go:1802)") {
+    checkGolden(
+      """{ me(func: uid(1)) { graduation name } }""",
+      """{"data": {"me":[{"name":"Michonne","graduation":["1932-01-01T00:00:00Z"]}]}}""")
+  }
+
+  test("golden: TestMultipleValueHasAndCount (query1_test.go:1816)") {
+    checkGolden(
+      """{ me(func: has(graduation)) { name count(graduation) graduation } }""",
+      """{"data": {"me":[{"name":"Michonne","count(graduation)":1,"graduation":["1932-01-01T00:00:00Z"]},{"name":"Andrea","count(graduation)":2,"graduation":["1935-01-01T00:00:00Z","1933-01-01T00:00:00Z"]}]}}""",
+      arrayOrderFree = true)
+  }
+
+  test("golden: TestMultipleValueSortError (query1_test.go:1831)") {
+    checkErr("""{ me(func: anyofterms(name, "Michonne Rick"), orderdesc: graduation) {
+      name graduation } }""")
+  }
+
+  test("golden: TestSortWithNulls (query1_test.go:2000)") {
+    // nodes missing the sort predicate come LAST, uid-ordered, under
+    // both asc and desc — both the indexed and unindexed sort path
+    case class Tc(offset: Int, first: Int, desc: Boolean, out: String)
+    val cases = Seq(
+      Tc(-1, -1, false, """{"data": {"me":[
+        {"pname":"nameA","pred":"A"},{"pname":"nameB","pred":"B"},
+        {"pname":"nameC","pred":"C"},{"pname":"nameD","pred":"D"},
+        {"pname":"nameE","pred":"E"},{"pname":"nameF"},{"pname":"nameG"},
+        {"pname":"nameH"},{"pname":"nameI"},{"pname":"nameJ"}]}}"""),
+      Tc(-1, -1, true, """{"data": {"me":[
+        {"pname":"nameE","pred":"E"},{"pname":"nameD","pred":"D"},
+        {"pname":"nameC","pred":"C"},{"pname":"nameB","pred":"B"},
+        {"pname":"nameA","pred":"A"},{"pname":"nameF"},{"pname":"nameG"},
+        {"pname":"nameH"},{"pname":"nameI"},{"pname":"nameJ"}]}}"""),
+      Tc(-1, 2, false, """{"data": {"me":[
+        {"pname":"nameA", "pred": "A"},{"pname":"nameB","pred":"B"}]}}"""),
+      Tc(-1, 2, true, """{"data": {"me":[
+        {"pname":"nameE", "pred":"E"},{"pname":"nameD", "pred": "D"}]}}"""),
+      Tc(-1, 7, false, """{"data": {"me":[
+        {"pname":"nameA","pred":"A"},{"pname":"nameB","pred":"B"},
+        {"pname":"nameC","pred":"C"},{"pname":"nameD","pred":"D"},
+        {"pname":"nameE","pred":"E"},{"pname":"nameF"},{"pname":"nameG"}]}}"""),
+      Tc(2, 7, false, """{"data": {"me":[
+        {"pname":"nameC","pred":"C"},{"pname":"nameD","pred":"D"},
+        {"pname":"nameE","pred":"E"},{"pname":"nameF"},{"pname":"nameG"},
+        {"pname":"nameH"},{"pname":"nameI"}]}}"""),
+      Tc(2, 7, true, """{"data": {"me":[
+        {"pname":"nameC","pred":"C"},{"pname":"nameB","pred":"B"},
+        {"pname":"nameA","pred":"A"},{"pname":"nameF"},{"pname":"nameG"},
+        {"pname":"nameH"},{"pname":"nameI"}]}}"""),
+      Tc(9, 5, false, """{"data": {"me":[{"pname":"nameJ"}]}}"""),
+      Tc(12, 5, true, """{"data": {"me":[]}}"""))
+    for (tc <- cases; pred <- Seq("pred", "indexpred")) {
+      val order = (if (tc.desc) "orderdesc: " else "orderasc: ") + pred
+      val page = (if (tc.offset >= 0) s", offset: ${tc.offset}" else "") +
+        (if (tc.first >= 0) s", first: ${tc.first}" else "")
+      checkGolden(
+        s"""{ me(func: uid(61, 62, 63, 64, 65, 66, 67, 68, 69, 70), $order$page) {
+           |    pname pred:$pred } }""".stripMargin,
+        tc.out.replace("\"pred\":", "\"pred\":"))
+    }
+  }
+
+  test("golden: TestMultiSortWithNulls (query1_test.go:2152)") {
+    // secondary-key nulls order after valued rows within each primary
+    // group (unindexed pred1/pred2 variant)
+    case class Tc(offset: Int, first: Int, desc: Boolean, out: String)
+    val cases = Seq(
+      Tc(-1, -1, true, """{"data": {"me":[
+        {"pname":"nameB","pred1":"A", "pred2":"J"},
+        {"pname":"nameA","pred1":"A", "pred2":"I"},
+        {"pname":"nameC","pred1":"A"},
+        {"pname":"nameE","pred1":"B", "pred2":"J"},
+        {"pname":"nameD","pred1":"B", "pred2":"I"},
+        {"pname":"nameF","pred1":"B"},
+        {"pname":"nameI","pred1":"C", "pred2":"K"},
+        {"pname":"nameH","pred1":"C", "pred2":"J"},
+        {"pname":"nameG","pred1":"C", "pred2":"I"},
+        {"pname":"nameJ","pred1":"C"}]}}"""),
+      Tc(-1, -1, false, """{"data": {"me":[
+        {"pname":"nameA","pred1":"A", "pred2":"I"},
+        {"pname":"nameB","pred1":"A", "pred2":"J"},
+        {"pname":"nameC","pred1":"A"},
+        {"pname":"nameD","pred1":"B", "pred2":"I"},
+        {"pname":"nameE","pred1":"B", "pred2":"J"},
+        {"pname":"nameF","pred1":"B"},
+        {"pname":"nameG","pred1":"C", "pred2":"I"},
+        {"pname":"nameH","pred1":"C", "pred2":"J"},
+        {"pname":"nameI","pred1":"C", "pred2":"K"},
+        {"pname":"nameJ","pred1":"C"}]}}"""),
+      Tc(-1, 2, true, """{"data": {"me":[
+        {"pname":"nameB","pred1":"A", "pred2":"J"},
+        {"pname":"nameA","pred1":"A", "pred2":"I"}]}}"""),
+      Tc(2, 7, false, """{"data": {"me":[
+        {"pname":"nameC","pred1":"A"},
+        {"pname":"nameD","pred1":"B", "pred2":"I"},
+        {"pname":"nameE","pred1":"B", "pred2":"J"},
+        {"pname":"nameF","pred1":"B"},
+        {"pname":"nameG","pred1":"C", "pred2":"I"},
+        {"pname":"nameH","pred1":"C", "pred2":"J"},
+        {"pname":"nameI","pred1":"C", "pred2":"K"}]}}"""),
+      Tc(9, 5, true, """{"data": {"me":[{"pname":"nameJ","pred1":"C"}]}}"""),
+      Tc(12, 5, false, """{"data": {"me":[]}}"""))
+    for (tc <- cases) {
+      val order2 = if (tc.desc) ",orderdesc: pred2" else ",orderasc: pred2"
+      val page = (if (tc.offset >= 0) s", offset: ${tc.offset}" else "") +
+        (if (tc.first >= 0) s", first: ${tc.first}" else "")
+      checkGolden(
+        s"""{ me(func: uid(61, 62, 63, 64, 65, 66, 67, 68, 69, 70),
+           |     orderasc: pred1$order2$page) {
+           |    pname pred1:pred1 pred2:pred2 } }""".stripMargin,
+        tc.out)
+    }
+  }
+
+  test("golden: TestMultiSortPaginateWithOffset (query1_test.go:2306)") {
+    val base = "me(func: uid(10005, 10006, 10001, 10002, 10003, 10004, 10007, 10000), orderasc: name, orderasc: age"
+    checkGolden(s"{ $base, first: 6, offset: 1) { name age } }",
+      """{"data": {"me":[{"name":"Alice","age":75},{"name":"Alice","age":75},{"name":"Bob","age":25},{"name":"Bob","age":75},{"name":"Colin","age":25},{"name":"Elizabeth","age":25}]}}""")
+    checkGolden(s"{ $base, first: 4, offset: 3) { name age } }",
+      """{"data": {"me":[{"name":"Bob","age":25},{"name":"Bob","age":75},{"name":"Colin","age":25},{"name":"Elizabeth","age":25}]}}""")
+    checkGolden(s"{ $base, first: 3, offset: 4) { name age } }",
+      """{"data": {"me":[{"name":"Bob","age":75},{"name":"Colin","age":25},{"name":"Elizabeth","age":25}]}}""")
+    checkGolden(s"{ $base, first: 3, offset: 8) { name age } }",
+      """{"data": {"me":[]}}""")
+    checkGolden(s"{ $base, first: 10, offset: 10000) { name age } }",
+      """{"data": {"me":[]}}""")
+  }
+
+  test("golden: TestFilterRootOverride (query1_test.go:2373)") {
+    checkGolden(
+      """{ a as var(func: eq(name, "Michonne")) @filter(eq(name, "Rick Grimes"))
+        |  me(func: uid(a)) { uid name } }""".stripMargin,
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestFilterRoot (query1_test.go:2388)") {
+    checkGolden(
+      """{ me(func: eq(name, "Michonne")) @filter(eq(name, "Rick Grimes")) {
+        |    uid name } }""".stripMargin,
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestFilterWithNoSrcUid (query1_test.go:2401)") {
+    checkGolden(
+      """{ me(func: eq(name, "Does Not Exist")) @filter(eq(name, "Michonne")) {
+        |    uid name } }""".stripMargin,
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestMathAlias (query1_test.go:2414)") {
+    checkGolden(
+      """{ me(func:allofterms(name, "Michonne")) {
+        |    p as count(friend)
+        |    score: math(p + 1)
+        |    name } }""".stripMargin,
+      """{"data": {"me":[{"count(friend)":5,"score":6,"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestUidVariable (query1_test.go:2428)") {
+    checkGolden(
+      """{ var(func:allofterms(name, "Michonne")) { friend { f as uid } }
+        |  me(func: uid(f)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestMultipleValueVarError (query1_test.go:2446)") {
+    checkErr("""{ var(func:ge(graduation, "1930")) { o as graduation }
+      me(func: uid(o)) { graduation } }""")
+  }
+
+  test("golden: TestReturnEmptyBlock (query1_test.go:2463)") {
+    checkGolden(
+      """{ me(func:allofterms(name, "Michonne")) @filter(eq(name, "Rick Grimes")) {
+        |  }
+        |  me2(func: eq(name, "XYZ"))
+        |  me3(func: eq(name, "Michonne")) { name } }""".stripMargin,
+      """{"data": {"me":[],"me2":[],"me3":[{"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestExpandVal (query1_test.go:2480)") {
+    checkGolden(
+      """{ var(func: uid(11)) { pred as name }
+        |  me(func: uid(11)) { expand(val(pred)) } }""".stripMargin,
+      """{"data":{"me":[{"name":"name"}]}}""")
+  }
+
+  test("golden: TestPasswordError (query1_test.go:2510)") {
+    checkErr("""{ q(func: uid(1)) { checkpwd(name, "Michonne") } }""")
+  }
+
+  test("golden: TestCountPanic (query1_test.go:2525)") {
+    checkGolden(
+      """{ q(func: uid(1, 300)) { uid name count(name) } }""",
+      """{"data": {"q":[{"uid":"0x1","name":"Michonne","count(name)":1},{"uid":"0x12c","count(name)":0}]}}""")
+  }
+
+  test("golden: TestUidWithoutDebug (query1_test.go:2540)") {
+    // braceless `friend` renders nothing — bare uid objects remain
+    checkGolden(
+      """{ q(func: uid(1, 24)) { uid friend } }""",
+      """{"data":{"q":[{"uid":"0x1"},{"uid":"0x18"}]}}""")
+  }
+
+  test("golden: TestUidWithoutDebug2 (query1_test.go:2554)") {
+    checkGolden(
+      """{ q(func: uid(1)) { uid friend { uid } } }""",
+      """{"data":{"q":[{"uid":"0x1","friend":[{"uid":"0x17"},{"uid":"0x18"},{"uid":"0x19"},{"uid":"0x1f"},{"uid":"0x65"}]}]}}""")
+  }
+
+  test("golden: TestExpandAll_empty_panic (query1_test.go:2570)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) @filter(eq(name,"foobar")){ expand(_all_) } }""",
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestMatchFuncWithAfterWithInvalidUid (query1_test.go:2597)") {
+    checkErr("""{ q(func: match(name, Ali, 5), after: -1) { uid name } }""")
   }
 
   test("golden: TestCountUIDNestedMultiple (query4_test.go:1455)") {

@@ -8,6 +8,9 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // internal flat-column names collide under case-insensitive
+      // resolution (aliased `friend_Friend` vs nested `friend_friend`)
+      .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
