@@ -82,7 +82,9 @@ final class TripleFrameStore(
       case "bigfloat" => col("value").cast(
         org.apache.spark.sql.types.DecimalType(38, 18))
       case "bool" => col("value").cast("boolean")
-      case "datetime" => col("value").cast("timestamp")
+      // instant for compare/sort; the offset-preserving display string
+      // rides along (see DateTimeFunctions — Go keeps the written zone)
+      case "datetime" => graft.functions.DateTimeFunctions.instant(col("value"))
       // password predicates store the bcrypt HASH, never the plaintext
       // (reference types/password.go Encrypt at mutation time; checkpwd
       // re-verifies against the stored `$2a$` string). Cost 4 matches the
@@ -107,6 +109,12 @@ final class TripleFrameStore(
     if (p.dgraphType == "string" || p.dgraphType == "default")
       rows.select(Seq(col("subject"), col("predicate"),
         typed.as("value"), col("lang")) ++ fmCol: _*)
+    else if (p.dgraphType == "datetime")
+      // `display` rider: the offset-preserving RFC3339 text the JSON
+      // renderer emits (TestDateTimeQuery goldens keep "+23:00")
+      rows.select(Seq(col("subject"), col("predicate"), typed.as("value"),
+        graft.functions.DateTimeFunctions.display(col("value"))
+          .as("display")) ++ fmCol: _*)
     else rows.select(Seq(col("subject"), col("predicate"),
       typed.as("value")) ++ fmCol: _*)
   }

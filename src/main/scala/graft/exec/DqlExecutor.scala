@@ -237,7 +237,8 @@ final class DqlExecutor(ts: GraphStore) {
       if (b.name != "var") result = df
     }
     require(result != null, "query has no result block")
-    result
+    // datetime-instant riders are cross-level plumbing, not result schema
+    result.drop(result.columns.filter(_.endsWith("__dtv")).toSeq: _*)
   }
 
   /** A bound query variable (uid var: DF("uid"); value var:
@@ -1024,14 +1025,21 @@ final class DqlExecutor(ts: GraphStore) {
         attrWhere(fn.pred, v => forall(array(q.map(lit(_)): _*),
           t => array_contains(tok.tokens(v), t)))
     case n if n.endsWith("_count") =>
-      // eq(count(p), n) family over the edge count index
-      val cmp: (Column, Column) => Column = n.stripSuffix("_count") match {
-        case "eq" => _ === _; case "le" => _ <= _; case "lt" => _ < _
-        case "ge" => _ >= _; case "gt" => _ > _
+      // eq/between(count(p), ...) family over the edge count index
+      val cond: Column => Column = n.stripSuffix("_count") match {
+        case "eq" => _ === lit(fn.args.head.toLong)
+        case "le" => _ <= lit(fn.args.head.toLong)
+        case "lt" => _ < lit(fn.args.head.toLong)
+        case "ge" => _ >= lit(fn.args.head.toLong)
+        case "gt" => _ > lit(fn.args.head.toLong)
+        // inverted bounds are a valid-but-empty range, like the scalar
+        // between (reference TestBetweenCount)
+        case "between" =>
+          _.between(lit(fn.args(0).toLong), lit(fn.args(1).toLong))
         case o => throw new IllegalArgumentException(s"bad count fn $o")
       }
       countEdge(fn.pred).groupBy(col("subject")).agg(count(lit(1)).as("__c"))
-        .filter(cmp(col("__c"), lit(fn.args.head.toLong)))
+        .filter(cond(col("__c")))
         .select(col("subject").as("uid"))
     case other =>
       throw new IllegalArgumentException(s"unsupported function: $other")
@@ -1109,7 +1117,10 @@ final class DqlExecutor(ts: GraphStore) {
       case "float" => lit(v.toDouble)
       case "bigfloat" => lit(v).cast(
         org.apache.spark.sql.types.DecimalType(38, 18))
-      case "datetime" => lit(v).cast("timestamp")
+      case "datetime" =>
+        // manual parse: partial dates + offsets beyond ±18h (see
+        // DateTimeFunctions.parseInstant) — a cast nulls both
+        lit(graft.functions.DateTimeFunctions.parseInstant(v))
       case _ => lit(v)
     }
 
@@ -1124,16 +1135,21 @@ final class DqlExecutor(ts: GraphStore) {
         // with missing edges = 0 (reference TestCountAtRootWithAlias4:
         // le(count(friend), 2) keeps friendless Daryl) — the index seed
         // would drop zero-count nodes
-        val cmp: (Column, Column) => Column = fn.name.stripSuffix("_count") match {
-          case "eq" => _ === _; case "le" => _ <= _; case "lt" => _ < _
-          case "ge" => _ >= _; case "gt" => _ > _
+        val cond: Column => Column = fn.name.stripSuffix("_count") match {
+          case "eq" => _ === lit(fn.args.head.toLong)
+          case "le" => _ <= lit(fn.args.head.toLong)
+          case "lt" => _ < lit(fn.args.head.toLong)
+          case "ge" => _ >= lit(fn.args.head.toLong)
+          case "gt" => _ > lit(fn.args.head.toLong)
+          case "between" =>
+            _.between(lit(fn.args(0).toLong), lit(fn.args(1).toLong))
           case o => throw new IllegalArgumentException(s"bad count fn $o")
         }
         val cnts = countEdge(fn.pred).groupBy(col("subject"))
           .agg(count(lit(1)).as("__fc"))
           .select(col("subject").as(uidCol), col("__fc"))
         df.join(cnts, Seq(uidCol), "left")
-          .filter(cmp(coalesce(col("__fc"), lit(0L)), lit(fn.args.head.toLong)))
+          .filter(cond(coalesce(col("__fc"), lit(0L))))
           .drop("__fc")
       case FilterLeaf(fn) =>
         df.join(seed(fn).withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi")
@@ -1700,8 +1716,18 @@ final class DqlExecutor(ts: GraphStore) {
                   ts.facetKeys.getOrElse(sel.pred, Nil).filter(kv =>
                     sel.facetFetch || sel.facetKeys.contains(kv._1))
                 else Nil
+              // datetime: render the offset-preserving display string
+              // (reference keeps the written zone — TestDateTimeQuery);
+              // the instant rides along for value-var binding
+              val renderCol =
+                if (rows.columns.contains("display")) col("display")
+                else col("value")
+              val dtRider =
+                if (rows.columns.contains("display") && sel.varName.isDefined)
+                  Seq(col("value").as(s"${name}__dtv"))
+                else Nil
               rows.select(Seq(col("subject").as("__as"),
-                col("value").as(name)) ++
+                renderCol.as(name)) ++ dtRider ++
                 fvKeys.map { case (k, _) =>
                   facetRender(sel.pred, k, element_at(col("facets"), k))
                     .as(s"${name}__fv_$k")
@@ -1716,16 +1742,26 @@ final class DqlExecutor(ts: GraphStore) {
             "Value variables not supported for predicate with list type.")
         sel.varName.foreach { v =>
           // scalar attr values are unique per (subject, predicate) in the
-          // store — dedup only if a traversal already fanned the rows out
-          val bound = cur.select(col(uidCol).as("uid"), qcol(name).as("value"))
+          // store — dedup only if a traversal already fanned the rows out.
+          // datetime vars bind the INSTANT rider, not the display string
+          val vc = if (cur.columns.contains(s"${name}__dtv"))
+            qcol(s"${name}__dtv") else qcol(name)
+          val bound = cur.select(col(uidCol).as("uid"), vc.as("value"))
             .filter(col("value").isNotNull)
           bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
-          varCols(v) = (name, uidCol); boundHere += v; liveVars += v
+          // in-place reads (level aggs, math) must see the INSTANT, not
+          // the display string — register the rider column for datetime
+          varCols(v) =
+            (if (cur.columns.contains(s"${name}__dtv")) s"${name}__dtv"
+             else name, uidCol)
+          boundHere += v; liveVars += v
         }
       }
     }
     // __seedval_ riders are internal plumbing from a val-seeded root —
-    // never part of the rendered schema
+    // never part of the rendered schema. (`__dtv` datetime-instant
+    // riders survive until the query surface: parent levels read them
+    // for level aggs after this builder returns.)
     cur.drop(cur.columns.filter(_.startsWith("__seedval_")).toSeq: _*)
   }
 
@@ -2689,7 +2725,10 @@ final class DqlExecutor(ts: GraphStore) {
       else b.copy(selections = b.selections.filterNot(s =>
         gbSels.exists(_ eq s) || countSels.exists(_ eq s)))
     keepChildRank = true
-    val flatDf = try flatBlock(b2) finally { keepChildRank = false }
+    val flatDf0 = try flatBlock(b2) finally { keepChildRank = false }
+    // datetime-instant riders never render
+    val flatDf = flatDf0.drop(
+      flatDf0.columns.filter(_.endsWith("__dtv")).toSeq: _*)
     // counts are scalar leaves even when they count a (reverse) uid pred
     def isChild(s: Selection) =
       !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse)

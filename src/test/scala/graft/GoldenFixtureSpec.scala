@@ -248,6 +248,46 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(61, "pred2", "I"), a(62, "pred2", "J"), a(64, "pred2", "I"),
     a(65, "pred2", "J"), a(67, "pred2", "I"), a(68, "pred2", "J"),
     a(69, "pred2", "K"),
+    // created_at / updated_at datetime corpus with odd zone offsets
+    // (common_test.go:973-987; offsets like +23:00 exceed java.time's
+    // ±18h ZoneOffset — exercised by TestDateTimeQuery)
+    a(301, "created_at", "2019-03-28T07:41:57+23:00", "",
+      "modified_at=2019-05-28T07:41:57+23:00"),
+    a(302, "created_at", "2019-03-28T07:41:57+23:00", "",
+      "modified_at=2019-03-28T07:41:57+23:00"),
+    a(303, "created_at", "2019-03-27T14:41:57+06:00", "",
+      "modified_at=2019-03-29"),
+    a(304, "created_at", "2019-03-28T08:41:57+23:00", "",
+      "modified_at=2019-03-27T14:41:57+06:00"),
+    a(305, "created_at", "2019-03-28T06:41:57+23:00", "",
+      "modified_at=2019-03-28"),
+    a(306, "created_at", "2019-03-24T14:41:57+05:30", "",
+      "modified_at=2019-03-28T06:41:57+23:00"),
+    a(307, "created_at", "2019-05-28T07:41:57+23:00"),
+    a(301, "updated_at", "2019-03-28T07:41:57+23:00", "",
+      "modified_at=2019-05-28"),
+    a(302, "updated_at", "2019-03-28T06:41:57+22:00", "",
+      "modified_at=2019-03-28T07:41:57+23:00"),
+    a(303, "updated_at", "2019-03-27T14:41:57+06:00", "",
+      "modified_at=2019-03-28T05:41:57+21:00"),
+    a(304, "updated_at", "2019-03-27T09:41:57"),
+    a(305, "updated_at", "2019-03-28T06:41:57+23:00", "",
+      "modified_at=2019-03-28T08:41:57+23:00"),
+    a(306, "updated_at", "2019-03-24T14:41:57+05:30", "",
+      "modified_at=2019-03-28T06:41:57+23:00"),
+    a(307, "updated_at", "2019-05-28", "",
+      "modified_at=2019-03-24T14:41:57+05:30"),
+    // between-battery corpus (common_test.go:756-767, 807-819)
+    a(501, "newage", "21"), a(502, "newage", "22"), a(503, "newage", "23"),
+    a(504, "newage", "24"), a(505, "newage", "25"), a(506, "newage", "26"),
+    a(507, "newage", "27"), a(508, "newage", "28"), a(509, "newage", "29"),
+    a(510, "newage", "30"), a(511, "newage", "31"), a(512, "newage", "32"),
+    a(20000, "score", "90"), a(20000, "score", "56"),
+    a(20000, "average", "46.93"), a(20000, "average", "55.10"),
+    a(20000, "pet_name", "little master"), a(20000, "pet_name", "master blaster"),
+    a(20001, "score", "68"), a(20001, "score", "85"),
+    a(20001, "average", "35.20"), a(20001, "average", "49.33"),
+    a(20001, "pet_name", "mahi"), a(20001, "pet_name", "ms"),
     // regex-test pattern corpus (common_test.go:955-970: 24 values under
     // <0x1234> via <pattern>, uids 0x2000..)
     a(0x2750, "firstName", "Luke"), a(0x2750, "lastName", "Skywalker"),
@@ -326,6 +366,12 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |noindex_name: string .
         |number: int @index(int) .
         |graduation: [datetime] @index(year) @count .
+        |created_at: datetime @index(hour) .
+        |updated_at: datetime @index(year) .
+        |newage: int .
+        |pet_name: [string] @index(exact) .
+        |score: [int] @index(int) .
+        |average: [float] @index(float) .
         |pred: string .
         |indexpred: string @index(exact) .
         |pname: string .
@@ -349,7 +395,9 @@ class GoldenFixtureSpec extends AnyFunSuite {
     new TripleFrameStore(spark, schema, triples,
       facetKeys = Map("best_friend" -> Seq("since" -> "string"),
         "path" -> Seq("weight" -> "double"),
-        "connects" -> Seq("weight" -> "double")))
+        "connects" -> Seq("weight" -> "double"),
+        "created_at" -> Seq("modified_at" -> "string"),
+        "updated_at" -> Seq("modified_at" -> "string")))
   }
 
   private val mapper = new ObjectMapper()
@@ -5026,6 +5074,229 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |      {"name":"Daryl Dixon"},{"name":"Andrea"},{"count":5}]},
         |    {"count":1}]},
         |  {"friend":[{"name":"Glenn Rhee"},{"count":1}]}]}}""".stripMargin)
+  }
+
+  // ---- between battery (query0_test.go TestBetween*) ----
+
+  test("golden: TestBetweenAge (query0_test.go:359)") {
+    checkGolden(
+      """{ senior_citizens(func: between(age, 18, 30)) { name age } }""",
+      """{"data": {"senior_citizens": [{"name":"Andrea","age":19},{"name":"Alice","age":25},{"name":"Bob","age":25},{"name":"Colin","age":25},{"name":"Elizabeth","age":25}]}}""")
+  }
+
+  test("golden: TestBetweenAgeEmptyResponse (query0_test.go:398)") {
+    // inverted bounds are a valid-but-empty range, not an error
+    checkGolden(
+      """{ senior_citizens(func: between(age, 30, 18)) { name age } }""",
+      """{"data": {"senior_citizens": []}}""")
+  }
+
+  test("golden: TestLeAge (query0_test.go:416)") {
+    checkGolden(
+      """{ minors(func: le(age, 15)) { name age } }""",
+      """{"data":{"minors": [{"name":"Rick Grimes", "age":15}, {"name":"Glenn Rhee", "age":15}]}}""")
+  }
+
+  test("golden: TestLtAge (query0_test.go:429)") {
+    // function names are case-insensitive (Lt)
+    checkGolden(
+      """{ minors(func: Lt(age, 15)) { name age } }""",
+      """{"data": {"minors":[]}}""")
+  }
+
+  test("golden: TestBetweenString (query0_test.go:3235)") {
+    // between on a @lang predicate reads the UNTAGGED values; ""
+    // bounds are legal
+    checkGolden(
+      """{ me(func: between(name, "", "Alice")) { uid name } }""",
+      """{"data":{"me":[{"uid":"0x33","name":"A"},{"uid":"0x6e","name":"Alice"},{"uid":"0x3e8","name":"Alice"},{"uid":"0xdac","name":""},{"uid":"0xdad","name":"Alex"},{"uid":"0xdae","name":""},{"uid":"0x2710","name":"Alice"},{"uid":"0x2712","name":"Alice"},{"uid":"0x2714","name":"Alice"}]}}""")
+    checkGolden(
+      """{ me(func: between(name, "Alice", "")) { uid name } }""",
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ me(func: between(newname, "P", "P1")) { uid newname } }""",
+      """{"data":{"me":[{"uid":"0x1f5","newname":"P1"}]}}""")
+    checkGolden(
+      """{ me(func: between(newname, "P1", "P5")) { uid newname } }""",
+      """{"data":{"me":[{"uid":"0x1f5","newname":"P1"},{"uid":"0x1f6","newname":"P2"},{"uid":"0x1f7","newname":"P3"},{"uid":"0x1f8","newname":"P4"},{"uid":"0x1f9","newname":"P5"},{"uid":"0x1fe","newname":"P10"},{"uid":"0x1ff","newname":"P11"},{"uid":"0x200","newname":"P12"}]}}""")
+    checkGolden(
+      """{ me(func: between(pet_name, "a", "z")) { uid pet_name } }""",
+      """{"data":{"me":[{"uid":"0x4e20","pet_name":["little master","master blaster"]},{"uid":"0x4e21","pet_name":["mahi","ms"]}]}}""")
+    checkGolden(
+      """{ me(func: between(pet_name, "a", "mahi")) { uid pet_name } }""",
+      """{"data":{"me":[{"uid":"0x4e20","pet_name":["little master","master blaster"]},{"uid":"0x4e21","pet_name":["mahi","ms"]}]}}""")
+  }
+
+  test("golden: TestBetweenFloat (query0_test.go:3324)") {
+    checkGolden(
+      """{ me(func: between(salary, "9999.0000", "10003.0000")) { uid salary } }""",
+      """{"data":{"me":[{"uid":"0x2710","salary":10000},{"uid":"0x2712","salary":10002}]}}""")
+    checkGolden(
+      """{ me(func: between(salary, "10000.1000", "10002.1000")) { uid salary } }""",
+      """{"data":{"me":[{"uid":"0x2712","salary":10002}]}}""")
+    checkGolden(
+      """{ me(func: between(salary, "10000.1000", "10001.1000")) { uid salary } }""",
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ me(func: between(salary, "10010.1000", "10001.1000")) { uid salary } }""",
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ me(func: between(average, "30", "50")) { uid average } }""",
+      """{"data":{"me":[{"uid":"0x4e20","average":[46.93,55.1]},{"uid":"0x4e21","average":[35.2,49.33]}]}}""")
+  }
+
+  test("golden: TestBetweenInt (query0_test.go:3401)") {
+    // reference list order is value-fingerprint order ([85,68]) — ours
+    // is value-sorted; compare order-free (documented deviation)
+    checkGolden(
+      """{ me(func: between(score, "50", "70")) { uid score } }""",
+      """{"data":{"me":[{"uid":"0x4e20","score":[56,90]},{"uid":"0x4e21","score":[85,68]}]}}""",
+      arrayOrderFree = true)
+    checkGolden(
+      """{ me(func: between(score, "1", "30")) { uid score } }""",
+      """{"data":{"me":[]}}""")
+    checkGolden(
+      """{ senior_citizens(func: between(age, 18, 30)) { name age } }""",
+      """{"data": {"senior_citizens": [{"name": "Andrea","age": 19},{"name": "Alice","age": 25},{"name": "Bob","age": 25},{"name": "Colin","age": 25},{"name": "Elizabeth","age": 25}]}}""")
+  }
+
+  test("golden: TestBetweenCount (query0_test.go:3454)") {
+    checkGolden(
+      """{ me(func: between(count(friend), 1, 3)) { name } }""",
+      """{"data":{"me":[{"name":"Rick Grimes"},{"name":"Andrea"}]}}""")
+    checkGolden(
+      """{ me(func: between(count(friend), 5, 5)) { name } }""",
+      """{"data":{"me":[{"name":"Michonne"}]}}""")
+    checkGolden(
+      """{ me(func: between(count(friend), 3, 1)) { name } }""",
+      """{"data":{"me":[]}}""")
+  }
+
+  test("golden: TestBetweenWithIndex (query0_test.go:3503)") {
+    checkGolden(
+      """{ me(func :has(newname)) @filter(between(newname,"P1","P3")) { newname } }""",
+      """{"data": {"me": [{"newname": "P1"},{"newname": "P2"},{"newname": "P3"},{"newname": "P10"},{"newname": "P11"},{"newname": "P12"}]}}""")
+    checkGolden(
+      """{ me(func :has(newname)) @filter(between(newname,"P12","P2")) {
+        |    newname
+        |    newfriend @filter(between(newname, "P3", "P5")) { newname } } }"""
+        .stripMargin,
+      """{"data": {"me": [{"newname": "P2", "newfriend": [{"newname": "P5"}]},{"newname": "P12"}]}}""")
+  }
+
+  test("golden: TestBetweenWithoutIndex (query0_test.go:3539)") {
+    checkGolden(
+      """{ me(func: type(CarModel)) @filter(between(year,2009,2010)) {
+        |    make model year } }""".stripMargin,
+      """{"data":{"me":[{"make":"Ford","model":"Focus","year":2009},{"make":"Toyota","model":"Prius","year":2009}]}}""")
+    checkGolden(
+      """{ me(func :has(newage)) @filter(between(newage,20,24)) {
+        |    newage
+        |    newfriend @filter(between(newage,25,30)) { newage } } }"""
+        .stripMargin,
+      """{"data": {"me": [{"newage": 21},{"newage": 22,"newfriend": [{"newage": 25},{"newage": 26}]},{"newage": 23,"newfriend": [{"newage": 27},{"newage": 28}]},{"newage": 24,"newfriend": [{"newage": 29},{"newage": 30}]}]}}""")
+  }
+
+  test("golden: TestEqFilterWithoutIndex (query0_test.go:3575)") {
+    checkGolden(
+      """{ me(func: type(CarModel)) @filter(eq(year,2008,2009)) {
+        |    make model year } }""".stripMargin,
+      """{"data":{"me":[{"make":"Ford","model":"Focus","year":2008},{"make":"Ford","model":"Focus","year":2009},{"make":"Toyota","model":"Prius","year":2009}]}}""")
+  }
+
+  // ---- datetime battery (query0_test.go:2561 TestDateTimeQuery) ----
+  // Output preserves the zone offset each value was WRITTEN with
+  // (Go keeps the parsed time.Location); ties in instant order break
+  // by uid ascending.
+
+  test("golden: TestDateTimeQuery graduation (tests 23,22,15,14,13,10,9,8,7)") {
+    checkGolden(
+      """{ q(func: between(graduation, "1931-01-01", "1932-03-01")) { uid graduation } }""",
+      """{"data":{"q":[{"uid":"0x1","graduation":["1932-01-01T00:00:00Z"]}]}}""")
+    checkGolden(
+      """{ q(func: between(graduation, "1932-03-01", "1950-01-01")) { uid graduation } }""",
+      """{"data":{"q":[{"uid":"0x1f","graduation":["1935-01-01T00:00:00Z","1933-01-01T00:00:00Z"]}]}}""",
+      arrayOrderFree = true)
+    checkGolden(
+      """{ q(func: gt(age, 15)) @filter(gt(graduation, "1932") AND lt(graduation, "1934")) { uid graduation } }""",
+      """{"data":{"q":[{"uid":"0x1f","graduation":["1935-01-01T00:00:00Z","1933-01-01T00:00:00Z"]}]}}""",
+      arrayOrderFree = true)
+    checkGolden(
+      """{ q(func: gt(age, 15)) @filter(le(graduation, "1932") OR gt(graduation, "1936")) { uid graduation } }""",
+      """{"data":{"q":[{"uid":"0x1","graduation":["1932-01-01T00:00:00Z"]}]}}""")
+    checkGolden(
+      """{ q(func: gt(age, 15)) @filter(lt(graduation, "1932") AND gt(graduation, "1936")) { uid graduation } }""",
+      """{"data":{"q":[]}}""")
+    checkGolden(
+      """{ q(func: eq(graduation, "1932-01-01T00:00:00+05:30")) { uid graduation } }""",
+      """{"data":{"q":[]}}""")
+    checkGolden(
+      """{ q(func: eq(graduation, "1932")) { uid graduation } }""",
+      """{"data":{"q":[{"uid":"0x1","graduation":["1932-01-01T00:00:00Z"]}]}}""")
+    checkGolden(
+      """{ q(func: lt(graduation, "1933")) { uid graduation } }""",
+      """{"data":{"q":[{"uid":"0x1","graduation":["1932-01-01T00:00:00Z"]}]}}""")
+    checkGolden(
+      """{ q(func: gt(graduation, "1932")) { uid graduation } }""",
+      """{"data":{"q":[{"uid":"0x1f","graduation":["1935-01-01T00:00:00Z","1933-01-01T00:00:00Z"]}]}}""",
+      arrayOrderFree = true)
+  }
+
+  test("golden: TestDateTimeQuery created/updated offsets (tests 21,20,19,16,6,5,4,3,2,1)") {
+    checkGolden(
+      """{ q(func: between(created_at, "2021-03-28T07:41:57+23:00", "2019-03-28T08:41:57+23:00"), orderdesc: created_at) { uid created_at } }""",
+      """{"data":{"q":[]}}""")
+    checkGolden(
+      """{ q(func: between(created_at, "2019-03-28T07:41:57+23:00", "2019-03-28T08:41:57+23:00"), orderdesc: created_at) { uid created_at } }""",
+      """{"data":{"q":[{"uid":"0x130","created_at":"2019-03-28T08:41:57+23:00"},{"uid":"0x12d","created_at":"2019-03-28T07:41:57+23:00"},{"uid":"0x12e","created_at":"2019-03-28T07:41:57+23:00"},{"uid":"0x12f","created_at":"2019-03-27T14:41:57+06:00"}]}}""")
+    checkGolden(
+      """{ q(func: has(created_at), orderdesc: created_at) { uid created_at } }""",
+      """{"data":{"q":[{"uid":"0x133","created_at":"2019-05-28T07:41:57+23:00"},{"uid":"0x130","created_at":"2019-03-28T08:41:57+23:00"},{"uid":"0x12d","created_at":"2019-03-28T07:41:57+23:00"},{"uid":"0x12e","created_at":"2019-03-28T07:41:57+23:00"},{"uid":"0x12f","created_at":"2019-03-27T14:41:57+06:00"},{"uid":"0x131","created_at":"2019-03-28T06:41:57+23:00"},{"uid":"0x132","created_at":"2019-03-24T14:41:57+05:30"}]}}""")
+    checkGolden(
+      """{ q(func: gt(created_at, "2019-03-28")) { uid
+        |    created_at @facets(modified_at)
+        |    updated_at @facets(modified_at) } }""".stripMargin,
+      """{"data":{"q":[{"uid":"0x133","created_at":"2019-05-28T07:41:57+23:00","updated_at|modified_at":"2019-03-24T14:41:57+05:30","updated_at":"2019-05-28T00:00:00Z"}]}}""")
+    checkGolden(
+      """{ q(func: le(updated_at, "2019-03-27T14:41:56+06:00")) { uid updated_at } }""",
+      """{"data":{"q":[{"uid":"0x131","updated_at":"2019-03-28T06:41:57+23:00"},{"uid":"0x132","updated_at":"2019-03-24T14:41:57+05:30"}]}}""")
+    checkGolden(
+      """{ q(func: ge(updated_at, "2019-03-28T13:41:57+00:00")) { uid updated_at } }""",
+      """{"data":{"q":[{"uid":"0x133","updated_at":"2019-05-28T00:00:00Z"}]}}""")
+    checkGolden(
+      """{ q(func: ge(updated_at, "2019-03-28T13:41:57")) { uid updated_at } }""",
+      """{"data":{"q":[{"uid":"0x133","updated_at":"2019-05-28T00:00:00Z"}]}}""")
+    checkGolden(
+      """{ q(func: le(created_at, "2019-03-27T14:41:56+06:00")) { uid created_at } }""",
+      """{"data":{"q":[{"uid":"0x131","created_at":"2019-03-28T06:41:57+23:00"},{"uid":"0x132","created_at":"2019-03-24T14:41:57+05:30"}]}}""")
+    checkGolden(
+      """{ q(func: ge(created_at, "2019-03-28T13:41:57+00:00")) { uid created_at } }""",
+      """{"data":{"q":[{"uid":"0x133","created_at":"2019-05-28T07:41:57+23:00"}]}}""")
+    checkGolden(
+      """{ q(func: ge(created_at, "2019-03-28T13:41:57")) { uid created_at } }""",
+      """{"data":{"q":[{"uid":"0x133","created_at":"2019-05-28T07:41:57+23:00"}]}}""")
+  }
+
+  test("golden: TestDateTimeQuery dob instants (tests 12,11)") {
+    checkGolden(
+      """{ q(func: le(dob, "1909-05-05")) { uid dob } }""",
+      """{"data":{"q":[{"uid":"0x18","dob":"1909-05-05T00:00:00Z"},{"uid":"0x19","dob":"1909-01-10T00:00:00Z"},{"uid":"0x1f","dob":"1901-01-15T00:00:00Z"}]}}""")
+    checkGolden(
+      """{ q(func: le(dob, "1909-05-05T00:00:00+05:30")) { uid dob } }""",
+      """{"data":{"q":[{"uid":"0x19","dob":"1909-01-10T00:00:00Z"},{"uid":"0x1f","dob":"1901-01-15T00:00:00Z"}]}}""")
+  }
+
+  test("golden: TestDateTimeQuery best_friend facet cmp (tests 18,17)") {
+    checkGolden(
+      """{ q(func: has(best_friend)) @cascade { uid
+        |    best_friend @facets(lt(since, "2019-03-24")) @facets(since) { uid } } }"""
+        .stripMargin,
+      """{"data": {"q": [{"uid": "0x3","best_friend": {"uid": "0x40","best_friend|since": "2018-03-24T14:41:57+05:30"}}]}}""")
+    checkGolden(
+      """{ q(func: has(best_friend)) @cascade { uid
+        |    best_friend @facets(gt(since, "2019-03-27")) @facets(since) { uid } } }"""
+        .stripMargin,
+      """{"data": {"q": [{"uid": "0x2","best_friend": {"uid": "0x40","best_friend|since": "2019-03-28T07:41:57+23:00"}}]}}""")
   }
 
 }
