@@ -708,17 +708,38 @@ object Parser {
             // (LDBC IC11 uid_in(workAt, uid(organisation)))
             next(); expect("("); args :+= "\u0000uid:" + ident(); expect(")")
           case Punct("[") =>
-            // bracketed value list: eq(name, ["a", "b"]) /
-            // uid_in(school, [5000, 5001]) (reference
-            // TestMultipleEquality, TestUidInFunction3)
+            // bracketed value list. FLAT lists explode into one arg per
+            // element: eq(name, ["a", "b"]) / uid_in(school, [5000, 5001])
+            // (reference TestMultipleEquality, TestUidInFunction3).
+            // NESTED lists are geo coordinate literals —
+            // within(loc, [[[0,0], ...]]) — kept as ONE raw JSON-array
+            // arg for the geo shape decoder (dql geo ValType).
             next()
+            val flat = Vector.newBuilder[String]
+            val raw = new StringBuilder("[")
+            var depth = 1
+            var nested = false
             var firstL = true
-            while (peek != Punct("]")) {
-              if (!firstL) expect(",")
-              firstL = false
-              args :+= litString()
+            while (depth > 0) {
+              peek match {
+                case Punct("[") =>
+                  next(); raw.append('['); depth += 1; nested = true
+                case Punct("]") =>
+                  next(); depth -= 1; if (depth > 0) raw.append(']')
+                case Punct(",") =>
+                  next(); raw.append(',')
+                case _ =>
+                  if (!nested && !firstL && raw.last != ',')
+                    fail("expected , in list literal")
+                  firstL = false
+                  val v = litString()
+                  flat += v
+                  raw.append(v)
+              }
             }
-            expect("]")
+            raw.append(']')
+            if (nested) args :+= raw.result()
+            else args ++= flat.result()
           case _ => args :+= litString()
         }
       }

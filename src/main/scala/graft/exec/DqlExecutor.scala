@@ -1041,6 +1041,73 @@ final class DqlExecutor(ts: GraphStore) {
       countEdge(fn.pred).groupBy(col("subject")).agg(count(lit(1)).as("__c"))
         .filter(cond(col("__c")))
         .select(col("subject").as("uid"))
+    case "near" | "within" | "contains" | "intersects" =>
+      // geo generators over GeoJSON-valued predicates (reference
+      // worker/geofilter.go → types/geofilter.go; spherical distance
+      // types/earth.go). The query shape parses ONCE here on the driver;
+      // the match itself is a row-local pure function over the stored
+      // value — distributed scan, no shuffle.
+      import graft.functions.GeoShapes
+      schema.predicates.get(fn.pred) match {
+        case Some(ps) if ps.dgraphType == "geo" => ()
+        case Some(ps) => throw new IllegalArgumentException(
+          s"${fn.name} is not valid on predicate ${fn.pred} of type ${ps.dgraphType}")
+        case None => return ts.nodeTypes.select(col("subject").as("uid")).limit(0)
+      }
+      val isNum = (s: String) => s.matches("-?\\d+(\\.\\d+)?([eE]-?\\d+)?")
+      val test: GeoShapes.Shape => Boolean = fn.name match {
+        case "near" =>
+          // near(p, [x,y], d) — the point flattens to two numeric args,
+          // so arity 3; a missing or non-positive distance is an error
+          // (TestNearGeneratorErrorMissDist / TestNearGeneratorError)
+          if (fn.args.length != 3 || !fn.args.forall(isNum))
+            throw new IllegalArgumentException(
+              "near function requires a point and a distance")
+          val d = fn.args(2).toDouble
+          if (d <= 0) throw new IllegalArgumentException(
+            s"near distance must be positive, got $d")
+          val q = GeoShapes.GPoint(fn.args(0).toDouble, fn.args(1).toDouble)
+          GeoShapes.near(_, q, d)
+        case "within" =>
+          // within(p, polygon) — exactly one polygon/multipolygon arg
+          // (TestWithinGeneratorError rejects a trailing distance)
+          if (fn.args.length != 1)
+            throw new IllegalArgumentException(
+              "within function requires exactly one polygon argument")
+          val q = GeoShapes.parse(fn.args.head)
+          q match {
+            case _: GeoShapes.GPoint => throw new IllegalArgumentException(
+              "within expects a polygon argument")
+            case _ => ()
+          }
+          GeoShapes.within(_, q)
+        case "contains" =>
+          // contains(p, [x,y]) point (two flat numerics) or polygon
+          val q =
+            if (fn.args.length == 2 && fn.args.forall(isNum))
+              GeoShapes.GPoint(fn.args(0).toDouble, fn.args(1).toDouble)
+            else if (fn.args.length == 1) GeoShapes.parse(fn.args.head)
+            else throw new IllegalArgumentException(
+              "contains requires a point or polygon argument")
+          GeoShapes.contains(_, q)
+        case _ =>
+          // intersects(p, polygon) — a point argument is an error
+          // (TestIntersectsGeneratorError)
+          if (fn.args.length != 1)
+            throw new IllegalArgumentException(
+              "intersects function requires exactly one polygon argument")
+          val q = GeoShapes.parse(fn.args.head)
+          q match {
+            case _: GeoShapes.GPoint => throw new IllegalArgumentException(
+              "intersects expects a polygon argument")
+            case _ => ()
+          }
+          GeoShapes.intersects(_, q)
+      }
+      val geoMatch = udf((v: String) =>
+        v != null && test(GeoShapes.parse(v)))
+      ts.attr(fn.pred).filter(geoMatch(col("value")))
+        .select(col("subject").as("uid")).distinct()
     case other =>
       throw new IllegalArgumentException(s"unsupported function: $other")
   }
@@ -2241,6 +2308,11 @@ final class DqlExecutor(ts: GraphStore) {
     val keyFields = keys.map { k =>
       val kc = col(s"__k_${k.outName}")
       if (schema.isUidPredicate(k.pred)) hexUid(kc).as(k.outName)
+      // geo keys render as EMBEDDED GeoJSON objects, not escaped strings
+      // (reference TestGroupByGeoCrash: {"loc":{"type":"Point",...}}) —
+      // marked here, spliced after to_json by geoSplice
+      else if (schema.predicates.get(k.pred).exists(_.dgraphType == "geo"))
+        concat(lit("\u0001"), kc, lit("\u0002")).as(k.outName)
       else kc.as(k.outName)
     }
     val aggFields = aggs.map(c => col(s"__a_${c.outName}").as(gbName(c)))
@@ -2314,6 +2386,26 @@ final class DqlExecutor(ts: GraphStore) {
     */
   private def hexUid(c: Column): Column =
     concat(lit("0x"), lower(conv(c.cast("string"), 10, 16)))
+
+  /** Un-escape marker-wrapped geo values in a rendered JSON string:
+    * `"\u0001{\"type\":...}\u0002"` → the raw GeoJSON object embedded in
+    * place (reference outputnode.go writes geo postings as JSON objects,
+    * TestGroupByGeoCrash). No-op column pass-through unless one of
+    * `preds` is geo-typed; Jackson escapes the control-char markers as
+    * six-char `\u0001` sequences, which is what the regex targets.
+    */
+  private def geoSplice(j: Column, preds: Seq[String]): Column =
+    if (!preds.exists(p => schema.predicates.get(p).exists(_.dgraphType == "geo")))
+      j
+    else {
+      val spliceUdf = udf((s: String) =>
+        if (s == null) null
+        else
+          "\"\\\\u0001((?:[^\"\\\\]|\\\\.)*)\\\\u0002\"".r
+            .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+              m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))))
+      spliceUdf(j)
+    }
 
   /** JSON key for a selection, following the reference's output naming
     * (outputnode.go): alias wins; count → `count(pred)`; lang chains keep
@@ -2683,7 +2775,8 @@ final class DqlExecutor(ts: GraphStore) {
         groupbyArray(g, b.groupby, b.selections, Nil)
           .filter(size(element_at(col("__gb"), 1).getField("@groupby")) > 0)
           .select(lit(0L).as("uid"),
-            to_json(element_at(col("__gb"), 1), jsonOpts).as("json"))
+            geoSplice(to_json(element_at(col("__gb"), 1), jsonOpts),
+              b.groupby.map(_.pred)).as("json"))
     }
   }
 

@@ -28,6 +28,11 @@ class GoldenFixtureSpec extends AnyFunSuite {
       if (facets.isEmpty) "" else s" ($facets)"} ."""
   private def e(s: Long, p: String, o: Long, facets: String = "") =
     s"""<0x${hex(s)}> <$p> <0x${hex(o)}>${if (facets.isEmpty) "" else s" ($facets)"} ."""
+  /** geo value triple: the GeoJSON text N-Quad-escaped (reference
+    * addGeoPointToCluster/addGeoPolygonToCluster, common_test.go:957+).
+    */
+  private def gj(s: Long, p: String, json: String) =
+    a(s, p, json.replace("\\", "\\\\").replace("\"", "\\\""))
 
   /** Seed triples: reference query/common_test.go:396-640 (subset: the
     * friend graph, best_friend/pet chain, and the multi-sort block).
@@ -294,7 +299,28 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(0x2751, "firstName", "Princess"), a(0x2751, "lastName", "Leia"),
     a(0x2752, "firstName", "Han"), a(0x2752, "lastName", "Solo"),
     a(0x2753, "firstName", "Harrison"), a(0x2753, "lastName", "Ford"),
-    a(0x2754, "firstName", "Steven"), a(0x2754, "lastName", "Spielberg")) ++
+    a(0x2754, "firstName", "Steven"), a(0x2754, "lastName", "Spielberg"),
+    // geo corpus (common_test.go:957-996: addGeoPointToCluster /
+    // addGeoPolygonToCluster / addGeoMultiPolygonToCluster)
+    gj(1, "loc", """{"type":"Point","coordinates":[1.1,2.0]}"""),
+    gj(24, "loc", """{"type":"Point","coordinates":[1.10001,2.000001]}"""),
+    gj(25, "loc", """{"type":"Point","coordinates":[1.1,2.0]}"""),
+    gj(23, "loc",
+      """{"type":"Polygon","coordinates":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,2.0],[0.0,0.0]]]}"""),
+    gj(5101, "geometry",
+      """{"type":"Point","coordinates":[-122.082506,37.4249518]}"""),
+    gj(5102, "geometry",
+      """{"type":"Point","coordinates":[-122.080668,37.426753]}"""),
+    gj(5103, "geometry",
+      """{"type":"Point","coordinates":[-122.2527428,37.513653]}"""),
+    gj(5104, "geometry",
+      """{"type":"Polygon","coordinates":[[[-121.6,37.1],[-122.4,37.3],[-122.6,37.8],[-122.5,38.3],[-121.9,38.0],[-121.6,37.1]]]}"""),
+    gj(5105, "geometry",
+      """{"type":"Polygon","coordinates":[[[-122.06,37.37],[-122.1,37.36],[-122.12,37.4],[-122.11,37.43],[-122.04,37.43],[-122.06,37.37]]]}"""),
+    gj(5106, "geometry",
+      """{"type":"Polygon","coordinates":[[[-122.25,37.49],[-122.28,37.49],[-122.27,37.51],[-122.25,37.52],[-122.25,37.49]]]}"""),
+    gj(5107, "geometry",
+      """{"type":"MultiPolygon","coordinates":[[[[-74.29504394531249,40.19146303804063],[-74.59716796875,40.39258071969131],[-74.6466064453125,40.20824570152502],[-74.454345703125,40.06125658140474],[-74.28955078125,40.17467622056341],[-74.29504394531249,40.19146303804063]]],[[[-74.102783203125,40.8595252289932],[-74.2730712890625,40.718119379753446],[-74.0478515625,40.66813955408042],[-73.98193359375,40.772221877329024],[-74.102783203125,40.8595252289932]]]]}""")) ++
     Seq("mississippi", "missouri", "mission", "missionary",
       "whissle", "transmission", "zipped", "monosiphonic", "vasopressin",
       "vapoured", "virtuously", "zurich", "synopsis", "subsensuously",
@@ -377,6 +403,8 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |pname: string .
         |pred1: string .
         |pred2: string .
+        |loc: geo @index(geo) .
+        |geometry: geo @index(geo) .
         |type SchoolInfo { name abbr school district county state }
         |type Person { name pet friend gender alive }
         |type User { name password gender friend alive }
@@ -5297,6 +5325,160 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |    best_friend @facets(gt(since, "2019-03-27")) @facets(since) { uid } } }"""
         .stripMargin,
       """{"data": {"q": [{"uid": "0x2","best_friend": {"uid": "0x40","best_friend|since": "2019-03-28T07:41:57+23:00"}}]}}""")
+  }
+
+  // ---- geo generator battery (query2_test.go:1627-1755, 2791-2903;
+  // query1_test.go multipolygon tests; fixture common_test.go:957-996) ----
+
+  test("golden: TestNearGenerator (query2_test.go:1627)") {
+    checkGolden(
+      """{ me(func:near(loc, [1.1,2.0], 5.001)) @filter(not uid(25)) {
+        |    name gender } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne","gender":"female"},{"name":"Rick Grimes","gender": "male"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestNearGeneratorFilter (query2_test.go:1641)") {
+    checkGolden(
+      """{ me(func:near(loc, [1.1,2.0], 5.001)) @filter(allofterms(name, "Michonne")) {
+        |    name gender } }""".stripMargin,
+      """{"data": {"me":[{"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestNearGeneratorError/-MissDist (query2_test.go:1654,1667)") {
+    // negative distance and missing distance are both rejected
+    checkErr("""{ me(func:near(loc, [1.1,2.0], -5.0)) { name gender } }""")
+    checkErr("""{ me(func:near(loc, [1.1,2.0])) { name gender } }""")
+  }
+
+  test("golden: TestWithinGeneratorError (query2_test.go:1680)") {
+    // within takes no distance argument
+    checkErr("""{ me(func:within(loc, [[[0.0,0.0], [2.0,0.0], [1.5, 3.0], [0.0, 2.0], [0.0, 0.0]]], 12.2)) { name } }""")
+  }
+
+  test("golden: TestWithinGenerator (query2_test.go:1692)") {
+    // Rick's polygon shares boundary vertices with the query polygon —
+    // polygon-in-polygon must be strict, so he is excluded
+    checkGolden(
+      """{ me(func:within(loc,  [[[0.0,0.0], [2.0,0.0], [1.5, 3.0], [0.0, 2.0], [0.0, 0.0]]])) @filter(not uid(25)) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestContainsGenerator (query2_test.go:1704)") {
+    // the query point is a VERTEX of Rick's polygon — boundary counts
+    checkGolden(
+      """{ me(func:contains(loc, [2.0,0.0])) { name } }""",
+      """{"data": {"me":[{"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestContainsGenerator2 (query2_test.go:1716)") {
+    checkGolden(
+      """{ me(func:contains(loc,  [[[1.0,1.0], [1.9,1.0], [1.9, 1.9], [1.0, 1.9], [1.0, 1.0]]])) { name } }""",
+      """{"data": {"me":[{"name":"Rick Grimes"}]}}""")
+  }
+
+  test("golden: TestIntersectsGeneratorError (query2_test.go:1728)") {
+    // a point argument to intersects is rejected
+    checkErr("""{ me(func:intersects(loc, [0.0,0.0])) { name } }""")
+  }
+
+  test("golden: TestIntersectsGenerator (query2_test.go:1740)") {
+    checkGolden(
+      """{ me(func:intersects(loc, [[[0.0,0.0], [2.0,0.0], [1.5, 3.0], [0.0, 2.0], [0.0, 0.0]]])) @filter(not uid(25)) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"}, {"name":"Rick Grimes"}, {"name":"Glenn Rhee"}]}}""")
+  }
+
+  test("golden: TestNearPoint (query2_test.go:2791)") {
+    // 1 metre: the Googleplex point itself plus the polygons that
+    // contain it (distance 0); Shoreline is ~250 m away
+    checkGolden(
+      """{ me(func: near(geometry, [-122.082506, 37.4249518], 1)) { name } }""",
+      """{"data": {"me":[{"name":"Googleplex"},{"name":"SF Bay area"},{"name":"Mountain View"}]}}""")
+  }
+
+  test("golden: TestWithinPolygon (query2_test.go:2804)") {
+    // the query polygon IS the Mountain View polygon — within is strict,
+    // so only the two interior points match
+    checkGolden(
+      """{ me(func: within(geometry, [[[-122.06, 37.37], [-122.1, 37.36], [-122.12, 37.4], [-122.11, 37.43], [-122.04, 37.43], [-122.06, 37.37]]])) { name } }""",
+      """{"data": {"me":[{"name":"Googleplex"},{"name":"Shoreline Amphitheater"}]}}""")
+  }
+
+  test("golden: TestContainsPoint (query2_test.go:2817)") {
+    checkGolden(
+      """{ me(func: contains(geometry, [-122.082506, 37.4249518])) { name } }""",
+      """{"data": {"me":[{"name":"SF Bay area"},{"name":"Mountain View"}]}}""")
+  }
+
+  test("golden: TestNearPoint2 (query2_test.go:2830)") {
+    checkGolden(
+      """{ me(func: near(geometry, [-122.082506, 37.4249518], 1000)) { name } }""",
+      """{"data": {"me":[{"name":"Googleplex"},{"name":"Shoreline Amphitheater"}, {"name": "SF Bay area"}, {"name": "Mountain View"}]}}""")
+  }
+
+  test("golden: TestIntersectsPolygon1 (query2_test.go:2844)") {
+    checkGolden(
+      """{ me(func: intersects(geometry, [[[-122.06, 37.37], [-122.1, 37.36], [-122.12, 37.4], [-122.11, 37.43], [-122.04, 37.43], [-122.06, 37.37]]])) { name } }""",
+      """{"data" : {"me":[{"name":"Googleplex"},{"name":"Shoreline Amphitheater"},
+        |{"name":"SF Bay area"},{"name":"Mountain View"}]}}""".stripMargin)
+  }
+
+  test("golden: TestIntersectsPolygon2 (query2_test.go:2859)") {
+    checkGolden(
+      """{ me(func: intersects(geometry,[[[-121.6, 37.1], [-122.4, 37.3], [-122.6, 37.8], [-122.5, 38.3], [-121.9, 38], [-121.6, 37.1]]])) { name } }""",
+      """{"data": {"me":[{"name":"Googleplex"},{"name":"Shoreline Amphitheater"},
+        |{"name":"San Carlos Airport"},{"name":"SF Bay area"},
+        |{"name":"Mountain View"},{"name":"San Carlos"}]}}""".stripMargin)
+  }
+
+  test("golden: TestGeoFuncWithAfter (query2_test.go)") {
+    checkGolden(
+      """{ me(func: near(geometry, [-122.082506, 37.4249518], 1000), after: 0x13ee) { name } }""",
+      """{"data": {"me":[{"name": "SF Bay area"}, {"name": "Mountain View"}]}}""")
+  }
+
+  test("golden: TestNearPointMultiPolygon (query1_test.go)") {
+    checkGolden(
+      """{ me(func: near(loc, [1.0, 1.0], 1)) { name } }""",
+      """{"data": {"me":[{"name":"Rick Grimes"}]}}""")
+  }
+
+  private lazy val usCoordinates: String = {
+    // the reference's own us-coordinates.txt multipolygon fixture
+    // (query/testdata/; 1.6 MB of US state boundary rings)
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/query/testdata/us-coordinates.txt")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+  }
+
+  test("golden: TestMultiPolygonIntersects (query1_test.go)") {
+    assume(new java.io.File(
+      "/root/reference/query/testdata/us-coordinates.txt").exists)
+    checkGolden(
+      s"""{ me(func: intersects(geometry, "$usCoordinates" )) { name } }""",
+      """{"data": {"me":[{"name":"Googleplex"},{"name":"Shoreline Amphitheater"},{"name":"San Carlos Airport"},{"name":"SF Bay area"},{"name":"Mountain View"},{"name":"San Carlos"}, {"name": "New York"}]}}""")
+  }
+
+  test("golden: TestMultiPolygonWithin (query1_test.go)") {
+    assume(new java.io.File(
+      "/root/reference/query/testdata/us-coordinates.txt").exists)
+    // SF Bay area's westernmost vertex (-122.6, 37.8) is in the Pacific,
+    // outside the US land multipolygon — so the polygon is not within
+    checkGolden(
+      s"""{ me(func: within(geometry, "$usCoordinates" )) { name } }""",
+      """{"data": {"me":[{"name":"Googleplex"},{"name":"Shoreline Amphitheater"},{"name":"San Carlos Airport"},{"name":"Mountain View"},{"name":"San Carlos"}]}}""")
+  }
+
+  test("golden: TestGroupByGeoCrash (query1_test.go)") {
+    // reference asserts via require.Contains on the point-key group;
+    // the full response groups the three loc values (Andrea has none)
+    checkGolden(
+      """{ q(func: uid(1, 23, 24, 25, 31)) @groupby(loc) { count(uid) } }""",
+      """{"data":{"q":[{"@groupby":[
+        |{"loc":{"type":"Point","coordinates":[1.10001,2.000001]},"count":1},
+        |{"loc":{"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]},"count":1},
+        |{"loc":{"type":"Point","coordinates":[1.1,2]},"count":2}]}]}}"""
+        .stripMargin,
+      arrayOrderFree = true)
   }
 
 }
