@@ -58,9 +58,15 @@ object Lexer {
           input(i) == '-' || input(i) == ':')) i += 1 // covers 0x.., dates, floats
         out += NumLit(input.substring(start, i))
       } else if (c.isLetter || c == '_') {
+        // '-' continues a name only when glued to a following name char —
+        // hyphenated predicates (tweet-a, index-pred1) are legal in the
+        // reference's lexer; binary minus in math() therefore needs
+        // spaces, same as the reference
         val start = i
         while (i < n && (input(i).isLetterOrDigit || input(i) == '_' ||
-          input(i) == '.')) i += 1
+          input(i) == '.' ||
+          (input(i) == '-' && i + 1 < n &&
+            (input(i + 1).isLetterOrDigit || input(i + 1) == '_')))) i += 1
         out += Ident(input.substring(start, i))
       } else if (c == '$' && (peek(1).isLetter || peek(1) == '_')) {
         // $var — a DQL query variable reference (dql/vars.go)

@@ -96,6 +96,10 @@ object Parser {
     }
 
     private def ident(): String = next() match {
+      // 2^16 caps predicate-name length (reference x/keys.go key layout
+      // reserves a uint16 for the attr; TestMaxPredicateSize)
+      case Ident(s) if s.length > 65535 =>
+        fail("Predicate name length cannot be bigger than 2^16")
       case Ident(s) => s
       case other => fail(s"expected identifier, got $other")
     }
@@ -676,6 +680,10 @@ object Parser {
           pred += ident(); expect(")"); countArg = true
         case Ident("val") if fname != "val" =>
           next(); expect("("); pred = "val:" + ident(); expect(")")
+        case Ident("len") if fname != "len" =>
+          // eq(len(f), 3): cardinality of a variable's uid set
+          // (reference TestFilterUsingLenFunction)
+          next(); expect("("); pred = "len:" + ident(); expect(")")
         case _ =>
           // uid_in(~containerOf, ...): reverse-edge membership (LDBC IC05)
           if (peek == Punct("~")) { next(); pred = "~" }

@@ -96,6 +96,14 @@ final class DqlExecutor(ts: GraphStore) {
       if (ps.dgraphType != "uid") {
         if (ps.indexes.isEmpty)
           throw new IllegalArgumentException(s"Predicate $p is not indexed")
+        // eq on a string predicate needs an equality-capable tokenizer;
+        // trigram alone is lossy (regexp/match only) — reference
+        // pickTokenizer rejects it (TestLangLossyIndex4)
+        if (fn.name == "eq" &&
+            (ps.dgraphType == "string" || ps.dgraphType == "default") &&
+            !ps.indexes.exists(Set("exact", "hash", "term", "fulltext")))
+          throw new IllegalArgumentException(
+            s"Attribute $p does not have a valid tokenizer for eq")
         if (fn.name != "eq") {
           val sortable =
             Set("exact", "int", "float", "bigfloat", "year", "month",
@@ -257,7 +265,8 @@ final class DqlExecutor(ts: GraphStore) {
     * (Decides per-parent vs whole-block aggregation below.)
     */
   private def bindsVar(sels: Seq[Selection], v: String): Boolean =
-    sels.exists(s => s.varName.contains(v) || bindsVar(s.children, v))
+    sels.exists(s => s.varName.contains(v) ||
+      s.facetVars.exists(_._1 == v) || bindsVar(s.children, v))
 
   /** Reference recurse depth counts template applications INCLUDING the
     * root (TestRecurseQueryLimitDepth1: depth 2 = root + one hop); the
@@ -971,7 +980,11 @@ final class DqlExecutor(ts: GraphStore) {
           throw new IllegalArgumentException(
             s"Invalid regexp modifier: $flags")
         (if (flags == "i") "(?i)" else "") + raw.substring(1, end)
-      } else raw
+      } else
+        // a pattern not in /re/flags form (a malformed $var substitution
+        // like "aman/" or a bare "/") never parses in the reference's
+        // lexer — reject it the same way (TestInvalidRegex)
+        throw new IllegalArgumentException(s"Invalid regex: $raw")
       // Go's RE2 case folding is Unicode-aware; Java's (?i) is ASCII
       // unless paired with (?u) — rewrite so /артём/i matches Артём
       // (reference TestFilterRegex16, multi-byte rune bug #945)
@@ -989,11 +1002,13 @@ final class DqlExecutor(ts: GraphStore) {
       // fulltext: stem + stopword-drop both sides (tok/tok.go:558).
       // A query with no index tokens left matches nothing (the reference
       // intersects with an empty token posting → empty).
+      requireFulltextIndex(fn.pred)
       val q = graft.functions.TextFunctions.ftStemsLit(fn.args.head)
       if (q.isEmpty) attrWhere(fn.pred, _ => lit(false))
       else attrWhere(fn.pred, v => arrays_overlap(
         graft.functions.TextFunctions.ftStems(v), array(q.map(lit(_)): _*)))
     case "alloftext" =>
+      requireFulltextIndex(fn.pred)
       val q = graft.functions.TextFunctions.ftStemsLit(fn.args.head)
       if (q.isEmpty) attrWhere(fn.pred, _ => lit(false))
       else attrWhere(fn.pred, v => forall(array(q.map(lit(_)): _*),
@@ -1026,6 +1041,7 @@ final class DqlExecutor(ts: GraphStore) {
           t => array_contains(tok.tokens(v), t)))
     case n if n.endsWith("_count") =>
       // eq/between(count(p), ...) family over the edge count index
+      validateCountArgs(fn)
       val cond: Column => Column = n.stripSuffix("_count") match {
         case "eq" => _ === lit(fn.args.head.toLong)
         case "le" => _ <= lit(fn.args.head.toLong)
@@ -1110,6 +1126,35 @@ final class DqlExecutor(ts: GraphStore) {
         .select(col("subject").as("uid")).distinct()
     case other =>
       throw new IllegalArgumentException(s"unsupported function: $other")
+  }
+
+  /** anyoftext/alloftext need the fulltext tokenizer on the predicate
+    * (reference TestInvalidStringIndex — `name` with only term/exact/
+    * trigram is rejected).
+    */
+  private def requireFulltextIndex(pred: String): Unit = {
+    val (p, _) = langSplit(pred)
+    schema.predicates.get(p).foreach { ps =>
+      if (!ps.indexes.contains("fulltext"))
+        throw new IllegalArgumentException(
+          s"Attribute $p is not indexed with type fulltext")
+    }
+  }
+
+  /** count-comparison arity: one bound (two for between), numeric
+    * (reference TestGeneratorRootFilterOnCountError1-3).
+    */
+  private def validateCountArgs(fn: FuncCall): Unit = {
+    val want = if (fn.name.stripSuffix("_count") == "between") 2 else 1
+    if (fn.args.length != want)
+      throw new IllegalArgumentException(
+        s"Function ${fn.name.stripSuffix("_count")}(count(${fn.pred})) " +
+          s"expects $want argument(s), got ${fn.args.length}")
+    fn.args.foreach { a =>
+      if (!a.matches("-?\\d+"))
+        throw new IllegalArgumentException(
+          s"Invalid argument $a to count comparison — expected an integer")
+    }
   }
 
   /** Edge frame for a count() argument — `count(~friend)` counts the
@@ -1197,11 +1242,35 @@ final class DqlExecutor(ts: GraphStore) {
     */
   private def applyFilter(df: DataFrame, uidCol: String, node: FilterNode): DataFrame =
     node match {
+      case FilterLeaf(fn) if fn.pred.startsWith("len:") =>
+        // eq/lt/../ge(len(v), n): the variable's cardinality is a single
+        // query-constant — the whole frontier passes or none of it does
+        // (reference TestFilterUsingLenFunction; applyFacetsFilter len).
+        // The count is a metadata-scale driver action, mirroring the
+        // reference's materialized uid-list length.
+        val v = fn.pred.stripPrefix("len:")
+        val n = vars.get(v) match {
+          case Some(vf) => vf.count()
+          case None => throw new IllegalArgumentException(
+            s"len($v): no variable '$v' is bound")
+        }
+        val bound = fn.args.head.toLong
+        val ok = fn.name match {
+          case "eq" => n == bound
+          case "le" => n <= bound
+          case "lt" => n < bound
+          case "ge" => n >= bound
+          case "gt" => n > bound
+          case o => throw new IllegalArgumentException(
+            s"len() not supported with function $o")
+        }
+        if (ok) df else df.filter(lit(false))
       case FilterLeaf(fn) if fn.name.endsWith("_count") =>
         // count comparisons in FILTER position evaluate per frontier uid
         // with missing edges = 0 (reference TestCountAtRootWithAlias4:
         // le(count(friend), 2) keeps friendless Daryl) — the index seed
         // would drop zero-count nodes
+        validateCountArgs(fn)
         val cond: Column => Column = fn.name.stripSuffix("_count") match {
           case "eq" => _ === lit(fn.args.head.toLong)
           case "le" => _ <= lit(fn.args.head.toLong)
@@ -1236,7 +1305,7 @@ final class DqlExecutor(ts: GraphStore) {
       case FilterNot(FilterLeaf(fn)) =>
         df.join(seed(fn).withColumnRenamed("uid", uidCol), Seq(uidCol), "left_anti")
       case FilterNot(c) =>
-        df.join(applyFilter(df, uidCol, c).select(col(uidCol)).distinct(),
+        df.join(applyFilter(df, uidCol, c).select(qcol(uidCol)).distinct(),
           Seq(uidCol), "left_anti")
     }
 
@@ -1289,7 +1358,7 @@ final class DqlExecutor(ts: GraphStore) {
   private def orderAndPage(df: DataFrame, uidCol: String,
       order: Seq[Ordering], page: Pagination): DataFrame = {
     var cur = df
-    page.after.foreach(a => cur = cur.filter(col(uidCol) > a))
+    page.after.foreach(a => cur = cur.filter(qcol(uidCol) > a))
     val needSort = order.nonEmpty || page.first.isDefined || page.offset.isDefined
     if (!needSort) return cur
     order.zipWithIndex.foreach { case (o, i) =>
@@ -1302,7 +1371,7 @@ final class DqlExecutor(ts: GraphStore) {
         // (reference sortWithVar, query/query.go — nodes without the var
         // are excluded); sorting by a predicate keeps missing values last
         val joinKind = if (o.pred.startsWith("val:")) "inner" else "left"
-        cur = cur.join(a, col(uidCol) === col(s"__os$i"), joinKind).drop(s"__os$i")
+        cur = cur.join(a, qcol(uidCol) === col(s"__os$i"), joinKind).drop(s"__os$i")
       }
     }
     // Null ordering mirrors types/sort.go byValue.Less: missing values
@@ -1327,9 +1396,9 @@ final class DqlExecutor(ts: GraphStore) {
         }
         val flip = o.desc && i > 0
         val uexpr = when(ov.isNull,
-          if (flip) -col(uidCol) else col(uidCol))
+          if (flip) -qcol(uidCol) else qcol(uidCol))
         Seq(v, if (rev) uexpr.desc else uexpr.asc)
-      } :+ (if (rev) col(uidCol).desc else col(uidCol).asc)
+      } :+ (if (rev) qcol(uidCol).desc else qcol(uidCol).asc)
     }
     val ordCols = keyCols(rev = false)
     cur = cur.orderBy(ordCols: _*)
@@ -1359,8 +1428,10 @@ final class DqlExecutor(ts: GraphStore) {
     val joinType = if (cascade) "inner" else "left"
     var cur = df
     // true once a traversal has multiplied rows: later var binds must
-    // dedup per uid (a plain scalar block stays shuffle-free)
-    var fanned = false
+    // dedup per uid (a plain scalar block stays shuffle-free). A NESTED
+    // level is born fanned — its uid column repeats once per parent path
+    // (TestLevelBasedFacetVarSum's 1003 reached via two parents)
+    var fanned = prefix.nonEmpty
     // vars bound at THIS level of THIS block — the only ones whose flat
     // column is guaranteed live in `cur` (varCols itself outlives the
     // block for the level-agg path)
@@ -1380,11 +1451,6 @@ final class DqlExecutor(ts: GraphStore) {
         // mul = 0). Scalar (no-uid) vars broadcast but do not confer
         // membership (TestCountUIDToVar2).
         val uidKeyed = scala.collection.mutable.ArrayBuffer.empty[String]
-        // cross-level refs: a var bound at a PARENT level read in a child
-        // block propagates along the traversal, SUMMING over paths
-        // (reference var propagation, query/query.go populateVarMap —
-        // LDBC IC05 `fposts as math(c)` counts posts per forum)
-        val crossKeys = scala.collection.mutable.ArrayBuffer.empty[String]
         refs.foreach { r =>
           // a var bound EARLIER IN THIS BLOCK — or at a parent level of
           // this block's traversal — is still a live column of the
@@ -1397,14 +1463,37 @@ final class DqlExecutor(ts: GraphStore) {
             // var's dedup'd (uid, value) snapshot instead: per-row column
             // values could differ across rows of one uid, and the two
             // paths would silently compute different math results.
-            // Cross-level reads (ucol != uidCol) stay in place — summing
-            // over the fanned path rows is exactly their semantics.
             case Some((cname, ucol)) if (boundHere(r) || liveVars(r)) &&
-                base.columns.contains(cname) &&
-                (!fanned || ucol != uidCol) =>
+                base.columns.contains(cname) && ucol == uidCol &&
+                !fanned && !cname.startsWith("__fvv_") =>
+              // (facet-var columns are per-EDGE values; their same-level
+              // MAP is the in-edge sum, so they always join the map)
               base = base.withColumn(s"__m_$r", qcol(cname))
               uidKeyed += s"__m_$r"
-              if (ucol != uidCol) crossKeys += ucol
+            case Some((cname, ucol)) if (boundHere(r) || liveVars(r)) &&
+                base.columns.contains(cname) && ucol != uidCol =>
+              // cross-level read: transform the var to THIS level's uid
+              // space by summing along distinct tree paths from the
+              // binding level down (reference transformTo semantics,
+              // TestLevelBasedFacetVarSum: L1' [t] = Σ_paths L1[p]) —
+              // then the math runs per-uid like any other map. The path
+              // identity is the chain of traversal columns between the
+              // binding level and here (level columns are name-prefixed
+              // by construction); the source value joins the dedup key
+              // so parallel in-edges with distinct facets both count.
+              val chain = (varCols.values.map(_._2).toSet + ucol).toSeq
+                .filter(c => base.columns.contains(c) && c != uidCol &&
+                  (c == ucol ||
+                    (uidCol.startsWith(c + "_") && c.startsWith(ucol + "_"))))
+                .sorted
+              val tm = base.select(qcol(uidCol).as("__tu") +:
+                  chain.map(qcol) :+ qcol(cname).as("__tv"): _*)
+                .filter(col("__tv").isNotNull)
+                .dropDuplicates("__tu" +: "__tv" +: chain)
+                .groupBy(col("__tu")).agg(sum(col("__tv")).as(s"__m_$r"))
+              base = base.join(tm, qcol(uidCol) === col("__tu"), joinType)
+                .drop("__tu")
+              uidKeyed += s"__m_$r"
             case _ if !vars(r).columns.contains("uid") =>
               // SCALAR var (f as count(uid)): one row, no uid map —
               // broadcast it to every row (reference TestCountUidToVar)
@@ -1413,7 +1502,7 @@ final class DqlExecutor(ts: GraphStore) {
             case _ =>
               base = base.join(
                 vars(r).select(col("uid").as("__ms"), col("value").as(s"__m_$r")),
-                col(uidCol) === col("__ms"), joinType).drop("__ms")
+                qcol(uidCol) === col("__ms"), joinType).drop("__ms")
               uidKeyed += s"__m_$r"
           }
         }
@@ -1439,25 +1528,12 @@ final class DqlExecutor(ts: GraphStore) {
           when(col("__m_member"), mathCol(sel.mathExpr.get, intRefs)))
         cur = base.drop("__m_member").drop(refs.map(r => s"__m_$r"): _*)
         sel.varName.foreach { v =>
-          val bound =
-            if (crossKeys.nonEmpty) {
-              // propagation: per current uid, SUM over distinct source
-              // rows (one per parent-level key chain)
-              val keys = crossKeys.toSeq.distinct
-              cur.select(qcol(uidCol).as("uid") +:
-                  keys.zipWithIndex.map { case (k, i) => qcol(k).as(s"__pk$i") } :+
-                  qcol(name).as("value"): _*)
-                .filter(col("value").isNotNull)
-                .dropDuplicates("uid" +: keys.indices.map(i => s"__pk$i"))
-                .groupBy(col("uid")).agg(sum(col("value")).as("value"))
-            } else {
-              // scalar values are unique per subject UNLESS a traversal
-              // fanned the rows out — then dedup per uid
-              val b0 = cur.select(col(uidCol).as("uid"), qcol(name).as("value"))
-                .filter(col("value").isNotNull)
-              if (fanned) b0.dropDuplicates("uid") else b0
-            }
-          bindVar(v, bound)
+          // scalar values are unique per subject UNLESS a traversal
+          // fanned the rows out — then dedup per uid (cross-level refs
+          // are already per-uid maps after the transform above)
+          val b0 = cur.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
+            .filter(col("value").isNotNull)
+          bindVar(v, if (fanned) b0.dropDuplicates("uid") else b0)
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (sel.aggOp.isDefined && sel.valRef.exists(varCols.contains)) {
@@ -1469,7 +1545,7 @@ final class DqlExecutor(ts: GraphStore) {
         import org.apache.spark.sql.types.DecimalType
         val (srcCol, childKey) = varCols(sel.valRef.get)
         val pairs = cur
-          .select(col(uidCol).as("__pu"), col(childKey).as("__pc"),
+          .select(qcol(uidCol).as("__pu"), col(childKey).as("__pc"),
             col(srcCol).as("__pv"))
           // a parent with NO traversed children aggregates NOTHING —
           // the count var's zero-fill rides a null child row and must
@@ -1485,15 +1561,27 @@ final class DqlExecutor(ts: GraphStore) {
           case "max" => max(col("__pv"))
           case "sum" =>
             if (srcIsInt) sum(col("__pv"))
-            else sum(col("__pv").cast(DecimalType(18, 2))).cast("double")
+            else
+              // the reference accumulates float64 in uid order (its
+              // TestLevelBasedFacetVarAggSum golden is
+              // 0.7999999999999999, not 0.8) — an ordered left fold
+              // reproduces the exact ulp artifact; per-parent lists are
+              // fan-out bounded, same work the reference does
+              aggregate(
+                transform(
+                  sort_array(collect_list(struct(col("__pc").as("k"),
+                    col("__pv").as("v")))),
+                  x => x.getField("v")),
+                lit(0.0).cast("double"),
+                (acc, x) => acc + x)
           case "avg" => (sum(col("__pv").cast(DecimalType(18, 2))).cast("double") /
             count(col("__pv")).cast("double"))
           case o => throw new IllegalArgumentException(s"bad level agg $o")
         }
         val agg = pairs.groupBy(col("__pu")).agg(aggC.as(name))
-        cur = cur.join(agg, col(uidCol) === col("__pu"), joinType).drop("__pu")
+        cur = cur.join(agg, qcol(uidCol) === col("__pu"), joinType).drop("__pu")
         sel.varName.foreach { v =>
-          bindVar(v, cur.select(col(uidCol).as("uid"), col(name).as("value"))
+          bindVar(v, cur.select(qcol(uidCol).as("uid"), col(name).as("value"))
             .filter(col("value").isNotNull).dropDuplicates("uid"))
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
@@ -1511,14 +1599,14 @@ final class DqlExecutor(ts: GraphStore) {
           cur = cur.withColumn(name, lit(null).cast("double"))
         else {
           val v = vf.select(col("uid").as("__vs"), col("value").as(name))
-          cur = cur.join(v, col(uidCol) === col("__vs"), joinType).drop("__vs")
+          cur = cur.join(v, qcol(uidCol) === col("__vs"), joinType).drop("__vs")
         }
       } else if (sel.pred == "uid" && !sel.isCount) {
         // uid is implicit (the frontier column itself); `m as uid` binds
         // the current frontier as a uid variable (the upsert-block query
         // shape, reference dql/upsert_test.go)
         sel.varName.foreach { v =>
-          bindVar(v, cur.select(col(uidCol).as("uid"))
+          bindVar(v, cur.select(qcol(uidCol).as("uid"))
             .filter(col("uid").isNotNull).distinct())
         }
       } else if (sel.checkPwd.isDefined) {
@@ -1537,7 +1625,7 @@ final class DqlExecutor(ts: GraphStore) {
         }
         val stored = ts.attr(sel.pred)
           .select(col("subject").as("__ps"), col("value").as("__ph"))
-        cur = cur.join(stored, col(uidCol) === col("__ps"), joinType)
+        cur = cur.join(stored, qcol(uidCol) === col("__ps"), joinType)
           .drop("__ps")
           .withColumn(name,
             when(col("__ph").isNull, lit(false)).otherwise(
@@ -1555,7 +1643,7 @@ final class DqlExecutor(ts: GraphStore) {
         // (reference TestCountUidToVar). Stored as a single-row
         // (value)-only frame; the math var-join path broadcasts it.
         sel.varName.foreach { v =>
-          bindVar(v, cur.select(col(uidCol)).distinct()
+          bindVar(v, cur.select(qcol(uidCol)).distinct()
             .agg(count(lit(1)).cast("long").as("value")))
         }
       } else if (sel.isCount &&
@@ -1563,6 +1651,13 @@ final class DqlExecutor(ts: GraphStore) {
         // count of an UNKNOWN predicate empties the whole block
         // (reference TestCountEmptyData3: c: count(friend2) → me: [])
         cur = cur.filter(lit(false)).withColumn(name, lit(0L))
+        // `cnt as count(nonexistent)` still BINDS — an empty value map,
+        // so later val(cnt) reads filter everything instead of erroring
+        // (reference TestDefaultValueVar1)
+        sel.varName.foreach { v =>
+          bindVar(v, cur.select(qcol(uidCol).as("uid"), qcol(name).as("value")))
+          varCols(v) = (name, uidCol); boundHere += v; liveVars += v
+        }
       } else if (sel.isCount) {
         // count over uid edges, or over VALUES for scalar predicates
         // (reference TestCountFacetsFilteringScalarPredicate); scalar
@@ -1608,12 +1703,12 @@ final class DqlExecutor(ts: GraphStore) {
         val cnt = src.groupBy(col("subject"))
           .agg(pageAdj(count(lit(1))).as(name))
           .withColumnRenamed("subject", "__cs")
-        cur = cur.join(cnt, col(uidCol) === col("__cs"), joinType).drop("__cs")
+        cur = cur.join(cnt, qcol(uidCol) === col("__cs"), joinType).drop("__cs")
         if (!cascade) cur = cur.withColumn(name, coalesce(qcol(name), lit(0L)))
         // `s as count(friend)`: per-uid edge-count value var (reference
         // TestVarInIneqScore — absent edges bind 0)
         sel.varName.foreach { v =>
-          bindVar(v, cur.select(col(uidCol).as("uid"), qcol(name).as("value"))
+          bindVar(v, cur.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
             .dropDuplicates("uid"))
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
@@ -1652,7 +1747,7 @@ final class DqlExecutor(ts: GraphStore) {
         // a var bound on one is EMPTY, not an error
         cur = cur.withColumn(name, lit(null).cast("string"))
         sel.varName.foreach { v =>
-          bindVar(v, cur.select(col(uidCol).as("uid"),
+          bindVar(v, cur.select(qcol(uidCol).as("uid"),
             lit(null).cast("double").as("value")).limit(0))
         }
       } else if (sel.pred == "dgraph.type") {
@@ -1661,7 +1756,7 @@ final class DqlExecutor(ts: GraphStore) {
         val a = ts.nodeTypes.groupBy(col("subject"))
           .agg(sort_array(collect_list(col("typeName"))).as(name))
           .select(col("subject").as("__as"), qcol(name))
-        cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
+        cur = cur.join(a, qcol(uidCol) === col("__as"), joinType).drop("__as")
       } else {
         // `name @facets(eq(origin, "french"))`: a VALUE-facet filter
         // drops non-matching value rows before lang/list resolution —
@@ -1801,7 +1896,7 @@ final class DqlExecutor(ts: GraphStore) {
                 }: _*)
             }
           }
-        cur = cur.join(a, col(uidCol) === col("__as"), joinType).drop("__as")
+        cur = cur.join(a, qcol(uidCol) === col("__as"), joinType).drop("__as")
         // value variable: per-uid value map (x as age); list predicates
         // have no single value to bind (TestMultipleValueVarError)
         if (sel.varName.isDefined && schema.pred(sel.pred).isList)
@@ -1813,7 +1908,7 @@ final class DqlExecutor(ts: GraphStore) {
           // datetime vars bind the INSTANT rider, not the display string
           val vc = if (cur.columns.contains(s"${name}__dtv"))
             qcol(s"${name}__dtv") else qcol(name)
-          val bound = cur.select(col(uidCol).as("uid"), vc.as("value"))
+          val bound = cur.select(qcol(uidCol).as("uid"), vc.as("value"))
             .filter(col("value").isNotNull)
           bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
           // in-place reads (level aggs, math) must see the INSTANT, not
@@ -1864,7 +1959,7 @@ final class DqlExecutor(ts: GraphStore) {
     }
     sel.page.after.foreach(a => child = child.filter(qcol(name) > a))
 
-    var cur = df.join(child, col(uidCol) === col("__es"), joinType).drop("__es")
+    var cur = df.join(child, qcol(uidCol) === col("__es"), joinType).drop("__es")
     // @ignorereflex: a child equal to ANY ancestor on this row's path is
     // not traversed (reference query1 TestReflexive — per-path, not
     // global). NULL the child rather than drop the row: a parent whose
@@ -1914,22 +2009,22 @@ final class DqlExecutor(ts: GraphStore) {
         cur = cur.join(a, qcol(name) === col(s"__ws$i"), "left").drop(s"__ws$i")
         if (o.desc) col(s"__wv$i").desc_nulls_last else col(s"__wv$i").asc_nulls_last
       } ++ facetOrd :+ qcol(name).asc
-      val w = Window.partitionBy(col(uidCol)).orderBy(ordCols: _*)
+      val w = Window.partitionBy(qcol(uidCol)).orderBy(ordCols: _*)
       cur = cur.withColumn("__rn", row_number().over(w))
       if (repageAfterChildren) {
         // page filter applied after the child subtree prunes (below)
       } else if (sel.page.first.exists(_ < 0)) {
         // negative first: keep the LAST |f| children per parent — a count
         // over the same window partition (no extra shuffle)
-        val cnt = count(lit(1)).over(Window.partitionBy(col(uidCol)))
+        val cnt = count(lit(1)).over(Window.partitionBy(qcol(uidCol)))
         cur = cur.withColumn("__cn", cnt)
-          .filter(col(name).isNull ||
+          .filter(qcol(name).isNull ||
             col("__rn") > col("__cn") + sel.page.first.get)
           .drop("__cn")
       } else {
         val lo = sel.page.offset.getOrElse(0)
         val hi = sel.page.first.map(f => lo + f).getOrElse(Int.MaxValue)
-        cur = cur.filter(col(name).isNull || (col("__rn") > lo && col("__rn") <= hi))
+        cur = cur.filter(qcol(name).isNull || (col("__rn") > lo && col("__rn") <= hi))
       }
       if (!cascade && !repageAfterChildren &&
           (sel.page.offset.isDefined || sel.page.first.isDefined)) {
@@ -1970,11 +2065,24 @@ final class DqlExecutor(ts: GraphStore) {
     if (needMap) cur = cur.drop("__fc")
     // @facets(L as weight): bind facet value var L keyed by the edge
     // TARGET uid (reference TestFilterFacetval — `friend @filter(uid(L))
-    // { val(L) }` then reads it back per child)
+    // { val(L) }` then reads it back per child). Numeric facet values
+    // SUM over a target's distinct in-edges (the reference's var-map
+    // collision rule); the per-edge value also stays live as a column so
+    // deeper math can path-propagate it (TestLevelBasedFacetVarSum).
     sel.facetVars.foreach { case (v, k) =>
-      bindVar(v, cur.select(qcol(name).as("uid"), col(s"__ft_$k").as("value"))
+      val keep = s"__fvv_$v"
+      cur = cur.withColumn(keep, col(s"__ft_$k"))
+      val src = cur.select(qcol(uidCol).as("__fp"), qcol(name).as("uid"),
+          col(keep).as("value"))
         .filter(col("uid").isNotNull && col("value").isNotNull)
-        .dropDuplicates("uid"))
+      val numeric = src.schema("value").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      bindVar(v,
+        if (numeric)
+          src.dropDuplicates("__fp", "uid", "value")
+            .groupBy(col("uid")).agg(sum(col("value")).as("value"))
+        else src.select(col("uid"), col("value")).dropDuplicates("uid"))
+      varCols(v) = (keep, name); liveVars += v
     }
     cur = cur.drop(needFt.map(k => s"__ft_$k"): _*)
     if (sel.children.nonEmpty) {
@@ -2000,8 +2108,8 @@ final class DqlExecutor(ts: GraphStore) {
       // re-rank what survived the cascade: dense_rank over the
       // pre-pruning adjacency order gives each remaining child its
       // post-pruning position even on grandchild-fanned duplicate rows
-      val w2 = Window.partitionBy(col(uidCol))
-        .orderBy(col(s"${name}__rn").cast("long").asc)
+      val w2 = Window.partitionBy(qcol(uidCol))
+        .orderBy(qcol(s"${name}__rn").cast("long").asc)
       val lo = sel.page.offset.getOrElse(0)
       val hi = sel.page.first.filter(_ >= 0).map(f => lo + f)
         .getOrElse(Int.MaxValue)
@@ -2514,13 +2622,31 @@ final class DqlExecutor(ts: GraphStore) {
     // the nameless friend then renders as a bare {"uid": ...})
     val includeUid = includeUid0 ||
       b.selections.exists(s => s.pred == "uid" && !s.isCount)
+    // the template is ONE level — nested braces are rejected (reference
+    // query/recurse.go: "recurse queries require that all predicates are
+    // specified in one level", TestRecurseNestedError1/2)
+    b.selections.foreach { s =>
+      if (s.children.nonEmpty)
+        throw new IllegalArgumentException(
+          "recurse queries require that all predicates are specified in one level")
+    }
     var frontier = seedUids(b.func)
     b.filter.foreach { f => frontier = applyFilter(frontier, "uid", f) }
     // unknown predicates in the template are legal and ignored
     // (reference TestRecurseQuery selects nonexistent_pred)
     recurseDepthHint = math.min(recurseHops(r), 50)
+    val allSels = expandRecurseSels(frontier, b.selections)
+    // a predicate both explicit and produced by expand() is a repeated
+    // subgraph (reference TestRecurseExpandRepeatedPredError)
+    if (b.selections.exists(_.pred.startsWith("expand("))) {
+      val dups = allSels.groupBy(_.pred).collect {
+        case (p, ss) if ss.size > 1 => p }.toSeq.sorted
+      if (dups.nonEmpty)
+        throw new IllegalArgumentException(
+          s"Repeated subgraph: [${dups.head}] while using expand()")
+    }
     val (preds, scalars) =
-      expandRecurseSels(frontier, b.selections)
+      allSels
         .filter(s => schema.predicates.contains(s.pred))
         .partition(s => schema.isUidPredicate(s.pred))
     val edges = preds.map { s =>
@@ -2878,8 +3004,8 @@ final class DqlExecutor(ts: GraphStore) {
           val edgeCol = pfx + c.outName
           val subCols = aliased(c.children, pfx + c.outName + "_").map(_._1)
           if (out.columns.contains(edgeCol) && subCols.nonEmpty)
-            out = out.filter(col(edgeCol).isNull ||
-              subCols.map(col(_).isNotNull).reduce(_ || _))
+            out = out.filter(qcol(edgeCol).isNull ||
+              subCols.map(qcol(_).isNotNull).reduce(_ || _))
           prune(c.children, pfx + c.outName + "_")
         }
       prune(b.selections, "")
@@ -2993,7 +3119,7 @@ final class DqlExecutor(ts: GraphStore) {
       var rows = flatDf
         .select((myKeys ++ scalarCols ++ scalarFvCols.map(_._1) ++
           facetCols ++ rankCols).map(qcol): _*)
-        .filter(col(colName).isNotNull)
+        .filter(qcol(colName).isNotNull)
         .dropDuplicates(myKeys)
       // count(uid) inside a child template: an extra {"count": n} object
       // appended LAST to the child array (reference TestCountAtRoot3 —
@@ -3051,7 +3177,7 @@ final class DqlExecutor(ts: GraphStore) {
       // synthetic count rows carry no child uid/rank: Long.MaxValue
       // sorts them LAST in the array (reference appends the count object)
       val sortKey = coalesce(
-        rankCols.headOption.map(c => col(c).cast("long"))
+        rankCols.headOption.map(c => qcol(c).cast("long"))
           .getOrElse(col(colName)), lit(Long.MaxValue))
       // array_sort with a comparator on the (unique-per-array) key only:
       // sort_array compares the WHOLE struct, which VARIANT facet fields

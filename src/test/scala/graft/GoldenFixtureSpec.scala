@@ -102,7 +102,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(34, "dgraph.type", "SchoolInfo"), a(35, "dgraph.type", "SchoolInfo"),
     a(36, "dgraph.type", "SchoolInfo"),
     // weighted path graph (common_test.go:568-576)
-    e(1, "path", 31, "weight=0.1"), e(1, "path", 24, "weight=0.2"),
+    e(1, "path", 31, "weight=0.1, weight1=0.2"), e(1, "path", 24, "weight=0.2"),
     e(31, "path", 1000, "weight=0.1"), e(1000, "path", 1001, "weight=0.1"),
     e(1000, "path", 1002, "weight=0.7"), e(1001, "path", 1002, "weight=0.1"),
     e(1002, "path", 1003, "weight=0.6"), e(1001, "path", 1003, "weight=1.5"),
@@ -300,6 +300,53 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(0x2752, "firstName", "Han"), a(0x2752, "lastName", "Solo"),
     a(0x2753, "firstName", "Harrison"), a(0x2753, "lastName", "Ford"),
     a(0x2754, "firstName", "Steven"), a(0x2754, "lastName", "Spielberg"),
+    // tweet match/pagination corpus (common_test.go:892-911)
+    a(61, "tweet-a", "aaa"), a(62, "tweet-a", "aaaa"),
+    a(63, "tweet-a", "aaaab"), a(64, "tweet-a", "aaaabb"),
+    a(61, "tweet-b", "indiana"), a(62, "tweet-b", "indiana"),
+    a(63, "tweet-b", "indiana jones"), a(64, "tweet-b", "indiana pop"),
+    a(61, "tweet-c", "I am a citizen"), a(62, "tweet-c", "I am a citizen"),
+    a(63, "tweet-c", "I am a citizen"),
+    a(64, "tweet-c", "I am a citizen of Paradis Island"),
+    a(61, "tweet-d", "aaabxxx"), a(62, "tweet-d", "aaacdxx"),
+    a(63, "tweet-d", "aaabcd"),
+    // index-pred sort-consistency twins (common_test.go:869-886)
+    a(61, "index-pred1", "A"), a(62, "index-pred1", "A"),
+    a(63, "index-pred1", "A"), a(64, "index-pred1", "B"),
+    a(65, "index-pred1", "B"), a(66, "index-pred1", "B"),
+    a(67, "index-pred1", "C"), a(68, "index-pred1", "C"),
+    a(69, "index-pred1", "C"), a(70, "index-pred1", "C"),
+    a(61, "index-pred2", "I"), a(62, "index-pred2", "J"),
+    a(64, "index-pred2", "I"), a(65, "index-pred2", "J"),
+    a(67, "index-pred2", "I"), a(68, "index-pred2", "J"),
+    a(69, "index-pred2", "K"),
+    // Person2 (common_test.go:913-914 — note the deliberately SPLIT
+    // node data: name2 on 40, age2 on 41)
+    a(40, "dgraph.type", "Person2"), a(41, "dgraph.type", "Person2"),
+    a(40, "name2", "Alice"), a(41, "age2", "20"),
+    // noindex_* family (common_test.go:497-516)
+    a(1, "noindex_age", "21"), a(2, "noindex_age", "22"),
+    a(3, "noindex_age", "23"), a(4, "noindex_age", "24"),
+    a(1, "noindex_dob", "1810-11-01"), a(2, "noindex_dob", "1710-11-01"),
+    a(3, "noindex_dob", "1610-11-01"), a(4, "noindex_dob", "1510-11-01"),
+    a(1, "noindex_alive", "true"), a(2, "noindex_alive", "false"),
+    a(3, "noindex_alive", "false"), a(4, "noindex_alive", "true"),
+    a(1, "noindex_salary", "501.23"), a(2, "noindex_salary", "589.04"),
+    a(3, "noindex_salary", "459.47"), a(4, "noindex_salary", "967.68"),
+    // enemy / power / sword (common_test.go:631-640, 698-700)
+    e(2, "enemy", 3), e(2, "enemy", 4),
+    a(1, "power", "13.25"), a(1, "sword_present", "true"),
+    // animal types for pets (common_test.go:679-682)
+    a(5, "dgraph.type", "Animal"), a(5, "dgraph.type", "Pet"),
+    a(6, "dgraph.type", "Animal"), a(6, "dgraph.type", "Pet"),
+    // DispatchBoard fixture (common_test.go:916-923)
+    a(1023, "dgraph.type", "DispatchBoardColumn"),
+    a(1024, "dgraph.type", "DispatchBoardColumn"),
+    a(1025, "dgraph.type", "DispatchBoardCard"),
+    a(1026, "dgraph.type", "DispatchBoardCard"),
+    e(1025, "DispatchBoard.column", 1023), a(1025, "order", "0"),
+    e(1026, "DispatchBoard.column", 1023), a(1026, "order", "1"),
+    // weight1 second facet on the 1→31 path edge (common_test.go:568)
     // geo corpus (common_test.go:957-996: addGeoPointToCluster /
     // addGeoPolygonToCluster / addGeoMultiPolygonToCluster)
     gj(1, "loc", """{"type":"Point","coordinates":[1.1,2.0]}"""),
@@ -405,6 +452,27 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |pred2: string .
         |loc: geo @index(geo) .
         |geometry: geo @index(geo) .
+        |tweet-a: string @index(trigram) .
+        |tweet-b: string @index(term) .
+        |tweet-c: string @index(fulltext) .
+        |tweet-d: string @index(trigram) .
+        |index-pred1: string @index(exact) .
+        |index-pred2: string @index(exact) .
+        |name2: string @index(term) .
+        |age2: int @index(int) .
+        |noindex_name: string .
+        |noindex_age: int .
+        |noindex_dob: datetime .
+        |noindex_alive: bool .
+        |noindex_salary: float .
+        |enemy: [uid] .
+        |power: float .
+        |sword_present: bool .
+        |DispatchBoard.column: uid @reverse .
+        |order: int .
+        |type Person2 { name2 age2 }
+        |type DispatchBoardColumn { name }
+        |type DispatchBoardCard { DispatchBoard.column order }
         |type SchoolInfo { name abbr school district county state }
         |type Person { name pet friend gender alive }
         |type User { name password gender friend alive }
@@ -422,7 +490,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
     val triples = RdfSource.parse(fixtureLines.toDF("line"))
     new TripleFrameStore(spark, schema, triples,
       facetKeys = Map("best_friend" -> Seq("since" -> "string"),
-        "path" -> Seq("weight" -> "double"),
+        "path" -> Seq("weight" -> "double", "weight1" -> "double"),
         "connects" -> Seq("weight" -> "double"),
         "created_at" -> Seq("modified_at" -> "string"),
         "updated_at" -> Seq("modified_at" -> "string")))
@@ -5466,6 +5534,608 @@ class GoldenFixtureSpec extends AnyFunSuite {
     checkGolden(
       s"""{ me(func: within(geometry, "$usCoordinates" )) { name } }""",
       """{"data": {"me":[{"name":"Googleplex"},{"name":"Shoreline Amphitheater"},{"name":"San Carlos Airport"},{"name":"Mountain View"},{"name":"San Carlos"}]}}""")
+  }
+
+  // ---- lang fallback / lossy-index battery (query2_test.go) ----
+
+  test("golden: TestLangMany2 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name@hu:fi:fr } }""",
+      """{"data": {"me":[{"name@hu:fi:fr":"Blaireau européen"}]}}""")
+  }
+
+  test("golden: TestLangMany3 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001)) { name@hu:fr:fi } }""",
+      """{"data": {"me":[{"name@hu:fr:fi":"Blaireau européen"}]}}""")
+  }
+
+  test("golden: TestLangSingleNoFallbackNoDefault (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@cn } }""",
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestLangMultipleNoFallbackNoDefault (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@cn:hi } }""",
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestLangOnlyForcedFallbackNoDefault (query2_test.go)") {
+    // '.' falls back to ANY variant; smallest lang tag (en) is the
+    // deterministic pick, matching the reference's fixture outcome
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@. } }""",
+      """{"data": {"me":[{"name@.":"Artem Tkachenko"}]}}""")
+  }
+
+  test("golden: TestLangSingleForcedFallbackNoDefault (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@cn:. } }""",
+      """{"data": {"me":[{"name@cn:.":"Artem Tkachenko"}]}}""")
+  }
+
+  test("golden: TestLangMultipleForcedFallbackNoDefault (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1004)) { name@hi:cn:. } }""",
+      """{"data": {"me":[{"name@hi:cn:.":"Artem Tkachenko"}]}}""")
+  }
+
+  test("golden: TestLangFilterMismatch2 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1, 0x2, 0x3, 0x1001)) @filter(anyofterms(name@pl, "Badger is cool")) { name@pl } }""",
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestLangFilterMismatch3 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1, 0x2, 0x3, 0x1001)) @filter(allofterms(name@pl, "European borsuk")) { name@pl } }""",
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestLangFilterMismatch6 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x1001, 0x1002, 0x1003)) @filter(lt(name@en, "D")) { name@en } }""",
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestLangLossyIndex2 (query2_test.go)") {
+    checkGolden(
+      """{ me(func:eq(lossy@ru, "Барсук")) { lossy lossy@en } }""",
+      """{"data": {"me":[{"lossy":"Badger","lossy@en":"European badger"}]}}""")
+  }
+
+  test("golden: TestLangLossyIndex3 (query2_test.go)") {
+    checkGolden(
+      """{ me(func:eq(lossy@fr, "Blaireau")) { lossy lossy@en } }""",
+      """{"data": {"me": []}}""")
+  }
+
+  test("golden: TestLangLossyIndex4 (query2_test.go)") {
+    // `value` carries only a trigram index — lossy, not equality-capable
+    checkErr("""{ me(func:eq(value, "mission")) { value } }""")
+  }
+
+  // ---- language-order battery (query2_test.go) ----
+
+  test("golden: TestLanguageOrderNonIndexed2 (query2_test.go)") {
+    checkGolden(
+      """{ q(func:eq(lang_type, "Test"), orderasc: name_lang@sv)  {
+        |    name_lang@de name_lang@sv } }""".stripMargin,
+      """{"data": {"q": [
+        |{"name_lang@de": "öffnen", "name_lang@sv": "zon"},
+        |{"name_lang@de": "zumachen", "name_lang@sv": "öppna"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestLanguageOrderIndexed2 (query2_test.go)") {
+    checkGolden(
+      """{ q(func:eq(lang_type, "Test"), orderasc: name_lang_index@sv)  {
+        |    name_lang_index@de name_lang_index@sv } }""".stripMargin,
+      """{"data": {"q": [
+        |{"name_lang_index@de": "öffnen", "name_lang_index@sv": "zon"},
+        |{"name_lang_index@de": "zumachen", "name_lang_index@sv": "öppna"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestLanguageOrderIndexed3 (query2_test.go)") {
+    // order key without a tag on an @lang predicate: both nodes have no
+    // untagged value — null order keeps uid order
+    checkGolden(
+      """{ q(func:eq(lang_type, "Test"), orderasc: name_lang_index)  {
+        |    name_lang_index@de name_lang_index@sv } }""".stripMargin,
+      """{"data": {"q": [
+        |{"name_lang_index@de": "öffnen", "name_lang_index@sv": "zon"},
+        |{"name_lang_index@de": "zumachen", "name_lang_index@sv": "öppna"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestLanguageOrderIndexed4 (query2_test.go)") {
+    checkGolden(
+      """{ q(func:eq(lang_type, "Test"), orderasc: name_lang_index@hi)  {
+        |    name_lang_index@de name_lang_index@sv } }""".stripMargin,
+      """{"data": {"q": [
+        |{"name_lang_index@de": "öffnen", "name_lang_index@sv": "zon"},
+        |{"name_lang_index@de": "zumachen", "name_lang_index@sv": "öppna"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestLanguageOrderIndexed5 (query2_test.go)") {
+    checkGolden(
+      """{ q(func:eq(lang_type, "Test"), orderdesc: name_lang_index@de)  {
+        |    name_lang_index@de name_lang_index@sv } }""".stripMargin,
+      """{"data": {"q": [
+        |{"name_lang_index@de": "zumachen", "name_lang_index@sv": "öppna"},
+        |{"name_lang_index@de": "öffnen", "name_lang_index@sv": "zon"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestLanguageOrderIndexed6 (query2_test.go)") {
+    checkGolden(
+      """{ q(func:eq(lang_type, "Test"), orderdesc: name_lang_index@sv)  {
+        |    name_lang_index@de name_lang_index@sv } }""".stripMargin,
+      """{"data": {"q": [
+        |{"name_lang_index@de": "zumachen", "name_lang_index@sv": "öppna"},
+        |{"name_lang_index@de": "öffnen", "name_lang_index@sv": "zon"}]}}"""
+        .stripMargin)
+  }
+
+  // ---- error battery (query0/query2/query3 validation goldens) ----
+
+  test("golden: TestQueryVarValOrderError (query0_test.go:1446)") {
+    // ordering by a bare variable name (no val()) is an unknown attr
+    checkErr("""{
+      var(func: uid(1)) { friend { n as name } }
+      me(func: uid(n), orderdesc: n) { name } }""")
+  }
+
+  test("golden: TestQueryVarEmptyRootOrderError (query0_test.go:1465)") {
+    // unknown order attr must error even when the frontier is empty
+    checkErr("""{
+      q(func: eq(name, "DNEinDB")) { friend(orderdesc: id) { name } } }""")
+  }
+
+  test("golden: TestQueryVarEmptyRootOrderChildQueryError (query0_test.go:1483)") {
+    checkErr("""{
+      var(func: eq(name, "DNEinDB")) { friend(orderdesc: id) { f as count(uid) } }
+      q(func: uid(f)) { name } }""")
+  }
+
+  test("golden: TestCountOnVarAtRootErr (query0_test.go:2436)") {
+    checkErr("""{
+      var(func: has(school), first: 3) { f as count(uid) }
+      me(func: len(f)) { score: math(f) } }""")
+  }
+
+  test("golden: TestVarInAggError (query0_test.go:2085)") {
+    checkErr("""{
+      var(func: uid(1)) { friend { a as age } }
+      me(func: min(val(a))) { name } }""")
+  }
+
+  test("golden: TestInvalidRegex (query0_test.go:3698)") {
+    // malformed $var-substituted patterns are rejected
+    for (bad <- Seq("/", "/?", "=/?", "aman/", ""))
+      intercept[Exception] {
+        new DqlExecutor(store).jsonAllAst(
+          Parser.parseWithVars(
+            """query q($name:string){ q(func: regexp(dgraph.type, $name)) {name}}""",
+            Map("$name" -> bad)), includeUid = false).collect()
+      }
+  }
+
+  test("golden: TestMultiQueryError1 (query2_test.go:1228)") {
+    // unbalanced braces
+    checkErr("""{
+      me(func:anyofterms(name, "Michonne")) { name gender
+      you(func:anyofterms(name, "Andrea")) { name } }""")
+  }
+
+  test("golden: TestMultiQueryError2 (query2_test.go:1245)") {
+    // missing func: keyword + stray closing brace
+    checkErr("""{
+      me(anyofterms(name, "Michonne")) { name gender } }
+      you(anyofterms(name, "Andrea")) { name } }""")
+  }
+
+  test("golden: TestGeneratorRootFilterOnCountError1-3 (query2_test.go:1582)") {
+    // non-numeric bound
+    checkErr("""{ me(func:anyofterms(name, "Michonne Rick")) @filter(gt(count(friend), "invalid")) { name } }""")
+    // missing bound
+    checkErr("""{ me(func:anyofterms(name, "Michonne Rick")) @filter(gt(count(friend))) { name } }""")
+    // too many bounds
+    checkErr("""{ me(func:anyofterms(name, "Michonne Rick")) @filter(gt(count(friend), 2, 4)) { name } }""")
+  }
+
+  test("golden: TestToFastJSONOrderNameError (query2_test.go:394)") {
+    checkErr("""{ me(func: uid(0x01)) { name
+      friend(orderasc: nonexistent) { name } } }""")
+  }
+
+  test("golden: TestToFastJSONFilterNot4x1000000 (query2_test.go:653)") {
+    // the reference loops this 1e6 times as a leak check; one iteration
+    // is the semantic content
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |  friend (first:2) @filter(not anyofterms(name, "Andrea")
+        |    and not anyofterms(name, "glenn")
+        |    and not anyofterms(name, "rick")) { name } } }""".stripMargin,
+      """{"data": {"me":[{"gender":"female","name":"Michonne","friend":[{"name":"Daryl Dixon"}]}]}}""")
+  }
+
+  test("golden: TestRecurseError (query3_test.go:25)") {
+    checkErr("""{ me(func: uid(0x01)) @recurse(loop: true) {
+      nonexistent_pred friend name } }""")
+  }
+
+  test("golden: TestRecurseNestedError1 (query3_test.go:40)") {
+    checkErr("""{ me(func: uid(0x01)) @recurse {
+      friend { name } name } }""")
+  }
+
+  test("golden: TestRecurseNestedError2 (query3_test.go:57)") {
+    checkErr("""{ me(func: uid(0x01)) @recurse {
+      friend { pet { name } } } }""")
+  }
+
+  test("golden: TestRecurseExpandRepeatedPredError (query3_test.go:102)") {
+    checkErr("""{ me(func: uid(32)) @recurse { name expand(_all_) } }""")
+  }
+
+  test("golden: TestRecurseQueryAllowLoop (query3_test.go:133)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) @recurse { friend dob name } }""",
+      """{"data":{"me":[{"friend":[{"friend":[{"dob":"1910-01-01T00:00:00Z","name":"Michonne"}],"dob":"1910-01-02T00:00:00Z","name":"Rick Grimes"},{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"},{"dob":"1909-01-10T00:00:00Z","name":"Daryl Dixon"},{"friend":[{"dob":"1909-05-05T00:00:00Z","name":"Glenn Rhee"}],"dob":"1901-01-15T00:00:00Z","name":"Andrea"}],"dob":"1910-01-01T00:00:00Z","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestCountError1-3 (query3_test.go:2028)") {
+    checkErr("""{ me(func: uid(0x01)) {
+      count(friend { name }) name gender alive } }""")
+    checkErr("""{ me(func: uid(0x01)) {
+      count(friend { c { friend } }) name gender alive } }""")
+    checkErr("""{ me(func: uid(0x01)) {
+      count(friend name gender alive } }""")
+  }
+
+  test("golden: TestToSubgraphInvalidFnName1-4 (query3_test.go:2524)") {
+    checkErr("""{ me(func:invalidfn1(name, "some cool name")) { name gender alive } }""")
+    checkErr("""{ me(func:anyofterms(name, "some cool name")) { name
+      friend @filter(invalidfn2(name, "some name")) { name } } }""")
+    checkErr("""{ me(func:anyofterms(name, "some cool name")) { name
+      friend @filter(anyofterms(name, "Andrea") or invalidfn3(name, "Andrea Rhee")) { name } } }""")
+    checkErr("""{ f as var(func:invalidfn4(name, "Michonne Rick Glenn")) { name }
+      you(func:anyofterms(name, "Michonne")) { friend @filter(uid(f)) { name } } }""")
+  }
+
+  test("golden: TestToSubgraphInvalidArgs1/2 (query3_test.go:2588)") {
+    checkErr("""{ me(func: uid(0x01)) { name gender
+      friend(disorderasc: dob) @filter(le(dob, "1909-03-20")) { name } } }""")
+    checkErr("""{ me(func: uid(0x01)) { name gender
+      friend(offset:1, invalidorderasc:1) @filter(anyofterms(name, "Andrea")) { name } } }""")
+  }
+
+  test("golden: TestInvalidStringIndex (query3_test.go:2722)") {
+    // name has no fulltext index
+    checkErr("""{ me(func: uid(0x01)) { name gender
+      friend @filter(alloftext(name, "Andrea SomethingElse")) { name } } }""")
+  }
+
+  test("golden: TestValidFullTextIndex (query3_test.go:2741)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name
+        |  friend @filter(alloftext(alias, "BOB")) { alias } } }""".stripMargin,
+      """{"data": {"me":[{"name":"Michonne", "friend":[{"alias":"Bob Joe"}]}]}}""")
+  }
+
+  test("golden: TestMaxPredicateSize (query3_test.go:3122)") {
+    val largePred = "abcdefg" * 10000
+    checkErr(s"""{ me(func: uid(0x2)) { $largePred { name } } }""")
+  }
+
+  // ---- var-in-inequality battery (query0_test.go:2106-2265) ----
+
+  test("golden: TestVarInIneqError (query0_test.go:2106)") {
+    // comparing an int value var against a string literal
+    checkErr("""{
+      var(func: uid(1)) { f as friend { a as age } }
+      me(func: uid(f)) @filter(gt(val(a), "alice")) { name } }""")
+  }
+
+  test("golden: TestVarInIneqScore (query0_test.go:2125)") {
+    checkGolden(
+      """{
+        |  var(func: uid(1)) { friend {
+        |    a as age
+        |    s as count(friend)
+        |    score as math(2*a + 3*s + 1) } }
+        |  me(func: ge(val(score), 35)) { name val(score) val(a) val(s) } }"""
+        .stripMargin,
+      """{"data": {"me":[{"name":"Daryl Dixon","val(a)":17,"val(s)":0,"val(score)":35},{"name":"Andrea","val(a)":19,"val(s)":1,"val(score)":42}]}}""")
+  }
+
+  test("golden: TestVarInIneq (query0_test.go:2150)") {
+    checkGolden(
+      """{
+        |  var(func: uid(1)) { f as friend { a as age } }
+        |  me(func: uid(f)) @filter(gt(val(a), 18)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestVarInIneq2 (query0_test.go:2169)") {
+    checkGolden(
+      """{
+        |  var(func: uid(1)) { friend { a as age } }
+        |  me(func: gt(val(a), 18)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestVarInIneq3 (query0_test.go:2188)") {
+    checkGolden(
+      """{
+        |  var(func: uid(0x1f)) { a as name }
+        |  me(func: eq(name, val(a))) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestVarInIneq4 (query0_test.go:2205)") {
+    checkGolden(
+      """{
+        |  var(func: uid(0x1f)) { a as name }
+        |  me(func: uid(0x1f)) @filter(eq(name, val(a))) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestVarInIneq5 (query0_test.go:2222)") {
+    // two formulations must agree: eq-vs-val() at root vs name: val(a)
+    checkGolden(
+      """{
+        |  var(func: uid(1)) { friend { a as name } }
+        |  me(func: eq(name, val(a))) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+    checkGolden(
+      """{
+        |  var(func: uid(1)) { friend { a as name } }
+        |  me(func: uid(a)) { name: val(a) } }""".stripMargin,
+      """{"data": {"me":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestNestedFuncRoot2 (query0_test.go:2267)") {
+    checkGolden(
+      """{ me(func: ge(count(friend), 1)) { name } }""",
+      """{"data": {"me":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestNestedFuncRoot4 (query0_test.go:2279)") {
+    checkGolden(
+      """{ me(func: le(count(friend), 1)) { name } }""",
+      """{"data": {"me":[{"name":"Rick Grimes"},{"name":"Andrea"}]}}""")
+  }
+
+  // ---- count(uid)-to-var + len() battery (query0_test.go:2292-2453) ----
+
+  test("golden: TestCountUidToVar (query0_test.go:2292)") {
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as count(uid) }
+        |  me(func: uid(1)) { score: math(f) } }""".stripMargin,
+      """{"data": {"me":[{"score": 3}]}}""")
+  }
+
+  test("golden: TestCountUidToVarMultiple (query0_test.go:2469)") {
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as count(uid) }
+        |  var(func: has(follow), first: 4) { g as count(uid) }
+        |  me(func: uid(1)) { score: math(f + g) } }""".stripMargin,
+      """{"data": {"me":[{"score": 7}]}}""")
+  }
+
+  test("golden: TestCountUidToVarCombinedWithNormalVar (query0_test.go:2489)") {
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as count(uid) }
+        |  var(func: has(follow)) { g as count(path) }
+        |  me(func: uid(1)) { score: math(f + g) } }""".stripMargin,
+      """{"data": {"me":[{"score": 5}]}}""")
+  }
+
+  test("golden: TestFilterUsingLenFunction (query0_test.go:2308)") {
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as uid }
+        |  me(func: uid(f)) @filter(eq(len(f), 3)) { count(uid) } }""".stripMargin,
+      """{"data": {"me":[{"count": 3}]}}""")
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as uid }
+        |  me(func: uid(f)) @filter(eq(len(f), 0)) { uid name } }""".stripMargin,
+      """{"data": {"me":[]}}""")
+    checkGolden(
+      """{
+        |  f as var(func: eq(name, "random"))
+        |  me(func: uid(0)) @filter(eq(len(f), 0)) { uid } }""".stripMargin,
+      """{"data": {"me":[{"uid": "0x0"}]}}""")
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as uid }
+        |  me(func: uid(f)) @filter(ge(len(f), 0)) { count(uid) } }""".stripMargin,
+      """{"data": {"me":[{"count": 3}]}}""")
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as uid }
+        |  me(func: uid(f)) @filter(lt(len(f), 100)) { count(uid) } }""".stripMargin,
+      """{"data": {"me":[{"count": 3}]}}""")
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as uid }
+        |  f2 as var(func: has(name), first: 5)
+        |  me(func: uid(f2)) @filter(lt(len(f), 100) AND lt(len(f2), 10)) {
+        |    count(uid) } }""".stripMargin,
+      """{"data": {"me":[{"count": 5}]}}""")
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as uid }
+        |  me(func: uid(f)) { name
+        |    friend @filter(lt(len(f), 100)) { name } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne","friend":[{"name":"Rick Grimes"},
+        |{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]},
+        |{"name":"Rick Grimes","friend":[{"name":"Michonne"}]},
+        |{"name":"Glenn Rhee"}]}}""".stripMargin)
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as uid }
+        |  me(func: uid(f)) { name
+        |    friend @filter(gt(len(f), 100)) { name } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne"},{"name":"Rick Grimes"},
+        |{"name":"Glenn Rhee"}]}}""".stripMargin)
+  }
+
+  test("golden: TestFilterUsingLenFunctionWithMath (query0_test.go:2453)") {
+    checkGolden(
+      """{
+        |  var(func: has(school), first: 3) { f as count(uid) }
+        |  me(func: uid(f)) @filter(lt(len(f), 100)) { score: math(f) } }"""
+        .stripMargin,
+      """{"data": {"me":[{"score": 3}]}}""")
+  }
+
+  test("golden: TestDefaultValueVar1 (query0_test.go:2509)") {
+    checkGolden(
+      """{
+        |  var(func: has(pred)) { n as uid cnt as count(nonexistent_pred) }
+        |  data(func: uid(n)) @filter(gt(val(cnt), 4)) { expand(_all_) } }"""
+        .stripMargin,
+      """{"data": {"data":[]}}""")
+  }
+
+  test("golden: TestDefaultValueVar2 (query0_test.go:2525)") {
+    checkGolden(
+      """{
+        |  var(func: uid(0x1)) { cnt as nonexistent_pred }
+        |  data(func: uid(0x1)) { val(cnt) } }""".stripMargin,
+      """{"data": {"data":[]}}""")
+  }
+
+  test("golden: TestNonFlattenedResponse (query0_test.go:2540)") {
+    checkGolden(
+      """{ me(func: eq(name@en, "Baz Luhrmann")) {
+        |    uid director.film { name@en } } }""".stripMargin,
+      """{"data": {"me":[
+        |{"uid":"0x2af8", "director.film": [
+        |  {"name@en": "Strictly Ballroom"},
+        |  {"name@en": "Puccini: La boheme (Sydney Opera)"},
+        |  {"name@en": "No. 5 the film"}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestCountUidWithAlias (query0_test.go:2956)") {
+    checkGolden(
+      """{ me(func: uid(1, 23, 24, 25, 31)) { countUid: count(uid) name } }""",
+      """{"data":{"me":[{"countUid":5},{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  // ---- level-based facet-var sum battery (query0_test.go:604-860) ----
+
+  test("golden: TestLevelBasedFacetVarAggSum (query0_test.go:604)") {
+    checkGolden(
+      """{ friend(func: uid(1000)) {
+        |    path @facets(L1 as weight) { uid }
+        |    sumw: sum(val(L1)) } }""".stripMargin,
+      """{"data": {"friend": [{
+        |  "path": [
+        |    {"uid": "0x3e9", "path|weight": 0.1},
+        |    {"uid": "0x3ea", "path|weight": 0.7}],
+        |  "sumw": 0.7999999999999999}]}}""".stripMargin)
+  }
+
+  test("golden: TestLevelBasedFacetVarSum (query0_test.go:638)") {
+    checkGolden(
+      """{
+        |  friend(func: uid(1000)) {
+        |    path @facets(L1 as weight) {
+        |      path @facets(L2 as weight) {
+        |        c as count(follow)
+        |        L4 as math(c+L2+L1) } } }
+        |  sum(func: uid(L4), orderdesc: val(L4)) { name val(L4) } }"""
+        .stripMargin,
+      """{"data": {
+        |"friend": [{"path": [
+        |  {"path": [
+        |    {"count(follow)": 1, "val(L4)": 1.2000000000000002, "path|weight": 0.1},
+        |    {"count(follow)": 1, "val(L4)": 3.9, "path|weight": 1.5}],
+        |   "path|weight": 0.1},
+        |  {"path": [
+        |    {"count(follow)": 1, "val(L4)": 3.9, "path|weight": 0.6}],
+        |   "path|weight": 0.7}]}],
+        |"sum": [
+        |  {"name": "John", "val(L4)": 3.9},
+        |  {"name": "Matt", "val(L4)": 1.2000000000000002}]}}""".stripMargin)
+  }
+
+  test("golden: TestLevelBasedSumMix1 (query0_test.go:707)") {
+    checkGolden(
+      """{
+        |  friend(func: uid(1)) {
+        |    a as age
+        |    path @facets(L1 as weight) { L2 as math(a+L1) } }
+        |  sum(func: uid(L2), orderdesc: val(L2)) { name val(L2) } }"""
+        .stripMargin,
+      """{"data": {
+        |"friend": [{"age": 38, "path": [
+        |  {"val(L2)": 38.2, "path|weight": 0.2},
+        |  {"val(L2)": 38.1, "path|weight": 0.1}]}],
+        |"sum": [
+        |  {"name": "Glenn Rhee", "val(L2)": 38.2},
+        |  {"name": "Andrea", "val(L2)": 38.1}]}}""".stripMargin)
+  }
+
+  test("golden: TestLevelBasedFacetVarSum1 (query0_test.go:756)") {
+    checkGolden(
+      """{
+        |  friend(func: uid(1000)) {
+        |    path @facets(L1 as weight) {
+        |      name
+        |      path @facets(L2 as weight) { L3 as math(L1+L2) } } }
+        |  sum(func: uid(L3), orderdesc: val(L3)) { name val(L3) } }"""
+        .stripMargin,
+      """{"data": {
+        |"friend": [{"path": [
+        |  {"name": "Bob", "path": [
+        |    {"val(L3)": 0.2, "path|weight": 0.1},
+        |    {"val(L3)": 2.9, "path|weight": 1.5}],
+        |   "path|weight": 0.1},
+        |  {"name": "Matt", "path": [
+        |    {"val(L3)": 2.9, "path|weight": 0.6}],
+        |   "path|weight": 0.7}]}],
+        |"sum": [
+        |  {"name": "John", "val(L3)": 2.9},
+        |  {"name": "Matt", "val(L3)": 0.2}]}}""".stripMargin)
+  }
+
+  test("golden: TestLevelBasedFacetVarSum2 (query0_test.go:822)") {
+    checkGolden(
+      """{
+        |  friend(func: uid(1000)) {
+        |    path @facets(L1 as weight) {
+        |      path @facets(L2 as weight) {
+        |        path @facets(L3 as weight) { L4 as math(L1+L2+L3) } } } }
+        |  sum(func: uid(L4), orderdesc: val(L4)) { name val(L4) } }"""
+        .stripMargin,
+      """{"data": {
+        |"friend": [{"path": [
+        |  {"path": [
+        |    {"path": [{"val(L4)": 0.8, "path|weight": 0.6}],
+        |     "path|weight": 0.1},
+        |    {"path": [{"val(L4)": 2.9}],
+        |     "path|weight": 1.5}],
+        |   "path|weight": 0.1},
+        |  {"path": [
+        |    {"path": [{"val(L4)": 2.9}],
+        |     "path|weight": 0.6}],
+        |   "path|weight": 0.7}]}],
+        |"sum": [
+        |  {"name": "Bob", "val(L4)": 2.9},
+        |  {"name": "John", "val(L4)": 0.8}]}}""".stripMargin)
   }
 
   test("golden: TestGroupByGeoCrash (query1_test.go)") {
