@@ -73,7 +73,9 @@ object SchemaRegistry {
     val noTypes = typeRe.replaceAllIn(src, "")
     // predicate names may be dotted (office.room) — \w alone would match
     // only the last segment and silently shadow the `room` predicate
-    val predRe = """(?m)^\s*([\w.]+)\s*:\s*(\[)?\s*(\w+)\s*\]?\s*((?:@\w+(?:\([^)]*\))?\s*)*)\.""".r
+    // hyphens are legal in predicate names (reference tweet-a,
+    // index-pred1 — lex/state.go name runes)
+    val predRe = """(?m)^\s*([\w.-]+)\s*:\s*(\[)?\s*(\w+)\s*\]?\s*((?:@\w+(?:\([^)]*\))?\s*)*)\.""".r
     val idxRe = """@index\s*\(([^)]*)\)""".r
     val preds = predRe.findAllMatchIn(noTypes).map { m =>
       val dirs = Option(m.group(4)).getOrElse("")

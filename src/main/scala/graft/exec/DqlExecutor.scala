@@ -139,6 +139,13 @@ final class DqlExecutor(ts: GraphStore) {
         op match {
           case "+" => a + c; case "-" => a - c; case "*" => a * c
           case "/" => a / c; case "%" => a % c
+          // comparisons feed cond() — 1/0 like the reference's bool vals
+          case "==" => if (a == c) 1 else 0
+          case "!=" => if (a != c) 1 else 0
+          case "<" => if (a < c) 1 else 0
+          case ">" => if (a > c) 1 else 0
+          case "<=" => if (a <= c) 1 else 0
+          case ">=" => if (a >= c) 1 else 0
           case o => throw new IllegalArgumentException(s"bad root math op $o")
         }
       case MathFunc(f, args) =>
@@ -148,6 +155,8 @@ final class DqlExecutor(ts: GraphStore) {
           case "ln" => math.log(vs.head); case "exp" => math.exp(vs.head)
           case "sqrt" => math.sqrt(vs.head)
           case "floor" => math.floor(vs.head); case "ceil" => math.ceil(vs.head)
+          // cond(c, t, f) — reference TestCondCondition's nextPosition
+          case "cond" => if (vs.head != 0) vs(1) else vs(2)
           case o => throw new IllegalArgumentException(s"bad root math fn $o")
         }
     }
@@ -191,6 +200,14 @@ final class DqlExecutor(ts: GraphStore) {
         s"""{"${jsonKey(sel)}":$jsonV}"""
       } else if (sel.pred == "math" && sel.mathExpr.isDefined) {
         val v = evalMath(sel.mathExpr.get)
+        // scalar math in an empty block binds like an aggregate
+        // (reference TestCondCondition: nextPosition as math(cond(...)))
+        sel.varName.foreach { vn =>
+          scalars(vn) = if (v.isNaN) None else Some(v)
+          bindVar(vn,
+            if (v.isNaN) Seq.empty[Double].toDF("value")
+            else Seq(v).toDF("value"))
+        }
         val jsonV = if (v.isNaN) "null" else fmt(v)
         s"""{"${jsonKey(sel)}":$jsonV}"""
       } else throw new IllegalArgumentException(
@@ -956,13 +973,22 @@ final class DqlExecutor(ts: GraphStore) {
     // pred@. (reference TestLangBug1295: eq/allofterms(royal_title, x)
     // misses the @fr value, royal_title@. finds it)
     case "anyofterms" =>
-      attrWhere(fn.pred, v => arrays_overlap(split(lower(v), " "),
-        array(tokens(fn.args.head).map(lit(_)): _*)),
-        untaggedDefault = true)
+      // the empty query term indexes as the empty token, matching only
+      // EMPTY values (reference TestQueryCountEmptyNames: anyofterms
+      // (name, "") counts the two ""-named nodes)
+      if (tokens(fn.args.head).isEmpty)
+        attrWhere(fn.pred, v => v === "", untaggedDefault = true)
+      else
+        attrWhere(fn.pred, v => arrays_overlap(split(lower(v), " "),
+          array(tokens(fn.args.head).map(lit(_)): _*)),
+          untaggedDefault = true)
     case "allofterms" =>
-      attrWhere(fn.pred, v => forall(array(tokens(fn.args.head).map(lit(_)): _*),
-        t => array_contains(split(lower(v), " "), t)),
-        untaggedDefault = true)
+      if (tokens(fn.args.head).isEmpty)
+        attrWhere(fn.pred, v => v === "", untaggedDefault = true)
+      else
+        attrWhere(fn.pred, v => forall(array(tokens(fn.args.head).map(lit(_)): _*),
+          t => array_contains(split(lower(v), " "), t)),
+          untaggedDefault = true)
     case "regexp" =>
       // both lexed literals and $variable-substituted patterns arrive as
       // the raw `/re/flags` string — unwrap and validate the modifier
@@ -1024,7 +1050,14 @@ final class DqlExecutor(ts: GraphStore) {
       val grams =
         if (mq.length < 3) Nil
         else (0 to mq.length - 3).map(i => mq.substring(i, i + 3)).distinct
-      if (grams.isEmpty) attrWhere(fn.pred, _ => lit(false))
+      if (mq.isEmpty)
+        // match("", d) keeps NON-EMPTY values no longer than the
+        // distance — matchFuzzy returns false on empty values, and the
+        // empty query's levenshtein is the value's length (reference
+        // worker/match.go:63; TestQueryCountEmptyNames counts 39)
+        attrWhere(fn.pred, v => v =!= "" && length(v) <= maxD,
+          untaggedDefault = true)
+      else if (grams.isEmpty) attrWhere(fn.pred, _ => lit(false))
       else attrWhere(fn.pred, v =>
         grams.map(t => v.contains(lit(t))).reduce(_ || _) &&
           levenshtein(v, lit(mq)) <= maxD)
@@ -1402,7 +1435,9 @@ final class DqlExecutor(ts: GraphStore) {
     }
     val ordCols = keyCols(rev = false)
     cur = cur.orderBy(ordCols: _*)
-    page.offset.foreach(o => cur = cur.offset(o))
+    // a negative offset clamps to 0 (reference issue #8441 fix,
+    // TestNegativeOffset)
+    page.offset.filter(_ > 0).foreach(o => cur = cur.offset(o))
     page.first.foreach { f =>
       if (f >= 0) cur = cur.limit(f)
       else {
@@ -1746,7 +1781,10 @@ final class DqlExecutor(ts: GraphStore) {
         // (reference TestFacetVarRetrieveOrder selects nonexistent_pred);
         // a var bound on one is EMPTY, not an error
         cur = cur.withColumn(name, lit(null).cast("string"))
-        sel.varName.foreach { v =>
+        // every var declared anywhere under the dead subtree binds EMPTY
+        // (reference TestGroupBy_FixPanicForNilDestUIDs:
+        // random_nonexistent { f as uid } → uid(f) is an empty set)
+        (sel.varName.toSet ++ boundIn(sel.children)).foreach { v =>
           bindVar(v, cur.select(qcol(uidCol).as("uid"),
             lit(null).cast("double").as("value")).limit(0))
         }
@@ -1998,6 +2036,12 @@ final class DqlExecutor(ts: GraphStore) {
       // query/query.go:2611). BOOL facets are not sortable — the
       // reference silently skips them as sort keys while still fetching
       // them (TestFacetsMultipleOrderbyNonsortableFacet)
+      // a selection cannot sort by BOTH a predicate and a facet
+      // (reference TestDoubleOrder rejects
+      // `friend(orderdesc: dob) @facets(orderasc: weight)`)
+      if (sel.order.nonEmpty && sel.facetOrder.nonEmpty)
+        throw new IllegalArgumentException(
+          "Cannot sort by both a predicate and a facet")
       val facetOrd = sel.facetOrder
         .filter(o => facetType(sel.pred, o.pred) != "boolean")
         .map { o =>
@@ -2085,6 +2129,14 @@ final class DqlExecutor(ts: GraphStore) {
       varCols(v) = (keep, name); liveVars += v
     }
     cur = cur.drop(needFt.map(k => s"__ft_$k"): _*)
+    // bind the target frontier EARLY so a deeper selection of THIS
+    // subtree can filter against it (reference TestUseVarsFilterVarReuse1:
+    // `L as friend { ... friend @filter(uid(L)) }`); the caller re-binds
+    // from the final frame after the subtree completes
+    sel.varName.foreach { v =>
+      bindVar(v, cur.select(qcol(name).as("uid"))
+        .filter(col("uid").isNotNull).distinct())
+    }
     if (sel.children.nonEmpty) {
       // child-level @cascade: this subtree prunes like a cascade block
       // (reference TestFacetsNestedCascade)
@@ -2363,7 +2415,11 @@ final class DqlExecutor(ts: GraphStore) {
     var cur = targets
     for (k <- keys) {
       val kc = s"__k_${k.outName}"
-      if (schema.isUidPredicate(k.pred))
+      if (k.pred == "uid")
+        // @groupby(uid): the entity itself is the key (reference
+        // TestGroupBy_FixPanicForNilDestUIDs groups an empty uid set)
+        cur = cur.withColumn(kc, col("__t"))
+      else if (schema.isUidPredicate(k.pred))
         cur = cur.join(ts.edge(k.pred)
           .select(col("subject").as("__t"), col("object").as(kc)), Seq("__t"))
       else if (schema.predicates.contains(k.pred))
@@ -2415,7 +2471,8 @@ final class DqlExecutor(ts: GraphStore) {
       else s"${c.aggOp.get}(${c.valRef.map("val(" + _ + ")").getOrElse(c.pred)})")
     val keyFields = keys.map { k =>
       val kc = col(s"__k_${k.outName}")
-      if (schema.isUidPredicate(k.pred)) hexUid(kc).as(k.outName)
+      if (k.pred == "uid" || schema.isUidPredicate(k.pred))
+        hexUid(kc).as(k.outName)
       // geo keys render as EMBEDDED GeoJSON objects, not escaped strings
       // (reference TestGroupByGeoCrash: {"loc":{"type":"Point",...}}) —
       // marked here, spliced after to_json by geoSplice
@@ -2514,6 +2571,46 @@ final class DqlExecutor(ts: GraphStore) {
               m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))))
       spliceUdf(j)
     }
+
+  /** Merge duplicate top-level keys of a rendered JSON object by
+    * concatenating their ARRAY values in encounter order (reference
+    * TestGroupBy_RepeatAttr: `friend @groupby(..)` + `friend {..}`
+    * render ONE "friend" array, groupby object first). Token-stream
+    * read because a tree parse would silently drop the duplicates.
+    */
+  private val mergeDupKeys = udf((s: String) => {
+    if (s == null) null
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val p = m.getFactory.createParser(s)
+      import com.fasterxml.jackson.core.JsonToken
+      val order = scala.collection.mutable.ArrayBuffer.empty[String]
+      val vals = scala.collection.mutable.LinkedHashMap
+        .empty[String, List[com.fasterxml.jackson.databind.JsonNode]]
+      if (p.nextToken() == JsonToken.START_OBJECT) {
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          val k = p.currentName()
+          p.nextToken()
+          val v = m.readTree[com.fasterxml.jackson.databind.JsonNode](p)
+          if (!vals.contains(k)) order += k
+          vals(k) = vals.getOrElse(k, Nil) :+ v
+        }
+      }
+      val out = m.createObjectNode()
+      order.foreach { k =>
+        vals(k) match {
+          case one :: Nil => out.set[com.fasterxml.jackson.databind.node.ObjectNode](k, one)
+          case many if many.forall(_.isArray) =>
+            val arr = m.createArrayNode()
+            many.foreach(a => a.forEach(x => arr.add(x)))
+            out.set[com.fasterxml.jackson.databind.node.ObjectNode](k, arr)
+          case many =>
+            out.set[com.fasterxml.jackson.databind.node.ObjectNode](k, many.last)
+        }
+      }
+      m.writeValueAsString(out)
+    }
+  })
 
   /** JSON key for a selection, following the reference's output naming
     * (outputnode.go): alias wins; count → `count(pred)`; lang chains keep
@@ -2895,6 +2992,17 @@ final class DqlExecutor(ts: GraphStore) {
       case None =>
         frontier.select(col("uid"), lit("").as("json")).limit(0)
       case Some(g) =>
+        // `a as count(uid)` under a root @groupby with a uid-valued key
+        // binds a per-group value var keyed by the group's uid
+        // (reference fillGroupedVars; empty frontier binds empty)
+        b.groupby.find(k => k.pred == "uid" || schema.isUidPredicate(k.pred))
+          .foreach { k =>
+            b.selections.filter(_.varName.isDefined).foreach { s =>
+              bindVar(s.varName.get,
+                g.select(col(s"__k_${k.outName}").as("uid"),
+                  col(s"__a_${s.outName}").as("value")))
+            }
+          }
         // an empty frontier groups to ZERO groups — the block is
         // omitted, not rendered as {"@groupby":[]} (TestNoResultsGroupBy
         // renders {"data":{}})
@@ -3242,12 +3350,38 @@ final class DqlExecutor(ts: GraphStore) {
       .map { case (s, i) => (s, s"__r$i") }.toMap[Selection, String]
     val rootUid = includeUid ||
       b.selections.exists(s => s.pred == "uid" && !s.isCount)
-    val valueFields = rootSels.flatMap { s =>
-      if (isChild(s))
+    // @groupby fields keep their DECLARATION position so a repeated
+    // edge key merges with the groupby array ahead of the plain
+    // children (reference TestGroupBy_RepeatAttr: the "friend" array is
+    // [@groupby obj, ...friend objs])
+    // each rendered field in DECLARATION order; a @groupby array on an
+    // edge key goes immediately BEFORE that key's plain children so a
+    // repeated edge merges as [@groupby obj, ...children] (reference
+    // TestGroupBy_RepeatAttr). b2's rewrite may either keep the groupby
+    // selection or fold it into the plain one — emit each gb array once,
+    // on the first selection sharing its key.
+    val baseFields: Seq[(String, Column)] = rootSels.flatMap { s =>
+      val k = jsonKey(s)
+      if (s.groupby.nonEmpty) Nil
+      else if (isChild(s))
         childCols.collectFirst { case (cs, ccol) if cs eq s =>
-          col(ccol).as(jsonKey(s)) }
-      else Some(col(scalarCol(s)).as(jsonKey(s)))
-    } ++ gbCols.map { case (s, ccol) => col(ccol).as(jsonKey(s)) }
+          k -> col(ccol).as(k) }.toSeq
+      else Seq(k -> col(scalarCol(s)).as(k))
+    }
+    var fieldPairs = baseFields
+    gbCols.foreach { case (gs, ccol) =>
+      val k = jsonKey(gs)
+      val pair = k -> col(ccol).as(k)
+      val idx = fieldPairs.indexWhere(_._1 == k)
+      // a groupby array on a REPEATED edge key slots in right before the
+      // plain children of the same key, so the post-render merge yields
+      // [@groupby obj, ...children] (reference TestGroupBy_RepeatAttr)
+      fieldPairs =
+        if (idx >= 0) (fieldPairs.take(idx) :+ pair) ++ fieldPairs.drop(idx)
+        else fieldPairs :+ pair
+    }
+    val valueFields = fieldPairs.map(_._2)
+    val valueFieldNames = fieldPairs.map(_._1)
     val fields =
       (if (rootUid) Seq(hexUid(col("uid")).as(
         b.selections.find(s => s.pred == "uid" && !s.isCount)
@@ -3266,8 +3400,15 @@ final class DqlExecutor(ts: GraphStore) {
       else if (valueFields.isEmpty && rootFvCols.isEmpty)
         root.filter(lit(false))
       else root.filter(valueFields.map(_.isNotNull).reduce(_ || _))
+    // duplicate field names (a repeated edge: @groupby + plain children
+    // under one key) merge into ONE array after rendering
+    val jsonCol0 = to_json(struct(fields: _*), jsonOpts)
+    val jsonCol =
+      if (valueFieldNames.distinct.size != valueFieldNames.size)
+        mergeDupKeys(jsonCol0)
+      else jsonCol0
     val assembled = kept
-      .select(col("uid"), to_json(struct(fields: _*), jsonOpts).as("json"))
+      .select(col("uid"), jsonCol.as("json"))
     // the result array keeps the block's requested root order (reference
     // applies sort before encoding); uid order is only the default —
     // EXCEPT a block seeded from a shortest-path variable, whose array

@@ -579,7 +579,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
       if (arrayOrderFree) sortArrays(t) else t
     }
     assert(canon(ours) == canon(golden),
-      s"\nours:   $ours\ngolden: $golden")
+      s"\nquery:  $query\nours:   $ours\ngolden: $golden")
   }
 
   // ---- goldens ported verbatim from the reference test suite ----
@@ -6136,6 +6136,152 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |"sum": [
         |  {"name": "Bob", "val(L4)": 2.9},
         |  {"name": "John", "val(L4)": 0.8}]}}""".stripMargin)
+  }
+
+  // ---- query0 remainder: empty-name compares, uid returns, groupby
+  // edge cases, var reuse, match pagination, cond ----
+
+  test("golden: TestQueryNamesCompareEmpty (query0_test.go:170)") {
+    checkGolden("""{q(func: lt(name, "")) { name }}""",
+      """{"data":{"q": []}}""")
+    checkGolden("""{q(func: le(name, "")) { uid name }}""",
+      """{"data":{"q": [{"uid":"0xdac", "name":""}, {"uid":"0xdae", "name":""}]}}""")
+    checkGolden("""{q(func: gt(name, ""), first:3) { name }}""",
+      """{"data":{"q": [{"name":"Michonne"}, {"name":"King Lear"}, {"name":"Margaret"}]}}""")
+    checkGolden("""{q(func: ge(name, ""), first:3, after:0x91d) { name }}""",
+      """{"data":{"q": [{"name":""}, {"name":"Alex"}, {"name":""}]}}""")
+  }
+
+  test("golden: TestQueryCountEmptyNames (query0_test.go:189)") {
+    checkGolden("""{q(func: has(name)) @filter(eq(name, "")) {count(uid)}}""",
+      """{"data":{"q": [{"count":2}]}}""")
+    checkGolden("""{q(func: has(name)) @filter(gt(name, "")) {count(uid)}}""",
+      """{"data":{"q": [{"count":57}]}}""")
+    checkGolden("""{q(func: has(name)) @filter(ge(name, "")) {count(uid)}}""",
+      """{"data":{"q": [{"count":59}]}}""")
+    checkGolden("""{q(func: has(name)) @filter(lt(name, "")) {count(uid)}}""",
+      """{"data":{"q": [{"count":0}]}}""")
+    checkGolden("""{q(func: has(name)) @filter(le(name, "")) {count(uid)}}""",
+      """{"data":{"q": [{"count":2}]}}""")
+    checkGolden("""{q(func: has(name)) @filter(anyofterms(name, "")) {count(uid)}}""",
+      """{"data":{"q": [{"count":2}]}}""")
+    checkGolden("""{q(func: has(name)) @filter(allofterms(name, "")) {count(uid)}}""",
+      """{"data":{"q": [{"count":2}]}}""")
+    // match with "" keeps values not longer than the max distance
+    checkGolden("""{q(func: has(name)) @filter(match(name, "", 8)) {count(uid)}}""",
+      """{"data":{"q": [{"count":39}]}}""")
+    checkErr("""{q(func: has(name)) @filter(uid_in(name, "")) {count(uid)}}""")
+  }
+
+  test("golden: TestGetUIDInDebugMode/TestReturnUids (query0_test.go:441,467)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name uid gender alive
+        |    friend { uid name } } }""".stripMargin,
+      """{"data": {"me":[{"uid":"0x1","alive":true,"friend":[{"uid":"0x17","name":"Rick Grimes"},{"uid":"0x18","name":"Glenn Rhee"},{"uid":"0x19","name":"Daryl Dixon"},{"uid":"0x1f","name":"Andrea"},{"uid":"0x65"}],"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestGetUIDNotInChild (query0_test.go:488)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name uid gender alive
+        |    friend { name } } }""".stripMargin,
+      """{"data": {"me":[{"uid":"0x1","alive":true,"gender":"female","name":"Michonne", "friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}]}}""")
+  }
+
+  test("golden: TestNegativeOffset (query0_test.go:591)") {
+    // a negative offset clamps to 0; null order keys sort last
+    checkGolden(
+      """{ me(func: type(Person2), offset: -1, orderasc: age2) { name2 age2 } }""",
+      """{"data":{"me":[{"age2":20},{"name2":"Alice"}]}}""")
+  }
+
+  test("golden: TestGroupBy_RepeatAttr (query0_test.go:1593)") {
+    checkGolden(
+      """{ me(func: uid(1)) {
+        |    friend @groupby(age) { count(uid) }
+        |    friend { name age }
+        |    name } }""".stripMargin,
+      """{"data": {"me":[{"friend":[{"@groupby":[{"age":17,"count":1},{"age":19,"count":1},{"age":15,"count":2}]},{"age":15,"name":"Rick Grimes"},{"age":15,"name":"Glenn Rhee"},{"age":17,"name":"Daryl Dixon"},{"age":19,"name":"Andrea"}],"name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestGroupByMultiParents_2 (query0_test.go:1765)") {
+    // uid 99999 has no data and renders nothing
+    checkGolden(
+      """{ me(func: uid(1,23,99999,31)) { name
+        |    friend @groupby(name, age) { count(uid) } } }""".stripMargin,
+      """{"data":{"me":[{"name":"Michonne","friend":[{"@groupby":[{"name":"Andrea","age":19,"count":1},{"name":"Daryl Dixon","age":17,"count":1},{"name":"Glenn Rhee","age":15,"count":1},{"name":"Rick Grimes","age":15,"count":1}]}]},{"name":"Rick Grimes","friend":[{"@groupby":[{"name":"Michonne","age":38,"count":1}]}]},{"name":"Andrea","friend":[{"@groupby":[{"name":"Glenn Rhee","age":15,"count":1}]}]}]}}""")
+  }
+
+  test("golden: TestGroupBy_FixPanicForNilDestUIDs (query0_test.go:1838)") {
+    checkGolden(
+      """{ var(func: eq(name, "abcdef")) @ignorereflex {
+        |    random_nonexistent { f as uid } }
+        |  me(func: uid(f)) @groupby(uid) { a as count(uid) }
+        |  me2(func: uid(f)) { val(a) } }""".stripMargin,
+      """{"data": {"me2": []}}""")
+  }
+
+  test("golden: TestFilterFacetVar1 (query0_test.go:1991)") {
+    checkGolden(
+      """{ friend(func: uid(0x01)) {
+        |    path @facets(L as weight1) { name
+        |      friend @filter(uid(L)) { name } } } }""".stripMargin,
+      """{"data": {"friend": [{"path": [
+        |{"name": "Glenn Rhee"},
+        |{"name": "Andrea", "path|weight1": 0.2}]}]}}""".stripMargin)
+  }
+
+  test("golden: TestUseVarsFilterVarReuse1 (query0_test.go:2027)") {
+    checkGolden(
+      """{ friend(func: uid(0x01)) {
+        |    friend {
+        |      L as friend { name
+        |        friend @filter(uid(L)) { name } } } } }""".stripMargin,
+      """{"data": {"friend":[{"friend":[{"friend":[{"name":"Michonne", "friend":[{"name":"Glenn Rhee"}]}]}, {"friend":[{"name":"Glenn Rhee"}]}]}]}}""")
+  }
+
+  test("golden: TestUseVarsFilterVarReuse2 (query0_test.go:2049)") {
+    checkGolden(
+      """{ friend(func:anyofterms(name, "Michonne Andrea Glenn")) {
+        |    friend {
+        |      L as friend { nonexistent_pred name
+        |        friend @filter(uid(L)) { name } } } } }""".stripMargin,
+      """{"data": {"friend":[{"friend":[{"friend":[{"name":"Michonne", "friend":[{"name":"Glenn Rhee"}]}]}, {"friend":[{"name":"Glenn Rhee"}]}]}]}}""")
+  }
+
+  test("golden: TestDoubleOrder (query0_test.go:2072)") {
+    checkErr("""{ me(func: uid(1)) {
+      friend(orderdesc: dob) @facets(orderasc: weight) } }""")
+  }
+
+  test("golden: TestCondCondition (query0_test.go:3606)") {
+    checkGolden(
+      """{ var(func: uid(0x3ff)) {
+        |    columnUid as uid
+        |    ~DispatchBoard.column { o as order }
+        |    cards as count(~DispatchBoard.column) }
+        |  var() {
+        |    lastPosition as max(val(o))
+        |    cardCount as max(val(cards))
+        |    nextPosition as math(cond(cardCount==0, 0, lastPosition+1)) }
+        |  q(func: uid(columnUid)) {
+        |    val(lastPosition) val(cardCount) val(nextPosition) uid } }"""
+        .stripMargin,
+      """{"data":{"q": [{"uid": "0x3ff"}] }}""")
+  }
+
+  test("golden: TestMatchingWithPagination (query0_test.go:3646)") {
+    checkGolden(
+      """{ me(func: regexp(tweet-a, /aaa.b/), first:1){ tweet-a } }""",
+      """{"data":{"me":[{"tweet-a":"aaaab"}]}}""")
+    checkGolden(
+      """{ me(func: allofterms(tweet-b, "indiana jones"), first:1){ tweet-b } }""",
+      """{"data":{"me":[{"tweet-b":"indiana jones"}]}}""")
+    checkGolden(
+      """{ me(func: alloftext(tweet-c, "I am a citizen of Paradis Island"), first:1){ tweet-c } }""",
+      """{"data":{"me":[{"tweet-c":"I am a citizen of Paradis Island"}]}}""")
+    checkGolden(
+      """{ me(func: match(tweet-d, "aaaaaa", 3), first:1) { tweet-d } }""",
+      """{"data":{"me":[{"tweet-d":"aaabcd"}]}}""")
   }
 
   test("golden: TestGroupByGeoCrash (query1_test.go)") {
