@@ -21,7 +21,8 @@ final case class PredicateSchema(
     indexes: Seq[String] = Nil,  // term|exact|hash|int|float|...|hnsw
     reverse: Boolean = false,
     count: Boolean = false,
-    lang: Boolean = false)
+    lang: Boolean = false,
+    noConflict: Boolean = false)
 
 final case class NodeType(name: String, predicates: Seq[String])
 
@@ -88,7 +89,8 @@ object SchemaRegistry {
           .getOrElse(Nil),
         reverse = dirs.contains("@reverse"),
         count = dirs.contains("@count"),
-        lang = dirs.contains("@lang"))
+        lang = dirs.contains("@lang"),
+        noConflict = dirs.contains("@noconflict"))
     }.toSeq
     (preds, types)
   }

@@ -77,10 +77,12 @@ final class TripleFrameStore(
       case "int" => col("value").cast("long")
       case "float" => col("value").cast("double")
       // reference bigfloat (types/scalar_types.go:63, arbitrary-precision
-      // big.Float) narrows to DECIMAL(38,18) — SURVEY §1.2 documents the
-      // precision bound
+      // big.Float at 200 bits) narrows to DECIMAL(38,24) — 24 fractional
+      // digits cover the reference's own eq-beyond-float64 goldens
+      // (TestBigFloatTypeTokenizer distinguishes at 1e-22); SURVEY §1.2
+      // documents the precision bound
       case "bigfloat" => col("value").cast(
-        org.apache.spark.sql.types.DecimalType(38, 18))
+        org.apache.spark.sql.types.DecimalType(38, 24))
       case "bool" => col("value").cast("boolean")
       // instant for compare/sort; the offset-preserving display string
       // rides along (see DateTimeFunctions — Go keeps the written zone)

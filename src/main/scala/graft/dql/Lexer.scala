@@ -65,8 +65,13 @@ object Lexer {
         val start = i
         while (i < n && (input(i).isLetterOrDigit || input(i) == '_' ||
           input(i) == '.' ||
+          // '-' continues only before a LETTER: tweet-a is a name,
+          // f-2 in math() is a subtraction (dgraph's lexer resolves the
+          // same ambiguity contextually; names ending in -<digit> would
+          // need spaces here, as the reference's index-pred1 shows the
+          // digit glued to the letter)
           (input(i) == '-' && i + 1 < n &&
-            (input(i + 1).isLetterOrDigit || input(i + 1) == '_')))) i += 1
+            (input(i + 1).isLetter || input(i + 1) == '_')))) i += 1
         out += Ident(input.substring(start, i))
       } else if (c == '$' && (peek(1).isLetter || peek(1) == '_')) {
         // $var — a DQL query variable reference (dql/vars.go)

@@ -840,7 +840,16 @@ final class DqlExecutor(ts: GraphStore) {
     * "index" is a filtered attribute/edge view that Catalyst pushes into
     * the parquet scan.
     */
-  private def seed(fn: FuncCall): DataFrame = fn.name match {
+  private def seed(fn: FuncCall): DataFrame = {
+    // `uid` is not an attribute — every non-uid() function rejects it
+    // (reference TestUidAttr: ge/eq/has/anyoftext/regexp/match/uid_in
+    // on `uid` all error)
+    if (fn.name != "uid" && langSplit(fn.pred)._1.stripPrefix("~") == "uid")
+      throw new IllegalArgumentException("Argument cannot be \"uid\"")
+    seed0(fn)
+  }
+
+  private def seed0(fn: FuncCall): DataFrame = fn.name match {
     case "uid" =>
       // uid(x, 0x2, ...): mix of bound variables and literal uids
       // (reference uid(v1, v2) union semantics, query/query.go:2178)
@@ -1253,6 +1262,9 @@ final class DqlExecutor(ts: GraphStore) {
     schema.pred(pred).dgraphType match {
       case "int" => v.toLong
       case "float" => v.toDouble
+      // exact decimal so eq distinguishes beyond float64
+      // (TestBigFloatTypeTokenizer)
+      case "bigfloat" => new java.math.BigDecimal(v)
       case _ => v
     }
 
@@ -1261,7 +1273,7 @@ final class DqlExecutor(ts: GraphStore) {
       case "int" => lit(v.toLong)
       case "float" => lit(v.toDouble)
       case "bigfloat" => lit(v).cast(
-        org.apache.spark.sql.types.DecimalType(38, 18))
+        org.apache.spark.sql.types.DecimalType(38, 24))
       case "datetime" =>
         // manual parse: partial dates + offsets beyond ±18h (see
         // DateTimeFunctions.parseInstant) — a cast nulls both
@@ -1394,6 +1406,14 @@ final class DqlExecutor(ts: GraphStore) {
     page.after.foreach(a => cur = cur.filter(qcol(uidCol) > a))
     val needSort = order.nonEmpty || page.first.isDefined || page.offset.isDefined
     if (!needSort) return cur
+    // val() keys are single-sort only (reference
+    // TestMultiplesSortingOrderWithVarAndPredicate: "Val() is not
+    // allowed in multiple sorting")
+    if (order.size > 1 && order.exists(_.pred.startsWith("val:")))
+      throw new IllegalArgumentException(
+        "Val() is not allowed in multiple sorting. Got: [" +
+          order.filter(_.pred.startsWith("val:"))
+            .map(_.pred.stripPrefix("val:")).mkString(", ") + "]")
     order.zipWithIndex.foreach { case (o, i) =>
       // a pre-attached __ov column (val-seeded ordered root) is already
       // the right sort key — and inner-join semantics hold, the seed
@@ -1579,6 +1599,13 @@ final class DqlExecutor(ts: GraphStore) {
         // duplication cannot inflate sums.
         import org.apache.spark.sql.types.DecimalType
         val (srcCol, childKey) = varCols(sel.valRef.get)
+        // aggregating a var bound by a SIBLING at this same level is an
+        // error — the aggregate must sit one level above the binding
+        // (reference TestMultiLevelAgg1Error)
+        if (childKey == uidCol)
+          throw new IllegalArgumentException(
+            s"Aggregate ${sel.aggOp.get}(val(${sel.valRef.get})) must be " +
+              "one level above the variable's definition")
         val pairs = cur
           .select(qcol(uidCol).as("__pu"), col(childKey).as("__pc"),
             col(srcCol).as("__pv"))
@@ -1636,7 +1663,7 @@ final class DqlExecutor(ts: GraphStore) {
           val v = vf.select(col("uid").as("__vs"), col("value").as(name))
           cur = cur.join(v, qcol(uidCol) === col("__vs"), joinType).drop("__vs")
         }
-      } else if (sel.pred == "uid" && !sel.isCount) {
+      } else if (sel.pred == "uid" && !sel.isCount && sel.checkPwd.isEmpty) {
         // uid is implicit (the frontier column itself); `m as uid` binds
         // the current frontier as a uid variable (the upsert-block query
         // shape, reference dql/upsert_test.go)
@@ -2242,7 +2269,11 @@ final class DqlExecutor(ts: GraphStore) {
       case MathBin(">=", l, r) => num(l) >= num(r)
       case MathBin("==", l, r) => num(l) === num(r)
       case MathBin("!=", l, r) => num(l) =!= num(r)
-      case MathFunc("ln", Seq(a)) => log(num(a))
+      case MathFunc("ln", Seq(a)) =>
+        // Go's math.Log(0) is -Inf; the reference's JSON encoder clamps
+        // infinities to ±MaxFloat64 (TestQueryVarValAggNestedFuncUnary's
+        // combiLog golden) — Spark's log() would yield NULL instead
+        when(num(a) <= 0, lit(-Double.MaxValue)).otherwise(log(num(a)))
       case MathFunc("exp", Seq(a)) => exp(num(a))
       case MathFunc("sqrt", Seq(a)) => sqrt(num(a))
       case MathFunc("floor", Seq(a)) =>
@@ -2675,6 +2706,7 @@ final class DqlExecutor(ts: GraphStore) {
           if (want("count") && p.count) sb += """"count":true"""
           if (want("lang") && p.lang) sb += """"lang":true"""
           if (want("list") && p.isList) sb += """"list":true"""
+          if (want("no_conflict") && p.noConflict) sb += """"no_conflict":true"""
           sb.result().mkString("{", ",", "}")
         }
       else
@@ -3015,6 +3047,17 @@ final class DqlExecutor(ts: GraphStore) {
   }
 
   private def jsonBlock(b0: QueryBlock, includeUid: Boolean = true): DataFrame = {
+    // count(uid) may appear once per sub-query (reference
+    // TestCountUIDWithMultipleCount: "uidcount not allowed multiple
+    // times in same sub-query")
+    def checkDupCount(sels: Seq[Selection]): Unit = {
+      if (sels.count(s => s.isCount && s.pred == "uid" && s.varName.isEmpty &&
+          s.alias.isEmpty) > 1)
+        throw new IllegalArgumentException(
+          "uidcount not allowed multiple times in same sub-query")
+      sels.foreach(s => checkDupCount(s.children))
+    }
+    checkDupCount(b0.selections)
     if (b0.func.name == "empty") {
       validateSels(b0.selections)
       val session = ts.spark
@@ -3274,12 +3317,15 @@ final class DqlExecutor(ts: GraphStore) {
             s.children.find(c => c.pred == "uid" && !c.isCount)
               .flatMap(_.alias).getOrElse("uid")))
         else Nil
-      // without a uid key, a child whose requested values are ALL null
-      // renders nothing — the reference omits value-less nodes entirely
-      // (TestOrderFacets golden drops the facet-only friend); synthetic
-      // count rows survive via their count column
+      // without an EXPLICITLY requested uid key, a child whose requested
+      // values are ALL null renders nothing — the reference omits
+      // value-less nodes even in debug mode (TestDebugUid drops the
+      // nameless 0x65; TestGetUIDInDebugMode keeps it only because the
+      // query asks for `uid`); synthetic count rows survive via their
+      // count column
+      val explicitUid = s.children.exists(c => c.pred == "uid" && !c.isCount)
       val valueCols = scalarCols ++ grandSpecs.map(_._2) ++ countCols
-      if (uidField.isEmpty && valueCols.nonEmpty)
+      if (!explicitUid && valueCols.nonEmpty)
         rows = rows.filter(valueCols.map(qcol(_).isNotNull).reduce(_ || _))
       val payload = struct((uidField ++ kidFields ++ facetFields): _*)
       // synthetic count rows carry no child uid/rank: Long.MaxValue

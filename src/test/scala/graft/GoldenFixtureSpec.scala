@@ -553,10 +553,11 @@ class GoldenFixtureSpec extends AnyFunSuite {
   private def checkGolden(query: String, golden: String,
       arrayOrderFree: Boolean = false,
       vars: Map[String, String] = Map.empty,
-      st: => TripleFrameStore = store): Unit = {
+      st: => TripleFrameStore = store,
+      debug: Boolean = false): Unit = {
     val ast = Parser.parseWithVars(query, vars)
     val rows = new DqlExecutor(st)
-      .jsonAllAst(ast, includeUid = false)
+      .jsonAllAst(ast, includeUid = debug)
       .collect()
     val byBlock = rows.groupBy(_.getString(0))
     val blocks = ast.blocks.filter(_.name != "var").flatMap { b =>
@@ -3875,6 +3876,20 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
   // ---- query3 regex battery (query3_test.go:2761-3067) ----
 
+  /** A throwaway store over its own schema + N-Quads — for the
+    * reference tests that setSchema() a new predicate and load fresh
+    * triples (the query4 alteration / bigfloat batteries).
+    */
+  private def miniStore(schemaText: String, lines: Seq[String])
+      : TripleFrameStore = {
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(schemaText)
+    new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(lines.toDF("line")))
+  }
+
   private def checkErr(query: String): Unit = {
     val thrown = intercept[Exception] {
       new DqlExecutor(store)
@@ -6282,6 +6297,393 @@ class GoldenFixtureSpec extends AnyFunSuite {
     checkGolden(
       """{ me(func: match(tweet-d, "aaaaaa", 3), first:1) { tweet-d } }""",
       """{"data":{"me":[{"tweet-d":"aaabcd"}]}}""")
+  }
+
+  // ---- query1/query3 remainder: debug mode, aliases, uid-attr guard ----
+
+  test("golden: TestGraphQLVarsInUpsert query shape (query1_test.go)") {
+    // the upsert's QUERY side: $a paginates, `v as uid` forces the uid key
+    checkGolden(
+      """query test ($a: int = 1) {
+        |  me(func: uid(0x01)) { v as uid name gender
+        |    friend(first: $a) { name } } }""".stripMargin,
+      """{"data": {"me": [{"friend": [{"name": "Rick Grimes"},{"name": "Glenn Rhee"}],
+        |"uid": "0x1", "gender": "female", "name": "Michonne"}]}}""".stripMargin,
+      vars = Map("$a" -> "2"))
+  }
+
+  test("golden: TestDebugUid (query1_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name friend { name friend } } }""",
+      """{"data":{"me":[{"friend":[{"name":"Rick Grimes","uid":"0x17"},{"name":"Glenn Rhee","uid":"0x18"},{"name":"Daryl Dixon","uid":"0x19"},{"name":"Andrea","uid":"0x1f"}],"name":"Michonne","uid":"0x1"}]}}""",
+      debug = true)
+  }
+
+  test("golden: TestAggregateRoot6 (query1_test.go)") {
+    // `reason` is unknown — the @cascade var block binds nothing and the
+    // val() read renders value-less objects away
+    checkGolden(
+      """{
+        |  uids as var(func: anyofterms(name, "Rick Michonne Andrea"))
+        |  var(func: uid(uids)) @cascade {
+        |    reason { killed_zombies as math(1) }
+        |    zombie_count as sum(val(killed_zombies)) }
+        |  me(func: uid(uids)) { money: val(zombie_count) } }""".stripMargin,
+      """{"data": {"me":[]}}""")
+  }
+
+  test("golden: TestMathCeil2 (query1_test.go)") {
+    checkGolden(
+      """{
+        |  me as var(func: eq(name, "Michonne"))
+        |  var(func: uid(me)) {
+        |    friend { x as age }
+        |    x2 as sum(val(x))
+        |    c as count(friend) }
+        |  me(func: uid(me)) { ceilAge: math(ceil((1.0*x2)/c)) } }""".stripMargin,
+      """{"data": {"me":[{"ceilAge":14}]}}""")
+  }
+
+  test("golden: TestUidAttr (query1_test.go)") {
+    checkErr("""{q(func:ge(uid, 1)) { uid }}""")
+    checkErr("""{q(func:eq(uid, 2)) { uid }}""")
+    checkErr("""{q(func:lt(uid, 3)) { uid }}""")
+    checkErr("""{q(func:has(uid)) { uid }}""")
+    checkErr("""{q(func:anyoftext(uid, "")) { uid }}""")
+    checkErr("""{q(func:alloftext(uid, "")) { uid }}""")
+    checkErr("""{q(func:regexp(uid)) { uid }}""")
+    checkErr("""{q(func:match(uid, "", 8)) { uid }}""")
+    checkErr("""{q(func:has(name)) @filter(uid_in(uid, 0x1)) { uid }}""")
+    checkErr("""{q(func:uid(0x1)) { checkpwd(uid, "") }}""")
+    checkGolden("""{q(func:uid(0x1)) { uid }}""",
+      """{"data":{"q":[{"uid":"0x1"}]}}""")
+    checkGolden("""{q(func:eq(name, "uid")) { uid }}""",
+      """{"data":{"q":[]}}""")
+  }
+
+  test("golden: TestNotExistObject (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender alive genre } }""",
+      """{"data": {"me":[{"name":"Michonne","gender":"female","alive":true}]}}""")
+  }
+
+  test("golden: TestNormalizeDirectiveMultipleSubQueryLevel1 (query2_test.go)") {
+    checkGolden(
+      """{ me(func: uid(1, 23))  {
+        |    mn: name gender
+        |    friend @normalize { fn: name dob friend { ffn : name } }
+        |    follow @normalize { foln: name friend { fofn: name } } } }"""
+        .stripMargin,
+      """{"data": {"me": [
+        |{"follow": [
+        |  {"foln": "Glenn Rhee"},
+        |  {"fofn": "Glenn Rhee", "foln": "Andrea"}],
+        | "friend": [
+        |  {"ffn": "Michonne", "fn": "Rick Grimes"},
+        |  {"fn": "Glenn Rhee"},
+        |  {"fn": "Daryl Dixon"},
+        |  {"ffn": "Glenn Rhee", "fn": "Andrea"}],
+        | "gender": "female", "mn": "Michonne"},
+        |{"friend": [
+        |  {"ffn": "Rick Grimes", "fn": "Michonne"},
+        |  {"ffn": "Glenn Rhee", "fn": "Michonne"},
+        |  {"ffn": "Daryl Dixon", "fn": "Michonne"},
+        |  {"ffn": "Andrea", "fn": "Michonne"}],
+        | "gender": "male", "mn": "Rick Grimes"}]}}""".stripMargin)
+  }
+
+  test("golden: TestRecurseVariable2 (query3_test.go)") {
+    checkGolden(
+      """{
+        |  var(func: uid(0x1)) @recurse { f2 as friend f as follow }
+        |  me(func: uid(f)) { name }
+        |  me2(func: uid(f2)) { name } }""".stripMargin,
+      """{"data": {"me":[{"name":"Glenn Rhee"},{"name":"Andrea"},{"name":"Alice"},{"name":"Bob"},{"name":"Matt"},{"name":"John"}],"me2":[{"name":"Michonne"},{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}]}}""")
+  }
+
+  test("golden: TestDebug1/2/3 (query3_test.go)") {
+    // debug adds the root uid; without it no uid key appears
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender alive count(friend) } }""",
+      """{"data":{"me":[{"uid":"0x1","name":"Michonne","gender":"female","alive":true,"count(friend)":5}]}}""",
+      debug = true)
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender alive count(friend) } }""",
+      """{"data":{"me":[{"name":"Michonne","gender":"female","alive":true,"count(friend)":5}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 24)) @filter(ge(dob, "1910-01-01")) { name } }""",
+      """{"data":{"me":[{"uid":"0x1","name":"Michonne"}]}}""",
+      debug = true)
+  }
+
+  test("golden: TestMultiLevelAgg1Error (query3_test.go:2147)") {
+    // sum(val(s)) at the SAME level that binds s is rejected
+    checkErr("""{
+      var(func: anyofterms(name, "michonne rick andrea")) @filter(gt(count(friend), 0)){
+        friend { s as count(friend) ss as sum(val(s)) } }
+      sumorder(func: uid(ss), orderasc: val(ss)) { name val(ss) } }""")
+  }
+
+  test("golden: TestToFastJSON (query3_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender alive friend { name } } }""",
+      """{"data": {"me":[{"alive":true,"friend":[{"name":"Rick Grimes"},{"name":"Glenn Rhee"},{"name":"Daryl Dixon"},{"name":"Andrea"}],"gender":"female","name":"Michonne"}]}}""")
+  }
+
+  test("golden: TestFieldAlias (query3_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { MyName:name gender alive
+        |    Buddies:friend { BudName:name } } }""".stripMargin,
+      """{"data": {"me":[{"alive":true,"Buddies":[{"BudName":"Rick Grimes"},{"BudName":"Glenn Rhee"},{"BudName":"Daryl Dixon"},{"BudName":"Andrea"}],"gender":"female","MyName":"Michonne"}]}}""")
+  }
+
+  test("golden: TestToFastJSONFilter/-allofterms/-MissBrac (query3_test.go)") {
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(anyofterms(name, "Andrea SomethingElse")) { name } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"name":"Michonne","gender":"female","friend":[{"name":"Andrea"}]}]}}""")
+    checkGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend @filter(allofterms(name, "Andrea SomethingElse")) { name } } }"""
+        .stripMargin,
+      """{"data": {"me":[{"name":"Michonne","gender":"female"}]}}""")
+    checkErr("""{ me(func: uid(0x01)) { name gender
+      friend @filter(anyofterms(name, "Andrea SomethingElse") { name } } }""")
+  }
+
+  // ---- query0 non-indexed filter battery + unary math ----
+
+  test("golden: TestFilterNonIndexedPredicate (query0_test.go:2971)") {
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(ge(noindex_name, "Leonard's name not indexed")) { noindex_name } }""",
+      """{"data":{"me":[{"noindex_name":"Michonne's name not indexed"},{"noindex_name":"Margaret's name not indexed"},{"noindex_name":"Leonard's name not indexed"}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(gt(noindex_name, "Leonard's name not indexed")) { noindex_name } }""",
+      """{"data":{"me":[{"noindex_name":"Michonne's name not indexed"},{"noindex_name":"Margaret's name not indexed"}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(le(noindex_name, "Leonard's name not indexed")) { noindex_name } }""",
+      """{"data":{"me":[{"noindex_name":"King Lear's name not indexed"},{"noindex_name":"Leonard's name not indexed"}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(lt(noindex_name, "Leonard's name not indexed")){ noindex_name } }""",
+      """{"data":{"me":[{"noindex_name":"King Lear's name not indexed"}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(eq(noindex_name, "King Lear's name not indexed")) { noindex_name } }""",
+      """{"data":{"me":[{"noindex_name":"King Lear's name not indexed"}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(ge(noindex_age, "22")) { noindex_age } }""",
+      """{"data":{"me":[{"noindex_age":22},{"noindex_age":23},{"noindex_age":24}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(gt(noindex_age, "22")) { noindex_age } }""",
+      """{"data":{"me":[{"noindex_age":23},{"noindex_age":24}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(le(noindex_age, "22")) { noindex_age } }""",
+      """{"data":{"me":[{"noindex_age":21},{"noindex_age":22}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(lt(noindex_age, "22")){ noindex_age } }""",
+      """{"data":{"me":[{"noindex_age":21}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(eq(noindex_age, "22")) { noindex_age } }""",
+      """{"data":{"me":[{"noindex_age":22}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(ge(noindex_dob, "1610-11-01")) { noindex_dob } }""",
+      """{"data":{"me":[{"noindex_dob":"1810-11-01T00:00:00Z"},{"noindex_dob":"1710-11-01T00:00:00Z"},{"noindex_dob":"1610-11-01T00:00:00Z"}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(lt(noindex_dob, "1610-11-01")){ noindex_dob } }""",
+      """{"data":{"me":[{"noindex_dob":"1510-11-01T00:00:00Z"}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(ge(noindex_salary, "589.04")) { noindex_salary } }""",
+      """{"data":{"me":[{"noindex_salary":589.040000},{"noindex_salary":967.680000}]}}""")
+    checkGolden(
+      """{ me(func: uid(1, 2, 3, 4)) @filter(eq(noindex_alive, true)) { noindex_alive } }""",
+      """{"data":{"me":[{"noindex_alive":true},{"noindex_alive":true}]}}""")
+  }
+
+  test("golden: TestQueryVarValAggNestedFuncUnary (query0_test.go:1101)") {
+    // ln(0) clamps to -MaxFloat64 like the reference's JSON encoder
+    checkGolden(
+      """{
+        |  f as var(func: anyofterms(name, "Michonne Andrea Rick")) {
+        |    a as age
+        |    friend { x as age }
+        |    n as min(val(x))
+        |    s as max(val(x))
+        |    combiLog as math(a + ln(s - n))
+        |    combiExp as math(a + exp(s - n)) }
+        |  LogMe(func: uid(f), orderasc: val(combiLog)) {
+        |    name val(combiLog) val(a) val(n) val(s) }
+        |  ExpMe(func: uid(f), orderasc: val(combiExp)) {
+        |    name val(combiExp) val(a) val(n) val(s) } }""".stripMargin,
+      """{"data": {"ExpMe":[{"name":"Rick Grimes","val(a)":15,"val(combiExp)":16,"val(n)":38,"val(s)":38},{"name":"Andrea","val(a)":19,"val(combiExp)":20,"val(n)":15,"val(s)":15},{"name":"Michonne","val(a)":38,"val(combiExp)":92.59815003314424,"val(n)":15,"val(s)":19}],"LogMe":[{"name":"Rick Grimes","val(a)":15,"val(combiLog)":-1.7976931348623157e+308,"val(n)":38,"val(s)":38},{"name":"Andrea","val(a)":19,"val(combiLog)":-1.7976931348623157e+308,"val(n)":15,"val(s)":15},{"name":"Michonne","val(a)":38,"val(combiLog)":39.38629436111989,"val(n)":15,"val(s)":19}]}}""")
+  }
+
+  // ---- query4 remainder: bigfloat battery, schema alteration flows ----
+
+  private val amountSchema = "amount: bigfloat @index(bigfloat) ."
+  private val amountLines = Seq(
+    a(0x666, "amount", "100"), a(0x124, "amount", "99.1231231233"),
+    a(0x777, "amount", "99"), a(0x888, "amount", "99.0000000000000000000001"),
+    a(0x123, "amount", "123123.123123123132"))
+
+  test("golden: TestBigFloatTypeTokenizer (query4_test.go)") {
+    // eq distinguishes at 1e-22 — far beyond float64
+    checkGolden(
+      """{ me(func: eq(amount, "10.0000000000000000000124")) { uid amount } }""",
+      """{"data":{"me":[{"uid":"0x777","amount":10.0000000000000000000124}]}}""",
+      st = miniStore(amountSchema, Seq(
+        a(0x666, "amount", "10.0000000000000000000123"),
+        a(0x777, "amount", "10.0000000000000000000124"))))
+  }
+
+  test("golden: TestBigFloatCeil/Floor/Sqrt (query4_test.go)") {
+    // the reference prints 200-bit big.Float text; JSONEq compares as
+    // float64, so the double-precision value is the observable surface
+    checkGolden(
+      """{ me(func: eq(amount, "2.1")) { uid amount as amount amt : math(ceil(amount)) } }""",
+      """{"data": {"me":[{"uid":"0x666", "amount":2.1, "amt":3}]}}""",
+      st = miniStore(amountSchema, Seq(a(0x666, "amount", "2.1"))))
+    checkGolden(
+      """{ me(func: eq(amount, "2.1")) { uid amount as amount amt : math(floor(amount)) } }""",
+      """{"data": {"me":[{"uid":"0x666", "amount":2.1, "amt":2}]}}""",
+      st = miniStore(amountSchema, Seq(a(0x666, "amount", "2.1"))))
+    checkGolden(
+      """{ me(func: eq(amount, "2")) { uid amount as amount amt : math(sqrt(amount)) } }""",
+      """{"data": {"me":[{"uid":"0x666", "amount":2, "amt":1.4142135623730951}]}}""",
+      st = miniStore(amountSchema, Seq(a(0x666, "amount", "2"))))
+  }
+
+  test("golden: TestBigFloatSort (query4_test.go)") {
+    checkGolden(
+      """{ me(func: has(amount), orderasc: amount) { uid } }""",
+      """{"data":{"me":[{"uid":"0x777"},{"uid":"0x888"},{"uid":"0x124"},{"uid":"0x666"},{"uid":"0x123"}]}}""",
+      st = miniStore(amountSchema, amountLines))
+  }
+
+  test("golden: TestBigFloatMax/Sum/Avg (query4_test.go)") {
+    checkGolden(
+      """{ me(func: has(amount)) { uid amount as amount }
+        |  q() { max_amt : max(val(amount)) } }""".stripMargin,
+      """{"data":{"me":[{"uid":"0x123","amount":123123.123123123132},{"uid":"0x124","amount":99.1231231233},{"uid":"0x666","amount":100},{"uid":"0x777","amount":99},{"uid":"0x888","amount":99.0000000000000000000001}],"q":[{"max_amt":123123.123123123132}]}}""",
+      st = miniStore(amountSchema, amountLines))
+    checkGolden(
+      """{ me(func: has(amount)) { uid amount as amount }
+        |  q() { sum_amt : sum(val(amount)) } }""".stripMargin,
+      """{"data":{"me":[{"uid":"0x123","amount":123123.123123123132},{"uid":"0x124","amount":99.1231231233},{"uid":"0x666","amount":100},{"uid":"0x777","amount":99},{"uid":"0x888","amount":99.0000000000000000000001}],"q":[{"sum_amt":123520.2462462464320000000001}]}}""",
+      st = miniStore(amountSchema, amountLines))
+    checkGolden(
+      """{ me(func: has(amount)) { uid amount as amount }
+        |  q() { avg_amt : avg(val(amount)) } }""".stripMargin,
+      """{"data":{"me":[{"uid":"0x123","amount":123123.123123123132},{"uid":"0x124","amount":99.1231231233},{"uid":"0x666","amount":100},{"uid":"0x777","amount":99},{"uid":"0x888","amount":99.0000000000000000000001}],"q":[{"avg_amt":24704.04924924928640000000002}]}}""",
+      st = miniStore(amountSchema, amountLines))
+  }
+
+  test("golden: TestBigFloatLt/Gt/ConnectingFilters (query4_test.go)") {
+    checkGolden(
+      """{ me(func: has(amount)) @filter(lt(amount, 100)){ uid } }""",
+      """{"data":{"me":[{"uid":"0x124"},{"uid":"0x777"},{"uid":"0x888"}]}}""",
+      st = miniStore(amountSchema, amountLines))
+    checkGolden(
+      """{ me(func: has(amount)) @filter(ge(amount, 100)){ uid } }""",
+      """{"data":{"me":[{"uid":"0x123"},{"uid":"0x666"}]}}""",
+      st = miniStore(amountSchema, amountLines))
+    checkGolden(
+      """{ me(func: has(amount)) @filter(gt(amount, 99.1231231233) AND lt(amount, 1000)) { uid } }""",
+      """{"data":{"me":[{"uid":"0x666"}]}}""",
+      st = miniStore(amountSchema, amountLines))
+  }
+
+  test("golden: TestBigMathValue (query4_test.go)") {
+    // 2^55-scale int math stays exact (typed integer evaluation)
+    val money = miniStore("money: int .", Seq(a(0x999, "money", "48038396025285290")))
+    checkGolden(
+      """{ q(func: has(money)) { f as money g: math(f/2) } }""",
+      """{"data":{"q":[{"money":48038396025285290, "g":24019198012642645}]}}""",
+      st = money)
+    checkGolden(
+      """{ q(func: has(money)) { f as money g: math(2+f) } }""",
+      """{"data":{"q":[{"money":48038396025285290, "g":48038396025285292}]}}""",
+      st = money)
+    checkGolden(
+      """{ q(func: has(money)) { f as money g: math(f-2) } }""",
+      """{"data":{"q":[{"money":48038396025285290, "g":48038396025285288}]}}""",
+      st = money)
+  }
+
+  test("golden: TestCountUIDWithMultipleCount (query4_test.go)") {
+    checkErr("""{ q(func: uid(1, 2, 3)) { count(uid) count(uid) } }""")
+  }
+
+  test("golden: TestSchemaUpdateNoConflict (query4_test.go)") {
+    val st = miniStore(
+      """noconflict_pred: string @noconflict .
+        |name: string @index(term, exact, trigram) @count @lang .""".stripMargin,
+      Seq(a(1, "name", "x")))
+    checkGolden("""schema(pred: [noconflict_pred]) { }""",
+      """{"data": {"schema": [{"predicate": "noconflict_pred","type": "string","no_conflict": true}]}}""",
+      st = st)
+    checkGolden("""schema(pred: [name]) { }""",
+      """{"data": {"schema": [{"predicate": "name","type": "string","index": true,"tokenizer": ["term", "exact", "trigram"],"count": true,"lang": true}]}}""",
+      st = st)
+  }
+
+  test("golden: TestDeleteAndReadIndex (query4_test.go)") {
+    // schema alteration flow: with the fulltext index the query works;
+    // a registry without it rejects the same query; term still works
+    val lines = Seq(a(0x666, "numerology", "This number is evil"),
+      a(0x777, "numerology", "This number is good"))
+    val withFt = miniStore(
+      "numerology: string @index(exact, term, fulltext) .", lines)
+    val noFt = miniStore("numerology: string @index(exact, term) .", lines)
+    val q1 = """{ me(func: anyoftext(numerology, "numbers")) { uid numerology } }"""
+    val expected = """{"data": {"me": [
+      |{"uid": "0x666", "numerology": "This number is evil"},
+      |{"uid": "0x777", "numerology": "This number is good"}]}}""".stripMargin
+    checkGolden(q1, expected, st = withFt)
+    val thrown = intercept[Exception] {
+      new DqlExecutor(noFt).jsonAllAst(Parser.parse(q1),
+        includeUid = false).collect()
+    }
+    assert(thrown.getMessage.contains(
+      "Attribute numerology is not indexed with type fulltext"))
+    checkGolden(
+      """{ me(func: anyofterms(numerology, "number")) { uid numerology } }""",
+      expected, st = noFt)
+    checkGolden(q1, expected, st = withFt)
+  }
+
+  test("golden: TestDeleteAndReadReverse (query4_test.go)") {
+    val lines = Seq(e(0x666, "child_pred", 0x777))
+    val withRev = miniStore("child_pred: uid @reverse .", lines)
+    checkGolden(
+      """{ me(func: uid(0x777)) { ~child_pred { uid } } }""",
+      """{"data": {"me": [{"~child_pred": [{"uid": "0x666"}]}]}}""",
+      st = withRev)
+  }
+
+  test("golden: TestDropPredicate semantics (query4_test.go)") {
+    // after the predicate drops from the registry, the same query errors
+    val lines = Seq(a(0x666, "numerology", "This number is evil"),
+      a(0x777, "numerology", "This number is good"))
+    val withTerm = miniStore("numerology: string @index(term) .", lines)
+    val dropped = miniStore("other: string .", lines)
+    val q1 = """{ me(func: anyofterms(numerology, "number")) { uid numerology } }"""
+    checkGolden(q1,
+      """{"data": {"me": [
+        |{"uid": "0x666", "numerology": "This number is evil"},
+        |{"uid": "0x777", "numerology": "This number is good"}]}}""".stripMargin,
+      st = withTerm)
+    intercept[Exception] {
+      new DqlExecutor(dropped).jsonAllAst(Parser.parse(q1),
+        includeUid = false).collect()
+    }
+  }
+
+  test("golden: TestMultiplesSortingOrderWithVarAndPredicate (query4_test.go)") {
+    // val() keys are single-sort only
+    checkErr("""{
+      var(func: has(name)) { SECTIONS_COUNT as count(school) }
+      allHostels(func: has(name), orderdesc: val(SECTIONS_COUNT), orderasc: name) {
+        uid name totalSections: val(SECTIONS_COUNT) } }""")
   }
 
   test("golden: TestGroupByGeoCrash (query1_test.go)") {
