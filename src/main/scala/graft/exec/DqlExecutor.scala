@@ -1070,6 +1070,22 @@ final class DqlExecutor(ts: GraphStore) {
       else attrWhere(fn.pred, v =>
         grams.map(t => v.contains(lit(t))).reduce(_ || _) &&
           levenshtein(v, lit(mq)) <= maxD)
+    case "ngram" =>
+      // word-ngram search (reference NGramTokenizer + worker/task.go
+      // ngramFn): the query's min(3,n)-gram windows UNION against the
+      // value's 1..4-gram set — ANY overlap matches (needsIntersect is
+      // false for ngram). Requires the ngram tokenizer on the predicate.
+      val (np, _) = langSplit(fn.pred)
+      schema.predicates.get(np).foreach { ps =>
+        if (!ps.indexes.contains("ngram"))
+          throw new IllegalArgumentException(
+            s"Attribute $np is not indexed with type ngram")
+      }
+      val qs = graft.functions.TextFunctions.ngramQueryLit(fn.args.head)
+      if (qs.isEmpty) attrWhere(fn.pred, _ => lit(false))
+      else attrWhere(fn.pred, v => arrays_overlap(
+        graft.functions.TextFunctions.ngramSet(v),
+        array(qs.map(lit(_)): _*)), untaggedDefault = true)
     case "anyof" | "allof" =>
       // custom-tokenizer search: anyof/allof(pred, tokenizer, q)
       // (reference worker/tokens.go:47 pickTokenizer → tok registry)
@@ -1656,9 +1672,17 @@ final class DqlExecutor(ts: GraphStore) {
         val vf = vars(sel.valRef.get)
         if (!vf.columns.contains("uid"))
           // val(s) of a SCALAR var (s as count(uid)) has no per-uid map —
-          // the reference renders nothing (TestCountUIDToVar2's me block
-          // omits val(s) on every row)
-          cur = cur.withColumn(name, lit(null).cast("double"))
+          // the reference renders nothing on ordinary uids
+          // (TestCountUIDToVar2's me block omits val(s)) but DOES render
+          // the value on the var's own SENTINEL uid (uid(total) seeds
+          // MaxUint64 — TestNGramAggregation renders {"count": 2})
+          cur = cur.withColumn(name,
+            vf.limit(1).collect().headOption.map(_.get(0)) match {
+              // the scalar is a single driver-side value by construction
+              case Some(v) =>
+                when(qcol(uidCol) === lit(Long.MaxValue), lit(v))
+              case None => lit(null).cast("double")
+            })
         else {
           val v = vf.select(col("uid").as("__vs"), col("value").as(name))
           cur = cur.join(v, qcol(uidCol) === col("__vs"), joinType).drop("__vs")
@@ -2678,6 +2702,154 @@ final class DqlExecutor(ts: GraphStore) {
     * one key per block).
     */
   def jsonAll(query: String): DataFrame = jsonAllAst(Parser.parse(query))
+
+  // ---- RDF output format (reference query/outputrdf.go) ----
+
+  /** Query result as N-Triple lines in the reference's emission order:
+    * per level, each selection in declaration order emits one GROUP of
+    * lines — scalars for every frontier node, `count(pred)` with
+    * zero-fill, then edge triples followed by the child level's groups
+    * (reference outputrdf.go walks subgraphs the same way). Directives
+    * the reference rejects in RDF (@normalize, @groupby, count(uid),
+    * @ignorereflex, checkpwd, facet fetches) throw here too.
+    *
+    * Returns lines in order; the final concat is driver-side exactly
+    * like the reference's ToRDF marshals one buffer.
+    */
+  def rdfAll(query: String): String = {
+    val q = Parser.parse(query)
+    val sb = new StringBuilder
+    q.blocks.filter(_.name != "var").foreach { b =>
+      if (b.normalize)
+        throw new IllegalArgumentException(
+          "normalize directive is not supported in the rdf output format")
+      if (b.ignoreReflex)
+        throw new IllegalArgumentException(
+          "ignorereflex directive is not supported in the rdf output format")
+      if (b.groupby.nonEmpty)
+        throw new IllegalArgumentException(
+          "groupby is not supported in rdf output format")
+      // selection-level rejections surface before any evaluation (the
+      // reference validates the whole subgraph first)
+      def validateRdf(ss: Seq[Selection]): Unit = ss.foreach { s =>
+        if (s.isCount && s.pred == "uid")
+          throw new IllegalArgumentException(
+            "uid count is not supported in the rdf output format")
+        if (s.checkPwd.isDefined)
+          throw new IllegalArgumentException(
+            "chkpwd function is not supported in the rdf output format")
+        if (s.facetFetch || s.facetKeys.nonEmpty)
+          throw new IllegalArgumentException(
+            "facets are not supported in the rdf output format")
+        if (s.groupby.nonEmpty)
+          throw new IllegalArgumentException(
+            "groupby is not supported in rdf output format")
+        validateRdf(s.children)
+      }
+      validateRdf(b.selections)
+      if (b.shortest.isEmpty) {
+        var frontier = seedUids(b.func)
+        b.filter.foreach(f => frontier = applyFilter(frontier, "uid", f))
+        val sels = b.recurse match {
+          case Some(r) if recurseHops(r) == 0 =>
+            // a depth-1 recurse applies the template to the roots only
+            // (TestRDFRecurse) — deeper recursion would walk the tree
+            b.selections.filter(s => !schema.isUidPredicate(s.pred))
+          case Some(_) => throw new IllegalArgumentException(
+            "recurse depth > 1 is not supported in the rdf output format (engine limitation)")
+          case None => b.selections
+        }
+        val ordered0 = orderAndPage(frontier, "uid", b.order, b.page)
+        val ordered =
+          if (b.order.isEmpty) ordered0.withColumn("__r", col("uid"))
+          else ordered0.withColumn("__r", monotonically_increasing_id())
+        rdfWalk(sb, ordered, sels)
+      }
+    }
+    sb.result()
+  }
+
+  private def rdfHex(c: Column): Column =
+    concat(lit("<0x"), lower(conv(c.cast("string"), 10, 16)), lit(">"))
+
+  private def rdfWalk(sb: StringBuilder, frontier: DataFrame,
+      sels: Seq[Selection]): Unit = {
+    def emit(df: DataFrame): Unit =
+      df.orderBy(col("__o1").asc, col("__o2").asc)
+        .select(col("line")).collect().foreach(r => sb.append(r.getString(0)).append('\n'))
+    sels.foreach { s =>
+      if (s.isCount && s.pred == "uid")
+        throw new IllegalArgumentException(
+          "uid count is not supported in the rdf output format")
+      if (s.checkPwd.isDefined)
+        throw new IllegalArgumentException(
+          "chkpwd function is not supported in the rdf output format")
+      if (s.facetFetch || s.facetKeys.nonEmpty)
+        throw new IllegalArgumentException(
+          "facets are not supported in the rdf output format")
+      if (s.groupby.nonEmpty)
+        throw new IllegalArgumentException(
+          "groupby is not supported in rdf output format")
+      if (s.pred == "uid" && !s.isCount) {
+        // `uid` emits no triple (TestRDFIgnoreUid)
+      } else if (s.isCount) {
+        // count(pred) with zero-fill (TestRDFPredicateCount: Daryl "0")
+        val cnts = countEdge(s.pred).groupBy(col("subject"))
+          .agg(count(lit(1)).as("__c"))
+        val rows = frontier.join(cnts.withColumnRenamed("subject", "__cs"),
+            col("uid") === col("__cs"), "left")
+          .select(col("__r").as("__o1"), lit(0L).as("__o2"),
+            concat(rdfHex(col("uid")),
+              lit(s" <count(${s.pred})> \""),
+              coalesce(col("__c"), lit(0L)).cast("string"),
+              lit("\" .")).as("line"))
+        emit(rows)
+      } else if (schema.predicates.contains(s.pred) &&
+          (schema.isUidPredicate(s.pred) || s.reverse)) {
+        val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+        val e1 = s.filter.map(f => applyFilter(e0, "object", f)).getOrElse(e0)
+        var edges = frontier.join(
+          e1.select(col("subject").as("__es"), col("object").as("__eo")),
+          col("uid") === col("__es"))
+        // per-parent child order (TestDateRDF: edges follow orderdesc)
+        val childOrd: Column = s.order.headOption match {
+          case Some(o) if !o.pred.startsWith("val:") =>
+            val a = orderAttr(o.pred)
+              .select(col("subject").as("__ws"), col("value").as("__wv"))
+            edges = edges.join(a, col("__eo") === col("__ws"), "left")
+              .drop("__ws")
+            // epoch/numeric rank; desc negates, nulls last via max fill
+            val v = col("__wv").cast("double")
+            val k = if (o.desc) -v else v
+            coalesce(k, lit(Double.MaxValue))
+          case _ => col("__eo").cast("double")
+        }
+        val lines = edges.select(col("__r").as("__o1"),
+          childOrd.as("__o2"),
+          concat(rdfHex(col("uid")), lit(s" <${if (s.reverse) "~" else ""}${s.pred}> "),
+            rdfHex(col("__eo")), lit(" .")).as("line"),
+          col("__eo"))
+        emit(lines.drop("__eo"))
+        val childFrontier = lines.select(col("__eo").as("uid")).distinct()
+          .withColumn("__r", col("uid"))
+        if (s.children.nonEmpty) rdfWalk(sb, childFrontier, s.children)
+      } else if (schema.predicates.contains(s.pred)) {
+        val rows0 = attrLeaf(s)
+        val valueC =
+          if (rows0.columns.contains("display")) col("display")
+          else col("value").cast("string")
+        val esc = regexp_replace(regexp_replace(valueC,
+          lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\""))
+        val rows = frontier.join(
+          rows0.select(col("subject").as("__as"), esc.as("__v")),
+          col("uid") === col("__as"))
+          .select(col("__r").as("__o1"), lit(0L).as("__o2"),
+            concat(rdfHex(col("uid")), lit(s" <${s.pred}> \""),
+              col("__v"), lit("\" .")).as("line"))
+        emit(rows)
+      } // unknown predicates emit nothing
+    }
+  }
 
   /** AST entry for jsonAll. `includeUid = false` renders GraphQL-shaped
     * objects (no implicit uid key — the GraphQL layer only emits

@@ -136,4 +136,45 @@ object TextFunctions {
   def ftStemsLit(q: String): Seq[String] =
     q.toLowerCase.split("\\s+").filter(w => w.nonEmpty && !enStops.contains(w))
       .map(_.replaceAll(ftStemRe, "")).distinct.toSeq
+
+  // ---- word n-gram index (reference NGramTokenizer, tok/tok.go:442) ----
+
+  /** ORDERED (non-deduped) fulltext stems — n-gram windows need token
+    * adjacency, so no array_distinct here.
+    */
+  def ftStemsSeq(text: Column): Column =
+    transform(
+      filter(split(lower(text), " "),
+        w => w =!= "" && !w.isin(enStops.map(lit(_)): _*)),
+      w => regexp_replace(w, ftStemRe, ""))
+
+  /** A value's ngram-index token set: every 1..4-gram of its stemmed
+    * token stream (reference NGramTokenizer.Tokens — uni/bi/tri/quad
+    * grams, deduplicated). Pure column expression, codegen'd.
+    */
+  def ngramSet(text: Column): Column = {
+    val toks = ftStemsSeq(text)
+    val n = size(toks)
+    array_distinct(flatten(transform(
+      sequence(lit(1), greatest(n, lit(1))),
+      i => filter(
+        array((1 to 4).map { g =>
+          when(i + lit(g - 1) <= n, array_join(slice(toks, i, lit(g)), " "))
+        }: _*),
+        x => x.isNotNull))))
+  }
+
+  /** Query-side grams: sliding windows of size min(3, tokens) over the
+    * stemmed query (reference NGramTokenizer.QueryTokens). Empty query
+    * → no grams → matches nothing.
+    */
+  def ngramQueryLit(q: String): Seq[String] = {
+    val toks = q.toLowerCase.split("\\s+")
+      .filter(w => w.nonEmpty && !enStops.contains(w))
+      .map(_.replaceAll(ftStemRe, "")).toSeq
+    val g = math.min(3, toks.length)
+    if (g == 0) Nil
+    else (0 to toks.length - g).map(i => toks.slice(i, i + g).mkString(" "))
+      .distinct
+  }
 }

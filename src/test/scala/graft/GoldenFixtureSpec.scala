@@ -346,7 +346,22 @@ class GoldenFixtureSpec extends AnyFunSuite {
     a(1026, "dgraph.type", "DispatchBoardCard"),
     e(1025, "DispatchBoard.column", 1023), a(1025, "order", "0"),
     e(1026, "DispatchBoard.column", 1023), a(1026, "order", "1"),
-    // weight1 second facet on the 1→31 path edge (common_test.go:568)
+    // ngram description corpus (common_test.go:989-1006)
+    a(401, "description", "The quick brown fox jumps over the lazy dog"),
+    a(402, "description", "A quick brown fox leaps over a sleeping dog"),
+    a(403, "description", "The lazy dog sleeps under the warm sun"),
+    a(404, "description", "Brown foxes are quick and agile animals"),
+    a(405, "description", "Dogs are loyal companions to humans"),
+    a(406, "description", "The sun shines brightly in the clear sky"),
+    a(407, "description", "Quick movements help foxes catch their prey"),
+    a(408, "description", "Lazy afternoons are perfect for sleeping dogs"),
+    a(409, "description", "Jumping over obstacles requires agility and speed"),
+    a(410, "description", "The brown animal moved quickly through the forest"),
+    a(411, "description", "Machine learning algorithms process natural language text"),
+    a(412, "description", "Natural language processing uses advanced algorithms"),
+    a(413, "description", "Text processing algorithms analyze linguistic patterns"),
+    a(414, "description", "Advanced machine learning techniques improve accuracy"),
+    a(415, "description", "Linguistic analysis helps understand text meaning"),
     // geo corpus (common_test.go:957-996: addGeoPointToCluster /
     // addGeoPolygonToCluster / addGeoMultiPolygonToCluster)
     gj(1, "loc", """{"type":"Point","coordinates":[1.1,2.0]}"""),
@@ -470,6 +485,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |sword_present: bool .
         |DispatchBoard.column: uid @reverse .
         |order: int .
+        |description: string @index(ngram) .
         |type Person2 { name2 age2 }
         |type DispatchBoardColumn { name }
         |type DispatchBoardCard { DispatchBoard.column order }
@@ -6684,6 +6700,183 @@ class GoldenFixtureSpec extends AnyFunSuite {
       var(func: has(name)) { SECTIONS_COUNT as count(school) }
       allHostels(func: has(name), orderdesc: val(SECTIONS_COUNT), orderasc: name) {
         uid name totalSections: val(SECTIONS_COUNT) } }""")
+  }
+
+  // ---- word-ngram battery (query_ngram_test.go; index tok/tok.go:442) ----
+
+  test("golden: TestNGramBasic (query_ngram_test.go)") {
+    checkGolden(
+      """{ me(func: ngram(description, "quick brown fox")) { uid description } }""",
+      """{"data": {"me":[
+        |{"uid":"0x191","description":"The quick brown fox jumps over the lazy dog"},
+        |{"uid":"0x192","description":"A quick brown fox leaps over a sleeping dog"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestNGramCountAtRoot (query_ngram_test.go)") {
+    checkGolden(
+      """{ me(func: ngram(description, "quick brown")) { count(uid) } }""",
+      """{"data": {"me":[{"count": 2}]}}""")
+  }
+
+  test("golden: TestNGramWithFilter (query_ngram_test.go)") {
+    checkGolden(
+      """{ me(func: has(description)) @filter(ngram(description, "brown fox")) { uid description } }""",
+      """{"data": {"me":[
+        |{"uid":"0x191","description":"The quick brown fox jumps over the lazy dog"},
+        |{"uid":"0x192","description":"A quick brown fox leaps over a sleeping dog"},
+        |{"uid":"0x194","description":"Brown foxes are quick and agile animals"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestNGramMultipleTerms (query_ngram_test.go)") {
+    checkGolden(
+      """{ me(func: ngram(description, "machine learning algorithms")) { uid description } }""",
+      """{"data": {"me":[
+        |{"uid":"0x19b","description":"Machine learning algorithms process natural language text"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestNGramEmptyQuery (query_ngram_test.go)") {
+    checkGolden(
+      """{ me(func: ngram(description, "")) { count(uid) } }""",
+      """{"data": {"me":[{"count": 0}]}}""")
+  }
+
+  test("golden: TestNGramNonExistentTerms (query_ngram_test.go)") {
+    checkGolden(
+      """{ me(func: ngram(description, "nonexistent randomword")) { uid description } }""",
+      """{"data": {"me":[]}}""")
+  }
+
+  test("golden: TestNGramWithVariables (query_ngram_test.go)") {
+    checkGolden(
+      """{
+        |  var(func: ngram(description, "lazy dogs")) { d as uid }
+        |  me(func: uid(d)) { uid description } }""".stripMargin,
+      """{"data": {"me":[
+        |{"uid":"0x191","description":"The quick brown fox jumps over the lazy dog"},
+        |{"uid":"0x193","description":"The lazy dog sleeps under the warm sun"}]}}"""
+        .stripMargin)
+  }
+
+  test("golden: TestNGramAggregation (query_ngram_test.go)") {
+    checkGolden(
+      """{
+        |  var(func: ngram(description, "quick brown fox")) { total as count(uid) }
+        |  me(func: uid(total)) { count: val(total) } }""".stripMargin,
+      """{"data": {"me":[{"count": 2}]}}""")
+  }
+
+  test("golden: TestNGramLongPhrase (query_ngram_test.go)") {
+    checkGolden(
+      """{ me(func: ngram(description, "natural language processing advanced algorithms")) { uid description } }""",
+      """{"data": {"me":[
+        |{"uid":"0x19c","description":"Natural language processing uses advanced algorithms"}]}}"""
+        .stripMargin)
+  }
+
+  // ---- RDF output format battery (rdf_result_test.go) ----
+
+  private def rdfGolden(query: String, golden: String): Unit = {
+    val got = new DqlExecutor(store).rdfAll(query)
+    assert(got == golden, s"\nours:\n$got\ngolden:\n$golden")
+  }
+
+  private def rdfErr(query: String, msg: String): Unit = {
+    val thrown = intercept[Exception] {
+      new DqlExecutor(store).rdfAll(query)
+    }
+    assert(thrown.getMessage.contains(msg), thrown.getMessage)
+  }
+
+  test("golden: TestRDFResult (rdf_result_test.go)") {
+    rdfGolden(
+      """{ friends_15_and_19(func: uid(1)) { name
+        |    friend @filter(ge(age, 15) AND lt(age, 19)) { name age } } }"""
+        .stripMargin,
+      "<0x1> <name> \"Michonne\" .\n" +
+        "<0x1> <friend> <0x17> .\n<0x1> <friend> <0x18> .\n<0x1> <friend> <0x19> .\n" +
+        "<0x17> <name> \"Rick Grimes\" .\n<0x18> <name> \"Glenn Rhee\" .\n" +
+        "<0x19> <name> \"Daryl Dixon\" .\n" +
+        "<0x17> <age> \"15\" .\n<0x18> <age> \"15\" .\n<0x19> <age> \"17\" .\n")
+  }
+
+  test("golden: TestRDFNormalize (rdf_result_test.go)") {
+    rdfErr("""{ me(func: uid(0x01)) @normalize { mn: name gender } }""",
+      "normalize directive is not supported in the rdf output format")
+  }
+
+  test("golden: TestRDFGroupBy (rdf_result_test.go)") {
+    rdfErr("""{ me(func: uid(1, 23, 24, 25, 31)) @groupby(age) { count(uid) } }""",
+      "groupby is not supported in rdf output format")
+  }
+
+  test("golden: TestRDFUidCount (rdf_result_test.go)") {
+    rdfErr("""{ me(func: gt(count(friend), 0)) { count(uid) } }""",
+      "uid count is not supported in the rdf output format")
+  }
+
+  test("golden: TestRDFIngoreReflex (rdf_result_test.go)") {
+    rdfErr("""{ me(func:anyofterms(name, "Michonne Rick Daryl")) @ignoreReflex {
+        name friend { name friend { name } } } }""",
+      "ignorereflex directive is not supported in the rdf output format")
+  }
+
+  test("golden: TestRDFRecurse (rdf_result_test.go)") {
+    rdfGolden(
+      """{ me(func: anyofterms(name, "Michonne Rick Daryl")) @recurse(depth: 1, loop: true) {
+        |    name friend } }""".stripMargin,
+      "<0x1> <name> \"Michonne\" .\n<0x17> <name> \"Rick Grimes\" .\n" +
+        "<0x19> <name> \"Daryl Dixon\" .\n")
+  }
+
+  test("golden: TestRDFIgnoreUid (rdf_result_test.go)") {
+    rdfGolden(
+      """{ me(func: anyofterms(name, "Michonne Rick Daryl")) { uid name } }""",
+      "<0x1> <name> \"Michonne\" .\n<0x17> <name> \"Rick Grimes\" .\n" +
+        "<0x19> <name> \"Daryl Dixon\" .\n")
+  }
+
+  test("golden: TestRDFCheckPwd (rdf_result_test.go)") {
+    rdfErr("""{ me(func: uid(0x01)) { expand(_all_) checkpwd(password, "12345") } }""",
+      "chkpwd function is not supported in the rdf output format")
+  }
+
+  test("golden: TestRDFPredicateCount (rdf_result_test.go)") {
+    rdfGolden(
+      """{ me(func:anyofterms(name, "Michonne Rick Daryl")) {
+        |    name count(friend) friend { name } } }""".stripMargin,
+      "<0x1> <name> \"Michonne\" .\n<0x17> <name> \"Rick Grimes\" .\n" +
+        "<0x19> <name> \"Daryl Dixon\" .\n" +
+        "<0x1> <count(friend)> \"5\" .\n<0x17> <count(friend)> \"1\" .\n" +
+        "<0x19> <count(friend)> \"0\" .\n" +
+        "<0x1> <friend> <0x17> .\n<0x1> <friend> <0x18> .\n<0x1> <friend> <0x19> .\n" +
+        "<0x1> <friend> <0x1f> .\n<0x1> <friend> <0x65> .\n<0x17> <friend> <0x1> .\n" +
+        "<0x1> <name> \"Michonne\" .\n<0x17> <name> \"Rick Grimes\" .\n" +
+        "<0x18> <name> \"Glenn Rhee\" .\n<0x19> <name> \"Daryl Dixon\" .\n" +
+        "<0x1f> <name> \"Andrea\" .\n")
+  }
+
+  test("golden: TestRDFFacets (rdf_result_test.go)") {
+    rdfErr("""{ shortest(from: 1, to:1001, numpaths: 4) { path @facets(weight) } }""",
+      "facets are not supported in the rdf output format")
+  }
+
+  test("golden: TestDateRDF (rdf_result_test.go)") {
+    rdfGolden(
+      """{ me(func: uid(0x01)) { name gender
+        |    friend(orderdesc: film.film.initial_release_date) {
+        |      name film.film.initial_release_date } } }""".stripMargin,
+      "<0x1> <name> \"Michonne\" .\n<0x1> <gender> \"female\" .\n" +
+        "<0x1> <friend> <0x19> .\n<0x1> <friend> <0x18> .\n<0x1> <friend> <0x17> .\n" +
+        "<0x1> <friend> <0x1f> .\n<0x1> <friend> <0x65> .\n" +
+        "<0x17> <name> \"Rick Grimes\" .\n<0x18> <name> \"Glenn Rhee\" .\n" +
+        "<0x19> <name> \"Daryl Dixon\" .\n<0x1f> <name> \"Andrea\" .\n" +
+        "<0x17> <film.film.initial_release_date> \"1900-01-02T00:00:00Z\" .\n" +
+        "<0x18> <film.film.initial_release_date> \"1909-05-05T00:00:00Z\" .\n" +
+        "<0x19> <film.film.initial_release_date> \"1929-01-10T00:00:00Z\" .\n" +
+        "<0x1f> <film.film.initial_release_date> \"1801-01-15T00:00:00Z\" .\n")
   }
 
   test("golden: TestGroupByGeoCrash (query1_test.go)") {
