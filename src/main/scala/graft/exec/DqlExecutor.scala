@@ -89,6 +89,19 @@ final class DqlExecutor(ts: GraphStore) {
         fn.args.length > 1)
       throw new IllegalArgumentException(
         s"Function ${fn.name} expects 1 argument, got ${fn.args.length}")
+    // a ROOT count comparison walks the count index — the predicate
+    // needs @count (reference TestDeleteAndReadCount: "Need @count
+    // directive in schema for attr"); filter-position counts evaluate
+    // per frontier uid and need no index
+    if (fn.name.endsWith("_count")) {
+      val cp = fn.pred.stripPrefix("~")
+      schema.predicates.get(cp).foreach { ps =>
+        if (!ps.count)
+          throw new IllegalArgumentException(
+            s"Need @count directive in schema for attr: $cp")
+      }
+      return
+    }
     if (!needIndex(fn.name) || fn.pred.startsWith("val:") || fn.pred.isEmpty)
       return
     val (p, _) = langSplit(fn.pred)
@@ -1115,6 +1128,21 @@ final class DqlExecutor(ts: GraphStore) {
       countEdge(fn.pred).groupBy(col("subject")).agg(count(lit(1)).as("__c"))
         .filter(cond(col("__c")))
         .select(col("subject").as("uid"))
+    case "similar_to" =>
+      // DQL similar_to over a vector predicate: an UNKNOWN predicate
+      // yields the empty set (reference TestAggregateEmpty4 — the
+      // user_profile schema is absent and `similar` renders []); the
+      // vector-search surface itself lives in operators/Similarity
+      // (quantized brute force + IVF/LSH), reached through the oracle
+      // queries — wiring an arbitrary stored-vector tablet through this
+      // seed needs a typed vector predicate, which the triple stores
+      // declare via float32vector
+      if (!schema.predicates.contains(fn.pred))
+        ts.nodeTypes.select(col("subject").as("uid")).limit(0)
+      else
+        throw new IllegalArgumentException(
+          s"similar_to over stored predicate ${fn.pred} requires the " +
+            "vector index path (operators/Similarity)")
     case "near" | "within" | "contains" | "intersects" =>
       // geo generators over GeoJSON-valued predicates (reference
       // worker/geofilter.go → types/geofilter.go; spherical distance
@@ -1220,7 +1248,11 @@ final class DqlExecutor(ts: GraphStore) {
     */
   private def countEdge(pred: String): DataFrame =
     if (pred.startsWith("~")) ts.reverseEdge(pred.stripPrefix("~"))
-    else ts.edge(pred)
+    else if (schema.isUidPredicate(pred)) ts.edge(pred)
+    else
+      // scalar predicates count their VALUES (reference
+      // TestDeleteAndReadCount: gt(count(numerology), 0) over strings)
+      ts.attr(pred)
 
   /** col() that survives dotted predicate names (office.room): backtick
     * quoting stops Spark treating the dot as struct-field access.
@@ -3112,11 +3144,25 @@ final class DqlExecutor(ts: GraphStore) {
     val rootKid = (k: String) =>
       if (kids != null && root.columns.contains(s"__k_$k"))
         Some(col(s"__k_$k")) else None
-    root
+    val rendered = root
       .filter(keep(predKeys.flatMap(rootKid)))
       .withColumn("__obj_base", baseJson)
       .select(col("uid"), objCol(rootKid).as("json"))
       .orderBy(col("uid"))
+    if (!b.normalize) rendered
+    else {
+      // @recurse @normalize: one flat object per root-to-leaf path of
+      // the rendered tree, aliased scalars as ARRAYS in path order
+      // (reference TestNormalizeDirectiveWithRecurseDirective). The
+      // flatten is a per-root row-local transform over the already
+      // rendered tree — distributed, no extra shuffle.
+      val edgeKeys = predKeys
+      val flat = udf((j: String) =>
+        DqlExecutor.flattenRecursePaths(j, edgeKeys))
+      rendered
+        .select(col("uid"), posexplode(flat(col("json"))).as(Seq("__p", "json")))
+        .orderBy(col("uid"), col("__p")).drop("__p")
+    }
   }
 
   /** `_path_` JSON for shortest blocks (reference query/shortest.go
@@ -3666,4 +3712,47 @@ final class DqlExecutor(ts: GraphStore) {
     * time.Time with RFC3339).
     */
   private val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssXXX")
+}
+
+object DqlExecutor {
+
+  /** Root-to-leaf flattening of a rendered recurse tree (reference
+    * normalize-over-recurse, query/outputnode.go normalize walk):
+    * `edgeKeys` are the tree's uid-predicate keys; every other key is a
+    * scalar that accumulates into a path-ordered array. Runs inside a
+    * UDF — must stay a pure function of its arguments.
+    */
+  private[exec] def flattenRecursePaths(json: String,
+      edgeKeys: Seq[String]): Seq[String] = {
+    if (json == null) return Nil
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(json)
+    val edgeSet = edgeKeys.toSet
+    val out = Seq.newBuilder[String]
+    def walk(node: com.fasterxml.jackson.databind.JsonNode,
+        path: List[com.fasterxml.jackson.databind.JsonNode]): Unit = {
+      val p = node :: path
+      val kids = edgeKeys.flatMap { k =>
+        Option(node.get(k)).toSeq.flatMap { c =>
+          if (c.isArray) (0 until c.size()).map(c.get) else Seq(c)
+        }
+      }
+      if (kids.isEmpty) {
+        val ordered = p.reverse
+        val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+        ordered.foreach(n => n.fieldNames().forEachRemaining { k =>
+          if (!edgeSet.contains(k) && k != "uid") keys += k
+        })
+        val obj = m.createObjectNode()
+        keys.foreach { k =>
+          val arr = m.createArrayNode()
+          ordered.foreach(n => Option(n.get(k)).foreach(arr.add))
+          obj.set[com.fasterxml.jackson.databind.node.ObjectNode](k, arr)
+        }
+        out += m.writeValueAsString(obj)
+      } else kids.foreach(walk(_, p))
+    }
+    walk(root, Nil)
+    out.result()
+  }
 }

@@ -6879,6 +6879,52 @@ class GoldenFixtureSpec extends AnyFunSuite {
         "<0x1f> <film.film.initial_release_date> \"1801-01-15T00:00:00Z\" .\n")
   }
 
+  test("golden: TestAggregateEmpty4 (query1_test.go)") {
+    // similar_to over an unknown predicate yields the empty set
+    checkGolden(
+      """{
+        |  var(func: type(User)) { up as user_profile }
+        |  similar(func: similar_to(user_profile, 4, val(up))) { uid } }"""
+        .stripMargin,
+      """{"data": {"similar":[]}}""")
+  }
+
+  test("golden: TestDeleteAndReadCount (query4_test.go)") {
+    val lines = Seq(a(0x666, "numerology", "This number is evil"),
+      a(0x777, "numerology", "This number is good"))
+    val withCount = miniStore("numerology: string @count .", lines)
+    val noCount = miniStore("numerology: string .", lines)
+    val q1 = """{ me(func: gt(count(numerology), 0)) { uid numerology } }"""
+    val expected = """{"data": {"me": [
+      |{"uid": "0x666", "numerology": "This number is evil"},
+      |{"uid": "0x777", "numerology": "This number is good"}]}}""".stripMargin
+    checkGolden(q1, expected, st = withCount)
+    val thrown = intercept[Exception] {
+      new DqlExecutor(noCount).jsonAllAst(Parser.parse(q1),
+        includeUid = false).collect()
+    }
+    assert(thrown.getMessage.contains(
+      "Need @count directive in schema for attr: numerology"))
+    checkGolden(q1, expected, st = withCount)
+  }
+
+  test("golden: TestNormalizeDirectiveWithRecurseDirective (query2_test.go)") {
+    // one flat object per root-to-leaf path of the recurse tree,
+    // scalars accumulated as path-ordered arrays
+    checkGolden(
+      """{ me(func: uid(0x01)) @recurse @normalize { n: name d: dob friend } }""",
+      """{"data": {"me": [
+        |{"n": ["Michonne", "Rick Grimes", "Michonne"],
+        | "d": ["1910-01-01T00:00:00Z", "1910-01-02T00:00:00Z", "1910-01-01T00:00:00Z"]},
+        |{"n": ["Michonne", "Glenn Rhee"],
+        | "d": ["1910-01-01T00:00:00Z", "1909-05-05T00:00:00Z"]},
+        |{"n": ["Michonne", "Daryl Dixon"],
+        | "d": ["1910-01-01T00:00:00Z", "1909-01-10T00:00:00Z"]},
+        |{"n": ["Michonne", "Andrea", "Glenn Rhee"],
+        | "d": ["1910-01-01T00:00:00Z", "1901-01-15T00:00:00Z", "1909-05-05T00:00:00Z"]}]}}"""
+        .stripMargin)
+  }
+
   test("golden: TestGroupByGeoCrash (query1_test.go)") {
     // reference asserts via require.Contains on the point-key group;
     // the full response groups the three loc values (Andrea has none)
