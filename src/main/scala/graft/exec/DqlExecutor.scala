@@ -1526,6 +1526,11 @@ final class DqlExecutor(ts: GraphStore) {
     sels.flatMap(s => s.varName.toSeq ++ s.facetVars.map(_._1) ++
       boundIn(s.children)).toSet
 
+  /** Vars read by math() anywhere inside a selection subtree. */
+  private def mathRefsIn(sels: Seq[Selection]): Set[String] =
+    sels.flatMap(s => s.mathExpr.map(mathRefs).getOrElse(Nil) ++
+      mathRefsIn(s.children)).toSet
+
   private def project(df: DataFrame, uidCol: String, sels: Seq[Selection],
       cascade: Boolean, prefix: String, detached: Boolean = false): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
@@ -1584,11 +1589,15 @@ final class DqlExecutor(ts: GraphStore) {
               // binding level and here (level columns are name-prefixed
               // by construction); the source value joins the dedup key
               // so parallel in-edges with distinct facets both count.
-              val chain = (varCols.values.map(_._2).toSet + ucol).toSeq
-                .filter(c => base.columns.contains(c) && c != uidCol &&
-                  (c == ucol ||
-                    (uidCol.startsWith(c + "_") && c.startsWith(ucol + "_"))))
-                .sorted
+              // every level column strictly between the binding level and
+              // here joins the dedup key — a root-bound var (ucol "uid")
+              // has ALL ancestor levels between (LDBC IC06's two-hop
+              // tagCount counts (person, post) paths, not (person, tag)
+              // pairs); an inner-bound var only those under its prefix
+              val chain = (base.columns.toSeq
+                .filter(c => c != uidCol && uidCol.startsWith(c + "_") &&
+                  (ucol == "uid" || c.startsWith(ucol + "_"))) :+ ucol)
+                .distinct.filter(base.columns.contains).sorted
               val tm = base.select(qcol(uidCol).as("__tu") +:
                   chain.map(qcol) :+ qcol(cname).as("__tv"): _*)
                 .filter(col("__tv").isNotNull)
@@ -1842,7 +1851,15 @@ final class DqlExecutor(ts: GraphStore) {
         val neededHere = sels.exists(o => (o ne sel) && (
           (o.aggOp.isDefined && o.valRef.exists(subVars.contains)) ||
             o.mathExpr.exists(m => mathRefs(m).exists(subVars.contains))))
-        if (detached && !cascade && sel.groupby.isEmpty && !neededHere) {
+        // a subtree whose math reads a var bound OUTSIDE it (LDBC IC06:
+        // `tc as math(1) ~hasCreator { hasTag { x as math(tc) } }`) must
+        // stay attached: the detached bare frontier drops the live source
+        // column AND the ancestor uid columns the path-sum transform
+        // dedups on (reference transformTo sums per tree path)
+        val readsOuter = mathRefsIn(sel.children).exists(r =>
+          !subVars.contains(r) && (liveVars(r) || varCols.contains(r)))
+        if (detached && !cascade && sel.groupby.isEmpty && !neededHere &&
+            !readsOuter) {
           val sub = traverse(cur.select(qcol(uidCol)).distinct(), uidCol,
             sel, name, cascade, detached)
           sel.varName.foreach { v =>
