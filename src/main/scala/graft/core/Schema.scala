@@ -22,7 +22,17 @@ final case class PredicateSchema(
     reverse: Boolean = false,
     count: Boolean = false,
     lang: Boolean = false,
-    noConflict: Boolean = false)
+    noConflict: Boolean = false) {
+
+  /** Distance metric of a vector index — `@index(hnsw(metric: "cosine"))`;
+    * the reference defaults to euclidean when unspecified
+    * (tok/index_factory.go hnsw options).
+    */
+  def vectorMetric: String =
+    indexes.find(_.startsWith("hnsw"))
+      .flatMap("""metric:\s*"?(\w+)"?""".r.findFirstMatchIn(_))
+      .map(_.group(1)).getOrElse("euclidean")
+}
 
 final case class NodeType(name: String, predicates: Seq[String])
 
@@ -76,8 +86,25 @@ object SchemaRegistry {
     // only the last segment and silently shadow the `room` predicate
     // hyphens are legal in predicate names (reference tweet-a,
     // index-pred1 — lex/state.go name runes)
-    val predRe = """(?m)^\s*([\w.-]+)\s*:\s*(\[)?\s*(\w+)\s*\]?\s*((?:@\w+(?:\([^)]*\))?\s*)*)\.""".r
-    val idxRe = """@index\s*\(([^)]*)\)""".r
+    // directive args may nest one paren level: @index(hnsw(metric: "euclidean"))
+    // (reference vector index declarations, query/vector/vector_test.go:27)
+    val predRe = """(?m)^\s*([\w.-]+)\s*:\s*(\[)?\s*(\w+)\s*\]?\s*((?:@\w+(?:\((?:[^()]|\([^)]*\))*\))?\s*)*)\.""".r
+    val idxRe = """@index\s*\(((?:[^()]|\([^)]*\))*)\)""".r
+    // split the index list on TOP-LEVEL commas only — hnsw(exponent: "4",
+    // metric: "euclidean") is ONE tokenizer spec
+    def splitIdx(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; val cur = new StringBuilder
+      s.foreach {
+        case '(' => depth += 1; cur.append('(')
+        case ')' => depth -= 1; cur.append(')')
+        case ',' if depth == 0 =>
+          if (cur.nonEmpty) out += cur.result().trim; cur.clear()
+        case c => cur.append(c)
+      }
+      if (cur.nonEmpty) out += cur.result().trim
+      out.result().filter(_.nonEmpty)
+    }
     val preds = predRe.findAllMatchIn(noTypes).map { m =>
       val dirs = Option(m.group(4)).getOrElse("")
       PredicateSchema(
@@ -85,7 +112,7 @@ object SchemaRegistry {
         dgraphType = m.group(3),
         isList = m.group(2) != null,
         indexes = idxRe.findFirstMatchIn(dirs)
-          .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .map(mm => splitIdx(mm.group(1)))
           .getOrElse(Nil),
         reverse = dirs.contains("@reverse"),
         count = dirs.contains("@count"),

@@ -84,6 +84,13 @@ final class TripleFrameStore(
       case "bigfloat" => col("value").cast(
         org.apache.spark.sql.types.DecimalType(38, 24))
       case "bool" => col("value").cast("boolean")
+      // "[1.0, 1.0, 2.0, 2.0]" → ARRAY<FLOAT> (reference float32vector,
+      // types/scalar_types.go:60); to_json then renders the JSON array
+      case "float32vector" =>
+        transform(
+          filter(split(regexp_replace(col("value"), """[\[\]\s]""", ""),
+            ","), x => x =!= ""),
+          x => x.cast("float"))
       // instant for compare/sort; the offset-preserving display string
       // rides along (see DateTimeFunctions — Go keeps the written zone)
       case "datetime" => graft.functions.DateTimeFunctions.instant(col("value"))

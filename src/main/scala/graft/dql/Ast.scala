@@ -83,6 +83,9 @@ final case class MathNum(v: Double, isInt: Boolean = false) extends MathNode
 final case class MathRef(name: String) extends MathNode
 final case class MathBin(op: String, l: MathNode, r: MathNode) extends MathNode
 final case class MathFunc(name: String, args: Seq[MathNode]) extends MathNode
+// "[1.0, 2.0]" float32vector literal — the operand of `dot`
+// (reference query/vector/vector_test.go Math(v1 dot $vec))
+final case class MathVec(values: Seq[Double]) extends MathNode
 
 final case class RecurseArgs(depth: Int, loop: Boolean)
 

@@ -346,8 +346,10 @@ object Parser {
         if (peek == Punct("~")) { next(); reverse = true }
         name = ident()
       }
-      // x as math(expr): arithmetic over value variables (dql/math.go)
-      if (name == "math" && peek == Punct("(")) {
+      // x as math(expr): arithmetic over value variables (dql/math.go);
+      // the reference lexer is case-insensitive here (vector tests
+      // write `Math(v1 dot $vec)`)
+      if (name.equalsIgnoreCase("math") && peek == Punct("(")) {
         next()
         val m = parseMathCmp()
         expect(")")
@@ -748,6 +750,12 @@ object Parser {
             raw.append(']')
             if (nested) args :+= raw.result()
             else args ++= flat.result()
+          case Ident(k) if pos + 1 < ts.length && ts(pos + 1) == Punct(":") =>
+            // named option: similar_to(p, k, "[..]", ef: 2,
+            // distance_threshold: 1.5) (reference worker/task.go:2772
+            // similar_to opts). NUL-prefixed like val()/uid() markers.
+            next(); next()
+            args :+= s"\u0000opt:$k=${litString()}"
           case _ => args :+= litString()
         }
       }
@@ -792,9 +800,16 @@ object Parser {
 
     private def parseMathMul(): MathNode = {
       var l = parseMathAtom()
-      while (peek == Punct("*") || peek == Punct("/") || peek == Punct("%")) {
-        val op = next().asInstanceOf[Punct].c
-        l = MathBin(op, l, parseMathAtom())
+      var going = true
+      while (going) peek match {
+        case Punct("*") | Punct("/") | Punct("%") =>
+          val op = next().asInstanceOf[Punct].c
+          l = MathBin(op, l, parseMathAtom())
+        case Ident("dot") =>
+          // v1 dot v2: float32vector dot product (reference
+          // query/vector/vector_test.go, math.go vector ops)
+          next(); l = MathBin("dot", l, parseMathAtom())
+        case _ => going = false
       }
       l
     }
@@ -813,6 +828,10 @@ object Parser {
         expect(")")
         MathFunc(fn, args)
       case Ident(v) => MathRef(v)
+      case StrLit(s) if s.trim.startsWith("[") =>
+        // "[1.0, 2.0]" — a $var-substituted float32vector literal
+        MathVec(s.trim.stripPrefix("[").stripSuffix("]")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq)
       case other => fail(s"unexpected math token $other")
     }
 

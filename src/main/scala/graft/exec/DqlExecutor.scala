@@ -182,6 +182,25 @@ final class DqlExecutor(ts: GraphStore) {
             s"Variable: [${sel.valRef.get}] used before definition."))
         val src =
           if (vf.columns.contains("uid")) vf.dropDuplicates("uid") else vf
+        if (src.schema("value").dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]) {
+          // float32vector value var: min/max/sum/avg aggregate
+          // ELEMENTWISE (reference TestGetVector — avg(val(a)) of
+          // [1,1,2,2],[2,1,2,2] is [1.5,1,2,2]). posexplode + groupBy
+          // position keeps the agg fully distributed; only the
+          // dimension-sized result reaches the driver.
+          val per = src.select(posexplode(col("value").cast("array<double>"))
+            .as(Seq("__p", "__v")))
+          val aggV = sel.aggOp.get match {
+            case "min" => min(col("__v")); case "max" => max(col("__v"))
+            case "sum" => sum(col("__v")); case "avg" => avg(col("__v"))
+            case o => throw new IllegalArgumentException(s"bad root agg $o")
+          }
+          val parts = per.groupBy(col("__p")).agg(aggV.as("v"))
+            .orderBy(col("__p")).collect().map(_.getDouble(1))
+          sel.varName.foreach(scalars(_) = None)
+          s"""{"${jsonKey(sel)}":${parts.map(fmt).mkString("[", ",", "]")}}"""
+        } else {
         val aggC = sel.aggOp.get match {
           case "min" => min(col("value")); case "max" => max(col("value"))
           case "sum" => sum(col("value")); case "avg" => avg(col("value"))
@@ -211,6 +230,7 @@ final class DqlExecutor(ts: GraphStore) {
             })
         }
         s"""{"${jsonKey(sel)}":$jsonV}"""
+        }
       } else if (sel.pred == "math" && sel.mathExpr.isDefined) {
         val v = evalMath(sel.mathExpr.get)
         // scalar math in an empty block binds like an aggregate
@@ -1129,20 +1149,66 @@ final class DqlExecutor(ts: GraphStore) {
         .filter(cond(col("__c")))
         .select(col("subject").as("uid"))
     case "similar_to" =>
-      // DQL similar_to over a vector predicate: an UNKNOWN predicate
-      // yields the empty set (reference TestAggregateEmpty4 — the
-      // user_profile schema is absent and `similar` renders []); the
-      // vector-search surface itself lives in operators/Similarity
-      // (quantized brute force + IVF/LSH), reached through the oracle
-      // queries — wiring an arbitrary stored-vector tablet through this
-      // seed needs a typed vector predicate, which the triple stores
-      // declare via float32vector
+      // DQL similar_to over a stored float32vector predicate (reference
+      // worker/task.go:2772 opts; tok/hnsw distance fns). An UNKNOWN
+      // predicate yields the empty set (TestAggregateEmpty4 — the
+      // user_profile schema is absent and `similar` renders []).
+      //
+      // Exact distributed search: one pruned scan of the vector tablet,
+      // per-row distance via codegen'd higher-order functions, then a
+      // TakeOrdered of k rows — at 100 TB this is the brute-force
+      // baseline; the IVF/LSH index paths live in operators/Similarity.
+      // The `ef:` option is HNSW search breadth — exact search already
+      // returns the true top-k, so it is accepted and ignored;
+      // `distance_threshold:` filters on the metric value
+      // (TestSimilarToOptionsIntegration).
       if (!schema.predicates.contains(fn.pred))
         ts.nodeTypes.select(col("subject").as("uid")).limit(0)
-      else
-        throw new IllegalArgumentException(
-          s"similar_to over stored predicate ${fn.pred} requires the " +
-            "vector index path (operators/Similarity)")
+      else {
+        val p = schema.pred(fn.pred)
+        if (p.dgraphType != "float32vector")
+          throw new IllegalArgumentException(
+            s"similar_to requires a float32vector predicate, " +
+              s"got ${fn.pred}: ${p.dgraphType}")
+        val opts = fn.args.collect {
+          case a if a.startsWith("\u0000opt:") =>
+            val kv = a.stripPrefix("\u0000opt:").split("=", 2)
+            kv(0) -> kv(1)
+        }.toMap
+        val positional = fn.args.filterNot(_.startsWith("\u0000opt:"))
+        if (positional.length != 2)
+          throw new IllegalArgumentException(
+            "similar_to(pred, topk, vector) requires a top-k and a " +
+              "query vector")
+        val k = positional(0).toDouble.toInt
+        val qvec = positional(1).stripPrefix("[").stripSuffix("]")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+        if (qvec.isEmpty) throw new IllegalArgumentException(
+          s"similar_to: bad query vector ${positional(1)}")
+        val qcolv = array(qvec.map(lit): _*)
+        val v = col("value").cast("array<double>")
+        val dot = aggregate(zip_with(v, qcolv, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+        val dist = p.vectorMetric match {
+          case "euclidean" =>
+            sqrt(aggregate(zip_with(v, qcolv, (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x))
+          case "cosine" =>
+            val qn = math.sqrt(qvec.map(x => x * x).sum)
+            lit(1.0) - dot /
+              (sqrt(aggregate(transform(v, a => a * a),
+                lit(0.0), (acc, x) => acc + x)) * lit(qn))
+          case "dotproduct" => -dot
+          case other => throw new IllegalArgumentException(
+            s"unknown vector metric $other on ${fn.pred}")
+        }
+        var scored = ts.attr(fn.pred)
+          .select(col("subject").as("uid"), dist.as("__d"))
+        opts.get("distance_threshold").foreach(t =>
+          scored = scored.filter(col("__d") <= lit(t.toDouble)))
+        scored.orderBy(col("__d").asc, col("uid").asc).limit(k)
+          .select(col("uid"))
+      }
     case "near" | "within" | "contains" | "intersects" =>
       // geo generators over GeoJSON-valued predicates (reference
       // worker/geofilter.go → types/geofilter.go; spherical distance
@@ -2320,10 +2386,30 @@ final class DqlExecutor(ts: GraphStore) {
       : Column = {
     def num(x: MathNode): Column = mathCol(x, intRefs)
     def isInt(x: MathNode): Boolean = mathIntegral(x, intRefs)
+    // vector operand: the raw ARRAY column / literal, no double cast;
+    // +,-,* inside a dot operand are ELEMENTWISE (reference similar-by-
+    // embedding rewrite: math(sqrt((v2 - $vec) dot (v2 - $vec))),
+    // graphql/resolve/query_rewriter.go:840)
+    def vec(x: MathNode): Column = x match {
+      case MathVec(vs) => array(vs.map(lit): _*)
+      case MathRef(n) => col(s"__m_$n").cast("array<double>")
+      case MathBin("+", l, r) => zip_with(vec(l), vec(r), (a, b) => a + b)
+      case MathBin("-", l, r) => zip_with(vec(l), vec(r), (a, b) => a - b)
+      case MathBin("*", l, r) => zip_with(vec(l), vec(r), (a, b) => a * b)
+      case other => throw new IllegalArgumentException(
+        s"dot requires vector operands, got $other")
+    }
     m match {
       case MathNum(v, i) => if (i) lit(v.toLong) else lit(v)
+      case MathVec(_) => throw new IllegalArgumentException(
+        "a vector literal is only valid as a dot operand")
       case MathRef(n) =>
         if (intRefs(n)) col(s"__m_$n") else col(s"__m_$n").cast("double")
+      case MathBin("dot", l, r) =>
+        // float32vector dot product (reference math.go vector ops;
+        // TestDotProductWithConstantVector) — codegen'd zip_with/aggregate
+        aggregate(zip_with(vec(l), vec(r), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
       case MathBin("+", l, r) => num(l) + num(r)
       case MathBin("-", l, r) => num(l) - num(r)
       case MathBin("*", l, r) => num(l) * num(r)

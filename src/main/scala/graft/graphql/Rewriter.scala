@@ -41,15 +41,73 @@ final class Rewriter(schema: GqlSchema) {
   private val QueryRe = "query([A-Z]\\w*)".r
   private val GetRe = "get([A-Z]\\w*)".r
   private val AggRe = "aggregate([A-Z]\\w*)".r
+  private val SimilarRe = "querySimilar([A-Z]\\w*)ByEmbedding".r
 
   private def rewriteRoot(root: GqlSelection): Seq[QueryBlock] =
     root.name match {
+      case SimilarRe(t) => similarBlocks(root, schema.typ(t))
       case QueryRe(t) => Seq(queryBlock(root, schema.typ(t)))
       case GetRe(t) => Seq(getBlock(root, schema.typ(t)))
       case AggRe(t) => aggBlocks(root, schema.typ(t))
       case other => throw RewriteException(
         s"unknown root field '$other' (expected query<T>/get<T>/aggregate<T>)")
     }
+
+  // ---- querySimilar<T>ByEmbedding(by, topK, vector) ----
+
+  /** The reference's two-block rewrite (graphql/resolve/
+    * query_rewriter.go:800 rewriteAsSimilarByEmbeddingQuery):
+    *   var(func: similar_to(pred, topK, "[..]")) {
+    *     v2 as pred
+    *     distance as math(<metric formula over v2 and the query vector>) }
+    *   result(func: uid(distance), orderasc: val(distance)) { fields }
+    * `vector_distance` in the selection set reads val(distance).
+    */
+  private def similarBlocks(root: GqlSelection, t: SdlType): Seq[QueryBlock] = {
+    val by = root.arg("by").map(enumName).getOrElse(
+      throw RewriteException("querySimilarByEmbedding requires `by`"))
+    val f = t.field(by).getOrElse(
+      throw RewriteException(s"${t.name} has no field '$by'"))
+    val topK = root.arg("topK").map(scalar).getOrElse(
+      throw RewriteException("querySimilarByEmbedding requires `topK`"))
+    val qv = root.arg("vector") match {
+      case Some(GList(vs)) => vs.map(v => scalar(v).toDouble)
+      case Some(GStr(s)) => s.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      case _ => throw RewriteException(
+        "querySimilarByEmbedding requires `vector`")
+    }
+    val q = MathVec(qv)
+    val v2 = MathRef("g_simvec")
+    def dot(l: MathNode, r: MathNode) = MathBin("dot", l, r)
+    val distance = f.embeddingMetric match {
+      case "dotproduct" => MathBin("-", MathNum(1.0), dot(q, v2))
+      case "cosine" => MathBin("-", MathNum(1.0),
+        MathBin("/", dot(q, v2),
+          MathFunc("sqrt", Seq(MathBin("*", dot(q, q), dot(v2, v2))))))
+      case _ => MathFunc("sqrt",
+        Seq(dot(MathBin("-", v2, q), MathBin("-", v2, q))))
+    }
+    val varBlock = QueryBlock(
+      name = "var",
+      func = FuncCall("similar_to", by,
+        Seq(topK, qv.mkString("[", ",", "]"))),
+      selections = Seq(
+        Selection(alias = None, pred = by, varName = Some("g_simvec")),
+        Selection(alias = None, pred = "math", varName = Some("g_simdist"),
+          mathExpr = Some(distance))))
+    val result = QueryBlock(
+      name = root.outName,
+      func = FuncCall("uid", "", Seq("g_simdist")),
+      order = Seq(Ordering("val:g_simdist", desc = false)),
+      selections = root.children.flatMap {
+        case c if c.name == "vector_distance" =>
+          Some(Selection(alias = Some(c.outName), pred = "val",
+            valRef = Some("g_simdist")))
+        case c => selection(c, t)
+      })
+    Seq(varBlock, result)
+  }
 
   // ---- query<T> ----
 

@@ -16,7 +16,18 @@ final case class SdlField(
     typeName: String,
     isList: Boolean,
     isId: Boolean,
-    searchable: Seq[String])     // @search(by: [...]) tokenizer names
+    searchable: Seq[String],     // @search(by: [...]) tokenizer names
+    isEmbedding: Boolean = false) { // @embedding [Float!] vector field
+
+  /** hnsw metric of an embedding field — `@search(by: ["hnsw(metric:
+    * euclidean, exponent: 4)"])`; euclidean when unspecified (reference
+    * graphql/schema EmbeddingSearchMetric).
+    */
+  def embeddingMetric: String =
+    searchable.find(_.startsWith("hnsw"))
+      .flatMap("""metric:\s*"?(\w+)"?""".r.findFirstMatchIn(_))
+      .map(_.group(1)).getOrElse("euclidean")
+}
 
 final case class SdlType(name: String, fields: Seq[SdlField],
     isInterface: Boolean = false, implements: Seq[String] = Nil) {
@@ -47,8 +58,25 @@ object SdlParser {
     }).mkString("\n")
     val typePat =
       """(?s)(type|interface)\s+(\w+)(?:\s+implements\s+([\w\s&]+?))?\s*\{(.*?)\}""".r
-    val fieldPat = """(\w+)\s*:\s*(\[)?\s*(\w+)\s*!?\s*(\])?\s*!?\s*((?:@\w+(?:\([^)]*\))?\s*)*)""".r
+    // directive args may nest one paren level and carry quoted specs:
+    // @search(by: ["hnsw(metric: euclidean, exponent: 4)"])
+    val fieldPat = """(\w+)\s*:\s*(\[)?\s*(\w+)\s*!?\s*(\])?\s*!?\s*((?:@\w+(?:\((?:[^()]|\([^)]*\))*\))?\s*)*)""".r
     val searchByPat = """@search\s*\(\s*by\s*:\s*\[([^\]]*)\]\s*\)""".r
+    // split a by-list on TOP-LEVEL commas, strip quotes — a quoted
+    // hnsw(...) spec is ONE entry
+    def splitBy(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; val cur = new StringBuilder
+      s.foreach {
+        case '(' => depth += 1; cur.append('(')
+        case ')' => depth -= 1; cur.append(')')
+        case ',' if depth == 0 =>
+          if (cur.nonEmpty) out += cur.result().trim; cur.clear()
+        case c => cur.append(c)
+      }
+      if (cur.nonEmpty) out += cur.result().trim
+      out.result().map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
     val raw = typePat.findAllMatchIn(src).map { m =>
       val tname = m.group(2)
       val impls = Option(m.group(3)).map(
@@ -58,7 +86,7 @@ object SdlParser {
         val dirText = Option(f.group(5)).getOrElse("")
         val search =
           searchByPat.findFirstMatchIn(dirText)
-            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .map(m => splitBy(m.group(1)))
             .orElse(if (dirText.contains("@search")) Some(Seq("default")) else None)
             .getOrElse(Nil)
         SdlField(
@@ -66,7 +94,8 @@ object SdlParser {
           typeName = f.group(3),
           isList = f.group(2) != null,
           isId = f.group(3) == "ID" || dirText.contains("@id"),
-          searchable = search)
+          searchable = search,
+          isEmbedding = dirText.contains("@embedding"))
       }.toSeq
       tname -> SdlType(tname, fields,
         isInterface = m.group(1) == "interface", implements = impls)

@@ -6925,6 +6925,87 @@ class GoldenFixtureSpec extends AnyFunSuite {
         .stripMargin)
   }
 
+  // ---- DQL vector surface (query/vector/vector_test.go) ----
+
+  test("golden: TestSimilarToOptionsIntegration (query/vector/vector_test.go:420)") {
+    val st = miniStore(
+      """voptions: float32vector @index(hnsw(exponent: "4", metric: "euclidean")) .""",
+      Seq(a(1, "voptions", "[0,0]"), a(2, "voptions", "[1,0]"),
+        a(3, "voptions", "[2,0]"), a(4, "voptions", "[5,0]")))
+    // ef: 2 is HNSW search breadth — exact search still returns the
+    // true top-3 the reference asserts
+    checkGolden(
+      """{ results(func: similar_to(voptions, 3, "[0,0]", ef: 2)) { uid } }""",
+      """{"data":{"results":[{"uid":"0x1"},{"uid":"0x2"},{"uid":"0x3"}]}}""",
+      st = st, arrayOrderFree = true)
+    // distance_threshold caps the metric value even below top-k
+    checkGolden(
+      """{ results(func: similar_to(voptions, 4, "[0,0]", distance_threshold: 1.5)) { uid } }""",
+      """{"data":{"results":[{"uid":"0x1"},{"uid":"0x2"}]}}""",
+      st = st, arrayOrderFree = true)
+  }
+
+  test("golden: TestVectorInQueryArgument (query/vector/vector_test.go:488)") {
+    val st = miniStore(
+      """vtest: float32vector @index(hnsw(exponent: "4", metric: "euclidean")) .""",
+      Seq(a(1, "vtest", "[1, 0, 0, 0]"), a(2, "vtest", "[0, 1, 0, 0]"),
+        a(3, "vtest", "[0, 0, 1, 0]")))
+    val rows = new DqlExecutor(st).jsonAllAst(Parser.parseWithVars(
+      """query demo($v: float32vector) {
+        |  vector(func: similar_to(vtest, 1, $v)) { uid } }""".stripMargin,
+      Map("$v" -> "[1, 0, 0, 0]")), includeUid = false).collect()
+    assert(rows.map(_.getString(2)).mkString == """{"uid":"0x1"}""")
+  }
+
+  test("golden: TestGetVector (query/vector/vector_test.go:824)") {
+    // vector attrs render as JSON arrays; avg/sum over a vector value
+    // var aggregate ELEMENTWISE
+    val st = miniStore("vectorNonIndex: float32vector .",
+      Seq(a(1, "vectorNonIndex", "[1.0, 1.0, 2.0, 2.0]"),
+        a(2, "vectorNonIndex", "[2.0, 1.0, 2.0, 2.0]")))
+    checkGolden(
+      """{
+        |  me(func: has(vectorNonIndex)) { a as vectorNonIndex }
+        |  aggregation() { avg(val(a)) sum(val(a)) } }""".stripMargin,
+      """{"data":{
+        |  "me":[{"vectorNonIndex":[1,1,2,2]},{"vectorNonIndex":[2,1,2,2]}],
+        |  "aggregation":[{"avg(val(a))":[1.5,1,2,2]},{"sum(val(a))":[3,2,4,4]}]}}"""
+        .stripMargin,
+      st = st)
+  }
+
+  test("golden: TestSimilarToCosineMetric (tok/hnsw/helper.go distance fns)") {
+    // cosine metric ranks by angle, not magnitude: [4,0] aligns with the
+    // query [1,0] ahead of the nearer-by-euclidean [1,1]
+    val st = miniStore(
+      """vcos: float32vector @index(hnsw(metric: "cosine")) .""",
+      Seq(a(1, "vcos", "[4, 0]"), a(2, "vcos", "[1, 1]"),
+        a(3, "vcos", "[0, 2]")))
+    checkGolden(
+      """{ results(func: similar_to(vcos, 2, "[1,0]")) { uid } }""",
+      """{"data":{"results":[{"uid":"0x1"},{"uid":"0x2"}]}}""",
+      st = st, arrayOrderFree = true)
+  }
+
+  test("golden: TestDotProductWithConstantVector (query/vector/vector_test.go:887)") {
+    val st = miniStore("vec452: float32vector .",
+      Seq(a(1, "vec452", "[1.0, 1.0, 2.0, 2.0]"),
+        a(2, "vec452", "[2.0, 1.0, 2.0, 2.0]")))
+    checkGolden(
+      """query q($vec: float32vector) {
+        |  q(func: has(vec452)) {
+        |    v1 as vec452
+        |    distance: Math(v1 dot $vec) } }""".stripMargin,
+      """{"data":{"q":[{"vec452":[1,1,2,2],"distance":10},{"vec452":[2,1,2,2],"distance":11}]}}""",
+      vars = Map("$vec" -> "[1.0, 1.0, 2.0, 2.0]"), st = st)
+    checkGolden(
+      """{ q(func: has(vec452)) {
+        |    v1 as vec452
+        |    distance: Math(v1 dot v1) } }""".stripMargin,
+      """{"data":{"q":[{"vec452":[1,1,2,2],"distance":10},{"vec452":[2,1,2,2],"distance":13}]}}""",
+      st = st)
+  }
+
   test("golden: TestGroupByGeoCrash (query1_test.go)") {
     // reference asserts via require.Contains on the point-key group;
     // the full response groups the three loc values (Andrea has none)

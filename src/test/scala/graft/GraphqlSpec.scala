@@ -208,4 +208,76 @@ class GraphqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no field"))
   }
+
+  // ---- vector surface: querySimilar<T>ByEmbedding (reference
+  // query/vector/vector_graphql_test.go + graphql/resolve/
+  // query_rewriter.go:800 rewriteAsSimilarByEmbeddingQuery) ----
+
+  private lazy val vectorEngine: GraphQLEngine = {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """title: string @index(exact) .
+        |title_v: float32vector @index(hnsw(metric: "euclidean", exponent: "4")) .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <title> "alpha" .""",
+        """<0x1> <title_v> "[1, 0, 0, 0, 0]" .""",
+        """<0x1> <dgraph.type> "Project" .""",
+        """<0x2> <title> "beta" .""",
+        """<0x2> <title_v> "[0, 1, 0, 0, 0]" .""",
+        """<0x2> <dgraph.type> "Project" .""",
+        """<0x3> <title> "gamma" .""",
+        """<0x3> <title_v> "[0.9, 0.1, 0, 0, 0]" .""",
+        """<0x3> <dgraph.type> "Project" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type Project {
+        |  id: ID!
+        |  title: String! @search(by: [exact])
+        |  title_v: [Float!] @embedding @search(by: ["hnsw(metric: euclidean, exponent: 4)"])
+        |}""".stripMargin)
+    new GraphQLEngine(store, sdl)
+  }
+
+  test("querySimilarProjectByEmbedding: distance-ordered top-k with vector echo") {
+    // the SDL parser keeps the quoted hnsw spec as ONE search entry
+    val f = vectorEngine.rewrite(
+      """query { querySimilarProjectByEmbedding(by: title_v, topK: 2,
+        |  vector: [1.0, 0.0, 0.0, 0.0, 0.0]) { title } }""".stripMargin)
+    assert(f.blocks.head.func.name == "similar_to")
+    val rows = vectorEngine.json(
+      """query { querySimilarProjectByEmbedding(by: title_v, topK: 2,
+        |  vector: [1.0, 0.0, 0.0, 0.0, 0.0]) {
+        |    title title_v vector_distance } }""".stripMargin)
+      .collect().map(_.getAs[String]("json"))
+    // alpha is the query vector itself (distance 0); gamma is nearer
+    // than beta; topK=2 cuts beta
+    assert(rows.length == 2, rows.mkString("\n"))
+    assert(rows(0).contains("\"title\":\"alpha\"") &&
+      rows(0).contains("\"vector_distance\":0.0"), rows(0))
+    assert(rows(1).contains("\"title\":\"gamma\""), rows(1))
+    assert(rows(1).contains("\"title_v\":[0.9,0.1,0,0,0]") ||
+      rows(1).contains("\"title_v\":[0.9,0.1,0.0,0.0,0.0]"), rows(1))
+  }
+
+  test("querySimilarByEmbedding metrics: cosine ranks by angle, dotproduct by dot") {
+    val sdlCos = SdlParser.parse(
+      """type Project {
+        |  id: ID!
+        |  title: String! @search(by: [exact])
+        |  title_v: [Float!] @embedding @search(by: ["hnsw(metric: cosine)"])
+        |}""".stripMargin)
+    val op = GqlParser.parse(
+      """query { querySimilarProjectByEmbedding(by: title_v, topK: 2,
+        |  vector: [1.0, 0.0]) { title } }""".stripMargin)
+    val dql = Rewriter.rewrite(op, sdlCos)
+    // cosine formula: 1 - dot/sqrt(|q||v|) (reference query_rewriter.go
+    // distanceFormula per metric)
+    val mathSel = dql.blocks.head.selections.find(_.pred == "math").get
+    assert(mathSel.mathExpr.get.toString.contains("dot"))
+  }
 }
