@@ -198,7 +198,14 @@ final class DqlExecutor(ts: GraphStore) {
           }
           val parts = per.groupBy(col("__p")).agg(aggV.as("v"))
             .orderBy(col("__p")).collect().map(_.getDouble(1))
-          sel.varName.foreach(scalars(_) = None)
+          // the result binds as a SCALAR (no-uid) vector var — the
+          // reference's similar-by-id rewrite reads it back via
+          // `similar_to(pred, k, val(v1))` and broadcast math
+          // (graphql/resolve/query_rewriter.go:637)
+          sel.varName.foreach { v =>
+            scalars(v) = None
+            bindVar(v, Seq(parts.toSeq).toDF("value"))
+          }
           s"""{"${jsonKey(sel)}":${parts.map(fmt).mkString("[", ",", "]")}}"""
         } else {
         val aggC = sel.aggOp.get match {
@@ -1181,8 +1188,25 @@ final class DqlExecutor(ts: GraphStore) {
             "similar_to(pred, topk, vector) requires a top-k and a " +
               "query vector")
         val k = positional(0).toDouble.toInt
-        val qvec = positional(1).stripPrefix("[").stripSuffix("]")
-          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+        // query vector: a "[..]" literal, or val(v) — a vector variable
+        // (the reference's similar-by-id rewrite binds the anchor's
+        // embedding and passes val(v1), query_rewriter.go:637). The var
+        // holds ONE vector; the collect is metadata-sized by contract.
+        val qvec: Array[Double] =
+          if (positional(1).startsWith("\u0000val:")) {
+            val vn = positional(1).stripPrefix("\u0000val:")
+            val vf = vars.getOrElse(vn, throw new IllegalArgumentException(
+              s"similar_to: variable $vn is not bound"))
+            val rows = vf.select(col("value")).limit(2).collect()
+            if (rows.length != 1) throw new IllegalArgumentException(
+              s"similar_to: val($vn) must hold exactly one vector, " +
+                s"got ${rows.length}")
+            rows.head.getSeq[Any](0).map {
+              case d: java.lang.Number => d.doubleValue
+              case o => o.toString.toDouble
+            }.toArray
+          } else positional(1).stripPrefix("[").stripSuffix("]")
+            .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
         if (qvec.isEmpty) throw new IllegalArgumentException(
           s"similar_to: bad query vector ${positional(1)}")
         val qcolv = array(qvec.map(lit): _*)

@@ -42,10 +42,12 @@ final class Rewriter(schema: GqlSchema) {
   private val GetRe = "get([A-Z]\\w*)".r
   private val AggRe = "aggregate([A-Z]\\w*)".r
   private val SimilarRe = "querySimilar([A-Z]\\w*)ByEmbedding".r
+  private val SimilarIdRe = "querySimilar([A-Z]\\w*)ById".r
 
   private def rewriteRoot(root: GqlSelection): Seq[QueryBlock] =
     root.name match {
       case SimilarRe(t) => similarBlocks(root, schema.typ(t))
+      case SimilarIdRe(t) => similarByIdBlocks(root, schema.typ(t))
       case QueryRe(t) => Seq(queryBlock(root, schema.typ(t)))
       case GetRe(t) => Seq(getBlock(root, schema.typ(t)))
       case AggRe(t) => aggBlocks(root, schema.typ(t))
@@ -107,6 +109,77 @@ final class Rewriter(schema: GqlSchema) {
         case c => selection(c, t)
       })
     Seq(varBlock, result)
+  }
+
+  /** querySimilar<T>ById(by, topK, <id-or-xid>): the reference's
+    * four-block rewrite (graphql/resolve/query_rewriter.go:621
+    * rewriteAsSimilarByIdQuery) — anchor lookup binds its embedding,
+    * an empty block reduces it to a scalar vector var, similar_to
+    * seeds from val() of it, and the result excludes the anchor and
+    * orders by distance.
+    */
+  private def similarByIdBlocks(root: GqlSelection, t: SdlType): Seq[QueryBlock] = {
+    val by = root.arg("by").map(enumName).getOrElse(
+      throw RewriteException("querySimilarById requires `by`"))
+    val f = t.field(by).getOrElse(
+      throw RewriteException(s"${t.name} has no field '$by'"))
+    val topK = root.arg("topK").map(scalar).getOrElse(
+      throw RewriteException("querySimilarById requires `topK`"))
+    // the anchor arg is any remaining field arg: `id:` seeds uid(),
+    // an @id (xid) field seeds eq(field, value) — both exclude the
+    // anchor from the result (reference filters Product.id != $id)
+    val anchor = root.args.collectFirst {
+      case (n, v) if n != "by" && n != "topK" && (n == "id" ||
+          t.field(n).exists(_.isId)) => (n, scalar(v))
+    }.getOrElse(throw RewriteException(
+      "querySimilarById requires an id argument"))
+    val (anchorFunc, anchorNot) = anchor match {
+      case ("id", v) =>
+        (FuncCall("uid", "", Seq(v)),
+          FilterNot(FilterLeaf(FuncCall("uid", "", Seq(v)))))
+      case (n, v) =>
+        (FuncCall("eq", n, Seq(v)),
+          FilterNot(FilterLeaf(FuncCall("eq", n, Seq(v)))))
+    }
+    val anchorBlock = QueryBlock(
+      name = "var", func = anchorFunc, filter = typeFilter(t),
+      selections = Seq(
+        Selection(alias = None, pred = by, varName = Some("g_anchorvec"))))
+    val reduceBlock = QueryBlock(
+      name = "var", func = FuncCall("empty", "", Nil),
+      selections = Seq(Selection(alias = None, pred = "val",
+        valRef = Some("g_anchorvec"), aggOp = Some("max"),
+        varName = Some("g_anchor1"))))
+    val q = MathRef("g_anchor1")
+    val v2 = MathRef("g_simvec")
+    def dot(l: MathNode, r: MathNode) = MathBin("dot", l, r)
+    val distance = f.embeddingMetric match {
+      case "dotproduct" => MathBin("-", MathNum(1.0), dot(q, v2))
+      case "cosine" => MathBin("-", MathNum(1.0),
+        MathBin("/", dot(q, v2),
+          MathFunc("sqrt", Seq(MathBin("*", dot(q, q), dot(v2, v2))))))
+      case _ => MathFunc("sqrt",
+        Seq(dot(MathBin("-", v2, q), MathBin("-", v2, q))))
+    }
+    val simBlock = QueryBlock(
+      name = "var",
+      func = FuncCall("similar_to", by, Seq(topK, "\u0000val:g_anchor1")),
+      selections = Seq(
+        Selection(alias = None, pred = by, varName = Some("g_simvec")),
+        Selection(alias = None, pred = "math", varName = Some("g_simdist"),
+          mathExpr = Some(distance))))
+    val result = QueryBlock(
+      name = root.outName,
+      func = FuncCall("uid", "", Seq("g_simdist")),
+      filter = Some(anchorNot),
+      order = Seq(Ordering("val:g_simdist", desc = false)),
+      selections = root.children.flatMap {
+        case c if c.name == "vector_distance" =>
+          Some(Selection(alias = Some(c.outName), pred = "val",
+            valRef = Some("g_simdist")))
+        case c => selection(c, t)
+      })
+    Seq(anchorBlock, reduceBlock, simBlock, result)
   }
 
   // ---- query<T> ----

@@ -6987,6 +6987,29 @@ class GoldenFixtureSpec extends AnyFunSuite {
       st = st, arrayOrderFree = true)
   }
 
+  test("golden: similar-by-id DQL form (graphql/resolve/query_rewriter.go:637)") {
+    // the reference's similar-by-id rewrite, run verbatim as DQL:
+    // anchor embedding -> scalar vector var -> similar_to(val(v1)) ->
+    // distance-ordered result excluding the anchor
+    val st = miniStore(
+      """vtitle: string @index(exact) .
+        |vemb: float32vector @index(hnsw(metric: "euclidean")) .""".stripMargin,
+      Seq(a(1, "vtitle", "alpha"), a(1, "vemb", "[1, 0]"),
+        a(2, "vtitle", "beta"), a(2, "vemb", "[0, 1]"),
+        a(3, "vtitle", "gamma"), a(3, "vemb", "[0.9, 0.1]")))
+    checkGolden(
+      """{
+        |  var(func: uid(0x1)) { vec as vemb }
+        |  var() { v1 as max(val(vec)) }
+        |  var(func: similar_to(vemb, 3, val(v1))) {
+        |    v2 as vemb
+        |    distance as math(sqrt((v2 - v1) dot (v2 - v1))) }
+        |  q(func: uid(distance), orderasc: val(distance)) @filter(NOT uid(0x1)) {
+        |    vtitle } }""".stripMargin,
+      """{"data":{"q":[{"vtitle":"gamma"},{"vtitle":"beta"}]}}""",
+      st = st)
+  }
+
   test("golden: TestDotProductWithConstantVector (query/vector/vector_test.go:887)") {
     val st = miniStore("vec452: float32vector .",
       Seq(a(1, "vec452", "[1.0, 1.0, 2.0, 2.0]"),

@@ -280,4 +280,16 @@ class GraphqlSpec extends AnyFunSuite {
     val mathSel = dql.blocks.head.selections.find(_.pred == "math").get
     assert(mathSel.mathExpr.get.toString.contains("dot"))
   }
+
+  test("querySimilarProjectById: anchor excluded, distance-ordered") {
+    // reference four-block rewrite (query_rewriter.go:621): the anchor's
+    // own embedding seeds the search and the anchor is filtered out
+    val rows = vectorEngine.json(
+      """query { querySimilarProjectById(by: title_v, topK: 3, id: "0x1") {
+        |    title vector_distance } }""".stripMargin)
+      .collect().map(_.getAs[String]("json"))
+    assert(rows.length == 2, rows.mkString("\n"))
+    assert(rows(0).contains("\"title\":\"gamma\""), rows(0))
+    assert(rows(1).contains("\"title\":\"beta\""), rows(1))
+  }
 }
