@@ -46,26 +46,38 @@ object Bench {
     // line_uid layout is the bulk-load step (TripleStore.line writes it
     // once per session) — paying it here keeps that load-time job out of
     // whichever query happens to touch lineitem first.
-    try {
-      SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    // One try PER STEP: a failing early step must not silently skip the
+    // later warmups (r8: the sf0.001 backup threw, GraphX never warmed,
+    // and dedup_clusters scored 25 s of class-loading). Failures are
+    // VISIBLE on stderr.
+    def warm(step: String)(fn: => Unit): Unit =
+      try fn catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] warmup-failed: $step: ${t.getMessage}")
+      }
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    warm("q1_agg") { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
+    warm("line_uid layout") {
       graft.core.TripleStore(spark, sfDir).attr("quantity").count()
-      // the first parquet writes of a JVM JIT-compile the writer/
-      // committer stack and its encode loops (measured in Probe: the
-      // same full-backup write costs 5.8 s on the first call and 2.0 s
-      // once hot) — exercise them on a synthetic frame so the ramp
-      // doesn't land inside whichever scored query writes first
-      // (backup_restore, alphabetically)
-      import org.apache.spark.sql.functions.{col, concat, lit}
+    }
+    // the first parquet writes of a JVM JIT-compile the writer/
+    // committer stack and its encode loops (measured in Probe: the
+    // same full-backup write costs 5.8 s on the first call and 2.0 s
+    // once hot) — exercise them on a synthetic frame so the ramp
+    // doesn't land inside whichever scored query writes first
+    // (backup_restore, alphabetically)
+    warm("parquet writer JIT") {
       spark.range(200000)
         .select(col("id"), concat(lit("warmup_"), col("id")).as("s"))
         .write.mode("overwrite").parquet("target/bench_warmup_write")
-      // the backup write path has its own cold surface beyond the plain
-      // writer: the melted-frame codegen units, the PARTITIONED (lz4)
-      // writer with concurrent output writers, and the restore reader.
-      // Run the real operator once at the smallest scale factor — the
-      // generated code is schema-shaped, not path-shaped, so the sf0.1
-      // backup_restore query hits a hot codegen cache (measured: 8.3 s
-      // first full() vs 3.7 s once warm, Probe)
+    }
+    // the backup write path has its own cold surface beyond the plain
+    // writer: the melted-frame codegen units, the PARTITIONED writer
+    // with concurrent output writers, and the restore reader. Run the
+    // real operator once at the smallest scale factor — the generated
+    // code is schema-shaped, not path-shaped, so the sf0.1
+    // backup_restore query hits a hot codegen cache
+    warm("small-scale backup") {
       val sfSmall = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
       if (sfSmall.isDirectory) {
         val ts = graft.core.TripleStore(spark, sfSmall.getAbsolutePath)
@@ -73,24 +85,35 @@ object Bench {
         graft.operators.Backup.restore(spark, "target/bench_warmup_backup",
           ts.facetKeys).attr("name").count()
       }
-      // GraphX first-touch is pure JVM ramp: Pregel/EdgeRDD class
-      // loading plus RDD-shuffle codepaths that nothing DataFrame-side
-      // touches (measured: a 3-edge CC costs ~5 s on the first call,
-      // <0.1 s hot — the bulk of dedup_clusters' cold column was this,
-      // not the candidate build)
+    }
+    // GraphX first-touch is pure JVM ramp: Pregel/EdgeRDD class
+    // loading plus RDD-shuffle codepaths that nothing DataFrame-side
+    // touches (measured: a 3-edge CC costs ~5 s on the first call,
+    // <0.1 s hot — the bulk of dedup_clusters' cold column was this,
+    // not the candidate build)
+    warm("GraphX CC") {
       graft.operators.Dedup.clusters(
         spark.range(3).select(col("id").as("a"), (col("id") + 1).as("b"))
       ).count()
-      // same for the BUCKETED write path: hash-partitioned sorted
-      // saveAsTable + catalog ops JIT a writer stack the plain parquet
-      // warmup above does not reach
+    }
+    // same for the BUCKETED write path: hash-partitioned sorted
+    // saveAsTable + catalog ops JIT a writer stack the plain parquet
+    // warmup above does not reach
+    warm("bucketed writer") {
       graft.core.Bucketing.writeBucketed(
         spark.range(256).select(col("id").as("subject"), col("id").as("value")),
         "g_warmup_bucketed", 2)
-    } catch { case _: Throwable => () }
-    def time(fn: => Unit): Double = {
+    }
+    // a throwing query must NOT score ~0 s and silently flatter the
+    // total — record the error and surface it in the JSON
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def time(name: String)(fn: => Unit): Double = {
       val t0 = System.nanoTime()
-      try fn catch { case _: Throwable => () }
+      try fn catch {
+        case t: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(120)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // (name, cold, steady) in sorted-name order so first-touch costs of
@@ -104,8 +127,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val cold = time(fn(spark, sfDir).count())
-        val steady = time(fn(spark, sfDir).count())
+        val cold = time(name)(fn(spark, sfDir).count())
+        val steady = time(name)(fn(spark, sfDir).count())
         (name, cold, steady)
       }
     def r3(v: Double): String = f"$v%.3f"
@@ -123,12 +146,20 @@ object Bench {
     sorted.take(15).foreach { case (k, c, s) =>
       System.err.println(f"[bench] $k%-28s ${r3(c)}%8s ${r3(s)}%8s")
     }
+    errors.foreach { case (k, m) =>
+      System.err.println(s"[bench] query-error: $k: $m")
+    }
     val cold = results.map { case (k, c, _) => k -> c }.toMap
     val qs = headline.flatMap(k => cold.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = cold.values.sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, m) =>
+        s""""$k":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+      }.mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","n_queries":${results.size},"value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","n_queries":${results.size},"value":${r3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     spark.stop()
     // JSON line last on BOTH streams so any tail-window capture includes it.
     System.err.println(line)

@@ -27,11 +27,19 @@ final class TripleFrameStore(
     val spark: SparkSession,
     val schema: SchemaRegistry,
     triples: DataFrame,
-    val facetKeys: Map[String, Seq[(String, String)]] = Map.empty)
+    val facetKeys: Map[String, Seq[(String, String)]] = Map.empty,
+    materialize: Boolean = true)
     extends GraphStore {
 
-  // one pass over the input, shared by every tablet view
-  private val base = triples.localCheckpoint()
+  // one pass over the input, shared by every tablet view. For a
+  // COMPUTED input (N-Quad parse, mutation output) the checkpoint pays
+  // for itself on the second tablet view; for a FILE-BACKED input
+  // (Backup.restore's predicate-partitioned parquet) it is strictly
+  // worse — it materializes the whole frame into executor storage and
+  // DEFEATS partition pruning, so callers with prunable inputs pass
+  // materialize = false and tablet views push predicate filters down
+  // to the partitioned scan
+  private val base = if (materialize) triples.localCheckpoint() else triples
 
   lazy val edges: DataFrame = {
     val m = when(col("facets").isNotNull,

@@ -754,6 +754,10 @@ object Parser {
             // named option: similar_to(p, k, "[..]", ef: 2,
             // distance_threshold: 1.5) (reference worker/task.go:2772
             // similar_to opts). NUL-prefixed like val()/uid() markers.
+            // ONLY similar_to takes named opts — elsewhere `ident:` in
+            // an arg list is a syntax error, as in the reference parser
+            if (fname != "similar_to")
+              fail(s"unexpected named argument $k in $fname()")
             next(); next()
             args :+= s"\u0000opt:$k=${litString()}"
           case _ => args :+= litString()

@@ -1182,6 +1182,25 @@ final class DqlExecutor(ts: GraphStore) {
             val kv = a.stripPrefix("\u0000opt:").split("=", 2)
             kv(0) -> kv(1)
         }.toMap
+        // option validation mirrors worker/task.go:2789-2818: unknown
+        // keys, non-positive ef, and negative thresholds are errors
+        opts.keys.find(k => k != "ef" && k != "distance_threshold")
+          .foreach(k => throw new IllegalArgumentException(
+            s"similar_to: unknown option $k"))
+        opts.get("ef").foreach { e =>
+          val ei = try e.toInt catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"similar_to: ef must be an integer, got $e") }
+          if (ei <= 0) throw new IllegalArgumentException(
+            s"similar_to: ef must be positive, got $e")
+        }
+        opts.get("distance_threshold").foreach { t =>
+          val td = try t.toDouble catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"similar_to: distance_threshold must be numeric, got $t") }
+          if (td < 0) throw new IllegalArgumentException(
+            s"similar_to: distance_threshold must be non-negative, got $t")
+        }
         val positional = fn.args.filterNot(_.startsWith("\u0000opt:"))
         if (positional.length != 2)
           throw new IllegalArgumentException(
@@ -1198,13 +1217,23 @@ final class DqlExecutor(ts: GraphStore) {
             val vf = vars.getOrElse(vn, throw new IllegalArgumentException(
               s"similar_to: variable $vn is not bound"))
             val rows = vf.select(col("value")).limit(2).collect()
+            // a MISSING anchor (get-by-nonexistent-id) binds an empty
+            // var: return the empty uid set, like a GraphQL get miss,
+            // rather than erroring
+            if (rows.isEmpty || rows.head.isNullAt(0))
+              return ts.nodeTypes.select(col("subject").as("uid")).limit(0)
             if (rows.length != 1) throw new IllegalArgumentException(
               s"similar_to: val($vn) must hold exactly one vector, " +
                 s"got ${rows.length}")
-            rows.head.getSeq[Any](0).map {
+            val arr = rows.head.getSeq[Any](0).map {
               case d: java.lang.Number => d.doubleValue
               case o => o.toString.toDouble
             }.toArray
+            // an elementwise agg over an EMPTY anchor var binds an empty
+            // array — same missing-anchor case as above, return []
+            if (arr.isEmpty)
+              return ts.nodeTypes.select(col("subject").as("uid")).limit(0)
+            arr
           } else positional(1).stripPrefix("[").stripSuffix("]")
             .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
         if (qvec.isEmpty) throw new IllegalArgumentException(
@@ -1226,10 +1255,19 @@ final class DqlExecutor(ts: GraphStore) {
           case other => throw new IllegalArgumentException(
             s"unknown vector metric $other on ${fn.pred}")
         }
+        // a stored vector of a DIFFERENT length than the query yields a
+        // null distance (zip_with pads with nulls); the reference errors
+        // on length mismatch (tok/hnsw/helper.go applyDistanceFunction),
+        // so mismatched rows must never rank — drop them
         var scored = ts.attr(fn.pred)
           .select(col("subject").as("uid"), dist.as("__d"))
-        opts.get("distance_threshold").foreach(t =>
-          scored = scored.filter(col("__d") <= lit(t.toDouble)))
+          .filter(col("__d").isNotNull)
+        // the reference ignores distance_threshold for dotproduct
+        // (tok/hnsw/persistent_hnsw.go:345 "Dot product or others:
+        // ignore threshold for now")
+        if (p.vectorMetric != "dotproduct")
+          opts.get("distance_threshold").foreach(t =>
+            scored = scored.filter(col("__d") <= lit(t.toDouble)))
         scored.orderBy(col("__d").asc, col("uid").asc).limit(k)
           .select(col("uid"))
       }

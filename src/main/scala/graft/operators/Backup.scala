@@ -141,8 +141,16 @@ object Backup {
     val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
     tuned.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
+      // Bound the per-writer parquet row-group buffer: with ~10
+      // concurrent partition writers per task × 32 tasks the DEFAULT
+      // 128 MB block size asks for ~40 GB of buffer — parquet's
+      // MemoryManager then throttles every writer ("Scaling row group
+      // sizes", measured in the r8 bench log) and the write thrashes GC.
+      // 8 MB × 320 writers ≈ 2.5 GB worst case, and backup partitions
+      // are small enough that row-group size costs nothing on re-read.
       tripleFrame(store, only)
         .write.mode("overwrite").option("compression", "lz4")
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
         .partitionBy("predicate").parquet(s"$dir/triples")
     } finally {
       prev.foreach {
@@ -206,6 +214,10 @@ object Backup {
       val cond = key.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
       triples = triples.join(dels, cond, "left_anti").unionByName(sets)
     }
-    new TripleFrameStore(spark, schema, triples, facetKeys)
+    // materialize = false: the restored frame is parquet-backed and
+    // predicate-partitioned — tablet views prune to their partition
+    // directory instead of paying a full-store checkpoint
+    new TripleFrameStore(spark, schema, triples, facetKeys,
+      materialize = incs.nonEmpty)
   }
 }

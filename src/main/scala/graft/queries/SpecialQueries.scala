@@ -107,7 +107,8 @@ object SpecialQueries {
         "bigbal: bigfloat @index(bigfloat) .")
       val st = new graft.core.TripleFrameStore(s,
         new graft.core.SchemaRegistry(preds.map(p => p.name -> p).toMap,
-          types.map(t => t.name -> t).toMap), triples, Map.empty)
+          types.map(t => t.name -> t).toMap), triples, Map.empty,
+        materialize = false)
       new graft.exec.DqlExecutor(st)
         .flat("""{ q(func: ge(bigbal, "400000")) { b: bigbal } }""")
         .orderBy(col("uid"))
@@ -310,11 +311,13 @@ object SpecialQueries {
        | w -> regexp_replace(w, '(ing|ed|es|e|s)$$', '')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // engine stores bigfloat at DECIMAL(38,24) (TripleFrameStore) — the
+    // oracle must render at the SAME scale or the value hash differs
     "root_bigfloat" ->
       s"""SELECT ${Uids.Order} + o_orderkey AS uid,
-         | CAST(o_totalprice AS DECIMAL(38,18)) AS b
-         |FROM orders WHERE CAST(o_totalprice AS DECIMAL(38,18)) >=
-         | CAST(400000 AS DECIMAL(38,18))
+         | CAST(o_totalprice AS DECIMAL(38,24)) AS b
+         |FROM orders WHERE CAST(o_totalprice AS DECIMAL(38,24)) >=
+         | CAST(400000 AS DECIMAL(38,24))
          |ORDER BY uid""".stripMargin,
 
     "geo_near" ->

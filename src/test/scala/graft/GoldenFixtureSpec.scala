@@ -6945,6 +6945,62 @@ class GoldenFixtureSpec extends AnyFunSuite {
       st = st, arrayOrderFree = true)
   }
 
+  test("golden: similar_to option validation (worker/task.go:2789-2818)") {
+    val st = miniStore(
+      """vopt2: float32vector @index(hnsw(metric: "euclidean")) .""",
+      Seq(a(1, "vopt2", "[0,0]"), a(2, "vopt2", "[1,0]")))
+    def err(q: String): Unit = {
+      val thrown = intercept[Exception] {
+        new DqlExecutor(st)
+          .jsonAllAst(Parser.parse(q), includeUid = false).collect()
+      }
+      assert(thrown != null)
+    }
+    // unknown option key, non-positive ef, negative threshold — all
+    // rejected, mirroring the reference's parseSimilarToOpts errors
+    err("""{ r(func: similar_to(vopt2, 2, "[0,0]", bogus: 1)) { uid } }""")
+    err("""{ r(func: similar_to(vopt2, 2, "[0,0]", ef: 0)) { uid } }""")
+    err("""{ r(func: similar_to(vopt2, 2, "[0,0]", distance_threshold: -1)) { uid } }""")
+  }
+
+  test("golden: similar_to skips dim-mismatched vectors, dotproduct ignores threshold") {
+    // a stored vector of a different length than the query must never
+    // rank (the reference ERRORS on mismatch, tok/hnsw/helper.go); our
+    // distributed path drops it instead of returning null-topped results
+    val st = miniStore(
+      """vmix: float32vector @index(hnsw(metric: "euclidean")) .""",
+      Seq(a(1, "vmix", "[0,0]"), a(2, "vmix", "[1,0,0]"),
+        a(3, "vmix", "[3,0]")))
+    checkGolden(
+      """{ r(func: similar_to(vmix, 2, "[0,0]")) { uid } }""",
+      """{"data":{"r":[{"uid":"0x1"},{"uid":"0x3"}]}}""",
+      st = st, arrayOrderFree = true)
+    // dotproduct ignores distance_threshold
+    // (tok/hnsw/persistent_hnsw.go:345)
+    val st2 = miniStore(
+      """vdot2: float32vector @index(hnsw(metric: "dotproduct")) .""",
+      Seq(a(1, "vdot2", "[1,0]"), a(2, "vdot2", "[5,0]")))
+    checkGolden(
+      """{ r(func: similar_to(vdot2, 2, "[1,0]", distance_threshold: 0.1)) { uid } }""",
+      """{"data":{"r":[{"uid":"0x2"},{"uid":"0x1"}]}}""",
+      st = st2, arrayOrderFree = true)
+  }
+
+  test("golden: similar_to val() with a missing anchor yields the empty set") {
+    // querySimilar<T>ById on a nonexistent id binds an empty anchor var;
+    // the result is [] like any get-by-missing-id, not an error
+    val st = miniStore(
+      """vanch: float32vector @index(hnsw(metric: "euclidean")) .""",
+      Seq(a(1, "vanch", "[1,0]"), a(2, "vanch", "[0,1]")))
+    checkGolden(
+      """{
+        |  var(func: uid(0x99)) { vec as vanch }
+        |  var() { v1 as max(val(vec)) }
+        |  r(func: similar_to(vanch, 2, val(v1))) { uid } }""".stripMargin,
+      """{"data":{"r":[]}}""",
+      st = st)
+  }
+
   test("golden: TestVectorInQueryArgument (query/vector/vector_test.go:488)") {
     val st = miniStore(
       """vtest: float32vector @index(hnsw(exponent: "4", metric: "euclidean")) .""",
