@@ -3479,9 +3479,18 @@ final class DqlExecutor(ts: GraphStore) {
         gbSels.exists(_ eq s) || countSels.exists(_ eq s)))
     keepChildRank = true
     val flatDf0 = try flatBlock(b2) finally { keepChildRank = false }
+    // Materialize the flat frame ONCE before assembly: every childFrame /
+    // root agg / count below re-references it, and without lineage
+    // truncation each reference replays the entire traversal sub-plan
+    // (measured on a 3-child block: 149 parquet scans, 63 exchanges,
+    // 51 joins — analysis + scheduling dominated the query). The frame
+    // is RESULT-scale (root pagination already applied), so the
+    // checkpoint is bounded by output size, and the assembly joins
+    // become scans of a small materialized table.
+    val flatDf1 = flatDf0.localCheckpoint()
     // datetime-instant riders never render
-    val flatDf = flatDf0.drop(
-      flatDf0.columns.filter(_.endsWith("__dtv")).toSeq: _*)
+    val flatDf = flatDf1.drop(
+      flatDf1.columns.filter(_.endsWith("__dtv")).toSeq: _*)
     // counts are scalar leaves even when they count a (reverse) uid pred
     def isChild(s: Selection) =
       !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse)
