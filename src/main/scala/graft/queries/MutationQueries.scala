@@ -130,6 +130,46 @@ object MutationQueries {
         .orderBy(col("subject"), col("op"))
     }),
 
+    // CDC writeStream path end-to-end (worker/cdc.go:44 +
+    // sink_handler.go:50): the proposed mutations arrive as a STREAM
+    // (file source, 2 micro-batches), each batch flows through
+    // snapshot-apply + diff inside foreachBatch, and the change events
+    // land in a parquet sink — the sink contents are the gated result.
+    // Batches partition the mutation set by customer, so the per-batch
+    // diffs union to exactly the full-batch diff the cdc_diff oracle
+    // describes.
+    "cdc_stream" -> ((s, d) => {
+      val ts = TripleStore(s, d)
+      val old = ts.attrString.filter(col("predicate") === "mktsegment")
+        .select(col("subject"), col("predicate"), col("value"))
+      val sets = t(s, d, "customer").filter(col("c_acctbal") < 0)
+        .select((lit(CB) + col("c_custkey")).as("subject"),
+          lit("mktsegment").as("predicate"), lit("DELINQUENT").as("value"))
+      val base = new java.io.File(
+        s"target/graft-cdcstream_${new java.io.File(d).getName}" +
+          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+      // stage the mutation stream: 2 files -> 2 micro-batches
+      sets.repartition(2, col("subject"))
+        .write.mode("overwrite").parquet(s"$base/in")
+      val in = s.readStream.schema(sets.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      graft.streaming.CdcSink.streamEvents(in, s"$base/out", s"$base/ckpt") {
+        batch => graft.streaming.CdcSink.diff(
+          // diff against the OLD rows of this batch's subjects only:
+          // other subjects are unchanged by construction and would
+          // re-diff to nothing anyway — keeps each micro-batch's work
+          // proportional to the batch
+          old.join(batch.select(col("subject")).distinct(),
+            Seq("subject"), "left_semi"),
+          Mutations.applySet(
+            old.join(batch.select(col("subject")).distinct(),
+              Seq("subject"), "left_semi"), batch))
+      }
+      s.read.parquet(s"$base/out")
+        .select(col("subject"), col("predicate"), col("value"), col("op"))
+        .orderBy(col("subject"), col("op"))
+    }),
+
     // ---- @unique pre-commit check ----
     "mutation_unique" -> ((s, d) => {
       val ts = TripleStore(s, d)
@@ -273,6 +313,16 @@ object MutationQueries {
     "bulk_load_bucketed" ->
       s"""SELECT $OB + l_orderkey AS subject, ${sqlDsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY 1 ORDER BY subject""".stripMargin,
+
+    "cdc_stream" ->
+      s"""SELECT * FROM (
+         | SELECT $CB + c_custkey AS subject, 'mktsegment' AS predicate,
+         |  'DELINQUENT' AS value, 'set' AS op
+         | FROM customer WHERE c_acctbal < 0
+         | UNION ALL
+         | SELECT $CB + c_custkey, 'mktsegment', c_mktsegment, 'delete'
+         | FROM customer WHERE c_acctbal < 0
+         |) ORDER BY subject, op""".stripMargin,
 
     "cdc_diff" ->
       s"""SELECT * FROM (

@@ -47,4 +47,24 @@ object CdcSink {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** The full CDC pipeline over a STREAMING input of proposed mutations
+    * (reference worker/cdc.go: the sink handler consumes the txn log as
+    * it lands): each micro-batch runs `events` (typically snapshot-apply
+    * + [[diff]]) and appends the change records to a parquet sink.
+    * `Trigger.AvailableNow` drains everything already in the source and
+    * stops — the batch-replayable form of a continuous tail; a live
+    * deployment drops the trigger and keeps the same code path.
+    */
+  def streamEvents(input: DataFrame, outDir: String, checkpointDir: String)
+      (events: DataFrame => DataFrame): Unit = {
+    val q = input.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        events(batch).write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

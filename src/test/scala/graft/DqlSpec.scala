@@ -267,4 +267,27 @@ class DqlSpec extends AnyFunSuite {
     assertThrows[Upsert.UpsertException](Upsert.parse(
       """upsert { query { a(func: eq(age, 34)) { uid } } mutation { } }"""))
   }
+
+  test("@cascade(field) validates names at rewrite time, not mid-plan") {
+    // a mistyped or nested field must produce a parse-style validation
+    // error naming the available selections — never an opaque
+    // unresolved-column AnalysisException from deep in the plan
+    val bad = intercept[IllegalArgumentException] {
+      exec.flat(
+        """{ q(func: eq(mktsegment, "BUILDING")) @cascade(bogus) {
+          |    name placed { orderstatus } } }""".stripMargin).count()
+    }
+    assert(bad.getMessage.contains("no top-level selection named 'bogus'"))
+    assert(bad.getMessage.contains("have: name, placed"))
+    val nested = intercept[IllegalArgumentException] {
+      exec.flat(
+        """{ q(func: eq(mktsegment, "BUILDING")) @cascade(placed.orderstatus) {
+          |    name placed { orderstatus } } }""".stripMargin).count()
+    }
+    assert(nested.getMessage.contains("no top-level selection named"))
+    // valid edge and scalar fields still pass
+    assert(exec.flat(
+      """{ q(func: eq(mktsegment, "BUILDING")) @cascade(placed) {
+        |    name placed { orderstatus } } }""".stripMargin).count() > 0)
+  }
 }
