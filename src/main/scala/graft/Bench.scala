@@ -104,6 +104,15 @@ object Bench {
         spark.range(256).select(col("id").as("subject"), col("id").as("value")),
         "g_warmup_bucketed", 2)
     }
+    // the MinHash-LSH candidate index over `documents` is session state
+    // shared by the whole dedup family (built once, localCheckpointed in
+    // LlmQueries.candCache) — same build-once/query-many shape as the
+    // line_uid layout and the IVF centroids, so it warms the same way
+    // instead of landing on whichever dedup query runs first
+    // (alphabetically dedup_clusters)
+    warm("LSH candidate index") {
+      SparkEntry.queries("dedup_minhash")(spark, sfDir).count()
+    }
     // a throwing query must NOT score ~0 s and silently flatter the
     // total — record the error and surface it in the JSON
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -290,4 +290,27 @@ class DqlSpec extends AnyFunSuite {
       """{ q(func: eq(mktsegment, "BUILDING")) @cascade(placed) {
         |    name placed { orderstatus } } }""".stripMargin).count() > 0)
   }
+
+  test("math same-level var read: fanned and unfanned frames agree") {
+    // the in-place fast path reads the live column; a frame fanned by a
+    // sibling traversal must route the read through the var's dedup'd
+    // (uid, value) snapshot instead — both paths must produce the SAME
+    // per-uid math results (ADVICE r8 #4)
+    val plain = exec.flat(
+      """{ q(func: eq(mktsegment, "BUILDING"), first: 50) {
+        |    b as acctbal  m: math(b * 2) } }""".stripMargin)
+      .select(org.apache.spark.sql.functions.col("uid"),
+        org.apache.spark.sql.functions.col("m"))
+      .distinct().orderBy(org.apache.spark.sql.functions.col("uid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val fanned = exec.flat(
+      """{ q(func: eq(mktsegment, "BUILDING"), first: 50) {
+        |    placed { orderstatus }
+        |    b as acctbal  m: math(b * 2) } }""".stripMargin)
+      .select(org.apache.spark.sql.functions.col("uid"),
+        org.apache.spark.sql.functions.col("m"))
+      .distinct().orderBy(org.apache.spark.sql.functions.col("uid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(plain.toSeq == fanned.toSeq)
+  }
 }
