@@ -1,0 +1,269 @@
+package graft.graphql
+
+/** GraphQL `@auth` query rules (reference graphql/schema/auth.go +
+  * graphql/resolve/auth_query_test.yaml): a type's `@auth(query: ...)`
+  * directive carries a rule tree of
+  *
+  *  - RBAC rules — `{ rule: "{$CLAIM: { eq: \"value\" }}" }` — evaluated
+  *    on the driver purely from the request's JWT claims, statically
+  *    true or false;
+  *  - graph rules — `{ rule: "query($USER: String!) { queryT(filter:
+  *    {owner: {eq: $USER}}) { __typename } }" }` — whose root filter is
+  *    AND-injected into the rewritten DQL (the reference injects the
+  *    same filter as an extra uid-var block; on Spark the conjunct
+  *    reaches the parquet scan as a pushed predicate);
+  *  - `and: [...]` / `or: [...]` / `not: {...}` composition.
+  *
+  * Evaluation semantics follow the reference's auth resolver: a type
+  * whose rule evaluates false renders EMPTY at the root and is OMITTED
+  * as a nested field (auth_query_test.yaml "Deep RBAC rule - Level 1
+  * false"); a missing claim makes an RBAC rule false; a type with no
+  * `@auth` is open.
+  *
+  * Out of scope, documented: JWT signature verification (the engine
+  * accepts pre-verified claims; [[Auth.claimsFromJwt]] decodes an
+  * unverified payload for tests), mutation-phase rules (add/update/
+  * delete run through the same tree but the mutation surface here is
+  * the batch merge API), and the closed-by-default flag.
+  */
+object Auth {
+
+  sealed trait Node
+  /** Raw rule string — RBAC object or graph query, classified at eval. */
+  final case class Rule(rule: String) extends Node
+  final case class And(nodes: Seq[Node]) extends Node
+  final case class Or(nodes: Seq[Node]) extends Node
+  final case class Not(node: Node) extends Node
+
+  final case class AuthException(msg: String) extends RuntimeException(msg)
+
+  /** Evaluation result: either a static boolean (pure RBAC) or a
+    * residual GraphQL filter object to inject.
+    */
+  type Result = Either[Boolean, GObj]
+
+  // ---- directive parsing ----
+
+  /** Parse the argument text of `@auth(...)` (without the outer parens)
+    * and return the rule tree per operation name (query/add/update/
+    * delete).
+    */
+  def parseDirective(args: String): Map[String, Node] = {
+    val p = new P(args)
+    val out = Map.newBuilder[String, Node]
+    p.ws()
+    while (!p.eof) {
+      val op = p.name()
+      p.expect(':')
+      out += op -> p.node()
+      p.ws()
+      if (!p.eof && p.peek == ',') { p.next(); p.ws() }
+    }
+    out.result()
+  }
+
+  /** Tiny recursive-descent parser for the auth argument object syntax:
+    * `{ rule: "<string or triple-quoted block>" }`, `{ and: [...] }`,
+    * `{ or: [...] }`, `{ not: {...} }`.
+    */
+  private final class P(s: String) {
+    private var i = 0
+    def eof: Boolean = i >= s.length
+    def peek: Char = s.charAt(i)
+    def next(): Char = { val c = s.charAt(i); i += 1; c }
+    def ws(): Unit = while (!eof && s.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      ws()
+      if (eof || next() != c) throw AuthException(
+        s"@auth parse: expected '$c' at offset $i in: $s")
+    }
+    def name(): String = {
+      ws()
+      val b = new StringBuilder
+      while (!eof && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+          s.charAt(i) == '$')) b.append(next())
+      if (b.isEmpty) throw AuthException(
+        s"@auth parse: expected a name at offset $i")
+      b.result()
+    }
+    def str(): String = {
+      ws()
+      if (s.startsWith("\"\"\"", i)) {
+        i += 3
+        val end = s.indexOf("\"\"\"", i)
+        if (end < 0) throw AuthException("@auth parse: unterminated \"\"\"")
+        val out = s.substring(i, end); i = end + 3; out
+      } else {
+        expect('"')
+        val b = new StringBuilder
+        while (!eof && peek != '"') {
+          val c = next()
+          if (c == '\\' && !eof) b.append(next()) else b.append(c)
+        }
+        expect('"')
+        b.result()
+      }
+    }
+    def node(): Node = {
+      ws(); expect('{'); ws()
+      val key = name()
+      expect(':')
+      val out = key match {
+        case "rule" => Rule(str())
+        case "and" => And(list())
+        case "or" => Or(list())
+        case "not" => Not(node())
+        case other => throw AuthException(s"@auth parse: unknown key $other")
+      }
+      ws()
+      if (!eof && peek == ',') { next(); ws() }
+      expect('}')
+      out
+    }
+    /** One scalar or a [list] of scalars — strings, numbers, or bare
+      * tokens (true/false/enum values).
+      */
+    def scalars(): Seq[String] = {
+      ws()
+      if (peek == '[') {
+        next()
+        val out = Seq.newBuilder[String]
+        ws()
+        while (!eof && peek != ']') {
+          out += scalar()
+          ws()
+          if (!eof && peek == ',') { next(); ws() }
+        }
+        expect(']')
+        out.result()
+      } else Seq(scalar())
+    }
+    private def scalar(): String = {
+      ws()
+      if (peek == '"' || s.startsWith("\"\"\"", i)) str()
+      else {
+        val b = new StringBuilder
+        while (!eof && (peek.isLetterOrDigit || peek == '_' || peek == '.' ||
+            peek == '-' || peek == '+')) b.append(next())
+        if (b.isEmpty) throw AuthException(
+          s"@auth parse: expected a scalar at offset $i")
+        b.result()
+      }
+    }
+    def list(): Seq[Node] = {
+      ws(); expect('[')
+      val out = Seq.newBuilder[Node]
+      ws()
+      while (!eof && peek != ']') {
+        out += node()
+        ws()
+        if (!eof && peek == ',') { next(); ws() }
+      }
+      expect(']')
+      out.result()
+    }
+  }
+
+  // ---- evaluation ----
+
+  /** Evaluate a rule tree against the request's JWT claims. `Left(b)` is
+    * a static verdict; `Right(filterObj)` a residual graph filter for
+    * the rewriter to AND in.
+    */
+  def eval(node: Node, jwt: Map[String, String]): Result = node match {
+    case Rule(raw) => evalRule(raw.trim, jwt)
+    case And(ns) =>
+      val rs = ns.map(eval(_, jwt))
+      if (rs.exists(_ == Left(false))) Left(false)
+      else rs.collect { case Right(f) => f } match {
+        case Seq() => Left(true)
+        case Seq(one) => Right(one)
+        case many => Right(GObj(Seq("and" -> GList(many))))
+      }
+    case Or(ns) =>
+      val rs = ns.map(eval(_, jwt))
+      if (rs.exists(_ == Left(true))) Left(true)
+      else rs.collect { case Right(f) => f } match {
+        case Seq() => Left(false)
+        case Seq(one) => Right(one)
+        case many => Right(GObj(Seq("or" -> GList(many))))
+      }
+    case Not(n) => eval(n, jwt) match {
+      case Left(b) => Left(!b)
+      case Right(f) => Right(GObj(Seq("not" -> f)))
+    }
+  }
+
+  private def evalRule(raw: String, jwt: Map[String, String]): Result =
+    if (raw.startsWith("query") || raw.startsWith("{\n") && raw.contains("query")) {
+      // graph rule: a GraphQL query whose root filter is the constraint.
+      // JWT claims substitute the operation's $variables (reference
+      // substitutes the authorization payload the same way).
+      val vars: Map[String, GVal] = jwt.map { case (k, v) => k -> GStr(v) }
+      val op = GqlParser.parse(raw, vars)
+      val root = op.roots.headOption.getOrElse(
+        throw AuthException("@auth graph rule has no root field"))
+      root.arg("filter") match {
+        case Some(o: GObj) => Right(o)
+        case _ =>
+          // a filterless graph rule constrains nothing beyond the type
+          Left(true)
+      }
+    } else {
+      // RBAC rule: {$CLAIM: { eq: "v" }} / { in: [...] } — pure claim
+      // comparison (reference schema/auth.go EvaluateRBACRule; a missing
+      // claim is FALSE). $-prefixed keys are not GraphQL names, so this
+      // parses with the directive mini-parser, not GqlParser.
+      Left(evalRbac(raw, jwt))
+    }
+
+  private def evalRbac(raw: String, jwt: Map[String, String]): Boolean = {
+    val p = new P(raw)
+    p.expect('{')
+    var verdict = true
+    p.ws()
+    while (!p.eof && p.peek != '}') {
+      val claim = p.name()
+      if (!claim.startsWith("$")) throw AuthException(
+        s"@auth RBAC rule: expected a $$claim key, got $claim")
+      p.expect(':'); p.expect('{')
+      val op = p.name()
+      p.expect(':')
+      val vals = p.scalars()
+      val actual = jwt.get(claim.stripPrefix("$"))
+      val ok = op match {
+        case "eq" => vals.length == 1 && actual.contains(vals.head)
+        case "in" => actual.exists(vals.contains)
+        case other => throw AuthException(
+          s"@auth RBAC rule: unsupported op $other")
+      }
+      verdict &&= ok
+      p.ws(); if (!p.eof && p.peek == ',') { p.next(); p.ws() }
+      p.expect('}')
+      p.ws(); if (!p.eof && p.peek == ',') { p.next(); p.ws() }
+    }
+    verdict
+  }
+
+  /** Decode the claims of a JWT payload — NO signature verification
+    * (key configuration is deployment plumbing; production callers pass
+    * verified claims). Custom-claim objects flatten one level, matching
+    * the reference's namespaced custom claims.
+    */
+  def claimsFromJwt(token: String): Map[String, String] = {
+    val parts = token.split('.')
+    if (parts.length < 2) throw AuthException("malformed JWT")
+    val json = new String(
+      java.util.Base64.getUrlDecoder.decode(parts(1)), "UTF-8")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val out = Map.newBuilder[String, String]
+    m.properties().forEach { e =>
+      val v = e.getValue
+      if (v.isObject)
+        v.properties().forEach(e2 =>
+          out += e2.getKey -> e2.getValue.asText())
+      else out += e.getKey -> v.asText()
+    }
+    out.result()
+  }
+}

@@ -17,16 +17,18 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch) {
     * of the last root field.
     */
   def flat(query: String,
-      variables: Map[String, GVal] = Map.empty): DataFrame =
-    new DqlExecutor(ts).flatAst(rewrite(query, variables))
+      variables: Map[String, GVal] = Map.empty,
+      jwt: Map[String, String] = Map.empty): DataFrame =
+    new DqlExecutor(ts).flatAst(rewrite(query, variables, jwt))
 
   /** The DQL IR a query rewrites to (exposed for tests/EXPLAIN).
     * `variables` carries the operation's `$var` values (reference
     * graphql/resolve substitutes them before rewriting).
     */
   def rewrite(query: String,
-      variables: Map[String, GVal] = Map.empty): graft.dql.DqlQuery =
-    Rewriter.rewrite(GqlParser.parse(query, variables), schema)
+      variables: Map[String, GVal] = Map.empty,
+      jwt: Map[String, String] = Map.empty): graft.dql.DqlQuery =
+    Rewriter.rewrite(GqlParser.parse(query, variables), schema, jwt)
 
   /** Apply a mutation document (add/update/delete roots, in order) to a
     * base triple frame; returns the post-mutation frame.
@@ -40,8 +42,9 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch) {
     * graphql/resolve completion of the DQL result).
     */
   def json(query: String,
-      variables: Map[String, GVal] = Map.empty): DataFrame =
-    new DqlExecutor(ts).jsonAllAst(rewrite(query, variables),
+      variables: Map[String, GVal] = Map.empty,
+      jwt: Map[String, String] = Map.empty): DataFrame =
+    new DqlExecutor(ts).jsonAllAst(rewrite(query, variables, jwt),
       includeUid = false)
 
   /** GraphQL error propagation (reference graphql/resolve/resolver.go

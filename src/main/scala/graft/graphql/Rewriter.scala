@@ -22,12 +22,47 @@ import graft.dql._
 object Rewriter {
   final case class RewriteException(msg: String) extends RuntimeException(msg)
 
-  def rewrite(op: GqlOperation, schema: GqlSchema): DqlQuery =
-    new Rewriter(schema).rewrite(op)
+  def rewrite(op: GqlOperation, schema: GqlSchema,
+      jwt: Map[String, String] = Map.empty): DqlQuery =
+    new Rewriter(schema, jwt).rewrite(op)
+
+  /** A uid outside every allocation range: `uid(NoUid) @filter(type(T))`
+    * is the deterministic EMPTY block an auth-denied root rewrites to
+    * (the reference emits a bare `queryT()` — same rendered result, an
+    * empty array).
+    */
+  private[graphql] val NoUid = "0x7ffffffffffffffe"
 }
 
-final class Rewriter(schema: GqlSchema) {
+final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
   import Rewriter.RewriteException
+
+  /** The type's @auth query rule evaluated against this request's
+    * claims: Left(verdict) for pure RBAC, Right(filter) to AND in.
+    * No rule = open (Left(true)).
+    */
+  private def authOf(t: SdlType): Auth.Result =
+    t.auth.get("query") match {
+      case None => Left(true)
+      case Some(node) => Auth.eval(node, jwt)
+    }
+
+  /** Compose the auth residue into a block's (func, filter). A FALSE
+    * verdict swaps the root seed for the never-allocated uid — the
+    * block renders as the empty array, like the reference's emptied
+    * `queryT()` (auth_query_test.yaml "Deep RBAC rule - Level 0
+    * false").
+    */
+  private def applyAuth(t: SdlType, func: FuncCall,
+      filt: Option[FilterNode]): (FuncCall, Option[FilterNode]) =
+    authOf(t) match {
+      case Left(true) => (func, filt)
+      case Left(false) =>
+        (FuncCall("uid", "", Seq(Rewriter.NoUid)), typeFilter(t))
+      case Right(f) =>
+        val af = filterNode(f, t)
+        (func, Some(filt.map(x => FilterAnd(Seq(x, af))).getOrElse(af)))
+    }
 
   def rewrite(op: GqlOperation): DqlQuery =
     DqlQuery(op.roots.flatMap(rewriteRoot))
@@ -185,7 +220,8 @@ final class Rewriter(schema: GqlSchema) {
   // ---- query<T> ----
 
   private def queryBlock(root: GqlSelection, t: SdlType): QueryBlock = {
-    val (func, filt) = rootAndFilter(root, t)
+    val (func0, filt0) = rootAndFilter(root, t)
+    val (func, filt) = applyAuth(t, func0, filt0)
     QueryBlock(
       name = root.outName,
       func = func,
@@ -232,10 +268,11 @@ final class Rewriter(schema: GqlSchema) {
   private def getBlock(root: GqlSelection, t: SdlType): QueryBlock = {
     val id = root.arg("id").map(scalar).getOrElse(
       throw new RewriteException(s"get${t.name} requires an id argument"))
+    val (func, filt) = applyAuth(t, FuncCall("uid", "", Seq(id)), typeFilter(t))
     QueryBlock(
       name = root.outName,
-      func = FuncCall("uid", "", Seq(id)),
-      filter = typeFilter(t),
+      func = func,
+      filter = filt,
       selections = root.children.flatMap(selection(_, t)))
   }
 
@@ -244,7 +281,8 @@ final class Rewriter(schema: GqlSchema) {
   private val AggField = "(\\w+?)(Min|Max|Sum|Avg)".r
 
   private def aggBlocks(root: GqlSelection, t: SdlType): Seq[QueryBlock] = {
-    val (func, filt) = rootAndFilter(root, t)
+    val (func1, filt1) = rootAndFilter(root, t)
+    val (func, filt) = applyAuth(t, func1, filt1)
     val refs = root.children.collect {
       case c if c.name != "count" => c.name match {
         case AggField(f, _) => f
@@ -278,10 +316,23 @@ final class Rewriter(schema: GqlSchema) {
     val child = schema.types.get(f.typeName)
     child match {
       case Some(ct) =>
+        // nested field of an auth-guarded type: a FALSE verdict OMITS
+        // the field (auth_query_test.yaml "Deep RBAC rule - Level 1
+        // false" renders the parent without adminTasks); a graph rule
+        // ANDs into the edge filter
+        val userFilter =
+          sel.arg("filter").collect { case o: GObj => filterNode(o, ct) }
+        val filter = authOf(ct) match {
+          case Left(true) => userFilter
+          case Left(false) => return None
+          case Right(f2) =>
+            val af = filterNode(f2, ct)
+            Some(userFilter.map(x => FilterAnd(Seq(x, af))).getOrElse(af))
+        }
         Some(Selection(
           alias = Some(sel.outName),
           pred = sel.name,
-          filter = sel.arg("filter").collect { case o: GObj => filterNode(o, ct) },
+          filter = filter,
           order = sel.arg("order").map(orderList).getOrElse(Nil),
           page = pagination(sel),
           children = sel.children.flatMap(selection(_, ct))))

@@ -30,7 +30,8 @@ final case class SdlField(
 }
 
 final case class SdlType(name: String, fields: Seq[SdlField],
-    isInterface: Boolean = false, implements: Seq[String] = Nil) {
+    isInterface: Boolean = false, implements: Seq[String] = Nil,
+    auth: Map[String, Auth.Node] = Map.empty) {
   def field(n: String): Option[SdlField] = fields.find(_.name == n)
 }
 
@@ -53,9 +54,82 @@ object SdlParser {
     */
   def parse(sdl: String): GqlSchema = {
     // strip comments
-    val src = sdl.linesIterator.map(l => l.indexOf('#') match {
+    val src0 = sdl.linesIterator.map(l => l.indexOf('#') match {
       case -1 => l; case i => l.substring(0, i)
     }).mkString("\n")
+    // TYPE-LEVEL directive pre-pass: `@auth(...)` (and `@secret` etc.)
+    // sit between the type header and the body brace, and auth rule
+    // strings contain braces/parens the field regex must never see —
+    // capture @auth per type with a string-aware balanced scan, then
+    // blank the whole directive region (space-padded, so offsets hold)
+    val authByType = scala.collection.mutable.Map.empty[String, Map[String, Auth.Node]]
+    val headPat = """(type|interface)\s+(\w+)""".r
+    val sb = new StringBuilder(src0)
+    for (m <- headPat.findAllMatchIn(src0)) {
+      val tname = m.group(2)
+      // scan from the header end to the body-open '{' at paren depth 0,
+      // skipping string literals (single- and triple-quoted)
+      var j = m.end
+      var depth = 0
+      var ok = true
+      while (ok && j < src0.length && !(src0.charAt(j) == '{' && depth == 0)) {
+        if (src0.startsWith("\"\"\"", j)) {
+          val e = src0.indexOf("\"\"\"", j + 3)
+          j = if (e < 0) src0.length else e + 3
+        } else src0.charAt(j) match {
+          case '"' =>
+            j += 1
+            while (j < src0.length && src0.charAt(j) != '"') {
+              if (src0.charAt(j) == '\\') j += 1
+              j += 1
+            }
+            j += 1
+          case '(' => depth += 1; j += 1
+          case ')' => depth -= 1; j += 1
+          // a closing brace at TOP level means no body follows this
+          // header (braces inside @auth(...) parens are rule syntax)
+          case '}' if depth == 0 => ok = false
+          case _ => j += 1
+        }
+      }
+      if (ok && j < src0.length) {
+        val header = src0.substring(m.end, j)
+        val at = header.indexOf('@')
+        if (at >= 0) {
+          val authIdx = header.indexOf("@auth")
+          if (authIdx >= 0) {
+            val open = header.indexOf('(', authIdx)
+            if (open >= 0) {
+              // balanced, string-aware scan for the matching ')'
+              var k = open + 1; var d = 1
+              while (k < header.length && d > 0) {
+                if (header.startsWith("\"\"\"", k)) {
+                  val e = header.indexOf("\"\"\"", k + 3)
+                  k = if (e < 0) header.length else e + 3
+                } else header.charAt(k) match {
+                  case '"' =>
+                    k += 1
+                    while (k < header.length && header.charAt(k) != '"') {
+                      if (header.charAt(k) == '\\') k += 1
+                      k += 1
+                    }
+                    k += 1
+                  case '(' => d += 1; k += 1
+                  case ')' => d -= 1; k += 1
+                  case _ => k += 1
+                }
+              }
+              authByType(tname) =
+                Auth.parseDirective(header.substring(open + 1, k - 1))
+            }
+          }
+          // blank every directive char (keep implements text before '@')
+          var z = m.end + at
+          while (z < j) { sb.setCharAt(z, ' '); z += 1 }
+        }
+      }
+    }
+    val src = sb.toString
     val typePat =
       """(?s)(type|interface)\s+(\w+)(?:\s+implements\s+([\w\s&]+?))?\s*\{(.*?)\}""".r
     // directive args may nest one paren level and carry quoted specs:
@@ -98,7 +172,8 @@ object SdlParser {
           isEmbedding = dirText.contains("@embedding"))
       }.toSeq
       tname -> SdlType(tname, fields,
-        isInterface = m.group(1) == "interface", implements = impls)
+        isInterface = m.group(1) == "interface", implements = impls,
+        auth = authByType.getOrElse(tname, Map.empty))
     }.toMap
     // implementing types inherit the interface's fields (reference
     // gqlschema: implementers don't redeclare them); own fields win on

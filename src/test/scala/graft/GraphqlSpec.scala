@@ -292,4 +292,126 @@ class GraphqlSpec extends AnyFunSuite {
     assert(rows(0).contains("\"title\":\"gamma\""), rows(0))
     assert(rows(1).contains("\"title\":\"beta\""), rows(1))
   }
+
+  // ---- @auth query rules (reference graphql/schema/auth.go +
+  // graphql/resolve/auth_query_test.yaml) ----
+
+  private lazy val authEngine: GraphQLEngine = {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """text: string @index(exact) .
+        |ownedBy: string @index(exact) .
+        |role: string @index(exact) .
+        |secrets: [uid] .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <text> "tweet one" .""",
+        """<0x1> <dgraph.type> "Tweets" .""",
+        """<0x2> <text> "tweet two" .""",
+        """<0x2> <dgraph.type> "Tweets" .""",
+        """<0x10> <text> "alice secret" .""",
+        """<0x10> <ownedBy> "alice" .""",
+        """<0x10> <dgraph.type> "UserSecret" .""",
+        """<0x11> <text> "bob secret" .""",
+        """<0x11> <ownedBy> "bob" .""",
+        """<0x11> <dgraph.type> "UserSecret" .""",
+        """<0x20> <ownedBy> "alice" .""",
+        """<0x20> <secrets> <0x10> .""",
+        """<0x20> <secrets> <0x11> .""",
+        """<0x20> <dgraph.type> "Account" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type Tweets @auth(
+        |    query: { rule: "{$ROLE: { eq: \"admin\" } }"}
+        |){
+        |  id: ID!
+        |  text: String! @search(by: [exact])
+        |}
+        |type UserSecret @auth(
+        |    query: { rule: "query($USER: String!) { queryUserSecret(filter: { ownedBy: { eq: $USER } }) { __typename } }" }
+        |){
+        |  id: ID!
+        |  text: String! @search(by: [exact])
+        |  ownedBy: String @search(by: [exact])
+        |}
+        |type Account {
+        |  id: ID!
+        |  ownedBy: String @search(by: [exact])
+        |  secrets: [UserSecret]
+        |}""".stripMargin)
+    new GraphQLEngine(store, sdl)
+  }
+
+  test("@auth RBAC rule gates the root: admin sees rows, others none") {
+    // reference auth_query_test.yaml: an RBAC-false root rewrites to an
+    // emptied query
+    val admin = authEngine.json("query { queryTweets { text } }",
+      jwt = Map("ROLE" -> "admin"))
+    assert(admin.count() == 2)
+    val user = authEngine.json("query { queryTweets { text } }",
+      jwt = Map("ROLE" -> "user"))
+    assert(user.count() == 0)
+    // a missing claim is FALSE (reference EvaluateRBACRule)
+    val anon = authEngine.json("query { queryTweets { text } }")
+    assert(anon.count() == 0)
+  }
+
+  test("@auth graph rule injects the owner filter from the JWT claim") {
+    // reference UserSecret rule: only rows whose ownedBy equals $USER
+    val alice = authEngine.json("query { queryUserSecret { text ownedBy } }",
+      jwt = Map("USER" -> "alice")).collect()
+    assert(alice.length == 1 && alice.head.getString(2).contains("alice secret"))
+    val bob = authEngine.json("query { queryUserSecret { text } }",
+      jwt = Map("USER" -> "bob"))
+    assert(bob.count() == 1)
+  }
+
+  test("@auth on a nested field: denied type's field is omitted, graph rule filters") {
+    // auth_query_test.yaml "Deep RBAC rule - Level 1 false": the parent
+    // renders, the guarded child field disappears
+    val rows = authEngine.json(
+      """query { queryAccount { ownedBy secrets { text } } }""",
+      jwt = Map("USER" -> "alice")).collect()
+    assert(rows.length == 1)
+    // graph rule filters the nested secrets to the owner's
+    assert(rows.head.getString(2).contains("alice secret"))
+    assert(!rows.head.getString(2).contains("bob secret"))
+  }
+
+  test("@auth composition: or-of-RBAC opens for either claim") {
+    val sdl = SdlParser.parse(
+      """type Doc @auth(query: { or: [
+        |  { rule: "{$ROLE: { eq: \"admin\" } }"},
+        |  { rule: "{$ROLE: { eq: \"auditor\" } }"} ] }
+        |){
+        |  id: ID!
+        |  text: String! @search(by: [exact])
+        |}""".stripMargin)
+    assert(sdl.typ("Doc").auth.contains("query"))
+    assert(Auth.eval(sdl.typ("Doc").auth("query"),
+      Map("ROLE" -> "auditor")) == Left(true))
+    assert(Auth.eval(sdl.typ("Doc").auth("query"),
+      Map("ROLE" -> "user")) == Left(false))
+    // and: RBAC true AND graph rule -> residual filter
+    val mixed = Auth.parseDirective(
+      """query: { and: [
+        |  { rule: "{$ROLE: { eq: \"admin\" } }"},
+        |  { rule: "query($USER: String!) { queryDoc(filter: { text: { eq: $USER } }) { __typename } }" } ] }"""
+        .stripMargin)
+    assert(Auth.eval(mixed("query"),
+      Map("ROLE" -> "admin", "USER" -> "x")).isRight)
+    assert(Auth.eval(mixed("query"), Map("USER" -> "x")) == Left(false))
+  }
+
+  test("Auth.claimsFromJwt decodes an unverified payload incl. nested custom claims") {
+    val payload = """{"USER":"alice","https://my.app/claims":{"ROLE":"admin"}}"""
+    val b64 = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(payload.getBytes("UTF-8"))
+    val claims = Auth.claimsFromJwt(s"eyJhbGciOiJIUzI1NiJ9.$b64.sig")
+    assert(claims("USER") == "alice" && claims("ROLE") == "admin")
+  }
 }
