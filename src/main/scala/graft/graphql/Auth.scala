@@ -200,7 +200,12 @@ object Auth {
       // JWT claims substitute the operation's $variables (reference
       // substitutes the authorization payload the same way).
       val vars: Map[String, GVal] = jwt.map { case (k, v) => k -> GStr(v) }
-      val op = GqlParser.parse(raw, vars)
+      // a rule whose required $claim is ABSENT from the JWT cannot be
+      // satisfied — the reference returns no results for that type
+      // (auth e2e: missing JWT variable ⇒ empty), so the rule is FALSE
+      val op = try GqlParser.parse(raw, vars) catch {
+        case _: GqlParser.ParseException => return Left(false)
+      }
       val root = op.roots.headOption.getOrElse(
         throw AuthException("@auth graph rule has no root field"))
       root.arg("filter") match {

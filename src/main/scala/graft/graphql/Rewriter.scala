@@ -55,7 +55,8 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
     */
   private def applyAuth(t: SdlType, func: FuncCall,
       filt: Option[FilterNode]): (FuncCall, Option[FilterNode]) =
-    authOf(t) match {
+    if (t.isInterface) applyInterfaceAuth(t, func, filt)
+    else authOf(t) match {
       case Left(true) => (func, filt)
       case Left(false) =>
         (FuncCall("uid", "", Seq(Rewriter.NoUid)), typeFilter(t))
@@ -63,6 +64,44 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         val af = filterNode(f, t)
         (func, Some(filt.map(x => FilterAnd(Seq(x, af))).getOrElse(af)))
     }
+
+  /** An interface operation verifies auth against the CONCRETE types
+    * (the reference splits it into per-type operations,
+    * graphql/schema/auth.go — the interface's own auth is cleared at
+    * schema load): denied implementers drop out of the type seed, and
+    * graph-ruled implementers contribute a `(type(T) AND rule)` branch
+    * to a disjunctive filter.
+    */
+  private def applyInterfaceAuth(t: SdlType, func: FuncCall,
+      filt: Option[FilterNode]): (FuncCall, Option[FilterNode]) = {
+    val evals = schema.implementers(t.name).map(n =>
+      n -> authOf(schema.typ(n)))
+    if (evals.forall(_._2 == Left(true))) return (func, filt)
+    val open = evals.collect { case (n, Left(true)) => n }
+    val ruled = evals.collect { case (n, Right(f)) =>
+      (n, filterNode(f, schema.typ(n))) }
+    if (open.isEmpty && ruled.isEmpty)
+      return (FuncCall("uid", "", Seq(Rewriter.NoUid)), typeFilter(t))
+    // seed only the permitted implementers. The root-promoted form
+    // (func=eq) keeps its func; the type restriction rides the filter.
+    val names = open ++ ruled.map(_._1)
+    val func2 =
+      if (func.name == "type") FuncCall("type", names.head, names.tail)
+      else func
+    val branches: Seq[FilterNode] =
+      open.map(n => FilterLeaf(FuncCall("type", n, Nil)): FilterNode) ++
+        ruled.map { case (n, f) =>
+          FilterAnd(Seq(FilterLeaf(FuncCall("type", n, Nil)), f)): FilterNode }
+    val authFilt: FilterNode =
+      if (branches.size == 1) branches.head else FilterOr(branches)
+    // drop the plain type(interface) conjunct — the auth branches are
+    // strictly narrower; keep any user filter
+    val keep = filt match {
+      case Some(FilterLeaf(FuncCall("type", tn, _))) if tn == t.name => None
+      case other => other
+    }
+    (func2, Some(keep.map(x => FilterAnd(Seq(x, authFilt))).getOrElse(authFilt)))
+  }
 
   def rewrite(op: GqlOperation): DqlQuery =
     DqlQuery(op.roots.flatMap(rewriteRoot))

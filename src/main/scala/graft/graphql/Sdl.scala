@@ -182,7 +182,22 @@ object SdlParser {
       val inherited = t.implements.flatMap(i => raw.get(i).toSeq)
         .flatMap(_.fields)
         .filterNot(f => t.fields.exists(_.name == f.name))
-      n -> t.copy(fields = inherited ++ t.fields)
+      // interface @auth rules AND-merge into implementing types, and the
+      // interface's own auth clears — operations on an interface verify
+      // against the concrete types (reference graphql/schema/auth.go:218
+      // mergeAuthRules + the reinitialize loop)
+      val auth =
+        if (t.isInterface) Map.empty[String, Auth.Node]
+        else t.implements.flatMap(i => raw.get(i).toSeq)
+          .foldLeft(t.auth) { (acc, it) =>
+            it.auth.foldLeft(acc) { case (a, (op, inode)) =>
+              a.updated(op, a.get(op) match {
+                case Some(own) => Auth.And(Seq(own, inode))
+                case None => inode
+              })
+            }
+          }
+      n -> t.copy(fields = inherited ++ t.fields, auth = auth)
     }
     new GqlSchema(types)
   }

@@ -414,4 +414,63 @@ class GraphqlSpec extends AnyFunSuite {
     val claims = Auth.claimsFromJwt(s"eyJhbGciOiJIUzI1NiJ9.$b64.sig")
     assert(claims("USER") == "alice" && claims("ROLE") == "admin")
   }
+
+  test("@auth on interfaces: rules merge into implementers, interface query verifies per-type") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """name: string @index(exact) .
+        |owner: string @index(exact) .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <name> "pub doc" .""",
+        """<0x1> <dgraph.type> "PublicDoc" .""",
+        """<0x2> <name> "alice doc" .""",
+        """<0x2> <owner> "alice" .""",
+        """<0x2> <dgraph.type> "OwnedDoc" .""",
+        """<0x3> <name> "bob doc" .""",
+        """<0x3> <owner> "bob" .""",
+        """<0x3> <dgraph.type> "OwnedDoc" .""",
+        """<0x4> <name> "admin doc" .""",
+        """<0x4> <dgraph.type> "AdminDoc" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """interface Doc {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |}
+        |type PublicDoc implements Doc {
+        |}
+        |type OwnedDoc implements Doc @auth(
+        |  query: { rule: "query($USER: String!) { queryOwnedDoc(filter: { owner: { eq: $USER } }) { __typename } }" }
+        |){
+        |  owner: String @search(by: [exact])
+        |}
+        |type AdminDoc implements Doc @auth(
+        |  query: { rule: "{$ROLE: { eq: \"admin\" } }"}
+        |){
+        |}""".stripMargin)
+    // the interface's own auth cleared; the implementer kept its rule
+    assert(sdl.typ("Doc").auth.isEmpty)
+    assert(sdl.typ("OwnedDoc").auth.contains("query"))
+    val eng = new GraphQLEngine(store, sdl)
+    // alice, not admin: public + her own doc
+    val alice = eng.json("query { queryDoc { name } }",
+      jwt = Map("USER" -> "alice")).collect().map(_.getString(2)).sorted
+    assert(alice.length == 2)
+    assert(alice.exists(_.contains("pub doc")) && alice.exists(_.contains("alice doc")))
+    // admin with no USER claim: public + admin docs, no owned docs
+    val admin = eng.json("query { queryDoc { name } }",
+      jwt = Map("ROLE" -> "admin")).collect().map(_.getString(2)).sorted
+    assert(admin.length == 2)
+    assert(admin.exists(_.contains("pub doc")) && admin.exists(_.contains("admin doc")))
+    // anonymous: only the public implementer
+    val anon = eng.json("query { queryDoc { name } }").collect()
+    assert(anon.length == 1 && anon.head.getString(2).contains("pub doc"))
+    // direct query of the denied type stays empty
+    assert(eng.json("query { queryAdminDoc { name } }").count() == 0)
+  }
 }
