@@ -1164,7 +1164,8 @@ final class DqlExecutor(ts: GraphStore) {
       // Exact distributed search: one pruned scan of the vector tablet,
       // per-row distance via codegen'd higher-order functions, then a
       // TakeOrdered of k rows — at 100 TB this is the brute-force
-      // baseline; the IVF/LSH index paths live in operators/Similarity.
+      // baseline; the index paths (per-partition HNSW, IVF-Flat, LSH)
+      // live in operators/Similarity + operators/Hnsw.
       // The `ef:` option is HNSW search breadth — exact search already
       // returns the true top-k, so it is accepted and ignored;
       // `distance_threshold:` filters on the metric value

@@ -105,6 +105,46 @@ object Similarity {
         cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
   }
 
+  /** Per-partition HNSW top-k (reference tok/hnsw/persistent_hnsw.go —
+    * see [[HnswIndex]]): the corpus shards into `nPartitions`, each task
+    * builds one HNSW graph over its shard and beam-searches every
+    * (broadcast) query against it, and the per-shard top-k merge through
+    * the same bounded-heap aggregate as brute force. This is the
+    * Lucene-per-shard layout: the graph walk stays machine-local, the
+    * shards scale out, and the merge shuffles only k rows per
+    * (query, shard).
+    *
+    * `efSearch >= shard size` degenerates the beam to an exhaustive
+    * walk — the EXACT mode the oracle-gated plumbing query uses (same
+    * pattern as the full-probe IVF gate); the approximate regime's
+    * recall is asserted in SimilaritySpec. Index build is per-invocation
+    * here; session reuse composes with a persisted shard layout the same
+    * way ivfWrite/ivfRead do for the IVF index.
+    */
+  def hnswTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 12, efConstruction: Int = 64, efSearch: Int = 48,
+      nPartitions: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("id"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qB = spark.sparkContext.broadcast(qRows)
+    val scored = corpus.select(col("id"), col("qe"))
+      .repartition(nPartitions, col("id"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val index = new HnswIndex(m, efConstruction)
+        it.foreach { case (id, v) => index.insert(id, v) }
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          index.search(qv, k + 1, math.max(efSearch, k + 1)).iterator.collect {
+            case (nid, sim) if nid != qid => (qid, nid, sim)
+          }.take(k)
+        }
+      }
+      .toDF("qid", "nid", "sim")
+    rankTopK(scored, k)
+  }
+
   /** Random-hyperplane LSH signature: bit j of `sig` is the sign of the
     * dot product with plane j. Planes are deterministic ±1 vectors derived
     * from md5(plane:dim) — metadata-sized, computed driver-side, shipped

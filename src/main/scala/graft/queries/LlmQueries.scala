@@ -196,6 +196,19 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // per-partition HNSW (reference tok/hnsw/persistent_hnsw.go): one
+    // graph per shard, broadcast queries, bounded-heap merge. EXACT
+    // mode (ef >= shard) so the oracle is plain brute force — the
+    // hash-match gates the shard/build/search/merge plumbing; graph
+    // QUALITY (recall vs ef on the approximate regime) is the HNSW
+    // suite in SimilaritySpec, same split as the IVF gate.
+    "embed_ann_hnsw" -> ((s, d) => {
+      val q = embQ(s, d).select(col("id"), col("qe"))
+      Similarity.hnswTopK(q.filter(col("id") % 50 === 0), q, k = 3,
+          efSearch = Int.MaxValue, nPartitions = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // build-once/search-many: train, persist (centroid metadata + cell-
     // partitioned corpus), reload, search. Full probe (= exact) so the
     // oracle is plain brute force — the hash-match gates the index
@@ -511,6 +524,16 @@ object LlmQueries {
          |    ORDER BY ${cosSql("qs.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
          | FROM q qs JOIN q c ON c.id <> qs.id
          | WHERE qs.id % 100 = 0)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "embed_ann_hnsw" ->
+      s"""WITH q AS ($embQSql)
+         |SELECT qid, nid, sim, rank FROM (
+         | SELECT qs.id AS qid, c.id AS nid, ${cosSql("qs.qe", "c.qe")} AS sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qs.id
+         |    ORDER BY ${cosSql("qs.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
+         | FROM q qs JOIN q c ON c.id <> qs.id
+         | WHERE qs.id % 50 = 0)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "embed_ann_ivf_store" ->

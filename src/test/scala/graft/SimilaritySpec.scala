@@ -121,4 +121,60 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"qid", $"nid", $"rank").collect().toSet
     assert(viaIndex == direct)
   }
+
+  test("HNSW: recall@10 vs brute force is monotone in ef, exact at ef >= shard") {
+    // the reference's own knob (tok/hnsw/ef_recall_test.go): search
+    // breadth ef trades cost for recall. Same worst-case setup as the
+    // IVF suite: uniform random vectors, no cluster structure. One
+    // shard so the recall measured is the GRAPH's, not the merge's.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val queries = base.filter($"id" % 20 === 0).localCheckpoint()
+    val k = 10
+    val truth = Similarity.bruteForceTopK(queries, base, k)
+      .select($"qid", $"nid").withColumnRenamed("nid", "tn").localCheckpoint()
+    val denom = truth.count().toDouble
+    val n = base.count().toInt
+    val recalls = Seq(16, 48, 128, n).map { ef =>
+      val approx = Similarity.hnswTopK(queries, base, k,
+          efSearch = ef, nPartitions = 1)
+        .select($"qid", $"nid")
+      val r = truth.join(approx, Seq("qid")).filter($"tn" === $"nid").count() / denom
+      info(f"hnsw ef=$ef recall@$k = $r%.3f")
+      r
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in ef: $recalls")
+    assert(recalls(1) >= 0.6, s"ef=48 recall ${recalls(1)} below 0.6")
+    // ef >= shard size is the exhaustive exact mode
+    assert(recalls.last == 1.0, s"ef=n recall ${recalls.last} != 1.0")
+  }
+
+  test("HNSW: sharded search (4 partitions) at full ef equals brute force exactly") {
+    // per-shard exact top-k merged by the bounded-heap aggregate must
+    // reproduce global brute force row for row — the merge loses nothing
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val queries = base.filter($"id" % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, base, 5)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    val sharded = Similarity.hnswTopK(queries, base, 5,
+        efSearch = Int.MaxValue, nPartitions = 4)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    assert(sharded == exact)
+  }
+
+  test("HNSW: deterministic across repartitionings and rebuilds") {
+    // hash-derived levels + id tie-breaks: the same shard contents give
+    // the same graph and the same approximate results on every rebuild
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val queries = base.filter($"id" % 50 === 0)
+    def run() = Similarity.hnswTopK(queries, base, 3,
+        efSearch = 32, nPartitions = 2)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    assert(run() == run())
+  }
 }
