@@ -22,6 +22,13 @@ import scala.collection.mutable
   * Vectors are the pipeline's quantized Long arrays; the similarity is
   * quantized cosine (exact integer dot / precomputed integer norms, one
   * double op chain) — bit-identical to Similarity's brute-force scoring.
+  *
+  * Memory bound at scale: one shard's graph is O(n·(dim + m)) longs and
+  * must fit its task — at 100 TB the caller sizes `nPartitions` so each
+  * shard holds ~1–5 M vectors per executor core (64-dim quantized ≈
+  * 0.5 KB/vector ⇒ ~2.5 GB at 5 M), exactly how per-shard Lucene/HNSW
+  * deployments size shards; the merge cost stays k rows per
+  * (query, shard) regardless.
   */
 final class HnswIndex(m: Int = 12, efConstruction: Int = 64) {
   require(m >= 2, s"HNSW m must be >= 2, got $m")
