@@ -162,11 +162,19 @@ object Bench {
     val qs = headline.flatMap(k => cold.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = cold.values.sum
+    def jsEsc(m: String): String = m.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map { case (k, m) =>
-        s""""$k":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}""""
-      }.mkString(""","errors":{""", ",", "}")
+      else errors.map { case (k, m) => s""""$k":"${jsEsc(m)}"""" }
+        .mkString(""","errors":{""", ",", "}")
     val line =
       s"""{"metric":"total","n_queries":${results.size},"value":${r3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     spark.stop()

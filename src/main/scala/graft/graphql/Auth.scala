@@ -194,8 +194,16 @@ object Auth {
     }
   }
 
+  /** A rule is RBAC iff it is an object whose first key is a $claim;
+    * anything else ("query ..." or an anonymous "{ queryT(...) ... }"
+    * document) is a graph rule.
+    */
+  private def isRbac(raw: String): Boolean =
+    raw.startsWith("{") &&
+      raw.drop(1).dropWhile(_.isWhitespace).startsWith("$")
+
   private def evalRule(raw: String, jwt: Map[String, String]): Result =
-    if (raw.startsWith("query") || raw.startsWith("{\n") && raw.contains("query")) {
+    if (!isRbac(raw)) {
       // graph rule: a GraphQL query whose root filter is the constraint.
       // JWT claims substitute the operation's $variables (reference
       // substitutes the authorization payload the same way).

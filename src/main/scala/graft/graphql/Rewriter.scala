@@ -65,6 +65,35 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         (func, Some(filt.map(x => FilterAnd(Seq(x, af))).getOrElse(af)))
     }
 
+  /** Auth constraint for reading nodes of type `ct` through an edge or
+    * similarity root: Left(true) = open, Left(false) = deny everything,
+    * Right(f) = AND this filter in. Interfaces verify per-IMPLEMENTER
+    * (their own auth is cleared at schema load): denied implementers
+    * drop to a type-branch disjunction like the root case.
+    */
+  private def authConstraint(ct: SdlType): Either[Boolean, FilterNode] =
+    if (!ct.isInterface) authOf(ct) match {
+      case Left(b) => Left(b)
+      case Right(f) => Right(filterNode(f, ct))
+    } else {
+      val evals = schema.implementers(ct.name).map(n =>
+        n -> authOf(schema.typ(n)))
+      if (evals.forall(_._2 == Left(true))) Left(true)
+      else {
+        val open = evals.collect { case (n, Left(true)) => n }
+        val ruled = evals.collect { case (n, Right(f)) =>
+          (n, filterNode(f, schema.typ(n))) }
+        if (open.isEmpty && ruled.isEmpty) Left(false)
+        else {
+          val branches: Seq[FilterNode] =
+            open.map(n => FilterLeaf(FuncCall("type", n, Nil)): FilterNode) ++
+              ruled.map { case (n, f) =>
+                FilterAnd(Seq(FilterLeaf(FuncCall("type", n, Nil)), f)): FilterNode }
+          Right(if (branches.size == 1) branches.head else FilterOr(branches))
+        }
+      }
+    }
+
   /** An interface operation verifies auth against the CONCRETE types
     * (the reference splits it into per-type operations,
     * graphql/schema/auth.go — the interface's own auth is cleared at
@@ -172,9 +201,12 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         Selection(alias = None, pred = by, varName = Some("g_simvec")),
         Selection(alias = None, pred = "math", varName = Some("g_simdist"),
           mathExpr = Some(distance))))
+    val (rFunc, rFilt) = applyAuth(t,
+      FuncCall("uid", "", Seq("g_simdist")), None)
     val result = QueryBlock(
       name = root.outName,
-      func = FuncCall("uid", "", Seq("g_simdist")),
+      func = rFunc,
+      filter = rFilt,
       order = Seq(Ordering("val:g_simdist", desc = false)),
       selections = root.children.flatMap {
         case c if c.name == "vector_distance" =>
@@ -215,8 +247,11 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         (FuncCall("eq", n, Seq(v)),
           FilterNot(FilterLeaf(FuncCall("eq", n, Seq(v)))))
     }
+    // the anchor lookup itself must satisfy the type's auth — an
+    // unreadable anchor behaves like a missing one (empty result)
+    val (aFunc, aFilt) = applyAuth(t, anchorFunc, typeFilter(t))
     val anchorBlock = QueryBlock(
-      name = "var", func = anchorFunc, filter = typeFilter(t),
+      name = "var", func = aFunc, filter = aFilt,
       selections = Seq(
         Selection(alias = None, pred = by, varName = Some("g_anchorvec"))))
     val reduceBlock = QueryBlock(
@@ -242,10 +277,12 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         Selection(alias = None, pred = by, varName = Some("g_simvec")),
         Selection(alias = None, pred = "math", varName = Some("g_simdist"),
           mathExpr = Some(distance))))
+    val (rFunc2, rFilt2) = applyAuth(t,
+      FuncCall("uid", "", Seq("g_simdist")), Some(anchorNot))
     val result = QueryBlock(
       name = root.outName,
-      func = FuncCall("uid", "", Seq("g_simdist")),
-      filter = Some(anchorNot),
+      func = rFunc2,
+      filter = rFilt2,
       order = Seq(Ordering("val:g_simdist", desc = false)),
       selections = root.children.flatMap {
         case c if c.name == "vector_distance" =>
@@ -361,11 +398,10 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         // ANDs into the edge filter
         val userFilter =
           sel.arg("filter").collect { case o: GObj => filterNode(o, ct) }
-        val filter = authOf(ct) match {
+        val filter = authConstraint(ct) match {
           case Left(true) => userFilter
           case Left(false) => return None
-          case Right(f2) =>
-            val af = filterNode(f2, ct)
+          case Right(af) =>
             Some(userFilter.map(x => FilterAnd(Seq(x, af))).getOrElse(af))
         }
         Some(Selection(

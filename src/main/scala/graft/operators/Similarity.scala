@@ -134,7 +134,11 @@ object Similarity {
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
         val index = new HnswIndex(m, efConstruction)
-        it.foreach { case (id, v) => index.insert(id, v) }
+        // HNSW construction is insertion-order-sensitive (pruning, entry
+        // point, beam seeds) and post-shuffle iterator order is NOT
+        // stable across task retries/speculation — sort by id so a
+        // rebuilt shard is the same graph and retries stay idempotent
+        it.toArray.sortBy(_._1).foreach { case (id, v) => index.insert(id, v) }
         qB.value.iterator.flatMap { case (qid, qv) =>
           index.search(qv, k + 1, math.max(efSearch, k + 1)).iterator.collect {
             case (nid, sim) if nid != qid => (qid, nid, sim)

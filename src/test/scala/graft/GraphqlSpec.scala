@@ -473,4 +473,113 @@ class GraphqlSpec extends AnyFunSuite {
     // direct query of the denied type stays empty
     assert(eng.json("query { queryAdminDoc { name } }").count() == 0)
   }
+
+  test("@auth guards similarity roots and anonymous graph rules classify correctly") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """stext: string @index(exact) .
+        |sowner: string @index(exact) .
+        |semb: float32vector @index(hnsw(metric: "euclidean")) .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <stext> "alice vec" .""",
+        """<0x1> <sowner> "alice" .""",
+        """<0x1> <semb> "[1, 0]" .""",
+        """<0x1> <dgraph.type> "SecretVec" .""",
+        """<0x2> <stext> "bob vec" .""",
+        """<0x2> <sowner> "bob" .""",
+        """<0x2> <semb> "[0.9, 0.1]" .""",
+        """<0x2> <dgraph.type> "SecretVec" .""").toDF("line")))
+    // ANONYMOUS graph rule (leading "{ query..." — must classify as a
+    // graph rule, not an RBAC object)
+    val sdl = SdlParser.parse(
+      """type SecretVec @auth(
+        |  query: { rule: "{ querySecretVec(filter: { sowner: { eq: $USER } }) { __typename } }" }
+        |){
+        |  id: ID!
+        |  stext: String! @search(by: [exact])
+        |  sowner: String @search(by: [exact])
+        |  semb: [Float!] @embedding @search(by: ["hnsw(metric: euclidean)"])
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    // the similarity ROOT must enforce the same rule as query<T>
+    val alice = eng.json(
+      """query { querySimilarSecretVecByEmbedding(by: semb, topK: 5,
+        |  vector: [1, 0]) { stext } }""".stripMargin,
+      jwt = Map("USER" -> "alice")).collect()
+    assert(alice.length == 1 && alice.head.getString(2).contains("alice vec"))
+    // no claim: graph rule unsatisfiable -> empty, not an error
+    assert(eng.json(
+      """query { querySimilarSecretVecByEmbedding(by: semb, topK: 5,
+        |  vector: [1, 0]) { stext } }""".stripMargin).count() == 0)
+    // similar-by-id: an anchor the caller cannot read behaves missing
+    assert(eng.json(
+      """query { querySimilarSecretVecById(by: semb, topK: 5, id: "0x2") {
+        |  stext } }""".stripMargin,
+      jwt = Map("USER" -> "alice")).count() == 0)
+  }
+
+  test("@auth guards interface-typed nested edges per implementer") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """name: string @index(exact) .
+        |owner: string @index(exact) .
+        |docs: [uid] .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <name> "folder" .""",
+        """<0x1> <docs> <0x10> .""",
+        """<0x1> <docs> <0x11> .""",
+        """<0x1> <docs> <0x12> .""",
+        """<0x1> <dgraph.type> "Folder" .""",
+        """<0x10> <name> "pub" .""",
+        """<0x10> <dgraph.type> "PublicDoc" .""",
+        """<0x11> <name> "alice doc" .""",
+        """<0x11> <owner> "alice" .""",
+        """<0x11> <dgraph.type> "OwnedDoc" .""",
+        """<0x12> <name> "bob doc" .""",
+        """<0x12> <owner> "bob" .""",
+        """<0x12> <dgraph.type> "OwnedDoc" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """interface Doc {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |}
+        |type PublicDoc implements Doc {
+        |}
+        |type OwnedDoc implements Doc @auth(
+        |  query: { rule: "query($USER: String!) { queryOwnedDoc(filter: { owner: { eq: $USER } }) { __typename } }" }
+        |){
+        |  owner: String @search(by: [exact])
+        |}
+        |type Folder {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |  docs: [Doc]
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    // nested interface edge: per-implementer auth applies — alice sees
+    // the public doc and her own, never bob's
+    val alice = eng.json(
+      """query { queryFolder { name docs { name } } }""",
+      jwt = Map("USER" -> "alice")).collect()
+    assert(alice.length == 1)
+    val j = alice.head.getString(2)
+    assert(j.contains("pub") && j.contains("alice doc") && !j.contains("bob doc"))
+    // anonymous: only the public implementer under the edge
+    val anon = eng.json(
+      """query { queryFolder { name docs { name } } }""").collect()
+    val j2 = anon.head.getString(2)
+    assert(j2.contains("pub") && !j2.contains("alice doc") && !j2.contains("bob doc"))
+  }
 }
