@@ -20,11 +20,15 @@ package graft.graphql
   * false"); a missing claim makes an RBAC rule false; a type with no
   * `@auth` is open.
   *
+  * Mutation-phase rules (MutationRewriter): update/delete rules AND
+  * into the mutation's uid resolution — only authorized nodes mutate;
+  * RBAC add rules gate add<T> outright, and graph-rule add auth
+  * REJECTS (the reference post-checks inserted nodes inside its
+  * transaction, machinery this engine drops).
+  *
   * Out of scope, documented: JWT signature verification (the engine
   * accepts pre-verified claims; [[Auth.claimsFromJwt]] decodes an
-  * unverified payload for tests), mutation-phase rules (add/update/
-  * delete run through the same tree but the mutation surface here is
-  * the batch merge API), and the closed-by-default flag.
+  * unverified payload for tests) and the closed-by-default flag.
   */
 object Auth {
 

@@ -33,8 +33,9 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch) {
   /** Apply a mutation document (add/update/delete roots, in order) to a
     * base triple frame; returns the post-mutation frame.
     */
-  def mutate(doc: String, base: DataFrame): DataFrame =
-    new MutationRewriter(ts, schema).apply(doc, base)
+  def mutate(doc: String, base: DataFrame,
+      jwt: Map[String, String] = Map.empty): DataFrame =
+    new MutationRewriter(ts, schema, jwt).apply(doc, base)
 
   /** GraphQL-shaped nested JSON: one row per root object (block, uid,
     * json) with only the requested fields — no implicit uid key, single

@@ -23,10 +23,30 @@ import graft.operators.Mutations
   * that touches data (uid allocation, filter resolution, merges) stays
   * distributed.
   */
-final class MutationRewriter(ts: GraphStore, schema: GqlSchema) {
+final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
+    jwt: Map[String, String] = Map.empty) {
   import Rewriter.RewriteException
   private val session = ts.spark
   import session.implicits._
+
+  /** The type's @auth rule for mutation phase `op` (update/delete/add),
+    * evaluated against this request's claims. update/delete rules gate
+    * WHICH nodes the mutation may touch — their residual filter ANDs
+    * into the uid resolution below, exactly like the query phase. For
+    * `add` the reference post-checks the inserted nodes against the
+    * rule (mutation_rewriter.go); here RBAC add rules enforce fully and
+    * graph add rules REJECT rather than silently bypass (the
+    * post-insert check needs the transaction machinery this engine
+    * drops — documented in Auth's scaladoc).
+    */
+  private def authFor(t: SdlType, op: String): Either[Boolean, FilterNode] =
+    t.auth.get(op) match {
+      case None => Left(true)
+      case Some(node) => Auth.eval(node, jwt) match {
+        case Left(b) => Left(b)
+        case Right(f) => Right(new Rewriter(schema, jwt).filterFor(f, t))
+      }
+    }
 
   private val AddRe = "add([A-Z]\\w*)".r
   private val UpdateRe = "update([A-Z]\\w*)".r
@@ -49,9 +69,19 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema) {
     * Materialized: the uid set feeds set triples, anti-join subtracts,
     * and deletes — each would otherwise re-embed the whole filter plan.
     */
-  private def uidsFor(t: SdlType, filter: Option[GVal]): DataFrame = {
-    val tree = filter.collect { case o: GObj =>
-      new Rewriter(schema).filterFor(o, t)
+  private def uidsFor(t: SdlType, filter: Option[GVal],
+      op: String): DataFrame = {
+    val user = filter.collect { case o: GObj =>
+      new Rewriter(schema, jwt).filterFor(o, t)
+    }
+    val tree = authFor(t, op) match {
+      case Left(true) => user
+      case Left(false) =>
+        // denied outright: the mutation touches nothing
+        return new DqlExecutor(ts).flatAst(DqlQuery(Seq(QueryBlock(
+          "q", FuncCall("uid", "", Seq(Rewriter.NoUid)))))).limit(0)
+      case Right(af) =>
+        Some(user.map(u => FilterAnd(Seq(u, af)): FilterNode).getOrElse(af))
     }
     new DqlExecutor(ts).flatAst(DqlQuery(Seq(QueryBlock(
       "q", FuncCall("type", t.name, Nil), filter = tree))))
@@ -71,6 +101,14 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema) {
     * numbers blanks in document order).
     */
   private def addMutation(base: DataFrame, root: GqlSelection, t: SdlType): DataFrame = {
+    authFor(t, "add") match {
+      case Left(true) => ()
+      case Left(false) => throw new Auth.AuthException(
+        s"add${t.name}: not authorized")
+      case Right(_) => throw new Auth.AuthException(
+        s"add${t.name}: graph-rule add auth requires the post-insert " +
+          "check this engine does not implement; use an RBAC add rule")
+    }
     val inputs = root.arg("input") match {
       case Some(GList(items)) => items
       case Some(o: GObj) => Seq(o)
@@ -100,7 +138,7 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema) {
       case Some(o: GObj) => o
       case _ => throw RewriteException(s"update${t.name} requires input:")
     }
-    val uids = uidsFor(t, input.get("filter"))
+    val uids = uidsFor(t, input.get("filter"), "update")
     var cur = base
     input.get("set").foreach {
       case so: GObj =>
@@ -126,7 +164,7 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema) {
 
   /** delete<T>(filter): `S * *` wildcard delete of the matched uids. */
   private def deleteMutation(base: DataFrame, root: GqlSelection, t: SdlType): DataFrame = {
-    val uids = uidsFor(t, root.arg("filter"))
+    val uids = uidsFor(t, root.arg("filter"), "delete")
     Mutations.applyDelete(base,
       uids.select(col("uid").as("subject"), lit("*").as("predicate")))
   }

@@ -582,4 +582,62 @@ class GraphqlSpec extends AnyFunSuite {
     val j2 = anon.head.getString(2)
     assert(j2.contains("pub") && !j2.contains("alice doc") && !j2.contains("bob doc"))
   }
+
+  test("@auth mutation rules: update/delete touch only authorized nodes, add gated by RBAC") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """text: string @index(exact) .
+        |ownedBy: string @index(exact) .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x10> <text> "alice note" .""",
+        """<0x10> <ownedBy> "alice" .""",
+        """<0x10> <dgraph.type> "Note" .""",
+        """<0x11> <text> "bob note" .""",
+        """<0x11> <ownedBy> "bob" .""",
+        """<0x11> <dgraph.type> "Note" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type Note @auth(
+        |  update: { rule: "query($USER: String!) { queryNote(filter: { ownedBy: { eq: $USER } }) { __typename } }" },
+        |  delete: { rule: "query($USER: String!) { queryNote(filter: { ownedBy: { eq: $USER } }) { __typename } }" },
+        |  add: { rule: "{$ROLE: { eq: \"writer\" } }"}
+        |){
+        |  id: ID!
+        |  text: String! @search(by: [exact])
+        |  ownedBy: String @search(by: [exact])
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = store.attr("text")
+      .select(col("subject"), col("predicate"),
+        col("value").cast("string").as("value"),
+        lit(null).cast("string").as("lang"))
+    // update with alice's claim rewrites only HER note, even though the
+    // mutation filter matches both
+    val updated = eng.mutate(
+      """mutation { updateNote(input: {
+        |  filter: { has: text }, set: { text: "redacted" } }) { } }""".stripMargin,
+      base, jwt = Map("USER" -> "alice")).collect()
+    val byUid = updated.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byUid(0x10L) == "redacted" && byUid(0x11L) == "bob note")
+    // delete under bob's claim removes only bob's note
+    val deleted = eng.mutate(
+      """mutation { deleteNote(filter: { has: text }) { } }""",
+      base, jwt = Map("USER" -> "bob")).collect()
+    assert(deleted.map(_.getLong(0)).toSet == Set(0x10L))
+    // add: RBAC gate
+    assert(eng.mutate(
+      """mutation { addNote(input: [{ text: "new" }]) { } }""",
+      base, jwt = Map("ROLE" -> "writer")).count() == 3)
+    val denied = intercept[Auth.AuthException] {
+      eng.mutate("""mutation { addNote(input: [{ text: "new" }]) { } }""",
+        base, jwt = Map("ROLE" -> "reader"))
+    }
+    assert(denied.getMessage.contains("not authorized"))
+  }
 }
