@@ -109,20 +109,24 @@ object Dedup {
   }
 
   /** Per-document SimHash at `bits` width from md5-prefix word hashes.
-    * Explode+aggregate shape (one codegen'd groupBy with per-bit score
-    * sums) rather than per-row array folds — same structure as the
-    * oracle SQL.
+    * Per-ROW fold: one `transform` hashes the distinct words once, then
+    * one codegen'd `aggregate` per bit folds the hash array — ZERO
+    * shuffle, where the r8 explode+groupBy shape shuffled one row per
+    * (doc, word) (~2 M rows at sf0.1) to compute the identical values.
+    * The oracle SQL keeps the relational formulation; the VALUES are
+    * bit-identical, which is what the hash gate compares.
     */
   private def simhashBits(df: DataFrame, id: Column, text: Column,
       bits: Int): DataFrame = {
-    val hb = df.select(id.as("id"), explode(array_distinct(words(text))).as("w"))
-      .select(col("id"),
-        conv(substring(md5(col("w")), 1, bits / 4), 16, 10).cast("long").as("h"))
-    val bitSums = (0 until bits).map(b =>
-      sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"b$b"))
+    val hs = transform(array_distinct(words(text)),
+      w => conv(substring(md5(w), 1, bits / 4), 16, 10).cast("long"))
+    val withH = df.select(id.as("id"), hs.as("__hs"))
+    val bitScore = (b: Int) => aggregate(col("__hs"), lit(0L),
+      (acc, x) => acc + (shiftright(x, b) % 2) * 2 - 1)
     val assembled = (0 until bits).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    hb.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      when(bitScore(b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    // docs with NO words never reached the groupBy in the explode shape
+    withH.filter(size(col("__hs")) > 0)
       .select(col("id"), assembled.as("simhash"))
   }
 
