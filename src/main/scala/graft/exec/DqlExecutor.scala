@@ -1888,6 +1888,13 @@ final class DqlExecutor(ts: GraphStore) {
               graft.functions.PasswordFunctions.bcryptCheck(
                 lit(sel.checkPwd.get), col("__ph"))))
           .drop("__ph")
+        // `pwd as checkpwd(p, $pwd)` binds 1/0 per uid — the GraphQL
+        // check<T>Password rewrite filters the result block on
+        // eq(val(pwd), 1) (reference query_rewriter.go passwordQuery)
+        sel.varName.foreach { v =>
+          bindVar(v, cur.select(qcol(uidCol).as("uid"),
+            qcol(name).cast("long").as("value")).dropDuplicates("uid"))
+        }
       } else if (schema.predicates.get(sel.pred)
           .exists(_.dgraphType == "password") && !sel.isCount) {
         // password values are never fetchable — the field renders as

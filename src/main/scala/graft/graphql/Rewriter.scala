@@ -142,6 +142,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
   def filterFor(o: GObj, t: SdlType): FilterNode = filterNode(o, t)
 
   private val QueryRe = "query([A-Z]\\w*)".r
+  private val PasswordRe = "check([A-Z]\\w*)Password".r
   private val GetRe = "get([A-Z]\\w*)".r
   private val AggRe = "aggregate([A-Z]\\w*)".r
   private val SimilarRe = "querySimilar([A-Z]\\w*)ByEmbedding".r
@@ -151,6 +152,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
     root.name match {
       case SimilarRe(t) => similarBlocks(root, schema.typ(t))
       case SimilarIdRe(t) => similarByIdBlocks(root, schema.typ(t))
+      case PasswordRe(t) => passwordBlocks(root, schema.typ(t))
       case QueryRe(t) => Seq(queryBlock(root, schema.typ(t)))
       case GetRe(t) => Seq(getBlock(root, schema.typ(t)))
       case AggRe(t) => aggBlocks(root, schema.typ(t))
@@ -291,6 +293,49 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         case c => selection(c, t)
       })
     Seq(anchorBlock, reduceBlock, simBlock, result)
+  }
+
+  // ---- check<T>Password (reference graphql/schema/gqlschema.go:2303
+  // addPasswordQuery + resolve/query_rewriter.go:335 passwordQuery) ----
+
+  /** Two-block rewrite, per the reference's golden shape
+    * (query_test.yaml "Password query"):
+    *   checkPwd(func: <id lookup>) @filter(type(T)) {
+    *     pwd as checkpwd(<secret pred>, <candidate>) }
+    *   check<T>Password(func: <id lookup>)
+    *     @filter(eq(val(pwd), 1) AND type(T)) { fields }
+    * The type's @auth query rule applies to the result block like any
+    * other read of the type.
+    */
+  private def passwordBlocks(root: GqlSelection, t: SdlType): Seq[QueryBlock] = {
+    val pwdField = t.secret.getOrElse(throw RewriteException(
+      s"${t.name} has no @secret password field — check${t.name}Password " +
+        "is not generated"))
+    val pw = root.args.collectFirst {
+      case (n, v) if n == pwdField => scalar(v)
+    }.getOrElse(throw RewriteException(
+      s"check${t.name}Password requires the $pwdField argument"))
+    // the id lookup: `id:` seeds uid(); an @id (xid) or any other field
+    // arg seeds eq(field, value) — mirrors rewriteAsGet
+    val idFunc = root.args.collectFirst {
+      case ("id", v) => FuncCall("uid", "", Seq(scalar(v)))
+      case (n, v) if n != pwdField && t.field(n).isDefined =>
+        FuncCall("eq", n, Seq(scalar(v)))
+    }.getOrElse(throw RewriteException(
+      s"check${t.name}Password requires an id argument"))
+    val varBlock = QueryBlock(
+      name = "var", func = idFunc, filter = typeFilter(t),
+      selections = Seq(Selection(alias = None, pred = pwdField,
+        checkPwd = Some(pw), varName = Some("g_pwdok"))))
+    val okFilter: FilterNode =
+      FilterLeaf(FuncCall("eq", "val:g_pwdok", Seq("1")))
+    val (rFunc, rFilt) = applyAuth(t, idFunc,
+      Some(FilterAnd(Seq(okFilter, typeFilter(t).get))))
+    Seq(varBlock, QueryBlock(
+      name = root.outName,
+      func = rFunc,
+      filter = rFilt,
+      selections = root.children.flatMap(selection(_, t))))
   }
 
   // ---- query<T> ----

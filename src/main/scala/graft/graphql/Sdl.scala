@@ -31,7 +31,8 @@ final case class SdlField(
 
 final case class SdlType(name: String, fields: Seq[SdlField],
     isInterface: Boolean = false, implements: Seq[String] = Nil,
-    auth: Map[String, Auth.Node] = Map.empty) {
+    auth: Map[String, Auth.Node] = Map.empty,
+    secret: Option[String] = None) {   // @secret(field: "...") password pred
   def field(n: String): Option[SdlField] = fields.find(_.name == n)
 }
 
@@ -63,6 +64,7 @@ object SdlParser {
     // capture @auth per type with a string-aware balanced scan, then
     // blank the whole directive region (space-padded, so offsets hold)
     val authByType = scala.collection.mutable.Map.empty[String, Map[String, Auth.Node]]
+    val secretByType = scala.collection.mutable.Map.empty[String, String]
     val headPat = """(type|interface)\s+(\w+)""".r
     val sb = new StringBuilder(src0)
     for (m <- headPat.findAllMatchIn(src0)) {
@@ -96,6 +98,11 @@ object SdlParser {
         val header = src0.substring(m.end, j)
         val at = header.indexOf('@')
         if (at >= 0) {
+          // @secret(field: "pwd") — the generated check<T>Password query
+          // verifies against this password predicate
+          """@secret\s*\(\s*field\s*:\s*"(\w+)"\s*\)""".r
+            .findFirstMatchIn(header)
+            .foreach(sm => secretByType(tname) = sm.group(1))
           val authIdx = header.indexOf("@auth")
           if (authIdx >= 0) {
             val open = header.indexOf('(', authIdx)
@@ -173,7 +180,8 @@ object SdlParser {
       }.toSeq
       tname -> SdlType(tname, fields,
         isInterface = m.group(1) == "interface", implements = impls,
-        auth = authByType.getOrElse(tname, Map.empty))
+        auth = authByType.getOrElse(tname, Map.empty),
+        secret = secretByType.get(tname))
     }.toMap
     // implementing types inherit the interface's fields (reference
     // gqlschema: implementers don't redeclare them); own fields win on

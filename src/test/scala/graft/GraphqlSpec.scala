@@ -640,4 +640,50 @@ class GraphqlSpec extends AnyFunSuite {
     }
     assert(denied.getMessage.contains("not authorized"))
   }
+
+  test("@secret + check<T>Password: two-block checkpwd rewrite (query_rewriter.go:335)") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """uname: string @index(exact) .
+        |pwd: password .
+        |""".stripMargin)
+    // the store bcrypts password values at INGEST (types/password.go
+    // Encrypt) — the fixture carries the plaintext
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        s"""<0x1> <uname> "user1" .""",
+        s"""<0x1> <pwd> "secret123" .""",
+        s"""<0x1> <dgraph.type> "User" .""",
+        s"""<0x2> <uname> "user2" .""",
+        s"""<0x2> <dgraph.type> "User" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type User @secret(field: "pwd") {
+        |  id: ID!
+        |  uname: String! @search(by: [exact])
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    // right password: the user renders
+    val ok = eng.json(
+      """query { checkUserPassword(uname: "user1", pwd: "secret123") {
+        |  uname } }""".stripMargin).collect()
+    assert(ok.length == 1 && ok.head.getString(2).contains("user1"))
+    // wrong password / missing stored hash: empty, not an error
+    assert(eng.json(
+      """query { checkUserPassword(uname: "user1", pwd: "nope") {
+        |  uname } }""".stripMargin).count() == 0)
+    assert(eng.json(
+      """query { checkUserPassword(uname: "user2", pwd: "anything") {
+        |  uname } }""".stripMargin).count() == 0)
+    // a type without @secret rejects the root with a clear error
+    val e = intercept[Rewriter.RewriteException] {
+      new GraphQLEngine(store, SdlParser.parse(
+        """type User { id: ID! uname: String! @search(by: [exact]) }"""))
+        .json("""query { checkUserPassword(uname: "user1", pwd: "x") { uname } }""")
+    }
+    assert(e.getMessage.contains("@secret"))
+  }
 }
