@@ -176,7 +176,10 @@ object GqlParser {
       var done = false
       while (!done) peek match {
         case Some(TPunct("}")) => next(); done = true
-        case Some(TName(_)) => out += selection()
+        case Some(TName(_)) =>
+          val sel = selection()
+          // a field dropped by @include/@skip vanishes from the set
+          if (sel.name != "\u0000dropped") out += sel
         case Some(TPunct(".")) =>
           // `...Frag` spread → marker selection, spliced in document()
           expect("."); expect("."); expect(".")
@@ -204,12 +207,44 @@ object GqlParser {
         case _ => Nil
       }
       val dirs = Seq.newBuilder[String]
-      while (peek.contains(TPunct("@"))) { next(); dirs += name() }
+      // @include(if: Boolean!) / @skip(if: Boolean!) — the executable
+      // directives of the GraphQL spec (the reference validates and
+      // applies them through gqlparser): evaluate here, after variable
+      // substitution, and mark the selection dropped. Other directives
+      // keep their (argument-less) names, as before.
+      var dropped = false
+      while (peek.contains(TPunct("@"))) {
+        next()
+        val dn = name()
+        val dargs = peek match {
+          case Some(TPunct("(")) =>
+            next()
+            val as = Seq.newBuilder[(String, GVal)]
+            while (!peek.contains(TPunct(")"))) {
+              val k = name(); expect(":"); as += (k -> value())
+            }
+            next()
+            as.result()
+          case _ => Nil
+        }
+        def ifArg: Boolean = dargs.collectFirst { case ("if", v) => v } match {
+          case Some(GBool(b)) => b
+          case Some(other) => throw ParseException(
+            s"@$dn(if:) must be a Boolean, got $other")
+          case None => throw ParseException(s"@$dn requires an `if` argument")
+        }
+        dn match {
+          case "include" => if (!ifArg) dropped = true
+          case "skip" => if (ifArg) dropped = true
+          case _ => dirs += dn
+        }
+      }
       val children = peek match {
         case Some(TPunct("{")) => next(); selections()
         case _ => Nil
       }
-      GqlSelection(alias, fieldName, args, dirs.result(), children)
+      val sel = GqlSelection(alias, fieldName, args, dirs.result(), children)
+      if (dropped) sel.copy(name = "\u0000dropped") else sel
     }
 
     /** Type reference in a variable definition: `Int`, `[String!]!` — the

@@ -686,4 +686,35 @@ class GraphqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("@secret"))
   }
+
+  test("@include/@skip executable directives drop fields by variable") {
+    val op = GqlParser.parse(
+      """query Q($withLoc: Boolean!, $noName: Boolean!) {
+        |  queryCustomer(first: 1) {
+        |    name @skip(if: $noName)
+        |    mktsegment @include(if: $withLoc)
+        |    located_in @include(if: $withLoc) { name }
+        |    acctbal @include(if: true) @skip(if: false)
+        |  } }""".stripMargin,
+      Map("withLoc" -> GBool(false), "noName" -> GBool(false)))
+    assert(op.roots.head.children.map(_.name) == Seq("name", "acctbal"))
+    val op2 = GqlParser.parse(
+      """query { queryCustomer(first: 1) { name @include(if: false) } }""")
+    assert(op2.roots.head.children.isEmpty)
+    // a missing/non-boolean if is a parse-level error
+    intercept[GqlParser.ParseException] {
+      GqlParser.parse("""query { queryCustomer { name @include } }""")
+    }
+    intercept[GqlParser.ParseException] {
+      GqlParser.parse("""query { queryCustomer { name @skip(if: "x") } }""")
+    }
+    // end-to-end: the dropped field is absent from the JSON
+    val rows = engine.json(
+      """query Q($b: Boolean!) {
+        |  queryCustomer(filter: { name: { eq: "Customer#000000001" } }) {
+        |    name
+        |    mktsegment @include(if: $b) } }""".stripMargin,
+      variables = Map("b" -> GBool(false))).collect()
+    assert(rows.length == 1 && !rows.head.getString(2).contains("mktsegment"))
+  }
 }
