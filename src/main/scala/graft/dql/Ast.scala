@@ -56,7 +56,8 @@ final case class Selection(
     facetAliases: Map[String, String] = Map.empty, // @facets(o: origin)
     selCascade: Boolean = false,          // child-level @cascade subtree
     langChain: Seq[String] = Nil,         // pred@en:fr:. preference chain
-    checkPwd: Option[String] = None) {    // checkpwd(pred, "candidate")
+    checkPwd: Option[String] = None,      // checkpwd(pred, "candidate")
+    constVal: Option[String] = None) {    // literal-valued field (__typename)
   def outName: String = alias.getOrElse(
     if (checkPwd.isDefined) s"checkpwd_$pred"
     else if (isCount) s"count_$pred"

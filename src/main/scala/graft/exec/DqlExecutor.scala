@@ -1857,6 +1857,11 @@ final class DqlExecutor(ts: GraphStore) {
           val v = vf.select(col("uid").as("__vs"), col("value").as(name))
           cur = cur.join(v, qcol(uidCol) === col("__vs"), joinType).drop("__vs")
         }
+      } else if (sel.constVal.isDefined) {
+        // literal-valued field: the GraphQL completion layer's
+        // __typename on a concrete type (reference fills it in result
+        // completion; here it is a plain constant column)
+        cur = cur.withColumn(name, lit(sel.constVal.get))
       } else if (sel.pred == "uid" && !sel.isCount && sel.checkPwd.isEmpty) {
         // uid is implicit (the frontier column itself); `m as uid` binds
         // the current frontier as a uid variable (the upsert-block query

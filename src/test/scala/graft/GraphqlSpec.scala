@@ -717,4 +717,20 @@ class GraphqlSpec extends AnyFunSuite {
       variables = Map("b" -> GBool(false))).collect()
     assert(rows.length == 1 && !rows.head.getString(2).contains("mktsegment"))
   }
+
+  test("__typename renders the concrete type name as a constant field") {
+    val rows = engine.json(
+      """query { queryCustomer(filter: { name: { eq: "Customer#000000001" } }) {
+        |  __typename name
+        |  located_in { __typename name } } }""".stripMargin).collect()
+    assert(rows.length == 1)
+    val j = rows.head.getString(2)
+    assert(j.contains(""""__typename":"Customer""""))
+    assert(j.contains(""""__typename":"Nation""""))
+    // interfaces need the completion layer's type lookup — clear error
+    val e = intercept[Rewriter.RewriteException] {
+      engine.json("query { queryParty { __typename name } }")
+    }
+    assert(e.getMessage.contains("__typename on interface"))
+  }
 }
