@@ -57,7 +57,10 @@ final case class Selection(
     selCascade: Boolean = false,          // child-level @cascade subtree
     langChain: Seq[String] = Nil,         // pred@en:fr:. preference chain
     checkPwd: Option[String] = None,      // checkpwd(pred, "candidate")
-    constVal: Option[String] = None) {    // literal-valued field (__typename)
+    constVal: Option[String] = None,      // literal-valued field (__typename)
+    typeNameOf: Seq[String] = Nil) {      // per-node concrete-type lookup
+                                          // restricted to these candidates
+                                          // (interface __typename)
   def outName: String = alias.getOrElse(
     if (checkPwd.isDefined) s"checkpwd_$pred"
     else if (isCount) s"count_$pred"

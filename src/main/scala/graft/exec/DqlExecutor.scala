@@ -1862,6 +1862,16 @@ final class DqlExecutor(ts: GraphStore) {
         // __typename on a concrete type (reference fills it in result
         // completion; here it is a plain constant column)
         cur = cur.withColumn(name, lit(sel.constVal.get))
+      } else if (sel.typeNameOf.nonEmpty) {
+        // per-node concrete type among the candidate names (interface
+        // __typename): one pruned pass over the type tablet, min() picks
+        // deterministically if a node ever carries two implementers
+        val tn = ts.nodeTypes
+          .filter(col("typeName").isin(sel.typeNameOf: _*))
+          .groupBy(col("subject"))
+          .agg(min(col("typeName")).as(name))
+          .withColumnRenamed("subject", "__tn")
+        cur = cur.join(tn, qcol(uidCol) === col("__tn"), joinType).drop("__tn")
       } else if (sel.pred == "uid" && !sel.isCount && sel.checkPwd.isEmpty) {
         // uid is implicit (the frontier column itself); `m as uid` binds
         // the current frontier as a uid variable (the upsert-block query

@@ -433,15 +433,17 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
   private def selection(sel: GqlSelection, t: SdlType): Option[Selection] = {
     if (sel.name == "id") return None // uid is implicit in flat output
     if (sel.name == "__typename") {
-      // the reference's completion layer injects __typename; a CONCRETE
-      // type's value is static — a literal column. On an interface the
-      // node's concrete type is data, which needs the dgraph.type
-      // lookup the completion layer does; out of scope, clear error.
-      if (t.isInterface) throw new RewriteException(
-        s"__typename on interface ${t.name} is not supported — query the " +
-          "implementing type")
-      return Some(Selection(alias = Some(sel.outName), pred = "__typename",
-        constVal = Some(t.name)))
+      // the reference's completion layer injects __typename. A CONCRETE
+      // type's value is static — a literal column; an INTERFACE resolves
+      // the node's concrete type from the type tablet, restricted to the
+      // implementer names (the discriminator pattern).
+      return Some(
+        if (t.isInterface)
+          Selection(alias = Some(sel.outName), pred = "__typename",
+            typeNameOf = schema.implementers(t.name))
+        else
+          Selection(alias = Some(sel.outName), pred = "__typename",
+            constVal = Some(t.name)))
     }
     val f = t.field(sel.name).getOrElse(
       throw new RewriteException(s"${t.name} has no field '${sel.name}'"))

@@ -727,10 +727,17 @@ class GraphqlSpec extends AnyFunSuite {
     val j = rows.head.getString(2)
     assert(j.contains(""""__typename":"Customer""""))
     assert(j.contains(""""__typename":"Nation""""))
-    // interfaces need the completion layer's type lookup — clear error
-    val e = intercept[Rewriter.RewriteException] {
-      engine.json("query { queryParty { __typename name } }")
-    }
-    assert(e.getMessage.contains("__typename on interface"))
+    // interface __typename resolves each node's CONCRETE type (the
+    // discriminator pattern): customers and suppliers both implement
+    // Party and discriminate correctly
+    val party = engine.json(
+      """query { queryParty(filter: { name: { in:
+        |  ["Customer#000000001", "Supplier#000000001"] } }) {
+        |  __typename name } }""".stripMargin).collect().map(_.getString(2))
+    assert(party.length == 2)
+    assert(party.exists(j => j.contains(""""__typename":"Customer"""") &&
+      j.contains("Customer#000000001")))
+    assert(party.exists(j => j.contains(""""__typename":"Supplier"""") &&
+      j.contains("Supplier#000000001")))
   }
 }
