@@ -181,9 +181,16 @@ object GqlParser {
           // a field dropped by @include/@skip vanishes from the set
           if (sel.name != "\u0000dropped") out += sel
         case Some(TPunct(".")) =>
-          // `...Frag` spread → marker selection, spliced in document()
+          // `...Frag` spread → marker selection, spliced in document();
+          // `... on T { sels }` inline fragment → type-condition marker
+          // the schema-aware rewriter resolves
           expect("."); expect("."); expect(".")
-          out += GqlSelection(None, "..." + name(), Nil, Nil, Nil)
+          val n = name()
+          if (n == "on") {
+            val tc = name()
+            expect("{")
+            out += GqlSelection(None, "\u0000on:" + tc, Nil, Nil, selections())
+          } else out += GqlSelection(None, "..." + n, Nil, Nil, Nil)
         case other => throw ParseException(s"expected selection, got $other")
       }
       out.result()

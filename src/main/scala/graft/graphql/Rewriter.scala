@@ -214,7 +214,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         case c if c.name == "vector_distance" =>
           Some(Selection(alias = Some(c.outName), pred = "val",
             valRef = Some("g_simdist")))
-        case c => selection(c, t)
+        case c => expandSelections(Seq(c), t)
       })
     Seq(varBlock, result)
   }
@@ -290,7 +290,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         case c if c.name == "vector_distance" =>
           Some(Selection(alias = Some(c.outName), pred = "val",
             valRef = Some("g_simdist")))
-        case c => selection(c, t)
+        case c => expandSelections(Seq(c), t)
       })
     Seq(anchorBlock, reduceBlock, simBlock, result)
   }
@@ -335,7 +335,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       name = root.outName,
       func = rFunc,
       filter = rFilt,
-      selections = root.children.flatMap(selection(_, t))))
+      selections = expandSelections(root.children, t)))
   }
 
   // ---- query<T> ----
@@ -350,7 +350,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       order = root.arg("order").map(orderList).getOrElse(Nil),
       page = pagination(root),
       cascade = root.directives.contains("cascade"),
-      selections = root.children.flatMap(selection(_, t)))
+      selections = expandSelections(root.children, t))
   }
 
   /** Root-function selection with the reference's eq/in promotion. */
@@ -394,7 +394,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       name = root.outName,
       func = func,
       filter = filt,
-      selections = root.children.flatMap(selection(_, t)))
+      selections = expandSelections(root.children, t))
   }
 
   // ---- aggregate<T> ----
@@ -429,6 +429,30 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
   }
 
   // ---- selections ----
+
+  /** Resolve a selection set, expanding inline fragments: `... on T`
+    * children resolve against T's own fields (implementer-exclusive
+    * fields are only reachable this way). Field names map to global
+    * predicates in this engine, so fragment fields MERGE into the parent
+    * set — a node lacking the predicate renders the field absent, which
+    * is exactly the per-type behavior (the reference fetches all
+    * fragment branches too and filters at completion,
+    * query_test.yaml "query with fragments inside interface").
+    */
+  private def expandSelections(sels: Seq[GqlSelection],
+      t: SdlType): Seq[Selection] =
+    sels.flatMap { c =>
+      if (c.name.startsWith("\u0000on:")) {
+        val tc = c.name.stripPrefix("\u0000on:")
+        val ft = schema.types.getOrElse(tc, throw new RewriteException(
+          s"inline fragment on unknown type $tc"))
+        val ok = tc == t.name || ft.implements.contains(t.name) ||
+          t.implements.contains(tc)
+        if (!ok) throw new RewriteException(
+          s"inline fragment on $tc cannot apply to ${t.name}")
+        expandSelections(c.children, ft)
+      } else selection(c, t)
+    }
 
   private def selection(sel: GqlSelection, t: SdlType): Option[Selection] = {
     if (sel.name == "id") return None // uid is implicit in flat output
@@ -468,7 +492,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
           filter = filter,
           order = sel.arg("order").map(orderList).getOrElse(Nil),
           page = pagination(sel),
-          children = sel.children.flatMap(selection(_, ct))))
+          children = expandSelections(sel.children, ct)))
       case None =>
         Some(Selection(alias = Some(sel.outName), pred = sel.name))
     }

@@ -740,4 +740,32 @@ class GraphqlSpec extends AnyFunSuite {
     assert(party.exists(j => j.contains(""""__typename":"Supplier"""") &&
       j.contains("Supplier#000000001")))
   }
+
+  test("inline fragments: type conditions on interface queries, implementer-only fields") {
+    // mirrors the reference's "query with fragments inside interface"
+    // (query_test.yaml): fragment branches merge into the fetch; each
+    // node renders only the fields its type carries
+    val rows = engine.json(
+      """query { queryParty(filter: { name: { in:
+        |  ["Customer#000000001", "Supplier#000000001"] } }) {
+        |  __typename
+        |  name
+        |  ... on Customer { mktsegment }
+        |} }""".stripMargin).collect().map(_.getString(2))
+    assert(rows.length == 2)
+    val cust = rows.find(_.contains(""""__typename":"Customer"""")).get
+    val supp = rows.find(_.contains(""""__typename":"Supplier"""")).get
+    assert(cust.contains("mktsegment"))
+    assert(!supp.contains("mktsegment"))
+    // a fragment on an unrelated type is rejected
+    val e = intercept[Rewriter.RewriteException] {
+      engine.json("""query { queryParty { ... on Part { name } } }""")
+    }
+    assert(e.getMessage.contains("cannot apply"))
+    // fragment on the type itself works on concrete queries too
+    val c2 = engine.json(
+      """query { queryCustomer(first: 1) { ... on Customer { name } } }""")
+      .collect()
+    assert(c2.length == 1 && c2.head.getString(2).contains("name"))
+  }
 }
