@@ -440,8 +440,8 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
     * query_test.yaml "query with fragments inside interface").
     */
   private def expandSelections(sels: Seq[GqlSelection],
-      t: SdlType): Seq[Selection] =
-    sels.flatMap { c =>
+      t: SdlType): Seq[Selection] = {
+    val out = sels.flatMap { c =>
       if (c.name.startsWith("\u0000on:")) {
         val tc = c.name.stripPrefix("\u0000on:")
         val ft = schema.types.getOrElse(tc, throw new RewriteException(
@@ -453,6 +453,12 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         expandSelections(c.children, ft)
       } else selection(c, t)
     }
+    // field merging (GraphQL spec): two fragments selecting the same
+    // field produce ONE fetch — identical selections dedup, genuinely
+    // conflicting ones surface through the executor's repeated-subgraph
+    // check as before
+    out.distinct
+  }
 
   private def selection(sel: GqlSelection, t: SdlType): Option[Selection] = {
     if (sel.name == "id") return None // uid is implicit in flat output

@@ -158,6 +158,19 @@ object SdlParser {
       if (cur.nonEmpty) out += cur.result().trim
       out.result().map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
     }
+    // `union U = A | B | C` (reference gqlschema.go union support):
+    // modeled as a FIELDLESS INTERFACE whose members implement it — the
+    // implementer machinery then gives union fields __typename
+    // discrimination, inline-fragment validation, per-member @auth
+    // enforcement, and type(U, members...) seeds for free
+    val unionPat = """union\s+(\w+)\s*=\s*([^\n]+)""".r
+    val unions = unionPat.findAllMatchIn(src).map { m =>
+      m.group(1) -> m.group(2).split("\\|").map(_.trim)
+        .takeWhile(_.matches("\\w+")).toSeq
+    }.toMap
+    val memberOf: Map[String, Seq[String]] = unions.toSeq
+      .flatMap { case (u, ms) => ms.map(_ -> u) }
+      .groupBy(_._1).map { case (m, us) => m -> us.map(_._2) }
     val raw = typePat.findAllMatchIn(src).map { m =>
       val tname = m.group(2)
       val impls = Option(m.group(3)).map(
@@ -179,10 +192,14 @@ object SdlParser {
           isEmbedding = dirText.contains("@embedding"))
       }.toSeq
       tname -> SdlType(tname, fields,
-        isInterface = m.group(1) == "interface", implements = impls,
+        isInterface = m.group(1) == "interface",
+        implements = impls ++ memberOf.getOrElse(tname, Nil),
         auth = authByType.getOrElse(tname, Map.empty),
         secret = secretByType.get(tname))
-    }.toMap
+    }.toMap ++ unions.map { case (u, _) =>
+      u -> SdlType(u, Seq(SdlField("id", "ID", isList = false,
+        isId = true, searchable = Nil)), isInterface = true)
+    }
     // implementing types inherit the interface's fields (reference
     // gqlschema: implementers don't redeclare them); own fields win on
     // a name clash

@@ -768,4 +768,67 @@ class GraphqlSpec extends AnyFunSuite {
       .collect()
     assert(c2.length == 1 && c2.head.getString(2).contains("name"))
   }
+
+  test("unions: union-typed edges discriminate via __typename and inline fragments") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """name: string @index(exact) .
+        |breed: string .
+        |color: string .
+        |pets: [uid] .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <name> "ann" .""",
+        """<0x1> <pets> <0x10> .""",
+        """<0x1> <pets> <0x11> .""",
+        """<0x1> <dgraph.type> "Human" .""",
+        """<0x10> <name> "rex" .""",
+        """<0x10> <breed> "lab" .""",
+        """<0x10> <dgraph.type> "Dog" .""",
+        """<0x11> <name> "tom" .""",
+        """<0x11> <color> "grey" .""",
+        """<0x11> <dgraph.type> "Cat" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """union Animal = Dog | Cat
+        |type Dog {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |  breed: String
+        |}
+        |type Cat {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |  color: String
+        |}
+        |type Human {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |  pets: [Animal]
+        |}""".stripMargin)
+    assert(sdl.typ("Animal").isInterface &&
+      sdl.implementers("Animal") == Seq("Cat", "Dog"))
+    val eng = new GraphQLEngine(store, sdl)
+    val rows = eng.json(
+      """query { queryHuman {
+        |  name
+        |  pets {
+        |    __typename
+        |    ... on Dog { name breed }
+        |    ... on Cat { name color }
+        |  } } }""".stripMargin).collect()
+    assert(rows.length == 1)
+    val j = rows.head.getString(2)
+    assert(j.contains(""""__typename":"Dog"""") && j.contains("lab"))
+    assert(j.contains(""""__typename":"Cat"""") && j.contains("grey"))
+    // a fragment on a non-member is rejected
+    val e = intercept[Rewriter.RewriteException] {
+      eng.json("""query { queryHuman { pets { ... on Human { name } } } }""")
+    }
+    assert(e.getMessage.contains("cannot apply"))
+  }
 }
