@@ -96,9 +96,15 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
     case other => throw RewriteException(s"expected scalar, got $other")
   }
 
-  /** add<T>(input: [{...}]): blank labels are zero-padded input indexes,
-    * so allocateUids' label order IS the input order (reference AddRewriter
-    * numbers blanks in document order).
+  /** add<T>(input: [{...}]): blank labels are zero-padded document-order
+    * indexes, so allocateUids' label order IS the input order (reference
+    * AddRewriter numbers blanks in document order). Edge fields take
+    * either `{ id: "0x5" }` — a reference to an EXISTING node — or a
+    * nested input object, which becomes its own blank node recursively
+    * (reference mutation_rewriter.go handles both through the same
+    * rewrite). Edge triples require the base frame to carry an
+    * `objectUid` column (the canonical triples shape); a scalar-only
+    * base accepts scalar-only adds, as before.
     */
   private def addMutation(base: DataFrame, root: GqlSelection, t: SdlType): DataFrame = {
     authFor(t, "add") match {
@@ -114,22 +120,92 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
       case Some(o: GObj) => Seq(o)
       case _ => throw RewriteException(s"add${t.name} requires input:")
     }
-    val rows = inputs.zipWithIndex.flatMap {
-      case (o: GObj, i) =>
-        o.fields.map { case (f, v) =>
-          if (t.field(f).isEmpty)
-            throw RewriteException(s"${t.name} has no field '$f'")
-          (f"b$i%05d", f, scalar(v))
+    // flatten the input forest: scalar rows (label, pred, value), edge
+    // rows to existing uids (label, pred, uid literal) and to nested
+    // blanks (label, pred, childLabel). Labels number in document order.
+    var seq = -1
+    def freshLabel(): String = { seq += 1; f"b$seq%05d" }
+    val scalars = Seq.newBuilder[(String, String, String)]
+    val uidEdges = Seq.newBuilder[(String, String, Long)]
+    val blankEdges = Seq.newBuilder[(String, String, String)]
+    val typeRows = Seq.newBuilder[(String, String)]
+    def walk(o: GObj, ot: SdlType): String = {
+      val label = freshLabel()
+      typeRows += ((label, ot.name))
+      o.fields.foreach { case (f, v) =>
+        val fd = ot.field(f).getOrElse(
+          throw RewriteException(s"${ot.name} has no field '$f'"))
+        schema.types.get(fd.typeName) match {
+          case Some(ct) =>
+            val targets = v match {
+              case GList(items) => items
+              case one => Seq(one)
+            }
+            targets.foreach {
+              case ro: GObj if ro.fields.map(_._1) == Seq("id") =>
+                uidEdges += ((label, f,
+                  java.lang.Long.decode(scalar(ro.fields.head._2))))
+              case ro: GObj => blankEdges += ((label, f, walk(ro, ct)))
+              case other => throw RewriteException(
+                s"bad edge input for $f: $other")
+            }
+          case None => scalars += ((label, f, scalar(v)))
         }
-      case (other, _) => throw RewriteException(s"bad add input: $other")
+      }
+      label
     }
-    val triples = rows.toDF("label", "predicate", "value")
-    val alloc = Mutations.allocateUids(
-      triples.select(col("label")).distinct(), "label", ts.nodeTypes)
-    val sets = triples.join(alloc, Seq("label"))
-      .select(col("uid").as("subject"), col("predicate"), col("value"),
-        lit(null).cast("string").as("lang"))
-    Mutations.applySet(base, sets)
+    inputs.foreach {
+      case o: GObj => walk(o, t)
+      case other => throw RewriteException(s"bad add input: $other")
+    }
+    val edgy = uidEdges.result().nonEmpty || blankEdges.result().nonEmpty
+    if (edgy && !base.columns.contains("objectUid"))
+      throw RewriteException(
+        s"add${t.name} with edge fields needs a triples base frame " +
+          "with an objectUid column")
+    val labels = typeRows.result().map(_._1).toDF("label")
+    val alloc = Mutations.allocateUids(labels, "label", ts.nodeTypes)
+    val allocOf = alloc // (label, uid)
+    if (!edgy) {
+      val sets0 = scalars.result().toDF("label", "predicate", "value")
+        .join(allocOf, Seq("label"))
+        .select(col("uid").as("subject"), col("predicate"), col("value"),
+          lit(null).cast("string").as("lang"))
+      val sets = if (base.columns.contains("objectUid"))
+        sets0.withColumn("objectUid", lit(null).cast("long"))
+          .select(base.columns.map(col): _*)
+        else sets0.select(base.columns.map(col): _*)
+      Mutations.applySet(base, sets)
+    } else {
+      // canonical triples shape: scalar rows + edge rows + dgraph.type
+      def full(df: DataFrame) = df.select(base.columns.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(base.schema(c).dataType).as(c)): _*)
+      val scalarRows = full(
+        scalars.result().toDF("label", "predicate", "value")
+          .join(allocOf, Seq("label"))
+          .select(col("uid").as("subject"), col("predicate"), col("value")))
+      val typeSet = full(
+        typeRows.result().toDF("label", "value")
+          .join(allocOf, Seq("label"))
+          .select(col("uid").as("subject"),
+            lit("dgraph.type").as("predicate"), col("value")))
+      val uidEdgeRows = full(
+        uidEdges.result().toDF("label", "predicate", "objectUid")
+          .join(allocOf, Seq("label"))
+          .select(col("uid").as("subject"), col("predicate"),
+            col("objectUid")))
+      val blankEdgeRows = full(
+        blankEdges.result().toDF("label", "predicate", "child")
+          .join(allocOf, Seq("label"))
+          .join(allocOf.select(col("label").as("child"),
+            col("uid").as("__cu")), Seq("child"))
+          .select(col("uid").as("subject"), col("predicate"),
+            col("__cu").as("objectUid")))
+      Mutations.applySet(base,
+        Seq(scalarRows, typeSet, uidEdgeRows, blankEdgeRows)
+          .reduce(_ unionByName _))
+    }
   }
 
   /** update<T>(input: {filter, set, remove}). */

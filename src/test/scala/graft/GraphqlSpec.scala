@@ -831,4 +831,75 @@ class GraphqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("cannot apply"))
   }
+
+  test("add<T> with nested objects and id references builds the edge subgraph") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """name: string @index(exact) .
+        |located_in: uid .
+        |placed: [uid] .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x5> <name> "FRANCE" .""",
+        """<0x5> <dgraph.type> "Nation" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type Nation {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |}
+        |type Order {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |}
+        |type Customer {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |  located_in: Nation
+        |  placed: [Order]
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    import org.apache.spark.sql.functions.{col, lit}
+    // canonical triples base: the store's own shape
+    val base = store.attr("name")
+      .select(col("subject"), col("predicate"),
+        lit(null).cast("long").as("objectUid"),
+        col("value").cast("string").as("value"))
+    val out = eng.mutate(
+      """mutation { addCustomer(input: [{
+        |  name: "new cust",
+        |  located_in: { id: "0x5" },
+        |  placed: [{ name: "order A" }, { name: "order B" }]
+        |}]) { } }""".stripMargin, base)
+    out.createOrReplaceTempView("g_addspec")
+    val rows = out.collect()
+    // the new customer links to the EXISTING nation 0x5
+    val custUid = rows.find(r => r.getString(1) == "name" &&
+      r.getString(3) == "new cust").get.getLong(0)
+    assert(rows.exists(r => r.getLong(0) == custUid &&
+      r.getString(1) == "located_in" && r.getLong(2) == 0x5L))
+    // two nested orders allocated fresh uids, typed, linked
+    val orderUids = rows.filter(r => r.getString(1) == "placed" &&
+      r.getLong(0) == custUid).map(_.getLong(2)).toSet
+    assert(orderUids.size == 2)
+    val orderNames = rows.filter(r => r.getString(1) == "name" &&
+      orderUids.contains(r.getLong(0))).map(_.getString(3)).toSet
+    assert(orderNames == Set("order A", "order B"))
+    assert(rows.exists(r => r.getString(1) == "dgraph.type" &&
+      r.getString(3) == "Order"))
+    // fresh uids never collide with existing ones
+    assert(!orderUids.contains(0x5L) && custUid != 0x5L)
+    // edge inputs against a scalar-only base are a clear error
+    val e = intercept[Rewriter.RewriteException] {
+      eng.mutate(
+        """mutation { addCustomer(input: [{ name: "x",
+          |  located_in: { id: "0x5" } }]) { } }""".stripMargin,
+        base.drop("objectUid"))
+    }
+    assert(e.getMessage.contains("objectUid"))
+  }
 }
