@@ -570,6 +570,33 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       case ("alloftext", v) => Some(FuncCall("alloftext", field, Seq(scalar(v))))
       case ("regexp", v) =>
         Some(FuncCall("regexp", field, Seq(stripSlashes(scalar(v)))))
+      // geo filters (reference gqlschema.go NearFilter/PolygonRef —
+      // dgquery shape query_test.yaml "Point query near filter"):
+      // near(pred, [lon,lat], dist) / within(pred, [[[lon,lat],...]])
+      case ("near", no: GObj) =>
+        val d = no.get("distance").map(scalar).getOrElse(
+          throw RewriteException("near filter requires distance"))
+        val (lon, lat) = pointOf(no.get("coordinate").getOrElse(
+          throw RewriteException("near filter requires coordinate")))
+        Some(FuncCall("near", field, Seq(lon, lat, d)))
+      case ("within", wo: GObj) =>
+        val poly = wo.get("polygon").getOrElse(
+          throw RewriteException("within filter requires polygon"))
+        Some(FuncCall("within", field, Seq(polygonLit(poly))))
+      case ("contains", co: GObj) =>
+        co.get("point").map(pointOf) match {
+          case Some((lon, lat)) =>
+            Some(FuncCall("contains", field, Seq(lon, lat)))
+          case None =>
+            val poly = co.get("polygon").getOrElse(
+              throw RewriteException("contains filter requires point or polygon"))
+            Some(FuncCall("contains", field, Seq(polygonLit(poly))))
+        }
+      case ("intersects", io: GObj) =>
+        val poly = io.get("polygon")
+          .orElse(io.get("multiPolygon")).getOrElse(
+            throw RewriteException("intersects filter requires polygon"))
+        Some(FuncCall("intersects", field, Seq(polygonLit(poly))))
       case (op, v) => throw RewriteException(s"unsupported filter op $op: $v")
     }
     leaves.map(FilterLeaf(_): FilterNode) match {
@@ -577,6 +604,41 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       case Seq(one) => Some(one)
       case many => Some(FilterAnd(many))
     }
+  }
+
+  /** GraphQL PointRef { latitude, longitude } → (lon, lat) lexemes. */
+  private def pointOf(v: GVal): (String, String) = v match {
+    case o: GObj =>
+      (o.get("longitude").map(scalar).getOrElse(
+        throw RewriteException("point requires longitude")),
+        o.get("latitude").map(scalar).getOrElse(
+          throw RewriteException("point requires latitude")))
+    case other => throw RewriteException(s"expected a point, got $other")
+  }
+
+  /** PolygonRef { coordinates: [{ points: [PointRef...] }...] } → the
+    * DQL polygon literal [[[lon,lat],...],...] (first ring outer, rest
+    * holes — reference query_rewriter geo filter shape).
+    */
+  private def polygonLit(v: GVal): String = v match {
+    case o: GObj =>
+      val rings = o.get("coordinates") match {
+        case Some(GList(rs)) => rs
+        case _ => throw RewriteException("polygon requires coordinates")
+      }
+      rings.map {
+        case ro: GObj =>
+          val pts = ro.get("points") match {
+            case Some(GList(ps)) => ps
+            case _ => throw RewriteException("polygon ring requires points")
+          }
+          pts.map { p =>
+            val (lon, lat) = pointOf(p)
+            s"[$lon,$lat]"
+          }.mkString("[", ",", "]")
+        case other => throw RewriteException(s"bad polygon ring: $other")
+      }.mkString("[", ",", "]")
+    case other => throw RewriteException(s"expected a polygon, got $other")
   }
 
   // ---- args ----

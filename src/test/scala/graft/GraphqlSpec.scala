@@ -902,4 +902,48 @@ class GraphqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("objectUid"))
   }
+
+  test("geo filters: near/within GraphQL inputs map to the DQL geo generators") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """hname: string @index(exact) .
+        |location: geo @index(geo) .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <hname> "near hotel" .""",
+        """<0x1> <location> "{\"type\":\"Point\",\"coordinates\":[22.22,11.11]}" .""",
+        """<0x1> <dgraph.type> "Hotel" .""",
+        """<0x2> <hname> "far hotel" .""",
+        """<0x2> <location> "{\"type\":\"Point\",\"coordinates\":[80.0,60.0]}" .""",
+        """<0x2> <dgraph.type> "Hotel" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type Hotel {
+        |  id: ID!
+        |  hname: String! @search(by: [exact])
+        |  location: Point @search
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    // near: the query_test.yaml "Point query near filter" shape
+    val near = eng.json(
+      """query { queryHotel(filter: { location: { near: {
+        |  distance: 100000, coordinate: { latitude: 11.11, longitude: 22.22 }
+        |} } }) { hname } }""".stripMargin).collect()
+    assert(near.length == 1 && near.head.getString(2).contains("near hotel"))
+    // within: a polygon around the near hotel only
+    val within = eng.json(
+      """query { queryHotel(filter: { location: { within: { polygon: {
+        |  coordinates: [{ points: [
+        |    { latitude: 10, longitude: 21 },
+        |    { latitude: 10, longitude: 23 },
+        |    { latitude: 12, longitude: 23 },
+        |    { latitude: 12, longitude: 21 },
+        |    { latitude: 10, longitude: 21 } ] }] } } } }) { hname } }"""
+        .stripMargin).collect()
+    assert(within.length == 1 && within.head.getString(2).contains("near hotel"))
+  }
 }
