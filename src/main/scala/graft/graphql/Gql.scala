@@ -27,7 +27,8 @@ final case class GqlSelection(
     name: String,
     args: Seq[(String, GVal)],
     directives: Seq[String],      // @cascade etc.
-    children: Seq[GqlSelection]) {
+    children: Seq[GqlSelection],
+    dirArgs: Map[String, Seq[(String, GVal)]] = Map.empty) { // @cascade(fields: [...])
   def arg(k: String): Option[GVal] = args.collectFirst { case (`k`, v) => v }
   def outName: String = alias.getOrElse(name)
 }
@@ -214,6 +215,7 @@ object GqlParser {
         case _ => Nil
       }
       val dirs = Seq.newBuilder[String]
+      val dirArgsB = Map.newBuilder[String, Seq[(String, GVal)]]
       // @include(if: Boolean!) / @skip(if: Boolean!) — the executable
       // directives of the GraphQL spec (the reference validates and
       // applies them through gqlparser): evaluate here, after variable
@@ -243,14 +245,17 @@ object GqlParser {
         dn match {
           case "include" => if (!ifArg) dropped = true
           case "skip" => if (ifArg) dropped = true
-          case _ => dirs += dn
+          case _ =>
+            dirs += dn
+            if (dargs.nonEmpty) dirArgsB += (dn -> dargs)
         }
       }
       val children = peek match {
         case Some(TPunct("{")) => next(); selections()
         case _ => Nil
       }
-      val sel = GqlSelection(alias, fieldName, args, dirs.result(), children)
+      val sel = GqlSelection(alias, fieldName, args, dirs.result(), children,
+        dirArgsB.result())
       if (dropped) sel.copy(name = "\u0000dropped") else sel
     }
 

@@ -350,6 +350,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       order = root.arg("order").map(orderList).getOrElse(Nil),
       page = pagination(root),
       cascade = root.directives.contains("cascade"),
+      cascadeFields = cascadeFieldsOf(root),
       selections = expandSelections(root.children, t))
   }
 
@@ -492,12 +493,16 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
           case Right(af) =>
             Some(userFilter.map(x => FilterAnd(Seq(x, af))).getOrElse(af))
         }
+        if (cascadeFieldsOf(sel).nonEmpty) throw new RewriteException(
+          "@cascade(fields:) on a nested field is not supported — use a " +
+            "plain field-level @cascade or the root directive")
         Some(Selection(
           alias = Some(sel.outName),
           pred = sel.name,
           filter = filter,
           order = sel.arg("order").map(orderList).getOrElse(Nil),
           page = pagination(sel),
+          selCascade = sel.directives.contains("cascade"),
           children = expandSelections(sel.children, ct)))
       case None =>
         Some(Selection(alias = Some(sel.outName), pred = sel.name))
@@ -605,6 +610,14 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       case many => Some(FilterAnd(many))
     }
   }
+
+  /** `@cascade(fields: ["f1","f2"])` — the parameterized form
+    * (reference query_test.yaml "@cascade(fields:[...])" cases).
+    */
+  private def cascadeFieldsOf(sel: GqlSelection): Seq[String] =
+    sel.dirArgs.get("cascade").toSeq.flatten.collectFirst {
+      case ("fields", GList(fs)) => fs.map(scalar)
+    }.getOrElse(Nil)
 
   /** GraphQL PointRef { latitude, longitude } → (lon, lat) lexemes. */
   private def pointOf(v: GVal): (String, String) = v match {

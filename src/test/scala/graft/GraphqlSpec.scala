@@ -946,4 +946,25 @@ class GraphqlSpec extends AnyFunSuite {
         .stripMargin).collect()
     assert(within.length == 1 && within.head.getString(2).contains("near hotel"))
   }
+
+  test("@cascade(fields:) at root and field-level @cascade map to the DQL forms") {
+    // root parameterized cascade -> QueryBlock.cascadeFields
+    val ast = rewrite(
+      """query { queryCustomer @cascade(fields: ["placed"]) {
+        |  name placed { orderstatus } } }""".stripMargin)
+    assert(ast.blocks.head.cascade &&
+      ast.blocks.head.cascadeFields == Seq("placed"))
+    // field-level plain cascade -> selection-level cascade
+    val ast2 = rewrite(
+      """query { queryCustomer(first: 2) {
+        |  name located_in @cascade { name } } }""".stripMargin)
+    assert(ast2.blocks.head.selections.find(_.pred == "located_in")
+      .exists(_.selCascade))
+    // end-to-end: only customers with at least one order survive
+    val rows = engine.json(
+      """query { queryCustomer(filter: { acctbal: { lt: -990 } })
+        |  @cascade(fields: ["placed"]) {
+        |  name placed(first: 1) { orderstatus } } }""".stripMargin).collect()
+    assert(rows.forall(_.getString(2).contains("orderstatus")))
+  }
 }
