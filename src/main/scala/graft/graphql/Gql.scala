@@ -107,7 +107,57 @@ object GqlParser {
     // (fragments may be declared after their first use).
     private var fragments = Map.empty[String, Seq[GqlSelection]]
 
+    /** Pre-scan the token stream for the operation's variable-definition
+      * defaults BEFORE parsing anything: a fragment declared ahead of the
+      * operation may use `@include(if: $flag)` whose value comes from a
+      * default recorded in the operation header (spec-legal ordering).
+      */
+    private def preScanDefaults(): Unit = {
+      var i = 0
+      def tk(j: Int): Option[Tok] =
+        if (j < ts.length) Some(ts(j)) else None
+      while (i < ts.length) {
+        ts(i) match {
+          case TName("query") | TName("mutation")
+              if i == 0 || ts(i - 1) == TPunct("}") =>
+            var j = i + 1
+            tk(j) match { case Some(TName(_)) => j += 1; case _ => () }
+            if (tk(j).contains(TPunct("("))) {
+              j += 1
+              var depth = 1
+              var curVar: Option[String] = None
+              while (j < ts.length && depth > 0) {
+                ts(j) match {
+                  case TPunct("(") | TPunct("[") => depth += 1
+                  case TPunct(")") | TPunct("]") => depth -= 1
+                  case TPunct("$") =>
+                    curVar = tk(j + 1).collect { case TName(n) => n }
+                  case TPunct("=") if depth == 1 =>
+                    (curVar, tk(j + 1)) match {
+                      case (Some(vn), Some(TStr(v))) =>
+                        if (!varVals.contains(vn)) varVals += (vn -> GStr(v))
+                      case (Some(vn), Some(TNum(v))) =>
+                        if (!varVals.contains(vn)) varVals += (vn -> GNum(v))
+                      case (Some(vn), Some(TName("true"))) =>
+                        if (!varVals.contains(vn)) varVals += (vn -> GBool(true))
+                      case (Some(vn), Some(TName("false"))) =>
+                        if (!varVals.contains(vn)) varVals += (vn -> GBool(false))
+                      case _ => () // list/object defaults resolve in operation()
+                    }
+                  case _ => ()
+                }
+                j += 1
+              }
+            }
+            i = j // keep scanning: a field merely NAMED query/mutation
+                  // after a '}' has no var-defs and must not end the scan
+          case _ => i += 1
+        }
+      }
+    }
+
     def document(): GqlOperation = {
+      preScanDefaults()
       var roots: Seq[GqlSelection] = Nil
       var sawOp = false
       while (peek.isDefined) peek match {

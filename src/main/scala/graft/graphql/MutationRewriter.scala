@@ -142,9 +142,13 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
               case one => Seq(one)
             }
             targets.foreach {
-              case ro: GObj if ro.fields.map(_._1) == Seq("id") =>
+              // an input object carrying `id` is a REFERENCE to the
+              // existing node — other fields are ignored, matching the
+              // reference's rewriteObject (add never deep-updates an
+              // existing node)
+              case ro: GObj if ro.get("id").isDefined =>
                 uidEdges += ((label, f,
-                  java.lang.Long.decode(scalar(ro.fields.head._2))))
+                  java.lang.Long.decode(scalar(ro.get("id").get))))
               case ro: GObj => blankEdges += ((label, f, walk(ro, ct)))
               case other => throw RewriteException(
                 s"bad edge input for $f: $other")
@@ -164,48 +168,49 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
         s"add${t.name} with edge fields needs a triples base frame " +
           "with an objectUid column")
     val labels = typeRows.result().map(_._1).toDF("label")
-    val alloc = Mutations.allocateUids(labels, "label", ts.nodeTypes)
-    val allocOf = alloc // (label, uid)
-    if (!edgy) {
-      val sets0 = scalars.result().toDF("label", "predicate", "value")
+    // allocation must clear BOTH the store's uids and the base frame's —
+    // the base carries nodes added by earlier roots of this document or
+    // by a prior mutate() over the returned frame; reading only the
+    // store tablet re-allocated their uids and silently overwrote them
+    val occupied = ts.nodeTypes.select(col("subject"))
+      .unionByName(base.select(col("subject")))
+    val allocOf = Mutations.allocateUids(labels, "label", occupied)
+    // align any produced frame to the base's columns, null-casting what
+    // it lacks — one contract for every base shape
+    def full(df: DataFrame) = df.select(base.columns.map(c =>
+      if (df.columns.contains(c)) col(c)
+      else lit(null).cast(base.schema(c).dataType).as(c)): _*)
+    val scalarRows = full(
+      scalars.result().toDF("label", "predicate", "value")
         .join(allocOf, Seq("label"))
-        .select(col("uid").as("subject"), col("predicate"), col("value"),
-          lit(null).cast("string").as("lang"))
-      val sets = if (base.columns.contains("objectUid"))
-        sets0.withColumn("objectUid", lit(null).cast("long"))
-          .select(base.columns.map(col): _*)
-        else sets0.select(base.columns.map(col): _*)
-      Mutations.applySet(base, sets)
-    } else {
-      // canonical triples shape: scalar rows + edge rows + dgraph.type
-      def full(df: DataFrame) = df.select(base.columns.map(c =>
-        if (df.columns.contains(c)) col(c)
-        else lit(null).cast(base.schema(c).dataType).as(c)): _*)
-      val scalarRows = full(
-        scalars.result().toDF("label", "predicate", "value")
-          .join(allocOf, Seq("label"))
-          .select(col("uid").as("subject"), col("predicate"), col("value")))
-      val typeSet = full(
+        .select(col("uid").as("subject"), col("predicate"), col("value")))
+    // a canonical triples base gets dgraph.type rows for EVERY new node
+    // (scalar-only adds included — a typeless node would be invisible to
+    // every type()-seeded query/mutation); the legacy scalar-attr base
+    // shape has no type rows to merge into
+    val canonical = base.columns.contains("objectUid")
+    val typeSet =
+      if (!canonical) Nil
+      else Seq(full(
         typeRows.result().toDF("label", "value")
           .join(allocOf, Seq("label"))
           .select(col("uid").as("subject"),
-            lit("dgraph.type").as("predicate"), col("value")))
-      val uidEdgeRows = full(
-        uidEdges.result().toDF("label", "predicate", "objectUid")
+            lit("dgraph.type").as("predicate"), col("value"))))
+    val edgeRows =
+      if (!edgy) Nil
+      else Seq(
+        full(uidEdges.result().toDF("label", "predicate", "objectUid")
           .join(allocOf, Seq("label"))
           .select(col("uid").as("subject"), col("predicate"),
-            col("objectUid")))
-      val blankEdgeRows = full(
-        blankEdges.result().toDF("label", "predicate", "child")
+            col("objectUid"))),
+        full(blankEdges.result().toDF("label", "predicate", "child")
           .join(allocOf, Seq("label"))
           .join(allocOf.select(col("label").as("child"),
             col("uid").as("__cu")), Seq("child"))
           .select(col("uid").as("subject"), col("predicate"),
-            col("__cu").as("objectUid")))
-      Mutations.applySet(base,
-        Seq(scalarRows, typeSet, uidEdgeRows, blankEdgeRows)
-          .reduce(_ unionByName _))
-    }
+            col("__cu").as("objectUid"))))
+    Mutations.applySet(base,
+      (Seq(scalarRows) ++ typeSet ++ edgeRows).reduce(_ unionByName _))
   }
 
   /** update<T>(input: {filter, set, remove}). */

@@ -210,11 +210,10 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       func = rFunc,
       filter = rFilt,
       order = Seq(Ordering("val:g_simdist", desc = false)),
-      selections = root.children.flatMap {
-        case c if c.name == "vector_distance" =>
-          Some(Selection(alias = Some(c.outName), pred = "val",
-            valRef = Some("g_simdist")))
-        case c => expandSelections(Seq(c), t)
+      selections = {
+        val (vd, rest) = root.children.partition(_.name == "vector_distance")
+        vd.map(c => Selection(alias = Some(c.outName), pred = "val",
+          valRef = Some("g_simdist"))) ++ expandSelections(rest, t)
       })
     Seq(varBlock, result)
   }
@@ -286,11 +285,10 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       func = rFunc2,
       filter = rFilt2,
       order = Seq(Ordering("val:g_simdist", desc = false)),
-      selections = root.children.flatMap {
-        case c if c.name == "vector_distance" =>
-          Some(Selection(alias = Some(c.outName), pred = "val",
-            valRef = Some("g_simdist")))
-        case c => expandSelections(Seq(c), t)
+      selections = {
+        val (vd, rest) = root.children.partition(_.name == "vector_distance")
+        vd.map(c => Selection(alias = Some(c.outName), pred = "val",
+          valRef = Some("g_simdist"))) ++ expandSelections(rest, t)
       })
     Seq(anchorBlock, reduceBlock, simBlock, result)
   }
@@ -441,7 +439,16 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
     * query_test.yaml "query with fragments inside interface").
     */
   private def expandSelections(sels: Seq[GqlSelection],
-      t: SdlType): Seq[Selection] = {
+      t: SdlType): Seq[Selection] = expandSelections(sels, t, t)
+
+  /** `outer` is the selection SET's declared type: fragments narrow the
+    * field-resolution type `t` but __typename must still discriminate
+    * per NODE of the outer set — a constant from one fragment branch
+    * would clobber every merged row (Apollo's addTypename emits
+    * __typename inside each branch).
+    */
+  private def expandSelections(sels: Seq[GqlSelection],
+      t: SdlType, outer: SdlType): Seq[Selection] = {
     val out = sels.flatMap { c =>
       if (c.name.startsWith("\u0000on:")) {
         val tc = c.name.stripPrefix("\u0000on:")
@@ -451,8 +458,9 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
           t.implements.contains(tc)
         if (!ok) throw new RewriteException(
           s"inline fragment on $tc cannot apply to ${t.name}")
-        expandSelections(c.children, ft)
-      } else selection(c, t)
+        expandSelections(c.children, ft, outer)
+      } else if (c.name == "__typename") selection(c, outer)
+      else selection(c, t)
     }
     // field merging (GraphQL spec): two fragments selecting the same
     // field produce ONE fetch — identical selections dedup, genuinely

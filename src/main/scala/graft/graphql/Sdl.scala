@@ -163,10 +163,16 @@ object SdlParser {
     // implementer machinery then gives union fields __typename
     // discrimination, inline-fragment validation, per-member @auth
     // enforcement, and type(U, members...) seeds for free
-    val unionPat = """union\s+(\w+)\s*=\s*([^\n]+)""".r
+    // members: names separated by | (leading pipe and line wraps legal
+    // per the GraphQL spec); the list ends at the first name NOT
+    // followed by a separating | — i.e. the next definition's keyword
+    val unionPat = """union\s+(\w+)\s*=((?:\s*\|?\s*\w+)+)""".r
     val unions = unionPat.findAllMatchIn(src).map { m =>
-      m.group(1) -> m.group(2).split("\\|").map(_.trim)
-        .takeWhile(_.matches("\\w+")).toSeq
+      val toks = m.group(2).split("[\\s|]+").filter(_.nonEmpty).toSeq
+      // a trailing name without a pipe before it is the next definition
+      val pipes = m.group(2).count(_ == '|')
+      val members = if (toks.length > pipes + 1) toks.take(pipes + 1) else toks
+      m.group(1) -> members
     }.toMap
     val memberOf: Map[String, Seq[String]] = unions.toSeq
       .flatMap { case (u, ms) => ms.map(_ -> u) }

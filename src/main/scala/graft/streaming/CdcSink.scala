@@ -55,6 +55,12 @@ object CdcSink {
     * `Trigger.AvailableNow` drains everything already in the source and
     * stops — the batch-replayable form of a continuous tail; a live
     * deployment drops the trigger and keeps the same code path.
+    *
+    * Sink layout: one `batch=<id>` subdirectory per micro-batch (readers
+    * see an extra `batch` partition column via discovery — select the
+    * event columns explicitly). `outDir` must be fresh or already in
+    * this layout; flat pre-existing parquet in the same directory fails
+    * partition discovery.
     */
   def streamEvents(input: DataFrame, outDir: String, checkpointDir: String)
       (events: DataFrame => DataFrame): Unit = {

@@ -794,7 +794,8 @@ class GraphqlSpec extends AnyFunSuite {
         """<0x11> <color> "grey" .""",
         """<0x11> <dgraph.type> "Cat" .""").toDF("line")))
     val sdl = SdlParser.parse(
-      """union Animal = Dog | Cat
+      """union Animal = Dog |
+        |  Cat
         |type Dog {
         |  id: ID!
         |  name: String! @search(by: [exact])
@@ -813,13 +814,14 @@ class GraphqlSpec extends AnyFunSuite {
     assert(sdl.typ("Animal").isInterface &&
       sdl.implementers("Animal") == Seq("Cat", "Dog"))
     val eng = new GraphQLEngine(store, sdl)
+    // __typename INSIDE the fragments too (Apollo addTypename shape):
+    // must discriminate per node, not collapse to one branch's constant
     val rows = eng.json(
       """query { queryHuman {
         |  name
         |  pets {
-        |    __typename
-        |    ... on Dog { name breed }
-        |    ... on Cat { name color }
+        |    ... on Dog { __typename name breed }
+        |    ... on Cat { __typename name color }
         |  } } }""".stripMargin).collect()
     assert(rows.length == 1)
     val j = rows.head.getString(2)
@@ -966,5 +968,72 @@ class GraphqlSpec extends AnyFunSuite {
         |  @cascade(fields: ["placed"]) {
         |  name placed(first: 1) { orderstatus } } }""".stripMargin).collect()
     assert(rows.forall(_.getString(2).contains("orderstatus")))
+  }
+
+  test("add<T> review fixes: sibling roots, chained mutates, id references with extra fields") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """name: string @index(exact) .
+        |located_in: uid .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x5> <name> "FRANCE" .""",
+        """<0x5> <dgraph.type> "Nation" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type Nation { id: ID! name: String! @search(by: [exact]) }
+        |type Customer {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |  located_in: Nation
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = store.attr("name")
+      .select(col("subject"), col("predicate"),
+        lit(null).cast("long").as("objectUid"),
+        col("value").cast("string").as("value"))
+    // two add roots in ONE document: distinct uids, both survive
+    val out1 = eng.mutate(
+      """mutation {
+        |  addCustomer(input: [{ name: "c one" }]) { }
+        |  addCustomer(input: [{ name: "c two" }]) { }
+        |}""".stripMargin, base).collect()
+    val names1 = out1.filter(_.getString(1) == "name").map(_.getString(3))
+    assert(names1.count(_ == "c one") == 1 && names1.count(_ == "c two") == 1)
+    // scalar-only adds on a canonical base get dgraph.type rows
+    assert(out1.exists(r => r.getString(1) == "dgraph.type" &&
+      r.getString(3) == "Customer"))
+    // chained mutates: the second allocation clears the first's uids
+    val out2 = eng.mutate("""mutation { addCustomer(input: [{ name: "c3" }]) { } }""",
+      eng.mutate("""mutation { addCustomer(input: [{ name: "c4" }]) { } }""", base))
+      .collect()
+    val names2 = out2.filter(_.getString(1) == "name").map(_.getString(3))
+    assert(names2.count(_ == "c3") == 1 && names2.count(_ == "c4") == 1)
+    // an edge input with id PLUS other fields references the existing
+    // node (extra fields ignored, never a duplicate node)
+    val out3 = eng.mutate(
+      """mutation { addCustomer(input: [{ name: "c5",
+        |  located_in: { id: "0x5", name: "IGNORED" } }]) { } }""".stripMargin,
+      base).collect()
+    assert(out3.exists(r => r.getString(1) == "located_in" &&
+      r.getLong(2) == 0x5L))
+    assert(!out3.exists(r => r.getString(1) == "name" &&
+      r.getString(3) == "IGNORED"))
+    assert(out3.count(r => r.getString(1) == "name" &&
+      r.getString(3) == "FRANCE") == 1)
+  }
+
+  test("@include default in operation header applies to fragments declared first") {
+    val op = GqlParser.parse(
+      """fragment F on Customer { name mktsegment @include(if: $flag) }
+        |query Q($flag: Boolean = false) {
+        |  queryCustomer(first: 1) { ...F }
+        |}""".stripMargin)
+    assert(op.roots.head.children.map(_.name) == Seq("name"))
   }
 }
