@@ -535,6 +535,12 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
         items.foreach { case io: GObj => ors += filterNode(io, t); case _ => () }
       case ("or", io: GObj) => ors += filterNode(io, t)
       case ("not", io: GObj) => ands += FilterNot(filterNode(io, t))
+      // filter: { id: ["0x1", ...] } — uid membership (the reference
+      // rewrites id filters to uid(...), query_rewriter.go ids case)
+      case ("id", GList(vs)) =>
+        ands += FilterLeaf(FuncCall("uid", "", vs.map(scalar)))
+      case ("id", GStr(v)) =>
+        ands += FilterLeaf(FuncCall("uid", "", Seq(v)))
       case ("has", GEnum(f)) => ands += FilterLeaf(FuncCall("has", f, Nil))
       case ("has", GStr(f)) => ands += FilterLeaf(FuncCall("has", f, Nil))
       case ("has", GList(fs)) => fs.foreach {

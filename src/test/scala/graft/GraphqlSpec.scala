@@ -1036,4 +1036,20 @@ class GraphqlSpec extends AnyFunSuite {
         |}""".stripMargin)
     assert(op.roots.head.children.map(_.name) == Seq("name"))
   }
+
+  test("filter by id list rewrites to uid membership") {
+    import graft.core.Uids
+    val u1 = s"0x${(Uids.Customer + 1).toHexString}"
+    val u3 = s"0x${(Uids.Customer + 3).toHexString}"
+    val rows = engine.json(
+      s"""query { queryCustomer(filter: { id: ["$u1", "$u3"] }) {
+         |  name } }""".stripMargin).collect()
+    assert(rows.length == 2)
+    // composes with other filter entries (AND semantics)
+    val one = engine.json(
+      s"""query { queryCustomer(filter: { id: ["$u1", "$u3"],
+         |  name: { eq: "Customer#000000001" } }) { name } }""".stripMargin)
+      .collect()
+    assert(one.length == 1 && one.head.getString(2).contains("Customer#000000001"))
+  }
 }
