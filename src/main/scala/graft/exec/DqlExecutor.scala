@@ -467,7 +467,12 @@ final class DqlExecutor(ts: GraphStore) {
             // TestPasswordExpandAll1: type User lists password, the
             // expansion output omits it)
             None
-          else Some(Selection(None, p, facetFetch = true,
+          else Some(Selection(None, p,
+            // riders only where the schema says they can exist: a facet
+            // fetch on a facet-less predicate (and a lang chain on an
+            // untagged one) widens every expanded branch's plan for
+            // columns that are provably all-null
+            facetFetch = ts.facetKeys.contains(p),
             langChain = if (schema.pred(p).lang) Seq("*") else Nil))
         }
       }
@@ -599,7 +604,7 @@ final class DqlExecutor(ts: GraphStore) {
         val (preds, rest) =
           known.partition(s => schema.isUidPredicate(s.pred))
         val scalars = rest.filter(_.pred != "uid")
-        val edges = preds.map { s =>
+        val edges0 = preds.map { s =>
           val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
           // `friend @filter(...)` under @recurse: the re-applied child
           // template keeps its filter — targets failing it are neither
@@ -608,6 +613,13 @@ final class DqlExecutor(ts: GraphStore) {
           val e = s.filter.map(f => applyFilter(e0, "object", f)).getOrElse(e0)
           e.select(col("subject"), col("object"), lit(jsonKey(s)).as("pred"))
         }.reduce(_ unionByName _)
+        // a filtered edge template embeds semi-joins that would otherwise
+        // re-execute on EVERY recurse level's job; materialize the filtered
+        // frame once (lazy checkpoint — level 1's action pays for it) so
+        // each level joins against the stored result instead
+        val edges =
+          if (preds.exists(_.filter.isDefined)) edges0.localCheckpoint(false)
+          else edges0
         val seeds = frontier.select(col("uid").as("start"))
         val tree = Recurse.expandTree(seeds, edges, recurseHops(r), r.loop)
         // variables in the template (reference TestRecurseVariable*):

@@ -196,6 +196,18 @@ final class HnswIndex(m: Int = 12, efConstruction: Int = 64) {
     if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
   }
 
+  /** Serialize the graph: one row per node — (id, vector, level,
+    * per-layer neighbor IDS). Neighbors are exported as ids, not shard-
+    * local indexes, so the on-disk form is independent of row order;
+    * [[HnswIndex.fromNodes]] re-resolves them after an id sort (the same
+    * order [[insert]] was driven in, so indexes land identically).
+    */
+  def exportNodes: Iterator[(Long, Array[Long], Int, Seq[Seq[Long]])] =
+    ids.indices.iterator.map { i =>
+      (ids(i), vecs(i), levels(i),
+        links(i).toSeq.map(layer => layer.toSeq.map(ids(_))))
+    }
+
   /** k nearest stored nodes by quantized cosine: (id, sim), best first.
     * `ef` is the layer-0 beam width (clamped to >= k).
     */
@@ -219,5 +231,40 @@ final class HnswIndex(m: Int = 12, efConstruction: Int = 64) {
     }
     beam(cur, 0, math.max(ef, k), vec, qn)
       .take(k).map { case (i, s) => (ids(i), s) }.toSeq
+  }
+}
+
+object HnswIndex {
+
+  /** Rebuild an index from [[HnswIndex.exportNodes]] rows WITHOUT paying
+    * construction (no beam searches, no pruning — just adjacency fill).
+    * This is the search-many half of build-once/search-many: loading a
+    * persisted shard is a linear pass over its rows.
+    *
+    * The entry point is re-derived, not stored: during construction the
+    * entry only changes when a node's level EXCEEDS the running max, and
+    * insertion is id-sorted — so the final entry is the first node in id
+    * order whose level equals the global maximum.
+    */
+  def fromNodes(m: Int, efConstruction: Int,
+      nodes: Array[(Long, Array[Long], Int, Seq[Seq[Long]])]): HnswIndex = {
+    val idx = new HnswIndex(m, efConstruction)
+    val sorted = nodes.sortBy(_._1)
+    val id2i = new java.util.HashMap[Long, Integer](sorted.length * 2)
+    var i = 0
+    while (i < sorted.length) { id2i.put(sorted(i)._1, i); i += 1 }
+    sorted.foreach { case (id, vec, lvl, nbs) =>
+      idx.ids += id
+      idx.vecs += vec
+      idx.norms += idx.normOf(vec)
+      idx.levels += lvl
+      idx.links += nbs.map(layer =>
+        mutable.ArrayBuffer.from(layer.map(n => id2i.get(n).intValue()))).toArray
+      if (lvl > idx.maxLevel) {
+        idx.maxLevel = lvl
+        idx.entry = idx.ids.length - 1
+      }
+    }
+    idx
   }
 }

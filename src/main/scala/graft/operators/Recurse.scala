@@ -29,8 +29,12 @@ object Recurse {
   def expand(seeds: DataFrame, edges: DataFrame, maxDepth: Int,
       loop: Boolean = false): DataFrame = {
     val e = edges.select(col("subject"), col("object"))
+    // lazy checkpoint: the plan is truncated to a LogicalRDD immediately;
+    // materialization rides the count() below — ONE job per level, not a
+    // separate eager-checkpoint job plus an isEmpty probe (driver-action
+    // count is what gets amplified under host contention).
     var frontier = seeds.select(col("start"), col("start").as("node"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var visited = frontier
     var out: DataFrame = null
     var depth = 1
@@ -40,12 +44,18 @@ object Recurse {
         .select(frontier("start"), e("object").as("node")).distinct()
       if (!loop)
         next = next.join(visited, Seq("start", "node"), "left_anti")
-      next = next.localCheckpoint(true)
-      if (next.isEmpty) { done = true }
+      next = next.localCheckpoint(false)
+      if (next.count() == 0) { done = true }
       else {
         val lvl = next.withColumn("depth", lit(depth))
         out = if (out == null) lvl else out.unionByName(lvl)
-        if (!loop) visited = visited.unionByName(next).localCheckpoint(true)
+        // visited is a union of already-checkpointed LogicalRDDs — plan
+        // growth is linear in depth, so re-truncate only every 4 levels
+        // (lazily: the next count() materializes it for free).
+        if (!loop) {
+          visited = visited.unionByName(next)
+          if (depth % 4 == 0) visited = visited.localCheckpoint(false)
+        }
         frontier = next
         depth += 1
       }
@@ -77,29 +87,39 @@ object Recurse {
       loop: Boolean = false): DataFrame = {
     val e = edges.select(col("subject"), col("object"), col("pred"))
     var frontier = seeds.select(col("start"), col("start").as("node"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var visited = frontier
     var out: DataFrame = null
     var depth = 1
     var done = false
     while (depth <= maxDepth && !done) {
+      // single action per level: the lazy checkpoint of `next` (which
+      // subsumes `raw` via lineage) is materialized by one count() that
+      // doubles as the emptiness probe. Under driver contention each extra
+      // Spark job pays scheduler latency, so per-level job count is the
+      // scale knob here, not per-job work.
       val raw = frontier.join(e, frontier("node") === e("subject"))
         .select(frontier("start"), frontier("node").as("parent"),
           e("pred"), e("object").as("node"))
-        .localCheckpoint(true)
-      if (raw.isEmpty) { done = true }
+        .localCheckpoint(false)
+      var next = raw.select(col("start"), col("node")).distinct()
+      if (!loop)
+        next = next.join(visited, Seq("start", "node"), "left_anti")
+      next = next.localCheckpoint(false)
+      val n = next.count() // materializes raw + next in one job
+      // n > 0 implies raw non-empty; probe raw only on the last level
+      // (already checkpointed: a limit-1 scan, no recompute)
+      if (n == 0 && raw.isEmpty) { done = true }
       else {
         out = if (out == null) raw.withColumn("depth", lit(depth))
           else out.unionByName(raw.withColumn("depth", lit(depth)))
-        var next = raw.select(col("start"), col("node")).distinct()
         if (!loop) {
-          next = next.join(visited, Seq("start", "node"), "left_anti")
-            .localCheckpoint(true)
-          visited = visited.unionByName(next).localCheckpoint(true)
+          visited = visited.unionByName(next)
+          if (depth % 4 == 0) visited = visited.localCheckpoint(false)
         }
         frontier = next
         depth += 1
-        if (!loop && next.isEmpty) done = true
+        if (n == 0) done = true
       }
     }
     if (out == null) {
@@ -120,17 +140,23 @@ object Recurse {
   def expandPaths(seeds: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("subject"), col("object"))
     var frontier = seeds.select(col("start"), col("start").as("node"),
-      array(col("start")).as("path")).localCheckpoint(true)
+      array(col("start")).as("path")).localCheckpoint(false)
     var out: DataFrame = null
     var depth = 1
-    while (depth <= maxDepth && !frontier.isEmpty) {
+    var more = frontier.count() > 0
+    while (depth <= maxDepth && more) {
+      // one job per level: lazy checkpoint materialized by the count that
+      // is also the loop-termination probe
       val next = frontier.join(e, frontier("node") === e("subject"))
         .filter(!array_contains(frontier("path"), e("object")))
         .select(frontier("start"), e("object").as("node"),
           array_append(frontier("path"), e("object")).as("path"))
-        .localCheckpoint(true)
-      val lvl = next.withColumn("depth", lit(depth))
-      out = if (out == null) lvl else out.unionByName(lvl)
+        .localCheckpoint(false)
+      more = next.count() > 0
+      if (more || out == null) {
+        val lvl = next.withColumn("depth", lit(depth))
+        out = if (out == null) lvl else out.unionByName(lvl)
+      }
       frontier = next
       depth += 1
     }

@@ -179,10 +179,11 @@ object ShortestPath {
       var frontierDf = frontier.toDF("n").localCheckpoint()
       var growing = true
       while (growing && depth < maxDepth) {
+        // lazy checkpoint materialized by the count — one job per round
         val next = e.join(broadcast(frontierDf.select(col("n").as("src"))),
             Seq("src"), "left_semi")
           .select(col("dst").as("n")).distinct()
-          .join(reachedDf, Seq("n"), "left_anti").localCheckpoint()
+          .join(reachedDf, Seq("n"), "left_anti").localCheckpoint(false)
         growing = next.count() > 0
         if (growing) {
           reachedDf = reachedDf.unionByName(next)
@@ -208,56 +209,75 @@ object ShortestPath {
     // minweight shifts which completions count, but prefixes below the
     // bound can't be pruned mid-path (a cheap prefix may still complete
     // above minweight while its k-best siblings complete below it) — so
-    // bounded searches carry extra intermediate capacity. Like the plain-k
-    // pruning, exact on layered graphs; adversarial funnels would need a
-    // Yen-style detour search (documented trade-off).
-    val kv =
+    // bounded searches carry extra intermediate capacity and ADAPT on
+    // saturation (below). Like the plain-k pruning, exact on layered
+    // graphs; adversarial funnels would need a Yen-style detour search
+    // (documented trade-off).
+    val kv0 =
       if (minW == Double.NegativeInfinity) k else math.max(3 * k, k + 8)
-    // rank ties on cost break LONGER-hop-first — the reference's
-    // enumeration yields the multi-hop route before the direct edge at
-    // equal weight (TestShortestPathWithDepth allPaths: A→C→B(11)
-    // before A→B(11); TestKShortestPathAllPaths the same at 22)
-    def mergeK(a: S, b: S): S = (a ++ b).distinct
-      .sortBy { case (c, p) => (c, -p.count(_ == '>'), p) }.take(kv)
     // non-preConed cones are checkpointed before sized()'s count so the
     // iterative discovery runs once, not once per downstream job
     val pruned = sized(spark,
       if (preConed) edges
       else forwardCone(spark, edges, source, maxIter).localCheckpoint())
-    val g = edgeGraph(pruned, source, List.empty[(Double, String)])
-      .mapVertices((id, _) => if (id == source) List((0.0, id.toString)) else Nil)
-    val res = g.pregel(List.empty[(Double, String)], maxIter, EdgeDirection.Out)(
-      // weight bounds (reference query/shortest.go:457 minweight/maxweight):
-      // maxweight prunes EXPANSION below (weights are non-negative, a
-      // too-heavy prefix can't recover); minweight only constrains COMPLETE
-      // paths, so it filters at the target vertex — sub-minweight arrivals
-      // never occupy one of the target's k slots
-      (id, s, msg) => mergeK(s,
-        if (id == target) msg.filter(_._1 >= minW) else msg),
-      t => {
-        val dstS = t.dstId.toString
-        val ext = t.srcAttr.iterator
-          .filter { case (c, p) => c + t.attr <= maxW && !p.split("->").contains(dstS) }
-          .map { case (c, p) => (c + t.attr, p + "->" + dstS) }
-          .toList
-        val useful = ext.filter(e => mergeK(t.dstAttr, List(e)) != t.dstAttr)
-        if (useful.nonEmpty) Iterator((t.dstId, useful)) else Iterator.empty
-      },
-      mergeK)
-    // capacity saturation check: when a minweight bound is active and an
-    // INTERMEDIATE vertex holds kv states, cheaper sub-minweight prefixes
-    // may have crowded out a qualifying one — the divergence from the
-    // reference's exact Dijkstra enumeration would otherwise be silent
-    if (minW != Double.NegativeInfinity) {
-      val saturated = res.vertices
-        .filter { case (id, s) => id != target && s.size >= kv }.count()
-      if (saturated > 0)
-        org.apache.log4j.Logger.getLogger(getClass).warn(
-          s"kShortestPaths: $saturated vertices saturated state capacity " +
-            s"kv=$kv under minweight=$minW — results may under-enumerate; " +
-            "raise kv or use an unbounded search to confirm")
+
+    /** One bounded-capacity Pregel run; reports whether any INTERMEDIATE
+      * vertex saturated its kv slots (only possible source of
+      * under-enumeration vs the reference's exact Dijkstra).
+      */
+    def runOnce(kv: Int): (org.apache.spark.graphx.VertexRDD[S], Boolean) = {
+      // rank ties on cost break LONGER-hop-first — the reference's
+      // enumeration yields the multi-hop route before the direct edge at
+      // equal weight (TestShortestPathWithDepth allPaths: A→C→B(11)
+      // before A→B(11); TestKShortestPathAllPaths the same at 22)
+      def mergeK(a: S, b: S): S = (a ++ b).distinct
+        .sortBy { case (c, p) => (c, -p.count(_ == '>'), p) }.take(kv)
+      val g = edgeGraph(pruned, source, List.empty[(Double, String)])
+        .mapVertices((id, _) => if (id == source) List((0.0, id.toString)) else Nil)
+      val res = g.pregel(List.empty[(Double, String)], maxIter, EdgeDirection.Out)(
+        // weight bounds (reference query/shortest.go:457 minweight/maxweight):
+        // maxweight prunes EXPANSION below (weights are non-negative, a
+        // too-heavy prefix can't recover); minweight only constrains COMPLETE
+        // paths, so it filters at the target vertex — sub-minweight arrivals
+        // never occupy one of the target's k slots
+        (id, s, msg) => mergeK(s,
+          if (id == target) msg.filter(_._1 >= minW) else msg),
+        t => {
+          val dstS = t.dstId.toString
+          val ext = t.srcAttr.iterator
+            .filter { case (c, p) => c + t.attr <= maxW && !p.split("->").contains(dstS) }
+            .map { case (c, p) => (c + t.attr, p + "->" + dstS) }
+            .toList
+          val useful = ext.filter(e => mergeK(t.dstAttr, List(e)) != t.dstAttr)
+          if (useful.nonEmpty) Iterator((t.dstId, useful)) else Iterator.empty
+        },
+        mergeK)
+      val saturated = minW != Double.NegativeInfinity &&
+        res.vertices.filter { case (id, s) => id != target && s.size >= kv }
+          .take(1).nonEmpty
+      (res.vertices, saturated)
     }
-    res.vertices.filter(_._1 == target)
+
+    // adaptive capacity: a saturated bounded run may have crowded a
+    // qualifying prefix out of an intermediate vertex's slots — instead of
+    // warning (r7-r9), retry with kv doubled until no vertex saturates or
+    // the retry budget is spent (2 retries = 4× capacity; the cone is
+    // checkpointed, so retries pay only the Pregel rounds)
+    var kv = kv0
+    var (verts, sat) = runOnce(kv)
+    var retries = 0
+    while (sat && retries < 2) {
+      kv *= 2
+      retries += 1
+      val r = runOnce(kv)
+      verts = r._1
+      sat = r._2
+    }
+    if (sat)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"kShortestPaths: state capacity kv=$kv still saturated under " +
+          s"minweight=$minW after $retries retries — results may under-enumerate")
+    verts.filter(_._1 == target)
       .flatMap { case (_, s) =>
         // state capacity is kv ≥ k; the answer is the k best
         s.take(k).zipWithIndex.map { case ((c, p), i) => (i + 1, c, p) }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -139,6 +139,67 @@ object Similarity {
         // stable across task retries/speculation — sort by id so a
         // rebuilt shard is the same graph and retries stay idempotent
         it.toArray.sortBy(_._1).foreach { case (id, v) => index.insert(id, v) }
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          index.search(qv, k + 1, math.max(efSearch, k + 1)).iterator.collect {
+            case (nid, sim) if nid != qid => (qid, nid, sim)
+          }.take(k)
+        }
+      }
+      .toDF("qid", "nid", "sim")
+    rankTopK(scored, k)
+  }
+
+  /** Persist per-shard HNSW graphs: the build-once half of build-once/
+    * search-many (mirrors [[ivfWriteTrained]]; the reference persists its
+    * graph the same way, tok/hnsw/persistent_hnsw.go). Each task builds
+    * its shard's graph ONCE and dumps it as adjacency rows — (id, vector,
+    * level, per-layer neighbor ids) — partitioned by shard. Construction
+    * (beam searches per insert) dominates search by orders of magnitude
+    * at scale; after this write, every search is a linear adjacency load
+    * + graph walk. Shards are id-hash-partitioned and id-sorted inside,
+    * so a rebuild is bit-identical (idempotent under task retry).
+    */
+  def hnswWrite(corpus: DataFrame, dir: String, m: Int = 12,
+      efConstruction: Int = 64, nPartitions: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("id"), col("qe"))
+      .repartition(nPartitions, col("id"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val index = new HnswIndex(m, efConstruction)
+        it.toArray.sortBy(_._1).foreach { case (id, v) => index.insert(id, v) }
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        index.exportNodes.map { case (id, vec, lvl, nbs) =>
+          (shard, id, vec, lvl, nbs)
+        }
+      }
+      .toDF("shard", "id", "vec", "level", "nbs")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** Search a PERSISTED HNSW index: group the stored adjacency rows by
+    * shard, rebuild each shard's graph with a linear pass (no
+    * construction-time beam searches — [[HnswIndex.fromNodes]]), walk it
+    * for every broadcast query, merge per-shard top-k through the same
+    * bounded-heap rank as every other ANN path. At cluster scale each
+    * shard group is one task reading one shard directory.
+    */
+  def hnswSearchStored(queries: DataFrame, spark: SparkSession,
+      dir: String, k: Int, m: Int = 12, efConstruction: Int = 64,
+      efSearch: Int = 48): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.select(col("id"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qB = spark.sparkContext.broadcast(qRows)
+    val scored = spark.read.parquet(dir)
+      .select(col("shard").cast("int"), col("id"), col("vec"),
+        col("level"), col("nbs"))
+      .as[(Int, Long, Array[Long], Int, Seq[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val index = HnswIndex.fromNodes(m, efConstruction,
+          rows.map { case (_, id, vec, lvl, nbs) => (id, vec, lvl, nbs) }.toArray)
         qB.value.iterator.flatMap { case (qid, qv) =>
           index.search(qv, k + 1, math.max(efSearch, k + 1)).iterator.collect {
             case (nid, sim) if nid != qid => (qid, nid, sim)

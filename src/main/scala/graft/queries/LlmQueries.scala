@@ -47,6 +47,11 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val centCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Long]]]
+  // persisted-HNSW shard layout per (session, corpus): built ONCE, every
+  // later search loads the adjacency rows instead of re-running graph
+  // construction (the build-once/search-many contract the IVF index has)
+  private val hnswDirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   // Equivalent to Dedup.shingleSets(corpusNear) but tokenizes each base
   // document ONCE: the variant drops the last 3 words, so its shingle
   // array is exactly the first size-3 shingles of the base array — a
@@ -206,6 +211,28 @@ object LlmQueries {
       val q = embQ(s, d).select(col("id"), col("qe"))
       Similarity.hnswTopK(q.filter(col("id") % 50 === 0), q, k = 3,
           efSearch = Int.MaxValue, nPartitions = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // HNSW build-once/search-many: persist the per-shard graphs (one
+    // adjacency-row dump per shard, partitioned by shard), then search
+    // the STORED layout — rebuild-from-adjacency is a linear pass, no
+    // construction beam searches. The write runs once per (session,
+    // corpus) via hnswDirCache, so a second search of a session pays no
+    // build at all. Exact mode (ef >= shard) so the oracle is plain
+    // brute force — the hash-match gates write→read→walk→merge plumbing;
+    // graph QUALITY stays with the recall suite in SimilaritySpec.
+    "embed_ann_hnsw_store" -> ((s, d) => {
+      val q = embQ(s, d).select(col("id"), col("qe"))
+      val dir = hnswDirCache.getOrElseUpdate((s, d), {
+        val p = new java.io.File(
+          s"target/graft-hnsw_${new java.io.File(d).getName}" +
+            s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+        Similarity.hnswWrite(q, p, nPartitions = 4)
+        p
+      })
+      Similarity.hnswSearchStored(q.filter(col("id") % 50 === 0), s, dir,
+          k = 3, efSearch = Int.MaxValue)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -527,6 +554,16 @@ object LlmQueries {
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "embed_ann_hnsw" ->
+      s"""WITH q AS ($embQSql)
+         |SELECT qid, nid, sim, rank FROM (
+         | SELECT qs.id AS qid, c.id AS nid, ${cosSql("qs.qe", "c.qe")} AS sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qs.id
+         |    ORDER BY ${cosSql("qs.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
+         | FROM q qs JOIN q c ON c.id <> qs.id
+         | WHERE qs.id % 50 = 0)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "embed_ann_hnsw_store" ->
       s"""WITH q AS ($embQSql)
          |SELECT qid, nid, sim, rank FROM (
          | SELECT qs.id AS qid, c.id AS nid, ${cosSql("qs.qe", "c.qe")} AS sim,

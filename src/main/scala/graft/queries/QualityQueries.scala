@@ -90,16 +90,25 @@ object QualityQueries {
     }),
 
     // Vocabulary build: term + document frequency over the corpus, top 50
-    // by (df, tf, word). The window runs on the aggregated vocabulary,
-    // not the corpus.
+    // by (df, tf, word). The global top-k runs as orderBy+limit — Spark
+    // plans that as a distributed TakeOrderedAndProject (per-partition
+    // heaps, driver merges 50 rows), NOT a single-partition window sort;
+    // a 10⁸-word vocabulary never funnels through one task. The rank is
+    // then a window over the ≤50 surviving rows, which is free.
     "vocab_topk" -> ((s, d) => {
       val v = docs(s, d)
         .select(col("doc_id"), explode(words(col("text"))).as("word"))
         .groupBy(col("word"))
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-      val rn = row_number().over(Window.orderBy(
-        col("df").desc, col("tf").desc, col("word").asc))
-      v.withColumn("rank", rn).filter(col("rank") <= 50)
+      val top = v.orderBy(col("df").desc, col("tf").desc, col("word").asc)
+        .limit(50).coalesce(1)
+      // re-rank the 50 survivors in their one partition. The partition
+      // key must be NON-FOLDABLE (spark_partition_id, constant 0 here) —
+      // a lit(0) is erased by EliminateWindowPartitions and the plan
+      // degrades back to the unpartitioned-window scale warning
+      val rn = row_number().over(Window.partitionBy(spark_partition_id())
+        .orderBy(col("df").desc, col("tf").desc, col("word").asc))
+      top.withColumn("rank", rn)
         .select(col("rank"), col("word"), col("df"), col("tf"))
         .orderBy(col("rank"))
     }),

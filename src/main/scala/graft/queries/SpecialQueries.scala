@@ -312,11 +312,15 @@ object SpecialQueries {
 
   val oracles: Map[String, String] = Map(
     // engine stores bigfloat at DECIMAL(38,24) (TripleFrameStore) — the
-    // oracle must render at the SAME scale or the value hash differs
+    // oracle must render at the SAME scale AND take the same double→decimal
+    // path: DuckDB's direct CAST(double AS DECIMAL) expands the exact binary
+    // value (473274.169999999951…) while Spark rounds through the shortest
+    // decimal representation (473274.17). Round-tripping through VARCHAR
+    // forces DuckDB onto the shortest-repr path, matching Spark.
     "root_bigfloat" ->
       s"""SELECT ${Uids.Order} + o_orderkey AS uid,
-         | CAST(o_totalprice AS DECIMAL(38,24)) AS b
-         |FROM orders WHERE CAST(o_totalprice AS DECIMAL(38,24)) >=
+         | CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,24)) AS b
+         |FROM orders WHERE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,24)) >=
          | CAST(400000 AS DECIMAL(38,24))
          |ORDER BY uid""".stripMargin,
 
