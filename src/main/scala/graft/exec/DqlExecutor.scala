@@ -724,6 +724,12 @@ final class DqlExecutor(ts: GraphStore) {
           // (reference query/query.go:663, 1425-1443)
           val survivors = orderAndPage(
             projected.select(col("uid")).distinct(), "uid", b.order, b.page)
+          // `X as var(...) @cascade {...}` binds the SURVIVORS — the
+          // GraphQL auth rewrite's cascaded-path rule depends on the var
+          // holding only nodes where the full path exists (reference
+          // auth var-chain rewrite); re-bind over the eager pre-cascade
+          // binding above
+          b.blockVar.foreach(v => bindVar(v, survivors))
           projected.join(survivors, Seq("uid"), "left_semi")
         } else projected
     }

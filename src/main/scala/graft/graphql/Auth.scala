@@ -41,10 +41,28 @@ object Auth {
 
   final case class AuthException(msg: String) extends RuntimeException(msg)
 
-  /** Evaluation result: either a static boolean (pure RBAC) or a
-    * residual GraphQL filter object to inject.
+  /** Residual (non-static) constraint left after claim substitution:
+    *  - [[RFilter]]: a plain root filter object to AND in;
+    *  - [[RPath]]: a CASCADED-PATH rule — the constraint lives in the
+    *    rule's nested selections (reference auth_query_test.yaml
+    *    "Auth with deep filter": `queryProject { roles(filter:
+    *    {permission:{eq:VIEW}}) { assignedTo(filter:{username:{eq:
+    *    $USER}}) } }` admits only nodes where the WHOLE path exists —
+    *    the reference rewrites it to a @cascade'd var chain, and so
+    *    does [[Rewriter]]);
+    *  - [[RAnd]]/[[ROr]]/[[RNot]]: boolean composition of residues.
     */
-  type Result = Either[Boolean, GObj]
+  sealed trait Residue
+  final case class RFilter(f: GObj) extends Residue
+  final case class RPath(root: GqlSelection) extends Residue
+  final case class RAnd(rs: Seq[Residue]) extends Residue
+  final case class ROr(rs: Seq[Residue]) extends Residue
+  final case class RNot(r: Residue) extends Residue
+
+  /** Evaluation result: either a static boolean (pure RBAC) or a
+    * residual constraint to inject.
+    */
+  type Result = Either[Boolean, Residue]
 
   // ---- directive parsing ----
 
@@ -182,7 +200,7 @@ object Auth {
       else rs.collect { case Right(f) => f } match {
         case Seq() => Left(true)
         case Seq(one) => Right(one)
-        case many => Right(GObj(Seq("and" -> GList(many))))
+        case many => Right(RAnd(many))
       }
     case Or(ns) =>
       val rs = ns.map(eval(_, jwt))
@@ -190,11 +208,11 @@ object Auth {
       else rs.collect { case Right(f) => f } match {
         case Seq() => Left(false)
         case Seq(one) => Right(one)
-        case many => Right(GObj(Seq("or" -> GList(many))))
+        case many => Right(ROr(many))
       }
     case Not(n) => eval(n, jwt) match {
       case Left(b) => Left(!b)
-      case Right(f) => Right(GObj(Seq("not" -> f)))
+      case Right(f) => Right(RNot(f))
     }
   }
 
@@ -210,8 +228,13 @@ object Auth {
     if (!isRbac(raw)) {
       // graph rule: a GraphQL query whose root filter is the constraint.
       // JWT claims substitute the operation's $variables (reference
-      // substitutes the authorization payload the same way).
-      val vars: Map[String, GVal] = jwt.map { case (k, v) => k -> GStr(v) }
+      // substitutes the authorization payload the same way). Multi-valued
+      // claims (see [[MultiSep]]) substitute as lists, so `in: $GROUPS`
+      // style filters see every element.
+      val vars: Map[String, GVal] = jwt.map { case (k, v) =>
+        k -> (if (v.indexOf(MultiSep) >= 0)
+          GList(v.split(MultiSep).toSeq.map(GStr)) else GStr(v))
+      }
       // a rule whose required $claim is ABSENT from the JWT cannot be
       // satisfied — the reference returns no results for that type
       // (auth e2e: missing JWT variable ⇒ empty), so the rule is FALSE
@@ -220,10 +243,18 @@ object Auth {
       }
       val root = op.roots.headOption.getOrElse(
         throw AuthException("@auth graph rule has no root field"))
-      root.arg("filter") match {
-        case Some(o: GObj) => Right(o)
+      // constraint in the SELECTION TREE (any real nested field — not
+      // just __typename riders) ⇒ cascaded-path semantics: the rule
+      // admits only nodes where the whole path exists. Returning a
+      // root-filter-only residue here would silently grant unrestricted
+      // access for the reference's canonical nested-rule pattern.
+      val constraining = root.children.filterNot(_.name == "__typename")
+      if (constraining.nonEmpty) Right(RPath(root))
+      else root.arg("filter") match {
+        case Some(o: GObj) => Right(RFilter(o))
         case _ =>
-          // a filterless graph rule constrains nothing beyond the type
+          // a filterless, selection-less graph rule constrains nothing
+          // beyond the type
           Left(true)
       }
     } else {
@@ -247,10 +278,14 @@ object Auth {
       val op = p.name()
       p.expect(':')
       val vals = p.scalars()
-      val actual = jwt.get(claim.stripPrefix("$"))
+      // a multi-valued claim (array in the JWT — groups/roles lists,
+      // exactly what RBAC `in` is designed for) matches if ANY element
+      // does (reference EvaluateRBACRule iterates array claims)
+      val actualVals = jwt.get(claim.stripPrefix("$")).toSeq
+        .flatMap(_.split(MultiSep))
       val ok = op match {
-        case "eq" => vals.length == 1 && actual.contains(vals.head)
-        case "in" => actual.exists(vals.contains)
+        case "eq" => vals.length == 1 && actualVals.contains(vals.head)
+        case "in" => actualVals.exists(vals.contains)
         case other => throw AuthException(
           s"@auth RBAC rule: unsupported op $other")
       }
@@ -262,10 +297,19 @@ object Auth {
     verdict
   }
 
+  /** Separator encoding a multi-valued (JSON array) claim inside the
+    * flat claims map — NUL can't occur in JSON string content that
+    * matters for auth values, and both RBAC eval and graph-rule var
+    * substitution split on it.
+    */
+  val MultiSep = '\u0000'
+
   /** Decode the claims of a JWT payload — NO signature verification
     * (key configuration is deployment plumbing; production callers pass
     * verified claims). Custom-claim objects flatten one level, matching
-    * the reference's namespaced custom claims.
+    * the reference's namespaced custom claims; ARRAY claims (groups /
+    * roles lists) keep every element, joined with [[MultiSep]] (a bare
+    * asText() would flatten them to "" and silently fail every rule).
     */
   def claimsFromJwt(token: String): Map[String, String] = {
     val parts = token.split('.')
@@ -273,13 +317,19 @@ object Auth {
     val json = new String(
       java.util.Base64.getUrlDecoder.decode(parts(1)), "UTF-8")
     val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def render(v: com.fasterxml.jackson.databind.JsonNode): String =
+      if (v.isArray) {
+        val b = Seq.newBuilder[String]
+        v.forEach(x => b += x.asText())
+        b.result().mkString(MultiSep.toString)
+      } else v.asText()
     val out = Map.newBuilder[String, String]
     m.properties().forEach { e =>
       val v = e.getValue
       if (v.isObject)
         v.properties().forEach(e2 =>
-          out += e2.getKey -> e2.getValue.asText())
-      else out += e.getKey -> v.asText()
+          out += e2.getKey -> render(e2.getValue))
+      else out += e.getKey -> render(v)
     }
     out.result()
   }

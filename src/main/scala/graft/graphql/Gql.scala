@@ -234,14 +234,23 @@ object GqlParser {
         case Some(TPunct(".")) =>
           // `...Frag` spread → marker selection, spliced in document();
           // `... on T { sels }` inline fragment → type-condition marker
-          // the schema-aware rewriter resolves
+          // the schema-aware rewriter resolves. Both accept directives
+          // (spec: FragmentSpread/InlineFragment carry Directives) --
+          // @include/@skip drop the whole branch, others ride the marker.
           expect("."); expect("."); expect(".")
           val n = name()
           if (n == "on") {
             val tc = name()
+            val (dirs, dirArgs, dropped) = parseDirectives()
             expect("{")
-            out += GqlSelection(None, "\u0000on:" + tc, Nil, Nil, selections())
-          } else out += GqlSelection(None, "..." + n, Nil, Nil, Nil)
+            val sels = selections() // always consume the block
+            if (!dropped)
+              out += GqlSelection(None, "\u0000on:" + tc, Nil, dirs, sels, dirArgs)
+          } else {
+            val (dirs, dirArgs, dropped) = parseDirectives()
+            if (!dropped)
+              out += GqlSelection(None, "..." + n, Nil, dirs, Nil, dirArgs)
+          }
         case other => throw ParseException(s"expected selection, got $other")
       }
       out.result()
@@ -264,13 +273,26 @@ object GqlParser {
           as.result()
         case _ => Nil
       }
+      val (dirs, dirArgs, dropped) = parseDirectives()
+      val children = peek match {
+        case Some(TPunct("{")) => next(); selections()
+        case _ => Nil
+      }
+      val sel = GqlSelection(alias, fieldName, args, dirs, children, dirArgs)
+      if (dropped) sel.copy(name = "\u0000dropped") else sel
+    }
+
+    /** Zero or more directives at the current position — fields,
+      * fragment spreads and inline fragments all take them (spec
+      * Directives). @include(if: Boolean!) / @skip(if: Boolean!) — the
+      * executable directives of the GraphQL spec (the reference
+      * validates and applies them through gqlparser) — evaluate here,
+      * after variable substitution, and report the construct dropped.
+      * Other directives keep their names + args.
+      */
+    private def parseDirectives(): (Seq[String], Map[String, Seq[(String, GVal)]], Boolean) = {
       val dirs = Seq.newBuilder[String]
       val dirArgsB = Map.newBuilder[String, Seq[(String, GVal)]]
-      // @include(if: Boolean!) / @skip(if: Boolean!) — the executable
-      // directives of the GraphQL spec (the reference validates and
-      // applies them through gqlparser): evaluate here, after variable
-      // substitution, and mark the selection dropped. Other directives
-      // keep their (argument-less) names, as before.
       var dropped = false
       while (peek.contains(TPunct("@"))) {
         next()
@@ -300,13 +322,7 @@ object GqlParser {
             if (dargs.nonEmpty) dirArgsB += (dn -> dargs)
         }
       }
-      val children = peek match {
-        case Some(TPunct("{")) => next(); selections()
-        case _ => Nil
-      }
-      val sel = GqlSelection(alias, fieldName, args, dirs.result(), children,
-        dirArgsB.result())
-      if (dropped) sel.copy(name = "\u0000dropped") else sel
+      (dirs.result(), dirArgsB.result(), dropped)
     }
 
     /** Type reference in a variable definition: `Int`, `[String!]!` — the

@@ -39,12 +39,16 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
     * post-insert check needs the transaction machinery this engine
     * drops — documented in Auth's scaladoc).
     */
-  private def authFor(t: SdlType, op: String): Either[Boolean, FilterNode] =
+  private def authFor(t: SdlType,
+      op: String): Either[Boolean, (FilterNode, Seq[QueryBlock])] =
     t.auth.get(op) match {
       case None => Left(true)
       case Some(node) => Auth.eval(node, jwt) match {
         case Left(b) => Left(b)
-        case Right(f) => Right(new Rewriter(schema, jwt).filterFor(f, t))
+        case Right(r) =>
+          // residue → filter (+ var blocks for cascaded-path rules,
+          // prepended to the uid-resolution query below)
+          Right(new Rewriter(schema, jwt).authResidue(r, t))
       }
     }
 
@@ -74,17 +78,18 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
     val user = filter.collect { case o: GObj =>
       new Rewriter(schema, jwt).filterFor(o, t)
     }
-    val tree = authFor(t, op) match {
-      case Left(true) => user
+    val (tree, authVarBlocks) = authFor(t, op) match {
+      case Left(true) => (user, Nil)
       case Left(false) =>
         // denied outright: the mutation touches nothing
         return new DqlExecutor(ts).flatAst(DqlQuery(Seq(QueryBlock(
           "q", FuncCall("uid", "", Seq(Rewriter.NoUid)))))).limit(0)
-      case Right(af) =>
-        Some(user.map(u => FilterAnd(Seq(u, af)): FilterNode).getOrElse(af))
+      case Right((af, blocks)) =>
+        (Some(user.map(u => FilterAnd(Seq(u, af)): FilterNode).getOrElse(af)),
+          blocks)
     }
-    new DqlExecutor(ts).flatAst(DqlQuery(Seq(QueryBlock(
-      "q", FuncCall("type", t.name, Nil), filter = tree))))
+    new DqlExecutor(ts).flatAst(DqlQuery(authVarBlocks :+ QueryBlock(
+      "q", FuncCall("type", t.name, Nil), filter = tree)))
       .localCheckpoint()
   }
 
@@ -106,7 +111,14 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
     * `objectUid` column (the canonical triples shape); a scalar-only
     * base accepts scalar-only adds, as before.
     */
-  private def addMutation(base: DataFrame, root: GqlSelection, t: SdlType): DataFrame = {
+  /** Enforce a type's `add` auth rule (RBAC enforces fully; graph rules
+    * REJECT — the reference post-checks inserted nodes in-transaction,
+    * machinery this engine drops). Checked for the ROOT type and for
+    * every NESTED type `walk` creates blank nodes of: the reference
+    * post-checks every inserted node's type, so addAuthor(input:{posts:
+    * [{...}]}) must not slip Post nodes past Post's add rule.
+    */
+  private def enforceAddAuth(t: SdlType): Unit =
     authFor(t, "add") match {
       case Left(true) => ()
       case Left(false) => throw new Auth.AuthException(
@@ -115,6 +127,9 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
         s"add${t.name}: graph-rule add auth requires the post-insert " +
           "check this engine does not implement; use an RBAC add rule")
     }
+
+  private def addMutation(base: DataFrame, root: GqlSelection, t: SdlType): DataFrame = {
+    enforceAddAuth(t)
     val inputs = root.arg("input") match {
       case Some(GList(items)) => items
       case Some(o: GObj) => Seq(o)
@@ -149,7 +164,12 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
               case ro: GObj if ro.get("id").isDefined =>
                 uidEdges += ((label, f,
                   java.lang.Long.decode(scalar(ro.get("id").get))))
-              case ro: GObj => blankEdges += ((label, f, walk(ro, ct)))
+              case ro: GObj =>
+                // a nested input creates a blank node of ct — ct's own
+                // add rule applies (reference post-checks EVERY inserted
+                // node's type, graphql/resolve/add_rewriter.go)
+                enforceAddAuth(ct)
+                blankEdges += ((label, f, walk(ro, ct)))
               case other => throw RewriteException(
                 s"bad edge input for $f: $other")
             }

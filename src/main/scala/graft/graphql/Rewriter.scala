@@ -38,7 +38,7 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
   import Rewriter.RewriteException
 
   /** The type's @auth query rule evaluated against this request's
-    * claims: Left(verdict) for pure RBAC, Right(filter) to AND in.
+    * claims: Left(verdict) for pure RBAC, Right(residue) to AND in.
     * No rule = open (Left(true)).
     */
   private def authOf(t: SdlType): Auth.Result =
@@ -46,6 +46,68 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       case None => Left(true)
       case Some(node) => Auth.eval(node, jwt)
     }
+
+  // Var blocks emitted for cascaded-path auth rules ([[Auth.RPath]]);
+  // prepended to the rewritten query so their bindings resolve first.
+  private val authBlocks = scala.collection.mutable.Buffer.empty[QueryBlock]
+  private var authSeq = -1
+  private def freshAuthVar(): String = { authSeq += 1; s"g_auth$authSeq" }
+
+  /** Auth residue → injectable DQL filter. A cascaded-path rule
+    * (constraint in the rule's NESTED selections — the reference's
+    * canonical `queryProject { roles(filter:...) { assignedTo(filter:
+    * {username:{eq:$USER}}) } }` pattern) becomes
+    *
+    *   g_authN as var(func: type(T)) @cascade { <rule tree + filters> }
+    *
+    * plus a `uid(g_authN)` conjunct — exactly the reference's @cascade'd
+    * var-chain rewrite (graphql/resolve/query_rewriter.go addAuthQueries):
+    * only nodes where the WHOLE path exists are admitted.
+    */
+  private def residueFilter(r: Auth.Residue, t: SdlType): FilterNode = r match {
+    case Auth.RFilter(o) => filterNode(o, t)
+    case Auth.RAnd(rs) => FilterAnd(rs.map(residueFilter(_, t)))
+    case Auth.ROr(rs) => FilterOr(rs.map(residueFilter(_, t)))
+    case Auth.RNot(x) => FilterNot(residueFilter(x, t))
+    case Auth.RPath(ruleRoot) =>
+      val v = freshAuthVar()
+      authBlocks += QueryBlock(
+        name = "var",
+        func = typeFunc(t),
+        filter = ruleRoot.arg("filter").collect { case o: GObj => filterNode(o, t) },
+        cascade = true,
+        blockVar = Some(v),
+        selections = authPathSelections(ruleRoot.children, t))
+      FilterLeaf(FuncCall("uid", "", Seq(v)))
+  }
+
+  /** The rule's selection tree as DQL selections: edge fields keep their
+    * filters (resolved against the EDGE's type) and recurse; scalar
+    * fields become presence requirements under the block's @cascade.
+    * __typename riders constrain nothing and drop.
+    */
+  private def authPathSelections(sels: Seq[GqlSelection],
+      t: SdlType): Seq[Selection] =
+    sels.filterNot(_.name == "__typename").map { c =>
+      val f = t.field(c.name).getOrElse(throw new RewriteException(
+        s"@auth rule: ${t.name} has no field '${c.name}'"))
+      schema.types.get(f.typeName) match {
+        case Some(ct) =>
+          Selection(alias = None, pred = c.name,
+            filter = c.arg("filter").collect { case o: GObj => filterNode(o, ct) },
+            children = authPathSelections(c.children, ct))
+        case None => Selection(alias = None, pred = c.name)
+      }
+    }
+
+  /** Auth residue → (filter, var blocks) for callers assembling their
+    * own DqlQuery (the mutation rewriter's uid resolution).
+    */
+  def authResidue(r: Auth.Residue, t: SdlType): (FilterNode, Seq[QueryBlock]) = {
+    val mark = authBlocks.length
+    val f = residueFilter(r, t)
+    (f, authBlocks.drop(mark).toSeq)
+  }
 
   /** Compose the auth residue into a block's (func, filter). A FALSE
     * verdict swaps the root seed for the never-allocated uid — the
@@ -60,8 +122,8 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       case Left(true) => (func, filt)
       case Left(false) =>
         (FuncCall("uid", "", Seq(Rewriter.NoUid)), typeFilter(t))
-      case Right(f) =>
-        val af = filterNode(f, t)
+      case Right(r) =>
+        val af = residueFilter(r, t)
         (func, Some(filt.map(x => FilterAnd(Seq(x, af))).getOrElse(af)))
     }
 
@@ -74,15 +136,15 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
   private def authConstraint(ct: SdlType): Either[Boolean, FilterNode] =
     if (!ct.isInterface) authOf(ct) match {
       case Left(b) => Left(b)
-      case Right(f) => Right(filterNode(f, ct))
+      case Right(r) => Right(residueFilter(r, ct))
     } else {
       val evals = schema.implementers(ct.name).map(n =>
         n -> authOf(schema.typ(n)))
       if (evals.forall(_._2 == Left(true))) Left(true)
       else {
         val open = evals.collect { case (n, Left(true)) => n }
-        val ruled = evals.collect { case (n, Right(f)) =>
-          (n, filterNode(f, schema.typ(n))) }
+        val ruled = evals.collect { case (n, Right(r)) =>
+          (n, residueFilter(r, schema.typ(n))) }
         if (open.isEmpty && ruled.isEmpty) Left(false)
         else {
           val branches: Seq[FilterNode] =
@@ -107,8 +169,8 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
       n -> authOf(schema.typ(n)))
     if (evals.forall(_._2 == Left(true))) return (func, filt)
     val open = evals.collect { case (n, Left(true)) => n }
-    val ruled = evals.collect { case (n, Right(f)) =>
-      (n, filterNode(f, schema.typ(n))) }
+    val ruled = evals.collect { case (n, Right(r)) =>
+      (n, residueFilter(r, schema.typ(n))) }
     if (open.isEmpty && ruled.isEmpty)
       return (FuncCall("uid", "", Seq(Rewriter.NoUid)), typeFilter(t))
     // seed only the permitted implementers. The root-promoted form
@@ -132,8 +194,12 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
     (func2, Some(keep.map(x => FilterAnd(Seq(x, authFilt))).getOrElse(authFilt)))
   }
 
-  def rewrite(op: GqlOperation): DqlQuery =
-    DqlQuery(op.roots.flatMap(rewriteRoot))
+  def rewrite(op: GqlOperation): DqlQuery = {
+    val blocks = op.roots.flatMap(rewriteRoot)
+    // cascaded-path auth var blocks FIRST: blocks execute in written
+    // order and the main blocks filter on uid(g_authN)
+    DqlQuery(authBlocks.toSeq ++ blocks)
+  }
 
   /** Filter object → DQL filter tree, for the mutation rewriter's
     * update/delete uid resolution (reference mutation_rewriter.go reuses

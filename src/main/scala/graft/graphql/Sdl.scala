@@ -164,15 +164,13 @@ object SdlParser {
     // discrimination, inline-fragment validation, per-member @auth
     // enforcement, and type(U, members...) seeds for free
     // members: names separated by | (leading pipe and line wraps legal
-    // per the GraphQL spec); the list ends at the first name NOT
-    // followed by a separating | — i.e. the next definition's keyword
-    val unionPat = """union\s+(\w+)\s*=((?:\s*\|?\s*\w+)+)""".r
+    // per the GraphQL spec). Continuation REQUIRES a pipe — a bare name
+    // after the list is the next definition's keyword, so the pattern
+    // stops there instead of greedily swallowing it (`union U = A | B
+    // union V = C` must yield BOTH unions, not eat `union V`).
+    val unionPat = """union\s+(\w+)\s*=\s*\|?\s*(\w+(?:\s*\|\s*\w+)*)""".r
     val unions = unionPat.findAllMatchIn(src).map { m =>
-      val toks = m.group(2).split("[\\s|]+").filter(_.nonEmpty).toSeq
-      // a trailing name without a pipe before it is the next definition
-      val pipes = m.group(2).count(_ == '|')
-      val members = if (toks.length > pipes + 1) toks.take(pipes + 1) else toks
-      m.group(1) -> members
+      m.group(1) -> m.group(2).split("[\\s|]+").filter(_.nonEmpty).toSeq
     }.toMap
     val memberOf: Map[String, Seq[String]] = unions.toSeq
       .flatMap { case (u, ms) => ms.map(_ -> u) }

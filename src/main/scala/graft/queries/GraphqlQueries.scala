@@ -141,6 +141,103 @@ object GraphqlQueries {
         .orderBy(col("subject"), col("predicate"))
     }),
 
+    // @auth query rules end-to-end (reference graphql/resolve/
+    // auth_query_test.yaml): an AND of an RBAC rule (true under the
+    // request's claims), a root-filter graph rule ($SEG from the JWT)
+    // and a CASCADED-PATH graph rule (constraint in nested selections —
+    // rewrites to a @cascade'd var block + uid() conjunct, the
+    // reference's var-chain form)
+    "graphql_auth" -> ((s, d) => {
+      val sdl = graft.graphql.SdlParser.parse(
+        """type Nation { id: ID! name: String! @search(by: [exact]) }
+          |type Customer @auth(query: { and: [
+          |  { rule: "{$ROLE: { eq: \"analyst\" } }" },
+          |  { rule: "query($SEG: String!) { queryCustomer(filter: { mktsegment: { eq: $SEG } }) { __typename } }" },
+          |  { rule: "query { queryCustomer { placed(filter: { totalprice: { ge: 400000.0 } }) { __typename } } }" }
+          |]}) {
+          |  id: ID!
+          |  name: String! @search(by: [exact])
+          |  acctbal: Float @search
+          |  mktsegment: String @search(by: [exact])
+          |  placed: [Order]
+          |}
+          |type Order { id: ID! totalprice: Float @search }""".stripMargin)
+      new GraphQLEngine(TripleStore(s, d), sdl).flat(
+        "query { queryCustomer { name acctbal } }",
+        jwt = Map("ROLE" -> "analyst", "SEG" -> "BUILDING"))
+        .orderBy(col("uid"))
+    }),
+
+    // union root query: members discriminate via per-node __typename,
+    // inline fragments carry member-exclusive fields (reference
+    // graphql/schema union support; modeled as a fieldless interface)
+    "graphql_union" -> ((s, d) => {
+      val sdl = graft.graphql.SdlParser.parse(
+        """union Firm = Customer | Supplier
+          |type Customer {
+          |  id: ID!
+          |  name: String! @search(by: [exact])
+          |  mktsegment: String @search(by: [exact])
+          |}
+          |type Supplier {
+          |  id: ID!
+          |  name: String! @search(by: [exact])
+          |}""".stripMargin)
+      new GraphQLEngine(TripleStore(s, d), sdl).flat(
+        """query { queryFirm {
+          |  __typename
+          |  ... on Customer { name mktsegment }
+          |  ... on Supplier { name }
+          |} }""".stripMargin)
+        .orderBy(col("uid"))
+    }),
+
+    // @secret + check<T>Password: the two-block checkpwd rewrite
+    // (reference graphql/resolve/query_rewriter.go:335) over a
+    // password-typed predicate ingested as a bcrypt hash
+    "graphql_secret" -> ((s, d) => {
+      val c = Q.t(s, d, "customer").filter(col("c_custkey") <= 40)
+      def row(pred: String, value: org.apache.spark.sql.Column) = c.select(
+        col("c_custkey").cast("long").as("subject"),
+        lit(pred).as("predicate"),
+        lit(null).cast("long").as("objectUid"),
+        value.cast("string").as("value"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("facets"))
+      val triples = row("uname", col("c_name"))
+        .unionByName(row("pwd", concat(lit("pw_"), col("c_custkey"))))
+        .unionByName(row("dgraph.type", lit("Account")))
+      val (preds, types) = graft.core.SchemaRegistry.parseAlter(
+        "uname: string @index(exact) .\npwd: password .")
+      val st = new graft.core.TripleFrameStore(s,
+        new graft.core.SchemaRegistry(preds.map(p => p.name -> p).toMap,
+          types.map(t => t.name -> t).toMap), triples, Map.empty,
+        materialize = false)
+      val sdl = graft.graphql.SdlParser.parse(
+        """type Account @secret(field: "pwd") {
+          |  id: ID!
+          |  uname: String! @search(by: [exact])
+          |}""".stripMargin)
+      new GraphQLEngine(st, sdl).flat(
+        """query { checkAccountPassword(
+          |  uname: "Customer#000000012", pwd: "pw_12") { uname } }""".stripMargin)
+        .orderBy(col("uid"))
+    }),
+
+    // inline fragments on an interface query + @include/@skip on both a
+    // field and fragment branches (spec: FragmentSpread/InlineFragment
+    // carry Directives); the skipped branch must vanish entirely
+    "graphql_inline_frag" -> ((s, d) =>
+      gql("""query {
+            |  queryParty(filter: { acctbal: { le: -800.0 } }) {
+            |    __typename
+            |    name
+            |    acctbal @include(if: true)
+            |    ... on Customer @skip(if: false) { mktsegment }
+            |    ... on Customer @skip(if: true) { located_in { name } }
+            |  } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
     // update<T> filter→set rewrite + delete<T> S * * wildcard, applied
     // in document order (UpdateRewriter/DeleteRewriter)
     "graphql_update_delete" -> ((s, d) => {
@@ -281,6 +378,38 @@ object GraphqlQueries {
          | UNION ALL SELECT mx + 3, 'name', 'Customer#NEW000C' FROM m
          | UNION ALL SELECT mx + 3, 'mktsegment', 'WEB' FROM m
          |) ORDER BY subject, predicate""".stripMargin,
+
+    "graphql_auth" ->
+      s"""SELECT $CB + c_custkey AS uid, c_name AS name, c_acctbal AS acctbal
+         |FROM customer
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND EXISTS (SELECT 1 FROM orders
+         |              WHERE o_custkey = c_custkey AND o_totalprice >= 400000.0)
+         |ORDER BY uid""".stripMargin,
+
+    "graphql_union" ->
+      s"""SELECT uid, tn AS "__typename", name, mktsegment FROM (
+         | SELECT $CB + c_custkey AS uid, 'Customer' AS tn, c_name AS name,
+         |  c_mktsegment AS mktsegment FROM customer
+         | UNION ALL
+         | SELECT ${Uids.Supplier} + s_suppkey, 'Supplier', s_name,
+         |  CAST(NULL AS VARCHAR) FROM supplier)
+         |ORDER BY uid""".stripMargin,
+
+    "graphql_secret" ->
+      s"""SELECT c_custkey AS uid, c_name AS uname FROM customer
+         |WHERE c_custkey = 12""".stripMargin,
+
+    "graphql_inline_frag" ->
+      s"""SELECT uid, tn AS "__typename", name, acctbal, mktsegment FROM (
+         | SELECT $CB + c_custkey AS uid, 'Customer' AS tn, c_name AS name,
+         |  c_acctbal AS acctbal, c_mktsegment AS mktsegment
+         | FROM customer WHERE c_acctbal <= -800.0
+         | UNION ALL
+         | SELECT ${Uids.Supplier} + s_suppkey, 'Supplier', s_name, s_acctbal,
+         |  CAST(NULL AS VARCHAR)
+         | FROM supplier WHERE s_acctbal <= -800.0)
+         |ORDER BY uid""".stripMargin,
 
     "graphql_update_delete" ->
       s"""SELECT subject, predicate, value FROM (

@@ -1052,4 +1052,185 @@ class GraphqlSpec extends AnyFunSuite {
       .collect()
     assert(one.length == 1 && one.head.getString(2).contains("Customer#000000001"))
   }
+
+  // ---- round-10 auth hardening ----
+
+  test("@auth cascaded-path graph rule admits only nodes with the full path") {
+    // reference e2e/auth/schema.graphql Project pattern: the rule's
+    // constraint lives ONLY in nested selections — rewrites to a
+    // @cascade'd var block, NOT fail-open (the r9 behavior silently
+    // granted unrestricted access here)
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """pname: string @index(exact) .
+        |permission: string @index(exact) .
+        |username: string @index(exact) .
+        |roles: [uid] .
+        |assignedTo: [uid] .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x30> <pname> "p-alice-view" .""",
+        """<0x30> <dgraph.type> "Project" .""",
+        """<0x30> <roles> <0x31> .""",
+        """<0x31> <permission> "VIEW" .""",
+        """<0x31> <dgraph.type> "Role" .""",
+        """<0x31> <assignedTo> <0x33> .""",
+        """<0x40> <pname> "p-alice-admin-only" .""",
+        """<0x40> <dgraph.type> "Project" .""",
+        """<0x40> <roles> <0x41> .""",
+        """<0x41> <permission> "ADMIN" .""",
+        """<0x41> <dgraph.type> "Role" .""",
+        """<0x41> <assignedTo> <0x33> .""",
+        """<0x50> <pname> "p-bob-view" .""",
+        """<0x50> <dgraph.type> "Project" .""",
+        """<0x50> <roles> <0x51> .""",
+        """<0x51> <permission> "VIEW" .""",
+        """<0x51> <dgraph.type> "Role" .""",
+        """<0x51> <assignedTo> <0x34> .""",
+        """<0x33> <username> "alice" .""",
+        """<0x33> <dgraph.type> "User" .""",
+        """<0x34> <username> "bob" .""",
+        """<0x34> <dgraph.type> "User" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type Project @auth(
+        |  query: { rule: "query($USER: String!) { queryProject { roles(filter: {permission: {eq: \"VIEW\"}}) { assignedTo(filter: {username: {eq: $USER}}) { __typename } } } }" }
+        |){
+        |  id: ID!
+        |  pname: String @search(by: [exact])
+        |  roles: [Role]
+        |}
+        |type Role {
+        |  id: ID!
+        |  permission: String @search(by: [exact])
+        |  assignedTo: [User]
+        |}
+        |type User {
+        |  id: ID!
+        |  username: String @search(by: [exact])
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    // alice holds a VIEW role only on 0x30 (0x40 is ADMIN — filtered out
+    // mid-path, so the cascade drops the project)
+    val alice = eng.json("query { queryProject { pname } }",
+      jwt = Map("USER" -> "alice")).collect()
+    assert(alice.length == 1 && alice.head.getString(2).contains("p-alice-view"))
+    val bob = eng.json("query { queryProject { pname } }",
+      jwt = Map("USER" -> "bob")).collect()
+    assert(bob.length == 1 && bob.head.getString(2).contains("p-bob-view"))
+    // no claim: the rule's $USER has no value -> FALSE, nothing renders
+    assert(eng.json("query { queryProject { pname } }").count() == 0)
+  }
+
+  test("@auth RBAC array claims: in/eq match any element of a JWT array") {
+    def b64(x: String) = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(x.getBytes("UTF-8"))
+    val tok = b64("""{"alg":"none"}""") + "." +
+      b64("""{"GROUPS":["dev","admin"],"USER":"alice"}""") + "."
+    val claims = Auth.claimsFromJwt(tok)
+    assert(claims("USER") == "alice")
+    def rule(r: String): Auth.Node =
+      Auth.parseDirective(s"""query: { rule: "$r"}""")("query")
+    // in: any element of the array claim matches (was always-false via
+    // asText() flattening arrays to "")
+    assert(Auth.eval(rule("""{$GROUPS: { in: [\"admin\", \"root\"] } }"""),
+      claims) == Left(true))
+    assert(Auth.eval(rule("""{$GROUPS: { eq: \"dev\" } }"""),
+      claims) == Left(true))
+    assert(Auth.eval(rule("""{$GROUPS: { in: [\"root\"] } }"""),
+      claims) == Left(false))
+  }
+
+  test("add<T> nested inputs enforce the NESTED type's add rule") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """aname: string @index(exact) .
+        |ptitle: string @index(exact) .
+        |posts: [uid] .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <aname> "seed" .""",
+        """<0x1> <dgraph.type> "Author" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type Author {
+        |  id: ID!
+        |  aname: String @search(by: [exact])
+        |  posts: [Post]
+        |}
+        |type Post @auth(add: { rule: "{$ROLE: { eq: \"writer\" } }"}) {
+        |  id: ID!
+        |  ptitle: String @search(by: [exact])
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = store.attr("aname")
+      .select(col("subject"), col("predicate"),
+        lit(null).cast("long").as("objectUid"),
+        col("value").cast("string").as("value"))
+    // Author has no add rule, but the nested Post input must pass Post's
+    // rule (reference post-checks every inserted node's type)
+    val denied = intercept[Auth.AuthException] {
+      eng.mutate(
+        """mutation { addAuthor(input: [{ aname: "a",
+          |  posts: [{ ptitle: "sneaky" }] }]) { } }""".stripMargin,
+        base, jwt = Map("ROLE" -> "reader"))
+    }
+    assert(denied.getMessage.contains("addPost"))
+    // with the writer claim the same mutation lands
+    val ok = eng.mutate(
+      """mutation { addAuthor(input: [{ aname: "a",
+        |  posts: [{ ptitle: "legit" }] }]) { } }""".stripMargin,
+      base, jwt = Map("ROLE" -> "writer")).collect()
+    assert(ok.exists(r => r.getString(1) == "ptitle" && r.getString(3) == "legit"))
+    // a plain Author add (no nested Post) needs no claim at all
+    assert(eng.mutate(
+      """mutation { addAuthor(input: [{ aname: "solo" }]) { } }""",
+      base).count() >= 2)
+  }
+
+  test("SDL: consecutive union declarations both parse") {
+    val sdl = SdlParser.parse(
+      """type A { id: ID! x: String }
+        |type B { id: ID! y: String }
+        |type C { id: ID! z: String }
+        |union U = A | B union V = C
+        |type H { id: ID! u: [U] v: [V] }""".stripMargin)
+    // unions model as fieldless interfaces; the greedy member pattern
+    // used to swallow `union V` entirely
+    assert(sdl.typ("U").isInterface && sdl.implementers("U").toSet == Set("A", "B"))
+    assert(sdl.typ("V").isInterface && sdl.implementers("V") == Seq("C"))
+  }
+
+  test("directives on fragment spreads and inline fragments parse and apply") {
+    // spec-legal: FragmentSpread and InlineFragment both carry Directives
+    val op = GqlParser.parse(
+      """query Q($x: Boolean! = false) {
+        |  queryCustomer {
+        |    ...core @include(if: $x)
+        |    name
+        |    ... on Customer @skip(if: true) { acctbal }
+        |  }
+        |}
+        |fragment core on Customer { mktsegment }""".stripMargin)
+    // both fragment branches dropped: only the plain field remains
+    assert(op.roots.head.children.map(_.name) == Seq("name"))
+    val op2 = GqlParser.parse(
+      """query {
+        |  queryCustomer {
+        |    ... on Customer @skip(if: false) { acctbal }
+        |  }
+        |}""".stripMargin)
+    val marker = op2.roots.head.children.head
+    assert(marker.name == "\u0000on:Customer")
+    assert(marker.children.map(_.name) == Seq("acctbal"))
+  }
 }
