@@ -33,7 +33,8 @@ final case class GqlSelection(
   def outName: String = alias.getOrElse(name)
 }
 
-final case class GqlOperation(roots: Seq[GqlSelection])
+final case class GqlOperation(roots: Seq[GqlSelection],
+    kind: String = "query") // query | mutation | subscription
 
 object GqlParser {
   final case class ParseException(msg: String) extends RuntimeException(msg)
@@ -160,6 +161,7 @@ object GqlParser {
       preScanDefaults()
       var roots: Seq[GqlSelection] = Nil
       var sawOp = false
+      var kind = "query"
       while (peek.isDefined) peek match {
         case Some(TName("fragment")) =>
           next()
@@ -174,10 +176,12 @@ object GqlParser {
         case _ =>
           if (sawOp) throw ParseException("multiple operations in document")
           sawOp = true
-          roots = operation().roots
+          val op = operation()
+          roots = op.roots
+          kind = op.kind
       }
       if (!sawOp) throw ParseException("document has no operation")
-      GqlOperation(splice(roots, Set.empty))
+      GqlOperation(splice(roots, Set.empty), kind)
     }
 
     /** Replace `...Frag` markers with the fragment's (recursively
@@ -196,10 +200,13 @@ object GqlParser {
       }
 
     def operation(): GqlOperation = {
-      // optional `query [Name]` / `mutation [Name]` header, then optional
-      // `($x: Int! = 3, $s: String)` variable definitions
+      // optional `query [Name]` / `mutation [Name]` / `subscription
+      // [Name]` header, then optional `($x: Int! = 3, $s: String)`
+      // variable definitions
+      var opKind = "query"
       peek match {
-        case Some(TName("query")) | Some(TName("mutation")) =>
+        case Some(TName(k @ ("query" | "mutation" | "subscription"))) =>
+          opKind = k
           next()
           peek match { case Some(TName(_)) => next(); case _ => () }
           if (peek.contains(TPunct("("))) {
@@ -218,7 +225,7 @@ object GqlParser {
       }
       expect("{")
       val roots = selections()
-      GqlOperation(roots)
+      GqlOperation(roots, opKind)
     }
 
     /** Parse until the matching '}' (already inside it). */

@@ -37,6 +37,18 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch) {
       jwt: Map[String, String] = Map.empty): DataFrame =
     new MutationRewriter(ts, schema, jwt).apply(doc, base)
 
+  private[graphql] def session: org.apache.spark.sql.SparkSession = ts.spark
+
+  /** Open a poll-based subscription (reference graphql/subscription/):
+    * validates the `subscription { ... }` document against the schema's
+    * @withSubscription types; the returned handle re-executes on
+    * [[Subscription.poll]] and emits only when the result changed.
+    */
+  def subscribe(doc: String,
+      variables: Map[String, GVal] = Map.empty,
+      jwt: Map[String, String] = Map.empty): Subscription =
+    Subscription.open(schema, doc, variables, jwt)
+
   /** GraphQL-shaped nested JSON: one row per root object (block, uid,
     * json) with only the requested fields — no implicit uid key, single
     * objects for non-list edges, arrays for list edges (reference

@@ -32,7 +32,8 @@ final case class SdlField(
 final case class SdlType(name: String, fields: Seq[SdlField],
     isInterface: Boolean = false, implements: Seq[String] = Nil,
     auth: Map[String, Auth.Node] = Map.empty,
-    secret: Option[String] = None) {   // @secret(field: "...") password pred
+    secret: Option[String] = None,     // @secret(field: "...") password pred
+    withSubscription: Boolean = false) { // @withSubscription: poll-able
   def field(n: String): Option[SdlField] = fields.find(_.name == n)
 }
 
@@ -65,6 +66,7 @@ object SdlParser {
     // blank the whole directive region (space-padded, so offsets hold)
     val authByType = scala.collection.mutable.Map.empty[String, Map[String, Auth.Node]]
     val secretByType = scala.collection.mutable.Map.empty[String, String]
+    val subByType = scala.collection.mutable.Set.empty[String]
     val headPat = """(type|interface)\s+(\w+)""".r
     val sb = new StringBuilder(src0)
     for (m <- headPat.findAllMatchIn(src0)) {
@@ -103,6 +105,10 @@ object SdlParser {
           """@secret\s*\(\s*field\s*:\s*"(\w+)"\s*\)""".r
             .findFirstMatchIn(header)
             .foreach(sm => secretByType(tname) = sm.group(1))
+          // @withSubscription — this type's queries may be subscribed to
+          // (reference graphql/schema/gqlschema.go subscription fields)
+          if ("""@withSubscription\b""".r.findFirstIn(header).isDefined)
+            subByType += tname
           val authIdx = header.indexOf("@auth")
           if (authIdx >= 0) {
             val open = header.indexOf('(', authIdx)
@@ -199,7 +205,8 @@ object SdlParser {
         isInterface = m.group(1) == "interface",
         implements = impls ++ memberOf.getOrElse(tname, Nil),
         auth = authByType.getOrElse(tname, Map.empty),
-        secret = secretByType.get(tname))
+        secret = secretByType.get(tname),
+        withSubscription = subByType.contains(tname))
     }.toMap ++ unions.map { case (u, _) =>
       u -> SdlType(u, Seq(SdlField("id", "ID", isList = false,
         isId = true, searchable = Nil)), isInterface = true)
@@ -226,7 +233,12 @@ object SdlParser {
               })
             }
           }
-      n -> t.copy(fields = inherited ++ t.fields, auth = auth)
+      // @withSubscription on an interface flows to its implementers
+      // (reference: the directive on an interface subscribes its types)
+      val withSub = t.withSubscription ||
+        t.implements.exists(i => raw.get(i).exists(_.withSubscription))
+      n -> t.copy(fields = inherited ++ t.fields, auth = auth,
+        withSubscription = withSub)
     }
     new GqlSchema(types)
   }

@@ -1233,4 +1233,73 @@ class GraphqlSpec extends AnyFunSuite {
     assert(marker.name == "\u0000on:Customer")
     assert(marker.children.map(_.name) == Seq("acctbal"))
   }
+
+  test("subscriptions: @withSubscription poll observes a mutation, CDC-gated ticks skip re-runs") {
+    // reference graphql/subscription/: poll-based — re-execute on a
+    // tick, push only when the result hash changes
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      "text: string @index(exact) .")
+    val reg = new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+    val triples0 = RdfSource.parse(Seq(
+      """<0x1> <text> "v1" .""",
+      """<0x1> <dgraph.type> "Note" .""").toDF("line"))
+    val sdl = SdlParser.parse(
+      """type Note @withSubscription {
+        |  id: ID!
+        |  text: String! @search(by: [exact])
+        |}""".stripMargin)
+    assert(sdl.typ("Note").withSubscription)
+    def mkEngine(tr: org.apache.spark.sql.DataFrame) =
+      new GraphQLEngine(
+        new TripleFrameStore(spark, reg, tr, Map.empty, materialize = false),
+        sdl)
+    val eng = mkEngine(triples0)
+    val sub = eng.subscribe("subscription { queryNote { text } }")
+    // first poll always emits
+    val first = sub.poll(eng)
+    assert(first.exists(_.collect().head.getString(2).contains("v1")))
+    // unchanged data: the tick re-runs but emits nothing
+    assert(sub.poll(eng).isEmpty)
+    // a mutation lands; the next poll over the new store emits the change
+    import org.apache.spark.sql.functions.{col, lit}
+    val mutated = eng.mutate(
+      """mutation { updateNote(input: {
+        |  filter: { has: text }, set: { text: "v2" } }) { } }""".stripMargin,
+      triples0.select(col("subject"), col("predicate"),
+        col("value").cast("string").as("value"),
+        col("lang").cast("string").as("lang")))
+    val eng2 = mkEngine(mutated.select(col("subject"), col("predicate"),
+      lit(null).cast("long").as("objectUid"), col("value"), col("lang"),
+      lit(null).cast("string").as("facets")))
+    val second = sub.poll(eng2)
+    assert(second.exists(_.collect().head.getString(2).contains("v2")))
+    // validation: a plain query doc and a non-@withSubscription type reject
+    val e1 = intercept[Subscription.SubscriptionException] {
+      eng.subscribe("query { queryNote { text } }")
+    }
+    assert(e1.getMessage.contains("subscription"))
+    val noSub = SdlParser.parse(
+      """type Note { id: ID! text: String! @search(by: [exact]) }""")
+    val e2 = intercept[Subscription.SubscriptionException] {
+      new GraphQLEngine(
+        new TripleFrameStore(spark, reg, triples0, Map.empty,
+          materialize = false), noSub)
+        .subscribe("subscription { queryNote { text } }")
+    }
+    assert(e2.getMessage.contains("@withSubscription"))
+    // CDC-gated ticks: an unchanged batch=N count skips re-execution
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_sub")
+      .toFile
+    val sub2 = eng.subscribe("subscription { queryNote { text } }")
+    assert(sub2.pollCdc(eng, dir.getAbsolutePath).isDefined) // first tick
+    // data changed but NO new CDC batch: the tick is a metadata listing
+    assert(sub2.pollCdc(eng2, dir.getAbsolutePath).isEmpty)
+    new java.io.File(dir, "batch=0").mkdirs()
+    val after = sub2.pollCdc(eng2, dir.getAbsolutePath)
+    assert(after.exists(_.collect().head.getString(2).contains("v2")))
+  }
 }
