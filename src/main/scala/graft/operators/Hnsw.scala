@@ -143,13 +143,41 @@ final class HnswIndex(m: Int = 12, efConstruction: Int = 64) {
     out
   }
 
-  /** Select up to `max` connections from beam results — plain best-by-
-    * similarity selection (the paper's simple variant; the heuristic
-    * variant matters at high dimension/skew and is noted in SURVEY).
+  /** Select up to `max` connections from beam results — the paper's
+    * HEURISTIC selection (Algorithm 4; reference tok/hnsw/heuristic.go):
+    * walk candidates best-first and keep one only if it is closer to the
+    * query than to every already-kept neighbor. This spreads links
+    * across directions instead of clustering them on one tight
+    * neighborhood — the difference between a navigable graph and a
+    * near-clique at high dimension/skew. Discarded candidates backfill
+    * remaining slots (the keepPruned variant) so low-degree nodes stay
+    * connected. Deterministic: input order is deterministic and the
+    * rule is pure.
     */
   private def select(cands: mutable.ArrayBuffer[(Int, Double)],
-      max: Int): mutable.ArrayBuffer[Int] =
-    cands.take(max).map(_._1)
+      max: Int): mutable.ArrayBuffer[Int] = {
+    val kept = mutable.ArrayBuffer.empty[Int]
+    val pruned = mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < cands.length && kept.length < max) {
+      val (e, simToQ) = cands(i)
+      val ev = vecs(e); val en = norms(e)
+      var closerToKept = false
+      var j = 0
+      while (!closerToKept && j < kept.length) {
+        if (dot(ev, vecs(kept(j))) / (en * norms(kept(j))) > simToQ)
+          closerToKept = true
+        j += 1
+      }
+      if (closerToKept) pruned += e else kept += e
+      i += 1
+    }
+    var p = 0
+    while (kept.length < max && p < pruned.length) {
+      kept += pruned(p); p += 1
+    }
+    kept
+  }
 
   def insert(id: Long, vec: Array[Long]): Unit = {
     val idx = ids.length

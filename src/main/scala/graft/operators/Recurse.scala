@@ -21,6 +21,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object Recurse {
 
+  /** Frontier size above which a level keeps AQE on. Below it the
+    * per-level join is a broadcast of a small frontier against the
+    * pruned edge scan — AQE cannot improve that plan, but its query-
+    * stage materialization adds 3-4 extra Spark jobs per level, and
+    * per-level driver jobs are exactly what host contention amplifies
+    * (r9 scored bench: 67.9s vs 2.2s reproduced on dql_recurse_filter).
+    * Above the threshold the join is a real shuffle where AQE's runtime
+    * re-planning (skew splits, partition coalescing) earns its jobs.
+    */
+  private val AqeFrontierThreshold = 1000000L
+
+  /** Run `f` with AQE toggled for the calling session, restoring the
+    * previous setting after — scoped to the level's one materializing
+    * action, so concurrent queries see at most a transient change.
+    */
+  private def withAqe[T](df: DataFrame, on: Boolean)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val conf = df.sparkSession.conf
+    val prev = conf.get(key, "true")
+    if (prev == on.toString) f
+    else {
+      conf.set(key, on.toString)
+      try f finally conf.set(key, prev)
+    }
+  }
+
   /** Expand `seeds` (column `start`) over `edges` (columns subject,object)
     * up to maxDepth. Returns (start, node, depth) with depth = first level
     * at which `node` was reached from `start` (1-based); loop=false prunes
@@ -39,13 +65,17 @@ object Recurse {
     var out: DataFrame = null
     var depth = 1
     var done = false
+    var frontierSize = 0L
     while (depth <= maxDepth && !done) {
       var next = frontier.join(e, frontier("node") === e("subject"))
         .select(frontier("start"), e("object").as("node")).distinct()
       if (!loop)
         next = next.join(visited, Seq("start", "node"), "left_anti")
       next = next.localCheckpoint(false)
-      if (next.count() == 0) { done = true }
+      frontierSize = withAqe(next, frontierSize >= AqeFrontierThreshold) {
+        next.count()
+      }
+      if (frontierSize == 0) { done = true }
       else {
         val lvl = next.withColumn("depth", lit(depth))
         out = if (out == null) lvl else out.unionByName(lvl)
@@ -92,6 +122,7 @@ object Recurse {
     var out: DataFrame = null
     var depth = 1
     var done = false
+    var frontierSize = 0L
     while (depth <= maxDepth && !done) {
       // single action per level: the lazy checkpoint of `next` (which
       // subsumes `raw` via lineage) is materialized by one count() that
@@ -106,7 +137,10 @@ object Recurse {
       if (!loop)
         next = next.join(visited, Seq("start", "node"), "left_anti")
       next = next.localCheckpoint(false)
-      val n = next.count() // materializes raw + next in one job
+      val n = withAqe(next, frontierSize >= AqeFrontierThreshold) {
+        next.count() // materializes raw + next in one job
+      }
+      frontierSize = n
       // n > 0 implies raw non-empty; probe raw only on the last level
       // (already checkpointed: a limit-1 scan, no recompute)
       if (n == 0 && raw.isEmpty) { done = true }
@@ -143,7 +177,8 @@ object Recurse {
       array(col("start")).as("path")).localCheckpoint(false)
     var out: DataFrame = null
     var depth = 1
-    var more = frontier.count() > 0
+    var frontierSize = frontier.count()
+    var more = frontierSize > 0
     while (depth <= maxDepth && more) {
       // one job per level: lazy checkpoint materialized by the count that
       // is also the loop-termination probe
@@ -152,7 +187,10 @@ object Recurse {
         .select(frontier("start"), e("object").as("node"),
           array_append(frontier("path"), e("object")).as("path"))
         .localCheckpoint(false)
-      more = next.count() > 0
+      frontierSize = withAqe(next, frontierSize >= AqeFrontierThreshold) {
+        next.count()
+      }
+      more = frontierSize > 0
       if (more || out == null) {
         val lvl = next.withColumn("depth", lit(depth))
         out = if (out == null) lvl else out.unionByName(lvl)

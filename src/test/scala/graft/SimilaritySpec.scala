@@ -165,6 +165,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sharded == exact)
   }
 
+  test("HNSW: persisted shard layout round-trips and searches equal the live graph") {
+    // build-once/search-many: exportNodes -> parquet -> fromNodes must
+    // reproduce the SAME graphs (adjacency copied, not reconstructed),
+    // so stored search == live search at every ef, and the exact mode
+    // matches brute force
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val queries = base.filter($"id" % 25 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_spec")
+      .toFile.getAbsolutePath
+    Similarity.hnswWrite(base, dir, nPartitions = 4)
+    // approximate regime: stored equals live (same graphs, same walks)
+    val live = Similarity.hnswTopK(queries, base, 5,
+        efSearch = 32, nPartitions = 4)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    val stored = Similarity.hnswSearchStored(queries, spark, dir, 5,
+        efSearch = 32)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    assert(stored == live)
+    // exact mode over the stored layout matches brute force
+    val exact = Similarity.bruteForceTopK(queries, base, 5)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    val storedExact = Similarity.hnswSearchStored(queries, spark, dir, 5,
+        efSearch = Int.MaxValue)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    assert(storedExact == exact)
+  }
+
   test("HNSW: deterministic across repartitionings and rebuilds") {
     // hash-derived levels + id tie-breaks: the same shard contents give
     // the same graph and the same approximate results on every rebuild
