@@ -304,6 +304,64 @@ object Auth {
     */
   val MultiSep = '\u0000'
 
+  // ---- JWT signature verification (reference graphql/authorization/
+  // auth.go: HMAC shared secret or RSA public key configured via the
+  // `# Dgraph.Authorization` magic comment; JWK-URL fetch is network
+  // plumbing and stays out of scope) ----
+
+  sealed trait JwtKey
+  /** HS256 shared secret. */
+  final case class HmacSecret(secret: String) extends JwtKey
+  /** RS256 public key, PEM (`-----BEGIN PUBLIC KEY-----`) or bare
+    * base64 DER (X.509 SubjectPublicKeyInfo).
+    */
+  final case class RsaPublicPem(pem: String) extends JwtKey
+
+  /** Verify `token`'s signature (and `exp`, when present) against `key`,
+    * then decode its claims. alg comes from the token header and must
+    * match the key type — `none` and mismatches reject (reference
+    * validates through jwt-go's Keyfunc the same way).
+    */
+  def verifiedClaims(token: String, key: JwtKey,
+      nowEpochSeconds: Long = System.currentTimeMillis() / 1000): Map[String, String] = {
+    val parts = token.split('.')
+    if (parts.length != 3) throw AuthException(
+      "malformed JWT: expected header.payload.signature")
+    val dec = java.util.Base64.getUrlDecoder
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val header = om.readTree(new String(dec.decode(parts(0)), "UTF-8"))
+    val alg = Option(header.get("alg")).map(_.asText()).getOrElse("")
+    val signingInput = (parts(0) + "." + parts(1)).getBytes("UTF-8")
+    val sig = dec.decode(parts(2))
+    val ok = (alg, key) match {
+      case ("HS256", HmacSecret(secret)) =>
+        val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+        mac.init(new javax.crypto.spec.SecretKeySpec(
+          secret.getBytes("UTF-8"), "HmacSHA256"))
+        // constant-time compare — a plain == leaks a timing oracle
+        java.security.MessageDigest.isEqual(mac.doFinal(signingInput), sig)
+      case ("RS256", RsaPublicPem(pem)) =>
+        val der = java.util.Base64.getMimeDecoder.decode(
+          pem.replace("-----BEGIN PUBLIC KEY-----", "")
+            .replace("-----END PUBLIC KEY-----", "")
+            .replaceAll("\\s", ""))
+        val pub = java.security.KeyFactory.getInstance("RSA")
+          .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+        val v = java.security.Signature.getInstance("SHA256withRSA")
+        v.initVerify(pub)
+        v.update(signingInput)
+        v.verify(sig)
+      case (a, k) => throw AuthException(
+        s"JWT alg '$a' does not match the configured ${k.getClass.getSimpleName}")
+    }
+    if (!ok) throw AuthException("JWT signature verification failed")
+    val payload = om.readTree(new String(dec.decode(parts(1)), "UTF-8"))
+    Option(payload.get("exp")).filter(_.isNumber).foreach { e =>
+      if (e.asLong() < nowEpochSeconds) throw AuthException("JWT expired")
+    }
+    claimsFromJwt(token)
+  }
+
   /** Decode the claims of a JWT payload — NO signature verification
     * (key configuration is deployment plumbing; production callers pass
     * verified claims). Custom-claim objects flatten one level, matching

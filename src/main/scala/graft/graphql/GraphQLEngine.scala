@@ -11,15 +11,64 @@ import graft.exec.DqlExecutor
   * (/root/reference/edgraph/server.go:1330 QueryGraphQL feeds the same
   * pipeline as Query; SURVEY.md §3.2).
   */
-final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch) {
+final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
+    resolvers: Map[String, DataFrame => org.apache.spark.sql.Column] = Map.empty) {
 
   /** Run a GraphQL operation, returning the flat (normalized) DataFrame
-    * of the last root field.
+    * of the last root field. Top-level `@lambda` / `@custom` fields
+    * resolve through `resolvers` (see [[flatComputed]]).
     */
   def flat(query: String,
       variables: Map[String, GVal] = Map.empty,
-      jwt: Map[String, String] = Map.empty): DataFrame =
-    new DqlExecutor(ts).flatAst(rewrite(query, variables, jwt))
+      jwt: Map[String, String] = Map.empty): DataFrame = {
+    val op = GqlParser.parse(query, variables)
+    val (stripped, computed) = splitComputed(op)
+    val df = new DqlExecutor(ts).flatAst(
+      Rewriter.rewrite(stripped, schema, jwt))
+    flatComputed(df, computed)
+  }
+
+  private val ComputedRootT = "(?:query|get)([A-Z]\\w*)".r
+
+  /** Split the operation's top-level `@lambda`/`@custom` fields out of
+    * the fetch: they are COMPUTED, not stored predicates (reference
+    * graphql/resolve/custom logic + the lambda server,
+    * graphql/schema/custom_http.go). The Spark-first resolution replaces
+    * the reference's per-parent HTTP round-trip with a registered Column
+    * expression over the parent row — distributed and codegen'd, with
+    * the whole parent visible to the resolver like the reference sends
+    * the whole parent to the lambda. The HTTP transport of @custom is
+    * deployment plumbing: a deployment registers a resolver that calls
+    * its service; an unregistered computed field is a loud error, never
+    * a silent null.
+    */
+  private def splitComputed(
+      op: GqlOperation): (GqlOperation, Seq[(String, GqlSelection)]) = {
+    val computed = Seq.newBuilder[(String, GqlSelection)]
+    val roots = op.roots.map { r =>
+      r.name match {
+        case ComputedRootT(tn) if schema.types.contains(tn) =>
+          val t = schema.typ(tn)
+          val (comp, stored) = r.children.partition(c =>
+            t.field(c.name).exists(f => f.isLambda || f.customHttp.isDefined))
+          comp.foreach(c => computed += ((tn, c)))
+          r.copy(children = stored)
+        case _ => r
+      }
+    }
+    (op.copy(roots = roots), computed.result())
+  }
+
+  private def flatComputed(df: DataFrame,
+      computed: Seq[(String, GqlSelection)]): DataFrame =
+    computed.foldLeft(df) { case (acc, (tn, sel)) =>
+      val key = s"$tn.${sel.name}"
+      val fn = resolvers.getOrElse(key,
+        throw new Rewriter.RewriteException(
+          s"$key is a computed (@lambda/@custom) field and no resolver " +
+            "is registered for it — pass one in GraphQLEngine(resolvers)"))
+      acc.withColumn(sel.outName, fn(acc))
+    }
 
   /** The DQL IR a query rewrites to (exposed for tests/EXPLAIN).
     * `variables` carries the operation's `$var` values (reference
@@ -38,6 +87,23 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch) {
     new MutationRewriter(ts, schema, jwt).apply(doc, base)
 
   private[graphql] def session: org.apache.spark.sql.SparkSession = ts.spark
+
+  /** Claims for a RAW JWT per the schema's `# Dgraph.Authorization`
+    * config: SIGNATURE-VERIFIED (HS256/RS256 + exp) when a verification
+    * key is configured; decode-only otherwise — the documented
+    * trusted-gateway fallback.
+    */
+  def claimsFor(token: String): Map[String, String] =
+    schema.authConfig match {
+      case Some(c) if c.verificationKey.nonEmpty =>
+        Auth.verifiedClaims(token, c.key)
+      case _ => Auth.claimsFromJwt(token)
+    }
+
+  /** [[json]] authenticated by a raw JWT instead of pre-parsed claims. */
+  def jsonWithToken(query: String, token: String,
+      variables: Map[String, GVal] = Map.empty): DataFrame =
+    json(query, variables, claimsFor(token))
 
   /** Open a poll-based subscription (reference graphql/subscription/):
     * validates the `subscription { ... }` document against the schema's

@@ -17,7 +17,9 @@ final case class SdlField(
     isList: Boolean,
     isId: Boolean,
     searchable: Seq[String],     // @search(by: [...]) tokenizer names
-    isEmbedding: Boolean = false) { // @embedding [Float!] vector field
+    isEmbedding: Boolean = false, // @embedding [Float!] vector field
+    isLambda: Boolean = false,    // @lambda computed field
+    customHttp: Option[String] = None) { // @custom(http: {...}) raw args
 
   /** hnsw metric of an embedding field — `@search(by: ["hnsw(metric:
     * euclidean, exponent: 4)"])`; euclidean when unspecified (reference
@@ -37,7 +39,21 @@ final case class SdlType(name: String, fields: Seq[SdlField],
   def field(n: String): Option[SdlField] = fields.find(_.name == n)
 }
 
-final class GqlSchema(val types: Map[String, SdlType]) {
+/** `# Dgraph.Authorization {...}` magic-comment config (reference
+  * graphql/authorization/auth.go ParseAuthMeta): names the request
+  * header carrying the JWT, the namespace whose nested object holds the
+  * custom claims, and the verification algorithm + key.
+  */
+final case class AuthHeaderConfig(header: String, namespace: String,
+    algo: String, verificationKey: String) {
+  def key: Auth.JwtKey = algo match {
+    case "RS256" => Auth.RsaPublicPem(verificationKey)
+    case _ => Auth.HmacSecret(verificationKey)
+  }
+}
+
+final class GqlSchema(val types: Map[String, SdlType],
+    val authConfig: Option[AuthHeaderConfig] = None) {
   def typ(n: String): SdlType = types.getOrElse(n,
     throw new IllegalArgumentException(s"unknown GraphQL type: $n"))
   def isObjectType(n: String): Boolean = types.contains(n)
@@ -55,6 +71,23 @@ object SdlParser {
     * directive arguments it doesn't model.
     */
   def parse(sdl: String): GqlSchema = {
+    // `# Dgraph.Authorization {"VerificationKey":..,"Header":..,
+    // "Namespace":..,"Algo":..}` — the magic comment survives comment
+    // stripping (reference graphql/authorization/auth.go ParseAuthMeta)
+    val authCfg = sdl.linesIterator.map(_.trim)
+      .find(_.startsWith("# Dgraph.Authorization"))
+      .flatMap { l =>
+        val json = l.stripPrefix("# Dgraph.Authorization").trim
+        if (!json.startsWith("{")) None
+        else {
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(json)
+          def f(k: String) = Option(m.get(k)).map(_.asText()).getOrElse("")
+          Some(AuthHeaderConfig(f("Header"), f("Namespace"),
+            if (f("Algo").isEmpty) "HS256" else f("Algo"),
+            f("VerificationKey")))
+        }
+      }
     // strip comments
     val src0 = sdl.linesIterator.map(l => l.indexOf('#') match {
       case -1 => l; case i => l.substring(0, i)
@@ -142,7 +175,25 @@ object SdlParser {
         }
       }
     }
-    val src = sb.toString
+    val src1 = sb.toString
+    // braces inside directive parens — `@custom(http: {url: ...})` —
+    // would truncate typePat's non-greedy body match at the wrong '}';
+    // swap them for sentinel chars at paren depth > 0 and restore them
+    // in any captured directive text (customHttp below)
+    val sb2 = new StringBuilder(src1)
+    var bd = 0
+    var bi = 0
+    while (bi < sb2.length) {
+      sb2.charAt(bi) match {
+        case '(' => bd += 1
+        case ')' => bd -= 1
+        case '{' if bd > 0 => sb2.setCharAt(bi, '⟨')
+        case '}' if bd > 0 => sb2.setCharAt(bi, '⟩')
+        case _ => ()
+      }
+      bi += 1
+    }
+    val src = sb2.toString
     val typePat =
       """(?s)(type|interface)\s+(\w+)(?:\s+implements\s+([\w\s&]+?))?\s*\{(.*?)\}""".r
     // directive args may nest one paren level and carry quoted specs:
@@ -199,7 +250,11 @@ object SdlParser {
           isList = f.group(2) != null,
           isId = f.group(3) == "ID" || dirText.contains("@id"),
           searchable = search,
-          isEmbedding = dirText.contains("@embedding"))
+          isEmbedding = dirText.contains("@embedding"),
+          isLambda = dirText.contains("@lambda"),
+          customHttp = """@custom\s*\(((?:[^()]|\([^)]*\))*)\)""".r
+            .findFirstMatchIn(dirText)
+            .map(_.group(1).replace('⟨', '{').replace('⟩', '}')))
       }.toSeq
       tname -> SdlType(tname, fields,
         isInterface = m.group(1) == "interface",
@@ -240,7 +295,7 @@ object SdlParser {
       n -> t.copy(fields = inherited ++ t.fields, auth = auth,
         withSubscription = withSub)
     }
-    new GqlSchema(types)
+    new GqlSchema(types, authCfg)
   }
 
   /** The GraphQL schema over the derived TPC-H graph (same shape as

@@ -238,6 +238,31 @@ object GraphqlQueries {
             |  } }""".stripMargin)(s, d)
         .orderBy(col("uid"))),
 
+    // @lambda / @custom computed fields (reference custom_http.go + the
+    // lambda server): resolved via registered Column resolvers over the
+    // parent row — the Spark-first replacement for the per-parent HTTP
+    // round-trip; the oracle recomputes both expressions in SQL
+    "graphql_lambda" -> ((s, d) => {
+      val sdl = graft.graphql.SdlParser.parse(
+        """type Customer {
+          |  id: ID!
+          |  name: String! @search(by: [exact])
+          |  acctbal: Float @search
+          |  mktsegment: String @search(by: [exact])
+          |  bio: String @lambda
+          |  solvent: Int @custom(http: {url: "http://svc/rank", method: POST})
+          |}""".stripMargin)
+      val resolvers = Map[String, org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Column](
+        "Customer.bio" -> (df =>
+          concat(df("name"), lit(" ("), df("mktsegment"), lit(")"))),
+        "Customer.solvent" -> (df => (df("acctbal") > 0).cast("int")))
+      new GraphQLEngine(TripleStore(s, d), sdl, resolvers).flat(
+        """query { queryCustomer(filter: { mktsegment: { eq: "HOUSEHOLD" } }) {
+          |  name acctbal mktsegment bio solvent } }""".stripMargin)
+        .orderBy(col("uid"))
+    }),
+
     // update<T> filter→set rewrite + delete<T> S * * wildcard, applied
     // in document order (UpdateRewriter/DeleteRewriter)
     "graphql_update_delete" -> ((s, d) => {
@@ -409,6 +434,14 @@ object GraphqlQueries {
          | SELECT ${Uids.Supplier} + s_suppkey, 'Supplier', s_name, s_acctbal,
          |  CAST(NULL AS VARCHAR)
          | FROM supplier WHERE s_acctbal <= -800.0)
+         |ORDER BY uid""".stripMargin,
+
+    "graphql_lambda" ->
+      s"""SELECT $CB + c_custkey AS uid, c_name AS name, c_acctbal AS acctbal,
+         | c_mktsegment AS mktsegment,
+         | c_name || ' (' || c_mktsegment || ')' AS bio,
+         | CAST(c_acctbal > 0 AS INT) AS solvent
+         |FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
          |ORDER BY uid""".stripMargin,
 
     "graphql_update_delete" ->

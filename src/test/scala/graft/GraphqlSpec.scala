@@ -1302,4 +1302,119 @@ class GraphqlSpec extends AnyFunSuite {
     val after = sub2.pollCdc(eng2, dir.getAbsolutePath)
     assert(after.exists(_.collect().head.getString(2).contains("v2")))
   }
+
+  test("JWT verification: HS256/RS256 signatures, exp, alg mismatch, Dgraph.Authorization wiring") {
+    def b64(x: Array[Byte]) = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(x)
+    def hs256(payload: String, secret: String): String = {
+      val h = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+      val p = b64(payload.getBytes("UTF-8"))
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        secret.getBytes("UTF-8"), "HmacSHA256"))
+      s"$h.$p." + b64(mac.doFinal(s"$h.$p".getBytes("UTF-8")))
+    }
+    val good = hs256("""{"ROLE":"admin"}""", "topsecret")
+    val claims = Auth.verifiedClaims(good, Auth.HmacSecret("topsecret"))
+    assert(claims("ROLE") == "admin")
+    // wrong secret and tampered payload both reject
+    intercept[Auth.AuthException] {
+      Auth.verifiedClaims(good, Auth.HmacSecret("wrong"))
+    }
+    val tampered = {
+      val parts = good.split('.')
+      parts(0) + "." + b64("""{"ROLE":"root"}""".getBytes("UTF-8")) +
+        "." + parts(2)
+    }
+    intercept[Auth.AuthException] {
+      Auth.verifiedClaims(tampered, Auth.HmacSecret("topsecret"))
+    }
+    // expired token rejects; unexpired passes
+    val exp = hs256("""{"ROLE":"admin","exp":1000}""", "topsecret")
+    intercept[Auth.AuthException] {
+      Auth.verifiedClaims(exp, Auth.HmacSecret("topsecret"),
+        nowEpochSeconds = 2000)
+    }
+    assert(Auth.verifiedClaims(exp, Auth.HmacSecret("topsecret"),
+      nowEpochSeconds = 500)("ROLE") == "admin")
+    // RS256: sign with a generated keypair, verify with the public PEM
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val h = b64("""{"alg":"RS256","typ":"JWT"}""".getBytes("UTF-8"))
+    val pl = b64("""{"USER":"alice"}""".getBytes("UTF-8"))
+    val signer = java.security.Signature.getInstance("SHA256withRSA")
+    signer.initSign(kp.getPrivate)
+    signer.update(s"$h.$pl".getBytes("UTF-8"))
+    val rsTok = s"$h.$pl." + b64(signer.sign())
+    val pem = "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder.encodeToString(
+        kp.getPublic.getEncoded) + "\n-----END PUBLIC KEY-----"
+    assert(Auth.verifiedClaims(rsTok,
+      Auth.RsaPublicPem(pem))("USER") == "alice")
+    // alg/key mismatch (token says HS256, key is RSA) rejects — the
+    // classic key-confusion attack
+    intercept[Auth.AuthException] {
+      Auth.verifiedClaims(good, Auth.RsaPublicPem(pem))
+    }
+    // magic comment parses and the engine verifies through it
+    val sdl = SdlParser.parse(
+      """type Tweets @auth(query: { rule: "{$ROLE: { eq: \"admin\" } }"}) {
+        |  id: ID!
+        |  text: String! @search(by: [exact])
+        |}
+        |# Dgraph.Authorization {"VerificationKey":"topsecret","Header":"X-Auth","Namespace":"","Algo":"HS256"}
+        |""".stripMargin)
+    assert(sdl.authConfig.exists(c =>
+      c.header == "X-Auth" && c.algo == "HS256" &&
+        c.verificationKey == "topsecret"))
+    assert(sdl.typ("Tweets").auth.contains("query"))
+    val eng = new GraphQLEngine(
+      graft.core.TripleStore(spark, sf), sdl)
+    assert(eng.claimsFor(good)("ROLE") == "admin")
+    intercept[Auth.AuthException] {
+      eng.claimsFor(hs256("""{"ROLE":"admin"}""", "forged"))
+    }
+  }
+
+  test("@lambda/@custom computed fields resolve via registered Column resolvers") {
+    // reference graphql/schema/custom_http.go + the lambda server: a
+    // computed field is resolved OUTSIDE the graph fetch, with the whole
+    // parent visible. Spark-first form: a registered Column expression
+    // over the parent row — distributed, no per-parent round-trip; the
+    // HTTP transport of @custom is deployment plumbing behind the same
+    // registry.
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.functions.{concat, lit}
+    val sdl = SdlParser.parse(
+      """type Customer {
+        |  id: ID!
+        |  name: String! @search(by: [exact])
+        |  acctbal: Float @search
+        |  bio: String @lambda
+        |  rank: Int @custom(http: {url: "http://svc/rank", method: POST})
+        |}""".stripMargin)
+    assert(sdl.typ("Customer").field("bio").exists(_.isLambda))
+    assert(sdl.typ("Customer").field("rank").get.customHttp
+      .exists(_.contains("http://svc/rank")))
+    val resolvers = Map[String, DataFrame => Column](
+      "Customer.bio" -> (df => concat(lit("customer "), df("name"))),
+      "Customer.rank" -> (df => (df("acctbal") > 0).cast("int")))
+    val eng = new GraphQLEngine(TripleStore(spark, sf), sdl, resolvers)
+    val rows = eng.flat(
+      """query { queryCustomer(filter: { name: { eq: "Customer#000000001" } }) {
+        |  name acctbal bio rank } }""".stripMargin).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val name = r.getString(r.fieldIndex("name"))
+    assert(r.getString(r.fieldIndex("bio")) == s"customer $name")
+    val bal = r.getDouble(r.fieldIndex("acctbal"))
+    assert(r.getInt(r.fieldIndex("rank")) == (if (bal > 0) 1 else 0))
+    // an unregistered computed field is a loud error, never a silent null
+    val engNo = new GraphQLEngine(TripleStore(spark, sf), sdl)
+    val e = intercept[Rewriter.RewriteException] {
+      engNo.flat("query { queryCustomer { name bio } }")
+    }
+    assert(e.getMessage.contains("Customer.bio"))
+  }
 }
