@@ -1,0 +1,149 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bcrypt
+import graft.graphql.Auth
+
+/** Access control + multi-tenancy (reference acl/ + the namespace
+  * machinery, ee/acl/acl.go):
+  *
+  *  - **Users / groups / rules**: a user belongs to groups; a group
+  *    carries per-predicate permission bits (READ=4 WRITE=2 MODIFY=1 —
+  *    the reference's `dgraph.rule.permission` bitmask). `login`
+  *    verifies the bcrypt password and issues an HS256 access JWT
+  *    carrying userId + groups + namespace (the reference's accessJwt,
+  *    edgraph/access_ee.go) — verified by the same [[Auth]] machinery
+  *    the GraphQL layer uses.
+  *  - **Read enforcement**: [[Acl.storeFor]] wraps any [[GraphStore]]
+  *    so unauthorized predicates resolve EMPTY — the reference filters
+  *    unauthorized predicates out of queries silently rather than
+  *    erroring (worker/acl.go). Guardians (members of the `guardians`
+  *    group) see everything.
+  *  - **Namespaces**: [[Acl.namespaceView]] scopes a triples frame to
+  *    one tenant through its `ns` column. Spark-first: at scale the
+  *    triples are written PARTITIONED BY ns, so the filter is directory
+  *    pruning — a tenant's query never scans another tenant's bytes
+  *    (the reference isolates by prefixing every key with the
+  *    namespace id; a partition column is the columnar analogue).
+  *
+  * Out of scope, documented: mutation-side enforcement (the engine's
+  * mutation surface operates on caller-supplied frames; gate writes by
+  * wrapping the base frame with [[Acl.namespaceView]] + checking
+  * `canWrite` on touched predicates) and cross-namespace guardians
+  * admin ops.
+  */
+object Acl {
+
+  val Read = 4
+  val Write = 2
+  val Modify = 1
+
+  /** The reference's super-group: full access to every predicate. */
+  val Guardians = "guardians"
+
+  final case class Rule(predicate: String, permission: Int)
+  final case class User(id: String, passwordHash: String,
+      groups: Set[String], namespace: Long = 0L)
+
+  final case class AclException(msg: String) extends RuntimeException(msg)
+
+  /** Deterministic bcrypt hash for fixtures/tests (production hashes
+    * come from a SecureRandom salt — any `$2a$` hash verifies).
+    */
+  def hashPassword(userId: String, password: String, cost: Int = 4): String =
+    Bcrypt.hashpw(password, Bcrypt.saltFromSeed(s"acl:$userId", cost))
+}
+
+final class Acl(users: Map[String, Acl.User],
+    groups: Map[String, Seq[Acl.Rule]],
+    secret: String) {
+  import Acl._
+
+  /** Verify the password, issue the access JWT (userId, groups joined
+    * multi-valued, namespace). A bad user or password rejects with the
+    * same error — no user-existence oracle.
+    */
+  def login(userId: String, password: String): String = {
+    val u = users.get(userId)
+      .filter(u => Bcrypt.checkpw(password, u.passwordHash))
+      .getOrElse(throw AclException("invalid user or password"))
+    def b64(x: Array[Byte]) = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(x)
+    val header = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+    val groupsJson = u.groups.toSeq.sorted.map(g => s""""$g"""").mkString(",")
+    val payload = b64(
+      s"""{"userid":"${u.id}","groups":[$groupsJson],"namespace":${u.namespace}}"""
+        .getBytes("UTF-8"))
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes("UTF-8"), "HmacSHA256"))
+    s"$header.$payload." +
+      b64(mac.doFinal(s"$header.$payload".getBytes("UTF-8")))
+  }
+
+  /** Verified claims of an access JWT (signature-checked). */
+  def claims(accessJwt: String): Map[String, String] =
+    Auth.verifiedClaims(accessJwt, Auth.HmacSecret(secret))
+
+  private def groupsOf(accessJwt: String): Set[String] =
+    claims(accessJwt).get("groups").toSet[String]
+      .flatMap(_.split(Auth.MultiSep).filter(_.nonEmpty))
+
+  private def perm(gs: Set[String], predicate: String): Int =
+    if (gs.contains(Guardians)) Read | Write | Modify
+    else gs.flatMap(g => groups.getOrElse(g, Nil))
+      .filter(_.predicate == predicate).map(_.permission)
+      .foldLeft(0)(_ | _)
+
+  def canRead(gs: Set[String], predicate: String): Boolean =
+    (perm(gs, predicate) & Read) != 0
+  def canWrite(gs: Set[String], predicate: String): Boolean =
+    (perm(gs, predicate) & Write) != 0
+
+  /** ACL-enforced view of `inner` for the token's bearer: unauthorized
+    * predicates resolve EMPTY (reference worker/acl.go filters them out
+    * of queries silently). dgraph.type stays visible — the reference
+    * always allows it, since type membership is not predicate data.
+    */
+  def storeFor(inner: GraphStore, accessJwt: String): GraphStore = {
+    val gs = groupsOf(accessJwt)
+    new AclStore(inner, p => canRead(gs, p))
+  }
+}
+
+/** GraphStore wrapper dropping unreadable predicates. Empty frames keep
+  * the tablet's exact schema (limit 0 of the real view), so plans stay
+  * resolvable and render the predicate as absent, like the reference.
+  */
+final class AclStore(inner: GraphStore, readable: String => Boolean)
+    extends GraphStore {
+  def spark: org.apache.spark.sql.SparkSession = inner.spark
+  def schema: SchemaRegistry = inner.schema
+  def nodeTypes: DataFrame = inner.nodeTypes
+  def facetKeys: Map[String, Seq[(String, String)]] = inner.facetKeys
+  def edges: DataFrame = {
+    val ok = inner.schema.predicates.keys.filter(readable).toSeq
+    if (ok.isEmpty) inner.edges.limit(0)
+    else inner.edges.filter(col("predicate").isin(ok: _*))
+  }
+  def attr(predicate: String): DataFrame =
+    if (readable(predicate)) inner.attr(predicate)
+    else inner.attr(predicate).limit(0)
+  override def edge(predicate: String): DataFrame =
+    if (readable(predicate)) inner.edge(predicate)
+    else inner.edge(predicate).limit(0)
+}
+
+object Namespaces {
+
+  /** Scope a multi-tenant triples frame (canonical columns + `ns` LONG)
+    * to one namespace. Written `partitionBy("ns")`, the filter prunes
+    * to the tenant's directories — no cross-tenant bytes are read.
+    * The `ns` column is dropped so the scoped frame is a plain
+    * canonical triples frame any store can ingest.
+    */
+  def view(triples: DataFrame, ns: Long): DataFrame =
+    triples.filter(col("ns") === ns).drop("ns")
+}

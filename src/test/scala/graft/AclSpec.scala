@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Acl, AclStore, Namespaces, SchemaRegistry, TripleFrameStore}
+import graft.exec.DqlExecutor
+import graft.graphql.Auth
+import graft.sources.RdfSource
+
+/** ACL + multi-tenancy (reference acl/ + ee/acl/acl.go): login issues a
+  * verified access JWT; group rules gate per-predicate reads (bitmask
+  * READ=4 WRITE=2 MODIFY=1); unauthorized predicates resolve EMPTY (the
+  * reference filters them out of queries silently); namespaces isolate
+  * tenants through a pruned `ns` partition column.
+  */
+class AclSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val reg = {
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """name: string @index(exact) .
+        |salary: int @index(int) .
+        |""".stripMargin)
+    new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+  }
+
+  private lazy val store = new TripleFrameStore(spark, reg,
+    RdfSource.parse(Seq(
+      """<0x1> <name> "ann" .""",
+      """<0x1> <salary> "100" .""",
+      """<0x1> <dgraph.type> "Emp" .""",
+      """<0x2> <name> "bob" .""",
+      """<0x2> <salary> "200" .""",
+      """<0x2> <dgraph.type> "Emp" .""").toDF("line")),
+    Map.empty, materialize = false)
+
+  private lazy val acl = new Acl(
+    users = Map(
+      "alice" -> Acl.User("alice",
+        Acl.hashPassword("alice", "alicepw"), Set("dev")),
+      "root" -> Acl.User("root",
+        Acl.hashPassword("root", "rootpw"), Set(Acl.Guardians))),
+    groups = Map(
+      "dev" -> Seq(Acl.Rule("name", Acl.Read),
+        Acl.Rule("salary", Acl.Write))), // write-only: READ not granted
+    secret = "acl-secret")
+
+  test("login verifies bcrypt and issues a signature-checked access JWT") {
+    val tok = acl.login("alice", "alicepw")
+    val c = acl.claims(tok)
+    assert(c("userid") == "alice" && c("groups") == "dev" &&
+      c("namespace") == "0")
+    // wrong password and unknown user reject identically
+    val e1 = intercept[Acl.AclException] { acl.login("alice", "nope") }
+    val e2 = intercept[Acl.AclException] { acl.login("mallory", "x") }
+    assert(e1.getMessage == e2.getMessage)
+    // a forged token (wrong secret) fails claim verification
+    val forged = new Acl(Map("alice" -> Acl.User("alice",
+      Acl.hashPassword("alice", "alicepw"), Set(Acl.Guardians))),
+      Map.empty, "other-secret").login("alice", "alicepw")
+    intercept[Auth.AuthException] { acl.claims(forged) }
+  }
+
+  test("unauthorized predicates resolve empty; guardians see everything") {
+    val aliceStore = acl.storeFor(store, acl.login("alice", "alicepw"))
+    // readable predicate: full results
+    val names = new DqlExecutor(aliceStore)
+      .flat("""{ q(func: has(name)) { name } }""")
+    assert(names.count() == 2)
+    // salary grants WRITE but not READ: the query silently returns
+    // nothing (reference worker/acl.go drops unauthorized predicates)
+    val salaries = new DqlExecutor(aliceStore)
+      .flat("""{ q(func: has(salary)) { salary } }""")
+    assert(salaries.count() == 0)
+    // a readable root with an unreadable leaf renders the leaf absent
+    val mixed = new DqlExecutor(aliceStore)
+      .flat("""{ q(func: has(name)) { name salary } }""")
+      .collect()
+    assert(mixed.length == 2 &&
+      mixed.forall(r => r.isNullAt(r.fieldIndex("salary"))))
+    // guardians bypass rules
+    val rootStore = acl.storeFor(store, acl.login("root", "rootpw"))
+    assert(new DqlExecutor(rootStore)
+      .flat("""{ q(func: has(salary)) { salary } }""").count() == 2)
+  }
+
+  test("namespace views isolate tenants and drop the ns column") {
+    val multi = RdfSource.parse(Seq(
+      """<0x1> <name> "t0-ann" .""",
+      """<0x1> <dgraph.type> "Emp" .""").toDF("line"))
+      .withColumn("ns", lit(0L))
+      .unionByName(RdfSource.parse(Seq(
+        """<0x1> <name> "t1-zoe" .""",
+        """<0x1> <dgraph.type> "Emp" .""").toDF("line"))
+        .withColumn("ns", lit(1L)))
+    def engineFor(ns: Long) = new DqlExecutor(new TripleFrameStore(spark,
+      reg, Namespaces.view(multi, ns), Map.empty, materialize = false))
+    // same uid, same predicate, different tenants — never mixed
+    val t0 = engineFor(0).flat("""{ q(func: has(name)) { name } }""")
+      .select("name").as[String].collect().toSeq
+    val t1 = engineFor(1).flat("""{ q(func: has(name)) { name } }""")
+      .select("name").as[String].collect().toSeq
+    assert(t0 == Seq("t0-ann") && t1 == Seq("t1-zoe"))
+  }
+
+  test("AclStore.edges filters to readable predicates only") {
+    val s = new AclStore(store, Set("name").contains _)
+    assert(s.edges.select("predicate").distinct().as[String].collect()
+      .forall(_ == "name"))
+  }
+}
