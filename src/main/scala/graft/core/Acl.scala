@@ -28,11 +28,15 @@ import graft.graphql.Auth
   *    (the reference isolates by prefixing every key with the
   *    namespace id; a partition column is the columnar analogue).
   *
-  * Out of scope, documented: mutation-side enforcement (the engine's
-  * mutation surface operates on caller-supplied frames; gate writes by
-  * wrapping the base frame with [[Acl.namespaceView]] + checking
-  * `canWrite` on touched predicates) and cross-namespace guardians
-  * admin ops.
+  *  - **Write enforcement**: [[Acl.authorizeMutation]] gates the
+  *    predicates a mutation touches (set + delete) on the Write bit —
+  *    erroring with the blocked list like the reference
+  *    (edgraph/access.go:839), guardians exempt except for the ACL
+  *    predicates themselves. The engine's mutation surface operates on
+  *    caller-supplied frames, so the check runs where the caller
+  *    composes the mutation.
+  *
+  * Out of scope, documented: cross-namespace guardians admin ops.
   */
 object Acl {
 
@@ -42,6 +46,15 @@ object Acl {
 
   /** The reference's super-group: full access to every predicate. */
   val Guardians = "guardians"
+
+  /** Reserved ACL-feature predicates (x/keys.go:639 aclPredicateMap) —
+    * NOBODY mutates these through the data path, guardians included
+    * (edgraph/access.go:815 "the permission of ACL predicates can not
+    * be changed").
+    */
+  val AclPredicates: Set[String] = Set(
+    "dgraph.xid", "dgraph.password", "dgraph.user.group",
+    "dgraph.rule.predicate", "dgraph.rule.permission", "dgraph.acl.rule")
 
   final case class Rule(predicate: String, permission: Int)
   final case class User(id: String, passwordHash: String,
@@ -111,6 +124,40 @@ final class Acl(users: Map[String, Acl.User],
     val gs = groupsOf(accessJwt)
     new AclStore(inner, p => canRead(gs, p))
   }
+
+  /** Write-side enforcement: every predicate a mutation touches (set OR
+    * delete — edgraph/access.go:796) must carry the Write bit, and the
+    * mutation ERRORS listing the blocked predicates rather than
+    * silently filtering like reads (access.go:839 "unauthorized to
+    * mutate following predicates"). Guardians mutate anything except
+    * the ACL predicates themselves. `dgraph.type` rides along with any
+    * set — the reference treats membership rows as data here, so it
+    * needs Write like any predicate unless the caller is a guardian.
+    * The wildcard `*` of an `S * *` delete is not a predicate
+    * (access.go:746 skips _STAR_ALL).
+    */
+  def authorizeMutation(accessJwt: String, preds: Seq[String]): Unit = {
+    val gs = groupsOf(accessJwt)
+    val touched = preds.distinct.filter(_ != "*")
+    val aclTouched = touched.filter(p => AclPredicates(p.toLowerCase)).sorted
+    if (aclTouched.nonEmpty) throw AclException(
+      s"unauthorized to mutate acl predicates: ${aclTouched.mkString(" ")}")
+    if (!gs.contains(Guardians)) {
+      val blocked = touched.filterNot(p => canWrite(gs, p)).sorted
+      if (blocked.nonEmpty) throw AclException(
+        s"unauthorized to mutate following predicates: ${blocked.mkString(" ")}")
+    }
+  }
+
+  /** Frame form: authorize against the distinct predicates of the
+    * mutation frames (set + delete). The distinct is bounded by the
+    * schema's predicate count — metadata-scale at any data size.
+    */
+  def authorizeMutationFrames(accessJwt: String, frames: DataFrame*): Unit =
+    authorizeMutation(accessJwt, frames
+      .map(_.select(col("predicate")).distinct())
+      .reduce(_ union _).distinct()
+      .collect().map(_.getString(0)).toSeq)
 }
 
 /** GraphStore wrapper dropping unreadable predicates. Empty frames keep

@@ -22,10 +22,39 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
       variables: Map[String, GVal] = Map.empty,
       jwt: Map[String, String] = Map.empty): DataFrame = {
     val op = GqlParser.parse(query, variables)
-    val (stripped, computed) = splitComputed(op)
-    val df = new DqlExecutor(ts).flatAst(
-      Rewriter.rewrite(stripped, schema, jwt))
-    flatComputed(df, computed)
+    schema.customDql.get(op.roots.last.name) match {
+      case Some(cd) =>
+        // a @custom(dql:) root executes its DQL document directly
+        new DqlExecutor(ts).flatAst(customAst(cd, op.roots.last))
+      case None =>
+        val (stripped, computed) = splitComputed(op)
+        val df = new DqlExecutor(ts).flatAst(
+          Rewriter.rewrite(stripped, schema, jwt))
+        flatComputed(df, computed)
+    }
+  }
+
+  /** Parse a `@custom(dql:)` field's DQL document with the GraphQL
+    * arguments bound as `$`-prefixed DQL query variables — the
+    * reference's customDQLQueryResolver contract
+    * (graphql/resolve/query.go:195: every argument is stringified via
+    * convertScalarToString into Request.Vars). Like the reference,
+    * custom DQL bypasses the @auth rewrite — the document is trusted
+    * as written in the schema.
+    */
+  private def customAst(cd: CustomDql,
+      root: GqlSelection): graft.dql.DqlQuery = {
+    val vars = cd.args.flatMap { a =>
+      root.arg(a).map {
+        case GStr(s) => "$" + a -> s
+        case GNum(s) => "$" + a -> s
+        case GBool(b) => "$" + a -> b.toString
+        case GEnum(e) => "$" + a -> e
+        case other => throw new Rewriter.RewriteException(
+          s"@custom(dql:) argument $a must be a scalar, got $other")
+      }
+    }.toMap
+    graft.dql.Parser.parseWithVars(cd.dql, vars)
   }
 
   private val ComputedRootT = "(?:query|get)([A-Z]\\w*)".r
@@ -122,9 +151,19 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
     */
   def json(query: String,
       variables: Map[String, GVal] = Map.empty,
-      jwt: Map[String, String] = Map.empty): DataFrame =
-    new DqlExecutor(ts).jsonAllAst(rewrite(query, variables, jwt),
-      includeUid = false)
+      jwt: Map[String, String] = Map.empty): DataFrame = {
+    val op = GqlParser.parse(query, variables)
+    val (custom, regular) = op.roots.partition(r =>
+      schema.customDql.contains(r.name))
+    val frames =
+      (if (regular.isEmpty) Nil
+       else Seq(new DqlExecutor(ts).jsonAllAst(
+         Rewriter.rewrite(op.copy(roots = regular), schema, jwt),
+         includeUid = false))) ++
+      custom.map(r => new DqlExecutor(ts).jsonAllAst(
+        customAst(schema.customDql(r.name), r), includeUid = false))
+    frames.reduce(_ unionByName _)
+  }
 
   /** GraphQL error propagation (reference graphql/resolve/resolver.go
     * ErrorResponse): parse/rewrite/validation failures come back as the

@@ -3,7 +3,7 @@ package graft.graphql
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.GraphStore
+import graft.core.{GraphStore, TripleFrameStore}
 import graft.dql._
 import graft.exec.DqlExecutor
 import graft.operators.Mutations
@@ -111,25 +111,64 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
     * `objectUid` column (the canonical triples shape); a scalar-only
     * base accepts scalar-only adds, as before.
     */
-  /** Enforce a type's `add` auth rule (RBAC enforces fully; graph rules
-    * REJECT — the reference post-checks inserted nodes in-transaction,
-    * machinery this engine drops). Checked for the ROOT type and for
-    * every NESTED type `walk` creates blank nodes of: the reference
-    * post-checks every inserted node's type, so addAuthor(input:{posts:
-    * [{...}]}) must not slip Post nodes past Post's add rule.
+  /** Enforce a type's `add` auth rule. RBAC rules resolve immediately
+    * (denied → AuthException). A GRAPH rule can't be checked before the
+    * mutation — the nodes aren't linked into the graph yet — so it
+    * returns the residual filter for the POST-INSERT check: the
+    * reference runs `T(func: uid(newUids)) @filter(authRule)` inside
+    * the open transaction and aborts unless every inserted node of the
+    * type matches (graphql/resolve/mutation.go:598 authorizeNewNodes).
+    * Here the mutation is a pure frame transformation, so throwing
+    * before returning the post-mutation frame IS the abort. Checked for
+    * the ROOT type and for every NESTED type `walk` creates blank nodes
+    * of: the reference post-checks every inserted node's type, so
+    * addAuthor(input:{posts: [{...}]}) must not slip Post nodes past
+    * Post's add rule.
     */
-  private def enforceAddAuth(t: SdlType): Unit =
+  private def addAuthRule(
+      t: SdlType): Option[(FilterNode, Seq[QueryBlock])] =
     authFor(t, "add") match {
-      case Left(true) => ()
+      case Left(true) => None
       case Left(false) => throw new Auth.AuthException(
         s"add${t.name}: not authorized")
-      case Right(_) => throw new Auth.AuthException(
-        s"add${t.name}: graph-rule add auth requires the post-insert " +
-          "check this engine does not implement; use an RBAC add rule")
+      case Right(rule) => Some(rule)
     }
 
+  /** Post-insert graph-rule check over the post-mutation frame (the
+    * reference's authorizeNewNodes shape: one
+    * `uid(...new uids of this type...) @filter(authRule)` count per
+    * created type, var blocks first for cascaded-path rules). Runs each
+    * type as its OWN query so generated auth var names never collide.
+    */
+  private def checkNewNodes(next: DataFrame,
+      newByType: Map[String, Seq[Long]],
+      rules: Map[String, (FilterNode, Seq[QueryBlock])]): Unit = {
+    if (rules.isEmpty) return
+    // the tablet views read lang/facets; a canonical base may omit them
+    val padded = Seq("lang", "facets").foldLeft(next)((df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast("string")))
+    val post = new TripleFrameStore(session, ts.schema, padded, ts.facetKeys)
+    rules.toSeq.sortBy(_._1).foreach { case (tn, (filter, varBlocks)) =>
+      val uids = newByType.getOrElse(tn, Nil).sorted
+      if (uids.nonEmpty) {
+        val q = DqlQuery(varBlocks :+ QueryBlock("q",
+          FuncCall("uid", "", uids.map(u => s"0x${u.toHexString}")),
+          filter = Some(filter)))
+        val passed = new DqlExecutor(post).flatAst(q).count()
+        if (passed != uids.size)
+          throw new Auth.AuthException("authorization failed")
+      }
+    }
+  }
+
   private def addMutation(base: DataFrame, root: GqlSelection, t: SdlType): DataFrame = {
-    enforceAddAuth(t)
+    val postRules = scala.collection.mutable.Map.empty[
+      String, (FilterNode, Seq[QueryBlock])]
+    def requireAddAuth(ct: SdlType): Unit =
+      if (!postRules.contains(ct.name))
+        addAuthRule(ct).foreach(r => postRules(ct.name) = r)
+    requireAddAuth(t)
     val inputs = root.arg("input") match {
       case Some(GList(items)) => items
       case Some(o: GObj) => Seq(o)
@@ -168,7 +207,7 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
                 // a nested input creates a blank node of ct — ct's own
                 // add rule applies (reference post-checks EVERY inserted
                 // node's type, graphql/resolve/add_rewriter.go)
-                enforceAddAuth(ct)
+                requireAddAuth(ct)
                 blankEdges += ((label, f, walk(ro, ct)))
               case other => throw RewriteException(
                 s"bad edge input for $f: $other")
@@ -229,8 +268,23 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
             col("uid").as("__cu")), Seq("child"))
           .select(col("uid").as("subject"), col("predicate"),
             col("__cu").as("objectUid"))))
-    Mutations.applySet(base,
+    val next = Mutations.applySet(base,
       (Seq(scalarRows) ++ typeSet ++ edgeRows).reduce(_ unionByName _))
+    if (postRules.nonEmpty) {
+      if (!canonical) throw new Auth.AuthException(
+        s"add${t.name}: graph-rule add auth post-check needs a " +
+          "canonical triples base frame (objectUid column)")
+      // label→uid is document-sized (one row per input literal), so the
+      // collect is metadata-scale like the parse itself
+      val uidOf = allocOf.select(col("label"), col("uid")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val newByType = typeRows.result()
+        .groupBy(_._2).map { case (tn, rows) =>
+          tn -> rows.map(r => uidOf(r._1))
+        }
+      checkNewNodes(next, newByType, postRules.toMap)
+    }
+    next
   }
 
   /** update<T>(input: {filter, set, remove}). */

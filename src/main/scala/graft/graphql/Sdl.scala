@@ -52,8 +52,19 @@ final case class AuthHeaderConfig(header: String, namespace: String,
   }
 }
 
+/** A `type Query` field backed by a raw DQL document —
+  * `myQuery(arg: String): [T] @custom(dql: "query q($arg: string) ...")`
+  * (reference graphql/schema/gqlschema.go:287 `@custom(dql: String)`,
+  * graphql/resolve/query.go:147 customDQLQueryResolver). The GraphQL
+  * arguments become the DQL document's `$`-prefixed query variables,
+  * stringified like the reference's convertScalarToString.
+  */
+final case class CustomDql(args: Seq[String], typeName: String,
+    isList: Boolean, dql: String)
+
 final class GqlSchema(val types: Map[String, SdlType],
-    val authConfig: Option[AuthHeaderConfig] = None) {
+    val authConfig: Option[AuthHeaderConfig] = None,
+    val customDql: Map[String, CustomDql] = Map.empty) {
   def typ(n: String): SdlType = types.getOrElse(n,
     throw new IllegalArgumentException(s"unknown GraphQL type: $n"))
   def isObjectType(n: String): Boolean = types.contains(n)
@@ -102,6 +113,26 @@ object SdlParser {
     val subByType = scala.collection.mutable.Set.empty[String]
     val headPat = """(type|interface)\s+(\w+)""".r
     val sb = new StringBuilder(src0)
+    // @custom(dql:) pre-pass: the DQL document is a quoted string full
+    // of braces/parens the field regex must never see — capture the
+    // whole field definition and blank it (space-padded, offsets hold).
+    // Reference: `@custom(dql: String)` on Query fields only
+    // (graphql/schema/gqlschema.go:287); the block-string and
+    // escaped-string forms both occur in reference schemas.
+    val customDqlPat =
+      ("""(?s)(\w+)\s*(?:\(([^()]*)\))?\s*:\s*(\[)?\s*(\w+)[\s\]!]*""" +
+        """@custom\s*\(\s*dql\s*:\s*""" +
+        """(?:\"\"\"(.*?)\"\"\"|\"((?:[^\"\\]|\\.)*)\")\s*,?\s*\)""").r
+    val customDql = customDqlPat.findAllMatchIn(src0).map { m =>
+      val args = Option(m.group(2)).toSeq
+        .flatMap(_.split(",")).map(_.split(":")(0).trim).filter(_.nonEmpty)
+      val dql = Option(m.group(5)).getOrElse(
+        m.group(6).replace("\\\"", "\"").replace("\\n", "\n")
+          .replace("\\\\", "\\"))
+      var z = m.start
+      while (z < m.end) { sb.setCharAt(z, ' '); z += 1 }
+      m.group(1) -> CustomDql(args, m.group(4), m.group(3) != null, dql)
+    }.toMap
     for (m <- headPat.findAllMatchIn(src0)) {
       val tname = m.group(2)
       // scan from the header end to the body-open '{' at paren depth 0,
@@ -295,7 +326,7 @@ object SdlParser {
       n -> t.copy(fields = inherited ++ t.fields, auth = auth,
         withSubscription = withSub)
     }
-    new GqlSchema(types, authCfg)
+    new GqlSchema(types, authCfg, customDql)
   }
 
   /** The GraphQL schema over the derived TPC-H graph (same shape as

@@ -263,6 +263,26 @@ object GraphqlQueries {
         .orderBy(col("uid"))
     }),
 
+    // @custom(dql:) query field (gqlschema.go:287, query.go:147
+    // customDQLQueryResolver): the GraphQL arguments bind as $-vars of
+    // the field's raw DQL document, which executes directly on the DQL
+    // engine — no generated-query rewrite in between
+    "graphql_custom_dql" -> ((s, d) => {
+      val sdl = graft.graphql.SdlParser.parse(
+        """type Customer {
+          |  id: ID!
+          |  name: String! @search(by: [exact])
+          |  acctbal: Float @search
+          |  mktsegment: String @search(by: [exact])
+          |}
+          |type Query {
+          |  richIn(seg: String, min: Float): [Customer] @custom(dql: "query q($seg: string, $min: float) { richIn(func: eq(mktsegment, $seg)) @filter(ge(acctbal, $min)) { name acctbal } }")
+          |}""".stripMargin)
+      new GraphQLEngine(TripleStore(s, d), sdl).flat(
+        """query { richIn(seg: "HOUSEHOLD", min: 5000.0) { name acctbal } }""")
+        .orderBy(col("uid"))
+    }),
+
     // update<T> filter→set rewrite + delete<T> S * * wildcard, applied
     // in document order (UpdateRewriter/DeleteRewriter)
     "graphql_update_delete" -> ((s, d) => {
@@ -442,6 +462,13 @@ object GraphqlQueries {
          | c_name || ' (' || c_mktsegment || ')' AS bio,
          | CAST(c_acctbal > 0 AS INT) AS solvent
          |FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+         |ORDER BY uid""".stripMargin,
+
+    "graphql_custom_dql" ->
+      s"""SELECT $CB + c_custkey AS uid, c_name AS name,
+         | c_acctbal AS acctbal
+         |FROM customer
+         |WHERE c_mktsegment = 'HOUSEHOLD' AND c_acctbal >= 5000.0
          |ORDER BY uid""".stripMargin,
 
     "graphql_update_delete" ->

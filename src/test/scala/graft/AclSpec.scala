@@ -107,6 +107,39 @@ class AclSpec extends AnyFunSuite {
     assert(t0 == Seq("t0-ann") && t1 == Seq("t1-zoe"))
   }
 
+  test("mutation write enforcement: blocked list errors, guardians exempt, ACL preds frozen") {
+    val alice = acl.login("alice", "alicepw")
+    val root = acl.login("root", "rootpw")
+    // alice's dev group: salary carries Write, name only Read
+    acl.authorizeMutation(alice, Seq("salary"))
+    val e = intercept[Acl.AclException] {
+      acl.authorizeMutation(alice, Seq("salary", "name", "age"))
+    }
+    // errors with the FULL blocked list (edgraph/access.go:839), not
+    // first-failure — and write-granted preds aren't in it
+    assert(e.getMessage ==
+      "unauthorized to mutate following predicates: age name")
+    // the `*` of an S * * wildcard delete is not a predicate
+    acl.authorizeMutation(alice, Seq("salary", "*"))
+    // guardians mutate anything...
+    acl.authorizeMutation(root, Seq("name", "salary", "anything"))
+    // ...except the ACL predicates themselves (access.go:815)
+    val g = intercept[Acl.AclException] {
+      acl.authorizeMutation(root, Seq("name", "dgraph.rule.permission"))
+    }
+    assert(g.getMessage ==
+      "unauthorized to mutate acl predicates: dgraph.rule.permission")
+    // frame form: distinct predicates of set+delete frames
+    val sets = Seq((3L, "salary", "300")).toDF("subject", "predicate", "value")
+    val dels = Seq((3L, "name")).toDF("subject", "predicate")
+    acl.authorizeMutationFrames(root, sets, dels)
+    val f = intercept[Acl.AclException] {
+      acl.authorizeMutationFrames(alice, sets, dels)
+    }
+    assert(f.getMessage ==
+      "unauthorized to mutate following predicates: name")
+  }
+
   test("AclStore.edges filters to readable predicates only") {
     val s = new AclStore(store, Set("name").contains _)
     assert(s.edges.select("predicate").distinct().as[String].collect()

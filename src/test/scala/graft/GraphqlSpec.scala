@@ -641,6 +641,59 @@ class GraphqlSpec extends AnyFunSuite {
     assert(denied.getMessage.contains("not authorized"))
   }
 
+  test("@auth graph add rule post-checks inserted nodes (authorizeNewNodes)") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """text: string @index(exact) .
+        |ownedBy: string @index(exact) .
+        |""".stripMargin)
+    val seed = RdfSource.parse(Seq(
+      """<0x10> <text> "seed" .""",
+      """<0x10> <ownedBy> "alice" .""",
+      """<0x10> <dgraph.type> "Note" .""").toDF("line"))
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap), seed)
+    // a GRAPH rule on add: can't be evaluated pre-insert (the node isn't
+    // in the graph yet) — the reference post-checks
+    // `uid(newUids) @filter(rule)` in-txn and aborts on any miss
+    // (graphql/resolve/mutation.go:598 authorizeNewNodes)
+    val sdl = SdlParser.parse(
+      """type Note @auth(
+        |  add: { rule: "query($USER: String!) { queryNote(filter: { ownedBy: { eq: $USER } }) { __typename } }" }
+        |){
+        |  id: ID!
+        |  text: String! @search(by: [exact])
+        |  ownedBy: String @search(by: [exact])
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    // an insert whose ownedBy matches the claim passes the post-check
+    val ok = eng.mutate(
+      """mutation { addNote(input: [{ text: "mine", ownedBy: "alice" }]) { } }""",
+      seed, jwt = Map("USER" -> "alice")).collect()
+    assert(ok.exists(r => r.getString(1) == "text" && r.getString(3) == "mine"))
+    // a forged owner fails; ONE failing node aborts the whole mutation
+    // (reference: len(foundUIDs) != len(created) → "authorization failed")
+    val denied = intercept[Auth.AuthException] {
+      eng.mutate(
+        """mutation { addNote(input: [
+          |  { text: "mine", ownedBy: "alice" },
+          |  { text: "forged", ownedBy: "mallory" }]) { } }""".stripMargin,
+        seed, jwt = Map("USER" -> "alice"))
+    }
+    assert(denied.getMessage == "authorization failed")
+    // no claim at all: the rule can't be satisfied — denied statically
+    // pre-insert (the reference also short-circuits a static Negative,
+    // mutation.go:658)
+    intercept[Auth.AuthException] {
+      eng.mutate(
+        """mutation { addNote(input: [{ text: "x", ownedBy: "alice" }]) { } }""",
+        seed)
+    }
+  }
+
   test("@secret + check<T>Password: two-block checkpwd rewrite (query_rewriter.go:335)") {
     import graft.core.{SchemaRegistry, TripleFrameStore}
     import graft.sources.RdfSource
@@ -1195,6 +1248,61 @@ class GraphqlSpec extends AnyFunSuite {
     assert(eng.mutate(
       """mutation { addAuthor(input: [{ aname: "solo" }]) { } }""",
       base).count() >= 2)
+  }
+
+  test("@custom(dql:) query field runs its DQL document with GraphQL args as $vars") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """pname: string @index(exact) .
+        |score: int @index(int) .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <pname> "ann" .""",
+        """<0x1> <score> "10" .""",
+        """<0x1> <dgraph.type> "Player" .""",
+        """<0x2> <pname> "bob" .""",
+        """<0x2> <score> "3" .""",
+        """<0x2> <dgraph.type> "Player" .""").toDF("line")))
+    // single-quoted dql with escaped quotes, and args -> $vars binding
+    val sdl = SdlParser.parse(
+      """type Player {
+        |  id: ID!
+        |  pname: String! @search(by: [exact])
+        |  score: Int @search
+        |}
+        |type Query {
+        |  topPlayers(min: Int): [Player] @custom(dql: "query q($min: int) { topPlayers(func: ge(score, $min)) { pname score } }")
+        |}""".stripMargin)
+    assert(sdl.customDql.contains("topPlayers") &&
+      sdl.customDql("topPlayers").args == Seq("min") &&
+      sdl.customDql("topPlayers").typeName == "Player")
+    // the Player type still parses normally after the field blanking
+    assert(sdl.typ("Player").field("score").isDefined)
+    val eng = new GraphQLEngine(store, sdl)
+    val rows = eng.flat("""query { topPlayers(min: 5) { pname score } }""")
+      .collect()
+    assert(rows.length == 1 &&
+      rows.head.getString(rows.head.fieldIndex("pname")) == "ann")
+    // json path: custom root renders through the DQL JSON renderer
+    val js = eng.json("""query { topPlayers(min: 1) { pname } }""")
+      .collect()
+    assert(js.length == 2)
+    // block-string form parses too
+    val sdl2 = SdlParser.parse(
+      "type Player { id: ID! pname: String! }\n" +
+        "type Query {\n" +
+        "  all: [Player] @custom(dql: \"\"\"query {\n" +
+        "    all(func: has(pname)) { pname }\n" +
+        "  }\"\"\")\n" +
+        "}")
+    assert(sdl2.customDql("all").dql.contains("func: has(pname)"))
+    assert(new GraphQLEngine(store, sdl2)
+      .flat("query { all { pname } }").count() == 2)
   }
 
   test("SDL: consecutive union declarations both parse") {
