@@ -153,6 +153,14 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
       variables: Map[String, GVal] = Map.empty,
       jwt: Map[String, String] = Map.empty): DataFrame = {
     val op = GqlParser.parse(query, variables)
+    if (Introspection.applies(op)) {
+      // __schema/__type answer from schema metadata alone (reference
+      // resolveIntrospection) — one (block, uid, json) row per root
+      val session = ts.spark; import session.implicits._
+      return Introspection.resolveRoots(schema, op)
+        .map { case (k, v) => (k, null.asInstanceOf[java.lang.Long], v) }
+        .toDF("block", "uid", "json")
+    }
     val (custom, regular) = op.roots.partition(r =>
       schema.customDql.contains(r.name))
     val frames =

@@ -1305,6 +1305,77 @@ class GraphqlSpec extends AnyFunSuite {
       .flat("query { all { pname } }").count() == 2)
   }
 
+  test("introspection: __schema/__type answer from schema metadata (introspection.go)") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter("iname: string .\n")
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq("""<0x1> <iname> "x" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """interface Pingable { ping: String }
+        |type Author implements Pingable {
+        |  id: ID!
+        |  aname: String @search(by: [term])
+        |  posts: [Post]
+        |}
+        |type Post { id: ID! title: String }""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // __schema: root types + full type inventory, selection-driven
+    val rows = eng.json(
+      """query { __schema {
+        |  queryType { name }
+        |  mutationType { name }
+        |  types { name kind }
+        |} }""".stripMargin).collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "__schema")
+    val sn = mapper.readTree(rows.head.getString(2))
+    assert(sn.get("queryType").get("name").asText == "Query")
+    assert(sn.get("mutationType").get("name").asText == "Mutation")
+    val kinds = (0 until sn.get("types").size).map { i =>
+      val t = sn.get("types").get(i)
+      t.get("name").asText -> t.get("kind").asText
+    }.toMap
+    assert(kinds("Author") == "OBJECT" && kinds("Pingable") == "INTERFACE" &&
+      kinds("String") == "SCALAR" && kinds("Query") == "OBJECT")
+    // __type: fields with wrapped list types; fragments expand like any
+    // selection (GraphiQL's FullType fragment pattern)
+    val tn = mapper.readTree(eng.json(
+      """query { __type(name: "Author") { ...F } }
+        |fragment F on __Type {
+        |  name kind
+        |  fields { name type { kind name ofType { name } } }
+        |  interfaces { name }
+        |}""".stripMargin).collect().head.getString(2))
+    assert(tn.get("kind").asText == "OBJECT")
+    val byField = (0 until tn.get("fields").size).map(i => tn.get("fields").get(i))
+      .map(f => f.get("name").asText -> f).toMap
+    assert(byField("posts").get("type").get("kind").asText == "LIST" &&
+      byField("posts").get("type").get("ofType").get("name").asText == "Post")
+    assert(byField("aname").get("type").get("name").asText == "String")
+    assert(tn.get("interfaces").get(0).get("name").asText == "Pingable")
+    // interface: possibleTypes lists implementers; Query fields carry the
+    // generated API surface
+    val pi = mapper.readTree(eng.json(
+      """query { __type(name: "Pingable") { kind possibleTypes { name } } }""")
+      .collect().head.getString(2))
+    assert(pi.get("kind").asText == "INTERFACE" &&
+      pi.get("possibleTypes").get(0).get("name").asText == "Author")
+    val q = mapper.readTree(eng.json(
+      """query { __type(name: "Query") { fields { name } } }""")
+      .collect().head.getString(2))
+    val qf = (0 until q.get("fields").size)
+      .map(i => q.get("fields").get(i).get("name").asText).toSet
+    assert(Set("queryAuthor", "getPost", "aggregateAuthor").subsetOf(qf))
+    // unknown type name → null (spec: __type returns null, not an error)
+    assert(mapper.readTree(eng.json(
+      """query { __type(name: "Nope") { name } }""")
+      .collect().head.getString(2)).isNull)
+  }
+
   test("SDL: consecutive union declarations both parse") {
     val sdl = SdlParser.parse(
       """type A { id: ID! x: String }
