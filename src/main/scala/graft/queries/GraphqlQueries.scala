@@ -283,6 +283,18 @@ object GraphqlQueries {
         .orderBy(col("uid"))
     }),
 
+    // GraphQL introspection (__schema/__type, introspection.go):
+    // selection-driven resolution from schema metadata — deterministic
+    // for a fixed SDL, so the oracle pins the exact JSON
+    "graphql_introspection" -> ((s, d) => {
+      new GraphQLEngine(TripleStore(s, d)).json(
+        """query {
+          |  __schema { queryType { name } mutationType { name } }
+          |  __type(name: "Customer") { name kind
+          |    fields { name } interfaces { name } }
+          |}""".stripMargin).orderBy(col("block"))
+    }),
+
     // update<T> filter→set rewrite + delete<T> S * * wildcard, applied
     // in document order (UpdateRewriter/DeleteRewriter)
     "graphql_update_delete" -> ((s, d) => {
@@ -463,6 +475,16 @@ object GraphqlQueries {
          | CAST(c_acctbal > 0 AS INT) AS solvent
          |FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
          |ORDER BY uid""".stripMargin,
+
+    // introspection output is pure schema metadata — deterministic for
+    // the fixed tpch SDL, so the oracle pins the exact JSON values
+    "graphql_introspection" ->
+      """SELECT * FROM (VALUES
+        | ('__schema', CAST(NULL AS BIGINT),
+        |  '{"queryType":{"name":"Query"},"mutationType":{"name":"Mutation"}}'),
+        | ('__type', CAST(NULL AS BIGINT),
+        |  '{"name":"Customer","kind":"OBJECT","fields":[{"name":"id"},{"name":"acctbal"},{"name":"located_in"},{"name":"name"},{"name":"mktsegment"},{"name":"placed"}],"interfaces":[{"name":"Party"}]}')
+        |) AS t(block, uid, json) ORDER BY block""".stripMargin,
 
     "graphql_custom_dql" ->
       s"""SELECT $CB + c_custkey AS uid, c_name AS name,

@@ -56,6 +56,7 @@ final class HttpEndpoint(
   @volatile private var schema = schema0
   @volatile private var triples = triples0.localCheckpoint()
   @volatile private var gqlSchema = gqlSchema0
+  @volatile private var sdlText = "" // raw SDL for getGQLSchema
   @volatile private var server: HttpServer = _
   private val writeLock = new Object
 
@@ -142,8 +143,34 @@ final class HttpEndpoint(
     })
     server.createContext("/admin/schema", handler { ex =>
       val sdl = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      writeLock.synchronized { gqlSchema = SdlParser.parse(sdl) }
+      writeLock.synchronized { gqlSchema = SdlParser.parse(sdl); sdlText = sdl }
       """{"data":{"code":"Success","message":"Done"}}"""
+    })
+    // the reference's GraphQL admin service (graphql/admin/admin.go):
+    // getGQLSchema / updateGQLSchema / health are the workhorse ops —
+    // admin documents are tiny, matched directly
+    server.createContext("/admin", handler { ex =>
+      if (ex.getRequestURI.getPath != "/admin")
+        throw new IllegalArgumentException("unknown admin path")
+      val q = M.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        .get("query").asText
+      if (q.contains("getGQLSchema"))
+        s"""{"data":{"getGQLSchema":{"schema":${M.writeValueAsString(sdlText)}}}}"""
+      else if (q.contains("updateGQLSchema")) {
+        val sch = """schema\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+          .findFirstMatchIn(q).map(_.group(1)
+            .replace("\\n", "\n").replace("\\\"", "\"")
+            .replace("\\\\", "\\"))
+          .getOrElse(throw new IllegalArgumentException(
+            "updateGQLSchema needs input: {set: {schema: \"...\"}}"))
+        writeLock.synchronized {
+          gqlSchema = SdlParser.parse(sch); sdlText = sch
+        }
+        """{"data":{"updateGQLSchema":{"gqlSchema":{"id":"0x1"}}}}"""
+      } else if (q.contains("health"))
+        """{"data":{"health":[{"status":"healthy","instance":"alpha"}]}}"""
+      else throw new IllegalArgumentException(
+        "unsupported admin operation (getGQLSchema / updateGQLSchema / health)")
     })
     server.createContext("/login", handler { ex =>
       val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))

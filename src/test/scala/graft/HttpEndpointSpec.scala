@@ -134,6 +134,34 @@ class HttpEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("/admin GraphQL service: updateGQLSchema swaps the live schema, getGQLSchema returns it") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      assert(call(port, "/admin",
+        body = """{"query":"query { health { status } }"}""")
+        .contains("healthy"))
+      // push a new SDL through the admin mutation (the reference's
+      // updateGQLSchema workflow, graphql/admin/admin.go)
+      val newSdl = "type HEmp { id: ID! hname: String @search(by: [exact]) }"
+      call(port, "/admin", body = m.writeValueAsString {
+        val o = m.createObjectNode()
+        o.put("query",
+          s"""mutation { updateGQLSchema(input: { set: { schema: "$newSdl" } }) {
+             |  gqlSchema { id } } }""".stripMargin)
+      })
+      val got = m.readTree(call(port, "/admin",
+        body = """{"query":"query { getGQLSchema { schema } }"}"""))
+        .get("data").get("getGQLSchema").get("schema").asText
+      assert(got == newSdl)
+      // the swapped schema serves /graphql immediately
+      val g = call(port, "/graphql", body =
+        """{"query": "query { queryHEmp { hname } }"}""")
+      assert(m.readTree(g).get("data").get("queryHEmp").size == 2)
+    } finally ep.stop()
+  }
+
   test("ACL: login issues the token; reads filter, writes error with blocked list") {
     val (preds, types) = SchemaRegistry.parseAlter(
       """hname: string @index(exact) .
