@@ -309,6 +309,23 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image decode end-to-end: synthesize a PNG per document with
+    // doc_id-derived dimensions (JDK PNG writer), push the bytes
+    // through ImageIO decode — format and dimensions round-trip
+    // exactly, and the oracle recomputes the dimensions in SQL. The
+    // pixel-dependent aHash/dHash fingerprints are spec-tested
+    // (MultimodalSpec) — not SQL-expressible.
+    "multimodal_image_decode" -> ((s, d) => {
+      val dims = t(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(16) + col("doc_id") % 8).as("w"),
+        (lit(16) + (col("doc_id") * 3) % 8).as("h"))
+      graft.operators.Multimodal.decodeImage(
+        graft.operators.Multimodal.synthesizePng(dims))
+        .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling plumbing: every 2nd frame index per media
     "multimodal_frames" -> ((s, d) => {
       val blobs = t(s, d, "documents").select(
@@ -646,6 +663,12 @@ object LlmQueries {
          | CAST(64 + b1 % 64 AS INT) AS height,
          | CAST(1 + b2 % 8 AS INT) AS n_frames
          |FROM b ORDER BY media_id""".stripMargin,
+
+    "multimodal_image_decode" ->
+      """SELECT doc_id AS media_id, 'png' AS format,
+        | CAST(16 + doc_id % 8 AS INT) AS width,
+        | CAST(16 + (doc_id * 3) % 8 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->
       s"""WITH b AS (

@@ -54,4 +54,70 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"media_id" === 1).select("sampled_frames").head.getSeq[Int](0)
     assert(sampled.forall(_ % 2 == 0))
   }
+
+  test("real image decode: ImageIO round-trip, perceptual hashes, resize, corrupt fallback") {
+    // synthesize real PNGs (JDK writer) → decode (JDK reader)
+    val dims = Seq((1L, 20, 17), (2L, 16, 16)).toDF("media_id", "w", "h")
+    val pngs = Multimodal.synthesizePng(dims)
+    val out = Multimodal.decodeImage(pngs).orderBy("media_id").collect()
+    assert(out(0).getString(1) == "png" &&
+      out(0).getInt(2) == 20 && out(0).getInt(3) == 17)
+    // aHash determinism + self-similarity: identical content → equal
+    // hashes; different gradient phase → different
+    val again = Multimodal.decodeImage(pngs).orderBy("media_id").collect()
+    assert(out(0).getLong(5) == again(0).getLong(5))
+    // near-dup detection: one-pixel perturbation keeps hamming small
+    def img(w: Int, h: Int, tweak: Boolean): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 11 + y * 5) % 256
+        b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (tweak) b.setRGB(0, 0, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos)
+      bos.toByteArray
+    }
+    val trio = Seq((10L, img(64, 64, tweak = false)),
+      (11L, img(64, 64, tweak = true))).toDF("media_id", "blob")
+    val hs = Multimodal.decodeImage(trio).orderBy("media_id")
+      .select("ahash").as[Long].collect()
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(1)) <= 4)
+    // resize re-encodes at the target dims and stays decodable
+    val rs = Multimodal.decodeImage(
+      Multimodal.resizeImages(pngs, 8, 8)).orderBy("media_id").collect()
+    assert(rs.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
+    // corrupt bytes: NULL format, stub metadata, no exception
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("media_id", "blob")
+    val j = Multimodal.decodeImage(junk).collect().head
+    assert(j.isNullAt(1) && !j.isNullAt(2))
+  }
+
+  test("real audio decode: WAV via AudioSystem, metadata + energy features") {
+    // synthesize a 16-bit mono WAV (JDK encoder): 0.1s of a square wave
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v: Int = if ((i / 20) % 2 == 0) 12000 else -12000
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((1L, bos.toByteArray)).toDF("media_id", "blob")
+    val r = Multimodal.decodeAudio(media).collect().head
+    assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getLong(3) == n)
+    assert(r.getLong(4) == 100) // 800 frames @ 8 kHz = 100 ms
+    val feats = r.getSeq[Float](5)
+    assert(feats.length == Multimodal.featureDim &&
+      feats.forall(f => f > 10000 && f < 13000))
+    // junk → NULL metadata, no exception
+    val junk = Seq((2L, Array[Byte](9, 9, 9))).toDF("media_id", "blob")
+    assert(Multimodal.decodeAudio(junk).collect().head.isNullAt(1))
+  }
 }
