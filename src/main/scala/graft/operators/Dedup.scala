@@ -146,19 +146,32 @@ object Dedup {
     * 44 s at sf0.1); widening the signature is the production answer.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxDist: Int): DataFrame = {
-    val bits = 60
+      maxDist: Int): DataFrame =
+    hashPairs(simhashBits(df, id, text, 60)
+      .select(col("id"), col("simhash")), 60, maxDist)
+
+  /** Pigeonhole hamming pair join over ANY (id, simhash) bit-signature
+    * frame — the banding core shared by text SimHash and image aHash
+    * ([[imageNearDupPairs]]): signatures within maxDist share at least
+    * one zero-diff block, so candidate generation is exact and each
+    * block's bucket join is O(n²/2^width), never all-pairs (unless the
+    * data itself concentrates a block — banding's inherent degenerate
+    * case, same as the reference LSH family).
+    */
+  def hashPairs(sig0: DataFrame, bits: Int, maxDist: Int): DataFrame = {
     val nBlocks = maxDist + 1
     val width = bits / nBlocks
     def blockOf(sig: Column, i: Int): Column = {
       val lo = i * width
       val w = if (i == nBlocks - 1) bits - lo else width
-      shiftright(sig, lo) % (1L << w)
+      // arithmetic shift keeps the top block sign-consistent on both
+      // join sides, so key equality is unaffected
+      if (w >= 64) sig else shiftright(sig, lo) % (1L << w)
     }
     // materialized once: both self-join sides re-derive their buckets from
-    // this tiny (id, simhash) frame instead of re-running the word-explode
-    // + 60 bit-sum aggregation per side
-    val sh = simhashBits(df, id, text, bits).localCheckpoint()
+    // this tiny (id, simhash) frame instead of re-running the signature
+    // derivation per side
+    val sh = sig0.localCheckpoint()
     val buckets = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until nBlocks).map(blockOf(col("simhash"), _)): _*))
         .as(Seq("blk", "key")))
@@ -180,6 +193,17 @@ object Dedup {
         hamming(col("l.simhash"), col("r.simhash")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Image near-dup pairs: the 64-bit aHash perceptual fingerprints of
+    * [[Multimodal.decodeImage]] through the same pigeonhole banding —
+    * `decodeImage → imageNearDupPairs → clusters` is the image-dedup
+    * pipeline (visually identical/near-identical images land within a
+    * few aHash bits of each other; the banding finds them without an
+    * all-pairs join).
+    */
+  def imageNearDupPairs(decoded: DataFrame, maxDist: Int): DataFrame =
+    hashPairs(decoded.select(col("media_id").as("id"),
+      col("ahash").as("simhash")), 64, maxDist)
 
   /** Cluster assignment over near-dup candidate pairs: connected
     * components labeled by the smallest member id — the step that turns

@@ -263,6 +263,45 @@ object Multimodal {
     spark.createDataFrame(rdd, audioSchema)
   }
 
+  /** Synthesize a real PNG whose aHash is EXACTLY a given 64-bit
+    * pattern: 32×32 pixels of 8×8 blocks, block i white iff bit i of
+    * `bits` (row-major, matching [[aHash]]'s grid order — block
+    * averages are 0 or 255, the mean sits strictly between for any
+    * pattern with 1..63 set bits, so thresholding recovers the bits).
+    * Exists so image-dedup gates can round-trip REAL codec + hash with
+    * SQL-computable expected pairs.
+    */
+  def synthesizeBitmapPng(patterns: DataFrame): DataFrame = {
+    val spark = patterns.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType)))
+    val rdd = patterns.select(col("media_id").cast("long"),
+      col("bits").cast("long"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bits = r.getLong(1)
+          val img = new java.awt.image.BufferedImage(32, 32,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val i = (y / 4) * 8 + (x / 4)
+              val v = if (((bits >> i) & 1L) != 0) 0xffffff else 0
+              img.setRGB(x, y, v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Synthesize a real PNG per row from (media_id, w, h): pixel (x,y) =
     * gray((x*7 + y*13 + media_id) % 256), encoded by the JDK PNG
     * writer. Exists so decode gates can round-trip a REAL codec with

@@ -326,6 +326,26 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image near-dup end-to-end: synthesize PNGs whose aHash is an
+    // exact doc-derived bit pattern (groups of 4 docs share a 56-bit
+    // md5 group signature; each member flips one low bit, so intra-group
+    // pairs sit at hamming distance 2), decode through ImageIO, band the
+    // recovered aHashes through the pigeonhole pair join. The oracle
+    // recomputes the patterns and the hamming join in SQL, so the real
+    // codec + perceptual hash round-trip is hash-gated, not just
+    // spec-tested.
+    "multimodal_image_neardup" -> ((s, d) => {
+      val pats = t(s, d, "documents").selectExpr(
+        "doc_id AS media_id",
+        "CAST(conv(substring(md5(concat('grp:', CAST(doc_id DIV 4 AS STRING))), 1, 14), 16, 10) AS BIGINT) * 16" +
+          " + CAST(1152921504606846976 AS BIGINT)" +
+          " + shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT)) AS bits")
+      graft.operators.Dedup.imageNearDupPairs(
+        graft.operators.Multimodal.decodeImage(
+          graft.operators.Multimodal.synthesizeBitmapPng(pats)), maxDist = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // frame sampling plumbing: every 2nd frame index per media
     "multimodal_frames" -> ((s, d) => {
       val blobs = t(s, d, "documents").select(
@@ -669,6 +689,21 @@ object LlmQueries {
         | CAST(16 + doc_id % 8 AS INT) AS width,
         | CAST(16 + (doc_id * 3) % 8 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // same bit patterns in SQL; all-pairs is fine at oracle scale, the
+    // engine side proves the banding finds the identical pair set
+    "multimodal_image_neardup" ->
+      """WITH p AS (
+        | SELECT doc_id AS id,
+        |  CAST(CAST('0x' || substr(md5('grp:' || CAST(doc_id // 4 AS VARCHAR)), 1, 14) AS UBIGINT) AS BIGINT) * 16
+        |   + 1152921504606846976
+        |   + CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS BIGINT) AS bits
+        | FROM documents)
+        |SELECT l.id AS a, r.id AS b,
+        | CAST(bit_count(xor(l.bits, r.bits)) AS INT) AS dist
+        |FROM p l JOIN p r ON l.id < r.id
+        | AND bit_count(xor(l.bits, r.bits)) <= 2
+        |ORDER BY a, b""".stripMargin,
 
     "multimodal_frames" ->
       s"""WITH b AS (

@@ -94,6 +94,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(j.isNullAt(1) && !j.isNullAt(2))
   }
 
+  test("image near-dup: synthesized bitmaps round-trip aHash exactly, banding finds intra-group pairs") {
+    // three groups of two: members flip one low bit of a shared base
+    // pattern → intra-group hamming 2; cross-group patterns differ in
+    // the high bits → far apart
+    val base = Seq(0x00F0F0F0F0F0F010L, 0x0F0F0F0F0F0F0F00L, 0x5555AAAA5555AA00L)
+    val pats = (for (g <- 0 until 3; m <- 0 until 2)
+      yield ((g * 2 + m).toLong, base(g) | (1L << m))).toDF("media_id", "bits")
+    val decoded = Multimodal.decodeImage(Multimodal.synthesizeBitmapPng(pats))
+    // real codec round-trip: decoded aHash == requested pattern, bit-exact
+    val got = decoded.orderBy("media_id").select("media_id", "ahash")
+      .as[(Long, Long)].collect().toMap
+    for (g <- 0 until 3; m <- 0 until 2)
+      assert(got((g * 2 + m).toLong) == (base(g) | (1L << m)),
+        s"aHash mismatch for g=$g m=$m")
+    // pigeonhole banding over the recovered hashes: exactly the three
+    // intra-group pairs, each at distance 2
+    val pairs = graft.operators.Dedup.imageNearDupPairs(decoded, maxDist = 2)
+      .orderBy("a").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 2), (2L, 3L, 2), (4L, 5L, 2)))
+  }
+
   test("real audio decode: WAV via AudioSystem, metadata + energy features") {
     // synthesize a 16-bit mono WAV (JDK encoder): 0.1s of a square wave
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
