@@ -384,6 +384,171 @@ object Similarity {
         cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
   }
 
+  // ---- Product quantization (PQ): ADC search over compressed codes ----
+  //
+  // The memory-scale path the flat layouts can't reach: a 100 TB corpus
+  // of float32 vectors stores as m small codes per vector (one codebook
+  // lookup each), and search never reads the raw vectors — only the
+  // (id, codes) frame plus metadata-sized codebooks on the driver. The
+  // reference keeps whole float vectors in its HNSW posting lists
+  // (tok/hnsw/persistent_hnsw.go); PQ is the standard compressed
+  // complement (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011), composable with the IVF cell layout
+  // above exactly as IVF-PQ.
+
+  /** Nearest codeword id in one subspace: argmin of −2·dot + |w|² (the
+    * |x|² term is per-row constant) — integer struct-min, codeword id as
+    * tie-break, codegen'd.
+    */
+  private def assignCode(sv: Column, words: Seq[Seq[Long]]): Column =
+    array_min(array(words.zipWithIndex.map { case (w, i) =>
+      struct((lit(-2L) * dotQ(sv, typedLit(w)) + lit(w.map(x => x * x).sum)).as("d"),
+        lit(i).as("c"))
+    }: _*)).getField("c")
+
+  /** Train PQ codebooks: `m` subspaces × ≤`ksub` codewords × (dim/m)
+    * longs. Deterministic k-means per subspace — seeds are the `ksub`
+    * rows with smallest md5(id) (same rule as [[trainIvfCentroids]]), so
+    * retrains and repartitionings yield identical codebooks. Each
+    * iteration is one distributed assignment+sum pass per subspace; the
+    * collected update is m × ksub × (dim/m) rows — metadata-sized.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int,
+      iters: Int = 3): Seq[Seq[Seq[Long]]] = {
+    val dim = corpus.select(size(col("qe"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val seeds = corpus.withColumn("__h", md5(col("id").cast("string")))
+      .orderBy(col("__h")).limit(ksub)
+      .select(col("qe")).collect().map(_.getSeq[Long](0))
+    var books: Seq[Seq[Seq[Long]]] = (0 until m).map(s =>
+      seeds.map(v => v.slice(s * sub, (s + 1) * sub).toSeq).distinct.toSeq)
+    for (_ <- 0 until iters) {
+      val assigned = (0 until m).map { s =>
+        corpus.select(lit(s).as("sub"),
+          assignCode(slice(col("qe"), s * sub + 1, sub), books(s)).as("code"),
+          posexplode(slice(col("qe"), s * sub + 1, sub)).as(Seq("pos", "v")))
+      }.reduce(_ unionAll _)
+      val sums = assigned.groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n")).collect()
+      val bySub = sums.groupBy(_.getInt(0))
+      books = books.indices.map { s =>
+        val byCode = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+        books(s).indices.map { c =>
+          byCode.get(c) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2)).map(r => r.getLong(3) / r.getLong(4)).toSeq
+            case None => books(s)(c) // empty codeword keeps its value
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** Exact codebooks for bounded-cardinality subspaces: every distinct
+    * subvector becomes a codeword (sorted, so deterministic), making
+    * encode→decode lossless — the degenerate config the oracle gate
+    * uses (same split as full-probe IVF / full-ef HNSW: the gate proves
+    * the distributed encode/search plumbing bit-exact, the k-means
+    * regime's quality lives in the recall suite). Real corpora with
+    * categorical or binned embedding columns hit this path too. Throws
+    * past `maxWords` — the codebook is driver metadata by contract.
+    */
+  def pqCodebooksExact(corpus: DataFrame, m: Int,
+      maxWords: Int = 4096): Seq[Seq[Seq[Long]]] = {
+    val dim = corpus.select(size(col("qe"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val words = corpus
+        .select(slice(col("qe"), s * sub + 1, sub).as("sv"))
+        .distinct().orderBy(col("sv")).limit(maxWords + 1)
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      require(words.size <= maxWords,
+        s"subspace $s exceeds $maxWords distinct subvectors — train instead")
+      words
+    }
+  }
+
+  /** Encode: append `codes` (m small ints) — the compressed form. The
+    * raw `qe` column is untouched; a persisted index keeps codes ONLY
+    * ([[pqWrite]]).
+    */
+  def pqEncode(corpus: DataFrame, books: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    corpus.withColumn("codes", array((0 until m).map(s =>
+      assignCode(slice(col("qe"), s * sub + 1, sub), books(s))): _*))
+  }
+
+  /** Top-k by asymmetric distance (ADC): the query keeps its exact
+    * vector, each corpus row is scored from codes alone —
+    * dot(q, x̂) = Σ_s dot(q_s, codeword(code_s)) and |x̂|² = Σ_s |w|²,
+    * all integer-exact given integer codewords, one codegen'd
+    * expression per pair (the per-(query, codeword) partials a LUT
+    * would cache fold into it). Scan reads (id, codes) only — at scale
+    * that is the entire point.
+    */
+  def pqSearchTopK(queries: DataFrame, encoded: DataFrame, k: Int,
+      books: Seq[Seq[Seq[Long]]], metric: String = "cosine"): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    def approxDot(qv: Column, codes: Column): Column =
+      (0 until m).map { s =>
+        dotQ(slice(qv, s * sub + 1, sub),
+          element_at(typedLit(books(s)), element_at(codes, s + 1) + 1))
+      }.reduce(_ + _)
+    def recNorm(codes: Column): Column =
+      (0 until m).map { s =>
+        element_at(typedLit(books(s).map(w => w.map(x => x * x).sum)),
+          element_at(codes, s + 1) + 1)
+      }.reduce(_ + _)
+    val q = withNorm(queries).select(col("id").as("qid"), col("qe").as("qv"),
+      col("__nrm").as("qn"))
+    val c = encoded.select(col("id").as("nid"), col("codes"))
+    val pairs = broadcast(q).join(c, col("qid") =!= col("nid"))
+    metric match {
+      case "cosine" =>
+        rankTopK(pairs.select(col("qid"), col("nid"),
+          cosFromParts(approxDot(col("qv"), col("codes")), col("qn"),
+            recNorm(col("codes"))).as("sim")), k)
+      case "dotproduct" =>
+        rankTopK(pairs.select(col("qid"), col("nid"),
+            approxDot(col("qv"), col("codes")).cast("double").as("sim")), k)
+          .select(col("qid"), col("nid"), col("sim").cast("long").as("dot"),
+            col("rank"))
+      case o => throw new IllegalArgumentException(s"unknown metric $o")
+    }
+  }
+
+  /** Persist a PQ index: codebooks as metadata parquet plus the corpus
+    * as (id, codes) ONLY — m small ints per vector instead of dim longs,
+    * the compressed build-once/search-many layout ([[ivfWrite]]'s cell
+    * partitioning composes on top for IVF-PQ).
+    */
+  def pqWrite(corpus: DataFrame, dir: String,
+      books: Seq[Seq[Seq[Long]]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (ws, s) =>
+      ws.zipWithIndex.map { case (w, c) => (s, c, w) }
+    }.toDF("sub", "code", "word")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqEncode(corpus, books).select(col("id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted PQ index: ((id, codes) frame, codebooks). */
+  def pqRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Seq[Seq[Seq[Long]]]) = {
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+      .sortBy(_.getInt(1)).map(_.getSeq[Long](2).toSeq).toSeq)
+    (spark.read.parquet(s"$dir/codes"), books)
+  }
+
   /** Near-duplicate pairs: same cell, quantized cosine above threshold. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val n = withNorm(corpus)

@@ -90,6 +90,23 @@ object LlmQueries {
     t(s, d, "embeddings").select(col("vec_id").as("id"), col("label").as("cell"),
       quantize(col("embedding")).as("qe"))
 
+  /** Dim-8 vectors with bounded per-subspace cardinality (≤ 35 distinct
+    * (pair) values per 2-dim subspace), derived from vec_id — the
+    * categorical/binned-embedding shape where exact PQ codebooks are
+    * lossless. Mirrored verbatim by the oracle's list literal.
+    */
+  private def pqVectors(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id").as("id"),
+      array(
+        (lit(1) + (col("vec_id") * 3) % 5).cast("long"),
+        (col("vec_id") % 7).cast("long"),
+        (lit(1) + (col("vec_id") * 5) % 5).cast("long"),
+        ((col("vec_id") + 2) % 7).cast("long"),
+        (lit(1) + (col("vec_id") * 7) % 5).cast("long"),
+        ((col("vec_id") + 4) % 7).cast("long"),
+        (lit(1) + (col("vec_id") * 11) % 5).cast("long"),
+        ((col("vec_id") + 6) % 7).cast("long")).as("qe"))
+
   /** embeddings ∪ perturbed variants (id+1e6, x*1.05+0.01): near-dup corpus. */
   private def embCorpus(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
@@ -255,6 +272,38 @@ object LlmQueries {
       val (stored, cents) = Similarity.ivfRead(s, dir)
       Similarity.ivfSearchStored(q.filter(col("id") % 50 === 0), stored,
         k = 2, cents, probes = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Product quantization (ADC over compressed codes — Jégou et al.
+    // 2011): vectors with designed bounded per-subspace cardinality, so
+    // exact codebooks encode losslessly and ADC == true dot — the
+    // hash-gate proves the distributed codebook/encode/search plumbing
+    // bit-exact (same split as full-probe IVF / full-ef HNSW: k-means
+    // QUALITY lives in SimilaritySpec's recall sweep). dotproduct metric
+    // keeps every compared value integer.
+    "embed_ann_pq" -> ((s, d) => {
+      val base = pqVectors(s, d)
+      val books = Similarity.pqCodebooksExact(base, m = 4)
+      val enc = Similarity.pqEncode(base, books)
+      Similarity.pqSearchTopK(base.filter(col("id") % 50 === 0), enc, k = 3,
+          books, metric = "dotproduct")
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // build-once/search-many: codebooks + (id, codes) persisted — the
+    // stored frame carries NO raw vectors (the compression is what ships
+    // at 100 TB), reload and ADC-search it
+    "embed_ann_pq_store" -> ((s, d) => {
+      val base = pqVectors(s, d)
+      val dir = new java.io.File(
+        s"target/graft-pq_${new java.io.File(d).getName}" +
+          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+      val books = Similarity.pqCodebooksExact(base, m = 4)
+      Similarity.pqWrite(base, dir, books)
+      val (codes, loaded) = Similarity.pqRead(s, dir)
+      Similarity.pqSearchTopK(base.filter(col("id") % 50 === 0), codes, k = 3,
+          loaded, metric = "dotproduct")
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -470,6 +519,27 @@ object LlmQueries {
        | list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE)*1.05 + 0.01)*1000) AS BIGINT))
        |FROM embeddings""".stripMargin
 
+  /** Brute-force integer-dot top-3 over the [[pqVectors]] construction —
+    * the exact-PQ gates' truth (lossless codebooks make ADC == this).
+    */
+  private val pqOracleSql =
+    """WITH v AS (
+      | SELECT vec_id AS id, [
+      |  CAST(1 + (vec_id*3)%5 AS BIGINT), CAST(vec_id%7 AS BIGINT),
+      |  CAST(1 + (vec_id*5)%5 AS BIGINT), CAST((vec_id+2)%7 AS BIGINT),
+      |  CAST(1 + (vec_id*7)%5 AS BIGINT), CAST((vec_id+4)%7 AS BIGINT),
+      |  CAST(1 + (vec_id*11)%5 AS BIGINT), CAST((vec_id+6)%7 AS BIGINT)] AS qe
+      | FROM embeddings)
+      |SELECT qid, nid, dot, rank FROM (
+      | SELECT q.id AS qid, c.id AS nid,
+      |  CAST(list_sum(list_transform(list_zip(q.qe, c.qe), p -> p[1]*p[2])) AS BIGINT) AS dot,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY q.id
+      |    ORDER BY list_sum(list_transform(list_zip(q.qe, c.qe), p -> p[1]*p[2])) DESC,
+      |      c.id ASC) AS INT) AS rank
+      | FROM v q JOIN v c ON c.id <> q.id
+      | WHERE q.id % 50 = 0)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   private val stopsAll =
     (enStops ++ deStops ++ frStops ++ esStops).distinct
       .map(w => s"'$w'").mkString(", ")
@@ -629,6 +699,11 @@ object LlmQueries {
          | FROM q qs JOIN q c ON c.cell = qs.cell AND c.id <> qs.id
          | WHERE qs.id % 20 = 0)
          |WHERE rank <= 1 ORDER BY qid, rank""".stripMargin,
+
+    // exact-PQ gates: same synthesized bounded-cardinality vectors, plain
+    // brute-force integer-dot top-k — lossless codebooks make ADC == dot
+    "embed_ann_pq" -> pqOracleSql,
+    "embed_ann_pq_store" -> pqOracleSql,
 
     "similar_to_uid" ->
       s"""WITH q AS ($embQSql)

@@ -194,6 +194,76 @@ class SimilaritySpec extends AnyFunSuite {
     assert(storedExact == exact)
   }
 
+  test("PQ exact mode: bounded-cardinality codebooks make ADC search equal brute force") {
+    // per-subspace cardinality <= 35 by construction: exact codebooks
+    // encode losslessly, so ADC == true distance and PQ == brute force,
+    // row for row — for BOTH metrics (the oracle gate rides dotproduct)
+    val base = (0L until 400L).map { id =>
+      (id, Seq(1 + (id * 3) % 5, id % 7, 1 + (id * 5) % 5, (id + 2) % 7,
+        1 + (id * 7) % 5, (id + 4) % 7, 1 + (id * 11) % 5, (id + 6) % 7))
+    }.toDF("id", "qe").localCheckpoint()
+    val queries = base.filter($"id" % 40 === 0)
+    val books = Similarity.pqCodebooksExact(base, m = 4)
+    assert(books.forall(_.size <= 35))
+    val enc = Similarity.pqEncode(base, books).localCheckpoint()
+    for (metric <- Seq("dotproduct", "cosine")) {
+      val scoreCol = if (metric == "dotproduct") "dot" else "sim"
+      val pq = Similarity.pqSearchTopK(queries, enc, 5, books, metric)
+        .select($"qid", $"nid", col(scoreCol), $"rank").collect().toSet
+      val bf = Similarity.bruteForceTopKMetric(queries, base, 5, metric)
+        .select($"qid", $"nid", col(scoreCol), $"rank").collect().toSet
+      assert(pq == bf, s"PQ exact mode != brute force for $metric")
+    }
+  }
+
+  test("PQ k-means regime: recall@10 on real embeddings, monotone in ksub") {
+    // uniform-random embeddings are the adversarial case (no cluster
+    // structure); floors are conservative. More codewords = finer
+    // quantization = higher recall, the PQ analogue of the ef/probes
+    // knob sweeps above.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val queries = base.filter($"id" % 20 === 0).localCheckpoint()
+    val k = 10
+    val truth = Similarity.bruteForceTopK(queries, base, k)
+      .select($"qid", $"nid").withColumnRenamed("nid", "tn").localCheckpoint()
+    val denom = truth.count().toDouble
+    val recalls = Seq(16, 64).map { ksub =>
+      val books = Similarity.pqTrain(base, m = 16, ksub = ksub, iters = 2)
+      val enc = Similarity.pqEncode(base, books)
+      val approx = Similarity.pqSearchTopK(queries, enc, k, books)
+        .select($"qid", $"nid")
+      val r = truth.join(approx, Seq("qid")).filter($"tn" === $"nid").count() / denom
+      info(f"pq m=16 ksub=$ksub recall@$k = $r%.3f")
+      r
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in ksub: $recalls")
+    assert(recalls.last >= 0.5, s"ksub=64 recall ${recalls.last} below 0.5")
+  }
+
+  test("PQ: training is deterministic, persisted index round-trips and searches identically") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val b1 = Similarity.pqTrain(base, m = 8, ksub = 8, iters = 2)
+    val b2 = Similarity.pqTrain(base.repartition(13), m = 8, ksub = 8, iters = 2)
+    assert(b1 == b2) // same seeds + same sums regardless of layout
+    val dir = "target/spec-pq-index"
+    Similarity.pqWrite(base, dir, b1)
+    val (codes, loaded) = Similarity.pqRead(spark, dir)
+    assert(loaded == b1) // codebook metadata round-trips exactly
+    // stored codes carry NO raw vectors — the compression is structural
+    assert(codes.columns.toSeq == Seq("id", "codes"))
+    val queries = base.filter($"id" % 25 === 0)
+    val direct = Similarity.pqSearchTopK(queries,
+      Similarity.pqEncode(base, b1), 3, b1)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    val viaIndex = Similarity.pqSearchTopK(queries, codes, 3, loaded)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    assert(viaIndex == direct)
+  }
+
   test("HNSW: deterministic across repartitionings and rebuilds") {
     // hash-derived levels + id tie-breaks: the same shard contents give
     // the same graph and the same approximate results on every rebuild
