@@ -205,6 +205,15 @@ object Dedup {
     hashPairs(decoded.select(col("media_id").as("id"),
       col("ahash").as("simhash")), 64, maxDist)
 
+  /** Audio near-dup pairs: the 64-bit energy fingerprints of
+    * [[Multimodal.decodeAudio]] through the same banding — with
+    * [[simhashPairs]] (text) and [[imageNearDupPairs]] this completes
+    * the one-candidate-path-per-modality dedup family.
+    */
+  def audioNearDupPairs(decoded: DataFrame, maxDist: Int): DataFrame =
+    hashPairs(decoded.select(col("media_id").as("id"),
+      col("ehash").as("simhash")), 64, maxDist)
+
   /** Cluster assignment over near-dup candidate pairs: connected
     * components labeled by the smallest member id — the step that turns
     * pairwise candidates into keep/drop decisions (keep the `id ==

@@ -215,13 +215,18 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("n_samples", LongType),
     StructField("duration_ms", LongType),
-    StructField("features", ArrayType(FloatType))))
+    StructField("features", ArrayType(FloatType)),
+    StructField("ehash", LongType)))
 
   /** REAL audio decode over (media_id, blob) via the JDK's own
     * AudioSystem (WAV/AIFF/AU). Metadata from the header; features =
     * per-stride mean absolute amplitude over `featureDim` windows of
-    * the 16-bit PCM stream (integer-averaged). Unparseable blobs emit
-    * NULL metadata.
+    * the 16-bit PCM stream (integer-averaged); ehash = 64-bit energy
+    * fingerprint (bit i set where window i's mean |amplitude| ≥ the
+    * global mean — the audio analogue of [[aHash]], so near-identical
+    * audio lands within a few bits and composes with the dedup banding
+    * via `Dedup.audioNearDupPairs`). Unparseable blobs emit NULL
+    * metadata.
     */
   def decodeAudio(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -236,31 +241,77 @@ object Multimodal {
             val bytes = in.readAllBytes()
             val bytesPerSample = math.max(1, f.getSampleSizeInBits / 8)
             val nSamples = bytes.length / bytesPerSample
-            val stride = math.max(1, nSamples / featureDim)
-            val feats = Array.tabulate(featureDim) { i =>
-              var s = 0L; var n = 0
-              var k = i * stride
-              val end = math.min(nSamples.toLong, (i + 1L) * stride).toInt
-              while (k < end) {
-                val amp =
-                  if (bytesPerSample == 2) {
-                    val lo = bytes(2 * k) & 0xff; val hi = bytes(2 * k + 1)
-                    val v = (hi << 8) | lo
-                    math.abs(if (f.isBigEndian) ((bytes(2 * k) << 8) | (bytes(2 * k + 1) & 0xff)) else v)
-                  } else math.abs(bytes(k).toInt)
-                s += amp; n += 1; k += 1
+            def ampAt(k: Int): Int =
+              if (bytesPerSample == 2) {
+                val lo = bytes(2 * k) & 0xff; val hi = bytes(2 * k + 1)
+                val v = (hi << 8) | lo
+                math.abs(if (f.isBigEndian) ((bytes(2 * k) << 8) | (bytes(2 * k + 1) & 0xff)) else v)
+              } else math.abs(bytes(k).toInt)
+            def windowMeans(nw: Int): Array[Long] = {
+              val stride = math.max(1, nSamples / nw)
+              Array.tabulate(nw) { i =>
+                var s = 0L; var n = 0
+                var k = i * stride
+                val end = math.min(nSamples.toLong, (i + 1L) * stride).toInt
+                while (k < end) { s += ampAt(k); n += 1; k += 1 }
+                if (n == 0) 0L else s / n
               }
-              if (n == 0) 0f else (s / n).toFloat
+            }
+            val feats = windowMeans(featureDim).map(_.toFloat)
+            val w64 = windowMeans(64)
+            val mean = w64.sum / 64
+            val ehash = w64.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+              if (v >= mean) acc | (1L << i) else acc
             }
             Row(r.getLong(0), f.getSampleRate.toInt, f.getChannels,
-              frames, frames * 1000L / f.getSampleRate.toInt, feats)
+              frames, frames * 1000L / f.getSampleRate.toInt, feats, ehash)
           } catch {
             case _: Exception =>
-              Row(r.getLong(0), null, null, null, null, null)
+              Row(r.getLong(0), null, null, null, null, null, null)
           }
         }
       }
     spark.createDataFrame(rdd, audioSchema)
+  }
+
+  /** Synthesize a real mono 16-bit 8 kHz WAV whose [[decodeAudio]]
+    * `ehash` is EXACTLY a given 64-bit pattern: 64 windows × 125
+    * samples, window i at constant amplitude 12000 iff bit i of `bits`
+    * (window means are 0 or 12000; the global mean sits strictly
+    * between for any pattern with 1..63 set bits, so thresholding
+    * recovers the bits). The audio counterpart of
+    * [[synthesizeBitmapPng]], for SQL-computable audio-dedup gates over
+    * the REAL codec + fingerprint.
+    */
+  def synthesizeToneWav(patterns: DataFrame): DataFrame = {
+    val spark = patterns.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType)))
+    val rdd = patterns.select(col("media_id").cast("long"),
+      col("bits").cast("long"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bits = r.getLong(1)
+          val n = 64 * 125
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = if (((bits >> (i / 125)) & 1L) != 0) 12000 else 0
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Synthesize a real PNG whose aHash is EXACTLY a given 64-bit

@@ -395,6 +395,23 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // REAL audio near-dup end-to-end: the WAV analogue of the image
+    // gate — synthesize tones whose 64-window energy fingerprint is an
+    // exact doc-derived pattern, decode through AudioSystem, band the
+    // recovered ehashes. Same group construction (different salt), so
+    // the oracle is the same SQL hamming join.
+    "multimodal_audio_neardup" -> ((s, d) => {
+      val pats = t(s, d, "documents").selectExpr(
+        "doc_id AS media_id",
+        "CAST(conv(substring(md5(concat('agrp:', CAST(doc_id DIV 4 AS STRING))), 1, 14), 16, 10) AS BIGINT) * 16" +
+          " + CAST(1152921504606846976 AS BIGINT)" +
+          " + shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT)) AS bits")
+      graft.operators.Dedup.audioNearDupPairs(
+        graft.operators.Multimodal.decodeAudio(
+          graft.operators.Multimodal.synthesizeToneWav(pats)), maxDist = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // frame sampling plumbing: every 2nd frame index per media
     "multimodal_frames" -> ((s, d) => {
       val blobs = t(s, d, "documents").select(
@@ -771,6 +788,19 @@ object LlmQueries {
       """WITH p AS (
         | SELECT doc_id AS id,
         |  CAST(CAST('0x' || substr(md5('grp:' || CAST(doc_id // 4 AS VARCHAR)), 1, 14) AS UBIGINT) AS BIGINT) * 16
+        |   + 1152921504606846976
+        |   + CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS BIGINT) AS bits
+        | FROM documents)
+        |SELECT l.id AS a, r.id AS b,
+        | CAST(bit_count(xor(l.bits, r.bits)) AS INT) AS dist
+        |FROM p l JOIN p r ON l.id < r.id
+        | AND bit_count(xor(l.bits, r.bits)) <= 2
+        |ORDER BY a, b""".stripMargin,
+
+    "multimodal_audio_neardup" ->
+      """WITH p AS (
+        | SELECT doc_id AS id,
+        |  CAST(CAST('0x' || substr(md5('agrp:' || CAST(doc_id // 4 AS VARCHAR)), 1, 14) AS UBIGINT) AS BIGINT) * 16
         |   + 1152921504606846976
         |   + CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS BIGINT) AS bits
         | FROM documents)

@@ -141,4 +141,20 @@ class StreamingSpec extends AnyFunSuite {
     val junk = Seq((2L, Array[Byte](9, 9, 9))).toDF("media_id", "blob")
     assert(Multimodal.decodeAudio(junk).collect().head.isNullAt(1))
   }
+
+  test("audio near-dup: synthesized tones round-trip ehash exactly, banding finds intra-group pairs") {
+    val base = Seq(0x00F0F0F0F0F0F010L, 0x0F0F0F0F0F0F0F00L, 0x5555AAAA5555AA00L)
+    val pats = (for (g <- 0 until 3; m <- 0 until 2)
+      yield ((g * 2 + m).toLong, base(g) | (1L << m))).toDF("media_id", "bits")
+    val decoded = Multimodal.decodeAudio(Multimodal.synthesizeToneWav(pats))
+    // real WAV codec round-trip: decoded ehash == requested pattern
+    val got = decoded.orderBy("media_id").select("media_id", "ehash")
+      .as[(Long, Long)].collect().toMap
+    for (g <- 0 until 3; m <- 0 until 2)
+      assert(got((g * 2 + m).toLong) == (base(g) | (1L << m)),
+        s"ehash mismatch for g=$g m=$m")
+    val pairs = graft.operators.Dedup.audioNearDupPairs(decoded, maxDist = 2)
+      .orderBy("a").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 2), (2L, 3L, 2), (4L, 5L, 2)))
+  }
 }
