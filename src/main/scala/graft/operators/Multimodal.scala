@@ -290,6 +290,7 @@ object Multimodal {
       StructField("blob", BinaryType)))
     val rdd = patterns.select(col("media_id").cast("long"),
       col("bits").cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val bits = r.getLong(1)
@@ -329,6 +330,7 @@ object Multimodal {
       StructField("blob", BinaryType)))
     val rdd = patterns.select(col("media_id").cast("long"),
       col("bits").cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val bits = r.getLong(1)
@@ -366,6 +368,7 @@ object Multimodal {
       StructField("blob", BinaryType)))
     val rdd = dims.select(col("media_id").cast("long"),
       col("w").cast("int"), col("h").cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))

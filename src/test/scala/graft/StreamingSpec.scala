@@ -142,6 +142,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(junk).collect().head.isNullAt(1))
   }
 
+  test("streamingDedup: cross-batch state suppresses re-emissions, intra-batch min wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, Long)]
+    val q = EventStream.streamingDedup(src.toDS())
+      .toDF("key", "first_id")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: k1 twice (min 5 wins), k2 once
+    src.addData(("k1", 7L), ("k1", 5L), ("k2", 9L))
+    q.processAllAvailable()
+    // batch 2: k1 again (suppressed by state), k3 new
+    src.addData(("k1", 1L), ("k3", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup").as[(String, Long)].collect().toSet
+    assert(got == Set(("k1", 5L), ("k2", 9L), ("k3", 2L)))
+    // batch-mode face: same transform on a batch Dataset = min per key
+    val batch = EventStream.streamingDedup(
+      Seq(("a", 3L), ("a", 1L), ("b", 4L)).toDS()).collect().toSet
+    assert(batch == Set(("a", 1L), ("b", 4L)))
+  }
+
   test("audio near-dup: synthesized tones round-trip ehash exactly, banding finds intra-group pairs") {
     val base = Seq(0x00F0F0F0F0F0F010L, 0x0F0F0F0F0F0F0F00L, 0x5555AAAA5555AA00L)
     val pats = (for (g <- 0 until 3; m <- 0 until 2)
