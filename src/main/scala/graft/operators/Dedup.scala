@@ -214,6 +214,16 @@ object Dedup {
     hashPairs(decoded.select(col("media_id").as("id"),
       col("ehash").as("simhash")), 64, maxDist)
 
+  /** Video near-dup candidates: band on the KEYFRAME (frame 0) aHash of
+    * [[Multimodal.decodeVideo]] — near-identical videos share a
+    * near-identical opening frame; refinement over the full
+    * `frame_hashes` sequence joins back on the candidate pairs only
+    * (the same candidates-then-verify shape as MinHash → Jaccard).
+    */
+  def videoNearDupPairs(decoded: DataFrame, maxDist: Int): DataFrame =
+    hashPairs(decoded.select(col("media_id").as("id"),
+      element_at(col("frame_hashes"), 1).as("simhash")), 64, maxDist)
+
   /** Cluster assignment over near-dup candidate pairs: connected
     * components labeled by the smallest member id — the step that turns
     * pairwise candidates into keep/drop decisions (keep the `id ==

@@ -418,6 +418,26 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // REAL multi-frame video decode end-to-end: synthesize animated GIFs
+    // (1 + doc_id % 3 frames, each frame an exact-aHash bitmap of a
+    // (doc_id, frame)-derived pattern), decode through the JDK GIF
+    // reader — frame count, dimensions, and the PER-FRAME hash sequence
+    // all round-trip exactly; the oracle rebuilds the hash list in SQL.
+    "multimodal_video_decode" -> ((s, d) => {
+      val pats = t(s, d, "documents").selectExpr(
+        "doc_id AS media_id",
+        """transform(sequence(0, CAST(doc_id % 3 AS INT)), j ->
+           CAST(conv(substring(md5(concat('vid:', CAST(doc_id AS STRING), ':', CAST(j AS STRING))), 1, 14), 16, 10) AS BIGINT) * 16
+           + CAST(1152921504606846976 AS BIGINT) + 1) AS frame_bits""")
+      graft.operators.Multimodal.decodeVideo(
+        graft.operators.Multimodal.synthesizeAnimatedGif(pats))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("n_frames"),
+          array_join(transform(col("frame_hashes"), _.cast("string")), ",")
+            .as("hashes"))
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling plumbing: every 2nd frame index per media
     "multimodal_frames" -> ((s, d) => {
       val blobs = t(s, d, "documents").select(
@@ -815,6 +835,15 @@ object LlmQueries {
         |FROM p l JOIN p r ON l.id < r.id
         | AND bit_count(xor(l.bits, r.bits)) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    "multimodal_video_decode" ->
+      """SELECT doc_id AS media_id, 'gif' AS format,
+        | CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        | CAST(1 + doc_id % 3 AS INT) AS n_frames,
+        | array_to_string(list_transform(range(0, 1 + doc_id % 3), j ->
+        |   CAST(CAST(CAST('0x' || substr(md5('vid:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 14) AS UBIGINT) AS BIGINT) * 16
+        |    + 1152921504606846976 + 1 AS VARCHAR)), ',') AS hashes
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->
       s"""WITH b AS (

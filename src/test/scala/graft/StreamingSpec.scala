@@ -115,6 +115,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L, 2), (2L, 3L, 2), (4L, 5L, 2)))
   }
 
+  test("video decode: animated GIF per-frame aHash round-trip, sampling + keyframe near-dup compose") {
+    val pats = Seq(
+      (0L, Seq(0x00F0F0F0F0F0F010L, 0x0F0F0F0F0F0F0F00L)),
+      (1L, Seq(0x00F0F0F0F0F0F013L)), // keyframe within hamming 2 of 0's
+      (2L, Seq(0x5555AAAA5555AA00L, 0x00000000000000FFL, 0x0F0F0F0F0F0F0F00L))
+    ).toDF("media_id", "frame_bits")
+    val dec = Multimodal.decodeVideo(Multimodal.synthesizeAnimatedGif(pats))
+      .localCheckpoint()
+    val rows = dec.orderBy("media_id").collect()
+    assert(rows(0).getString(1) == "gif" && rows(0).getInt(2) == 32)
+    assert(rows.map(_.getInt(4)).toSeq == Seq(2, 1, 3))
+    // every frame's pattern recovered bit-exactly through the GIF codec
+    assert(rows(0).getSeq[Long](5) == Seq(0x00F0F0F0F0F0F010L, 0x0F0F0F0F0F0F0F00L))
+    assert(rows(2).getSeq[Long](5)(1) == 0x00000000000000FFL)
+    // keyframe banding finds exactly the (0, 1) pair at distance 2
+    val pairs = graft.operators.Dedup.videoNearDupPairs(dec, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((0L, 1L, 2)))
+    // frame sampling runs over the REAL decoded frame counts
+    val sampled = Multimodal.sampleFrames(dec, everyK = 2)
+      .orderBy("media_id").select("sampled_frames").as[Seq[Int]].collect()
+    assert(sampled.toSeq == Seq(Seq(0), Seq(0), Seq(0, 2)))
+  }
+
   test("real audio decode: WAV via AudioSystem, metadata + energy features") {
     // synthesize a 16-bit mono WAV (JDK encoder): 0.1s of a square wave
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
