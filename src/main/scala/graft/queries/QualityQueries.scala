@@ -113,6 +113,28 @@ object QualityQueries {
         .orderBy(col("rank"))
     }),
 
+    // Unigram-LM quality scoring (the CCNet-style corpus-statistics
+    // filter, in exactly-computable form): every token scores by its
+    // CORPUS frequency, a doc by the mean score of its tokens —
+    // gibberish/OCR noise full of rare tokens scores low, common prose
+    // high. Plan shape at 100 TB: one explode → hash-agg builds the
+    // vocabulary (map-side partials), one shuffle join keyed by word
+    // scores the tokens, one doc-keyed hash-agg re-sums; the sums stay
+    // exact longs so the terminal division hash-matches the oracle
+    // (a log-prob variant is the same plan with double logs).
+    "quality_lm" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      toks.join(vocab, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tf"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+          (col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+            .as("avg_tf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark-contamination scan: which corpus docs share a 3-gram with
     // the probe set (docs 0-4 standing in for an eval suite)? Probe
     // shingles broadcast; the corpus side never shuffles.
@@ -181,6 +203,15 @@ object QualityQueries {
         | SELECT word, df, tf,
         |  ROW_NUMBER() OVER (ORDER BY df DESC, tf DESC, word ASC) AS rn FROM v)
         |WHERE rn <= 50 ORDER BY rank""".stripMargin,
+
+    "quality_lm" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |v AS (SELECT w, COUNT(*) AS tf FROM t GROUP BY w)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | CAST(SUM(v.tf) AS BIGINT) AS sum_tf,
+        | CAST(SUM(v.tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tf
+        |FROM t JOIN v USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "contamination_ngram" ->
       """WITH sh AS (
