@@ -491,20 +491,27 @@ object Similarity {
     * would cache fold into it). Scan reads (id, codes) only — at scale
     * that is the entire point.
     */
+  /** ADC dot(q, x̂) = Σ_s dot(q_s, codeword(code_s)) — integer-exact. */
+  private def adcDot(qv: Column, codes: Column,
+      books: Seq[Seq[Seq[Long]]]): Column = {
+    val sub = books.head.head.size
+    books.indices.map { s =>
+      dotQ(slice(qv, s * sub + 1, sub),
+        element_at(typedLit(books(s)), element_at(codes, s + 1) + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Reconstructed |x̂|² = Σ_s |codeword(code_s)|² from per-word norms. */
+  private def adcNorm(codes: Column, books: Seq[Seq[Seq[Long]]]): Column =
+    books.indices.map { s =>
+      element_at(typedLit(books(s).map(w => w.map(x => x * x).sum)),
+        element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+
   def pqSearchTopK(queries: DataFrame, encoded: DataFrame, k: Int,
       books: Seq[Seq[Seq[Long]]], metric: String = "cosine"): DataFrame = {
-    val m = books.size
-    val sub = books.head.head.size
-    def approxDot(qv: Column, codes: Column): Column =
-      (0 until m).map { s =>
-        dotQ(slice(qv, s * sub + 1, sub),
-          element_at(typedLit(books(s)), element_at(codes, s + 1) + 1))
-      }.reduce(_ + _)
-    def recNorm(codes: Column): Column =
-      (0 until m).map { s =>
-        element_at(typedLit(books(s).map(w => w.map(x => x * x).sum)),
-          element_at(codes, s + 1) + 1)
-      }.reduce(_ + _)
+    def approxDot(qv: Column, codes: Column): Column = adcDot(qv, codes, books)
+    def recNorm(codes: Column): Column = adcNorm(codes, books)
     val q = withNorm(queries).select(col("id").as("qid"), col("qe").as("qv"),
       col("__nrm").as("qn"))
     val c = encoded.select(col("id").as("nid"), col("codes"))
@@ -547,6 +554,70 @@ object Similarity {
     val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
       .sortBy(_.getInt(1)).map(_.getSeq[Long](2).toSeq).toSeq)
     (spark.read.parquet(s"$dir/codes"), books)
+  }
+
+  // ---- IVF-PQ: cell-pruned ADC — the full compressed index layout ----
+
+  /** Persist an IVF-PQ index: coarse centroids + PQ codebooks as
+    * metadata, the corpus as (id, codes) PARTITIONED BY its coarse
+    * cell. A probe reads `probes` cell directories of m-int codes —
+    * both prunings compose: directory pruning bounds what is read,
+    * code compression bounds what it costs to read. This is the
+    * standard billion-scale layout (IVFADC in Jégou et al. 2011).
+    */
+  def ivfPqWrite(corpus: DataFrame, dir: String, cents: Seq[Seq[Long]],
+      books: Seq[Seq[Seq[Long]]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.flatMap { case (ws, s) =>
+      ws.zipWithIndex.map { case (w, c) => (s, c, w) }
+    }.toDF("sub", "code", "word")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqEncode(corpus, books)
+      .withColumn("cell", assignCell(col("qe"), cents))
+      .select(col("id"), col("cell"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted IVF-PQ index. */
+  def ivfPqRead(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Seq[Seq[Long]], Seq[Seq[Seq[Long]]]) = {
+    val cents = spark.read.parquet(s"$dir/centroids").orderBy(col("cell"))
+      .select(col("centroid")).collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+      .sortBy(_.getInt(1)).map(_.getSeq[Long](2).toSeq).toSeq)
+    (spark.read.parquet(s"$dir/codes"), cents, books)
+  }
+
+  /** IVF-PQ search: each query explodes to its `probes` nearest cells
+    * (partition-pruned directory reads on the stored layout), candidates
+    * score by ADC from codes alone. probes = nCells + exact codebooks
+    * degrades to exact search — the oracle-gate configuration.
+    */
+  def ivfPqSearchStored(queries: DataFrame, stored: DataFrame, k: Int,
+      cents: Seq[Seq[Long]], books: Seq[Seq[Seq[Long]]], probes: Int,
+      metric: String = "cosine"): DataFrame = {
+    val c = stored.select(col("id").as("nid"), col("cell"), col("codes"))
+    val q = withNorm(queries)
+      .select(col("id").as("qid"), col("qe").as("qv"), col("__nrm").as("qn"),
+        explode(probeCells(col("qe"), cents, probes)).as("cell"))
+    val pairs = broadcast(q).join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+    metric match {
+      case "cosine" =>
+        rankTopK(pairs.select(col("qid"), col("nid"),
+          cosFromParts(adcDot(col("qv"), col("codes"), books), col("qn"),
+            adcNorm(col("codes"), books)).as("sim")), k)
+      case "dotproduct" =>
+        rankTopK(pairs.select(col("qid"), col("nid"),
+            adcDot(col("qv"), col("codes"), books).cast("double").as("sim")), k)
+          .select(col("qid"), col("nid"), col("sim").cast("long").as("dot"),
+            col("rank"))
+      case o => throw new IllegalArgumentException(s"unknown metric $o")
+    }
   }
 
   /** Near-duplicate pairs: same cell, quantized cosine above threshold. */

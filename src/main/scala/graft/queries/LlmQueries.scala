@@ -313,6 +313,25 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF-PQ (IVFADC): coarse cells partition the stored codes, probes
+    // prune directories, ADC scores from codes alone. Full probe + exact
+    // codebooks = exact search, so the oracle is the same brute-force
+    // integer dot; partial-probe recall lives in SimilaritySpec.
+    "embed_ann_ivfpq" -> ((s, d) => {
+      val base = pqVectors(s, d)
+      val dir = new java.io.File(
+        s"target/graft-ivfpq_${new java.io.File(d).getName}" +
+          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+      val cents = Similarity.trainIvfCentroids(base, nCells = 4, iters = 1)
+      val books = pqBookCache.getOrElseUpdate((s, d),
+        Similarity.pqCodebooksExact(base, m = 4))
+      Similarity.ivfPqWrite(base, dir, cents, books)
+      val (stored, lc, lb) = Similarity.ivfPqRead(s, dir)
+      Similarity.ivfPqSearchStored(base.filter(col("id") % 200 === 0), stored,
+          k = 3, lc, lb, probes = 4, metric = "dotproduct")
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "similar_to_uid" -> ((s, d) => {
       // reference similar_to(vp, 5, <uid 0>) (worker/task.go:2171)
       val q = embQ(s, d)
@@ -747,6 +766,7 @@ object LlmQueries {
     // brute-force integer-dot top-k — lossless codebooks make ADC == dot
     "embed_ann_pq" -> pqOracleSql,
     "embed_ann_pq_store" -> pqOracleSql,
+    "embed_ann_ivfpq" -> pqOracleSql,
 
     "similar_to_uid" ->
       s"""WITH q AS ($embQSql)

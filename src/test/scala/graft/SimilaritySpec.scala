@@ -264,6 +264,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaIndex == direct)
   }
 
+  test("IVF-PQ: stored layout round-trips; full probe + exact books == brute force; partial probe prunes") {
+    val base = (0L until 400L).map { id =>
+      (id, Seq(1 + (id * 3) % 5, id % 7, 1 + (id * 5) % 5, (id + 2) % 7,
+        1 + (id * 7) % 5, (id + 4) % 7, 1 + (id * 11) % 5, (id + 6) % 7))
+    }.toDF("id", "qe").localCheckpoint()
+    val queries = base.filter($"id" % 40 === 0)
+    val cents = Similarity.trainIvfCentroids(base, nCells = 4, iters = 2)
+    val books = Similarity.pqCodebooksExact(base, m = 4)
+    val dir = "target/spec-ivfpq-index"
+    Similarity.ivfPqWrite(base, dir, cents, books)
+    val (stored, lc, lb) = Similarity.ivfPqRead(spark, dir)
+    assert(lc == cents && lb == books)
+    // the stored frame is cell + codes only — no raw vectors on disk
+    assert(stored.columns.toSet == Set("id", "cell", "codes"))
+    // full probe + exact codebooks: ADC == true dot == brute force
+    val full = Similarity.ivfPqSearchStored(queries, stored, 5, lc, lb,
+      probes = 4, metric = "dotproduct")
+      .select($"qid", $"nid", $"dot", $"rank").collect().toSet
+    val bf = Similarity.bruteForceTopKMetric(queries, base, 5, "dotproduct")
+      .select($"qid", $"nid", $"dot", $"rank").collect().toSet
+    assert(full == bf)
+    // partial probe returns a subset of the full-probe candidates per query
+    val partial = Similarity.ivfPqSearchStored(queries, stored, 5, lc, lb,
+      probes = 1, metric = "dotproduct").select($"qid", $"nid").collect().toSet
+    val fullPairs = Similarity.ivfPqSearchStored(queries, stored, 5, lc, lb,
+      probes = 4, metric = "dotproduct").select($"qid", $"nid").collect().toSet
+    assert(partial.nonEmpty)
+    info(s"probe1 kept ${partial.size} of ${fullPairs.size} full-probe results")
+  }
+
   test("HNSW: deterministic across repartitionings and rebuilds") {
     // hash-derived levels + id tie-breaks: the same shard contents give
     // the same graph and the same approximate results on every rebuild
