@@ -92,11 +92,21 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
       computed: Seq[(String, GqlSelection)]): DataFrame =
     computed.foldLeft(df) { case (acc, (tn, sel)) =>
       val key = s"$tn.${sel.name}"
-      val fn = resolvers.getOrElse(key,
-        throw new Rewriter.RewriteException(
-          s"$key is a computed (@lambda/@custom) field and no resolver " +
-            "is registered for it — pass one in GraphQLEngine(resolvers)"))
-      acc.withColumn(sel.outName, fn(acc))
+      resolvers.get(key) match {
+        // a registered in-process resolver always wins (deployment override)
+        case Some(fn) => acc.withColumn(sel.outName, fn(acc))
+        case None =>
+          val fld = schema.typ(tn).field(sel.name)
+          fld.flatMap(_.customHttp) match {
+            // an unoverridden @custom(http:) EXECUTES — requests issue
+            // from the executors, SINGLE or BATCH per the directive
+            case Some(raw) => CustomHttp.resolve(acc, sel.outName,
+              fld.get.typeName, CustomHttp.parse(raw))
+            case None => throw new Rewriter.RewriteException(
+              s"$key is a computed (@lambda/@custom) field and no resolver " +
+                "is registered for it — pass one in GraphQLEngine(resolvers)")
+          }
+      }
     }
 
   /** The DQL IR a query rewrites to (exposed for tests/EXPLAIN).
