@@ -59,6 +59,7 @@ final class SchemaRegistry(
     * mutation commits.
     */
   def alter(payload: String): SchemaRegistry = {
+    SchemaRegistry.assertNotReserved(payload)
     val (preds, ts) = SchemaRegistry.parseAlter(payload)
     new SchemaRegistry(predicates ++ preds.map(p => p.name -> p),
       types ++ ts.map(t => t.name -> t))
@@ -66,6 +67,31 @@ final class SchemaRegistry(
 }
 
 object SchemaRegistry {
+
+  /** The `dgraph.` namespace is reserved for internal types/predicates
+    * (reference query/mutation_test.go:29, edgraph alter validation):
+    * user alters may not declare types or predicates under it. Message
+    * text mirrors the reference's.
+    */
+  def assertNotReserved(payload: String): Unit = {
+    val src = payload.linesIterator.map(l => l.indexOf('#') match {
+      case -1 => l; case i => l.substring(0, i)
+    }).mkString("\n")
+    """type\s+([\w.-]+)""".r.findAllMatchIn(src).foreach { m =>
+      val t = m.group(1)
+      if (t.startsWith("dgraph."))
+        throw new IllegalArgumentException(s"Can't alter type `$t` as it " +
+          "is prefixed with `dgraph.` which is reserved as the namespace " +
+          "for dgraph's internal types/predicates.")
+    }
+    """(?m)^\s*([\w.-]+)\s*:""".r.findAllMatchIn(src).foreach { m =>
+      val p = m.group(1)
+      if (p.startsWith("dgraph."))
+        throw new IllegalArgumentException(s"Can't alter predicate `$p` " +
+          "as it is prefixed with `dgraph.` which is reserved as the " +
+          "namespace for dgraph's internal types/predicates.")
+    }
+  }
 
   /** Parse a dgraph-style alter payload (reference schema/parse.go:84):
     * `pred: type @index(t1, t2) @reverse @count @lang .` lines plus

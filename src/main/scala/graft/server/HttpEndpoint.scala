@@ -100,6 +100,13 @@ final class HttpEndpoint(
           if (contentType(ex).contains("application/json"))
             jsonMutation(body)
           else rdfMutation(body)
+        // graphql-reserved predicates may not be user-mutated (reference
+        // x/keys.go otherReservedPredicate + edgraph/server.go:2295 —
+        // NOT the whole dgraph. prefix: dgraph.type stays mutable)
+        (sets.map(_._2) ++ dels.map(_._2))
+          .find(HttpEndpoint.graphqlReserved.contains)
+          .foreach(p => throw new IllegalArgumentException(
+            s"Cannot mutate graphql reserved predicate $p"))
         acl.foreach { a =>
           val tok = Option(
             ex.getRequestHeaders.getFirst("X-Dgraph-AccessToken"))
@@ -237,8 +244,14 @@ final class HttpEndpoint(
       s"""(?s)$name\\s*\\{(.*?)\\}""".r.findFirstMatchIn(body)
         .map(_.group(1).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
-        .map(l => l -> """<([^>]+)>""".r.findAllMatchIn(l)
-          .toSeq.lift(1).map(_.group(1)).getOrElse("*"))
+        .map { l =>
+          // predicate = the 2nd whitespace token; the subject may be a
+          // blank node (_:x) with no angle brackets, so counting <...>
+          // matches mis-attributed the predicate (and let blank-subject
+          // sets slip past the per-predicate guards)
+          l -> l.split("\\s+").lift(1)
+            .map(_.stripPrefix("<").stripSuffix(">")).getOrElse("*")
+        }
     (block("set"), block("delete"))
   }
 
@@ -294,4 +307,15 @@ final class HttpEndpoint(
     ex.getResponseBody.write(bytes)
     ex.close()
   }
+}
+
+object HttpEndpoint {
+  /** Predicates whose VALUES only internal writers may touch (reference
+    * x/keys.go:796 otherReservedPredicate): a subset of the dgraph.
+    * namespace — dgraph.type and the ACL predicates are managed through
+    * their own paths and stay out of this list.
+    */
+  val graphqlReserved: Set[String] = Set(
+    "dgraph.graphql.xid", "dgraph.graphql.schema", "dgraph.drop.op",
+    "dgraph.graphql.p_query", "dgraph.namespace.id", "dgraph.namespace.name")
 }

@@ -134,6 +134,30 @@ class HttpEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("reserved namespace: graphql-reserved mutation + dgraph.-prefixed alters rejected") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      // mutation of a graphql-reserved predicate errors with the
+      // reference's message (query/mutation_test.go:24); dgraph.type
+      // stays mutable (used by the passing /mutate test above)
+      val e1 = call(port, "/mutate", contentType = "application/rdf",
+        body = """{ set { _:x <dgraph.graphql.schema> "df" . } }""")
+      assert(e1.contains("Cannot mutate graphql reserved predicate dgraph.graphql.schema"))
+      // altering a dgraph.-prefixed TYPE or PREDICATE fails
+      // (query/mutation_test.go:29)
+      val e2 = call(port, "/alter", contentType = "application/dql",
+        body = "type dgraph.Person { name }\nname: string .")
+      assert(e2.contains("Can't alter type `dgraph.Person`"))
+      val e3 = call(port, "/alter", contentType = "application/dql",
+        body = "dgraph.name: string .")
+      assert(e3.contains("Can't alter predicate `dgraph.name`"))
+      // sanity: a normal alter still succeeds after the rejections
+      assert(call(port, "/alter", contentType = "application/dql",
+        body = "hother: string .").contains("Success"))
+    } finally ep.stop()
+  }
+
   test("/admin GraphQL service: updateGQLSchema swaps the live schema, getGQLSchema returns it") {
     val ep = endpoint()
     val port = ep.start()
