@@ -135,6 +135,23 @@ object QualityQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus profile: per-language doc counts + EXACT interpolated
+    // length percentiles (p50/p95/p99) — the distribution snapshot a
+    // curation run records before/after each filter stage. Spark's
+    // exact `percentile` is a sort-based aggregate per group; at 100 TB
+    // switch to approx_percentile per the same query shape if exactness
+    // isn't contractual.
+    "corpus_stats" -> ((s, d) => {
+      docs(s, d).join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(length(text), array(0.5, 0.95, 0.99))").as("p"))
+        .select(col("lang"), col("n_docs"),
+          col("p")(0).as("p50"), col("p")(1).as("p95"), col("p")(2).as("p99"))
+        .orderBy(col("lang"))
+    }),
+
     // Benchmark-contamination scan: which corpus docs share a 3-gram with
     // the probe set (docs 0-4 standing in for an eval suite)? Probe
     // shingles broadcast; the corpus side never shuffles.
@@ -212,6 +229,15 @@ object QualityQueries {
         | CAST(SUM(v.tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tf
         |FROM t JOIN v USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // quantile_cont == Spark percentile: both the SQL-standard linear
+    // interpolation over the sorted group
+    "corpus_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | quantile_cont(length(text), 0.5) AS p50,
+        | quantile_cont(length(text), 0.95) AS p95,
+        | quantile_cont(length(text), 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "contamination_ngram" ->
       """WITH sh AS (
