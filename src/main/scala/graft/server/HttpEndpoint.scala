@@ -137,7 +137,19 @@ final class HttpEndpoint(
     })
     server.createContext("/alter", handler { ex =>
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      writeLock.synchronized { schema = schema.alter(body) }
+      writeLock.synchronized {
+        // JSON drop operations (reference edgraph/server.go:369 Alter:
+        // drop_all / drop_op DATA|ATTR|TYPE / drop_attr) vs a schema
+        // payload — the reference's /alter accepts both forms
+        val node =
+          try Option(M.readTree(body)).filter(_.isObject)
+          catch { case _: Exception => None }
+        node.filter(n => Seq("drop_all", "drop_attr", "drop_op")
+            .exists(n.has)) match {
+          case Some(n) => applyDrop(n)
+          case None => schema = schema.alter(body)
+        }
+      }
       """{"data":{"code":"Success","message":"Done"}}"""
     })
     server.createContext("/graphql", handler { ex =>
@@ -239,6 +251,58 @@ final class HttpEndpoint(
   /** `{ set { … } delete { … } }` RDF mutation body → (line, predicate)
     * pairs per op (predicates feed the ACL write check).
     */
+  /** Drop operations (reference edgraph/server.go:369-447): drop_all
+    * wipes data AND schema; drop_op DATA wipes data only; drop_attr /
+    * drop_op ATTR removes one predicate's triples + schema entry;
+    * drop_op TYPE removes a type definition (never its nodes). Error
+    * messages mirror the reference's validations. Caller holds
+    * writeLock.
+    */
+  private def applyDrop(n: JsonNode): Unit = {
+    val dropAll = Option(n.get("drop_all")).exists(_.asBoolean)
+    val dropOp = Option(n.get("drop_op")).map(_.asText).getOrElse("NONE")
+    val dropValue = Option(n.get("drop_value")).map(_.asText).getOrElse("")
+    if (dropAll && dropOp == "DATA")
+      throw new IllegalArgumentException(
+        "Only one of DropAll and DropData can be true")
+    if (dropAll || dropOp == "ALL") {
+      if (dropOp == "ALL" && dropValue.nonEmpty)
+        throw new IllegalArgumentException(
+          "If DropOp is set to ALL, DropValue must be empty")
+      triples = triples.limit(0).localCheckpoint()
+      schema = new SchemaRegistry(Map.empty, Map.empty)
+      gqlSchema = SdlParser.parse("")
+      sdlText = ""
+    } else if (dropOp == "DATA") {
+      if (dropValue.nonEmpty)
+        throw new IllegalArgumentException(
+          "If DropOp is set to DATA, DropValue must be empty")
+      triples = triples.limit(0).localCheckpoint()
+    } else {
+      val attr = Option(n.get("drop_attr")).map(_.asText).filter(_.nonEmpty)
+        .orElse(if (dropOp == "ATTR") Some(dropValue) else None)
+      attr match {
+        case Some(a) =>
+          if (a.isEmpty) throw new IllegalArgumentException(
+            "If DropOp is set to ATTR, DropValue must be set")
+          if (a.startsWith("dgraph."))
+            throw new IllegalArgumentException(
+              s"predicate $a is pre-defined and is not allowed to be dropped")
+          triples = triples
+            .filter(org.apache.spark.sql.functions.col("predicate") =!= a)
+            .localCheckpoint()
+          schema = new SchemaRegistry(schema.predicates - a, schema.types)
+        case None if dropOp == "TYPE" =>
+          if (dropValue.isEmpty) throw new IllegalArgumentException(
+            "If DropOp is set to TYPE, DropValue must be set")
+          schema = new SchemaRegistry(schema.predicates,
+            schema.types - dropValue)
+        case None => throw new IllegalArgumentException(
+          "Operation must have at least one field set")
+      }
+    }
+  }
+
   private def rdfMutation(body: String): (Seq[(String, String)], Seq[(String, String)]) = {
     def block(name: String): Seq[(String, String)] =
       s"""(?s)$name\\s*\\{(.*?)\\}""".r.findFirstMatchIn(body)

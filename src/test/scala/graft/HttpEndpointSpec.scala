@@ -158,6 +158,46 @@ class HttpEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("/alter drop operations: drop_attr, drop_op DATA, drop_all, validation errors") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def nDocs(pred: String): Int = {
+        val q = m.readTree(call(port, "/query",
+          body = s"{ q(func: has($pred)) { $pred } }",
+          contentType = "application/dql")).get("data").get("q")
+        if (q == null) 0 else q.size
+      }
+      assert(nDocs("hname") == 2 && nDocs("hsal") == 2)
+      // drop one predicate: its triples AND schema entry go
+      call(port, "/alter", body = """{"drop_attr": "hsal"}""")
+      assert(nDocs("hname") == 2)
+      // the dropped predicate resolves EMPTY (schema entry gone, triples
+      // gone) rather than erroring -- has() on an absent tablet is empty
+      val dropped = call(port, "/query", body = "{ q(func: has(hsal)) { hsal } }",
+        contentType = "application/dql")
+      assert(!dropped.contains("hsal\":") && !dropped.contains("0x"))
+      // pre-defined predicates may not be dropped
+      assert(call(port, "/alter", body = """{"drop_attr": "dgraph.type"}""")
+        .contains("pre-defined"))
+      // drop_op DATA wipes data, keeps schema: re-mutate works
+      call(port, "/alter", body = """{"drop_op": "DATA"}""")
+      assert(nDocs("hname") == 0)
+      call(port, "/mutate", contentType = "application/rdf",
+        body = """{ set { <0x9> <hname> "zed" . } }""")
+      assert(nDocs("hname") == 1)
+      // both at once is the reference's error
+      assert(call(port, "/alter", body = """{"drop_all": true, "drop_op": "DATA"}""")
+        .contains("Only one of DropAll and DropData can be true"))
+      // drop_all wipes schema AND data: nothing resolves
+      call(port, "/alter", body = """{"drop_all": true}""")
+      val wiped = call(port, "/query", body = "{ q(func: has(hname)) { hname } }",
+        contentType = "application/dql")
+      assert(!wiped.contains("zed"))
+    } finally ep.stop()
+  }
+
   test("/admin GraphQL service: updateGQLSchema swaps the live schema, getGQLSchema returns it") {
     val ep = endpoint()
     val port = ep.start()
