@@ -27,6 +27,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("watermark drops late rows in Append mode; windows finalize once the watermark passes") {
+    // the 100 TB state-boundedness claim made concrete: a 10-minute
+    // watermark lets the tumbling state evict; a row arriving behind the
+    // watermark is DROPPED, not retro-aggregated
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(min: Int) = new java.sql.Timestamp(3600L * 1000 * 24 + min * 60000L)
+    val windowed = EventStream.tumbling(
+      src.toDS().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "10 minutes"))
+    val q = windowed.writeStream.format("memory").queryName("wm_tumbling")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: two rows in window [0,5) and one at minute 30 that will
+    // push the watermark to 20 once processed
+    src.addData((ts(1), "c", 1.0), (ts(2), "c", 2.0), (ts(30), "c", 9.0))
+    q.processAllAvailable()
+    // batch 2: a LATE row for the [0,5) window — behind the watermark
+    src.addData((ts(3), "c", 100.0))
+    q.processAllAvailable()
+    // batch 3: advance far enough to flush remaining windows
+    src.addData((ts(60), "c", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_tumbling")
+      .select($"window_start_ms", $"n", $"sum_value")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the [0,5) window finalized from batch 1 ONLY: n=2, sum=3 — the
+    // late 100.0 never entered it
+    assert(out(ts(0).getTime) == ((2L, 3.0)))
+    assert(out(ts(30).getTime) == ((1L, 9.0)))
+  }
+
   test("CdcSink.diff emits set/delete triple deltas") {
     val oldSnap = Seq((1L, "name", "a"), (2L, "name", "b"))
       .toDF("subject", "predicate", "value")
