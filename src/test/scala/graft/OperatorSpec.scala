@@ -157,6 +157,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(sh(1L) != sh(3L))
   }
 
+  test("hashPairs edge cases: maxDist=0 single full-width block; sign-bit signatures pair correctly") {
+    // maxDist 0 → one 64-bit block (the w>=64 arithmetic-shift branch):
+    // only EXACT signature matches pair
+    val sig = Seq((1L, 42L), (2L, 42L), (3L, 43L), (4L, -42L), (5L, -42L))
+      .toDF("id", "simhash")
+    val exact = graft.operators.Dedup.hashPairs(sig, 64, 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(exact == Set((1L, 2L, 0), (4L, 5L, 0)))
+    // negative signatures (bit 63 set) band consistently: a pair one bit
+    // apart in the TOP block is still found
+    val hi = Seq((1L, java.lang.Long.MIN_VALUE), (2L, java.lang.Long.MIN_VALUE | 1L))
+      .toDF("id", "simhash")
+    val top = graft.operators.Dedup.hashPairs(hi, 64, 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(top == Set((1L, 2L, 1)))
+  }
+
+  test("PQ guards: dim must divide by m; exact codebooks refuse unbounded cardinality") {
+    val base = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(4L, 5L, 6L))).toDF("id", "qe")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pqCodebooksExact(base, m = 2)
+    }
+    assert(e.getMessage.contains("not divisible"))
+    // cardinality cap: every row distinct → maxWords=1 must throw, not
+    // silently truncate the codebook
+    val wide = (0L until 8L).map(i => (i, Seq(i, i + 1))).toDF("id", "qe")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pqCodebooksExact(wide, m = 1, maxWords = 4)
+    }
+    assert(e2.getMessage.contains("distinct subvectors"))
+  }
+
   test("langId picks the list with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog is in a house"),
