@@ -183,9 +183,67 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
     val uidEdges = Seq.newBuilder[(String, String, Long)]
     val blankEdges = Seq.newBuilder[(String, String, String)]
     val typeRows = Seq.newBuilder[(String, String)]
-    def walk(o: GObj, ot: SdlType): String = {
-      val label = freshLabel()
-      typeRows += ((label, ot.name))
+    // @id (xid) existence semantics (reference mutation_rewriter.go:1430
+    // rewriteObject + :455 upsert arg): one pre-pass collects every
+    // (xid field, value) in the input forest, ONE lookup against the
+    // base resolves which already exist — then a top-level existing xid
+    // errors (`id X already exists for field F inside type T`) unless
+    // `upsert: true` turned the add into an update of that node, and a
+    // NESTED existing xid is a reference link (other fields ignored).
+    val upsert = root.arg("upsert") match {
+      case Some(GBool(b)) => b
+      case _ => false
+    }
+    def xidOf(ot: SdlType): Option[SdlField] =
+      ot.fields.find(f => f.isId && f.typeName != "ID")
+    val canonicalBase = base.columns.contains("objectUid")
+    val wanted = Seq.newBuilder[(String, String)]
+    def scan(o: GObj, ot: SdlType): Unit = {
+      xidOf(ot).foreach(xf =>
+        o.get(xf.name).foreach(v => wanted += ((xf.name, scalar(v)))))
+      o.fields.foreach { case (f, v) =>
+        ot.field(f).foreach { fd =>
+          schema.types.get(fd.typeName).foreach { ct =>
+            (v match { case GList(items) => items; case one => Seq(one) })
+              .foreach {
+                case ro: GObj if ro.get("id").isEmpty => scan(ro, ct)
+                case _ =>
+              }
+          }
+        }
+      }
+    }
+    if (canonicalBase)
+      inputs.foreach { case o: GObj => scan(o, t); case _ => }
+    val wantedPairs = wanted.result().distinct
+    val found: Map[(String, String), Long] =
+      if (wantedPairs.isEmpty) Map.empty
+      else base
+        .filter(col("predicate").isin(wantedPairs.map(_._1).distinct: _*) &&
+          col("value").isin(wantedPairs.map(_._2).distinct: _*))
+        .select(col("predicate"), col("value"), col("subject")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val foundTypes: Map[Long, Set[String]] =
+      if (found.isEmpty) Map.empty
+      else base
+        .filter(col("predicate") === "dgraph.type" &&
+          col("subject").isin(found.values.toSeq.distinct: _*))
+        .select(col("subject"), col("value")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rs) => u -> rs.map(_.getString(1)).toSet }
+    def existingOf(o: GObj, ot: SdlType): Option[Long] =
+      xidOf(ot).flatMap { xf =>
+        o.get(xf.name).map(scalar).flatMap { v =>
+          found.get((xf.name, v)).map { u =>
+            if (!foundTypes.getOrElse(u, Set.empty).contains(ot.name))
+              throw RewriteException(s"id $v already exists for field " +
+                s"${xf.name} in some other type")
+            u
+          }
+        }
+      }
+    val fixed = scala.collection.mutable.Map.empty[String, Long]
+    def walkInto(o: GObj, ot: SdlType, label: String): Unit =
       o.fields.foreach { case (f, v) =>
         val fd = ot.field(f).getOrElse(
           throw RewriteException(s"${ot.name} has no field '$f'"))
@@ -203,6 +261,10 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
               case ro: GObj if ro.get("id").isDefined =>
                 uidEdges += ((label, f,
                   java.lang.Long.decode(scalar(ro.get("id").get))))
+              // a nested input whose @id value already exists is a
+              // reference link too (mutation_rewriter.go:1433)
+              case ro: GObj if existingOf(ro, ct).isDefined =>
+                uidEdges += ((label, f, existingOf(ro, ct).get))
               case ro: GObj =>
                 // a nested input creates a blank node of ct — ct's own
                 // add rule applies (reference post-checks EVERY inserted
@@ -215,10 +277,27 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
           case None => scalars += ((label, f, scalar(v)))
         }
       }
+    def walk(o: GObj, ot: SdlType): String = {
+      val label = freshLabel()
+      typeRows += ((label, ot.name))
+      walkInto(o, ot, label)
       label
     }
     inputs.foreach {
-      case o: GObj => walk(o, t)
+      case o: GObj =>
+        existingOf(o, t) match {
+          case Some(u) if !upsert =>
+            val xf = xidOf(t).get
+            throw RewriteException(s"id ${scalar(o.get(xf.name).get)} " +
+              s"already exists for field ${xf.name} inside type ${t.name}")
+          case Some(u) =>
+            // upsert: true — the input UPDATES the existing node: same
+            // scalar/edge rows, pinned uid, no new dgraph.type row
+            val label = freshLabel()
+            fixed(label) = u
+            walkInto(o, t, label)
+          case None => walk(o, t)
+        }
       case other => throw RewriteException(s"bad add input: $other")
     }
     val edgy = uidEdges.result().nonEmpty || blankEdges.result().nonEmpty
@@ -233,7 +312,12 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
     // store tablet re-allocated their uids and silently overwrote them
     val occupied = ts.nodeTypes.select(col("subject"))
       .unionByName(base.select(col("subject")))
-    val allocOf = Mutations.allocateUids(labels, "label", occupied)
+    val allocNew = Mutations.allocateUids(labels, "label", occupied)
+    // upsert-pinned labels resolve to their EXISTING uids; only genuinely
+    // new nodes (the typeRows labels) get allocations
+    val allocOf =
+      if (fixed.isEmpty) allocNew
+      else allocNew.unionByName(fixed.toSeq.toDF("label", "uid"))
     // align any produced frame to the base's columns, null-casting what
     // it lacks — one contract for every base shape
     def full(df: DataFrame) = df.select(base.columns.map(c =>

@@ -1023,6 +1023,73 @@ class GraphqlSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(2).contains("orderstatus")))
   }
 
+  test("add<T> @id existence: duplicate errors, upsert: true updates, nested existing @id links") {
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """uname: string @index(exact) .
+        |score: string .
+        |oname: string @index(exact) .
+        |member: uid .
+        |""".stripMargin)
+    val store = new TripleFrameStore(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x5> <uname> "alice" .""",
+        """<0x5> <score> "1" .""",
+        """<0x5> <dgraph.type> "User" .""").toDF("line")))
+    val sdl = SdlParser.parse(
+      """type User {
+        |  id: ID!
+        |  uname: String! @id @search(by: [exact])
+        |  score: String
+        |}
+        |type Org {
+        |  id: ID!
+        |  oname: String! @search(by: [exact])
+        |  member: User
+        |}""".stripMargin)
+    val eng = new GraphQLEngine(store, sdl)
+    val base = RdfSource.parse(Seq(
+      """<0x5> <uname> "alice" .""",
+      """<0x5> <score> "1" .""",
+      """<0x5> <dgraph.type> "User" .""").toDF("line"))
+      .select(col("subject"), col("predicate"),
+        col("objectUid").cast("long").as("objectUid"),
+        col("value").cast("string").as("value"))
+    // 1) plain add of an existing @id value errors with the reference text
+    val e = intercept[Rewriter.RewriteException] {
+      eng.mutate("""mutation { addUser(input: [{ uname: "alice", score: "9" }]) { } }""", base)
+    }
+    assert(e.getMessage ==
+      "id alice already exists for field uname inside type User")
+    // 2) upsert: true updates the EXISTING node in place: no new User,
+    // score replaced (applySet set semantics)
+    val up = eng.mutate(
+      """mutation { addUser(upsert: true, input: [{ uname: "alice", score: "9" }]) { } }""",
+      base).collect()
+    assert(up.count(r => r.getString(1) == "dgraph.type" && r.getString(3) == "User") == 1)
+    assert(up.filter(r => r.getString(1) == "score").map(r => (r.getLong(0), r.getString(3))).toSeq
+      == Seq((0x5L, "9")))
+    // 3) a NEW @id value still creates a node (upsert or not)
+    val nw = eng.mutate(
+      """mutation { addUser(upsert: true, input: [{ uname: "bob", score: "2" }]) { } }""",
+      base).collect()
+    assert(nw.count(r => r.getString(1) == "dgraph.type" && r.getString(3) == "User") == 2)
+    // 4) nested input with an existing @id is a REFERENCE link even
+    // without upsert (mutation_rewriter.go:1433) — other fields ignored
+    val orgRows = eng.mutate(
+      """mutation { addOrg(input: [{ oname: "acme", member: { uname: "alice" } }]) { } }""",
+      base).collect()
+    val orgUid = orgRows.find(r => r.getString(1) == "oname").get.getLong(0)
+    assert(orgRows.exists(r => r.getLong(0) == orgUid &&
+      r.getString(1) == "member" && r.getLong(2) == 0x5L))
+    assert(orgRows.count(r => r.getString(1) == "dgraph.type" && r.getString(3) == "User") == 1)
+  }
+
   test("add<T> review fixes: sibling roots, chained mutates, id references with extra fields") {
     import graft.core.{SchemaRegistry, TripleFrameStore}
     import graft.sources.RdfSource
