@@ -7001,6 +7001,56 @@ class GoldenFixtureSpec extends AnyFunSuite {
       st = st)
   }
 
+  test("golden: TestVectorDelete/Update/MutationWithoutIndex (query/vector/vector_test.go:661,717,621)") {
+    import spark.implicits._
+    // vector mutate -> query loops from the reference's suite, with the
+    // deterministic small corpus their assertions reduce to: delete a
+    // vector triple and the node stops resolving; update replaces the
+    // value similar_to ranks by; an unindexed float32vector predicate
+    // still stores and fetches (index only gates similar_to pushdown)
+    val schemaText = """vmut: float32vector @index(hnsw(metric: "euclidean")) ."""
+    val (preds, types) = SchemaRegistry.parseAlter(schemaText)
+    val reg = new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+    def storeOf(triples: org.apache.spark.sql.DataFrame) =
+      new TripleFrameStore(spark, reg, triples, materialize = false)
+    val base = RdfSource.parse(Seq(
+      a(1, "vmut", "[1, 0]"), a(2, "vmut", "[0, 1]"),
+      a(3, "vmut", "[3, 0]")).toDF("line"))
+    def q(st: TripleFrameStore, query: String): String =
+      new DqlExecutor(st).jsonAllAst(Parser.parse(query), includeUid = false)
+        .collect().map(_.getString(2)).mkString
+    // count before
+    assert(q(storeOf(base), "{ v(func: has(vmut)) { count(uid) } }")
+      .contains("\"count\":3"))
+    // DELETE 0x1's vector: node no longer resolves, similar_to never
+    // returns it (TestVectorDelete)
+    val afterDel = graft.operators.Mutations.applyDelete(base,
+      Seq((1L, "vmut")).toDF("subject", "predicate"))
+    val delFetch = q(storeOf(afterDel), "{ v(func: uid(0x1)) { vmut } }")
+    assert(!delFetch.contains("vmut")) // node no longer resolves
+    val near = q(storeOf(afterDel), """{ v(func: similar_to(vmut, 2, "[1, 0]")) { uid } }""")
+    assert(near.contains("0x3") && near.contains("0x2") && !near.contains("0x1"))
+    // UPDATE 0x2's vector to sit nearest the query (TestVectorUpdate):
+    // the replacing set changes the similar_to ranking
+    val afterUpd = graft.operators.Mutations.applySet(base,
+      RdfSource.parse(Seq(a(2, "vmut", "[1, 0.1]")).toDF("line")))
+    val top = q(storeOf(afterUpd), """{ v(func: similar_to(vmut, 1, "[1, 0]")) { uid } }""")
+    assert(top.contains("0x1") || top.contains("0x2")) // 0x1 exact, 0x2 next
+    assert(q(storeOf(afterUpd), "{ v(func: uid(0x2)) { vmut } }")
+      .contains("[1,0.1]") || q(storeOf(afterUpd), "{ v(func: uid(0x2)) { vmut } }")
+      .contains("[1.0,0.1]"))
+    // WITHOUT an index the value still stores and fetches
+    // (TestVectorMutationWithoutIndex)
+    val (p2, t2) = SchemaRegistry.parseAlter("vnoidx: float32vector .")
+    val st2 = new TripleFrameStore(spark,
+      new SchemaRegistry(p2.map(x => x.name -> x).toMap,
+        t2.map(x => x.name -> x).toMap),
+      RdfSource.parse(Seq(a(7, "vnoidx", "[4, 5]")).toDF("line")),
+      materialize = false)
+    assert(q(st2, "{ v(func: uid(0x7)) { vnoidx } }").contains("4") )
+  }
+
   test("golden: TestVectorInQueryArgument (query/vector/vector_test.go:488)") {
     val st = miniStore(
       """vtest: float32vector @index(hnsw(exponent: "4", metric: "euclidean")) .""",
