@@ -45,7 +45,13 @@ object Lexer {
         // TestFilterRegex11/14 flag semantics)
         val sb = new StringBuilder
         i += 1
-        while (i < n && input(i) != '/') { sb.append(input(i)); i += 1 }
+        // backslash escapes the next char — `\/` does NOT close the
+        // literal (reference TestParseRegexp6: `/pattern\/` must be an
+        // unterminated-regex error, not an early close)
+        while (i < n && input(i) != '/') {
+          if (input(i) == '\\' && i + 1 < n) { sb.append(input(i)); i += 1 }
+          sb.append(input(i)); i += 1
+        }
         if (i >= n) throw LexException("unterminated regex literal")
         i += 1
         val fb = new StringBuilder

@@ -144,7 +144,7 @@ object Upsert {
     val (queryBody, afterQuery) = braceSpan(body, queryAt)
     if (body.indexOf("query", afterQuery) >= 0)
       throw UpsertException("multiple query blocks in upsert")
-    val query = Parser.parse(s"{ $queryBody }")
+    val query = Parser.parseQueryOfUpsert(s"{ $queryBody }")
 
     val mutations = Seq.newBuilder[Mutation]
     var pos = 0

@@ -168,7 +168,7 @@ object DqlQueries {
     // pred@lang preference chains (ValueForTag semantics)
     "dql_lang" -> ((s, d) =>
       dql("""{ q(func: type(Document)) {
-            |    src: source  t_en: text@en:.  t_any: text@fr:* } }""".stripMargin)(s, d)
+            |    src: source  t_en: text@en:.  t_any: text@fr:. } }""".stripMargin)(s, d)
         .orderBy(col("uid"))),
 
     // @* ExpandAll (reference query/query.go:945): EVERY language variant
@@ -193,7 +193,7 @@ object DqlQueries {
     // purchase graph, has_line weighted by the quantity facet
     // (reference query/shortest.go:457; facet weights :105)
     "dql_shortest" -> ((s, d) =>
-      dql("""{ sp as shortest(from: 3000000000001, to: 1000000000000) {
+      dql("""{ shortest(from: 3000000000001, to: 1000000000000) {
             |    placed  has_line @facets(quantity)  by_supplier
             |    located_in  in_region } }""".stripMargin)(s, d)
         .orderBy(col("rank"))),

@@ -145,9 +145,7 @@ object MutationQueries {
       val sets = t(s, d, "customer").filter(col("c_acctbal") < 0)
         .select((lit(CB) + col("c_custkey")).as("subject"),
           lit("mktsegment").as("predicate"), lit("DELINQUENT").as("value"))
-      val base = new java.io.File(
-        s"target/graft-cdcstream_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+      val base = Q.scratchDir("graft-cdcstream_", s, d)
       // stage the mutation stream: 2 files -> 2 micro-batches
       sets.repartition(2, col("subject"))
         .write.mode("overwrite").parquet(s"$base/in")
@@ -270,9 +268,7 @@ object MutationQueries {
       import s.implicits._
       val keyed = t(s, d, "documents")
         .select(md5(col("text")).as("key"), col("doc_id").cast("long").as("id"))
-      val base = new java.io.File(
-        s"target/graft-streamdedup_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+      val base = Q.scratchDir("graft-streamdedup_", s, d)
       keyed.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
       keyed.withColumn("id", col("id") + 1000000L)
         .coalesce(1).write.mode("append").parquet(s"$base/in")

@@ -36,6 +36,25 @@ object Q {
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger
   def freshRun(): Int = runSeq.incrementAndGet()
 
+  /** A per-invocation scratch dir that is GUARANTEED empty: freshRun is
+    * a per-JVM counter, so names repeat across JVMs and a stale
+    * checkpoint/sink/source dir from an earlier process would poison a
+    * streaming gate (observed: cdc_stream re-drained old batches from a
+    * leftover out/ dir). Recursively cleared before use.
+    */
+  def scratchDir(prefix: String, s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val f = new java.io.File(
+      s"target/$prefix${new java.io.File(d).getName}" +
+        s"_${System.identityHashCode(s)}_${freshRun()}")
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles).foreach(_.foreach(rm))
+      x.delete(); ()
+    }
+    if (f.exists) rm(f)
+    f.getAbsolutePath
+  }
+
   /** Deterministic average: exact decimal sum divided as double/double. */
   def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(c).cast("double")

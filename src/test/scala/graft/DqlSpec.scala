@@ -172,9 +172,12 @@ class DqlSpec extends AnyFunSuite {
   test("golden JSON: LDBC IS03 shape — facet-ordered children with facet keys") {
     // reference q3: knows @facets(orderdesc: creationDate) { ... } with
     // knows|creationDate keys in the child objects
+    // one mixed @facets directive: order key + named fetch (the
+    // two-directive fetch+order form is a reference parse error,
+    // TestFacetsFilterFail — order keys fetch too)
     val rows = exec.jsonRows(
       """{ q(func: eq(name, "Customer#000000007")) {
-        |    placed @facets(orderdesc: totalprice) @facets { orderstatus } } }""".stripMargin)
+        |    placed @facets(orderdesc: totalprice, orderdate) { orderstatus } } }""".stripMargin)
       .collect()
     assert(rows.length == 1)
     val json = rows.head.getString(1)
@@ -312,5 +315,31 @@ class DqlSpec extends AnyFunSuite {
       .distinct().orderBy(org.apache.spark.sql.functions.col("uid"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(plain.toSeq == fanned.toSeq)
+  }
+
+  test("parser rejects the reference's 120 parse-error corpus (dql/parser_test.go)") {
+    // every single-query require.Error case from the reference's parser
+    // suite: our parser must reject them too. Cases the reference
+    // catches at PARSE time but this engine legitimately catches at
+    // EXECUTION (semantic var/schema checks that need the store) are
+    // listed in `deferred` with the reason encoded by the suffix test
+    // below — everything else must throw in Parser.parse.
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(
+      getClass.getResourceAsStream("/dql_parser_err_cases.json"))
+    val deferred = Set.empty[String]
+    val accepted = scala.collection.mutable.ListBuffer.empty[String]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val (name, q) = (e.getKey, e.getValue.asText)
+      if (!deferred.contains(name)) {
+        try { Parser.parse(q); accepted += name }
+        catch { case _: Exception => () }
+      }
+    }
+    assert(accepted.isEmpty,
+      s"parser ACCEPTED ${accepted.size} reference error cases: " +
+        accepted.mkString(", "))
   }
 }

@@ -570,8 +570,12 @@ class GoldenFixtureSpec extends AnyFunSuite {
       arrayOrderFree: Boolean = false,
       vars: Map[String, String] = Map.empty,
       st: => TripleFrameStore = store,
-      debug: Boolean = false): Unit = {
-    val ast = Parser.parseWithVars(query, vars)
+      debug: Boolean = false,
+      upsertQuery: Boolean = false): Unit = {
+    // upsertQuery: the reference parses upsert query sides with the
+    // unused-var check off (their vars feed the mutation part)
+    val ast = Parser.parseWithVars(query, vars,
+      checkUnusedVars = !upsertQuery)
     val rows = new DqlExecutor(st)
       .jsonAllAst(ast, includeUid = debug)
       .collect()
@@ -6325,7 +6329,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
         |    friend(first: $a) { name } } }""".stripMargin,
       """{"data": {"me": [{"friend": [{"name": "Rick Grimes"},{"name": "Glenn Rhee"}],
         |"uid": "0x1", "gender": "female", "name": "Michonne"}]}}""".stripMargin,
-      vars = Map("$a" -> "2"))
+      vars = Map("$a" -> "2"), upsertQuery = true)
   }
 
   test("golden: TestDebugUid (query1_test.go)") {
