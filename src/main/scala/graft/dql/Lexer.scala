@@ -85,6 +85,15 @@ object Lexer {
         i += 1
         while (i < n && (input(i).isLetterOrDigit || input(i) == '_')) i += 1
         out += Ident(input.substring(start, i))
+      } else if (c == '<' && iriContext(out.result()) &&
+          input.indexOf('>', i) > i) {
+        // <http://...> IRI predicate name (reference TestParseIRIRef):
+        // only in name positions — after '{', '(', ',', '~', '[' —
+        // never where a math '<' can appear (those follow idents,
+        // numbers or ')')
+        val end = input.indexOf('>', i)
+        out += Ident(input.substring(i + 1, end))
+        i = end + 1
       } else if ("<>=!".indexOf(c) >= 0) {
         // math comparison operators; two-char forms first
         val two = s"$c${peek(1)}"
@@ -93,6 +102,14 @@ object Lexer {
         } else if (c == '<' || c == '>') { out += Punct(c.toString); i += 1 }
         else if (c == '=') { out += Punct("="); i += 1 } // var defaults
         else throw LexException(s"unexpected character '$c' at offset $i")
+      } else if (c == '@' && i > 0 && (input(i - 1).isLetterOrDigit ||
+          input(i - 1) == '_')) {
+        // ATTACHED '@' (no whitespace before it) is the language-tag
+        // position (`name@en`); a spaced '@' is a directive. The
+        // reference's lexer makes the same distinction, which is how
+        // `friends @filtererr` is an unknown-directive ERROR while
+        // `friends@ta` is a lang (TestParseFilter_unknowndirectiveError1)
+        out += Punct("@@"); i += 1
       } else if ("(){}:,@~*+-/.%[]".indexOf(c) >= 0) {
         // '.' only reaches here standalone (numbers/idents consume
         // embedded dots greedily) — used by the @. lang tag
@@ -108,6 +125,14 @@ object Lexer {
   private def lastWasRegexContext(ts: Vector[Token]): Boolean =
     ts.lastOption match {
       case Some(Punct("(")) | Some(Punct(",")) => true
+      case _ => false
+    }
+
+  /** A '<' starts an IRI name only in predicate-name positions. */
+  private def iriContext(ts: Vector[Token]): Boolean =
+    ts.lastOption match {
+      case Some(Punct("{")) | Some(Punct("(")) | Some(Punct(",")) |
+           Some(Punct("~")) | Some(Punct("[")) => true
       case _ => false
     }
 }

@@ -3103,9 +3103,13 @@ final class DqlExecutor(ts: GraphStore) {
     val fields = b.selections.map(_.pred)
     def want(f: String) = fields.isEmpty || fields.contains(f)
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // bare `schema {}` lists EVERY predicate (reference TestParseSchemaAll)
+    val predNames =
+      if (b.func.args.isEmpty) schema.predicates.keys.toSeq.sorted
+      else b.func.args
     val rows: Seq[String] =
       if (b.func.pred == "pred")
-        b.func.args.flatMap(schema.predicates.get).map { p =>
+        predNames.flatMap(schema.predicates.get).map { p =>
           val sb = Seq.newBuilder[String]
           sb += s""""predicate":${js(p.name)}"""
           if (want("type")) sb += s""""type":${js(p.dgraphType)}"""

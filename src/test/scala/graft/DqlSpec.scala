@@ -317,6 +317,43 @@ class DqlSpec extends AnyFunSuite {
     assert(plain.toSeq == fanned.toSeq)
   }
 
+  test("parser accepts the reference's 140 positive parse corpus (dql/parser_test.go)") {
+    // the complement of the error corpus: every single-query
+    // require.NoError case must PARSE here too — catches validations
+    // that overshoot the reference's. `lenient` lists cases that only
+    // parse in the reference's richer grammar forms we intentionally
+    // reshape (documented per name).
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(
+      getClass.getResourceAsStream("/dql_parser_ok_cases.json"))
+    val lenient = Set(
+      // fragments are a GraphQL-side feature here (graphql/Gql handles
+      // them); raw-DQL fragment spreads are out of scope
+      "TestParseFragmentMultiQuery", "TestParseFragmentNoNesting",
+      "TestParseFragmentNest1", "TestParseFragmentNest2",
+      "TestParseFragmentCycle", "TestParseFragmentMissing",
+      // GraphQL-var headers with mutation/schema payloads
+      "TestParseVariablesDefault1", "TestParseMutation",
+      // needs caller-supplied query vars (the reference test passes a
+      // vars map; the corpus runner calls bare Parse)
+      "TestParseSimilarToWithQueryVariable",
+      // reference-internal shapes with no engine analogue
+      "TestParseStubbedDirectives")
+    val rejected = scala.collection.mutable.ListBuffer.empty[String]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val (name, q) = (e.getKey, e.getValue.asText)
+      if (!lenient.contains(name)) {
+        try Parser.parse(q)
+        catch { case ex: Exception => rejected += s"$name(${ex.getMessage})" }
+      }
+    }
+    assert(rejected.isEmpty,
+      s"parser REJECTED ${rejected.size} reference-legal queries: " +
+        rejected.mkString("; "))
+  }
+
   test("parser rejects the reference's 120 parse-error corpus (dql/parser_test.go)") {
     // every single-query require.Error case from the reference's parser
     // suite: our parser must reject them too. Cases the reference
