@@ -317,6 +317,38 @@ class DqlSpec extends AnyFunSuite {
     assert(plain.toSeq == fanned.toSeq)
   }
 
+  test("parser fuzz: mutated corpus queries never hang or throw non-ParseException (dql/parser_fuzz_test.go)") {
+    // the reference fuzzes Parse with its test corpus as seeds; here
+    // every positive-corpus query gets deterministic mutations (char
+    // deletion, truncation, punct swaps) — the parser must either parse
+    // or throw ParseException/LexException, never anything else
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(
+      getClass.getResourceAsStream("/dql_parser_ok_cases.json"))
+    val seeds = scala.collection.mutable.ListBuffer.empty[String]
+    val it = node.fields()
+    while (it.hasNext) seeds += it.next().getValue.asText
+    var n = 0
+    seeds.foreach { q =>
+      val muts = Seq(
+        q.drop(1), q.dropRight(3), q.take(q.length / 2),
+        q.replace("{", "}"), q.replace("(", ""), q.replace(":", ","),
+        q.replace("func", "fnuc"), q + "}", "@" + q,
+        q.replace("\"", ""))
+      muts.foreach { mq =>
+        n += 1
+        try { Parser.parse(mq); () }
+        catch {
+          case _: Parser.ParseException => ()
+          case _: Lexer.LexException => ()
+          case e: Throwable =>
+            fail(s"non-parse failure ${e.getClass.getSimpleName}: ${e.getMessage} for: ${mq.take(80)}")
+        }
+      }
+    }
+    info(s"fuzzed $n mutated documents")
+  }
+
   test("parser accepts the reference's 140 positive parse corpus (dql/parser_test.go)") {
     // the complement of the error corpus: every single-query
     // require.NoError case must PARSE here too — catches validations
