@@ -251,6 +251,13 @@ object Parser {
           }
           b.selections.foreach(sel)
         }
+        // duplicate NAMED block aliases are errors; var and shortest
+        // blocks repeat freely (reference TestDuplicateQueryAliasesError
+        // — its two-shortest form is the require.NoError case)
+        val named = q.blocks.filter(b => b.name != "var" &&
+          b.shortest.isEmpty).map(_.name)
+        if (named.distinct.size != named.size)
+          throw ParseException("Duplicate aliases not allowed")
         val undef = uses -- defs
         if (undef.nonEmpty)
           throw ParseException("Some variables are used but not defined, " +
@@ -356,6 +363,9 @@ object Parser {
       // TestMultipleOrderError2: orderasc + orderdesc on one key)
       if (order.map(_.pred).distinct.size != order.size)
         fail(s"Sorting by an attribute can only be done once (${name})")
+      // val() keys are single-sort only (reference TestOrderByVarAndPred)
+      if (order.size > 1 && order.exists(_.pred.startsWith("val:")))
+        fail("Multiple sorting only allowed by predicates.")
       var filter: Option[FilterNode] = None
       var sawFilter = false
       var cascade = false; var normalize = false
@@ -378,9 +388,11 @@ object Parser {
           case "cascade" =>
             cascade = true
             // @cascade(f1, f2): parameterized — only the listed fields
-            // are mandatory (reference graphql/dql parameterized cascade)
+            // are mandatory (reference graphql/dql parameterized cascade);
+            // empty parens are an error (TestBadCascadeParameterized)
             if (peek == Punct("(")) {
               next()
+              if (peek == Punct(")")) fail("@cascade requires field names")
               var first = true
               while (peek != Punct(")")) {
                 if (!first) expect(",")
@@ -406,7 +418,19 @@ object Parser {
                 val k = ident(); expect(":")
                 k match {
                   case "depth" => depth = intLit()
-                  case "loop" => loop = ident() == "true"
+                  case "loop" =>
+                    // GraphQL vars substitute as StrLit; a non-boolean
+                    // value is an error, not silently-false (reference
+                    // TestRecurseWithArgsWithError "should be type of
+                    // boolean")
+                    val v = next() match {
+                      case Ident(b) => b
+                      case StrLit(b) => b
+                      case other => fail(s"bad loop value $other")
+                    }
+                    if (v != "true" && v != "false")
+                      fail(s"loop value should be type of boolean, got $v")
+                    loop = v == "true"
                   case o => fail(s"unknown recurse arg $o")
                 }
               }
@@ -720,6 +744,8 @@ object Parser {
         expect(")")
         if (order.map(_.pred).distinct.size != order.size)
           fail(s"Sorting by an attribute can only be done once ($name)")
+        if (order.size > 1 && order.exists(_.pred.startsWith("val:")))
+          fail("Multiple sorting only allowed by predicates.")
       }
       parseSelArgs()
       var filter: Option[FilterNode] = None
@@ -1036,6 +1062,10 @@ object Parser {
         }
       }
       expect(")")
+      // uid_in(p) with no membership argument (reference
+      // TestUidInWithParseErrors: "expects an argument, got none")
+      if (fname == "uid_in" && args.isEmpty)
+        fail("uid_in function expects an argument, got none")
       if (fname == "similar_to") {
         // option validation at PARSE time like the reference
         // (TestParseSimilarTo* error cases): known keys, no duplicates,
@@ -1148,6 +1178,12 @@ object Parser {
       case Punct("+") => next(); intLit() // offset: +1 (TestParseRootArgs1)
       case _ => next() match {
         case NumLit(s) => s.toInt
+        case StrLit(s) if s.matches("-?[0-9]+") =>
+          // an untyped GraphQL var substitutes as a string literal
+          // (reference TestRecurseWithArgs: depth: $hello)
+          s.toInt
+        case StrLit(s) =>
+          fail(s"value should be type of integer, got $s")
         case other => fail(s"expected int, got $other")
       }
     }

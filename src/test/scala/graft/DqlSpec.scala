@@ -317,6 +317,47 @@ class DqlSpec extends AnyFunSuite {
     assert(plain.toSeq == fanned.toSeq)
   }
 
+  test("parser: multi-query reference funcs (duplicate aliases, val multi-sort, recurse vars, cascade args, uid_in)") {
+    def err(q: String, vars: Map[String, String] = Map.empty): Unit =
+      intercept[Parser.ParseException] { Parser.parseWithVars(q, vars); () }
+    def ok(q: String, vars: Map[String, String] = Map.empty): DqlQuery =
+      Parser.parseWithVars(q, vars)
+    // TestDuplicateQueryAliasesError: duplicate named blocks error;
+    // two shortest blocks with distinct vars are fine
+    err("""{ a(func: uid(1)) { uid } a(func: uid(2)) { uid } }""")
+    ok("""{
+      | path as shortest(from: 0x1, to: 0x4) { friend }
+      | path2 as shortest(from: 0x2, to: 0x3) { friend }
+      | pathQuery1(func: uid(path)) { name }
+      | pathQuery2(func: uid(path2)) { name } }""".stripMargin)
+    // TestOrderByVarAndPred: val() keys are single-sort only
+    err("""{ q(func: uid(1), orderasc: name, orderdesc: val(n)) { }
+      |  var(func: uid(0x0a)) { friends { n AS name } } }""".stripMargin)
+    ok("""{ q(func: uid(1)) { }
+      |  var(func: uid(0x0a)) {
+      |    friends (orderasc: name, orderdesc: genre) { name } } }""".stripMargin)
+    // TestRecurseWithArgs / WithError: $var depth/loop, typed errors
+    val r = ok("""{ me(func: eq(name, "sad")) @recurse(depth: $h, loop: $l) { } }""",
+      Map("$h" -> "1", "$l" -> "true"))
+    assert(r.blocks.head.recurse.contains(RecurseArgs(1, loop = true)))
+    err("""{ me(func: eq(name, "sad")) @recurse(depth: $h, loop: true) { } }""")
+    err("""{ me(func: eq(name, "sad")) @recurse(depth: $h, loop: $l) { } }""",
+      Map("$h" -> "sd", "$l" -> "true"))
+    err("""{ me(func: eq(name, "sad")) @recurse(depth: $h, loop: $l) { } }""",
+      Map("$h" -> "1", "$l" -> "tre"))
+    // TestBadCascadeParameterized: empty/malformed parameter lists
+    for (bad <- Seq("@cascade(", "@cascade()", "@cascade(,)",
+        "@cascade(name,)", "@cascade(,name)"))
+      err(s"{ names(func: has(name)) $bad { name age dob } }")
+    // TestUidInWithParseErrors
+    err("""{ me(func: uid(1)) { friend @filter(uid_in(school, )) { name } } }""")
+    err("""{ me(func: uid(1)) { friend @filter(uid_in(school)) { name } } }""")
+    err("""{ me(func: uid(1)) { friend @filter(uid_in(school, uid(5000))) { name } } }""")
+    err("""{ uidVar as q(func: uid(5000)) { uid }
+      |  me(func: uid(1)) {
+      |    friend @filter(uid_in(school, uid(uidVar, 5001))) { name } } }""".stripMargin)
+  }
+
   test("parser fuzz: mutated corpus queries never hang or throw non-ParseException (dql/parser_fuzz_test.go)") {
     // the reference fuzzes Parse with its test corpus as seeds; here
     // every positive-corpus query gets deterministic mutations (char
