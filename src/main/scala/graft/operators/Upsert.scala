@@ -153,6 +153,14 @@ object Upsert {
       while (i < body.length && body(i).isWhitespace) i += 1
       val cond =
         if (i < body.length && body(i) == '@') {
+          // the only mutation directive is @if — a typo'd name must
+          // error, not silently parse its parens as the condition
+          // (reference TestConditionalUpsertErrWrongIf)
+          var k = i + 1
+          while (k < body.length && body(k).isLetter) k += 1
+          val dname = body.substring(i + 1, k)
+          if (dname != "if")
+            throw UpsertException(s"Expected @if, found [@$dname]")
           val close = {
             val open = body.indexOf('(', i)
             var depth = 0; var j = open

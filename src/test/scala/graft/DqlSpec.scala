@@ -269,6 +269,41 @@ class DqlSpec extends AnyFunSuite {
     // TestEmptyMutationErr
     assertThrows[Upsert.UpsertException](Upsert.parse(
       """upsert { query { a(func: eq(age, 34)) { uid } } mutation { } }"""))
+    // TestMultipleMutation / DifferentOrder: several mutation blocks,
+    // each with its own @if, in any position relative to the query
+    val multi = Upsert.parse(
+      """upsert {
+        |  mutation @if(eq(len(m), 1)) { set { uid(m) <age> "45" . } }
+        |  query { me(func: eq(age, 34)) @filter(ge(name, "user")) { m as uid } }
+        |  mutation @if(NOT(eq(len(m), 1))) { set { uid(m) <age> "46" . } }
+        |  mutation { set { _:user <age> "45" . } }
+        |}""".stripMargin)
+    assert(multi.mutations.size == 3)
+    assert(multi.mutations.count(_.cond.isDefined) == 2)
+    // TestUpsertMutationThenQuery: mutation first parses too
+    val mq = Upsert.parse(
+      """upsert {
+        |  mutation { set { _:user1 <age> "45" . } }
+        |  query { me(func: eq(age, 34)) { uid friend { uid age } } }
+        |}""".stripMargin)
+    assert(mq.mutations.size == 1)
+    // error matrix (upsert_test.go 29-147, 389-456)
+    for (bad <- Seq(
+        // TestExtraRightCurlErr
+        """upsert { query { me(func: eq(age, 34)) { uid } } } } mutation { set { _:u <age> "1" . } }""",
+        // TestIncompleteBlockErr (truncated mid-mutation)
+        """upsert { mutation @if(eq(len(m), 1)) { set { uid(m) <age> "45" .""",
+        // TestConditionalUpsertErrUnclosed
+        """upsert { mutation @if(eq(len(m), 1) AND gt(len(f), 0))""",
+        // TestConditionalUpsertErrInvalidIf
+        """upsert { mutation @if""",
+        // TestConditionalUpsertErrWrongIf (@fi typo)
+        """upsert { mutation @fi(eq(len(m), 1)) { set { uid(m) <age> "45" . } }
+          |  query { me(func: eq(age, 34)) { m as uid } } }""".stripMargin,
+        // TestInvalidBlockErr (unknown block keyword)
+        """upsert { mutilation { set { _:u <age> "1" . } }
+          |  query { me(func: eq(age, 34)) { uid } } }""".stripMargin))
+      assertThrows[Exception](Upsert.parse(bad))
   }
 
   test("@cascade(field) validates names at rewrite time, not mid-plan") {
