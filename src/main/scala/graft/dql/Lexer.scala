@@ -69,6 +69,14 @@ object Lexer {
         // reference's lexer; binary minus in math() therefore needs
         // spaces, same as the reference
         val start = i
+        // right after an attached '@' we are lexing a LANGUAGE tag:
+        // '-' before a digit continues it (BCP47 es-419, reference
+        // state_test.go TestNumberInLang) — everywhere else that is a
+        // math subtraction
+        val inLangTag = {
+          val sofar = out.result()
+          sofar.lastOption.contains(Punct("@@"))
+        }
         while (i < n && (input(i).isLetterOrDigit || input(i) == '_' ||
           input(i) == '.' ||
           // '-' continues only before a LETTER: tweet-a is a name,
@@ -77,7 +85,8 @@ object Lexer {
           // need spaces here, as the reference's index-pred1 shows the
           // digit glued to the letter)
           (input(i) == '-' && i + 1 < n &&
-            (input(i + 1).isLetter || input(i + 1) == '_')))) i += 1
+            (input(i + 1).isLetter || input(i + 1) == '_' ||
+              (inLangTag && input(i + 1).isDigit))))) i += 1
         out += Ident(input.substring(start, i))
       } else if (c == '$' && (peek(1).isLetter || peek(1) == '_')) {
         // $var — a DQL query variable reference (dql/vars.go)

@@ -393,6 +393,13 @@ class DqlSpec extends AnyFunSuite {
       |    friend @filter(uid_in(school, uid(uidVar, 5001))) { name } } }""".stripMargin)
   }
 
+  test("lexer: BCP47 lang tags with numeric subtags (state_test.go TestNumberInLang)") {
+    val q = Parser.parse("""{ q(func: eq(name@es-419, "aoeu")) { name@. } }""")
+    assert(q.blocks.head.func.pred == "name@es-419")
+    val q2 = Parser.parse("""{ q(func: has(name)) { name@en-US:fr } }""")
+    assert(q2.blocks.head.selections.head.langChain == Seq("en-US", "fr"))
+  }
+
   test("parser fuzz: mutated corpus queries never hang or throw non-ParseException (dql/parser_fuzz_test.go)") {
     // the reference fuzzes Parse with its test corpus as seeds; here
     // every positive-corpus query gets deterministic mutations (char
