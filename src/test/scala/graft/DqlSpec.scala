@@ -393,6 +393,28 @@ class DqlSpec extends AnyFunSuite {
       |    friend @filter(uid_in(school, uid(uidVar, 5001))) { name } } }""".stripMargin)
   }
 
+  test("DQL fragments: spreads expand (nested, shared across blocks) and execute") {
+    // reference TestParseFragmentMultiQuery/Nest shapes, run end-to-end
+    val frag = exec.jsonRows(
+      """{ q(func: eq(name, "NATION_3")) { ...basic in_region { ...rgn } } }
+        |fragment basic { name }
+        |fragment rgn { ...rgnInner }
+        |fragment rgnInner { name }""".stripMargin).collect()
+    val plain = exec.jsonRows(
+      """{ q(func: eq(name, "NATION_3")) { name in_region { name } } }""").collect()
+    assert(frag.length == 1 && frag.head.getString(1) == plain.head.getString(1))
+    // cycle + missing fragment are parse errors with the reference's text
+    val cyc = intercept[Parser.ParseException] {
+      Parser.parse("""{ q(func: uid(1)) { ...a } }
+        |fragment a { ...b } fragment b { ...a }""".stripMargin)
+    }
+    assert(cyc.msg.contains("Cycle detected"))
+    val miss = intercept[Parser.ParseException] {
+      Parser.parse("""{ q(func: uid(1)) { ...nope } }""")
+    }
+    assert(miss.msg.contains("Missing fragment"))
+  }
+
   test("lexer: BCP47 lang tags with numeric subtags (state_test.go TestNumberInLang)") {
     val q = Parser.parse("""{ q(func: eq(name@es-419, "aoeu")) { name@. } }""")
     assert(q.blocks.head.func.pred == "name@es-419")
@@ -442,11 +464,6 @@ class DqlSpec extends AnyFunSuite {
     val node = m.readTree(
       getClass.getResourceAsStream("/dql_parser_ok_cases.json"))
     val lenient = Set(
-      // fragments are a GraphQL-side feature here (graphql/Gql handles
-      // them); raw-DQL fragment spreads are out of scope
-      "TestParseFragmentMultiQuery", "TestParseFragmentNoNesting",
-      "TestParseFragmentNest1", "TestParseFragmentNest2",
-      "TestParseFragmentCycle", "TestParseFragmentMissing",
       // GraphQL-var headers with mutation/schema payloads
       "TestParseVariablesDefault1", "TestParseMutation",
       // needs caller-supplied query vars (the reference test passes a
