@@ -463,21 +463,17 @@ class DqlSpec extends AnyFunSuite {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.readTree(
       getClass.getResourceAsStream("/dql_parser_ok_cases.json"))
-    val lenient = Set(
-      // GraphQL-var headers with mutation/schema payloads
-      "TestParseVariablesDefault1", "TestParseMutation",
-      // needs caller-supplied query vars (the reference test passes a
-      // vars map; the corpus runner calls bare Parse)
-      "TestParseSimilarToWithQueryVariable",
-      // reference-internal shapes with no engine analogue
-      "TestParseStubbedDirectives")
+    // cases whose reference test supplies a query-vars map
+    val varsFor = Map(
+      "TestParseSimilarToWithQueryVariable" -> Map("$eff" -> "10"))
+    val lenient = Set.empty[String]
     val rejected = scala.collection.mutable.ListBuffer.empty[String]
     val it = node.fields()
     while (it.hasNext) {
       val e = it.next()
       val (name, q) = (e.getKey, e.getValue.asText)
       if (!lenient.contains(name)) {
-        try Parser.parse(q)
+        try Parser.parseWithVars(q, varsFor.getOrElse(name, Map.empty))
         catch { case ex: Exception => rejected += s"$name(${ex.getMessage})" }
       }
     }
