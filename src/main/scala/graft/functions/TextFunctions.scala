@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
   * shingles, MinHash signatures, SimHash, language-ID heuristic, quality
   * metrics, canonical fingerprints.
   *
-  * Everything here is a composition of codegen'd Catalyst higher-order
-  * functions (transform/filter/aggregate) — no UDFs, no shuffles; all
-  * per-row, so these scale embarrassingly parallel over any corpus.
+  * Everything here is a composition of Catalyst column expressions — no
+  * UDFs, no shuffles; all per-row, so these scale embarrassingly
+  * parallel over any corpus. Caveat: Catalyst higher-order functions
+  * (transform/filter/aggregate) are CodegenFallback (interpreted), so
+  * hot paths that fold large arrays should prefer an explode+aggregate
+  * relational shape (see [[graft.operators.Dedup.simhash]]) — the HOF
+  * forms here are convenience APIs for small arrays.
   *
   * Hash determinism: md5 is the cross-engine anchor (identical in Spark
   * and DuckDB); MinHash signatures are lexicographic minima of salted md5
@@ -54,13 +58,21 @@ object TextFunctions {
     */
   def wordHashes16(ws: Column): Column = transform(array_distinct(ws), w => h16(w))
 
-  /** 16-bit SimHash from a precomputed wordHashes16 column. */
+  /** 16-bit SimHash from a precomputed wordHashes16 column. ONE fold
+    * over the array accumulating all 16 bit-scores at once (an
+    * `aggregate` with an array accumulator and a finish lambda that
+    * assembles the signature) — still interpreted (HOFs are
+    * CodegenFallback) but a single pass, not 16. At corpus scale prefer
+    * the explode + conditional-SUM shape in
+    * [[graft.operators.Dedup.simhash]], which whole-stage-codegens.
+    */
   def simhashFromHashes(hs: Column): Column =
-    (0 until 16).map { b =>
-      val score = aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
-      when(score > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    aggregate(hs, array_repeat(lit(0L), 16),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(15)),
+        (a, b) => a + (call_function("shiftright", h, b.cast("int")) % 2) * 2 - 1),
+      acc => (0 until 16).map(b =>
+        when(element_at(acc, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _))
 
   /** 16-bit SimHash over the distinct words of a document (convenience;
     * prefer materializing wordHashes16 when computing at scale).

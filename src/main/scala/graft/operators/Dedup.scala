@@ -109,24 +109,25 @@ object Dedup {
   }
 
   /** Per-document SimHash at `bits` width from md5-prefix word hashes.
-    * Per-ROW fold: one `transform` hashes the distinct words once, then
-    * one codegen'd `aggregate` per bit folds the hash array — ZERO
-    * shuffle, where the r8 explode+groupBy shape shuffled one row per
-    * (doc, word) (~2 M rows at sf0.1) to compute the identical values.
-    * The oracle SQL keeps the relational formulation; the VALUES are
-    * bit-identical, which is what the hash gate compares.
+    * Explode + one hash-aggregate with per-bit conditional SUMs — every
+    * operator whole-stage-codegens. The per-row Catalyst `aggregate`
+    * fold this replaces looked shuffle-free but ran interpreted
+    * (higher-order functions are CodegenFallback) with one pass over
+    * the hash array PER BIT — 16-60 passes/row — which benched 68×
+    * slower than this shape at sf0.1. The explode shuffle it avoided is
+    * cheap: map-side partial aggregation combines to one row per doc
+    * before the exchange, so only |docs| × (bits+1) longs move.
     */
   private def simhashBits(df: DataFrame, id: Column, text: Column,
       bits: Int): DataFrame = {
-    val hs = transform(array_distinct(words(text)),
-      w => conv(substring(md5(w), 1, bits / 4), 16, 10).cast("long"))
-    val withH = df.select(id.as("id"), hs.as("__hs"))
-    val bitScore = (b: Int) => aggregate(col("__hs"), lit(0L),
-      (acc, x) => acc + (shiftright(x, b) % 2) * 2 - 1)
+    val hb = df.select(id.as("id"), explode(array_distinct(words(text))).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, bits / 4), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until bits).map(b =>
+      sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"b$b"))
     val assembled = (0 until bits).map(b =>
-      when(bitScore(b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    // docs with NO words never reached the groupBy in the explode shape
-    withH.filter(size(col("__hs")) > 0)
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    hb.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), assembled.as("simhash"))
   }
 
@@ -168,30 +169,46 @@ object Dedup {
       // join sides, so key equality is unaffected
       if (w >= 64) sig else shiftright(sig, lo) % (1L << w)
     }
-    // materialized once: both self-join sides re-derive their buckets from
-    // this tiny (id, simhash) frame instead of re-running the signature
-    // derivation per side
-    val sh = sig0.localCheckpoint()
-    val buckets = sh.select(col("id"), col("simhash"),
+    // Band over DISTINCT signatures, not ids: near-dup corpora concentrate
+    // exact-duplicate signatures, and every member of a sig-clique shares
+    // ALL nBlocks block keys — banding raw ids joins |clique|² rows in
+    // every block's bucket (measured 40 M joined pairs at sf0.1 where the
+    // distinct-sig join evaluates a fraction of that). Collapse to one row
+    // per signature carrying its member-id list, join those, and expand
+    // members afterward with shuffle-free explodes. Each unordered doc
+    // pair maps to exactly one sig pair (a doc has one sig), so no dedup
+    // pass is needed; clique-internal pairs are dist-0 by construction.
+    val groups = sig0.groupBy(col("simhash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .localCheckpoint()
+    val buckets = groups.select(col("simhash"), col("ids"),
       posexplode(array((0 until nBlocks).map(blockOf(col("simhash"), _)): _*))
         .as(Seq("blk", "key")))
     val l = buckets.as("l"); val r = buckets.as("r")
-    // Emit each pair only from its FIRST matching block: for the match at
-    // block `blk`, require every earlier block to differ (recomputed from
-    // the two signatures already present on the joined row). Near-identical
-    // clusters match in all nBlocks blocks, so without this each pair
-    // surfaces nBlocks times and the dropDuplicates shuffle carries
-    // nBlocks x |pairs| wide rows — the dominant cost of the operator.
-    // With it every pair is emitted exactly once and no dedup shuffle
-    // exists at all.
+    // Emit each sig pair only from its FIRST matching block: for the match
+    // at block `blk`, require every earlier block to differ (recomputed
+    // from the two signatures already on the joined row), so each
+    // candidate surfaces exactly once and no dedup shuffle exists.
     val firstMatch = (0 until nBlocks - 1).map { j =>
       col("l.blk") <= j || blockOf(col("l.simhash"), j) =!= blockOf(col("r.simhash"), j)
     }.foldLeft(lit(true))(_ && _)
-    l.join(r, col("l.blk") === col("r.blk") && col("l.key") === col("r.key")
-        && col("l.id") < col("r.id") && firstMatch)
-      .select(col("l.id").as("a"), col("r.id").as("b"),
+    val cross = l.join(r,
+        col("l.blk") === col("r.blk") && col("l.key") === col("r.key")
+        && col("l.simhash") < col("r.simhash")
+        && hamming(col("l.simhash"), col("r.simhash")) <= maxDist && firstMatch)
+      .select(col("l.ids").as("idsA"), col("r.ids").as("idsB"),
         hamming(col("l.simhash"), col("r.simhash")).as("dist"))
-      .filter(col("dist") <= maxDist)
+      .select(explode(col("idsA")).as("x"), col("idsB"), col("dist"))
+      .select(col("x"), explode(col("idsB")).as("y"), col("dist"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("dist"))
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"),
+        lit(0).cast("int").as("dist"))
+    cross.unionByName(intra)
   }
 
   /** Image near-dup pairs: the 64-bit aHash perceptual fingerprints of
