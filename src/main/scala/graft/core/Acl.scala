@@ -85,10 +85,16 @@ final class Acl(users: Map[String, Acl.User],
     def b64(x: Array[Byte]) = java.util.Base64.getUrlEncoder.withoutPadding
       .encodeToString(x)
     val header = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
-    val groupsJson = u.groups.toSeq.sorted.map(g => s""""$g"""").mkString(",")
-    val payload = b64(
-      s"""{"userid":"${u.id}","groups":[$groupsJson],"namespace":${u.namespace}}"""
-        .getBytes("UTF-8"))
+    // serialize through Jackson, not string interpolation: a userId or
+    // group name containing '"' or '\' must not inject claims into a
+    // payload the server then SIGNS
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = M.createObjectNode()
+    p.put("userid", u.id)
+    val ga = p.putArray("groups")
+    u.groups.toSeq.sorted.foreach(ga.add)
+    p.put("namespace", u.namespace)
+    val payload = b64(M.writeValueAsString(p).getBytes("UTF-8"))
     val mac = javax.crypto.Mac.getInstance("HmacSHA256")
     mac.init(new javax.crypto.spec.SecretKeySpec(
       secret.getBytes("UTF-8"), "HmacSHA256"))
@@ -114,6 +120,22 @@ final class Acl(users: Map[String, Acl.User],
     (perm(gs, predicate) & Read) != 0
   def canWrite(gs: Set[String], predicate: String): Boolean =
     (perm(gs, predicate) & Write) != 0
+
+  /** Is the token's bearer in the guardians group (signature-checked)? */
+  def isGuardian(accessJwt: String): Boolean =
+    groupsOf(accessJwt).contains(Guardians)
+
+  /** Admin-surface gate (reference edgraph/server.go AlterAllowed /
+    * guardianOnly): schema alters, drops, and GraphQL-schema updates are
+    * guardian-only when ACL is enabled. Errors with the reference's
+    * shape rather than silently filtering.
+    */
+  def requireGuardian(accessJwt: String, op: String): Unit = {
+    val userId = claims(accessJwt).getOrElse("userid", "unknown")
+    if (!isGuardian(accessJwt)) throw AclException(
+      s"unauthorized to $op. Only guardians are allowed access. " +
+        s"User '$userId' is not a member of guardians group.")
+  }
 
   /** ACL-enforced view of `inner` for the token's bearer: unauthorized
     * predicates resolve EMPTY (reference worker/acl.go filters them out

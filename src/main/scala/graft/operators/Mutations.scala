@@ -37,6 +37,32 @@ object Mutations {
       .join(exact, Seq("subject", "predicate"), "left_anti")
   }
 
+  /** Triple-precise delete (reference S P O deletion, edgraph mutation
+    * path): rows carry (subject, predicate, objectUid, value) where
+    *  - predicate "*"            → drop the whole node (S * *),
+    *  - null objectUid AND value → drop every value of the predicate
+    *                               (S P *),
+    *  - non-null objectUid       → drop just that edge,
+    *  - non-null value           → drop just that literal triple.
+    * Each arm is one anti-join on its own key — same shuffle shape as
+    * [[applyDelete]], still co-partitioned when the base is bucketed on
+    * subject.
+    */
+  def applyDeleteTriples(base: DataFrame, deletes: DataFrame): DataFrame = {
+    val star = deletes.filter(col("predicate") === "*").select("subject")
+    val whole = deletes.filter(col("predicate") =!= "*" &&
+        col("objectUid").isNull && col("value").isNull)
+      .select("subject", "predicate")
+    val exactObj = deletes.filter(col("objectUid").isNotNull)
+      .select("subject", "predicate", "objectUid")
+    val exactVal = deletes.filter(col("value").isNotNull)
+      .select("subject", "predicate", "value")
+    base.join(star, Seq("subject"), "left_anti")
+      .join(whole, Seq("subject", "predicate"), "left_anti")
+      .join(exactObj, Seq("subject", "predicate", "objectUid"), "left_anti")
+      .join(exactVal, Seq("subject", "predicate", "value"), "left_anti")
+  }
+
   /** Upsert: run the query block to bind `v`, apply the conditional
     * mutation only when `cond(len(v))` holds (reference @if(eq(len(v),N)),
     * dql/parser_mutation.go:105). The length check is a driver-side

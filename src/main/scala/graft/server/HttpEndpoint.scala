@@ -19,7 +19,14 @@ import graft.sources.RdfSource
   *
   *   POST /query   DQL — raw text, or JSON `{"query":…,"variables":…}`
   *   POST /mutate  `{ set { <N-Quads> } delete { <N-Quads> } }` or the
-  *                 JSON mutation form `{"set":[{…}],"delete":[…]}`
+  *                 JSON mutation form `{"set":[{…}],"delete":[…]}`.
+  *                 `?commitNow=false` queues into a txn and returns its
+  *                 `start_ts`; `?startTs=N` appends to that txn.
+  *   POST /commit  `?startTs=N` applies the queued batch atomically;
+  *                 `&abort=true` discards it (reference run.go:484-549
+  *                 commit handler). Single-writer engine: the keys/preds
+  *                 conflict lists in the body are accepted and ignored,
+  *                 and queries always read the last committed frame.
   *   POST /alter   DQL schema payload (predicates + types)
   *   POST /graphql JSON `{"query":…,"variables":…}`
   *   POST /admin/schema  replace the GraphQL SDL
@@ -59,6 +66,15 @@ final class HttpEndpoint(
   @volatile private var sdlText = "" // raw SDL for getGQLSchema
   @volatile private var server: HttpServer = _
   private val writeLock = new Object
+  // open transactions (reference api.TxnContext): startTs → queued
+  // (set, delete) line batches, applied atomically by /commit. The
+  // engine is single-writer over an immutable frame, so a txn is a
+  // deferred batch — no conflict detection (keys/preds in the /commit
+  // body are accepted and ignored), single-snapshot semantics: queries
+  // always read the last COMMITTED frame.
+  private val txnSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val txns = scala.collection.concurrent.TrieMap
+    .empty[Long, Vector[(Seq[(String, String)], Seq[(String, String)])]]
 
   private def store: GraphStore =
     new TripleFrameStore(spark, schema, triples, facetKeys,
@@ -70,11 +86,33 @@ final class HttpEndpoint(
   private def storeFor(ex: HttpExchange): GraphStore = acl match {
     case None => store
     case Some(a) =>
-      Option(ex.getRequestHeaders.getFirst("X-Dgraph-AccessToken")) match {
+      accessToken(ex) match {
         case Some(tok) => a.storeFor(store, tok)
         case None => throw Acl.AclException("no accessJwt available")
       }
   }
+
+  private def accessToken(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("X-Dgraph-AccessToken"))
+
+  /** Guardian gate for the admin surface — no-op with ACL off; with ACL
+    * on, requires a valid access JWT whose bearer is in the guardians
+    * group (reference edgraph/server.go AlterAllowed).
+    */
+  private def requireGuardian(ex: HttpExchange, op: String): Unit =
+    acl.foreach { a =>
+      val tok = accessToken(ex)
+        .getOrElse(throw Acl.AclException("no accessJwt available"))
+      a.requireGuardian(tok, op)
+    }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('=')
+        java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+      }.toMap
 
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -95,47 +133,61 @@ final class HttpEndpoint(
     })
     server.createContext("/mutate", handler { ex =>
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      writeLock.synchronized {
-        val (sets, dels) =
-          if (contentType(ex).contains("application/json"))
-            jsonMutation(body)
-          else rdfMutation(body)
-        // graphql-reserved predicates may not be user-mutated (reference
-        // x/keys.go otherReservedPredicate + edgraph/server.go:2295 —
-        // NOT the whole dgraph. prefix: dgraph.type stays mutable)
-        (sets.map(_._2) ++ dels.map(_._2))
-          .find(HttpEndpoint.graphqlReserved.contains)
-          .foreach(p => throw new IllegalArgumentException(
-            s"Cannot mutate graphql reserved predicate $p"))
-        acl.foreach { a =>
-          val tok = Option(
-            ex.getRequestHeaders.getFirst("X-Dgraph-AccessToken"))
-            .getOrElse(throw Acl.AclException("no accessJwt available"))
-          a.authorizeMutation(tok,
-            sets.map(_._2) ++ dels.map(_._2))
-        }
-        import spark.implicits._
-        var next = triples
-        if (sets.nonEmpty)
-          next = Mutations.applySet(next,
-            RdfSource.parse(sets.map(_._1).toDF("line")))
-        if (dels.nonEmpty) {
-          // delete lines allow wildcards — `<0x1> <p> * .` drops the
-          // predicate, `<0x1> * * .` the whole node (S * * semantics);
-          // request bodies are metadata-sized, parse driver-side
-          val delRe = """<0x([0-9a-fA-F]+)>\s+(?:<([^>]+)>|\*)""".r
-          val pairs = dels.map(_._1).flatMap(l =>
-            delRe.findFirstMatchIn(l).map(m =>
-              (java.lang.Long.parseLong(m.group(1), 16),
-                Option(m.group(2)).getOrElse("*"))))
-          next = Mutations.applyDelete(next,
-            pairs.toDF("subject", "predicate"))
-        }
-        triples = next.localCheckpoint()
+      val (sets, dels) =
+        if (contentType(ex).contains("application/json"))
+          jsonMutation(body)
+        else rdfMutation(body)
+      // graphql-reserved predicates may not be user-mutated (reference
+      // x/keys.go otherReservedPredicate + edgraph/server.go:2295 —
+      // NOT the whole dgraph. prefix: dgraph.type stays mutable)
+      (sets.map(_._2) ++ dels.map(_._2))
+        .find(HttpEndpoint.graphqlReserved.contains)
+        .foreach(p => throw new IllegalArgumentException(
+          s"Cannot mutate graphql reserved predicate $p"))
+      acl.foreach { a =>
+        val tok = accessToken(ex)
+          .getOrElse(throw Acl.AclException("no accessJwt available"))
+        a.authorizeMutation(tok, sets.map(_._2) ++ dels.map(_._2))
       }
-      """{"data":{"code":"Success","message":"Done"}}"""
+      validateLines(sets.map(_._1), dels.map(_._1))
+      val params = queryParams(ex)
+      val startTs = params.get("startTs").map(_.toLong)
+      if (params.get("commitNow").contains("false")) {
+        // queue into an open txn (reference run.go:504 commitNow=false:
+        // the mutation is proposed but visible only after /commit)
+        val ts = startTs.getOrElse(txnSeq.incrementAndGet())
+        txns.updateWith(ts)(q =>
+          Some(q.getOrElse(Vector.empty) :+ (sets, dels)))
+        s"""{"data":{"code":"Success","message":"Done"},""" +
+          s""""extensions":{"txn":{"start_ts":$ts}}}"""
+      } else {
+        // commit-now (also drains any batches queued under startTs)
+        val queued = startTs.flatMap(txns.remove).getOrElse(Vector.empty)
+        writeLock.synchronized {
+          applyMutations(queued :+ ((sets, dels)))
+        }
+        """{"data":{"code":"Success","message":"Done"}}"""
+      }
+    })
+    server.createContext("/commit", handler { ex =>
+      val params = queryParams(ex)
+      val ts = params.get("startTs").map(_.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          "startTs parameter is mandatory while trying to commit"))
+      if (params.get("abort").contains("true")) {
+        txns.remove(ts)
+        s"""{"data":{"code":"Success","message":"Done"},""" +
+          s""""extensions":{"txn":{"start_ts":$ts,"aborted":true}}}"""
+      } else {
+        val batches = txns.remove(ts).getOrElse(
+          throw new IllegalArgumentException(s"Transaction $ts not found"))
+        writeLock.synchronized { applyMutations(batches) }
+        s"""{"data":{"code":"Success","message":"Done"},""" +
+          s""""extensions":{"txn":{"start_ts":$ts,"commit_ts":${ts + 1}}}}"""
+      }
     })
     server.createContext("/alter", handler { ex =>
+      requireGuardian(ex, "alter")
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       writeLock.synchronized {
         // JSON drop operations (reference edgraph/server.go:369 Alter:
@@ -157,10 +209,20 @@ final class HttpEndpoint(
       val vars = Option(n.get("variables")).filter(!_.isNull)
         .map(jsonGVals).getOrElse(Map.empty)
       val eng = new GraphQLEngine(storeFor(ex), gqlSchema)
-      val rows = eng.json(n.get("query").asText, vars).collect()
+      // @auth claims ride the header the SDL's # Dgraph.Authorization
+      // names (reference graphql/authorization/auth.go AttachAuthToken),
+      // falling back to the ACL token / a bearer Authorization
+      val tok = gqlSchema.authConfig.map(_.header).filter(_.nonEmpty)
+        .flatMap(h => Option(ex.getRequestHeaders.getFirst(h)))
+        .orElse(accessToken(ex))
+        .orElse(Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .map(_.stripPrefix("Bearer ").trim))
+      val claims = tok.map(eng.claimsFor).getOrElse(Map.empty[String, String])
+      val rows = eng.json(n.get("query").asText, vars, claims).collect()
       envelope(rows.map(r => (r.getString(0), r.getString(2))))
     })
     server.createContext("/admin/schema", handler { ex =>
+      requireGuardian(ex, "update GraphQL schema")
       val sdl = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       writeLock.synchronized { gqlSchema = SdlParser.parse(sdl); sdlText = sdl }
       """{"data":{"code":"Success","message":"Done"}}"""
@@ -176,6 +238,7 @@ final class HttpEndpoint(
       if (q.contains("getGQLSchema"))
         s"""{"data":{"getGQLSchema":{"schema":${M.writeValueAsString(sdlText)}}}}"""
       else if (q.contains("updateGQLSchema")) {
+        requireGuardian(ex, "update GraphQL schema")
         val sch = """schema\s*:\s*"((?:[^"\\]|\\.)*)"""".r
           .findFirstMatchIn(q).map(_.group(1)
             .replace("\\n", "\n").replace("\\\"", "\"")
@@ -303,44 +366,168 @@ final class HttpEndpoint(
     }
   }
 
-  private def rdfMutation(body: String): (Seq[(String, String)], Seq[(String, String)]) = {
-    def block(name: String): Seq[(String, String)] =
-      s"""(?s)$name\\s*\\{(.*?)\\}""".r.findFirstMatchIn(body)
-        .map(_.group(1).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
-        .map { l =>
-          // predicate = the 2nd whitespace token; the subject may be a
-          // blank node (_:x) with no angle brackets, so counting <...>
-          // matches mis-attributed the predicate (and let blank-subject
-          // sets slip past the per-predicate guards)
-          l -> l.split("\\s+").lift(1)
-            .map(_.stripPrefix("<").stripSuffix(">")).getOrElse("*")
+  /** Extract the `name { ... }` block's inner text by scanning to the
+    * MATCHING close brace while honoring quoted strings (a `}` inside an
+    * N-Quad value must not truncate the block — the non-greedy regex
+    * this replaces stopped at the first `}` and silently dropped every
+    * later mutation line).
+    */
+  private def mutationBlock(body: String, name: String): Seq[String] =
+    ("""(?s)\b""" + name + """\s*\{""").r.findFirstMatchIn(body).map { m =>
+      val open = m.end - 1
+      var depth = 0; var i = open; var inStr = false; var close = -1
+      while (i < body.length && close < 0) {
+        val c = body.charAt(i)
+        if (inStr) {
+          if (c == '\\') i += 1 else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) close = i
+          case _ =>
         }
-    (block("set"), block("delete"))
+        i += 1
+      }
+      if (close < 0) throw new IllegalArgumentException(
+        s"unbalanced braces in $name block")
+      body.substring(open + 1, close)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+
+  private def rdfMutation(body: String): (Seq[(String, String)], Seq[(String, String)]) = {
+    def withPred(ls: Seq[String]): Seq[(String, String)] = ls.map { l =>
+      // predicate = the 2nd whitespace token; the subject may be a
+      // blank node (_:x) with no angle brackets, so counting <...>
+      // matches mis-attributed the predicate (and let blank-subject
+      // sets slip past the per-predicate guards)
+      l -> l.split("\\s+").lift(1)
+        .map(_.stripPrefix("<").stripSuffix(">")).getOrElse("*")
+    }
+    (withPred(mutationBlock(body, "set")),
+      withPred(mutationBlock(body, "delete")))
   }
 
   /** JSON mutation `{"set":[{"uid":"0x1","name":"x"},…]}` → N-Quad
     * lines through the same path (reference mutationHandler JSON arm).
+    * Values are escaped (backslash then quote — [[RdfSource.formatAttrs]]
+    * order) so a value containing `"` or `\` round-trips instead of
+    * desyncing the line from the parse regex; predicate keys must be
+    * free of N-Quad structural characters so the ACL-checked predicate
+    * IS the parsed one. Delete objects: `{"uid":"0x1"}` alone drops the
+    * whole node (S * *); a null-valued field drops every value of that
+    * predicate (S P *); a concrete value drops just that triple.
     */
   private def jsonMutation(body: String): (Seq[(String, String)], Seq[(String, String)]) = {
-    def lines(arrName: String): Seq[(String, String)] = {
+    def esc(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    def checkPred(k: String): String = {
+      if (k.isEmpty || k.exists(c => c == '<' || c == '>' || c == '"' ||
+          c == '\\' || c.isWhitespace))
+        throw new IllegalArgumentException(s"invalid predicate name: $k")
+      k
+    }
+    def lines(arrName: String, isDelete: Boolean): Seq[(String, String)] = {
       val arr = Option(M.readTree(body).get(arrName)).filter(_.isArray)
         .map(a => (0 until a.size).map(a.get)).getOrElse(Nil)
       arr.flatMap { o =>
         val uid = Option(o.get("uid")).map(_.asText).getOrElse(
           throw new IllegalArgumentException("JSON mutation needs uid"))
+        if (!uid.matches("0x[0-9a-fA-F]+"))
+          throw new IllegalArgumentException(s"invalid uid: $uid")
         val it = o.fields()
         val out = Seq.newBuilder[(String, String)]
+        var nonUid = 0
         while (it.hasNext) {
           val e = it.next()
-          if (e.getKey != "uid")
-            out += (s"""<$uid> <${e.getKey}> "${e.getValue.asText}" ."""
-              -> e.getKey)
+          if (e.getKey != "uid") {
+            nonUid += 1
+            val k = checkPred(e.getKey)
+            if (isDelete && e.getValue.isNull)
+              out += (s"<$uid> <$k> * ." -> k)
+            else
+              out += (s"""<$uid> <$k> "${esc(e.getValue.asText)}" ."""
+                -> k)
+          }
         }
-        out.result()
+        // uid-only delete object = S * * (reference JSON delete of a
+        // node: {"uid":"0x1"} deletes everything about the node)
+        if (isDelete && nonUid == 0) Seq(s"<$uid> * * ." -> "*")
+        else out.result()
       }
     }
-    (lines("set"), lines("delete"))
+    (lines("set", isDelete = false), lines("delete", isDelete = true))
+  }
+
+  // ---- mutation application (caller holds writeLock for applies) ----
+
+  private val setLineOk = Seq(RdfSource.UidLineRe, RdfSource.LitLineRe,
+    RdfSource.BlankLitLineRe)
+  private val delLineRe =
+    """^<0x([0-9a-fA-F]+)> (?:<([^>\s]+)>|\*) (?:<0x([0-9a-fA-F]+)>|"((?:[^"\\]|\\.)*)"|\*) \.$""".r
+
+  /** Reject lines that match none of the parser's shapes — a malformed
+    * line must error at the door, not silently parse to a null-subject
+    * row appended to the store while the intended triple is lost.
+    */
+  private def validateLines(sets: Seq[String], dels: Seq[String]): Unit = {
+    sets.find(l => !setLineOk.exists(l.matches)).foreach(l =>
+      throw new IllegalArgumentException(s"invalid N-Quad in set block: $l"))
+    dels.find(l => delLineRe.findFirstIn(l).isEmpty).foreach(l =>
+      throw new IllegalArgumentException(s"invalid N-Quad in delete block: $l"))
+  }
+
+  /** Apply queued (set, delete) batches in order against the current
+    * frame, swapping once at the end. Blank-subject set lines get fresh
+    * uids (the live-load allocation path); delete lines support the
+    * wildcard forms `S P *` / `S * *` plus value- and object-specific
+    * deletion.
+    */
+  private def applyMutations(
+      batches: Seq[(Seq[(String, String)], Seq[(String, String)])]): Unit = {
+    import spark.implicits._
+    var next = triples
+    batches.foreach { case (sets, dels) =>
+      if (sets.nonEmpty) {
+        val (blankLines, uidLines) =
+          sets.map(_._1).partition(_.startsWith("_:"))
+        var newTriples: DataFrame =
+          if (uidLines.nonEmpty) RdfSource.parse(uidLines.toDF("line"))
+          else null
+        if (blankLines.nonEmpty) {
+          import org.apache.spark.sql.functions.{col, lit}
+          val parsed = RdfSource.parseWithBlanks(blankLines.toDF("line"))
+          val blanks = parsed.select(col("subjectBlank").as("label")).distinct()
+          val alloc = Mutations.allocateUids(blanks, "label",
+              next.select("subject"))
+            .select(col("label").as("__bl"), col("uid").as("__bu"))
+          val resolved = parsed
+            .join(alloc, col("subjectBlank") === col("__bl"))
+            .select(col("__bu").as("subject"), col("predicate"),
+              lit(null).cast("long").as("objectUid"), col("value"), col("lang"),
+              lit(null).cast("string").as("facets"))
+          newTriples =
+            if (newTriples == null) resolved
+            else newTriples.unionByName(resolved)
+        }
+        next = Mutations.applySet(next, newTriples)
+      }
+      if (dels.nonEmpty) {
+        // request bodies are metadata-sized, parse driver-side
+        val rows = dels.map(_._1).flatMap(l =>
+          delLineRe.findFirstMatchIn(l).map { m =>
+            val value = Option(m.group(4)).map(
+              _.replace("\\\"", "\"").replace("\\\\", "\\"))
+            (java.lang.Long.parseLong(m.group(1), 16),
+              Option(m.group(2)).getOrElse("*"),
+              Option(m.group(3))
+                .map(h => java.lang.Long.parseLong(h, 16): java.lang.Long)
+                .orNull,
+              value.orNull)
+          })
+        next = Mutations.applyDeleteTriples(next,
+          rows.toDF("subject", "predicate", "objectUid", "value"))
+      }
+    }
+    triples = next.localCheckpoint()
   }
 
   /** Group (block, json) rows into the `{"data": {...}}` envelope. */

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object RdfSource {
 
+  /** Full-line shapes accepted by [[parse]] / [[parseWithBlanks]] —
+    * shared with endpoint-side validation ([[graft.server.HttpEndpoint]])
+    * so a line the parsers would silently null-extract is REJECTED at
+    * the door instead of appended as a null-subject row.
+    */
+  val UidLineRe: String =
+    "^<0x([0-9a-f]+)> <([^>]+)> <0x([0-9a-f]+)>(?: \\(([^)]*)\\))? \\.$"
+  val LitLineRe: String =
+    "^<0x([0-9a-f]+)> <([^>]+)> \"((?:[^\"\\\\]|\\\\.)*)\"(?:@([a-zA-Z.*]+))?(?: \\(([^)]*)\\))? \\.$"
+  val BlankLitLineRe: String =
+    "^(?:<0x([0-9a-f]+)>|_:([A-Za-z0-9_.-]+)) <([^>]+)> \"((?:[^\"\\\\]|\\\\.)*)\"(?:@([a-zA-Z.*]+))? \\.$"
+
   private def hexUid(c: Column): Column =
     concat(lit("<0x"), lower(conv(c.cast("string"), 10, 16)), lit(">"))
 
@@ -58,7 +70,7 @@ object RdfSource {
     * value, lang.
     */
   def parseWithBlanks(lines: DataFrame): DataFrame = {
-    val litRe = "^(?:<0x([0-9a-f]+)>|_:([A-Za-z0-9_.-]+)) <([^>]+)> \"((?:[^\"\\\\]|\\\\.)*)\"(?:@([a-zA-Z.*]+))? \\.$"
+    val litRe = BlankLitLineRe
     lines.select(
       when(regexp_extract(col("line"), litRe, 1) =!= "",
         conv(regexp_extract(col("line"), litRe, 1), 16, 10).cast("long"))
@@ -78,8 +90,8 @@ object RdfSource {
     * value STRING (null for uid objects), lang STRING, facets STRING.
     */
   def parse(lines: DataFrame): DataFrame = {
-    val uidRe = "^<0x([0-9a-f]+)> <([^>]+)> <0x([0-9a-f]+)>(?: \\(([^)]*)\\))? \\.$"
-    val litRe = "^<0x([0-9a-f]+)> <([^>]+)> \"((?:[^\"\\\\]|\\\\.)*)\"(?:@([a-zA-Z.*]+))?(?: \\(([^)]*)\\))? \\.$"
+    val uidRe = UidLineRe
+    val litRe = LitLineRe
     lines.select(
       when(regexp_extract(col("line"), uidRe, 1) =!= "",
         conv(regexp_extract(col("line"), uidRe, 1), 16, 10))

@@ -22,12 +22,14 @@ class HttpEndpointSpec extends AnyFunSuite {
 
   private def call(port: Int, path: String, method: String = "POST",
       body: String = "", contentType: String = "application/json",
-      token: Option[String] = None): String = {
+      token: Option[String] = None,
+      headers: Map[String, String] = Map.empty): String = {
     val c = new URL(s"http://127.0.0.1:$port$path")
       .openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
     c.setRequestProperty("Content-Type", contentType)
     token.foreach(c.setRequestProperty("X-Dgraph-AccessToken", _))
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
     if (method == "POST") {
       c.setDoOutput(true)
       c.getOutputStream.write(body.getBytes(UTF_8))
@@ -266,6 +268,213 @@ class HttpEndpointSpec extends AnyFunSuite {
       val denied = call(port, "/mutate", contentType = "application/rdf",
         token = Some(tok), body = """{ set { <0x1> <hsal> "9" . } }""")
       assert(denied.contains("unauthorized to mutate following predicates: hsal"))
+    } finally ep.stop()
+  }
+
+  test("txn envelope: commitNow=false queues, /commit applies, abort discards") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def n(): Int = {
+        val q = m.readTree(call(port, "/query",
+          body = "{ q(func: has(hname)) { hname } }",
+          contentType = "application/dql")).get("data").get("q")
+        if (q == null) 0 else q.size
+      }
+      assert(n() == 2)
+      val r1 = m.readTree(call(port, "/mutate?commitNow=false",
+        contentType = "application/rdf",
+        body = """{ set { <0x7> <hname> "eve" . } }"""))
+      val ts = r1.get("extensions").get("txn").get("start_ts").asLong
+      assert(n() == 2) // queued, not visible before /commit
+      // a second batch appended under the same startTs
+      call(port, s"/mutate?commitNow=false&startTs=$ts",
+        contentType = "application/rdf",
+        body = """{ set { <0x8> <hname> "fin" . } }""")
+      assert(n() == 2)
+      val c = m.readTree(call(port, s"/commit?startTs=$ts"))
+      assert(c.get("extensions").get("txn").get("commit_ts").asLong == ts + 1)
+      assert(n() == 4)
+      // double-commit / unknown txn errors
+      assert(call(port, s"/commit?startTs=$ts").contains("not found"))
+      assert(call(port, "/commit").contains("startTs parameter is mandatory"))
+      // abort discards the queued batch
+      val r2 = m.readTree(call(port, "/mutate?commitNow=false",
+        contentType = "application/rdf",
+        body = """{ set { <0x9> <hname> "gus" . } }"""))
+      val ts2 = r2.get("extensions").get("txn").get("start_ts").asLong
+      assert(call(port, s"/commit?startTs=$ts2&abort=true").contains("aborted"))
+      assert(call(port, s"/commit?startTs=$ts2").contains("not found"))
+      assert(n() == 4)
+    } finally ep.stop()
+  }
+
+  test("admin surface is guardian-gated when ACL is enabled") {
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """hname: string @index(exact) .
+        |""".stripMargin)
+    val acl = new Acl(
+      users = Map(
+        "alice" -> Acl.User("alice", Acl.hashPassword("alice", "pw"), Set("dev")),
+        "root" -> Acl.User("root", Acl.hashPassword("root", "rpw"),
+          Set(Acl.Guardians))),
+      groups = Map("dev" -> Seq(Acl.Rule("hname", Acl.Read | Acl.Write))),
+      secret = "s3cret")
+    val ep = new HttpEndpoint(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <hname> "ann" .""").toDF("line")),
+      acl = Some(acl))
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def login(u: String, p: String): String =
+        m.readTree(call(port, "/login",
+          body = s"""{"userid":"$u","password":"$p"}"""))
+          .get("data").get("accessJWT").asText
+      val aliceTok = login("alice", "pw")
+      val rootTok = login("root", "rpw")
+      // /alter: no token → error; non-guardian → guardian error; guardian OK
+      assert(call(port, "/alter", contentType = "application/dql",
+        body = "hnick: string .").contains("no accessJwt"))
+      assert(call(port, "/alter", contentType = "application/dql",
+        token = Some(aliceTok), body = "hnick: string .")
+        .contains("guardians"))
+      assert(call(port, "/alter", contentType = "application/dql",
+        token = Some(rootTok), body = "hnick: string .")
+        .contains("Success"))
+      // drop_all through /alter is gated the same way
+      assert(call(port, "/alter", token = Some(aliceTok),
+        body = """{"drop_all": true}""").contains("guardians"))
+      // /admin/schema + /admin updateGQLSchema gated; getGQLSchema open
+      val sdl = "type HEmp { id: ID! hname: String }"
+      assert(call(port, "/admin/schema", token = Some(aliceTok), body = sdl)
+        .contains("guardians"))
+      assert(call(port, "/admin/schema", token = Some(rootTok), body = sdl)
+        .contains("Success"))
+      assert(call(port, "/admin", token = Some(aliceTok), body =
+        s"""{"query":"mutation { updateGQLSchema(input: { set: { schema: \\"$sdl\\" } }) { gqlSchema { id } } }"}""")
+        .contains("guardians"))
+    } finally ep.stop()
+  }
+
+  test("JSON mutation: value escaping round-trips, precise delete semantics") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def hnameOf(uid: String): Option[String] = {
+        val q = m.readTree(call(port, "/query",
+          body = s"{ q(func: uid($uid)) { hname } }",
+          contentType = "application/dql")).get("data").get("q")
+        if (q == null || q.size == 0 || !q.get(0).has("hname")) None
+        else Some(q.get(0).get("hname").asText)
+      }
+      // a value containing '"' and '\' must round-trip, not null-parse
+      call(port, "/mutate", body =
+        """{"set": [{"uid": "0x5", "hname": "q\"b\\s", "dgraph.type": "HEmp"}]}""")
+      assert(hnameOf("0x5").contains("q\"b\\s"))
+      // a predicate key with N-Quad structure chars errors, not desyncs
+      assert(call(port, "/mutate", body =
+        """{"set": [{"uid": "0x5", "a> <b": "x"}]}""")
+        .contains("invalid predicate name"))
+      // value-specific delete: non-matching value leaves the triple
+      call(port, "/mutate", body =
+        """{"delete": [{"uid": "0x1", "hname": "wrong"}]}""")
+      assert(hnameOf("0x1").contains("ann"))
+      call(port, "/mutate", body =
+        """{"delete": [{"uid": "0x1", "hname": "ann"}]}""")
+      assert(hnameOf("0x1").isEmpty)
+      // null-valued field deletes every value of the predicate (S P *)
+      call(port, "/mutate", body =
+        """{"delete": [{"uid": "0x2", "hname": null}]}""")
+      assert(hnameOf("0x2").isEmpty)
+      // uid-only delete object drops the whole node (S * *)
+      val before = m.readTree(call(port, "/query",
+        body = "{ q(func: uid(0x2)) { hsal } }",
+        contentType = "application/dql")).get("data").get("q")
+      assert(before.size == 1)
+      call(port, "/mutate", body = """{"delete": [{"uid": "0x2"}]}""")
+      val after = m.readTree(call(port, "/query",
+        body = "{ q(func: uid(0x2)) { hsal } }",
+        contentType = "application/dql")).get("data").get("q")
+      assert(after == null || after.size == 0 || !after.get(0).has("hsal"))
+    } finally ep.stop()
+  }
+
+  test("RDF mutation: '}' inside a value doesn't truncate the block; bad lines rejected") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      call(port, "/mutate", contentType = "application/rdf", body =
+        """{ set {
+          |  <0x5> <hname> "curly } brace" .
+          |  <0x6> <hname> "after" .
+          |} }""".stripMargin)
+      val q = m.readTree(call(port, "/query",
+        body = "{ q(func: has(hname)) { hname } }",
+        contentType = "application/dql")).get("data").get("q")
+      val names = (0 until q.size).map(q.get(_).get("hname").asText).toSet
+      // BOTH lines landed — the line after the brace-bearing value too
+      assert(names.contains("curly } brace") && names.contains("after"))
+      // a malformed line errors at the door instead of null-parsing
+      assert(call(port, "/mutate", contentType = "application/rdf",
+        body = """{ set { <0x7> hname "oops" . } }""")
+        .contains("invalid N-Quad"))
+      assert(call(port, "/mutate", contentType = "application/rdf",
+        body = """{ delete { oops } }""").contains("invalid N-Quad"))
+    } finally ep.stop()
+  }
+
+  test("/graphql reads the JWT from the Dgraph.Authorization header for @auth") {
+    val (preds, types) = SchemaRegistry.parseAlter(
+      "hname: string @index(exact) .\n")
+    val sdl = SdlParser.parse(
+      """type HEmp @auth(
+        |    query: { rule: "{$ROLE: { eq: \"admin\" } }"}
+        |){
+        |  id: ID!
+        |  hname: String @search(by: [exact])
+        |}
+        |# Dgraph.Authorization {"VerificationKey":"topsecret","Header":"X-Auth","Namespace":"","Algo":"HS256"}
+        |""".stripMargin)
+    val ep = new HttpEndpoint(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <hname> "ann" .""",
+        """<0x1> <dgraph.type> "HEmp" .""").toDF("line")),
+      sdl)
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def b64(x: Array[Byte]) = java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(x)
+      def hs256(payload: String, secret: String): String = {
+        val h = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+        val p = b64(payload.getBytes("UTF-8"))
+        val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+        mac.init(new javax.crypto.spec.SecretKeySpec(
+          secret.getBytes("UTF-8"), "HmacSHA256"))
+        s"$h.$p." + b64(mac.doFinal(s"$h.$p".getBytes("UTF-8")))
+      }
+      val body = """{"query": "query { queryHEmp { hname } }"}"""
+      // anonymous: @auth fails closed → empty
+      val anon = m.readTree(call(port, "/graphql", body = body))
+        .get("data").get("queryHEmp")
+      assert(anon == null || anon.size == 0)
+      // admin JWT in the configured X-Auth header → rows
+      val admin = m.readTree(call(port, "/graphql", body = body,
+        headers = Map("X-Auth" -> hs256("""{"ROLE":"admin"}""", "topsecret"))))
+        .get("data").get("queryHEmp")
+      assert(admin.size == 1 && admin.get(0).get("hname").asText == "ann")
+      // a forged signature is an error envelope, not silent data
+      assert(call(port, "/graphql", body = body,
+        headers = Map("X-Auth" -> hs256("""{"ROLE":"admin"}""", "forged")))
+        .contains("errors"))
     } finally ep.stop()
   }
 }
