@@ -33,6 +33,15 @@ trait GraphStore {
   def facetKeys: Map[String, Seq[(String, String)]]
   def attr(predicate: String): DataFrame
 
+  /** Persisted ANN index directory for a vector predicate, when one has
+    * been built (reference: similar_to dispatches to the STORED per-
+    * predicate HNSW graph — worker/task.go:2171 → tok/hnsw/
+    * persistent_hnsw.go — never a scan when the index exists). Stores
+    * that maintain vector indexes override this; the DQL executor falls
+    * back to the exact distributed scan when it returns None.
+    */
+  def annIndexDir(predicate: String): Option[String] = None
+
   /** Edge view for one predicate — "tablet" access path. */
   def edge(predicate: String): DataFrame =
     edges.filter(col("predicate") === predicate)

@@ -41,6 +41,22 @@ final class TripleFrameStore(
   // to the partitioned scan
   private val base = if (materialize) triples.localCheckpoint() else triples
 
+  // per-predicate persisted ANN index registry (the analogue of the
+  // reference's index metadata in the schema state) — written by
+  // [[registerAnnIndex]] after an index build, read by the DQL
+  // executor's similar_to dispatch
+  private val annIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Register a persisted vector index (built with
+    * [[graft.operators.Similarity.hnswWrite]]) for `predicate`.
+    */
+  def registerAnnIndex(predicate: String, dir: String): Unit =
+    annIndexes.put(predicate, dir)
+
+  override def annIndexDir(predicate: String): Option[String] =
+    annIndexes.get(predicate)
+
   lazy val edges: DataFrame = {
     val m = when(col("facets").isNotNull,
       str_to_map(col("facets"), lit(", "), lit("=")))

@@ -1257,6 +1257,36 @@ final class DqlExecutor(ts: GraphStore) {
             .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
         if (qvec.isEmpty) throw new IllegalArgumentException(
           s"similar_to: bad query vector ${positional(1)}")
+        // STORED-INDEX dispatch (reference worker/task.go:2171: similar_to
+        // resolves through the persisted per-predicate HNSW graph —
+        // tok/hnsw/persistent_hnsw.go — never a scan when one exists):
+        // when the store has a registered index for this predicate, walk
+        // the stored adjacency shards instead of scoring the tablet.
+        // Quantized-int cosine (the engine's reproducible ANN arithmetic);
+        // `ef:` is the genuine search breadth here. Non-cosine metrics
+        // keep the exact scan below.
+        val storedIdx =
+          if (p.vectorMetric == "cosine") ts.annIndexDir(fn.pred) else None
+        if (storedIdx.isDefined) {
+          val sp = ts.spark
+          import sp.implicits._
+          // same HALF_UP rounding as VectorFunctions.quantize / the
+          // oracle's round() — the query must land in the index's space
+          val qQuant = qvec.map(x => BigDecimal(x * 1000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+          // qid -1 never collides with a stored uid, so the searcher's
+          // self-exclusion never fires and the anchor row itself may
+          // rank (similar_to by literal vector includes exact matches)
+          val qdf = Seq((-1L, qQuant)).toDF("id", "qe")
+          val ef = opts.get("ef").map(_.toInt).getOrElse(48).max(k + 1)
+          var res = graft.operators.Similarity
+            .hnswSearchStored(qdf, sp, storedIdx.get, k, efSearch = ef)
+            .select(col("nid").as("uid"), (lit(1.0) - col("sim")).as("__d"))
+          opts.get("distance_threshold").foreach(t =>
+            res = res.filter(col("__d") <= lit(t.toDouble)))
+          return res.orderBy(col("__d").asc, col("uid").asc)
+            .select(col("uid"))
+        }
         val qcolv = array(qvec.map(lit): _*)
         val v = col("value").cast("array<double>")
         val dot = aggregate(zip_with(v, qcolv, (a, b) => a * b),

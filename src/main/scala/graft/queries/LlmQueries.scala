@@ -52,6 +52,10 @@ object LlmQueries {
   // construction (the build-once/search-many contract the IVF index has)
   private val hnswDirCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  // uid-keyed HNSW shards for the DQL similar_to dispatch gate (ids are
+  // uids = vec_id + 1, so a separate layout from hnswDirCache)
+  private val hnswDqlDirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val pqBookCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
   // Equivalent to Dedup.shingleSets(corpusNear) but tokenizes each base
@@ -338,6 +342,50 @@ object LlmQueries {
       Similarity.bruteForceTopK(q.filter(col("id") === 0), q, k = 5)
         .select(col("nid"), col("sim"), col("rank"))
         .orderBy(col("rank"))
+    }),
+
+    // DQL similar_to through the PERSISTED per-predicate index: the
+    // predicate is @index(hnsw(metric:"cosine")) and the store has a
+    // registered index dir, so the executor's dispatch walks the stored
+    // adjacency shards (reference worker/task.go:2171 → tok/hnsw/
+    // persistent_hnsw.go — never a tablet scan when an index exists;
+    // Explain of this query shows the index parquet scan, not the
+    // triples frame). Exact mode (ef >= shard size) so the oracle is
+    // plain quantized-cosine brute force.
+    "similar_to_stored" -> ((s, d) => {
+      val q = embQ(s, d).select((col("id") + 1).as("id"), col("qe"))
+      val dir = hnswDqlDirCache.getOrElseUpdate((s, d), {
+        val p = new java.io.File(
+          s"target/graft-hnswdql_${new java.io.File(d).getName}" +
+            s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+        Similarity.hnswWrite(q, p, nPartitions = 4)
+        p
+      })
+      val emb = t(s, d, "embeddings")
+      val triples = emb.select(
+        (col("vec_id") + 1).cast("long").as("subject"),
+        lit("embedding").as("predicate"),
+        lit(null).cast("long").as("objectUid"),
+        concat(lit("["), concat_ws(", ",
+          transform(col("embedding"), x => x.cast("double").cast("string"))),
+          lit("]")).as("value"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("facets"))
+      val (preds, types) = graft.core.SchemaRegistry.parseAlter(
+        """embedding: float32vector @index(hnsw(metric: "cosine")) .""")
+      val st = new graft.core.TripleFrameStore(s,
+        new graft.core.SchemaRegistry(preds.map(p => p.name -> p).toMap,
+          types.map(tp => tp.name -> tp).toMap), triples, Map.empty,
+        materialize = false)
+      st.registerAnnIndex("embedding", dir)
+      // anchor = vec 0's embedding as a literal vector (double-exact
+      // round-trip: the float casts to double, double renders shortest)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      new graft.exec.DqlExecutor(st)
+        .flat(s"""{ q(func: similar_to(embedding, 5, "[${qv.mkString(",")}]", ef: 100000)) { uid } }""")
+        .select(col("uid"))
+        .orderBy(col("uid"))
     }),
 
     // metric options (worker/task.go:2772 parseSimilarToOptions;
@@ -767,6 +815,18 @@ object LlmQueries {
     "embed_ann_pq" -> pqOracleSql,
     "embed_ann_pq_store" -> pqOracleSql,
     "embed_ann_ivfpq" -> pqOracleSql,
+
+    // the stored-index dispatch is EXACT at full ef, so the oracle is
+    // quantized-cosine brute force over all rows (anchor row included —
+    // similar_to by literal vector may rank exact matches), uids shifted
+    // by +1 to match the store's subject keys
+    "similar_to_stored" ->
+      s"""WITH q AS ($embQSql)
+         |SELECT uid FROM (
+         | SELECT c.id + 1 AS uid, CAST(ROW_NUMBER() OVER (
+         |   ORDER BY ${cosSql("q0.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
+         | FROM q c, (SELECT qe FROM q WHERE id = 0) q0)
+         |WHERE rank <= 5 ORDER BY uid""".stripMargin,
 
     "similar_to_uid" ->
       s"""WITH q AS ($embQSql)
