@@ -231,15 +231,35 @@ object Dedup {
     hashPairs(decoded.select(col("media_id").as("id"),
       col("ehash").as("simhash")), 64, maxDist)
 
-  /** Video near-dup candidates: band on the KEYFRAME (frame 0) aHash of
+  /** Video near-dup, candidates-then-verify (the video analogue of
+    * MinHash → Jaccard): band on the KEYFRAME (frame 0) aHash of
     * [[Multimodal.decodeVideo]] — near-identical videos share a
-    * near-identical opening frame; refinement over the full
-    * `frame_hashes` sequence joins back on the candidate pairs only
-    * (the same candidates-then-verify shape as MinHash → Jaccard).
+    * near-identical opening frame — then VERIFY each candidate pair
+    * against the full `frame_hashes` sequences: per-frame hamming over
+    * the aligned prefix (frame i vs frame i, up to the shorter video),
+    * accepted when the MEAN distance is <= maxDist. A pair that happens
+    * to open alike but diverges later (re-used intro, different cut) is
+    * generated as a candidate and rejected by the verify step without
+    * an all-pairs join anywhere — verification touches candidates only.
+    * Returns (a, b, dist = keyframe hamming, mean_dist).
     */
-  def videoNearDupPairs(decoded: DataFrame, maxDist: Int): DataFrame =
-    hashPairs(decoded.select(col("media_id").as("id"),
+  def videoNearDupPairs(decoded: DataFrame, maxDist: Int): DataFrame = {
+    val fh = decoded.select(col("media_id"), col("frame_hashes"))
+      .localCheckpoint()
+    val cands = hashPairs(fh.select(col("media_id").as("id"),
       element_at(col("frame_hashes"), 1).as("simhash")), 64, maxDist)
+    val fa = fh.select(col("media_id").as("a"), col("frame_hashes").as("__fa"))
+    val fb = fh.select(col("media_id").as("b"), col("frame_hashes").as("__fb"))
+    val n = least(size(col("__fa")), size(col("__fb")))
+    val sumd = aggregate(
+      zip_with(slice(col("__fa"), lit(1), n), slice(col("__fb"), lit(1), n),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    cands.join(fa, "a").join(fb, "b")
+      .withColumn("mean_dist", sumd.cast("double") / n.cast("double"))
+      .filter(col("mean_dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"), col("mean_dist"))
+  }
 
   /** Cluster assignment over near-dup candidate pairs: connected
     * components labeled by the smallest member id — the step that turns

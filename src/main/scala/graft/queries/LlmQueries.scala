@@ -505,6 +505,32 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL video near-dup end-to-end, candidates-then-verify: groups of
+    // 4 videos share per-frame group patterns (same frame count within a
+    // group), members 0-2 differ only in one member bit per frame —
+    // keyframe banding finds them AND sequence verification keeps them.
+    // Member 3 shares the group KEYFRAME (candidate!) but its later
+    // frames diverge to per-video patterns, so the mean per-frame
+    // hamming rejects it — the verify step is load-bearing, not a
+    // pass-through. GIF synth → JDK decode → banding → verify, oracle
+    // rebuilds the frame hashes and replays both steps in SQL.
+    "multimodal_video_neardup" -> ((s, d) => {
+      val pats = t(s, d, "documents").selectExpr(
+        "doc_id AS media_id",
+        """transform(sequence(0, CAST(1 + (doc_id DIV 4) % 2 AS INT)), j ->
+           CAST(conv(substring(md5(
+             CASE WHEN j >= 1 AND doc_id % 4 = 3
+               THEN concat('vx:', CAST(doc_id DIV 4 AS STRING), ':', CAST(j AS STRING), ':', CAST(doc_id AS STRING))
+               ELSE concat('vgrp:', CAST(doc_id DIV 4 AS STRING), ':', CAST(j AS STRING)) END
+           ), 1, 14), 16, 10) AS BIGINT) * 16
+           + CAST(1152921504606846976 AS BIGINT)
+           + shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT))) AS frame_bits""")
+      graft.operators.Dedup.videoNearDupPairs(
+        graft.operators.Multimodal.decodeVideo(
+          graft.operators.Multimodal.synthesizeAnimatedGif(pats)), maxDist = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // frame sampling plumbing: every 2nd frame index per media
     "multimodal_frames" -> ((s, d) => {
       val blobs = t(s, d, "documents").select(
@@ -915,6 +941,36 @@ object LlmQueries {
         |FROM p l JOIN p r ON l.id < r.id
         | AND bit_count(xor(l.bits, r.bits)) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    // candidates = keyframe (j=0) hamming <= 2 (the banding is exact);
+    // verify = mean per-frame hamming over the aligned prefix <= 2
+    "multimodal_video_neardup" ->
+      """WITH p AS (
+        | SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS m,
+        |  2 + (doc_id // 4) % 2 AS nf
+        | FROM documents),
+        |f AS (
+        | SELECT p.id, j,
+        |  CAST(CAST('0x' || substr(md5(
+        |    CASE WHEN j >= 1 AND p.m = 3
+        |      THEN 'vx:' || CAST(p.g AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(p.id AS VARCHAR)
+        |      ELSE 'vgrp:' || CAST(p.g AS VARCHAR) || ':' || CAST(j AS VARCHAR) END), 1, 14) AS UBIGINT) AS BIGINT) * 16
+        |   + 1152921504606846976
+        |   + CAST(CASE p.m WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS BIGINT) AS h
+        | FROM p, UNNEST(generate_series(0, p.nf - 1)) AS t(j)),
+        |kf AS (SELECT id, h FROM f WHERE j = 0),
+        |cand AS (
+        | SELECT l.id AS a, r.id AS b, CAST(bit_count(xor(l.h, r.h)) AS INT) AS dist
+        | FROM kf l JOIN kf r ON l.id < r.id
+        |  AND bit_count(xor(l.h, r.h)) <= 2)
+        |SELECT a, b, dist, mean_dist FROM (
+        | SELECT c.a, c.b, c.dist,
+        |  CAST(SUM(bit_count(xor(fa.h, fb.h))) AS DOUBLE) / COUNT(*) AS mean_dist
+        | FROM cand c
+        | JOIN f fa ON fa.id = c.a
+        | JOIN f fb ON fb.id = c.b AND fb.j = fa.j
+        | GROUP BY c.a, c.b, c.dist)
+        |WHERE mean_dist <= 2 ORDER BY a, b""".stripMargin,
 
     "multimodal_video_decode" ->
       """SELECT doc_id AS media_id, 'gif' AS format,
