@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch instrumentation main (builder tooling, not part of the
-  * library surface): breaks dedup_simhash_pairs into component jobs.
+  * library surface): breaks dedup_ngram_jaccard into component jobs.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -23,59 +23,46 @@ object Probe {
     }
     val doc = spark.read.parquet(s"$sfDir/documents.parquet")
     time("warmup read")(doc.count())
-    val ws = split(col("text"), " ")
-    val corpus = doc.select(col("doc_id").as("id"), col("text"))
-      .unionByName(doc.filter(size(ws) > 5)
-        .select((col("doc_id") + 1000000L).as("id"),
-          concat_ws(" ", slice(ws, lit(1), size(ws) - 3)).as("text")))
-    time("corpus count")(corpus.count())
-    // stage 1: explode distinct words
-    val hb = corpus.select(col("id"),
-        explode(array_distinct(split(col("text"), " "))).as("w"))
-    time("explode words count")(hb.count())
-    // stage 2: md5 + conv
-    val h = hb.select(col("id"),
-      conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-    time("md5+conv agg")(h.agg(max(col("h"))).collect())
-    // stage 3: 60 bit-sums
-    val bitSums = (0 until 60).map(b =>
-      sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"b$b"))
-    val grouped = h.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    time("60-sum groupBy")(grouped.count())
-    val assembled = (0 until 60).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val sig = grouped.select(col("id"), assembled.as("simhash"))
-    time("assemble sigs")(sig.count())
-    var sh: DataFrame = null
-    time("localCheckpoint") { sh = sig.localCheckpoint() }
-    // stage 4: banding join
-    time("hashPairs full")(
-      graft.operators.Dedup.hashPairs(sh, 60, 4).count())
-    time("hashPairs again")(
-      graft.operators.Dedup.hashPairs(sh, 60, 4).count())
-    // bucket population: how many rows land in the join per block?
-    val nBlocks = 5; val width = 12
-    def blockOf(sig: org.apache.spark.sql.Column, i: Int) = {
-      val lo = i * width
-      shiftright(sig, lo) % (1L << (if (i == nBlocks - 1) 60 - lo else width))
+    import graft.functions.TextFunctions._
+    def nearSets: DataFrame = {
+      val base = doc.select(col("doc_id").as("id"),
+        split(col("text"), " ").as("ws"))
+        .select(col("id"), size(col("ws")).as("n"),
+          shingles(col("ws"), 3).as("sh"))
+      base.select(col("id"), array_distinct(col("sh")).as("sh"))
+        .unionByName(base.filter(col("n") > 5)
+          .select((col("id") + 1000000L).as("id"),
+            array_distinct(slice(col("sh"), lit(1), size(col("sh")) - 3)).as("sh")))
     }
-    val buckets = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until nBlocks).map(blockOf(col("simhash"), _)): _*))
-        .as(Seq("blk", "key")))
-    time("bucket pop") {
-      buckets.groupBy(col("blk"), col("key")).count()
-        .groupBy(col("blk")).agg(sum(col("count") * col("count")).as("sq"),
-          max(col("count")).as("mx"), count(lit(1)).as("nbuckets"))
-        .orderBy(col("blk")).show()
+    var mat: DataFrame = null
+    time("nearSets localCheckpoint") { mat = nearSets.localCheckpoint() }
+    var cand: DataFrame = null
+    time("candidates from mat") {
+      cand = graft.operators.Dedup.candidatesFromSets(mat).localCheckpoint()
     }
-    graft.operators.Dedup.hashPairs(sh, 60, 4).explain()
-    time("distinct sigs")(println("ndistinct=" +
-      sh.select(col("simhash")).distinct().count() + " of " + sh.count()))
-    time("result pairs")(println("npairs=" +
-      graft.operators.Dedup.hashPairs(sh, 60, 4).count()))
-    // end-to-end comparison
-    time("simhashPairs e2e")(
-      graft.operators.Dedup.simhashPairs(corpus, col("id"), col("text"), 4).count())
+    time("cand count")(println("npairs=" + cand.count()))
+    // variant: pre-hash shingles into the checkpoint (transform HOF md5)
+    var mat2: DataFrame = null
+    time("nearSets+hs ckpt") {
+      mat2 = nearSets.withColumn("hs",
+        transform(col("sh"),
+          x => conv(substring(md5(x), 1, 7), 16, 10).cast("long")))
+        .localCheckpoint()
+    }
+    // signatures from the pre-hashed array: explode longs, 8 affine mins
+    time("sigs from hs") {
+      val sh = mat2.select(col("id"), explode(col("hs")).as("h"))
+      val sigCols = (0 until 8).map(i =>
+        min((col("h") * graft.operators.Dedup.minhashA(i) +
+          graft.operators.Dedup.minhashB(i)) % graft.operators.Dedup.MinhashM).as(s"s$i"))
+      sh.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*).count()
+    }
+    time("jaccard from mat") {
+      graft.operators.Dedup.jaccardFromSets(mat, cand.select(col("a"), col("b"))).count()
+    }
+    time("jaccard again") {
+      graft.operators.Dedup.jaccardFromSets(mat, cand.select(col("a"), col("b"))).count()
+    }
     spark.stop()
   }
 }

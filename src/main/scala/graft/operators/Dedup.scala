@@ -71,10 +71,16 @@ object Dedup {
     // min-aggregates run inside whole-stage codegen with map-side
     // partial aggregation, and no giant shingle arrays are materialized
     // per row. Docs too short for any shingle naturally drop out (no
-    // group), matching the oracle CTE.
-    val sh = sets.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"),
-        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("h"))
+    // group), matching the oracle CTE. An input that already carries a
+    // pre-hashed `hs` column (a materialized frame shared with Jaccard
+    // verification) skips the md5 pass entirely — the digests are the
+    // dominant cost of a fresh signature build.
+    val sh =
+      if (sets.columns.contains("hs"))
+        sets.select(col("id"), explode(col("hs")).as("h"))
+      else sets.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"),
+          conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("h"))
     val sigCols = (0 until k).map(i =>
       min((col("h") * minhashA(i) + minhashB(i)) % MinhashM).as(s"s$i"))
     sh.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)

@@ -35,14 +35,14 @@ object LlmQueries {
   private val candCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   // One LOGICAL distinct-shingle-set definition backs minhash signatures,
-  // LSH candidates and the exact Jaccard verification. The signature path
-  // consumes it STREAMED (explode fuses with the tokenize in codegen —
-  // nothing materialized, the checkpointed artifacts are the tiny sigs +
-  // pair frames), while Jaccard, which reads the sets three times
-  // (sizes + both join sides), materializes it once per session. Keeping
-  // the two materializations separate also keeps each query's cold cost
-  // bounded instead of concentrating one mega build on the first
-  // dedup query of a session.
+  // LSH candidates and the exact Jaccard verification — and ONE
+  // materialization of it backs all three: the signature build re-run
+  // from raw text (tokenize → shingle → distinct → explode → md5) costs
+  // 5+ s at sf0.1 while the same build from the checkpointed set frame
+  // costs ~2 s, so streaming the signature path "for free" actually paid
+  // the whole shingle pipeline twice per session. Whichever dedup query
+  // runs first pays checkpoint + signatures once; every later family
+  // member reads the materialized artifacts.
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val centCache =
@@ -69,16 +69,22 @@ object LlmQueries {
       split(col("text"), " ").as("ws"))
       .select(col("id"), size(col("ws")).as("n"),
         shingles(col("ws"), 3).as("sh"))
-    base.select(col("id"), array_distinct(col("sh")).as("sh"))
+    val sets = base.select(col("id"), array_distinct(col("sh")).as("sh"))
       .unionByName(base.filter(col("n") > 5)
         .select((col("id") + 1000000L).as("id"),
           array_distinct(slice(col("sh"), lit(1), size(col("sh")) - 3)).as("sh")))
+    // pre-hash each shingle into the SAME materialized frame: the minhash
+    // signature build consumes `hs` (one explode + k affine mins, ~0.6 s
+    // at sf0.1) instead of re-digesting 2M shingle strings per session
+    // (~3 s); Jaccard keeps joining the exact strings in `sh`
+    sets.withColumn("hs", transform(col("sh"),
+      x => conv(substring(md5(x), 1, 7), 16, 10).cast("long")))
   }
   private def nearSetsMat(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d), nearSets(s, d).localCheckpoint())
   private def minhashCands(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
-      Dedup.candidatesFromSets(nearSets(s, d))
+      Dedup.candidatesFromSets(nearSetsMat(s, d))
         .localCheckpoint())
 
   private def corpusNear(s: SparkSession, d: String): DataFrame = {

@@ -120,6 +120,45 @@ object SpecialQueries {
         .orderBy(col("uid"))
     }),
 
+    // ACL read enforcement end-to-end (reference ee/acl + worker/acl.go:
+    // login verifies bcrypt and issues the access JWT; unauthorized
+    // predicates resolve EMPTY, silently): a reader whose group grants
+    // Read on cname but not cacct logs in, queries both predicates
+    // through the enforced store view, and gets values for cname with
+    // an all-null cacct column — the oracle hard-codes NULL for the
+    // blocked predicate, so this gate fails the moment enforcement
+    // leaks a value.
+    "acl_read_enforce" -> ((s, d) => {
+      val c = Q.t(s, d, "customer")
+      val subj = (lit(Uids.Customer) + col("c_custkey").cast("long")).as("subject")
+      def trip(pred: String, v: Column) = c.select(
+        subj, lit(pred).as("predicate"),
+        lit(null).cast("long").as("objectUid"),
+        v.cast("string").as("value"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("facets"))
+      val triples = trip("cname", col("c_name"))
+        .unionByName(trip("cacct", col("c_nationkey")))
+      val (preds, types) = graft.core.SchemaRegistry.parseAlter(
+        """cname: string @index(exact) .
+          |cacct: int .
+          |""".stripMargin)
+      val st = new graft.core.TripleFrameStore(s,
+        new graft.core.SchemaRegistry(preds.map(p => p.name -> p).toMap,
+          types.map(t => t.name -> t).toMap), triples, Map.empty,
+        materialize = false)
+      val acl = new graft.core.Acl(
+        users = Map("reader" -> graft.core.Acl.User("reader",
+          graft.core.Acl.hashPassword("reader", "pw"), Set("readers"))),
+        groups = Map("readers" -> Seq(
+          graft.core.Acl.Rule("cname", graft.core.Acl.Read))),
+        secret = "gate-secret")
+      val tok = acl.login("reader", "pw")
+      new graft.exec.DqlExecutor(acl.storeFor(st, tok))
+        .flat("{ q(func: has(cname)) { cname cacct } }")
+        .orderBy(col("uid"))
+    }),
+
     // geo contains: stored square cell contains the query point
     // (types/geofilter.go:338 filterContain)
     "geo_contains" -> ((s, d) => {
@@ -324,6 +363,13 @@ object SpecialQueries {
     // even when every value is Decimal-identical (proven in two judge
     // sessions). VARCHAR round-trip keeps DuckDB on the shortest-repr
     // double→decimal path matching Spark's.
+    // the blocked predicate is hard-coded NULL: if read enforcement ever
+    // leaks a cacct value, the hash gate goes red
+    "acl_read_enforce" ->
+      s"""SELECT ${Uids.Customer} + c_custkey AS uid, c_name AS cname,
+         | CAST(NULL AS BIGINT) AS cacct
+         |FROM customer ORDER BY uid""".stripMargin,
+
     "root_bigfloat" ->
       s"""SELECT ${Uids.Order} + o_orderkey AS uid,
          | CAST(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,24)) AS DOUBLE) AS b
