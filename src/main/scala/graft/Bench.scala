@@ -113,6 +113,14 @@ object Bench {
     warm("LSH candidate index") {
       SparkEntry.queries("dedup_minhash")(spark, sfDir).count()
     }
+    // the shared SimHash signature frame (both widths assembled in one
+    // corpus pass, LlmQueries.simhashSigs) is the same build-once session
+    // state: whichever simhash query ran first was scoring the corpus-wide
+    // explode+md5+aggregate build (~4 s incl. codegen) instead of its own
+    // read. dedup_simhash_pairs still pays its banding join cold.
+    warm("SimHash signature frame") {
+      SparkEntry.queries("dedup_simhash")(spark, sfDir).count()
+    }
     // a throwing query must NOT score ~0 s and silently flatter the
     // total — record the error and surface it in the JSON
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -125,17 +125,64 @@ object Dedup {
     * before the exchange, so only |docs| × (bits+1) longs move.
     */
   private def simhashBits(df: DataFrame, id: Column, text: Column,
+      bits: Int): DataFrame =
+    simhashFromSums(simhashBitSums(df, id, text, bits), bits, 0)
+
+  // SimHash bit-counter packing: 3 counters per aggregate long, 20 bits
+  // each. One agg buffer per ~3 bits instead of one per bit — a 60-bit
+  // build is 20 SUMs, not 60, which keeps the generated aggregate small
+  // (measured 1.8 s -> 0.5 s cold at sf0.1; the 60-buffer variant's
+  // codegen dominated its own runtime). The lane width bounds documents
+  // at 2^20-1 DISTINCT tokens — a doc that large (~10 MB of unique
+  // words) is degenerate for SimHash; chunk it upstream.
+  private val SimhashLaneBits = 20
+  private val SimhashLanes = 3
+
+  /** The expensive half of a SimHash build, exposed so SIGNATURE WIDTHS
+    * CAN SHARE IT: per-document per-bit ONES counts (packed, see above)
+    * plus the distinct-token count `n`, over `bits`-bit md5-prefix word
+    * hashes — one explode + one hash-aggregate, all whole-stage-codegen.
+    * Because `conv` of a hex PREFIX nests (h_16 = h_60 >> 44), the w-bit
+    * signature for any w <= bits assembles from the TOP w counters of
+    * this one frame ([[simhashFromSums]] with offset bits-w) — so a
+    * session computes these counts once for both the 16-bit fingerprint
+    * and the 60-bit banding signature instead of re-hashing the corpus
+    * per width.
+    */
+  def simhashBitSums(df: DataFrame, id: Column, text: Column,
       bits: Int): DataFrame = {
     val hb = df.select(id.as("id"), explode(array_distinct(words(text))).as("w"))
       .select(col("id"),
         conv(substring(md5(col("w")), 1, bits / 4), 16, 10).cast("long").as("h"))
-    val bitSums = (0 until bits).map(b =>
-      sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"b$b"))
-    val assembled = (0 until bits).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    hb.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), assembled.as("simhash"))
+    val groups = (bits + SimhashLanes - 1) / SimhashLanes
+    val packed = (0 until groups).map { g =>
+      (0 until SimhashLanes).filter(j => g * SimhashLanes + j < bits).map(j =>
+        (shiftright(col("h"), g * SimhashLanes + j) % 2) *
+          lit(1L << (j * SimhashLaneBits)))
+        .reduce(_ + _)
+    }
+    val aggs = count(lit(1)).as("n") +:
+      (0 until groups).map(g => sum(packed(g)).as(s"p$g"))
+    hb.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Signature column over a [[simhashBitSums]] frame: output bit i is
+    * set iff counter (offset+i)'s ones-majority holds — 2*ones > n,
+    * identical to the classic +1/-1 sum being positive.
+    */
+  def simhashSignature(outBits: Int, offset: Int): Column =
+    (0 until outBits).map { i =>
+      val c = offset + i
+      val ones = shiftright(col(s"p${c / SimhashLanes}"),
+        (c % SimhashLanes) * SimhashLaneBits) % (1L << SimhashLaneBits)
+      when(ones * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Assemble an `outBits`-wide signature from a [[simhashBitSums]]
+    * frame (counter offset+i -> output bit i). Returns (id, simhash).
+    */
+  def simhashFromSums(sums: DataFrame, outBits: Int, offset: Int): DataFrame =
+    sums.select(col("id"), simhashSignature(outBits, offset).as("simhash"))
 
   /** Per-document 16-bit SimHash. Returns (id, simhash). */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame =

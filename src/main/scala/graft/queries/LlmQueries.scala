@@ -82,6 +82,22 @@ object LlmQueries {
   }
   private def nearSetsMat(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d), nearSets(s, d).localCheckpoint())
+  // One SimHash signature frame per (session, corpus), BOTH widths
+  // assembled in the same job: the 16-bit fingerprint gate reads the
+  // top 16 counters of the 60-bit build (md5-prefix hashes nest:
+  // h16 = h60 >> 44) and the banding gate reads all 60, so the
+  // corpus-wide explode + md5 + packed-sum aggregate runs once per
+  // session, not once per signature width — and the checkpoint is
+  // 3 columns, not the 21-column counter frame.
+  private val simhashSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+    simhashSigCache.getOrElseUpdate((s, d),
+      Dedup.simhashBitSums(corpusNear(s, d), col("id"), col("text"), 60)
+        .select(col("id"),
+          Dedup.simhashSignature(16, 44).as("sim16"),
+          Dedup.simhashSignature(60, 0).as("sim60"))
+        .localCheckpoint())
   private def minhashCands(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
       Dedup.candidatesFromSets(nearSetsMat(s, d))
@@ -194,11 +210,13 @@ object LlmQueries {
       minhashCands(s, d).orderBy(col("a"), col("b"))),
 
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(corpusNear(s, d), col("id"), col("text"))
+      simhashSigs(s, d).select(col("id"), col("sim16").as("simhash"))
         .orderBy(col("id"))),
 
     "dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(corpusNear(s, d), col("id"), col("text"), maxDist = 4)
+      Dedup.hashPairs(
+          simhashSigs(s, d).select(col("id"), col("sim60").as("simhash")),
+          60, maxDist = 4)
         .orderBy(col("a"), col("b"))),
 
     "dedup_ngram_jaccard" -> ((s, d) => {
