@@ -127,6 +127,12 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
 
   private[graphql] def session: org.apache.spark.sql.SparkSession = ts.spark
 
+  /** Name of the header the SDL's `# Dgraph.Authorization` reads @auth
+    * tokens from (transport layers look the token up by this name).
+    */
+  private[graft] def authHeaderName: Option[String] =
+    schema.authConfig.map(_.header).filter(_.nonEmpty)
+
   /** Claims for a RAW JWT per the schema's `# Dgraph.Authorization`
     * config: SIGNATURE-VERIFIED (HS256/RS256 + exp) when a verification
     * key is configured; decode-only otherwise — the documented

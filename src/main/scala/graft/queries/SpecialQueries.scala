@@ -159,6 +159,30 @@ object SpecialQueries {
         .orderBy(col("uid"))
     }),
 
+    // Encryption at rest end-to-end (reference ee/enc: everything the
+    // store writes is AES-encrypted under the key file's master key):
+    // write a table slice through Parquet Modular Encryption (footer +
+    // column keys sealed, LocalKms wraps the per-file DEKs), then read
+    // it back through the normal distributed scan. The oracle reads the
+    // PLAIN source table — the gate passes only if decrypt-on-scan is
+    // exact, and EncryptionSpec separately proves ciphertext hides the
+    // values and keyless reads fail.
+    "encrypted_store_roundtrip" -> ((s, d) => {
+      graft.core.Encryption.enable(s,
+        Map("gatekey" -> Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)))
+      val dir = s"target/graft_enc_store/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val w = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .write.mode("overwrite")
+      graft.core.Encryption.writeOptions("gatekey",
+        Seq("c_name", "c_mktsegment")).foreach { case (k, v) => w.option(k, v) }
+      w.parquet(dir)
+      s.read.parquet(dir)
+        .select(col("c_custkey").as("uid"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+        .orderBy(col("uid"))
+    }),
+
     // geo contains: stored square cell contains the query point
     // (types/geofilter.go:338 filterContain)
     "geo_contains" -> ((s, d) => {
@@ -369,6 +393,12 @@ object SpecialQueries {
       s"""SELECT ${Uids.Customer} + c_custkey AS uid, c_name AS cname,
          | CAST(NULL AS BIGINT) AS cacct
          |FROM customer ORDER BY uid""".stripMargin,
+
+    // the oracle reads the PLAIN table — pass requires exact
+    // decrypt-on-scan of the encrypted store copy
+    "encrypted_store_roundtrip" ->
+      """SELECT c_custkey AS uid, c_name AS name, c_mktsegment AS segment
+        |FROM customer ORDER BY uid""".stripMargin,
 
     "root_bigfloat" ->
       s"""SELECT ${Uids.Order} + o_orderkey AS uid,

@@ -57,7 +57,8 @@ final class HttpEndpoint(
     triples0: DataFrame,
     gqlSchema0: GqlSchema = SdlParser.tpch,
     acl: Option[Acl] = None,
-    facetKeys: Map[String, Seq[(String, String)]] = Map.empty) {
+    facetKeys: Map[String, Seq[(String, String)]] = Map.empty,
+    audit: Option[AuditLog] = None) {
 
   private val M = new ObjectMapper()
   @volatile private var schema = schema0
@@ -269,6 +270,13 @@ final class HttpEndpoint(
 
   /** Current triples frame (tests + snapshotting). */
   def currentTriples: DataFrame = triples
+
+  /** GraphQL engine over the CURRENT committed frame + SDL — the hook
+    * the websocket subscription transport ([[WsSubscriptions]]) polls:
+    * a mutation swaps the frame, so each poll constructs a fresh engine
+    * and observes the swap.
+    */
+  def graphQLEngine: GraphQLEngine = new GraphQLEngine(store, gqlSchema)
 
   // ---- helpers ----
 
@@ -542,11 +550,26 @@ final class HttpEndpoint(
     M.writeValueAsString(root)
   }
 
+  /** Append one audit entry for the request (reference ee/audit/
+    * interceptor.go AuditHttp: endpoint, user from the access token,
+    * request body). The body has to be re-playable for the actual
+    * handler, so it is buffered once here and handed back to the
+    * exchange via setStreams.
+    */
+  private def auditRequest(ex: HttpExchange): Unit = audit.foreach { a =>
+    val bytes = ex.getRequestBody.readAllBytes()
+    ex.setStreams(new java.io.ByteArrayInputStream(bytes), null)
+    val user = acl.flatMap(acl0 => accessToken(ex).flatMap(t =>
+      try acl0.claims(t).get("userid") catch { case _: Throwable => None }))
+      .getOrElse("anonymous")
+    a.log(ex.getRequestURI.getPath, user, new String(bytes, UTF_8))
+  }
+
   /** Wrap a handler with the reference's error envelope. */
   private def handler(f: HttpExchange => String)
       : com.sun.net.httpserver.HttpHandler = { ex =>
     val (code, body) =
-      try (200, f(ex))
+      try { auditRequest(ex); (200, f(ex)) }
       catch {
         case e: Exception =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
