@@ -1,0 +1,272 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel.{Channel, ChannelDuplexHandler, ChannelHandlerContext, ChannelInitializer, MultiThreadIoEventLoopGroup}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame}
+import io.netty.util.ReferenceCountUtil
+
+import graft.core.Acl
+import GrpcApi._
+
+/** The gRPC half of the reference's front door (`api.Dgraph` service —
+  * Login / Query / Alter / CommitOrAbort / CheckVersion, reference
+  * edgraph/server.go:1346; route prefix `/api.Dgraph/`), served WITHOUT
+  * grpc-java or a protobuf toolchain: Netty's HTTP/2 frame codec (which
+  * ships with Spark) carries the transport, [[Proto]]/[[GrpcApi]] carry
+  * the message wire format, and the gRPC layer between them is only a
+  * 5-byte message frame (compressed flag + u32 length), three response
+  * headers, and `grpc-status` trailers.
+  *
+  * Serving model mirrors the reference's alpha: ONE engine serves both
+  * fronts — this endpoint wraps the [[HttpEndpoint]]'s transport-
+  * independent core (queryData / mutateParsed / commitTxn / alterBody),
+  * so a mutation committed over gRPC is immediately visible over HTTP
+  * and vice versa, including the shared open-transaction table
+  * (commit_now=false queues; CommitOrAbort drains or discards).
+  *
+  * Auth rides the `accessjwt` request metadata key exactly like the
+  * reference clients send it (dgo attaches md "accessJwt"; gRPC
+  * lowercases metadata keys on the wire).
+  *
+  * Scope notes (documented, spec-asserted): unary calls only (the
+  * reference's client API is unary; its streaming RPCs are internal
+  * cluster traffic the Spark engine replaces); compressed gRPC frames
+  * are rejected with grpc-status 12 UNIMPLEMENTED; Request combining a
+  * query AND mutations (gRPC-side upsert) answers UNIMPLEMENTED —
+  * upsert blocks execute through the DQL `upsert {}` surface.
+  */
+final class GrpcEndpoint(core: HttpEndpoint,
+    versionTag: String = "graft-spark") {
+
+  @volatile private var group: MultiThreadIoEventLoopGroup = _
+  @volatile private var channel: Channel = _
+
+  def start(port: Int = 0): Int = {
+    group = new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+    val b = new ServerBootstrap()
+    b.group(group).channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit = {
+          ch.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
+          ch.pipeline().addLast(new GrpcHandler)
+        }
+      })
+    channel = b.bind(new InetSocketAddress(port)).sync().channel()
+    channel.localAddress().asInstanceOf[InetSocketAddress].getPort
+  }
+
+  def stop(): Unit = {
+    if (channel != null) channel.close().sync()
+    if (group != null)
+      group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS).sync()
+  }
+
+  // ---- HTTP/2 frame handling (h2c prior-knowledge, like grpc clients) ----
+
+  private final class StreamState(val path: String, val token: Option[String]) {
+    val body = new java.io.ByteArrayOutputStream(256)
+  }
+
+  private final class GrpcHandler extends ChannelDuplexHandler {
+    private val streams =
+      new java.util.IdentityHashMap[Http2FrameStream, StreamState]()
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+      msg match {
+        case h: Http2HeadersFrame =>
+          val path = Option(h.headers().path()).map(_.toString).getOrElse("")
+          val tok = Option(h.headers().get("accessjwt")).map(_.toString)
+          val st = new StreamState(path, tok)
+          streams.put(h.stream(), st)
+          if (h.isEndStream) respond(ctx, h.stream(), st)
+        case d: Http2DataFrame =>
+          val st = streams.get(d.stream())
+          if (st != null) {
+            val buf = d.content()
+            val bytes = new Array[Byte](buf.readableBytes())
+            buf.readBytes(bytes)
+            st.body.write(bytes)
+            if (d.isEndStream) respond(ctx, d.stream(), st)
+          }
+          d.release()
+        case other => ReferenceCountUtil.release(other)
+      }
+
+    private def respond(ctx: ChannelHandlerContext, stream: Http2FrameStream,
+        st: StreamState): Unit = {
+      streams.remove(stream)
+      val (status, message, payload) =
+        try {
+          val req = deframe(st.body.toByteArray)
+          (0, "", dispatch(st.path, req, st.token))
+        } catch {
+          case e: UnsupportedOperationException =>
+            (12, String.valueOf(e.getMessage), null) // UNIMPLEMENTED
+          case e: Acl.AclException => (7, e.msg, null) // PERMISSION_DENIED
+          case e: Throwable => // UNKNOWN, reference surfaces the message
+            (2, Option(e.getMessage).getOrElse(e.getClass.getSimpleName), null)
+        }
+      if (status == 0) {
+        val headers = new DefaultHttp2Headers()
+        headers.status("200")
+        headers.set("content-type", "application/grpc")
+        ctx.write(new DefaultHttp2HeadersFrame(headers, false).stream(stream))
+        ctx.write(new DefaultHttp2DataFrame(
+          Unpooled.wrappedBuffer(frame(payload)), false).stream(stream))
+        val trailers = new DefaultHttp2Headers()
+        trailers.set("grpc-status", "0")
+        ctx.write(new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
+      } else {
+        // trailers-only error response (gRPC over HTTP/2 spec)
+        val headers = new DefaultHttp2Headers()
+        headers.status("200")
+        headers.set("content-type", "application/grpc")
+        headers.set("grpc-status", status.toString)
+        headers.set("grpc-message",
+          java.net.URLEncoder.encode(message, "UTF-8").replace("+", "%20"))
+        ctx.write(new DefaultHttp2HeadersFrame(headers, true).stream(stream))
+      }
+      ctx.flush()
+    }
+  }
+
+  // ---- gRPC message framing: 1-byte compressed flag + u32 BE length ----
+
+  private def frame(msg: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + msg.length)
+    out(1) = (msg.length >>> 24).toByte
+    out(2) = (msg.length >>> 16).toByte
+    out(3) = (msg.length >>> 8).toByte
+    out(4) = msg.length.toByte
+    System.arraycopy(msg, 0, out, 5, msg.length)
+    out
+  }
+
+  private def deframe(b: Array[Byte]): Array[Byte] = {
+    if (b.length < 5)
+      throw new IllegalArgumentException("truncated gRPC frame")
+    if (b(0) != 0)
+      throw new UnsupportedOperationException(
+        "compressed gRPC frames are not supported")
+    val len = ((b(1) & 0xff) << 24) | ((b(2) & 0xff) << 16) |
+      ((b(3) & 0xff) << 8) | (b(4) & 0xff)
+    if (b.length < 5 + len)
+      throw new IllegalArgumentException("truncated gRPC message")
+    java.util.Arrays.copyOfRange(b, 5, 5 + len)
+  }
+
+  // ---- service dispatch ----
+
+  private def dispatch(path: String, body: Array[Byte],
+      tok: Option[String]): Array[Byte] = path match {
+    case "/api.Dgraph/CheckVersion" => encodeVersion(versionTag)
+    case "/api.Dgraph/Login" => login(decodeLoginRequest(body))
+    case "/api.Dgraph/Query" => queryOrMutate(decodeRequest(body), tok)
+    case "/api.Dgraph/Alter" => alter(decodeOperation(body), tok)
+    case "/api.Dgraph/CommitOrAbort" => commitOrAbort(decodeTxnContext(body))
+    case other =>
+      throw new UnsupportedOperationException(s"unknown method $other")
+  }
+
+  private def login(l: PLoginRequest): Array[Byte] = {
+    val acl = core.aclOpt.getOrElse(throw Acl.AclException("ACL is not enabled"))
+    // refresh-token logins re-issue from the still-valid token's user
+    // (single-secret engine: the access JWT doubles as the refresh one)
+    val jwt =
+      if (l.refreshToken.nonEmpty)
+        acl.claims(l.refreshToken).get("userid") match {
+          case Some(_) => l.refreshToken
+          case None => throw Acl.AclException("invalid refresh token")
+        }
+      else acl.login(l.userid, l.password)
+    encodeResponse(PResponse(json = encodeJwt(jwt, jwt))).result
+  }
+
+  private def queryOrMutate(req: PRequest, tok: Option[String]): Array[Byte] = {
+    if (req.mutations.isEmpty) {
+      // $-prefix vars like the HTTP front (api.Request.Vars carries the
+      // $-prefixed names from QueryWithVars; tolerate unprefixed)
+      val vars = req.vars.map { case (k, v) =>
+        (if (k.startsWith("$")) k else "$" + k) -> v
+      }
+      val json = core.queryData(req.query, vars, tok)
+      encodeResponse(PResponse(
+        json = json.getBytes(UTF_8),
+        txn = Some(PTxnContext(startTs = req.startTs)))).result
+    } else {
+      if (req.query.nonEmpty)
+        throw new UnsupportedOperationException(
+          "gRPC upsert (query + mutations in one Request) is not " +
+            "supported — use the DQL `upsert { … }` block over /query")
+      var sets = Seq.empty[(String, String)]
+      var dels = Seq.empty[(String, String)]
+      req.mutations.foreach { m =>
+        if (m.cond.nonEmpty)
+          throw new UnsupportedOperationException(
+            "conditional mutations require the DQL upsert surface")
+        if (m.setNquads.nonEmpty)
+          sets ++= core.bareNquadLines(new String(m.setNquads, UTF_8))
+        if (m.delNquads.nonEmpty)
+          dels ++= core.bareNquadLines(new String(m.delNquads, UTF_8))
+        // Mutation.set_json/delete_json carry the array (or one object)
+        // directly — wrap into the HTTP JSON-mutation envelope
+        def wrap(key: String, js: Array[Byte]): String = {
+          val s = new String(js, UTF_8).trim
+          if (s.startsWith("[")) s"""{"$key":$s}""" else s"""{"$key":[$s]}"""
+        }
+        if (m.setJson.nonEmpty)
+          sets ++= core.parseMutationBody(wrap("set", m.setJson), isJson = true)._1
+        if (m.deleteJson.nonEmpty)
+          dels ++= core.parseMutationBody(wrap("delete", m.deleteJson), isJson = true)._2
+      }
+      val commitNow = req.commitNow || req.mutations.exists(_.commitNow)
+      val startTs = Some(req.startTs).filter(_ != 0L)
+      core.mutateParsed(sets, dels, commitNow, startTs, tok) match {
+        case Some(ts) => // queued — commit later via CommitOrAbort
+          encodeResponse(PResponse(
+            txn = Some(PTxnContext(startTs = ts)))).result
+        case None =>
+          encodeResponse(PResponse(txn = Some(PTxnContext(
+            startTs = req.startTs,
+            commitTs = math.max(req.startTs, 0L) + 1)))).result
+      }
+    }
+  }
+
+  private def alter(op: POperation, tok: Option[String]): Array[Byte] = {
+    val body =
+      if (op.dropAll) """{"drop_all": true}"""
+      else if (op.dropOp != 0) {
+        val name = op.dropOp match {
+          case 1 => "ALL"
+          case 2 => "DATA"
+          case 3 => "ATTR"
+          case 4 => "TYPE"
+          case other => throw new IllegalArgumentException(
+            s"unknown drop_op $other")
+        }
+        s"""{"drop_op": "$name", "drop_value": ${jsonStr(op.dropValue)}}"""
+      } else if (op.dropAttr.nonEmpty)
+        s"""{"drop_attr": ${jsonStr(op.dropAttr)}}"""
+      else op.schema
+    core.alterBody(body, tok)
+    encodePayload("Success".getBytes(UTF_8))
+  }
+
+  private def commitOrAbort(t: PTxnContext): Array[Byte] = {
+    core.commitTxn(t.startTs, t.aborted)
+    encodeTxnContext(
+      if (t.aborted) t
+      else t.copy(commitTs = t.startTs + 1)).result
+  }
+
+  private def jsonStr(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+}

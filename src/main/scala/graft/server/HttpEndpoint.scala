@@ -83,15 +83,22 @@ final class HttpEndpoint(
 
   /** Store view for the request's access token: ACL off → full store;
     * ACL on → unauthorized predicates resolve empty (worker/acl.go).
+    * Transport-independent — the gRPC front door shares it.
     */
-  private def storeFor(ex: HttpExchange): GraphStore = acl match {
-    case None => store
-    case Some(a) =>
-      accessToken(ex) match {
-        case Some(tok) => a.storeFor(store, tok)
-        case None => throw Acl.AclException("no accessJwt available")
-      }
-  }
+  private[server] def storeForToken(tok: Option[String]): GraphStore =
+    acl match {
+      case None => store
+      case Some(a) =>
+        tok match {
+          case Some(t) => a.storeFor(store, t)
+          case None => throw Acl.AclException("no accessJwt available")
+        }
+    }
+
+  private def storeFor(ex: HttpExchange): GraphStore =
+    storeForToken(accessToken(ex))
+
+  private[server] def aclOpt: Option[Acl] = acl
 
   private def accessToken(ex: HttpExchange): Option[String] =
     Option(ex.getRequestHeaders.getFirst("X-Dgraph-AccessToken"))
@@ -100,12 +107,15 @@ final class HttpEndpoint(
     * on, requires a valid access JWT whose bearer is in the guardians
     * group (reference edgraph/server.go AlterAllowed).
     */
-  private def requireGuardian(ex: HttpExchange, op: String): Unit =
+  private[server] def requireGuardianToken(tok: Option[String],
+      op: String): Unit =
     acl.foreach { a =>
-      val tok = accessToken(ex)
-        .getOrElse(throw Acl.AclException("no accessJwt available"))
-      a.requireGuardian(tok, op)
+      val t = tok.getOrElse(throw Acl.AclException("no accessJwt available"))
+      a.requireGuardian(t, op)
     }
+
+  private def requireGuardian(ex: HttpExchange, op: String): Unit =
+    requireGuardianToken(accessToken(ex), op)
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
@@ -128,9 +138,7 @@ final class HttpEndpoint(
           (n.get("query").asText, jsonVars(n.get("variables")))
         case _ => (body, Map.empty[String, String])
       }
-      val rows = new DqlExecutor(storeFor(ex))
-        .jsonAllAst(Parser.parseWithVars(q, vars)).collect()
-      envelope(rows.map(r => (r.getString(0), r.getString(2))))
+      s"""{"data":${queryData(q, vars, accessToken(ex))}}"""
     })
     server.createContext("/mutate", handler { ex =>
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
@@ -138,36 +146,15 @@ final class HttpEndpoint(
         if (contentType(ex).contains("application/json"))
           jsonMutation(body)
         else rdfMutation(body)
-      // graphql-reserved predicates may not be user-mutated (reference
-      // x/keys.go otherReservedPredicate + edgraph/server.go:2295 —
-      // NOT the whole dgraph. prefix: dgraph.type stays mutable)
-      (sets.map(_._2) ++ dels.map(_._2))
-        .find(HttpEndpoint.graphqlReserved.contains)
-        .foreach(p => throw new IllegalArgumentException(
-          s"Cannot mutate graphql reserved predicate $p"))
-      acl.foreach { a =>
-        val tok = accessToken(ex)
-          .getOrElse(throw Acl.AclException("no accessJwt available"))
-        a.authorizeMutation(tok, sets.map(_._2) ++ dels.map(_._2))
-      }
-      validateLines(sets.map(_._1), dels.map(_._1))
       val params = queryParams(ex)
       val startTs = params.get("startTs").map(_.toLong)
-      if (params.get("commitNow").contains("false")) {
-        // queue into an open txn (reference run.go:504 commitNow=false:
-        // the mutation is proposed but visible only after /commit)
-        val ts = startTs.getOrElse(txnSeq.incrementAndGet())
-        txns.updateWith(ts)(q =>
-          Some(q.getOrElse(Vector.empty) :+ (sets, dels)))
-        s"""{"data":{"code":"Success","message":"Done"},""" +
-          s""""extensions":{"txn":{"start_ts":$ts}}}"""
-      } else {
-        // commit-now (also drains any batches queued under startTs)
-        val queued = startTs.flatMap(txns.remove).getOrElse(Vector.empty)
-        writeLock.synchronized {
-          applyMutations(queued :+ ((sets, dels)))
-        }
-        """{"data":{"code":"Success","message":"Done"}}"""
+      val commitNow = !params.get("commitNow").contains("false")
+      mutateParsed(sets, dels, commitNow, startTs, accessToken(ex)) match {
+        case Some(ts) => // queued into an open txn
+          s"""{"data":{"code":"Success","message":"Done"},""" +
+            s""""extensions":{"txn":{"start_ts":$ts}}}"""
+        case None =>
+          """{"data":{"code":"Success","message":"Done"}}"""
       }
     })
     server.createContext("/commit", handler { ex =>
@@ -176,33 +163,18 @@ final class HttpEndpoint(
         .getOrElse(throw new IllegalArgumentException(
           "startTs parameter is mandatory while trying to commit"))
       if (params.get("abort").contains("true")) {
-        txns.remove(ts)
+        commitTxn(ts, abort = true)
         s"""{"data":{"code":"Success","message":"Done"},""" +
           s""""extensions":{"txn":{"start_ts":$ts,"aborted":true}}}"""
       } else {
-        val batches = txns.remove(ts).getOrElse(
-          throw new IllegalArgumentException(s"Transaction $ts not found"))
-        writeLock.synchronized { applyMutations(batches) }
+        commitTxn(ts, abort = false)
         s"""{"data":{"code":"Success","message":"Done"},""" +
           s""""extensions":{"txn":{"start_ts":$ts,"commit_ts":${ts + 1}}}}"""
       }
     })
     server.createContext("/alter", handler { ex =>
-      requireGuardian(ex, "alter")
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      writeLock.synchronized {
-        // JSON drop operations (reference edgraph/server.go:369 Alter:
-        // drop_all / drop_op DATA|ATTR|TYPE / drop_attr) vs a schema
-        // payload — the reference's /alter accepts both forms
-        val node =
-          try Option(M.readTree(body)).filter(_.isObject)
-          catch { case _: Exception => None }
-        node.filter(n => Seq("drop_all", "drop_attr", "drop_op")
-            .exists(n.has)) match {
-          case Some(n) => applyDrop(n)
-          case None => schema = schema.alter(body)
-        }
-      }
+      alterBody(body, accessToken(ex))
       """{"data":{"code":"Success","message":"Done"}}"""
     })
     server.createContext("/graphql", handler { ex =>
@@ -267,6 +239,93 @@ final class HttpEndpoint(
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---- transport-independent core (shared by HTTP and gRPC fronts:
+  // the reference's alpha serves both from one server struct,
+  // edgraph/server.go — here both endpoints wrap this state) ----
+
+  /** Run a DQL query; returns the DATA object `{"q":[…],…}` — HTTP
+    * wraps it in the `{"data":…}` envelope, gRPC ships it verbatim as
+    * `Response.json` (reference api.Response.Json carries the unwrapped
+    * object; the envelope is an HTTP-only convention).
+    */
+  private[server] def queryData(q: String, vars: Map[String, String],
+      tok: Option[String]): String = {
+    val rows = new DqlExecutor(storeForToken(tok))
+      .jsonAllAst(Parser.parseWithVars(q, vars)).collect()
+    dataJson(rows.map(r => (r.getString(0), r.getString(2))))
+  }
+
+  /** Validate + apply (or queue) a parsed mutation batch. Returns
+    * Some(startTs) when queued into an open txn (commitNow=false —
+    * reference run.go:504: proposed but visible only after commit),
+    * None when committed now (draining any batches queued under
+    * startTs first).
+    */
+  private[server] def mutateParsed(sets: Seq[(String, String)],
+      dels: Seq[(String, String)], commitNow: Boolean,
+      startTs: Option[Long], tok: Option[String]): Option[Long] = {
+    // graphql-reserved predicates may not be user-mutated (reference
+    // x/keys.go otherReservedPredicate + edgraph/server.go:2295 —
+    // NOT the whole dgraph. prefix: dgraph.type stays mutable)
+    (sets.map(_._2) ++ dels.map(_._2))
+      .find(HttpEndpoint.graphqlReserved.contains)
+      .foreach(p => throw new IllegalArgumentException(
+        s"Cannot mutate graphql reserved predicate $p"))
+    acl.foreach { a =>
+      val t = tok.getOrElse(throw Acl.AclException("no accessJwt available"))
+      a.authorizeMutation(t, sets.map(_._2) ++ dels.map(_._2))
+    }
+    validateLines(sets.map(_._1), dels.map(_._1))
+    if (!commitNow) {
+      val ts = startTs.getOrElse(txnSeq.incrementAndGet())
+      txns.updateWith(ts)(q =>
+        Some(q.getOrElse(Vector.empty) :+ ((sets, dels))))
+      Some(ts)
+    } else {
+      val queued = startTs.flatMap(txns.remove).getOrElse(Vector.empty)
+      writeLock.synchronized {
+        applyMutations(queued :+ ((sets, dels)))
+      }
+      None
+    }
+  }
+
+  /** Commit (apply queued batches atomically) or abort (discard) the
+    * txn. Commit of an unknown ts errors like the reference.
+    */
+  private[server] def commitTxn(ts: Long, abort: Boolean): Unit =
+    if (abort) { txns.remove(ts); () }
+    else {
+      val batches = txns.remove(ts).getOrElse(
+        throw new IllegalArgumentException(s"Transaction $ts not found"))
+      writeLock.synchronized { applyMutations(batches) }
+    }
+
+  /** Guardian-gated alter: JSON drop operations (reference
+    * edgraph/server.go:369 Alter: drop_all / drop_op DATA|ATTR|TYPE /
+    * drop_attr) or a DQL schema payload — both fronts accept both forms.
+    */
+  private[server] def alterBody(body: String, tok: Option[String]): Unit = {
+    requireGuardianToken(tok, "alter")
+    writeLock.synchronized {
+      val node =
+        try Option(M.readTree(body)).filter(_.isObject)
+        catch { case _: Exception => None }
+      node.filter(n => Seq("drop_all", "drop_attr", "drop_op")
+          .exists(n.has)) match {
+        case Some(n) => applyDrop(n)
+        case None => schema = schema.alter(body)
+      }
+    }
+  }
+
+  /** Parse a mutation body in either form (RDF blocks / JSON) — shared
+    * with the gRPC front, whose Mutation message carries all four.
+    */
+  private[server] def parseMutationBody(body: String,
+      isJson: Boolean): (Seq[(String, String)], Seq[(String, String)]) =
+    if (isJson) jsonMutation(body) else rdfMutation(body)
 
   /** Current triples frame (tests + snapshotting). */
   def currentTriples: DataFrame = triples
@@ -402,18 +461,22 @@ final class HttpEndpoint(
         .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
     }.getOrElse(Nil)
 
-  private def rdfMutation(body: String): (Seq[(String, String)], Seq[(String, String)]) = {
-    def withPred(ls: Seq[String]): Seq[(String, String)] = ls.map { l =>
-      // predicate = the 2nd whitespace token; the subject may be a
-      // blank node (_:x) with no angle brackets, so counting <...>
-      // matches mis-attributed the predicate (and let blank-subject
-      // sets slip past the per-predicate guards)
+  /** Bare N-Quad lines → (line, predicate) pairs. The predicate = the
+    * 2nd whitespace token; the subject may be a blank node (_:x) with
+    * no angle brackets, so counting <...> matches mis-attributed the
+    * predicate (and let blank-subject sets slip past the per-predicate
+    * guards). Shared with the gRPC front (Mutation.set_nquads carries
+    * bare lines, no `{ set {…} }` envelope).
+    */
+  private[server] def bareNquadLines(text: String): Seq[(String, String)] =
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq.map { l =>
       l -> l.split("\\s+").lift(1)
         .map(_.stripPrefix("<").stripSuffix(">")).getOrElse("*")
     }
-    (withPred(mutationBlock(body, "set")),
-      withPred(mutationBlock(body, "delete")))
-  }
+
+  private def rdfMutation(body: String): (Seq[(String, String)], Seq[(String, String)]) =
+    (bareNquadLines(mutationBlock(body, "set").mkString("\n")),
+      bareNquadLines(mutationBlock(body, "delete").mkString("\n")))
 
   /** JSON mutation `{"set":[{"uid":"0x1","name":"x"},…]}` → N-Quad
     * lines through the same path (reference mutationHandler JSON arm).
@@ -539,16 +602,20 @@ final class HttpEndpoint(
   }
 
   /** Group (block, json) rows into the `{"data": {...}}` envelope. */
-  private def envelope(rows: Seq[(String, String)]): String = {
+  /** The data OBJECT `{"q":[…],…}` — gRPC Response.json ships this
+    * verbatim; HTTP wraps it in `{"data":…}`.
+    */
+  private def dataJson(rows: Seq[(String, String)]): String = {
     val data = M.createObjectNode()
     rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (block, rs) =>
       val arr = data.putArray(block)
       rs.foreach { case (_, j) => arr.add(M.readTree(j)) }
     }
-    val root = M.createObjectNode()
-    root.set[JsonNode]("data", data)
-    M.writeValueAsString(root)
+    M.writeValueAsString(data)
   }
+
+  private def envelope(rows: Seq[(String, String)]): String =
+    s"""{"data":${dataJson(rows)}}"""
 
   /** Append one audit entry for the request (reference ee/audit/
     * interceptor.go AuditHttp: endpoint, user from the access token,
