@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g on a 128 GiB / 32-core host: the bench session holds the
+  // build-once artifacts (derived layouts, LSH/ANN indexes, signature
+  // frames) as block-manager storage — at 8g the streaming/state-store
+  // gates late in the sorted run paid GC pressure (stream_dedup 36 s
+  // steady at 8g vs ~5 s in a fresh session), not their own work
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

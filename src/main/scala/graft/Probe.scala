@@ -1,68 +1,72 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch instrumentation main (builder tooling, not part of the
-  * library surface): decomposes the shared SimHash signature-frame
-  * first touch into component jobs.
+  * library surface): decomposes the stream_dedup gate into phases.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.codegen.maxFields", "100")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftOptimizations.install(spark)
+    import spark.implicits._
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f"); r
     }
-    val doc = spark.read.parquet(s"$sfDir/documents.parquet")
-    time("warmup read")(doc.count())
-    val corpus = doc.select(col("doc_id").as("id"), col("text"))
-      .unionByName(doc.filter(size(split(col("text"), " ")) > 5)
-        .select((col("doc_id") + 1000000L).as("id"),
-          concat_ws(" ", slice(split(col("text"), " "), lit(1),
-            size(split(col("text"), " ")) - 3)).as("text")))
-    time("corpus count")(corpus.count())
-    val words = corpus.select(col("id"),
-      explode(array_distinct(split(col("text"), " "))).as("w"))
-    time("explode distinct words")(words.count())
-    val hb = words.select(col("id"),
-      conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-    time("+md5+conv")(hb.agg(max(col("h"))).collect())
-    val sums = Dedup2.bitSums(hb)
-    time("20-packed agg")(sums.count())
-    val sigs = sums.select(col("id"),
-      graft.operators.Dedup.simhashSignature(16, 44).as("sim16"),
-      graft.operators.Dedup.simhashSignature(60, 0).as("sim60"))
-    time("sigs localCheckpoint") { sigs.localCheckpoint(); () }
-    time("full pipeline again") {
-      graft.operators.Dedup
-        .simhashBitSums(corpus, col("id"), col("text"), 60)
-        .select(col("id"),
-          graft.operators.Dedup.simhashSignature(16, 44).as("sim16"),
-          graft.operators.Dedup.simhashSignature(60, 0).as("sim60"))
-        .localCheckpoint()
+    val keyed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(md5(col("text")).as("key"), col("doc_id").cast("long").as("id"))
+    time("keyed count")(keyed.count())
+    val base = "target/probe_streamdedup_" + System.nanoTime()
+    time("write inputs") {
+      keyed.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+      keyed.withColumn("id", col("id") + 1000000L)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    time("stream run") {
+      val in = spark.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.EventStream.streamingDedup(in.as[(String, Long)])
+        .toDF("key", "first_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    time("read out")(println("rows=" +
+      spark.read.parquet(s"$base/out").count()))
+    // second full run to separate JIT/class-load from steady cost
+    val base2 = base + "_b"
+    time("write inputs 2") {
+      keyed.coalesce(1).write.mode("overwrite").parquet(s"$base2/in")
+      keyed.withColumn("id", col("id") + 1000000L)
+        .coalesce(1).write.mode("append").parquet(s"$base2/in")
+    }
+    time("stream run 2") {
+      val in = spark.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base2/in")
+      val q = graft.streaming.EventStream.streamingDedup(in.as[(String, Long)])
+        .toDF("key", "first_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base2/out")
+        .option("checkpointLocation", s"$base2/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
     spark.stop()
-  }
-}
-
-private object Dedup2 {
-  import org.apache.spark.sql.Column
-  def bitSums(hb: DataFrame): DataFrame = {
-    val groups = 20
-    val packed = (0 until groups).map { g =>
-      (0 until 3).filter(j => g * 3 + j < 60).map(j =>
-        (shiftright(col("h"), g * 3 + j) % 2) * lit(1L << (j * 20)))
-        .reduce(_ + _)
-    }
-    val aggs = count(lit(1)).as("n") +:
-      (0 until groups).map(g => sum(packed(g)).as(s"p$g"))
-    hb.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 }

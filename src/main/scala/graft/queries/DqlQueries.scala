@@ -42,6 +42,19 @@ object DqlQueries {
       dql("""{ q(func: ge(count(placed), 12)) { name c: count(placed) } }""")(s, d)
         .orderBy(col("uid"))),
 
+    // datetime granularity index scan (reference tok/tok.go:301-349
+    // year/month/day/hour bucket tokenizers; orderdate is declared
+    // @index(year month day) in the TPC-H schema): a between over the
+    // datetime predicate — the reference walks the granularity buckets
+    // then re-verifies the actual value (lossy tokenizer), the Spark
+    // engine's plain timestamp comparison lands on the parquet scan as
+    // a pushed predicate, which IS the bucket walk here (row-group
+    // min/max stats prune whole date ranges)
+    "dql_datetime_range" -> ((s, d) =>
+      dql("""{ q(func: between(orderdate, "1995-03-01", "1995-03-31T23:59:59"))
+            |    { orderdate } }""".stripMargin)(s, d)
+        .orderBy(col("uid"))),
+
     "dql_order_page" -> ((s, d) =>
       dql("""{ q(func: has(acctbal), orderdesc: acctbal, offset: 5, first: 10) {
             |    name acctbal } }""".stripMargin)(s, d)
@@ -362,6 +375,14 @@ object DqlQueries {
       s"""SELECT $CB + o_custkey AS uid, any_value(c_name) AS name, COUNT(*) AS c
          |FROM orders JOIN customer ON c_custkey = o_custkey
          |GROUP BY o_custkey HAVING COUNT(*) >= 12 ORDER BY uid""".stripMargin,
+
+    "dql_datetime_range" ->
+      s"""SELECT $OB + o_orderkey AS uid,
+         | CAST(o_orderdate AS TIMESTAMP) AS orderdate
+         |FROM orders
+         |WHERE o_orderdate >= DATE '1995-03-01'
+         |  AND o_orderdate <= DATE '1995-03-31'
+         |ORDER BY uid""".stripMargin,
 
     "dql_order_page" ->
       s"""SELECT uid, name, acctbal FROM (

@@ -159,6 +159,36 @@ object SpecialQueries {
         .orderBy(col("uid"))
     }),
 
+    // Namespace multi-tenancy end-to-end (reference ee/acl namespaces:
+    // every key is prefixed with the namespace id; the columnar
+    // analogue is an `ns` partition column — written partitionBy("ns"),
+    // the tenant filter is directory pruning, no cross-tenant bytes
+    // read): customers are split across 3 tenants by key, tenant 1's
+    // view is queried through the full DQL pipeline, and the oracle
+    // hard-codes the same tenant slice — a leak of any other tenant's
+    // rows goes red.
+    "acl_namespace_view" -> ((s, d) => {
+      val c = Q.t(s, d, "customer")
+      val triples = c.select(
+        (lit(Uids.Customer) + col("c_custkey").cast("long")).as("subject"),
+        lit("cname").as("predicate"),
+        lit(null).cast("long").as("objectUid"),
+        col("c_name").cast("string").as("value"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("facets"),
+        (col("c_custkey") % 3).cast("long").as("ns"))
+      val (preds, types) = graft.core.SchemaRegistry.parseAlter(
+        "cname: string @index(exact) .")
+      val st = new graft.core.TripleFrameStore(s,
+        new graft.core.SchemaRegistry(preds.map(p => p.name -> p).toMap,
+          types.map(t => t.name -> t).toMap),
+        graft.core.Namespaces.view(triples, 1L), Map.empty,
+        materialize = false)
+      new graft.exec.DqlExecutor(st)
+        .flat("{ q(func: has(cname)) { cname } }")
+        .orderBy(col("uid"))
+    }),
+
     // Encryption at rest end-to-end (reference ee/enc: everything the
     // store writes is AES-encrypted under the key file's master key):
     // write a table slice through Parquet Modular Encryption (footer +
@@ -393,6 +423,12 @@ object SpecialQueries {
       s"""SELECT ${Uids.Customer} + c_custkey AS uid, c_name AS cname,
          | CAST(NULL AS BIGINT) AS cacct
          |FROM customer ORDER BY uid""".stripMargin,
+
+    // the oracle is the tenant slice by construction — any cross-tenant
+    // leak through the ns view fails the hash
+    "acl_namespace_view" ->
+      s"""SELECT ${Uids.Customer} + c_custkey AS uid, c_name AS cname
+         |FROM customer WHERE c_custkey % 3 = 1 ORDER BY uid""".stripMargin,
 
     // the oracle reads the PLAIN table — pass requires exact
     // decrypt-on-scan of the encrypted store copy

@@ -35,12 +35,15 @@ import GrpcApi._
   * reference clients send it (dgo attaches md "accessJwt"; gRPC
   * lowercases metadata keys on the wire).
   *
+  * Request{query, mutations} — the reference's upsert form — routes
+  * through the engine's Upsert operator (uid(v)/val(v) substitution,
+  * @if conditions), commit-now.
+  *
   * Scope notes (documented, spec-asserted): unary calls only (the
   * reference's client API is unary; its streaming RPCs are internal
   * cluster traffic the Spark engine replaces); compressed gRPC frames
-  * are rejected with grpc-status 12 UNIMPLEMENTED; Request combining a
-  * query AND mutations (gRPC-side upsert) answers UNIMPLEMENTED —
-  * upsert blocks execute through the DQL `upsert {}` surface.
+  * are rejected with grpc-status 12 UNIMPLEMENTED; upsert templates
+  * take the N-Quads form (JSON upsert templates answer UNIMPLEMENTED).
   */
 final class GrpcEndpoint(core: HttpEndpoint,
     versionTag: String = "graft-spark") {
@@ -200,17 +203,33 @@ final class GrpcEndpoint(core: HttpEndpoint,
       encodeResponse(PResponse(
         json = json.getBytes(UTF_8),
         txn = Some(PTxnContext(startTs = req.startTs)))).result
-    } else {
-      if (req.query.nonEmpty)
+    } else if (req.query.nonEmpty) {
+      // Request{query, mutations} = the reference's upsert path
+      // (doQuery → doMutate with uid(v)/val(v) substitution). N-Quads
+      // templates only; upserts commit now (single-writer engine).
+      if (!req.commitNow && !req.mutations.exists(_.commitNow))
         throw new UnsupportedOperationException(
-          "gRPC upsert (query + mutations in one Request) is not " +
-            "supported — use the DQL `upsert { … }` block over /query")
+          "upserts require commit_now over this front (single-writer)")
+      def lines(b: Array[Byte]): Seq[String] =
+        new String(b, UTF_8).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val muts = req.mutations.map { m =>
+        if (m.setJson.nonEmpty || m.deleteJson.nonEmpty)
+          throw new UnsupportedOperationException(
+            "upsert mutations must use the N-Quads form over this front")
+        (m.cond, lines(m.setNquads), lines(m.delNquads))
+      }
+      core.upsertParsed(req.query, muts, tok)
+      encodeResponse(PResponse(txn = Some(PTxnContext(
+        startTs = req.startTs,
+        commitTs = math.max(req.startTs, 0L) + 1)))).result
+    } else {
       var sets = Seq.empty[(String, String)]
       var dels = Seq.empty[(String, String)]
       req.mutations.foreach { m =>
         if (m.cond.nonEmpty)
           throw new UnsupportedOperationException(
-            "conditional mutations require the DQL upsert surface")
+            "conditional mutations outside an upsert Request are not " +
+              "part of the reference API")
         if (m.setNquads.nonEmpty)
           sets ++= core.bareNquadLines(new String(m.setNquads, UTF_8))
         if (m.delNquads.nonEmpty)

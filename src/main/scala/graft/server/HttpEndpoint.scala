@@ -327,6 +327,46 @@ final class HttpEndpoint(
       isJson: Boolean): (Seq[(String, String)], Seq[(String, String)]) =
     if (isJson) jsonMutation(body) else rdfMutation(body)
 
+  /** Upsert: the reference's Request{query, mutations} IS the upsert
+    * path (edgraph/server.go doQuery → doMutate with uid(v)/val(v)
+    * substitution). Synthesizes the DQL `upsert { query … mutation
+    * [@if] … }` document and applies it through the engine's Upsert
+    * operator, swapping the committed frame. `muts` =
+    * (raw @if cond or "", set template lines, delete template lines).
+    * Commit-now semantics (single-writer engine).
+    */
+  private[server] def upsertParsed(query: String,
+      muts: Seq[(String, Seq[String], Seq[String])],
+      tok: Option[String]): Unit = {
+    val preds = muts.flatMap { case (_, s0, d0) =>
+      (s0 ++ d0).flatMap(l => bareNquadLines(l).map(_._2))
+    }.filter(_ != "*")
+    preds.find(HttpEndpoint.graphqlReserved.contains)
+      .foreach(p => throw new IllegalArgumentException(
+        s"Cannot mutate graphql reserved predicate $p"))
+    acl.foreach { a =>
+      val t = tok.getOrElse(throw Acl.AclException("no accessJwt available"))
+      a.authorizeMutation(t, preds)
+    }
+    val doc = new StringBuilder("upsert {\n  query ")
+    doc.append(query.trim).append("\n")
+    muts.foreach { case (cond, s0, d0) =>
+      doc.append("  mutation ")
+      if (cond.trim.nonEmpty) doc.append(cond.trim).append(" ")
+      doc.append("{\n")
+      if (s0.nonEmpty)
+        doc.append("    set {\n").append(s0.mkString("\n")).append("\n    }\n")
+      if (d0.nonEmpty)
+        doc.append("    delete {\n").append(d0.mkString("\n")).append("\n    }\n")
+      doc.append("  }\n")
+    }
+    doc.append("}")
+    writeLock.synchronized {
+      triples = graft.operators.Upsert.execute(store, doc.toString, triples)
+        .localCheckpoint()
+    }
+  }
+
   /** Current triples frame (tests + snapshotting). */
   def currentTriples: DataFrame = triples
 

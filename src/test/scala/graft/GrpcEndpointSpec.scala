@@ -225,13 +225,34 @@ class GrpcEndpointSpec extends AnyFunSuite {
         assert(httpResp.contains("carol") && httpResp.contains("frank"))
       } finally ep.stop()
 
-      // gRPC upsert combo is a documented UNIMPLEMENTED
+      // upsert: Request{query, mutations} routes through the Upsert
+      // operator — conditional on len(v), uid(v) substitution
       val up = encodeRequest(PRequest(
-        query = "{ v as q(func: has(name)) }",
+        query = """{ v as q(func: eq(name, "carol")) }""",
+        mutations = Seq(PMutation(
+          cond = "@if(gt(len(v), 0))",
+          setNquads = """uid(v) <name> "carol-2" .""".getBytes(UTF_8))),
+        commitNow = true)).result
+      val (s7, m7, _) = cli.call("/api.Dgraph/Query", up)
+      assert(s7 == 0, m7)
+      assert(queryNames().contains("carol-2"))
+      // a false @if leaves the store untouched
+      val upNoop = encodeRequest(PRequest(
+        query = """{ v as q(func: eq(name, "no-such-name")) }""",
+        mutations = Seq(PMutation(
+          cond = "@if(gt(len(v), 0))",
+          setNquads = """uid(v) <name> "never" .""".getBytes(UTF_8))),
+        commitNow = true)).result
+      val (s8, _, _) = cli.call("/api.Dgraph/Query", upNoop)
+      assert(s8 == 0)
+      assert(!queryNames().contains("never"))
+      // upserts without commit_now answer UNIMPLEMENTED, not silence
+      val upQueued = encodeRequest(PRequest(
+        query = """{ v as q(func: has(name)) }""",
         mutations = Seq(PMutation(
           setNquads = """uid(v) <age> "1" .""".getBytes(UTF_8))))).result
-      val (s7, m7, _) = cli.call("/api.Dgraph/Query", up)
-      assert(s7 == 12 && m7.contains("upsert"))
+      val (s9, m9, _) = cli.call("/api.Dgraph/Query", upQueued)
+      assert(s9 == 12 && m9.contains("commit_now"))
     } finally { cli.close(); grpc.stop() }
   }
 
