@@ -170,12 +170,23 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
     ).reduce(_ unionByName _)
   }
 
+  // Typed attribute rows WITHOUT sAttr's generic string round-trip:
+  // `cast(cast(x AS string) AS long/double/timestamp)` cannot be
+  // unwrapped by Catalyst, so every DQL numeric/datetime root filter
+  // stopped at IsNotNull in PushedFilters and scanned all row groups.
+  // A direct source-type cast unwraps and the range predicates land on
+  // the parquet scan — at 100 TB that is the difference between a
+  // pruned index walk and a full pass over the tablet.
+  private def tAttr(df: DataFrame, subj: Column, pred: String,
+      value: Column, typ: String): DataFrame =
+    df.select(subj.as("subject"), lit(pred).as("predicate"),
+      value.cast(typ).as("value"))
+
   lazy val attrLong: DataFrame = {
     val p = t("part"); val d = t("documents")
-    sAttr(p, lit(Part) + col("p_partkey"), "size", col("p_size").cast("long"))
+    tAttr(p, lit(Part) + col("p_partkey"), "size", col("p_size"), "long")
       .unionByName(
-        sAttr(d, lit(Document) + col("doc_id"), "n_chars", col("n_chars")))
-      .select(col("subject"), col("predicate"), col("value").cast("long").as("value"))
+        tAttr(d, lit(Document) + col("doc_id"), "n_chars", col("n_chars"), "long"))
   }
 
   lazy val attrDouble: DataFrame = {
@@ -183,24 +194,23 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
     val o = t("orders"); val l = line
     val lineSubj = col("line_uid")
     Seq(
-      sAttr(c, lit(Customer) + col("c_custkey"), "acctbal", col("c_acctbal")),
-      sAttr(s, lit(Supplier) + col("s_suppkey"), "acctbal", col("s_acctbal")),
-      sAttr(p, lit(Part) + col("p_partkey"), "retailprice", col("p_retailprice")),
-      sAttr(o, lit(Order) + col("o_orderkey"), "totalprice", col("o_totalprice")),
-      sAttr(l, lineSubj, "quantity", col("l_quantity")),
-      sAttr(l, lineSubj, "extendedprice", col("l_extendedprice")),
-      sAttr(l, lineSubj, "discount", col("l_discount"))
+      tAttr(c, lit(Customer) + col("c_custkey"), "acctbal", col("c_acctbal"), "double"),
+      tAttr(s, lit(Supplier) + col("s_suppkey"), "acctbal", col("s_acctbal"), "double"),
+      tAttr(p, lit(Part) + col("p_partkey"), "retailprice", col("p_retailprice"), "double"),
+      tAttr(o, lit(Order) + col("o_orderkey"), "totalprice", col("o_totalprice"), "double"),
+      tAttr(l, lineSubj, "quantity", col("l_quantity"), "double"),
+      tAttr(l, lineSubj, "extendedprice", col("l_extendedprice"), "double"),
+      tAttr(l, lineSubj, "discount", col("l_discount"), "double")
     ).reduce(_ unionByName _)
-      .select(col("subject"), col("predicate"), col("value").cast("double").as("value"))
   }
 
   lazy val attrTs: DataFrame = {
     val o = t("orders"); val l = line
     val lineSubj = col("line_uid")
-    sAttr(o, lit(Order) + col("o_orderkey"), "orderdate", col("o_orderdate"))
-      .unionByName(sAttr(l, lineSubj, "shipdate", col("l_shipdate")))
-      .select(col("subject"), col("predicate"),
-        col("value").cast("timestamp").as("value"))
+    tAttr(o, lit(Order) + col("o_orderkey"), "orderdate",
+        col("o_orderdate"), "timestamp")
+      .unionByName(tAttr(l, lineSubj, "shipdate", col("l_shipdate"),
+        "timestamp"))
   }
 
   /** dgraph.type attribute (reference type() root fn, dql/parser.go:1704). */

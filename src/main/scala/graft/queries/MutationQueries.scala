@@ -257,6 +257,41 @@ object MutationQueries {
       EventStream.firstPerKey(t(s, d, "events"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // streaming triple ingestion (SURVEY §2.12: the live loader as a
+    // stream — N-Quad lines arrive in micro-batches, foreachBatch
+    // parses and MERGES into the accumulating store snapshot): batch 1
+    // loads every customer's cname, batch 2 re-sets the negative-balance
+    // customers to DELINQUENT — applySet's scalar-replace semantics
+    // across batch boundaries are exactly what the gate hashes (an
+    // append-only sink would double those subjects and go red). Two
+    // sequential coalesce(1) writes → two files → oldest-first batches.
+    "stream_ingest_nquads" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      def nq(uidC: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        concat(lit("<0x"), lower(hex(uidC)), lit("> <cname> \""), v, lit("\" ."))
+      val base = Q.scratchDir("graft-ingest_", s, d)
+      c.select(nq(lit(CB) + col("c_custkey"), col("c_name")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$base/in")
+      c.filter(col("c_acctbal") < 0)
+        .select(nq(lit(CB) + col("c_custkey"), lit("DELINQUENT")).as("value"))
+        .coalesce(1).write.mode("append").text(s"$base/in")
+      val in = s.readStream.option("maxFilesPerTrigger", 1).text(s"$base/in")
+      var snap: org.apache.spark.sql.DataFrame = null
+      val q = in.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val parsed = graft.sources.RdfSource.parse(
+            batch.select(col("value").as("line")))
+          snap = (if (snap == null) parsed
+                  else Mutations.applySet(snap, parsed)).localCheckpoint()
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      snap.select(col("subject"), col("value")).orderBy(col("subject"))
+    }),
+
     // streaming exact dedup end-to-end (flatMapGroupsWithState): batch 1
     // = the documents, batch 2 = exact copies at id+1e6 — the state
     // suppresses every copy, and intra-batch dups resolve to min(id)
@@ -350,6 +385,13 @@ object MutationQueries {
          | SELECT $CB + c_custkey, 'mktsegment', c_mktsegment, 'delete'
          | FROM customer WHERE c_acctbal < 0
          |) ORDER BY subject, op""".stripMargin,
+
+    // batch-2 re-sets replace batch-1 values (applySet merge across
+    // micro-batches); an append-only ingest doubles these rows → red
+    "stream_ingest_nquads" ->
+      s"""SELECT $CB + c_custkey AS subject,
+         | CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_name END AS value
+         |FROM customer ORDER BY subject""".stripMargin,
 
     "cdc_diff" ->
       s"""SELECT * FROM (
