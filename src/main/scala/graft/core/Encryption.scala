@@ -64,9 +64,23 @@ object Encryption {
       "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
     conf.set("parquet.encryption.kms.client.class",
       "graft.core.LocalKms")
-    conf.set(LocalKms.KeysConf, keys.toSeq.sortBy(_._1).map { case (id, k) =>
-      s"$id:${Base64.getEncoder.encodeToString(k)}"
-    }.mkString(","))
+    // MERGE into the session's key ring (new ids win): a second enable
+    // (another store, a backup key) must not orphan files written under
+    // the earlier master key
+    val existing = Option(conf.get(LocalKms.KeysConf)).getOrElse("")
+      .split(",").filter(_.contains(":")).map { kv =>
+        val i = kv.indexOf(':')
+        kv.substring(0, i).trim -> kv.substring(i + 1).trim
+      }.toMap
+    val merged = existing ++ keys.map { case (id, k) =>
+      id -> Base64.getEncoder.encodeToString(k)
+    }
+    conf.set(LocalKms.KeysConf, merged.toSeq.sortBy(_._1)
+      .map { case (id, b) => s"$id:$b" }.mkString(","))
+    // parquet caches KmsClient instances per process — a client built
+    // from the pre-merge conf would not know the new ids
+    org.apache.parquet.crypto.keytools.KeyToolkit
+      .removeCacheEntriesForAllTokens()
   }
 
   /** enable() from a reference-style key file: one master key id. */

@@ -111,9 +111,20 @@ object Backup {
 
   /** Full backup: triples parquet (partitioned by predicate for
     * selective restore) + schema manifest.
+    *
+    * `encKey = Some(keyId -> masterKey)` encrypts the backup at rest
+    * (reference worker/backup.go: backups are AES-encrypted when the
+    * cluster has an encryption key): the triples parquet goes through
+    * Parquet Modular Encryption (footer + every data column sealed,
+    * [[graft.core.LocalKms]] wraps the per-file DEKs) and the schema
+    * manifest is AES-GCM-sealed whole. Boundary, documented: the
+    * `predicate=` partition DIRECTORY NAMES stay readable — they are
+    * schema-level names (also present in the manifest), not data;
+    * flip to non-partitioned layout if even those must be opaque.
     */
   def full(store: GraphStore, dir: String,
-      only: Set[String] = Set.empty): Unit = {
+      only: Set[String] = Set.empty,
+      encKey: Option[(String, Array[Byte])] = None): Unit = {
     // NO pre-write shuffle: a melted source scan emits ≤10 predicates
     // per task and a generic tablet branch exactly one, so partitionBy
     // produces a bounded file count per task — no sliver explosion, no
@@ -148,19 +159,32 @@ object Backup {
       // sizes", measured in the r8 bench log) and the write thrashes GC.
       // 8 MB × 320 writers ≈ 2.5 GB worst case, and backup partitions
       // are small enough that row-group size costs nothing on re-read.
-      tripleFrame(store, only)
+      encKey.foreach { case (id, key) =>
+        graft.core.Encryption.enable(spark, Map(id -> key))
+      }
+      val w0 = tripleFrame(store, only)
         .write.mode("overwrite").option("compression", "lz4")
         .option("parquet.block.size", (8L * 1024 * 1024).toString)
-        .partitionBy("predicate").parquet(s"$dir/triples")
+      val w = encKey.fold(w0) { case (id, _) =>
+        graft.core.Encryption.writeOptions(id,
+          Seq("subject", "objectUid", "value", "lang", "facets"))
+          .foldLeft(w0) { case (acc, (k, v)) => acc.option(k, v) }
+      }
+      w.partitionBy("predicate").parquet(s"$dir/triples")
     } finally {
       prev.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "schema.graft"),
-      formatSchema(store.schema).getBytes("UTF-8"))
+    val manifest = formatSchema(store.schema).getBytes("UTF-8")
+    encKey match {
+      case Some((_, key)) => java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "schema.graft.enc"),
+        graft.core.Encryption.gcmEncrypt(key, manifest))
+      case None => java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "schema.graft"), manifest)
+    }
   }
 
   /** Incremental backup `inc-N`: the CDC diff between the last backed-up
@@ -188,9 +212,19 @@ object Backup {
     * rebuild the store from the manifest schema.
     */
   def restore(spark: SparkSession, dir: String,
-      facetKeys: Map[String, Seq[(String, String)]] = Map.empty): TripleFrameStore = {
-    val payload = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "schema.graft")), "UTF-8")
+      facetKeys: Map[String, Seq[(String, String)]] = Map.empty,
+      encKey: Option[(String, Array[Byte])] = None): TripleFrameStore = {
+    encKey.foreach { case (id, key) =>
+      graft.core.Encryption.enable(spark, Map(id -> key))
+    }
+    val encManifest = java.nio.file.Paths.get(dir, "schema.graft.enc")
+    val payload = encKey match {
+      case Some((_, key)) if java.nio.file.Files.exists(encManifest) =>
+        new String(graft.core.Encryption.gcmDecrypt(key,
+          java.nio.file.Files.readAllBytes(encManifest)), "UTF-8")
+      case _ => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "schema.graft")), "UTF-8")
+    }
     val (preds, types) = SchemaRegistry.parseAlter(payload)
     val schema = new SchemaRegistry(preds.map(p => p.name -> p).toMap,
       types.map(t => t.name -> t).toMap)

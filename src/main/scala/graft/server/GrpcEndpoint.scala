@@ -46,7 +46,8 @@ import GrpcApi._
   * take the N-Quads form (JSON upsert templates answer UNIMPLEMENTED).
   */
 final class GrpcEndpoint(core: HttpEndpoint,
-    versionTag: String = "graft-spark") {
+    versionTag: String = "graft-spark",
+    audit: Option[AuditLog] = None) {
 
   @volatile private var group: MultiThreadIoEventLoopGroup = _
   @volatile private var channel: Channel = _
@@ -168,6 +169,22 @@ final class GrpcEndpoint(core: HttpEndpoint,
   // ---- service dispatch ----
 
   private def dispatch(path: String, body: Array[Byte],
+      tok: Option[String]): Array[Byte] = {
+    // audit parity with the HTTP front (reference ee/audit AuditGrpc:
+    // method + user per request; bodies are proto, log the method)
+    audit.foreach { a =>
+      val user = for {
+        acl <- core.aclOpt
+        t <- tok
+        u <- (try acl.claims(t).get("userid")
+        catch { case _: Throwable => None })
+      } yield u
+      a.log(path, user.getOrElse("anonymous"), s"<${body.length} proto bytes>")
+    }
+    dispatch0(path, body, tok)
+  }
+
+  private def dispatch0(path: String, body: Array[Byte],
       tok: Option[String]): Array[Byte] = path match {
     case "/api.Dgraph/CheckVersion" => encodeVersion(versionTag)
     case "/api.Dgraph/Login" => login(decodeLoginRequest(body))

@@ -107,6 +107,48 @@ class EncryptionSpec extends AnyFunSuite {
     }
   }
 
+  test("encrypted backup: sealed triples + manifest, restore with key, ciphertext hides values") {
+    import spark.implicits._
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.operators.Backup
+    import graft.sources.RdfSource
+    val (preds, types) = SchemaRegistry.parseAlter("name: string @index(exact) .")
+    val reg = new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+    val triples = RdfSource.parse(Seq(
+      """<0x1> <name> "SEALED_backup_value" .""",
+      """<0x2> <name> "tungsten" .""").toDF("line"))
+    val store = new TripleFrameStore(spark, reg, triples, Map.empty,
+      materialize = false)
+    val key = Array.tabulate[Byte](32)(i => (i * 5 + 1).toByte)
+    val dir = tmpDir("graft_enc_backup")
+    Backup.full(store, dir, encKey = Some("bk1" -> key))
+    // manifest is sealed, not plaintext
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "schema.graft")))
+    val manifestRaw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "schema.graft.enc"))
+    assert(!new String(manifestRaw, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("name: string"))
+    // triples parquet hides the values
+    def parquetFiles(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory => parquetFiles(d)
+        case p if p.getName.endsWith(".parquet") => Seq(p)
+        case _ => Nil
+      }
+    val files = parquetFiles(new java.io.File(s"$dir/triples"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val raw = new String(Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(!raw.contains("SEALED_backup_value"), f.getName)
+    }
+    // restore with the key round-trips
+    val restored = Backup.restore(spark, dir, encKey = Some("bk1" -> key))
+    val names = restored.attr("name").select("value").as[String].collect().sorted
+    assert(names.toSeq == Seq("SEALED_backup_value", "tungsten"))
+  }
+
   test("HTTP front door writes audit entries with the token's user") {
     import spark.implicits._
     import graft.core.{Acl, SchemaRegistry}
