@@ -53,4 +53,30 @@ object Sampling {
     }
     df.filter(hashBucket(id, salt, 100) < pct)
   }
+
+  /** Mixture sampling to per-stratum TOKEN budgets (the pretraining
+    * mixture knob: "x tokens of source A, y of source B"): each
+    * stratum's keep-rate = min(1, budget / its total tokens), quantized
+    * to basis points with exact integer arithmetic, applied as the same
+    * deterministic nested-hash filter — re-running with a bigger budget
+    * only ADDS documents. 100 TB shape: the stratum totals are the only
+    * driver action and are metadata-sized (one row per source); the
+    * sample itself is one scan + filter with no shuffle.
+    */
+  def mixtureByTokens(df: DataFrame, id: Column, stratum: Column,
+      tokens: Column, salt: String, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    val totals = df.groupBy(stratum.as("__s"))
+      .agg(sum(tokens).as("__tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def bps(k: String): Long = {
+      val tot = totals.getOrElse(k, 0L)
+      val b = budgets.getOrElse(k, defaultBudget)
+      if (tot == 0L) 0L else math.min(10000L, b * 10000L / tot)
+    }
+    val rate = totals.keys.toSeq.sorted.foldLeft(lit(0L)) { case (acc, k) =>
+      when(stratum === k, lit(bps(k))).otherwise(acc)
+    }
+    df.filter(hashBucket(id, salt, 10000) < rate)
+  }
 }

@@ -581,6 +581,21 @@ object LlmQueries {
       Sampling.stratifiedSample(t(s, d, "documents"), col("doc_id"),
           col("lang"), salt = "graft", rates = Map("en" -> 20), defaultPct = 60)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
+    // mixture sampling to per-source token budgets (the pretraining
+    // mixture knob): keep-rates derive from exact per-source token
+    // totals — the oracle recomputes the identical integer arithmetic,
+    // so a drift in either the totals or the hash filter goes red
+    "sample_mixture" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.mixtureByTokens(
+          t(s, d, "documents")
+            .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+          col("doc_id"), col("source"), col("n_tok"), salt = "graft",
+          budgets = Map("src1" -> 700L, "src7" -> 400L),
+          defaultBudget = 200L)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     })
   )
 
@@ -1030,6 +1045,22 @@ object LlmQueries {
         |    AS UBIGINT) % 100 AS BIGINT) AS bkt
         | FROM documents)
         |WHERE bkt < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture" ->
+      """WITH tot AS (
+        | SELECT source,
+        |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS toks
+        | FROM documents GROUP BY 1),
+        |rate AS (
+        | SELECT source,
+        |  LEAST(10000, CASE source WHEN 'src1' THEN 700 WHEN 'src7' THEN 400
+        |               ELSE 200 END * 10000 // toks) AS bps
+        | FROM tot)
+        |SELECT doc_id, d.source AS source
+        |FROM documents d JOIN rate r ON d.source = r.source
+        |WHERE CAST(CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |  AS UBIGINT) % 10000 AS BIGINT) < r.bps
         |ORDER BY doc_id""".stripMargin
   )
 

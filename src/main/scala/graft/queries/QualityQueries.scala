@@ -89,6 +89,32 @@ object QualityQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: assemble documents into fixed-token-budget
+    // training rows (the pretraining packer). Greedy CONTIGUOUS fill in
+    // doc_id order: a doc goes to bin floor(running_prefix / budget) —
+    // the boundary doc that straddles two bins belongs to the bin its
+    // prefix starts in (real packers split or pad there; the bin
+    // ASSIGNMENT is what this operator computes). 100 TB shape: the
+    // window partitions by `source`, so each shard packs independently
+    // in parallel — no global sort, no single-partition window (a
+    // global packer would funnel the corpus through one task; per-shard
+    // packing is what a distributed trainer wants anyway, and the
+    // WindowExec here follows a hash exchange on source).
+    "pack_sequences" -> ((s, d) => {
+      val budget = 2048L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast("long").as("n_tok"))
+      toks
+        .withColumn("prefix", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("bin", floor(col("prefix") / budget))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // Vocabulary build: term + document frequency over the corpus, top 50
     // by (df, tf, word). The global top-k runs as orderBy+limit — Spark
     // plans that as a distributed TakeOrderedAndProject (per-partition
@@ -211,6 +237,20 @@ object QualityQueries {
          |      WHEN NOT (stop_hits >= 2) THEN 'stopword'
          |      WHEN NOT (ttr >= 0.45) THEN 'ttr' END AS fail_reason
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, source, n_tok,
+        |  SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS prefix
+        | FROM t)
+        |SELECT source, CAST(FLOOR(prefix / 2048) AS BIGINT) AS bin,
+        | COUNT(*) AS n_docs, SUM(n_tok) AS tokens,
+        | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM p GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
 
     "vocab_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
