@@ -48,24 +48,27 @@ object Probe {
     time("read out")(println("rows=" +
       spark.read.parquet(s"$base/out").count()))
     // second full run to separate JIT/class-load from steady cost
-    val base2 = base + "_b"
-    time("write inputs 2") {
-      keyed.coalesce(1).write.mode("overwrite").parquet(s"$base2/in")
-      keyed.withColumn("id", col("id") + 1000000L)
-        .coalesce(1).write.mode("append").parquet(s"$base2/in")
-    }
-    time("stream run 2") {
-      val in = spark.readStream.schema(keyed.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base2/in")
-      val q = graft.streaming.EventStream.streamingDedup(in.as[(String, Long)])
-        .toDF("key", "first_id")
-        .writeStream.format("parquet")
-        .option("path", s"$base2/out")
-        .option("checkpointLocation", s"$base2/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    Seq(("32p", "32"), ("8p", "8"), ("8p again", "8")).foreach { case (tag, parts) =>
+      val base2 = base + "_" + tag.replace(" ", "")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      time(s"write inputs $tag") {
+        keyed.coalesce(1).write.mode("overwrite").parquet(s"$base2/in")
+        keyed.withColumn("id", col("id") + 1000000L)
+          .coalesce(1).write.mode("append").parquet(s"$base2/in")
+      }
+      time(s"stream run $tag") {
+        val in = spark.readStream.schema(keyed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base2/in")
+        val q = graft.streaming.EventStream.streamingDedup(in.as[(String, Long)])
+          .toDF("key", "first_id")
+          .writeStream.format("parquet")
+          .option("path", s"$base2/out")
+          .option("checkpointLocation", s"$base2/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     spark.stop()
   }
