@@ -139,4 +139,58 @@ class WsSubscriptionsSpec extends AnyFunSuite {
       sock.close()
     } finally ws.stop()
   }
+
+  test("@auth claims ride the connection_init payload header the SDL names") {
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter("text: string @index(exact) .")
+    val reg = new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+    val triples = RdfSource.parse(Seq(
+      """<0x1> <text> "classified" .""",
+      """<0x1> <dgraph.type> "Note" .""").toDF("line")).localCheckpoint()
+    val sdl = SdlParser.parse(
+      """type Note @withSubscription
+        |    @auth(query: { rule: "{$ROLE: { eq: \"admin\" } }"}) {
+        |  id: ID!
+        |  text: String! @search(by: [exact])
+        |}
+        |# Dgraph.Authorization {"VerificationKey":"topsecret","Header":"X-Auth","Namespace":"","Algo":"HS256"}
+        |""".stripMargin)
+    def hs256(payload: String): String = {
+      def b64(x: Array[Byte]) = java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(x)
+      val h = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes(UTF_8))
+      val p = b64(payload.getBytes(UTF_8))
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        "topsecret".getBytes(UTF_8), "HmacSHA256"))
+      s"$h.$p." + b64(mac.doFinal(s"$h.$p".getBytes(UTF_8)))
+    }
+    def engine() = new GraphQLEngine(
+      new TripleFrameStore(spark, reg, triples, Map.empty, materialize = false), sdl)
+    val ws = new WsSubscriptions(() => engine(), pollMs = 100)
+    val port = ws.start()
+    try {
+      // admin-role token in the SDL-named header → data flows
+      val (sock1, in1, out1) = handshake("127.0.0.1", port)
+      sendText(out1,
+        s"""{"type":"connection_init","payload":{"X-Auth":"${hs256("""{"ROLE":"admin"}""")}"}}""")
+      readType(in1, "connection_ack")
+      sendText(out1,
+        """{"type":"start","id":"1","payload":{"query":"subscription { queryNote { text } }"}}""")
+      val data = readType(in1, "data")
+      assert(data.contains("classified"), data)
+      sock1.close()
+      // wrong role → auth fails closed: empty result, not an error leak
+      val (sock2, in2, out2) = handshake("127.0.0.1", port)
+      sendText(out2,
+        s"""{"type":"connection_init","payload":{"X-Auth":"${hs256("""{"ROLE":"viewer"}""")}"}}""")
+      readType(in2, "connection_ack")
+      sendText(out2,
+        """{"type":"start","id":"1","payload":{"query":"subscription { queryNote { text } }"}}""")
+      val denied = readType(in2, "data")
+      assert(!denied.contains("classified"), denied)
+      sock2.close()
+    } finally ws.stop()
+  }
 }
