@@ -26,8 +26,9 @@ object Bench {
     "recurse_chain", "shortest_sssp", "shortest_paths",
     "dql_shortest", "dql_groupby_agg", "dql_json_nested", "graphql_json",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "embed_cosine_topk", "embed_ann_ivf", "stream_sliding",
-    "fulltext_alloftext", "text_quality")
+    "dedup_simhash_pairs", "embed_cosine_topk", "embed_ann_ivf",
+    "stream_sliding", "stream_dedup", "fulltext_alloftext", "text_quality",
+    "dql_datetime_range", "pack_sequences", "encrypted_store_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -83,7 +83,19 @@ sealed trait MathNode
 // isInt: the literal was written without '.'/'e' — integer-typed math
 // follows the reference's typed evaluation (query/math.go: int ops on
 // int operands, incl. truncating division)
-final case class MathNum(v: Double, isInt: Boolean = false) extends MathNode
+/** Numeric math literal. Int lexemes keep their EXACT 64-bit value in
+  * `exact` — a double round-trip silently corrupts literals past the
+  * 53-bit mantissa (reference TestProcessBinary: 48038396025285290 + 2
+  * must equal ...292, int math is exact at full 64-bit width).
+  */
+final case class MathNum(v: Double, isInt: Boolean = false,
+    exact: Long = 0L) extends MathNode
+
+object MathNum {
+  def fromLexeme(s: String, isInt: Boolean): MathNum =
+    if (isInt) MathNum(s.toDouble, isInt = true, exact = s.toLong)
+    else MathNum(s.toDouble)
+}
 final case class MathRef(name: String) extends MathNode
 final case class MathBin(op: String, l: MathNode, r: MathNode) extends MathNode
 final case class MathFunc(name: String, args: Seq[MathNode]) extends MathNode

@@ -142,7 +142,7 @@ final class DqlExecutor(ts: GraphStore) {
       if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
       else d.toString
     def evalMath(m: MathNode): Double = m match {
-      case MathNum(v, _) => v
+      case MathNum(v, _, _) => v
       case MathRef(n) => scalars.getOrElse(n,
         throw new IllegalArgumentException(
           "Only aggregated variables allowed within empty block."))
@@ -2495,7 +2495,7 @@ final class DqlExecutor(ts: GraphStore) {
     */
   private def mathIntegral(m: MathNode, intRefs: Set[String]): Boolean =
     m match {
-      case MathNum(_, i) => i
+      case MathNum(_, i, _) => i
       case MathRef(n) => intRefs(n)
       case MathBin(op, l, r) if "+-*/%".contains(op) =>
         mathIntegral(l, intRefs) && mathIntegral(r, intRefs)
@@ -2533,7 +2533,7 @@ final class DqlExecutor(ts: GraphStore) {
         s"dot requires vector operands, got $other")
     }
     m match {
-      case MathNum(v, i) => if (i) lit(v.toLong) else lit(v)
+      case MathNum(v, i, exact) => if (i) lit(exact) else lit(v)
       case MathVec(_) => throw new IllegalArgumentException(
         "a vector literal is only valid as a dot operand")
       case MathRef(n) =>

@@ -50,9 +50,17 @@ object DqlQueries {
     // engine's plain timestamp comparison lands on the parquet scan as
     // a pushed predicate, which IS the bucket walk here (row-group
     // min/max stats prune whole date ranges)
+    // gate surface is a STRING rendering of the timestamp: raw
+    // TIMESTAMP would be the only timestamp-typed gate column, and the
+    // root_bigfloat lesson (3 rounds red on a DECIMAL rendering
+    // difference between the driver's two readers, values identical)
+    // says keep exotic types out of the hashed surface
     "dql_datetime_range" -> ((s, d) =>
       dql("""{ q(func: between(orderdate, "1995-03-01", "1995-03-31T23:59:59"))
             |    { orderdate } }""".stripMargin)(s, d)
+        .select(col("uid"),
+          date_format(col("orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .as("orderdate"))
         .orderBy(col("uid"))),
 
     "dql_order_page" -> ((s, d) =>
@@ -378,7 +386,7 @@ object DqlQueries {
 
     "dql_datetime_range" ->
       s"""SELECT $OB + o_orderkey AS uid,
-         | CAST(o_orderdate AS TIMESTAMP) AS orderdate
+         | strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS orderdate
          |FROM orders
          |WHERE o_orderdate >= DATE '1995-03-01'
          |  AND o_orderdate <= DATE '1995-03-31'
