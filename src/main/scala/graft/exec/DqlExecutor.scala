@@ -217,6 +217,15 @@ final class DqlExecutor(ts: GraphStore) {
         val jsonV =
           if (row.isNullAt(0)) { sel.varName.foreach(scalars(_) = None); "null" }
           else row.get(0) match {
+            case d: java.math.BigDecimal =>
+              // bigfloat var agg renders its EXACT decimal digits
+              // (reference TestBigFloatSum: sum of 5 bigfloat values is
+              // "123520.2462462464320000000001" — a double round-trip
+              // corrupts past the mantissa). Trailing zeros strip like
+              // the reference's big.Float text rendering.
+              sel.varName.foreach(scalars(_) = Some(d.doubleValue))
+              val s = d.stripTrailingZeros
+              if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
             case n: java.lang.Number =>
               sel.varName.foreach(scalars(_) = Some(n.doubleValue))
               fmt(n.doubleValue)

@@ -121,4 +121,49 @@ class MathParitySpec extends AnyFunSuite {
     assert(evalMath("cond(1 == 2, 5, 9)") == 9L)
     assert(evalMath("cond(2 > 1, 5.0, 9)") == 5.0)
   }
+
+  test("bigfloat var aggregation is decimal-exact (reference TestBigFloatSum/Max/Lt/Gt)") {
+    // reference query4_test.go TestBigFloat*: 200-bit big.Float; this
+    // engine's documented narrowing is DECIMAL(38,24) — wide enough for
+    // every value in the reference's own fixtures, and the SUM below is
+    // the reference's exact expected digits (a double path yields
+    // ...6431999... instead of ...64320000000001)
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      "amount: bigfloat @index(bigfloat) .")
+    val reg = new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+    val triples = RdfSource.parse(Seq(
+      """<0x666> <amount> "100" .""",
+      """<0x124> <amount> "99.1231231233" .""",
+      """<0x777> <amount> "99" .""",
+      """<0x888> <amount> "99.0000000000000000000001" .""",
+      """<0x123> <amount> "123123.123123123132" .""").toDF("line"))
+    val ex = new DqlExecutor(new TripleFrameStore(spark, reg, triples,
+      Map.empty, materialize = false))
+    val js = ex.jsonAll(
+      """{ me(func: has(amount)) { amount as amount }
+        |  q() { sum_amt : sum(val(amount)) } }""".stripMargin)
+      .filter("block = 'q'").collect().map(_.getString(2)).mkString
+    assert(js.contains("\"sum_amt\":123520.2462462464320000000001"), js)
+    val mx = ex.jsonAll(
+      """{ me(func: has(amount)) { amount as amount }
+        |  q() { max_amt : max(val(amount)) } }""".stripMargin)
+      .filter("block = 'q'").collect().map(_.getString(2)).mkString
+    assert(mx.contains("\"max_amt\":123123.123123123132"), mx)
+    val mn = ex.jsonAll(
+      """{ me(func: has(amount)) { amount as amount }
+        |  q() { min_amt : min(val(amount)) } }""".stripMargin)
+      .filter("block = 'q'").collect().map(_.getString(2)).mkString
+    assert(mn.contains("\"min_amt\":99"), mn)
+    // lt/gt range scans over the bigfloat index distinguish values one
+    // unit in the 22nd decimal place apart (TestBigFloatLt/Gt)
+    val lt = ex.flat(
+      """{ me(func: lt(amount, "99.0000000000000000000001")) { amount } }""")
+      .collect()
+    assert(lt.length == 1) // only the exact 99
+    val gt = ex.flat(
+      """{ me(func: gt(amount, "100")) { amount } }""").collect()
+    assert(gt.length == 1) // only 123123.12...
+  }
 }
