@@ -248,7 +248,7 @@ object QualityQueries {
         |  SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS prefix
         | FROM t)
         |SELECT source, CAST(FLOOR(prefix / 2048) AS BIGINT) AS bin,
-        | COUNT(*) AS n_docs, SUM(n_tok) AS tokens,
+        | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM p GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
 
