@@ -28,7 +28,16 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir"), table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    // Align the shuffle with the bucket function before writing:
+    // repartition(buckets, key) uses the same Murmur3 pmod as bucketBy,
+    // so each task holds exactly one bucket and writes ONE file. Without
+    // it every input partition opens a writer per bucket it touches —
+    // numFiles = partitions × buckets (measured 128 files/table at 16
+    // input partitions), and the committer fsync storm is what degrades
+    // first under disk pressure. At cluster scale this is the standard
+    // bucketed-write shape: one task per bucket, file count == buckets.
+    df.repartition(buckets, df.col(key))
+      .write
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
