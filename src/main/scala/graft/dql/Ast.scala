@@ -92,8 +92,13 @@ final case class MathNum(v: Double, isInt: Boolean = false,
     exact: Long = 0L) extends MathNode
 
 object MathNum {
+  /** Int lexemes past Int64 range fall back to a float literal rather
+    * than failing the query — the reference's int→float parse fallback
+    * (dql/math.go parses with strconv.ParseInt, retries ParseFloat). */
   def fromLexeme(s: String, isInt: Boolean): MathNum =
-    if (isInt) MathNum(s.toDouble, isInt = true, exact = s.toLong)
+    if (isInt)
+      try MathNum(s.toDouble, isInt = true, exact = s.toLong)
+      catch { case _: NumberFormatException => MathNum(s.toDouble) }
     else MathNum(s.toDouble)
 }
 final case class MathRef(name: String) extends MathNode

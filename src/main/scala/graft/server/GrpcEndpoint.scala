@@ -9,7 +9,7 @@ import io.netty.channel.{Channel, ChannelDuplexHandler, ChannelHandlerContext, C
 import io.netty.channel.nio.NioIoHandler
 import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.NioServerSocketChannel
-import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame}
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, DefaultHttp2WindowUpdateFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame}
 import io.netty.util.ReferenceCountUtil
 
 import graft.core.Acl
@@ -97,9 +97,21 @@ final class GrpcEndpoint(core: HttpEndpoint,
             val bytes = new Array[Byte](buf.readableBytes())
             buf.readBytes(bytes)
             st.body.write(bytes)
-            if (d.isEndStream) respond(ctx, d.stream(), st)
           }
+          // return the consumed flow-controlled bytes (data + padding):
+          // Http2FrameCodec routes a WINDOW_UPDATE write through
+          // consumeBytes, which replenishes BOTH the stream and the
+          // connection windows. Without this a long-lived channel (dgo
+          // keeps one) stalls permanently once ~64 KiB of cumulative
+          // request bytes exhausts the initial windows.
+          val consumed = d.initialFlowControlledBytes()
+          val endStream = d.isEndStream
+          val stream = d.stream()
           d.release()
+          if (consumed > 0)
+            ctx.writeAndFlush(
+              new DefaultHttp2WindowUpdateFrame(consumed).stream(stream))
+          if (st != null && endStream) respond(ctx, stream, st)
         case other => ReferenceCountUtil.release(other)
       }
 
@@ -114,6 +126,10 @@ final class GrpcEndpoint(core: HttpEndpoint,
           case e: UnsupportedOperationException =>
             (12, String.valueOf(e.getMessage), null) // UNIMPLEMENTED
           case e: Acl.AclException => (7, e.msg, null) // PERMISSION_DENIED
+          case _: HttpEndpoint.TxnRetryException =>
+            // ABORTED — dgo's retry loop retries this status and treats
+            // everything else as fatal (reference y.ErrAborted message)
+            (10, "Transaction has been aborted. Please retry", null)
           case e: Throwable => // UNKNOWN, reference surfaces the message
             (2, Option(e.getMessage).getOrElse(e.getClass.getSimpleName), null)
         }
@@ -190,7 +206,8 @@ final class GrpcEndpoint(core: HttpEndpoint,
     case "/api.Dgraph/Login" => login(decodeLoginRequest(body))
     case "/api.Dgraph/Query" => queryOrMutate(decodeRequest(body), tok)
     case "/api.Dgraph/Alter" => alter(decodeOperation(body), tok)
-    case "/api.Dgraph/CommitOrAbort" => commitOrAbort(decodeTxnContext(body))
+    case "/api.Dgraph/CommitOrAbort" =>
+      commitOrAbort(decodeTxnContext(body), tok)
     case other =>
       throw new UnsupportedOperationException(s"unknown method $other")
   }
@@ -296,8 +313,9 @@ final class GrpcEndpoint(core: HttpEndpoint,
     encodePayload("Success".getBytes(UTF_8))
   }
 
-  private def commitOrAbort(t: PTxnContext): Array[Byte] = {
-    core.commitTxn(t.startTs, t.aborted)
+  private def commitOrAbort(t: PTxnContext,
+      tok: Option[String]): Array[Byte] = {
+    core.commitTxn(t.startTs, t.aborted, tok)
     encodeTxnContext(
       if (t.aborted) t
       else t.copy(commitTs = t.startTs + 1)).result

@@ -73,9 +73,35 @@ final class HttpEndpoint(
   // deferred batch — no conflict detection (keys/preds in the /commit
   // body are accepted and ignored), single-snapshot semantics: queries
   // always read the last COMMITTED frame.
+  //
+  // A txn is BOUND to the access token that opened it and to a ts this
+  // server issued: startTs values are handed out by txnSeq exactly as
+  // the reference's are by Zero (a client can't fabricate one), appends
+  // and commits from a different token are rejected, and idle txns
+  // expire so abandoned handles can't accumulate unbounded driver state.
   private val txnSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private val txns = scala.collection.concurrent.TrieMap
-    .empty[Long, Vector[(Seq[(String, String)], Seq[(String, String)])]]
+  private case class OpenTxn(owner: Option[String], touchedMs: Long,
+      batches: Vector[(Seq[(String, String)], Seq[(String, String)])])
+  private val txns = scala.collection.concurrent.TrieMap.empty[Long, OpenTxn]
+  // var so specs can force immediate expiry; production default 10 min
+  private[graft] var txnMaxIdleMs: Long =
+    sys.env.getOrElse("GRAFT_TXN_IDLE_MS", "600000").toLong
+
+  /** Drop txns idle past the deadline — called on every txn touch, so
+    * the map stays bounded without a background thread. */
+  private def sweepTxns(): Unit = {
+    val cutoff = System.currentTimeMillis() - txnMaxIdleMs
+    txns.filterInPlace((_, t) => t.touchedMs >= cutoff)
+  }
+
+  /** A txn handle is usable only by the token that opened it (the
+    * reference scopes txns to the logged-in namespace/user the same
+    * way). Aborted-style message so client retry loops treat a stolen/
+    * stale handle like a conflict, not a success. */
+  private def requireTxnOwner(ts: Long, t: OpenTxn, tok: Option[String]): Unit =
+    if (t.owner != tok)
+      throw new HttpEndpoint.TxnRetryException(
+        s"Transaction $ts has been aborted. Please retry")
 
   private def store: GraphStore =
     new TripleFrameStore(spark, schema, triples, facetKeys,
@@ -163,11 +189,11 @@ final class HttpEndpoint(
         .getOrElse(throw new IllegalArgumentException(
           "startTs parameter is mandatory while trying to commit"))
       if (params.get("abort").contains("true")) {
-        commitTxn(ts, abort = true)
+        commitTxn(ts, abort = true, accessToken(ex))
         s"""{"data":{"code":"Success","message":"Done"},""" +
           s""""extensions":{"txn":{"start_ts":$ts,"aborted":true}}}"""
       } else {
-        commitTxn(ts, abort = false)
+        commitTxn(ts, abort = false, accessToken(ex))
         s"""{"data":{"code":"Success","message":"Done"},""" +
           s""""extensions":{"txn":{"start_ts":$ts,"commit_ts":${ts + 1}}}}"""
       }
@@ -277,13 +303,40 @@ final class HttpEndpoint(
       a.authorizeMutation(t, sets.map(_._2) ++ dels.map(_._2))
     }
     validateLines(sets.map(_._1), dels.map(_._1))
+    sweepTxns()
+    val now = System.currentTimeMillis()
     if (!commitNow) {
-      val ts = startTs.getOrElse(txnSeq.incrementAndGet())
-      txns.updateWith(ts)(q =>
-        Some(q.getOrElse(Vector.empty) :+ ((sets, dels))))
-      Some(ts)
+      startTs match {
+        case Some(ts) =>
+          // append to an EXISTING open txn only: an unissued/expired/
+          // foreign ts is rejected — accepting it would let a client
+          // pre-claim a future txnSeq value or splice batches into
+          // another client's txn
+          val updated = txns.updateWith(ts) {
+            case Some(t) =>
+              requireTxnOwner(ts, t, tok)
+              Some(t.copy(touchedMs = now, batches = t.batches :+ ((sets, dels))))
+            case None =>
+              throw new HttpEndpoint.TxnRetryException(
+                s"Transaction $ts not found")
+          }
+          updated.foreach(_ => ())
+          Some(ts)
+        case None =>
+          val ts = txnSeq.incrementAndGet()
+          txns.put(ts, OpenTxn(tok, now, Vector((sets, dels))))
+          Some(ts)
+      }
     } else {
-      val queued = startTs.flatMap(txns.remove).getOrElse(Vector.empty)
+      val queued = startTs.flatMap { ts =>
+        txns.remove(ts).map { t =>
+          if (t.owner != tok) {
+            txns.putIfAbsent(ts, t) // not yours — put it back untouched
+            requireTxnOwner(ts, t, tok)
+          }
+          t.batches
+        }
+      }.getOrElse(Vector.empty)
       writeLock.synchronized {
         applyMutations(queued :+ ((sets, dels)))
       }
@@ -292,15 +345,25 @@ final class HttpEndpoint(
   }
 
   /** Commit (apply queued batches atomically) or abort (discard) the
-    * txn. Commit of an unknown ts errors like the reference.
+    * txn. Commit of an unknown ts errors like the reference; both
+    * paths enforce the opening token's ownership.
     */
-  private[server] def commitTxn(ts: Long, abort: Boolean): Unit =
-    if (abort) { txns.remove(ts); () }
-    else {
-      val batches = txns.remove(ts).getOrElse(
-        throw new IllegalArgumentException(s"Transaction $ts not found"))
-      writeLock.synchronized { applyMutations(batches) }
+  private[server] def commitTxn(ts: Long, abort: Boolean,
+      tok: Option[String]): Unit = {
+    sweepTxns()
+    if (abort) {
+      txns.get(ts).foreach { t =>
+        requireTxnOwner(ts, t, tok)
+        txns.remove(ts)
+      }
+    } else {
+      val t = txns.getOrElse(ts,
+        throw new HttpEndpoint.TxnRetryException(s"Transaction $ts not found"))
+      requireTxnOwner(ts, t, tok)
+      txns.remove(ts)
+      writeLock.synchronized { applyMutations(t.batches) }
     }
+  }
 
   /** Guardian-gated alter: JSON drop operations (reference
     * edgraph/server.go:369 Alter: drop_all / drop_op DATA|ATTR|TYPE /
@@ -669,8 +732,26 @@ final class HttpEndpoint(
     val user = acl.flatMap(acl0 => accessToken(ex).flatMap(t =>
       try acl0.claims(t).get("userid") catch { case _: Throwable => None }))
       .getOrElse("anonymous")
-    a.log(ex.getRequestURI.getPath, user, new String(bytes, UTF_8))
+    a.log(ex.getRequestURI.getPath, user,
+      maskPasswords(ex.getRequestURI.getPath, new String(bytes, UTF_8)))
   }
+
+  /** Plaintext credentials never reach the audit log (reference
+    * ee/audit/interceptor.go: skipReqBodyGrpc["Login"] drops the Login
+    * payload entirely; maskPasswordFieldsInGQL rewrites password
+    * arguments): the /login body is replaced wholesale, and any JSON
+    * `"password":"…"` field elsewhere (GraphQL login mutations, checkpwd
+    * payloads) is rewritten to stars before logging.
+    */
+  private def maskPasswords(path: String, body: String): String =
+    if (path == "/login") """{"masked":"*******"}"""
+    else body
+      // JSON field form: "password":"secret"
+      .replaceAll("""("password"\s*:\s*")(?:[^"\\]|\\.)*(")""", "$1*******$2")
+      // GraphQL argument form inside a JSON-encoded query string:
+      // password: \"secret\"  (quotes escaped by the JSON envelope)
+      .replaceAll("""(password\s*:\s*\\")(?:[^"\\]|\\[^"])*(\\")""",
+        "$1*******$2")
 
   /** Wrap a handler with the reference's error envelope. */
   private def handler(f: HttpExchange => String)
@@ -691,6 +772,15 @@ final class HttpEndpoint(
 }
 
 object HttpEndpoint {
+  /** Txn-handle errors a well-behaved client should RETRY: unknown/
+    * expired ts on commit, or a handle owned by another token. The gRPC
+    * front maps this to status ABORTED (10) — dgo's retry loop treats
+    * anything else as fatal (reference y.ErrAborted); HTTP keeps the
+    * message in the standard error envelope.
+    */
+  final class TxnRetryException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Predicates whose VALUES only internal writers may touch (reference
     * x/keys.go:796 otherReservedPredicate): a subset of the dgraph.
     * namespace — dgraph.type and the ACL predicates are managed through

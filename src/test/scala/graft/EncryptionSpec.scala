@@ -190,6 +190,13 @@ class EncryptionSpec extends AnyFunSuite {
       assert(entries.exists(e => e.contains("\"/query\"")
         && e.contains("\"user\":\"groot\"")
         && e.contains("has(name)")), entries.mkString("\n"))
+      // plaintext credentials never reach the log: the /login body is
+      // replaced wholesale (reference audit/interceptor.go
+      // skipReqBodyGrpc["Login"] + maskPasswordFieldsInGQL)
+      assert(!entries.exists(_.contains("password")),
+        entries.mkString("\n"))
+      assert(entries.exists(e => e.contains("\"/login\"")
+        && e.contains("*******")), entries.mkString("\n"))
     } finally ep.stop()
   }
 }

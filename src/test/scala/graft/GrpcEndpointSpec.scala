@@ -256,6 +256,57 @@ class GrpcEndpointSpec extends AnyFunSuite {
     } finally { cli.close(); grpc.stop() }
   }
 
+  test("unknown/foreign txn answers ABORTED (10) so dgo retry loops retry") {
+    val (ep, _) = mkEndpoint()
+    val grpc = new GrpcEndpoint(ep)
+    val port = grpc.start()
+    val cli = new GrpcClient(port)
+    try {
+      // commit of a never-issued ts: ABORTED with the reference message
+      val (s, msg, _) = cli.call("/api.Dgraph/CommitOrAbort",
+        encodeTxnContext(PTxnContext(startTs = 999999L)).result)
+      assert(s == 10, s"expected ABORTED(10), got $s: $msg")
+      assert(msg.contains("Transaction has been aborted. Please retry"), msg)
+      // double-commit: the second attempt is ABORTED, not UNKNOWN
+      val m = encodeRequest(PRequest(
+        mutations = Seq(PMutation(
+          setNquads = """<0x41> <name> "gina" .""".getBytes(UTF_8))))).result
+      val (_, _, r) = cli.call("/api.Dgraph/Query", m)
+      val ts = decodeResponse(r).txn.get.startTs
+      val (c1, _, _) = cli.call("/api.Dgraph/CommitOrAbort",
+        encodeTxnContext(PTxnContext(startTs = ts)).result)
+      assert(c1 == 0)
+      val (c2, msg2, _) = cli.call("/api.Dgraph/CommitOrAbort",
+        encodeTxnContext(PTxnContext(startTs = ts)).result)
+      assert(c2 == 10, s"expected ABORTED(10), got $c2: $msg2")
+    } finally { cli.close(); grpc.stop() }
+  }
+
+  test("long-lived channel survives >64 KiB cumulative request data (flow control)") {
+    val (ep, _) = mkEndpoint()
+    val grpc = new GrpcEndpoint(ep)
+    val port = grpc.start()
+    val cli = new GrpcClient(port)
+    try {
+      // one idempotent set line repeated to ~40 KiB per request; four
+      // requests push ~160 KiB through ONE connection — far past the
+      // 64 KiB initial connection window. Without the server returning
+      // consumed bytes via WINDOW_UPDATE, the client's flow controller
+      // queues the later frames forever and call() times out (this is
+      // dgo's deployment shape: one channel for the process lifetime).
+      val line = """<0x42> <name> "henry" ."""
+      val big = Array.fill(1800)(line).mkString("\n")
+      val req = encodeRequest(PRequest(
+        mutations = Seq(PMutation(setNquads = big.getBytes(UTF_8))),
+        commitNow = true)).result
+      assert(req.length > 40000, s"payload only ${req.length}B")
+      (1 to 4).foreach { i =>
+        val (s, msg, _) = cli.call("/api.Dgraph/Query", req)
+        assert(s == 0, s"call $i failed: $s $msg")
+      }
+    } finally { cli.close(); grpc.stop() }
+  }
+
   test("Alter (schema + drop_attr) and Login/ACL enforcement over gRPC") {
     val (ep, aclOpt) = mkEndpoint(withAcl = true)
     val grpc = new GrpcEndpoint(ep)

@@ -271,6 +271,65 @@ class HttpEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("txn handles are owner-bound, unissued startTs rejected, idle txns expire") {
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """hname: string @index(exact) .
+        |hsal: int @index(int) .
+        |""".stripMargin)
+    val acl = new Acl(
+      users = Map(
+        "alice" -> Acl.User("alice", Acl.hashPassword("alice", "pw"), Set("dev")),
+        "mallory" -> Acl.User("mallory", Acl.hashPassword("mallory", "mw"), Set("dev"))),
+      groups = Map("dev" -> Seq(Acl.Rule("hname", Acl.Read | Acl.Write))),
+      secret = "s3cret")
+    val ep = new HttpEndpoint(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <hname> "ann" .""",
+        """<0x1> <dgraph.type> "HEmp" .""").toDF("line")),
+      acl = Some(acl))
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def login(u: String, p: String): String =
+        m.readTree(call(port, "/login",
+          body = s"""{"userid":"$u","password":"$p"}"""))
+          .get("data").get("accessJWT").asText
+      val alice = login("alice", "pw")
+      val mallory = login("mallory", "mw")
+      // a client may not pre-claim an unissued startTs
+      assert(call(port, "/mutate?commitNow=false&startTs=777",
+        contentType = "application/rdf", token = Some(alice),
+        body = """{ set { <0x7> <hname> "eve" . } }""").contains("not found"))
+      // alice opens a txn; mallory can't append to it, commit it, or abort it
+      val r1 = m.readTree(call(port, "/mutate?commitNow=false",
+        contentType = "application/rdf", token = Some(alice),
+        body = """{ set { <0x7> <hname> "eve" . } }"""))
+      val ts = r1.get("extensions").get("txn").get("start_ts").asLong
+      assert(call(port, s"/mutate?commitNow=false&startTs=$ts",
+        contentType = "application/rdf", token = Some(mallory),
+        body = """{ set { <0x8> <hname> "mal" . } }""").contains("aborted"))
+      assert(call(port, s"/commit?startTs=$ts", token = Some(mallory))
+        .contains("aborted"))
+      assert(call(port, s"/commit?startTs=$ts&abort=true",
+        token = Some(mallory)).contains("aborted"))
+      // the txn survived the hijack attempts: alice commits it
+      val c = m.readTree(call(port, s"/commit?startTs=$ts",
+        token = Some(alice)))
+      assert(c.get("extensions").get("txn").get("commit_ts").asLong == ts + 1)
+      // idle txns expire — an abandoned handle is gone after the deadline
+      val r2 = m.readTree(call(port, "/mutate?commitNow=false",
+        contentType = "application/rdf", token = Some(alice),
+        body = """{ set { <0x9> <hname> "gus" . } }"""))
+      val ts2 = r2.get("extensions").get("txn").get("start_ts").asLong
+      ep.txnMaxIdleMs = 1L
+      Thread.sleep(50)
+      assert(call(port, s"/commit?startTs=$ts2", token = Some(alice))
+        .contains("not found"))
+    } finally ep.stop()
+  }
+
   test("txn envelope: commitNow=false queues, /commit applies, abort discards") {
     val ep = endpoint()
     val port = ep.start()

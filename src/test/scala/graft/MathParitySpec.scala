@@ -74,7 +74,12 @@ class MathParitySpec extends AnyFunSuite {
     "min(1.0, 100.0)" -> 1.0,
     // logbase/pow always FLOAT, even on int operands
     "logbase(16, 2)" -> 4.0,
-    "pow(2, 3)" -> 8.0)
+    "pow(2, 3)" -> 8.0,
+    // an int lexeme past Int64 falls back to a FLOAT literal instead of
+    // failing the query (reference dql math parsing: ParseInt overflow
+    // retries ParseFloat) — 2^64 is not representable as int64
+    "18446744073709551616 + 1" -> 1.8446744073709552e19,
+    "18446744073709551616 * 0.0" -> 0.0)
 
   private val unaryCases: Seq[(String, Any)] = Seq(
     "ln(15)" -> 2.70805020110221,
