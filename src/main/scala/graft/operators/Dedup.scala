@@ -304,6 +304,14 @@ object Dedup {
     val fa = fh.select(col("media_id").as("a"), col("frame_hashes").as("__fa"))
     val fb = fh.select(col("media_id").as("b"), col("frame_hashes").as("__fb"))
     val n = least(size(col("__fa")), size(col("__fb")))
+    // SCALE GUARD: this aggregate/zip_with fold is a CodegenFallback
+    // higher-order function — interpreted row-at-a-time, fine at
+    // CANDIDATE-pair cardinality (LSH output, orders of magnitude below
+    // the corpus) but the exact pattern that cost a 68x regression when
+    // an equivalent fold once sat on a corpus-sized path (r10 simhash).
+    // It must only ever run on `cands`-joined rows; if a refactor needs
+    // per-corpus-row hamming, pack lanes into codegen'd SUMs instead
+    // (see simhashSigs).
     val sumd = aggregate(
       zip_with(slice(col("__fa"), lit(1), n), slice(col("__fb"), lit(1), n),
         (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),

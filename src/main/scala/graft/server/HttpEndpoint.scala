@@ -250,8 +250,37 @@ final class HttpEndpoint(
         """{"data":{"updateGQLSchema":{"gqlSchema":{"id":"0x1"}}}}"""
       } else if (q.contains("health"))
         """{"data":{"health":[{"status":"healthy","instance":"alpha"}]}}"""
-      else throw new IllegalArgumentException(
-        "unsupported admin operation (getGQLSchema / updateGQLSchema / health)")
+      else if (q.contains("export")) {
+        // reference graphql/admin/export.go resolveExport: mutation
+        // { export(input: {format, destination}) { response exportedFiles } }
+        requireGuardian(ex, "export")
+        val dest = adminStrArg(q, "destination").getOrElse(
+          throw new IllegalArgumentException(
+            "you must specify a 'destination' value"))
+        val format = adminStrArg(q, "format").getOrElse("rdf")
+        if (format != "rdf" && format != "json")
+          throw new IllegalArgumentException(s"invalid export format: $format")
+        val files = exportStore(dest, format)
+        val fileArr = files.map(M.writeValueAsString).mkString("[", ",", "]")
+        s"""{"data":{"export":{"response":{"code":"Success",""" +
+          s""""message":"Export completed."},"exportedFiles":$fileArr}}}"""
+      } else if (q.contains("backup")) {
+        // reference graphql/admin/backup.go resolveBackup: mutation
+        // { backup(input: {destination, forceFull}) { response taskId } }
+        requireGuardian(ex, "backup")
+        val dest = adminStrArg(q, "destination").getOrElse(
+          throw new IllegalArgumentException(
+            "you must specify a 'destination' value"))
+        val taskId = backupSeq.incrementAndGet()
+        writeLock.synchronized {
+          graft.operators.Backup.full(store, dest)
+        }
+        s"""{"data":{"backup":{"response":{"code":"Success",""" +
+          s""""message":"Backup queued with ID 0x$taskId"},""" +
+          s""""taskId":"0x$taskId"}}}"""
+      } else throw new IllegalArgumentException(
+        "unsupported admin operation (getGQLSchema / updateGQLSchema / " +
+          "health / export / backup)")
     })
     server.createContext("/login", handler { ex =>
       val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))
@@ -363,6 +392,75 @@ final class HttpEndpoint(
       txns.remove(ts)
       writeLock.synchronized { applyMutations(t.batches) }
     }
+  }
+
+  private val backupSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One string argument out of a tiny admin GraphQL document — admin
+    * docs are matched directly, like updateGQLSchema above. */
+  private def adminStrArg(q: String, name: String): Option[String] =
+    (name + """\s*:\s*"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(q)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  /** Export the live store to `dest` (reference worker/export.go):
+    * `rdf` writes N-Quad lines (attr values escaped + @lang, edge facets
+    * preserved); `json` writes one object per triple in the reference's
+    * JSON-export shape ({"uid":"0x1","name":"v"} / nested uid ref).
+    * Plus a `.schema` file in DQL schema syntax. The line building is
+    * all column expressions — the write is distributed, one file per
+    * partition like the reference's per-group export files.
+    */
+  private[server] def exportStore(dest: String, format: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    def hexS(c: org.apache.spark.sql.Column) =
+      lower(conv(c.cast("string"), 10, 16))
+    val attrs = triples.filter(col("objectUid").isNull)
+      .select(col("subject"), col("predicate"), col("value"), col("lang"))
+    val edges = triples.filter(col("objectUid").isNotNull)
+    val lines = format match {
+      case "rdf" =>
+        val aLines = graft.sources.RdfSource.formatAttrs(attrs)
+        val facetSuffix =
+          if (edges.columns.contains("facets"))
+            when(col("facets").isNotNull,
+              concat(lit(" ("), col("facets"), lit(")"))).otherwise(lit(""))
+          else lit("")
+        val eLines = edges.select(concat(
+          lit("<0x"), hexS(col("subject")), lit("> <"), col("predicate"),
+          lit("> <0x"), hexS(col("objectUid")), lit(">"),
+          facetSuffix, lit(" .")).as("line"))
+        aLines.unionByName(eLines)
+      case "json" =>
+        // to_json(map(pred, value)) gives {"name":"ann"} with proper
+        // string escaping; splice the uid in front of it
+        val aLines = attrs.select(concat(
+          lit("""{"uid":"0x"""), hexS(col("subject")), lit("\","),
+          substring(to_json(map(col("predicate"), col("value"))), 2, 1 << 24))
+          .as("line"))
+        val eLines = edges.select(concat(
+          lit("""{"uid":"0x"""), hexS(col("subject")), lit("\",\""),
+          col("predicate"), lit("""":[{"uid":"0x"""), hexS(col("objectUid")),
+          lit("\"}]}")).as("line"))
+        aLines.unionByName(eLines)
+    }
+    val dataDir = s"$dest/g01.$format"
+    lines.write.mode("overwrite").text(dataDir)
+    val schemaLines = schema.predicates.values.toSeq.sortBy(_.name).map { p =>
+      val idx = if (p.indexes.nonEmpty)
+        s" @index(${p.indexes.mkString(", ")})" else ""
+      val rev = if (p.reverse) " @reverse" else ""
+      val cnt = if (p.count) " @count" else ""
+      val lng = if (p.lang) " @lang" else ""
+      val t = if (p.isList) s"[${p.dgraphType}]" else p.dgraphType
+      s"<${p.name}>: $t$idx$rev$cnt$lng ."
+    } ++ schema.types.values.toSeq.sortBy(_.name).map { t =>
+      t.predicates.map(p => s"  $p").mkString(s"type <${t.name}> {\n", "\n", "\n}")
+    }
+    val schemaPath = java.nio.file.Paths.get(dest, "g01.schema")
+    java.nio.file.Files.createDirectories(schemaPath.getParent)
+    java.nio.file.Files.write(schemaPath,
+      schemaLines.mkString("\n").getBytes(UTF_8))
+    Seq(dataDir, schemaPath.toString)
   }
 
   /** Guardian-gated alter: JSON drop operations (reference

@@ -62,21 +62,76 @@ object CdcSink {
     * this layout; flat pre-existing parquet in the same directory fails
     * partition discovery.
     */
-  def streamEvents(input: DataFrame, outDir: String, checkpointDir: String)
+  def streamEvents(input: DataFrame, outDir: String, checkpointDir: String,
+      sinkFormat: String = "file",
+      kafkaOptions: Map[String, String] = Map.empty)
       (events: DataFrame => DataFrame): Unit = {
+    // fail LOUDLY before the stream starts — a missing connector must
+    // not surface as a ClassNotFoundException three batches in
+    requireSinkAvailable(sinkFormat)
     val q = input.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // IDEMPOTENT sink: foreachBatch is at-least-once — a retried
-        // batch with mode("append") would duplicate its events (observed
-        // once under load at sf0.01). Keying the write by batch id and
-        // overwriting makes the retry a no-op, the standard exactly-once
-        // recipe for non-transactional sinks.
-        events(batch).write.mode("overwrite")
-          .parquet(s"$outDir/batch=$batchId")
+        writeBatch(events(batch), batchId, outDir, sinkFormat, kafkaOptions)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
+
+  /** One micro-batch's events → the sink. BOTH branches share the same
+    * idempotent batch-id contract (foreachBatch is at-least-once —
+    * reference worker/sink_handler.go:50 consumers rely on redelivery
+    * being a no-op): the file branch keys the WRITE by batch id and
+    * overwrites, so a retry replaces identical bytes; the kafka branch
+    * keys every RECORD by (batchId, event-hash), so a redelivered batch
+    * produces byte-identical keys and consumers dedup on them — the
+    * standard exactly-once recipe for each sink family.
+    */
+  private[graft] def writeBatch(evts: DataFrame, batchId: Long,
+      outDir: String, sinkFormat: String,
+      kafkaOptions: Map[String, String]): Unit = sinkFormat match {
+    case "file" =>
+      evts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    case "kafka" =>
+      kafkaRecords(evts, batchId).write.format("kafka")
+        .options(kafkaOptions).save()
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown CDC sink format: $other (supported: file, kafka)")
+  }
+
+  /** Kafka record frame for one batch: key = "batchId:md5(event)" —
+    * deterministic across redeliveries, value = the JSON change event.
+    * Pure projection (testable without the connector jar).
+    */
+  private[graft] def kafkaRecords(evts: DataFrame, batchId: Long): DataFrame =
+    evts.select(
+      concat_ws(":", lit(batchId),
+        md5(to_json(struct(evts.columns.map(col): _*)))).as("key"),
+      to_json(struct(evts.columns.map(col): _*)).as("value"))
+
+  /** The kafka sink needs the spark-sql-kafka connector, which is NOT
+    * part of the Spark distribution's default classpath.
+    */
+  private[graft] def kafkaConnectorPresent: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  private[graft] def requireSinkAvailable(sinkFormat: String): Unit =
+    sinkFormat match {
+      case "file" => ()
+      case "kafka" =>
+        if (!kafkaConnectorPresent) throw new IllegalStateException(
+          "CDC kafka sink: the spark-sql-kafka connector is not on the " +
+            "classpath. Deploy with --packages org.apache.spark:" +
+            "spark-sql-kafka-0-10_2.13:<spark-version> (or add the jar " +
+            "to spark.jars) and pass kafkaOptions including " +
+            "kafka.bootstrap.servers and topic.")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown CDC sink format: $other (supported: file, kafka)")
+    }
 }

@@ -271,6 +271,51 @@ class HttpEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("/admin export and backup mutations round-trip through the real operators") {
+    val ep = endpoint()
+    val port = ep.start()
+    val base = java.nio.file.Files.createTempDirectory("graft_admin_ops")
+      .toString
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      // ---- export (reference graphql/admin/export.go) ----
+      val exDest = s"$base/export"
+      val er = m.readTree(call(port, "/admin", body = m.writeValueAsString(
+        java.util.Map.of("query",
+          s"""mutation { export(input: {format: "rdf", destination: "$exDest"})
+             | { response { code message } exportedFiles } }""".stripMargin))))
+      assert(er.at("/data/export/response/code").asText == "Success", er)
+      val files = er.at("/data/export/exportedFiles")
+      assert(files.size == 2, er)
+      // the exported N-Quads parse back to the full store: 6 attr
+      // triples + dgraph.type lines from endpoint()'s fixture
+      val lines = spark.read.text(s"$exDest/g01.rdf")
+      val parsed = graft.sources.RdfSource.parse(
+        lines.selectExpr("value as line"))
+      assert(parsed.count == 6, parsed.collect.mkString("\n"))
+      assert(parsed.filter("predicate = 'hname' and value = 'ann'").count == 1)
+      val schemaTxt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(exDest, "g01.schema")), UTF_8)
+      assert(schemaTxt.contains("<hname>: string @index(exact) ."), schemaTxt)
+      // invalid format is rejected like the reference
+      assert(call(port, "/admin", body = m.writeValueAsString(
+        java.util.Map.of("query",
+          s"""mutation { export(input: {format: "csv", destination: "$exDest"}) { response { code } } }""")))
+        .contains("invalid export format"))
+      // ---- backup (reference graphql/admin/backup.go) ----
+      val bkDest = s"$base/backup"
+      val br = m.readTree(call(port, "/admin", body = m.writeValueAsString(
+        java.util.Map.of("query",
+          s"""mutation { backup(input: {destination: "$bkDest"}) { response { code message } taskId } }"""))))
+      assert(br.at("/data/backup/response/code").asText == "Success", br)
+      assert(br.at("/data/backup/taskId").asText.startsWith("0x"), br)
+      val restored = graft.operators.Backup.restore(spark, bkDest, Map.empty)
+      assert(restored.attr("hname").count == 2)
+    } finally {
+      ep.stop()
+    }
+  }
+
   test("txn handles are owner-bound, unissued startTs rejected, idle txns expire") {
     val (preds, types) = SchemaRegistry.parseAlter(
       """hname: string @index(exact) .

@@ -108,6 +108,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink() == first, "checkpoint re-drain must add no events")
   }
 
+  test("CDC kafka branch shares the batch-id idempotence contract and fails loudly without the connector") {
+    val evts = Seq((1L, "name", "a", "set"), (2L, "name", "b", "set"))
+      .toDF("subject", "predicate", "value", "op")
+    // records are keyed (batchId, event-hash): redelivering the SAME
+    // batch produces byte-identical keys (consumer dedup = no-op, the
+    // same contract the file branch meets by overwriting batch=<id>),
+    // while a different batch id never collides
+    val r1 = CdcSink.kafkaRecords(evts, 7L)
+      .as[(String, String)].collect().sorted.toSeq
+    val r2 = CdcSink.kafkaRecords(evts, 7L)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(r1 == r2, "redelivered batch must produce identical records")
+    assert(r1.forall(_._1.startsWith("7:")))
+    val other = CdcSink.kafkaRecords(evts, 8L)
+      .as[(String, String)].collect().map(_._1).toSet
+    assert(r1.map(_._1).toSet.intersect(other).isEmpty)
+    assert(r1.head._2.contains("\"subject\""))
+    // the connector jar is absent from this build: selecting the kafka
+    // sink must fail BEFORE the stream starts, with the deployment
+    // instruction — not a ClassNotFoundException mid-stream
+    assert(!CdcSink.kafkaConnectorPresent)
+    val e = intercept[IllegalStateException] {
+      CdcSink.requireSinkAvailable("kafka")
+    }
+    assert(e.getMessage.contains("spark-sql-kafka-0-10_2.13"), e.getMessage)
+    assert(e.getMessage.contains("kafka.bootstrap.servers"), e.getMessage)
+    // and an unknown format is rejected outright
+    intercept[IllegalArgumentException] {
+      CdcSink.requireSinkAvailable("pulsar")
+    }
+    // file stays available
+    CdcSink.requireSinkAvailable("file")
+  }
+
   test("multimodal decode stub: schema, determinism, frame sampling") {
     val media = Seq((1L, Array[Byte](10, 20, 3, 40, 50)), (2L, Array[Byte]()))
       .toDF("media_id", "blob")
@@ -210,6 +244,24 @@ class StreamingSpec extends AnyFunSuite {
     val sampled = Multimodal.sampleFrames(dec, everyK = 2)
       .orderBy("media_id").select("sampled_frames").as[Seq[Int]].collect()
     assert(sampled.toSeq == Seq(Seq(0), Seq(0), Seq(0, 2)))
+  }
+
+  test("video verify fold runs on banding candidates only — cardinality stays far below all-pairs") {
+    // institutionalizes the scale guard on videoNearDupPairs' verify
+    // fold (a CodegenFallback HOF): its input is hashPairs' banding
+    // OUTPUT, never the corpus cross product. 64 spread-out keyframes +
+    // 3 planted near-pairs → all-pairs is 2,211; candidates must stay
+    // within the planted handful.
+    val base = (0 until 64).map(i => (i.toLong, i.toLong * 0x9E3779B97F4A7C15L))
+    val planted = Seq((100L, base(3)._2 ^ 1L), (101L, base(17)._2 ^ 3L),
+      (102L, base(40)._2 ^ 1L))
+    val corpus = (base ++ planted).toDF("id", "simhash")
+    val cands = graft.operators.Dedup.hashPairs(corpus, 64, maxDist = 2)
+    val nCand = cands.count()
+    val n = 67L
+    assert(nCand >= 3, s"planted near-pairs not found: $nCand")
+    assert(nCand <= 12, s"banding produced $nCand candidates — the " +
+      s"interpreted verify fold would run near all-pairs (${n * (n - 1) / 2})")
   }
 
   test("real audio decode: WAV via AudioSystem, metadata + energy features") {
