@@ -41,9 +41,12 @@ import GrpcApi._
   *
   * Scope notes (documented, spec-asserted): unary calls only (the
   * reference's client API is unary; its streaming RPCs are internal
-  * cluster traffic the Spark engine replaces); compressed gRPC frames
-  * are rejected with grpc-status 12 UNIMPLEMENTED; upsert templates
-  * take the N-Quads form (JSON upsert templates answer UNIMPLEMENTED).
+  * cluster traffic the Spark engine replaces). gzip-compressed request
+  * frames are accepted (grpc-encoding: gzip, what dgo/grpc-go
+  * negotiate); other codecs answer UNIMPLEMENTED. Upsert templates take
+  * both the N-Quads and the JSON form (SetJson/DeleteJson with uid(v)
+  * subject/ref templates); val(var) JSON value substitution answers
+  * UNIMPLEMENTED.
   */
 final class GrpcEndpoint(core: HttpEndpoint,
     versionTag: String = "graft-spark",
@@ -74,7 +77,8 @@ final class GrpcEndpoint(core: HttpEndpoint,
 
   // ---- HTTP/2 frame handling (h2c prior-knowledge, like grpc clients) ----
 
-  private final class StreamState(val path: String, val token: Option[String]) {
+  private final class StreamState(val path: String, val token: Option[String],
+      val encoding: Option[String]) {
     val body = new java.io.ByteArrayOutputStream(256)
   }
 
@@ -87,7 +91,8 @@ final class GrpcEndpoint(core: HttpEndpoint,
         case h: Http2HeadersFrame =>
           val path = Option(h.headers().path()).map(_.toString).getOrElse("")
           val tok = Option(h.headers().get("accessjwt")).map(_.toString)
-          val st = new StreamState(path, tok)
+          val enc = Option(h.headers().get("grpc-encoding")).map(_.toString)
+          val st = new StreamState(path, tok, enc)
           streams.put(h.stream(), st)
           if (h.isEndStream) respond(ctx, h.stream(), st)
         case d: Http2DataFrame =>
@@ -120,7 +125,7 @@ final class GrpcEndpoint(core: HttpEndpoint,
       streams.remove(stream)
       val (status, message, payload) =
         try {
-          val req = deframe(st.body.toByteArray)
+          val req = deframe(st.body.toByteArray, st.encoding)
           (0, "", dispatch(st.path, req, st.token))
         } catch {
           case e: UnsupportedOperationException =>
@@ -169,17 +174,30 @@ final class GrpcEndpoint(core: HttpEndpoint,
     out
   }
 
-  private def deframe(b: Array[Byte]): Array[Byte] = {
+  private def deframe(b: Array[Byte],
+      encoding: Option[String]): Array[Byte] = {
     if (b.length < 5)
       throw new IllegalArgumentException("truncated gRPC frame")
-    if (b(0) != 0)
-      throw new UnsupportedOperationException(
-        "compressed gRPC frames are not supported")
     val len = ((b(1) & 0xff) << 24) | ((b(2) & 0xff) << 16) |
       ((b(3) & 0xff) << 8) | (b(4) & 0xff)
     if (b.length < 5 + len)
       throw new IllegalArgumentException("truncated gRPC message")
-    java.util.Arrays.copyOfRange(b, 5, 5 + len)
+    val msg = java.util.Arrays.copyOfRange(b, 5, 5 + len)
+    if (b(0) == 0) msg
+    else encoding match {
+      // compressed flag set: the algorithm rides grpc-encoding. gzip is
+      // what dgo/grpc-go negotiate (grpc.UseCompressor("gzip")); the
+      // JDK inflater handles it without extra jars. identity with the
+      // flag set is a spec violation — treat the bytes as-is.
+      case Some("gzip") =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(msg))
+        try in.readAllBytes() finally in.close()
+      case Some("identity") | None => msg
+      case Some(other) =>
+        throw new UnsupportedOperationException(
+          s"unsupported grpc-encoding: $other (supported: gzip, identity)")
+    }
   }
 
   // ---- service dispatch ----
@@ -246,11 +264,16 @@ final class GrpcEndpoint(core: HttpEndpoint,
           "upserts require commit_now over this front (single-writer)")
       def lines(b: Array[Byte]): Seq[String] =
         new String(b, UTF_8).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      // JSON-form templates (dgo SetJson/DeleteJson + query) convert to
+      // the same N-Quad template lines the DQL upsert block takes
       val muts = req.mutations.map { m =>
-        if (m.setJson.nonEmpty || m.deleteJson.nonEmpty)
-          throw new UnsupportedOperationException(
-            "upsert mutations must use the N-Quads form over this front")
-        (m.cond, lines(m.setNquads), lines(m.delNquads))
+        val sets = lines(m.setNquads) ++ (if (m.setJson.nonEmpty)
+          core.jsonUpsertTemplates(new String(m.setJson, UTF_8),
+            isDelete = false) else Nil)
+        val dels = lines(m.delNquads) ++ (if (m.deleteJson.nonEmpty)
+          core.jsonUpsertTemplates(new String(m.deleteJson, UTF_8),
+            isDelete = true) else Nil)
+        (m.cond, sets, dels)
       }
       core.upsertParsed(req.query, muts, tok)
       encodeResponse(PResponse(txn = Some(PTxnContext(

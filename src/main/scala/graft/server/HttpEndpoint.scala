@@ -729,6 +729,65 @@ final class HttpEndpoint(
     (lines("set", isDelete = false), lines("delete", isDelete = true))
   }
 
+  /** JSON-form upsert mutation → N-Quad TEMPLATE lines (reference
+    * edgraph/server.go: dgo's SetJson/DeleteJson combined with a query
+    * block). Differences from [[jsonMutation]]: the subject may be a
+    * `uid(v)` template, scalar string values of the form `uid(w)` are
+    * object-ref templates, and nested `{"uid": ...}` objects/arrays are
+    * edge refs — exactly the object forms the upsert template grammar
+    * supports (Upsert.scala:43). `val(x)` value substitution is not in
+    * that grammar (same for the N-Quads form) and is rejected loudly.
+    */
+  private[server] def jsonUpsertTemplates(arrayJson: String,
+      isDelete: Boolean): Seq[String] = {
+    def esc(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    val uidTemplateRe = """uid\([A-Za-z_][\w.]*\)"""
+    def subjOf(node: com.fasterxml.jackson.databind.JsonNode): String = {
+      val uid = Option(node.get("uid")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException("JSON upsert mutation needs uid"))
+      if (uid.matches("0x[0-9a-fA-F]+")) s"<$uid>"
+      else if (uid.matches(uidTemplateRe)) uid
+      else throw new IllegalArgumentException(
+        s"invalid upsert uid (0x… or uid(var)): $uid")
+    }
+    val root = M.readTree(arrayJson)
+    val objs =
+      if (root.isArray) (0 until root.size).map(root.get)
+      else Seq(root)
+    objs.flatMap { o =>
+      val subj = subjOf(o)
+      val it = o.fields()
+      val out = Seq.newBuilder[String]
+      var nonUid = 0
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != "uid") {
+          nonUid += 1
+          val k = e.getKey
+          if (k.isEmpty || k.exists(c => c == '<' || c == '>' || c == '"' ||
+              c == '\\' || c.isWhitespace))
+            throw new IllegalArgumentException(s"invalid predicate name: $k")
+          val v = e.getValue
+          if (v.isNull && isDelete) out += s"$subj <$k> * ."
+          else if (v.isObject) out += s"$subj <$k> ${subjOf(v)} ."
+          else if (v.isArray)
+            (0 until v.size).foreach(i =>
+              out += s"$subj <$k> ${subjOf(v.get(i))} .")
+          else {
+            val t = v.asText
+            if (t.matches(uidTemplateRe)) out += s"$subj <$k> $t ."
+            else if (t.matches("""val\([A-Za-z_][\w.]*\)"""))
+              throw new UnsupportedOperationException(
+                "val(var) substitution in JSON upsert values is not " +
+                  "supported — use the N-Quads mutation form")
+            else out += s"""$subj <$k> "${esc(t)}" ."""
+          }
+        }
+      }
+      if (isDelete && nonUid == 0) Seq(s"$subj * * .") else out.result()
+    }
+  }
+
   // ---- mutation application (caller holds writeLock for applies) ----
 
   private val setLineOk = Seq(RdfSource.UidLineRe, RdfSource.LitLineRe,

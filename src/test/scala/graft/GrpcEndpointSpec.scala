@@ -44,9 +44,12 @@ class GrpcEndpointSpec extends AnyFunSuite {
       b.connect("127.0.0.1", port).sync().channel()
     }
 
-    /** One unary call: returns (grpc-status, grpc-message, response proto). */
+    /** One unary call: returns (grpc-status, grpc-message, response proto).
+      * `compress = true` gzips the message and sets the compressed flag +
+      * grpc-encoding header like grpc-go's UseCompressor("gzip"). */
     def call(path: String, msg: Array[Byte],
-        token: Option[String] = None): (Int, String, Array[Byte]) = {
+        token: Option[String] = None, compress: Boolean = false,
+        encoding: String = "gzip"): (Int, String, Array[Byte]) = {
       val done = new CompletableFuture[(Int, String, Array[Byte])]()
       val body = new java.io.ByteArrayOutputStream()
       val sb = new Http2StreamChannelBootstrap(ch)
@@ -83,13 +86,21 @@ class GrpcEndpointSpec extends AnyFunSuite {
       headers.set("content-type", "application/grpc")
       headers.set("te", "trailers")
       token.foreach(t => headers.set("accessjwt", t))
+      if (compress) headers.set("grpc-encoding", encoding)
       stream.write(new DefaultHttp2HeadersFrame(headers, false))
-      val framed = new Array[Byte](5 + msg.length)
-      framed(1) = (msg.length >>> 24).toByte
-      framed(2) = (msg.length >>> 16).toByte
-      framed(3) = (msg.length >>> 8).toByte
-      framed(4) = msg.length.toByte
-      System.arraycopy(msg, 0, framed, 5, msg.length)
+      val wire = if (compress) {
+        val bo = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write(msg); gz.close()
+        bo.toByteArray
+      } else msg
+      val framed = new Array[Byte](5 + wire.length)
+      framed(0) = if (compress) 1 else 0
+      framed(1) = (wire.length >>> 24).toByte
+      framed(2) = (wire.length >>> 16).toByte
+      framed(3) = (wire.length >>> 8).toByte
+      framed(4) = wire.length.toByte
+      System.arraycopy(wire, 0, framed, 5, wire.length)
       stream.writeAndFlush(
         new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(framed), true))
       done.get(20, TimeUnit.SECONDS)
@@ -253,6 +264,53 @@ class GrpcEndpointSpec extends AnyFunSuite {
           setNquads = """uid(v) <age> "1" .""".getBytes(UTF_8))))).result
       val (s9, m9, _) = cli.call("/api.Dgraph/Query", upQueued)
       assert(s9 == 12 && m9.contains("commit_now"))
+    } finally { cli.close(); grpc.stop() }
+  }
+
+  test("gzip-compressed frames and JSON-form upsert templates") {
+    val (ep, _) = mkEndpoint()
+    val grpc = new GrpcEndpoint(ep)
+    val port = grpc.start()
+    val cli = new GrpcClient(port)
+    try {
+      // gzip request frame (dgo with grpc.UseCompressor("gzip")):
+      // compressed flag = 1, grpc-encoding: gzip header
+      val q = encodeRequest(PRequest(
+        query = "{ q(func: has(name)) { name } }")).result
+      val (s, msg, r) = cli.call("/api.Dgraph/Query", q,
+        compress = true)
+      assert(s == 0, s"$s $msg")
+      assert(new String(decodeResponse(r).json, UTF_8).contains("alice"))
+      // an unknown codec still answers UNIMPLEMENTED
+      val (s2, msg2, _) = cli.call("/api.Dgraph/Query", q,
+        compress = true, encoding = "snappy")
+      assert(s2 == 12 && msg2.contains("snappy"), s"$s2 $msg2")
+
+      // JSON-form upsert: SetJson with uid(v) templates + @if cond
+      val up = encodeRequest(PRequest(
+        query = """{ v as q(func: eq(name, "alice")) }""",
+        mutations = Seq(PMutation(
+          cond = "@if(gt(len(v), 0))",
+          setJson = """[{"uid":"uid(v)","name":"alice-upserted"}]"""
+            .getBytes(UTF_8))),
+        commitNow = true)).result
+      val (s3, m3, _) = cli.call("/api.Dgraph/Query", up)
+      assert(s3 == 0, s"$s3 $m3")
+      val (s4, _, r4) = cli.call("/api.Dgraph/Query",
+        encodeRequest(PRequest(
+          query = "{ q(func: has(name)) { name } }")).result)
+      assert(s4 == 0)
+      assert(new String(decodeResponse(r4).json, UTF_8)
+        .contains("alice-upserted"))
+      // val(var) JSON value substitution is out of the template grammar:
+      // loud UNIMPLEMENTED, not a silent literal write
+      val bad = encodeRequest(PRequest(
+        query = """{ v as q(func: has(name)) }""",
+        mutations = Seq(PMutation(
+          setJson = """[{"uid":"uid(v)","name":"val(x)"}]""".getBytes(UTF_8))),
+        commitNow = true)).result
+      val (s5, m5, _) = cli.call("/api.Dgraph/Query", bad)
+      assert(s5 == 12 && m5.contains("val(var)"), s"$s5 $m5")
     } finally { cli.close(); grpc.stop() }
   }
 
