@@ -26,8 +26,18 @@ import org.apache.spark.sql.types._
   */
 object CustomHttp {
 
+  /** `lambdaResolver`: set when this spec is the synthesized dispatch of
+    * a `@lambda` field to the lambda server (reference wrappers.go:893
+    * buildCustomDirectiveForLambda rewrites @lambda into exactly such a
+    * @custom(http:) — POST, BATCH for object fields); the BATCH body
+    * then carries the lambda envelope `{"resolver": "Type.field",
+    * "parents": [...]}` (custom_http.go:159 GetBodyForLambda) instead of
+    * the bare parents object, and the JS executes in the user's
+    * dgraph-lambda sidecar exactly as it does against the reference.
+    */
   final case class HttpSpec(url: String, method: String,
-      body: Option[String], mode: String)
+      body: Option[String], mode: String,
+      lambdaResolver: Option[String] = None)
 
   /** Transport seam: the JDK client in production, a recorder in specs. */
   trait HttpTransport extends Serializable {
@@ -109,8 +119,12 @@ object CustomHttp {
           val rows = it.toVector
           if (rows.isEmpty) Iterator.empty
           else {
-            val body =
-              s"""{"parents":${rows.map(parentJson).mkString("[", ",", "]")}}"""
+            val parentsArr = rows.map(parentJson).mkString("[", ",", "]")
+            val body = spec.lambdaResolver match {
+              case Some(res) =>
+                s"""{"resolver":${jsonOf(res)},"parents":$parentsArr}"""
+              case None => s"""{"parents":$parentsArr}"""
+            }
             val resp = transport.send(spec.url, spec.method, Some(body))
             val arr = mapper.readTree(resp)
             require(arr != null && arr.isArray && arr.size == rows.size,

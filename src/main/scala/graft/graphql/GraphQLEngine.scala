@@ -12,7 +12,8 @@ import graft.exec.DqlExecutor
   * pipeline as Query; SURVEY.md §3.2).
   */
 final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
-    resolvers: Map[String, DataFrame => org.apache.spark.sql.Column] = Map.empty) {
+    resolvers: Map[String, DataFrame => org.apache.spark.sql.Column] = Map.empty,
+    lambdaUrl: Option[String] = sys.env.get("GRAFT_LAMBDA_URL")) {
 
   /** Run a GraphQL operation, returning the flat (normalized) DataFrame
     * of the last root field. Top-level `@lambda` / `@custom` fields
@@ -102,9 +103,20 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
             // from the executors, SINGLE or BATCH per the directive
             case Some(raw) => CustomHttp.resolve(acc, sel.outName,
               fld.get.typeName, CustomHttp.parse(raw))
+            // a bare @lambda with a configured lambda server dispatches
+            // exactly like the reference: @lambda rewrites to
+            // @custom(http: {url: lambdaUrl, method: POST, mode: BATCH})
+            // (wrappers.go:893) with the lambda envelope body — the JS
+            // runs in the user's dgraph-lambda sidecar
+            case None if fld.exists(_.isLambda) && lambdaUrl.isDefined =>
+              CustomHttp.resolve(acc, sel.outName, fld.get.typeName,
+                CustomHttp.HttpSpec(lambdaUrl.get, "POST", None, "BATCH",
+                  lambdaResolver = Some(key)))
             case None => throw new Rewriter.RewriteException(
               s"$key is a computed (@lambda/@custom) field and no resolver " +
-                "is registered for it — pass one in GraphQLEngine(resolvers)")
+                "is registered for it — pass one in GraphQLEngine(resolvers) " +
+                "or configure the lambda server url (GraphQLEngine(" +
+                "lambdaUrl) / GRAFT_LAMBDA_URL)")
           }
       }
     }

@@ -1664,6 +1664,59 @@ class GraphqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Customer.bio"))
   }
 
+  test("@lambda dispatches to a configured lambda server with the reference envelope") {
+    // reference wrappers.go:893 buildCustomDirectiveForLambda + the
+    // dgraph-lambda sidecar: @lambda fields POST {"resolver":
+    // "Type.field", "parents": [...]} to the lambda url (BATCH), and
+    // the sidecar's JS returns an array aligned with parents. Loopback
+    // emulator asserts the envelope and computes from the parents.
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val srv = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    val lastResolver = new java.util.concurrent.atomic.AtomicReference[String]("")
+    srv.createContext("/graphql-worker", (x: HttpExchange) => {
+      val body = new String(x.getRequestBody.readAllBytes, "UTF-8")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = m.readTree(body)
+      lastResolver.set(n.get("resolver").asText())
+      val parents = n.get("parents")
+      val out = (0 until parents.size).map(i =>
+        "\"bio of " + parents.get(i).get("name").asText() + "\"")
+        .mkString("[", ",", "]").getBytes
+      x.sendResponseHeaders(200, out.length)
+      x.getResponseBody.write(out); x.close()
+    })
+    srv.start()
+    val port = srv.getAddress.getPort
+    try {
+      val sdl = SdlParser.parse(
+        """type Customer {
+          |  id: ID!
+          |  name: String! @search(by: [exact])
+          |  bio: String @lambda
+          |}""".stripMargin)
+      val eng = new GraphQLEngine(TripleStore(spark, sf), sdl,
+        lambdaUrl = Some(s"http://127.0.0.1:$port/graphql-worker"))
+      val rows = eng.flat(
+        """query { queryCustomer(filter: { name: { eq: "Customer#000000001" } }) {
+          |  name bio } }""".stripMargin).collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      val name = r.getString(r.fieldIndex("name"))
+      assert(r.getString(r.fieldIndex("bio")) == s"bio of $name")
+      assert(lastResolver.get() == "Customer.bio")
+      // a registered resolver still wins over the lambda server
+      import org.apache.spark.sql.functions.lit
+      val engOverride = new GraphQLEngine(TripleStore(spark, sf), sdl,
+        resolvers = Map("Customer.bio" ->
+          ((_: org.apache.spark.sql.DataFrame) => lit("local"))),
+        lambdaUrl = Some(s"http://127.0.0.1:$port/graphql-worker"))
+      val r2 = engOverride.flat(
+        """query { queryCustomer(filter: { name: { eq: "Customer#000000001" } }) {
+          |  name bio } }""".stripMargin).collect().head
+      assert(r2.getString(r2.fieldIndex("bio")) == "local")
+    } finally srv.stop(0)
+  }
+
   test("@custom(http:) EXECUTES: SINGLE per-parent substitution and BATCH per-partition calls") {
     // real loopback HTTP: the JDK server answers, the engine's executor-
     // side transport calls it (reference custom_http.go semantics)
