@@ -214,6 +214,22 @@ object Backup {
   def restore(spark: SparkSession, dir: String,
       facetKeys: Map[String, Seq[(String, String)]] = Map.empty,
       encKey: Option[(String, Array[Byte])] = None): TripleFrameStore = {
+    val (schema, triples, hadIncs) = restoreFrame(spark, dir, encKey)
+    // materialize = false: the restored frame is parquet-backed and
+    // predicate-partitioned — tablet views prune to their partition
+    // directory instead of paying a full-store checkpoint
+    new TripleFrameStore(spark, schema, triples, facetKeys,
+      materialize = hadIncs)
+  }
+
+  /** The restore pipeline's raw output — (manifest schema, melted triple
+    * frame with incrementals replayed, whether any incremental applied).
+    * Used by [[restore]] and by the /admin restore mutation, which swaps
+    * the serving frame instead of wrapping a new store.
+    */
+  def restoreFrame(spark: SparkSession, dir: String,
+      encKey: Option[(String, Array[Byte])] = None)
+      : (SchemaRegistry, DataFrame, Boolean) = {
     encKey.foreach { case (id, key) =>
       graft.core.Encryption.enable(spark, Map(id -> key))
     }
@@ -248,10 +264,6 @@ object Backup {
       val cond = key.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
       triples = triples.join(dels, cond, "left_anti").unionByName(sets)
     }
-    // materialize = false: the restored frame is parquet-backed and
-    // predicate-partitioned — tablet views prune to their partition
-    // directory instead of paying a full-store checkpoint
-    new TripleFrameStore(spark, schema, triples, facetKeys,
-      materialize = incs.nonEmpty)
+    (schema, triples, incs.nonEmpty)
   }
 }

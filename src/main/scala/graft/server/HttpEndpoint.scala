@@ -234,9 +234,14 @@ final class HttpEndpoint(
         throw new IllegalArgumentException("unknown admin path")
       val q = M.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
         .get("query").asText
-      if (q.contains("getGQLSchema"))
+      // dispatch on the ROOT FIELD name, not a substring of the whole
+      // doc — argument values (a backup location path containing
+      // "backup", a schema string) must not select the branch
+      val opName = """[{]\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+        .findFirstMatchIn(q).map(_.group(1)).getOrElse("")
+      if (opName == "getGQLSchema")
         s"""{"data":{"getGQLSchema":{"schema":${M.writeValueAsString(sdlText)}}}}"""
-      else if (q.contains("updateGQLSchema")) {
+      else if (opName == "updateGQLSchema") {
         requireGuardian(ex, "update GraphQL schema")
         val sch = """schema\s*:\s*"((?:[^"\\]|\\.)*)"""".r
           .findFirstMatchIn(q).map(_.group(1)
@@ -248,9 +253,9 @@ final class HttpEndpoint(
           gqlSchema = SdlParser.parse(sch); sdlText = sch
         }
         """{"data":{"updateGQLSchema":{"gqlSchema":{"id":"0x1"}}}}"""
-      } else if (q.contains("health"))
+      } else if (opName == "health")
         """{"data":{"health":[{"status":"healthy","instance":"alpha"}]}}"""
-      else if (q.contains("export")) {
+      else if (opName == "export") {
         // reference graphql/admin/export.go resolveExport: mutation
         // { export(input: {format, destination}) { response exportedFiles } }
         requireGuardian(ex, "export")
@@ -264,7 +269,7 @@ final class HttpEndpoint(
         val fileArr = files.map(M.writeValueAsString).mkString("[", ",", "]")
         s"""{"data":{"export":{"response":{"code":"Success",""" +
           s""""message":"Export completed."},"exportedFiles":$fileArr}}}"""
-      } else if (q.contains("backup")) {
+      } else if (opName == "backup") {
         // reference graphql/admin/backup.go resolveBackup: mutation
         // { backup(input: {destination, forceFull}) { response taskId } }
         requireGuardian(ex, "backup")
@@ -278,9 +283,28 @@ final class HttpEndpoint(
         s"""{"data":{"backup":{"response":{"code":"Success",""" +
           s""""message":"Backup queued with ID 0x$taskId"},""" +
           s""""taskId":"0x$taskId"}}}"""
+      } else if (opName == "restore") {
+        // reference graphql/admin/restore.go resolveRestore: mutation
+        // { restore(input: {location}) { code message restoreId } } —
+        // the serving frame and predicate schema swap to the backup's
+        // state (incrementals replayed in order)
+        requireGuardian(ex, "restore")
+        val loc = adminStrArg(q, "location").getOrElse(
+          throw new IllegalArgumentException(
+            "you must specify a 'location' value"))
+        val restoreId = backupSeq.incrementAndGet()
+        writeLock.synchronized {
+          val (restoredSchema, frame, _) =
+            graft.operators.Backup.restoreFrame(spark, loc)
+          triples = frame.localCheckpoint()
+          schema = restoredSchema
+        }
+        s"""{"data":{"restore":{"code":"Success",""" +
+          s""""message":"Restore operation started.",""" +
+          s""""restoreId":$restoreId}}}"""
       } else throw new IllegalArgumentException(
         "unsupported admin operation (getGQLSchema / updateGQLSchema / " +
-          "health / export / backup)")
+          "health / export / backup / restore)")
     })
     server.createContext("/login", handler { ex =>
       val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))

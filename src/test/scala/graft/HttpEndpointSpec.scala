@@ -311,6 +311,22 @@ class HttpEndpointSpec extends AnyFunSuite {
       assert(br.at("/data/backup/taskId").asText.startsWith("0x"), br)
       val restored = graft.operators.Backup.restore(spark, bkDest, Map.empty)
       assert(restored.attr("hname").count == 2)
+      // ---- restore (reference graphql/admin/restore.go): mutate the
+      // live store past the backup, then restore rolls it back ----
+      call(port, "/mutate", contentType = "application/rdf",
+        body = """{ set { <0x1> <hname> "mutated-after-backup" . } }""")
+      def ann(): String = {
+        val r = m.readTree(call(port, "/query",
+          body = "{ q(func: uid(0x1)) { hname } }",
+          contentType = "application/dql"))
+        r.at("/data/q/0/hname").asText
+      }
+      assert(ann() == "mutated-after-backup")
+      val rr = m.readTree(call(port, "/admin", body = m.writeValueAsString(
+        java.util.Map.of("query",
+          s"""mutation { restore(input: {location: "$bkDest"}) { code message restoreId } }"""))))
+      assert(rr.at("/data/restore/code").asText == "Success", rr)
+      assert(ann() == "ann", "restore must roll the live frame back")
     } finally {
       ep.stop()
     }
