@@ -131,11 +131,65 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
     Rewriter.rewrite(GqlParser.parse(query, variables), schema, jwt)
 
   /** Apply a mutation document (add/update/delete roots, in order) to a
-    * base triple frame; returns the post-mutation frame.
+    * base triple frame; returns the post-mutation frame. Types marked
+    * `@lambdaOnMutate` fire a webhook to the configured lambda server
+    * after their roots apply (reference resolve/webhook.go
+    * sendWebhookEvent — fire-and-forget, no delivery guarantee).
     */
   def mutate(doc: String, base: DataFrame,
       jwt: Map[String, String] = Map.empty): DataFrame =
-    new MutationRewriter(ts, schema, jwt).apply(doc, base)
+    new MutationRewriter(ts, schema, jwt,
+      onMutate = lambdaUrl.map(webhookSender)).apply(doc, base)
+
+  /** The reference's webhook payload to the lambda server: resolver is
+    * the literal "$webhook", event carries __typename/operation/
+    * commitTs plus the op-shaped body (add: rootUIDs + input; update:
+    * rootUIDs + setPatch/removePatch; delete: rootUIDs).
+    */
+  private def webhookSender(url: String)
+      : MutationRewriter.MutateEvent => Unit = { ev =>
+    def js(v: GVal): String = v match {
+      case GStr(s) =>
+        new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+      case GNum(s) => s
+      case GBool(b) => b.toString
+      case graft.graphql.GEnum(n) => "\"" + n + "\""
+      case GList(items) => items.map(js).mkString("[", ",", "]")
+      case o: GObj => o.fields.map { case (k, fv) =>
+        "\"" + k + "\":" + js(fv)
+      }.mkString("{", ",", "}")
+      case _ => "null"
+    }
+    val roots = ev.rootUids.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val opBody = ev.op match {
+      case "add" =>
+        val input = ev.root.arg("input").map {
+          case l: GList => js(l)
+          case one => "[" + js(one) + "]"
+        }.getOrElse("[]")
+        s""","add":{"rootUIDs":$roots,"input":$input}"""
+      case "update" =>
+        val set = ev.root.arg("input").flatMap {
+          case o: GObj => o.get("set").map(js)
+          case _ => None
+        }.getOrElse("null")
+        val remove = ev.root.arg("input").flatMap {
+          case o: GObj => o.get("remove").map(js)
+          case _ => None
+        }.getOrElse("null")
+        s""","update":{"rootUIDs":$roots,"setPatch":$set,"removePatch":$remove}"""
+      case _ => s""","delete":{"rootUIDs":$roots}"""
+    }
+    val payload =
+      s"""{"resolver":"$$webhook","event":{"__typename":"${ev.typename}",""" +
+        s""""operation":"${ev.op}","commitTs":0$opBody}}"""
+    // fire-and-forget like the reference ("no guarantee that the payload
+    // will be delivered") — a dead lambda server must not fail the
+    // mutation
+    try CustomHttp.JdkHttpTransport.send(url, "POST", Some(payload))
+    catch { case _: Exception => () }
+    ()
+  }
 
   private[graphql] def session: org.apache.spark.sql.SparkSession = ts.spark
 

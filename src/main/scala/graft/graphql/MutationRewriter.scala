@@ -24,7 +24,8 @@ import graft.operators.Mutations
   * distributed.
   */
 final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
-    jwt: Map[String, String] = Map.empty) {
+    jwt: Map[String, String] = Map.empty,
+    onMutate: Option[MutationRewriter.MutateEvent => Unit] = None) {
   import Rewriter.RewriteException
   private val session = ts.spark
   import session.implicits._
@@ -60,14 +61,57 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
   def apply(doc: String, base: DataFrame): DataFrame =
     GqlParser.parse(doc).roots.foldLeft(base)(applyRoot)
 
-  private def applyRoot(base: DataFrame, root: GqlSelection): DataFrame =
-    root.name match {
-      case AddRe(t) => addMutation(base, root, schema.typ(t))
-      case UpdateRe(t) => updateMutation(base, root, schema.typ(t))
-      case DeleteRe(t) => deleteMutation(base, root, schema.typ(t))
+  private def applyRoot(base: DataFrame, root: GqlSelection): DataFrame = {
+    val (tname, op) = root.name match {
+      case AddRe(t) => (t, "add")
+      case UpdateRe(t) => (t, "update")
+      case DeleteRe(t) => (t, "delete")
       case other => throw RewriteException(
         s"unknown mutation root '$other' (expected add<T>/update<T>/delete<T>)")
     }
+    val t = schema.typ(tname)
+    val post = op match {
+      case "add" => addMutation(base, root, t)
+      case "update" => updateMutation(base, root, t)
+      case "delete" => deleteMutation(base, root, t)
+    }
+    // @lambdaOnMutate webhooks (reference resolve/webhook.go
+    // sendWebhookEvent): fire the configured hook with the op + touched
+    // root uids AFTER the frame transform. Root uids come from a frame
+    // diff (typed adds/deletes, changed-row subjects for updates) —
+    // implementation-independent and interactive-scale.
+    onMutate.filter(_ => t.lambdaOnMutate.contains(op)).foreach { cb =>
+      cb(MutationRewriter.MutateEvent(tname, op,
+        rootUidsOf(base, post, tname, op), root))
+    }
+    post
+  }
+
+  /** Root uids a mutation touched, as 0x-hex strings (reference webhook
+    * payload rootUIDs): add → typed uids present only after; delete →
+    * typed uids present only before; update → typed uids whose rows
+    * changed in either direction.
+    */
+  private def rootUidsOf(base: DataFrame, post: DataFrame, tname: String,
+      op: String): Seq[String] = {
+    val cols = base.columns.toSet.intersect(post.columns.toSet).toSeq.sorted
+    def canon(df: DataFrame) = df.select(cols.map(col): _*)
+    def typed(df: DataFrame) = df
+      .filter(col("predicate") === "dgraph.type" && col("value") === tname)
+      .select(col("subject"))
+    val uids = op match {
+      case "add" => typed(post).except(typed(base))
+      case "delete" => typed(base).except(typed(post))
+      case _ =>
+        canon(post).except(canon(base))
+          .unionByName(canon(base).except(canon(post)))
+          .select(col("subject")).distinct()
+          .join(typed(base), "subject").select(col("subject"))
+    }
+    uids.distinct().collect()
+      .map(r => "0x" + java.lang.Long.toHexString(r.getLong(0)))
+      .sorted.toSeq
+  }
 
   /** Filter → uid set via the query path (func: type(T) @filter(...)).
     * Materialized: the uid set feeds set triples, anti-join subtracts,
@@ -381,12 +425,18 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
     var cur = base
     input.get("set").foreach {
       case so: GObj =>
-        val sets = so.fields.map { case (f, v) =>
+        val sets0 = so.fields.map { case (f, v) =>
           if (t.field(f).isEmpty)
             throw RewriteException(s"${t.name} has no field '$f'")
           uids.select(col("uid").as("subject"), lit(f).as("predicate"),
             lit(scalar(v)).as("value"), lit(null).cast("string").as("lang"))
         }.reduce(_ unionByName _)
+        // align to the base's columns (null-cast what the patch lacks):
+        // a canonical 6-column base (objectUid, facets) must accept the
+        // 4-column scalar patch — same contract as addMutation's full()
+        val sets = sets0.select(cur.columns.map(c =>
+          if (sets0.columns.contains(c)) col(c)
+          else lit(null).cast(cur.schema(c).dataType).as(c)): _*)
         cur = Mutations.applySet(cur, sets)
       case other => throw RewriteException(s"bad update set: $other")
     }
@@ -407,4 +457,13 @@ final class MutationRewriter(ts: GraphStore, schema: GqlSchema,
     Mutations.applyDelete(base,
       uids.select(col("uid").as("subject"), lit("*").as("predicate")))
   }
+}
+
+object MutationRewriter {
+  /** What a @lambdaOnMutate hook sees (reference webhookPayload.event):
+    * mutated type, operation, touched root uids, and the raw mutation
+    * root (its args carry the input/patch the webhook body includes).
+    */
+  final case class MutateEvent(typename: String, op: String,
+      rootUids: Seq[String], root: GqlSelection)
 }

@@ -35,7 +35,8 @@ final case class SdlType(name: String, fields: Seq[SdlField],
     isInterface: Boolean = false, implements: Seq[String] = Nil,
     auth: Map[String, Auth.Node] = Map.empty,
     secret: Option[String] = None,     // @secret(field: "...") password pred
-    withSubscription: Boolean = false) { // @withSubscription: poll-able
+    withSubscription: Boolean = false,  // @withSubscription: poll-able
+    lambdaOnMutate: Set[String] = Set.empty) { // @lambdaOnMutate ops
   def field(n: String): Option[SdlField] = fields.find(_.name == n)
 }
 
@@ -111,6 +112,7 @@ object SdlParser {
     val authByType = scala.collection.mutable.Map.empty[String, Map[String, Auth.Node]]
     val secretByType = scala.collection.mutable.Map.empty[String, String]
     val subByType = scala.collection.mutable.Set.empty[String]
+    val lomByType = scala.collection.mutable.Map.empty[String, Set[String]]
     val headPat = """(type|interface)\s+(\w+)""".r
     val sb = new StringBuilder(src0)
     // @custom(dql:) pre-pass: the DQL document is a quoted string full
@@ -173,6 +175,15 @@ object SdlParser {
           // (reference graphql/schema/gqlschema.go subscription fields)
           if ("""@withSubscription\b""".r.findFirstIn(header).isDefined)
             subByType += tname
+          // @lambdaOnMutate(add: true, update: false, delete: true) —
+          // post-mutation webhooks to the lambda server (reference
+          // gqlschema.go:292 + resolve/webhook.go)
+          """@lambdaOnMutate\s*\(([^)]*)\)""".r.findFirstMatchIn(header)
+            .foreach { lm =>
+              lomByType(tname) = Seq("add", "update", "delete").filter(op =>
+                (op + """\s*:\s*true""").r.findFirstIn(lm.group(1)).isDefined)
+                .toSet
+            }
           val authIdx = header.indexOf("@auth")
           if (authIdx >= 0) {
             val open = header.indexOf('(', authIdx)
@@ -292,7 +303,8 @@ object SdlParser {
         implements = impls ++ memberOf.getOrElse(tname, Nil),
         auth = authByType.getOrElse(tname, Map.empty),
         secret = secretByType.get(tname),
-        withSubscription = subByType.contains(tname))
+        withSubscription = subByType.contains(tname),
+        lambdaOnMutate = lomByType.getOrElse(tname, Set.empty))
     }.toMap ++ unions.map { case (u, _) =>
       u -> SdlType(u, Seq(SdlField("id", "ID", isList = false,
         isId = true, searchable = Nil)), isInterface = true)
@@ -323,8 +335,12 @@ object SdlParser {
       // (reference: the directive on an interface subscribes its types)
       val withSub = t.withSubscription ||
         t.implements.exists(i => raw.get(i).exists(_.withSubscription))
+      // @lambdaOnMutate on an interface flows to its implementers
+      // (reference: directive legal on OBJECT | INTERFACE)
+      val lom = t.lambdaOnMutate ++
+        t.implements.flatMap(i => raw.get(i).toSeq).flatMap(_.lambdaOnMutate)
       n -> t.copy(fields = inherited ++ t.fields, auth = auth,
-        withSubscription = withSub)
+        withSubscription = withSub, lambdaOnMutate = lom)
     }
     new GqlSchema(types, authCfg, customDql)
   }

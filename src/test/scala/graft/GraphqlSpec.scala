@@ -1717,6 +1717,73 @@ class GraphqlSpec extends AnyFunSuite {
     } finally srv.stop(0)
   }
 
+  test("@lambdaOnMutate fires the reference webhook payload to the lambda server") {
+    // reference gqlschema.go:292 @lambdaOnMutate + resolve/webhook.go
+    // sendWebhookEvent: after a mutation on a marked type, POST
+    // {"resolver":"$webhook","event":{...}} to the lambda url —
+    // fire-and-forget. Loopback emulator captures the payloads.
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.core.{SchemaRegistry, TripleFrameStore}
+    import graft.sources.RdfSource
+    import spark.implicits._
+    val payloads = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val srv = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    srv.createContext("/graphql-worker", (x: HttpExchange) => {
+      payloads.add(new String(x.getRequestBody.readAllBytes, "UTF-8"))
+      x.sendResponseHeaders(200, 2)
+      x.getResponseBody.write("{}".getBytes); x.close()
+    })
+    srv.start()
+    try {
+      val (preds, types) = SchemaRegistry.parseAlter(
+        "wtext: string @index(exact) .")
+      val store = new TripleFrameStore(spark,
+        new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+          types.map(t => t.name -> t).toMap),
+        RdfSource.parse(Seq(
+          """<0x10> <wtext> "keep" .""",
+          """<0x10> <dgraph.type> "WNote" .""").toDF("line")))
+      val sdl = SdlParser.parse(
+        """type WNote @lambdaOnMutate(add: true, update: false, delete: true) {
+          |  id: ID!
+          |  wtext: String! @search(by: [exact])
+          |}""".stripMargin)
+      assert(sdl.typ("WNote").lambdaOnMutate == Set("add", "delete"))
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/graphql-worker"
+      val eng = new GraphQLEngine(store, sdl, lambdaUrl = Some(url))
+      import org.apache.spark.sql.functions.{col, lit}
+      val base = RdfSource.parse(Seq(
+        """<0x10> <wtext> "keep" .""",
+        """<0x10> <dgraph.type> "WNote" .""").toDF("line"))
+      // add fires with input + rootUIDs
+      eng.mutate(
+        """mutation { addWNote(input: [{ wtext: "hello" }]) { } }""",
+        base).count()
+      val add = payloads.toArray.map(_.toString)
+        .find(_.contains("\"operation\":\"add\"")).getOrElse(
+          fail(s"no add webhook in $payloads"))
+      assert(add.contains("\"resolver\":\"$webhook\""), add)
+      assert(add.contains("\"__typename\":\"WNote\""), add)
+      assert(add.contains("\"input\":[{\"wtext\":\"hello\"}]"), add)
+      assert("\"rootUIDs\":\\[\"0x[0-9a-f]+\"\\]".r.findFirstIn(add).isDefined, add)
+      // update does NOT fire (update: false)
+      payloads.clear()
+      eng.mutate(
+        """mutation { updateWNote(input: {
+          |  filter: { wtext: { eq: "keep" } }, set: { wtext: "changed" } }) { } }""".stripMargin,
+        base).count()
+      assert(payloads.isEmpty, s"update must not fire: $payloads")
+      // delete fires with the deleted root uid
+      eng.mutate(
+        """mutation { deleteWNote(filter: { wtext: { eq: "keep" } }) { } }""",
+        base).count()
+      val del = payloads.toArray.map(_.toString)
+        .find(_.contains("\"operation\":\"delete\"")).getOrElse(
+          fail(s"no delete webhook in $payloads"))
+      assert(del.contains("\"delete\":{\"rootUIDs\":[\"0x10\"]}"), del)
+    } finally srv.stop(0)
+  }
+
   test("@custom(http:) EXECUTES: SINGLE per-parent substitution and BATCH per-partition calls") {
     // real loopback HTTP: the JDK server answers, the engine's executor-
     // side transport calls it (reference custom_http.go semantics)
