@@ -222,9 +222,17 @@ final class GrpcEndpoint(core: HttpEndpoint,
       tok: Option[String]): Array[Byte] = path match {
     case "/api.Dgraph/CheckVersion" => encodeVersion(versionTag)
     case "/api.Dgraph/Login" => login(decodeLoginRequest(body))
-    case "/api.Dgraph/Query" => queryOrMutate(decodeRequest(body), tok)
-    case "/api.Dgraph/Alter" => alter(decodeOperation(body), tok)
+    // draining mode refuses client work on BOTH fronts (reference
+    // x.HealthCheck gates every alpha handler); Login/CheckVersion stay
+    // served like the HTTP front keeps /login and /health
+    case "/api.Dgraph/Query" =>
+      core.requireServing()
+      queryOrMutate(decodeRequest(body), tok)
+    case "/api.Dgraph/Alter" =>
+      core.requireServing()
+      alter(decodeOperation(body), tok)
     case "/api.Dgraph/CommitOrAbort" =>
+      core.requireServing()
       commitOrAbort(decodeTxnContext(body), tok)
     case other =>
       throw new UnsupportedOperationException(s"unknown method $other")

@@ -103,6 +103,17 @@ final class HttpEndpoint(
       throw new HttpEndpoint.TxnRetryException(
         s"Transaction $ts has been aborted. Please retry")
 
+  // cluster draining mode (reference x/health.go drainingMode + the
+  // /admin draining mutation): while ON, client requests are refused
+  // with the reference's error; /admin, /health and /login stay served
+  // so an operator can exit the mode.
+  @volatile private[server] var drainingMode = false
+  private[server] def requireServing(): Unit =
+    if (drainingMode) throw new IllegalStateException(
+      "the server is in draining mode and client requests will only be " +
+        "allowed after exiting the mode  by sending a GraphQL " +
+        "draining(enable: false) mutation to /admin")
+
   private def store: GraphStore =
     new TripleFrameStore(spark, schema, triples, facetKeys,
       materialize = false)
@@ -157,6 +168,7 @@ final class HttpEndpoint(
       """[{"status":"healthy","instance":"alpha"}]"""
     })
     server.createContext("/query", handler { ex =>
+      requireServing()
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val (q, vars) = contentType(ex) match {
         case ct if ct.contains("application/json") =>
@@ -167,6 +179,7 @@ final class HttpEndpoint(
       s"""{"data":${queryData(q, vars, accessToken(ex))}}"""
     })
     server.createContext("/mutate", handler { ex =>
+      requireServing()
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val (sets, dels) =
         if (contentType(ex).contains("application/json"))
@@ -184,6 +197,7 @@ final class HttpEndpoint(
       }
     })
     server.createContext("/commit", handler { ex =>
+      requireServing()
       val params = queryParams(ex)
       val ts = params.get("startTs").map(_.toLong)
         .getOrElse(throw new IllegalArgumentException(
@@ -199,11 +213,13 @@ final class HttpEndpoint(
       }
     })
     server.createContext("/alter", handler { ex =>
+      requireServing()
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       alterBody(body, accessToken(ex))
       """{"data":{"code":"Success","message":"Done"}}"""
     })
     server.createContext("/graphql", handler { ex =>
+      requireServing()
       val n = M.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
       val vars = Option(n.get("variables")).filter(!_.isNull)
         .map(jsonGVals).getOrElse(Map.empty)
@@ -302,9 +318,18 @@ final class HttpEndpoint(
         s"""{"data":{"restore":{"code":"Success",""" +
           s""""message":"Restore operation started.",""" +
           s""""restoreId":$restoreId}}}"""
+      } else if (opName == "draining") {
+        // reference graphql/admin/draining.go: mutation
+        // { draining(enable: Boolean) { response { code message } } }
+        requireGuardian(ex, "draining")
+        val enable = """enable\s*:\s*(true|false)""".r.findFirstMatchIn(q)
+          .exists(_.group(1) == "true")
+        drainingMode = enable
+        s"""{"data":{"draining":{"response":{"code":"Success",""" +
+          s""""message":"draining mode has been set to $enable"}}}}"""
       } else throw new IllegalArgumentException(
         "unsupported admin operation (getGQLSchema / updateGQLSchema / " +
-          "health / export / backup / restore)")
+          "health / export / backup / restore / draining)")
     })
     server.createContext("/login", handler { ex =>
       val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))

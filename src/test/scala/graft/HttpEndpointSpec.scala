@@ -332,6 +332,32 @@ class HttpEndpointSpec extends AnyFunSuite {
     }
   }
 
+  test("/admin draining mutation refuses client requests until disabled") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def drain(on: Boolean): String = call(port, "/admin",
+        body = m.writeValueAsString(java.util.Map.of("query",
+          s"mutation { draining(enable: $on) { response { code message } } }")))
+      assert(m.readTree(drain(true)).at("/data/draining/response/message")
+        .asText.contains("set to true"))
+      // client surfaces refuse with the reference error...
+      val refused = call(port, "/query",
+        body = "{ q(func: has(hname)) { hname } }",
+        contentType = "application/dql")
+      assert(refused.contains("draining mode"), refused)
+      assert(call(port, "/mutate", contentType = "application/rdf",
+        body = """{ set { <0x7> <hname> "x" . } }""").contains("draining mode"))
+      // ...but /health and /admin stay served so an operator can exit
+      assert(call(port, "/health", method = "GET").contains("healthy"))
+      assert(m.readTree(drain(false)).at("/data/draining/response/message")
+        .asText.contains("set to false"))
+      assert(!call(port, "/query", body = "{ q(func: has(hname)) { hname } }",
+        contentType = "application/dql").contains("draining"))
+    } finally ep.stop()
+  }
+
   test("txn handles are owner-bound, unissued startTs rejected, idle txns expire") {
     val (preds, types) = SchemaRegistry.parseAlter(
       """hname: string @index(exact) .
