@@ -74,12 +74,78 @@ final class Acl(users: Map[String, Acl.User],
     secret: String) {
   import Acl._
 
+  // Runtime-mutable ACL registry (reference ee/acl: users/groups/rules
+  // are data, administered through /admin GraphQL mutations). Volatile
+  // immutable maps: reads (every request) are lock-free; the rare admin
+  // write swaps a new map under the lock. The constructor maps seed it.
+  @volatile private var userReg: Map[String, Acl.User] = users
+  @volatile private var groupReg: Map[String, Seq[Acl.Rule]] = groups
+  private val adminLock = new Object
+
+  /** Admin surface (used by the /admin GraphQL mutations; callers are
+    * guardian-gated at the transport). addUser errors on an existing
+    * name like the reference ("because id ... already exists").
+    */
+  def addUser(u: Acl.User): Unit = adminLock.synchronized {
+    if (userReg.contains(u.id))
+      throw AclException(s"couldn't add user because id ${u.id} already exists")
+    userReg = userReg + (u.id -> u)
+  }
+  def deleteUser(id: String): Boolean = adminLock.synchronized {
+    val existed = userReg.contains(id)
+    userReg = userReg - id
+    existed
+  }
+  def updateUser(id: String, passwordHash: Option[String],
+      addGroups: Set[String], removeGroups: Set[String]): Acl.User =
+    adminLock.synchronized {
+      val u = userReg.getOrElse(id, throw AclException(s"user $id not found"))
+      val neu = u.copy(
+        passwordHash = passwordHash.getOrElse(u.passwordHash),
+        groups = u.groups ++ addGroups -- removeGroups)
+      userReg = userReg + (id -> neu)
+      neu
+    }
+  def addGroup(name: String, rules: Seq[Acl.Rule] = Nil): Unit =
+    adminLock.synchronized {
+      if (groupReg.contains(name))
+        throw AclException(
+          s"couldn't add group because id $name already exists")
+      groupReg = groupReg + (name -> rules)
+    }
+  def deleteGroup(name: String): Boolean = adminLock.synchronized {
+    val existed = groupReg.contains(name)
+    groupReg = groupReg - name
+    userReg = userReg.map { case (id, u) =>
+      id -> u.copy(groups = u.groups - name)
+    }
+    existed
+  }
+  /** Set/overwrite rules by predicate (reference updateGroup set.rules:
+    * a rule per predicate; setting an existing predicate replaces its
+    * permission) and remove rules by predicate name.
+    */
+  def updateGroupRules(name: String, set: Seq[Acl.Rule],
+      remove: Set[String]): Seq[Acl.Rule] = adminLock.synchronized {
+    val cur = groupReg.getOrElse(name,
+      throw AclException(s"group $name not found"))
+    val afterRemove = cur.filterNot(r => remove.contains(r.predicate))
+    val merged = afterRemove.filterNot(r =>
+      set.exists(_.predicate == r.predicate)) ++ set
+    groupReg = groupReg + (name -> merged)
+    merged
+  }
+  def listUsers: Seq[Acl.User] = userReg.values.toSeq.sortBy(_.id)
+  def listGroups: Seq[(String, Seq[Acl.Rule])] = groupReg.toSeq.sortBy(_._1)
+  def getUser(id: String): Option[Acl.User] = userReg.get(id)
+  def getGroup(name: String): Option[Seq[Acl.Rule]] = groupReg.get(name)
+
   /** Verify the password, issue the access JWT (userId, groups joined
     * multi-valued, namespace). A bad user or password rejects with the
     * same error — no user-existence oracle.
     */
   def login(userId: String, password: String): String = {
-    val u = users.get(userId)
+    val u = userReg.get(userId)
       .filter(u => Bcrypt.checkpw(password, u.passwordHash))
       .getOrElse(throw AclException("invalid user or password"))
     def b64(x: Array[Byte]) = java.util.Base64.getUrlEncoder.withoutPadding
@@ -112,7 +178,7 @@ final class Acl(users: Map[String, Acl.User],
 
   private def perm(gs: Set[String], predicate: String): Int =
     if (gs.contains(Guardians)) Read | Write | Modify
-    else gs.flatMap(g => groups.getOrElse(g, Nil))
+    else gs.flatMap(g => groupReg.getOrElse(g, Nil))
       .filter(_.predicate == predicate).map(_.permission)
       .foldLeft(0)(_ | _)
 

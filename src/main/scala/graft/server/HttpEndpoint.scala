@@ -327,9 +327,13 @@ final class HttpEndpoint(
         drainingMode = enable
         s"""{"data":{"draining":{"response":{"code":"Success",""" +
           s""""message":"draining mode has been set to $enable"}}}}"""
+      } else if (HttpEndpoint.aclAdminOps.contains(opName)) {
+        requireGuardian(ex, opName)
+        aclAdmin(opName, q,
+          acl.getOrElse(throw Acl.AclException("ACL is not enabled")))
       } else throw new IllegalArgumentException(
         "unsupported admin operation (getGQLSchema / updateGQLSchema / " +
-          "health / export / backup / restore / draining)")
+          "health / export / backup / restore / draining / ACL CRUD)")
     })
     server.createContext("/login", handler { ex =>
       val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))
@@ -444,6 +448,138 @@ final class HttpEndpoint(
   }
 
   private val backupSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The ACL administration surface (reference graphql/admin/admin.go
+    * user/group CRUD — backed there by graph-stored ACL nodes, here by
+    * the [[Acl]] registry). Documents are standard GraphQL, so the
+    * GraphQL parser supplies the args; transport already guardian-gated.
+    */
+  private def aclAdmin(op: String, q: String, a: Acl): String = {
+    import graft.graphql.{GqlParser, GVal, GStr, GNum, GEnum, GList, GObj}
+    val root = GqlParser.parse(q).roots.head
+    def str(v: GVal): String = v match {
+      case GStr(s) => s
+      case GNum(s) => s
+      case GEnum(n) => n
+      case other => throw new IllegalArgumentException(s"expected string: $other")
+    }
+    def int(v: GVal): Int = v match {
+      case GNum(s) => s.toInt
+      case other => throw new IllegalArgumentException(s"expected int: $other")
+    }
+    def inputs: Seq[GObj] = root.arg("input") match {
+      case Some(GList(items)) => items.collect { case o: GObj => o }
+      case Some(o: GObj) => Seq(o)
+      case _ => Nil
+    }
+    def groupNames(v: Option[GVal]): Set[String] = v match {
+      case Some(GList(items)) =>
+        items.collect { case go: GObj => go.get("name").map(str) }.flatten.toSet
+      case Some(go: GObj) => go.get("name").map(str).toSet
+      case _ => Set.empty
+    }
+    def rulesOf(v: Option[GVal]): Seq[Acl.Rule] = v match {
+      case Some(GList(items)) => items.collect { case ro: GObj =>
+        Acl.Rule(
+          ro.get("predicate").map(str).getOrElse(
+            throw new IllegalArgumentException("rule needs predicate")),
+          ro.get("permission").map(int).getOrElse(0))
+      }
+      case Some(ro: GObj) => rulesOf(Some(GList(Seq(ro))))
+      case _ => Nil
+    }
+    // reference filter shape: filter: { name: { eq: "x" } }
+    def filterName: String = root.arg("filter")
+      .collect { case o: GObj => o }.flatMap(_.get("name"))
+      .collect { case o: GObj => o }.flatMap(_.get("eq")).map(str)
+      .orElse(root.arg("name").map(str))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$op needs filter: { name: { eq: ... } }"))
+    def js(s: String): String = M.writeValueAsString(s)
+    def userJson(u: Acl.User): String =
+      s"""{"name":${js(u.id)},"groups":[${u.groups.toSeq.sorted
+        .map(g => s"""{"name":${js(g)}}""").mkString(",")}]}"""
+    def groupJson(name: String, rules: Seq[Acl.Rule]): String =
+      s"""{"name":${js(name)},"rules":[${rules.sortBy(_.predicate)
+        .map(r => s"""{"predicate":${js(r.predicate)},"permission":${r.permission}}""")
+        .mkString(",")}]}"""
+    op match {
+      case "addUser" =>
+        val added = inputs.map { o =>
+          val name = o.get("name").map(str).getOrElse(
+            throw new IllegalArgumentException("addUser needs name"))
+          val pw = o.get("password").map(str).getOrElse(
+            throw new IllegalArgumentException("addUser needs password"))
+          a.addUser(Acl.User(name, Acl.hashPassword(name, pw),
+            groupNames(o.get("groups"))))
+          name
+        }
+        s"""{"data":{"addUser":{"user":[${added.map(n =>
+          s"""{"name":${js(n)}}""").mkString(",")}]}}}"""
+      case "updateUser" =>
+        val input = root.arg("input").collect { case o: GObj => o }
+          .getOrElse(throw new IllegalArgumentException(
+            "updateUser needs input:"))
+        val name = input.get("filter").collect { case o: GObj => o }
+          .flatMap(_.get("name")).collect { case o: GObj => o }
+          .flatMap(_.get("eq")).map(str).getOrElse(
+            throw new IllegalArgumentException(
+              "updateUser needs input.filter.name.eq"))
+        val set = input.get("set").collect { case o: GObj => o }
+        val remove = input.get("remove").collect { case o: GObj => o }
+        val u = a.updateUser(name,
+          set.flatMap(_.get("password")).map(str)
+            .map(Acl.hashPassword(name, _)),
+          groupNames(set.flatMap(_.get("groups"))),
+          groupNames(remove.flatMap(_.get("groups"))))
+        s"""{"data":{"updateUser":{"user":[${userJson(u)}]}}}"""
+      case "deleteUser" =>
+        val n = if (a.deleteUser(filterName)) 1 else 0
+        s"""{"data":{"deleteUser":{"msg":"Deleted","numUids":$n}}}"""
+      case "addGroup" =>
+        val added = inputs.map { o =>
+          val name = o.get("name").map(str).getOrElse(
+            throw new IllegalArgumentException("addGroup needs name"))
+          a.addGroup(name, rulesOf(o.get("rules")))
+          name
+        }
+        s"""{"data":{"addGroup":{"group":[${added.map(n =>
+          s"""{"name":${js(n)}}""").mkString(",")}]}}}"""
+      case "updateGroup" =>
+        val input = root.arg("input").collect { case o: GObj => o }
+          .getOrElse(throw new IllegalArgumentException(
+            "updateGroup needs input:"))
+        val name = input.get("filter").collect { case o: GObj => o }
+          .flatMap(_.get("name")).collect { case o: GObj => o }
+          .flatMap(_.get("eq")).map(str).getOrElse(
+            throw new IllegalArgumentException(
+              "updateGroup needs input.filter.name.eq"))
+        val set = rulesOf(input.get("set")
+          .collect { case o: GObj => o }.flatMap(_.get("rules")))
+        val remove = input.get("remove").collect { case o: GObj => o }
+          .flatMap(_.get("rules")) match {
+          case Some(GList(items)) => items.map(str).toSet
+          case Some(v) => Set(str(v))
+          case None => Set.empty[String]
+        }
+        val merged = a.updateGroupRules(name, set, remove)
+        s"""{"data":{"updateGroup":{"group":[${groupJson(name, merged)}]}}}"""
+      case "deleteGroup" =>
+        val n = if (a.deleteGroup(filterName)) 1 else 0
+        s"""{"data":{"deleteGroup":{"msg":"Deleted","numUids":$n}}}"""
+      case "queryUser" =>
+        s"""{"data":{"queryUser":[${a.listUsers.map(userJson).mkString(",")}]}}"""
+      case "queryGroup" =>
+        s"""{"data":{"queryGroup":[${a.listGroups.map { case (n, rs) =>
+          groupJson(n, rs) }.mkString(",")}]}}"""
+      case "getUser" =>
+        s"""{"data":{"getUser":${a.getUser(filterName)
+          .map(userJson).getOrElse("null")}}}"""
+      case "getGroup" =>
+        s"""{"data":{"getGroup":${a.getGroup(filterName)
+          .map(rs => groupJson(filterName, rs)).getOrElse("null")}}}"""
+    }
+  }
 
   /** One string argument out of a tiny admin GraphQL document — admin
     * docs are matched directly, like updateGQLSchema above. */
@@ -986,6 +1122,12 @@ object HttpEndpoint {
     */
   final class TxnRetryException(msg: String)
     extends IllegalArgumentException(msg)
+
+  /** The /admin ACL CRUD operation names (reference graphql/admin/
+    * admin.go adminMutationHandlers/adminQueryHandlers ACL subset). */
+  val aclAdminOps: Set[String] = Set(
+    "addUser", "updateUser", "deleteUser", "addGroup", "updateGroup",
+    "deleteGroup", "queryUser", "queryGroup", "getUser", "getGroup")
 
   /** Predicates whose VALUES only internal writers may touch (reference
     * x/keys.go:796 otherReservedPredicate): a subset of the dgraph.

@@ -332,6 +332,95 @@ class HttpEndpointSpec extends AnyFunSuite {
     }
   }
 
+  test("/admin ACL CRUD: users and groups administered at runtime gate real reads") {
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """hname: string @index(exact) .
+        |hsal: int @index(int) .
+        |""".stripMargin)
+    val acl = new Acl(
+      users = Map("groot" -> Acl.User("groot",
+        Acl.hashPassword("groot", "password"), Set("guardians"))),
+      groups = Map.empty,
+      secret = "s3cret-acl-admin")
+    val ep = new HttpEndpoint(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <hname> "ann" .""",
+        """<0x1> <hsal> "100" .""",
+        """<0x1> <dgraph.type> "HEmp" .""").toDF("line")),
+      acl = Some(acl))
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def admin(doc: String, tok: Option[String]): com.fasterxml.jackson.databind.JsonNode =
+        m.readTree(call(port, "/admin", token = tok,
+          body = m.writeValueAsString(java.util.Map.of("query", doc))))
+      def login(u: String, p: String): String =
+        m.readTree(call(port, "/login",
+          body = s"""{"userid":"$u","password":"$p"}"""))
+          .get("data").get("accessJWT").asText
+      val groot = Some(login("groot", "password"))
+      // non-guardian may not administer ACL
+      assert(admin("""mutation { addGroup(input: [{name: "dev"}]) { group { name } } }""",
+        None).at("/errors/0/message").asText.nonEmpty)
+      // guardian: group with a read rule on hname, then a user in it
+      assert(admin(
+        """mutation { addGroup(input: [{name: "dev", rules: [{predicate: "hname", permission: 4}]}]) { group { name } } }""",
+        groot).at("/data/addGroup/group/0/name").asText == "dev")
+      assert(admin(
+        """mutation { addUser(input: [{name: "carol", password: "cpw", groups: [{name: "dev"}]}]) { user { name } } }""",
+        groot).at("/data/addUser/user/0/name").asText == "carol")
+      // duplicate user errors like the reference
+      assert(admin(
+        """mutation { addUser(input: [{name: "carol", password: "x"}]) { user { name } } }""",
+        groot).at("/errors/0/message").asText.contains("already exists"))
+      // the new user logs in and the new group's rules gate reads:
+      // hname resolves, hsal (no rule) resolves EMPTY
+      val carol = Some(login("carol", "cpw"))
+      val q1 = m.readTree(call(port, "/query",
+        body = "{ q(func: has(hname)) { hname hsal } }",
+        contentType = "application/dql", token = carol)).at("/data/q")
+      assert(q1.size == 1 && q1.get(0).get("hname").asText == "ann"
+        && !q1.get(0).has("hsal"), q1)
+      // updateGroup grants hsal read; the same query now shows it
+      assert(admin(
+        """mutation { updateGroup(input: {filter: {name: {eq: "dev"}}, set: {rules: [{predicate: "hsal", permission: 4}]}}) { group { name rules { predicate permission } } } }""",
+        groot).at("/data/updateGroup/group/0/rules").size == 2)
+      val q2 = m.readTree(call(port, "/query",
+        body = "{ q(func: has(hname)) { hname hsal } }",
+        contentType = "application/dql", token = carol)).at("/data/q")
+      assert(q2.get(0).get("hsal").asLong == 100L, q2)
+      // queryUser / getUser / queryGroup shapes
+      val qu = admin("query { queryUser { name groups { name } } }", groot)
+        .at("/data/queryUser")
+      assert(qu.size == 2, qu) // carol + groot
+      assert(admin("""query { getUser(name: "carol") { name groups { name } } }""",
+        groot).at("/data/getUser/groups/0/name").asText == "dev")
+      assert(admin("query { queryGroup { name rules { predicate permission } } }",
+        groot).at("/data/queryGroup/0/name").asText == "dev")
+      // updateUser: move carol out of dev — reads fall back to empty
+      admin("""mutation { updateUser(input: {filter: {name: {eq: "carol"}}, remove: {groups: [{name: "dev"}]}}) { user { name } } }""",
+        groot)
+      val carol2 = Some(login("carol", "cpw"))
+      val q3 = m.readTree(call(port, "/query",
+        body = "{ q(func: has(hname)) { hname } }",
+        contentType = "application/dql", token = carol2)).at("/data/q")
+      assert(q3 == null || q3.size == 0, q3)
+      // deleteUser: carol can no longer log in
+      assert(admin("""mutation { deleteUser(filter: {name: {eq: "carol"}}) { msg numUids } }""",
+        groot).at("/data/deleteUser/numUids").asInt == 1)
+      assert(call(port, "/login",
+        body = """{"userid":"carol","password":"cpw"}""")
+        .contains("invalid user or password"))
+      // deleteGroup detaches it everywhere
+      assert(admin("""mutation { deleteGroup(filter: {name: {eq: "dev"}}) { msg numUids } }""",
+        groot).at("/data/deleteGroup/numUids").asInt == 1)
+      assert(admin("query { queryGroup { name } }", groot)
+        .at("/data/queryGroup").size == 0)
+    } finally ep.stop()
+  }
+
   test("/admin draining mutation refuses client requests until disabled") {
     val ep = endpoint()
     val port = ep.start()
