@@ -20,6 +20,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clear stale per-session scratch from earlier JVMs (the driver
+    // reuses this repo across rounds; dead backup/index dirs degrade
+    // the write-bound gates under disk pressure)
+    graft.queries.Q.sweepStaleScratch()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -55,6 +55,38 @@ object Q {
     f.getAbsolutePath
   }
 
+  /** Sweep STALE scratch state from earlier JVMs: every per-session dir
+    * (`target/graft-*`, bucketed `spark-warehouse/g_*` tables) is keyed
+    * by identityHashCode(session) + a per-JVM counter, so nothing from
+    * a previous process is ever reused — but the driver runs bench and
+    * verify in this same repo across rounds and ~500 dead dirs / 3 GB
+    * of them accumulate, degrading exactly the write-bound gates that
+    * already suffer most under disk pressure. Bench/Verify call this at
+    * startup; the 30-minute age guard keeps a concurrently running
+    * sibling JVM's fresh dirs safe.
+    */
+  def sweepStaleScratch(maxAgeMs: Long = 30 * 60 * 1000L): Unit = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles).foreach(_.foreach(rm))
+      x.delete(); ()
+    }
+    def sweep(parent: java.io.File, prefix: String): Unit =
+      Option(parent.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix)
+          && f.lastModified < cutoff)
+        .foreach(rm)
+    // graft-derived is a long-lived PARENT of per-session layouts —
+    // sweep its children by age, never the parent itself (a sibling
+    // JVM's fresh layout lives inside it)
+    sweep(new java.io.File("target/graft-derived"), "")
+    Option(new java.io.File("target").listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-")
+        && f.getName != "graft-derived" && f.lastModified < cutoff)
+      .foreach(rm)
+    sweep(new java.io.File("spark-warehouse"), "g_")
+  }
+
   /** Deterministic average: exact decimal sum divided as double/double. */
   def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(c).cast("double")
