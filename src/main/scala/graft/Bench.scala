@@ -139,6 +139,16 @@ object Bench {
         .flat("""{ q(func: eq(name, "Customer#000000001")) { name } }""")
         .count()
     }
+    // the nested-JSON renderer is its own codegen family (jsonAllAst →
+    // struct-assembly expressions the FLAT probe above never compiles);
+    // left cold it lands on dql_json_deep/nested (measured 6.2 s cold /
+    // 2.3 s steady on a quiet host)
+    warm("DQL json renderer probe") {
+      new graft.exec.DqlExecutor(graft.core.TripleStore(spark, sfDir))
+        .jsonAll("""{ q(func: eq(name, "Customer#000000001")) {
+                |   name  placed (first: 1) { orderstatus } } }""".stripMargin)
+        .count()
+    }
     warm("custom tokenizer probe") {
       new graft.exec.DqlExecutor(graft.core.TripleStore(spark, sfDir))
         .flat("""{ q(func: allof(ptype, prefix4, "promo polis")) { ptype } }""")
