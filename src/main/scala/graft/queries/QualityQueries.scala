@@ -193,6 +193,73 @@ object QualityQueries {
         .join(broadcast(probe), Seq("s"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Context-window chunking: split each doc's token stream into
+    // fixed-size overlapping chunks (size 32, stride 24 → 8-token
+    // overlap) — the step between packing and tokenization when a
+    // trainer wants overlapping windows instead of hard cuts. Pure
+    // per-row explode of a generated start sequence: zero joins, zero
+    // shuffles beyond the output sort — at 100 TB each doc chunks
+    // independently inside its scan partition.
+    "chunk_documents" -> ((s, d) => {
+      val chunkSize = 32
+      val stride = 24
+      val ws = col("ws")
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), ws, explode(sequence(lit(0),
+          greatest(size(ws) - 1, lit(0)), lit(stride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk"),
+          col("start").cast("long").as("start"),
+          least(lit(chunkSize), size(ws) - col("start")).cast("long")
+            .as("n_tok"),
+          when(size(ws) > 0, element_at(ws, col("start") + 1))
+            .as("first_tok"),
+          when(size(ws) > 0,
+            element_at(ws, least(col("start") + chunkSize, size(ws))))
+            .as("last_tok"))
+        .orderBy(col("doc_id"), col("chunk"))
+    }),
+
+    // BM25 retrieval scoring (Robertson/Spärck Jones; the Lucene
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)) variant): score every doc
+    // containing a query term — the retrieval/quality primitive behind
+    // contamination triage and dedup candidate ranking. Plan shape: one
+    // explode → filtered tf hash-agg (map-side partials), a broadcast
+    // of the term-df and corpus stats (both metadata-sized), one final
+    // doc-keyed agg. The corpus streams once; nothing doc-scale joins
+    // doc-scale.
+    "text_bm25" -> ((s, d) => {
+      val terms = Seq("hash", "vector", "window")
+      val k1 = 1.2
+      val b = 0.75
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val dl = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = base
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(dfT), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          // written to match the oracle's float-op ORDER exactly,
+          // including the left-associative (b * dl) / avgdl
+          (log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1)) /
+            (col("tf") +
+              lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl"))))
+            .as("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("matched_terms"), sum(col("s")).as("score"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -288,6 +355,38 @@ object QualityQueries {
         |probe AS (SELECT DISTINCT s FROM dsh WHERE doc_id < 5)
         |SELECT doc_id, COUNT(*) AS n_hits
         |FROM dsh JOIN probe USING (s)
-        |WHERE doc_id >= 5 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |WHERE doc_id >= 5 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "chunk_documents" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |       unnest(range(0, greatest(len(ws), 1), 24)) AS start FROM d)
+        |SELECT doc_id, CAST(start/24 AS BIGINT) AS chunk,
+        | CAST(start AS BIGINT) AS start,
+        | CAST(least(32, len(ws) - start) AS BIGINT) AS n_tok,
+        | CASE WHEN len(ws) > 0 THEN ws[start+1] END AS first_tok,
+        | CASE WHEN len(ws) > 0 THEN ws[least(start+32, len(ws))] END AS last_tok
+        |FROM c ORDER BY doc_id, chunk""".stripMargin,
+
+    // same float formula, same operation order (idf * tf-sat per term,
+    // summed per doc) — the driver compares doubles at 1e-12 rel
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+        |stats AS (SELECT COUNT(*) AS n,
+        |           CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+        |w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w
+        |       WHERE w IN ('hash', 'vector', 'window') GROUP BY 1, 2),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, COUNT(*) AS matched_terms,
+        | SUM(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+        |     (tf.tf * 2.2) /
+        |     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |FROM tf
+        |JOIN df USING (w)
+        |JOIN dl ON dl.doc_id = tf.doc_id
+        |CROSS JOIN stats
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
   )
 }

@@ -211,4 +211,43 @@ class OperatorSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(math.abs(e(2L) - math.sqrt(2)) < 1e-12)
   }
+  test("chunk_documents: overlapping windows cover every token, boundaries exact") {
+    // mirror of the gate at unit scale: size 32 / stride 24 over a
+    // 54-token doc -> starts 0,24,48 with 8-token overlap and an exact
+    // short tail
+    val words = (1 to 54).map(i => s"w$i")
+    val df = Seq((7L, words.mkString(" "))).toDF("doc_id", "text")
+    val spark0 = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.QualityQueries.queries("chunk_documents")(spark0, dir)
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (7L, 0L, 0L, 32L, "w1", "w32"),
+      (7L, 1L, 24L, 30L, "w25", "w54"),
+      (7L, 2L, 48L, 6L, "w49", "w54")))
+    // coverage: every token index falls inside at least one chunk
+    val covered = out.flatMap { case (_, _, st, n, _, _) => st until (st + n) }.toSet
+    assert(covered == (0L until 54L).toSet)
+  }
+
+  test("text_bm25: rarer terms score higher at equal tf, saturation bounds tf growth") {
+    val docs = Seq(
+      (0L, "hash hash hash common common"),
+      (1L, "hash common common common common"),
+      (2L, "vector common common common common"),
+      (3L, "common common common common common"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.QualityQueries.queries("text_bm25")(spark, dir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 3 has no query terms: absent from the result
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // vector (df=1) outscores hash (df=2) at the same tf=1 and dl
+    assert(out(2L)._2 > out(1L)._2)
+    // tf saturation: tf=3 scores more than tf=1 but less than 3x
+    assert(out(0L)._2 > out(1L)._2 && out(0L)._2 < 3 * out(1L)._2)
+    assert(out.values.forall(_._1 == 1L)) // one matched term each
+  }
 }
