@@ -223,6 +223,36 @@ object QualityQueries {
         .orderBy(col("doc_id"), col("chunk"))
     }),
 
+    // Per-source quality percentile gate: keep each source's top half
+    // by type-token ratio — curation pipelines filter per DOMAIN, not
+    // globally, so a verbose domain doesn't starve a terse one. The
+    // window partitions by source: every shard ranks independently in
+    // parallel (no global sort), the per-source analogue of
+    // pack_sequences' layout.
+    "quality_percentile_source" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+        (size(array_distinct(ws)).cast("double") /
+          size(ws).cast("double")).as("ttr"))
+      val w = Window.partitionBy(col("source")).orderBy(col("ttr"))
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.5)
+        .select(col("source"), col("doc_id"), col("ttr"), col("pr"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Deterministic corpus shuffle: training order as a seeded hash
+    // permutation — reproducible across runs/engines, no RNG state. The
+    // orderBy is a range-partitioned distributed sort on the hash key
+    // (Spark samples ranges; no single-partition funnel), the standard
+    // way to shuffle 100 TB for sequential reading.
+    "corpus_shuffle" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("seed42:"), col("doc_id").cast("string")))
+            .as("shuffle_key"))
+        .orderBy(col("shuffle_key"))),
+
     // BM25 retrieval scoring (Robertson/Spärck Jones; the Lucene
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5)) variant): score every doc
     // containing a query term — the retrieval/quality primitive behind
@@ -367,6 +397,23 @@ object QualityQueries {
         | CASE WHEN len(ws) > 0 THEN ws[start+1] END AS first_tok,
         | CASE WHEN len(ws) > 0 THEN ws[least(start+32, len(ws))] END AS last_tok
         |FROM c ORDER BY doc_id, chunk""".stripMargin,
+
+    "quality_percentile_source" ->
+      """WITH s AS (
+        | SELECT doc_id, source,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+        |  CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr
+        | FROM documents)
+        |SELECT source, doc_id, ttr, pr FROM (
+        | SELECT source, doc_id, ttr,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY ttr) AS pr
+        | FROM s)
+        |WHERE pr >= 0.5 ORDER BY source, doc_id""".stripMargin,
+
+    "corpus_shuffle" ->
+      """SELECT doc_id, source,
+        | md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
 
     // same float formula, same operation order (idf * tf-sat per term,
     // summed per doc) — the driver compares doubles at 1e-12 rel

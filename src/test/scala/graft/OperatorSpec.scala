@@ -250,4 +250,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(0L)._2 > out(1L)._2 && out(0L)._2 < 3 * out(1L)._2)
     assert(out.values.forall(_._1 == 1L)) // one matched term each
   }
+  test("quality_percentile_source filters per source; corpus_shuffle is a deterministic permutation") {
+    val docs = Seq(
+      (0L, "a", "x x x x"),      // ttr 0.25  (lowest in a)
+      (1L, "a", "x y x y"),      // ttr 0.5
+      (2L, "a", "x y z w"),      // ttr 1.0
+      (3L, "b", "p p q q"),      // ttr 0.5  (lowest in b)
+      (4L, "b", "p q r r"))      // ttr 0.75
+    val dir = java.nio.file.Files.createTempDirectory("graft_qps").toString
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val kept = graft.queries.QualityQueries
+      .queries("quality_percentile_source")(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    // per-source cut: doc 0 drops in a, doc 3 drops in b — doc 1
+    // (ttr 0.5) SURVIVES in a even though doc 3 with the same ttr
+    // drops in b, the per-domain property a global cut would lose
+    assert(kept == Set(1L, 2L, 4L))
+    val order1 = graft.queries.QualityQueries.queries("corpus_shuffle")(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    val order2 = graft.queries.QualityQueries.queries("corpus_shuffle")(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(order1 == order2, "shuffle must be deterministic")
+    assert(order1.sorted == Seq(0L, 1L, 2L, 3L, 4L), "must be a permutation")
+    assert(order1 != Seq(0L, 1L, 2L, 3L, 4L), "must not be identity order")
+  }
 }
