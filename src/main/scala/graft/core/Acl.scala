@@ -91,8 +91,20 @@ final class Acl(users: Map[String, Acl.User],
       throw AclException(s"couldn't add user because id ${u.id} already exists")
     userReg = userReg + (u.id -> u)
   }
+  /** Admin-lockout guard (reference: "cannot delete guardians group" /
+    * "cannot delete groot user", ee/acl): an operation may not remove
+    * the LAST guardian — with no guardian left, every /admin call is
+    * rejected forever and the ACL can never be repaired.
+    */
+  private def requireGuardianSurvives(afterUsers: Map[String, Acl.User]): Unit =
+    if (userReg.values.exists(_.groups.contains(Guardians)) &&
+        !afterUsers.values.exists(_.groups.contains(Guardians)))
+      throw AclException(
+        "cannot remove the last guardian — the ACL would be unrepairable")
+
   def deleteUser(id: String): Boolean = adminLock.synchronized {
     val existed = userReg.contains(id)
+    requireGuardianSurvives(userReg - id)
     userReg = userReg - id
     existed
   }
@@ -103,6 +115,7 @@ final class Acl(users: Map[String, Acl.User],
       val neu = u.copy(
         passwordHash = passwordHash.getOrElse(u.passwordHash),
         groups = u.groups ++ addGroups -- removeGroups)
+      requireGuardianSurvives(userReg + (id -> neu))
       userReg = userReg + (id -> neu)
       neu
     }
@@ -114,6 +127,10 @@ final class Acl(users: Map[String, Acl.User],
       groupReg = groupReg + (name -> rules)
     }
   def deleteGroup(name: String): Boolean = adminLock.synchronized {
+    // reference ee/acl: the guardians super-group may not be deleted —
+    // stripping it from every user would permanently lock /admin
+    if (name == Guardians)
+      throw AclException(s"cannot delete group $Guardians")
     val existed = groupReg.contains(name)
     groupReg = groupReg - name
     userReg = userReg.map { case (id, u) =>

@@ -184,11 +184,21 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
       s"""{"resolver":"$$webhook","event":{"__typename":"${ev.typename}",""" +
         s""""operation":"${ev.op}","commitTs":0$opBody}}"""
     // fire-and-forget like the reference ("no guarantee that the payload
-    // will be delivered") — a dead lambda server must not fail the
-    // mutation
-    try CustomHttp.JdkHttpTransport.send(url, "POST", Some(payload))
-    catch { case _: Exception => () }
-    ()
+    // will be delivered"): sendAsync — the mutation NEVER blocks on the
+    // lambda server, and bounded timeouts mean a hung (not just dead)
+    // server can't pin resources either
+    try {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(10))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+        .build()
+      GraphQLEngine.webhookClient.sendAsync(req,
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+        .exceptionally(_ => null)
+      ()
+    } catch { case _: Exception => () }
   }
 
   private[graphql] def session: org.apache.spark.sql.SparkSession = ts.spark
@@ -277,4 +287,14 @@ final class GraphQLEngine(ts: GraphStore, schema: GqlSchema = SdlParser.tpch,
         Seq(("errors", 0L, s"""{"errors":[{"message":"$msg"}]}"""))
           .toDF("block", "uid", "json")
     }
+}
+
+object GraphQLEngine {
+  /** Shared webhook client: connect timeout bounded so a hung lambda
+    * server can't accumulate stuck connections (one client per JVM —
+    * the JDK client pools internally). */
+  private[graphql] lazy val webhookClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5))
+      .build()
 }

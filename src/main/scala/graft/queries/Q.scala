@@ -66,25 +66,38 @@ object Q {
     * sibling JVM's fresh dirs safe.
     */
   def sweepStaleScratch(maxAgeMs: Long = 30 * 60 * 1000L): Unit = {
-    val cutoff = System.currentTimeMillis() - maxAgeMs
+    // mtime is an IMPERFECT liveness signal: a dir is written once at
+    // session start and only read after. Per-invocation scratch
+    // (backup/index/stream dirs, bucketed tables) is consumed within
+    // its gate, so the 30-min default is safely past any invocation.
+    // SESSION-LIVED layouts (graft-derived children) are read for the
+    // whole session — they get a much longer 12 h tier so a long-lived
+    // server/shell sharing the repo isn't pulled out from under.
+    // GRAFT_SCRATCH_SWEEP_MS overrides the short tier; <0 disables.
+    val shortMs = sys.env.get("GRAFT_SCRATCH_SWEEP_MS")
+      .map(_.toLong).getOrElse(maxAgeMs)
+    if (shortMs < 0) return
+    val sessionMs = math.max(shortMs, 12 * 60 * 60 * 1000L)
     def rm(x: java.io.File): Unit = {
       Option(x.listFiles).foreach(_.foreach(rm))
       x.delete(); ()
     }
-    def sweep(parent: java.io.File, prefix: String): Unit =
+    def sweep(parent: java.io.File, prefix: String, ageMs: Long): Unit = {
+      val cutoff = System.currentTimeMillis() - ageMs
       Option(parent.listFiles).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(prefix)
           && f.lastModified < cutoff)
         .foreach(rm)
+    }
     // graft-derived is a long-lived PARENT of per-session layouts —
-    // sweep its children by age, never the parent itself (a sibling
-    // JVM's fresh layout lives inside it)
-    sweep(new java.io.File("target/graft-derived"), "")
+    // sweep its children on the session tier, never the parent itself
+    sweep(new java.io.File("target/graft-derived"), "", sessionMs)
+    val shortCutoff = System.currentTimeMillis() - shortMs
     Option(new java.io.File("target").listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("graft-")
-        && f.getName != "graft-derived" && f.lastModified < cutoff)
+        && f.getName != "graft-derived" && f.lastModified < shortCutoff)
       .foreach(rm)
-    sweep(new java.io.File("spark-warehouse"), "g_")
+    sweep(new java.io.File("spark-warehouse"), "g_", shortMs)
   }
 
   /** Deterministic average: exact decimal sum divided as double/double. */

@@ -174,6 +174,10 @@ final class GrpcEndpoint(core: HttpEndpoint,
     out
   }
 
+  // grpc-go's default max receive size is 4 MB; dgo raises it for bulk
+  // clients, so allow a generous but bounded 64 MB
+  private val MaxInflatedBytes: Int = 64 * 1024 * 1024
+
   private def deframe(b: Array[Byte],
       encoding: Option[String]): Array[Byte] = {
     if (b.length < 5)
@@ -190,9 +194,27 @@ final class GrpcEndpoint(core: HttpEndpoint,
       // JDK inflater handles it without extra jars. identity with the
       // flag set is a spec violation — treat the bytes as-is.
       case Some("gzip") =>
+        // bound the DECOMPRESSED size like grpc-go's
+        // maxReceiveMessageSize — gzip ratios reach ~1000:1, so an
+        // unbounded inflate lets a ~1 MB frame allocate gigabytes on
+        // the driver JVM before any message-size check
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(msg))
-        try in.readAllBytes() finally in.close()
+        try {
+          val out = new java.io.ByteArrayOutputStream(
+            math.min(msg.length * 4, MaxInflatedBytes))
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (out.size + n > MaxInflatedBytes)
+              throw new IllegalArgumentException(
+                s"grpc: received message larger than max " +
+                  s"($MaxInflatedBytes bytes) after decompression")
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+          out.toByteArray
+        } finally in.close()
       case Some("identity") | None => msg
       case Some(other) =>
         throw new UnsupportedOperationException(

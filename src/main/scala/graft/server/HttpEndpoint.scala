@@ -410,12 +410,18 @@ final class HttpEndpoint(
           Some(ts)
       }
     } else {
+      // ownership checks BEFORE any mutation of the map (a non-owner
+      // probing another client's ts must not be able to even
+      // transiently unlink it), and the final unlink is a CONDITIONAL
+      // remove — of two concurrent drains of the same ts exactly one
+      // wins, the other retries (double-applying the queued batches
+      // would duplicate triples)
       val queued = startTs.flatMap { ts =>
-        txns.remove(ts).map { t =>
-          if (t.owner != tok) {
-            txns.putIfAbsent(ts, t) // not yours — put it back untouched
-            requireTxnOwner(ts, t, tok)
-          }
+        txns.get(ts).map { t =>
+          requireTxnOwner(ts, t, tok)
+          if (!txns.remove(ts, t))
+            throw new HttpEndpoint.TxnRetryException(
+              s"Transaction $ts has been aborted. Please retry")
           t.batches
         }
       }.getOrElse(Vector.empty)
@@ -436,13 +442,18 @@ final class HttpEndpoint(
     if (abort) {
       txns.get(ts).foreach { t =>
         requireTxnOwner(ts, t, tok)
-        txns.remove(ts)
+        txns.remove(ts, t); ()
       }
     } else {
       val t = txns.getOrElse(ts,
         throw new HttpEndpoint.TxnRetryException(s"Transaction $ts not found"))
       requireTxnOwner(ts, t, tok)
-      txns.remove(ts)
+      // conditional remove: exactly ONE of two racing commits of the
+      // same ts applies the batches; the loser gets the retryable error
+      // (the old unconditional remove let both through — double apply)
+      if (!txns.remove(ts, t))
+        throw new HttpEndpoint.TxnRetryException(
+          s"Transaction $ts has been aborted. Please retry")
       writeLock.synchronized { applyMutations(t.batches) }
     }
   }
@@ -641,10 +652,14 @@ final class HttpEndpoint(
     } ++ schema.types.values.toSeq.sortBy(_.name).map { t =>
       t.predicates.map(p => s"  $p").mkString(s"type <${t.name}> {\n", "\n", "\n}")
     }
-    val schemaPath = java.nio.file.Paths.get(dest, "g01.schema")
-    java.nio.file.Files.createDirectories(schemaPath.getParent)
-    java.nio.file.Files.write(schemaPath,
-      schemaLines.mkString("\n").getBytes(UTF_8))
+    // the schema file goes through the SAME filesystem as the data —
+    // an hdfs://, s3a:// or other remote destination must not split the
+    // export between remote parquet and a driver-local schema file
+    val schemaPath = new org.apache.hadoop.fs.Path(dest, "g01.schema")
+    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(schemaPath, true)
+    try out.write(schemaLines.mkString("\n").getBytes(UTF_8))
+    finally out.close()
     Seq(dataDir, schemaPath.toString)
   }
 
@@ -874,14 +889,22 @@ final class HttpEndpoint(
     * whole node (S * *); a null-valued field drops every value of that
     * predicate (S P *); a concrete value drops just that triple.
     */
+  /** Shared by the HTTP JSON-mutation and gRPC JSON-upsert parsers —
+    * one copy of the N-Quad value escaping and the predicate-name
+    * structural check, so the two fronts can never drift.
+    */
+  private def nqEscape(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def checkPredName(k: String): String = {
+    if (k.isEmpty || k.exists(c => c == '<' || c == '>' || c == '"' ||
+        c == '\\' || c.isWhitespace))
+      throw new IllegalArgumentException(s"invalid predicate name: $k")
+    k
+  }
+
   private def jsonMutation(body: String): (Seq[(String, String)], Seq[(String, String)]) = {
-    def esc(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
-    def checkPred(k: String): String = {
-      if (k.isEmpty || k.exists(c => c == '<' || c == '>' || c == '"' ||
-          c == '\\' || c.isWhitespace))
-        throw new IllegalArgumentException(s"invalid predicate name: $k")
-      k
-    }
+    def esc(v: String): String = nqEscape(v)
+    def checkPred(k: String): String = checkPredName(k)
     def lines(arrName: String, isDelete: Boolean): Seq[(String, String)] = {
       val arr = Option(M.readTree(body).get(arrName)).filter(_.isArray)
         .map(a => (0 until a.size).map(a.get)).getOrElse(Nil)
@@ -925,7 +948,7 @@ final class HttpEndpoint(
     */
   private[server] def jsonUpsertTemplates(arrayJson: String,
       isDelete: Boolean): Seq[String] = {
-    def esc(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(v: String): String = nqEscape(v)
     val uidTemplateRe = """uid\([A-Za-z_][\w.]*\)"""
     def subjOf(node: com.fasterxml.jackson.databind.JsonNode): String = {
       val uid = Option(node.get("uid")).map(_.asText).getOrElse(
@@ -948,12 +971,13 @@ final class HttpEndpoint(
         val e = it.next()
         if (e.getKey != "uid") {
           nonUid += 1
-          val k = e.getKey
-          if (k.isEmpty || k.exists(c => c == '<' || c == '>' || c == '"' ||
-              c == '\\' || c.isWhitespace))
-            throw new IllegalArgumentException(s"invalid predicate name: $k")
+          val k = checkPredName(e.getKey)
           val v = e.getValue
+          // a JSON null in a SET is SKIPPED like the reference (a nil
+          // struct field serialized as explicit null must not write the
+          // literal string "null"); in a DELETE it is the wildcard
           if (v.isNull && isDelete) out += s"$subj <$k> * ."
+          else if (v.isNull) ()
           else if (v.isObject) out += s"$subj <$k> ${subjOf(v)} ."
           else if (v.isArray)
             (0 until v.size).foreach(i =>

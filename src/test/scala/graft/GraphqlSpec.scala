@@ -1755,13 +1755,23 @@ class GraphqlSpec extends AnyFunSuite {
       val base = RdfSource.parse(Seq(
         """<0x10> <wtext> "keep" .""",
         """<0x10> <dgraph.type> "WNote" .""").toDF("line"))
+      // webhooks are ASYNC fire-and-forget (the mutation never blocks
+      // on the lambda server) — poll briefly for arrival
+      def awaitPayload(pred: String => Boolean, what: String): String = {
+        val deadline = System.currentTimeMillis + 10000
+        while (System.currentTimeMillis < deadline) {
+          payloads.toArray.map(_.toString).find(pred) match {
+            case Some(p) => return p
+            case None => Thread.sleep(25)
+          }
+        }
+        fail(s"no $what webhook in $payloads")
+      }
       // add fires with input + rootUIDs
       eng.mutate(
         """mutation { addWNote(input: [{ wtext: "hello" }]) { } }""",
         base).count()
-      val add = payloads.toArray.map(_.toString)
-        .find(_.contains("\"operation\":\"add\"")).getOrElse(
-          fail(s"no add webhook in $payloads"))
+      val add = awaitPayload(_.contains("\"operation\":\"add\""), "add")
       assert(add.contains("\"resolver\":\"$webhook\""), add)
       assert(add.contains("\"__typename\":\"WNote\""), add)
       assert(add.contains("\"input\":[{\"wtext\":\"hello\"}]"), add)
@@ -1772,14 +1782,13 @@ class GraphqlSpec extends AnyFunSuite {
         """mutation { updateWNote(input: {
           |  filter: { wtext: { eq: "keep" } }, set: { wtext: "changed" } }) { } }""".stripMargin,
         base).count()
+      Thread.sleep(400) // async window — give a wrong fire time to land
       assert(payloads.isEmpty, s"update must not fire: $payloads")
       // delete fires with the deleted root uid
       eng.mutate(
         """mutation { deleteWNote(filter: { wtext: { eq: "keep" } }) { } }""",
         base).count()
-      val del = payloads.toArray.map(_.toString)
-        .find(_.contains("\"operation\":\"delete\"")).getOrElse(
-          fail(s"no delete webhook in $payloads"))
+      val del = awaitPayload(_.contains("\"operation\":\"delete\""), "delete")
       assert(del.contains("\"delete\":{\"rootUIDs\":[\"0x10\"]}"), del)
     } finally srv.stop(0)
   }

@@ -311,6 +311,29 @@ class GrpcEndpointSpec extends AnyFunSuite {
         commitNow = true)).result
       val (s5, m5, _) = cli.call("/api.Dgraph/Query", bad)
       assert(s5 == 12 && m5.contains("val(var)"), s"$s5 $m5")
+
+      // a JSON null in a SET is skipped (nil struct field serialized as
+      // explicit null), never written as the literal string "null"
+      val nullSet = encodeRequest(PRequest(
+        query = """{ v as q(func: eq(name, "bob")) }""",
+        mutations = Seq(PMutation(
+          setJson = """[{"uid":"uid(v)","name":null,"age":"7"}]"""
+            .getBytes(UTF_8))),
+        commitNow = true)).result
+      val (s6, m6, _) = cli.call("/api.Dgraph/Query", nullSet)
+      assert(s6 == 0, s"$s6 $m6")
+      val (s7, _, r7) = cli.call("/api.Dgraph/Query", encodeRequest(PRequest(
+        query = """{ q(func: eq(name, "bob")) { name age } }""")).result)
+      assert(s7 == 0)
+      val bob = new String(decodeResponse(r7).json, UTF_8)
+      assert(bob.contains("\"bob\"") && bob.contains("\"age\":7"), bob)
+      assert(!bob.contains("null"), bob)
+
+      // gzip bomb guard: a small frame inflating past the 64 MB cap is
+      // rejected with the size error, not an OOM
+      val zeros = new Array[Byte](70 * 1024 * 1024)
+      val (s8, m8, _) = cli.call("/api.Dgraph/Query", zeros, compress = true)
+      assert(s8 != 0 && m8.contains("larger than max"), s"$s8 $m8")
     } finally { cli.close(); grpc.stop() }
   }
 

@@ -418,6 +418,20 @@ class HttpEndpointSpec extends AnyFunSuite {
         groot).at("/data/deleteGroup/numUids").asInt == 1)
       assert(admin("query { queryGroup { name } }", groot)
         .at("/data/queryGroup").size == 0)
+      // admin-lockout guards: the guardians group can't be deleted, and
+      // the LAST guardian can't be removed or deleted — either would
+      // make /admin permanently unrepairable
+      assert(admin("""mutation { deleteGroup(filter: {name: {eq: "guardians"}}) { msg } }""",
+        groot).at("/errors/0/message").asText.contains("guardians"))
+      assert(admin("""mutation { deleteUser(filter: {name: {eq: "groot"}}) { msg } }""",
+        groot).at("/errors/0/message").asText.contains("last guardian"))
+      assert(admin("""mutation { updateUser(input: {filter: {name: {eq: "groot"}}, remove: {groups: [{name: "guardians"}]}}) { user { name } } }""",
+        groot).at("/errors/0/message").asText.contains("last guardian"))
+      // with a SECOND guardian present, removing the first is legal
+      admin("""mutation { addUser(input: [{name: "gee", password: "gp", groups: [{name: "guardians"}]}]) { user { name } } }""",
+        groot)
+      assert(admin("""mutation { deleteUser(filter: {name: {eq: "groot"}}) { msg numUids } }""",
+        groot).at("/data/deleteUser/numUids").asInt == 1)
     } finally ep.stop()
   }
 
