@@ -167,6 +167,22 @@ final class HttpEndpoint(
     server.createContext("/health", handler { _ =>
       """[{"status":"healthy","instance":"alpha"}]"""
     })
+    // GET /state (reference run.go:354 stateHandler → pb.MembershipState
+    // JSON): the single-alpha engine reports one group whose tablets are
+    // the schema's predicates — what ratel and admin tooling read to map
+    // predicate → group. Guardian-gated like the reference's State.
+    server.createContext("/state", handler { ex =>
+      requireGuardian(ex, "state")
+      val tablets = schema.predicates.keys.toSeq.sorted.map { p =>
+        s"${M.writeValueAsString(p)}:{\"groupId\":1," +
+          s"\"predicate\":${M.writeValueAsString(p)}}"
+      }.mkString(",")
+      s"""{"counter":"${txnSeq.get}","groups":{"1":{"members":{"1":""" +
+        s"""{"id":"1","groupId":1,"addr":"localhost","leader":true,""" +
+        s""""amDead":false}},"tablets":{$tablets}}},""" +
+        s""""zeros":{"1":{"id":"1","addr":"localhost","leader":true}},""" +
+        s""""maxTxnTs":"${txnSeq.get}","cid":"graft-spark"}"""
+    })
     server.createContext("/query", handler { ex =>
       requireServing()
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)

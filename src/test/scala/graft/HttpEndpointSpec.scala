@@ -435,6 +435,19 @@ class HttpEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("/state reports the single-group membership with schema tablets") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val st = m.readTree(call(port, "/state", method = "GET"))
+      assert(st.at("/groups/1/members/1/leader").asBoolean)
+      assert(st.at("/groups/1/tablets/hname/groupId").asInt == 1)
+      assert(st.at("/groups/1/tablets/hsal/predicate").asText == "hsal")
+      assert(st.at("/cid").asText == "graft-spark")
+    } finally ep.stop()
+  }
+
   test("/admin draining mutation refuses client requests until disabled") {
     val ep = endpoint()
     val port = ep.start()
