@@ -343,6 +343,38 @@ final class HttpEndpoint(
         drainingMode = enable
         s"""{"data":{"draining":{"response":{"code":"Success",""" +
           s""""message":"draining mode has been set to $enable"}}}}"""
+      } else if (opName == "shutdown") {
+        // reference graphql/admin/shutdown.go: signal the closer; the
+        // response ships first, the stop runs after a short grace
+        requireGuardian(ex, "shutdown")
+        val t = new Thread(() => { Thread.sleep(200); stop() })
+        t.setDaemon(true)
+        t.start()
+        """{"data":{"shutdown":{"response":{"code":"Success",""" +
+          """"message":"Server is shutting down"}}}}"""
+      } else if (opName == "listBackups") {
+        // reference graphql/admin/endpoints.go listBackups(input:
+        // {location}): [Manifest] — one entry for the full backup plus
+        // one per incremental, read from the backup-series layout
+        requireGuardian(ex, "listBackups")
+        val loc = adminStrArg(q, "location").getOrElse(
+          throw new IllegalArgumentException(
+            "you must specify a 'location' value"))
+        val dir = new java.io.File(loc)
+        val entries = Seq.newBuilder[String]
+        if (new java.io.File(dir, "triples").isDirectory ||
+            new java.io.File(dir, "schema.graft").isFile ||
+            new java.io.File(dir, "schema.graft.enc").isFile)
+          entries += s"""{"type":"full","backupNum":0,"path":"triples","encrypted":${
+            new java.io.File(dir, "schema.graft.enc").isFile}}"""
+        Option(dir.listFiles).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("inc-"))
+          .sortBy(_.getName.stripPrefix("inc-").toInt)
+          .foreach { f =>
+            entries += s"""{"type":"incremental","backupNum":${
+              f.getName.stripPrefix("inc-")},"path":${M.writeValueAsString(f.getName)},"encrypted":false}"""
+          }
+        s"""{"data":{"listBackups":[${entries.result().mkString(",")}]}}"""
       } else if (HttpEndpoint.aclAdminOps.contains(opName)) {
         requireGuardian(ex, opName)
         aclAdmin(opName, q,

@@ -311,6 +311,11 @@ class HttpEndpointSpec extends AnyFunSuite {
       assert(br.at("/data/backup/taskId").asText.startsWith("0x"), br)
       val restored = graft.operators.Backup.restore(spark, bkDest, Map.empty)
       assert(restored.attr("hname").count == 2)
+      // listBackups sees the full backup (reference admin listBackups)
+      val lb = m.readTree(call(port, "/admin", body = m.writeValueAsString(
+        java.util.Map.of("query",
+          s"""query { listBackups(input: {location: "$bkDest"}) { type backupNum } }"""))))
+      assert(lb.at("/data/listBackups/0/type").asText == "full", lb)
       // ---- restore (reference graphql/admin/restore.go): mutate the
       // live store past the backup, then restore rolls it back ----
       call(port, "/mutate", contentType = "application/rdf",
@@ -433,6 +438,25 @@ class HttpEndpointSpec extends AnyFunSuite {
       assert(admin("""mutation { deleteUser(filter: {name: {eq: "groot"}}) { msg numUids } }""",
         groot).at("/data/deleteUser/numUids").asInt == 1)
     } finally ep.stop()
+  }
+
+  test("/admin shutdown stops the server after responding") {
+    val ep = endpoint()
+    val port = ep.start()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val r = m.readTree(call(port, "/admin", body = m.writeValueAsString(
+      java.util.Map.of("query",
+        "mutation { shutdown { response { code message } } }"))))
+    assert(r.at("/data/shutdown/response/message").asText
+      .contains("shutting down"), r)
+    // the port closes shortly after the response ships
+    val deadline = System.currentTimeMillis + 10000
+    var closed = false
+    while (!closed && System.currentTimeMillis < deadline) {
+      try { call(port, "/health", method = "GET"); Thread.sleep(50) }
+      catch { case _: java.io.IOException => closed = true }
+    }
+    assert(closed, "server did not stop after shutdown mutation")
   }
 
   test("/state reports the single-group membership with schema tablets") {
