@@ -557,6 +557,46 @@ class HttpEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("racing commits of one txn apply its batches exactly once") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def n(): Int = {
+        val q = m.readTree(call(port, "/query",
+          body = """{ q(func: eq(hname, "race")) { hname } }""",
+          contentType = "application/dql")).get("data").get("q")
+        if (q == null) 0 else q.size
+      }
+      (0 until 5).foreach { i =>
+        val r = m.readTree(call(port, "/mutate?commitNow=false",
+          contentType = "application/rdf",
+          body = s"""{ set { <0x${40 + i}> <hname> "race" . } }"""))
+        val ts = r.get("extensions").get("txn").get("start_ts").asLong
+        // two threads commit the same ts concurrently: the conditional
+        // remove guarantees exactly ONE applies (the loser errors) —
+        // the old get-then-remove let both through, duplicating triples
+        import java.util.concurrent.{CountDownLatch, Executors}
+        val pool = Executors.newFixedThreadPool(2)
+        val gate = new CountDownLatch(1)
+        val results = (0 until 2).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            def call(): String = {
+              gate.await()
+              HttpEndpointSpec.this.call(port, s"/commit?startTs=$ts")
+            }
+          })
+        }
+        gate.countDown()
+        val bodies = results.map(_.get())
+        pool.shutdown()
+        val ok = bodies.count(_.contains("\"code\":\"Success\""))
+        assert(ok == 1, s"exactly one commit must win: $bodies")
+        assert(n() == i + 1, s"batch applied ${n()} times after round $i")
+      }
+    } finally ep.stop()
+  }
+
   test("txn envelope: commitNow=false queues, /commit applies, abort discards") {
     val ep = endpoint()
     val port = ep.start()
