@@ -222,6 +222,33 @@ object Backup {
       materialize = hadIncs)
   }
 
+  /** The backup-series layout scan, shared by [[restoreFrame]] and the
+    * /admin listBackups query so the two can never disagree on what
+    * constitutes the series: STRICTLY `inc-<digits>` directories in
+    * numeric order (an operator-made `inc-old/` or `inc-3.bak/` is not
+    * part of the series and must not break either reader).
+    */
+  private val IncDirRe = """inc-(\d+)""".r
+  def incrementalDirs(dir: String): Seq[(Int, java.io.File)] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .toSeq
+      .flatMap(f => f.getName match {
+        case IncDirRe(n) if f.isDirectory => Some(n.toInt -> f)
+        case _ => None
+      })
+      .sortBy(_._1)
+
+  /** Does `dir` hold a full backup (and is it encrypted)? The layout
+    * contract [[full]] writes: a `triples` parquet dir plus the schema
+    * manifest (plain or GCM-sealed). */
+  def fullBackupAt(dir: String): Option[Boolean] = {
+    val d = new java.io.File(dir)
+    val enc = new java.io.File(d, "schema.graft.enc").isFile
+    if (new java.io.File(d, "triples").isDirectory ||
+        new java.io.File(d, "schema.graft").isFile || enc) Some(enc)
+    else None
+  }
+
   /** The restore pipeline's raw output — (manifest schema, melted triple
     * frame with incrementals replayed, whether any incremental applied).
     * Used by [[restore]] and by the /admin restore mutation, which swaps
@@ -247,9 +274,7 @@ object Backup {
     var triples = spark.read.parquet(s"$dir/triples")
       .select(col("subject"), col("predicate"), col("objectUid"),
         col("value"), col("lang"), col("facets"))
-    val incs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("inc-"))
-      .sortBy(_.getName.stripPrefix("inc-").toInt)
+    val incs = incrementalDirs(dir).map(_._2)
     incs.foreach { inc =>
       val delta = spark.read.parquet(inc.getAbsolutePath)
       val key = Seq("subject", "predicate", "objectUid", "value")

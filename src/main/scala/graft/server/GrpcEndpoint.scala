@@ -66,6 +66,9 @@ final class GrpcEndpoint(core: HttpEndpoint,
         }
       })
     channel = b.bind(new InetSocketAddress(port)).sync().channel()
+    // the /admin shutdown mutation must stop the WHOLE server, not
+    // just the HTTP front — register with the shared core
+    core.onShutdown(() => stop())
     channel.localAddress().asInstanceOf[InetSocketAddress].getPort
   }
 

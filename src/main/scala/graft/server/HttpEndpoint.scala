@@ -177,11 +177,13 @@ final class HttpEndpoint(
         s"${M.writeValueAsString(p)}:{\"groupId\":1," +
           s"\"predicate\":${M.writeValueAsString(p)}}"
       }.mkString(",")
-      s"""{"counter":"${txnSeq.get}","groups":{"1":{"members":{"1":""" +
+      // one read: counter and maxTxnTs must agree within a response
+      val ts = txnSeq.get
+      s"""{"counter":"$ts","groups":{"1":{"members":{"1":""" +
         s"""{"id":"1","groupId":1,"addr":"localhost","leader":true,""" +
         s""""amDead":false}},"tablets":{$tablets}}},""" +
         s""""zeros":{"1":{"id":"1","addr":"localhost","leader":true}},""" +
-        s""""maxTxnTs":"${txnSeq.get}","cid":"graft-spark"}"""
+        s""""maxTxnTs":"$ts","cid":"graft-spark"}"""
     })
     server.createContext("/query", handler { ex =>
       requireServing()
@@ -345,9 +347,18 @@ final class HttpEndpoint(
           s""""message":"draining mode has been set to $enable"}}}}"""
       } else if (opName == "shutdown") {
         // reference graphql/admin/shutdown.go: signal the closer; the
-        // response ships first, the stop runs after a short grace
+        // response ships first, then ALL registered fronts stop — a
+        // wrapped gRPC endpoint registers a hook at start(), so
+        // "shutting down" means the whole server, not half of it. The
+        // delayed server.stop(1) gives the response write (which runs
+        // after this handler returns) and other in-flight exchanges a
+        // grace second instead of cutting them mid-body.
         requireGuardian(ex, "shutdown")
-        val t = new Thread(() => { Thread.sleep(200); stop() })
+        val t = new Thread(() => {
+          Thread.sleep(300)
+          shutdownHooks.forEach(h => try h.run() catch { case _: Throwable => () })
+          if (server != null) server.stop(1)
+        })
         t.setDaemon(true)
         t.start()
         """{"data":{"shutdown":{"response":{"code":"Success",""" +
@@ -355,26 +366,25 @@ final class HttpEndpoint(
       } else if (opName == "listBackups") {
         // reference graphql/admin/endpoints.go listBackups(input:
         // {location}): [Manifest] — one entry for the full backup plus
-        // one per incremental, read from the backup-series layout
+        // one per incremental; the series scan is SHARED with
+        // Backup.restore so the two can never disagree on the layout
         requireGuardian(ex, "listBackups")
         val loc = adminStrArg(q, "location").getOrElse(
           throw new IllegalArgumentException(
             "you must specify a 'location' value"))
-        val dir = new java.io.File(loc)
-        val entries = Seq.newBuilder[String]
-        if (new java.io.File(dir, "triples").isDirectory ||
-            new java.io.File(dir, "schema.graft").isFile ||
-            new java.io.File(dir, "schema.graft.enc").isFile)
-          entries += s"""{"type":"full","backupNum":0,"path":"triples","encrypted":${
-            new java.io.File(dir, "schema.graft.enc").isFile}}"""
-        Option(dir.listFiles).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("inc-"))
-          .sortBy(_.getName.stripPrefix("inc-").toInt)
-          .foreach { f =>
-            entries += s"""{"type":"incremental","backupNum":${
-              f.getName.stripPrefix("inc-")},"path":${M.writeValueAsString(f.getName)},"encrypted":false}"""
+        val full = graft.operators.Backup.fullBackupAt(loc)
+        val incs = graft.operators.Backup.incrementalDirs(loc)
+        if (full.isEmpty && incs.isEmpty)
+          throw new IllegalArgumentException(
+            s"no backups found at $loc")
+        val entries =
+          full.map(enc =>
+            s"""{"type":"full","backupNum":0,"path":"triples","encrypted":$enc}""").toSeq ++
+          incs.map { case (n, f) =>
+            s"""{"type":"incremental","backupNum":$n,"path":${
+              M.writeValueAsString(f.getName)},"encrypted":false}"""
           }
-        s"""{"data":{"listBackups":[${entries.result().mkString(",")}]}}"""
+        s"""{"data":{"listBackups":[${entries.mkString(",")}]}}"""
       } else if (HttpEndpoint.aclAdminOps.contains(opName)) {
         requireGuardian(ex, opName)
         aclAdmin(opName, q,
@@ -507,6 +517,14 @@ final class HttpEndpoint(
   }
 
   private val backupSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Other fronts serving this engine (gRPC, WebSocket) register here
+    * so the /admin shutdown mutation stops the WHOLE server — draining
+    * already gates them through [[requireServing]]; shutdown must not
+    * leave half the surface listening. */
+  private val shutdownHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[Runnable]()
+  def onShutdown(hook: Runnable): Unit = shutdownHooks.add(hook)
 
   /** The ACL administration surface (reference graphql/admin/admin.go
     * user/group CRUD — backed there by graph-stored ACL nodes, here by

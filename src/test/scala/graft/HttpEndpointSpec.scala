@@ -440,23 +440,30 @@ class HttpEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
-  test("/admin shutdown stops the server after responding") {
+  test("/admin shutdown stops the server (and registered fronts) after responding") {
     val ep = endpoint()
     val port = ep.start()
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val r = m.readTree(call(port, "/admin", body = m.writeValueAsString(
-      java.util.Map.of("query",
-        "mutation { shutdown { response { code message } } }"))))
-    assert(r.at("/data/shutdown/response/message").asText
-      .contains("shutting down"), r)
-    // the port closes shortly after the response ships
-    val deadline = System.currentTimeMillis + 10000
-    var closed = false
-    while (!closed && System.currentTimeMillis < deadline) {
-      try { call(port, "/health", method = "GET"); Thread.sleep(50) }
-      catch { case _: java.io.IOException => closed = true }
-    }
-    assert(closed, "server did not stop after shutdown mutation")
+    try {
+      val hookRan = new java.util.concurrent.atomic.AtomicBoolean(false)
+      ep.onShutdown(() => hookRan.set(true))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val r = m.readTree(call(port, "/admin", body = m.writeValueAsString(
+        java.util.Map.of("query",
+          "mutation { shutdown { response { code message } } }"))))
+      assert(r.at("/data/shutdown/response/message").asText
+        .contains("shutting down"), r)
+      // the port closes shortly after the response ships, and the
+      // registered secondary-front hook ran (the gRPC endpoint
+      // registers itself the same way at start())
+      val deadline = System.currentTimeMillis + 10000
+      var closed = false
+      while (!closed && System.currentTimeMillis < deadline) {
+        try { call(port, "/health", method = "GET"); Thread.sleep(50) }
+        catch { case _: java.io.IOException => closed = true }
+      }
+      assert(closed, "server did not stop after shutdown mutation")
+      assert(hookRan.get, "secondary-front shutdown hook did not run")
+    } finally ep.stop()
   }
 
   test("/state reports the single-group membership with schema tablets") {
