@@ -22,6 +22,8 @@ object Time {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.maxFields",
         sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "100"))
+      // size-based AQE coalescing (see Bench): tiny shuffles → 1 task
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

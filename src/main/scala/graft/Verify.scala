@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // size-based AQE coalescing (see Bench): tiny shuffles → 1 task
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

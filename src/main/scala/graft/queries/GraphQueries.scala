@@ -182,8 +182,14 @@ object GraphQueries {
       val ts = TripleStore(s, d)
       val seeds = t(s, d, "customer").filter(col("c_custkey") < 50)
         .select((lit(CB) + col("c_custkey")).as("start"))
-      val edges = ts.edge("located_in").unionByName(ts.edge("in_region"))
-        .select(col("subject"), col("object"))
+      // the 2-predicate edge union is re-joined at EVERY level of the
+      // recursion — derive it once per session (same build-once shape as
+      // the shortest-path cone) so each level joins a checkpointed frame
+      // instead of re-scanning two tablets
+      val edges = ts.derived("recurse_located_in_region") {
+        ts.edge("located_in").unionByName(ts.edge("in_region"))
+          .select(col("subject"), col("object"))
+      }
       Recurse.expand(seeds, edges, maxDepth = 3)
         .orderBy(col("start"), col("depth"), col("node"))
     }),
@@ -227,7 +233,7 @@ object GraphQueries {
     // ---- @lang tagged access (posting/list.go:2067 ValueFor) ----
     "lang_filter" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      ts.attrString.filter(col("predicate") === "text" && col("lang") === "en")
+      ts.attrStringStored.filter(col("predicate") === "text" && col("lang") === "en")
         .select(col("subject"), col("value")).orderBy(col("subject"))
     })
   )

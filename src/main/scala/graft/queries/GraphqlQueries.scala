@@ -128,7 +128,7 @@ object GraphqlQueries {
     // (reference graphql/resolve/mutation_rewriter.go AddRewriter)
     "graphql_add" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      val base = ts.attrString.filter(col("predicate").isin("name", "mktsegment"))
+      val base = ts.attrStringStored.filter(col("predicate").isin("name", "mktsegment"))
       new GraphQLEngine(ts).mutate(
         """mutation { addCustomer(input: [
           |  {name: "Customer#NEW000A", mktsegment: "WEB"},
@@ -299,7 +299,7 @@ object GraphqlQueries {
     // in document order (UpdateRewriter/DeleteRewriter)
     "graphql_update_delete" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      val base = ts.attrString.filter(col("predicate").isin("mktsegment", "source"))
+      val base = ts.attrStringStored.filter(col("predicate").isin("mktsegment", "source"))
       new GraphQLEngine(ts).mutate(
         """mutation {
           |  updateCustomer(input: {filter: {mktsegment: {eq: "BUILDING"}},

@@ -27,7 +27,7 @@ object MutationQueries {
     // ---- set: overwrite scalar values (reference set N-Quads) ----
     "mutation_set" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      val base = ts.attrString.filter(col("predicate") === "mktsegment")
+      val base = ts.attrStringStored.filter(col("predicate") === "mktsegment")
       val sets = t(s, d, "customer").filter(col("c_acctbal") < 0)
         .select((lit(CB) + col("c_custkey")).as("subject"),
           lit("mktsegment").as("predicate"),
@@ -44,7 +44,7 @@ object MutationQueries {
         .select((lit(SB) + col("s_suppkey")).as("subject"), lit("*").as("predicate"))
       val exact = t(s, d, "documents").filter(col("lang") === "zh")
         .select((lit(DB) + col("doc_id")).as("subject"), lit("text").as("predicate"))
-      Mutations.applyDelete(ts.attrString, wildcards.unionByName(exact))
+      Mutations.applyDelete(ts.attrStringStored, wildcards.unionByName(exact))
         .groupBy(col("predicate")).agg(count(lit(1)).as("n"))
         .orderBy(col("predicate"))
     }),
@@ -52,7 +52,7 @@ object MutationQueries {
     // ---- upsert with @if(gt(len(v), 0)) ----
     "mutation_upsert" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      val base = ts.attrString.filter(col("predicate") === "mktsegment")
+      val base = ts.attrStringStored.filter(col("predicate") === "mktsegment")
       // query block: v = BUILDING customers with no orders. Materialized
       // once — both the @if len() count and the mutation merge read it,
       // and each would otherwise recompute the anti-join
@@ -81,7 +81,7 @@ object MutationQueries {
     // ---- live loader: N-Quad batch with blank + uid subjects ----
     "live_load" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      val base = ts.attrString.filter(col("predicate") === "name")
+      val base = ts.attrStringStored.filter(col("predicate") === "name")
         .select(col("subject"), col("predicate"), col("value"), col("lang"))
       val blankLines = t(s, d, "part").filter(col("p_partkey") < 20)
         .select(concat(lit("_:n"), col("p_partkey"),
@@ -120,7 +120,7 @@ object MutationQueries {
     // ---- CDC: snapshot diff → set/delete change events ----
     "cdc_diff" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      val old = ts.attrString.filter(col("predicate") === "mktsegment")
+      val old = ts.attrStringStored.filter(col("predicate") === "mktsegment")
         .select(col("subject"), col("predicate"), col("value"))
       val sets = t(s, d, "customer").filter(col("c_acctbal") < 0)
         .select((lit(CB) + col("c_custkey")).as("subject"),
@@ -140,7 +140,7 @@ object MutationQueries {
     // describes.
     "cdc_stream" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      val old = ts.attrString.filter(col("predicate") === "mktsegment")
+      val old = ts.attrStringStored.filter(col("predicate") === "mktsegment")
         .select(col("subject"), col("predicate"), col("value"))
       val sets = t(s, d, "customer").filter(col("c_acctbal") < 0)
         .select((lit(CB) + col("c_custkey")).as("subject"),
@@ -171,7 +171,7 @@ object MutationQueries {
     // ---- @unique pre-commit check ----
     "mutation_unique" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      val base = ts.attrString.filter(col("predicate") === "name")
+      val base = ts.attrStringStored.filter(col("predicate") === "name")
       val c = t(s, d, "customer").filter(col("c_custkey") < 20)
       val proposed = c.select(
           (lit(CB) + lit(500000000L) + col("c_custkey")).as("subject"),
@@ -190,10 +190,10 @@ object MutationQueries {
     // ---- RDF N-Quad format → parse round-trip ----
     "rdf_roundtrip" -> ((s, d) => {
       val ts = TripleStore(s, d)
-      val nationNames = ts.attrString
+      val nationNames = ts.attrStringStored
         .filter(col("predicate") === "name" &&
           col("subject") >= NB && col("subject") < NB + Uids.Base)
-      val docTexts = ts.attrString.filter(col("predicate") === "text")
+      val docTexts = ts.attrStringStored.filter(col("predicate") === "text")
       val inRegion = ts.edge("in_region")
       val placed = ts.edge("placed").filter(col("subject") < CB + 10)
       val lines = RdfSource.formatAttrs(nationNames.unionByName(docTexts))
