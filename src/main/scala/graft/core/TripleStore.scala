@@ -52,7 +52,7 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
     // first access in each JVM so it can never go stale.
     val dir = new java.io.File(
       s"target/graft-derived/line_uid_${new java.io.File(sfDir).getName}" +
-        s"_${System.identityHashCode(spark)}").getAbsolutePath
+        s"_${Scratch.tag(spark)}").getAbsolutePath
     withUid.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
@@ -184,7 +184,7 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
   lazy val attrStringStored: DataFrame = {
     val dir = new java.io.File(
       s"target/graft-derived/attrs_${new java.io.File(sfDir).getName}" +
-        s"_${System.identityHashCode(spark)}").getAbsolutePath
+        s"_${Scratch.tag(spark)}").getAbsolutePath
     attrString.write.mode("overwrite").partitionBy("predicate").parquet(dir)
     spark.read.parquet(dir)
       .select(col("subject"), col("predicate").cast("string").as("predicate"),

@@ -274,7 +274,7 @@ object LlmQueries {
       val dir = hnswDirCache.getOrElseUpdate((s, d), {
         val p = new java.io.File(
           s"target/graft-hnsw_${new java.io.File(d).getName}" +
-            s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+            s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
         Similarity.hnswWrite(q, p, nPartitions = 4)
         p
       })
@@ -292,7 +292,7 @@ object LlmQueries {
       val q = embQ(s, d).select(col("id"), col("qe"))
       val dir = new java.io.File(
         s"target/graft-ivf_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+          s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
       // train once per (session, corpus) — deterministic k-means, so a
       // re-build of the index reuses the quantizer instead of paying
       // 3 × (assignment pass + centroid collect) per invocation
@@ -331,7 +331,7 @@ object LlmQueries {
       val base = pqVectors(s, d)
       val dir = new java.io.File(
         s"target/graft-pq_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+          s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
       val books = pqBookCache.getOrElseUpdate((s, d),
         Similarity.pqCodebooksExact(base, m = 4))
       Similarity.pqWrite(base, dir, books)
@@ -349,7 +349,7 @@ object LlmQueries {
       val base = pqVectors(s, d)
       val dir = new java.io.File(
         s"target/graft-ivfpq_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+          s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
       val cents = Similarity.trainIvfCentroids(base, nCells = 4, iters = 1)
       val books = pqBookCache.getOrElseUpdate((s, d),
         Similarity.pqCodebooksExact(base, m = 4))
@@ -381,7 +381,7 @@ object LlmQueries {
       val dir = hnswDqlDirCache.getOrElseUpdate((s, d), {
         val p = new java.io.File(
           s"target/graft-hnswdql_${new java.io.File(d).getName}" +
-            s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+            s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
         Similarity.hnswWrite(q, p, nPartitions = 4)
         p
       })

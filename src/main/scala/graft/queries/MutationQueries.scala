@@ -103,8 +103,10 @@ object MutationQueries {
       // shape; the join below then needs no exchange on either side
       // fresh table names per invocation: overwriting an existing
       // bucketed table (drop + recreate + re-list) is 2.5× the initial
-      // write and would make a re-run look like a regression
-      val run = Q.freshRun()
+      // write and would make a re-run look like a regression. The
+      // pid-stamped tag keeps the sweep from deleting a live sibling's
+      // tables (core.Scratch.ownerAlive).
+      val run = s"${graft.core.Scratch.tag(s)}_${Q.freshRun()}"
       Bucketing.writeBucketed(ts.edge("has_line")
         .select(col("subject"), col("object")), s"g_hasline_b_$run", 8, key = "object")
       Bucketing.writeBucketed(ts.attr("quantity")

@@ -46,7 +46,7 @@ object Q {
       d: String): String = {
     val f = new java.io.File(
       s"target/$prefix${new java.io.File(d).getName}" +
-        s"_${System.identityHashCode(s)}_${freshRun()}")
+        s"_${graft.core.Scratch.tag(s)}_${freshRun()}")
     def rm(x: java.io.File): Unit = {
       Option(x.listFiles).foreach(_.foreach(rm))
       x.delete(); ()
@@ -82,11 +82,16 @@ object Q {
       Option(x.listFiles).foreach(_.foreach(rm))
       x.delete(); ()
     }
+    // a dir whose name embeds a LIVE owner pid (core.Scratch.tag) is in
+    // use no matter how old — mtime is written once at creation and
+    // reads never refresh it, so age alone would pull live dirs out
+    // from under a long-running sibling JVM (server, >30-min bench)
     def sweep(parent: java.io.File, prefix: String, ageMs: Long): Unit = {
       val cutoff = System.currentTimeMillis() - ageMs
       Option(parent.listFiles).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(prefix)
-          && f.lastModified < cutoff)
+          && f.lastModified < cutoff
+          && !graft.core.Scratch.ownerAlive(f.getName))
         .foreach(rm)
     }
     // graft-derived is a long-lived PARENT of per-session layouts —
@@ -95,7 +100,8 @@ object Q {
     val shortCutoff = System.currentTimeMillis() - shortMs
     Option(new java.io.File("target").listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("graft-")
-        && f.getName != "graft-derived" && f.lastModified < shortCutoff)
+        && f.getName != "graft-derived" && f.lastModified < shortCutoff
+        && !graft.core.Scratch.ownerAlive(f.getName))
       .foreach(rm)
     sweep(new java.io.File("spark-warehouse"), "g_", shortMs)
   }

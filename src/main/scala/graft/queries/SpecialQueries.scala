@@ -373,7 +373,7 @@ object SpecialQueries {
       val ts = graft.core.TripleStore(s, d)
       val dir = new java.io.File(
         s"target/graft-backup_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+          s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
       graft.operators.Backup.full(ts, dir)
       graft.operators.Backup.restore(s, dir, ts.facetKeys)
         .attr("name")
@@ -388,7 +388,7 @@ object SpecialQueries {
       val ts = graft.core.TripleStore(s, d)
       val dir = new java.io.File(
         s"target/graft-backupinc_${new java.io.File(d).getName}" +
-          s"_${System.identityHashCode(s)}_${Q.freshRun()}").getAbsolutePath
+          s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
       val only = Set("mktsegment", "name")
       graft.operators.Backup.full(ts, dir, only)
       val prev = graft.operators.Backup.tripleFrame(ts, only)

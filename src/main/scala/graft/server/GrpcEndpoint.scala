@@ -133,6 +133,8 @@ final class GrpcEndpoint(core: HttpEndpoint,
         } catch {
           case e: UnsupportedOperationException =>
             (12, String.valueOf(e.getMessage), null) // UNIMPLEMENTED
+          case e: GrpcEndpoint.GrpcProtocolException =>
+            (13, e.msg, null) // INTERNAL — malformed wire frame
           case e: Acl.AclException => (7, e.msg, null) // PERMISSION_DENIED
           case _: HttpEndpoint.TxnRetryException =>
             // ABORTED — dgo's retry loop retries this status and treats
@@ -218,7 +220,14 @@ final class GrpcEndpoint(core: HttpEndpoint,
           }
           out.toByteArray
         } finally in.close()
-      case Some("identity") | None => msg
+      // per the gRPC spec (PROTOCOL-HTTP2: Compressed-Flag) a set flag
+      // with identity or ABSENT grpc-encoding is a protocol error —
+      // grpc-go answers INTERNAL with this exact shape; passing the
+      // bytes through would instead fail protobuf decoding later and
+      // surface as a confusing UNKNOWN
+      case Some("identity") | None =>
+        throw GrpcEndpoint.GrpcProtocolException(
+          "grpc: compressed flag set with identity or unset grpc-encoding")
       case Some(other) =>
         throw new UnsupportedOperationException(
           s"unsupported grpc-encoding: $other (supported: gzip, identity)")
@@ -379,4 +388,12 @@ final class GrpcEndpoint(core: HttpEndpoint,
 
   private def jsonStr(s: String): String =
     new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+}
+
+object GrpcEndpoint {
+  /** Malformed wire frame (e.g. compressed flag without a grpc-encoding)
+    * — maps to INTERNAL(13), matching grpc-go's handling.
+    */
+  final case class GrpcProtocolException(msg: String)
+      extends RuntimeException(msg)
 }

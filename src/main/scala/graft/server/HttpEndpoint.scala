@@ -94,12 +94,27 @@ final class HttpEndpoint(
     txns.filterInPlace((_, t) => t.touchedMs >= cutoff)
   }
 
-  /** A txn handle is usable only by the token that opened it (the
-    * reference scopes txns to the logged-in namespace/user the same
-    * way). Aborted-style message so client retry loops treat a stolen/
+  /** A txn handle is usable only by the IDENTITY that opened it (the
+    * reference scopes txns to the logged-in namespace/user, not the
+    * token bytes — dgo auto-refreshes the access JWT mid-txn on expiry,
+    * and a re-login must still be able to commit its own txn). With ACL
+    * on, the token resolves to userid@namespace; with ACL off there is
+    * no identity and the raw token (usually None) is the best available
+    * key. Aborted-style message so client retry loops treat a stolen/
     * stale handle like a conflict, not a success. */
+  private def txnIdentity(tok: Option[String]): Option[String] =
+    acl match {
+      case Some(a) => tok.map { t =>
+        try {
+          val c = a.claims(t)
+          c.getOrElse("userid", "?") + "@" + c.getOrElse("namespace", "0")
+        } catch { case _: Throwable => t } // unverifiable token: raw bytes
+      }
+      case None => tok
+    }
+
   private def requireTxnOwner(ts: Long, t: OpenTxn, tok: Option[String]): Unit =
-    if (t.owner != tok)
+    if (t.owner != txnIdentity(tok))
       throw new HttpEndpoint.TxnRetryException(
         s"Transaction $ts has been aborted. Please retry")
 
@@ -464,7 +479,7 @@ final class HttpEndpoint(
           Some(ts)
         case None =>
           val ts = txnSeq.incrementAndGet()
-          txns.put(ts, OpenTxn(tok, now, Vector((sets, dels))))
+          txns.put(ts, OpenTxn(txnIdentity(tok), now, Vector((sets, dels))))
           Some(ts)
       }
     } else {
@@ -694,10 +709,16 @@ final class HttpEndpoint(
         aLines.unionByName(eLines)
       case "json" =>
         // to_json(map(pred, value)) gives {"name":"ann"} with proper
-        // string escaping; splice the uid in front of it
+        // string escaping; splice the uid in front of it. Language-tagged
+        // values keep their tag in the KEY — "text@en":… — exactly like
+        // the reference's JSON export (worker/export.go:180) and the RDF
+        // branch's langSuffix; dropping it loses data on a round-trip.
+        val aKey = concat(col("predicate"),
+          when(col("lang").isNotNull, concat(lit("@"), col("lang")))
+            .otherwise(lit("")))
         val aLines = attrs.select(concat(
           lit("""{"uid":"0x"""), hexS(col("subject")), lit("\","),
-          substring(to_json(map(col("predicate"), col("value"))), 2, 1 << 24))
+          substring(to_json(map(aKey, col("value"))), 2, 1 << 24))
           .as("line"))
         val eLines = edges.select(concat(
           lit("""{"uid":"0x"""), hexS(col("subject")), lit("\",\""),
@@ -1181,8 +1202,15 @@ final class HttpEndpoint(
       // JSON field form: "password":"secret"
       .replaceAll("""("password"\s*:\s*")(?:[^"\\]|\\.)*(")""", "$1*******$2")
       // GraphQL argument form inside a JSON-encoded query string:
-      // password: \"secret\"  (quotes escaped by the JSON envelope)
-      .replaceAll("""(password\s*:\s*\\")(?:[^"\\]|\\[^"])*(\\")""",
+      // password: \"secret\". A GraphQL-escaped quote in the password
+      // arrives JSON-encoded as \\\" (BS BS BS ") — the content class
+      // must consume it whole or the tail of the plaintext leaks past
+      // the first \" into the log. Atoms, longest first: encoded
+      // GraphQL \" (3 BS + "), encoded GraphQL \\ (4 BS), other encoded
+      // GraphQL escape (2 BS + char), JSON-level escape (BS + char),
+      // plain char; the closing \" (1 BS + ") matches no atom.
+      .replaceAll(
+        """(password\s*:\s*\\")(?:\\\\\\"|\\\\\\\\|\\\\[^"]|\\[^"\\]|[^"\\])*(\\")""",
         "$1*******$2")
 
   /** Wrap a handler with the reference's error envelope. */

@@ -199,4 +199,36 @@ class EncryptionSpec extends AnyFunSuite {
         && e.contains("*******")), entries.mkString("\n"))
     } finally ep.stop()
   }
+
+  test("password mask covers GraphQL-escaped quotes — no tail leaks") {
+    import spark.implicits._
+    import graft.core.{Acl, SchemaRegistry}
+    import graft.server.HttpEndpoint
+    import graft.sources.RdfSource
+    val (preds, types) = SchemaRegistry.parseAlter("name: string @index(exact) .")
+    val reg = new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+    val triples = RdfSource.parse(Seq("""<0x1> <name> "n1" .""").toDF("line"))
+    val dir = tmpDir("graft_audit_mask")
+    val audit = new AuditLog(s"$dir/mask.log")
+    val ep = new HttpEndpoint(spark, reg, triples, audit = Some(audit))
+    val port = ep.start()
+    try {
+      val c = new java.net.URL(s"http://127.0.0.1:$port/graphql")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod("POST"); c.setDoOutput(true)
+      // GraphQL source: password: "p@ss\"secrettail" — the embedded
+      // quote arrives JSON-encoded as \\\" ; the old content class
+      // stopped there and leaked `secrettail` into the log
+      c.getOutputStream.write(
+        """{"query":"mutation { login(userId: \"u\", password: \"p@ss\\\"secrettail\") { token } }"}"""
+          .getBytes(UTF_8))
+      c.getResponseCode // drive the request (response content irrelevant)
+      audit.close()
+      val entries = AuditLog.readEntries(s"$dir/mask.log")
+      assert(entries.exists(_.contains("*******")), entries.mkString("\n"))
+      assert(!entries.exists(_.contains("secrettail")), entries.mkString("\n"))
+      assert(!entries.exists(_.contains("p@ss")), entries.mkString("\n"))
+    } finally ep.stop()
+  }
 }

@@ -49,7 +49,8 @@ class GrpcEndpointSpec extends AnyFunSuite {
       * grpc-encoding header like grpc-go's UseCompressor("gzip"). */
     def call(path: String, msg: Array[Byte],
         token: Option[String] = None, compress: Boolean = false,
-        encoding: String = "gzip"): (Int, String, Array[Byte]) = {
+        encoding: String = "gzip",
+        sendEncodingHeader: Boolean = true): (Int, String, Array[Byte]) = {
       val done = new CompletableFuture[(Int, String, Array[Byte])]()
       val body = new java.io.ByteArrayOutputStream()
       val sb = new Http2StreamChannelBootstrap(ch)
@@ -86,7 +87,8 @@ class GrpcEndpointSpec extends AnyFunSuite {
       headers.set("content-type", "application/grpc")
       headers.set("te", "trailers")
       token.foreach(t => headers.set("accessjwt", t))
-      if (compress) headers.set("grpc-encoding", encoding)
+      if (compress && sendEncodingHeader)
+        headers.set("grpc-encoding", encoding)
       stream.write(new DefaultHttp2HeadersFrame(headers, false))
       val wire = if (compress) {
         val bo = new java.io.ByteArrayOutputStream()
@@ -334,6 +336,13 @@ class GrpcEndpointSpec extends AnyFunSuite {
       val zeros = new Array[Byte](70 * 1024 * 1024)
       val (s8, m8, _) = cli.call("/api.Dgraph/Query", zeros, compress = true)
       assert(s8 != 0 && m8.contains("larger than max"), s"$s8 $m8")
+
+      // compressed flag set with NO grpc-encoding header is a protocol
+      // error per the gRPC spec → INTERNAL(13) with a clear message
+      // (grpc-go's behavior), not a confusing protobuf-decode UNKNOWN
+      val (s9, m9, _) = cli.call("/api.Dgraph/Query", q,
+        compress = true, sendEncodingHeader = false)
+      assert(s9 == 13 && m9.contains("compressed flag"), s"$s9 $m9")
     } finally { cli.close(); grpc.stop() }
   }
 

@@ -271,6 +271,34 @@ class HttpEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("JSON export keeps @lang tags in the key (worker/export.go:180)") {
+    val (preds, types) = SchemaRegistry.parseAlter("tname: string @lang .")
+    val ep = new HttpEndpoint(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq(
+        """<0x1> <tname> "hello"@en .""",
+        """<0x1> <tname> "hallo"@de .""",
+        """<0x2> <tname> "plain" .""").toDF("line")))
+    val port = ep.start()
+    val dest = java.nio.file.Files.createTempDirectory("graft_export_lang")
+      .toString
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val er = m.readTree(call(port, "/admin", body = m.writeValueAsString(
+        java.util.Map.of("query",
+          s"""mutation { export(input: {format: "json", destination: "$dest"})
+             | { response { code } } }""".stripMargin))))
+      assert(er.at("/data/export/response/code").asText == "Success", er)
+      val lines = spark.read.text(s"$dest/g01.json").collect()
+        .map(_.getString(0)).mkString("\n")
+      // the tag rides in the key — a round-trip must not lose it
+      assert(lines.contains(""""tname@en":"hello""""), lines)
+      assert(lines.contains(""""tname@de":"hallo""""), lines)
+      assert(lines.contains(""""tname":"plain""""), lines)
+    } finally ep.stop()
+  }
+
   test("/admin export and backup mutations round-trip through the real operators") {
     val ep = endpoint()
     val port = ep.start()
@@ -552,6 +580,31 @@ class HttpEndpointSpec extends AnyFunSuite {
       val c = m.readTree(call(port, s"/commit?startTs=$ts",
         token = Some(alice)))
       assert(c.get("extensions").get("txn").get("commit_ts").asLong == ts + 1)
+      // ownership is bound to the IDENTITY, not the token bytes: dgo
+      // auto-refreshes the access JWT mid-txn on expiry, so a txn opened
+      // under alice's first token must commit under her refreshed one
+      val tsR = m.readTree(call(port, "/mutate?commitNow=false",
+        contentType = "application/rdf", token = Some(alice),
+        body = """{ set { <0x8> <hname> "ed" . } }"""))
+        .get("extensions").get("txn").get("start_ts").asLong
+      // simulate the refresh: a second valid token for the same identity
+      // differing by an exp claim (what a real refreshed JWT differs by)
+      val aliceRefreshed = {
+        def b64(x: Array[Byte]) = java.util.Base64.getUrlEncoder
+          .withoutPadding.encodeToString(x)
+        val h = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+        val p = b64(("""{"userid":"alice","groups":["dev"],""" +
+          """"namespace":0,"exp":9999999999}""").getBytes("UTF-8"))
+        val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+        mac.init(new javax.crypto.spec.SecretKeySpec(
+          "s3cret".getBytes("UTF-8"), "HmacSHA256"))
+        s"$h.$p." + b64(mac.doFinal(s"$h.$p".getBytes("UTF-8")))
+      }
+      assert(aliceRefreshed != alice, "refreshed token must differ")
+      val cR = m.readTree(call(port, s"/commit?startTs=$tsR",
+        token = Some(aliceRefreshed)))
+      assert(cR.get("extensions").get("txn").get("commit_ts").asLong == tsR + 1,
+        cR.toString)
       // idle txns expire — an abandoned handle is gone after the deadline
       val r2 = m.readTree(call(port, "/mutate?commitNow=false",
         contentType = "application/rdf", token = Some(alice),
