@@ -78,6 +78,12 @@ final class Acl(users: Map[String, Acl.User],
   // are data, administered through /admin GraphQL mutations). Volatile
   // immutable maps: reads (every request) are lock-free; the rare admin
   // write swaps a new map under the lock. The constructor maps seed it.
+  // Users key by (namespace, id) — the reference creates a groot in
+  // EVERY namespace (graphql/admin/namespace.go:29 resolveAddNamespace),
+  // so the same id must coexist per tenant; namespace 0 keys by bare id
+  // to keep the single-tenant constructor seeds working unchanged.
+  private def ukey(ns: Long, id: String): String =
+    if (ns == 0L) id else s"$ns#$id"
   @volatile private var userReg: Map[String, Acl.User] = users
   @volatile private var groupReg: Map[String, Seq[Acl.Rule]] = groups
   private val adminLock = new Object
@@ -87,38 +93,55 @@ final class Acl(users: Map[String, Acl.User],
     * name like the reference ("because id ... already exists").
     */
   def addUser(u: Acl.User): Unit = adminLock.synchronized {
-    if (userReg.contains(u.id))
+    if (userReg.contains(ukey(u.namespace, u.id)))
       throw AclException(s"couldn't add user because id ${u.id} already exists")
-    userReg = userReg + (u.id -> u)
+    userReg = userReg + (ukey(u.namespace, u.id) -> u)
   }
   /** Admin-lockout guard (reference: "cannot delete guardians group" /
     * "cannot delete groot user", ee/acl): an operation may not remove
-    * the LAST guardian — with no guardian left, every /admin call is
-    * rejected forever and the ACL can never be repaired.
+    * the LAST guardian of the DEFAULT namespace — with no galaxy
+    * guardian left, every /admin call is rejected forever and the ACL
+    * can never be repaired. Tenant guardians don't count: they cannot
+    * administer the galaxy.
     */
-  private def requireGuardianSurvives(afterUsers: Map[String, Acl.User]): Unit =
-    if (userReg.values.exists(_.groups.contains(Guardians)) &&
-        !afterUsers.values.exists(_.groups.contains(Guardians)))
+  private def requireGuardianSurvives(afterUsers: Map[String, Acl.User]): Unit = {
+    def galaxyGuardian(m: Map[String, Acl.User]): Boolean =
+      m.values.exists(u => u.namespace == 0L && u.groups.contains(Guardians))
+    if (galaxyGuardian(userReg) && !galaxyGuardian(afterUsers))
       throw AclException(
         "cannot remove the last guardian — the ACL would be unrepairable")
+  }
 
-  def deleteUser(id: String): Boolean = adminLock.synchronized {
-    val existed = userReg.contains(id)
-    requireGuardianSurvives(userReg - id)
-    userReg = userReg - id
+  def deleteUser(id: String, ns: Long = 0L): Boolean = adminLock.synchronized {
+    val existed = userReg.contains(ukey(ns, id))
+    requireGuardianSurvives(userReg - ukey(ns, id))
+    userReg = userReg - ukey(ns, id)
     existed
   }
   def updateUser(id: String, passwordHash: Option[String],
-      addGroups: Set[String], removeGroups: Set[String]): Acl.User =
+      addGroups: Set[String], removeGroups: Set[String],
+      ns: Long = 0L): Acl.User =
     adminLock.synchronized {
-      val u = userReg.getOrElse(id, throw AclException(s"user $id not found"))
+      val u = userReg.getOrElse(ukey(ns, id),
+        throw AclException(s"user $id not found"))
       val neu = u.copy(
         passwordHash = passwordHash.getOrElse(u.passwordHash),
         groups = u.groups ++ addGroups -- removeGroups)
-      requireGuardianSurvives(userReg + (id -> neu))
-      userReg = userReg + (id -> neu)
+      requireGuardianSurvives(userReg + (ukey(ns, id) -> neu))
+      userReg = userReg + (ukey(ns, id) -> neu)
       neu
     }
+
+  /** Drop every user of a namespace (deleteNamespace teardown,
+    * reference namespace.go:52 resolveDeleteNamespace drops the
+    * tenant's data wholesale — its ACL nodes live in that data).
+    */
+  def dropNamespaceUsers(ns: Long): Int = adminLock.synchronized {
+    require(ns != 0L, "cannot drop users of the default namespace")
+    val before = userReg.size
+    userReg = userReg.filterNot { case (_, u) => u.namespace == ns }
+    before - userReg.size
+  }
   def addGroup(name: String, rules: Seq[Acl.Rule] = Nil): Unit =
     adminLock.synchronized {
       if (groupReg.contains(name))
@@ -152,17 +175,19 @@ final class Acl(users: Map[String, Acl.User],
     groupReg = groupReg + (name -> merged)
     merged
   }
-  def listUsers: Seq[Acl.User] = userReg.values.toSeq.sortBy(_.id)
+  def listUsers: Seq[Acl.User] =
+    userReg.values.toSeq.sortBy(u => (u.namespace, u.id))
   def listGroups: Seq[(String, Seq[Acl.Rule])] = groupReg.toSeq.sortBy(_._1)
-  def getUser(id: String): Option[Acl.User] = userReg.get(id)
+  def getUser(id: String, ns: Long = 0L): Option[Acl.User] =
+    userReg.get(ukey(ns, id))
   def getGroup(name: String): Option[Seq[Acl.Rule]] = groupReg.get(name)
 
   /** Verify the password, issue the access JWT (userId, groups joined
     * multi-valued, namespace). A bad user or password rejects with the
     * same error — no user-existence oracle.
     */
-  def login(userId: String, password: String): String = {
-    val u = userReg.get(userId)
+  def login(userId: String, password: String, namespace: Long = 0L): String = {
+    val u = userReg.get(ukey(namespace, userId))
       .filter(u => Bcrypt.checkpw(password, u.passwordHash))
       .getOrElse(throw AclException("invalid user or password"))
     def b64(x: Array[Byte]) = java.util.Base64.getUrlEncoder.withoutPadding

@@ -37,24 +37,49 @@ object CustomHttp {
     */
   final case class HttpSpec(url: String, method: String,
       body: Option[String], mode: String,
-      lambdaResolver: Option[String] = None)
+      lambdaResolver: Option[String] = None,
+      timeoutMs: Long = DefaultTimeoutMs)
+
+  /** Per-request read deadline (override: GRAFT_CUSTOM_HTTP_TIMEOUT_MS)
+    * and connect deadline. The requests run from EXECUTORS inside
+    * mapPartitions — unbounded, a hung sidecar would stall the whole
+    * stage; bounded, it fails the FIELD (null, like a reference custom
+    * resolver error) while the stage completes.
+    */
+  val DefaultTimeoutMs: Long =
+    sys.env.getOrElse("GRAFT_CUSTOM_HTTP_TIMEOUT_MS", "10000").toLong
+  val ConnectTimeoutMs: Long =
+    sys.env.getOrElse("GRAFT_CUSTOM_HTTP_CONNECT_MS", "2000").toLong
+
+  /** Consecutive-failure budget per partition batch: after this many
+    * failed requests in a row the circuit trips and the partition's
+    * remaining fields resolve null WITHOUT dialing the dead service —
+    * N parents must not serialize N timeouts.
+    */
+  val FailureBudget: Int =
+    sys.env.getOrElse("GRAFT_CUSTOM_HTTP_FAILURE_BUDGET", "3").toInt
 
   /** Transport seam: the JDK client in production, a recorder in specs. */
   trait HttpTransport extends Serializable {
-    def send(url: String, method: String, body: Option[String]): String
+    def send(url: String, method: String, body: Option[String],
+        timeoutMs: Long = DefaultTimeoutMs): String
   }
 
   /** java.net.http client, one per executor JVM (lazy transient). */
   object JdkHttpTransport extends HttpTransport {
     @transient private lazy val client =
-      java.net.http.HttpClient.newHttpClient()
-    def send(url: String, method: String, body: Option[String]): String = {
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(ConnectTimeoutMs))
+        .build()
+    def send(url: String, method: String, body: Option[String],
+        timeoutMs: Long): String = {
       val pub = body
         .map(java.net.http.HttpRequest.BodyPublishers.ofString)
         .getOrElse(java.net.http.HttpRequest.BodyPublishers.noBody())
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(url))
         .method(method, pub)
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
         .header("Content-Type", "application/json")
         .build()
       client.send(req,
@@ -125,20 +150,54 @@ object CustomHttp {
                 s"""{"resolver":${jsonOf(res)},"parents":$parentsArr}"""
               case None => s"""{"parents":$parentsArr}"""
             }
-            val resp = transport.send(spec.url, spec.method, Some(body))
-            val arr = mapper.readTree(resp)
-            require(arr != null && arr.isArray && arr.size == rows.size,
-              s"BATCH @custom response must be an array of ${rows.size}")
-            rows.iterator.zipWithIndex.map { case (r, i) =>
-              val n = arr.get(i)
-              Row.fromSeq(r.toSeq :+ (if (n.isNull) null else n.asText()))
+            // a hung/unreachable sidecar fails the FIELD (all-null
+            // column for the batch), never the stage; a response of the
+            // wrong shape stays a loud error (that's a contract bug,
+            // not an availability incident)
+            val resp =
+              try Some(transport.send(spec.url, spec.method, Some(body),
+                spec.timeoutMs))
+              catch {
+                case _: java.io.IOException |
+                    _: java.net.http.HttpTimeoutException => None
+              }
+            resp match {
+              case Some(ok) =>
+                val arr = mapper.readTree(ok)
+                require(arr != null && arr.isArray && arr.size == rows.size,
+                  s"BATCH @custom response must be an array of ${rows.size}")
+                rows.iterator.zipWithIndex.map { case (r, i) =>
+                  val n = arr.get(i)
+                  Row.fromSeq(r.toSeq :+ (if (n.isNull) null else n.asText()))
+                }
+              case None =>
+                rows.iterator.map(r => Row.fromSeq(r.toSeq :+ null))
             }
           }
         case _ =>
+          // consecutive-failure circuit per partition: after
+          // FailureBudget timeouts in a row, stop dialing — the rest of
+          // the partition resolves null immediately
+          var consecutiveFailures = 0
           it.map { r =>
-            val url = substitute(spec.url, r, urlMode = true)
-            val body = spec.body.map(substitute(_, r, urlMode = false))
-            Row.fromSeq(r.toSeq :+ scalarOf(transport.send(url, spec.method, body)))
+            val v =
+              if (consecutiveFailures >= FailureBudget) null
+              else {
+                val url = substitute(spec.url, r, urlMode = true)
+                val body = spec.body.map(substitute(_, r, urlMode = false))
+                try {
+                  val out = scalarOf(
+                    transport.send(url, spec.method, body, spec.timeoutMs))
+                  consecutiveFailures = 0
+                  out
+                } catch {
+                  case _: java.io.IOException |
+                      _: java.net.http.HttpTimeoutException =>
+                    consecutiveFailures += 1
+                    null
+                }
+              }
+            Row.fromSeq(r.toSeq :+ v)
           }
       }
     }

@@ -27,21 +27,29 @@ object GraphQueries {
   private val SB = Uids.Supplier
 
   /** Deterministic DAG over nations: i→j if 0 < j-i <= 3, w = ((i+j)%5)+1. */
-  private def nationDag(s: SparkSession, d: String): DataFrame = {
-    val a = t(s, d, "nation").select(col("n_nationkey").cast("long").as("src"))
-    val b = t(s, d, "nation").select(col("n_nationkey").cast("long").as("dst"))
-    a.join(b, b("dst") > a("src") && (b("dst") - a("src")) <= 3)
-      .select(col("src"), col("dst"), (((col("src") + col("dst")) % 5) + 1).as("w"))
-  }
+  // Both derived nation graphs are consumed by ITERATIVE drivers
+  // (Pregel supersteps, per-level recursion) that re-evaluate their
+  // input once per round — derive each once per session (the
+  // build-once pattern of the shortest cone) so every round reads a
+  // checkpointed frame instead of re-running the self-join.
+  private def nationDag(s: SparkSession, d: String): DataFrame =
+    TripleStore(s, d).derived("nation_dag") {
+      val a = t(s, d, "nation").select(col("n_nationkey").cast("long").as("src"))
+      val b = t(s, d, "nation").select(col("n_nationkey").cast("long").as("dst"))
+      a.join(b, b("dst") > a("src") && (b("dst") - a("src")) <= 3)
+        .select(col("src"), col("dst"),
+          (((col("src") + col("dst")) % 5) + 1).as("w"))
+    }
 
   /** Undirected neighbor graph over nations: i↔j if 0 < |i-j| <= 2. */
-  private def nationGraph(s: SparkSession, d: String): DataFrame = {
-    val a = t(s, d, "nation").select(col("n_nationkey").cast("long").as("subject"))
-    val b = t(s, d, "nation").select(col("n_nationkey").cast("long").as("object"))
-    a.join(b, a("subject") =!= b("object") &&
-        abs(a("subject") - b("object")) <= 2)
-      .select(col("subject"), col("object"))
-  }
+  private def nationGraph(s: SparkSession, d: String): DataFrame =
+    TripleStore(s, d).derived("nation_graph") {
+      val a = t(s, d, "nation").select(col("n_nationkey").cast("long").as("subject"))
+      val b = t(s, d, "nation").select(col("n_nationkey").cast("long").as("object"))
+      a.join(b, a("subject") =!= b("object") &&
+          abs(a("subject") - b("object")) <= 2)
+        .select(col("subject"), col("object"))
+    }
 
   val queries: Map[String, QFn] = Map(
 

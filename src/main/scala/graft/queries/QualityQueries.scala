@@ -70,7 +70,13 @@ object QualityQueries {
       val ws = words(col("text"))
       val base = docs(s, d).select(col("doc_id"),
         size(ws).as("n_words"),
-        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        // Σ length(w) after a single-char split is pure length
+        // arithmetic — k pieces consume k-1 separators — so the
+        // interpreted aggregate() fold (the one corpus-sized
+        // CodegenFallback path left in the repo) becomes a codegen'd
+        // expression: length(text) - (n_pieces - 1)
+        (length(col("text")).cast("long") -
+          (size(ws) - 1).cast("long")).as("sum_len"),
         stopwordHits(ws).as("stop_hits"),
         size(array_distinct(ws)).as("n_unique"))
         .withColumn("avg_word_len",

@@ -50,7 +50,8 @@ import GrpcApi._
   */
 final class GrpcEndpoint(core: HttpEndpoint,
     versionTag: String = "graft-spark",
-    audit: Option[AuditLog] = None) {
+    audit: Option[AuditLog] = None,
+    tls: Option[Tls.Config] = None) {
 
   @volatile private var group: MultiThreadIoEventLoopGroup = _
   @volatile private var channel: Channel = _
@@ -60,7 +61,11 @@ final class GrpcEndpoint(core: HttpEndpoint,
     val b = new ServerBootstrap()
     b.group(group).channel(classOf[NioServerSocketChannel])
       .childHandler(new ChannelInitializer[SocketChannel] {
+        // TLS + ALPN h2 when configured (reference tls_helper; grpc
+        // clients negotiate http/2 via ALPN over TLS), h2c otherwise
+        private val sslCtx = tls.map(Tls.nettyServerContext)
         override def initChannel(ch: SocketChannel): Unit = {
+          sslCtx.foreach(c => ch.pipeline().addLast(c.newHandler(ch.alloc())))
           ch.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
           ch.pipeline().addLast(new GrpcHandler)
         }
@@ -126,6 +131,7 @@ final class GrpcEndpoint(core: HttpEndpoint,
     private def respond(ctx: ChannelHandlerContext, stream: Http2FrameStream,
         st: StreamState): Unit = {
       streams.remove(stream)
+      val t0 = System.nanoTime()
       val (status, message, payload) =
         try {
           val req = deframe(st.body.toByteArray, st.encoding)
@@ -143,6 +149,10 @@ final class GrpcEndpoint(core: HttpEndpoint,
           case e: Throwable => // UNKNOWN, reference surfaces the message
             (2, Option(e.getMessage).getOrElse(e.getClass.getSimpleName), null)
         }
+      core.metrics.inc("graft_grpc_requests_total",
+        "method" -> st.path, "status" -> status.toString)
+      core.metrics.addNanos("graft_request_seconds_total",
+        System.nanoTime() - t0, "path" -> st.path)
       if (status == 0) {
         val headers = new DefaultHttp2Headers()
         headers.status("200")

@@ -58,9 +58,25 @@ final class HttpEndpoint(
     gqlSchema0: GqlSchema = SdlParser.tpch,
     acl: Option[Acl] = None,
     facetKeys: Map[String, Seq[(String, String)]] = Map.empty,
-    audit: Option[AuditLog] = None) {
+    audit: Option[AuditLog] = None,
+    tls: Option[Tls.Config] = None) {
 
   private val M = new ObjectMapper()
+
+  /** Scrapeable metrics shared by every front of this server (the gRPC
+    * endpoint records into the same registry). Served at
+    * `/debug/prometheus_metrics` like the reference alpha.
+    */
+  val metrics: Metrics = new Metrics()
+  metrics.describe("graft_http_requests_total",
+    "HTTP requests by path and outcome")
+  metrics.describe("graft_request_seconds_total",
+    "Cumulative handler wall time by path")
+  metrics.describe("graft_grpc_requests_total",
+    "gRPC calls by method and grpc-status")
+  metrics.describe("graft_txns_total", "Transactions by outcome")
+  metrics.describe("graft_open_txns", "Currently open transactions")
+
   @volatile private var schema = schema0
   @volatile private var triples = triples0.localCheckpoint()
   @volatile private var gqlSchema = gqlSchema0
@@ -83,6 +99,7 @@ final class HttpEndpoint(
   private case class OpenTxn(owner: Option[String], touchedMs: Long,
       batches: Vector[(Seq[(String, String)], Seq[(String, String)])])
   private val txns = scala.collection.concurrent.TrieMap.empty[Long, OpenTxn]
+  metrics.gauge("graft_open_txns", () => txns.size.toLong)
   // var so specs can force immediate expiry; production default 10 min
   private[graft] var txnMaxIdleMs: Long =
     sys.env.getOrElse("GRAFT_TXN_IDLE_MS", "600000").toLong
@@ -129,20 +146,47 @@ final class HttpEndpoint(
         "allowed after exiting the mode  by sending a GraphQL " +
         "draining(enable: false) mutation to /admin")
 
-  private def store: GraphStore =
-    new TripleFrameStore(spark, schema, triples, facetKeys,
+  // ---- multi-tenancy (reference graphql/admin/namespace.go): each
+  // namespace serves its OWN triples frame; namespace 0 (the default)
+  // lives in `triples`, tenants in this map. The predicate schema is
+  // shared across tenants (documented simplification — the reference
+  // keys schema per namespace; one registry covers the engine's
+  // single-schema serving model).
+  private val tenants =
+    scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
+  private val nsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Namespace of the request: the token's verified `namespace` claim
+    * (0 with ACL off or for tokenless internal callers).
+    */
+  private[server] def nsOf(tok: Option[String]): Long =
+    (for { a <- acl; t <- tok } yield
+      try a.claims(t).getOrElse("namespace", "0").toLong
+      catch { case _: Throwable => 0L }).getOrElse(0L)
+
+  private def triplesNs(ns: Long): DataFrame =
+    if (ns == 0L) triples
+    else tenants.getOrElse(ns, throw new IllegalArgumentException(
+      s"namespace $ns does not exist"))
+  private def setTriplesNs(ns: Long, df: DataFrame): Unit =
+    if (ns == 0L) triples = df else { tenants.put(ns, df); () }
+
+  private def store: GraphStore = storeNs(0L)
+  private def storeNs(ns: Long): GraphStore =
+    new TripleFrameStore(spark, schema, triplesNs(ns), facetKeys,
       materialize = false)
 
   /** Store view for the request's access token: ACL off → full store;
-    * ACL on → unauthorized predicates resolve empty (worker/acl.go).
-    * Transport-independent — the gRPC front door shares it.
+    * ACL on → the token's NAMESPACE frame with unauthorized predicates
+    * resolving empty (worker/acl.go). Transport-independent — the gRPC
+    * front door shares it.
     */
   private[server] def storeForToken(tok: Option[String]): GraphStore =
     acl match {
       case None => store
       case Some(a) =>
         tok match {
-          case Some(t) => a.storeFor(store, t)
+          case Some(t) => a.storeFor(storeNs(nsOf(tok)), t)
           case None => throw Acl.AclException("no accessJwt available")
         }
     }
@@ -169,6 +213,17 @@ final class HttpEndpoint(
   private def requireGuardian(ex: HttpExchange, op: String): Unit =
     requireGuardianToken(accessToken(ex), op)
 
+  /** Namespace administration requires a guardian OF THE GALAXY — a
+    * guardian of the default namespace 0 (reference edgraph/server.go
+    * "Only guardian of galaxy is allowed to do this operation").
+    */
+  private def requireGalaxyGuardian(ex: HttpExchange, op: String): Unit = {
+    requireGuardian(ex, op)
+    if (nsOf(accessToken(ex)) != 0L) throw Acl.AclException(
+      s"unauthorized to $op. Only guardian of galaxy is allowed to do " +
+        "this operation.")
+  }
+
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
       .filter(_.contains("=")).map { kv =>
@@ -178,9 +233,39 @@ final class HttpEndpoint(
       }.toMap
 
   def start(port: Int = 0): Int = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    // TLS termination at the front door (reference x/tls_helper.go:44):
+    // same route table, HTTPS transport; client-cert verification when
+    // a CA is configured (REQUIREANDVERIFY)
+    server = tls match {
+      case Some(cfg) =>
+        val https = com.sun.net.httpserver.HttpsServer
+          .create(new InetSocketAddress(port), 0)
+        val ctx = Tls.sslContext(cfg)
+        https.setHttpsConfigurator(
+          new com.sun.net.httpserver.HttpsConfigurator(ctx) {
+            override def configure(
+                p: com.sun.net.httpserver.HttpsParameters): Unit = {
+              val ssl = ctx.getDefaultSSLParameters
+              ssl.setNeedClientAuth(cfg.needClientAuth)
+              p.setSSLParameters(ssl)
+            }
+          })
+        https
+      case None => HttpServer.create(new InetSocketAddress(port), 0)
+    }
     server.createContext("/health", handler { _ =>
       """[{"status":"healthy","instance":"alpha"}]"""
+    })
+    // Prometheus text exposition (reference x/metrics.go:467; the alpha
+    // serves it at this path). Plain text, not the JSON envelope; open
+    // like /health — series names and label values carry no user data.
+    server.createContext("/debug/prometheus_metrics", { ex =>
+      val bytes = metrics.render.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
     })
     // GET /state (reference run.go:354 stateHandler → pb.MembershipState
     // JSON): the single-alpha engine reports one group whose tablets are
@@ -400,18 +485,70 @@ final class HttpEndpoint(
               M.writeValueAsString(f.getName)},"encrypted":false}"""
           }
         s"""{"data":{"listBackups":[${entries.mkString(",")}]}}"""
+      } else if (opName == "addNamespace") {
+        // reference graphql/admin/namespace.go:29 resolveAddNamespace:
+        // guardian-of-the-galaxy only; creates the tenant and a groot
+        // user (with the given password) inside it
+        requireGalaxyGuardian(ex, "addNamespace")
+        val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))
+        val pw = adminStrArg(q, "password").getOrElse("password")
+        val ns = nsSeq.incrementAndGet()
+        tenants.put(ns, triples.limit(0).localCheckpoint())
+        a.addUser(Acl.User("groot", Acl.hashPassword("groot", pw),
+          Set(Acl.Guardians), namespace = ns))
+        s"""{"data":{"addNamespace":{"namespaceId":$ns,""" +
+          s""""message":"Created namespace successfully"}}}"""
+      } else if (opName == "deleteNamespace") {
+        // namespace.go:52 resolveDeleteNamespace: drops the tenant's
+        // data and its users wholesale; the default ns is undeletable
+        requireGalaxyGuardian(ex, "deleteNamespace")
+        val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))
+        val ns = """namespaceId\s*:\s*(\d+)""".r.findFirstMatchIn(q)
+          .map(_.group(1).toLong).getOrElse(throw new IllegalArgumentException(
+            "deleteNamespace needs input: { namespaceId: ... }"))
+        if (ns == 0L) throw new IllegalArgumentException(
+          "Cannot delete default namespace")
+        if (tenants.remove(ns).isEmpty) throw new IllegalArgumentException(
+          s"namespace $ns does not exist")
+        a.dropNamespaceUsers(ns)
+        s"""{"data":{"deleteNamespace":{"namespaceId":$ns,""" +
+          s""""message":"Deleted namespace successfully"}}}"""
+      } else if (opName == "resetPassword") {
+        // reference graphql/admin/reset_password.go:20: guardian sets a
+        // user's password in a namespace directly (no old password)
+        requireGuardian(ex, "resetPassword")
+        val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))
+        val uid = adminStrArg(q, "userId").getOrElse(
+          throw new IllegalArgumentException("resetPassword needs userId"))
+        val pw = adminStrArg(q, "password").getOrElse(
+          throw new IllegalArgumentException("resetPassword needs password"))
+        val ns = """namespace\s*:\s*(\d+)""".r.findFirstMatchIn(q)
+          .map(_.group(1).toLong).getOrElse(0L)
+        // a tenant guardian may only reset inside its own namespace;
+        // the galaxy guardian reaches every tenant (reference access
+        // control on the /admin resolver)
+        val callerNs = nsOf(accessToken(ex))
+        if (callerNs != 0L && callerNs != ns) throw Acl.AclException(
+          "unauthorized to resetPassword in another namespace")
+        a.updateUser(uid, Some(Acl.hashPassword(uid, pw)),
+          Set.empty, Set.empty, ns)
+        s"""{"data":{"resetPassword":{"userId":${M.writeValueAsString(uid)},""" +
+          s""""message":"Reset password is successful"}}}"""
       } else if (HttpEndpoint.aclAdminOps.contains(opName)) {
         requireGuardian(ex, opName)
         aclAdmin(opName, q,
           acl.getOrElse(throw Acl.AclException("ACL is not enabled")))
       } else throw new IllegalArgumentException(
         "unsupported admin operation (getGQLSchema / updateGQLSchema / " +
-          "health / export / backup / restore / draining / ACL CRUD)")
+          "health / export / backup / restore / draining / namespaces / " +
+          "resetPassword / ACL CRUD)")
     })
     server.createContext("/login", handler { ex =>
       val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))
       val n = M.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-      val jwt = a.login(n.get("userid").asText, n.get("password").asText)
+      // optional tenant login (reference api.LoginRequest.namespace)
+      val ns = Option(n.get("namespace")).map(_.asLong(0L)).getOrElse(0L)
+      val jwt = a.login(n.get("userid").asText, n.get("password").asText, ns)
       s"""{"data":{"accessJWT":${M.writeValueAsString(jwt)}}}"""
     })
     server.setExecutor(null) // serial executor: one request at a time
@@ -499,7 +636,7 @@ final class HttpEndpoint(
         }
       }.getOrElse(Vector.empty)
       writeLock.synchronized {
-        applyMutations(queued :+ ((sets, dels)))
+        applyMutations(queued :+ ((sets, dels)), nsOf(tok))
       }
       None
     }
@@ -515,7 +652,8 @@ final class HttpEndpoint(
     if (abort) {
       txns.get(ts).foreach { t =>
         requireTxnOwner(ts, t, tok)
-        txns.remove(ts, t); ()
+        if (txns.remove(ts, t))
+          metrics.inc("graft_txns_total", "outcome" -> "aborted")
       }
     } else {
       val t = txns.getOrElse(ts,
@@ -527,7 +665,8 @@ final class HttpEndpoint(
       if (!txns.remove(ts, t))
         throw new HttpEndpoint.TxnRetryException(
           s"Transaction $ts has been aborted. Please retry")
-      writeLock.synchronized { applyMutations(t.batches) }
+      writeLock.synchronized { applyMutations(t.batches, nsOf(tok)) }
+      metrics.inc("graft_txns_total", "outcome" -> "committed")
     }
   }
 
@@ -809,9 +948,11 @@ final class HttpEndpoint(
       doc.append("  }\n")
     }
     doc.append("}")
+    val ns = nsOf(tok)
     writeLock.synchronized {
-      triples = graft.operators.Upsert.execute(store, doc.toString, triples)
-        .localCheckpoint()
+      setTriplesNs(ns, graft.operators.Upsert
+        .execute(storeNs(ns), doc.toString, triplesNs(ns))
+        .localCheckpoint())
     }
   }
 
@@ -1109,9 +1250,10 @@ final class HttpEndpoint(
     * deletion.
     */
   private def applyMutations(
-      batches: Seq[(Seq[(String, String)], Seq[(String, String)])]): Unit = {
+      batches: Seq[(Seq[(String, String)], Seq[(String, String)])],
+      ns: Long = 0L): Unit = {
     import spark.implicits._
-    var next = triples
+    var next = triplesNs(ns)
     batches.foreach { case (sets, dels) =>
       if (sets.nonEmpty) {
         val (blankLines, uidLines) =
@@ -1154,7 +1296,7 @@ final class HttpEndpoint(
           rows.toDF("subject", "predicate", "objectUid", "value"))
       }
     }
-    triples = next.localCheckpoint()
+    setTriplesNs(ns, next.localCheckpoint())
   }
 
   /** Group (block, json) rows into the `{"data": {...}}` envelope. */
@@ -1216,13 +1358,20 @@ final class HttpEndpoint(
   /** Wrap a handler with the reference's error envelope. */
   private def handler(f: HttpExchange => String)
       : com.sun.net.httpserver.HttpHandler = { ex =>
-    val (code, body) =
-      try { auditRequest(ex); (200, f(ex)) }
+    val t0 = System.nanoTime()
+    val (code, body, outcome) =
+      try { auditRequest(ex); (200, f(ex), "ok") }
       catch {
         case e: Exception =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-          (200, s"""{"errors":[{"message":${M.writeValueAsString(msg)}}]}""")
+          (200, s"""{"errors":[{"message":${M.writeValueAsString(msg)}}]}""",
+            "error")
       }
+    val path = ex.getRequestURI.getPath
+    metrics.inc("graft_http_requests_total",
+      "path" -> path, "status" -> outcome)
+    metrics.addNanos("graft_request_seconds_total",
+      System.nanoTime() - t0, "path" -> path)
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)

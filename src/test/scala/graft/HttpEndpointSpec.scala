@@ -863,4 +863,118 @@ class HttpEndpointSpec extends AnyFunSuite {
         .contains("errors"))
     } finally ep.stop()
   }
+
+  test("/debug/prometheus_metrics: exposition parses and counters move") {
+    val ep = endpoint()
+    val port = ep.start()
+    try {
+      def scrape(): String = call(port, "/debug/prometheus_metrics",
+        method = "GET")
+      call(port, "/query", contentType = "application/dql",
+        body = "{ q(func: has(hname)) { hname } }")
+      call(port, "/query", contentType = "application/dql",
+        body = "{ broken(") // parse error → error-outcome counter
+      val text = scrape()
+      // exposition format: every non-comment line is `series value`
+      val lineRe =
+        """^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})? -?\d+(\.\d+)?(E-?\d+)?$""".r
+      text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+        .foreach(l => assert(lineRe.matches(l), s"bad exposition line: $l"))
+      assert(text.contains("# TYPE graft_http_requests_total counter"), text)
+      assert(text.contains("# TYPE graft_open_txns gauge"), text)
+      def count(status: String): Double =
+        (s"""graft_http_requests_total\\{path="/query",status="$status"\\} (\\d+)""").r
+          .findFirstMatchIn(text).map(_.group(1).toDouble).getOrElse(0.0)
+      assert(count("ok") >= 1.0, text)
+      assert(count("error") >= 1.0, text)
+      assert(("""graft_request_seconds_total\{path="/query"\} ([\d.E-]+)""").r
+        .findFirstMatchIn(text).exists(_.group(1).toDouble > 0.0), text)
+      // counters are monotone across scrapes
+      call(port, "/query", contentType = "application/dql",
+        body = "{ q(func: has(hname)) { hname } }")
+      val text2 = scrape()
+      def countIn(t: String): Double =
+        ("""graft_http_requests_total\{path="/query",status="ok"\} (\d+)""").r
+          .findFirstMatchIn(t).map(_.group(1).toDouble).getOrElse(0.0)
+      assert(countIn(text2) > countIn(text), s"${countIn(text)} -> ${countIn(text2)}")
+    } finally ep.stop()
+  }
+
+  test("namespace lifecycle: add, load, isolated query, resetPassword, delete") {
+    val (preds, types) = SchemaRegistry.parseAlter("hname: string @index(exact) .")
+    val acl = new Acl(
+      users = Map("groot" -> Acl.User("groot",
+        Acl.hashPassword("groot", "password"), Set(Acl.Guardians))),
+      groups = Map.empty, secret = "galaxy-secret")
+    val ep = new HttpEndpoint(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq("""<0x1> <hname> "galaxy-ann" .""").toDF("line")),
+      acl = Some(acl))
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def login(body: String): String =
+        m.readTree(call(port, "/login", body = body))
+          .get("data").get("accessJWT").asText
+      val galaxy = login("""{"userid":"groot","password":"password"}""")
+      def admin(q: String, tok: String): com.fasterxml.jackson.databind.JsonNode =
+        m.readTree(call(port, "/admin", token = Some(tok),
+          body = m.writeValueAsString(java.util.Map.of("query", q))))
+      // ---- add (graphql/admin/namespace.go:29) ----
+      val add = admin(
+        """mutation { addNamespace(input: {password: "tenant-pw"})
+          | { namespaceId message } }""".stripMargin, galaxy)
+      val ns = add.at("/data/addNamespace/namespaceId").asLong
+      assert(ns > 0L, add.toString)
+      // the tenant's groot logs into ITS namespace
+      val tenant = login(
+        s"""{"userid":"groot","password":"tenant-pw","namespace":$ns}""")
+      // ---- load into it; galaxy data is invisible, tenant data is ----
+      call(port, "/mutate", contentType = "application/rdf",
+        token = Some(tenant),
+        body = """{ set { <0x9> <hname> "tenant-bob" . } }""")
+      val tq = call(port, "/query", contentType = "application/dql",
+        token = Some(tenant), body = "{ q(func: has(hname)) { hname } }")
+      assert(tq.contains("tenant-bob") && !tq.contains("galaxy-ann"), tq)
+      val gq = call(port, "/query", contentType = "application/dql",
+        token = Some(galaxy), body = "{ q(func: has(hname)) { hname } }")
+      assert(gq.contains("galaxy-ann") && !gq.contains("tenant-bob"), gq)
+      // a tenant guardian may NOT administer the galaxy
+      assert(admin("""mutation { addNamespace(input: {password: "x"})
+        | { namespaceId } }""".stripMargin, tenant).toString
+        .contains("guardian of galaxy"))
+      // ---- resetPassword (graphql/admin/reset_password.go:20) ----
+      val rp = admin(
+        s"""mutation { resetPassword(input:
+           | {userId: "groot", password: "rotated", namespace: $ns})
+           | { userId message } }""".stripMargin, galaxy)
+      assert(rp.at("/data/resetPassword/message").asText
+        .contains("successful"), rp.toString)
+      assert(call(port, "/login", body =
+        s"""{"userid":"groot","password":"tenant-pw","namespace":$ns}""")
+        .contains("invalid user or password"))
+      val tenant2 = login(
+        s"""{"userid":"groot","password":"rotated","namespace":$ns}""")
+      // ---- delete; the tenant is gone, the galaxy untouched ----
+      val del = admin(
+        s"""mutation { deleteNamespace(input: {namespaceId: $ns})
+           | { namespaceId message } }""".stripMargin, galaxy)
+      assert(del.at("/data/deleteNamespace/message").asText
+        .contains("Deleted"), del.toString)
+      assert(call(port, "/query", contentType = "application/dql",
+        token = Some(tenant2), body = "{ q(func: has(hname)) { hname } }")
+        .contains("does not exist"))
+      assert(call(port, "/login", body =
+        s"""{"userid":"groot","password":"rotated","namespace":$ns}""")
+        .contains("invalid user or password"))
+      assert(call(port, "/query", contentType = "application/dql",
+        token = Some(galaxy), body = "{ q(func: has(hname)) { hname } }")
+        .contains("galaxy-ann"))
+      // default namespace is undeletable
+      assert(admin("""mutation { deleteNamespace(input: {namespaceId: 0})
+        | { namespaceId } }""".stripMargin, galaxy).toString
+        .contains("Cannot delete default namespace"))
+    } finally ep.stop()
+  }
 }
