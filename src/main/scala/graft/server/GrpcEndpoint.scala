@@ -292,7 +292,7 @@ final class GrpcEndpoint(core: HttpEndpoint,
           case Some(_) => l.refreshToken
           case None => throw Acl.AclException("invalid refresh token")
         }
-      else acl.login(l.userid, l.password)
+      else acl.login(l.userid, l.password, l.namespace)
     encodeResponse(PResponse(json = encodeJwt(jwt, jwt))).result
   }
 

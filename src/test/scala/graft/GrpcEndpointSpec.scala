@@ -426,6 +426,23 @@ class GrpcEndpointSpec extends AnyFunSuite {
         encodeLoginRequest(PLoginRequest(refreshToken = refresh)).result)
       assert(sR == 0)
 
+      // namespace rides api.LoginRequest field 4 (tenant login): a user
+      // registered in ns 7 logs in only WITH the namespace, and the
+      // issued JWT carries the tenant's namespace claim
+      aclOpt.get.addUser(core.Acl.User("t-groot",
+        core.Acl.hashPassword("t-groot", "tpw"),
+        Set(core.Acl.Guardians), namespace = 7L))
+      val (sT, _, rT) = cli.call("/api.Dgraph/Login",
+        encodeLoginRequest(PLoginRequest(
+          userid = "t-groot", password = "tpw", namespace = 7L)).result)
+      assert(sT == 0)
+      val (tJwt, _) = decodeJwt(decodeResponse(rT).json)
+      assert(aclOpt.get.claims(tJwt).get("namespace").contains("7"))
+      val (sT0, _, _) = cli.call("/api.Dgraph/Login",
+        encodeLoginRequest(PLoginRequest(
+          userid = "t-groot", password = "tpw")).result)
+      assert(sT0 != 0, "default-namespace login for a tenant user fails")
+
       // reader token: unauthorized predicate resolves empty (silent)
       val (sRd, _, rRd) = cli.call("/api.Dgraph/Login",
         encodeLoginRequest(PLoginRequest(
