@@ -79,6 +79,9 @@ object Bench {
     warm("attr tablet layout") {
       graft.core.TripleStore(spark, sfDir).attrStringStored.count()
     }
+    warm("edge tablet layout") {
+      graft.core.TripleStore(spark, sfDir).edgesStored.count()
+    }
     // the first parquet writes of a JVM JIT-compile the writer/
     // committer stack and its encode loops (measured in Probe: the
     // same full-backup write costs 5.8 s on the first call and 2.0 s

@@ -138,6 +138,31 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
       .unionByName(ofPart).unionByName(bySupplier)
   }
 
+  /** The edge union materialized once per session as a predicate-
+    * partitioned layout — the edge half of the bulk-load tablet shape
+    * (see [[attrStringStored]]). Typed `_ft_*` facet columns are plain
+    * parquet columns in the file, so facet range predicates (`quantity
+    * > 45`) push down to the stored scan exactly as they did to the
+    * source scan, and `predicate === p` prunes to one directory.
+    */
+  lazy val edgesStored: DataFrame = {
+    val dir = new java.io.File(
+      s"target/graft-derived/edges_${new java.io.File(sfDir).getName}" +
+        s"_${Scratch.tag(spark)}").getAbsolutePath
+    edges.write.mode("overwrite").partitionBy("predicate").parquet(dir)
+    // restore the canonical column order (the partition column reads
+    // back last) and the declared string type
+    val back = spark.read.parquet(dir)
+      .withColumn("predicate", col("predicate").cast("string"))
+    back.select(edges.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Edge tablet reads come from the stored layout: one pruned
+    * directory scan instead of a constant-folded 7-branch union.
+    */
+  override def edge(predicate: String): DataFrame =
+    edgesStored.filter(col("predicate") === predicate)
+
   // ---- typed attribute tables: subject, predicate, value [, lang] ----
 
   private def sAttr(df: DataFrame, subj: Column, pred: String, value: Column,
@@ -375,10 +400,17 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
 
   val schema: SchemaRegistry = SchemaRegistry.tpch
 
-  /** Typed attribute view for one predicate (the "tablet"). */
+  /** Typed attribute view for one predicate (the "tablet"). String
+    * tablets read the session-materialized partitioned layout — a
+    * single partition-pruned directory scan per predicate instead of a
+    * constant-folded 14-branch union (same plan property, fewer leaf
+    * scans and scheduler tasks; the typed numeric views stay
+    * source-backed so their range predicates push down as native
+    * parquet types).
+    */
   def attr(predicate: String): DataFrame = {
     val table = schema.pred(predicate).dgraphType match {
-      case "string" | "default" => attrString
+      case "string" | "default" => attrStringStored
       case "int" => attrLong
       case "float" => attrDouble
       case "datetime" => attrTs

@@ -2643,7 +2643,8 @@ final class DqlExecutor(ts: GraphStore) {
     * index. An "auto"-typed facet compares as its raw string.
     */
   private def facetFilterCond(pred: String, f: FilterNode,
-      keyCol: String => Column = k => col(s"__ft_$k")): Column = f match {
+      keyCol: String => Column = k => col(s"__ft_$k"),
+      negated: Boolean = false): Column = f match {
     case FilterLeaf(fn) =>
       val t0 = facetType(pred, fn.pred)
       // "datetime" facets compare as timestamps (the reference parses
@@ -2678,10 +2679,17 @@ final class DqlExecutor(ts: GraphStore) {
         case o =>
           throw new IllegalArgumentException(s"unsupported facet fn $o")
       }
-      coalesce(cond, lit(false))
-    case FilterAnd(cs) => cs.map(facetFilterCond(pred, _, keyCol)).reduce(_ && _)
-    case FilterOr(cs) => cs.map(facetFilterCond(pred, _, keyCol)).reduce(_ || _)
-    case FilterNot(c) => !facetFilterCond(pred, c, keyCol)
+      // the missing-facet→false coalesce is only OBSERVABLE under an
+      // enclosing NOT (a bare null leaf would make !null = null, DROPPING
+      // the edge the reference keeps). At positive polarity a WHERE
+      // treats null exactly like false, and the bare comparison stays
+      // eligible for parquet pushdown — coalesce(…) never pushes.
+      if (negated) coalesce(cond, lit(false)) else cond
+    case FilterAnd(cs) =>
+      cs.map(facetFilterCond(pred, _, keyCol, negated)).reduce(_ && _)
+    case FilterOr(cs) =>
+      cs.map(facetFilterCond(pred, _, keyCol, negated)).reduce(_ || _)
+    case FilterNot(c) => !facetFilterCond(pred, c, keyCol, !negated)
   }
 
   /** `pred @groupby(p1, p2) { count(uid) min/max/sum/avg(q | val(x)) }` —
