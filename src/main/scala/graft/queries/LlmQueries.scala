@@ -235,6 +235,29 @@ object LlmQueries {
       Dedup.clusters(minhashCands(s, d).select(col("a"), col("b")))
         .orderBy(col("id"))),
 
+    // Cluster representative selection: after near-dup clustering, a
+    // pipeline keeps ONE canonical doc per cluster (longest text, ties
+    // to the lowest id) and drops the rest. The cluster frame is
+    // candidate-pair-sized (≪ corpus); the length join touches only
+    // clustered ids, and the per-cluster window hash-partitions by
+    // cluster label — shards elect representatives in parallel.
+    "dedup_cluster_rep" -> ((s, d) => {
+      val cl = Dedup.clusters(minhashCands(s, d).select(col("a"), col("b")))
+      val lens = corpusNear(s, d)
+        .select(col("id"), length(col("text")).cast("long").as("len"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("len").desc, col("id"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+      cl.join(lens, Seq("id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(wc))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("id").as("rep_id"),
+          col("len").as("rep_len"), col("n_members"))
+        .orderBy(col("cluster"))
+    }),
+
     // ---- similarity search ----
     "embed_cosine_topk" -> ((s, d) => {
       val q = embQ(s, d)
@@ -804,6 +827,26 @@ object LlmQueries {
          |)
          |SELECT id, MIN(reach) AS cluster FROM r GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    // same closure, then elect the longest member (ties → lowest id)
+    "dedup_cluster_rep" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |e(x, y) AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+         |r(id, reach) AS (
+         | SELECT x, x FROM e
+         | UNION
+         | SELECT r.id, e.y FROM r JOIN e ON e.x = r.reach
+         |),
+         |cl AS (SELECT id, MIN(reach) AS cluster FROM r GROUP BY id),
+         |lens AS (SELECT id, CAST(length(text) AS BIGINT) AS len
+         |         FROM corpus)
+         |SELECT cluster, rep_id, rep_len, n_members FROM (
+         | SELECT cl.cluster, cl.id AS rep_id, lens.len AS rep_len,
+         |  ROW_NUMBER() OVER (PARTITION BY cl.cluster
+         |    ORDER BY lens.len DESC, cl.id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members
+         | FROM cl JOIN lens ON lens.id = cl.id)
+         |WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $minhashCtes,

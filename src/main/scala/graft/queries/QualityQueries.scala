@@ -296,6 +296,40 @@ object QualityQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("matched_terms"), sum(col("s")).as("score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // C4-style boilerplate line filter (Raffel et al. 2020 §2.2): break
+    // each document into fixed-width pseudo-lines (the corpus carries no
+    // newlines, so 8-word segments stand in for lines, derived
+    // identically by the oracle), then apply the two C4 line rules that
+    // transfer: (1) drop short lines (< 5 words), (2) drop every
+    // occurrence of a line seen earlier in the corpus — C4's "any
+    // three-sentence span occurring more than once" rule at line
+    // granularity. Reason names the FIRST failing rule. 100 TB shape:
+    // the line explode is per-row; the corpus-wide first-occurrence
+    // election is a window hash-partitioned by line hash — the classic
+    // line-dedup hash-agg, no joins between corpus-sized frames, no
+    // global sort.
+    "boilerplate_lines" -> ((s, d) => {
+      val lineW = 8
+      val ws = col("ws")
+      val lines = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), ws, explode(sequence(lit(0),
+          greatest(size(ws) - 1, lit(0)), lit(lineW))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / lineW).cast("long").as("line_idx"),
+          md5(concat_ws(" ", slice(ws, col("start") + 1, lit(lineW)))).as("h"),
+          least(lit(lineW), size(ws) - col("start")).cast("long")
+            .as("n_words"))
+      val w = Window.partitionBy(col("h"))
+        .orderBy(col("doc_id"), col("line_idx"))
+      lines.withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("line_idx"), col("h"), col("n_words"),
+          (col("n_words") >= 5 && col("rn") === 1).as("keep"),
+          when(col("n_words") < 5, "short")
+            .when(col("rn") > 1, "dup_line").as("reason"))
+        .orderBy(col("doc_id"), col("line_idx"))
     })
   )
 
@@ -440,6 +474,24 @@ object QualityQueries {
         |JOIN df USING (w)
         |JOIN dl ON dl.doc_id = tf.doc_id
         |CROSS JOIN stats
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    "boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |l AS (SELECT doc_id, ws,
+        |       unnest(range(0, greatest(len(ws), 1), 8)) AS start FROM d),
+        |ln AS (SELECT doc_id, CAST(start/8 AS BIGINT) AS line_idx,
+        |        md5(array_to_string(
+        |          list_slice(ws, start+1, least(start+8, len(ws))), ' ')) AS h,
+        |        CAST(least(8, len(ws) - start) AS BIGINT) AS n_words
+        |       FROM l),
+        |r AS (SELECT doc_id, line_idx, h, n_words,
+        |       ROW_NUMBER() OVER (PARTITION BY h
+        |         ORDER BY doc_id, line_idx) AS rn FROM ln)
+        |SELECT doc_id, line_idx, h, n_words,
+        | (n_words >= 5 AND rn = 1) AS keep,
+        | CASE WHEN n_words < 5 THEN 'short'
+        |      WHEN rn > 1 THEN 'dup_line' END AS reason
+        |FROM r ORDER BY doc_id, line_idx""".stripMargin
   )
 }

@@ -275,4 +275,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(order1.sorted == Seq(0L, 1L, 2L, 3L, 4L), "must be a permutation")
     assert(order1 != Seq(0L, 1L, 2L, 3L, 4L), "must not be identity order")
   }
+
+  test("boilerplate_lines: short lines and corpus-duplicate lines drop, first occurrence survives") {
+    // doc 0: two full 8-word lines; doc 1 repeats doc 0's FIRST line
+    // verbatim then continues with fresh words; doc 2 is a 3-word stub
+    val l0 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val l1 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val l2 = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$l0 $l1"),
+      (1L, s"$l0 $l2"),
+      (2L, "x y z"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bp").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.QualityQueries.queries("boilerplate_lines")(spark, dir)
+      .select("doc_id", "line_idx", "n_words", "keep", "reason")
+      .as[(Long, Long, Long, Boolean, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 8L, true, None),             // first occurrence of l0
+      (0L, 1L, 8L, true, None),
+      (1L, 0L, 8L, false, Some("dup_line")), // l0 again -> dropped
+      (1L, 1L, 8L, true, None),
+      (2L, 0L, 3L, false, Some("short"))))
+  }
+
+  test("dedup_cluster_rep: longest member represents its near-dup cluster") {
+    // a 20-word doc and its derived truncated variant (id + 1e6) form
+    // one LSH cluster; the 4-word doc produces no variant and no pairs
+    val docs = Seq(
+      (0L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (1L, "p q r s"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmQueries.queries("dedup_cluster_rep")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster label 0 (min id), rep = base doc (variant is 3 words
+    // shorter), 2 members, rep_len = chars of the 20-word text
+    val repLen = (1 to 20).map(i => s"w$i").mkString(" ").length.toLong
+    assert(out == Seq((0L, 0L, repLen, 2L)))
+  }
 }
