@@ -330,6 +330,64 @@ object QualityQueries {
           when(col("n_words") < 5, "short")
             .when(col("rn") > 1, "dup_line").as("reason"))
         .orderBy(col("doc_id"), col("line_idx"))
+    }),
+
+    // Exact-substring duplication signal (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better"): per
+    // doc, what fraction of its 5-gram vocabulary also occurs in OTHER
+    // docs — the coverage statistic ExactSubstr thresholds on (their
+    // suffix-array finds the spans; the shingle inverted index computes
+    // the same per-doc coverage distributively). 100 TB shape: explode →
+    // (doc, shingle) distinct hash-agg → shingle-keyed df hash-agg →
+    // one join keyed by shingle hash (the inverted-index exchange, with
+    // map-side partial aggs) → doc-keyed final agg. No all-pairs
+    // anything: cost is O(corpus shingles), the same as building the
+    // index.
+    "dedup_substring_spans" -> ((s, d) => {
+      val dsh = docs(s, d)
+        .select(col("doc_id"),
+          explode(shingles(words(col("text")), 5)).as("sh"))
+        .distinct()
+      val dfS = dsh.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+      dsh.join(dfS, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_shingles").cast("double"))
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary encoding: map each token to its id in a frequency-
+    // ranked vocab (top 20 by corpus tf, ties lexicographic; everything
+    // else → UNK id 0) — the tokenize-to-ids step between curation and
+    // the trainer. The vocab is aggregate-then-rank (|vocab| ≪ corpus)
+    // and BROADCAST into the encode join, so the corpus streams once
+    // with no shuffle on the data side; per-doc id assembly is a
+    // doc-keyed hash-agg over (pos, id) pairs.
+    "tokenize_ids" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .toDF("doc_id", "pos", "w")
+      val vocab = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("w").asc).limit(20).coalesce(1)
+        .withColumn("id", row_number().over(
+          Window.partitionBy(spark_partition_id())
+            .orderBy(col("tf").desc, col("w").asc)).cast("long"))
+        .select(col("w"), col("id"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("id"), lit(0L)).as("id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"),
+          concat_ws(" ", slice(transform(
+            array_sort(collect_list(struct(col("pos"), col("id")))),
+            p => p.getField("id")), 1, 16)).as("head_ids"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -492,6 +550,35 @@ object QualityQueries {
         | (n_words >= 5 AND rn = 1) AS keep,
         | CASE WHEN n_words < 5 THEN 'short'
         |      WHEN rn > 1 THEN 'dup_line' END AS reason
-        |FROM r ORDER BY doc_id, line_idx""".stripMargin
+        |FROM r ORDER BY doc_id, line_idx""".stripMargin,
+
+    "dedup_substring_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+        |       FROM d, UNNEST(range(1, len(ws)-3)) AS t(i)),
+        |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |df AS (SELECT sh, COUNT(*) AS df FROM dsh GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        | CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |   CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        |FROM dsh JOIN df USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tokenize_ids" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, i AS pos, ws[i+1] AS w
+        |      FROM d, UNNEST(range(0, len(ws))) AS t(i)),
+        |v AS (SELECT w, CAST(ROW_NUMBER() OVER
+        |        (ORDER BY COUNT(*) DESC, w ASC) AS BIGINT) AS id
+        |      FROM w GROUP BY w
+        |      QUALIFY id <= 20),
+        |t AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+        |      FROM w LEFT JOIN v USING (w))
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        | CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        | array_to_string(list_slice(list(id ORDER BY pos), 1, 16), ' ')
+        |   AS head_ids
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -316,4 +316,47 @@ class OperatorSpec extends AnyFunSuite {
     val repLen = (1 to 20).map(i => s"w$i").mkString(" ").length.toLong
     assert(out == Seq((0L, 0L, repLen, 2L)))
   }
+
+  test("dedup_substring_spans: cross-doc 5-gram coverage, within-doc repeats don't count") {
+    val span = "s1 s2 s3 s4 s5" // shared verbatim between docs 0 and 1
+    val docs = Seq(
+      (0L, s"$span a6 a7 a8"),
+      (1L, s"b1 b2 $span"),
+      // doc 2 repeats ITS OWN 5-gram twice: df stays 1, not a dup
+      (2L, "c1 c2 c3 c4 c5 c1 c2 c3 c4 c5"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.QualityQueries
+      .queries("dedup_substring_spans")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 0: 4 distinct 5-grams, only the leading one is shared
+    assert(out(0L) == (4L, 1L))
+    assert(out(1L) == (3L, 1L))
+    // doc 2: 6 positions but distinct set; none occur in other docs
+    assert(out(2L)._2 == 0L)
+  }
+
+  test("tokenize_ids: frequency-ranked vocab ids, OOV -> 0, order-preserving head") {
+    // "z" dominates, "m" second, singletons beyond rank 20 don't exist
+    // here so every word is in-vocab except none — force OOV by rank:
+    // 21+ distinct singleton words push the last ones out of the vocab
+    val filler = (1 to 22).map(i => s"f${"%02d".format(i)}").mkString(" ")
+    val docs = Seq(
+      (0L, "z z z m m q"),
+      (1L, filler))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.QualityQueries.queries("tokenize_ids")(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // vocab: z(id 1), m(id 2), then 18 of {f01..f22, q} lexicographic →
+    // f01..f18 get ids 3..20; f19..f22 and q are OOV (0)
+    assert(out(0L) == (6L, 1L, "1 1 1 2 2 0"))
+    val ids1 = out(1L)._3.split(" ").map(_.toLong).toSeq
+    assert(out(1L)._1 == 22L && out(1L)._2 == 4L)
+    assert(ids1 == (3L to 18L))   // first 16 fillers, in document order
+  }
 }
