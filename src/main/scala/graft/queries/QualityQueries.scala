@@ -344,16 +344,24 @@ object QualityQueries {
     // anything: cost is O(corpus shingles), the same as building the
     // index.
     "dedup_substring_spans" -> ((s, d) => {
-      val dsh = docs(s, d)
+      // Single pass, no corpus-sized join: build the shingle posting
+      // set (distinct docs per 5-gram — collect_set dedups within-doc
+      // repeats map-side, so group size = df, bounded by how many docs
+      // share a 5-gram; 5-grams have no stopword-like universal
+      // members, so no skew key), then re-explode it carrying the df
+      // flag back to each member doc. TWO hash-partitioned exchanges
+      // total — sh posting agg, doc final agg — vs the naive dsh⋈df
+      // plan's distinct + corpus-sized string-keyed join.
+      docs(s, d)
         .select(col("doc_id"),
           explode(shingles(words(col("text")), 5)).as("sh"))
-        .distinct()
-      val dfS = dsh.groupBy(col("sh"))
-        .agg(count(lit(1)).as("df"))
-      dsh.join(dfS, Seq("sh"))
+        .groupBy(col("sh"))
+        .agg(collect_set(col("doc_id")).as("ds"))
+        .select((size(col("ds")) >= 2).as("dup"),
+          explode(col("ds")).as("doc_id"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_shingles"), col("n_dup"),
           (col("n_dup").cast("double") / col("n_shingles").cast("double"))
             .as("dup_frac"))
