@@ -337,34 +337,32 @@ object QualityQueries {
     // doc, what fraction of its 5-gram vocabulary also occurs in OTHER
     // docs — the coverage statistic ExactSubstr thresholds on (their
     // suffix-array finds the spans; the shingle inverted index computes
-    // the same per-doc coverage distributively). 100 TB shape: explode →
-    // (doc, shingle) distinct hash-agg → shingle-keyed df hash-agg →
-    // one join keyed by shingle hash (the inverted-index exchange, with
-    // map-side partial aggs) → doc-keyed final agg. No all-pairs
-    // anything: cost is O(corpus shingles), the same as building the
-    // index.
+    // the same per-doc coverage distributively). 100 TB shape: the
+    // whole plan stays in whole-stage codegen (a collect_set posting
+    // build here is ObjectHashAggregate, which sort-spills past 128
+    // keys — measured 8× slower): within-doc dedup is per-row
+    // array_distinct (no shuffle), df is a codegen'd count keyed by
+    // shingle, and the dup flags come back via a semi-join against
+    // the (small) df>=2 shingle set — AQE broadcasts it when it fits,
+    // falls back to the hash-partitioned semi-join at corpus scale.
+    // No corpus-sized frame ever joins a corpus-sized frame; cost is
+    // O(corpus shingles), the same as building the inverted index.
     "dedup_substring_spans" -> ((s, d) => {
-      // Single pass, no corpus-sized join: build the shingle posting
-      // set (distinct docs per 5-gram — collect_set dedups within-doc
-      // repeats map-side, so group size = df, bounded by how many docs
-      // share a 5-gram; 5-grams have no stopword-like universal
-      // members, so no skew key), then re-explode it carrying the df
-      // flag back to each member doc. TWO hash-partitioned exchanges
-      // total — sh posting agg, doc final agg — vs the naive dsh⋈df
-      // plan's distinct + corpus-sized string-keyed join.
+      val shs = array_distinct(shingles(words(col("text")), 5))
+      val dsh = docs(s, d)
+        .select(col("doc_id"), explode(shs).as("sh"))
+      val dup = dsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("sh"))
+      val nDup = dsh.join(dup, Seq("sh"), "leftsemi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       docs(s, d)
-        .select(col("doc_id"),
-          explode(shingles(words(col("text")), 5)).as("sh"))
-        .groupBy(col("sh"))
-        .agg(collect_set(col("doc_id")).as("ds"))
-        .select((size(col("ds")) >= 2).as("dup"),
-          explode(col("ds")).as("doc_id"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
-        .select(col("doc_id"), col("n_shingles"), col("n_dup"),
-          (col("n_dup").cast("double") / col("n_shingles").cast("double"))
-            .as("dup_frac"))
+        .select(col("doc_id"), size(shs).cast("long").as("n_shingles"))
+        .filter(col("n_shingles") >= 1)
+        .join(nDup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("dup_frac"))
         .orderBy(col("doc_id"))
     }),
 
