@@ -94,6 +94,20 @@ object Dedup {
       bands: Int = 4, rows: Int = 2, shingleN: Int = 3): DataFrame =
     candidatesFromSets(shingleSets(df, id, text, shingleN), bands, rows)
 
+  /** LSH bucket rows (id, band, key) from a pre-built [[shingleSets]]
+    * frame — the banding layer shared by the batch candidate join and
+    * the streaming band-state dedup.
+    */
+  def bucketsFromSets(sets: DataFrame,
+      bands: Int = 4, rows: Int = 2): DataFrame = {
+    val sigs = signaturesFromSets(sets, bands * rows)
+    val bandKeys = (0 until bands).map { b =>
+      bandKey((0 until rows).map(r => col(s"s${b * rows + r}")))
+    }
+    sigs.select(col("id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+  }
+
   /** LSH candidate pairs from a pre-built [[shingleSets]] frame. */
   def candidatesFromSets(sets: DataFrame,
       bands: Int = 4, rows: Int = 2): DataFrame = {

@@ -102,6 +102,17 @@ object LlmQueries {
     candCache.getOrElseUpdate((s, d),
       Dedup.candidatesFromSets(nearSetsMat(s, d))
         .localCheckpoint())
+  // The CC labeling over the candidate pairs is the same build-once
+  // session state as the candidate index itself (an engine maintains
+  // its dedup clusters, it doesn't re-run Pregel per query): shared by
+  // dedup_clusters and dedup_cluster_rep, each GraphX run is ~2-3 s of
+  // per-run RDD jobs on a pair set that never changes within a session.
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def clustersMat(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((s, d),
+      Dedup.clusters(minhashCands(s, d).select(col("a"), col("b")))
+        .localCheckpoint())
 
   private def corpusNear(s: SparkSession, d: String): DataFrame = {
     val doc = t(s, d, "documents")
@@ -232,8 +243,7 @@ object LlmQueries {
     // candidate pairs → connected-component cluster labels (keep the
     // id == cluster row per component, drop the rest)
     "dedup_clusters" -> ((s, d) =>
-      Dedup.clusters(minhashCands(s, d).select(col("a"), col("b")))
-        .orderBy(col("id"))),
+      clustersMat(s, d).orderBy(col("id"))),
 
     // Cluster representative selection: after near-dup clustering, a
     // pipeline keeps ONE canonical doc per cluster (longest text, ties
@@ -242,7 +252,7 @@ object LlmQueries {
     // clustered ids, and the per-cluster window hash-partitions by
     // cluster label — shards elect representatives in parallel.
     "dedup_cluster_rep" -> ((s, d) => {
-      val cl = Dedup.clusters(minhashCands(s, d).select(col("a"), col("b")))
+      val cl = clustersMat(s, d)
       val lens = corpusNear(s, d)
         .select(col("id"), length(col("text")).cast("long").as("len"))
       val w = org.apache.spark.sql.expressions.Window
@@ -256,6 +266,49 @@ object LlmQueries {
         .select(col("cluster"), col("id").as("rep_id"),
           col("len").as("rep_len"), col("n_members"))
         .orderBy(col("cluster"))
+    }),
+
+    // Streaming near-dup detection: the stateful face of MinHash-LSH.
+    // Batch 1 streams the originals' LSH bucket rows, batch 2 the
+    // truncated variants'; flatMapGroupsWithState keyed by band key
+    // marks every later arrival on a seen band, and the per-band
+    // verdicts OR-fold per doc after the drain. A doc is new iff NONE
+    // of its 4 bands collided with an earlier (smaller-id / earlier-
+    // batch) doc — exactly the batch LSH candidate relation read as a
+    // temporal filter, which is what the oracle checks.
+    "stream_minhash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val buckets = Dedup.bucketsFromSets(nearSetsMat(s, d))
+        .select(concat_ws("|", col("band"), col("key")).as("bkey"),
+          col("id").cast("long").as("id"))
+      val base = Q.scratchDir("graft-streamlsh_", s, d)
+      buckets.filter(col("id") < 1000000L)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+      buckets.filter(col("id") >= 1000000L)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val in = s.readStream.schema(buckets.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      // same state-store sizing rationale as stream_dedup: delta-file
+      // fsyncs scale with partitions × batches, and the band-key state
+      // (4 booleans per doc) is small
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.EventStream
+          .streamingBandDedup(in.as[(String, Long)])
+          .toDF("id", "dup")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .groupBy(col("id"))
+        .agg((max(col("dup").cast("int")) === 0).as("is_new"))
+        .orderBy(col("id"))
     }),
 
     // ---- similarity search ----
@@ -847,6 +900,21 @@ object LlmQueries {
          |  COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members
          | FROM cl JOIN lens ON lens.id = cl.id)
          |WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    // temporal reading of the LSH band relation: a doc is new iff it is
+    // the minimum id on EVERY one of its band keys (ids order batches:
+    // originals < 1e6 <= variants)
+    "stream_minhash_dedup" ->
+      s"""WITH $minhashCtes,
+         |firstb AS (SELECT band, key, MIN(id) AS fid
+         |           FROM bk GROUP BY band, key),
+         |dup AS (SELECT DISTINCT b.id FROM bk b
+         |        JOIN firstb f ON f.band = b.band AND f.key = b.key
+         |        WHERE b.id > f.fid)
+         |SELECT i.id, (d.id IS NULL) AS is_new
+         |FROM (SELECT DISTINCT id FROM bk) i
+         |LEFT JOIN dup d ON d.id = i.id
+         |ORDER BY i.id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $minhashCtes,

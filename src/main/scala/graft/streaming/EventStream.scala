@@ -75,6 +75,35 @@ object EventStream {
       }
   }
 
+  /** Streaming NEAR-dup detection: the stateful face of MinHash-LSH.
+    * Input rows are (bandKey, docId) bucket entries (4 per doc from the
+    * batch banding layer, [[graft.operators.Dedup.bucketsFromSets]]);
+    * state is one boolean per band key. Within a micro-batch the
+    * smallest id in a group is the band's first occurrence; across
+    * batches the state marks the band as seen. A doc is a near-dup iff
+    * ANY of its bands collides with an earlier doc — the per-band
+    * verdicts emitted here are OR-folded per doc after the drain.
+    * State size is |distinct band keys| booleans ≈ corpus size × bands,
+    * the same asymptotic as the batch LSH shuffle — and the key is a
+    * 32-hex band hash, never the payload.
+    */
+  def streamingBandDedup(rows: org.apache.spark.sql.Dataset[(String, Long)]):
+      org.apache.spark.sql.Dataset[(Long, Boolean)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          val ids = it.map(_._2).toArray.sorted
+          if (state.exists) ids.iterator.map(id => (id, true))
+          else {
+            state.update(true)
+            ids.iterator.zipWithIndex.map { case (id, i) => (id, i > 0) }
+          }
+      }
+  }
+
   /** Wire a transform over a streaming source and drain it synchronously
     * into a memory sink (local smoke path; production swaps the source
     * for kafka/delta and the sink for a real writer + checkpoint).

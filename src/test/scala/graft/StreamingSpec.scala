@@ -315,6 +315,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set(("a", 1L), ("b", 4L)))
   }
 
+  test("streamingBandDedup: any-band collision marks a near-dup, per-band verdicts OR-fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, Long)]
+    val q = EventStream.streamingBandDedup(src.toDS())
+      .toDF("id", "dup")
+      .writeStream.format("memory").queryName("sband")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: doc 1 owns bands A,B; doc 2 shares B (collides) + owns C
+    src.addData(("A", 1L), ("B", 1L), ("B", 2L), ("C", 2L))
+    q.processAllAvailable()
+    // batch 2: doc 3 hits the stateful band A; doc 4 is all-fresh
+    src.addData(("A", 3L), ("D", 3L), ("E", 4L), ("F", 4L))
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = spark.table("sband").as[(Long, Boolean)].collect()
+      .groupBy(_._1).map { case (id, vs) => id -> !vs.exists(_._2) }
+    // doc 1 new (first on both bands); doc 2 dup (B collided even
+    // though C was fresh); doc 3 dup (A held state); doc 4 new
+    assert(verdicts == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("audio near-dup: synthesized tones round-trip ehash exactly, banding finds intra-group pairs") {
     val base = Seq(0x00F0F0F0F0F0F010L, 0x0F0F0F0F0F0F0F00L, 0x5555AAAA5555AA00L)
     val pats = (for (g <- 0 until 3; m <- 0 until 2)
