@@ -394,6 +394,71 @@ object QualityQueries {
             array_sort(collect_list(struct(col("pos"), col("id")))),
             p => p.getField("id")), 1, 16)).as("head_ids"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Data-constrained mixture planning (Muennighoff et al. 2023,
+    // "Scaling Data-Constrained Language Models"): given a training
+    // token budget split equally across sources, how many EPOCHS of
+    // each source does the trainer take, capped at 4 repeats (past
+    // which repeated data stops helping)? One source-keyed hash-agg
+    // (map-side partials) + a one-row broadcast of the source count —
+    // the corpus streams once, nothing doc-scale shuffles.
+    "mix_epochs" -> ((s, d) => {
+      val budget = 1000000.0
+      val perSrc = t(s, d, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val nSrc = perSrc.agg(count(lit(1)).as("n_src"))
+      val epochs = least(lit(budget) / col("n_src") / col("n_tokens"),
+        lit(4.0))
+      perSrc.crossJoin(broadcast(nSrc))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          epochs.as("epochs"),
+          (epochs * col("n_tokens")).as("effective_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Quality-filter ensemble: the production pattern of voting several
+    // independent signals (rule chain, LM-style frequency score,
+    // per-domain percentile) instead of trusting one. keep = ≥2 of 3.
+    // The rule vote is per-row codegen; the LM vote is the vocab join
+    // (word-keyed hash-aggs); the percentile vote is a source-
+    // partitioned window — each shard ranks independently. Votes
+    // compare EXACT integers (sum_tf >= 3·n_tokens, not a double avg)
+    // so the verdict is partitioning-independent.
+    "quality_ensemble" -> ((s, d) => {
+      val ws = words(col("text"))
+      val base = docs(s, d).select(col("doc_id"),
+        size(ws).as("n_words"),
+        (length(col("text")).cast("long") -
+          (size(ws) - 1).cast("long")).as("sum_len"),
+        stopwordHits(ws).as("stop_hits"),
+        (size(array_distinct(ws)).cast("double") /
+          size(ws).cast("double")).as("ttr"))
+      val vRule = col("n_words") >= 30 && col("n_words") <= 10000 &&
+        (col("sum_len").cast("double") / col("n_words").cast("double")
+          between(3.0, 10.0)) &&
+        col("stop_hits") >= 2 && col("ttr") >= 0.45
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      val lm = toks.join(vocab, Seq("w")).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tf"))
+        .select(col("doc_id"),
+          (col("sum_tf") >= col("n_tokens") * 3L).as("v_lm"))
+      val srcW = Window.partitionBy(col("source")).orderBy(col("ttr"))
+      val pct = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          (size(array_distinct(split(col("text"), " "))).cast("double") /
+            size(split(col("text"), " ")).cast("double")).as("ttr"))
+        .withColumn("v_pct", percent_rank().over(srcW) >= 0.5)
+        .select(col("doc_id"), col("v_pct"))
+      base.select(col("doc_id"), vRule.as("v_rule"))
+        .join(lm, Seq("doc_id")).join(pct, Seq("doc_id"))
+        .select(col("doc_id"), col("v_rule"), col("v_lm"), col("v_pct"),
+          (col("v_rule").cast("int") + col("v_lm").cast("int") +
+            col("v_pct").cast("int") >= 2).as("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -585,6 +650,49 @@ object QualityQueries {
         | CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
         | array_to_string(list_slice(list(id ORDER BY pos), 1, 16), ' ')
         |   AS head_ids
-        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "mix_epochs" ->
+      """WITH p AS (SELECT source, COUNT(*) AS n_docs,
+        |            CAST(SUM(len(string_split(text,' '))) AS BIGINT)
+        |              AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n_src FROM p)
+        |SELECT source, n_docs, n_tokens,
+        | least(1000000.0 / n_src / n_tokens, 4.0) AS epochs,
+        | least(1000000.0 / n_src / n_tokens, 4.0) * n_tokens
+        |   AS effective_tokens
+        |FROM p CROSS JOIN s ORDER BY source""".stripMargin,
+
+    "quality_ensemble" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS ws, text
+         |           FROM documents),
+         |base AS (SELECT doc_id,
+         |  len(ws) AS n_words,
+         |  CAST(length(text) AS BIGINT) - (len(ws) - 1) AS sum_len,
+         |  len(list_filter(ws, x -> list_contains([$stopsAll], x)))
+         |    AS stop_hits,
+         |  CAST(len(list_distinct(ws)) AS DOUBLE) /
+         |    CAST(len(ws) AS DOUBLE) AS ttr
+         | FROM d),
+         |rule AS (SELECT doc_id,
+         |  (n_words BETWEEN 30 AND 10000
+         |   AND (CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |     BETWEEN 3.0 AND 10.0
+         |   AND stop_hits >= 2 AND ttr >= 0.45) AS v_rule FROM base),
+         |t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         |v AS (SELECT w, COUNT(*) AS tf FROM t GROUP BY w),
+         |lm AS (SELECT doc_id,
+         |  (SUM(v.tf) >= COUNT(*) * 3) AS v_lm
+         | FROM t JOIN v USING (w) GROUP BY doc_id),
+         |pct AS (SELECT doc_id,
+         |  (percent_rank() OVER (PARTITION BY source ORDER BY
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) /
+         |    CAST(len(ws) AS DOUBLE)) >= 0.5) AS v_pct FROM d)
+         |SELECT rule.doc_id, v_rule, v_lm, v_pct,
+         | (CAST(v_rule AS INT) + CAST(v_lm AS INT) + CAST(v_pct AS INT)
+         |   >= 2) AS keep
+         |FROM rule JOIN lm USING (doc_id) JOIN pct USING (doc_id)
+         |ORDER BY rule.doc_id""".stripMargin
   )
 }

@@ -359,4 +359,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1L)._1 == 22L && out(1L)._2 == 4L)
     assert(ids1 == (3L to 18L))   // first 16 fillers, in document order
   }
+
+  test("mix_epochs: equal-share budget, 4-epoch repeat cap") {
+    // budget 1e6 split over 2 sources = 500k tokens each, far above
+    // both sources' token counts -> the 4-epoch repeat cap binds, and
+    // effective_tokens = 4 x n_tokens exactly
+    val docs = Seq(
+      (0L, "a", (1 to 10).map(_ => "w").mkString(" ")),
+      (1L, "b", (1 to 20).map(_ => "x").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.QualityQueries.queries("mix_epochs")(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // 1e6/2 = 500k per source >> tokens -> both capped at 4 epochs
+    assert(out == Seq(
+      ("a", 1L, 10L, 4.0, 40.0),
+      ("b", 1L, 20L, 4.0, 80.0)))
+  }
+
+  test("quality_ensemble: 2-of-3 vote keeps a doc a single failing signal would drop") {
+    // 40 distinct words with stopwords and sane lengths: v_rule true,
+    // v_pct true (only doc in its source -> percent_rank 0 ... careful:
+    // single doc gets pr=0.0 which is < 0.5 -> v_pct FALSE). All words
+    // unique -> sum_tf == n_tokens < 3*n_tokens -> v_lm false.
+    // So this doc: v_rule=true, v_lm=false, v_pct=false -> drop.
+    val good = ((1 to 36).map(i => s"word$i") ++
+      Seq("the", "and", "with", "from")).mkString(" ")
+    // a twin in the same source with LOWER ttr (repeated words) ranks
+    // below `good`, flipping good's percentile vote to true; the twin's
+    // repeats also push its own sum_tf up.
+    val repeaty = (Seq.fill(30)("the") ++ (1 to 10).map(i => s"u$i"))
+      .mkString(" ")
+    val docs = Seq((0L, "s", good), (1L, "s", repeaty))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ens").toString
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.QualityQueries
+      .queries("quality_ensemble")(spark, dir)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // doc 0: rule pass, lm fail (all-unique words), pct pass (higher
+    // ttr of the two) -> 2 of 3 -> keep
+    assert(out(0L) == (true, false, true, true))
+    // doc 1: rule fails (ttr 11/40 < 0.45), lm passes ("the" tf >= 3
+    // per token often enough), pct fails (pr 0.0) -> 1 of 3 -> drop
+    assert(out(1L)._4 == false)
+  }
 }
