@@ -67,4 +67,59 @@ class PropertySpec extends AnyFunSuite {
       assert(got == dist.map { case (k, v) => k -> v.toDouble }, s"edges=$edges")
     }
   }
+
+  private val corpusGen: Gen[Seq[String]] =
+    Gen.listOfN(8, Gen.listOfN(14,
+      Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" ")))
+
+  test("boilerplate_lines invariants vs in-memory reference (8 random corpora)") {
+    samples(corpusGen, 8).foreach { texts =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_bpp").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = graft.queries.QualityQueries
+        .queries("boilerplate_lines")(spark, dir)
+        .select("doc_id", "line_idx", "n_words", "keep", "reason")
+        .as[(Long, Long, Long, Boolean, Option[String])].collect().toSeq
+      // in-memory reference: 8-word lines, keep = >=5 words AND first
+      // occurrence of the line text in (doc_id, line_idx) order
+      val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ws = t.split(" ")
+        ws.grouped(8).zipWithIndex.map { case (g, li) =>
+          (i.toLong, li.toLong, g.mkString(" "), g.length.toLong)
+        }
+      }.sortBy(r => (r._1, r._2))
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expRows = expected.map { case (id, li, line, nw) =>
+        val first = seen.add(line)
+        val keep = nw >= 5 && first
+        val reason = if (nw < 5) Some("short")
+          else if (!first) Some("dup_line") else None
+        (id, li, nw, keep, reason)
+      }
+      assert(got == expRows, s"texts=$texts")
+    }
+  }
+
+  test("dedup_substring_spans equals brute-force cross-doc 5-gram coverage (8 random corpora)") {
+    samples(corpusGen, 8).foreach { texts =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ssp").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = graft.queries.QualityQueries
+        .queries("dedup_substring_spans")(spark, dir)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val sets = texts.map(_.split(" ").sliding(5).map(_.mkString(" ")).toSet)
+      sets.zipWithIndex.foreach { case (s0, i) =>
+        val others = sets.zipWithIndex.filter(_._2 != i).map(_._1)
+          .foldLeft(Set.empty[String])(_ ++ _)
+        val nDup = s0.count(others.contains)
+        assert(got(i.toLong) == (s0.size.toLong, nDup.toLong),
+          s"doc $i texts=$texts")
+      }
+    }
+  }
 }
