@@ -111,16 +111,13 @@ object Dedup {
   /** LSH candidate pairs from a pre-built [[shingleSets]] frame. */
   def candidatesFromSets(sets: DataFrame,
       bands: Int = 4, rows: Int = 2): DataFrame = {
-    // materialize signatures before the self-join: the two join sides are
-    // separate plan branches (one becomes a broadcast), so without this
-    // the whole shingle-explode + k min-agg pipeline runs TWICE
-    val sigs = signaturesFromSets(sets, bands * rows)
-      .localCheckpoint()
-    val bandKeys = (0 until bands).map { b =>
-      bandKey((0 until rows).map(r => col(s"s${b * rows + r}")))
-    }
-    val buckets = sigs.select(col("id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    // materialize the bucket rows before the self-join: the two join
+    // sides are separate plan branches (one becomes a broadcast), so
+    // without this the whole shingle-explode + k min-agg + banding
+    // pipeline runs TWICE. Sharing bucketsFromSets keeps the
+    // parity-critical band-key construction in exactly one place
+    // (it must mirror the oracle's bucketsSql).
+    val buckets = bucketsFromSets(sets, bands, rows).localCheckpoint()
     val l = buckets.as("l"); val r = buckets.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
         && col("l.id") < col("r.id"))

@@ -278,12 +278,21 @@ object LlmQueries {
     // temporal filter, which is what the oracle checks.
     "stream_minhash_dedup" -> ((s, d) => {
       import s.implicits._
+      // materialize once: the two filtered writes below are separate
+      // plan branches and would otherwise each re-run the signature
+      // build (explode + 8 min-aggs over the corpus)
       val buckets = Dedup.bucketsFromSets(nearSetsMat(s, d))
         .select(concat_ws("|", col("band"), col("key")).as("bkey"),
           col("id").cast("long").as("id"))
+        .localCheckpoint()
       val base = Q.scratchDir("graft-streamlsh_", s, d)
       buckets.filter(col("id") < 1000000L)
         .coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+      // the file source orders batches by mtime (ms granularity): pin
+      // the originals' files into the past so the variants' batch can
+      // never tie and process first
+      new java.io.File(s"$base/in").listFiles()
+        .foreach(f => f.setLastModified(System.currentTimeMillis - 60000))
       buckets.filter(col("id") >= 1000000L)
         .coalesce(1).write.mode("append").parquet(s"$base/in")
       val in = s.readStream.schema(buckets.schema)

@@ -320,6 +320,11 @@ object MutationQueries {
         .select(md5(col("text")).as("key"), col("doc_id").cast("long").as("id"))
       val base = Q.scratchDir("graft-streamdedup_", s, d)
       keyed.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+      // the file source orders batches by mtime (ms granularity): pin
+      // the originals' files into the past so the copies' batch can
+      // never tie and process first
+      new java.io.File(s"$base/in").listFiles()
+        .foreach(f => f.setLastModified(System.currentTimeMillis - 60000))
       keyed.withColumn("id", col("id") + 1000000L)
         .coalesce(1).write.mode("append").parquet(s"$base/in")
       val in = s.readStream.schema(keyed.schema)

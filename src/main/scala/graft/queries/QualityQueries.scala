@@ -405,9 +405,13 @@ object QualityQueries {
     // the corpus streams once, nothing doc-scale shuffles.
     "mix_epochs" -> ((s, d) => {
       val budget = 1000000.0
+      // materialize the source-cardinality aggregate (tiny): nSrc and
+      // the crossJoin left side are separate plan branches and would
+      // otherwise each re-scan + re-tokenize the corpus
       val perSrc = t(s, d, "documents").groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .localCheckpoint()
       val nSrc = perSrc.agg(count(lit(1)).as("n_src"))
       val epochs = least(lit(budget) / col("n_src") / col("n_tokens"),
         lit(4.0))
@@ -428,7 +432,10 @@ object QualityQueries {
     // so the verdict is partitioning-independent.
     "quality_ensemble" -> ((s, d) => {
       val ws = words(col("text"))
-      val base = docs(s, d).select(col("doc_id"),
+      // carry source + ttr on the one per-row pass: the percentile
+      // vote's window runs over base directly instead of a fourth
+      // corpus scan + doc-keyed join
+      val base = t(s, d, "documents").select(col("doc_id"), col("source"),
         size(ws).as("n_words"),
         (length(col("text")).cast("long") -
           (size(ws) - 1).cast("long")).as("sum_len"),
@@ -447,14 +454,9 @@ object QualityQueries {
         .select(col("doc_id"),
           (col("sum_tf") >= col("n_tokens") * 3L).as("v_lm"))
       val srcW = Window.partitionBy(col("source")).orderBy(col("ttr"))
-      val pct = t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          (size(array_distinct(split(col("text"), " "))).cast("double") /
-            size(split(col("text"), " ")).cast("double")).as("ttr"))
-        .withColumn("v_pct", percent_rank().over(srcW) >= 0.5)
-        .select(col("doc_id"), col("v_pct"))
-      base.select(col("doc_id"), vRule.as("v_rule"))
-        .join(lm, Seq("doc_id")).join(pct, Seq("doc_id"))
+      base.select(col("doc_id"), vRule.as("v_rule"),
+          (percent_rank().over(srcW) >= 0.5).as("v_pct"))
+        .join(lm, Seq("doc_id"))
         .select(col("doc_id"), col("v_rule"), col("v_lm"), col("v_pct"),
           (col("v_rule").cast("int") + col("v_lm").cast("int") +
             col("v_pct").cast("int") >= 2).as("keep"))
