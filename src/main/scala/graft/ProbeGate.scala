@@ -30,7 +30,15 @@ object ProbeGate {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val shuffle = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (sys.env.contains("PROBE_CALLSITES"))
+          println("[site] " + Seq("callSite.short", "spark.job.description",
+            "spark.sql.execution.root.id")
+            .flatMap(k => Option(j.properties.getProperty(k))).headOption
+            .getOrElse("?"))
+        ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
