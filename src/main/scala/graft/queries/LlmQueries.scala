@@ -186,7 +186,12 @@ object LlmQueries {
       t(s, d, "documents").select(
         col("doc_id"),
         size(ws).as("n_words"),
-        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_word_len"),
+        // Σ length(w) over a single-char split is pure length
+        // arithmetic (k pieces consume k-1 separators), so the
+        // interpreted aggregate() fold becomes a codegen'd expression —
+        // the same replacement quality_gate got in r13
+        (length(col("text")).cast("long") -
+          (size(ws) - 1).cast("long")).as("sum_word_len"),
         stopwordHits(ws).as("stop_hits"),
         (size(array_distinct(ws)).cast("double") / size(ws).cast("double")).as("ttr"))
         .withColumn("avg_word_len",
