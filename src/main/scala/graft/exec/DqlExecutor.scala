@@ -2994,9 +2994,12 @@ final class DqlExecutor(ts: GraphStore) {
     * per level, each selection in declaration order emits one GROUP of
     * lines — scalars for every frontier node, `count(pred)` with
     * zero-fill, then edge triples followed by the child level's groups
-    * (reference outputrdf.go walks subgraphs the same way). Directives
-    * the reference rejects in RDF (@normalize, @groupby, count(uid),
-    * @ignorereflex, checkpwd, facet fetches) throw here too.
+    * (reference outputrdf.go walks subgraphs the same way); `@recurse`
+    * blocks re-apply their one-level template per depth ([[rdfRecurse]]).
+    * Directives the reference rejects in RDF (@normalize, @groupby,
+    * count(uid), @ignorereflex, checkpwd, facet fetches —
+    * outputrdf.go validateSubGraphForRDF) throw here too, with the
+    * reference's exact messages.
     *
     * Returns lines in order; the final concat is driver-side exactly
     * like the reference's ToRDF marshals one buffer.
@@ -3035,20 +3038,15 @@ final class DqlExecutor(ts: GraphStore) {
       if (b.shortest.isEmpty) {
         var frontier = seedUids(b.func)
         b.filter.foreach(f => frontier = applyFilter(frontier, "uid", f))
-        val sels = b.recurse match {
-          case Some(r) if recurseHops(r) == 0 =>
-            // a depth-1 recurse applies the template to the roots only
-            // (TestRDFRecurse) — deeper recursion would walk the tree
-            b.selections.filter(s => !schema.isUidPredicate(s.pred))
-          case Some(_) => throw new IllegalArgumentException(
-            "recurse depth > 1 is not supported in the rdf output format (engine limitation)")
-          case None => b.selections
-        }
         val ordered0 = orderAndPage(frontier, "uid", b.order, b.page)
         val ordered =
           if (b.order.isEmpty) ordered0.withColumn("__r", col("uid"))
           else ordered0.withColumn("__r", monotonically_increasing_id())
-        rdfWalk(sb, ordered, sels)
+        b.recurse match {
+          case Some(r) =>
+            rdfRecurse(sb, ordered, b.selections, recurseHops(r), r.loop)
+          case None => rdfWalk(sb, ordered, b.selections)
+        }
       }
     }
     sb.result()
@@ -3057,11 +3055,127 @@ final class DqlExecutor(ts: GraphStore) {
   private def rdfHex(c: Column): Column =
     concat(lit("<0x"), lower(conv(c.cast("string"), 10, 16)), lit(">"))
 
+  private def rdfEmit(sb: StringBuilder, df: DataFrame): Unit =
+    df.orderBy(col("__o1").asc, col("__o2").asc)
+      .select(col("line")).collect()
+      .foreach(r => sb.append(r.getString(0)).append('\n'))
+
+  /** One group of scalar-leaf lines for a frontier (columns uid, __r). */
+  private def rdfScalarRows(frontier: DataFrame, s: Selection): DataFrame = {
+    val rows0 = attrLeaf(s)
+    val valueC =
+      if (rows0.columns.contains("display")) col("display")
+      else col("value").cast("string")
+    val esc = regexp_replace(regexp_replace(valueC,
+      lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\""))
+    frontier.join(
+      rows0.select(col("subject").as("__as"), esc.as("__v")),
+      col("uid") === col("__as"))
+      .select(col("__r").as("__o1"), lit(0L).as("__o2"),
+        concat(rdfHex(col("uid")), lit(s" <${s.pred}> \""),
+          col("__v"), lit("\" .")).as("line"))
+  }
+
+  /** `count(pred)` lines with zero-fill (TestRDFPredicateCount). */
+  private def rdfCountRows(frontier: DataFrame, s: Selection): DataFrame = {
+    val cnts = countEdge(s.pred).groupBy(col("subject"))
+      .agg(count(lit(1)).as("__c"))
+    frontier.join(cnts.withColumnRenamed("subject", "__cs"),
+        col("uid") === col("__cs"), "left")
+      .select(col("__r").as("__o1"), lit(0L).as("__o2"),
+        concat(rdfHex(col("uid")),
+          lit(s" <count(${s.pred})> \""),
+          coalesce(col("__c"), lit(0L)).cast("string"),
+          lit("\" .")).as("line"))
+  }
+
+  /** RDF for `@recurse` blocks (reference outputrdf.go castToRDF over
+    * the expandRecurse subgraph chain, query/rdf_result_test.go
+    * TestRDFRecurse): the one-level template re-applies per level, and
+    * the reference's depth-first walk over that chain IS level order —
+    * each level emits the frontier's scalar (and count) groups in
+    * template order, then each uid predicate's edge triples, then
+    * descends. Terminal-level edges don't render in the reference
+    * (rdfForSubgraph's `len(sg.Children) > 0` guard: the deepest
+    * processed subgraphs never get children attached), which in hop
+    * terms means edges emit for tree levels 1..hops and scalars for
+    * every visited frontier (value subgraphs carry no children, so the
+    * guard never applies to them; the depth-limited walk never
+    * processes the level past the cap, which is exactly why
+    * depth-1 recurse emits no edges at all — TestRDFRecurse).
+    *
+    * Emission order is the reference's depth-first template walk: each
+    * template field in declaration order; a uid predicate emits its
+    * edge group and then the WHOLE next level nested at its position,
+    * before the template's later fields. Branch frontiers follow each
+    * uid predicate's own targets (expandChildren links children to the
+    * parent sg's DestUIDs); the expansion itself uses the reference's
+    * merged frontier with ONE global edge-level seen set across all
+    * roots and predicates ([[graft.operators.Recurse.expandGlobal]]).
+    */
+  private def rdfRecurse(sb: StringBuilder, roots: DataFrame,
+      sels0: Seq[Selection], hops: Int, loop: Boolean): Unit = {
+    sels0.foreach { s =>
+      if (s.children.nonEmpty)
+        throw new IllegalArgumentException(
+          "recurse queries require that all predicates are specified in one level")
+    }
+    val cap = math.min(hops, 50)
+    recurseDepthHint = cap
+    val sels = expandRecurseSels(roots, sels0)
+    // `uid` emits no triple (TestRDFIgnoreUid); unknown preds emit
+    // nothing; counts render per level like any other leaf group
+    val known = sels.filter(s =>
+      s.pred != "uid" && (s.isCount || schema.predicates.contains(s.pred)))
+    def isUidSel(s: Selection): Boolean =
+      !s.isCount && (schema.isUidPredicate(s.pred) || s.reverse)
+    val tagged = known.zipWithIndex
+    val tree =
+      if (!known.exists(isUidSel) || cap == 0) None
+      else {
+        val edges = tagged.collect { case (s, i) if isUidSel(s) =>
+          val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
+          val e = s.filter.map(f => applyFilter(e0, "object", f)).getOrElse(e0)
+          e.select(col("subject"), col("object"), lit(i.toString).as("pred"))
+        }.reduce(_ unionByName _)
+        Some(graft.operators.Recurse.expandGlobal(
+          roots.select(col("uid").as("node")), edges, cap, loop)
+          .localCheckpoint())
+      }
+    def visit(frontier: DataFrame, lvl: Int): Unit = tagged.foreach {
+      case (s, _) if !isUidSel(s) =>
+        rdfEmit(sb,
+          if (s.isCount) rdfCountRows(frontier, s)
+          else rdfScalarRows(frontier, s))
+      case (s, i) if tree.isDefined && lvl < cap =>
+        // this branch's edges: the merged tree's rows at the next
+        // level, restricted to parents in THIS frontier and this pred
+        val br = tree.get
+          .filter(col("depth") === lvl + 1 && col("pred") === i.toString)
+          .join(frontier.select(col("uid").as("__p")),
+            col("parent") === col("__p"))
+          .select(col("parent"), col("node"))
+        // the RDF format is a driver-side marshal (reference ToRDF
+        // writes one buffer) — collect the branch's edge pairs once for
+        // both the lines and the emptiness check
+        val pairs = br.orderBy(col("parent"), col("node")).collect()
+        pairs.foreach { r =>
+          sb.append("<0x").append(java.lang.Long.toHexString(r.getLong(0)))
+            .append(s"> <${if (s.reverse) "~" else ""}${s.pred}> <0x")
+            .append(java.lang.Long.toHexString(r.getLong(1))).append("> .\n")
+        }
+        if (pairs.nonEmpty)
+          visit(br.select(col("node").as("uid")).distinct()
+            .withColumn("__r", col("uid")), lvl + 1)
+      case _ => // depth cap reached: the level past the cap is never
+                // processed, so this uid predicate emits nothing
+    }
+    visit(roots, 0)
+  }
+
   private def rdfWalk(sb: StringBuilder, frontier: DataFrame,
       sels: Seq[Selection]): Unit = {
-    def emit(df: DataFrame): Unit =
-      df.orderBy(col("__o1").asc, col("__o2").asc)
-        .select(col("line")).collect().foreach(r => sb.append(r.getString(0)).append('\n'))
+    def emit(df: DataFrame): Unit = rdfEmit(sb, df)
     sels.foreach { s =>
       if (s.isCount && s.pred == "uid")
         throw new IllegalArgumentException(
@@ -3079,16 +3193,7 @@ final class DqlExecutor(ts: GraphStore) {
         // `uid` emits no triple (TestRDFIgnoreUid)
       } else if (s.isCount) {
         // count(pred) with zero-fill (TestRDFPredicateCount: Daryl "0")
-        val cnts = countEdge(s.pred).groupBy(col("subject"))
-          .agg(count(lit(1)).as("__c"))
-        val rows = frontier.join(cnts.withColumnRenamed("subject", "__cs"),
-            col("uid") === col("__cs"), "left")
-          .select(col("__r").as("__o1"), lit(0L).as("__o2"),
-            concat(rdfHex(col("uid")),
-              lit(s" <count(${s.pred})> \""),
-              coalesce(col("__c"), lit(0L)).cast("string"),
-              lit("\" .")).as("line"))
-        emit(rows)
+        emit(rdfCountRows(frontier, s))
       } else if (schema.predicates.contains(s.pred) &&
           (schema.isUidPredicate(s.pred) || s.reverse)) {
         val e0 = if (s.reverse) ts.reverseEdge(s.pred) else ts.edge(s.pred)
@@ -3119,19 +3224,7 @@ final class DqlExecutor(ts: GraphStore) {
           .withColumn("__r", col("uid"))
         if (s.children.nonEmpty) rdfWalk(sb, childFrontier, s.children)
       } else if (schema.predicates.contains(s.pred)) {
-        val rows0 = attrLeaf(s)
-        val valueC =
-          if (rows0.columns.contains("display")) col("display")
-          else col("value").cast("string")
-        val esc = regexp_replace(regexp_replace(valueC,
-          lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\""))
-        val rows = frontier.join(
-          rows0.select(col("subject").as("__as"), esc.as("__v")),
-          col("uid") === col("__as"))
-          .select(col("__r").as("__o1"), lit(0L).as("__o2"),
-            concat(rdfHex(col("uid")), lit(s" <${s.pred}> \""),
-              col("__v"), lit("\" .")).as("line"))
-        emit(rows)
+        emit(rdfScalarRows(frontier, s))
       } // unknown predicates emit nothing
     }
   }

@@ -166,6 +166,58 @@ object Recurse {
     } else out
   }
 
+  /** Merged-frontier expansion with the reference's GLOBAL edge-level
+    * dedup (query/recurse.go:19 expandRecurse: one reachMap keyed
+    * "attr|fromUID|toUID" shared by ALL roots; each level's SubGraph
+    * carries the merged SrcUIDs of every root). Differs from
+    * [[expandTree]] — which tracks a per-root walk — exactly where
+    * several roots reach the same node: here its edges are taken once,
+    * globally. Returns (parent, pred, node, depth): one row per edge
+    * first taken at `depth`; the level-ℓ frontier is the distinct
+    * targets at depth ℓ (the reference's DestUIDs merge). loop=true
+    * skips the dedup (the depth cap bounds the walk; the reference
+    * requires an explicit depth for loop=true).
+    */
+  def expandGlobal(seeds: DataFrame, edges: DataFrame, maxDepth: Int,
+      loop: Boolean = false): DataFrame = {
+    val e = edges.select(col("subject"), col("object"), col("pred"))
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint(false)
+    var seen: DataFrame = null
+    var out: DataFrame = null
+    var depth = 1
+    var more = true
+    var frontierSize = 0L
+    while (depth <= maxDepth && more) {
+      var nxt = frontier.join(e, frontier("node") === e("subject"))
+        .select(frontier("node").as("parent"), e("pred"),
+          e("object").as("node"))
+      if (!loop && seen != null)
+        nxt = nxt.join(seen, Seq("parent", "pred", "node"), "left_anti")
+      val lvl = nxt.localCheckpoint(false)
+      val n = withAqe(lvl, frontierSize >= AqeFrontierThreshold) { lvl.count() }
+      frontierSize = n
+      if (n == 0) more = false
+      else {
+        out = if (out == null) lvl.withColumn("depth", lit(depth))
+          else out.unionByName(lvl.withColumn("depth", lit(depth)))
+        if (!loop) {
+          seen = if (seen == null) lvl else seen.unionByName(lvl)
+          if (depth % 4 == 0) seen = seen.localCheckpoint(false)
+        }
+        frontier = lvl.select(col("node")).distinct().localCheckpoint(false)
+        depth += 1
+      }
+    }
+    if (out == null) {
+      val s = seeds.sparkSession
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("parent", LongType),
+          StructField("pred", StringType), StructField("node", LongType),
+          StructField("depth", IntegerType))))
+    } else out
+  }
+
   /** Path-tracking expansion with `@ignorereflex` semantics: never revisit
     * an ancestor on the current path (reference query/query.go:155
     * ParentIds check). Returns (start, node, depth, path ARRAY<LONG>).

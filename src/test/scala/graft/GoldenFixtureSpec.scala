@@ -6835,6 +6835,59 @@ class GoldenFixtureSpec extends AnyFunSuite {
         "<0x19> <name> \"Daryl Dixon\" .\n")
   }
 
+  test("golden: rdf recurse depth 2 (outputrdf.go castToRDF over expandRecurse)") {
+    // per level: the frontier's scalar group, then the uid predicate's
+    // edges; level-1 edges render because level 2 found an edge
+    // (31→24); level-2 edges are beyond depth 2. 0x65 has no name.
+    rdfGolden(
+      """{ me(func: anyofterms(name, "Michonne Rick Daryl")) @recurse(depth: 2) {
+        |    name friend } }""".stripMargin,
+      "<0x1> <name> \"Michonne\" .\n<0x17> <name> \"Rick Grimes\" .\n" +
+        "<0x19> <name> \"Daryl Dixon\" .\n" +
+        "<0x1> <friend> <0x17> .\n<0x1> <friend> <0x18> .\n" +
+        "<0x1> <friend> <0x19> .\n<0x1> <friend> <0x1f> .\n" +
+        "<0x1> <friend> <0x65> .\n<0x17> <friend> <0x1> .\n" +
+        "<0x1> <name> \"Michonne\" .\n<0x17> <name> \"Rick Grimes\" .\n" +
+        "<0x18> <name> \"Glenn Rhee\" .\n<0x19> <name> \"Daryl Dixon\" .\n" +
+        "<0x1f> <name> \"Andrea\" .\n")
+  }
+
+  test("golden: rdf recurse depth 3 nested level order (outputrdf.go castToRDF)") {
+    // level-2's edge group (0x1f→0x18) and level-2's names nest at the
+    // `friend` position of the level-1 template application — after
+    // level-1's names, the reference's depth-first walk
+    rdfGolden(
+      """{ me(func: anyofterms(name, "Michonne Rick Daryl")) @recurse(depth: 3) {
+        |    name friend } }""".stripMargin,
+      "<0x1> <name> \"Michonne\" .\n<0x17> <name> \"Rick Grimes\" .\n" +
+        "<0x19> <name> \"Daryl Dixon\" .\n" +
+        "<0x1> <friend> <0x17> .\n<0x1> <friend> <0x18> .\n" +
+        "<0x1> <friend> <0x19> .\n<0x1> <friend> <0x1f> .\n" +
+        "<0x1> <friend> <0x65> .\n<0x17> <friend> <0x1> .\n" +
+        "<0x1> <name> \"Michonne\" .\n<0x17> <name> \"Rick Grimes\" .\n" +
+        "<0x18> <name> \"Glenn Rhee\" .\n<0x19> <name> \"Daryl Dixon\" .\n" +
+        "<0x1f> <name> \"Andrea\" .\n" +
+        "<0x1f> <friend> <0x18> .\n" +
+        "<0x18> <name> \"Glenn Rhee\" .\n")
+  }
+
+  test("golden: rdf recurse unbounded (outputrdf.go + recurse.go depth=MaxUint64)") {
+    // template order is friend-first, so the walk descends before
+    // emitting names: all edge levels, then names deepest-first. L2
+    // re-reaches Michonne (23→1) and Glenn (31→24) — both render,
+    // neither re-expands (their edges are already in the seen set)
+    rdfGolden(
+      """{ me(func: uid(0x01)) @recurse { friend name } }""",
+      "<0x1> <friend> <0x17> .\n<0x1> <friend> <0x18> .\n" +
+        "<0x1> <friend> <0x19> .\n<0x1> <friend> <0x1f> .\n" +
+        "<0x1> <friend> <0x65> .\n" +
+        "<0x17> <friend> <0x1> .\n<0x1f> <friend> <0x18> .\n" +
+        "<0x1> <name> \"Michonne\" .\n<0x18> <name> \"Glenn Rhee\" .\n" +
+        "<0x17> <name> \"Rick Grimes\" .\n<0x18> <name> \"Glenn Rhee\" .\n" +
+        "<0x19> <name> \"Daryl Dixon\" .\n<0x1f> <name> \"Andrea\" .\n" +
+        "<0x1> <name> \"Michonne\" .\n")
+  }
+
   test("golden: TestRDFIgnoreUid (rdf_result_test.go)") {
     rdfGolden(
       """{ me(func: anyofterms(name, "Michonne Rick Daryl")) { uid name } }""",
