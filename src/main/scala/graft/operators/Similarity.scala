@@ -184,6 +184,12 @@ object Similarity {
     * for every broadcast query, merge per-shard top-k through the same
     * bounded-heap rank as every other ANN path. At cluster scale each
     * shard group is one task reading one shard directory.
+    *
+    * When the layout carries live mutations ([[hnswUpsert]] /
+    * [[hnswDelete]]), tombstoned ids are masked out of the graph walk
+    * (the beam over-fetches by the tombstone count so masked slots
+    * can't starve the result) and the delta segment is scored exactly —
+    * identical quantized-cosine arithmetic — into the same rank merge.
     */
   def hnswSearchStored(queries: DataFrame, spark: SparkSession,
       dir: String, k: Int, m: Int = 12, efConstruction: Int = 64,
@@ -192,6 +198,19 @@ object Similarity {
     val qRows = queries.select(col("id"), col("qe")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val qB = spark.sparkContext.broadcast(qRows)
+    // tombstones are mutation-sized by the compaction contract (see
+    // hnswUpsert) — a driver set, broadcast into the shard walk
+    val tombF = new java.io.File(dir, "_tombstones")
+    val tombDf =
+      if (tombF.isDirectory)
+        Some(spark.read.parquet(tombF.getAbsolutePath)
+          .groupBy(col("id")).agg(max(col("seq")).as("__ts")))
+      else None
+    val tombIds: Set[Long] = tombDf.map(
+      _.select(col("id")).collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty)
+    val tombB = spark.sparkContext.broadcast(tombIds)
+    val over = k + tombIds.size
     val scored = spark.read.parquet(dir)
       .select(col("shard").cast("int"), col("id"), col("vec"),
         col("level"), col("nbs"))
@@ -201,13 +220,84 @@ object Similarity {
         val index = HnswIndex.fromNodes(m, efConstruction,
           rows.map { case (_, id, vec, lvl, nbs) => (id, vec, lvl, nbs) }.toArray)
         qB.value.iterator.flatMap { case (qid, qv) =>
-          index.search(qv, k + 1, math.max(efSearch, k + 1)).iterator.collect {
-            case (nid, sim) if nid != qid => (qid, nid, sim)
-          }.take(k)
+          index.search(qv, over + 1, math.max(efSearch, over + 1))
+            .iterator.collect {
+              case (nid, sim) if nid != qid && !tombB.value.contains(nid) =>
+                (qid, nid, sim)
+            }.take(k)
         }
       }
       .toDF("qid", "nid", "sim")
-    rankTopK(scored, k)
+    val deltaF = new java.io.File(dir, "_delta")
+    val all =
+      if (!deltaF.isDirectory) scored
+      else {
+        // latest write per id, dropped when a later tombstone covers it
+        // (an upsert's own tombstone shares its seq — strict < survives)
+        val latest = spark.read.parquet(deltaF.getAbsolutePath)
+          .groupBy(col("id"))
+          .agg(max_by(col("qe"), col("seq")).as("qe"), max(col("seq")).as("seq"))
+        val live = tombDf.map(t =>
+            latest.join(t, Seq("id"), "left")
+              .filter(col("__ts").isNull || col("__ts") <= col("seq")))
+          .getOrElse(latest)
+          .select(col("id"), col("qe"))
+        val q = withNorm(queries).select(col("id").as("qid"),
+          col("qe").as("qv"), col("__nrm").as("qn"))
+        val c = withNorm(live).select(col("id").as("nid"),
+          col("qe").as("nv"), col("__nrm").as("nn"))
+        scored.unionByName(broadcast(q).join(c, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            cosFromParts(dotQ(col("qv"), col("nv")),
+              col("qn"), col("nn")).as("sim")))
+      }
+    rankTopK(all, k)
+  }
+
+  /** Incremental maintenance of a persisted HNSW layout — the
+    * Spark-native analogue of the reference's transactional
+    * vector-posting maintenance (posting/index.go:585
+    * AddMutationWithIndex writes HNSW postings with the mutation;
+    * tok/hnsw/persistent_hnsw.go persists them): sealed base shards
+    * stay immutable; an upsert appends its vectors to a DELTA segment
+    * (`<dir>/_delta`) and its ids to a TOMBSTONE segment
+    * (`<dir>/_tombstones`) — underscore-prefixed, so the base shard
+    * reader never sees either. [[hnswSearchStored]] masks tombstoned
+    * ids out of the graph walk and scores the delta exactly into the
+    * same rank merge, so a mutate-then-search sequence serves the new
+    * vector immediately, no rebuild.
+    *
+    * Scale contract (the LSM shape): the delta stays mutation-sized —
+    * when it outgrows a fraction of the base, compact by rebuilding the
+    * shards over the merged corpus ([[hnswWrite]]). One writer per
+    * index dir (the reference serializes index mutations through its
+    * single write path).
+    */
+  def hnswUpsert(spark: SparkSession, dir: String, vectors: DataFrame): Unit = {
+    val seq = nextIndexSeq(spark, dir)
+    vectors.select(col("id"), lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$dir/_tombstones")
+    vectors.select(col("id"), col("qe"), lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$dir/_delta")
+  }
+
+  /** Delete ids from a persisted HNSW layout: tombstone only — masks
+    * the base graph and any delta write older than this delete.
+    */
+  def hnswDelete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val seq = nextIndexSeq(spark, dir)
+    ids.select(col("id"), lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$dir/_tombstones")
+  }
+
+  private def nextIndexSeq(spark: SparkSession, dir: String): Long = {
+    val t = new java.io.File(dir, "_tombstones")
+    if (!t.isDirectory) 1L
+    else {
+      val r = spark.read.parquet(t.getAbsolutePath)
+        .agg(max(col("seq"))).head
+      if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
+    }
   }
 
   /** Random-hyperplane LSH signature: bit j of `sig` is the sign of the

@@ -56,6 +56,11 @@ object LlmQueries {
   // uids = vec_id + 1, so a separate layout from hnswDirCache)
   private val hnswDqlDirCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  // a separate uid-keyed layout carrying a LIVE mutation delta — the
+  // similar_to_after_mutation gate must not pollute the clean dispatch
+  // layout above
+  private val hnswMutDirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val pqBookCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
   // Equivalent to Dedup.shingleSets(corpusNear) but tokenizes each base
@@ -494,6 +499,58 @@ object LlmQueries {
       st.registerAnnIndex("embedding", dir)
       // anchor = vec 0's embedding as a literal vector (double-exact
       // round-trip: the float casts to double, double renders shortest)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      new graft.exec.DqlExecutor(st)
+        .flat(s"""{ q(func: similar_to(embedding, 5, "[${qv.mkString(",")}]", ef: 100000)) { uid } }""")
+        .select(col("uid"))
+        .orderBy(col("uid"))
+    }),
+
+    // ANN index maintenance on mutation (reference posting/index.go:585
+    // AddMutationWithIndex: vector postings are maintained
+    // transactionally with the write; tok/hnsw/persistent_hnsw.go
+    // persists them). The session layout carries a live delta — an
+    // upsert replacing subject 3's vector with 3× the anchor, an insert
+    // of a brand-new subject at 2×anchor+1, and a delete of the anchor
+    // row itself — so a mutate-then-similar_to sequence serves the
+    // post-mutation top-k with NO rebuild: the upserted and inserted
+    // vectors rank at the top and the deleted exact-match row vanishes.
+    // Exact mode (ef >= corpus), so the oracle is quantized-cosine brute
+    // force over the mutated corpus.
+    "similar_to_after_mutation" -> ((s, d) => {
+      val q = embQ(s, d).select((col("id") + 1).as("id"), col("qe"))
+      val dir = hnswMutDirCache.getOrElseUpdate((s, d), {
+        val p = new java.io.File(
+          s"target/graft-hnswmut_${new java.io.File(d).getName}" +
+            s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
+        Similarity.hnswWrite(q, p, nPartitions = 4)
+        val anchor = q.filter(col("id") === 1)
+        Similarity.hnswUpsert(s, p,
+          anchor.select(lit(3L).as("id"),
+              transform(col("qe"), x => x * 3).as("qe"))
+            .unionByName(anchor.select(lit(1000001L).as("id"),
+              transform(col("qe"), x => x * 2 + 1).as("qe"))))
+        Similarity.hnswDelete(s, p, anchor.select(col("id")))
+        p
+      })
+      val emb = t(s, d, "embeddings")
+      val triples = emb.select(
+        (col("vec_id") + 1).cast("long").as("subject"),
+        lit("embedding").as("predicate"),
+        lit(null).cast("long").as("objectUid"),
+        concat(lit("["), concat_ws(", ",
+          transform(col("embedding"), x => x.cast("double").cast("string"))),
+          lit("]")).as("value"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("facets"))
+      val (preds, types) = graft.core.SchemaRegistry.parseAlter(
+        """embedding: float32vector @index(hnsw(metric: "cosine")) .""")
+      val st = new graft.core.TripleFrameStore(s,
+        new graft.core.SchemaRegistry(preds.map(p => p.name -> p).toMap,
+          types.map(tp => tp.name -> tp).toMap), triples, Map.empty,
+        materialize = false)
+      st.registerAnnIndex("embedding", dir)
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       new graft.exec.DqlExecutor(st)
@@ -1016,6 +1073,25 @@ object LlmQueries {
          | SELECT c.id + 1 AS uid, CAST(ROW_NUMBER() OVER (
          |   ORDER BY ${cosSql("q0.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
          | FROM q c, (SELECT qe FROM q WHERE id = 0) q0)
+         |WHERE rank <= 5 ORDER BY uid""".stripMargin,
+
+    // brute force over the MUTATED corpus: subject 3 replaced by
+    // 3×anchor, 1000001 inserted at 2×anchor+1, the anchor row (sid 1)
+    // deleted — list ops on the already-quantized vectors, so both
+    // engines transform identical integers
+    "similar_to_after_mutation" ->
+      s"""WITH base AS ($embQSql),
+         | q0 AS (SELECT qe FROM base WHERE id = 0),
+         | mut AS (
+         |  SELECT id + 1 AS sid, qe FROM base WHERE id + 1 <> 1 AND id + 1 <> 3
+         |  UNION ALL SELECT 3 AS sid,
+         |   (SELECT list_transform(qe, x -> x*3) FROM base WHERE id = 0) AS qe
+         |  UNION ALL SELECT 1000001 AS sid,
+         |   (SELECT list_transform(qe, x -> x*2+1) FROM base WHERE id = 0) AS qe)
+         |SELECT uid FROM (
+         | SELECT c.sid AS uid, CAST(ROW_NUMBER() OVER (
+         |   ORDER BY ${cosSql("q0.qe", "c.qe")} DESC, c.sid ASC) AS INT) AS rank
+         | FROM mut c, q0)
          |WHERE rank <= 5 ORDER BY uid""".stripMargin,
 
     "similar_to_uid" ->

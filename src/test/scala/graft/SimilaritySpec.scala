@@ -194,6 +194,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(storedExact == exact)
   }
 
+  test("HNSW: incremental upsert/delete maintain the stored layout without rebuild") {
+    // the LSM shape (reference posting/index.go:585 AddMutationWithIndex
+    // keeps vector postings current with every write): sealed base
+    // shards + delta/tombstone segments. Exact-mode search over the
+    // mutated layout must equal brute force over the mutated corpus,
+    // through every ordering case: insert, replace, re-replace,
+    // delete-of-base, delete-after-upsert.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val queries = base.filter($"id" % 25 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_mut")
+      .toFile.getAbsolutePath
+    Similarity.hnswWrite(base, dir, nPartitions = 4)
+    val v0 = base.filter($"id" === 0)
+    // batch 1: insert a new id, replace id 3
+    Similarity.hnswUpsert(spark, dir,
+      v0.select(lit(900001L).as("id"), transform($"qe", x => x * 2).as("qe"))
+        .unionByName(
+          v0.select(lit(3L).as("id"), transform($"qe", x => -x).as("qe"))))
+    // batch 2: re-replace id 3 (latest write must win), delete id 7
+    Similarity.hnswUpsert(spark, dir,
+      v0.select(lit(3L).as("id"), transform($"qe", x => x * 3).as("qe")))
+    Similarity.hnswDelete(spark, dir, v0.select(lit(7L).as("id")))
+    // batch 3: upsert id 11 then delete it — the delete must cover the
+    // newer delta row too
+    Similarity.hnswUpsert(spark, dir,
+      v0.select(lit(11L).as("id"), transform($"qe", x => x * 5).as("qe")))
+    Similarity.hnswDelete(spark, dir, v0.select(lit(11L).as("id")))
+    val mutated = base.filter(!$"id".isin(3L, 7L, 11L))
+      .unionByName(v0.select(lit(900001L).as("id"),
+        transform($"qe", x => x * 2).as("qe")))
+      .unionByName(v0.select(lit(3L).as("id"),
+        transform($"qe", x => x * 3).as("qe")))
+      .localCheckpoint()
+    val exact = Similarity.bruteForceTopK(queries, mutated, 5)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    val storedExact = Similarity.hnswSearchStored(queries, spark, dir, 5,
+        efSearch = Int.MaxValue)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    assert(storedExact == exact)
+  }
+
   test("PQ exact mode: bounded-cardinality codebooks make ADC search equal brute force") {
     // per-subspace cardinality <= 35 by construction: exact codebooks
     // encode losslessly, so ADC == true distance and PQ == brute force,
