@@ -78,14 +78,18 @@ final class Acl(users: Map[String, Acl.User],
   // are data, administered through /admin GraphQL mutations). Volatile
   // immutable maps: reads (every request) are lock-free; the rare admin
   // write swaps a new map under the lock. The constructor maps seed it.
-  // Users key by (namespace, id) — the reference creates a groot in
-  // EVERY namespace (graphql/admin/namespace.go:29 resolveAddNamespace),
-  // so the same id must coexist per tenant; namespace 0 keys by bare id
-  // to keep the single-tenant constructor seeds working unchanged.
-  private def ukey(ns: Long, id: String): String =
-    if (ns == 0L) id else s"$ns#$id"
-  @volatile private var userReg: Map[String, Acl.User] = users
-  @volatile private var groupReg: Map[String, Seq[Acl.Rule]] = groups
+  // Users AND groups key by (namespace, id) — the reference stores ACL
+  // nodes inside each tenant's own data (graphql/admin/namespace.go:29
+  // resolveAddNamespace creates a groot + guardians in EVERY namespace),
+  // so the same id must coexist per tenant and a tenant's group rules
+  // must never apply to another tenant's users. A tuple key, not a
+  // delimited string: "5#groot" as a namespace-0 user id must not alias
+  // tenant 5's groot.
+  private def ukey(ns: Long, id: String): (Long, String) = (ns, id)
+  @volatile private var userReg: Map[(Long, String), Acl.User] =
+    users.map { case (id, u) => (u.namespace, id) -> u }
+  @volatile private var groupReg: Map[(Long, String), Seq[Acl.Rule]] =
+    groups.map { case (name, rs) => (0L, name) -> rs }
   private val adminLock = new Object
 
   /** Admin surface (used by the /admin GraphQL mutations; callers are
@@ -104,8 +108,9 @@ final class Acl(users: Map[String, Acl.User],
     * can never be repaired. Tenant guardians don't count: they cannot
     * administer the galaxy.
     */
-  private def requireGuardianSurvives(afterUsers: Map[String, Acl.User]): Unit = {
-    def galaxyGuardian(m: Map[String, Acl.User]): Boolean =
+  private def requireGuardianSurvives(
+      afterUsers: Map[(Long, String), Acl.User]): Unit = {
+    def galaxyGuardian(m: Map[(Long, String), Acl.User]): Boolean =
       m.values.exists(u => u.namespace == 0L && u.groups.contains(Guardians))
     if (galaxyGuardian(userReg) && !galaxyGuardian(afterUsers))
       throw AclException(
@@ -132,55 +137,65 @@ final class Acl(users: Map[String, Acl.User],
       neu
     }
 
-  /** Drop every user of a namespace (deleteNamespace teardown,
-    * reference namespace.go:52 resolveDeleteNamespace drops the
-    * tenant's data wholesale — its ACL nodes live in that data).
+  /** Drop every user AND group of a namespace (deleteNamespace
+    * teardown, reference namespace.go:52 resolveDeleteNamespace drops
+    * the tenant's data wholesale — its ACL nodes live in that data).
     */
   def dropNamespaceUsers(ns: Long): Int = adminLock.synchronized {
     require(ns != 0L, "cannot drop users of the default namespace")
     val before = userReg.size
     userReg = userReg.filterNot { case (_, u) => u.namespace == ns }
+    groupReg = groupReg.filterNot { case ((gns, _), _) => gns == ns }
     before - userReg.size
   }
-  def addGroup(name: String, rules: Seq[Acl.Rule] = Nil): Unit =
+  def addGroup(name: String, rules: Seq[Acl.Rule] = Nil,
+      ns: Long = 0L): Unit =
     adminLock.synchronized {
-      if (groupReg.contains(name))
+      if (groupReg.contains((ns, name)))
         throw AclException(
           s"couldn't add group because id $name already exists")
-      groupReg = groupReg + (name -> rules)
+      groupReg = groupReg + ((ns, name) -> rules)
     }
-  def deleteGroup(name: String): Boolean = adminLock.synchronized {
-    // reference ee/acl: the guardians super-group may not be deleted —
-    // stripping it from every user would permanently lock /admin
-    if (name == Guardians)
-      throw AclException(s"cannot delete group $Guardians")
-    val existed = groupReg.contains(name)
-    groupReg = groupReg - name
-    userReg = userReg.map { case (id, u) =>
-      id -> u.copy(groups = u.groups - name)
+  def deleteGroup(name: String, ns: Long = 0L): Boolean =
+    adminLock.synchronized {
+      // reference ee/acl: the guardians super-group may not be deleted —
+      // stripping it from every user would permanently lock /admin (the
+      // galaxy's) or the tenant's own admin surface
+      if (name == Guardians)
+        throw AclException(s"cannot delete group $Guardians")
+      val existed = groupReg.contains((ns, name))
+      groupReg = groupReg - ((ns, name))
+      // membership strips only within the group's own namespace — a
+      // tenant deleting its "eng" group must not strip ns-0's "eng"
+      userReg = userReg.map { case (k, u) =>
+        k -> (if (u.namespace == ns) u.copy(groups = u.groups - name) else u)
+      }
+      existed
     }
-    existed
-  }
   /** Set/overwrite rules by predicate (reference updateGroup set.rules:
     * a rule per predicate; setting an existing predicate replaces its
     * permission) and remove rules by predicate name.
     */
   def updateGroupRules(name: String, set: Seq[Acl.Rule],
-      remove: Set[String]): Seq[Acl.Rule] = adminLock.synchronized {
-    val cur = groupReg.getOrElse(name,
-      throw AclException(s"group $name not found"))
-    val afterRemove = cur.filterNot(r => remove.contains(r.predicate))
-    val merged = afterRemove.filterNot(r =>
-      set.exists(_.predicate == r.predicate)) ++ set
-    groupReg = groupReg + (name -> merged)
-    merged
-  }
+      remove: Set[String], ns: Long = 0L): Seq[Acl.Rule] =
+    adminLock.synchronized {
+      val cur = groupReg.getOrElse((ns, name),
+        throw AclException(s"group $name not found"))
+      val afterRemove = cur.filterNot(r => remove.contains(r.predicate))
+      val merged = afterRemove.filterNot(r =>
+        set.exists(_.predicate == r.predicate)) ++ set
+      groupReg = groupReg + ((ns, name) -> merged)
+      merged
+    }
   def listUsers: Seq[Acl.User] =
     userReg.values.toSeq.sortBy(u => (u.namespace, u.id))
-  def listGroups: Seq[(String, Seq[Acl.Rule])] = groupReg.toSeq.sortBy(_._1)
+  def listGroups(ns: Long = 0L): Seq[(String, Seq[Acl.Rule])] =
+    groupReg.toSeq.collect { case ((gns, n), rs) if gns == ns => (n, rs) }
+      .sortBy(_._1)
   def getUser(id: String, ns: Long = 0L): Option[Acl.User] =
     userReg.get(ukey(ns, id))
-  def getGroup(name: String): Option[Seq[Acl.Rule]] = groupReg.get(name)
+  def getGroup(name: String, ns: Long = 0L): Option[Seq[Acl.Rule]] =
+    groupReg.get((ns, name))
 
   /** Verify the password, issue the access JWT (userId, groups joined
     * multi-valued, namespace). A bad user or password rejects with the
@@ -218,16 +233,22 @@ final class Acl(users: Map[String, Acl.User],
     claims(accessJwt).get("groups").toSet[String]
       .flatMap(_.split(Auth.MultiSep).filter(_.nonEmpty))
 
-  private def perm(gs: Set[String], predicate: String): Int =
+  /** The token's verified namespace claim — group rules resolve WITHIN
+    * it, so a tenant's "eng" group can never grant against ns-0's. */
+  private def nsOfClaims(accessJwt: String): Long =
+    try claims(accessJwt).getOrElse("namespace", "0").toLong
+    catch { case _: NumberFormatException => 0L }
+
+  private def perm(gs: Set[String], predicate: String, ns: Long): Int =
     if (gs.contains(Guardians)) Read | Write | Modify
-    else gs.flatMap(g => groupReg.getOrElse(g, Nil))
+    else gs.flatMap(g => groupReg.getOrElse((ns, g), Nil))
       .filter(_.predicate == predicate).map(_.permission)
       .foldLeft(0)(_ | _)
 
-  def canRead(gs: Set[String], predicate: String): Boolean =
-    (perm(gs, predicate) & Read) != 0
-  def canWrite(gs: Set[String], predicate: String): Boolean =
-    (perm(gs, predicate) & Write) != 0
+  def canRead(gs: Set[String], predicate: String, ns: Long = 0L): Boolean =
+    (perm(gs, predicate, ns) & Read) != 0
+  def canWrite(gs: Set[String], predicate: String, ns: Long = 0L): Boolean =
+    (perm(gs, predicate, ns) & Write) != 0
 
   /** Is the token's bearer in the guardians group (signature-checked)? */
   def isGuardian(accessJwt: String): Boolean =
@@ -252,7 +273,8 @@ final class Acl(users: Map[String, Acl.User],
     */
   def storeFor(inner: GraphStore, accessJwt: String): GraphStore = {
     val gs = groupsOf(accessJwt)
-    new AclStore(inner, p => canRead(gs, p))
+    val ns = nsOfClaims(accessJwt)
+    new AclStore(inner, p => canRead(gs, p, ns))
   }
 
   /** Write-side enforcement: every predicate a mutation touches (set OR
@@ -268,12 +290,13 @@ final class Acl(users: Map[String, Acl.User],
     */
   def authorizeMutation(accessJwt: String, preds: Seq[String]): Unit = {
     val gs = groupsOf(accessJwt)
+    val ns = nsOfClaims(accessJwt)
     val touched = preds.distinct.filter(_ != "*")
     val aclTouched = touched.filter(p => AclPredicates(p.toLowerCase)).sorted
     if (aclTouched.nonEmpty) throw AclException(
       s"unauthorized to mutate acl predicates: ${aclTouched.mkString(" ")}")
     if (!gs.contains(Guardians)) {
-      val blocked = touched.filterNot(p => canWrite(gs, p)).sorted
+      val blocked = touched.filterNot(p => canWrite(gs, p, ns)).sorted
       if (blocked.nonEmpty) throw AclException(
         s"unauthorized to mutate following predicates: ${blocked.mkString(" ")}")
     }

@@ -213,16 +213,24 @@ final class HttpEndpoint(
   private def requireGuardian(ex: HttpExchange, op: String): Unit =
     requireGuardianToken(accessToken(ex), op)
 
-  /** Namespace administration requires a guardian OF THE GALAXY — a
-    * guardian of the default namespace 0 (reference edgraph/server.go
-    * "Only guardian of galaxy is allowed to do this operation").
+  /** Namespace administration, whole-store export/backup/restore, and
+    * server lifecycle (draining/shutdown/drop-all) require a guardian
+    * OF THE GALAXY — a guardian of the default namespace 0 (reference
+    * edgraph/server.go "Only guardian of galaxy is allowed to do this
+    * operation"). A tenant guardian reaching these would break
+    * isolation: every one of them reads or mutates namespace-0 (or
+    * all-tenant) state.
     */
-  private def requireGalaxyGuardian(ex: HttpExchange, op: String): Unit = {
-    requireGuardian(ex, op)
-    if (nsOf(accessToken(ex)) != 0L) throw Acl.AclException(
+  private[server] def requireGalaxyGuardianToken(tok: Option[String],
+      op: String): Unit = {
+    requireGuardianToken(tok, op)
+    if (acl.nonEmpty && nsOf(tok) != 0L) throw Acl.AclException(
       s"unauthorized to $op. Only guardian of galaxy is allowed to do " +
         "this operation.")
   }
+
+  private def requireGalaxyGuardian(ex: HttpExchange, op: String): Unit =
+    requireGalaxyGuardianToken(accessToken(ex), op)
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
@@ -392,7 +400,7 @@ final class HttpEndpoint(
       else if (opName == "export") {
         // reference graphql/admin/export.go resolveExport: mutation
         // { export(input: {format, destination}) { response exportedFiles } }
-        requireGuardian(ex, "export")
+        requireGalaxyGuardian(ex, "export")
         val dest = adminStrArg(q, "destination").getOrElse(
           throw new IllegalArgumentException(
             "you must specify a 'destination' value"))
@@ -406,7 +414,7 @@ final class HttpEndpoint(
       } else if (opName == "backup") {
         // reference graphql/admin/backup.go resolveBackup: mutation
         // { backup(input: {destination, forceFull}) { response taskId } }
-        requireGuardian(ex, "backup")
+        requireGalaxyGuardian(ex, "backup")
         val dest = adminStrArg(q, "destination").getOrElse(
           throw new IllegalArgumentException(
             "you must specify a 'destination' value"))
@@ -422,7 +430,7 @@ final class HttpEndpoint(
         // { restore(input: {location}) { code message restoreId } } —
         // the serving frame and predicate schema swap to the backup's
         // state (incrementals replayed in order)
-        requireGuardian(ex, "restore")
+        requireGalaxyGuardian(ex, "restore")
         val loc = adminStrArg(q, "location").getOrElse(
           throw new IllegalArgumentException(
             "you must specify a 'location' value"))
@@ -439,7 +447,7 @@ final class HttpEndpoint(
       } else if (opName == "draining") {
         // reference graphql/admin/draining.go: mutation
         // { draining(enable: Boolean) { response { code message } } }
-        requireGuardian(ex, "draining")
+        requireGalaxyGuardian(ex, "draining")
         val enable = """enable\s*:\s*(true|false)""".r.findFirstMatchIn(q)
           .exists(_.group(1) == "true")
         drainingMode = enable
@@ -453,7 +461,7 @@ final class HttpEndpoint(
         // delayed server.stop(1) gives the response write (which runs
         // after this handler returns) and other in-flight exchanges a
         // grace second instead of cutting them mid-body.
-        requireGuardian(ex, "shutdown")
+        requireGalaxyGuardian(ex, "shutdown")
         val t = new Thread(() => {
           Thread.sleep(300)
           shutdownHooks.forEach(h => try h.run() catch { case _: Throwable => () })
@@ -468,7 +476,7 @@ final class HttpEndpoint(
         // {location}): [Manifest] — one entry for the full backup plus
         // one per incremental; the series scan is SHARED with
         // Backup.restore so the two can never disagree on the layout
-        requireGuardian(ex, "listBackups")
+        requireGalaxyGuardian(ex, "listBackups")
         val loc = adminStrArg(q, "location").getOrElse(
           throw new IllegalArgumentException(
             "you must specify a 'location' value"))
@@ -493,9 +501,13 @@ final class HttpEndpoint(
         val a = acl.getOrElse(throw Acl.AclException("ACL is not enabled"))
         val pw = adminStrArg(q, "password").getOrElse("password")
         val ns = nsSeq.incrementAndGet()
-        tenants.put(ns, triples.limit(0).localCheckpoint())
+        // groot + guardians first, tenant frame last: if user creation
+        // throws, no half-created namespace is ever published (the
+        // consumed nsSeq value is harmless — ids need not be dense)
         a.addUser(Acl.User("groot", Acl.hashPassword("groot", pw),
           Set(Acl.Guardians), namespace = ns))
+        a.addGroup(Acl.Guardians, Nil, ns)
+        tenants.put(ns, triples.limit(0).localCheckpoint())
         s"""{"data":{"addNamespace":{"namespaceId":$ns,""" +
           s""""message":"Created namespace successfully"}}}"""
       } else if (opName == "deleteNamespace") {
@@ -536,8 +548,13 @@ final class HttpEndpoint(
           s""""message":"Reset password is successful"}}}"""
       } else if (HttpEndpoint.aclAdminOps.contains(opName)) {
         requireGuardian(ex, opName)
+        // ACL CRUD is scoped to the CALLER's namespace (reference: ACL
+        // nodes are tenant data, namespace-prefixed keys) — a tenant
+        // guardian administers its own users/groups only and can never
+        // touch the galaxy groot or another tenant's rules
         aclAdmin(opName, q,
-          acl.getOrElse(throw Acl.AclException("ACL is not enabled")))
+          acl.getOrElse(throw Acl.AclException("ACL is not enabled")),
+          nsOf(accessToken(ex)))
       } else throw new IllegalArgumentException(
         "unsupported admin operation (getGQLSchema / updateGQLSchema / " +
           "health / export / backup / restore / draining / namespaces / " +
@@ -685,7 +702,7 @@ final class HttpEndpoint(
     * the [[Acl]] registry). Documents are standard GraphQL, so the
     * GraphQL parser supplies the args; transport already guardian-gated.
     */
-  private def aclAdmin(op: String, q: String, a: Acl): String = {
+  private def aclAdmin(op: String, q: String, a: Acl, ns: Long): String = {
     import graft.graphql.{GqlParser, GVal, GStr, GNum, GEnum, GList, GObj}
     val root = GqlParser.parse(q).roots.head
     def str(v: GVal): String = v match {
@@ -742,7 +759,7 @@ final class HttpEndpoint(
           val pw = o.get("password").map(str).getOrElse(
             throw new IllegalArgumentException("addUser needs password"))
           a.addUser(Acl.User(name, Acl.hashPassword(name, pw),
-            groupNames(o.get("groups"))))
+            groupNames(o.get("groups")), namespace = ns))
           name
         }
         s"""{"data":{"addUser":{"user":[${added.map(n =>
@@ -762,16 +779,16 @@ final class HttpEndpoint(
           set.flatMap(_.get("password")).map(str)
             .map(Acl.hashPassword(name, _)),
           groupNames(set.flatMap(_.get("groups"))),
-          groupNames(remove.flatMap(_.get("groups"))))
+          groupNames(remove.flatMap(_.get("groups"))), ns)
         s"""{"data":{"updateUser":{"user":[${userJson(u)}]}}}"""
       case "deleteUser" =>
-        val n = if (a.deleteUser(filterName)) 1 else 0
+        val n = if (a.deleteUser(filterName, ns)) 1 else 0
         s"""{"data":{"deleteUser":{"msg":"Deleted","numUids":$n}}}"""
       case "addGroup" =>
         val added = inputs.map { o =>
           val name = o.get("name").map(str).getOrElse(
             throw new IllegalArgumentException("addGroup needs name"))
-          a.addGroup(name, rulesOf(o.get("rules")))
+          a.addGroup(name, rulesOf(o.get("rules")), ns)
           name
         }
         s"""{"data":{"addGroup":{"group":[${added.map(n =>
@@ -793,21 +810,22 @@ final class HttpEndpoint(
           case Some(v) => Set(str(v))
           case None => Set.empty[String]
         }
-        val merged = a.updateGroupRules(name, set, remove)
+        val merged = a.updateGroupRules(name, set, remove, ns)
         s"""{"data":{"updateGroup":{"group":[${groupJson(name, merged)}]}}}"""
       case "deleteGroup" =>
-        val n = if (a.deleteGroup(filterName)) 1 else 0
+        val n = if (a.deleteGroup(filterName, ns)) 1 else 0
         s"""{"data":{"deleteGroup":{"msg":"Deleted","numUids":$n}}}"""
       case "queryUser" =>
-        s"""{"data":{"queryUser":[${a.listUsers.map(userJson).mkString(",")}]}}"""
+        s"""{"data":{"queryUser":[${a.listUsers.filter(_.namespace == ns)
+          .map(userJson).mkString(",")}]}}"""
       case "queryGroup" =>
-        s"""{"data":{"queryGroup":[${a.listGroups.map { case (n, rs) =>
+        s"""{"data":{"queryGroup":[${a.listGroups(ns).map { case (n, rs) =>
           groupJson(n, rs) }.mkString(",")}]}}"""
       case "getUser" =>
-        s"""{"data":{"getUser":${a.getUser(filterName)
+        s"""{"data":{"getUser":${a.getUser(filterName, ns)
           .map(userJson).getOrElse("null")}}}"""
       case "getGroup" =>
-        s"""{"data":{"getGroup":${a.getGroup(filterName)
+        s"""{"data":{"getGroup":${a.getGroup(filterName, ns)
           .map(rs => groupJson(filterName, rs)).getOrElse("null")}}}"""
     }
   }
@@ -901,7 +919,15 @@ final class HttpEndpoint(
         catch { case _: Exception => None }
       node.filter(n => Seq("drop_all", "drop_attr", "drop_op")
           .exists(n.has)) match {
-        case Some(n) => applyDrop(n)
+        case Some(n) =>
+          // drop-all wipes the DEFAULT namespace's frame and the shared
+          // schema — tenant guardians may not reach it (reference
+          // edgraph/server.go Alter: "Only guardian of galaxy")
+          val dropAll = (n.has("drop_all") && n.get("drop_all").asBoolean) ||
+            (n.has("drop_op") && Seq("ALL", "DATA")
+              .contains(n.get("drop_op").asText))
+          if (dropAll) requireGalaxyGuardianToken(tok, "drop all")
+          applyDrop(n)
         case None => schema = schema.alter(body)
       }
     }
@@ -1367,7 +1393,11 @@ final class HttpEndpoint(
           (200, s"""{"errors":[{"message":${M.writeValueAsString(msg)}}]}""",
             "error")
       }
-    val path = ex.getRequestURI.getPath
+    // label with the REGISTERED route, not the raw request path: contexts
+    // match by prefix, so /health/<unique-suffix> would otherwise mint a
+    // fresh permanent counter per request — an unauthenticated client
+    // could grow driver memory without bound through the open /health
+    val path = ex.getHttpContext.getPath
     metrics.inc("graft_http_requests_total",
       "path" -> path, "status" -> outcome)
     metrics.addNanos("graft_request_seconds_total",

@@ -145,4 +145,62 @@ class AclSpec extends AnyFunSuite {
     assert(s.edges.select("predicate").distinct().as[String].collect()
       .forall(_ == "name"))
   }
+
+  test("groups are namespaced: a tenant's rules never grant or bleed across tenants") {
+    val a = new Acl(Map.empty, Map.empty, "ns-secret")
+    // same group NAME in two namespaces, different rules
+    a.addGroup("eng", Seq(Acl.Rule("name", Acl.Read)), ns = 0L)
+    a.addGroup("eng", Seq.empty, ns = 5L) // tenant 5's eng grants nothing
+    assert(a.canRead(Set("eng"), "name", ns = 0L))
+    // the tenant's "eng" must NOT inherit ns-0's READ rule
+    assert(!a.canRead(Set("eng"), "name", ns = 5L))
+    // a tenant guardian editing ITS eng leaves ns-0's untouched
+    a.updateGroupRules("eng", Seq(Acl.Rule("salary", Acl.Write)),
+      Set.empty, ns = 5L)
+    assert(a.getGroup("eng", 0L).contains(Seq(Acl.Rule("name", Acl.Read))))
+    assert(a.canWrite(Set("eng"), "salary", ns = 5L) &&
+      !a.canWrite(Set("eng"), "salary", ns = 0L))
+    // deleting the tenant's group strips membership only in ns 5
+    a.addUser(Acl.User("u0", Acl.hashPassword("u0", "p"), Set("eng"),
+      namespace = 0L))
+    a.addUser(Acl.User("u5", Acl.hashPassword("u5", "p"), Set("eng"),
+      namespace = 5L))
+    a.deleteGroup("eng", ns = 5L)
+    assert(a.getUser("u0", 0L).exists(_.groups.contains("eng")))
+    assert(a.getUser("u5", 5L).exists(!_.groups.contains("eng")))
+    assert(a.getGroup("eng", 0L).nonEmpty && a.getGroup("eng", 5L).isEmpty)
+    // listGroups is per-namespace
+    assert(a.listGroups(0L).map(_._1) == Seq("eng") &&
+      a.listGroups(5L).isEmpty)
+    // token-driven read enforcement resolves within the TOKEN's namespace
+    val t5 = {
+      a.addUser(Acl.User("zoe", Acl.hashPassword("zoe", "zp"), Set("eng"),
+        namespace = 5L))
+      a.addGroup("eng", Seq.empty, ns = 5L) // re-add, still grants nothing
+      a.login("zoe", "zp", namespace = 5L)
+    }
+    assert(new DqlExecutor(a.storeFor(store, t5))
+      .flat("""{ q(func: has(name)) { name } }""").count() == 0)
+  }
+
+  test("user keys are tuples: a '#'-bearing ns-0 id never aliases a tenant user") {
+    val a = new Acl(Map.empty, Map.empty, "tuple-secret")
+    a.addUser(Acl.User("5#groot", Acl.hashPassword("5#groot", "evil"),
+      Set.empty, namespace = 0L))
+    // with a delimited-string key this addUser would throw "already
+    // exists" (ukey(0,"5#groot") == ukey(5,"groot")); tuples keep them apart
+    a.addUser(Acl.User("groot", Acl.hashPassword("groot", "good"),
+      Set(Acl.Guardians), namespace = 5L))
+    assert(a.getUser("groot", 5L).exists(_.groups == Set(Acl.Guardians)))
+    assert(a.getUser("5#groot", 0L).exists(_.groups.isEmpty))
+    // tenant login uses the TENANT's hash, not the squatter's
+    val tok = a.login("groot", "good", namespace = 5L)
+    assert(a.claims(tok)("namespace") == "5")
+    intercept[Acl.AclException] { a.login("groot", "evil", namespace = 5L) }
+    // teardown drops the tenant's users AND groups, the squatter survives
+    a.addGroup("eng", Nil, ns = 5L)
+    a.dropNamespaceUsers(5L)
+    assert(a.getUser("groot", 5L).isEmpty && a.getGroup("eng", 5L).isEmpty)
+    assert(a.getUser("5#groot", 0L).nonEmpty)
+  }
 }

@@ -977,4 +977,77 @@ class HttpEndpointSpec extends AnyFunSuite {
         .contains("Cannot delete default namespace"))
     } finally ep.stop()
   }
+
+  test("tenant guardians cannot escalate: galaxy-only ops, ns-scoped ACL CRUD") {
+    val (preds, types) = SchemaRegistry.parseAlter("hname: string @index(exact) .")
+    val acl = new Acl(
+      users = Map("groot" -> Acl.User("groot",
+        Acl.hashPassword("groot", "password"), Set(Acl.Guardians))),
+      groups = Map.empty, secret = "galaxy-secret")
+    val ep = new HttpEndpoint(spark,
+      new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+        types.map(t => t.name -> t).toMap),
+      RdfSource.parse(Seq("""<0x1> <hname> "galaxy-ann" .""").toDF("line")),
+      acl = Some(acl))
+    val port = ep.start()
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def login(body: String): String =
+        m.readTree(call(port, "/login", body = body))
+          .get("data").get("accessJWT").asText
+      val galaxy = login("""{"userid":"groot","password":"password"}""")
+      def admin(q: String, tok: String): String =
+        call(port, "/admin", token = Some(tok),
+          body = m.writeValueAsString(java.util.Map.of("query", q)))
+      val ns = m.readTree(admin(
+        """mutation { addNamespace(input: {password: "tenant-pw"})
+          | { namespaceId } }""".stripMargin, galaxy))
+        .at("/data/addNamespace/namespaceId").asLong
+      val tenant = login(
+        s"""{"userid":"groot","password":"tenant-pw","namespace":$ns}""")
+      // every whole-store admin op rejects a tenant guardian (reference
+      // edgraph/server.go "Only guardian of galaxy")
+      for (q <- Seq(
+        """mutation { export(input: {destination: "/tmp/x"}) { response { code } } }""",
+        """mutation { backup(input: {destination: "/tmp/x"}) { taskId } }""",
+        """mutation { restore(input: {location: "/tmp/x"}) { code } }""",
+        """mutation { draining(enable: true) { response { code } } }""",
+        """mutation { shutdown { response { code } } }""",
+        """query { listBackups(input: {location: "/tmp/x"}) { backupNum } }"""))
+        assert(admin(q, tenant).contains("guardian of galaxy"), q)
+      // drop-all through /alter is galaxy-only too; schema alters aren't
+      assert(call(port, "/alter", token = Some(tenant),
+        body = """{"drop_all": true}""").contains("guardian of galaxy"))
+      assert(call(port, "/alter", token = Some(tenant),
+        body = "tname: string .").contains("Success"))
+      // ACL CRUD is scoped to the CALLER's namespace: the tenant groot
+      // resetting "groot"'s password touches ITS groot, not the galaxy's
+      assert(admin("""mutation { updateUser(input: {filter: {name: {eq:
+        | "groot"}}, set: {password: "stolen"}}) { user { name } } }"""
+        .stripMargin, tenant).contains("updateUser"))
+      // galaxy groot's password is unchanged; the tenant's was rotated
+      login("""{"userid":"groot","password":"password"}""")
+      assert(call(port, "/login", body =
+        """{"userid":"groot","password":"stolen"}""")
+        .contains("invalid user or password"))
+      login(s"""{"userid":"groot","password":"stolen","namespace":$ns}""")
+      // tenant user/group listings stay inside the tenant
+      assert(admin("""mutation { addGroup(input: [{name: "eng"}])
+        | { group { name } } }""".stripMargin, tenant).contains("eng"))
+      assert(!admin("query { queryGroup { name rules { predicate } } }",
+        galaxy).contains("eng"))
+      assert(!admin("query { queryUser { name } }", tenant)
+        .toLowerCase.contains("galaxy"))
+      // a tenant guardian may not delete the galaxy groot either
+      admin("""mutation { deleteUser(filter: {name: {eq: "groot"}})
+        | { numUids } }""".stripMargin, tenant)
+      login("""{"userid":"groot","password":"password"}""")
+      // metrics label cardinality is bounded by the ROUTE TABLE: a
+      // unique /health suffix must not mint a new label value
+      call(port, "/health/zzz-unique-suffix", method = "GET")
+      val text = call(port, "/debug/prometheus_metrics", method = "GET")
+      assert(!text.contains("zzz-unique-suffix"), text)
+      assert(text.contains("""path="/health""""), text)
+    } finally ep.stop()
+  }
 }
