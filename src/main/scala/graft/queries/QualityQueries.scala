@@ -377,13 +377,20 @@ object QualityQueries {
       val toks = docs(s, d)
         .select(col("doc_id"), posexplode(words(col("text"))))
         .toDF("doc_id", "pos", "w")
-      val vocab = toks.groupBy(col("w"))
-        .agg(count(lit(1)).as("tf"))
-        .orderBy(col("tf").desc, col("w").asc).limit(20).coalesce(1)
-        .withColumn("id", row_number().over(
-          Window.partitionBy(spark_partition_id())
-            .orderBy(col("tf").desc, col("w").asc)).cast("long"))
-        .select(col("w"), col("id"))
+      // contiguous global rank WITHOUT a single-partition pinch: a
+      // distributed range-partitioned sort, then zipWithIndex assigns
+      // contiguous ids from per-partition offsets computed by one
+      // metadata-sized count job — the exact-rank shape that survives a
+      // real 50k–5M tokenizer vocab, where a global row_number window
+      // (or a coalesce(1)) would serialize the whole vocab into one task
+      val counted = toks.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      val ranked = counted.select(col("w"), col("tf")).rdd
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy({ case (w, tf) => (-tf, w) })
+        .zipWithIndex()
+        .map { case ((w, _), i) => (w, i + 1L) }
+      val vocab = s.createDataFrame(ranked).toDF("w", "id")
+        .filter(col("id") <= 20L)
       toks.join(broadcast(vocab), Seq("w"), "left")
         .select(col("doc_id"), col("pos"),
           coalesce(col("id"), lit(0L)).as("id"))
