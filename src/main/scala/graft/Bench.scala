@@ -213,6 +213,23 @@ object Bench {
     warm("IVF centroids") {
       SparkEntry.queries("embed_ann_ivf_store")(spark, sfDir).count()
     }
+    // the JDK media codec stacks (ImageIO PNG/GIF readers+writers,
+    // AudioSystem WAV) class-load and JIT on first use — a two-row
+    // synth→decode probe per codec family absorbs that ramp so it
+    // doesn't land in the multimodal gates' cold column (measured:
+    // multimodal_video_neardup 5.3 s cold / 1.3 s steady, the gap
+    // being codec first-touch, not the banding). The scored gates keep
+    // paying their own full synth+decode+band work.
+    warm("media codec probe") {
+      import graft.operators.Multimodal
+      val img = spark.range(2).selectExpr("id AS media_id",
+        "CAST(1152921504606846977 AS BIGINT) + id AS bits")
+      Multimodal.decodeImage(Multimodal.synthesizeBitmapPng(img)).count()
+      Multimodal.decodeAudio(Multimodal.synthesizeToneWav(img)).count()
+      val vid = spark.range(2).selectExpr("id AS media_id",
+        "array(CAST(1152921504606846977 AS BIGINT) + id) AS frame_bits")
+      Multimodal.decodeVideo(Multimodal.synthesizeAnimatedGif(vid)).count()
+    }
     // the CC cluster labeling over the LSH candidates is session state
     // (LlmQueries.clusterCache) shared by dedup_clusters and
     // dedup_cluster_rep — warm it like the candidate index it derives

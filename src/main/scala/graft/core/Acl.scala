@@ -36,7 +36,10 @@ import graft.graphql.Auth
   *    caller-supplied frames, so the check runs where the caller
   *    composes the mutation.
   *
-  * Out of scope, documented: cross-namespace guardians admin ops.
+  * Tenancy boundaries: users AND groups key by (namespace, id);
+  *    permission rules resolve within the token's namespace; whole-store
+  *    admin ops require a guardian OF THE GALAXY (namespace 0) at the
+  *    transport (HttpEndpoint.requireGalaxyGuardianToken).
   */
 object Acl {
 

@@ -474,6 +474,68 @@ object Similarity {
         cosFromParts(dotQ(col("qv"), col("nv")), col("qn"), col("nn")).as("sim")), k)
   }
 
+  /** Incremental maintenance of a persisted IVF layout — the same
+    * delta/tombstone scheme as [[hnswUpsert]] (reference analogue:
+    * posting/index.go:585 AddMutationWithIndex maintains vector
+    * postings transactionally with the write): the sealed
+    * cell-partitioned base stays immutable; upserts append vectors to
+    * `<dir>/_delta` and their ids to `<dir>/_tombstones`. Centroids are
+    * NOT retrained — an IVF insert is a list append under fixed
+    * centroids (the standard inverted-file maintenance contract), so
+    * the delta joins the probe by assigning its cells on the fly.
+    * Compaction: when the delta outgrows a fraction of the base,
+    * rewrite with [[ivfWriteTrained]] over the merged corpus.
+    */
+  def ivfUpsert(spark: SparkSession, dir: String, vectors: DataFrame): Unit = {
+    val seq = nextIndexSeq(spark, dir)
+    vectors.select(col("id"), lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$dir/_tombstones")
+    vectors.select(col("id"), col("qe"), lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$dir/_delta")
+  }
+
+  /** Delete ids from a persisted IVF layout: tombstone only. */
+  def ivfDelete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    hnswDelete(spark, dir, ids) // same segment layout, same write
+
+  /** IVF search over a persisted index INCLUDING live mutations: base
+    * rows lose to any covering tombstone (the base predates every
+    * mutation), the latest live delta rows are cell-assigned with the
+    * stored centroids and ride the SAME probe-cell equi-join — the
+    * probe filter pushes through the union, so the base branch keeps
+    * its directory pruning and the delta branch is mutation-sized.
+    */
+  def ivfSearchLive(queries: DataFrame, spark: SparkSession, dir: String,
+      k: Int, probes: Int): DataFrame = {
+    val (stored, cents) = ivfRead(spark, dir)
+    val tombF = new java.io.File(dir, "_tombstones")
+    val tombDf =
+      if (tombF.isDirectory)
+        Some(spark.read.parquet(tombF.getAbsolutePath)
+          .groupBy(col("id")).agg(max(col("seq")).as("__ts")))
+      else None
+    val baseLive = tombDf.map(t => stored.join(
+        broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
+      .getOrElse(stored)
+      .select(col("id"), col("qe"), col("cell").cast("int").as("cell"))
+    val deltaF = new java.io.File(dir, "_delta")
+    val corpus = if (!deltaF.isDirectory) baseLive else {
+      // latest write per id; an upsert's own tombstone shares its seq —
+      // strict < survives (same rule as the HNSW delta)
+      val latest = spark.read.parquet(deltaF.getAbsolutePath)
+        .groupBy(col("id"))
+        .agg(max_by(col("qe"), col("seq")).as("qe"), max(col("seq")).as("seq"))
+      val live = tombDf.map(t =>
+          latest.join(t, Seq("id"), "left")
+            .filter(col("__ts").isNull || col("__ts") <= col("seq")))
+        .getOrElse(latest)
+        .select(col("id"), col("qe"),
+          assignCell(col("qe"), cents).cast("int").as("cell"))
+      baseLive.unionByName(live)
+    }
+    ivfSearchStored(queries, corpus, k, cents, probes)
+  }
+
   // ---- Product quantization (PQ): ADC search over compressed codes ----
   //
   // The memory-scale path the flat layouts can't reach: a 100 TB corpus

@@ -61,6 +61,8 @@ object LlmQueries {
   // layout above
   private val hnswMutDirCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val ivfMutDirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val pqBookCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
   // Equivalent to Dedup.shingleSets(corpusNear) but tokenizes each base
@@ -553,6 +555,36 @@ object LlmQueries {
         .flat(s"""{ q(func: similar_to(embedding, 5, "[${qv.mkString(",")}]", ef: 100000)) { uid } }""")
         .select(col("uid"))
         .orderBy(col("uid"))
+    }),
+
+    // the IVF face of the same maintenance contract: delta/tombstone
+    // segments over the cell-partitioned base, centroids fixed (an IVF
+    // insert is a list append), full probe so the oracle is the same
+    // brute-force top-k as the HNSW gate — identical mutation set,
+    // identical oracle SQL
+    "embed_ivf_after_mutation" -> ((s, d) => {
+      val dir = ivfMutDirCache.getOrElseUpdate((s, d), {
+        val q = embQ(s, d).select((col("id") + 1).as("id"), col("qe"))
+        val p = new java.io.File(
+          s"target/graft-ivfmut_${new java.io.File(d).getName}" +
+            s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
+        val trained = centCache.getOrElseUpdate((s, d),
+          Similarity.trainIvfCentroids(
+            embQ(s, d).select(col("id"), col("qe")), nCells = 8))
+        Similarity.ivfWriteTrained(q, p, trained)
+        val anchor = q.filter(col("id") === 1)
+        Similarity.ivfUpsert(s, p,
+          anchor.select(lit(3L).as("id"),
+              transform(col("qe"), x => x * 3).as("qe"))
+            .unionByName(anchor.select(lit(1000001L).as("id"),
+              transform(col("qe"), x => x * 2 + 1).as("qe"))))
+        Similarity.ivfDelete(s, p, anchor.select(col("id")))
+        p
+      })
+      val q0 = embQ(s, d).filter(col("id") === 0)
+        .select(lit(-1L).as("id"), col("qe"))
+      Similarity.ivfSearchLive(q0, s, dir, k = 5, probes = 8)
+        .select(col("nid").as("uid")).orderBy(col("uid"))
     }),
 
     // metric options (worker/task.go:2772 parseSimilarToOptions;
@@ -1076,6 +1108,22 @@ object LlmQueries {
     // deleted — list ops on the already-quantized vectors, so both
     // engines transform identical integers
     "similar_to_after_mutation" ->
+      s"""WITH base AS ($embQSql),
+         | q0 AS (SELECT qe FROM base WHERE id = 0),
+         | mut AS (
+         |  SELECT id + 1 AS sid, qe FROM base WHERE id + 1 <> 1 AND id + 1 <> 3
+         |  UNION ALL SELECT 3 AS sid,
+         |   (SELECT list_transform(qe, x -> x*3) FROM base WHERE id = 0) AS qe
+         |  UNION ALL SELECT 1000001 AS sid,
+         |   (SELECT list_transform(qe, x -> x*2+1) FROM base WHERE id = 0) AS qe)
+         |SELECT uid FROM (
+         | SELECT c.sid AS uid, CAST(ROW_NUMBER() OVER (
+         |   ORDER BY ${cosSql("q0.qe", "c.qe")} DESC, c.sid ASC) AS INT) AS rank
+         | FROM mut c, q0)
+         |WHERE rank <= 5 ORDER BY uid""".stripMargin,
+
+    // identical mutated corpus, searched through the IVF live layout
+    "embed_ivf_after_mutation" ->
       s"""WITH base AS ($embQSql),
          | q0 AS (SELECT qe FROM base WHERE id = 0),
          | mut AS (

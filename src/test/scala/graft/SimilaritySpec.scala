@@ -237,6 +237,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(storedExact == exact)
   }
 
+  test("IVF: incremental upsert/delete maintain the stored layout without rebuild") {
+    // same delta/tombstone contract as the HNSW test, through the same
+    // ordering cases: insert, replace, re-replace, delete-of-base,
+    // delete-after-upsert. Full probe = exact, so the mutated layout
+    // must equal brute force over the mutated corpus row for row.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), quantize($"embedding").as("qe"))
+      .localCheckpoint()
+    val queries = base.filter($"id" % 25 === 0)
+      .select(($"id" - 1000000L).as("id"), $"qe") // ids disjoint from corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_mut")
+      .toFile.getAbsolutePath
+    Similarity.ivfWrite(base, dir, nCells = 8)
+    val v0 = base.filter($"id" === 0)
+    Similarity.ivfUpsert(spark, dir,
+      v0.select(lit(900001L).as("id"), transform($"qe", x => x * 2).as("qe"))
+        .unionByName(
+          v0.select(lit(3L).as("id"), transform($"qe", x => -x).as("qe"))))
+    Similarity.ivfUpsert(spark, dir,
+      v0.select(lit(3L).as("id"), transform($"qe", x => x * 3).as("qe")))
+    Similarity.ivfDelete(spark, dir, v0.select(lit(7L).as("id")))
+    Similarity.ivfUpsert(spark, dir,
+      v0.select(lit(11L).as("id"), transform($"qe", x => x * 5).as("qe")))
+    Similarity.ivfDelete(spark, dir, v0.select(lit(11L).as("id")))
+    val mutated = base.filter(!$"id".isin(3L, 7L, 11L))
+      .unionByName(v0.select(lit(900001L).as("id"),
+        transform($"qe", x => x * 2).as("qe")))
+      .unionByName(v0.select(lit(3L).as("id"),
+        transform($"qe", x => x * 3).as("qe")))
+      .localCheckpoint()
+    val exact = Similarity.bruteForceTopK(queries, mutated, 5)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    val live = Similarity.ivfSearchLive(queries, spark, dir, 5, probes = 8)
+      .select($"qid", $"nid", $"rank").collect().toSet
+    assert(live == exact)
+  }
+
   test("PQ exact mode: bounded-cardinality codebooks make ADC search equal brute force") {
     // per-subspace cardinality <= 35 by construction: exact codebooks
     // encode losslessly, so ADC == true distance and PQ == brute force,
