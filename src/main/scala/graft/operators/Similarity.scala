@@ -486,13 +486,8 @@ object Similarity {
     * Compaction: when the delta outgrows a fraction of the base,
     * rewrite with [[ivfWriteTrained]] over the merged corpus.
     */
-  def ivfUpsert(spark: SparkSession, dir: String, vectors: DataFrame): Unit = {
-    val seq = nextIndexSeq(spark, dir)
-    vectors.select(col("id"), lit(seq).as("seq"))
-      .write.mode("append").parquet(s"$dir/_tombstones")
-    vectors.select(col("id"), col("qe"), lit(seq).as("seq"))
-      .write.mode("append").parquet(s"$dir/_delta")
-  }
+  def ivfUpsert(spark: SparkSession, dir: String, vectors: DataFrame): Unit =
+    hnswUpsert(spark, dir, vectors) // same segment layout, same write
 
   /** Delete ids from a persisted IVF layout: tombstone only. */
   def ivfDelete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
@@ -637,22 +632,12 @@ object Similarity {
 
   /** Top-k by asymmetric distance (ADC): the query keeps its exact
     * vector, each corpus row is scored from codes alone —
-    * dot(q, x̂) = Σ_s dot(q_s, codeword(code_s)) and |x̂|² = Σ_s |w|²,
-    * all integer-exact given integer codewords, one codegen'd
-    * expression per pair (the per-(query, codeword) partials a LUT
-    * would cache fold into it). Scan reads (id, codes) only — at scale
-    * that is the entire point.
+    * dot(q, x̂) = Σ_s dot(q_s, codeword(code_s)) and |x̂|² = Σ_s |w|² —
+    * all integer-exact given integer codewords. The per-(query,
+    * codeword) dot partials are cached in a per-query lookup table on
+    * the broadcast side, so per-pair work is m lookups + adds. Scan
+    * reads (id, codes) only — at scale that is the entire point.
     */
-  /** ADC dot(q, x̂) = Σ_s dot(q_s, codeword(code_s)) — integer-exact. */
-  private def adcDot(qv: Column, codes: Column,
-      books: Seq[Seq[Seq[Long]]]): Column = {
-    val sub = books.head.head.size
-    books.indices.map { s =>
-      dotQ(slice(qv, s * sub + 1, sub),
-        element_at(typedLit(books(s)), element_at(codes, s + 1) + 1))
-    }.reduce(_ + _)
-  }
-
   /** Reconstructed |x̂|² = Σ_s |codeword(code_s)|² from per-word norms. */
   private def adcNorm(codes: Column, books: Seq[Seq[Seq[Long]]]): Column =
     books.indices.map { s =>
@@ -662,20 +647,33 @@ object Similarity {
 
   def pqSearchTopK(queries: DataFrame, encoded: DataFrame, k: Int,
       books: Seq[Seq[Seq[Long]]], metric: String = "cosine"): DataFrame = {
-    def approxDot(qv: Column, codes: Column): Column = adcDot(qv, codes, books)
+    val sub = books.head.head.size
+    // the classic ADC lookup table (Jégou et al. §IV-A): per QUERY and
+    // subspace, dot q_s against every codeword ONCE — |q| × m × ksub
+    // partials on the broadcast side — so the per-pair work collapses
+    // to m array lookups + adds instead of m slice+dot folds. Identical
+    // integers (the LUT caches the same dotQ the fold computed), so
+    // ranked results are bit-identical.
+    val lut = array(books.indices.map { s =>
+      transform(typedLit(books(s)),
+        w => dotQ(slice(col("qe"), s * sub + 1, sub), w))
+    }: _*)
+    def lutDot(codes: Column): Column =
+      books.indices.map(s => element_at(element_at(col("lut"), s + 1),
+        element_at(codes, s + 1).cast("int") + 1)).reduce(_ + _)
     def recNorm(codes: Column): Column = adcNorm(codes, books)
-    val q = withNorm(queries).select(col("id").as("qid"), col("qe").as("qv"),
+    val q = withNorm(queries).select(col("id").as("qid"), lut.as("lut"),
       col("__nrm").as("qn"))
     val c = encoded.select(col("id").as("nid"), col("codes"))
     val pairs = broadcast(q).join(c, col("qid") =!= col("nid"))
     metric match {
       case "cosine" =>
         rankTopK(pairs.select(col("qid"), col("nid"),
-          cosFromParts(approxDot(col("qv"), col("codes")), col("qn"),
+          cosFromParts(lutDot(col("codes")), col("qn"),
             recNorm(col("codes"))).as("sim")), k)
       case "dotproduct" =>
         rankTopK(pairs.select(col("qid"), col("nid"),
-            approxDot(col("qv"), col("codes")).cast("double").as("sim")), k)
+            lutDot(col("codes")).cast("double").as("sim")), k)
           .select(col("qid"), col("nid"), col("sim").cast("long").as("dot"),
             col("rank"))
       case o => throw new IllegalArgumentException(s"unknown metric $o")
@@ -752,20 +750,32 @@ object Similarity {
   def ivfPqSearchStored(queries: DataFrame, stored: DataFrame, k: Int,
       cents: Seq[Seq[Long]], books: Seq[Seq[Seq[Long]]], probes: Int,
       metric: String = "cosine"): DataFrame = {
+    val sub = books.head.head.size
+    // same per-query ADC LUT as pqSearchTopK, computed BEFORE the
+    // probe-cell explode so each query pays it once, not per probe
+    val lut = array(books.indices.map { s =>
+      transform(typedLit(books(s)),
+        w => dotQ(slice(col("qe"), s * sub + 1, sub), w))
+    }: _*)
+    def lutDot(codes: Column): Column =
+      books.indices.map(s => element_at(element_at(col("lut"), s + 1),
+        element_at(codes, s + 1).cast("int") + 1)).reduce(_ + _)
     val c = stored.select(col("id").as("nid"), col("cell"), col("codes"))
     val q = withNorm(queries)
-      .select(col("id").as("qid"), col("qe").as("qv"), col("__nrm").as("qn"),
+      .select(col("id").as("qid"), lut.as("lut"), col("__nrm").as("qn"),
+        col("qe"))
+      .select(col("qid"), col("lut"), col("qn"),
         explode(probeCells(col("qe"), cents, probes)).as("cell"))
     val pairs = broadcast(q).join(c, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
     metric match {
       case "cosine" =>
         rankTopK(pairs.select(col("qid"), col("nid"),
-          cosFromParts(adcDot(col("qv"), col("codes"), books), col("qn"),
+          cosFromParts(lutDot(col("codes")), col("qn"),
             adcNorm(col("codes"), books)).as("sim")), k)
       case "dotproduct" =>
         rankTopK(pairs.select(col("qid"), col("nid"),
-            adcDot(col("qv"), col("codes"), books).cast("double").as("sim")), k)
+            lutDot(col("codes")).cast("double").as("sim")), k)
           .select(col("qid"), col("nid"), col("sim").cast("long").as("dot"),
             col("rank"))
       case o => throw new IllegalArgumentException(s"unknown metric $o")

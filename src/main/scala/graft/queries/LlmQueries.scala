@@ -65,6 +65,8 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val pqBookCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
+  private val pqEncCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   // Equivalent to Dedup.shingleSets(corpusNear) but tokenizes each base
   // document ONCE: the variant drops the last 3 words, so its shingle
   // array is exactly the first size-3 shingles of the base array — a
@@ -407,11 +409,15 @@ object LlmQueries {
     // keeps every compared value integer.
     "embed_ann_pq" -> ((s, d) => {
       val base = pqVectors(s, d)
-      // codebooks once per (session, corpus): like the IVF centCache —
-      // the reference trains an index once, not per search
+      // codebooks AND the encoded corpus once per (session, corpus):
+      // the reference trains and encodes an index once, not per search
+      // (tok/hnsw/persistent_hnsw.go build-once) — re-encoding per
+      // invocation re-ran the ksub-way argmin over every corpus row
       val books = pqBookCache.getOrElseUpdate((s, d),
         Similarity.pqCodebooksExact(base, m = 4))
-      val enc = Similarity.pqEncode(base, books)
+      val enc = pqEncCache.getOrElseUpdate((s, d),
+        Similarity.pqEncode(base, books)
+          .select(col("id"), col("codes")).localCheckpoint())
       Similarity.pqSearchTopK(base.filter(col("id") % 200 === 0), enc, k = 3,
           books, metric = "dotproduct")
         .orderBy(col("qid"), col("rank"))

@@ -920,13 +920,13 @@ final class HttpEndpoint(
       node.filter(n => Seq("drop_all", "drop_attr", "drop_op")
           .exists(n.has)) match {
         case Some(n) =>
-          // drop-all wipes the DEFAULT namespace's frame and the shared
-          // schema — tenant guardians may not reach it (reference
-          // edgraph/server.go Alter: "Only guardian of galaxy")
-          val dropAll = (n.has("drop_all") && n.get("drop_all").asBoolean) ||
-            (n.has("drop_op") && Seq("ALL", "DATA")
-              .contains(n.get("drop_op").asText))
-          if (dropAll) requireGalaxyGuardianToken(tok, "drop all")
+          // EVERY drop form mutates the DEFAULT namespace's frame and/or
+          // the shared predicate schema (drop_all/DATA the whole frame,
+          // drop_attr one predicate's rows + schema entry, drop_op TYPE
+          // the shared type registry) — tenant guardians may reach none
+          // of them (reference edgraph/server.go Alter: "Only guardian
+          // of galaxy")
+          requireGalaxyGuardianToken(tok, "drop")
           applyDrop(n)
         case None => schema = schema.alter(body)
       }

@@ -76,12 +76,19 @@ object GenScale {
         .withColumn("n_chars", length(col("text")))), "documents")
     // rotate embedding dimensions by the tile index: a rotated vector's
     // cosine against the original is ~random, so ANN neighborhoods stay
-    // tile-local instead of 10 exact copies per query point
+    // tile-local instead of 10 exact copies per query point. The
+    // rotation is bounded to [1, dim-1] — tile dim (and multiples)
+    // would otherwise rotate full-circle back to an exact copy
+    val embDim = read("embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
     write(tile(read("embeddings"), "vec_id")((d, i) =>
       if (i == 0) d
-      else d.withColumn("embedding",
-        concat(slice(col("embedding"), i + 1, 1 << 20),
-          slice(col("embedding"), 1, i)))), "embeddings")
+      else {
+        val r = 1 + ((i - 1) % (embDim - 1))
+        d.withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, 1 << 20),
+            slice(col("embedding"), 1, r)))
+      }), "embeddings")
     println(s"[genscale] wrote $tiles tiles of $src to $dst")
   }
 }

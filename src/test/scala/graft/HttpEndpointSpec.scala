@@ -1015,11 +1015,19 @@ class HttpEndpointSpec extends AnyFunSuite {
         """mutation { shutdown { response { code } } }""",
         """query { listBackups(input: {location: "/tmp/x"}) { backupNum } }"""))
         assert(admin(q, tenant).contains("guardian of galaxy"), q)
-      // drop-all through /alter is galaxy-only too; schema alters aren't
-      assert(call(port, "/alter", token = Some(tenant),
-        body = """{"drop_all": true}""").contains("guardian of galaxy"))
+      // EVERY drop form through /alter is galaxy-only (each mutates the
+      // shared ns-0 frame or schema); plain schema alters aren't
+      for (drop <- Seq("""{"drop_all": true}""", """{"drop_attr": "hname"}""",
+        """{"drop_op": "TYPE", "drop_value": "T"}""",
+        """{"drop_op": "DATA"}"""))
+        assert(call(port, "/alter", token = Some(tenant), body = drop)
+          .contains("guardian of galaxy"), drop)
       assert(call(port, "/alter", token = Some(tenant),
         body = "tname: string .").contains("Success"))
+      // the galaxy groot's own data survived the rejected drops
+      assert(call(port, "/query", contentType = "application/dql",
+        token = Some(galaxy), body = "{ q(func: has(hname)) { hname } }")
+        .contains("galaxy-ann"))
       // ACL CRUD is scoped to the CALLER's namespace: the tenant groot
       // resetting "groot"'s password touches ITS groot, not the galaxy's
       assert(admin("""mutation { updateUser(input: {filter: {name: {eq:
