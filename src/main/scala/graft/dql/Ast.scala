@@ -55,6 +55,7 @@ final case class Selection(
     facetVars: Seq[(String, String)] = Nil, // @facets(L as weight)
     facetAliases: Map[String, String] = Map.empty, // @facets(o: origin)
     selCascade: Boolean = false,          // child-level @cascade subtree
+    selCascadeFields: Seq[String] = Nil,  // child-level @cascade(f1, f2)
     langChain: Seq[String] = Nil,         // pred@en:fr:. preference chain
     checkPwd: Option[String] = None,      // checkpwd(pred, "candidate")
     constVal: Option[String] = None,      // literal-valued field (__typename)

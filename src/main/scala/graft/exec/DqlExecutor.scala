@@ -705,8 +705,12 @@ final class DqlExecutor(ts: GraphStore) {
         // mandatory; everything else keeps left-join semantics. Runs as
         // a plain (non-cascade) projection plus a null filter on the
         // named columns — row-level nulls are exactly the missed joins.
-        val paramCascade = b.cascade && b.cascadeFields.nonEmpty
-        val fullCascade = b.cascade && b.cascadeFields.isEmpty
+        // @cascade(__all__) is the reference's spelling of the plain
+        // directive (systest TestCascadeParams) — normalize to full
+        val cFields =
+          if (b.cascadeFields.contains("__all__")) Nil else b.cascadeFields
+        val paramCascade = b.cascade && cFields.nonEmpty
+        val fullCascade = b.cascade && cFields.isEmpty
         val paged =
           if (b.cascade) frontier // paginate after cascade pruning (below)
           else orderAndPage(frontier, "uid", b.order, b.page)
@@ -718,7 +722,7 @@ final class DqlExecutor(ts: GraphStore) {
             // validate at rewrite time: a name matching no top-level
             // selection would otherwise surface as an opaque
             // unresolved-column AnalysisException mid-plan
-            val need = b.cascadeFields.map { f =>
+            val need = cFields.map { f =>
               b.selections.find(s => s.outName == f || s.pred == f ||
                   s.alias.contains(f))
                 .map(_.outName).getOrElse(throw new IllegalArgumentException(
@@ -2447,14 +2451,41 @@ final class DqlExecutor(ts: GraphStore) {
     }
     if (sel.children.nonEmpty) {
       // child-level @cascade: this subtree prunes like a cascade block
-      // (reference TestFacetsNestedCascade)
+      // (reference TestFacetsNestedCascade). The parameterized form
+      // @cascade(f1, f2) requires only the LISTED subtree fields and
+      // REPLACES any propagated full cascade inside this subtree
+      // (reference systest TestCascadeParams "cascade at root and
+      // parameterized at lower level": friends under a root @cascade
+      // render without the unlisted age); __all__ spells the full form.
+      val selFields =
+        if (sel.selCascadeFields.contains("__all__")) Nil
+        else sel.selCascadeFields
+      val paramSel = sel.selCascade && selFields.nonEmpty
       val savedChain = reflexChain
       reflexChain = reflexChain.map(_ :+ uidCol)
-      val sub = try project(cur, name, sel.children,
-          cascade || sel.selCascade, s"${name}_", detached)
+      val sub0 = try project(cur, name, sel.children,
+          (cascade || sel.selCascade) && !paramSel, s"${name}_", detached)
         finally reflexChain = savedChain
+      val sub =
+        if (!paramSel) sub0
+        else {
+          val need = selFields.map { f =>
+            sel.children.find(c => c.outName == f || c.pred == f ||
+                c.alias.contains(f))
+              .map(c => s"${name}_${c.outName}")
+              .getOrElse(throw new IllegalArgumentException(
+                s"@cascade($f): no selection named '$f' under " +
+                  s"'${sel.outName}' (have: ${
+                    sel.children.map(_.outName).mkString(", ")})"))
+          }
+          // drop edge rows whose TARGET misses a required field;
+          // edge-less parent rows (null target from the left join) keep
+          // their semantics and re-render through the lost-union below
+          sub0.filter(qcol(name).isNull ||
+            need.map(c => qcol(c).isNotNull).reduce(_ && _))
+        }
       cur =
-        if (sel.selCascade && !cascade) {
+        if ((sel.selCascade || paramSel) && !cascade) {
           // selection-level @cascade prunes only THIS subtree: a parent
           // whose every edge target failed the cascade still renders,
           // edge key omitted — the directive never propagates above its

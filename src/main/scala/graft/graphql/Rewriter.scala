@@ -567,9 +567,6 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
           case Right(af) =>
             Some(userFilter.map(x => FilterAnd(Seq(x, af))).getOrElse(af))
         }
-        if (cascadeFieldsOf(sel).nonEmpty) throw new RewriteException(
-          "@cascade(fields:) on a nested field is not supported — use a " +
-            "plain field-level @cascade or the root directive")
         Some(Selection(
           alias = Some(sel.outName),
           pred = sel.name,
@@ -577,6 +574,10 @@ final class Rewriter(schema: GqlSchema, jwt: Map[String, String] = Map.empty) {
           order = sel.arg("order").map(orderList).getOrElse(Nil),
           page = pagination(sel),
           selCascade = sel.directives.contains("cascade"),
+          // @cascade(fields: [...]) on a nested field — only the listed
+          // subtree fields are mandatory (reference query_rewriter.go:1729
+          // addCascadeDirective applies the parameterized form per child)
+          selCascadeFields = cascadeFieldsOf(sel),
           children = expandSelections(sel.children, ct)))
       case None =>
         Some(Selection(alias = Some(sel.outName), pred = sel.name))

@@ -115,6 +115,19 @@ object DqlQueries {
             |    located_in @filter(eq(name, "NATION_3")) { name } } }""".stripMargin)(s, d)
         .orderBy(col("uid"), col("placed"))),
 
+    // NESTED parameterized @cascade (reference systest TestCascadeParams
+    // "Parameterized at lower level" + parseCascade child form): order
+    // edges survive only when the filtered `big` sub-edge exists; a
+    // customer whose every order is pruned still renders, placed omitted
+    "dql_cascade_nested" -> ((s, d) =>
+      dql("""{ q(func: eq(mktsegment, "BUILDING")) {
+            |    name
+            |    placed @cascade(big) {
+            |      orderstatus
+            |      big: has_line @filter(ge(quantity, 49)) { returnflag }
+            |    } } }""".stripMargin)(s, d)
+        .orderBy(col("uid"), col("placed"), col("placed_big"))),
+
     "dql_expand" -> ((s, d) =>
       dql("""{ q(func: eq(brand, "Brand#12")) { expand(_all_) } }""")(s, d)
         .orderBy(col("uid"))),
@@ -442,6 +455,26 @@ object DqlQueries {
          | JOIN nation ON n_nationkey = c_nationkey
          |WHERE c_mktsegment = 'BUILDING'
          |ORDER BY uid, placed""".stripMargin,
+
+    "dql_cascade_nested" ->
+      s"""WITH lineu AS (${Q.lineUidSql}),
+         | big AS (SELECT l_orderkey, line_uid, l_returnflag FROM lineu
+         |   WHERE CAST(l_quantity AS BIGINT) >= 49),
+         | cust AS (SELECT c_custkey, c_name FROM customer
+         |   WHERE c_mktsegment = 'BUILDING'),
+         | surv AS (
+         |  SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderstatus,
+         |   b.line_uid, b.l_returnflag
+         |  FROM cust c JOIN orders o ON o.o_custkey = c.c_custkey
+         |  JOIN big b ON b.l_orderkey = o.o_orderkey)
+         |SELECT $CB + c_custkey AS uid, c_name AS name,
+         | $OB + o_orderkey AS placed, o_orderstatus AS placed_orderstatus,
+         | line_uid AS placed_big, l_returnflag AS placed_big_returnflag
+         |FROM surv
+         |UNION ALL
+         |SELECT $CB + c_custkey, c_name, NULL, NULL, NULL, NULL FROM cust
+         |WHERE c_custkey NOT IN (SELECT c_custkey FROM surv)
+         |ORDER BY uid, placed, placed_big""".stripMargin,
 
     "dql_recurse_filter" ->
       s"""WITH seeds AS (

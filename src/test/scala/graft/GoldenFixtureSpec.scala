@@ -7205,4 +7205,101 @@ class GoldenFixtureSpec extends AnyFunSuite {
       arrayOrderFree = true)
   }
 
+  /** Parameterized-@cascade fixture (reference systest/
+    * mutations-and-queries/queries_test.go:726 TestCascadeParams).
+    */
+  private lazy val cascadeParamsStore: TripleFrameStore = {
+    import spark.implicits._
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """name: string @index(fulltext) .
+        |age: string .
+        |friend: [uid] .
+        |""".stripMargin)
+    val reg = new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+    val lines = Seq(
+      """<0x11> <name> "Alice 1" .""",
+      """<0x11> <age> "23" .""",
+      """<0x12> <name> "Alice 2" .""",
+      """<0x13> <name> "Alice 3" .""",
+      """<0x13> <age> "32" .""",
+      """<0x14> <name> "Bob" .""",
+      """<0x15> <name> "Chris" .""",
+      """<0x16> <name> "Dave" .""",
+      """<0x11> <friend> <0x14> (close=true) .""",
+      """<0x11> <friend> <0x16> .""",
+      """<0x12> <friend> <0x15> (close=false) .""",
+      """<0x14> <friend> <0x15> .""")
+    new TripleFrameStore(spark, reg, RdfSource.parse(lines.toDF("line")),
+      facetKeys = Map("friend" -> Seq("close" -> "boolean")))
+  }
+
+  test("golden: TestCascadeParams — root parameterized (value preds)") {
+    checkGolden(
+      """{ q(func: anyoftext(name, "Alice")) @cascade(name, age) {
+        |    name age friend { name } } }""".stripMargin,
+      """{"data":{"q":[
+        |{"name":"Alice 1","age":"23","friend":[{"name":"Bob"},{"name":"Dave"}]},
+        |{"name":"Alice 3","age":"32"}]}}""".stripMargin,
+      arrayOrderFree = true, st = cascadeParamsStore)
+  }
+
+  test("golden: TestCascadeParams — root parameterized (value + uid preds)") {
+    checkGolden(
+      """{ q(func: anyoftext(name, "Alice")) @cascade(name, age, friend) {
+        |    name age friend { name } } }""".stripMargin,
+      """{"data":{"q":[
+        |{"name":"Alice 1","age":"23","friend":[{"name":"Bob"},{"name":"Dave"}]}]}}"""
+        .stripMargin,
+      arrayOrderFree = true, st = cascadeParamsStore)
+  }
+
+  test("golden: TestCascadeParams — plain root cascade, and __all__ spelling") {
+    checkGolden(
+      """{ q(func: anyoftext(name, "Alice")) @cascade {
+        |    name age friend { name age } } }""".stripMargin,
+      """{"data":{"q":[]}}""",
+      arrayOrderFree = true, st = cascadeParamsStore)
+    checkGolden(
+      """{ q(func: anyoftext(name, "Alice")) @cascade(__all__) {
+        |    name age friend { name age } } }""".stripMargin,
+      """{"data":{"q":[]}}""",
+      arrayOrderFree = true, st = cascadeParamsStore)
+  }
+
+  test("golden: TestCascadeParams — parameterized at lower level") {
+    // no friend carries BOTH name and age: every edge is pruned, but the
+    // selection-level directive never propagates up — roots still render
+    checkGolden(
+      """{ q(func: anyoftext(name, "Alice")) {
+        |    name age friend @cascade(name, age) { name age } } }""".stripMargin,
+      """{"data":{"q":[
+        |{"name":"Alice 1","age":"23"},
+        |{"name":"Alice 2"},
+        |{"name":"Alice 3","age":"32"}]}}""".stripMargin,
+      arrayOrderFree = true, st = cascadeParamsStore)
+  }
+
+  test("golden: TestCascadeParams — parameterized at root and lower level") {
+    // the nested directive prunes every friend edge, then the root
+    // cascade requires friend — nothing survives
+    checkGolden(
+      """{ q(func: anyoftext(name, "Alice")) @cascade(friend) {
+        |    name age friend @cascade(name, age) { name age } } }""".stripMargin,
+      """{"data":{"q":[]}}""",
+      arrayOrderFree = true, st = cascadeParamsStore)
+  }
+
+  test("golden: TestCascadeParams — plain root cascade, parameterized lower") {
+    // the nested @cascade(name) REPLACES the propagated full cascade
+    // inside its subtree: friends render without the unlisted age
+    checkGolden(
+      """{ q(func: anyoftext(name, "Alice")) @cascade {
+        |    name friend @cascade(name) { name age } } }""".stripMargin,
+      """{"data":{"q":[
+        |{"name":"Alice 1","friend":[{"name":"Bob"},{"name":"Dave"}]},
+        |{"name":"Alice 2","friend":[{"name":"Chris"}]}]}}""".stripMargin,
+      arrayOrderFree = true, st = cascadeParamsStore)
+  }
+
 }

@@ -1021,6 +1021,16 @@ class GraphqlSpec extends AnyFunSuite {
         |  @cascade(fields: ["placed"]) {
         |  name placed(first: 1) { orderstatus } } }""".stripMargin).collect()
     assert(rows.forall(_.getString(2).contains("orderstatus")))
+    // NESTED parameterized cascade -> Selection.selCascadeFields
+    // (reference query_rewriter.go:1729 applies the parameterized form
+    // per child field)
+    val ast3 = rewrite(
+      """query { queryCustomer {
+        |  name placed @cascade(fields: ["orderstatus"]) {
+        |    orderstatus totalprice } } }""".stripMargin)
+    assert(ast3.blocks.head.selections.find(_.pred == "placed")
+      .exists(s => s.selCascade &&
+        s.selCascadeFields == Seq("orderstatus")))
   }
 
   test("add<T> @id existence: duplicate errors, upsert: true updates, nested existing @id links") {
