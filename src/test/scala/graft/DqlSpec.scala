@@ -360,6 +360,12 @@ class DqlSpec extends AnyFunSuite {
     // TestDuplicateQueryAliasesError: duplicate named blocks error;
     // two shortest blocks with distinct vars are fine
     err("""{ a(func: uid(1)) { uid } a(func: uid(2)) { uid } }""")
+    // type's argument is a VALUE — the quoted form parses
+    // (TestCascadeWithPaginationDeep uses func: type("Person")) while a
+    // quoted ATTRIBUTE rejects (TestParseQuotedFunctionAttributeError)
+    assert(ok("""{ q(func: type("Person")) { name } }""")
+      .blocks.head.func.pred == "Person")
+    err("""{ q(func: allofterms("name", "barack")) { name } }""")
     ok("""{
       | path as shortest(from: 0x1, to: 0x4) { friend }
       | path2 as shortest(from: 0x2, to: 0x3) { friend }
