@@ -678,8 +678,8 @@ final class DqlExecutor(ts: GraphStore) {
         groupbyGroups(frontier.select(col("uid").as("__t")), b.groupby,
             b.selections)
           .map(g => g.select(
-            b.groupby.map(k => col(s"__k_${k.outName}").as(k.outName)) ++
-              b.selections.map(c => col(s"__a_${c.outName}").as(c.outName)): _*))
+            b.groupby.map(k => qcol(s"__k_${k.outName}").as(k.outName)) ++
+              b.selections.map(c => qcol(s"__a_${c.outName}").as(c.outName)): _*))
           .getOrElse(throw new IllegalArgumentException(
             s"@groupby over unknown predicate(s): ${b.groupby.map(_.pred)}"))
       case None if b.selections.exists(_.groupby.nonEmpty) =>
@@ -2753,12 +2753,12 @@ final class DqlExecutor(ts: GraphStore) {
           val kc = s"__k_${sel.groupby.head.outName}"
           varKids.foreach { c =>
             bindVar(c.varName.get,
-              g.select(col(kc).as("uid"), col(s"__a_${c.outName}").as("value")))
+              g.select(qcol(kc).as("uid"), qcol(s"__a_${c.outName}").as("value")))
           }
         }
         // flat relational surface: keys (named alias-or-pred) + aggregates
-        g.select(sel.groupby.map(k => col(s"__k_${k.outName}").as(k.outName)) ++
-          sel.children.map(c => col(s"__a_${c.outName}").as(c.outName)): _*)
+        g.select(sel.groupby.map(k => qcol(s"__k_${k.outName}").as(k.outName)) ++
+          sel.children.map(c => qcol(s"__a_${c.outName}").as(c.outName)): _*)
     }
   }
 
@@ -2807,12 +2807,12 @@ final class DqlExecutor(ts: GraphStore) {
         .getOrElse(ts.attr(c.pred).select(col("subject").as("__t"), col("value")))
       cur = cur.join(vsrc.withColumnRenamed("value", ac), Seq("__t"), "left")
     }
-    val keyCols = keys.map(k => col(s"__k_${k.outName}"))
+    val keyCols = keys.map(k => qcol(s"__k_${k.outName}"))
     val aggCols = aggs.map { c =>
       val out = s"__a_${c.outName}"
       if (c.isCount && c.pred == "uid") count(col("__t")).as(out)
       else if (c.aggOp.isDefined) {
-        val cc = col(s"__in_${c.outName}")
+        val cc = qcol(s"__in_${c.outName}")
         c.aggOp.get match {
           case "min" => min(cc).as(out)
           case "max" => max(cc).as(out)
@@ -2841,7 +2841,7 @@ final class DqlExecutor(ts: GraphStore) {
       if (c.isCount && c.pred == "uid") "count"
       else s"${c.aggOp.get}(${c.valRef.map("val(" + _ + ")").getOrElse(c.pred)})")
     val keyFields = keys.map { k =>
-      val kc = col(s"__k_${k.outName}")
+      val kc = qcol(s"__k_${k.outName}")
       if (k.pred == "uid" || schema.isUidPredicate(k.pred))
         hexUid(kc).as(k.outName)
       // geo keys render as EMBEDDED GeoJSON objects, not escaped strings
@@ -2851,11 +2851,11 @@ final class DqlExecutor(ts: GraphStore) {
         concat(lit("\u0001"), kc, lit("\u0002")).as(k.outName)
       else kc.as(k.outName)
     }
-    val aggFields = aggs.map(c => col(s"__a_${c.outName}").as(gbName(c)))
+    val aggFields = aggs.map(c => qcol(s"__a_${c.outName}").as(gbName(c)))
     val payload = struct(keyFields ++ aggFields: _*)
     val sortKey = struct(col("__n") +:
-      (keys.map(k => col(s"__k_${k.outName}")) ++
-        aggs.map(c => col(s"__a_${c.outName}"))): _*)
+      (keys.map(k => qcol(s"__k_${k.outName}")) ++
+        aggs.map(c => qcol(s"__a_${c.outName}"))): _*)
     val arr = transform(
       sort_array(collect_list(struct(sortKey.as("o"), payload.as("p")))),
       x => x.getField("p"))
@@ -2888,7 +2888,7 @@ final class DqlExecutor(ts: GraphStore) {
     val aggCols = b.selections.map { sel =>
       if (sel.isCount && sel.pred == "uid") count(col("uid")).as(sel.outName)
       else {
-        val c = col(s"__v_${sel.valRef.getOrElse(sel.pred)}")
+        val c = qcol(s"__v_${sel.valRef.getOrElse(sel.pred)}")
         sel.aggOp.get match {
           case "min" => min(c).as(sel.outName)
           case "max" => max(c).as(sel.outName)
@@ -3435,7 +3435,7 @@ final class DqlExecutor(ts: GraphStore) {
           s.facetOrder.exists(_.pred == kv._1))
     val facetJsonFields = facetPreds.flatMap { s =>
       facetKeysOf(s).map { case (k, _) =>
-        col(s"__ff_${jsonKey(s)}_$k")
+        qcol(s"__ff_${jsonKey(s)}_$k")
           .as(s.facetAliases.getOrElse(k, s"${s.outName}|$k")) }
     }
     // deepest level first: fold (start, parent) → one rendered child
@@ -3468,7 +3468,7 @@ final class DqlExecutor(ts: GraphStore) {
       }
       val kidCol = (k: String) =>
         if (kids != null && lvl.columns.contains(s"__k_$k"))
-          Some(col(s"__k_$k")) else None
+          Some(qcol(s"__k_$k")) else None
       val lvlBase =
         if (facetJsonFields.isEmpty) baseJson
         else to_json(struct(baseFields ++ facetJsonFields: _*), jsonOpts)
@@ -3490,7 +3490,7 @@ final class DqlExecutor(ts: GraphStore) {
           col("node") === col("__oks"), "left").drop("__oks")
       }
       val sortKey0 = orderedSels.foldLeft(lit(null).cast("double")) { (acc, s) =>
-        val v = col(s"__ok_${jsonKey(s)}")
+        val v = qcol(s"__ok_${jsonKey(s)}")
         when(col("pred") === jsonKey(s),
           if (s.order.head.desc) -v else v).otherwise(acc)
       }
@@ -3499,7 +3499,7 @@ final class DqlExecutor(ts: GraphStore) {
       val sortKey = facetPreds.filter(s => s.facetOrder.nonEmpty &&
           facetType(s.pred, s.facetOrder.head.pred) != "boolean")
         .foldLeft(sortKey0) { (acc, s) =>
-          val v = col(s"__fo_${jsonKey(s)}")
+          val v = qcol(s"__fo_${jsonKey(s)}")
           when(col("pred") === jsonKey(s),
             if (s.facetOrder.head.desc) -v else v).otherwise(acc)
         }
@@ -3524,7 +3524,7 @@ final class DqlExecutor(ts: GraphStore) {
         .drop("__ks", "__kp")
     val rootKid = (k: String) =>
       if (kids != null && root.columns.contains(s"__k_$k"))
-        Some(col(s"__k_$k")) else None
+        Some(qcol(s"__k_$k")) else None
     val rendered = root
       .filter(keep(predKeys.flatMap(rootKid)))
       .withColumn("__obj_base", baseJson)
@@ -3630,8 +3630,8 @@ final class DqlExecutor(ts: GraphStore) {
           .foreach { k =>
             b.selections.filter(_.varName.isDefined).foreach { s =>
               bindVar(s.varName.get,
-                g.select(col(s"__k_${k.outName}").as("uid"),
-                  col(s"__a_${s.outName}").as("value")))
+                g.select(qcol(s"__k_${k.outName}").as("uid"),
+                  qcol(s"__a_${s.outName}").as("value")))
             }
           }
         // an empty frontier groups to ZERO groups — the block is
@@ -3901,7 +3901,7 @@ final class DqlExecutor(ts: GraphStore) {
         }
       val kidFields = s.children.flatMap { c =>
         if (c.isCount && c.pred == "uid")
-          Some(col(s"__cnt_${c.outName}").as(c.alias.getOrElse("count")))
+          Some(qcol(s"__cnt_${c.outName}").as(c.alias.getOrElse("count")))
         else if (isChild(c))
           grandSpecs.collectFirst { case (gc, gcol) if gc eq c =>
             col(gcol).as(jsonKey(c)) }
@@ -3921,7 +3921,7 @@ final class DqlExecutor(ts: GraphStore) {
             (kidFields.isEmpty && facetFields.isEmpty))
           // an aliased `uid: uid` / `id: uid` renames the key
           // (reference TestUidAlias)
-          Seq(hexUid(col(colName)).as(
+          Seq(hexUid(qcol(colName)).as(
             s.children.find(c => c.pred == "uid" && !c.isCount)
               .flatMap(_.alias).getOrElse("uid")))
         else Nil

@@ -501,6 +501,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
       types.map(t => t.name -> t).toMap)
   }
 
+  private[graft] def sweepStore: TripleFrameStore = store
   private lazy val store: TripleFrameStore = {
     import spark.implicits._
     val triples = RdfSource.parse(fixtureLines.toDF("line"))
@@ -7302,4 +7303,44 @@ class GoldenFixtureSpec extends AnyFunSuite {
       arrayOrderFree = true, st = cascadeParamsStore)
   }
 
+}
+
+// TEMPORARY scratch sweep — removed before commit
+class ExecSweepScratch extends AnyFunSuite {
+  test("exec sweep") {
+    val g = new GoldenFixtureSpec
+    val raw = scala.io.Source.fromFile("/tmp/ref_queries.json").mkString
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.readTree(raw)
+    var ok = 0; var fail = 0
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val vars = Map("$a"->"1","$b"->"2","$name"->"Michonne","$age"->"38",
+      "$minWeight"->"0","$uids"->"1","$list"->"1","$first"->"2","$offset"->"0",
+      "$numpath"->"2","$numpaths"->"2","$from"->"1","$to"->"1000",
+      "$expand"->"_all_","$filter"->"x","$pred"->"name","$type"->"Person",
+      "$id"->"1","$as"->"1","$bs"->"2","$alice"->"1","$minVal"->"1",
+      "$maxVal"->"2","$depth"->"2","$str"->"x","$STR"->"x","$no"->"1","$yes"->"1")
+    (0 until arr.size()).foreach { i =>
+      val q = arr.get(i).asText
+      val ast = try Some(graft.dql.Parser.parseWithVars(q, vars,
+        checkUnusedVars = false)) catch { case _: Throwable => None }
+      ast.foreach { a =>
+        try {
+          new graft.exec.DqlExecutor(g.sweepStore).jsonAllAst(a).collect()
+          ok += 1
+        } catch { case e: Throwable =>
+          fail += 1
+          val k = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(90)}"
+          errs(k) = errs.getOrElse(k, 0) + 1
+          if (!samples.contains(k)) samples(k) = q.replaceAll("\\s+", " ").take(170)
+        }
+      }
+    }
+    info(s"exec ok=$ok fail=$fail")
+    errs.toSeq.sortBy(-_._2).take(40).foreach { case (k, n) =>
+      info(f"$n%4d  $k")
+      info(s"      e.g. ${samples(k)}")
+    }
+  }
 }
