@@ -366,6 +366,11 @@ class DqlSpec extends AnyFunSuite {
     assert(ok("""{ q(func: type("Person")) { name } }""")
       .blocks.head.func.pred == "Person")
     err("""{ q(func: allofterms("name", "barack")) { name } }""")
+    // root functions are a closed set (TestVarInAggError: min at root is
+    // a parse error — "Function name: min is not valid.")
+    err("""{ var(func: uid(1)) { friend { a as age } }
+      |  me(func: min(val(a))) { name } }""".stripMargin)
+    err("""{ q(func: checkpwd(password, "x")) { name } }""")
     ok("""{
       | path as shortest(from: 0x1, to: 0x4) { friend }
       | path2 as shortest(from: 0x2, to: 0x3) { friend }
