@@ -1004,6 +1004,11 @@ object Parser {
       // (TestParseQueryWithVarValAggError2)
       if (fname == "var") fail("var() is not a valid function — use uid()")
       if (fname == "val") fail("val() is not a valid function here")
+      // "<fn>_count" is the INTERNAL marker for the eq(count(p), n) form —
+      // a user-typed ge_count(...) must not alias it past the root
+      // function validation (the reference rejects unknown names)
+      if (fname.endsWith("_count"))
+        fail(s"Function name: $fname is not valid.")
       expect("(")
       if (fname == "uid") {
         var uids = Vector.empty[String]

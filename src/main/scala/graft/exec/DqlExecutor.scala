@@ -715,7 +715,8 @@ final class DqlExecutor(ts: GraphStore) {
           if (b.cascade) frontier // paginate after cascade pruning (below)
           else orderAndPage(frontier, "uid", b.order, b.page)
         val projected0 = project(paged, "uid", b.selections, fullCascade, "",
-          detached = b.name == "var" && !b.cascade)
+          detached = b.name == "var" && !b.cascade,
+          cascadeFields = cFields)
         val projected =
           if (!paramCascade) projected0
           else {
@@ -1722,7 +1723,8 @@ final class DqlExecutor(ts: GraphStore) {
       mathRefsIn(s.children)).toSet
 
   private def project(df: DataFrame, uidCol: String, sels: Seq[Selection],
-      cascade: Boolean, prefix: String, detached: Boolean = false): DataFrame = {
+      cascade: Boolean, prefix: String, detached: Boolean = false,
+      cascadeFields: Seq[String] = Nil): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     var cur = df
     // true once a traversal has multiplied rows: later var binds must
@@ -2073,13 +2075,14 @@ final class DqlExecutor(ts: GraphStore) {
         if (detached && !cascade && sel.groupby.isEmpty && !neededHere &&
             !readsOuter) {
           val sub = traverse(cur.select(qcol(uidCol)).distinct(), uidCol,
-            sel, name, cascade, detached)
+            sel, name, cascade, detached, cascadeFields)
           sel.varName.foreach { v =>
             bindVar(v, sub.select(qcol(name).as("uid"))
               .filter(col("uid").isNotNull).distinct())
           }
         } else {
-          cur = traverse(cur, uidCol, sel, name, cascade, detached)
+          cur = traverse(cur, uidCol, sel, name, cascade, detached,
+            cascadeFields)
           fanned = true
           // uid variable: the traversal's target frontier (f as friend)
           sel.varName.foreach { v =>
@@ -2282,7 +2285,8 @@ final class DqlExecutor(ts: GraphStore) {
     * query/query.go:2511).
     */
   private def traverse(df: DataFrame, uidCol: String, sel: Selection,
-      name: String, cascade: Boolean, detached: Boolean = false): DataFrame = {
+      name: String, cascade: Boolean, detached: Boolean = false,
+      cascadeFields: Seq[String] = Nil): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
     val needMap = sel.facetFetch || sel.facetKeys.nonEmpty ||
@@ -2333,12 +2337,28 @@ final class DqlExecutor(ts: GraphStore) {
         .drop("__rfx_n", "__rfx_rn")
     }
 
-    // under @cascade, pagination counts only children SURVIVING the
-    // cascade pruning of their own subtree (reference paginates after
-    // cascade, query/query.go:1425; TestCascadeWithPaginationDeep) — so
-    // with children present the page filter is deferred until after the
-    // child projection and applied by re-ranking the survivors
-    val repageAfterChildren = cascade && sel.children.nonEmpty &&
+    // cascade mode below THIS edge (reference query.go:573-579: a child
+    // INHERITS the parent's cascade field list; its own directive
+    // overrides — plain/__all__ = full, a field list = parameterized)
+    val ownAll = sel.selCascade && sel.selCascadeFields.contains("__all__")
+    val ownParam = sel.selCascade && sel.selCascadeFields.nonEmpty && !ownAll
+    val subFull =
+      if (ownParam) false
+      else cascade || (sel.selCascade && (sel.selCascadeFields.isEmpty || ownAll))
+    val effFields: Seq[String] =
+      if (ownParam) sel.selCascadeFields
+      else if (subFull) Nil
+      else cascadeFields
+    // under ANY cascade form, pagination counts only children SURVIVING
+    // the pruning of their own subtree (reference paginates after
+    // cascade, query/query.go:663 addCascadePaginationArguments strips
+    // first/offset whenever cascade fields are in effect;
+    // TestCascadeWithPaginationDeep) — so with children present the page
+    // filter is deferred until after the child projection and applied by
+    // re-ranking the survivors
+    val repageAfterChildren =
+      (cascade || sel.selCascade || effFields.nonEmpty) &&
+      sel.children.nonEmpty &&
       (sel.page.offset.isDefined || sel.page.first.exists(_ >= 0))
     val needWindow = sel.order.nonEmpty || sel.facetOrder.nonEmpty ||
       sel.page.first.isDefined || sel.page.offset.isDefined || keepChildRank
@@ -2452,40 +2472,48 @@ final class DqlExecutor(ts: GraphStore) {
     if (sel.children.nonEmpty) {
       // child-level @cascade: this subtree prunes like a cascade block
       // (reference TestFacetsNestedCascade). The parameterized form
-      // @cascade(f1, f2) requires only the LISTED subtree fields and
-      // REPLACES any propagated full cascade inside this subtree
-      // (reference systest TestCascadeParams "cascade at root and
-      // parameterized at lower level": friends under a root @cascade
-      // render without the unlisted age); __all__ spells the full form.
-      val selFields =
-        if (sel.selCascadeFields.contains("__all__")) Nil
-        else sel.selCascadeFields
-      val paramSel = sel.selCascade && selFields.nonEmpty
+      // @cascade(f1, f2) requires only the LISTED subtree fields, which
+      // INHERIT into deeper levels (reference query.go:573 — at each
+    // level the requirement is the list intersected with that level's
+      // queried fields) and REPLACE any propagated full cascade
+      // (systest TestCascadeParams "cascade at root and parameterized at
+      // lower level": friends under a root @cascade render without the
+      // unlisted age); __all__ spells the full form.
       val savedChain = reflexChain
       reflexChain = reflexChain.map(_ :+ uidCol)
       val sub0 = try project(cur, name, sel.children,
-          (cascade || sel.selCascade) && !paramSel, s"${name}_", detached)
+          subFull, s"${name}_", detached, cascadeFields = effFields)
         finally reflexChain = savedChain
-      val sub =
-        if (!paramSel) sub0
-        else {
-          val need = selFields.map { f =>
-            sel.children.find(c => c.outName == f || c.pred == f ||
-                c.alias.contains(f))
-              .map(c => s"${name}_${c.outName}")
-              .getOrElse(throw new IllegalArgumentException(
-                s"@cascade($f): no selection named '$f' under " +
-                  s"'${sel.outName}' (have: ${
-                    sel.children.map(_.outName).mkString(", ")})"))
-          }
-          // drop edge rows whose TARGET misses a required field;
-          // edge-less parent rows (null target from the left join) keep
-          // their semantics and re-render through the lost-union below
-          sub0.filter(qcol(name).isNull ||
-            need.map(c => qcol(c).isNotNull).reduce(_ && _))
+      // pruning at THIS level: the LISTED fields that this level
+      // actually queries must be present on the edge target. An
+      // UNLISTED queried field is not required; a listed-but-unqueried
+      // field is required only where queried (reference golden 1: root
+      // @cascade(name, age) with friend { name } keeps age-less
+      // friends). @cascade(uid) resolves to edge presence — a no-op on
+      // edge rows, like the reference where uid always exists. A name
+      // from the OWN directive that matches nothing here is an error
+      // (the reference validates its own args); inherited names simply
+      // don't apply at this level.
+      val need = effFields.filterNot(_ == "uid").flatMap { f =>
+        sel.children.find(c => c.outName == f || c.pred == f ||
+            c.alias.contains(f)).map(c => s"${name}_${c.outName}") match {
+          case some @ Some(_) => some
+          case None if ownParam => throw new IllegalArgumentException(
+            s"@cascade($f): no selection named '$f' under " +
+              s"'${sel.outName}' (have: ${
+                sel.children.map(_.outName).mkString(", ")})")
+          case None => None
         }
+      }
+      val sub =
+        if (need.isEmpty) sub0
+        // drop edge rows whose TARGET misses a required field;
+        // edge-less parent rows (null target from the left join) keep
+        // their semantics and re-render through the lost-union below
+        else sub0.filter(qcol(name).isNull ||
+          need.map(c => qcol(c).isNotNull).reduce(_ && _))
       cur =
-        if ((sel.selCascade || paramSel) && !cascade) {
+        if ((sel.selCascade || need.nonEmpty) && !cascade) {
           // selection-level @cascade prunes only THIS subtree: a parent
           // whose every edge target failed the cascade still renders,
           // edge key omitted — the directive never propagates above its
@@ -2505,7 +2533,8 @@ final class DqlExecutor(ts: GraphStore) {
       val hi = sel.page.first.filter(_ >= 0).map(f => lo + f)
         .getOrElse(Int.MaxValue)
       cur = cur.withColumn("__rr", dense_rank().over(w2))
-        .filter(col("__rr") > lo && col("__rr") <= hi).drop("__rr")
+        .filter(qcol(s"${name}__rn").isNull ||
+          (col("__rr") > lo && col("__rr") <= hi)).drop("__rr")
       if (!keepChildRank) cur = cur.drop(s"${name}__rn")
     }
     cur
@@ -3887,8 +3916,8 @@ final class DqlExecutor(ts: GraphStore) {
       val countKids = s.children.filter(c => c.isCount && c.pred == "uid")
       val countCols = countKids.map(c => s"__cnt_${c.outName}")
       if (countKids.nonEmpty) {
-        var cnt = rows.groupBy(keys.map(col): _*)
-          .agg(countDistinct(col(colName)).as("__cnt"))
+        var cnt = rows.groupBy(keys.map(qcol): _*)
+          .agg(countDistinct(qcol(colName)).as("__cnt"))
         countCols.foreach { cc => cnt = cnt.withColumn(cc, col("__cnt")) }
         rows = rows.unionByName(cnt.drop("__cnt"), allowMissingColumns = true)
       }
@@ -3940,7 +3969,7 @@ final class DqlExecutor(ts: GraphStore) {
       // sorts them LAST in the array (reference appends the count object)
       val sortKey = coalesce(
         rankCols.headOption.map(c => qcol(c).cast("long"))
-          .getOrElse(col(colName)), lit(Long.MaxValue))
+          .getOrElse(qcol(colName)), lit(Long.MaxValue))
       // array_sort with a comparator on the (unique-per-array) key only:
       // sort_array compares the WHOLE struct, which VARIANT facet fields
       // ("auto"-typed) don't support ordering on
@@ -3954,7 +3983,7 @@ final class DqlExecutor(ts: GraphStore) {
       val isListPred = schema.predicates.get(s.pred).forall(_.isList) || s.reverse
       val rendered =
         if (isListPred) when(size(arr) > 0, arr) else element_at(arr, 1)
-      rows.groupBy(keys.map(col): _*).agg(rendered.as(outCol))
+      rows.groupBy(keys.map(qcol): _*).agg(rendered.as(outCol))
     }
 
     val rootSels = b2.selections.filter(_.pred != "uid")

@@ -501,7 +501,6 @@ class GoldenFixtureSpec extends AnyFunSuite {
       types.map(t => t.name -> t).toMap)
   }
 
-  private[graft] def sweepStore: TripleFrameStore = store
   private lazy val store: TripleFrameStore = {
     import spark.implicits._
     val triples = RdfSource.parse(fixtureLines.toDF("line"))
@@ -7291,6 +7290,46 @@ class GoldenFixtureSpec extends AnyFunSuite {
       arrayOrderFree = true, st = cascadeParamsStore)
   }
 
+  test("cascade params INHERIT into child levels (query.go:573 field inheritance)") {
+    // root @cascade(age): roots need age (alice1, alice3); the friend
+    // level inherits [age] ∩ its queried fields {name, age} = age — no
+    // friend carries age, so every edge prunes, and since `friend` is
+    // not itself in the list the parents still render edge-less
+    checkGolden(
+      """{ q(func: anyoftext(name, "Alice")) @cascade(age) {
+        |    name age friend { name age } } }""".stripMargin,
+      """{"data":{"q":[
+        |{"name":"Alice 1","age":"23"},
+        |{"name":"Alice 3","age":"32"}]}}""".stripMargin,
+      arrayOrderFree = true, st = cascadeParamsStore)
+    // a field listed at the root but NOT queried at the child level is
+    // not required there (reference golden 1's shape): friends render
+    checkGolden(
+      """{ q(func: anyoftext(name, "Alice")) @cascade(age) {
+        |    name age friend { name } } }""".stripMargin,
+      """{"data":{"q":[
+        |{"name":"Alice 1","age":"23","friend":[{"name":"Bob"},{"name":"Dave"}]},
+        |{"name":"Alice 3","age":"32"}]}}""".stripMargin,
+      arrayOrderFree = true, st = cascadeParamsStore)
+  }
+
+  test("pagination applies AFTER selection-level cascade pruning (query.go:663)") {
+    // orderdesc: name puts Dave before Bob; Dave has no friend edge so
+    // @cascade(friend) prunes him — first: 1 must pick from SURVIVORS
+    // (Bob), not pre-pruning candidates (the reference strips
+    // first/offset whenever cascade fields are in effect and re-applies
+    // them post-pruning)
+    checkGolden(
+      """{ q(func: eq(name, "Alice 1")) {
+        |    name
+        |    friend (first: 1, orderdesc: name) @cascade(friend) {
+        |      name friend { name } } } }""".stripMargin,
+      """{"data":{"q":[
+        |{"name":"Alice 1","friend":[
+        |  {"name":"Bob","friend":[{"name":"Chris"}]}]}]}}""".stripMargin,
+      arrayOrderFree = true, st = cascadeParamsStore)
+  }
+
   test("golden: TestCascadeParams — plain root cascade, parameterized lower") {
     // the nested @cascade(name) REPLACES the propagated full cascade
     // inside its subtree: friends render without the unlisted age
@@ -7305,42 +7344,3 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
 }
 
-// TEMPORARY scratch sweep — removed before commit
-class ExecSweepScratch extends AnyFunSuite {
-  test("exec sweep") {
-    val g = new GoldenFixtureSpec
-    val raw = scala.io.Source.fromFile("/tmp/ref_queries.json").mkString
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = m.readTree(raw)
-    var ok = 0; var fail = 0
-    val errs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val samples = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val vars = Map("$a"->"1","$b"->"2","$name"->"Michonne","$age"->"38",
-      "$minWeight"->"0","$uids"->"1","$list"->"1","$first"->"2","$offset"->"0",
-      "$numpath"->"2","$numpaths"->"2","$from"->"1","$to"->"1000",
-      "$expand"->"_all_","$filter"->"x","$pred"->"name","$type"->"Person",
-      "$id"->"1","$as"->"1","$bs"->"2","$alice"->"1","$minVal"->"1",
-      "$maxVal"->"2","$depth"->"2","$str"->"x","$STR"->"x","$no"->"1","$yes"->"1")
-    (0 until arr.size()).foreach { i =>
-      val q = arr.get(i).asText
-      val ast = try Some(graft.dql.Parser.parseWithVars(q, vars,
-        checkUnusedVars = false)) catch { case _: Throwable => None }
-      ast.foreach { a =>
-        try {
-          new graft.exec.DqlExecutor(g.sweepStore).jsonAllAst(a).collect()
-          ok += 1
-        } catch { case e: Throwable =>
-          fail += 1
-          val k = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(90)}"
-          errs(k) = errs.getOrElse(k, 0) + 1
-          if (!samples.contains(k)) samples(k) = q.replaceAll("\\s+", " ").take(170)
-        }
-      }
-    }
-    info(s"exec ok=$ok fail=$fail")
-    errs.toSeq.sortBy(-_._2).take(40).foreach { case (k, n) =>
-      info(f"$n%4d  $k")
-      info(s"      e.g. ${samples(k)}")
-    }
-  }
-}
