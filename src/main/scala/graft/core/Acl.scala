@@ -238,9 +238,17 @@ final class Acl(users: Map[String, Acl.User],
 
   /** The token's verified namespace claim — group rules resolve WITHIN
     * it, so a tenant's "eng" group can never grant against ns-0's. */
-  private def nsOfClaims(accessJwt: String): Long =
-    try claims(accessJwt).getOrElse("namespace", "0").toLong
-    catch { case _: NumberFormatException => 0L }
+  private def nsOfClaims(accessJwt: String): Long = {
+    // A missing or malformed tenancy claim must never silently land in
+    // namespace 0 (the most-privileged galaxy) — reject the token.
+    val raw = claims(accessJwt).getOrElse("namespace",
+      throw AclException("token is missing the namespace claim"))
+    try raw.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw AclException(s"token carries a malformed namespace claim: $raw")
+    }
+  }
 
   private def perm(gs: Set[String], predicate: String, ns: Long): Int =
     if (gs.contains(Guardians)) Read | Write | Modify

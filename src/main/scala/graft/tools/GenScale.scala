@@ -81,6 +81,8 @@ object GenScale {
     // would otherwise rotate full-circle back to an exact copy
     val embDim = read("embeddings")
       .select(size(col("embedding"))).head.getInt(0)
+    require(embDim >= 2,
+      s"embedding rotation needs dim >= 2 (source dim is $embDim)")
     write(tile(read("embeddings"), "vec_id")((d, i) =>
       if (i == 0) d
       else {

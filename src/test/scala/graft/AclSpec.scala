@@ -203,4 +203,32 @@ class AclSpec extends AnyFunSuite {
     assert(a.getUser("groot", 5L).isEmpty && a.getGroup("eng", 5L).isEmpty)
     assert(a.getUser("5#groot", 0L).nonEmpty)
   }
+
+  test("a token missing or mangling the namespace claim is rejected, not ns-0") {
+    // forge validly-SIGNED tokens (the instance's own secret) whose
+    // tenancy claim is absent / non-numeric: neither may fall through
+    // to namespace 0, the most-privileged galaxy
+    def forge(payloadJson: String): String = {
+      def b64(x: Array[Byte]) = java.util.Base64.getUrlEncoder
+        .withoutPadding.encodeToString(x)
+      val header = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+      val payload = b64(payloadJson.getBytes("UTF-8"))
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        "acl-secret".getBytes("UTF-8"), "HmacSHA256"))
+      s"$header.$payload." +
+        b64(mac.doFinal(s"$header.$payload".getBytes("UTF-8")))
+    }
+    val missing = forge("""{"userid":"alice","groups":["dev"]}""")
+    val mangled = forge(
+      """{"userid":"alice","groups":["dev"],"namespace":"galaxy"}""")
+    val e1 = intercept[Acl.AclException] { acl.storeFor(store, missing) }
+    assert(e1.getMessage.contains("missing the namespace claim"))
+    val e2 = intercept[Acl.AclException] {
+      acl.authorizeMutation(mangled, Seq("salary"))
+    }
+    assert(e2.getMessage.contains("malformed namespace claim"))
+    // a well-formed login token still resolves
+    acl.storeFor(store, acl.login("alice", "alicepw"))
+  }
 }
