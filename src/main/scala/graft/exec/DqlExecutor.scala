@@ -1736,6 +1736,23 @@ final class DqlExecutor(ts: GraphStore) {
     // column is guaranteed live in `cur` (varCols itself outlives the
     // block for the level-agg path)
     val boundHere = scala.collection.mutable.Set.empty[String]
+    // vars bound from live COLUMNS of this frame: when one block pass
+    // binds several (a multi-var math block), each per-var lazy
+    // checkpoint re-runs the whole block plan on first use — measured
+    // as one full tablet scan PER var. The reference fills all of a
+    // SubGraph's vars from one evaluation (query/query.go:1445
+    // populateVarMap); mirrored here by re-binding every such var at
+    // the end of the pass from ONE shared lazily-checkpointed snapshot
+    // of the final frame, so the block materializes once and each map
+    // is a column select over cached partitions. Binds are collected
+    // as closures so each site keeps its exact select/filter/dedup
+    // semantics; valid because the non-cascade path only applies
+    // parent-preserving ops between sites (left joins, per-parent
+    // windows that keep null-child rows) — columns, once computed, are
+    // never rewritten.
+    val sharedRebinds =
+      scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame => DataFrame)]
+    var sharedRebindOk = !cascade
     sels.foreach { sel =>
       val name = prefix + sel.outName
       if (sel.pred == "math" && sel.mathExpr.isDefined) {
@@ -1835,9 +1852,13 @@ final class DqlExecutor(ts: GraphStore) {
           // scalar values are unique per subject UNLESS a traversal
           // fanned the rows out — then dedup per uid (cross-level refs
           // are already per-uid maps after the transform above)
-          val b0 = cur.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
-            .filter(col("value").isNotNull)
-          bindVar(v, if (fanned) b0.dropDuplicates("uid") else b0)
+          val mk = (f: DataFrame) => {
+            val b0 = f.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
+              .filter(col("value").isNotNull)
+            if (fanned) b0.dropDuplicates("uid") else b0
+          }
+          bindVar(v, mk(cur))
+          sharedRebinds += (v -> mk)
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (sel.aggOp.isDefined && sel.valRef.exists(varCols.contains)) {
@@ -1892,8 +1913,11 @@ final class DqlExecutor(ts: GraphStore) {
         val agg = pairs.groupBy(col("__pu")).agg(aggC.as(name))
         cur = cur.join(agg, qcol(uidCol) === col("__pu"), joinType).drop("__pu")
         sel.varName.foreach { v =>
-          bindVar(v, cur.select(qcol(uidCol).as("uid"), col(name).as("value"))
-            .filter(col("value").isNotNull).dropDuplicates("uid"))
+          val mk = (f: DataFrame) =>
+            f.select(qcol(uidCol).as("uid"), col(name).as("value"))
+              .filter(col("value").isNotNull).dropDuplicates("uid")
+          bindVar(v, mk(cur))
+          sharedRebinds += (v -> mk)
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (sel.pred == "val" && sel.valRef.isDefined &&
@@ -1999,6 +2023,9 @@ final class DqlExecutor(ts: GraphStore) {
           bindVar(v, cur.select(qcol(uidCol).as("uid"), qcol(name).as("value")))
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
+        // the frame just went empty: earlier live-column binds must NOT
+        // be rebound from it
+        sharedRebindOk = false; sharedRebinds.clear()
       } else if (sel.isCount) {
         // count over uid edges, or over VALUES for scalar predicates
         // (reference TestCountFacetsFilteringScalarPredicate); scalar
@@ -2049,8 +2076,11 @@ final class DqlExecutor(ts: GraphStore) {
         // `s as count(friend)`: per-uid edge-count value var (reference
         // TestVarInIneqScore — absent edges bind 0)
         sel.varName.foreach { v =>
-          bindVar(v, cur.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
-            .dropDuplicates("uid"))
+          val mk = (f: DataFrame) =>
+            f.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
+              .dropDuplicates("uid")
+          bindVar(v, mk(cur))
+          sharedRebinds += (v -> mk)
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (schema.isUidPredicate(sel.pred) || sel.reverse) {
@@ -2259,19 +2289,31 @@ final class DqlExecutor(ts: GraphStore) {
           // scalar attr values are unique per (subject, predicate) in the
           // store — dedup only if a traversal already fanned the rows out.
           // datetime vars bind the INSTANT rider, not the display string
-          val vc = if (cur.columns.contains(s"${name}__dtv"))
-            qcol(s"${name}__dtv") else qcol(name)
-          val bound = cur.select(qcol(uidCol).as("uid"), vc.as("value"))
-            .filter(col("value").isNotNull)
-          bindVar(v, if (fanned) bound.dropDuplicates("uid") else bound)
+          val vcn = if (cur.columns.contains(s"${name}__dtv"))
+            s"${name}__dtv" else name
+          val mk = (f: DataFrame) => {
+            val bound = f.select(qcol(uidCol).as("uid"), qcol(vcn).as("value"))
+              .filter(col("value").isNotNull)
+            if (fanned) bound.dropDuplicates("uid") else bound
+          }
+          bindVar(v, mk(cur))
+          sharedRebinds += (v -> mk)
           // in-place reads (level aggs, math) must see the INSTANT, not
           // the display string — register the rider column for datetime
-          varCols(v) =
-            (if (cur.columns.contains(s"${name}__dtv")) s"${name}__dtv"
-             else name, uidCol)
+          varCols(v) = (vcn, uidCol)
           boundHere += v; liveVars += v
         }
       }
+    }
+    // ≥2 live-column binds in this pass: rebind them all from ONE
+    // lazily-checkpointed snapshot of the final frame (see the
+    // sharedRebinds doc above) — the block plan then materializes once,
+    // inside whichever downstream job touches a var first, and every
+    // other var map (plus the block's own render) reads the cached
+    // partitions. A single bind keeps the plain per-var checkpoint.
+    if (sharedRebindOk && sharedRebinds.size >= 2) {
+      cur = cur.localCheckpoint(eager = false)
+      sharedRebinds.foreach { case (v, mk) => bindVar(v, mk(cur)) }
     }
     // __seedval_ riders are internal plumbing from a val-seeded root —
     // never part of the rendered schema. (`__dtv` datetime-instant
@@ -3122,6 +3164,11 @@ final class DqlExecutor(ts: GraphStore) {
 
   /** One group of scalar-leaf lines for a frontier (columns uid, __r). */
   private def rdfScalarRows(frontier: DataFrame, s: Selection): DataFrame = {
+    // geo values have no N-Triple object form (reference
+    // query/outputrdf.go:189 getObjectVal, types.GeoID case)
+    if (schema.predicates.get(s.pred).exists(_.dgraphType == "geo"))
+      throw new IllegalArgumentException(
+        "Geo id is not supported in rdf output")
     val rows0 = attrLeaf(s)
     val valueC =
       if (rows0.columns.contains("display")) col("display")

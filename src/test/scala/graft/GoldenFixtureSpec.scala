@@ -501,7 +501,8 @@ class GoldenFixtureSpec extends AnyFunSuite {
       types.map(t => t.name -> t).toMap)
   }
 
-  private lazy val store: TripleFrameStore = {
+  // shared with CorpusSweepSpec (the reference-corpus sweep)
+  lazy val store: TripleFrameStore = {
     import spark.implicits._
     val triples = RdfSource.parse(fixtureLines.toDF("line"))
     new TripleFrameStore(spark, schema, triples,
@@ -6913,6 +6914,11 @@ class GoldenFixtureSpec extends AnyFunSuite {
         "<0x1> <name> \"Michonne\" .\n<0x17> <name> \"Rick Grimes\" .\n" +
         "<0x18> <name> \"Glenn Rhee\" .\n<0x19> <name> \"Daryl Dixon\" .\n" +
         "<0x1f> <name> \"Andrea\" .\n")
+  }
+
+  test("golden: rdf geo value rejected (outputrdf.go getObjectVal GeoID)") {
+    rdfErr("""{ me(func: uid(1)) { name loc } }""",
+      "Geo id is not supported in rdf output")
   }
 
   test("golden: TestRDFFacets (rdf_result_test.go)") {
