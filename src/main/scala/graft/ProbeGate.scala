@@ -29,6 +29,8 @@ object ProbeGate {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val shuffle = new AtomicLong
+    val gcMs = new AtomicLong; val runMs = new AtomicLong
+    val maxTaskMs = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
@@ -43,17 +45,29 @@ object ProbeGate {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
         shuffle.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        gcMs.addAndGet(s.stageInfo.taskMetrics.jvmGCTime)
+        runMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        ()
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        // stage skew: the longest single task of the run
+        Option(t.taskInfo).foreach { ti =>
+          val d = ti.duration
+          var cur = maxTaskMs.get
+          while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get
+        }
         ()
       }
     })
     def measure(label: String)(fn: => Unit): Unit = {
       Thread.sleep(200)
       jobs.set(0); stages.set(0); tasks.set(0); shuffle.set(0)
+      gcMs.set(0); runMs.set(0); maxTaskMs.set(0)
       val t0 = System.nanoTime()
       try fn catch { case t: Throwable => println(s"[gate] ERR $label: ${t.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(200)
-      println(f"[gate] $label%-42s jobs=${jobs.get}%3d stages=${stages.get}%4d tasks=${tasks.get}%5d shufMB=${shuffle.get / 1e6}%7.1f t=$dt%6.2f")
+      println(f"[gate] $label%-42s jobs=${jobs.get}%3d stages=${stages.get}%4d tasks=${tasks.get}%5d shufMB=${shuffle.get / 1e6}%7.1f gcS=${gcMs.get / 1e3}%6.2f cpuS=${runMs.get / 1e3}%7.1f maxTaskS=${maxTaskMs.get / 1e3}%6.2f t=$dt%6.2f")
     }
     // warm the shared session state once so per-gate numbers are steady-state
     graft.core.TripleStore(spark, sfDir).attr("quantity").count()

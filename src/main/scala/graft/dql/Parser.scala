@@ -151,6 +151,11 @@ object Parser {
         val fname = ident()
         frags(fname) = parseSelectionSet()
       }
+      // stray commas at top level are skipped — the reference's Parse
+      // loop ignores item types outside its switch, and its own corpus
+      // carries `}\n},` documents that must succeed (query0_test.go:3067
+      // "Test lt filter on non-indexed int")
+      while (pos < ts.length && peek == Punct(",")) next()
       // a second `{...}` after the document is a parse error, not
       // silently-dropped input (reference TestFilterVarErr)
       if (pos < ts.length) fail(s"unexpected trailing input: ${ts(pos)}")
