@@ -42,6 +42,25 @@ trait GraphStore {
     */
   def annIndexDir(predicate: String): Option[String] = None
 
+  /** Tablet-group (wide) fetch: for scalar predicates co-located in ONE
+    * backing source table, a single frame — `subject` plus one typed
+    * value column `__ma_<pred>` per covered predicate — replaces N
+    * per-predicate tablet joins with one column-pruned scan and one
+    * join. At 100 TB that is the difference between k shuffle joins of
+    * k melted tablets and one co-located read of the entity's own
+    * columnar row group (the reference's posting lists pay one seek per
+    * predicate; a columnar store holds sibling attributes side by
+    * side). Contract: each returned frame is unique per subject, value
+    * types match `attr(p)`'s, and the covered predicate lists are
+    * disjoint across frames. `entityType`, when set, asserts the
+    * frame's subjects are EXACTLY the store's nodes of that dgraph.type
+    * — a bare `type(T)` root then projects straight off the frame, no
+    * frontier join at all. Default: none — consumers fall back to
+    * per-predicate reads. Wrapping stores (ACL) must NOT forward this
+    * without re-applying their read filtering.
+    */
+  def attrWide(preds: Seq[String]): Seq[GraphStore.WideGroup] = Nil
+
   /** Edge view for one predicate — "tablet" access path. */
   def edge(predicate: String): DataFrame =
     edges.filter(col("predicate") === predicate)
@@ -76,4 +95,13 @@ trait GraphStore {
   private val derivedCache = TrieMap.empty[String, DataFrame]
   def derived(key: String)(build: => DataFrame): DataFrame =
     derivedCache.getOrElseUpdate(key, build.localCheckpoint())
+}
+
+object GraphStore {
+  /** One tablet-group frame (see [[GraphStore.attrWide]]): `frame` has
+    * column `subject` plus `__ma_<pred>` per covered predicate;
+    * `entityType` asserts the subjects are exactly that type's nodes.
+    */
+  final case class WideGroup(frame: DataFrame, preds: Seq[String],
+      entityType: Option[String] = None)
 }

@@ -420,6 +420,49 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
     }
     table.filter(col("predicate") === predicate)
   }
+
+  /** Tablet-group reads (see [[GraphStore.attrWide]]): sibling scalar
+    * attributes of one entity fetch as ONE column-pruned scan of that
+    * entity's source table — the melted per-predicate tablets above
+    * would cost one scan + one shuffle join EACH for values that sit
+    * side by side in the same parquet row group. Only predicates living
+    * in exactly one table participate (`name`/`acctbal` span entities
+    * and would need a coalesce across per-table frames, costing the
+    * joins this path saves); lang-tagged and datetime predicates keep
+    * the per-predicate path (untagged-only rule, display riders).
+    */
+  override def attrWide(preds: Seq[String]): Seq[GraphStore.WideGroup] = {
+    def grp(df: => DataFrame, subj: Column, ty: String,
+        cols: Seq[(String, Column)]): Option[GraphStore.WideGroup] = {
+      val want = cols.filter { case (p, _) => preds.contains(p) }
+      // a single covered predicate gains nothing over attr(p)
+      if (want.size < 2) None
+      else Some(GraphStore.WideGroup(
+        df.select(subj.as("subject") +:
+          want.map { case (p, c) => c.as(s"__ma_$p") }: _*),
+        want.map(_._1), Some(ty)))
+    }
+    Seq(
+      grp(t("part"), lit(Part) + col("p_partkey"), "Part", Seq(
+        "brand" -> col("p_brand").cast("string"),
+        "ptype" -> col("p_type").cast("string"),
+        "size" -> col("p_size").cast("long"),
+        "retailprice" -> col("p_retailprice").cast("double"))),
+      grp(t("orders"), lit(Order) + col("o_orderkey"), "Order", Seq(
+        "orderstatus" -> col("o_orderstatus").cast("string"),
+        "orderpriority" -> col("o_orderpriority").cast("string"),
+        "totalprice" -> col("o_totalprice").cast("double"))),
+      grp(line, col("line_uid"), "Lineitem", Seq(
+        "returnflag" -> col("l_returnflag").cast("string"),
+        "linestatus" -> col("l_linestatus").cast("string"),
+        "quantity" -> col("l_quantity").cast("double"),
+        "extendedprice" -> col("l_extendedprice").cast("double"),
+        "discount" -> col("l_discount").cast("double"))),
+      grp(t("documents"), lit(Document) + col("doc_id"), "Document", Seq(
+        "source" -> col("source").cast("string"),
+        "n_chars" -> col("n_chars").cast("long")))
+    ).flatten
+  }
 }
 
 object TripleStore {

@@ -713,10 +713,22 @@ final class DqlExecutor(ts: GraphStore) {
         val fullCascade = b.cascade && cFields.isEmpty
         val paged =
           if (b.cascade) frontier // paginate after cascade pruning (below)
-          else orderAndPage(frontier, "uid", b.order, b.page)
+          else orderAndPage(frontier, "uid", b.order, b.page,
+            keepValRiders = true)
+        // root-type elimination precondition: the projected frame must
+        // be EXACTLY the raw type(T) node set — any filter, ordering, or
+        // page restricts it, and the ignoreReflex chain needs real
+        // frontier rows
+        val bareTypeRoot =
+          if (b.func.name == "type" && b.func.args.isEmpty &&
+              b.filter.isEmpty && b.order.isEmpty &&
+              b.page.first.isEmpty && b.page.offset.isEmpty &&
+              b.page.after.isEmpty && !b.cascade && !b.ignoreReflex)
+            Some(b.func.pred)
+          else None
         val projected0 = project(paged, "uid", b.selections, fullCascade, "",
           detached = b.name == "var" && !b.cascade,
-          cascadeFields = cFields)
+          cascadeFields = cFields, rootType = bareTypeRoot)
         val projected =
           if (!paramCascade) projected0
           else {
@@ -1640,7 +1652,8 @@ final class DqlExecutor(ts: GraphStore) {
     }
 
   private def orderAndPage(df: DataFrame, uidCol: String,
-      order: Seq[Ordering], page: Pagination): DataFrame = {
+      order: Seq[Ordering], page: Pagination,
+      keepValRiders: Boolean = false): DataFrame = {
     var cur = df
     page.after.foreach(a => cur = cur.filter(qcol(uidCol) > a))
     val needSort = order.nonEmpty || page.first.isDefined || page.offset.isDefined
@@ -1707,7 +1720,24 @@ final class DqlExecutor(ts: GraphStore) {
         cur = cur.orderBy(keyCols(rev = true): _*).limit(-f).orderBy(ordCols: _*)
       }
     }
-    cur.drop(order.indices.map(i => s"__ov$i"): _*)
+    // keepValRiders (the block's main frontier only): a `val:` sort key
+    // already paid the var-map join — keep its value as a __seedval_
+    // rider so a later `val(x)` selection of the SAME var reads it in
+    // place instead of re-joining the map (project's seedval branch)
+    val keep: Map[Int, String] =
+      if (!keepValRiders) Map.empty
+      else order.zipWithIndex.collect {
+        case (o, i) if o.pred.startsWith("val:") &&
+            !cur.columns.contains(s"__seedval_${o.pred.drop(4)}") =>
+          i -> s"__seedval_${o.pred.drop(4)}"
+      }.toMap
+    order.indices.foreach { i =>
+      cur = keep.get(i) match {
+        case Some(n) => cur.withColumnRenamed(s"__ov$i", n)
+        case None => cur.drop(s"__ov$i")
+      }
+    }
+    cur
   }
 
   // ---- selection projection (one join per selection) ----
@@ -1724,7 +1754,8 @@ final class DqlExecutor(ts: GraphStore) {
 
   private def project(df: DataFrame, uidCol: String, sels: Seq[Selection],
       cascade: Boolean, prefix: String, detached: Boolean = false,
-      cascadeFields: Seq[String] = Nil): DataFrame = {
+      cascadeFields: Seq[String] = Nil,
+      rootType: Option[String] = None): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     var cur = df
     // true once a traversal has multiplied rows: later var binds must
@@ -1753,9 +1784,61 @@ final class DqlExecutor(ts: GraphStore) {
     val sharedRebinds =
       scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame => DataFrame)]
     var sharedRebindOk = !cascade
+    // tablet-group fetch: sibling plain-scalar selections whose
+    // predicates co-locate in one source table join ONCE through the
+    // store's wide frame instead of once per predicate
+    // ([[GraphStore.attrWide]] — k shuffle joins become one scan + one
+    // join). Eligibility mirrors the conditions of the plain value-read
+    // subcase below (no lang/facets/list/datetime riders).
+    def wideOk(s: Selection): Boolean =
+      s.mathExpr.isEmpty && s.aggOp.isEmpty && s.valRef.isEmpty &&
+        s.constVal.isEmpty && s.typeNameOf.isEmpty && !s.isCount &&
+        s.checkPwd.isEmpty && s.children.isEmpty && s.groupby.isEmpty &&
+        s.filter.isEmpty && s.facetFilter.isEmpty && !s.facetFetch &&
+        s.facetKeys.isEmpty && s.facetVars.isEmpty && s.langChain.isEmpty &&
+        !s.reverse && s.pred != "uid" && s.pred != "dgraph.type" &&
+        !schema.isUidPredicate(s.pred) &&
+        schema.predicates.get(s.pred).exists(ps => !ps.isList && !ps.lang &&
+          Set("string", "default", "int", "float").contains(ps.dgraphType))
+    val widePreds = sels.filter(wideOk).map(_.pred).distinct
+    val wideFrames =
+      if (widePreds.size >= 2) ts.attrWide(widePreds) else Nil
+    val wideCovered: Set[String] = wideFrames.flatMap(_.preds).toSet
+    // root-type elimination: a bare `type(T)` frontier (no filter, no
+    // order, no page — flatBlock passes rootType only then) IS the
+    // subject set of T's wide frame, so the frame replaces the frontier
+    // outright — one scan, zero joins for its covered predicates
+    // (frontier ⋈ wide would be an identity self-join of T's table)
+    val rootWide = rootType.flatMap(t =>
+      wideFrames.find(_.entityType.contains(t)))
+    rootWide.foreach { g => cur = g.frame.withColumnRenamed("subject", uidCol) }
+    var wideJoined = false
+    def ensureWideJoined(): Unit = if (!wideJoined) {
+      wideJoined = true
+      wideFrames.zipWithIndex.foreach { case (g, i) =>
+        if (!rootWide.exists(_ eq g))
+          cur = cur.join(g.frame.withColumnRenamed("subject", s"__ma_s$i"),
+            qcol(uidCol) === col(s"__ma_s$i"), "left").drop(s"__ma_s$i")
+      }
+    }
     sels.foreach { sel =>
       val name = prefix + sel.outName
-      if (sel.pred == "math" && sel.mathExpr.isDefined) {
+      if (wideCovered.contains(sel.pred) && wideOk(sel)) {
+        // tablet-group read: the value column arrived with the single
+        // wide join; under full cascade the per-attr inner join becomes
+        // a null filter (same row-drop semantics)
+        ensureWideJoined()
+        cur = cur.withColumn(name, qcol(s"__ma_${sel.pred}"))
+        if (cascade) cur = cur.filter(qcol(name).isNotNull)
+        sel.varName.foreach { v =>
+          val mk = (f: DataFrame) =>
+            f.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
+              .filter(col("value").isNotNull)
+          bindVar(v, if (fanned) mk(cur).dropDuplicates("uid") else mk(cur))
+          sharedRebinds += (v -> mk)
+          varCols(v) = (name, uidCol); boundHere += v; liveVars += v
+        }
+      } else if (sel.pred == "math" && sel.mathExpr.isDefined) {
         // x as math(...): arithmetic over previously bound value vars
         // (reference query/math.go evaluation over per-uid value maps)
         val refs = mathRefs(sel.mathExpr.get).distinct
@@ -1852,12 +1935,10 @@ final class DqlExecutor(ts: GraphStore) {
           // scalar values are unique per subject UNLESS a traversal
           // fanned the rows out — then dedup per uid (cross-level refs
           // are already per-uid maps after the transform above)
-          val mk = (f: DataFrame) => {
-            val b0 = f.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
+          val mk = (f: DataFrame) =>
+            f.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
               .filter(col("value").isNotNull)
-            if (fanned) b0.dropDuplicates("uid") else b0
-          }
-          bindVar(v, mk(cur))
+          bindVar(v, if (fanned) mk(cur).dropDuplicates("uid") else mk(cur))
           sharedRebinds += (v -> mk)
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
@@ -1915,8 +1996,8 @@ final class DqlExecutor(ts: GraphStore) {
         sel.varName.foreach { v =>
           val mk = (f: DataFrame) =>
             f.select(qcol(uidCol).as("uid"), col(name).as("value"))
-              .filter(col("value").isNotNull).dropDuplicates("uid")
-          bindVar(v, mk(cur))
+              .filter(col("value").isNotNull)
+          bindVar(v, mk(cur).dropDuplicates("uid"))
           sharedRebinds += (v -> mk)
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
@@ -2078,8 +2159,7 @@ final class DqlExecutor(ts: GraphStore) {
         sel.varName.foreach { v =>
           val mk = (f: DataFrame) =>
             f.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
-              .dropDuplicates("uid")
-          bindVar(v, mk(cur))
+          bindVar(v, mk(cur).dropDuplicates("uid"))
           sharedRebinds += (v -> mk)
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
@@ -2291,12 +2371,10 @@ final class DqlExecutor(ts: GraphStore) {
           // datetime vars bind the INSTANT rider, not the display string
           val vcn = if (cur.columns.contains(s"${name}__dtv"))
             s"${name}__dtv" else name
-          val mk = (f: DataFrame) => {
-            val bound = f.select(qcol(uidCol).as("uid"), qcol(vcn).as("value"))
+          val mk = (f: DataFrame) =>
+            f.select(qcol(uidCol).as("uid"), qcol(vcn).as("value"))
               .filter(col("value").isNotNull)
-            if (fanned) bound.dropDuplicates("uid") else bound
-          }
-          bindVar(v, mk(cur))
+          bindVar(v, if (fanned) mk(cur).dropDuplicates("uid") else mk(cur))
           sharedRebinds += (v -> mk)
           // in-place reads (level aggs, math) must see the INSTANT, not
           // the display string — register the rider column for datetime
@@ -2309,17 +2387,26 @@ final class DqlExecutor(ts: GraphStore) {
     // lazily-checkpointed snapshot of the final frame (see the
     // sharedRebinds doc above) — the block plan then materializes once,
     // inside whichever downstream job touches a var first, and every
-    // other var map (plus the block's own render) reads the cached
-    // partitions. A single bind keeps the plain per-var checkpoint.
+    // other var map reads the cached partitions. A fanned frame dedups
+    // per uid ONCE before the checkpoint (rebind source columns are
+    // per-uid constants by construction — attr joins keyed on this
+    // level's uid, per-parent aggregates, math over per-uid maps — so
+    // any surviving row of a uid carries the right values), making each
+    // var map an exchange-free select. A single bind keeps the plain
+    // per-var checkpoint.
     if (sharedRebindOk && sharedRebinds.size >= 2) {
-      cur = cur.localCheckpoint(eager = false)
-      sharedRebinds.foreach { case (v, mk) => bindVar(v, mk(cur)) }
+      val snap = (if (fanned) cur.dropDuplicates(Seq(uidCol)) else cur)
+        .localCheckpoint(eager = false)
+      sharedRebinds.foreach { case (v, mk) => bindVar(v, mk(snap)) }
+      if (!fanned) cur = snap
     }
     // __seedval_ riders are internal plumbing from a val-seeded root —
-    // never part of the rendered schema. (`__dtv` datetime-instant
-    // riders survive until the query surface: parent levels read them
-    // for level aggs after this builder returns.)
-    cur.drop(cur.columns.filter(_.startsWith("__seedval_")).toSeq: _*)
+    // never part of the rendered schema; __ma_ columns are the hidden
+    // wide-join values already copied to their rendered names. (`__dtv`
+    // datetime-instant riders survive until the query surface: parent
+    // levels read them for level aggs after this builder returns.)
+    cur.drop(cur.columns.filter(c => c.startsWith("__seedval_") ||
+      c.startsWith("__ma_")).toSeq: _*)
   }
 
   /** One traversal level: frontier ⋈ edge view; per-parent order/first
