@@ -792,4 +792,64 @@ object Similarity {
         cosFromParts(dotQ(col("av"), col("bv")), col("an"), col("bn")).as("sim"))
       .filter(col("sim") > threshold)
   }
+
+  /** Deterministic ±1 hyperplane component for (band, bit, dim) — the
+    * shared pattern BOTH engines rebuild literally (the oracle emits
+    * the same values as SQL array literals), so banded candidates are
+    * bit-identical across engines.
+    */
+  def hyperplaneSign(b: Int, j: Int, i: Int): Long = {
+    // a REAL mix, not a linear parity: ((b·131+j)·31+i) % 2 alternates
+    // strictly in i, making all hyperplanes ±one vector and collapsing
+    // every band to two buckets (measured: slower than all-pairs)
+    var h = (b * 73856093) ^ (j * 19349663) ^ (i * 83492791)
+    h ^= h >>> 13; h *= 0x5bd1e995; h ^= h >>> 15
+    if ((h & 1) == 0) 1L else -1L
+  }
+
+  /** Banded embedding near-dup — the SCALE PATH for [[nearDupPairs]].
+    * Within-cell all-pairs is quadratic in cell occupancy (measured:
+    * sf1→sf3 grew 3× data into ~9× candidate pairs); here candidates
+    * come from `bands` random-hyperplane sign buckets inside the cell —
+    * bucket sizes stay O(n / (cells·2^bits)), so the candidate join is
+    * near-linear. Recall is the banding probability by design (a pair
+    * must agree on all `bits` signs of some band); the gate's oracle
+    * replays the SAME hyperplanes, so the semantic — band → bucket-join
+    * → exact cosine verify — is pinned deterministically. Pairs dedup
+    * BEFORE the vectors re-join: a candidate row is 16 bytes through
+    * the distinct, not a 2×dim payload.
+    */
+  def nearDupPairsBanded(corpus: DataFrame, threshold: Double, dim: Int,
+      bands: Int = 4, bits: Int = 8): DataFrame = {
+    val n = withNorm(corpus)
+    def bandVal(b: Int): Column =
+      (0 until bits).map { j =>
+        val sgns = array((0 until dim).map(i =>
+          lit(hyperplaneSign(b, j, i))): _*)
+        val dot = aggregate(zip_with(col("qe"), sgns, (x, s) => x * s),
+          lit(0L), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // signatures computed once (one corpus pass), read once per band
+    val sigs = n.select(col("id") +: col("cell") +: col("qe") +:
+        col("__nrm") +:
+        (0 until bands).map(b => bandVal(b).as(s"__band_$b")): _*)
+      .localCheckpoint(eager = false)
+    val cand = (0 until bands).map { b =>
+      val l = sigs.select(col("id").as("a"), col("cell"),
+        col(s"__band_$b").as("__bv"))
+      val r = sigs.select(col("id").as("b"), col("cell"),
+        col(s"__band_$b").as("__bv"))
+      l.join(r, Seq("cell", "__bv")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+    }.reduce(_ unionByName _).dropDuplicates("a", "b")
+    val va = sigs.select(col("id").as("a"), col("qe").as("av"),
+      col("__nrm").as("an"))
+    val vb = sigs.select(col("id").as("b"), col("qe").as("bv"),
+      col("__nrm").as("bn"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .select(col("a"), col("b"),
+        cosFromParts(dotQ(col("av"), col("bv")), col("an"), col("bn")).as("sim"))
+      .filter(col("sim") > threshold)
+  }
 }

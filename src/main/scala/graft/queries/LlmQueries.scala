@@ -254,6 +254,14 @@ object LlmQueries {
       Similarity.nearDupPairs(embCorpus(s, d), threshold = 0.95)
         .orderBy(col("a"), col("b"))),
 
+    // the SCALE PATH for the gate above: within-cell all-pairs is
+    // quadratic in cell occupancy (sf1→sf3 measured 3× data → ~9×
+    // pairs); hyperplane-sign bands keep the candidate join near-linear
+    // and the oracle replays the same bands literally
+    "dedup_embedding_banded" -> ((s, d) =>
+      Similarity.nearDupPairsBanded(embCorpus(s, d), threshold = 0.95,
+        dim = 64).orderBy(col("a"), col("b"))),
+
     // candidate pairs → connected-component cluster labels (keep the
     // id == cluster row per component, drop the rest)
     "dedup_clusters" -> ((s, d) =>
@@ -1040,6 +1048,37 @@ object LlmQueries {
          |FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
          |WHERE ${cosSql("a.qe", "b.qe")} > 0.95
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_embedding_banded" -> {
+      // the same hyperplanes as Similarity.nearDupPairsBanded, emitted
+      // as SQL array literals — candidates are bit-identical
+      def bandValSql(b: Int): String =
+        (0 until 8).map { j =>
+          val sgns = (0 until 64)
+            .map(i => graft.operators.Similarity.hyperplaneSign(b, j, i))
+            .mkString("[", ",", "]")
+          s"(CASE WHEN list_sum(list_transform(list_zip(qe, $sgns), " +
+            s"p -> p[1]*p[2])) >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      val sigCols = (0 until 4).map(b => s"${bandValSql(b)} AS band_$b")
+        .mkString(",\n ")
+      val cand = (0 until 4).map(b =>
+        s"SELECT sa.id AS a, sb.id AS b FROM sigs sa JOIN sigs sb " +
+          s"ON sa.cell = sb.cell AND sa.band_$b = sb.band_$b AND sa.id < sb.id")
+        .mkString("\n UNION\n ")
+      s"""WITH c AS ($embCorpusSql),
+         |sigs AS (SELECT id, cell, qe,
+         | $sigCols
+         |FROM c),
+         |cand AS (
+         | $cand
+         |)
+         |SELECT cand.a, cand.b, ${cosSql("va.qe", "vb.qe")} AS sim
+         |FROM cand JOIN sigs va ON va.id = cand.a
+         |          JOIN sigs vb ON vb.id = cand.b
+         |WHERE ${cosSql("va.qe", "vb.qe")} > 0.95
+         |ORDER BY a, b""".stripMargin
+    },
 
     "embed_cosine_topk" ->
       s"""WITH q AS ($embQSql)

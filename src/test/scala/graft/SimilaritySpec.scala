@@ -386,4 +386,35 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"qid", $"nid", $"rank").collect().toSet
     assert(run() == run())
   }
+
+  test("banded near-dup: subset of all-pairs, twin recall >= 0.8, balanced buckets") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.select($"vec_id".as("id"), $"label".as("cell"),
+      quantize($"embedding").as("qe"))
+    val twins = emb.select(($"vec_id" + 1000000L).as("id"),
+      $"label".as("cell"),
+      transform($"embedding",
+        x => round((x.cast("double") * 1.05 + 0.01) * 1000).cast("long")).as("qe"))
+    val corpus = base.unionByName(twins)
+    val all = Similarity.nearDupPairs(corpus, 0.95)
+      .select($"a", $"b").collect().toSet
+    val banded = Similarity.nearDupPairsBanded(corpus, 0.95, dim = 64)
+      .select($"a", $"b").collect().toSet
+    // every banded pair is a true pair (the verify step is exact)
+    assert(banded.subsetOf(all), (banded -- all).take(3))
+    // designed twins agree on most hyperplane signs — banding keeps them
+    val twinPairs = all.filter { case r =>
+      r.getLong(1) == r.getLong(0) + 1000000L }
+    val kept = banded.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(twinPairs.nonEmpty &&
+      kept >= (twinPairs.size * 0.8).toInt, s"$kept of ${twinPairs.size}")
+    // the hyperplanes must actually split: no band bucket may hold the
+    // bulk of a cell (the r15 parity-hash bug collapsed every band to
+    // two buckets and went QUADRATIC)
+    import graft.operators.Similarity.hyperplaneSign
+    val sgn0 = (0 until 64).map(i => hyperplaneSign(0, 0, i))
+    assert(math.abs(sgn0.sum) < 32, s"degenerate hyperplane: $sgn0")
+    assert((0 until 8).map(j => (0 until 64).map(i =>
+      hyperplaneSign(0, j, i))).distinct.size == 8, "duplicate hyperplanes")
+  }
 }
