@@ -1630,6 +1630,12 @@ final class DqlExecutor(ts: GraphStore) {
       if (schema.predicates.get(p).exists(_.isList))
         throw new IllegalArgumentException(
           s"Sorting not supported on attr: $p of type: [scalar]")
+      // the reference's own message for a sort key that names neither a
+      // predicate nor val(var) — covers `orderdesc: n` where n is a var
+      // (query0 TestQueryVarValOrderError: vars sort via val(n) only)
+      if (!schema.predicates.contains(p))
+        throw new IllegalArgumentException(
+          s"Cannot sort by unknown attribute $p")
       val rows = ts.attr(p)
       if (!rows.columns.contains("lang")) rows
       else tag match {
@@ -2397,7 +2403,12 @@ final class DqlExecutor(ts: GraphStore) {
     if (sharedRebindOk && sharedRebinds.size >= 2) {
       val snap = (if (fanned) cur.dropDuplicates(Seq(uidCol)) else cur)
         .localCheckpoint(eager = false)
-      sharedRebinds.foreach { case (v, mk) => bindVar(v, mk(snap)) }
+      // no per-var checkpoint on top: the snapshot already truncates
+      // the lineage, so each map is a plain select over its cached
+      // partitions — a per-var checkpoint would add one more
+      // materialization JOB per var (measured: dql_level_agg ran 40
+      // micro-jobs, most of them checkpoint builds)
+      sharedRebinds.foreach { case (v, mk) => vars(v) = mk(snap) }
       if (!fanned) cur = snap
     }
     // __seedval_ riders are internal plumbing from a val-seeded root —
