@@ -35,10 +35,11 @@ object ProbeGate {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (sys.env.contains("PROBE_CALLSITES"))
-          println("[site] " + Seq("callSite.short", "spark.job.description",
-            "spark.sql.execution.root.id")
-            .flatMap(k => Option(j.properties.getProperty(k))).headOption
-            .getOrElse("?"))
+          println("[site] root=" +
+            Option(j.properties.getProperty("spark.sql.execution.root.id"))
+              .getOrElse("?") +
+            " cs=" + Option(j.properties.getProperty("callSite.short"))
+              .getOrElse("?"))
         ()
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -48,6 +49,12 @@ object ProbeGate {
         gcMs.addAndGet(s.stageInfo.taskMetrics.jvmGCTime)
         runMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
         ()
+      }
+      override def onOtherEvent(e: SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if sys.env.contains("PROBE_CALLSITES") =>
+          println(s"[exec] ${s.executionId} ${s.description.take(120)}")
+        case _ => ()
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         // stage skew: the longest single task of the run

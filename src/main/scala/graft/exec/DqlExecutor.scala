@@ -35,7 +35,36 @@ final class DqlExecutor(ts: GraphStore) {
     * DF("uid", "value"). Blocks execute in written order; a var bound in
     * an earlier block is visible to later ones.
     */
-  private val vars = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+  // Variable registry with CHECKPOINT-ON-FIRST-READ semantics. Binding
+  // stores the raw plan (or a thunk); the lazy localCheckpoint happens
+  // only when a var is actually consumed. Checkpointing at BIND time —
+  // the previous shape — was not lazy in practice: Dataset.
+  // localCheckpoint(eager = false) on an AQE plan still executes every
+  // intermediate query stage to produce the RDD, so each bound-but-
+  // never-read var ran its full plan as its own SQL execution (measured:
+  // dql_level_agg spent 5 of its 7 executions on binds whose initial
+  // frames were replaced by the shared rebind before any read).
+  private val varsRaw =
+    scala.collection.mutable.LinkedHashMap.empty[String, () => DataFrame]
+  private val varsCk =
+    scala.collection.mutable.HashMap.empty[String, DataFrame]
+  private object vars {
+    def apply(n: String): DataFrame =
+      varsCk.getOrElseUpdate(n, varsRaw(n)().localCheckpoint(eager = false))
+    def get(n: String): Option[DataFrame] =
+      if (varsRaw.contains(n)) Some(apply(n)) else None
+    def getOrElse(n: String, default: => DataFrame): DataFrame =
+      if (varsRaw.contains(n)) apply(n) else default
+    def contains(n: String): Boolean = varsRaw.contains(n)
+    def keys: Iterable[String] = varsRaw.keys
+    def update(n: String, df: DataFrame): Unit = {
+      varsRaw(n) = () => df; varsCk.remove(n); ()
+    }
+    /** Bind a thunk evaluated (then checkpointed) on first read. */
+    def updateThunk(n: String, f: () => DataFrame): Unit = {
+      varsRaw(n) = f; varsCk.remove(n); ()
+    }
+  }
 
   /** For vars bound while projecting the CURRENT block: the flat column
     * holding the value and the uid column of the level that bound it.
@@ -271,25 +300,15 @@ final class DqlExecutor(ts: GraphStore) {
     Seq.empty[Long].toDF("uid")
   }
 
-  /** Register a variable MATERIALIZED (localCheckpoint = compute once,
-    * truncate lineage). Without this, every later reference — val()
-    * leaves, seed comparisons, orderings, math — re-embeds the entire
-    * var-block plan: measured 48 InMemoryTableScans / 89 Exchanges in a
-    * single dql_math physical plan. At cluster scale each reference would
-    * re-join the full tablets; one checkpoint makes each reference a scan
-    * of a small materialized (uid, value) set. Mirrors the reference
-    * computing a var's uid/value map once per request
-    * (query/query.go:1806 fillVars).
-    *
-    * The checkpoint is LAZY (eager=false): an eager one runs a separate
-    * blocking job per var (a query binding three vars paid three full
-    * scans before its own job started); a lazy one materializes each var
-    * inside whichever downstream job touches it first, so a var chain
-    * (ep, dc -> rev) computes in ONE pass while later references still
-    * read the cached partitions.
+  /** Register a variable. The registry checkpoints ON FIRST READ (see
+    * the `vars` doc above): a consumed var's references all scan one
+    * materialized (uid, value) set — mirroring the reference computing
+    * a var's uid/value map once per request (query/query.go:1806
+    * fillVars) — while a var that is bound and then never read (or
+    * replaced by the shared rebind) costs nothing.
     */
   private def bindVar(name: String, df: DataFrame): Unit =
-    vars(name) = df.localCheckpoint(eager = false)
+    vars(name) = df
 
   /** Execute all blocks in order; return the last non-`var` block. */
   def flat(query: String): DataFrame = flatAst(Parser.parse(query))
@@ -2401,15 +2420,22 @@ final class DqlExecutor(ts: GraphStore) {
     // var map an exchange-free select. A single bind keeps the plain
     // per-var checkpoint.
     if (sharedRebindOk && sharedRebinds.size >= 2) {
-      val snap = (if (fanned) cur.dropDuplicates(Seq(uidCol)) else cur)
-        .localCheckpoint(eager = false)
-      // no per-var checkpoint on top: the snapshot already truncates
+      // the snapshot is a LAZY VAL behind thunk binds: building a
+      // checkpointed Dataset on an AQE plan executes its query stages,
+      // so constructing it here would run the block once even when no
+      // var is ever read — the first consumed var forces it instead.
+      // No per-var checkpoint on top: the snapshot already truncates
       // the lineage, so each map is a plain select over its cached
-      // partitions — a per-var checkpoint would add one more
-      // materialization JOB per var (measured: dql_level_agg ran 40
-      // micro-jobs, most of them checkpoint builds)
-      sharedRebinds.foreach { case (v, mk) => vars(v) = mk(snap) }
-      if (!fanned) cur = snap
+      // partitions.
+      lazy val snap = (if (fanned) cur.dropDuplicates(Seq(uidCol)) else cur)
+        .localCheckpoint(eager = false)
+      sharedRebinds.foreach { case (v, mk) =>
+        vars.updateThunk(v, () => mk(snap))
+      }
+      // a top-level result block shares the materialization with its
+      // own render (detached marks a var block, whose frame is
+      // discarded — forcing snap there would run the block unread)
+      if (!fanned && !detached) cur = snap
     }
     // __seedval_ riders are internal plumbing from a val-seeded root —
     // never part of the rendered schema; __ma_ columns are the hidden
