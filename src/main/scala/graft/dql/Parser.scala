@@ -145,17 +145,21 @@ object Parser {
       // `fragment name { selections }` definitions follow the query
       // document (reference dql fragments, TestParseFragmentMultiQuery);
       // spreads expand before validation, so the executor never sees one
+      // stray commas at top level are skipped ANYWHERE between items —
+      // the reference's Parse loop ignores item types outside its
+      // switch, so `},\nfragment f {...}` and trailing `}\n},` documents
+      // (query0_test.go:3067 "Test lt filter on non-indexed int") both
+      // succeed
+      def skipTopCommas(): Unit =
+        while (pos < ts.length && peek == Punct(",")) next()
       val frags = scala.collection.mutable.Map.empty[String, Seq[Selection]]
+      skipTopCommas()
       while (peek == Ident("fragment")) {
         next()
         val fname = ident()
         frags(fname) = parseSelectionSet()
+        skipTopCommas()
       }
-      // stray commas at top level are skipped — the reference's Parse
-      // loop ignores item types outside its switch, and its own corpus
-      // carries `}\n},` documents that must succeed (query0_test.go:3067
-      // "Test lt filter on non-indexed int")
-      while (pos < ts.length && peek == Punct(",")) next()
       // a second `{...}` after the document is a parse error, not
       // silently-dropped input (reference TestFilterVarErr)
       if (pos < ts.length) fail(s"unexpected trailing input: ${ts(pos)}")

@@ -1809,6 +1809,17 @@ final class DqlExecutor(ts: GraphStore) {
     val sharedRebinds =
       scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame => DataFrame)]
     var sharedRebindOk = !cascade
+    // INVARIANT (shared-rebind safety): every closure in sharedRebinds is
+    // replayed against the FINAL `cur` frame of this pass, so any branch
+    // that drops/filters rows of `cur` on the non-cascade path (a filter,
+    // an inner join, an empty-out) MUST call dropsRows() — rebinding an
+    // earlier var from a row-reduced frame would silently shrink its
+    // value map. Parent-preserving ops (left joins, withColumn,
+    // per-parent windows that keep null-child rows) are safe. If you add
+    // a new branch that mutates `cur` and aren't sure, call dropsRows():
+    // it only costs the one-materialization optimization, never
+    // correctness.
+    def dropsRows(): Unit = { sharedRebindOk = false; sharedRebinds.clear() }
     // tablet-group fetch: sibling plain-scalar selections whose
     // predicates co-locate in one source table join ONCE through the
     // store's wide frame instead of once per predicate
@@ -2131,7 +2142,7 @@ final class DqlExecutor(ts: GraphStore) {
         }
         // the frame just went empty: earlier live-column binds must NOT
         // be rebound from it
-        sharedRebindOk = false; sharedRebinds.clear()
+        dropsRows()
       } else if (sel.isCount) {
         // count over uid edges, or over VALUES for scalar predicates
         // (reference TestCountFacetsFilteringScalarPredicate); scalar

@@ -84,7 +84,7 @@ final class CorpusSweepSpec extends AnyFunSuite {
   }
 
   test("all 765 reference-corpus queries match their committed ledger") {
-    val store = new GoldenFixtureSpec().store
+    val store = GoldenFixture.store
     val observed: Seq[(String, Observed)] =
       corpus.map(q => sha12(q) -> runOne(q, store))
 

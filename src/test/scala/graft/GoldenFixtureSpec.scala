@@ -21,498 +21,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkTestSession.spark
 
-  private def hex(u: Long) = java.lang.Long.toHexString(u)
-  private def a(s: Long, p: String, v: String, lang: String = "",
-      facets: String = "") =
-    s"""<0x${hex(s)}> <$p> "$v"${if (lang.isEmpty) "" else "@" + lang}${
-      if (facets.isEmpty) "" else s" ($facets)"} ."""
-  private def e(s: Long, p: String, o: Long, facets: String = "") =
-    s"""<0x${hex(s)}> <$p> <0x${hex(o)}>${if (facets.isEmpty) "" else s" ($facets)"} ."""
-  /** geo value triple: the GeoJSON text N-Quad-escaped (reference
-    * addGeoPointToCluster/addGeoPolygonToCluster, common_test.go:957+).
-    */
-  private def gj(s: Long, p: String, json: String) =
-    a(s, p, json.replace("\\", "\\\\").replace("\"", "\\\""))
-
-  /** Seed triples: reference query/common_test.go:396-640 (subset: the
-    * friend graph, best_friend/pet chain, and the multi-sort block).
-    */
-  private lazy val fixtureLines: Seq[String] = Seq(
-    a(1, "name", "Michonne"), a(2, "name", "King Lear"), a(3, "name", "Margaret"),
-    a(4, "name", "Leonard"), a(5, "name", "Garfield"), a(6, "name", "Bear"),
-    a(7, "name", "Nemo"), a(23, "name", "Rick Grimes"), a(24, "name", "Glenn Rhee"),
-    a(25, "name", "Daryl Dixon"), a(31, "name", "Andrea"),
-    a(240, "name", "Andrea With no friends"),
-    a(10000, "name", "Alice"), a(10001, "name", "Elizabeth"),
-    a(10002, "name", "Alice"), a(10003, "name", "Bob"), a(10004, "name", "Alice"),
-    a(10005, "name", "Bob"), a(10006, "name", "Colin"), a(10007, "name", "Elizabeth"),
-    a(1, "age", "38"), a(23, "age", "15"), a(24, "age", "15"), a(25, "age", "17"),
-    a(31, "age", "19"),
-    a(10000, "age", "25"), a(10001, "age", "75"), a(10002, "age", "75"),
-    a(10003, "age", "75"), a(10004, "age", "75"), a(10005, "age", "25"),
-    a(10006, "age", "25"), a(10007, "age", "25"),
-    a(1, "alive", "true"), a(23, "alive", "true"), a(25, "alive", "false"),
-    a(31, "alive", "false"),
-    a(10000, "salary", "10000"), a(10002, "salary", "10002"),
-    a(1, "gender", "female"), a(23, "gender", "male"),
-    a(1, "dob", "1910-01-01"), a(23, "dob", "1910-01-02"), a(24, "dob", "1909-05-05"),
-    a(25, "dob", "1909-01-10"), a(31, "dob", "1901-01-15"),
-    a(3500, "name", ""), a(3500, "name", "\uc0c1\ud604", "ko"),
-    a(3502, "name", ""), a(3502, "name", "Amit", "en"),
-    a(3502, "name", "\u0905\u092e\u093f\u0924", "hi"),
-    a(3503, "name", "Andrew", "en"), a(3503, "name", "", "hi"),
-    a(1, "dgraph.type", "User"), a(2, "dgraph.type", "Person"),
-    a(3, "dgraph.type", "Person"), a(4, "dgraph.type", "Person"),
-    a(23, "dgraph.type", "Person"), a(24, "dgraph.type", "Person"),
-    a(25, "dgraph.type", "Person"), a(31, "dgraph.type", "Person"),
-    e(1, "friend", 23), e(1, "friend", 24), e(1, "friend", 25), e(1, "friend", 31),
-    e(1, "friend", 101), e(31, "friend", 24), e(23, "friend", 1),
-    e(2, "best_friend", 64, "since=2019-03-28T07:41:57+23:00"),
-    e(3, "best_friend", 64, "since=2018-03-24T14:41:57+05:30"),
-    e(4, "best_friend", 64, "since=2019-03-27"),
-    e(2, "pet", 5), e(3, "pet", 6), e(4, "pet", 7),
-    e(1, "school", 5000), e(23, "school", 5001), e(24, "school", 5000),
-    e(25, "school", 5000), e(31, "school", 5001), e(101, "school", 5001),
-    // connects graph A..E (common_test.go:475-479, 782-796)
-    a(51, "name", "A"), a(52, "name", "B"), a(53, "name", "C"),
-    a(54, "name", "D"), a(55, "name", "E"),
-    e(51, "connects", 52, "weight=11"), e(51, "connects", 53, "weight=1"),
-    e(51, "connects", 54, "weight=10"), e(53, "connects", 51, "weight=10"),
-    e(53, "connects", 52, "weight=10"), e(53, "connects", 54, "weight=1"),
-    e(52, "connects", 51, "weight=10"), e(52, "connects", 53, "weight=10"),
-    e(52, "connects", 54, "weight=10"), e(54, "connects", 51, "weight=10"),
-    e(54, "connects", 52, "weight=2"), e(54, "connects", 53, "weight=10"),
-    e(54, "connects", 55, "weight=1"),
-    // F..J chain (common_test.go:801-804, hoppy-behavior depth tests)
-    e(56, "connects", 57, "weight=1"), e(56, "connects", 58, "weight=1"),
-    e(58, "connects", 59, "weight=1"), e(59, "connects", 60, "weight=1"),
-    a(1000, "name", "Alice"), a(1001, "name", "Bob"),
-    a(1002, "name", "Matt"), a(1003, "name", "John"),
-    a(5000, "name", "School A"), a(5001, "name", "School B"),
-    a(2300, "name", "Andre"), a(2333, "name", "Helmut"),
-    e(1, "son", 2300), e(1, "son", 2333),
-    // SchoolInfo chain (common_test.go:408-411, 659-665, 686-690)
-    a(33, "name", "San Mateo High School"),
-    a(34, "name", "San Mateo School District"),
-    a(35, "name", "San Mateo County"), a(36, "name", "California"),
-    a(36, "abbr", "CA"),
-    e(32, "school", 33), e(33, "district", 34), e(34, "county", 35),
-    e(35, "state", 36),
-    a(32, "dgraph.type", "SchoolInfo"), a(33, "dgraph.type", "SchoolInfo"),
-    a(34, "dgraph.type", "SchoolInfo"), a(35, "dgraph.type", "SchoolInfo"),
-    a(36, "dgraph.type", "SchoolInfo"),
-    // weighted path graph (common_test.go:568-576)
-    e(1, "path", 31, "weight=0.1, weight1=0.2"), e(1, "path", 24, "weight=0.2"),
-    e(31, "path", 1000, "weight=0.1"), e(1000, "path", 1001, "weight=0.1"),
-    e(1000, "path", 1002, "weight=0.7"), e(1001, "path", 1002, "weight=0.1"),
-    e(1002, "path", 1003, "weight=0.6"), e(1001, "path", 1003, "weight=1.5"),
-    e(1003, "path", 1001),
-    // follow graph (common_test.go:577-583)
-    e(1, "follow", 31), e(1, "follow", 24), e(31, "follow", 1001),
-    e(1001, "follow", 1000), e(1002, "follow", 1000),
-    e(1001, "follow", 1003), e(1003, "follow", 1002),
-    // survival_rate (common_test.go:586-590)
-    a(1, "survival_rate", "98.99"), a(23, "survival_rate", "1.6"),
-    a(24, "survival_rate", "1.6"), a(25, "survival_rate", "1.6"),
-    a(31, "survival_rate", "1.6"),
-    // alias / alias_lang (common_test.go:603-613)
-    a(23, "alias", "Zambo Alice"), a(24, "alias", "John Alice"),
-    a(25, "alias", "Bob Joe"), a(31, "alias", "Allan Matt"),
-    a(101, "alias", "John Oliver"),
-    a(23, "alias_lang", "Zambo Alice", "en"),
-    a(24, "alias_lang", "John Alice", "en"),
-    a(25, "alias_lang", "Bob Joe", "en"),
-    a(31, "alias_lang", "Allan Matt", "en"),
-    a(101, "alias_lang", "John Oliver", "en"),
-    a(5010, "nick_name", "Two Terms"),
-    // newname / newfriend / boss normalize block (common_test.go:743-779)
-    a(501, "newname", "P1"), a(502, "newname", "P2"), a(503, "newname", "P3"),
-    a(504, "newname", "P4"), a(505, "newname", "P5"), a(506, "newname", "P6"),
-    a(507, "newname", "P7"), a(508, "newname", "P8"), a(509, "newname", "P9"),
-    a(510, "newname", "P10"), a(511, "newname", "P11"), a(512, "newname", "P12"),
-    e(501, "newfriend", 502), e(501, "newfriend", 503), e(501, "boss", 504),
-    e(502, "newfriend", 505), e(502, "newfriend", 506),
-    e(503, "newfriend", 507), e(503, "newfriend", 508),
-    e(504, "newfriend", 509), e(504, "newfriend", 510),
-    e(502, "boss", 510),
-    e(510, "newfriend", 511), e(510, "newfriend", 512),
-    a(65536, "royal_title", "Her Majesty Elizabeth the Second, by the Grace of God of the United Kingdom of Great Britain and Northern Ireland and of Her other Realms and Territories Queen, Head of the Commonwealth, Defender of the Faith", "en"),
-    a(65536, "royal_title", "Sa Majesté Elizabeth Deux, par la grâce de Dieu Reine du Royaume-Uni, du Canada et de ses autres royaumes et territoires, Chef du Commonwealth, Défenseur de la Foi", "fr"),
-    // badger name lang variants (common_test.go:430-441)
-    a(4097, "name", "Badger"),
-    a(4097, "name", "European badger", "en"),
-    a(4097, "name", "European badger barger European", "xx"),
-    a(4097, "name", "Borsuk europejski", "pl"),
-    a(4097, "name", "Europäischer Dachs", "de"),
-    a(4097, "name", "Барсук", "ru"),
-    a(4097, "name", "Blaireau européen", "fr"),
-    a(4098, "name", "Honey badger", "en"),
-    a(4099, "name", "Honey bee", "en"),
-    a(4100, "name", "Artem Tkachenko", "en"),
-    a(4100, "name", "Артём Ткаченко", "ru"),
-    // lossy lang variants (common_test.go:642-649)
-    a(4097, "lossy", "Badger"),
-    a(4097, "lossy", "European badger", "en"),
-    a(4097, "lossy", "European badger barger European", "xx"),
-    a(4097, "lossy", "Borsuk europejski", "pl"),
-    a(4097, "lossy", "Europäischer Dachs", "de"),
-    a(4097, "lossy", "Барсук", "ru"),
-    a(4097, "lossy", "Blaireau européen", "fr"),
-    a(4098, "lossy", "Honey badger", "en"),
-    // portfolio (common_test.go:555-560)
-    a(3001, "symbol", "AAPL"), a(3002, "symbol", "AMZN"),
-    a(3003, "symbol", "AMD"), a(3004, "symbol", "FB"),
-    a(3005, "symbol", "GOOG"), a(3006, "symbol", "MSFT"),
-    // office/rooms (common_test.go:547-553)
-    a(4001, "office", "office 1"), a(4002, "room", "room 1"),
-    a(4003, "room", "room 2"), a(4004, "room", ""),
-    e(4001, "office.room", 4002), e(4001, "office.room", 4003),
-    e(4001, "office.room", 4004),
-    // language-order block (common_test.go:459-468)
-    a(10101, "name_lang", "zon", "sv"), a(10101, "name_lang", "öffnen", "de"),
-    a(10101, "name_lang_index", "zon", "sv"),
-    a(10101, "name_lang_index", "öffnen", "de"),
-    a(10101, "lang_type", "Test"),
-    a(10102, "name_lang", "öppna", "sv"), a(10102, "name_lang", "zumachen", "de"),
-    a(10102, "name_lang_index", "öppna", "sv"),
-    a(10102, "name_lang_index", "zumachen", "de"),
-    a(10102, "lang_type", "Test"),
-    a(110, "name", "Alice"),
-    a(1, "address", "31, 32 street, Jupiter"),
-    a(23, "address", "21, mark street, Mars"),
-    // dob_day / film release dates (common_test.go:627-654)
-    a(1, "dob_day", "1910-01-01"), a(23, "dob_day", "1910-01-02"),
-    a(24, "dob_day", "1909-05-05"), a(25, "dob_day", "1909-01-10"),
-    a(31, "dob_day", "1901-01-15"),
-    a(23, "film.film.initial_release_date", "1900-01-02"),
-    a(24, "film.film.initial_release_date", "1909-05-05"),
-    a(25, "film.film.initial_release_date", "1929-01-10"),
-    a(31, "film.film.initial_release_date", "1801-01-15"),
-    // remaining populateCluster name inventory (common_test.go:403-484)
-    // so the worker-pagination has(name) battery sees the full corpus
-    a(11, "name", "name"),
-    a(2301, "name", "Alice\\\""),
-    a(3501, "name", "Alex"), a(3501, "name", "Alex", "en"),
-    a(5101, "name", "Googleplex"), a(5102, "name", "Shoreline Amphitheater"),
-    a(5103, "name", "San Carlos Airport"), a(5104, "name", "SF Bay area"),
-    a(5105, "name", "Mountain View"), a(5106, "name", "San Carlos"),
-    a(5107, "name", "New York"),
-    a(8192, "name", "Regex Master"),
-    a(56, "name", "F"), a(57, "name", "G"), a(58, "name", "H"),
-    a(59, "name", "I"), a(60, "name", "J"),
-    // film graph (common_test.go:469-473, 702-704)
-    a(11000, "name", "Baz Luhrmann", "en"),
-    a(11001, "name", "Strictly Ballroom", "en"),
-    a(11002, "name", "Puccini: La boheme (Sydney Opera)", "en"),
-    a(11003, "name", "No. 5 the film", "en"),
-    e(11000, "director.film", 11001), e(11000, "director.film", 11002),
-    e(11000, "director.film", 11003),
-    // expand self-loop node (common_test.go:473, 706, type Node)
-    a(11100, "name", "expand"), e(11100, "node", 11100),
-    a(11100, "dgraph.type", "Node"),
-    // car fixture (common_test.go:708-729)
-    a(200, "make", "Ford"), a(200, "model", "Focus"), a(200, "year", "2008"),
-    a(200, "dgraph.type", "CarModel"),
-    a(201, "make", "Ford"), a(201, "model", "Focus"), a(201, "year", "2009"),
-    a(201, "dgraph.type", "CarModel"), e(201, "previous_model", 200),
-    a(202, "name", "Car"), a(202, "make", "Toyota"), a(202, "year", "2009"),
-    a(202, "model", "Prius"), a(202, "model", "プリウス", "jp"),
-    e(202, "owner", 203), a(202, "dgraph.type", "CarModel"),
-    a(202, "dgraph.type", "Object"),
-    a(203, "owner_name", "Owner of Prius"), a(203, "dgraph.type", "Person"),
-    a(1, "full_name", "Michonne's large name for hashing"),
-    // passwords (common_test.go:666-668; stored bcrypt-hashed)
-    a(1, "password", "123456"), a(32, "password", "123456"),
-    a(23, "pass", "654321"),
-    // shadow_deep (common_test.go:670-671)
-    a(23, "shadow_deep", "4"), a(24, "shadow_deep", "14"),
-    // _xid_ / bin_data / noindex_name (common_test.go:488-491, 599-615)
-    a(1, "_xid_", "mich"), a(24, "_xid_", "g\\\"lenn"), a(110, "_xid_", "a.bc"),
-    a(1, "bin_data", "YmluLWRhdGE="),
-    a(1, "noindex_name", "Michonne's name not indexed"),
-    a(2, "noindex_name", "King Lear's name not indexed"),
-    a(3, "noindex_name", "Margaret's name not indexed"),
-    a(4, "noindex_name", "Leonard's name not indexed"),
-    // graduation list values (common_test.go: Michonne 1932, Andrea
-    // 1935 + 1933)
-    a(1, "graduation", "1932-01-01"),
-    a(31, "graduation", "1935-01-01"), a(31, "graduation", "1933-01-01"),
-    // sort-consistency block (common_test.go:820-856)
-    a(61, "pred", "A"), a(62, "pred", "B"), a(63, "pred", "C"),
-    a(64, "pred", "D"), a(65, "pred", "E"),
-    a(61, "indexpred", "A"), a(62, "indexpred", "B"), a(63, "indexpred", "C"),
-    a(64, "indexpred", "D"), a(65, "indexpred", "E"),
-    a(61, "pname", "nameA"), a(62, "pname", "nameB"), a(63, "pname", "nameC"),
-    a(64, "pname", "nameD"), a(65, "pname", "nameE"), a(66, "pname", "nameF"),
-    a(67, "pname", "nameG"), a(68, "pname", "nameH"), a(69, "pname", "nameI"),
-    a(70, "pname", "nameJ"),
-    a(61, "pred1", "A"), a(62, "pred1", "A"), a(63, "pred1", "A"),
-    a(64, "pred1", "B"), a(65, "pred1", "B"), a(66, "pred1", "B"),
-    a(67, "pred1", "C"), a(68, "pred1", "C"), a(69, "pred1", "C"),
-    a(70, "pred1", "C"),
-    a(61, "pred2", "I"), a(62, "pred2", "J"), a(64, "pred2", "I"),
-    a(65, "pred2", "J"), a(67, "pred2", "I"), a(68, "pred2", "J"),
-    a(69, "pred2", "K"),
-    // created_at / updated_at datetime corpus with odd zone offsets
-    // (common_test.go:973-987; offsets like +23:00 exceed java.time's
-    // ±18h ZoneOffset — exercised by TestDateTimeQuery)
-    a(301, "created_at", "2019-03-28T07:41:57+23:00", "",
-      "modified_at=2019-05-28T07:41:57+23:00"),
-    a(302, "created_at", "2019-03-28T07:41:57+23:00", "",
-      "modified_at=2019-03-28T07:41:57+23:00"),
-    a(303, "created_at", "2019-03-27T14:41:57+06:00", "",
-      "modified_at=2019-03-29"),
-    a(304, "created_at", "2019-03-28T08:41:57+23:00", "",
-      "modified_at=2019-03-27T14:41:57+06:00"),
-    a(305, "created_at", "2019-03-28T06:41:57+23:00", "",
-      "modified_at=2019-03-28"),
-    a(306, "created_at", "2019-03-24T14:41:57+05:30", "",
-      "modified_at=2019-03-28T06:41:57+23:00"),
-    a(307, "created_at", "2019-05-28T07:41:57+23:00"),
-    a(301, "updated_at", "2019-03-28T07:41:57+23:00", "",
-      "modified_at=2019-05-28"),
-    a(302, "updated_at", "2019-03-28T06:41:57+22:00", "",
-      "modified_at=2019-03-28T07:41:57+23:00"),
-    a(303, "updated_at", "2019-03-27T14:41:57+06:00", "",
-      "modified_at=2019-03-28T05:41:57+21:00"),
-    a(304, "updated_at", "2019-03-27T09:41:57"),
-    a(305, "updated_at", "2019-03-28T06:41:57+23:00", "",
-      "modified_at=2019-03-28T08:41:57+23:00"),
-    a(306, "updated_at", "2019-03-24T14:41:57+05:30", "",
-      "modified_at=2019-03-28T06:41:57+23:00"),
-    a(307, "updated_at", "2019-05-28", "",
-      "modified_at=2019-03-24T14:41:57+05:30"),
-    // between-battery corpus (common_test.go:756-767, 807-819)
-    a(501, "newage", "21"), a(502, "newage", "22"), a(503, "newage", "23"),
-    a(504, "newage", "24"), a(505, "newage", "25"), a(506, "newage", "26"),
-    a(507, "newage", "27"), a(508, "newage", "28"), a(509, "newage", "29"),
-    a(510, "newage", "30"), a(511, "newage", "31"), a(512, "newage", "32"),
-    a(20000, "score", "90"), a(20000, "score", "56"),
-    a(20000, "average", "46.93"), a(20000, "average", "55.10"),
-    a(20000, "pet_name", "little master"), a(20000, "pet_name", "master blaster"),
-    a(20001, "score", "68"), a(20001, "score", "85"),
-    a(20001, "average", "35.20"), a(20001, "average", "49.33"),
-    a(20001, "pet_name", "mahi"), a(20001, "pet_name", "ms"),
-    // regex-test pattern corpus (common_test.go:955-970: 24 values under
-    // <0x1234> via <pattern>, uids 0x2000..)
-    a(0x2750, "firstName", "Luke"), a(0x2750, "lastName", "Skywalker"),
-    a(0x2751, "firstName", "Princess"), a(0x2751, "lastName", "Leia"),
-    a(0x2752, "firstName", "Han"), a(0x2752, "lastName", "Solo"),
-    a(0x2753, "firstName", "Harrison"), a(0x2753, "lastName", "Ford"),
-    a(0x2754, "firstName", "Steven"), a(0x2754, "lastName", "Spielberg"),
-    // tweet match/pagination corpus (common_test.go:892-911)
-    a(61, "tweet-a", "aaa"), a(62, "tweet-a", "aaaa"),
-    a(63, "tweet-a", "aaaab"), a(64, "tweet-a", "aaaabb"),
-    a(61, "tweet-b", "indiana"), a(62, "tweet-b", "indiana"),
-    a(63, "tweet-b", "indiana jones"), a(64, "tweet-b", "indiana pop"),
-    a(61, "tweet-c", "I am a citizen"), a(62, "tweet-c", "I am a citizen"),
-    a(63, "tweet-c", "I am a citizen"),
-    a(64, "tweet-c", "I am a citizen of Paradis Island"),
-    a(61, "tweet-d", "aaabxxx"), a(62, "tweet-d", "aaacdxx"),
-    a(63, "tweet-d", "aaabcd"),
-    // index-pred sort-consistency twins (common_test.go:869-886)
-    a(61, "index-pred1", "A"), a(62, "index-pred1", "A"),
-    a(63, "index-pred1", "A"), a(64, "index-pred1", "B"),
-    a(65, "index-pred1", "B"), a(66, "index-pred1", "B"),
-    a(67, "index-pred1", "C"), a(68, "index-pred1", "C"),
-    a(69, "index-pred1", "C"), a(70, "index-pred1", "C"),
-    a(61, "index-pred2", "I"), a(62, "index-pred2", "J"),
-    a(64, "index-pred2", "I"), a(65, "index-pred2", "J"),
-    a(67, "index-pred2", "I"), a(68, "index-pred2", "J"),
-    a(69, "index-pred2", "K"),
-    // Person2 (common_test.go:913-914 — note the deliberately SPLIT
-    // node data: name2 on 40, age2 on 41)
-    a(40, "dgraph.type", "Person2"), a(41, "dgraph.type", "Person2"),
-    a(40, "name2", "Alice"), a(41, "age2", "20"),
-    // noindex_* family (common_test.go:497-516)
-    a(1, "noindex_age", "21"), a(2, "noindex_age", "22"),
-    a(3, "noindex_age", "23"), a(4, "noindex_age", "24"),
-    a(1, "noindex_dob", "1810-11-01"), a(2, "noindex_dob", "1710-11-01"),
-    a(3, "noindex_dob", "1610-11-01"), a(4, "noindex_dob", "1510-11-01"),
-    a(1, "noindex_alive", "true"), a(2, "noindex_alive", "false"),
-    a(3, "noindex_alive", "false"), a(4, "noindex_alive", "true"),
-    a(1, "noindex_salary", "501.23"), a(2, "noindex_salary", "589.04"),
-    a(3, "noindex_salary", "459.47"), a(4, "noindex_salary", "967.68"),
-    // enemy / power / sword (common_test.go:631-640, 698-700)
-    e(2, "enemy", 3), e(2, "enemy", 4),
-    a(1, "power", "13.25"), a(1, "sword_present", "true"),
-    // animal types for pets (common_test.go:679-682)
-    a(5, "dgraph.type", "Animal"), a(5, "dgraph.type", "Pet"),
-    a(6, "dgraph.type", "Animal"), a(6, "dgraph.type", "Pet"),
-    // DispatchBoard fixture (common_test.go:916-923)
-    a(1023, "dgraph.type", "DispatchBoardColumn"),
-    a(1024, "dgraph.type", "DispatchBoardColumn"),
-    a(1025, "dgraph.type", "DispatchBoardCard"),
-    a(1026, "dgraph.type", "DispatchBoardCard"),
-    e(1025, "DispatchBoard.column", 1023), a(1025, "order", "0"),
-    e(1026, "DispatchBoard.column", 1023), a(1026, "order", "1"),
-    // ngram description corpus (common_test.go:989-1006)
-    a(401, "description", "The quick brown fox jumps over the lazy dog"),
-    a(402, "description", "A quick brown fox leaps over a sleeping dog"),
-    a(403, "description", "The lazy dog sleeps under the warm sun"),
-    a(404, "description", "Brown foxes are quick and agile animals"),
-    a(405, "description", "Dogs are loyal companions to humans"),
-    a(406, "description", "The sun shines brightly in the clear sky"),
-    a(407, "description", "Quick movements help foxes catch their prey"),
-    a(408, "description", "Lazy afternoons are perfect for sleeping dogs"),
-    a(409, "description", "Jumping over obstacles requires agility and speed"),
-    a(410, "description", "The brown animal moved quickly through the forest"),
-    a(411, "description", "Machine learning algorithms process natural language text"),
-    a(412, "description", "Natural language processing uses advanced algorithms"),
-    a(413, "description", "Text processing algorithms analyze linguistic patterns"),
-    a(414, "description", "Advanced machine learning techniques improve accuracy"),
-    a(415, "description", "Linguistic analysis helps understand text meaning"),
-    // geo corpus (common_test.go:957-996: addGeoPointToCluster /
-    // addGeoPolygonToCluster / addGeoMultiPolygonToCluster)
-    gj(1, "loc", """{"type":"Point","coordinates":[1.1,2.0]}"""),
-    gj(24, "loc", """{"type":"Point","coordinates":[1.10001,2.000001]}"""),
-    gj(25, "loc", """{"type":"Point","coordinates":[1.1,2.0]}"""),
-    gj(23, "loc",
-      """{"type":"Polygon","coordinates":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,2.0],[0.0,0.0]]]}"""),
-    gj(5101, "geometry",
-      """{"type":"Point","coordinates":[-122.082506,37.4249518]}"""),
-    gj(5102, "geometry",
-      """{"type":"Point","coordinates":[-122.080668,37.426753]}"""),
-    gj(5103, "geometry",
-      """{"type":"Point","coordinates":[-122.2527428,37.513653]}"""),
-    gj(5104, "geometry",
-      """{"type":"Polygon","coordinates":[[[-121.6,37.1],[-122.4,37.3],[-122.6,37.8],[-122.5,38.3],[-121.9,38.0],[-121.6,37.1]]]}"""),
-    gj(5105, "geometry",
-      """{"type":"Polygon","coordinates":[[[-122.06,37.37],[-122.1,37.36],[-122.12,37.4],[-122.11,37.43],[-122.04,37.43],[-122.06,37.37]]]}"""),
-    gj(5106, "geometry",
-      """{"type":"Polygon","coordinates":[[[-122.25,37.49],[-122.28,37.49],[-122.27,37.51],[-122.25,37.52],[-122.25,37.49]]]}"""),
-    gj(5107, "geometry",
-      """{"type":"MultiPolygon","coordinates":[[[[-74.29504394531249,40.19146303804063],[-74.59716796875,40.39258071969131],[-74.6466064453125,40.20824570152502],[-74.454345703125,40.06125658140474],[-74.28955078125,40.17467622056341],[-74.29504394531249,40.19146303804063]]],[[[-74.102783203125,40.8595252289932],[-74.2730712890625,40.718119379753446],[-74.0478515625,40.66813955408042],[-73.98193359375,40.772221877329024],[-74.102783203125,40.8595252289932]]]]}""")) ++
-    Seq("mississippi", "missouri", "mission", "missionary",
-      "whissle", "transmission", "zipped", "monosiphonic", "vasopressin",
-      "vapoured", "virtuously", "zurich", "synopsis", "subsensuously",
-      "admission", "commission", "submission", "subcommission",
-      "retransmission", "omission", "permission", "intermission",
-      "dimission", "discommission").zipWithIndex.flatMap { case (p, i) =>
-      Seq(a(0x2000 + i, "value", p), e(0x1234, "pattern", 0x2000 + i))
-    }
-
-  /** Predicate schema: reference query/common_test.go testSchema (subset). */
-  private lazy val schema: SchemaRegistry = {
-    val (preds, types) = SchemaRegistry.parseAlter(
-      """name: string @index(term, exact, trigram) @count @lang .
-        |salary: float @index(float) .
-        |gender: string .
-        |alive: bool @index(bool) .
-        |age: int @index(int) .
-        |dob: datetime @index(year) .
-        |friend: [uid] @reverse @count .
-        |best_friend: uid @reverse .
-        |pet: [uid] .
-        |school: [uid] @count .
-        |path: [uid] @reverse .
-        |connects: [uid] @reverse .
-        |follow: [uid] @reverse .
-        |son: [uid] .
-        |survival_rate: float .
-        |alias: string @index(exact, term, fulltext) .
-        |alias_lang: string @index(exact) @lang .
-        |lossy: string @index(term) @lang .
-        |symbol: string @index(exact) .
-        |office: string .
-        |room: string @index(term) .
-        |office.room: [uid] .
-        |abbr: string .
-        |district: [uid] .
-        |county: [uid] .
-        |state: [uid] .
-        |address: string @index(term) .
-        |nick_name: string @index(term) .
-        |newname: string @index(exact, term) .
-        |newfriend: [uid] .
-        |boss: uid .
-        |royal_title: string @index(hash, term, fulltext) @lang .
-        |name_lang: string @lang .
-        |lang_type: string @index(exact) .
-        |name_lang_index: string @index(exact) @lang .
-        |dob_day: datetime @index(day) .
-        |film.film.initial_release_date: datetime @index(year) .
-        |full_name: string @index(hash) .
-        |node: [uid] .
-        |model: string @index(term) @lang .
-        |make: string @index(term) .
-        |year: int .
-        |previous_model: uid @reverse .
-        |owner: [uid] .
-        |owner_name: string .
-        |director.film: [uid] @reverse .
-        |password: password .
-        |pass: password .
-        |value: string @index(trigram) .
-        |pattern: [uid] .
-        |firstName: string .
-        |lastName: string .
-        |genre: [uid] @reverse .
-        |shadow_deep: int .
-        |_xid_: string .
-        |bin_data: default .
-        |noindex_name: string .
-        |number: int @index(int) .
-        |graduation: [datetime] @index(year) @count .
-        |created_at: datetime @index(hour) .
-        |updated_at: datetime @index(year) .
-        |newage: int .
-        |pet_name: [string] @index(exact) .
-        |score: [int] @index(int) .
-        |average: [float] @index(float) .
-        |pred: string .
-        |indexpred: string @index(exact) .
-        |pname: string .
-        |pred1: string .
-        |pred2: string .
-        |loc: geo @index(geo) .
-        |geometry: geo @index(geo) .
-        |tweet-a: string @index(trigram) .
-        |tweet-b: string @index(term) .
-        |tweet-c: string @index(fulltext) .
-        |tweet-d: string @index(trigram) .
-        |index-pred1: string @index(exact) .
-        |index-pred2: string @index(exact) .
-        |name2: string @index(term) .
-        |age2: int @index(int) .
-        |noindex_name: string .
-        |noindex_age: int .
-        |noindex_dob: datetime .
-        |noindex_alive: bool .
-        |noindex_salary: float .
-        |enemy: [uid] .
-        |power: float .
-        |sword_present: bool .
-        |DispatchBoard.column: uid @reverse .
-        |order: int .
-        |description: string @index(ngram) .
-        |type Person2 { name2 age2 }
-        |type DispatchBoardColumn { name }
-        |type DispatchBoardCard { DispatchBoard.column order }
-        |type SchoolInfo { name abbr school district county state }
-        |type Person { name pet friend gender alive }
-        |type User { name password gender friend alive }
-        |type Animal { name }
-        |type Node { node name }
-        |type CarModel { make model year previous_model <~previous_model> }
-        |type Object { name owner }
-        |""".stripMargin)
-    new SchemaRegistry(preds.map(p => p.name -> p).toMap,
-      types.map(t => t.name -> t).toMap)
-  }
-
-  // shared with CorpusSweepSpec (the reference-corpus sweep)
-  lazy val store: TripleFrameStore = {
-    import spark.implicits._
-    val triples = RdfSource.parse(fixtureLines.toDF("line"))
-    new TripleFrameStore(spark, schema, triples,
-      facetKeys = Map("best_friend" -> Seq("since" -> "string"),
-        "path" -> Seq("weight" -> "double", "weight1" -> "double"),
-        "connects" -> Seq("weight" -> "double"),
-        "created_at" -> Seq("modified_at" -> "string"),
-        "updated_at" -> Seq("modified_at" -> "string")))
-  }
-
+  import GoldenFixture.{hex, a, e, gj, store}
   private val mapper = new ObjectMapper()
 
   /** Normalize numerics to double before comparing, exactly like the
@@ -7350,3 +6859,508 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
 }
 
+
+
+/** The Michonne friend-graph fixture (reference query/common_test.go:355
+  * populateCluster, subset) as a SHARED OBJECT: GoldenFixtureSpec and
+  * CorpusSweepSpec both read [[store]] here, so neither constructs a
+  * throwaway suite instance to reach it and suite construction stays
+  * side-effect free.
+  */
+object GoldenFixture {
+
+  private lazy val spark: SparkSession = SparkTestSession.spark
+
+  def hex(u: Long) = java.lang.Long.toHexString(u)
+  def a(s: Long, p: String, v: String, lang: String = "",
+      facets: String = "") =
+    s"""<0x${hex(s)}> <$p> "$v"${if (lang.isEmpty) "" else "@" + lang}${
+      if (facets.isEmpty) "" else s" ($facets)"} ."""
+  def e(s: Long, p: String, o: Long, facets: String = "") =
+    s"""<0x${hex(s)}> <$p> <0x${hex(o)}>${if (facets.isEmpty) "" else s" ($facets)"} ."""
+  /** geo value triple: the GeoJSON text N-Quad-escaped (reference
+    * addGeoPointToCluster/addGeoPolygonToCluster, common_test.go:957+).
+    */
+  def gj(s: Long, p: String, json: String) =
+    a(s, p, json.replace("\\", "\\\\").replace("\"", "\\\""))
+
+  /** Seed triples: reference query/common_test.go:396-640 (subset: the
+    * friend graph, best_friend/pet chain, and the multi-sort block).
+    */
+  lazy val fixtureLines: Seq[String] = Seq(
+    a(1, "name", "Michonne"), a(2, "name", "King Lear"), a(3, "name", "Margaret"),
+    a(4, "name", "Leonard"), a(5, "name", "Garfield"), a(6, "name", "Bear"),
+    a(7, "name", "Nemo"), a(23, "name", "Rick Grimes"), a(24, "name", "Glenn Rhee"),
+    a(25, "name", "Daryl Dixon"), a(31, "name", "Andrea"),
+    a(240, "name", "Andrea With no friends"),
+    a(10000, "name", "Alice"), a(10001, "name", "Elizabeth"),
+    a(10002, "name", "Alice"), a(10003, "name", "Bob"), a(10004, "name", "Alice"),
+    a(10005, "name", "Bob"), a(10006, "name", "Colin"), a(10007, "name", "Elizabeth"),
+    a(1, "age", "38"), a(23, "age", "15"), a(24, "age", "15"), a(25, "age", "17"),
+    a(31, "age", "19"),
+    a(10000, "age", "25"), a(10001, "age", "75"), a(10002, "age", "75"),
+    a(10003, "age", "75"), a(10004, "age", "75"), a(10005, "age", "25"),
+    a(10006, "age", "25"), a(10007, "age", "25"),
+    a(1, "alive", "true"), a(23, "alive", "true"), a(25, "alive", "false"),
+    a(31, "alive", "false"),
+    a(10000, "salary", "10000"), a(10002, "salary", "10002"),
+    a(1, "gender", "female"), a(23, "gender", "male"),
+    a(1, "dob", "1910-01-01"), a(23, "dob", "1910-01-02"), a(24, "dob", "1909-05-05"),
+    a(25, "dob", "1909-01-10"), a(31, "dob", "1901-01-15"),
+    a(3500, "name", ""), a(3500, "name", "\uc0c1\ud604", "ko"),
+    a(3502, "name", ""), a(3502, "name", "Amit", "en"),
+    a(3502, "name", "\u0905\u092e\u093f\u0924", "hi"),
+    a(3503, "name", "Andrew", "en"), a(3503, "name", "", "hi"),
+    a(1, "dgraph.type", "User"), a(2, "dgraph.type", "Person"),
+    a(3, "dgraph.type", "Person"), a(4, "dgraph.type", "Person"),
+    a(23, "dgraph.type", "Person"), a(24, "dgraph.type", "Person"),
+    a(25, "dgraph.type", "Person"), a(31, "dgraph.type", "Person"),
+    e(1, "friend", 23), e(1, "friend", 24), e(1, "friend", 25), e(1, "friend", 31),
+    e(1, "friend", 101), e(31, "friend", 24), e(23, "friend", 1),
+    e(2, "best_friend", 64, "since=2019-03-28T07:41:57+23:00"),
+    e(3, "best_friend", 64, "since=2018-03-24T14:41:57+05:30"),
+    e(4, "best_friend", 64, "since=2019-03-27"),
+    e(2, "pet", 5), e(3, "pet", 6), e(4, "pet", 7),
+    e(1, "school", 5000), e(23, "school", 5001), e(24, "school", 5000),
+    e(25, "school", 5000), e(31, "school", 5001), e(101, "school", 5001),
+    // connects graph A..E (common_test.go:475-479, 782-796)
+    a(51, "name", "A"), a(52, "name", "B"), a(53, "name", "C"),
+    a(54, "name", "D"), a(55, "name", "E"),
+    e(51, "connects", 52, "weight=11"), e(51, "connects", 53, "weight=1"),
+    e(51, "connects", 54, "weight=10"), e(53, "connects", 51, "weight=10"),
+    e(53, "connects", 52, "weight=10"), e(53, "connects", 54, "weight=1"),
+    e(52, "connects", 51, "weight=10"), e(52, "connects", 53, "weight=10"),
+    e(52, "connects", 54, "weight=10"), e(54, "connects", 51, "weight=10"),
+    e(54, "connects", 52, "weight=2"), e(54, "connects", 53, "weight=10"),
+    e(54, "connects", 55, "weight=1"),
+    // F..J chain (common_test.go:801-804, hoppy-behavior depth tests)
+    e(56, "connects", 57, "weight=1"), e(56, "connects", 58, "weight=1"),
+    e(58, "connects", 59, "weight=1"), e(59, "connects", 60, "weight=1"),
+    a(1000, "name", "Alice"), a(1001, "name", "Bob"),
+    a(1002, "name", "Matt"), a(1003, "name", "John"),
+    a(5000, "name", "School A"), a(5001, "name", "School B"),
+    a(2300, "name", "Andre"), a(2333, "name", "Helmut"),
+    e(1, "son", 2300), e(1, "son", 2333),
+    // SchoolInfo chain (common_test.go:408-411, 659-665, 686-690)
+    a(33, "name", "San Mateo High School"),
+    a(34, "name", "San Mateo School District"),
+    a(35, "name", "San Mateo County"), a(36, "name", "California"),
+    a(36, "abbr", "CA"),
+    e(32, "school", 33), e(33, "district", 34), e(34, "county", 35),
+    e(35, "state", 36),
+    a(32, "dgraph.type", "SchoolInfo"), a(33, "dgraph.type", "SchoolInfo"),
+    a(34, "dgraph.type", "SchoolInfo"), a(35, "dgraph.type", "SchoolInfo"),
+    a(36, "dgraph.type", "SchoolInfo"),
+    // weighted path graph (common_test.go:568-576)
+    e(1, "path", 31, "weight=0.1, weight1=0.2"), e(1, "path", 24, "weight=0.2"),
+    e(31, "path", 1000, "weight=0.1"), e(1000, "path", 1001, "weight=0.1"),
+    e(1000, "path", 1002, "weight=0.7"), e(1001, "path", 1002, "weight=0.1"),
+    e(1002, "path", 1003, "weight=0.6"), e(1001, "path", 1003, "weight=1.5"),
+    e(1003, "path", 1001),
+    // follow graph (common_test.go:577-583)
+    e(1, "follow", 31), e(1, "follow", 24), e(31, "follow", 1001),
+    e(1001, "follow", 1000), e(1002, "follow", 1000),
+    e(1001, "follow", 1003), e(1003, "follow", 1002),
+    // survival_rate (common_test.go:586-590)
+    a(1, "survival_rate", "98.99"), a(23, "survival_rate", "1.6"),
+    a(24, "survival_rate", "1.6"), a(25, "survival_rate", "1.6"),
+    a(31, "survival_rate", "1.6"),
+    // alias / alias_lang (common_test.go:603-613)
+    a(23, "alias", "Zambo Alice"), a(24, "alias", "John Alice"),
+    a(25, "alias", "Bob Joe"), a(31, "alias", "Allan Matt"),
+    a(101, "alias", "John Oliver"),
+    a(23, "alias_lang", "Zambo Alice", "en"),
+    a(24, "alias_lang", "John Alice", "en"),
+    a(25, "alias_lang", "Bob Joe", "en"),
+    a(31, "alias_lang", "Allan Matt", "en"),
+    a(101, "alias_lang", "John Oliver", "en"),
+    a(5010, "nick_name", "Two Terms"),
+    // newname / newfriend / boss normalize block (common_test.go:743-779)
+    a(501, "newname", "P1"), a(502, "newname", "P2"), a(503, "newname", "P3"),
+    a(504, "newname", "P4"), a(505, "newname", "P5"), a(506, "newname", "P6"),
+    a(507, "newname", "P7"), a(508, "newname", "P8"), a(509, "newname", "P9"),
+    a(510, "newname", "P10"), a(511, "newname", "P11"), a(512, "newname", "P12"),
+    e(501, "newfriend", 502), e(501, "newfriend", 503), e(501, "boss", 504),
+    e(502, "newfriend", 505), e(502, "newfriend", 506),
+    e(503, "newfriend", 507), e(503, "newfriend", 508),
+    e(504, "newfriend", 509), e(504, "newfriend", 510),
+    e(502, "boss", 510),
+    e(510, "newfriend", 511), e(510, "newfriend", 512),
+    a(65536, "royal_title", "Her Majesty Elizabeth the Second, by the Grace of God of the United Kingdom of Great Britain and Northern Ireland and of Her other Realms and Territories Queen, Head of the Commonwealth, Defender of the Faith", "en"),
+    a(65536, "royal_title", "Sa Majesté Elizabeth Deux, par la grâce de Dieu Reine du Royaume-Uni, du Canada et de ses autres royaumes et territoires, Chef du Commonwealth, Défenseur de la Foi", "fr"),
+    // badger name lang variants (common_test.go:430-441)
+    a(4097, "name", "Badger"),
+    a(4097, "name", "European badger", "en"),
+    a(4097, "name", "European badger barger European", "xx"),
+    a(4097, "name", "Borsuk europejski", "pl"),
+    a(4097, "name", "Europäischer Dachs", "de"),
+    a(4097, "name", "Барсук", "ru"),
+    a(4097, "name", "Blaireau européen", "fr"),
+    a(4098, "name", "Honey badger", "en"),
+    a(4099, "name", "Honey bee", "en"),
+    a(4100, "name", "Artem Tkachenko", "en"),
+    a(4100, "name", "Артём Ткаченко", "ru"),
+    // lossy lang variants (common_test.go:642-649)
+    a(4097, "lossy", "Badger"),
+    a(4097, "lossy", "European badger", "en"),
+    a(4097, "lossy", "European badger barger European", "xx"),
+    a(4097, "lossy", "Borsuk europejski", "pl"),
+    a(4097, "lossy", "Europäischer Dachs", "de"),
+    a(4097, "lossy", "Барсук", "ru"),
+    a(4097, "lossy", "Blaireau européen", "fr"),
+    a(4098, "lossy", "Honey badger", "en"),
+    // portfolio (common_test.go:555-560)
+    a(3001, "symbol", "AAPL"), a(3002, "symbol", "AMZN"),
+    a(3003, "symbol", "AMD"), a(3004, "symbol", "FB"),
+    a(3005, "symbol", "GOOG"), a(3006, "symbol", "MSFT"),
+    // office/rooms (common_test.go:547-553)
+    a(4001, "office", "office 1"), a(4002, "room", "room 1"),
+    a(4003, "room", "room 2"), a(4004, "room", ""),
+    e(4001, "office.room", 4002), e(4001, "office.room", 4003),
+    e(4001, "office.room", 4004),
+    // language-order block (common_test.go:459-468)
+    a(10101, "name_lang", "zon", "sv"), a(10101, "name_lang", "öffnen", "de"),
+    a(10101, "name_lang_index", "zon", "sv"),
+    a(10101, "name_lang_index", "öffnen", "de"),
+    a(10101, "lang_type", "Test"),
+    a(10102, "name_lang", "öppna", "sv"), a(10102, "name_lang", "zumachen", "de"),
+    a(10102, "name_lang_index", "öppna", "sv"),
+    a(10102, "name_lang_index", "zumachen", "de"),
+    a(10102, "lang_type", "Test"),
+    a(110, "name", "Alice"),
+    a(1, "address", "31, 32 street, Jupiter"),
+    a(23, "address", "21, mark street, Mars"),
+    // dob_day / film release dates (common_test.go:627-654)
+    a(1, "dob_day", "1910-01-01"), a(23, "dob_day", "1910-01-02"),
+    a(24, "dob_day", "1909-05-05"), a(25, "dob_day", "1909-01-10"),
+    a(31, "dob_day", "1901-01-15"),
+    a(23, "film.film.initial_release_date", "1900-01-02"),
+    a(24, "film.film.initial_release_date", "1909-05-05"),
+    a(25, "film.film.initial_release_date", "1929-01-10"),
+    a(31, "film.film.initial_release_date", "1801-01-15"),
+    // remaining populateCluster name inventory (common_test.go:403-484)
+    // so the worker-pagination has(name) battery sees the full corpus
+    a(11, "name", "name"),
+    a(2301, "name", "Alice\\\""),
+    a(3501, "name", "Alex"), a(3501, "name", "Alex", "en"),
+    a(5101, "name", "Googleplex"), a(5102, "name", "Shoreline Amphitheater"),
+    a(5103, "name", "San Carlos Airport"), a(5104, "name", "SF Bay area"),
+    a(5105, "name", "Mountain View"), a(5106, "name", "San Carlos"),
+    a(5107, "name", "New York"),
+    a(8192, "name", "Regex Master"),
+    a(56, "name", "F"), a(57, "name", "G"), a(58, "name", "H"),
+    a(59, "name", "I"), a(60, "name", "J"),
+    // film graph (common_test.go:469-473, 702-704)
+    a(11000, "name", "Baz Luhrmann", "en"),
+    a(11001, "name", "Strictly Ballroom", "en"),
+    a(11002, "name", "Puccini: La boheme (Sydney Opera)", "en"),
+    a(11003, "name", "No. 5 the film", "en"),
+    e(11000, "director.film", 11001), e(11000, "director.film", 11002),
+    e(11000, "director.film", 11003),
+    // expand self-loop node (common_test.go:473, 706, type Node)
+    a(11100, "name", "expand"), e(11100, "node", 11100),
+    a(11100, "dgraph.type", "Node"),
+    // car fixture (common_test.go:708-729)
+    a(200, "make", "Ford"), a(200, "model", "Focus"), a(200, "year", "2008"),
+    a(200, "dgraph.type", "CarModel"),
+    a(201, "make", "Ford"), a(201, "model", "Focus"), a(201, "year", "2009"),
+    a(201, "dgraph.type", "CarModel"), e(201, "previous_model", 200),
+    a(202, "name", "Car"), a(202, "make", "Toyota"), a(202, "year", "2009"),
+    a(202, "model", "Prius"), a(202, "model", "プリウス", "jp"),
+    e(202, "owner", 203), a(202, "dgraph.type", "CarModel"),
+    a(202, "dgraph.type", "Object"),
+    a(203, "owner_name", "Owner of Prius"), a(203, "dgraph.type", "Person"),
+    a(1, "full_name", "Michonne's large name for hashing"),
+    // passwords (common_test.go:666-668; stored bcrypt-hashed)
+    a(1, "password", "123456"), a(32, "password", "123456"),
+    a(23, "pass", "654321"),
+    // shadow_deep (common_test.go:670-671)
+    a(23, "shadow_deep", "4"), a(24, "shadow_deep", "14"),
+    // _xid_ / bin_data / noindex_name (common_test.go:488-491, 599-615)
+    a(1, "_xid_", "mich"), a(24, "_xid_", "g\\\"lenn"), a(110, "_xid_", "a.bc"),
+    a(1, "bin_data", "YmluLWRhdGE="),
+    a(1, "noindex_name", "Michonne's name not indexed"),
+    a(2, "noindex_name", "King Lear's name not indexed"),
+    a(3, "noindex_name", "Margaret's name not indexed"),
+    a(4, "noindex_name", "Leonard's name not indexed"),
+    // graduation list values (common_test.go: Michonne 1932, Andrea
+    // 1935 + 1933)
+    a(1, "graduation", "1932-01-01"),
+    a(31, "graduation", "1935-01-01"), a(31, "graduation", "1933-01-01"),
+    // sort-consistency block (common_test.go:820-856)
+    a(61, "pred", "A"), a(62, "pred", "B"), a(63, "pred", "C"),
+    a(64, "pred", "D"), a(65, "pred", "E"),
+    a(61, "indexpred", "A"), a(62, "indexpred", "B"), a(63, "indexpred", "C"),
+    a(64, "indexpred", "D"), a(65, "indexpred", "E"),
+    a(61, "pname", "nameA"), a(62, "pname", "nameB"), a(63, "pname", "nameC"),
+    a(64, "pname", "nameD"), a(65, "pname", "nameE"), a(66, "pname", "nameF"),
+    a(67, "pname", "nameG"), a(68, "pname", "nameH"), a(69, "pname", "nameI"),
+    a(70, "pname", "nameJ"),
+    a(61, "pred1", "A"), a(62, "pred1", "A"), a(63, "pred1", "A"),
+    a(64, "pred1", "B"), a(65, "pred1", "B"), a(66, "pred1", "B"),
+    a(67, "pred1", "C"), a(68, "pred1", "C"), a(69, "pred1", "C"),
+    a(70, "pred1", "C"),
+    a(61, "pred2", "I"), a(62, "pred2", "J"), a(64, "pred2", "I"),
+    a(65, "pred2", "J"), a(67, "pred2", "I"), a(68, "pred2", "J"),
+    a(69, "pred2", "K"),
+    // created_at / updated_at datetime corpus with odd zone offsets
+    // (common_test.go:973-987; offsets like +23:00 exceed java.time's
+    // ±18h ZoneOffset — exercised by TestDateTimeQuery)
+    a(301, "created_at", "2019-03-28T07:41:57+23:00", "",
+      "modified_at=2019-05-28T07:41:57+23:00"),
+    a(302, "created_at", "2019-03-28T07:41:57+23:00", "",
+      "modified_at=2019-03-28T07:41:57+23:00"),
+    a(303, "created_at", "2019-03-27T14:41:57+06:00", "",
+      "modified_at=2019-03-29"),
+    a(304, "created_at", "2019-03-28T08:41:57+23:00", "",
+      "modified_at=2019-03-27T14:41:57+06:00"),
+    a(305, "created_at", "2019-03-28T06:41:57+23:00", "",
+      "modified_at=2019-03-28"),
+    a(306, "created_at", "2019-03-24T14:41:57+05:30", "",
+      "modified_at=2019-03-28T06:41:57+23:00"),
+    a(307, "created_at", "2019-05-28T07:41:57+23:00"),
+    a(301, "updated_at", "2019-03-28T07:41:57+23:00", "",
+      "modified_at=2019-05-28"),
+    a(302, "updated_at", "2019-03-28T06:41:57+22:00", "",
+      "modified_at=2019-03-28T07:41:57+23:00"),
+    a(303, "updated_at", "2019-03-27T14:41:57+06:00", "",
+      "modified_at=2019-03-28T05:41:57+21:00"),
+    a(304, "updated_at", "2019-03-27T09:41:57"),
+    a(305, "updated_at", "2019-03-28T06:41:57+23:00", "",
+      "modified_at=2019-03-28T08:41:57+23:00"),
+    a(306, "updated_at", "2019-03-24T14:41:57+05:30", "",
+      "modified_at=2019-03-28T06:41:57+23:00"),
+    a(307, "updated_at", "2019-05-28", "",
+      "modified_at=2019-03-24T14:41:57+05:30"),
+    // between-battery corpus (common_test.go:756-767, 807-819)
+    a(501, "newage", "21"), a(502, "newage", "22"), a(503, "newage", "23"),
+    a(504, "newage", "24"), a(505, "newage", "25"), a(506, "newage", "26"),
+    a(507, "newage", "27"), a(508, "newage", "28"), a(509, "newage", "29"),
+    a(510, "newage", "30"), a(511, "newage", "31"), a(512, "newage", "32"),
+    a(20000, "score", "90"), a(20000, "score", "56"),
+    a(20000, "average", "46.93"), a(20000, "average", "55.10"),
+    a(20000, "pet_name", "little master"), a(20000, "pet_name", "master blaster"),
+    a(20001, "score", "68"), a(20001, "score", "85"),
+    a(20001, "average", "35.20"), a(20001, "average", "49.33"),
+    a(20001, "pet_name", "mahi"), a(20001, "pet_name", "ms"),
+    // regex-test pattern corpus (common_test.go:955-970: 24 values under
+    // <0x1234> via <pattern>, uids 0x2000..)
+    a(0x2750, "firstName", "Luke"), a(0x2750, "lastName", "Skywalker"),
+    a(0x2751, "firstName", "Princess"), a(0x2751, "lastName", "Leia"),
+    a(0x2752, "firstName", "Han"), a(0x2752, "lastName", "Solo"),
+    a(0x2753, "firstName", "Harrison"), a(0x2753, "lastName", "Ford"),
+    a(0x2754, "firstName", "Steven"), a(0x2754, "lastName", "Spielberg"),
+    // tweet match/pagination corpus (common_test.go:892-911)
+    a(61, "tweet-a", "aaa"), a(62, "tweet-a", "aaaa"),
+    a(63, "tweet-a", "aaaab"), a(64, "tweet-a", "aaaabb"),
+    a(61, "tweet-b", "indiana"), a(62, "tweet-b", "indiana"),
+    a(63, "tweet-b", "indiana jones"), a(64, "tweet-b", "indiana pop"),
+    a(61, "tweet-c", "I am a citizen"), a(62, "tweet-c", "I am a citizen"),
+    a(63, "tweet-c", "I am a citizen"),
+    a(64, "tweet-c", "I am a citizen of Paradis Island"),
+    a(61, "tweet-d", "aaabxxx"), a(62, "tweet-d", "aaacdxx"),
+    a(63, "tweet-d", "aaabcd"),
+    // index-pred sort-consistency twins (common_test.go:869-886)
+    a(61, "index-pred1", "A"), a(62, "index-pred1", "A"),
+    a(63, "index-pred1", "A"), a(64, "index-pred1", "B"),
+    a(65, "index-pred1", "B"), a(66, "index-pred1", "B"),
+    a(67, "index-pred1", "C"), a(68, "index-pred1", "C"),
+    a(69, "index-pred1", "C"), a(70, "index-pred1", "C"),
+    a(61, "index-pred2", "I"), a(62, "index-pred2", "J"),
+    a(64, "index-pred2", "I"), a(65, "index-pred2", "J"),
+    a(67, "index-pred2", "I"), a(68, "index-pred2", "J"),
+    a(69, "index-pred2", "K"),
+    // Person2 (common_test.go:913-914 — note the deliberately SPLIT
+    // node data: name2 on 40, age2 on 41)
+    a(40, "dgraph.type", "Person2"), a(41, "dgraph.type", "Person2"),
+    a(40, "name2", "Alice"), a(41, "age2", "20"),
+    // noindex_* family (common_test.go:497-516)
+    a(1, "noindex_age", "21"), a(2, "noindex_age", "22"),
+    a(3, "noindex_age", "23"), a(4, "noindex_age", "24"),
+    a(1, "noindex_dob", "1810-11-01"), a(2, "noindex_dob", "1710-11-01"),
+    a(3, "noindex_dob", "1610-11-01"), a(4, "noindex_dob", "1510-11-01"),
+    a(1, "noindex_alive", "true"), a(2, "noindex_alive", "false"),
+    a(3, "noindex_alive", "false"), a(4, "noindex_alive", "true"),
+    a(1, "noindex_salary", "501.23"), a(2, "noindex_salary", "589.04"),
+    a(3, "noindex_salary", "459.47"), a(4, "noindex_salary", "967.68"),
+    // enemy / power / sword (common_test.go:631-640, 698-700)
+    e(2, "enemy", 3), e(2, "enemy", 4),
+    a(1, "power", "13.25"), a(1, "sword_present", "true"),
+    // animal types for pets (common_test.go:679-682)
+    a(5, "dgraph.type", "Animal"), a(5, "dgraph.type", "Pet"),
+    a(6, "dgraph.type", "Animal"), a(6, "dgraph.type", "Pet"),
+    // DispatchBoard fixture (common_test.go:916-923)
+    a(1023, "dgraph.type", "DispatchBoardColumn"),
+    a(1024, "dgraph.type", "DispatchBoardColumn"),
+    a(1025, "dgraph.type", "DispatchBoardCard"),
+    a(1026, "dgraph.type", "DispatchBoardCard"),
+    e(1025, "DispatchBoard.column", 1023), a(1025, "order", "0"),
+    e(1026, "DispatchBoard.column", 1023), a(1026, "order", "1"),
+    // ngram description corpus (common_test.go:989-1006)
+    a(401, "description", "The quick brown fox jumps over the lazy dog"),
+    a(402, "description", "A quick brown fox leaps over a sleeping dog"),
+    a(403, "description", "The lazy dog sleeps under the warm sun"),
+    a(404, "description", "Brown foxes are quick and agile animals"),
+    a(405, "description", "Dogs are loyal companions to humans"),
+    a(406, "description", "The sun shines brightly in the clear sky"),
+    a(407, "description", "Quick movements help foxes catch their prey"),
+    a(408, "description", "Lazy afternoons are perfect for sleeping dogs"),
+    a(409, "description", "Jumping over obstacles requires agility and speed"),
+    a(410, "description", "The brown animal moved quickly through the forest"),
+    a(411, "description", "Machine learning algorithms process natural language text"),
+    a(412, "description", "Natural language processing uses advanced algorithms"),
+    a(413, "description", "Text processing algorithms analyze linguistic patterns"),
+    a(414, "description", "Advanced machine learning techniques improve accuracy"),
+    a(415, "description", "Linguistic analysis helps understand text meaning"),
+    // geo corpus (common_test.go:957-996: addGeoPointToCluster /
+    // addGeoPolygonToCluster / addGeoMultiPolygonToCluster)
+    gj(1, "loc", """{"type":"Point","coordinates":[1.1,2.0]}"""),
+    gj(24, "loc", """{"type":"Point","coordinates":[1.10001,2.000001]}"""),
+    gj(25, "loc", """{"type":"Point","coordinates":[1.1,2.0]}"""),
+    gj(23, "loc",
+      """{"type":"Polygon","coordinates":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,2.0],[0.0,0.0]]]}"""),
+    gj(5101, "geometry",
+      """{"type":"Point","coordinates":[-122.082506,37.4249518]}"""),
+    gj(5102, "geometry",
+      """{"type":"Point","coordinates":[-122.080668,37.426753]}"""),
+    gj(5103, "geometry",
+      """{"type":"Point","coordinates":[-122.2527428,37.513653]}"""),
+    gj(5104, "geometry",
+      """{"type":"Polygon","coordinates":[[[-121.6,37.1],[-122.4,37.3],[-122.6,37.8],[-122.5,38.3],[-121.9,38.0],[-121.6,37.1]]]}"""),
+    gj(5105, "geometry",
+      """{"type":"Polygon","coordinates":[[[-122.06,37.37],[-122.1,37.36],[-122.12,37.4],[-122.11,37.43],[-122.04,37.43],[-122.06,37.37]]]}"""),
+    gj(5106, "geometry",
+      """{"type":"Polygon","coordinates":[[[-122.25,37.49],[-122.28,37.49],[-122.27,37.51],[-122.25,37.52],[-122.25,37.49]]]}"""),
+    gj(5107, "geometry",
+      """{"type":"MultiPolygon","coordinates":[[[[-74.29504394531249,40.19146303804063],[-74.59716796875,40.39258071969131],[-74.6466064453125,40.20824570152502],[-74.454345703125,40.06125658140474],[-74.28955078125,40.17467622056341],[-74.29504394531249,40.19146303804063]]],[[[-74.102783203125,40.8595252289932],[-74.2730712890625,40.718119379753446],[-74.0478515625,40.66813955408042],[-73.98193359375,40.772221877329024],[-74.102783203125,40.8595252289932]]]]}""")) ++
+    Seq("mississippi", "missouri", "mission", "missionary",
+      "whissle", "transmission", "zipped", "monosiphonic", "vasopressin",
+      "vapoured", "virtuously", "zurich", "synopsis", "subsensuously",
+      "admission", "commission", "submission", "subcommission",
+      "retransmission", "omission", "permission", "intermission",
+      "dimission", "discommission").zipWithIndex.flatMap { case (p, i) =>
+      Seq(a(0x2000 + i, "value", p), e(0x1234, "pattern", 0x2000 + i))
+    }
+
+  /** Predicate schema: reference query/common_test.go testSchema (subset). */
+  lazy val schema: SchemaRegistry = {
+    val (preds, types) = SchemaRegistry.parseAlter(
+      """name: string @index(term, exact, trigram) @count @lang .
+        |salary: float @index(float) .
+        |gender: string .
+        |alive: bool @index(bool) .
+        |age: int @index(int) .
+        |dob: datetime @index(year) .
+        |friend: [uid] @reverse @count .
+        |best_friend: uid @reverse .
+        |pet: [uid] .
+        |school: [uid] @count .
+        |path: [uid] @reverse .
+        |connects: [uid] @reverse .
+        |follow: [uid] @reverse .
+        |son: [uid] .
+        |survival_rate: float .
+        |alias: string @index(exact, term, fulltext) .
+        |alias_lang: string @index(exact) @lang .
+        |lossy: string @index(term) @lang .
+        |symbol: string @index(exact) .
+        |office: string .
+        |room: string @index(term) .
+        |office.room: [uid] .
+        |abbr: string .
+        |district: [uid] .
+        |county: [uid] .
+        |state: [uid] .
+        |address: string @index(term) .
+        |nick_name: string @index(term) .
+        |newname: string @index(exact, term) .
+        |newfriend: [uid] .
+        |boss: uid .
+        |royal_title: string @index(hash, term, fulltext) @lang .
+        |name_lang: string @lang .
+        |lang_type: string @index(exact) .
+        |name_lang_index: string @index(exact) @lang .
+        |dob_day: datetime @index(day) .
+        |film.film.initial_release_date: datetime @index(year) .
+        |full_name: string @index(hash) .
+        |node: [uid] .
+        |model: string @index(term) @lang .
+        |make: string @index(term) .
+        |year: int .
+        |previous_model: uid @reverse .
+        |owner: [uid] .
+        |owner_name: string .
+        |director.film: [uid] @reverse .
+        |password: password .
+        |pass: password .
+        |value: string @index(trigram) .
+        |pattern: [uid] .
+        |firstName: string .
+        |lastName: string .
+        |genre: [uid] @reverse .
+        |shadow_deep: int .
+        |_xid_: string .
+        |bin_data: default .
+        |noindex_name: string .
+        |number: int @index(int) .
+        |graduation: [datetime] @index(year) @count .
+        |created_at: datetime @index(hour) .
+        |updated_at: datetime @index(year) .
+        |newage: int .
+        |pet_name: [string] @index(exact) .
+        |score: [int] @index(int) .
+        |average: [float] @index(float) .
+        |pred: string .
+        |indexpred: string @index(exact) .
+        |pname: string .
+        |pred1: string .
+        |pred2: string .
+        |loc: geo @index(geo) .
+        |geometry: geo @index(geo) .
+        |tweet-a: string @index(trigram) .
+        |tweet-b: string @index(term) .
+        |tweet-c: string @index(fulltext) .
+        |tweet-d: string @index(trigram) .
+        |index-pred1: string @index(exact) .
+        |index-pred2: string @index(exact) .
+        |name2: string @index(term) .
+        |age2: int @index(int) .
+        |noindex_name: string .
+        |noindex_age: int .
+        |noindex_dob: datetime .
+        |noindex_alive: bool .
+        |noindex_salary: float .
+        |enemy: [uid] .
+        |power: float .
+        |sword_present: bool .
+        |DispatchBoard.column: uid @reverse .
+        |order: int .
+        |description: string @index(ngram) .
+        |type Person2 { name2 age2 }
+        |type DispatchBoardColumn { name }
+        |type DispatchBoardCard { DispatchBoard.column order }
+        |type SchoolInfo { name abbr school district county state }
+        |type Person { name pet friend gender alive }
+        |type User { name password gender friend alive }
+        |type Animal { name }
+        |type Node { node name }
+        |type CarModel { make model year previous_model <~previous_model> }
+        |type Object { name owner }
+        |""".stripMargin)
+    new SchemaRegistry(preds.map(p => p.name -> p).toMap,
+      types.map(t => t.name -> t).toMap)
+  }
+
+  // shared with CorpusSweepSpec (the reference-corpus sweep)
+  lazy val store: TripleFrameStore = {
+    import spark.implicits._
+    val triples = RdfSource.parse(fixtureLines.toDF("line"))
+    new TripleFrameStore(spark, schema, triples,
+      facetKeys = Map("best_friend" -> Seq("since" -> "string"),
+        "path" -> Seq("weight" -> "double", "weight1" -> "double"),
+        "connects" -> Seq("weight" -> "double"),
+        "created_at" -> Seq("modified_at" -> "string"),
+        "updated_at" -> Seq("modified_at" -> "string")))
+  }
+
+}
