@@ -59,7 +59,14 @@ trait GraphStore {
     * per-predicate reads. Wrapping stores (ACL) must NOT forward this
     * without re-applying their read filtering.
     */
-  def attrWide(preds: Seq[String]): Seq[GraphStore.WideGroup] = Nil
+  def attrWide(preds: Seq[String],
+      frontierTypes: Set[String] = Set.empty): Seq[GraphStore.WideGroup] = Nil
+
+  /** Target node types of a uid edge, when the store's load layout pins
+    * them (empty = unknown). Consumers may use this ONLY to prune reads
+    * that are provably dead for subjects outside those types.
+    */
+  def edgeTargetTypes(predicate: String): Set[String] = Set.empty
 
   /** Edge view for one predicate — "tablet" access path. */
   def edge(predicate: String): DataFrame =

@@ -421,48 +421,152 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
     table.filter(col("predicate") === predicate)
   }
 
-  /** Tablet-group reads (see [[GraphStore.attrWide]]): sibling scalar
-    * attributes of one entity fetch as ONE column-pruned scan of that
-    * entity's source table — the melted per-predicate tablets above
-    * would cost one scan + one shuffle join EACH for values that sit
-    * side by side in the same parquet row group. Only predicates living
-    * in exactly one table participate (`name`/`acctbal` span entities
-    * and would need a coalesce across per-table frames, costing the
-    * joins this path saves); lang-tagged and datetime predicates keep
-    * the per-predicate path (untagged-only rule, display riders).
+  /** Every entity table's wide-readable scalar predicates: (typeName,
+    * source frame, subject uid, (pred, SOURCE column) pairs). Excludes
+    * lang-tagged (`text`) and datetime predicates — those keep the
+    * per-predicate path (untagged-only rule, display riders). Column
+    * casts are applied by [[attrWide]] from the registry's own dgraph
+    * type, so the wide value is bit-identical to the melted tablet's.
     */
-  override def attrWide(preds: Seq[String]): Seq[GraphStore.WideGroup] = {
-    def grp(df: => DataFrame, subj: Column, ty: String,
-        cols: Seq[(String, Column)]): Option[GraphStore.WideGroup] = {
-      val want = cols.filter { case (p, _) => preds.contains(p) }
-      // a single covered predicate gains nothing over attr(p)
-      if (want.size < 2) None
-      else Some(GraphStore.WideGroup(
-        df.select(subj.as("subject") +:
-          want.map { case (p, c) => c.as(s"__ma_$p") }: _*),
-        want.map(_._1), Some(ty)))
+  private def wideRegistry: Seq[(String, () => DataFrame, Column,
+      Seq[(String, Column)])] = Seq(
+    ("Region", () => t("region"), lit(Region) + col("r_regionkey").cast("long"),
+      Seq("name" -> col("r_name"))),
+    ("Nation", () => t("nation"), lit(Nation) + col("n_nationkey").cast("long"),
+      Seq("name" -> col("n_name"))),
+    ("Customer", () => t("customer"), lit(Customer) + col("c_custkey"),
+      Seq("name" -> col("c_name"),
+        "mktsegment" -> col("c_mktsegment"),
+        "acctbal" -> col("c_acctbal"))),
+    ("Supplier", () => t("supplier"), lit(Supplier) + col("s_suppkey"),
+      Seq("name" -> col("s_name"),
+        "acctbal" -> col("s_acctbal"))),
+    ("Part", () => t("part"), lit(Part) + col("p_partkey"),
+      Seq("name" -> col("p_name"),
+        "brand" -> col("p_brand"),
+        "ptype" -> col("p_type"),
+        "size" -> col("p_size"),
+        "retailprice" -> col("p_retailprice"))),
+    ("Order", () => t("orders"), lit(Order) + col("o_orderkey"),
+      Seq("orderstatus" -> col("o_orderstatus"),
+        "orderpriority" -> col("o_orderpriority"),
+        "totalprice" -> col("o_totalprice"))),
+    ("Lineitem", () => line, col("line_uid"),
+      Seq("returnflag" -> col("l_returnflag"),
+        "linestatus" -> col("l_linestatus"),
+        "quantity" -> col("l_quantity"),
+        "extendedprice" -> col("l_extendedprice"),
+        "discount" -> col("l_discount"))),
+    ("Document", () => t("documents"), lit(Document) + col("doc_id"),
+      Seq("source" -> col("source"),
+        "n_chars" -> col("n_chars"))))
+
+  /** Tablet-group reads (see [[GraphStore.attrWide]]): sibling scalar
+    * attributes fetch as column-pruned scans of their entities' source
+    * tables — the melted per-predicate tablets above would cost one scan
+    * + one shuffle join EACH for values that sit side by side in the same
+    * parquet row group.
+    *
+    * Predicates spanning entities (`name` on 5 tables, `acctbal` on 2)
+    * coalesce as a UNION of per-table wide frames — subjects are disjoint
+    * by uid banding (the band IS the entity), missing columns are typed
+    * nulls, so the left join against the frontier reads exactly what the
+    * melted tablet would have delivered. Two guards keep the coalesce a
+    * strict win (measured: an unguarded 5-table union for `name` doubled
+    * dql_order_page's job count):
+    *
+    *  - `frontierTypes`, when known, prunes the union to tables the
+    *    frontier can actually contain — a STORE invariant here (every
+    *    subject of a predicate lives in that predicate's owner tables;
+    *    data derives 1:1 from the registry), and what re-enables bare
+    *    `type(T)` root elimination (single-entity groups carry
+    *    entityType);
+    *  - a component is emitted only when its table count m does not
+    *    exceed its predicate count k: the union costs m scans + 1 join
+    *    against the melted path's k scans + k joins, so m ≤ k saves
+    *    k-1 joins for free while m > k trades joins for extra scans —
+    *    a loss on pruned tablets.
+    *
+    * Per-pred value parity with the melted path is WideReadParitySpec's
+    * contract.
+    */
+  override def attrWide(preds: Seq[String],
+      frontierTypes: Set[String] = Set.empty): Seq[GraphStore.WideGroup] = {
+    def sqlType(p: String): String = schema.pred(p).dgraphType match {
+      case "int" => "long"
+      case "float" => "double"
+      case _ => "string"
     }
-    Seq(
-      grp(t("part"), lit(Part) + col("p_partkey"), "Part", Seq(
-        "brand" -> col("p_brand").cast("string"),
-        "ptype" -> col("p_type").cast("string"),
-        "size" -> col("p_size").cast("long"),
-        "retailprice" -> col("p_retailprice").cast("double"))),
-      grp(t("orders"), lit(Order) + col("o_orderkey"), "Order", Seq(
-        "orderstatus" -> col("o_orderstatus").cast("string"),
-        "orderpriority" -> col("o_orderpriority").cast("string"),
-        "totalprice" -> col("o_totalprice").cast("double"))),
-      grp(line, col("line_uid"), "Lineitem", Seq(
-        "returnflag" -> col("l_returnflag").cast("string"),
-        "linestatus" -> col("l_linestatus").cast("string"),
-        "quantity" -> col("l_quantity").cast("double"),
-        "extendedprice" -> col("l_extendedprice").cast("double"),
-        "discount" -> col("l_discount").cast("double"))),
-      grp(t("documents"), lit(Document) + col("doc_id"), "Document", Seq(
-        "source" -> col("source").cast("string"),
-        "n_chars" -> col("n_chars").cast("long")))
-    ).flatten
+    val avail =
+      if (frontierTypes.isEmpty) wideRegistry
+      else wideRegistry.filter { case (ty, _, _, _) => frontierTypes(ty) }
+    val covered = avail
+      .map { case (ty, df, subj, cols) =>
+        (ty, df, subj, cols.filter { case (p, _) => preds.contains(p) })
+      }
+      .filter(_._4.nonEmpty)
+    if (covered.isEmpty) return Nil
+    // connected components over "shares a predicate": each requested
+    // predicate must land in exactly ONE returned group (the executor
+    // joins every group and reads __ma_<pred> unambiguously), and a
+    // group must carry a pred's FULL owner set within `avail` — a
+    // partial union would surface typed nulls for subjects whose values
+    // live in the excluded tables
+    val comps = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Int]]
+    val compOf = scala.collection.mutable.Map.empty[String, Int]
+    covered.zipWithIndex.foreach { case ((_, _, _, cols), i) =>
+      val hit = cols.flatMap { case (p, _) => compOf.get(p) }.distinct
+      val target = hit.headOption.getOrElse {
+        comps += scala.collection.mutable.ArrayBuffer.empty[Int]
+        comps.size - 1
+      }
+      // merge any additional components this entity bridges
+      hit.drop(1).foreach { c =>
+        comps(target) ++= comps(c); comps(c).clear()
+        compOf.foreach { case (p, pc) => if (pc == c) compOf(p) = target }
+      }
+      comps(target) += i
+      cols.foreach { case (p, _) => compOf(p) = target }
+    }
+    comps.filter(_.nonEmpty).toSeq.flatMap { members =>
+      val ms = members.toSeq.map(covered)
+      val groupPreds = preds.filter(p => ms.exists(_._4.exists(_._1 == p)))
+      // a single covered predicate gains nothing over attr(p) (the
+      // stored tablet is one pruned scan + one join either way), and a
+      // union wider than its predicate count trades joins for scans
+      if (groupPreds.size < 2 || ms.size > groupPreds.size) None
+      else {
+        val frames = ms.map { case (_, df, subj, cols) =>
+          val byPred = cols.toMap
+          df().select(subj.as("subject") +: groupPreds.map { p =>
+            byPred.get(p)
+              .map(_.cast(sqlType(p)))
+              .getOrElse(lit(null).cast(sqlType(p)))
+              .as(s"__ma_$p")
+          }: _*)
+        }
+        Some(GraphStore.WideGroup(frames.reduce(_ unionByName _), groupPreds,
+          if (ms.size == 1) Some(ms.head._1) else None))
+      }
+    }
   }
+
+  /** Target node types of a uid edge — load-layout metadata (each edge
+    * branch of [[edges]] constructs its objects inside exactly one uid
+    * band). Lets the executor carry frontier identity across a
+    * traversal hop so [[attrWide]] can prune its union.
+    */
+  override def edgeTargetTypes(predicate: String): Set[String] =
+    predicate match {
+      case "located_in" => Set("Nation")
+      case "in_region" => Set("Region")
+      case "placed" => Set("Order")
+      case "has_line" => Set("Lineitem")
+      case "of_part" => Set("Part")
+      case "by_supplier" => Set("Supplier")
+      case _ => Set.empty
+    }
 }
 
 object TripleStore {

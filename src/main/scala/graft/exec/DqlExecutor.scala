@@ -30,6 +30,17 @@ final class DqlExecutor(ts: GraphStore) {
 
   private val schema = ts.schema
 
+  /** Node types listing a predicate in the registry. Used only as a
+    * frontier-identity hint for [[GraphStore.attrWide]] pruning — sound
+    * where the store's data derives 1:1 from the registry (TripleStore,
+    * the only attrWide implementor); stores without that invariant
+    * return no wide groups, so the hint is inert there.
+    */
+  private def ownerTypes(pred: String): Set[String] =
+    schema.types.values.collect {
+      case t if t.predicates.contains(pred) => t.name
+    }.toSet
+
   /** Variable registry (reference per-request var map,
     * query/query.go:1806 fillVars): uid vars are DF("uid"), value vars
     * DF("uid", "value"). Blocks execute in written order; a var bound in
@@ -745,9 +756,20 @@ final class DqlExecutor(ts: GraphStore) {
               b.page.after.isEmpty && !b.cascade && !b.ignoreReflex)
             Some(b.func.pred)
           else None
+        // frontier identity from the root function: a typed root is its
+        // type; an attribute root's subjects live in the predicate's
+        // owner types (a store-layout fact attrWide may prune on); uid
+        // roots say nothing
+        val rootFrontierTypes: Set[String] = b.func.name match {
+          case "type" => Set(b.func.pred)
+          case "uid" | "uid_in" => Set.empty
+          case _ if b.func.pred.nonEmpty => ownerTypes(b.func.pred)
+          case _ => Set.empty
+        }
         val projected0 = project(paged, "uid", b.selections, fullCascade, "",
           detached = b.name == "var" && !b.cascade,
-          cascadeFields = cFields, rootType = bareTypeRoot)
+          cascadeFields = cFields, rootType = bareTypeRoot,
+          frontierTypes = rootFrontierTypes)
         val projected =
           if (!paramCascade) projected0
           else {
@@ -1777,10 +1799,16 @@ final class DqlExecutor(ts: GraphStore) {
     sels.flatMap(s => s.mathExpr.map(mathRefs).getOrElse(Nil) ++
       mathRefsIn(s.children)).toSet
 
+  /** `frontierTypes`: node types `df`'s uid column can contain, when
+    * derivable (empty = unknown) — root-function owners at the top
+    * level, edge-target metadata across hops. Consumed only to prune
+    * [[GraphStore.attrWide]] unions; never changes semantics.
+    */
   private def project(df: DataFrame, uidCol: String, sels: Seq[Selection],
       cascade: Boolean, prefix: String, detached: Boolean = false,
       cascadeFields: Seq[String] = Nil,
-      rootType: Option[String] = None): DataFrame = {
+      rootType: Option[String] = None,
+      frontierTypes: Set[String] = Set.empty): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     var cur = df
     // true once a traversal has multiplied rows: later var binds must
@@ -1838,7 +1866,9 @@ final class DqlExecutor(ts: GraphStore) {
           Set("string", "default", "int", "float").contains(ps.dgraphType))
     val widePreds = sels.filter(wideOk).map(_.pred).distinct
     val wideFrames =
-      if (widePreds.size >= 2) ts.attrWide(widePreds) else Nil
+      if (widePreds.size >= 2)
+        ts.attrWide(widePreds, frontierTypes ++ rootType)
+      else Nil
     val wideCovered: Set[String] = wideFrames.flatMap(_.preds).toSet
     // root-type elimination: a bare `type(T)` frontier (no filter, no
     // order, no page — flatBlock passes rootType only then) IS the
@@ -2658,8 +2688,15 @@ final class DqlExecutor(ts: GraphStore) {
       // unlisted age); __all__ spells the full form.
       val savedChain = reflexChain
       reflexChain = reflexChain.map(_ :+ uidCol)
+      // frontier identity across the hop: reverse edges land on the
+      // edge's owner types, forward edges on the store's pinned target
+      // types (empty = unknown)
+      val childTypes =
+        if (sel.reverse) ownerTypes(sel.pred)
+        else ts.edgeTargetTypes(sel.pred)
       val sub0 = try project(cur, name, sel.children,
-          subFull, s"${name}_", detached, cascadeFields = effFields)
+          subFull, s"${name}_", detached, cascadeFields = effFields,
+          frontierTypes = childTypes)
         finally reflexChain = savedChain
       // pruning at THIS level: the LISTED fields that this level
       // actually queries must be present on the edge target. An

@@ -60,12 +60,47 @@ final class WideReadParitySpec extends AnyFunSuite {
   }
 
   test("mixed wide + non-wide siblings (name spans tables) == generic") {
-    // `name` lives in five entity tables, so it keeps the generic
-    // per-predicate path while brand/size ride the wide frame.
+    // `name` lives in five entity tables; under a bare type(Part) root
+    // the registry restricts to Part's table, so name/brand/size all
+    // ride ONE wide frame — which must still read exactly what the five
+    // melted branches would have delivered for Part subjects.
     // (datetime attrs are out of scope here: the two stores render
     // different but equivalent display forms — timestamp toString vs
     // the RFC3339 display rider — a pre-existing store difference the
     // wide path neither causes nor touches, datetime being ineligible)
     parity("""{ q(func: type(Part)) { name brand size } }""")
+  }
+
+  test("bare Customer root: cross-entity preds restrict to one table") {
+    // name spans 5 tables and acctbal 2, but the known root type prunes
+    // the union to customer's table — single-entity group, root-type
+    // elimination applies
+    parity("""{ q(func: type(Customer)) { name mktsegment acctbal } }""")
+  }
+
+  test("paged Customer root: union wide group over all owners == generic") {
+    // `first:` blocks root-type elimination AND the rootType hint, so
+    // the wide frame is the full cross-entity union (customer ∪ supplier
+    // ∪ nation ∪ region ∪ part for name; customer ∪ supplier for
+    // acctbal) left-joined against a customer-only frontier — subjects
+    // are disjoint by uid band, values must match the melted tablets
+    parity("""{ q(func: type(Customer), first: 70, orderasc: name) {
+              |    name acctbal } }""".stripMargin)
+  }
+
+  test("mixed-entity frontier (customers ∪ suppliers) union group == generic") {
+    // ~located_in fans out to customers AND suppliers; name+acctbal
+    // coalesce as a union wide frame spanning both uid bands
+    parity("""{ q(func: type(Nation)) { name
+              |    inhab: ~located_in { name acctbal } } }""".stripMargin)
+  }
+
+  test("union group with a typed-null column (mktsegment) == generic") {
+    // suppliers have no mktsegment: the union branch carries a typed
+    // null, which must read back exactly like the melted tablet's
+    // missing row (left-join null)
+    parity("""{ q(func: type(Nation)) { name
+              |    inhab: ~located_in { name mktsegment acctbal } } }"""
+      .stripMargin)
   }
 }
