@@ -63,7 +63,35 @@ final class CorpusSweepSpec extends AnyFunSuite {
     "$alice" -> "1", "$minVal" -> "1", "$maxVal" -> "2", "$depth" -> "2",
     "$str" -> "x", "$STR" -> "x", "$no" -> "1", "$yes" -> "1")
 
-  private case class Observed(outcome: String, err: String)
+  private case class Observed(outcome: String, err: String, rh: String = "")
+
+  /** Canonical form for result hashing: object keys sorted, arrays
+    * sorted by rendered form, numbers normalized to double — the same
+    * equivalences the golden JSON comparisons allow, so the hash pins
+    * VALUES without pinning an array order the reference itself treats
+    * as free.
+    */
+  private def canon(n: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node._
+    n match {
+      case o: ObjectNode =>
+        val out = mapper.createObjectNode()
+        val keys = new scala.collection.mutable.ArrayBuffer[String]()
+        o.fieldNames().forEachRemaining(k => keys += k)
+        keys.sorted.foreach(k => out.set[ObjectNode](k, canon(o.get(k))))
+        out
+      case a: ArrayNode =>
+        val out = mapper.createArrayNode()
+        val kids = new scala.collection.mutable.ArrayBuffer[
+          com.fasterxml.jackson.databind.JsonNode]()
+        a.forEach(x => kids += canon(x))
+        kids.sortBy(_.toString).foreach(out.add)
+        out
+      case v if v.isNumber => DoubleNode.valueOf(v.asDouble())
+      case other => other
+    }
+  }
 
   private def runOne(q: String, store: graft.core.TripleFrameStore)
       : Observed = {
@@ -75,8 +103,15 @@ final class CorpusSweepSpec extends AnyFunSuite {
             String.valueOf(t.getMessage).take(80))
       }
     try {
-      new DqlExecutor(store).jsonAllAst(ast, includeUid = false).collect()
-      Observed("exec", "")
+      val rows = new DqlExecutor(store).jsonAllAst(ast, includeUid = false)
+        .collect()
+      // result hash: every exec query's output values are pinned in the
+      // ledger, so a silent wrong-answer drift on a reference shape
+      // fails the sweep even where no golden JSON exists
+      val rendered = rows.map { r =>
+        s"${r.getString(0)}|${canon(mapper.readTree(r.getString(2)))}"
+      }.sorted
+      Observed("exec", "", sha12(rendered.mkString("\n")))
     } catch {
       case t: Throwable =>
         Observed("exec_err", String.valueOf(t.getMessage).take(80))
@@ -93,6 +128,7 @@ final class CorpusSweepSpec extends AnyFunSuite {
       observed.zip(corpus).foreach { case ((h, o), q) =>
         val n = out.addObject()
         n.put("h", h); n.put("outcome", o.outcome); n.put("err", o.err)
+        if (o.outcome == "exec") n.put("rh", o.rh)
         n.put("q", q.replaceAll("\\s+", " ").take(120))
         ()
       }
@@ -121,7 +157,15 @@ final class CorpusSweepSpec extends AnyFunSuite {
           if (want != o.outcome)
             failures += s"$h: ledger=$want observed=${o.outcome} " +
               s"err='${o.err}' q=${q.replaceAll("\\s+", " ").take(80)}"
-          else if (o.outcome != "exec") {
+          else if (o.outcome == "exec") {
+            // exec results are value-pinned: the canonical-form hash
+            // must match the ledger's
+            Option(n.get("rh")).map(_.asText()).foreach { rh =>
+              if (rh != o.rh)
+                failures += s"$h: result hash drifted: ledger=$rh " +
+                  s"observed=${o.rh} q=${q.replaceAll("\\s+", " ").take(80)}"
+            }
+          } else {
             val adj = Option(n.get("adjudication")).map(_.asText("")).getOrElse("")
             if (!adj.startsWith("reference-error") && !adj.startsWith("artifact"))
               failures += s"$h: non-exec outcome with adjudication '$adj'"
@@ -142,5 +186,11 @@ final class CorpusSweepSpec extends AnyFunSuite {
     val executed = observed.count(_._2.outcome == "exec")
     assert(parsed == 743, s"parsed=$parsed (want 743)")
     assert(executed == 670, s"executed=$executed (want 670)")
+    // every exec entry must be value-pinned — a ledger regeneration that
+    // silently dropped the result hashes would weaken the sweep back to
+    // outcome-only
+    val hashed = byHash.values.count(n =>
+      n.get("outcome").asText() == "exec" && n.hasNonNull("rh"))
+    assert(hashed == executed, s"ledger carries rh on $hashed of $executed")
   }
 }
