@@ -26,13 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g on a 128 GiB / 32-core host: the bench session holds the
+  // 32g on a 128 GiB / 32-core host: the bench session holds the
   // build-once artifacts (derived layouts, LSH/ANN indexes, signature
   // frames) as block-manager storage — at 8g the streaming/state-store
   // gates late in the sorted run paid GC pressure (stream_dedup 36 s
   // steady at 8g vs ~5 s in a fresh session), not their own work;
   // r12's scored run showed the late-alphabet band inflated while the
-  // early band flew, so buy more old-gen headroom for the accumulated
-  // checkpoints (still <20% of the host)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // early band flew, so buy old-gen headroom for the accumulated
+  // checkpoints (still 25% of the host). The artifacts themselves
+  // store SERIALIZED (Q.artifactCheckpoint) since r16, which is the
+  // structural fix; the headroom covers the 10× self-run tier.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -90,7 +90,7 @@ object LlmQueries {
       x => conv(substring(md5(x), 1, 7), 16, 10).cast("long")))
   }
   private def nearSetsMat(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, d), nearSets(s, d).localCheckpoint())
+    shingleCache.getOrElseUpdate((s, d), Q.artifactCheckpoint(nearSets(s, d)))
   // One SimHash signature frame per (session, corpus), BOTH widths
   // assembled in the same job: the 16-bit fingerprint gate reads the
   // top 16 counters of the 60-bit build (md5-prefix hashes nest:
@@ -102,15 +102,14 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def simhashSigs(s: SparkSession, d: String): DataFrame =
     simhashSigCache.getOrElseUpdate((s, d),
-      Dedup.simhashBitSums(corpusNear(s, d), col("id"), col("text"), 60)
-        .select(col("id"),
-          Dedup.simhashSignature(16, 44).as("sim16"),
-          Dedup.simhashSignature(60, 0).as("sim60"))
-        .localCheckpoint())
+      Q.artifactCheckpoint(
+        Dedup.simhashBitSums(corpusNear(s, d), col("id"), col("text"), 60)
+          .select(col("id"),
+            Dedup.simhashSignature(16, 44).as("sim16"),
+            Dedup.simhashSignature(60, 0).as("sim60"))))
   private def minhashCands(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
-      Dedup.candidatesFromSets(nearSetsMat(s, d))
-        .localCheckpoint())
+      Q.artifactCheckpoint(Dedup.candidatesFromSets(nearSetsMat(s, d))))
   // The CC labeling over the candidate pairs is the same build-once
   // session state as the candidate index itself (an engine maintains
   // its dedup clusters, it doesn't re-run Pregel per query): shared by
@@ -120,8 +119,8 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def clustersMat(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s, d),
-      Dedup.clusters(minhashCands(s, d).select(col("a"), col("b")))
-        .localCheckpoint())
+      Q.artifactCheckpoint(
+        Dedup.clusters(minhashCands(s, d).select(col("a"), col("b")))))
 
   // Synthesized media blobs are test scaffolding, not the operator under
   // measurement: a real engine ingests media bytes once and decodes them
@@ -136,7 +135,7 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def cachedBlobs(s: SparkSession, d: String, kind: String)(
       build: => DataFrame): DataFrame =
-    blobCache.getOrElseUpdate((s, d, kind), build.localCheckpoint())
+    blobCache.getOrElseUpdate((s, d, kind), Q.artifactCheckpoint(build))
 
   /** PNGs with doc_id-derived dimensions (multimodal_image_decode). */
   private def pngDimsBlobs(s: SparkSession, d: String): DataFrame =
@@ -515,8 +514,8 @@ object LlmQueries {
       val books = pqBookCache.getOrElseUpdate((s, d),
         Similarity.pqCodebooksExact(base, m = 4))
       val enc = pqEncCache.getOrElseUpdate((s, d),
-        Similarity.pqEncode(base, books)
-          .select(col("id"), col("codes")).localCheckpoint())
+        Q.artifactCheckpoint(Similarity.pqEncode(base, books)
+          .select(col("id"), col("codes"))))
       Similarity.pqSearchTopK(base.filter(col("id") % 200 === 0), enc, k = 3,
           books, metric = "dotproduct")
         .orderBy(col("qid"), col("rank"))

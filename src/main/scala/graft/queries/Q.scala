@@ -55,6 +55,21 @@ object Q {
     f.getAbsolutePath
   }
 
+  /** Checkpoint for SESSION ARTIFACTS (build-once frames that live for
+    * the whole session): serialized block storage instead of
+    * localCheckpoint's deserialized default. Long-lived deserialized
+    * row objects are exactly what old-gen GC scans — at sf1 the
+    * accumulated corpus-scale caches turned unrelated gates into GC
+    * victims (dql_math 0.6 s isolated vs 9 s inside the full run) —
+    * while serialized blocks are one byte[] each and 3-6× smaller for
+    * string-heavy frames. Per-query checkpoints (the var registry)
+    * keep the deserialized default: they're result-scale and hot.
+    */
+  def artifactCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Session-cached INPUT dir for streaming gates: the source files a
     * stream consumes (a mutation log, an event feed) exist before the
     * consumer attaches, so writing them is gate scaffolding — paid once

@@ -44,9 +44,8 @@ object QualityQueries {
   def corpusShingles(s: org.apache.spark.sql.SparkSession, d: String,
       n: Int): org.apache.spark.sql.DataFrame =
     shingleFrameCache.getOrElseUpdate((s, d, n),
-      docs(s, d).select(col("doc_id"),
-        explode(array_distinct(shingles(words(col("text")), n))).as("sh"))
-        .localCheckpoint())
+      Q.artifactCheckpoint(docs(s, d).select(col("doc_id"),
+        explode(array_distinct(shingles(words(col("text")), n))).as("sh"))))
 
   // The contamination probe (docs 0-4 standing in for an eval suite) is
   // build-once session state: a real contamination scanner REGISTERS its
