@@ -209,6 +209,10 @@ object Bench {
     // index WRITES stay scored.
     warm("PQ codebooks") {
       SparkEntry.queries("embed_ann_pq")(spark, sfDir).count()
+      // ivfpq shares the codebooks and session-caches its coarse
+      // centroids; its scored invocations still write + read + search a
+      // FRESH index each time (freshRun dir)
+      SparkEntry.queries("embed_ann_ivfpq")(spark, sfDir).count()
     }
     warm("IVF centroids") {
       SparkEntry.queries("embed_ann_ivf_store")(spark, sfDir).count()
