@@ -103,4 +103,13 @@ final class WideReadParitySpec extends AnyFunSuite {
               |    inhab: ~located_in { name mktsegment acctbal } } }"""
       .stripMargin)
   }
+
+  test("full cascade over a union group's typed-null column == generic") {
+    // cascade turns the wide read's left join into a null filter: on a
+    // customers∪suppliers frontier the suppliers (no mktsegment) must
+    // drop exactly like the melted path's inner join drops them
+    parity("""{ q(func: type(Nation)) @cascade { name
+              |    inhab: ~located_in { name mktsegment acctbal } } }"""
+      .stripMargin)
+  }
 }
