@@ -782,16 +782,29 @@ object Similarity {
     }
   }
 
-  /** Near-duplicate pairs: same cell, quantized cosine above threshold. */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val n = withNorm(corpus)
+  /** Exact all-pairs (a < b) within cell over a pre-normed frame:
+    * (a, b, sim) unthresholded. Quadratic in cell occupancy — only
+    * reachable through [[nearDup]]'s small-cell branch or the explicit
+    * verifier [[nearDupPairs]].
+    */
+  private def exactCellPairs(n: DataFrame): DataFrame = {
     val l = n.select(col("id").as("a"), col("cell"), col("qe").as("av"), col("__nrm").as("an"))
     val r = n.select(col("id").as("b"), col("cell"), col("qe").as("bv"), col("__nrm").as("bn"))
     l.join(r, Seq("cell")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         cosFromParts(dotQ(col("av"), col("bv")), col("an"), col("bn")).as("sim"))
-      .filter(col("sim") > threshold)
   }
+
+  /** EXACT near-duplicate pairs: same cell, quantized cosine above
+    * threshold. This is the bounded-input VERIFIER, not the public
+    * operator — it is quadratic in cell occupancy (measured 24× steady
+    * at sf1, 124 s at sf3). Call [[nearDup]] instead: it runs this
+    * all-pairs only on cells under its occupancy cap and bands the
+    * rest, mirroring how brute-force top-k is positioned vs the ANN
+    * stack.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame =
+    exactCellPairs(withNorm(corpus)).filter(col("sim") > threshold)
 
   /** Deterministic ±1 hyperplane component for (band, bit, dim) — the
     * shared pattern BOTH engines rebuild literally (the oracle emits
@@ -820,8 +833,16 @@ object Similarity {
     * the distinct, not a 2×dim payload.
     */
   def nearDupPairsBanded(corpus: DataFrame, threshold: Double, dim: Int,
-      bands: Int = 4, bits: Int = 8): DataFrame = {
-    val n = withNorm(corpus)
+      bands: Int = 4, bits: Int = 8): DataFrame =
+    bandedCellPairs(withNorm(corpus), dim, bands, bits)
+      .filter(col("sim") > threshold)
+
+  /** Band → bucket-join → exact-cosine candidates over a pre-normed
+    * frame: (a, b, sim) unthresholded. Shared core of
+    * [[nearDupPairsBanded]] and [[nearDup]]'s large-cell branch.
+    */
+  private def bandedCellPairs(n: DataFrame, dim: Int,
+      bands: Int, bits: Int): DataFrame = {
     def bandVal(b: Int): Column =
       (0 until bits).map { j =>
         val sgns = array((0 until dim).map(i =>
@@ -850,6 +871,50 @@ object Similarity {
     cand.join(va, Seq("a")).join(vb, Seq("b"))
       .select(col("a"), col("b"),
         cosFromParts(dotQ(col("av"), col("bv")), col("an"), col("bn")).as("sim"))
-      .filter(col("sim") > threshold)
+  }
+
+  /** Smallest bits-per-band in [minBits, maxBits] keeping the expected
+    * band-bucket size under the occupancy cap: maxOcc / 2^bits ≤ cap.
+    * Pure integer arithmetic so the DuckDB oracle replays it as a CASE
+    * chain bit-for-bit.
+    */
+  def chooseBits(maxOcc: Long, occupancyCap: Int,
+      minBits: Int, maxBits: Int): Int =
+    (minBits to maxBits).find(b => maxOcc <= (occupancyCap.toLong << b))
+      .getOrElse(maxBits)
+
+  /** THE public embedding near-dup operator (default = the scale path).
+    *
+    * Hybrid by cell occupancy: cells at or under `occupancyCap` rows run
+    * exact all-pairs (bounded quadratic — at most cap² pairs per cell);
+    * cells above it run hyperplane-sign banding with bits-per-band
+    * auto-scaled by [[chooseBits]] so bucket sizes stay
+    * O(occ / 2^bits) ≤ O(cap) — the candidate join is near-linear in
+    * corpus size at any scale. Recall on large cells is the banding
+    * probability (a pair must agree on all `bits` signs of one of
+    * `bands` bands); exact all-pairs ([[nearDupPairs]]) survives as the
+    * bounded-input verifier, mirroring brute-force-vs-ANN.
+    *
+    * The per-cell occupancy aggregate is one O(n) pass collapsing to
+    * coarse-quantizer-cell cardinality (metadata-sized, like centroids);
+    * the scalar max and the broadcast tag join are fenced on that.
+    */
+  def nearDup(corpus: DataFrame, threshold: Double, dim: Int,
+      occupancyCap: Int = 64, bands: Int = 4,
+      minBits: Int = 4, maxBits: Int = 12): DataFrame = {
+    val n = withNorm(corpus).localCheckpoint(eager = false)
+    val occ = n.groupBy(col("cell")).agg(count(lit(1)).as("__occ"))
+    val maxOcc = occ.agg(max(col("__occ"))).head.getLong(0)
+    val pairs =
+      if (maxOcc <= occupancyCap) exactCellPairs(n)
+      else {
+        val bits = chooseBits(maxOcc, occupancyCap, minBits, maxBits)
+        val tagged = n.join(broadcast(occ), Seq("cell"))
+        val small = tagged.filter(col("__occ") <= occupancyCap).drop("__occ")
+        val large = tagged.filter(col("__occ") > occupancyCap).drop("__occ")
+        exactCellPairs(small)
+          .unionByName(bandedCellPairs(large, dim, bands, bits))
+      }
+    pairs.filter(col("sim") > threshold)
   }
 }

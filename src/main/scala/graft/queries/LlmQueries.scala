@@ -332,14 +332,20 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // THE public near-dup operator: hybrid default — cells at or under
+    // the occupancy cap run exact all-pairs (bounded quadratic), cells
+    // above it run hyperplane-sign banding with bits auto-scaled to
+    // bound bucket occupancy. The oracle replays the cap split, the
+    // bits CASE chain, and the hyperplanes literally. Exact all-pairs
+    // (the old default, 24× steady at sf1) survives only as the
+    // bounded-input verifier nearDupPairs, spec-fenced.
     "dedup_embedding" -> ((s, d) =>
-      Similarity.nearDupPairs(embCorpus(s, d), threshold = 0.95)
+      Similarity.nearDup(embCorpus(s, d), threshold = 0.95, dim = 64)
         .orderBy(col("a"), col("b"))),
 
-    // the SCALE PATH for the gate above: within-cell all-pairs is
-    // quadratic in cell occupancy (sf1→sf3 measured 3× data → ~9×
-    // pairs); hyperplane-sign bands keep the candidate join near-linear
-    // and the oracle replays the same bands literally
+    // the fixed-parameter banded path (bands=4, bits=8) — kept as its
+    // own gate so the auto-scaled default above and the pinned-shape
+    // banding are independently oracle-checked
     "dedup_embedding_banded" -> ((s, d) =>
       Similarity.nearDupPairsBanded(embCorpus(s, d), threshold = 0.95,
         dim = 64).orderBy(col("a"), col("b"))),
@@ -1103,12 +1109,55 @@ object LlmQueries {
          |FROM i JOIN szs sa ON sa.id = i.a JOIN szs sb ON sb.id = i.b
          |ORDER BY a, b""".stripMargin,
 
-    "dedup_embedding" ->
-      s"""WITH c AS ($embCorpusSql)
-         |SELECT a.id AS a, b.id AS b, ${cosSql("a.qe", "b.qe")} AS sim
-         |FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
-         |WHERE ${cosSql("a.qe", "b.qe")} > 0.95
-         |ORDER BY a, b""".stripMargin,
+    "dedup_embedding" -> {
+      // replays Similarity.nearDup's hybrid exactly: the occupancy-cap
+      // cell split, the chooseBits CASE chain, and the full-width band
+      // signatures masked down to the chosen bits (masking the low bits
+      // of a 12-bit signature IS the bits-hyperplane signature — each
+      // bit is a distinct power of two, no carries)
+      val cap = 64; val bands = 4; val minBits = 4; val maxBits = 12
+      def bandValSql(b: Int): String =
+        (0 until maxBits).map { j =>
+          val sgns = (0 until 64)
+            .map(i => graft.operators.Similarity.hyperplaneSign(b, j, i))
+            .mkString("[", ",", "]")
+          s"(CASE WHEN list_sum(list_transform(list_zip(qe, $sgns), " +
+            s"p -> p[1]*p[2])) >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      val sigCols = (0 until bands).map(b => s"${bandValSql(b)} AS band_$b")
+        .mkString(",\n ")
+      val bitsCase = "CASE " +
+        (minBits to maxBits)
+          .map(b => s"WHEN m <= ${cap.toLong << b} THEN $b").mkString(" ") +
+        s" ELSE $maxBits END"
+      val cand = (0 until bands).map(b =>
+        s"SELECT sa.id AS a, sb.id AS b FROM sigs sa, sigs sb, prm p " +
+          s"WHERE sa.cell = sb.cell AND sa.band_$b % p.md = sb.band_$b % p.md " +
+          s"AND sa.id < sb.id")
+        .mkString("\n UNION\n ")
+      s"""WITH c AS ($embCorpusSql),
+         |occ AS (SELECT cell, COUNT(*) AS cnt FROM c GROUP BY cell),
+         |prm AS (SELECT (CAST(1 AS BIGINT) << ($bitsCase)) AS md
+         |        FROM (SELECT MAX(cnt) AS m FROM occ)),
+         |small AS (SELECT c.* FROM c JOIN occ USING (cell) WHERE occ.cnt <= $cap),
+         |large AS (SELECT c.* FROM c JOIN occ USING (cell) WHERE occ.cnt > $cap),
+         |sigs AS (SELECT id, cell, qe,
+         | $sigCols
+         |FROM large),
+         |cand AS (
+         | $cand
+         |),
+         |banded AS (
+         | SELECT cand.a, cand.b, ${cosSql("va.qe", "vb.qe")} AS sim
+         | FROM cand JOIN sigs va ON va.id = cand.a
+         |           JOIN sigs vb ON vb.id = cand.b),
+         |exact AS (
+         | SELECT a.id AS a, b.id AS b, ${cosSql("a.qe", "b.qe")} AS sim
+         | FROM small a JOIN small b ON a.cell = b.cell AND a.id < b.id)
+         |SELECT a, b, sim
+         |FROM (SELECT * FROM banded UNION ALL SELECT * FROM exact)
+         |WHERE sim > 0.95 ORDER BY a, b""".stripMargin
+    },
 
     "dedup_embedding_banded" -> {
       // the same hyperplanes as Similarity.nearDupPairsBanded, emitted

@@ -417,4 +417,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert((0 until 8).map(j => (0 until 64).map(i =>
       hyperplaneSign(0, j, i))).distinct.size == 8, "duplicate hyperplanes")
   }
+
+  test("nearDup hybrid default: exact ≡ on bounded cells, banded-subset on large") {
+    // exact all-pairs (nearDupPairs) is retained ONLY as the
+    // bounded-input verifier for the public nearDup operator
+    val emb = Tables.load(spark, sf, "embeddings")
+    def corpus(cell: org.apache.spark.sql.Column) = {
+      val base = emb.select($"vec_id".as("id"), $"label", quantize($"embedding").as("qe"))
+      val twins = emb.select(($"vec_id" + 1000000L).as("id"), $"label",
+        transform($"embedding",
+          x => round((x.cast("double") * 1.05 + 0.01) * 1000).cast("long")).as("qe"))
+      base.unionByName(twins).withColumn("cell", cell).drop("label")
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // 1. all cells bounded (occ 50 ≤ cap 64) → pure exact path, bit-equal
+    val bounded = corpus(($"id" % 1000000L) % 20)
+    val exactB = pairSet(Similarity.nearDupPairs(bounded, 0.95))
+    assert(exactB.nonEmpty, "fixture lost its twin pairs")
+    assert(pairSet(Similarity.nearDup(bounded, 0.95, dim = 64)) == exactB)
+
+    // 2. mixed: label 0 split into 4 small cells (~28 each ≤ 64), labels
+    //    1-9 stay whole (~86-126 each > 64) → hybrid split
+    val mixed = corpus(when($"label" === 0, lit(100L) + $"id" % 4)
+      .otherwise($"label".cast("long")))
+    val occ = mixed.groupBy($"cell").count().collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    assert(occ.values.exists(_ > 64) && occ.values.exists(_ <= 64),
+      s"fixture must exercise both branches: $occ")
+    val smallCells = occ.filter(_._2 <= 64).keySet
+    val cellOf = mixed.select($"id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hybrid = pairSet(Similarity.nearDup(mixed, 0.95, dim = 64))
+    val exact = pairSet(Similarity.nearDupPairs(mixed, 0.95))
+    // verify step is exact cosine → never a false positive
+    assert(hybrid.subsetOf(exact), (hybrid -- exact).take(3))
+    // small cells run all-pairs → FULL recall there
+    val smallExact = exact.filter(p => smallCells(cellOf(p._1)))
+    assert(hybrid.filter(p => smallCells(cellOf(p._1))) == smallExact)
+    // designed twins survive banding on the large cells too
+    val twinsAll = exact.count(p => p._2 == p._1 + 1000000L)
+    val twinsKept = hybrid.count(p => p._2 == p._1 + 1000000L)
+    assert(twinsKept >= (twinsAll * 0.8).toInt, s"$twinsKept of $twinsAll")
+
+    // 3. bits auto-scale: smallest b in range with maxOcc ≤ cap·2^b
+    assert(Similarity.chooseBits(64, 64, 4, 12) == 4)
+    assert(Similarity.chooseBits(1024, 64, 4, 12) == 4)
+    assert(Similarity.chooseBits(1025, 64, 4, 12) == 5)
+    assert(Similarity.chooseBits(Long.MaxValue / 2, 64, 4, 12) == 12)
+  }
 }
