@@ -209,10 +209,11 @@ object Bench {
     // index WRITES stay scored.
     warm("PQ codebooks") {
       SparkEntry.queries("embed_ann_pq")(spark, sfDir).count()
-      // ivfpq shares the codebooks and session-caches its coarse
-      // centroids; its scored invocations still write + read + search a
-      // FRESH index each time (freshRun dir)
-      SparkEntry.queries("embed_ann_ivfpq")(spark, sfDir).count()
+      // ivfpq: warm ONLY its shared build-once inputs (coarse centroids
+      // + codebooks) — a full gate invocation here would make the gate's
+      // published cold column a second run, unlike every other gate,
+      // whose warmups only build shared artifacts
+      graft.queries.LlmQueries.warmIvfPqQuantizer(spark, sfDir)
     }
     warm("IVF centroids") {
       SparkEntry.queries("embed_ann_ivf_store")(spark, sfDir).count()

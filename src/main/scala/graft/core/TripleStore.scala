@@ -428,7 +428,7 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
     * casts are applied by [[attrWide]] from the registry's own dgraph
     * type, so the wide value is bit-identical to the melted tablet's.
     */
-  private def wideRegistry: Seq[(String, () => DataFrame, Column,
+  private[graft] def wideRegistry: Seq[(String, () => DataFrame, Column,
       Seq[(String, Column)])] = Seq(
     ("Region", () => t("region"), lit(Region) + col("r_regionkey").cast("long"),
       Seq("name" -> col("r_name"))),
@@ -524,7 +524,11 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
       // merge any additional components this entity bridges
       hit.drop(1).foreach { c =>
         comps(target) ++= comps(c); comps(c).clear()
-        compOf.foreach { case (p, pc) => if (pc == c) compOf(p) = target }
+        // snapshot keys: in-place value writes during foreach over the
+        // same mutable map are formally unspecified
+        compOf.keys.toSeq.foreach { p =>
+          if (compOf(p) == c) compOf(p) = target
+        }
       }
       comps(target) += i
       cols.foreach { case (p, _) => compOf(p) = target }

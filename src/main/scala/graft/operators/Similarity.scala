@@ -900,16 +900,18 @@ object Similarity {
     * the scalar max and the broadcast tag join are fenced on that.
     */
   def nearDup(corpus: DataFrame, threshold: Double, dim: Int,
-      occupancyCap: Int = 64, bands: Int = 4,
+      occupancyCap: Int = 32, bands: Int = 4,
       minBits: Int = 4, maxBits: Int = 12): DataFrame = {
-    val n = withNorm(corpus).localCheckpoint(eager = false)
-    val occ = n.groupBy(col("cell")).agg(count(lit(1)).as("__occ"))
+    // occupancy straight off the raw corpus: one (cell)-pruned scan
+    // collapsing to quantizer-cell cardinality — no norm/signature work
+    // materialized before the branch decision
+    val occ = corpus.groupBy(col("cell")).agg(count(lit(1)).as("__occ"))
     val maxOcc = occ.agg(max(col("__occ"))).head.getLong(0)
     val pairs =
-      if (maxOcc <= occupancyCap) exactCellPairs(n)
+      if (maxOcc <= occupancyCap) exactCellPairs(withNorm(corpus))
       else {
         val bits = chooseBits(maxOcc, occupancyCap, minBits, maxBits)
-        val tagged = n.join(broadcast(occ), Seq("cell"))
+        val tagged = withNorm(corpus).join(broadcast(occ), Seq("cell"))
         val small = tagged.filter(col("__occ") <= occupancyCap).drop("__occ")
         val large = tagged.filter(col("__occ") > occupancyCap).drop("__occ")
         exactCellPairs(small)

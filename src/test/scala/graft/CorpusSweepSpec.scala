@@ -107,9 +107,27 @@ final class CorpusSweepSpec extends AnyFunSuite {
         .collect()
       // result hash: every exec query's output values are pinned in the
       // ledger, so a silent wrong-answer drift on a reference shape
-      // fails the sweep even where no golden JSON exists
+      // fails the sweep even where no golden JSON exists.
+      // Blocks carrying an explicit top-level order directive are also
+      // ORDER-pinned: their rows keep a zero-padded position index, so a
+      // silently wrong orderasc/orderdesc fails its rh even though
+      // canon() sorts arrays. (The executor's sort ends in a uid
+      // tiebreak — a total order — so the index is deterministic.
+      // Limitation: order directives on NESTED child blocks stay
+      // value-pinned only; child arrays render inside one node's json
+      // where canon's array sort still applies.)
+      val orderedBlocks: Set[String] = ast.blocks.collect {
+        case b if b.name != "var" && b.order.nonEmpty =>
+          if (b.shortest.isDefined) "_path_" else b.name
+      }.toSet
+      val pos = scala.collection.mutable.Map.empty[String, Int]
       val rendered = rows.map { r =>
-        s"${r.getString(0)}|${canon(mapper.readTree(r.getString(2)))}"
+        val blk = r.getString(0)
+        val body = canon(mapper.readTree(r.getString(2)))
+        if (orderedBlocks(blk)) {
+          val i = pos.getOrElse(blk, 0); pos(blk) = i + 1
+          f"$blk|$i%06d|$body"
+        } else s"$blk|$body"
       }.sorted
       Observed("exec", "", sha12(rendered.mkString("\n")))
     } catch {

@@ -432,21 +432,21 @@ class SimilaritySpec extends AnyFunSuite {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // 1. all cells bounded (occ 50 ≤ cap 64) → pure exact path, bit-equal
-    val bounded = corpus(($"id" % 1000000L) % 20)
+    // 1. all cells bounded (occ 25 ≤ cap 32) → pure exact path, bit-equal
+    val bounded = corpus(($"id" % 1000000L) % 40)
     val exactB = pairSet(Similarity.nearDupPairs(bounded, 0.95))
     assert(exactB.nonEmpty, "fixture lost its twin pairs")
     assert(pairSet(Similarity.nearDup(bounded, 0.95, dim = 64)) == exactB)
 
-    // 2. mixed: label 0 split into 4 small cells (~28 each ≤ 64), labels
-    //    1-9 stay whole (~86-126 each > 64) → hybrid split
+    // 2. mixed: label 0 split into 4 small cells (~28 each ≤ 32), labels
+    //    1-9 stay whole (~86-126 each > 32) → hybrid split
     val mixed = corpus(when($"label" === 0, lit(100L) + $"id" % 4)
       .otherwise($"label".cast("long")))
     val occ = mixed.groupBy($"cell").count().collect()
       .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
-    assert(occ.values.exists(_ > 64) && occ.values.exists(_ <= 64),
+    assert(occ.values.exists(_ > 32) && occ.values.exists(_ <= 32),
       s"fixture must exercise both branches: $occ")
-    val smallCells = occ.filter(_._2 <= 64).keySet
+    val smallCells = occ.filter(_._2 <= 32).keySet
     val cellOf = mixed.select($"id", $"cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hybrid = pairSet(Similarity.nearDup(mixed, 0.95, dim = 64))
@@ -462,9 +462,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(twinsKept >= (twinsAll * 0.8).toInt, s"$twinsKept of $twinsAll")
 
     // 3. bits auto-scale: smallest b in range with maxOcc ≤ cap·2^b
-    assert(Similarity.chooseBits(64, 64, 4, 12) == 4)
-    assert(Similarity.chooseBits(1024, 64, 4, 12) == 4)
-    assert(Similarity.chooseBits(1025, 64, 4, 12) == 5)
-    assert(Similarity.chooseBits(Long.MaxValue / 2, 64, 4, 12) == 12)
+    assert(Similarity.chooseBits(32, 32, 4, 12) == 4)
+    assert(Similarity.chooseBits(512, 32, 4, 12) == 4)
+    assert(Similarity.chooseBits(513, 32, 4, 12) == 5)
+    assert(Similarity.chooseBits(4360, 32, 4, 12) == 8)
+    assert(Similarity.chooseBits(Long.MaxValue / 2, 32, 4, 12) == 12)
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TripleStore
+
+/** Cross-file invariants the wide-read frontier pruning rests on.
+  *
+  * attrWide's union pruning is sound only if (a) every (table, pred)
+  * the wideRegistry declares is also declared by the schema's node
+  * types — the executor's ownerTypes() hint comes from the schema, so a
+  * registry owner missing there would be pruned away and read back as
+  * false typed nulls for valid subjects — and (b) edgeTargetTypes
+  * matches the uid bands the edges construction actually emits, or a
+  * traversal hop would carry the wrong frontier identity into the next
+  * wide read. Both were previously unchecked conventions between
+  * TripleStore, Schema, and DqlExecutor; this spec pins them to the
+  * data itself at sf0.001.
+  */
+final class StoreInvariantSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val ts = TripleStore(spark, sf)
+
+  test("wideRegistry owners == schema owner types, per predicate") {
+    val regOwners = ts.wideRegistry
+      .flatMap { case (ty, _, _, cols) => cols.map { case (p, _) => p -> ty } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(regOwners.nonEmpty)
+    def schemaOwners(p: String): Set[String] =
+      ts.schema.types.values.collect {
+        case t if t.predicates.contains(p) => t.name
+      }.toSet
+    for ((p, owners) <- regOwners)
+      assert(owners == schemaOwners(p),
+        s"pred '$p': wideRegistry owners $owners != schema ${schemaOwners(p)} " +
+          "— a table storing a pred the schema's types don't declare is " +
+          "silently pruned out of the wide union (false typed nulls)")
+  }
+
+  test("edgeTargetTypes matches the actual object uid bands of edges") {
+    val edgePreds = ts.edges.select(col("predicate")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(edgePreds.nonEmpty)
+    val nt = ts.nodeTypes
+    for (p <- edgePreds) {
+      val actual = ts.edges.filter(col("predicate") === p)
+        .select(col("object").as("subject")).distinct()
+        .join(nt, "subject").select(col("typeName")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(actual == ts.edgeTargetTypes(p),
+        s"edge '$p': data targets $actual != declared ${ts.edgeTargetTypes(p)}")
+      // every object uid resolved to a type — an object outside all
+      // bands would silently vanish from the join above
+      val orphan = ts.edges.filter(col("predicate") === p)
+        .select(col("object").as("subject")).distinct()
+        .join(nt, Seq("subject"), "left_anti").count()
+      assert(orphan == 0, s"edge '$p': $orphan object uids in no type band")
+    }
+  }
+}

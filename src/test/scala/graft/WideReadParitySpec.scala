@@ -78,14 +78,26 @@ final class WideReadParitySpec extends AnyFunSuite {
     parity("""{ q(func: type(Customer)) { name mktsegment acctbal } }""")
   }
 
-  test("paged Customer root: union wide group over all owners == generic") {
-    // `first:` blocks root-type elimination AND the rootType hint, so
-    // the wide frame is the full cross-entity union (customer ∪ supplier
-    // ∪ nation ∪ region ∪ part for name; customer ∪ supplier for
-    // acctbal) left-joined against a customer-only frontier — subjects
-    // are disjoint by uid band, values must match the melted tablets
+  test("paged Customer root: pruned single-table group under paging == generic") {
+    // `first:` blocks root-type ELIMINATION, but the frontier hint
+    // comes from the root func name alone (type(Customer) →
+    // rootFrontierTypes = {Customer} regardless of paging), so the
+    // name∪acctbal group still prunes to the customer table — this
+    // case pins the paged-but-pruned path; the has(name) case below
+    // exercises the full union at the root
     parity("""{ q(func: type(Customer), first: 70, orderasc: name) {
               |    name acctbal } }""".stripMargin)
+  }
+
+  test("attribute root over all owners: full five-table union group == generic") {
+    // has(name)'s frontier is name's five owner types, so nothing
+    // prunes: name+acctbal+mktsegment+brand+ptype form one connected
+    // component over {Region, Nation, Customer, Supplier, Part}
+    // (m = 5 tables ≤ k = 5 preds passes the cost guard) — the widest
+    // union group the registry can produce, left-joined against a
+    // five-entity frontier with typed nulls in every branch
+    parity("""{ q(func: has(name), first: 300, orderasc: name) {
+              |    name acctbal mktsegment brand ptype } }""".stripMargin)
   }
 
   test("mixed-entity frontier (customers ∪ suppliers) union group == generic") {
