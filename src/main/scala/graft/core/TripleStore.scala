@@ -423,10 +423,12 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
 
   /** Every entity table's wide-readable scalar predicates: (typeName,
     * source frame, subject uid, (pred, SOURCE column) pairs). Excludes
-    * lang-tagged (`text`) and datetime predicates — those keep the
-    * per-predicate path (untagged-only rule, display riders). Column
-    * casts are applied by [[attrWide]] from the registry's own dgraph
-    * type, so the wide value is bit-identical to the melted tablet's.
+    * lang-tagged (`text`) predicates — those genuinely need the
+    * per-predicate path (untagged-only rule, per-tag display riders);
+    * datetime rides wide since r17 (the tablet is the same
+    * cast-to-timestamp of the same source column). Column casts are
+    * applied by [[attrWide]] from the registry's own dgraph type, so
+    * the wide value is bit-identical to the melted tablet's.
     */
   private[graft] def wideRegistry: Seq[(String, () => DataFrame, Column,
       Seq[(String, Column)])] = Seq(
@@ -450,13 +452,15 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
     ("Order", () => t("orders"), lit(Order) + col("o_orderkey"),
       Seq("orderstatus" -> col("o_orderstatus"),
         "orderpriority" -> col("o_orderpriority"),
-        "totalprice" -> col("o_totalprice"))),
+        "totalprice" -> col("o_totalprice"),
+        "orderdate" -> col("o_orderdate"))),
     ("Lineitem", () => line, col("line_uid"),
       Seq("returnflag" -> col("l_returnflag"),
         "linestatus" -> col("l_linestatus"),
         "quantity" -> col("l_quantity"),
         "extendedprice" -> col("l_extendedprice"),
-        "discount" -> col("l_discount"))),
+        "discount" -> col("l_discount"),
+        "shipdate" -> col("l_shipdate"))),
     ("Document", () => t("documents"), lit(Document) + col("doc_id"),
       Seq("source" -> col("source"),
         "n_chars" -> col("n_chars"))))
@@ -495,6 +499,7 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
     def sqlType(p: String): String = schema.pred(p).dgraphType match {
       case "int" => "long"
       case "float" => "double"
+      case "datetime" => "timestamp"
       case _ => "string"
     }
     val avail =

@@ -1853,7 +1853,9 @@ final class DqlExecutor(ts: GraphStore) {
     // store's wide frame instead of once per predicate
     // ([[GraphStore.attrWide]] — k shuffle joins become one scan + one
     // join). Eligibility mirrors the conditions of the plain value-read
-    // subcase below (no lang/facets/list/datetime riders).
+    // subcase below (no lang/facets/list riders; datetime is eligible —
+    // both paths deliver the same timestamp-typed column and rendering
+    // keys off the column dtype).
     def wideOk(s: Selection): Boolean =
       s.mathExpr.isEmpty && s.aggOp.isEmpty && s.valRef.isEmpty &&
         s.constVal.isEmpty && s.typeNameOf.isEmpty && !s.isCount &&
@@ -1863,7 +1865,8 @@ final class DqlExecutor(ts: GraphStore) {
         !s.reverse && s.pred != "uid" && s.pred != "dgraph.type" &&
         !schema.isUidPredicate(s.pred) &&
         schema.predicates.get(s.pred).exists(ps => !ps.isList && !ps.lang &&
-          Set("string", "default", "int", "float").contains(ps.dgraphType))
+          Set("string", "default", "int", "float", "datetime")
+            .contains(ps.dgraphType))
     val widePreds = sels.filter(wideOk).map(_.pred).distinct
     val wideFrames =
       if (widePreds.size >= 2)
@@ -3951,6 +3954,11 @@ final class DqlExecutor(ts: GraphStore) {
     // is RESULT-scale (root pagination already applied), so the
     // checkpoint is bounded by output size, and the assembly joins
     // become scans of a small materialized table.
+    // (r17 probed pre-hashing this frame by root uid so the per-level
+    // groupBys/joins subset-elide their exchanges — job count stayed
+    // 17/26/20 and tasks ROSE by the repartition's own 8: the family's
+    // cost is the per-job scheduling floor of the level-by-level
+    // assembly, not exchange volume. Reverted.)
     val flatDf1 = flatDf0.localCheckpoint()
     // datetime-instant riders never render
     val flatDf = flatDf1.drop(

@@ -906,16 +906,24 @@ object Similarity {
     // collapsing to quantizer-cell cardinality — no norm/signature work
     // materialized before the branch decision
     val occ = corpus.groupBy(col("cell")).agg(count(lit(1)).as("__occ"))
-    val maxOcc = occ.agg(max(col("__occ"))).head.getLong(0)
+    val Array(minOcc, maxOcc) = occ
+      .agg(min(col("__occ")), max(col("__occ"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
     val pairs =
       if (maxOcc <= occupancyCap) exactCellPairs(withNorm(corpus))
       else {
         val bits = chooseBits(maxOcc, occupancyCap, minBits, maxBits)
-        val tagged = withNorm(corpus).join(broadcast(occ), Seq("cell"))
-        val small = tagged.filter(col("__occ") <= occupancyCap).drop("__occ")
-        val large = tagged.filter(col("__occ") > occupancyCap).drop("__occ")
-        exactCellPairs(small)
-          .unionByName(bandedCellPairs(large, dim, bands, bits))
+        if (minOcc > occupancyCap)
+          // every cell is over the cap (the common shape at scale):
+          // the split join would tag nothing — skip it
+          bandedCellPairs(withNorm(corpus), dim, bands, bits)
+        else {
+          val tagged = withNorm(corpus).join(broadcast(occ), Seq("cell"))
+          val small = tagged.filter(col("__occ") <= occupancyCap).drop("__occ")
+          val large = tagged.filter(col("__occ") > occupancyCap).drop("__occ")
+          exactCellPairs(small)
+            .unionByName(bandedCellPairs(large, dim, bands, bits))
+        }
       }
     pairs.filter(col("sim") > threshold)
   }

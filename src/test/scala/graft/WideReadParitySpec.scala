@@ -34,6 +34,33 @@ final class WideReadParitySpec extends AnyFunSuite {
       s"wide=${a.take(3)}\ngeneric=${b.take(3)}")
   }
 
+  /** Same store, wide reads disabled: attrWide/edgeTargetTypes stay at
+    * the trait defaults, every other access path delegates. Used where
+    * the generic TripleFrameStore renders a pre-existing DIFFERENT (but
+    * equivalent) display form — datetime's timestamp-vs-RFC3339 — so
+    * wide-vs-melted parity must compare within the one store.
+    */
+  private final class NoWideStore(u: graft.core.GraphStore)
+      extends graft.core.GraphStore {
+    def spark = u.spark
+    def schema = u.schema
+    def edges = u.edges
+    def nodeTypes = u.nodeTypes
+    def facetKeys = u.facetKeys
+    def attr(p: String) = u.attr(p)
+    override def annIndexDir(p: String) = u.annIndexDir(p)
+  }
+
+  private lazy val noWide = new NoWideStore(ts)
+
+  private def parityNoWide(q: String): Unit = {
+    val a = rows(ts, q)
+    val b = rows(noWide, q)
+    assert(a.nonEmpty, s"empty result would vacuously pass: $q")
+    assert(a == b, s"wide-vs-melted drift on: $q\n" +
+      s"wide=${a.take(3)}\nmelted=${b.take(3)}")
+  }
+
   test("bare type root, multi-attr: root-type elimination == generic") {
     parity("""{ q(func: type(Part)) { name brand ptype size retailprice } }""")
   }
@@ -114,6 +141,20 @@ final class WideReadParitySpec extends AnyFunSuite {
     parity("""{ q(func: type(Nation)) { name
               |    inhab: ~located_in { name mktsegment acctbal } } }"""
       .stripMargin)
+  }
+
+  test("datetime rides the wide group: bare Order root == melted path") {
+    // orderdate joined the registry in r17 — the wide column is the
+    // same cast-to-timestamp of the same source column, so a bare
+    // type(Order) root projects status+price+date off ONE frame
+    parityNoWide("""{ q(func: type(Order)) {
+                   |    orderstatus totalprice orderdate } }""".stripMargin)
+  }
+
+  test("datetime wide read under filter + ordering == melted path") {
+    parityNoWide("""{ q(func: type(Lineitem), first: 80, orderasc: shipdate)
+                   |    @filter(gt(quantity, 49.0)) {
+                   |    shipdate quantity returnflag } }""".stripMargin)
   }
 
   test("full cascade over a union group's typed-null column == generic") {
