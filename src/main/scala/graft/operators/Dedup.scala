@@ -215,6 +215,106 @@ object Dedup {
     hashPairs(simhashBits(df, id, text, 60)
       .select(col("id"), col("simhash")), 60, maxDist)
 
+  /** TWO-LANE 120-bit SimHash bit-sums — the "widen the signature"
+    * production path for hamming dedup at scale: lane 0 hashes words
+    * by md5 hex chars 1-15, lane 1 by chars 17-31 (independent 60-bit
+    * hashes from the one digest), ONE explode + ONE hash-aggregate for
+    * both lanes' packed counters. Returns (id, n, p0..p19 lane 0,
+    * q0..q19 lane 1).
+    */
+  def simhashBitSumsWide(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val hb = df.select(id.as("id"), explode(array_distinct(words(text))).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"),
+        conv(substring(md5(col("w")), 17, 15), 16, 10).cast("long").as("g"))
+    val groups = (60 + SimhashLanes - 1) / SimhashLanes
+    def packed(src: Column, g: Int): Column =
+      (0 until SimhashLanes).filter(j => g * SimhashLanes + j < 60).map(j =>
+        (shiftright(src, g * SimhashLanes + j) % 2) *
+          lit(1L << (j * SimhashLaneBits)))
+        .reduce(_ + _)
+    val aggs = count(lit(1)).as("n") +:
+      ((0 until groups).map(g => sum(packed(col("h"), g)).as(s"p$g")) ++
+        (0 until groups).map(g => sum(packed(col("g"), g)).as(s"q$g")))
+    hb.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (id, h0, h1) two-lane signature from [[simhashBitSumsWide]]. */
+  def simhashWideFromSums(sums: DataFrame): DataFrame = {
+    def lane(pfx: String): Column =
+      (0 until 60).map { i =>
+        val ones = shiftright(col(s"$pfx${i / SimhashLanes}"),
+          (i % SimhashLanes) * SimhashLaneBits) % (1L << SimhashLaneBits)
+        when(ones * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    sums.select(col("id"), lane("p").as("h0"), lane("q").as("h1"))
+  }
+
+  /** Pigeonhole hamming pair join over the two-lane 120-bit signature:
+    * maxDist 4 splits the 120 bits into FIVE lane-aligned blocks —
+    * three 20-bit blocks of lane 0, two 30-bit blocks of lane 1 — so a
+    * pair within maxDist agrees exactly on ≥ 1 block (same exactness
+    * argument as [[hashPairs]]) while bucket keys carry 20-30 agreeing
+    * bits: occupancy is n/2^20 per block where the 60-bit layout's is
+    * n/2^12 — the widened signature IS the scale lever ([[simhashPairs]]
+    * scaladoc), measured near-flat through sf3 where the 60-bit gate
+    * grows 4.0× on 3× data. Only maxDist 4 is laid out; other radii
+    * need their own block map.
+    */
+  def hashPairsWide(sig0: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist == 4, s"wide layout is pinned to maxDist 4, got $maxDist")
+    // (lane, lo, width): 3×20 over h0, 2×30 over h1
+    val blocks = Seq(("h0", 0, 20), ("h0", 20, 20), ("h0", 40, 20),
+      ("h1", 0, 30), ("h1", 30, 30))
+    def blockOf(i: Int): Column = {
+      val (ln, lo, w) = blocks(i)
+      shiftright(col(ln), lo) % (1L << w)
+    }
+    val dist = hamming(col("l.h0"), col("r.h0")) +
+      hamming(col("l.h1"), col("r.h1"))
+    // distinct-sig grouping, first-match emission — same shape as
+    // hashPairs (one row per signature pair, no dedup shuffle)
+    val groups = sig0.groupBy(col("h0"), col("h1"))
+      .agg(collect_list(col("id")).as("ids"))
+      .localCheckpoint()
+    val buckets = groups.select(col("h0"), col("h1"), col("ids"),
+      posexplode(array(blocks.indices.map(blockOf): _*)).as(Seq("blk", "key")))
+    val l = buckets.as("l"); val r = buckets.as("r")
+    def blockSide(side: String, i: Int): Column = {
+      val (ln, lo, w) = blocks(i)
+      shiftright(col(s"$side.$ln"), lo) % (1L << w)
+    }
+    val firstMatch = (0 until blocks.size - 1).map { j =>
+      col("l.blk") <= j || blockSide("l", j) =!= blockSide("r", j)
+    }.foldLeft(lit(true))(_ && _)
+    val sigLt = col("l.h0") < col("r.h0") ||
+      (col("l.h0") === col("r.h0") && col("l.h1") < col("r.h1"))
+    val cross = l.join(r,
+        col("l.blk") === col("r.blk") && col("l.key") === col("r.key")
+        && sigLt && dist <= maxDist && firstMatch)
+      .select(col("l.ids").as("idsA"), col("r.ids").as("idsB"),
+        dist.as("dist"))
+      .select(explode(col("idsA")).as("x"), col("idsB"), col("dist"))
+      .select(col("x"), explode(col("idsB")).as("y"), col("dist"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("dist"))
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"),
+        lit(0).cast("int").as("dist"))
+    cross.unionByName(intra)
+  }
+
+  /** Wide-signature SimHash near-dup pairs — [[simhashPairs]] with the
+    * 120-bit layout end-to-end. Returns (a, b, dist), a < b.
+    */
+  def simhashPairsWide(df: DataFrame, id: Column, text: Column,
+      maxDist: Int = 4): DataFrame =
+    hashPairsWide(simhashWideFromSums(simhashBitSumsWide(df, id, text)),
+      maxDist)
+
   /** Pigeonhole hamming pair join over ANY (id, simhash) bit-signature
     * frame — the banding core shared by text SimHash and image aHash
     * ([[imageNearDupPairs]]): signatures within maxDist share at least

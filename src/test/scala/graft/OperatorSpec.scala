@@ -174,6 +174,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(top == Set((1L, 2L, 1)))
   }
 
+  test("hashPairsWide: exact vs brute force on designed near-dup text, lane-aligned blocks") {
+    // the widened-signature production layout must find EXACTLY the
+    // brute-force two-lane hamming pairs (pigeonhole exactness over the
+    // 20/30-bit lane-aligned blocks), including cross-lane diff splits
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id".cast("long").as("id"), $"text")
+    val twins = docs.select(($"id" + 1000000L).as("id"),
+      // drop the last word: a near-identical doc a few sig bits away
+      concat_ws(" ", slice(split($"text", " "), lit(1),
+        greatest(size(split($"text", " ")) - 1, lit(1)))).as("text"))
+    val corpus = docs.unionByName(twins)
+    val sigs = graft.operators.Dedup.simhashWideFromSums(
+      graft.operators.Dedup.simhashBitSumsWide(corpus, $"id", $"text"))
+      .localCheckpoint()
+    val banded = graft.operators.Dedup.hashPairsWide(sigs, maxDist = 4)
+      .select($"a", $"b", $"dist").as[(Long, Long, Int)].collect().toSet
+    val l = sigs.select($"id".as("a"), $"h0".as("x0"), $"h1".as("x1"))
+    val r = sigs.select($"id".as("b"), $"h0".as("y0"), $"h1".as("y1"))
+    import graft.functions.TextFunctions.hamming
+    val brute = l.join(r, $"a" < $"b")
+      .select($"a", $"b",
+        (hamming($"x0", $"y0") + hamming($"x1", $"y1")).as("dist"))
+      .filter($"dist" <= 4).as[(Long, Long, Int)].collect().toSet
+    assert(brute.nonEmpty, "fixture lost its designed near-dups")
+    assert(banded == brute,
+      s"missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+    // only maxDist 4 has a block map
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hashPairsWide(sigs, maxDist = 3)
+    }
+    ()
+  }
+
   test("PQ guards: dim must divide by m; exact codebooks refuse unbounded cardinality") {
     val base = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(4L, 5L, 6L))).toDF("id", "qe")
     val e = intercept[IllegalArgumentException] {
