@@ -142,6 +142,12 @@ object Bench {
     // read. dedup_simhash_pairs still pays its banding join cold.
     warm("SimHash signature frame") {
       SparkEntry.queries("dedup_simhash")(spark, sfDir).count()
+      // the 120-bit two-lane signature frame is the same build-once
+      // session state — warm ONLY the shared artifact (not the wide
+      // PAIR gate itself, which must keep its own first-touch in its
+      // published cold, same rule as the r17 ivfpq warm fix); the
+      // banding join is the measured surface
+      graft.queries.LlmQueries.warmSimhashWideSigs(spark, sfDir)
     }
     // the DqlExecutor plan family has its own first-touch pool none of
     // the warmups above reach: parser + executor class-load, the

@@ -130,6 +130,14 @@ object LlmQueries {
     simhashWideSigCache.getOrElseUpdate((s, d),
       Q.artifactCheckpoint(Dedup.simhashWideFromSums(
         Dedup.simhashBitSumsWide(corpusNear(s, d), col("id"), col("text")))))
+  /** Bench warm hook: build ONLY the shared two-lane signature frame —
+    * not the wide pair gate, whose cold column keeps its own banding
+    * first-touch (same rule as [[warmIvfPqQuantizer]]).
+    */
+  def warmSimhashWideSigs(s: SparkSession, d: String): Unit = {
+    simhashWideSigs(s, d).count()
+    ()
+  }
   private def minhashCands(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
       Q.artifactCheckpoint(Dedup.candidatesFromSets(nearSetsMat(s, d))))
