@@ -3959,6 +3959,17 @@ final class DqlExecutor(ts: GraphStore) {
     // 17/26/20 and tasks ROSE by the repartition's own 8: the family's
     // cost is the per-job scheduling floor of the level-by-level
     // assembly, not exchange volume. Reverted.)
+    // (Second probe, also reverted: 14 of dql_json_deep's 17 jobs are
+    // the AQE query stages of THIS materialization, so r17 tried
+    // static planning — Aqe.withAqe(off) — for declared-bounded roots.
+    // Jobs fell 17→12 / 26→17 / 22→18 across the family, but quiet-
+    // host steady cpu went 2.3→9.3 s and tasks 59→339 on dql_json_deep
+    // and wall time ROSE ~0.3 s: the per-stage jobs are where AQE
+    // converts the frontier⋈tablet sort-merge joins to broadcasts and
+    // coalesces 32-partition exchanges to 1–2 tasks, and static
+    // parquet-stat planning cannot see the intermediate frame sizes to
+    // do either. The family's sequential-stage latency IS the price of
+    // those runtime conversions — the plan floor, not a defect.)
     val flatDf1 = flatDf0.localCheckpoint()
     // datetime-instant riders never render
     val flatDf = flatDf1.drop(
