@@ -3961,7 +3961,8 @@ final class DqlExecutor(ts: GraphStore) {
     // assembly, not exchange volume. Reverted.)
     // (Second probe, also reverted: 14 of dql_json_deep's 17 jobs are
     // the AQE query stages of THIS materialization, so r17 tried
-    // static planning — Aqe.withAqe(off) — for declared-bounded roots.
+    // static planning — a scoped spark.sql.adaptive.enabled=false
+    // around this one action — for declared-bounded roots.
     // Jobs fell 17→12 / 26→17 / 22→18 across the family, but quiet-
     // host steady cpu went 2.3→9.3 s and tasks 59→339 on dql_json_deep
     // and wall time ROSE ~0.3 s: the per-stage jobs are where AQE

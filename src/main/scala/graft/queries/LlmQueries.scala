@@ -469,15 +469,24 @@ object LlmQueries {
     }),
 
     // ---- similarity search ----
+    // Every search gate's query set is FIXED-size (id < 2000 — the
+    // sf0.1 id range, so the scored tier's results are unchanged): a
+    // production search side doesn't grow with the corpus, and an
+    // sf-proportional query set made these gates quadratic BY GATE
+    // CONSTRUCTION (queries × corpus both 10× → sf10 measured 42-70×
+    // growth, engine blameless). Same rule embed_ann_hnsw adopted in
+    // r16; index BUILD/WRITE surfaces still scale with the corpus.
     "embed_cosine_topk" -> ((s, d) => {
       val q = embQ(s, d)
-      Similarity.bruteForceTopK(q.filter(col("id") % 100 === 0), q, k = 3)
+      Similarity.bruteForceTopK(
+          q.filter(col("id") % 100 === 0 && col("id") < 2000), q, k = 3)
         .orderBy(col("qid"), col("rank"))
     }),
 
     "embed_ann_ivf" -> ((s, d) => {
       val q = embQ(s, d)
-      Similarity.ivfTopK(q.filter(col("id") % 20 === 0), q, k = 1)
+      Similarity.ivfTopK(
+          q.filter(col("id") % 20 === 0 && col("id") < 2000), q, k = 1)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -540,7 +549,8 @@ object LlmQueries {
         Similarity.trainIvfCentroids(q, nCells = 8))
       Similarity.ivfWriteTrained(q, dir, trained)
       val (stored, cents) = Similarity.ivfRead(s, dir)
-      Similarity.ivfSearchStored(q.filter(col("id") % 50 === 0), stored,
+      Similarity.ivfSearchStored(
+          q.filter(col("id") % 50 === 0 && col("id") < 2000), stored,
         k = 2, cents, probes = 8)
         .orderBy(col("qid"), col("rank"))
     }),
@@ -563,7 +573,8 @@ object LlmQueries {
       val enc = pqEncCache.getOrElseUpdate((s, d),
         Q.artifactCheckpoint(Similarity.pqEncode(base, books)
           .select(col("id"), col("codes"))))
-      Similarity.pqSearchTopK(base.filter(col("id") % 200 === 0), enc, k = 3,
+      Similarity.pqSearchTopK(
+          base.filter(col("id") % 200 === 0 && col("id") < 2000), enc, k = 3,
           books, metric = "dotproduct")
         .orderBy(col("qid"), col("rank"))
     }),
@@ -580,7 +591,8 @@ object LlmQueries {
         Similarity.pqCodebooksExact(base, m = 4))
       Similarity.pqWrite(base, dir, books)
       val (codes, loaded) = Similarity.pqRead(s, dir)
-      Similarity.pqSearchTopK(base.filter(col("id") % 200 === 0), codes, k = 3,
+      Similarity.pqSearchTopK(
+          base.filter(col("id") % 200 === 0 && col("id") < 2000), codes, k = 3,
           loaded, metric = "dotproduct")
         .orderBy(col("qid"), col("rank"))
     }),
@@ -603,7 +615,8 @@ object LlmQueries {
         Similarity.pqCodebooksExact(base, m = 4))
       Similarity.ivfPqWrite(base, dir, cents, books)
       val (stored, lc, lb) = Similarity.ivfPqRead(s, dir)
-      Similarity.ivfPqSearchStored(base.filter(col("id") % 200 === 0), stored,
+      Similarity.ivfPqSearchStored(
+          base.filter(col("id") % 200 === 0 && col("id") < 2000), stored,
           k = 3, lc, lb, probes = 4, metric = "dotproduct")
         .orderBy(col("qid"), col("rank"))
     }),
@@ -1006,7 +1019,7 @@ object LlmQueries {
       |    ORDER BY list_sum(list_transform(list_zip(q.qe, c.qe), p -> p[1]*p[2])) DESC,
       |      c.id ASC) AS INT) AS rank
       | FROM v q JOIN v c ON c.id <> q.id
-      | WHERE q.id % 200 = 0)
+      | WHERE q.id % 200 = 0 AND q.id < 2000)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   private val stopsAll =
@@ -1262,7 +1275,7 @@ object LlmQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qs.id
          |    ORDER BY ${cosSql("qs.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
          | FROM q qs JOIN q c ON c.id <> qs.id
-         | WHERE qs.id % 100 = 0)
+         | WHERE qs.id % 100 = 0 AND qs.id < 2000)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "embed_ann_hnsw" ->
@@ -1292,7 +1305,7 @@ object LlmQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qs.id
          |    ORDER BY ${cosSql("qs.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
          | FROM q qs JOIN q c ON c.id <> qs.id
-         | WHERE qs.id % 50 = 0)
+         | WHERE qs.id % 50 = 0 AND qs.id < 2000)
          |WHERE rank <= 2 ORDER BY qid, rank""".stripMargin,
 
     "embed_ann_ivf" ->
@@ -1302,7 +1315,7 @@ object LlmQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qs.id
          |    ORDER BY ${cosSql("qs.qe", "c.qe")} DESC, c.id ASC) AS INT) AS rank
          | FROM q qs JOIN q c ON c.cell = qs.cell AND c.id <> qs.id
-         | WHERE qs.id % 20 = 0)
+         | WHERE qs.id % 20 = 0 AND qs.id < 2000)
          |WHERE rank <= 1 ORDER BY qid, rank""".stripMargin,
 
     // exact-PQ gates: same synthesized bounded-cardinality vectors, plain
