@@ -68,6 +68,26 @@ trait GraphStore {
     */
   def edgeTargetTypes(predicate: String): Set[String] = Set.empty
 
+  /** True when the store's load layout proves the edge's OBJECTS are
+    * globally unique (each target node has exactly one inbound edge of
+    * this predicate — the child side of a 1:N relationship). A distinct
+    * over the objects of such an edge is an identity, so consumers that
+    * must dedup traversal targets (reference fillGroupedVars merges
+    * unique SrcUIDs) may skip the dedup exchange outright. Default:
+    * unknown — consumers keep the dedup.
+    */
+  def edgeObjectsUnique(predicate: String): Boolean = false
+
+  /** True when the store guarantees `attr(p)` holds AT MOST ONE row per
+    * subject (per lang variant for @lang predicates — i.e. unique on
+    * (subject) for plain scalars, so any single-tag or untagged slice is
+    * unique too). Lets value-filtered root seeds skip their dedup
+    * exchange: filtering a subject-unique tablet cannot duplicate a
+    * subject. List predicates and stores built from arbitrary triples
+    * must keep the default.
+    */
+  def attrSubjectUnique(predicate: String): Boolean = false
+
   /** Edge view for one predicate — "tablet" access path. */
   def edge(predicate: String): DataFrame =
     edges.filter(col("predicate") === predicate)

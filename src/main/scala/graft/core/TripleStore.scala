@@ -576,6 +576,24 @@ final class TripleStore(val spark: SparkSession, val sfDir: String)
       case "by_supplier" => Set("Supplier")
       case _ => Set.empty
     }
+
+  /** `placed` objects derive 1:1 from orders rows (o_orderkey is the
+    * table's key) and `has_line` objects are the line_uid layout's own
+    * unique subject — each target has exactly one inbound edge, so a
+    * dedup over the objects is an identity (StoreInvariantSpec pins
+    * this against the data).
+    */
+  override def edgeObjectsUnique(predicate: String): Boolean =
+    predicate == "placed" || predicate == "has_line"
+
+  /** Every melted scalar tablet emits exactly one row per source-table
+    * row, and each source table is keyed by its subject uid — so any
+    * non-list attribute is subject-unique (lang predicates: unique per
+    * (subject, lang), which satisfies the trait's per-variant contract).
+    * StoreInvariantSpec pins this against the data.
+    */
+  override def attrSubjectUnique(predicate: String): Boolean =
+    schema.predicates.get(predicate).exists(!_.isList)
 }
 
 object TripleStore {

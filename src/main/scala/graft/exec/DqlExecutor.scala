@@ -944,15 +944,30 @@ final class DqlExecutor(ts: GraphStore) {
     v.filter(cmp)
   }
 
+  /** Root functions whose seed is a pure FILTER over one attrRows slice
+    * (attrWhere) — no index explode, no edge read — so subject
+    * multiplicity is exactly the slice's. regexp/match/ngram/anyof/allof
+    * route through index frames that can emit one row per matching
+    * token and stay out.
+    */
+  private val attrWhereSeeds = Set("eq", "le", "lt", "ge", "gt", "between",
+    "anyofterms", "allofterms", "anyoftext", "alloftext", "has")
+
   /** Seeds whose uid column is unique by construction (uid() unions
     * distinct; nodeTypes is one row per (subject, type); value vars are
-    * per-uid maps; count seeds are groupBy outputs) — root executors
-    * skip their dedup exchange for these. Every other seed can emit one
-    * row per matching VALUE or EDGE and still needs it.
+    * per-uid maps; count seeds are groupBy outputs; value filters over a
+    * store-declared subject-unique tablet slice cannot repeat a subject)
+    * — root executors skip their dedup exchange for these. Every other
+    * seed can emit one row per matching VALUE or EDGE and still needs it.
     */
   private def uniqueSeed(fn: FuncCall): Boolean =
     fn.name == "uid" || fn.name == "type" || fn.name.endsWith("_count") ||
-      fn.pred.startsWith("val:")
+      fn.pred.startsWith("val:") ||
+      (attrWhereSeeds(fn.name) && !fn.args.exists(_.startsWith("\u0000")) && {
+        val base = langSplit(fn.pred)._1
+        schema.predicates.contains(base) && !schema.isUidPredicate(base) &&
+          attrRowsUnique(fn.pred, untaggedDefault = true)
+      })
 
   private def seedUids(fn: FuncCall): DataFrame = {
     validateRootFn(fn)
@@ -1027,7 +1042,12 @@ final class DqlExecutor(ts: GraphStore) {
             case None => base
           }
         }
-      src.select(col("subject").as("uid")).distinct()
+      val hasOut = src.select(col("subject").as("uid"))
+      // a subject-unique single-variant attr slice needs no dedup; edge
+      // tablets (one row per edge) and any-variant slices keep it
+      if (!schema.isUidPredicate(p) &&
+          attrRowsUnique(fn.pred, untaggedDefault = true)) hasOut
+      else hasOut.distinct()
     case "uid_in" =>
       // uid_in(p, <uid literals and uid(var) sets>): subjects whose p
       // target intersects the given set; ~p flips the edge (reference
@@ -1533,10 +1553,27 @@ final class DqlExecutor(ts: GraphStore) {
     }
   }
 
+  /** True when attrRows(pred, untaggedDefault) is provably unique per
+    * subject: the store declares the tablet subject-unique (per lang
+    * variant) AND the requested slice is a single variant — plain
+    * scalar, one tag, or the untagged default. The any-variant slice
+    * (pred@. / pred@*) and multi-variant reads can repeat a subject.
+    */
+  private def attrRowsUnique(pred: String, untaggedDefault: Boolean): Boolean = {
+    val (p, tag) = langSplit(pred)
+    ts.attrSubjectUnique(p) && !tag.contains(".") && !tag.contains("*") &&
+      (!schema.predicates.get(p).exists(_.lang) || tag.isDefined ||
+        untaggedDefault)
+  }
+
   private def attrWhere(pred: String, cond: Column => Column,
-      untaggedDefault: Boolean = false): DataFrame =
-    attrRows(pred, untaggedDefault).filter(cond(col("value")))
-      .select(col("subject").as("uid")).distinct()
+      untaggedDefault: Boolean = false): DataFrame = {
+    val rows = attrRows(pred, untaggedDefault).filter(cond(col("value")))
+      .select(col("subject").as("uid"))
+    // filtering a subject-unique slice cannot duplicate a subject —
+    // the dedup exchange is an identity and is skipped
+    if (attrRowsUnique(pred, untaggedDefault)) rows else rows.distinct()
+  }
 
   private def attrCmp(fn: FuncCall, op: (Column, Column) => Column): DataFrame = {
     val base = langSplit(fn.pred)._1
@@ -2979,11 +3016,19 @@ final class DqlExecutor(ts: GraphStore) {
     val src = if (sel.reverse) ts.reverseEdge(sel.pred) else ts.edge(sel.pred)
     // entities are the DISTINCT traversal targets (reference
     // fillGroupedVars groups over the merged unique SrcUIDs, so a node
-    // reached from two parents counts once)
-    val targets = frontier
+    // reached from two parents counts once). When the store proves the
+    // edge's objects globally unique (each child has one parent), the
+    // frontier join cannot duplicate them — the dedup exchange is an
+    // identity and is skipped (the frontier here is a root uid set,
+    // distinct by seedUids' contract).
+    val targets0 = frontier
       .join(src.select(col("subject").as("uid"), col("object").as("__t")), Seq("uid"))
-      .select(col("__t")).distinct()
-    groupbyGroups(targets, sel.groupby, sel.children) match {
+      .select(col("__t"))
+    val targets =
+      if (!sel.reverse && ts.edgeObjectsUnique(sel.pred)) targets0
+      else targets0.distinct()
+    groupbyGroups(targets, sel.groupby, sel.children,
+        if (sel.reverse) Set.empty else ts.edgeTargetTypes(sel.pred)) match {
       case None => throw new IllegalArgumentException(
         s"@groupby over unknown predicate(s): ${sel.groupby.map(_.pred)}")
       case Some(g) =>
@@ -3025,17 +3070,49 @@ final class DqlExecutor(ts: GraphStore) {
     * groups, TestGroupByRootEmpty).
     */
   private def groupbyGroups(targets: DataFrame, keys: Seq[GroupKey],
-      aggs: Seq[Selection]): Option[DataFrame] = {
+      aggs: Seq[Selection], frontierTypes: Set[String] = Set.empty):
+      Option[DataFrame] = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(18, 2)
     val parentCols = targets.columns.filter(_ != "__t").toSeq
+    // tablet-group fetch (mirrors project()'s wide path): scalar key and
+    // aggregate-input predicates co-located in one source table join
+    // ONCE through the store's wide frame instead of once per predicate
+    // — and min(p)+max(p) over the same predicate share one column read
+    // either way. Only a SINGLE-TABLE wide group is eligible here: a
+    // multi-table union fills typed nulls for columns its members don't
+    // own, which would diverge from the melted INNER key join (an
+    // entity missing a key value's tablet row must drop out).
+    def wideEligible(p: String): Boolean =
+      p != "uid" && !schema.isUidPredicate(p) &&
+        schema.predicates.get(p).exists(ps => !ps.isList && !ps.lang &&
+          Set("string", "default", "int", "float", "datetime")
+            .contains(ps.dgraphType))
+    val aggIns = aggs.filter(c => c.aggOp.isDefined)
+    val widePreds = (keys.map(_.pred) ++
+      aggIns.filter(_.valRef.isEmpty).map(_.pred))
+      .filter(wideEligible).distinct
+    val wideGroup =
+      if (widePreds.size >= 2)
+        ts.attrWide(widePreds, frontierTypes).find(_.entityType.isDefined)
+      else None
+    val wideCovered: Set[String] = wideGroup.map(_.preds.toSet).getOrElse(Set.empty)
     var cur = targets
+    // the wide join is INNER when a key predicate rides it (the melted
+    // key join is inner: an entity absent from the single owner table
+    // drops) and LEFT when only aggregate inputs do
+    wideGroup.foreach { g =>
+      val jt = if (keys.exists(k => wideCovered(k.pred))) "inner" else "left"
+      cur = cur.join(g.frame.withColumnRenamed("subject", "__t"), Seq("__t"), jt)
+    }
     for (k <- keys) {
       val kc = s"__k_${k.outName}"
       if (k.pred == "uid")
         // @groupby(uid): the entity itself is the key (reference
         // TestGroupBy_FixPanicForNilDestUIDs groups an empty uid set)
         cur = cur.withColumn(kc, col("__t"))
+      else if (wideCovered(k.pred))
+        cur = cur.withColumn(kc, col(s"__ma_${k.pred}"))
       else if (schema.isUidPredicate(k.pred))
         cur = cur.join(ts.edge(k.pred)
           .select(col("subject").as("__t"), col("object").as(kc)), Seq("__t"))
@@ -3044,14 +3121,29 @@ final class DqlExecutor(ts: GraphStore) {
           .select(col("subject").as("__t"), col("value").as(kc)), Seq("__t"))
       else return None
     }
-    // aggregate inputs join on the entity BEFORE grouping
-    val aggIns = aggs.filter(c => c.aggOp.isDefined)
+    // aggregate inputs join on the entity BEFORE grouping — one join
+    // per DISTINCT melted source; duplicate-source aggregates (min and
+    // max of the same predicate or var) alias the already-joined column
+    val joinedSrc = scala.collection.mutable.Map.empty[String, String]
     for (c <- aggIns) {
       val ac = s"__in_${c.outName}"
-      val vsrc = c.valRef
-        .map(v => vars(v).select(col("uid").as("__t"), col("value")))
-        .getOrElse(ts.attr(c.pred).select(col("subject").as("__t"), col("value")))
-      cur = cur.join(vsrc.withColumnRenamed("value", ac), Seq("__t"), "left")
+      c.valRef match {
+        case None if wideCovered(c.pred) =>
+          cur = cur.withColumn(ac, col(s"__ma_${c.pred}"))
+        case src =>
+          val key = src.map("var:" + _).getOrElse("pred:" + c.pred)
+          joinedSrc.get(key) match {
+            case Some(have) => cur = cur.withColumn(ac, col(have))
+            case None =>
+              val vsrc = src
+                .map(v => vars(v).select(col("uid").as("__t"), col("value")))
+                .getOrElse(ts.attr(c.pred)
+                  .select(col("subject").as("__t"), col("value")))
+              cur = cur.join(vsrc.withColumnRenamed("value", ac),
+                Seq("__t"), "left")
+              joinedSrc(key) = ac
+          }
+      }
     }
     val keyCols = keys.map(k => qcol(s"__k_${k.outName}"))
     val aggCols = aggs.map { c =>
@@ -3123,10 +3215,28 @@ final class DqlExecutor(ts: GraphStore) {
       joined = joined.join(
         vars(v).select(col("uid"), col("value").as(s"__v_$v")), Seq("uid"), "left")
     }
-    // min/max/sum/avg(pred) directly over an attribute tablet
+    // min/max/sum/avg(pred) directly over an attribute tablet. Sibling
+    // predicates co-located in one source table ride ONE wide left join
+    // (GraphStore.attrWide) instead of one tablet join each; left-join
+    // equivalence holds for union groups too (subjects are disjoint by
+    // uid banding, absent columns are typed nulls — exactly what the
+    // melted left join delivers), so any returned group is usable.
     val predAggs = b.selections
       .filter(s => s.aggOp.isDefined && s.valRef.isEmpty).map(_.pred).distinct
-    predAggs.foreach { p =>
+    val aggWideable = predAggs.filter(p =>
+      schema.predicates.get(p).exists(ps => !ps.isList && !ps.lang &&
+        Set("string", "default", "int", "float", "datetime")
+          .contains(ps.dgraphType)))
+    val aggWide =
+      if (aggWideable.size >= 2) ts.attrWide(aggWideable) else Nil
+    val aggWideCovered: Set[String] = aggWide.flatMap(_.preds).toSet
+    aggWide.foreach { g =>
+      joined = joined.join(
+        g.frame.select(col("subject").as("uid") +:
+          g.preds.map(p => col(s"__ma_$p").as(s"__v_$p")): _*),
+        Seq("uid"), "left")
+    }
+    predAggs.filterNot(aggWideCovered).foreach { p =>
       joined = joined.join(
         ts.attr(p).select(col("subject").as("uid"), col("value").as(s"__v_$p")),
         Seq("uid"), "left")

@@ -60,4 +60,41 @@ final class StoreInvariantSpec extends AnyFunSuite {
       assert(orphan == 0, s"edge '$p': $orphan object uids in no type band")
     }
   }
+
+  test("edgeObjectsUnique predicates really have globally unique objects") {
+    val edgePreds = ts.edges.select(col("predicate")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val declared = edgePreds.filter(ts.edgeObjectsUnique)
+    assert(declared.nonEmpty, "no edge declares unique objects — the " +
+      "groupby dedup-skip fast path would be dead code")
+    for (p <- declared) {
+      val e = ts.edges.filter(col("predicate") === p).select(col("object"))
+      val total = e.count()
+      val distinct = e.distinct().count()
+      assert(total == distinct,
+        s"edge '$p' declares edgeObjectsUnique but has $total rows over " +
+          s"$distinct distinct objects — the skipped dedup was load-bearing")
+    }
+  }
+
+  test("attrSubjectUnique tablets are unique per (subject, lang)") {
+    val declared = ts.schema.predicates.keys.toSeq.sorted
+      .filter(ts.attrSubjectUnique)
+      .filter(p => Set("string", "default", "int", "float", "datetime")
+        .contains(ts.schema.pred(p).dgraphType))
+    assert(declared.nonEmpty, "no predicate declares attrSubjectUnique — " +
+      "the seed dedup-skip fast path would be dead code")
+    for (p <- declared) {
+      val a = ts.attr(p)
+      val keyed =
+        if (a.columns.contains("lang"))
+          a.select(col("subject"), col("lang"))
+        else a.select(col("subject"))
+      val total = keyed.count()
+      val uniq = keyed.distinct().count()
+      assert(total == uniq,
+        s"attr '$p' declares attrSubjectUnique but has $total rows over " +
+          s"$uniq distinct keys — the skipped seed dedup was load-bearing")
+    }
+  }
 }

@@ -165,4 +165,50 @@ final class WideReadParitySpec extends AnyFunSuite {
               |    inhab: ~located_in { name mktsegment acctbal } } }"""
       .stripMargin)
   }
+
+  // ---- r17 optimization: @groupby / level-agg tablet-group reads ----
+  // groupbyGroups and aggregateBlock now fetch co-located key and
+  // aggregate-input predicates through ONE wide join (plus the
+  // edgeObjectsUnique dedup skip in groupbyBlock). NoWideStore keeps
+  // every trait default (no attrWide, no edgeObjectsUnique), so these
+  // compare the full fast path against the melted per-predicate joins
+  // WITH the dedup exchange; the generic-store parity re-checks the
+  // same rows through a different physical layout.
+
+  test("@groupby keys + aggregates ride one wide join == melted + dedup") {
+    val q = """{ q(func: type(Order)) {
+              |    has_line @groupby(returnflag, linestatus) {
+              |      n: count(uid)  sq: sum(quantity)
+              |      mn: min(extendedprice)  mx: max(extendedprice)
+              |      av: avg(discount) } } }""".stripMargin
+    parityNoWide(q)
+    parity(q)
+  }
+
+  test("root-level @groupby over a wide pair == melted path") {
+    val q = """{ q(func: type(Lineitem)) @groupby(returnflag, linestatus) {
+              |    n: count(uid) } }""".stripMargin
+    parityNoWide(q)
+    parity(q)
+  }
+
+  test("duplicate-source aggregates (min+max of one pred) == melted path") {
+    // exercises the shared-join dedup branch for a NON-wide source too:
+    // a single covered pred gains no wide group, so min+max of
+    // extendedprice alias one melted tablet join
+    val q = """{ q(func: type(Order)) {
+              |    has_line @groupby(returnflag) {
+              |      mn: min(extendedprice)  mx: max(extendedprice) } } }"""
+      .stripMargin
+    parityNoWide(q)
+    parity(q)
+  }
+
+  test("level aggregation over sibling preds rides one wide join") {
+    val q = """{ q(func: type(Lineitem)) {
+              |    mq: max(quantity)  sx: sum(extendedprice)
+              |    ad: avg(discount) } }""".stripMargin
+    parityNoWide(q)
+    parity(q)
+  }
 }
