@@ -59,9 +59,19 @@ final class DqlExecutor(ts: GraphStore) {
     scala.collection.mutable.LinkedHashMap.empty[String, () => DataFrame]
   private val varsCk =
     scala.collection.mutable.HashMap.empty[String, DataFrame]
+  // vars whose thunk already yields a checkpoint-backed frame (a select
+  // over the shared-rebind snapshot): reading one must NOT stack its
+  // own localCheckpoint — a lazy checkpoint of an AQE plan is its own
+  // SQL execution, so the stack turned every var read of a multi-var
+  // block into an extra driver job on top of the one snapshot
+  // materialization (measured: dql_level_agg ran 5 such executions per
+  // invocation for maps that are plain selects over cached partitions).
+  private val varsPre = scala.collection.mutable.HashSet.empty[String]
   private object vars {
     def apply(n: String): DataFrame =
-      varsCk.getOrElseUpdate(n, varsRaw(n)().localCheckpoint(eager = false))
+      varsCk.getOrElseUpdate(n,
+        if (varsPre(n)) varsRaw(n)()
+        else varsRaw(n)().localCheckpoint(eager = false))
     def get(n: String): Option[DataFrame] =
       if (varsRaw.contains(n)) Some(apply(n)) else None
     def getOrElse(n: String, default: => DataFrame): DataFrame =
@@ -69,11 +79,17 @@ final class DqlExecutor(ts: GraphStore) {
     def contains(n: String): Boolean = varsRaw.contains(n)
     def keys: Iterable[String] = varsRaw.keys
     def update(n: String, df: DataFrame): Unit = {
-      varsRaw(n) = () => df; varsCk.remove(n); ()
+      varsRaw(n) = () => df; varsCk.remove(n); varsPre -= n; ()
     }
-    /** Bind a thunk evaluated (then checkpointed) on first read. */
-    def updateThunk(n: String, f: () => DataFrame): Unit = {
-      varsRaw(n) = f; varsCk.remove(n); ()
+    /** Bind a thunk evaluated (then checkpointed) on first read;
+      * `preCheckpointed` marks thunks whose result is already backed by
+      * a materialized/checkpointed parent and skips the extra wrap.
+      */
+    def updateThunk(n: String, f: () => DataFrame,
+        preCheckpointed: Boolean = false): Unit = {
+      varsRaw(n) = f; varsCk.remove(n)
+      if (preCheckpointed) varsPre += n else varsPre -= n
+      ()
     }
   }
 
@@ -2511,7 +2527,7 @@ final class DqlExecutor(ts: GraphStore) {
       lazy val snap = (if (fanned) cur.dropDuplicates(Seq(uidCol)) else cur)
         .localCheckpoint(eager = false)
       sharedRebinds.foreach { case (v, mk) =>
-        vars.updateThunk(v, () => mk(snap))
+        vars.updateThunk(v, () => mk(snap), preCheckpointed = true)
       }
       // a top-level result block shares the materialization with its
       // own render (detached marks a var block, whose frame is

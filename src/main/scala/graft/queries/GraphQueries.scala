@@ -111,10 +111,19 @@ object GraphQueries {
     "facet_filter" -> ((s, d) => {
       // @facets(gt(quantity, 40)) on has_line edges
       val ts = TripleStore(s, d)
+      // typed facet column (the GraphStore edges contract): the string
+      // map value is cast(l_quantity AS long) rendered to string, so
+      // _ft_quantity.cast(long) is the identical value — and the filter
+      // lands on a plain parquet column and pushes down to the scan
+      // instead of building the facet map for every row
+      // compare on the raw double (no cast above the scan): quantities
+      // are integral by the facet contract (the map renders cast-to-
+      // long), so `> 40` is the same row set and the range predicate
+      // reaches the parquet row groups
       ts.edge("has_line")
-        .filter(col("facets").getItem("quantity").cast("long") > 40)
+        .filter(col("_ft_quantity") > 40)
         .select(col("subject"), col("object"),
-          col("facets").getItem("quantity").cast("long").as("qty"))
+          col("_ft_quantity").cast("long").as("qty"))
         .orderBy(col("object"))
     }),
 
@@ -124,7 +133,10 @@ object GraphQueries {
       val w = Window.partitionBy(col("subject"))
         .orderBy(col("tp").desc, col("object").asc)
       ts.edge("placed")
-        .withColumn("tp", col("facets").getItem("totalprice").cast(DecimalType(18, 2)))
+        // typed facet column: map value is o_totalprice cast decimal(18,2)
+        // rendered to string — _ft_totalprice (the raw double) casts to
+        // the same decimal, without materializing the map per row
+        .withColumn("tp", col("_ft_totalprice").cast(DecimalType(18, 2)))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
         .select(col("subject"), col("object"), col("tp").cast("double").as("totalprice"), col("rn"))
@@ -136,7 +148,7 @@ object GraphQueries {
       val ts = TripleStore(s, d)
       ts.edge("has_line")
         .groupBy(col("subject"))
-        .agg(sum(col("facets").getItem("quantity").cast("long")).as("qty_sum"))
+        .agg(sum(col("_ft_quantity").cast("long")).as("qty_sum"))
         .orderBy(col("subject"))
     }),
 
@@ -147,7 +159,7 @@ object GraphQueries {
       val ts = TripleStore(s, d)
       val spend = ts.edge("placed")
         .groupBy(col("subject"))
-        .agg(sum(col("facets").getItem("totalprice").cast(DecimalType(18, 2))).as("spend"))
+        .agg(sum(col("_ft_totalprice").cast(DecimalType(18, 2))).as("spend"))
         .filter(col("spend") >= 500000)
       val locIn = ts.edge("located_in").select(col("subject"), col("object").as("nation"))
       val nName = ts.attr("name").select(col("subject").as("nation"), col("value").as("nation_name"))
@@ -174,7 +186,7 @@ object GraphQueries {
       val cName = ts.attr("name").filter(col("subject") >= CB && col("subject") < SB)
         .select(col("subject"), col("value").as("c_name"))
       val bigOrders = ts.edge("placed")
-        .filter(col("facets").getItem("totalprice").cast(DecimalType(18, 2)) > 300000)
+        .filter(col("_ft_totalprice").cast(DecimalType(18, 2)) > 300000)
         .select(col("subject"), col("object").as("ord"))
       val locIn = ts.edge("located_in").select(col("subject"), col("object").as("nation"))
       val nName = ts.attr("name").select(col("subject").as("nation"), col("value").as("nation_name"))
