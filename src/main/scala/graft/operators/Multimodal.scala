@@ -240,6 +240,42 @@ object Multimodal {
     * via `Dedup.audioNearDupPairs`). Unparseable blobs emit NULL
     * metadata.
     */
+  /** Direct parse of a canonical PCM RIFF/WAVE blob: (sampleRate,
+    * channels, bitsPerSample, little-endian PCM payload). The chunk walk
+    * reads exactly what AudioSystem's WAV reader reads (fmt tag 1 = PCM,
+    * data chunk bytes verbatim, frames = dataLen / frameSize), but skips
+    * `AudioSystem.getAudioInputStream`'s per-call pass over the
+    * synchronized audio-file-reader provider registry — measured as the
+    * dominant cost of decoding 5k tiny WAVs across 32 threads (the WAV
+    * "decode" itself is a header parse; PCM bytes need no transcoding).
+    * Returns None for anything that is not plain 8/16-bit PCM WAV —
+    * AIFF/AU/compressed blobs keep the AudioSystem path.
+    */
+  private[graft] def parsePcmWav(b: Array[Byte]):
+      Option[(Int, Int, Int, Int, Int)] = {
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtTag = -1; var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
+      val id = tag(off); val sz = le32(off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (id == "fmt " && sz >= 16) {
+        fmtTag = le16(off + 8); channels = le16(off + 10)
+        rate = le32(off + 12); bits = le16(off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // RIFF chunks pad to even
+    }
+    if (fmtTag == 1 && (bits == 8 || bits == 16) && channels > 0 &&
+        rate > 0 && dataOff >= 0)
+      Some((rate, channels, bits, dataOff, dataLen))
+    else None
+  }
+
   def decodeAudio(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id").cast("long"), col("blob"))
@@ -247,18 +283,31 @@ object Multimodal {
         noDiskCache()
         rows.map { r =>
           try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("blob")))
-            val f = in.getFormat
-            val frames = in.getFrameLength
-            val bytes = in.readAllBytes()
-            val bytesPerSample = math.max(1, f.getSampleSizeInBits / 8)
+            val blob = r.getAs[Array[Byte]]("blob")
+            // (sampleRate, channels, bytesPerSample, bigEndian, PCM bytes,
+            // frame count) — fast path parses the WAV header in place,
+            // fallback decodes through AudioSystem
+            val (rate, channels, bytesPerSample, bigEndian, bytes, frames) =
+              parsePcmWav(blob) match {
+                case Some((sr, ch, bits, dOff, dLen)) =>
+                  val bps = bits / 8
+                  (sr, ch, bps, false,
+                    java.util.Arrays.copyOfRange(blob, dOff, dOff + dLen),
+                    dLen.toLong / (bps * ch))
+                case None =>
+                  val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                    new java.io.ByteArrayInputStream(blob))
+                  val f = in.getFormat
+                  (f.getSampleRate.toInt, f.getChannels,
+                    math.max(1, f.getSampleSizeInBits / 8), f.isBigEndian,
+                    in.readAllBytes(), in.getFrameLength)
+              }
             val nSamples = bytes.length / bytesPerSample
             def ampAt(k: Int): Int =
               if (bytesPerSample == 2) {
                 val lo = bytes(2 * k) & 0xff; val hi = bytes(2 * k + 1)
                 val v = (hi << 8) | lo
-                math.abs(if (f.isBigEndian) ((bytes(2 * k) << 8) | (bytes(2 * k + 1) & 0xff)) else v)
+                math.abs(if (bigEndian) ((bytes(2 * k) << 8) | (bytes(2 * k + 1) & 0xff)) else v)
               } else math.abs(bytes(k).toInt)
             def windowMeans(nw: Int): Array[Long] = {
               val stride = math.max(1, nSamples / nw)
@@ -276,8 +325,8 @@ object Multimodal {
             val ehash = w64.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
               if (v >= mean) acc | (1L << i) else acc
             }
-            Row(r.getLong(0), f.getSampleRate.toInt, f.getChannels,
-              frames, frames * 1000L / f.getSampleRate.toInt, feats, ehash)
+            Row(r.getLong(0), rate, channels,
+              frames, frames * 1000L / rate, feats, ehash)
           } catch {
             case _: Exception =>
               Row(r.getLong(0), null, null, null, null, null, null)
