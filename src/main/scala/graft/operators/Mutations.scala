@@ -93,10 +93,13 @@ object Mutations {
       existingUids: DataFrame): DataFrame = {
     val maxUid = existingUids.agg(max(col("subject")).as("__max"))
     // checkpoint so the two consumers (offsets, join) see ONE consistent
-    // partition assignment and the range shuffle runs once
+    // partition assignment and the range shuffle runs once; LAZY — the
+    // single materialization rides the first consumer's action instead
+    // of running as its own blocking job in the mutation chain (both
+    // consumers read the same cached RDD either way)
     val parted = blanks.repartitionByRange(col(labelCol))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val local = row_number().over(
       Window.partitionBy(col("__pid")).orderBy(col(labelCol)))
     val offsets = parted.groupBy(col("__pid"))
