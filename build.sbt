@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt "runMain graft.Bench"` output as
+// bare JSON. Two sbt behaviors broke that contract for rounds 12-17
+// (BENCH_r*.json `parsed: null`): the default fork outputStrategy re-logs
+// every app line with an `[info] `/`[error] ` prefix, and sbt appends its
+// own `[success] Total time: ...` epilogue after the app's JSON. Pass the
+// forked JVM's streams through raw and drop the epilogue so the app's
+// final println IS the last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

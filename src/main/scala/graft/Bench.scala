@@ -18,18 +18,6 @@ import org.apache.spark.sql.SparkSession
   * writes) that should be made cheap rather than moved around.
   */
 object Bench {
-  // Representative spread: relational agg, traversal, DQL end-to-end,
-  // graph drivers, dedup family, ANN, streaming, text.
-  private val headline = Seq(
-    "q1_agg", "traverse_2hop", "traverse_agg", "sort_first_per_parent",
-    "dql_expand", "dql_math", "dql_recurse", "dql_facets_filter",
-    "recurse_chain", "shortest_sssp", "shortest_paths",
-    "dql_shortest", "dql_groupby_agg", "dql_json_nested", "graphql_json",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "embed_cosine_topk", "embed_ann_ivf",
-    "stream_sliding", "stream_dedup", "fulltext_alloftext", "text_quality",
-    "dql_datetime_range", "pack_sequences", "encrypted_store_roundtrip")
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,8 +55,14 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"[bench] warmup-failed: $step: ${t.getMessage}")
       }
-    import org.apache.spark.sql.functions.{col, concat, lit}
-    warm("q1_agg") { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
+    import org.apache.spark.sql.functions.{col, concat, count, lit}
+    // generic parquet-scan + hash-aggregate machinery (scan exec, partial
+    // aggregation, codegen framework classes) — deliberately NOT a scored
+    // gate's plan, so every gate keeps its own plan-compile in its cold
+    warm("scan+agg codegen") {
+      graft.queries.Q.t(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag")).agg(count(lit(1))).count()
+    }
     warm("line_uid layout") {
       graft.core.TripleStore(spark, sfDir).attr("quantity").count()
     }
@@ -129,24 +123,19 @@ object Bench {
     // the MinHash-LSH candidate index over `documents` is session state
     // shared by the whole dedup family (built once, localCheckpointed in
     // LlmQueries.candCache) — same build-once/query-many shape as the
-    // line_uid layout and the IVF centroids, so it warms the same way
-    // instead of landing on whichever dedup query runs first
-    // (alphabetically dedup_clusters)
+    // line_uid layout and the IVF centroids. Artifact-only warm (r18):
+    // the dedup gates' own read/band/join/sort surfaces stay cold.
     warm("LSH candidate index") {
-      SparkEntry.queries("dedup_minhash")(spark, sfDir).count()
+      graft.queries.LlmQueries.warmDedupCandidates(spark, sfDir)
     }
-    // the shared SimHash signature frame (both widths assembled in one
-    // corpus pass, LlmQueries.simhashSigs) is the same build-once session
-    // state: whichever simhash query ran first was scoring the corpus-wide
-    // explode+md5+aggregate build (~4 s incl. codegen) instead of its own
-    // read. dedup_simhash_pairs still pays its banding join cold.
-    warm("SimHash signature frame") {
-      SparkEntry.queries("dedup_simhash")(spark, sfDir).count()
-      // the 120-bit two-lane signature frame is the same build-once
-      // session state — warm ONLY the shared artifact (not the wide
-      // PAIR gate itself, which must keep its own first-touch in its
-      // published cold, same rule as the r17 ivfpq warm fix); the
-      // banding join is the measured surface
+    // the shared SimHash signature frames (16/60-bit pair assembled in
+    // one corpus pass, plus the 120-bit two-lane frame) are the same
+    // build-once session state: whichever simhash query ran first was
+    // scoring the corpus-wide explode+md5+aggregate build (~4 s incl.
+    // codegen) instead of its own read. The pair gates' banding joins
+    // are the measured surfaces and stay cold.
+    warm("SimHash signature frames") {
+      graft.queries.LlmQueries.warmSimhashSigs(spark, sfDir)
       graft.queries.LlmQueries.warmSimhashWideSigs(spark, sfDir)
     }
     // the DqlExecutor plan family has its own first-touch pool none of
@@ -201,28 +190,25 @@ object Bench {
     }
     // the shortest-path cone is session-cached by (edge set, source,
     // depth) in TripleStore.derived — the same build-once/query-many
-    // session state as the LSH index above. One shortest probe at sfDir
-    // pays the Pregel codegen + cone discovery once instead of letting
-    // it land on dql_shortest (driver-scored 7.0-16.9 s cold in r11).
+    // session state as the LSH index above (left cold it landed on
+    // dql_shortest: driver-scored 7.0-16.9 s cold in r11). Artifact-only
+    // warm (r18): `to` is not part of the cone key, so an unreachable
+    // target warms the shared cone while the three scored shortest
+    // gates' own k-path searches stay cold.
     warm("shortest-path cone") {
-      SparkEntry.queries("dql_shortest")(spark, sfDir).count()
+      graft.queries.DqlQueries.warmShortestCone(spark, sfDir)
     }
-    // ANN quantizer training is the same shared session state: the PQ
-    // codebooks (pqBookCache) and IVF centroids (centCache) train once
-    // per (session, corpus) — the reference trains an index once, not
-    // per search. Whichever embed_ann gate ran first alphabetically was
-    // scoring the k-means instead of its own write/search; the per-gate
-    // index WRITES stay scored.
-    warm("PQ codebooks") {
-      SparkEntry.queries("embed_ann_pq")(spark, sfDir).count()
-      // ivfpq: warm ONLY its shared build-once inputs (coarse centroids
-      // + codebooks) — a full gate invocation here would make the gate's
-      // published cold column a second run, unlike every other gate,
-      // whose warmups only build shared artifacts
+    // ANN quantizer training + session encodings are the same shared
+    // session state: PQ codebooks (pqBookCache), the encoded corpus
+    // (pqEncCache), IVF centroids (centCache) build once per (session,
+    // corpus) — the reference trains an index once, not per search. The
+    // per-gate index WRITES and searches stay scored.
+    warm("PQ codebooks + encoded corpus") {
+      graft.queries.LlmQueries.warmPqIndex(spark, sfDir)
       graft.queries.LlmQueries.warmIvfPqQuantizer(spark, sfDir)
     }
     warm("IVF centroids") {
-      SparkEntry.queries("embed_ann_ivf_store")(spark, sfDir).count()
+      graft.queries.LlmQueries.warmIvfCentroids(spark, sfDir)
     }
     // the mutation-delta ANN layouts (base segments + live delta +
     // tombstones) are the same build-once session state: the reference
@@ -230,8 +216,7 @@ object Bench {
     // view — the scored gates measure the delta-aware search, not the
     // one-time segment build (hnswMutDirCache / ivfMutDirCache)
     warm("mutation-delta ANN layouts") {
-      SparkEntry.queries("similar_to_after_mutation")(spark, sfDir).count()
-      SparkEntry.queries("embed_ivf_after_mutation")(spark, sfDir).count()
+      graft.queries.LlmQueries.warmAnnMutationLayouts(spark, sfDir)
     }
     // the JDK media codec stacks (ImageIO PNG/GIF readers+writers,
     // AudioSystem WAV) class-load and JIT on first use — a two-row
@@ -304,7 +289,7 @@ object Bench {
     // dedup_cluster_rep — warm it like the candidate index it derives
     // from, so neither gate scores the Pregel run
     warm("CC cluster labels") {
-      SparkEntry.queries("dedup_clusters")(spark, sfDir).count()
+      graft.queries.LlmQueries.warmDedupClusters(spark, sfDir)
     }
     // the backup series is the same build-once session state
     // (SpecialQueries.backupDirCache): a backup is written once and
@@ -312,8 +297,7 @@ object Bench {
     // online_restore.go). Write the sf-dir series here so the scored
     // gates measure restore + re-query, not the artifact build.
     warm("backup series") {
-      SparkEntry.queries("backup_restore")(spark, sfDir).count()
-      SparkEntry.queries("backup_incremental")(spark, sfDir).count()
+      graft.queries.SpecialQueries.warmBackupSeries(spark, sfDir)
     }
     // warmups above wrote real parquet (writer JIT, small-scale backup,
     // bucketed layout); on a loaded host their dirty pages are still in
@@ -393,10 +377,12 @@ object Bench {
     errors.foreach { case (k, m) =>
       System.err.println(s"[bench] query-error: $k: $m")
     }
-    val cold = results.map { case (k, c, _) => k -> c }.toMap
-    val qs = headline.flatMap(k => cold.get(k).map(v => s"\"$k\":${r3(v)}"))
+    // every gate's cold time goes in the JSON (r17 carried only a 29-gate
+    // headline subset, which starved the driver's per-query and scaling
+    // comparisons even after a successful parse) — ~6 KB, still one line
+    val qs = results.map { case (k, c, _) => s"\"$k\":${r3(c)}" }
       .mkString("{", ",", "}")
-    val total = cold.values.sum
+    val total = results.map(_._2).sum
     def jsEsc(m: String): String = m.flatMap {
       case '\\' => "\\\\"
       case '"' => "\\\""

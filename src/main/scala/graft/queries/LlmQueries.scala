@@ -141,6 +141,98 @@ object LlmQueries {
   private def minhashCands(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
       Q.artifactCheckpoint(Dedup.candidatesFromSets(nearSetsMat(s, d))))
+  /** Bench warm hooks (same artifact-only rule as [[warmIvfPqQuantizer]]):
+    * materialize the build-once session frames shared across the dedup
+    * family — the shingle-set frame + LSH candidate index (read by
+    * dedup_minhash, dedup_ngram_jaccard, dedup_clusters,
+    * stream_minhash_dedup), the two-width SimHash signature frame (read
+    * by dedup_simhash and dedup_simhash_pairs), and the CC cluster
+    * labels (read by dedup_clusters and dedup_cluster_rep). No scored
+    * gate runs here: each gate's own read/band/join/sort surface stays
+    * in its published cold column.
+    */
+  def warmDedupCandidates(s: SparkSession, d: String): Unit = {
+    minhashCands(s, d); ()
+  }
+  def warmSimhashSigs(s: SparkSession, d: String): Unit = {
+    simhashSigs(s, d); ()
+  }
+  def warmDedupClusters(s: SparkSession, d: String): Unit = {
+    clustersMat(s, d); ()
+  }
+  /** Bench warm hook: the IVF coarse quantizer (deterministic k-means
+    * centroids) shared by embed_ann_ivf_store and
+    * embed_ivf_after_mutation — index writes/searches stay scored.
+    */
+  def warmIvfCentroids(s: SparkSession, d: String): Unit = {
+    centCache.getOrElseUpdate((s, d),
+      Similarity.trainIvfCentroids(
+        embQ(s, d).select(col("id"), col("qe")), nCells = 8))
+    ()
+  }
+  /** Bench warm hook: PQ codebooks (shared by embed_ann_pq/_store/ivfpq)
+    * plus the session-encoded corpus embed_ann_pq reads — the reference
+    * trains and encodes an index once, not per search; the ADC search
+    * itself stays scored.
+    */
+  def warmPqIndex(s: SparkSession, d: String): Unit = {
+    val base = pqVectors(s, d)
+    val books = pqBookCache.getOrElseUpdate((s, d),
+      Similarity.pqCodebooksExact(base, m = 4))
+    pqEncCache.getOrElseUpdate((s, d),
+      Q.artifactCheckpoint(Similarity.pqEncode(base, books)
+        .select(col("id"), col("codes"))))
+    ()
+  }
+  /** Bench warm hook: the two mutation-delta ANN layouts (base segments
+    * + live delta + tombstones; built once per session, reference
+    * AddMutationWithIndex maintains the index at write time) — the
+    * delta-aware searches over them stay scored.
+    */
+  def warmAnnMutationLayouts(s: SparkSession, d: String): Unit = {
+    hnswMutDir(s, d); ivfMutDir(s, d); ()
+  }
+  /** Session HNSW layout carrying the live mutation delta (see
+    * similar_to_after_mutation): base shards + an upsert of subject 3,
+    * an insert of a new subject, and a delete of the anchor row.
+    */
+  private def hnswMutDir(s: SparkSession, d: String): String =
+    hnswMutDirCache.getOrElseUpdate((s, d), {
+      val q = embQ(s, d).select((col("id") + 1).as("id"), col("qe"))
+      val p = new java.io.File(
+        s"target/graft-hnswmut_${new java.io.File(d).getName}" +
+          s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
+      Similarity.hnswWrite(q, p, nPartitions = 4)
+      val anchor = q.filter(col("id") === 1)
+      Similarity.hnswUpsert(s, p,
+        anchor.select(lit(3L).as("id"),
+            transform(col("qe"), x => x * 3).as("qe"))
+          .unionByName(anchor.select(lit(1000001L).as("id"),
+            transform(col("qe"), x => x * 2 + 1).as("qe"))))
+      Similarity.hnswDelete(s, p, anchor.select(col("id")))
+      p
+    })
+  /** The IVF face of the same mutation-delta layout (identical mutation
+    * set; see embed_ivf_after_mutation). */
+  private def ivfMutDir(s: SparkSession, d: String): String =
+    ivfMutDirCache.getOrElseUpdate((s, d), {
+      val q = embQ(s, d).select((col("id") + 1).as("id"), col("qe"))
+      val p = new java.io.File(
+        s"target/graft-ivfmut_${new java.io.File(d).getName}" +
+          s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
+      val trained = centCache.getOrElseUpdate((s, d),
+        Similarity.trainIvfCentroids(
+          embQ(s, d).select(col("id"), col("qe")), nCells = 8))
+      Similarity.ivfWriteTrained(q, p, trained)
+      val anchor = q.filter(col("id") === 1)
+      Similarity.ivfUpsert(s, p,
+        anchor.select(lit(3L).as("id"),
+            transform(col("qe"), x => x * 3).as("qe"))
+          .unionByName(anchor.select(lit(1000001L).as("id"),
+            transform(col("qe"), x => x * 2 + 1).as("qe"))))
+      Similarity.ivfDelete(s, p, anchor.select(col("id")))
+      p
+    })
   // The CC labeling over the candidate pairs is the same build-once
   // session state as the candidate index itself (an engine maintains
   // its dedup clusters, it doesn't re-run Pregel per query): shared by
@@ -685,21 +777,7 @@ object LlmQueries {
     // Exact mode (ef >= corpus), so the oracle is quantized-cosine brute
     // force over the mutated corpus.
     "similar_to_after_mutation" -> ((s, d) => {
-      val q = embQ(s, d).select((col("id") + 1).as("id"), col("qe"))
-      val dir = hnswMutDirCache.getOrElseUpdate((s, d), {
-        val p = new java.io.File(
-          s"target/graft-hnswmut_${new java.io.File(d).getName}" +
-            s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
-        Similarity.hnswWrite(q, p, nPartitions = 4)
-        val anchor = q.filter(col("id") === 1)
-        Similarity.hnswUpsert(s, p,
-          anchor.select(lit(3L).as("id"),
-              transform(col("qe"), x => x * 3).as("qe"))
-            .unionByName(anchor.select(lit(1000001L).as("id"),
-              transform(col("qe"), x => x * 2 + 1).as("qe"))))
-        Similarity.hnswDelete(s, p, anchor.select(col("id")))
-        p
-      })
+      val dir = hnswMutDir(s, d)
       val emb = t(s, d, "embeddings")
       val triples = emb.select(
         (col("vec_id") + 1).cast("long").as("subject"),
@@ -731,24 +809,7 @@ object LlmQueries {
     // brute-force top-k as the HNSW gate — identical mutation set,
     // identical oracle SQL
     "embed_ivf_after_mutation" -> ((s, d) => {
-      val dir = ivfMutDirCache.getOrElseUpdate((s, d), {
-        val q = embQ(s, d).select((col("id") + 1).as("id"), col("qe"))
-        val p = new java.io.File(
-          s"target/graft-ivfmut_${new java.io.File(d).getName}" +
-            s"_${graft.core.Scratch.tag(s)}_${Q.freshRun()}").getAbsolutePath
-        val trained = centCache.getOrElseUpdate((s, d),
-          Similarity.trainIvfCentroids(
-            embQ(s, d).select(col("id"), col("qe")), nCells = 8))
-        Similarity.ivfWriteTrained(q, p, trained)
-        val anchor = q.filter(col("id") === 1)
-        Similarity.ivfUpsert(s, p,
-          anchor.select(lit(3L).as("id"),
-              transform(col("qe"), x => x * 3).as("qe"))
-            .unionByName(anchor.select(lit(1000001L).as("id"),
-              transform(col("qe"), x => x * 2 + 1).as("qe"))))
-        Similarity.ivfDelete(s, p, anchor.select(col("id")))
-        p
-      })
+      val dir = ivfMutDir(s, d)
       val q0 = embQ(s, d).filter(col("id") === 0)
         .select(lit(-1L).as("id"), col("qe"))
       Similarity.ivfSearchLive(q0, s, dir, k = 5, probes = 8)

@@ -50,6 +50,16 @@ object SpecialQueries {
       dir
     })
 
+  /** Bench warm hook: write ONLY the build-once backup series dirs
+    * (full + incremental) — a backup is written once and restored many
+    * times (reference worker/backup.go vs online_restore.go). The
+    * restore + re-query surface the backup gates exist to measure stays
+    * in their published cold columns.
+    */
+  def warmBackupSeries(s: SparkSession, d: String): Unit = {
+    fullBackupDir(s, d); incBackupDir(s, d); ()
+  }
+
   // integer grid coords: cx in [0,7200), cy in [0,3400)
   private def cx(k: Column): Column = (k * 7919) % 7200
   private def cy(k: Column): Column = (k * 104729) % 3400
