@@ -67,6 +67,13 @@ final class DqlExecutor(ts: GraphStore) {
   // materialization (measured: dql_level_agg ran 5 such executions per
   // invocation for maps that are plain selects over cached partitions).
   private val varsPre = scala.collection.mutable.HashSet.empty[String]
+  // vars PROVABLY unique per uid at their bind site (an explicit
+  // distinct/dropDuplicates/groupBy output, or a frame derived from a
+  // unique seed by row-preserving ops). uid(v) over exactly one such var
+  // skips its merge dedup — the distinct exists for multi-source unions
+  // (guide §2.4: a distinct on already-unique data is an identity).
+  // Any rebind clears the mark unless the binder re-asserts it.
+  private val varsUniqueUid = scala.collection.mutable.HashSet.empty[String]
   private object vars {
     def apply(n: String): DataFrame =
       varsCk.getOrElseUpdate(n,
@@ -79,16 +86,20 @@ final class DqlExecutor(ts: GraphStore) {
     def contains(n: String): Boolean = varsRaw.contains(n)
     def keys: Iterable[String] = varsRaw.keys
     def update(n: String, df: DataFrame): Unit = {
-      varsRaw(n) = () => df; varsCk.remove(n); varsPre -= n; ()
+      varsRaw(n) = () => df; varsCk.remove(n); varsPre -= n
+      varsUniqueUid -= n; ()
     }
     /** Bind a thunk evaluated (then checkpointed) on first read;
       * `preCheckpointed` marks thunks whose result is already backed by
-      * a materialized/checkpointed parent and skips the extra wrap.
+      * a materialized/checkpointed parent and skips the extra wrap;
+      * `uniqueUid` re-asserts per-uid uniqueness for the new binding.
       */
     def updateThunk(n: String, f: () => DataFrame,
-        preCheckpointed: Boolean = false): Unit = {
+        preCheckpointed: Boolean = false,
+        uniqueUid: Boolean = false): Unit = {
       varsRaw(n) = f; varsCk.remove(n)
       if (preCheckpointed) varsPre += n else varsPre -= n
+      if (uniqueUid) varsUniqueUid += n else varsUniqueUid -= n
       ()
     }
   }
@@ -334,8 +345,12 @@ final class DqlExecutor(ts: GraphStore) {
     * fillVars) — while a var that is bound and then never read (or
     * replaced by the shared rebind) costs nothing.
     */
-  private def bindVar(name: String, df: DataFrame): Unit =
+  private def bindVar(name: String, df: DataFrame,
+      uniqueUid: Boolean = false): Unit = {
     vars(name) = df
+    if (uniqueUid) varsUniqueUid += name
+    ()
+  }
 
   /** Execute all blocks in order; return the last non-`var` block. */
   def flat(query: String): DataFrame = flatAst(Parser.parse(query))
@@ -638,11 +653,14 @@ final class DqlExecutor(ts: GraphStore) {
     // the block's own order/pagination restricts the bound set
     // (TestGeneratorMultiRootVarOrderOffset)
     b.blockVar.foreach { v =>
+      // unique: seedUids' contract (distinct or provably unique seed);
+      // filters and orderAndPage only drop/order rows, never fan them
       bindVar(v,
         if (b.order.nonEmpty || b.page.first.isDefined ||
             b.page.offset.isDefined || b.page.after.isDefined)
           orderAndPage(frontier, "uid", b.order, b.page)
-        else frontier)
+        else frontier,
+        uniqueUid = true)
     }
 
     b.recurse match {
@@ -686,10 +704,10 @@ final class DqlExecutor(ts: GraphStore) {
             .unionByName(tree.select(col("node").as("uid"))).distinct()
           known.filter(_.varName.isDefined).foreach { s =>
             val v = s.varName.get
-            if (s.pred == "uid") bindVar(v, allNodes)
+            if (s.pred == "uid") bindVar(v, allNodes, uniqueUid = true)
             else if (schema.isUidPredicate(s.pred))
               bindVar(v, tree.filter(col("pred") === jsonKey(s))
-                .select(col("node").as("uid")).distinct())
+                .select(col("node").as("uid")).distinct(), uniqueUid = true)
             else bindVar(v, ts.attr(s.pred)
               .join(allNodes.select(col("uid").as("subject")),
                 Seq("subject"), "left_semi")
@@ -785,7 +803,14 @@ final class DqlExecutor(ts: GraphStore) {
         val projected0 = project(paged, "uid", b.selections, fullCascade, "",
           detached = b.name == "var" && !b.cascade,
           cascadeFields = cFields, rootType = bareTypeRoot,
-          frontierTypes = rootFrontierTypes)
+          frontierTypes = rootFrontierTypes,
+          // the uid var can ride the shared snapshot only when nothing
+          // restricts or re-derives its bound set after this pass: no
+          // order/page (they page the BOUND set at bind time above), no
+          // cascade (survivors re-bind below), no reflex chain
+          blockUidVar = b.blockVar.filter(_ => b.order.isEmpty &&
+            b.page.first.isEmpty && b.page.offset.isEmpty &&
+            b.page.after.isEmpty && !b.cascade && !b.ignoreReflex))
         val projected =
           if (!paramCascade) projected0
           else {
@@ -812,7 +837,7 @@ final class DqlExecutor(ts: GraphStore) {
           // holding only nodes where the full path exists (reference
           // auth var-chain rewrite); re-bind over the eager pre-cascade
           // binding above
-          b.blockVar.foreach(v => bindVar(v, survivors))
+          b.blockVar.foreach(v => bindVar(v, survivors, uniqueUid = true))
           projected.join(survivors, Seq("uid"), "left_semi")
         } else projected
     }
@@ -938,7 +963,8 @@ final class DqlExecutor(ts: GraphStore) {
       bindVar(v, paths.filter(col("rank") === 1)
         .select(posexplode(split(col("path"), "->")).as(Seq("__ord", "u")))
         .select(col("u").cast("long").as("uid"), col("__ord"))
-        .groupBy(col("uid")).agg(min(col("__ord")).as("__ord")))
+        .groupBy(col("uid")).agg(min(col("__ord")).as("__ord")),
+        uniqueUid = true)
     }
     paths
   }
@@ -960,20 +986,25 @@ final class DqlExecutor(ts: GraphStore) {
     v.filter(cmp)
   }
 
-  /** Root functions whose seed is a pure FILTER over one attrRows slice
-    * (attrWhere) — no index explode, no edge read — so subject
-    * multiplicity is exactly the slice's. regexp/match/ngram/anyof/allof
-    * route through index frames that can emit one row per matching
-    * token and stay out.
+  /** Root functions whose non-val-arg seed routes EXCLUSIVELY through
+    * [[attrWhere]] — a pure filter over one attrRows slice, no index
+    * explode, no edge read. attrWhere's postcondition (documented there)
+    * makes every such seed unique per subject no matter which
+    * untaggedDefault the function passes: it either reads a provably
+    * subject-unique slice or dedups internally. has() keeps the same
+    * unique-or-distinct contract inline in its own seed branch.
+    * Count/geo/uid_in/similar_to seeds build from edge or top-k frames
+    * and stay out.
     */
   private val attrWhereSeeds = Set("eq", "le", "lt", "ge", "gt", "between",
-    "anyofterms", "allofterms", "anyoftext", "alloftext", "has")
+    "anyofterms", "allofterms", "anyoftext", "alloftext", "has",
+    "regexp", "match", "ngram", "anyof", "allof")
 
   /** Seeds whose uid column is unique by construction (uid() unions
     * distinct; nodeTypes is one row per (subject, type); value vars are
-    * per-uid maps; count seeds are groupBy outputs; value filters over a
-    * store-declared subject-unique tablet slice cannot repeat a subject)
-    * — root executors skip their dedup exchange for these. Every other
+    * per-uid maps; count seeds are groupBy outputs; attrWhere-routed
+    * value filters are subject-unique by attrWhere's postcondition) —
+    * root executors skip their dedup exchange for these. Every other
     * seed can emit one row per matching VALUE or EDGE and still needs it.
     */
   private def uniqueSeed(fn: FuncCall): Boolean =
@@ -981,8 +1012,7 @@ final class DqlExecutor(ts: GraphStore) {
       fn.pred.startsWith("val:") ||
       (attrWhereSeeds(fn.name) && !fn.args.exists(_.startsWith("\u0000")) && {
         val base = langSplit(fn.pred)._1
-        schema.predicates.contains(base) && !schema.isUidPredicate(base) &&
-          attrRowsUnique(fn.pred, untaggedDefault = true)
+        schema.predicates.contains(base) && !schema.isUidPredicate(base)
       })
 
   private def seedUids(fn: FuncCall): DataFrame = {
@@ -1027,7 +1057,13 @@ final class DqlExecutor(ts: GraphStore) {
       } ++
         (if (lits.nonEmpty) Seq(lits.map(parseUid).toDF("uid")) else Nil)
       require(dfs.nonEmpty, s"uid() with no resolvable args: ${fn.args}")
-      dfs.reduce(_ unionByName _).distinct()
+      val u = dfs.reduce(_ unionByName _)
+      // uid(v) over exactly one var marked unique at its bind site needs
+      // no merge dedup — the distinct exists for multi-source unions
+      if (varRefs.size == 1 && lits.isEmpty &&
+          varsUniqueUid(varRefs.head) &&
+          vars(varRefs.head).columns.contains("uid")) u
+      else u.distinct()
     case n if fn.pred.startsWith("val:") =>
       // compare against a value variable (applyIneqFunc, query/query.go:1931)
       valSeedRows(fn).select(col("uid"))
@@ -1582,6 +1618,11 @@ final class DqlExecutor(ts: GraphStore) {
         untaggedDefault)
   }
 
+  /** POSTCONDITION: the returned frame is unique per subject — either
+    * the slice is provably subject-unique (dedup skipped as an identity)
+    * or the dedup runs here. [[uniqueSeed]]'s outer-dedup skip for the
+    * [[attrWhereSeeds]] functions relies on this being unconditional.
+    */
   private def attrWhere(pred: String, cond: Column => Column,
       untaggedDefault: Boolean = false): DataFrame = {
     val rows = attrRows(pred, untaggedDefault).filter(cond(col("value")))
@@ -1857,11 +1898,18 @@ final class DqlExecutor(ts: GraphStore) {
     * level, edge-target metadata across hops. Consumed only to prune
     * [[GraphStore.attrWide]] unions; never changes semantics.
     */
+  /** `blockUidVar`: the enclosing block's `f as var(...)` name, passed
+    * ONLY when its bound set is exactly this pass's frontier (top level,
+    * no order/page/cascade restriction) — the shared-rebind snapshot
+    * then serves the uid var too, saving the var's own checkpoint
+    * execution of the seed plan.
+    */
   private def project(df: DataFrame, uidCol: String, sels: Seq[Selection],
       cascade: Boolean, prefix: String, detached: Boolean = false,
       cascadeFields: Seq[String] = Nil,
       rootType: Option[String] = None,
-      frontierTypes: Set[String] = Set.empty): DataFrame = {
+      frontierTypes: Set[String] = Set.empty,
+      blockUidVar: Option[String] = None): DataFrame = {
     val joinType = if (cascade) "inner" else "left"
     var cur = df
     // true once a traversal has multiplied rows: later var binds must
@@ -1889,6 +1937,17 @@ final class DqlExecutor(ts: GraphStore) {
     // never rewritten.
     val sharedRebinds =
       scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame => DataFrame)]
+    // vars whose live column is a PER-UID CONSTANT of this frame (every
+    // sharedRebind site binds one: attr joins keyed on this level's uid,
+    // per-parent aggregates joined back on the parent uid, math over
+    // per-uid maps). A same-level math read of such a var is safe in
+    // place even on a FANNED frame — every surviving row of a uid
+    // carries the same value — which keeps the read exchange-free
+    // instead of forcing the var's own checkpoint execution mid-pass.
+    // Tracked independently of sharedRebinds: a row-dropping branch
+    // clears the rebinds (membership would shrink) but never rewrites a
+    // computed column, so per-uid constancy survives dropsRows().
+    val uidConstCols = scala.collection.mutable.Set.empty[String]
     var sharedRebindOk = !cascade
     // INVARIANT (shared-rebind safety): every closure in sharedRebinds is
     // replayed against the FINAL `cur` frame of this pass, so any branch
@@ -1956,8 +2015,9 @@ final class DqlExecutor(ts: GraphStore) {
           val mk = (f: DataFrame) =>
             f.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
               .filter(col("value").isNotNull)
-          bindVar(v, if (fanned) mk(cur).dropDuplicates("uid") else mk(cur))
-          sharedRebinds += (v -> mk)
+          bindVar(v, if (fanned) mk(cur).dropDuplicates("uid") else mk(cur),
+            uniqueUid = true)
+          sharedRebinds += (v -> mk); uidConstCols += v
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (sel.pred == "math" && sel.mathExpr.isDefined) {
@@ -1982,12 +2042,17 @@ final class DqlExecutor(ts: GraphStore) {
           // join was a full shuffle of the block's rows)
           varCols.get(r) match {
             // a same-level read on a FANNED frame must go through the
-            // var's dedup'd (uid, value) snapshot instead: per-row column
-            // values could differ across rows of one uid, and the two
-            // paths would silently compute different math results.
+            // var's dedup'd (uid, value) snapshot UNLESS the column is a
+            // registered per-uid constant (uidConstCols — every
+            // sharedRebind-site bind): then every surviving row of a uid
+            // carries the same value and the in-place read computes the
+            // identical result without forcing the var's own checkpoint
+            // execution mid-pass (measured: dql_level_agg ran its
+            // mid-block plan once per fanned math ref).
             case Some((cname, ucol)) if (boundHere(r) || liveVars(r)) &&
                 base.columns.contains(cname) && ucol == uidCol &&
-                !fanned && !cname.startsWith("__fvv_") =>
+                (!fanned || uidConstCols(r)) &&
+                !cname.startsWith("__fvv_") =>
               // (facet-var columns are per-EDGE values; their same-level
               // MAP is the in-edge sum, so they always join the map)
               base = base.withColumn(s"__m_$r", qcol(cname))
@@ -2060,8 +2125,9 @@ final class DqlExecutor(ts: GraphStore) {
           val mk = (f: DataFrame) =>
             f.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
               .filter(col("value").isNotNull)
-          bindVar(v, if (fanned) mk(cur).dropDuplicates("uid") else mk(cur))
-          sharedRebinds += (v -> mk)
+          bindVar(v, if (fanned) mk(cur).dropDuplicates("uid") else mk(cur),
+            uniqueUid = true)
+          sharedRebinds += (v -> mk); uidConstCols += v
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (sel.aggOp.isDefined && sel.valRef.exists(varCols.contains)) {
@@ -2119,8 +2185,8 @@ final class DqlExecutor(ts: GraphStore) {
           val mk = (f: DataFrame) =>
             f.select(qcol(uidCol).as("uid"), col(name).as("value"))
               .filter(col("value").isNotNull)
-          bindVar(v, mk(cur).dropDuplicates("uid"))
-          sharedRebinds += (v -> mk)
+          bindVar(v, mk(cur).dropDuplicates("uid"), uniqueUid = true)
+          sharedRebinds += (v -> mk); uidConstCols += v
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (sel.pred == "val" && sel.valRef.isDefined &&
@@ -2168,7 +2234,7 @@ final class DqlExecutor(ts: GraphStore) {
         // shape, reference dql/upsert_test.go)
         sel.varName.foreach { v =>
           bindVar(v, cur.select(qcol(uidCol).as("uid"))
-            .filter(col("uid").isNotNull).distinct())
+            .filter(col("uid").isNotNull).distinct(), uniqueUid = true)
         }
       } else if (sel.checkPwd.isDefined) {
         // checkpwd(pred, pw): bcrypt-verify the stored hash per row; a
@@ -2281,8 +2347,8 @@ final class DqlExecutor(ts: GraphStore) {
         sel.varName.foreach { v =>
           val mk = (f: DataFrame) =>
             f.select(qcol(uidCol).as("uid"), qcol(name).as("value"))
-          bindVar(v, mk(cur).dropDuplicates("uid"))
-          sharedRebinds += (v -> mk)
+          bindVar(v, mk(cur).dropDuplicates("uid"), uniqueUid = true)
+          sharedRebinds += (v -> mk); uidConstCols += v
           varCols(v) = (name, uidCol); boundHere += v; liveVars += v
         }
       } else if (schema.isUidPredicate(sel.pred) || sel.reverse) {
@@ -2310,7 +2376,7 @@ final class DqlExecutor(ts: GraphStore) {
             sel, name, cascade, detached, cascadeFields)
           sel.varName.foreach { v =>
             bindVar(v, sub.select(qcol(name).as("uid"))
-              .filter(col("uid").isNotNull).distinct())
+              .filter(col("uid").isNotNull).distinct(), uniqueUid = true)
           }
         } else {
           cur = traverse(cur, uidCol, sel, name, cascade, detached,
@@ -2319,7 +2385,8 @@ final class DqlExecutor(ts: GraphStore) {
           // uid variable: the traversal's target frontier (f as friend)
           sel.varName.foreach { v =>
             bindVar(v,
-              cur.select(qcol(name).as("uid")).filter(col("uid").isNotNull).distinct())
+              cur.select(qcol(name).as("uid")).filter(col("uid").isNotNull)
+                .distinct(), uniqueUid = true)
           }
         }
       } else if (!schema.predicates.contains(sel.pred) &&
@@ -2496,8 +2563,9 @@ final class DqlExecutor(ts: GraphStore) {
           val mk = (f: DataFrame) =>
             f.select(qcol(uidCol).as("uid"), qcol(vcn).as("value"))
               .filter(col("value").isNotNull)
-          bindVar(v, if (fanned) mk(cur).dropDuplicates("uid") else mk(cur))
-          sharedRebinds += (v -> mk)
+          bindVar(v, if (fanned) mk(cur).dropDuplicates("uid") else mk(cur),
+            uniqueUid = true)
+          sharedRebinds += (v -> mk); uidConstCols += v
           // in-place reads (level aggs, math) must see the INSTANT, not
           // the display string — register the rider column for datetime
           varCols(v) = (vcn, uidCol)
@@ -2527,7 +2595,18 @@ final class DqlExecutor(ts: GraphStore) {
       lazy val snap = (if (fanned) cur.dropDuplicates(Seq(uidCol)) else cur)
         .localCheckpoint(eager = false)
       sharedRebinds.foreach { case (v, mk) =>
-        vars.updateThunk(v, () => mk(snap), preCheckpointed = true)
+        vars.updateThunk(v, () => mk(snap), preCheckpointed = true,
+          uniqueUid = true)
+      }
+      // the block's own uid var is the frontier, and the non-dropping
+      // pass preserved every frontier row — so its uid set is exactly
+      // the snapshot's uid column (deduped above when fanned). Rebinding
+      // it here saves the var's own checkpoint execution of the seed
+      // plan: a `f as var(...)` block consumed via uid(f) + val(x) then
+      // materializes ONCE instead of twice.
+      blockUidVar.foreach { v =>
+        vars.updateThunk(v, () => snap.select(qcol(uidCol).as("uid")),
+          preCheckpointed = true, uniqueUid = true)
       }
       // a top-level result block shares the materialization with its
       // own render (detached marks a var block, whose frame is
@@ -2730,7 +2809,7 @@ final class DqlExecutor(ts: GraphStore) {
     // from the final frame after the subtree completes
     sel.varName.foreach { v =>
       bindVar(v, cur.select(qcol(name).as("uid"))
-        .filter(col("uid").isNotNull).distinct())
+        .filter(col("uid").isNotNull).distinct(), uniqueUid = true)
     }
     if (sel.children.nonEmpty) {
       // child-level @cascade: this subtree prunes like a cascade block
@@ -3060,7 +3139,8 @@ final class DqlExecutor(ts: GraphStore) {
           val kc = s"__k_${sel.groupby.head.outName}"
           varKids.foreach { c =>
             bindVar(c.varName.get,
-              g.select(qcol(kc).as("uid"), qcol(s"__a_${c.outName}").as("value")))
+              g.select(qcol(kc).as("uid"), qcol(s"__a_${c.outName}").as("value")),
+              uniqueUid = true)
           }
         }
         // flat relational surface: keys (named alias-or-pred) + aggregates
@@ -3095,10 +3175,7 @@ final class DqlExecutor(ts: GraphStore) {
     // aggregate-input predicates co-located in one source table join
     // ONCE through the store's wide frame instead of once per predicate
     // — and min(p)+max(p) over the same predicate share one column read
-    // either way. Only a SINGLE-TABLE wide group is eligible here: a
-    // multi-table union fills typed nulls for columns its members don't
-    // own, which would diverge from the melted INNER key join (an
-    // entity missing a key value's tablet row must drop out).
+    // either way.
     def wideEligible(p: String): Boolean =
       p != "uid" && !schema.isUidPredicate(p) &&
         schema.predicates.get(p).exists(ps => !ps.isList && !ps.lang &&
@@ -3108,18 +3185,25 @@ final class DqlExecutor(ts: GraphStore) {
     val widePreds = (keys.map(_.pred) ++
       aggIns.filter(_.valRef.isEmpty).map(_.pred))
       .filter(wideEligible).distinct
-    val wideGroup =
-      if (widePreds.size >= 2)
-        ts.attrWide(widePreds, frontierTypes).find(_.entityType.isDefined)
-      else None
-    val wideCovered: Set[String] = wideGroup.map(_.preds.toSet).getOrElse(Set.empty)
+    val wideGroups =
+      if (widePreds.size >= 2) ts.attrWide(widePreds, frontierTypes) else Nil
+    val wideCovered: Set[String] = wideGroups.flatMap(_.preds).toSet
     var cur = targets
     // the wide join is INNER when a key predicate rides it (the melted
-    // key join is inner: an entity absent from the single owner table
-    // drops) and LEFT when only aggregate inputs do
-    wideGroup.foreach { g =>
-      val jt = if (keys.exists(k => wideCovered(k.pred))) "inner" else "left"
+    // key join is inner: an entity with no tablet row for the key must
+    // drop out) and LEFT when only aggregate inputs do. A wide KEY
+    // column additionally filters IsNotNull: a multi-table union fills
+    // typed nulls for columns a member table doesn't own, and a null
+    // value means "no posting" in a general store — either way the
+    // melted path has no tablet row, so the entity drops instead of
+    // landing in a null group (WideReadParitySpec pins the union-key
+    // case; this also hardens single-table groups against stores whose
+    // source columns are nullable).
+    wideGroups.foreach { g =>
+      val gKeys = keys.map(_.pred).distinct.filter(g.preds.toSet)
+      val jt = if (gKeys.nonEmpty) "inner" else "left"
       cur = cur.join(g.frame.withColumnRenamed("subject", "__t"), Seq("__t"), jt)
+      gKeys.foreach(p => cur = cur.filter(col(s"__ma_$p").isNotNull))
     }
     for (k <- keys) {
       val kc = s"__k_${k.outName}"

@@ -263,7 +263,11 @@ object Multimodal {
     var dataOff = -1; var dataLen = -1
     while (off + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
       val id = tag(off); val sz = le32(off + 4)
-      if (sz < 0 || off + 8 + sz > b.length) return None
+      // bounds check in LONG arithmetic: a corrupt chunk size near
+      // Int.MaxValue overflows `off + 8 + sz` negative and would pass an
+      // int compare, sending the parse into out-of-bounds reads instead
+      // of the AudioSystem fallback
+      if (sz < 0 || off.toLong + 8L + sz > b.length) return None
       if (id == "fmt " && sz >= 16) {
         fmtTag = le16(off + 8); channels = le16(off + 10)
         rate = le32(off + 12); bits = le16(off + 22)

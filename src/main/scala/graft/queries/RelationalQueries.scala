@@ -138,7 +138,16 @@ object RelationalQueries {
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc,
           col("l_partkey").asc, col("l_suppkey").asc, col("l_quantity").asc)
+      // the window's ENSURE_REQUIREMENTS exchange is small in BYTES
+      // (WindowGroupLimit caps ≤3 rows/key/map-partition) but CPU-dense
+      // (per-key sort over every surviving row), so AQE's size-based
+      // coalescing collapsed it to ONE task (ProbeGate: 6 tasks total,
+      // maxTask ≈ wall). A user-origin repartition on the window key is
+      // not coalesced: the stage keeps spark.sql.shuffle.partitions
+      // (cpus-/cluster-derived, scale-adaptive), same rows per key,
+      // identical results.
       t(s, d, "lineitem")
+        .repartition(col("l_orderkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("rn"))

@@ -78,12 +78,23 @@ final class StoreInvariantSpec extends AnyFunSuite {
   }
 
   test("attrSubjectUnique tablets are unique per (subject, lang)") {
+    // EVERY declared non-uid predicate with an attr tablet: the
+    // executor's dedup skip keys off ts.attrSubjectUnique for any
+    // non-list predicate, so the test must pin exactly that set — a
+    // dgraphType filter here once left vector/bool/geo tablets declared
+    // unique but never checked. A predicate whose type has no attr
+    // table at all (attr() throws) can never be read, so no dedup can
+    // be skipped on it.
     val declared = ts.schema.predicates.keys.toSeq.sorted
       .filter(ts.attrSubjectUnique)
-      .filter(p => Set("string", "default", "int", "float", "datetime")
-        .contains(ts.schema.pred(p).dgraphType))
+      .filterNot(ts.schema.isUidPredicate)
+      .filter(p => try { ts.attr(p); true }
+        catch { case _: IllegalArgumentException => false })
     assert(declared.nonEmpty, "no predicate declares attrSubjectUnique — " +
       "the seed dedup-skip fast path would be dead code")
+    assert(declared.contains("embedding"),
+      "the float32vector tablet must be pinned too — the executor's skip " +
+        "is not limited to scalar dgraphTypes")
     for (p <- declared) {
       val a = ts.attr(p)
       val keyed =
@@ -95,6 +106,36 @@ final class StoreInvariantSpec extends AnyFunSuite {
       assert(total == uniq,
         s"attr '$p' declares attrSubjectUnique but has $total rows over " +
           s"$uniq distinct keys — the skipped seed dedup was load-bearing")
+    }
+  }
+
+  test("facet contract: typed facet columns honor their declared types") {
+    // facet_filter (GraphQueries) compares the raw _ft_quantity double
+    // where the declared facet type is long — exact only while every
+    // stored value is integral; and the _ft_totalprice double is
+    // compared through a decimal(18,2) cast — exact only while the cast
+    // round-trips. Pin both so a fractional quantity or a sub-cent
+    // price can't silently flip gate inclusion (r17 verdict #4).
+    val typed = ts.facetKeys.toSeq.flatMap { case (pred, kvs) =>
+      kvs.map { case (k, t) => (pred, k, t) }
+    }
+    val longs = typed.collect { case (p, k, "long") => (p, k) }
+    val doubles = typed.collect { case (p, k, "double") => (p, k) }
+    assert(longs.nonEmpty && doubles.nonEmpty)
+    for ((pred, k) <- longs) {
+      val c = col(s"_ft_$k").cast("double")
+      val bad = ts.edge(pred).filter(c.isNotNull && c =!= floor(c)).count()
+      assert(bad == 0, s"edge '$pred' facet '$k' declares long but holds " +
+        s"$bad non-integral values — raw-double compares would diverge " +
+        "from the long contract")
+    }
+    for ((pred, k) <- doubles) {
+      val c = col(s"_ft_$k").cast("double")
+      val bad = ts.edge(pred)
+        .filter(c.isNotNull && c.cast("decimal(18,2)").cast("double") =!= c)
+        .count()
+      assert(bad == 0, s"edge '$pred' facet '$k': $bad values do not " +
+        "round-trip decimal(18,2) — the gates' cast chain would lose them")
     }
   }
 }

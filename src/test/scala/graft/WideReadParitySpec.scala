@@ -204,6 +204,28 @@ final class WideReadParitySpec extends AnyFunSuite {
     parity(q)
   }
 
+  test("@groupby union-group KEY over a mixed-entity frontier == melted") {
+    // r18: multi-table union groups became KEY-eligible in groupbyGroups.
+    // The key (mktsegment: Customer-only) and aggregate input (acctbal:
+    // Customer ∪ Supplier) form one two-table union wide group over a
+    // customers∪suppliers frontier; the IsNotNull key guard must drop
+    // suppliers exactly like the melted inner key join drops their
+    // missing tablet rows — NOT land them in a null group.
+    val q = """{ q(func: type(Nation)) { name
+              |    inhab: ~located_in @groupby(mktsegment) {
+              |      n: count(uid)  mn: min(acctbal)  mx: max(acctbal) } } }"""
+      .stripMargin
+    parityNoWide(q)
+    parity(q)
+  }
+
+  test("root @groupby union-group key (has-seeded two-band frontier) == melted") {
+    val q = """{ q(func: has(acctbal)) @groupby(mktsegment) {
+              |    n: count(uid)  av: avg(acctbal) } }""".stripMargin
+    parityNoWide(q)
+    parity(q)
+  }
+
   test("level aggregation over sibling preds rides one wide join") {
     val q = """{ q(func: type(Lineitem)) {
               |    mq: max(quantity)  sx: sum(extendedprice)
