@@ -472,17 +472,23 @@ object Dedup {
     * pipeline.
     */
   def jaccardFromSets(sets: DataFrame, candidates: DataFrame): DataFrame = {
-    // shingle sets feed both the explode-join and the size lookup
-    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
-    val ex = sets.select(col("id"), explode(col("sh")).as("s"))
-    val inter = candidates.join(ex.as("ea"), col("a") === col("ea.id"))
-      .join(ex.as("eb"), col("b") === col("eb.id") && col("ea.s") === col("eb.s"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.id"))
-      .join(sizes.as("sb"), col("b") === col("sb.id"))
+    // per-pair intersection computed IN PLACE from the two set arrays
+    // (distinct by shingleSets' contract): two pair-sized joins + one
+    // codegen'd array_intersect replace the explode (corpus × shingle
+    // rows on BOTH sides), two shuffle joins and a groupBy — the
+    // candidate frame is pair-sized, so the verification runs
+    // exchange-free where the sets side broadcasts. The inter > 0
+    // filter preserves the old inner explode-join's semantics exactly:
+    // a candidate pair sharing no shingle emits no row.
+    candidates
+      .join(sets.select(col("id").as("a"), col("sh").as("__sha")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("sh").as("__shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long").as("inter"),
+        (size(col("__sha")) + size(col("__shb"))).cast("long").as("__sab"))
+      .filter(col("inter") > 0)
       .select(col("a"), col("b"), col("inter"),
-        (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
+        (col("__sab") - col("inter")).as("un"))
       .withColumn("jaccard", col("inter").cast("double") / col("un").cast("double"))
   }
 }

@@ -444,6 +444,11 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     corpus.select(col("id"), col("qe"))
       .withColumn("cell", assignCell(col("qe"), cents))
+      // cluster by the partition column before the partitioned write
+      // (guide §6 / Iceberg hash distribution-mode): without it every
+      // scan task opens a writer PER CELL it touches — tasks × cells
+      // small files at scale; with it each cell is one writer's file
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     cents
   }
@@ -728,6 +733,8 @@ object Similarity {
     pqEncode(corpus, books)
       .withColumn("cell", assignCell(col("qe"), cents))
       .select(col("id"), col("cell"), col("codes"))
+      // same writer-per-(task, cell) rationale as ivfWriteTrained
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
